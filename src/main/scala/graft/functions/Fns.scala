@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level primitives shared by the engine's queries.
+  *
+  * Cross-engine determinism rules (the driver hash-compares our parquet
+  * against DuckDB running the oracle SQL on the same inputs):
+  *
+  *  - Money/quantity sums go through `decimal(18,2)` so the aggregation is
+  *    exact and associative (safe under Spark's partial/final partial
+  *    aggregation at any partition count), then cast to double for a
+  *    stable output type. A raw double sum's low bits depend on reduce
+  *    order and would flap vs the oracle.
+  *  - The shared 60-bit hash primitive is md5-hex → first 15 nibbles →
+  *    bigint: identical in Spark (`conv`) and DuckDB (`('0x'||…)::bigint`),
+  *    unlike Spark's murmur3 `hash()` vs DuckDB's `hash()`.
+  *  - Dot products / norms fold left-to-right over the array in DOUBLE,
+  *    mirroring the oracle exactly; results are rounded before compare.
+  */
+object Fns {
+
+  /** Exact decimal sum of a (2-decimal-valued) double column, as double. */
+  def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact decimal average: decimal sum / count, evaluated in double. */
+  def decAvg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+
+  /** Deterministic 60-bit non-negative hash of a string column.
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::bigint`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: hash60 of "<seed>|" + value (seed as literal int). */
+  def hash60Seeded(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed|"), c))
+
+  /** Left-to-right dot product of two float-array columns, in double. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm (double) of a float-array column. */
+  def normD(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) =>
+      acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity in double, left-to-right folds on both terms. */
+  def cosineD(a: Column, b: Column): Column =
+    dotD(a, b) / (normD(a) * normD(b))
+
+  /** Whitespace tokenizer used across text analysis / dedup: split on
+    * runs of whitespace, drop empty tokens (leading/trailing). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Core relational surface: scan → filter → project → join → aggregate →
+  * set ops. These re-express the reference pipeline's relational skeleton
+  * (SURVEY.md §2.2 filters/projections, §2.3 joins, §2.4 aggregations,
+  * §2.7 union salvage) over the driver testdata, plus the standard
+  * aggregation shapes Catalyst gives for free (partial+final hash agg,
+  * distinct, broadcast joins).
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension joins (region/nation/supplier/part at any realistic SF)
+  *    are explicitly `broadcast()` — no shuffle of the fact table.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *    aggregations that follow reuse the same key where possible.
+  *  - All money aggregations are decimal-exact → safe under any
+  *    partitioning / AQE re-plan (no float reduce-order dependence).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: full-scan partial+final hash agg.
+    * At 100 TB this is the map-side-combine stress test: group count is
+    * tiny (|returnflag|×|linestatus|), so partial aggregation reduces
+    * each partition to a handful of rows before the single shuffle. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(18,2)"
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        decSum($"l_quantity").as("sum_qty"),
+        decSum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice".cast(dec) *
+          (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        sum($"l_extendedprice".cast(dec) *
+          (lit(1).cast(dec) - $"l_discount".cast(dec)) *
+          (lit(1).cast(dec) + $"l_tax".cast(dec)))
+          .cast("double").as("sum_charge"),
+        decAvg($"l_quantity").as("avg_qty"),
+        decAvg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** P6 date-window predicate (SURVEY.md §2.2) — the reference's
+    * load-bearing today/tomorrow filter, applied at the scan so parquet
+    * row-group stats prune it (predicate pushdown visible in .explain). */
+  def q02DateWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter(to_date($"o_orderdate").isin("1997-03-15", "1997-03-16"))
+      .select($"o_orderkey", to_date($"o_orderdate").as("o_date"),
+        $"o_orderpriority", $"o_totalprice")
+  }
+
+  val q02Oracle: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       o_orderpriority, o_totalprice
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) IN (DATE '1997-03-15', DATE '1997-03-16')"""
+
+  /** Fact⋈fact⋈dim join + aggregation by market segment. The orders⋈
+    * lineitem join shuffles both sides on orderkey (sort-merge or
+    * shuffled-hash under AQE); customer is small relative to facts but
+    * still fact-scale, so it shuffles on custkey — no broadcast hint. */
+  def q03SegmentRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(18,2)"
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val ord = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    cust.join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum($"l_extendedprice".cast(dec) *
+          (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double").as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q03Oracle: String =
+    """SELECT c_mktsegment,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Broadcast snowflake dims: nation and region are broadcast so the
+    * customer fact never shuffles for the join (only for the groupBy,
+    * which is on the joined dim attrs — one shuffle total). */
+  def q04RegionStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        decSum($"c_acctbal").as("total_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q04Oracle: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  /** Left-outer enrichment + coalesce-to-default — the reference's
+    * "attach empty JSON and continue" failure semantics (SURVEY.md §2.3):
+    * orders left-join a filtered lineitem aggregate; missing payloads
+    * become 0 instead of dropping the row. */
+  def q05LeftJoinCoalesce(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The per-order partial stays DECIMAL through the outer sum so the
+    // re-aggregation is exact under any reduce order; double only at
+    // the output boundary.
+    val heavy = Tables.lineitem(s, d)
+      .filter($"l_quantity" > 45)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("heavy_price"),
+        count(lit(1)).as("heavy_lines"))
+    Tables.orders(s, d)
+      .join(heavy, $"o_orderkey" === $"l_orderkey", "left_outer")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(coalesce($"heavy_price", lit(0).cast("decimal(18,2)")))
+          .cast("double").as("heavy_revenue"),
+        sum(coalesce($"heavy_lines", lit(0L))).as("heavy_line_count"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q05Oracle: String =
+    """WITH heavy AS (
+         SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS heavy_price,
+           count(*) AS heavy_lines
+         FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey)
+       SELECT o_orderpriority,
+         CAST(sum(COALESCE(heavy_price, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS heavy_revenue,
+         CAST(sum(COALESCE(heavy_lines, 0)) AS BIGINT) AS heavy_line_count,
+         count(*) AS n_orders
+       FROM orders LEFT JOIN heavy ON o_orderkey = l_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Left-semi join (EXISTS): customers having at least one urgent order. */
+  def q06SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    Tables.customer(s, d)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q06Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent 1995 order. */
+  def q07AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent95 = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        year($"o_orderdate") === 1995)
+      .select($"o_custkey")
+    Tables.customer(s, d)
+      .join(urgent95, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_idle_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q07Oracle: String =
+    """SELECT c_nationkey, count(*) AS n_idle_customers FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT'
+                         AND year(o_orderdate) = 1995)
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** U1 union salvage (SURVEY.md §2.7): two per-"league" frames unioned
+    * by NAME (columns deliberately projected in different orders — the
+    * pandas concat semantic) then re-aggregated. */
+  def q08UnionSalvage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val a = o.filter(year($"o_orderdate") === 1995)
+      .select($"o_orderkey", $"o_totalprice", year($"o_orderdate").as("o_year"))
+    val b = o.filter(year($"o_orderdate") === 2000)
+      .select(year($"o_orderdate").as("o_year"), $"o_totalprice", $"o_orderkey")
+    a.unionByName(b)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total"))
+      .orderBy($"o_year")
+  }
+
+  val q08Oracle: String =
+    """SELECT o_year, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM (
+         SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year
+         FROM orders WHERE year(o_orderdate) = 1995
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, year(o_orderdate) AS o_year
+         FROM orders WHERE year(o_orderdate) = 2000)
+       GROUP BY o_year ORDER BY o_year"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_date_window" -> q02DateWindow,
+    "q03_segment_revenue" -> q03SegmentRevenue,
+    "q04_region_stats" -> q04RegionStats,
+    "q05_left_join_coalesce" -> q05LeftJoinCoalesce,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_union_salvage" -> q08UnionSalvage,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_date_window" -> q02Oracle,
+    "q03_segment_revenue" -> q03Oracle,
+    "q04_region_stats" -> q04Oracle,
+    "q05_left_join_coalesce" -> q05Oracle,
+    "q06_semi_join" -> q06Oracle,
+    "q07_anti_join" -> q07Oracle,
+    "q08_union_salvage" -> q08Oracle,
+  )
+}
