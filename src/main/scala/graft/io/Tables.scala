@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md /
   * FIXTURES.md §A). One parquet file per table under `$dir/`.
@@ -21,7 +22,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses outright; read it as raw nanos (legacy conf) and floor to a
+    * microsecond TimestampType column. Oracle parity: DuckDB keeps full
+    * nanos, so engine outputs derived from `ts` are always emitted at
+    * second (or coarser) granularity, where floor(ns)==floor(µs). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

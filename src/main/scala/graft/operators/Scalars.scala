@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+import graft.ops.RefOps
+
+/** The reference's scalar transform surface (SURVEY.md §2.2 projections/
+  * filters, §2.8 string/date/array/json functions) exercised over the
+  * driver testdata, each with a DuckDB oracle twin.
+  *
+  * All of these are pure per-row Column expressions — they stay inside
+  * whole-stage codegen and impose no shuffle; the groupBys that follow
+  * exist only to keep oracle outputs small and deterministic.
+  */
+object Scalars {
+
+  /** P1/P2 token-blacklist filter (isin-not) + aggregation. */
+  def q10TokenBlacklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter(!$"event_type".isin("error", "view"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val q10Oracle: String =
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events WHERE event_type NOT IN ('error','view')
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** P3 arity filter: keep rows whose text splits into a given token
+    * range (the reference keeps exactly-3-field schedule rows). */
+  def q11ArityFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens($"text")))
+      .filter($"n_tokens".between(30, 60))
+      .select($"doc_id", $"n_tokens", $"lang")
+  }
+
+  val q11Oracle: String =
+    """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens, lang
+       FROM documents
+       WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) BETWEEN 30 AND 60"""
+
+  /** P11/P12 URL synthesis: strip a row-id prefix with regexp_replace,
+    * concat base + suffix variants (the reference's 3 h2h URLs). */
+  def q12UrlSynthesis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withId = Tables.orders(s, d)
+      .filter($"o_orderkey" < 500)
+      .withColumn("row_id", concat(lit("g_1_"), $"o_orderkey"))
+    val Seq(overall, home, away) =
+      RefOps.h2hUrls($"row_id", "https://example.test/match/")
+    withId.select($"o_orderkey", $"row_id",
+      overall.as("match_url"), home.as("home_url"), away.as("away_url"))
+  }
+
+  val q12Oracle: String =
+    """SELECT o_orderkey, 'g_1_' || o_orderkey AS row_id,
+       'https://example.test/match/' || regexp_replace('g_1_' || o_orderkey, '^g_1_', '') || '/#/h2h/overall' AS match_url,
+       'https://example.test/match/' || regexp_replace('g_1_' || o_orderkey, '^g_1_', '') || '/#/h2h/home' AS home_url,
+       'https://example.test/match/' || regexp_replace('g_1_' || o_orderkey, '^g_1_', '') || '/#/h2h/away' AS away_url
+       FROM orders WHERE o_orderkey < 500"""
+
+  /** T6 substring_index head/tail extraction (the minute-before-quote
+    * idiom) — first token, last token, first-3-tokens prefix. */
+  def q13TokenHeads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        substring_index($"text", " ", 1).as("first_tok"),
+        substring_index($"text", " ", -1).as("last_tok"),
+        substring_index($"text", " ", 3).as("first3"))
+  }
+
+  val q13Oracle: String =
+    """SELECT doc_id,
+       string_split(text, ' ')[1] AS first_tok,
+       string_split(text, ' ')[-1] AS last_tok,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3
+       FROM documents"""
+
+  /** T7 overtime-minute arithmetic: "45+2" → 47, folded over the split
+    * parts; plain minutes pass through. Minute strings synthesized from
+    * lineitem so the op runs at fact scale. */
+  def q14OvertimeSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_partkey" < 200)
+      .withColumn("minute_raw",
+        when($"l_linenumber" > 3,
+          concat($"l_linenumber".cast("string"), lit("+"),
+            $"l_quantity".cast("int").cast("string")))
+          .otherwise($"l_linenumber".cast("string")))
+      .select($"l_orderkey", $"l_linenumber", $"minute_raw",
+        RefOps.overtimeMinute($"minute_raw").as("minute"))
+  }
+
+  val q14Oracle: String =
+    """WITH raw AS (
+         SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber > 3
+                THEN l_linenumber || '+' || CAST(l_quantity AS INT)
+                ELSE CAST(l_linenumber AS VARCHAR) END AS minute_raw
+         FROM lineitem WHERE l_partkey < 200)
+       SELECT l_orderkey, l_linenumber, minute_raw,
+         CASE WHEN contains(minute_raw, '+')
+              THEN CAST(CAST(split_part(minute_raw,'+',1) AS INT)
+                        + CAST(split_part(minute_raw,'+',2) AS INT) AS VARCHAR)
+              ELSE minute_raw END AS minute
+       FROM raw"""
+
+  /** T8-style first-match-wins CASE classification (the reference's
+    * svg-class keyword dict) over the first document token. */
+  def q15KeywordClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fw = substring_index($"text", " ", 1)
+    Tables.documents(s, d)
+      .withColumn("cls",
+        when(fw.contains("s") && fw.contains("h"), "s_and_h")
+          .when(fw.contains("s"), "s_only")
+          .when(fw.contains("a"), "a_ish")
+          .when(fw.contains("e"), "e_ish")
+          .otherwise("other"))
+      .groupBy($"cls", $"lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"cls", $"lang")
+  }
+
+  val q15Oracle: String =
+    """WITH fw AS (SELECT lang, string_split(text,' ')[1] AS w FROM documents)
+       SELECT CASE WHEN contains(w,'s') AND contains(w,'h') THEN 's_and_h'
+                   WHEN contains(w,'s') THEN 's_only'
+                   WHEN contains(w,'a') THEN 'a_ish'
+                   WHEN contains(w,'e') THEN 'e_ish'
+                   ELSE 'other' END AS cls,
+              lang, count(*) AS n
+       FROM fw GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** T11/T12 date round-trip: format to the reference's "dd.MM. HH:mm"
+    * scrape shape, re-parse with year injection, emit ISO strings. */
+  def q16DateRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderkey" < 2000)
+      .withColumn("scraped", date_format($"o_orderdate", "dd.MM. HH:mm"))
+      .select($"o_orderkey", $"scraped",
+        date_format(RefOps.parseScheduleDate($"scraped", 1997),
+          "yyyy-MM-dd HH:mm:ss").as("parsed"))
+  }
+
+  val q16Oracle: String =
+    """SELECT o_orderkey,
+       strftime(o_orderdate, '%d.%m. %H:%M') AS scraped,
+       strftime(try_strptime(strftime(o_orderdate, '%d.%m. %H:%M') || '.1997',
+                             '%d.%m. %H:%M.%Y'), '%Y-%m-%d %H:%M:%S') AS parsed
+       FROM orders WHERE o_orderkey < 2000"""
+
+  /** T1/T2 split + explode (flatten) → token frequency. The shuffle key
+    * is the token — at 100 TB this is the classic skewed-key aggregation;
+    * partial aggregation absorbs the skew before the exchange. */
+  def q17TokenExplode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 100)
+      .orderBy($"token")
+  }
+
+  val q17Oracle: String =
+    """SELECT token, count(*) AS cnt
+       FROM (SELECT unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS token
+             FROM documents)
+       GROUP BY token HAVING count(*) >= 100 ORDER BY token"""
+
+  /** T13 JSON extraction from the events props column + re-aggregation. */
+  def q18JsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
+      .orderBy($"k")
+  }
+
+  val q18Oracle: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** A1 group-by-collect: per-user sorted activity multiset, joined to a
+    * string for a deterministic cross-engine representation. */
+  def q19GroupCollect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(array_join(sort_array(collect_list($"event_type")), ",").as("activities"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val q19Oracle: String =
+    """SELECT user_id,
+       array_to_string(list_sort(list(event_type)), ',') AS activities,
+       count(*) AS n_events
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_token_blacklist" -> q10TokenBlacklist,
+    "q11_arity_filter" -> q11ArityFilter,
+    "q12_url_synthesis" -> q12UrlSynthesis,
+    "q13_token_heads" -> q13TokenHeads,
+    "q14_overtime_sum" -> q14OvertimeSum,
+    "q15_keyword_classify" -> q15KeywordClassify,
+    "q16_date_roundtrip" -> q16DateRoundtrip,
+    "q17_token_explode" -> q17TokenExplode,
+    "q18_json_extract" -> q18JsonExtract,
+    "q19_group_collect" -> q19GroupCollect,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_token_blacklist" -> q10Oracle,
+    "q11_arity_filter" -> q11Oracle,
+    "q12_url_synthesis" -> q12Oracle,
+    "q13_token_heads" -> q13Oracle,
+    "q14_overtime_sum" -> q14Oracle,
+    "q15_keyword_classify" -> q15Oracle,
+    "q16_date_roundtrip" -> q16Oracle,
+    "q17_token_explode" -> q17Oracle,
+    "q18_json_extract" -> q18Oracle,
+    "q19_group_collect" -> q19Oracle,
+  )
+}
