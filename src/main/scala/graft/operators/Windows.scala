@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+import graft.ops.RefOps
+
+/** Window-function surface: the reference's two window ops (W1 ffill,
+  * W2 head-N) plus the running-sum segmentation idiom (T4) it shares
+  * with sessionization, and the time-window aggregates the events table
+  * is for (tumbling/sliding/session windows, SURVEY.md §7.4).
+  *
+  * Scale notes: every window here is partitioned by a high-cardinality
+  * key (user_id / custkey) — no global orderBy windows, so the work
+  * distributes across executors; time-window aggregates are plain
+  * hash aggregations on (bucket, key) and inherit partial aggregation.
+  */
+object Windows {
+
+  /** W1 forward-fill: error events have their value masked to NULL and
+    * inherit the last non-null value in event order, per user. */
+  def q20Ffill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("v_masked",
+        when($"event_type" === "error", lit(null)).otherwise($"value"))
+      .withColumn("v_filled",
+        RefOps.ffill($"v_masked", Seq($"user_id"), $"event_id"))
+      .select($"user_id", $"event_id", $"event_type", $"v_filled")
+  }
+
+  val q20Oracle: String =
+    """SELECT user_id, event_id, event_type,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+       FROM events"""
+
+  /** W2 head-N per group: top-3 orders by totalprice per customer
+    * (deterministic tie-break on orderkey). */
+  def q21TopNPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .filter($"o_custkey" < 200)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+  }
+
+  val q21Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders WHERE o_custkey < 200)
+       WHERE rn <= 3"""
+
+  /** T4 running-sum segmentation: signup events open a new segment per
+    * user; aggregate per segment. */
+  def q22RunningSegment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("seg",
+        RefOps.segmentId($"event_type" === "signup", Seq($"user_id"), $"event_id"))
+      .groupBy($"user_id", $"seg")
+      .agg(count(lit(1)).as("n_events"), decSum($"value").as("seg_value"))
+      .orderBy($"user_id", $"seg")
+  }
+
+  val q22Oracle: String =
+    """WITH seg AS (
+         SELECT user_id, value,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         FROM events)
+       SELECT user_id, CAST(seg AS BIGINT) AS seg, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS seg_value
+       FROM seg GROUP BY user_id, seg ORDER BY user_id, seg"""
+
+  /** Sessionization via the gap>threshold running-sum idiom — the same
+    * T4 pattern at training-pipeline scale. Gap compared in integer
+    * microseconds (unix_micros vs DuckDB epoch_us: both floor ns→µs,
+    * so the cut points agree exactly). */
+  def q23Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max($"us") - min($"us")) / lit(1000000L)).cast("long")
+          .as("duration_sec"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q23Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+         FROM events),
+       s AS (
+         SELECT user_id, ts, us,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM t)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+         CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** Tumbling 1-hour time window aggregate (batch twin of the streaming
+    * windowed agg; window() aligns to epoch hours = date_trunc). */
+  def q24HourlyWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val q24Oracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Sliding window (1 hour, slide 30 min): each event lands in two
+    * windows; the oracle reconstructs them from floored epoch-µs. */
+  def q25SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"n", $"total_value")
+      .orderBy($"win_start")
+  }
+
+  val q25Oracle: String =
+    """WITH starts AS (
+         SELECT unnest([
+             make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+             make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+           ]) AS win_start, value
+         FROM events)
+       SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM starts GROUP BY 1 ORDER BY 1"""
+
+  /** Native session_window (30 min gap) — Spark's built-in session
+    * merge; oracle reproduces the >= gap-split islands. */
+  def q26SessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q26Oracle: String =
+    """WITH t AS (
+         SELECT user_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+         FROM events),
+       s AS (
+         SELECT user_id, ts,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM t)
+       SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         count(*) AS n_events
+       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  /** Rollup (grouping sets) over the snowflake dims — subtotals + grand
+    * total in one pass (free from Catalyst's Expand). */
+  def q27Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), decSum($"c_acctbal").as("total_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q27Oracle: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)
+       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""
+
+  /** lag/lead/rank analytics: per-customer order price deltas. */
+  def q28LagLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .filter($"o_custkey" < 100)
+      .select($"o_custkey", $"o_orderkey",
+        $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        rank().over(Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")).as("price_rank"))
+  }
+
+  val q28Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+       FROM orders WHERE o_custkey < 100"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_ffill" -> q20Ffill,
+    "q21_topn_per_group" -> q21TopNPerGroup,
+    "q22_running_segment" -> q22RunningSegment,
+    "q23_sessionize" -> q23Sessionize,
+    "q24_hourly_window" -> q24HourlyWindow,
+    "q25_sliding_window" -> q25SlidingWindow,
+    "q26_session_window" -> q26SessionWindow,
+    "q27_rollup" -> q27Rollup,
+    "q28_lag_lead" -> q28LagLead,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_ffill" -> q20Oracle,
+    "q21_topn_per_group" -> q21Oracle,
+    "q22_running_segment" -> q22Oracle,
+    "q23_sessionize" -> q23Oracle,
+    "q24_hourly_window" -> q24Oracle,
+    "q25_sliding_window" -> q25Oracle,
+    "q26_session_window" -> q26Oracle,
+    "q27_rollup" -> q27Oracle,
+    "q28_lag_lead" -> q28Oracle,
+  )
+}
