@@ -19,12 +19,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Scalars.queries ++
-      operators.Windows.queries
+      operators.Windows.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Scalars.oracles ++
-      operators.Windows.oracles
+      operators.Windows.oracles ++
+      operators.TextAnalysis.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

@@ -58,4 +58,28 @@ object Fns {
     * runs of whitespace, drop empty tokens (leading/trailing). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word 3-gram shingles over a token array (guarded: <3 tokens → []).
+    * DuckDB twin: list_transform(generate_series(1, len(tk)-2), i ->
+    * tk[i]||' '||tk[i+1]||' '||tk[i+2]). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Integer-quantized embedding: floor(x*1000) per float element, in
+    * exact int64 — downstream dot products / norms are integer-exact and
+    * reduce-order-free on both engines. */
+  def quantize1000(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Integer squared L2 norm of a quantized vector. */
+  def norm2Q(a: Column): Column =
+    aggregate(a, lit(0L), (acc, v) => acc + v * v)
 }

@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verification,
+  * and SimHash with banded blocking. (Embedding-cosine near-dup lives
+  * in [[Similarity]].)
+  *
+  * Scale design (the 100 TB story, per operator):
+  *  - Exact dedup: one shuffle on a 60-bit content hash; survivors via
+  *    min(doc_id) — the standard first-writer-wins policy.
+  *  - MinHash: signatures are computed per-row in a single projection
+  *    (transform over a seed array — NO per-seed explode/shuffle), then
+  *    the only shuffle is the LSH band-key join, whose fan-in is bounded
+  *    by band width. This is the textbook shingle→minhash→band→bucket
+  *    join pipeline, with candidate verification kept to bucket-mates.
+  *  - n-gram Jaccard: inverted-index self-join on shingle (shuffle on
+  *    shingle, the skew-prone key — at scale you'd drop top-frequency
+  *    shingles first; here df filtering keeps the pair list exact).
+  *  - SimHash: per-bit majority vote via an explode+groupBy (bounded:
+  *    60 rows per token), then 4×15-bit banded self-join: pigeonhole
+  *    guarantees hamming≤3 pairs share ≥1 band, so blocking is lossless.
+  */
+object Dedup {
+
+  /** Exact/near-exact dedup by normalized 5-token-prefix key: groups
+    * sharing a key keep min(doc_id) as canonical; emit dup groups. */
+  def q40DedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = lower(regexp_replace(trim($"text"), "\\s+", " "))
+    val prefixKey = concat_ws(" ", slice(tokens(norm), 1, 5))
+    Tables.documents(s, d)
+      .select($"doc_id", md5(prefixKey).as("dup_key"))
+      .groupBy($"dup_key")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"),
+        array_join(sort_array(collect_list($"doc_id")), ",").as("members"))
+      .filter($"n_docs" > 1)
+      .orderBy($"dup_key")
+  }
+
+  val q40Oracle: String =
+    """WITH k AS (
+         SELECT doc_id,
+           md5(array_to_string(
+             (list_filter(string_split_regex(lower(trim(regexp_replace(text,'\s+',' ','g'))), '\s+'), t -> t <> ''))[1:5],
+             ' ')) AS dup_key
+         FROM documents)
+       SELECT dup_key, count(*) AS n_docs, min(doc_id) AS canonical_doc,
+         array_to_string(list_sort(list(doc_id)), ',') AS members
+       FROM k GROUP BY dup_key HAVING count(*) > 1 ORDER BY dup_key"""
+
+  /** MinHash signature + LSH banding: 24 hashes, 8 bands × 3 rows
+    * (catches Jaccard ≳ 0.3 with high probability). Output: candidate
+    * pairs with their signature agreement count.
+    *
+    * One content hash per shingle (28-bit md5 prefix), then the 24
+    * "hash functions" are affine permutations (2i+1)·h + i mod p —
+    * integer-only, so the signature costs 1 md5 + 24 multiplies per
+    * shingle instead of 24 md5s (a 25× hot-path reduction measured at
+    * sf0.1: 382 s → seconds). */
+  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSig = 24
+    val bandRows = 3
+    val nBands = nSig / bandRows
+    val p = 2147483647L
+    val shd = array_distinct(shingles3(tokens($"text")))
+    // Explode → min-aggregate → re-assemble, instead of nested
+    // higher-order lambdas: HOFs are interpreted (CodegenFallback) and
+    // Catalyst re-inlines their expression through collapsed
+    // projections, which measured ~400 s at sf0.1; the explode pipeline
+    // is whole-stage-codegen'd end to end and its groupBy shuffle is
+    // the same shuffle the LSH needs anyway.
+    val exploded = Tables.documents(s, d)
+      .select($"doc_id", shd.as("shd"))
+      .filter(size($"shd") > 0)
+      .select($"doc_id",
+        explode(transform($"shd",
+          x => conv(substring(md5(x), 1, 7), 16, 10).cast("long"))).as("h"))
+      .select($"doc_id", $"h",
+        explode(sequence(lit(0), lit(nSig - 1))).as("i"))
+    val sigs = exploded
+      .groupBy($"doc_id", $"i")
+      .agg(min(((lit(2) * $"i" + 1) * $"h" + $"i") % p).as("mv"))
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"i", $"mv"))),
+        x => x.getField("mv")).as("sig"))
+    val bands = sigs
+      .select($"doc_id", $"sig",
+        explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+      .select($"doc_id", $"sig", $"b",
+        md5(concat_ws(",",
+          transform(slice($"sig", $"b" * bandRows + 1, lit(bandRows)),
+            _.cast("string")))).as("band_key"))
+    val l = bands.select($"doc_id".as("doc1"), $"b", $"band_key", $"sig".as("sig1"))
+    val r = bands.select($"doc_id".as("doc2"), $"b".as("b2"), $"band_key".as("bk2"), $"sig".as("sig2"))
+    l.join(r, $"b" === $"b2" && $"band_key" === $"bk2" && $"doc1" < $"doc2")
+      .select($"doc1", $"doc2",
+        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), b => b))
+          .as("n_sig_equal"))
+      .distinct()
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q41Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       bands AS (
+         SELECT doc_id, sig, b,
+           md5(array_to_string(list_transform(sig[b*3+1 : b*3+3], v -> v::VARCHAR), ',')) AS band_key
+         FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+           len(list_filter(list_zip(l.sig, r.sig), p -> p[1] = p[2])) AS n_sig_equal
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+       SELECT doc1, doc2, n_sig_equal FROM pairs ORDER BY doc1, doc2"""
+
+  /** n-gram Jaccard near-dup via inverted-index self-join: exact
+    * pairwise Jaccard (basis points, integer floor) over distinct
+    * 3-gram shingles, thresholded at 0.05. */
+  def q42NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Invert on the 60-bit shingle hash, not the shingle string: the
+    // self-join shuffles fixed-width longs instead of ~30-byte strings.
+    val docsSh = Tables.documents(s, d)
+      .select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("shd"))
+      .filter(size($"shd") > 0)
+    val sizes = docsSh.select($"doc_id", size($"shd").as("n_sh"))
+    val inv = docsSh.select($"doc_id",
+      explode(transform($"shd", x => hash60(x))).as("sh"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .withColumn("jaccard_bp",
+        floor($"inter" * lit(10000) / ($"n1" + $"n2" - $"inter")).cast("long"))
+      .filter($"jaccard_bp" >= 500)
+      .select($"doc1", $"doc2", $"inter", $"n1", $"n2", $"jaccard_bp")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q42Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc1, doc2, inter, sa.n_sh AS n1, sb.n_sh AS n2,
+         CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_bp
+       FROM inter
+       JOIN nz sa ON doc1 = sa.doc_id
+       JOIN nz sb ON doc2 = sb.doc_id
+       WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500
+       ORDER BY doc1, doc2"""
+
+  /** SimHash (60-bit): per-bit majority vote over token hashes.
+    * Bit j of the fingerprint is 1 iff Σ_tokens (bit_j(h)? +1 : −1) > 0.
+    * Powers of two come from a 60-row literal dim (exact long
+    * arithmetic — no float pow, no shift-by-column limitation). */
+  def q43Simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Explode tokens × 60 bit positions, majority-vote per bit, then
+    // reassemble — all codegen'd aggregates (a per-row nested-lambda
+    // fold measured 2.5× slower: HOFs are interpreted). The (doc,bit)
+    // partial aggregation absorbs the 60× blow-up before the shuffle.
+    val powers = s.createDataFrame(
+      (0 until 60).map(j => (j, 1L << j))).toDF("j", "p")
+    Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", hash60($"tok").as("h"))
+      .crossJoin(broadcast(powers))
+      .groupBy($"doc_id", $"j", $"p")
+      .agg(sum(when(expr("(h div p) % 2") === 1, 1L).otherwise(-1L)).as("vote"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0, $"p").otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val q43Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> ''))), 1, 15))::BIGINT AS h
+         FROM documents),
+       votes AS (
+         SELECT doc_id, j, (1::BIGINT << j) AS p,
+           sum(CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM toks, (SELECT unnest(generate_series(0, 59)) AS j)
+         GROUP BY doc_id, j)
+       SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+       FROM votes GROUP BY doc_id ORDER BY doc_id"""
+
+  /** SimHash near-dup pairs via 4×15-bit banded blocking + hamming
+    * verification (≤ 3 bits). Pigeonhole: hamming ≤ 3 over 4 bands ⇒
+    * at least one band identical, so the block join is lossless. */
+  def q44SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sims = q43Simhash(s, d)
+    val chunks = s.createDataFrame(
+      (0 until 4).map(c => (c, 1L << (15 * c)))).toDF("c", "pc")
+    val banded = sims.join(broadcast(chunks))
+      .select($"doc_id", $"simhash", $"c",
+        expr("(simhash div pc) % 32768").as("chunk_val"))
+    val l = banded.select($"doc_id".as("doc1"), $"simhash".as("s1"), $"c", $"chunk_val")
+    val r = banded.select($"doc_id".as("doc2"), $"simhash".as("s2"),
+      $"c".as("c2"), $"chunk_val".as("cv2"))
+    l.join(r, $"c" === $"c2" && $"chunk_val" === $"cv2" && $"doc1" < $"doc2")
+      .select($"doc1", $"doc2", $"s1", $"s2")
+      .distinct()
+      .withColumn("hamming", bit_count($"s1".bitwiseXOR($"s2")))
+      .filter($"hamming" <= 3)
+      .select($"doc1", $"doc2", $"hamming")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q44Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> ''))), 1, 15))::BIGINT AS h
+         FROM documents),
+       votes AS (
+         SELECT doc_id, j, (1::BIGINT << j) AS p,
+           sum(CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM toks, (SELECT unnest(generate_series(0, 59)) AS j)
+         GROUP BY doc_id, j),
+       sims AS (
+         SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, simhash, c,
+           (simhash // (1::BIGINT << (15*c))) % 32768 AS chunk_val
+         FROM sims, (SELECT unnest(generate_series(0, 3)) AS c)),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+           l.simhash AS s1, r.simhash AS s2
+         FROM banded l JOIN banded r
+           ON l.c = r.c AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id)
+       SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+       FROM pairs WHERE bit_count(xor(s1, s2)) <= 3
+       ORDER BY doc1, doc2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> q40DedupExact,
+    "q41_minhash_lsh" -> q41MinhashLsh,
+    "q42_ngram_jaccard" -> q42NgramJaccard,
+    "q43_simhash" -> q43Simhash,
+    "q44_simhash_pairs" -> q44SimhashPairs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40Oracle,
+    "q41_minhash_lsh" -> q41Oracle,
+    "q42_ngram_jaccard" -> q42Oracle,
+    "q43_simhash" -> q43Oracle,
+    "q44_simhash_pairs" -> q44Oracle,
+  )
+}

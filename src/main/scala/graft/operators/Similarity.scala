@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Similarity search over the embeddings table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, and a sign-bit LSH
+  * bucketed variant as the scale path; plus embedding-cosine near-dup
+  * pairs (the 5th dedup modality of the brief).
+  *
+  * Numeric design: embeddings are quantized to integers (floor(x·1000),
+  * exact and identical in any IEEE-754 engine), so every dot product,
+  * norm, and threshold test below is *integer* arithmetic — bit-exact
+  * across engines and reduce orders. Cosine thresholds become integer
+  * inequalities: cos ≥ t  ⟺  num>0 ∧ num²·10⁴ ≥ t²·10⁴·‖a‖²‖b‖².
+  * Ranking uses the integer key  num·|num|·10⁴ div (‖a‖²‖b‖²)  —
+  * monotone in cosine, ties broken by vec_id.
+  *
+  * Scale notes:
+  *  - Brute force is a broadcast nested-loop of the (small) query set
+  *    against the corpus: one pass over the big side, no shuffle of it;
+  *    top-k per query via partitioned window. At 100 TB the corpus side
+  *    stays partition-local; only k rows per query per partition would
+  *    need to move (here the window handles it — the candidate set is
+  *    already tiny).
+  *  - The LSH variant buckets by the sign pattern of the leading dims
+  *    (random-hyperplane LSH with axis-aligned planes): the join is
+  *    equi on bucket id — shuffle fan-in bounded by bucket size, the
+  *    standard ANN trade (recall vs candidates).
+  */
+object Similarity {
+
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"label",
+        quantize1000($"embedding").as("qa"))
+      .withColumn("n2", norm2Q($"qa"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: cos ≥ 0.4 (integer test
+    * 100·num² ≥ 16·‖a‖²‖b‖², num>0). */
+  def q45EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val l = q.select($"vec_id".as("id1"), $"label".as("label1"),
+      $"qa".as("a1"), $"n2".as("d1"))
+    val r = q.select($"vec_id".as("id2"), $"label".as("label2"),
+      $"qa".as("a2"), $"n2".as("d2"))
+    l.join(r, $"id1" < $"id2")
+      .withColumn("num", dotQ($"a1", $"a2"))
+      .filter($"num" > 0 &&
+        lit(100) * $"num" * $"num" >= lit(16) * $"d1" * $"d2")
+      .select($"id1", $"id2", $"label1", $"label2", $"num", $"d1", $"d2")
+      .orderBy($"id1", $"id2")
+  }
+
+  val q45Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       p AS (
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           a.label AS label1, b.label AS label2,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS d1, b.n2 AS d2
+         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT id1, id2, label1, label2, num, d1, d2
+       FROM p WHERE num > 0 AND 100*num*num >= 16*d1*d2
+       ORDER BY id1, id2"""
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 20) the
+    * 10 nearest corpus vectors by the integer cosine rank key. */
+  def q46AnnTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val queries = q.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))
+    val corpus = q.select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"))
+    val scored = queries.join(broadcast(corpus), $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key",
+        expr("(num * num * 10000) div (qn * cn)"))
+    scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid")
+          .orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 10)
+      .select($"qid", $"cid", $"rank_key", $"rn")
+  }
+
+  val q46Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       scored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT qid, cid, (num * num * 10000) // (qn * cn) AS rank_key,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+         FROM scored WHERE num > 0)
+       SELECT qid, cid, rank_key, rn FROM ranked WHERE rn <= 10"""
+
+  /** LSH-bucketed ANN (scale path): bucket = sign bits of the first 8
+    * dims (axis-aligned hyperplane LSH); candidates are bucket-mates;
+    * top-5 within bucket. Lossy vs q46 by design — that's the trade. */
+  def q47AnnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7),
+                     0L,
+                     (acc, j) -> acc + IF(element_at(qa, j + 1) > 0,
+                                          cast(power(2, j) as bigint), 0L))"""))
+    val queries = q.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"), $"bucket")
+    val corpus = q
+      .select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"),
+        $"bucket".as("cbucket"))
+    queries.join(corpus, $"bucket" === $"cbucket" && $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid")
+          .orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"bucket", $"cid", $"rank_key", $"rn")
+  }
+
+  val q47Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2,
+           CAST(list_sum([CASE WHEN qa[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END
+                          FOR j IN generate_series(0, 7)]) AS BIGINT) AS bucket
+         FROM q),
+       scored AS (
+         SELECT a.vec_id AS qid, a.bucket, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn
+         FROM n a JOIN n b
+           ON a.bucket = b.bucket AND a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT qid, bucket, cid, (num * num * 10000) // (qn * cn) AS rank_key,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+         FROM scored WHERE num > 0)
+       SELECT qid, bucket, cid, rank_key, rn FROM ranked WHERE rn <= 5"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_embedding_neardup" -> q45EmbeddingNearDup,
+    "q46_ann_topk" -> q46AnnTopK,
+    "q47_ann_lsh" -> q47AnnLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_embedding_neardup" -> q45Oracle,
+    "q46_ann_topk" -> q46Oracle,
+    "q47_ann_lsh" -> q47Oracle,
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Text-analysis operators for a training-data pipeline (builder brief /
+  * SURVEY.md §7.4): token counting, quality scoring, language ID, and
+  * document fingerprinting, over the `documents` table.
+  *
+  * Design rules:
+  *  - Everything is a per-row Column expression (no UDFs, no shuffle
+  *    beyond the final demo aggregation) → whole-stage codegen'd and
+  *    trivially scalable: at 100 TB these run map-side at scan speed.
+  *  - All scores are integer-valued (counts, permille ratios via floor)
+  *    so cross-engine comparison is exact. Rational quotients with
+  *    denominator ≤ ~1000 are ≥ 1/1000 away from the nearest integer
+  *    when not exact, so floor(double) cannot misround.
+  */
+object TextAnalysis {
+
+  /** Token statistics: counts, distinct counts, char totals per doc. */
+  def q30TokenStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_uniq_tokens"),
+        length(regexp_replace($"text", "\\s+", "")).as("n_nonspace_chars"),
+        $"n_chars")
+  }
+
+  val q30Oracle: String =
+    """SELECT doc_id, lang,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+       len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS n_uniq_tokens,
+       length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
+       n_chars
+       FROM documents"""
+
+  /** Quality scoring: length score + stopword-density penalty, integer
+    * permille arithmetic (the classic pre-training heuristic filter). */
+  def q31QualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = tokens($"text")
+    val nTok = size(tk)
+    val nStop = size(filter(tk, t => t.isin(stop.map(lit): _*)))
+    val stopPm = floor(nStop * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        nTok.as("n_tokens"), nStop.as("n_stop"),
+        stopPm.as("stop_permille"), uniqPm.as("uniq_permille"),
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
+          .as("quality_score"))
+  }
+
+  val q31Oracle: String =
+    """WITH t AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       c AS (
+         SELECT doc_id, len(tk) AS n_tokens,
+           len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) AS n_stop,
+           CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT) AS stop_permille,
+           CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS uniq_permille
+         FROM t)
+       SELECT doc_id, n_tokens, n_stop, stop_permille, uniq_permille,
+         least(n_tokens, 100) * 10 + (1000 - stop_permille) + uniq_permille AS quality_score
+       FROM c"""
+
+  /** Language ID by stopword-profile scoring: count marker-word hits per
+    * language, argmax with a fixed priority order (first-match-wins tie
+    * break, the reference's T8 idiom), then a confusion matrix against
+    * the labeled lang column. */
+  def q32LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "in"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "les", "et", "une"),
+      "es" -> Seq("el", "los", "y", "una"),
+      "zh" -> Seq("的", "是", "了"))
+    val tk = tokens($"text")
+    def score(ws: Seq[String]): Column =
+      size(filter(tk, t => t.isin(ws.map(lit): _*)))
+    val scored = Tables.documents(s, d)
+      .select(Seq($"doc_id", $"lang") ++
+        markers.map { case (l, ws) => score(ws).as(s"c_$l") }: _*)
+    val pred = markers.map(_._1).foldRight(lit("und")) { (l, els) =>
+      val c = col(s"c_$l")
+      val others = markers.map(_._1).filter(_ != l).map(o => c >= col(s"c_$o"))
+      when(c > 0 && others.reduce(_ && _), lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  val q32Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sc AS (
+         SELECT doc_id, lang,
+           len(list_filter(tk, t -> list_contains(['the','a','and','of','in'], t))) AS c_en,
+           len(list_filter(tk, t -> list_contains(['der','die','das','und'], t))) AS c_de,
+           len(list_filter(tk, t -> list_contains(['le','les','et','une'], t))) AS c_fr,
+           len(list_filter(tk, t -> list_contains(['el','los','y','una'], t))) AS c_es,
+           len(list_filter(tk, t -> list_contains(['的','是','了'], t))) AS c_zh
+         FROM t),
+       p AS (
+         SELECT lang,
+           CASE
+             WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+             WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+             WHEN c_fr > 0 AND c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+             WHEN c_es > 0 AND c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+             WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_fr AND c_zh >= c_es THEN 'zh'
+             ELSE 'und' END AS pred_lang
+         FROM sc)
+       SELECT lang, pred_lang, count(*) AS n
+       FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
+  /** Document fingerprinting: winnowing-style minimum over 3-gram
+    * shingle hashes (rolling-hash family; the min makes it robust to
+    * local edits), plus the full-text hash. */
+  def q33Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles3(tokens($"text"))
+    Tables.documents(s, d)
+      .select($"doc_id",
+        hash60(md5($"text")).as("exact_fp"),
+        array_min(transform(sh, x => hash60(x))).as("winnow_fp"),
+        size(sh).as("n_shingles"))
+  }
+
+  val q33Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, text,
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END AS s
+         FROM t)
+       SELECT doc_id,
+         ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS exact_fp,
+         list_min(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS winnow_fp,
+         len(s) AS n_shingles
+       FROM sh"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_stats" -> q30TokenStats,
+    "q31_quality_score" -> q31QualityScore,
+    "q32_langid" -> q32LangId,
+    "q33_fingerprint" -> q33Fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" -> q30Oracle,
+    "q31_quality_score" -> q31Oracle,
+    "q32_langid" -> q32Oracle,
+    "q33_fingerprint" -> q33Oracle,
+  )
+}
