@@ -75,11 +75,12 @@ object Fns {
   def quantize1000(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two quantized vectors — native codegen'd
+    * [[graft.functions.DotQ]] expression (the HOF formulation
+    * `aggregate(zip_with(..))` is interpreted and ~10× slower on the
+    * pairwise-similarity hot path). */
+  def dotQ(a: Column, b: Column): Column = VectorExprs.dot_q(a, b)
 
   /** Integer squared L2 norm of a quantized vector. */
-  def norm2Q(a: Column): Column =
-    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+  def norm2Q(a: Column): Column = VectorExprs.dot_q(a, a)
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd integer dot product over two array<long> columns.
+  *
+  * Why a custom Catalyst Expression (SURVEY.md §7.3, preference (b)):
+  * the composable formulation `aggregate(zip_with(a,b,*),0,+)` uses
+  * higher-order functions, which are CodegenFallback — every element
+  * goes through an interpreted lambda with boxed accumulators, and the
+  * expression gets re-inlined through collapsed projections. On the
+  * brute-force similarity join (q46: |queries|×|corpus| pairs × 64
+  * dims) that interpretation dominates the query. This expression
+  * compiles to a primitive long loop inside whole-stage codegen.
+  *
+  * Semantics: Σ a(i)·b(i) over i < min(len(a), len(b)); null if either
+  * side (or any touched element) is null — callers feed non-null
+  * quantized vectors. Norm²(a) is DotQ(a,a).
+  */
+case class DotQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_q expects (array<bigint>, array<bigint>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQ =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column wrapper for [[DotQ]]. */
+  def dot_q(a: Column, b: Column): Column =
+    ColumnBridge.column(DotQ(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+}

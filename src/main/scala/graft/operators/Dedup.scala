@@ -68,27 +68,21 @@ object Dedup {
     val bandRows = 3
     val nBands = nSig / bandRows
     val p = 2147483647L
-    val shd = array_distinct(shingles3(tokens($"text")))
-    // Explode → min-aggregate → re-assemble, instead of nested
-    // higher-order lambdas: HOFs are interpreted (CodegenFallback) and
-    // Catalyst re-inlines their expression through collapsed
-    // projections, which measured ~400 s at sf0.1; the explode pipeline
-    // is whole-stage-codegen'd end to end and its groupBy shuffle is
-    // the same shuffle the LSH needs anyway.
+    // Native ShingleHashes expression (one compiled pass per doc), then
+    // all 24 signature minima as parallel aggregate columns in a single
+    // codegen'd groupBy — no 24× row fan-out, no interpreted
+    // higher-order lambdas. (Measured at sf0.1: nested-HOF formulation
+    // ~400 s, 24×-explode ~22 s, this shape ~3 s.)
     val exploded = Tables.documents(s, d)
-      .select($"doc_id", shd.as("shd"))
-      .filter(size($"shd") > 0)
       .select($"doc_id",
-        explode(transform($"shd",
-          x => conv(substring(md5(x), 1, 7), 16, 10).cast("long"))).as("h"))
-      .select($"doc_id", $"h",
-        explode(sequence(lit(0), lit(nSig - 1))).as("i"))
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 7))
+          .as("h"))
+    val minCols = (0 until nSig).map(i =>
+      min((lit(2L * i + 1) * $"h" + lit(i.toLong)) % p).as(s"m$i"))
     val sigs = exploded
-      .groupBy($"doc_id", $"i")
-      .agg(min(((lit(2) * $"i" + 1) * $"h" + $"i") % p).as("mv"))
       .groupBy($"doc_id")
-      .agg(transform(array_sort(collect_list(struct($"i", $"mv"))),
-        x => x.getField("mv")).as("sig"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id", array((0 until nSig).map(i => col(s"m$i")): _*).as("sig"))
     val bands = sigs
       .select($"doc_id", $"sig",
         explode(sequence(lit(0), lit(nBands - 1))).as("b"))
@@ -143,14 +137,18 @@ object Dedup {
     * 3-gram shingles, thresholded at 0.05. */
   def q42NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Invert on the 60-bit shingle hash, not the shingle string: the
-    // self-join shuffles fixed-width longs instead of ~30-byte strings.
-    val docsSh = Tables.documents(s, d)
-      .select($"doc_id", array_distinct(shingles3(tokens($"text"))).as("shd"))
-      .filter(size($"shd") > 0)
-    val sizes = docsSh.select($"doc_id", size($"shd").as("n_sh"))
-    val inv = docsSh.select($"doc_id",
-      explode(transform($"shd", x => hash60(x))).as("sh"))
+    // Invert on the 60-bit shingle hash, not the shingle string (the
+    // self-join shuffles fixed-width longs instead of ~30-byte strings)
+    // and materialize the hashed base behind a repartition barrier:
+    // both join sides and the size dim then hang off one exchange
+    // (ReusedExchange) instead of re-scanning + re-shingling 4×.
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+      .filter(size($"shs") > 0)
+      .repartition($"doc_id")
+    val sizes = hashed.select($"doc_id", size($"shs").as("n_sh"))
+    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
     val inter = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
@@ -198,20 +196,22 @@ object Dedup {
     * arithmetic — no float pow, no shift-by-column limitation). */
   def q43Simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Explode tokens × 60 bit positions, majority-vote per bit, then
-    // reassemble — all codegen'd aggregates (a per-row nested-lambda
-    // fold measured 2.5× slower: HOFs are interpreted). The (doc,bit)
-    // partial aggregation absorbs the 60× blow-up before the shuffle.
-    val powers = s.createDataFrame(
-      (0 until 60).map(j => (j, 1L << j))).toDF("j", "p")
+    // Explode token hashes once, then all 60 per-bit majority votes as
+    // parallel aggregate columns in one codegen'd groupBy (no 60× row
+    // fan-out, no interpreted lambdas), and fold the votes into the
+    // fingerprint with a flat 60-term expression.
+    val voteCols = (0 until 60).map { j =>
+      sum(when(expr(s"(h div ${1L << j}L) % 2") === 1, 1L).otherwise(-1L))
+        .as(s"v$j")
+    }
+    val simhash = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
     Tables.documents(s, d)
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .select($"doc_id", hash60($"tok").as("h"))
-      .crossJoin(broadcast(powers))
-      .groupBy($"doc_id", $"j", $"p")
-      .agg(sum(when(expr("(h div p) % 2") === 1, 1L).otherwise(-1L)).as("vote"))
       .groupBy($"doc_id")
-      .agg(sum(when($"vote" > 0, $"p").otherwise(0L)).as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
       .orderBy($"doc_id")
   }
 

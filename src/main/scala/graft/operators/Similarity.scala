@@ -34,10 +34,15 @@ object Similarity {
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // repartition = a hard materialization barrier: without it Catalyst
+    // collapses this projection into the pairwise join above it and
+    // re-evaluates the (interpreted) quantize lambda once per PAIR
+    // instead of once per vector.
     Tables.embeddings(s, d)
       .select($"vec_id", $"label",
         quantize1000($"embedding").as("qa"))
       .withColumn("n2", norm2Q($"qa"))
+      .repartition(col("vec_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs: cos ≥ 0.4 (integer test

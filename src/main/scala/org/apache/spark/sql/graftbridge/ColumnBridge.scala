@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` constructor (Connect
+  * refactor); the supported path for libraries adding custom Catalyst
+  * expressions is `org.apache.spark.sql.classic.ExpressionUtils`, which
+  * is private[sql] — so this one-file bridge lives under the sql
+  * package namespace (the standard extension-library technique, cf.
+  * public examples like Qbeast's DatasetFactory). No Spark internals
+  * are modified; we only re-export two conversions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
