@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Parity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Windows.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      operators.Parity.oracles
 }

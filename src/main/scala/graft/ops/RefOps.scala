@@ -49,14 +49,19 @@ object RefOps {
     * bare-"card" special case. Ref: app/team_utilities.py:143-163. */
   def classifyEvent(html: Column): Column = {
     val cls = regexp_extract(html, "svg class=\"([^\"]+)", 1)
-    when(cls.contains("red") && cls.contains("yellow"), "red-yellowcard")
+    // Exact dict-iteration-order semantics of the reference
+    // (keys: card, red, soccer, substitution, var, warning, yellow;
+    // first match wins, 'card' only counts when neither 'red' nor
+    // 'yellow' is present — so a combined red-yellow class string
+    // classifies as 'redcard', the literal reference behavior):
+    when(cls.contains("card") && !cls.contains("red") && !cls.contains("yellow"),
+        "red-yellowcard")
       .when(cls.contains("red"), "redcard")
-      .when(cls.contains("yellow"), "yellowcard")
-      .when(cls.contains("card"), "red-yellowcard")
       .when(cls.contains("soccer"), "goal")
       .when(cls.contains("substitution"), "substitution")
       .when(cls.contains("var"), "var")
       .when(cls.contains("warning"), "penalty(missed)")
+      .when(cls.contains("yellow"), "yellowcard")
       .otherwise("unknown")
   }
 

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Fns, TextExprs, VectorExprs}
+
+/** Equivalence tests for the custom Catalyst expressions against their
+  * composable (slow) built-in formulations, property-style over seeded
+  * random inputs. */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotQ == aggregate(zip_with(a,b,*),0,+) on seeded random long arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 25).map { _ =>
+      (Seq.fill(16)(rnd.nextLong() % 1000), Seq.fill(16)(rnd.nextLong() % 1000))
+    }
+    val df = cases.toDF("a", "b")
+    val custom = df.select(VectorExprs.dot_q($"a", $"b")).as[Long].collect()
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+        (acc, v) => acc + v)).as[Long].collect()
+    val expected = cases.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(custom.toSeq == hof.toSeq)
+    assert(custom.toSeq == expected)
+  }
+
+  test("DotQ participates in whole-stage codegen (no fallback)") {
+    // non-literal input so the optimizer can't constant-fold the plan
+    // into a LocalTableScan
+    val df = spark.range(3)
+      .select(array($"id", $"id" + 1).as("a"))
+      .select(VectorExprs.dot_q($"a", $"a").as("d"))
+    assert(df.as[Long].collect().toSeq == Seq(1L, 5L, 13L))
+    // '*(n)' prefixes mark whole-stage-codegen'd operators; dotq must
+    // sit INSIDE one (a CodegenFallback child would split the span)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotq"))
+  }
+
+  test("ShingleHashes == distinct md5-prefix hashes of word 3-grams") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", // < 3 tokens -> empty
+      "  leading   and   trailing   spaces  ",
+      "x y z", // exactly one shingle
+      "r r r r r r") // repeated tokens -> duplicate shingles dedup'd
+    val df = texts.toDF("text")
+    val custom = df.select(TextExprs.shingle_hashes($"text", 3, 15).as("h"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    val reference = df.select(
+      transform(Fns.shingles3(Fns.tokens($"text")),
+        x => Fns.hash60(x)).as("h"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    assert(custom.toSeq == reference.toSeq)
+  }
+
+  test("hash60 equals the documented md5-prefix construction") {
+    // md5('hello') = 5d41402abc4b2a76b9719d911017c592
+    // first 15 nibbles: 5d41402abc4b2a7 = 420138792274482855
+    val got = Seq("hello").toDF("x")
+      .select(Fns.hash60($"x")).as[Long].head()
+    assert(got == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
+  test("quantize1000 floors toward -inf (matches DuckDB floor)") {
+    val got = Seq(Seq(0.0549f, -0.0375f, 1.9999f)).toDF("e")
+      .select(Fns.quantize1000($"e")).as[Seq[Long]].head()
+    assert(got == Seq(54L, -38L, 1999L))
+  }
+}
