@@ -23,7 +23,9 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Parity.queries
+      operators.Parity.queries ++
+      operators.Multimodal.queries ++
+      operators.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,7 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Parity.oracles
+      operators.Parity.oracles ++
+      operators.Multimodal.oracles ++
+      operators.Stats.oracles
 }

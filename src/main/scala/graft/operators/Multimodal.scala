@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Multimodal-column plumbing (builder brief): media as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The actual codecs are NOT in this container, so the decode is a
+  * clearly-marked DETERMINISTIC STUB (`FakeDecoder`): it derives
+  * plausible metadata from a content hash. Everything around the stub —
+  * the binary column, the schema, the per-partition batched execution,
+  * the partitioning story — is real and tested; swapping `FakeDecoder`
+  * for a JNI/FFmpeg call changes no plan shape.
+  *
+  * Two execution paths, asserted equal in MultimodalSpec:
+  *  - expression path (q50): pure Column arithmetic, oracle-checked
+  *    against DuckDB — this is what scales (codegen, no serialization);
+  *  - typed path: `Dataset[MediaIn] → mapPartitions → Dataset[MediaMeta]`,
+  *    the shape a real decoder needs (per-partition init of the codec,
+  *    batch iteration, kryo-free case-class rows).
+  *
+  * Scale notes: decode is embarrassingly parallel per row; the only
+  * knob that matters at 100 TB is partition sizing (binary payloads →
+  * fewer rows per task: spark.sql.files.maxPartitionBytes) and avoiding
+  * a shuffle of the payload bytes — all derived columns are computed
+  * BEFORE any join/agg so only metadata moves.
+  */
+object Multimodal {
+
+  case class MediaIn(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
+      height: Long, n_frames: Long, out_w: Long, out_h: Long,
+      sampled_frames: String)
+
+  /** STUB decoder: metadata from the md5 of the payload — stands in for
+    * image/video header parsing. Deterministic, matches the q50
+    * expression path bit for bit. */
+  object FakeDecoder {
+    def decode(bytes: Array[Byte]): (Long, Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val width = h1 % 640 + 16
+      val height = h1 % 480 + 16
+      val frames = h1 % 240 + 1
+      (width, height, frames)
+    }
+  }
+
+  private val TargetEdge = 224L
+  private val MaxFrames = 8L
+
+  /** Typed per-partition path: where a real codec would be initialized
+    * once per partition and fed row batches. */
+  def decodePartitions(in: Dataset[MediaIn]): Dataset[MediaMeta] = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.mapPartitions { rows =>
+      // per-partition decoder init would go here (real codec handle)
+      rows.map { r =>
+        val (w, h, f) = FakeDecoder.decode(r.media)
+        val longEdge = math.max(w, h)
+        val outW = w * TargetEdge / longEdge
+        val outH = h * TargetEdge / longEdge
+        val step = (f + MaxFrames - 1) / MaxFrames // ceil
+        val frames = (0L until f by step).mkString(",")
+        MediaMeta(r.doc_id, r.media.length.toLong, w, h, f, outW, outH, frames)
+      }
+    }
+  }
+
+  /** Expression path (oracle-checked): identical semantics, all native
+    * Column arithmetic over the binary column. */
+  def q50MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .withColumn("byte_len", length($"media").cast("long"))
+      .withColumn("width", h1 % 640 + 16)
+      .withColumn("height", h1 % 480 + 16)
+      .withColumn("n_frames", h1 % 240 + 1)
+      .withColumn("out_w", expr("width * 224 div greatest(width, height)"))
+      .withColumn("out_h", expr("height * 224 div greatest(width, height)"))
+      .withColumn("sampled_frames",
+        concat_ws(",", sequence(lit(0L), $"n_frames" - 1,
+          expr("(n_frames + 7) div 8"))))
+      .drop("media")
+  }
+
+  val q50Oracle: String =
+    """WITH m AS (
+         SELECT doc_id, text,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1,
+           octet_length(text::BLOB) AS byte_len
+         FROM documents),
+       meta AS (
+         SELECT doc_id, byte_len,
+           h1 % 640 + 16 AS width, h1 % 480 + 16 AS height,
+           h1 % 240 + 1 AS n_frames
+         FROM m)
+       SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+         width, height, n_frames,
+         width * 224 // greatest(width, height) AS out_w,
+         height * 224 // greatest(width, height) AS out_h,
+         array_to_string([i FOR i IN generate_series(0, n_frames - 1, (n_frames + 7) // 8)], ',') AS sampled_frames
+       FROM meta"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_multimodal_meta" -> q50MultimodalMeta,
+  )
+  val oracles: Map[String, String] = Map(
+    "q50_multimodal_meta" -> q50Oracle,
+  )
+}

@@ -63,12 +63,16 @@ object Relational {
        ORDER BY l_returnflag, l_linestatus"""
 
   /** P6 date-window predicate (SURVEY.md §2.2) — the reference's
-    * load-bearing today/tomorrow filter, applied at the scan so parquet
-    * row-group stats prune it (predicate pushdown visible in .explain). */
+    * load-bearing today/tomorrow filter. Written as a RANGE on the raw
+    * timestamp, not `to_date(col).isin(...)`: wrapping the column in a
+    * function defeats parquet pushdown, the range reaches the scan as
+    * PushedFilters (min/max row-group pruning — the difference between
+    * reading 2 days and reading 100 TB). */
   def q02DateWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
-      .filter(to_date($"o_orderdate").isin("1997-03-15", "1997-03-16"))
+      .filter($"o_orderdate" >= lit("1997-03-15 00:00:00").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-03-17 00:00:00").cast("timestamp"))
       .select($"o_orderkey", to_date($"o_orderdate").as("o_date"),
         $"o_orderpriority", $"o_totalprice")
   }

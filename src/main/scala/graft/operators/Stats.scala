@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Remaining aggregation surface: cube grouping sets, multi-distinct
+  * aggregation, exact percentiles, approximate distinct (HLL), and the
+  * skew-salting idiom with a plain-SQL oracle proving it changes the
+  * plan, not the answer.
+  */
+object Stats {
+
+  /** CUBE over the snowflake dims: all four grouping sets in one pass
+    * (Catalyst Expand), exercised beyond q27's ROLLUP. */
+  def q55Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"), decSum($"c_acctbal").as("total_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
+  val q55Oracle: String =
+    """SELECT r_name, c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY CUBE (r_name, c_mktsegment)
+       ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** Multiple DISTINCT aggregates in one group-by (Catalyst plans the
+    * multi-distinct expand) + min/max. */
+  def q56DistinctStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q56Oracle: String =
+    """SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * the same formula DuckDB's quantile_cont uses). */
+  def q57Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q57Oracle: String =
+    """SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       count(*) AS n
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Approximate distinct via HLL — sketch internals are engine-
+    * specific, so this is a rows-only query (no oracle); the relative-
+    * error bound is asserted against the exact counts in StatsSpec. */
+  def q58ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+  }
+
+  /** Skew-salting idiom: pre-aggregate on (key, salt) to spread a
+    * low-cardinality hot key across partitions, then re-aggregate on
+    * the key. The oracle is the PLAIN group-by — salting must change
+    * the plan, never the answer (decimal partials keep it exact). */
+  def q59SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash($"l_orderkey"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("partial_qty"),
+        count(lit(1)).as("partial_n"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"partial_qty").cast("double").as("sum_qty"),
+        sum($"partial_n").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q59Oracle: String =
+    """SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_cube" -> q55Cube,
+    "q56_distinct_stats" -> q56DistinctStats,
+    "q57_percentiles" -> q57Percentiles,
+    "q58_approx_distinct" -> q58ApproxDistinct,
+    "q59_salted_agg" -> q59SaltedAgg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q55_cube" -> q55Oracle,
+    "q56_distinct_stats" -> q56Oracle,
+    "q57_percentiles" -> q57Oracle,
+    "q59_salted_agg" -> q59Oracle,
+  )
+}

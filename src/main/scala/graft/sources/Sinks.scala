@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink layer (SURVEY.md §2.1 K1/K2/K3 + the retry/salvage protocol of
+  * §3.1 step 4-5 / §3.2). The test harness sinks Parquet; JDBC is the
+  * parity sink for the two Postgres tables. No database runs in this
+  * container, so the JDBC path is exercised only to the point of
+  * option/DDL assembly (SinksSpec) — the write call itself is the
+  * stock `df.write.format("jdbc")`.
+  */
+object Sinks {
+
+  /** Column→type DDL for the historic_match table
+    * (ref app/team_utilities.py:345-358): VARCHARs + JSONB payloads.
+    * Passed via createTableColumnTypes so the JDBC writer emits JSONB
+    * instead of TEXT for the payload columns. */
+  val historicMatchColumnTypes: String =
+    "date VARCHAR, hometeam VARCHAR, awayteam VARCHAR, " +
+      "match_urls VARCHAR, home_urls VARCHAR, away_urls VARCHAR, " +
+      "league VARCHAR, home_team_matches JSONB, away_team_matches JSONB, " +
+      "head2head_matches JSONB, home_team_matchespattern JSONB, " +
+      "away_team_matchespattern JSONB"
+
+  /** ref_historic_match DDL types (ref app/ref_utilities.py:26-37). */
+  val refHistoricMatchColumnTypes: String =
+    "date VARCHAR, time VARCHAR, hometeam VARCHAR, awayteam VARCHAR, " +
+      "result VARCHAR, matchlink VARCHAR, league VARCHAR, " +
+      "refereelink VARCHAR, referee_matchistlink JSONB, " +
+      "referee_matchhistdetails JSONB"
+
+  /** Parquet sink for the verify harness. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** JDBC append sink (K1/K2): the reference's `to_sql(if_exists=
+    * 'append')`. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      columnTypes: String, props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("createTableColumnTypes", columnTypes)
+      .jdbc(url, table, props)
+
+  /** The reference's 2-attempt load retry (ref :510-522): try the
+    * write `attempts` times; on final failure hand the frame to the
+    * salvage collector instead of failing the run. Returns the error
+    * messages accumulated (the reference's except_messgs dict — errors
+    * stay data, SURVEY.md §1.4). */
+  def writeWithRetry(df: DataFrame, attempts: Int)(write: DataFrame => Unit)
+      : (Boolean, Seq[String]) = {
+    var errs = List.empty[String]
+    var i = 0
+    while (i < attempts) {
+      try {
+        write(df)
+        return (true, errs.reverse)
+      } catch {
+        case e: Exception =>
+          // T16 error normalization: class name + message head
+          errs ::= s"${e.getClass.getSimpleName}: ${e.getMessage.split("Stacktrace:")(0)}"
+          i += 1
+      }
+    }
+    (false, errs.reverse)
+  }
+
+  /** U1 salvage: union the parked frames BY NAME (the pandas concat
+    * semantic) and retry once more (ref :536-554). */
+  def salvageAndRetry(parked: Seq[DataFrame], attempts: Int)
+      (write: DataFrame => Unit): (Boolean, Seq[String]) =
+    parked match {
+      case Nil => (true, Nil)
+      case head :: tail =>
+        val unioned = tail.foldLeft(head)(_ unionByName _)
+        writeWithRetry(unioned, attempts)(write)
+    }
+
+  /** K3/A4: fold error messages into the reference's email-digest body
+    * (ref app/main.py:24-36) — a driver-side string fold; the SMTP
+    * transport itself is outside the engine boundary. */
+  def errorDigest(errors: Map[String, String]): String =
+    if (errors.isEmpty) ""
+    else errors.map { case (k, v) => s"$k --> $v" }.mkString("\n")
+}
