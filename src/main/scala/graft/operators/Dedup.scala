@@ -90,11 +90,22 @@ object Dedup {
         md5(concat_ws(",",
           transform(slice($"sig", $"b" * bandRows + 1, lit(bandRows)),
             _.cast("string")))).as("band_key"))
-    val l = bands.select($"doc_id".as("doc1"), $"b", $"band_key", $"sig".as("sig1"))
-    val r = bands.select($"doc_id".as("doc2"), $"b".as("b2"), $"band_key".as("bk2"), $"sig".as("sig2"))
-    l.join(r, $"b" === $"b2" && $"band_key" === $"bk2" && $"doc1" < $"doc2")
-      .select($"doc1", $"doc2",
-        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), b => b))
+    // Bucket-local pair generation instead of a band self-join: the
+    // self-join re-computed the whole signature pipeline on both sides
+    // (no ReusedExchange across a BroadcastExchange boundary); grouping
+    // to buckets and exploding member pairs is one pass, and at scale
+    // it's the standard LSH shape anyway (bounded bucket fan-out,
+    // bucket-size caps slot in naturally).
+    val buckets = bands
+      .groupBy($"b", $"band_key")
+      .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
+      .filter(size($"members") > 1)
+    buckets
+      .select(explode($"members").as("m1"), $"members")
+      .select($"m1", explode($"members").as("m2"))
+      .filter($"m1.doc_id" < $"m2.doc_id")
+      .select($"m1.doc_id".as("doc1"), $"m2.doc_id".as("doc2"),
+        size(filter(zip_with($"m1.sig", $"m2.sig", (x, y) => x === y), b => b))
           .as("n_sig_equal"))
       .distinct()
       .orderBy($"doc1", $"doc2")
@@ -237,18 +248,21 @@ object Dedup {
     val sims = q43Simhash(s, d)
     val chunks = s.createDataFrame(
       (0 until 4).map(c => (c, 1L << (15 * c)))).toDF("c", "pc")
-    val banded = sims.join(broadcast(chunks))
+    val banded = sims.crossJoin(broadcast(chunks))
       .select($"doc_id", $"simhash", $"c",
         expr("(simhash div pc) % 32768").as("chunk_val"))
-    val l = banded.select($"doc_id".as("doc1"), $"simhash".as("s1"), $"c", $"chunk_val")
-    val r = banded.select($"doc_id".as("doc2"), $"simhash".as("s2"),
-      $"c".as("c2"), $"chunk_val".as("cv2"))
-    l.join(r, $"c" === $"c2" && $"chunk_val" === $"cv2" && $"doc1" < $"doc2")
-      .select($"doc1", $"doc2", $"s1", $"s2")
+    // bucket-local pairs (see q41): one pass over the fingerprints
+    banded
+      .groupBy($"c", $"chunk_val")
+      .agg(array_sort(collect_list(struct($"doc_id", $"simhash"))).as("members"))
+      .filter(size($"members") > 1)
+      .select(explode($"members").as("m1"), $"members")
+      .select($"m1", explode($"members").as("m2"))
+      .filter($"m1.doc_id" < $"m2.doc_id")
+      .select($"m1.doc_id".as("doc1"), $"m2.doc_id".as("doc2"),
+        bit_count($"m1.simhash".bitwiseXOR($"m2.simhash")).as("hamming"))
       .distinct()
-      .withColumn("hamming", bit_count($"s1".bitwiseXOR($"s2")))
       .filter($"hamming" <= 3)
-      .select($"doc1", $"doc2", $"hamming")
       .orderBy($"doc1", $"doc2")
   }
 
