@@ -89,6 +89,7 @@ object Multimodal {
         concat_ws(",", sequence(lit(0L), $"n_frames" - 1,
           expr("(n_frames + 7) div 8"))))
       .drop("media")
+      .orderBy($"doc_id")
   }
 
   val q50Oracle: String =
@@ -107,7 +108,7 @@ object Multimodal {
          width * 224 // greatest(width, height) AS out_w,
          height * 224 // greatest(width, height) AS out_h,
          array_to_string([i FOR i IN generate_series(0, n_frames - 1, (n_frames + 7) // 8)], ',') AS sampled_frames
-       FROM meta"""
+       FROM meta ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_multimodal_meta" -> q50MultimodalMeta,

@@ -75,13 +75,15 @@ object Relational {
         $"o_orderdate" < lit("1997-03-17 00:00:00").cast("timestamp"))
       .select($"o_orderkey", to_date($"o_orderdate").as("o_date"),
         $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
   }
 
   val q02Oracle: String =
     """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
        o_orderpriority, o_totalprice
        FROM orders
-       WHERE CAST(o_orderdate AS DATE) IN (DATE '1997-03-15', DATE '1997-03-16')"""
+       WHERE CAST(o_orderdate AS DATE) IN (DATE '1997-03-15', DATE '1997-03-16')
+       ORDER BY o_orderkey"""
 
   /** Fact⋈fact⋈dim join + aggregation by market segment. The orders⋈
     * lineitem join shuffles both sides on orderkey (sort-merge or
@@ -242,7 +244,48 @@ object Relational {
          FROM orders WHERE year(o_orderdate) = 2000)
        GROUP BY o_year ORDER BY o_year"""
 
+  /** Global top-k: total sort + limit with a deterministic tiebreak
+    * (Spark executes this as TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver, never a full sort). */
+  def q09GlobalTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val q09Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  /** INTERSECT / EXCEPT set ops over distinct customer key sets. */
+  def q09bSetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def buyers(yr: Int) = Tables.orders(s, d)
+      .filter(year($"o_orderdate") === yr)
+      .select($"o_custkey").distinct()
+    val both = buyers(1995).intersect(buyers(1996))
+      .agg(count(lit(1)).as("n_both"))
+    val only95 = buyers(1995).except(buyers(1996))
+      .agg(count(lit(1)).as("n_only_1995"))
+    both.crossJoin(only95)
+  }
+
+  val q09bOracle: String =
+    """SELECT
+       (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_both,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_only_1995"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_global_topk" -> q09GlobalTopK,
+    "q09b_set_ops" -> q09bSetOps,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_date_window" -> q02DateWindow,
     "q03_segment_revenue" -> q03SegmentRevenue,
@@ -254,6 +297,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q09_global_topk" -> q09Oracle,
+    "q09b_set_ops" -> q09bOracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_date_window" -> q02Oracle,
     "q03_segment_revenue" -> q03Oracle,

@@ -40,12 +40,14 @@ object Scalars {
       .withColumn("n_tokens", size(tokens($"text")))
       .filter($"n_tokens".between(30, 60))
       .select($"doc_id", $"n_tokens", $"lang")
+      .orderBy($"doc_id")
   }
 
   val q11Oracle: String =
     """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens, lang
        FROM documents
-       WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) BETWEEN 30 AND 60"""
+       WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) BETWEEN 30 AND 60
+       ORDER BY doc_id"""
 
   /** P11/P12 URL synthesis: strip a row-id prefix with regexp_replace,
     * concat base + suffix variants (the reference's 3 h2h URLs). */
@@ -58,6 +60,7 @@ object Scalars {
       RefOps.h2hUrls($"row_id", "https://example.test/match/")
     withId.select($"o_orderkey", $"row_id",
       overall.as("match_url"), home.as("home_url"), away.as("away_url"))
+      .orderBy($"o_orderkey")
   }
 
   val q12Oracle: String =
@@ -65,7 +68,7 @@ object Scalars {
        'https://example.test/match/' || regexp_replace('g_1_' || o_orderkey, '^g_1_', '') || '/#/h2h/overall' AS match_url,
        'https://example.test/match/' || regexp_replace('g_1_' || o_orderkey, '^g_1_', '') || '/#/h2h/home' AS home_url,
        'https://example.test/match/' || regexp_replace('g_1_' || o_orderkey, '^g_1_', '') || '/#/h2h/away' AS away_url
-       FROM orders WHERE o_orderkey < 500"""
+       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
 
   /** T6 substring_index head/tail extraction (the minute-before-quote
     * idiom) — first token, last token, first-3-tokens prefix. */
@@ -76,6 +79,7 @@ object Scalars {
         substring_index($"text", " ", 1).as("first_tok"),
         substring_index($"text", " ", -1).as("last_tok"),
         substring_index($"text", " ", 3).as("first3"))
+      .orderBy($"doc_id")
   }
 
   val q13Oracle: String =
@@ -83,7 +87,7 @@ object Scalars {
        string_split(text, ' ')[1] AS first_tok,
        string_split(text, ' ')[-1] AS last_tok,
        array_to_string(string_split(text, ' ')[1:3], ' ') AS first3
-       FROM documents"""
+       FROM documents ORDER BY doc_id"""
 
   /** T7 overtime-minute arithmetic: "45+2" → 47, folded over the split
     * parts; plain minutes pass through. Minute strings synthesized from
@@ -99,6 +103,7 @@ object Scalars {
           .otherwise($"l_linenumber".cast("string")))
       .select($"l_orderkey", $"l_linenumber", $"minute_raw",
         RefOps.overtimeMinute($"minute_raw").as("minute"))
+      .orderBy($"l_orderkey", $"l_linenumber")
   }
 
   val q14Oracle: String =
@@ -113,7 +118,7 @@ object Scalars {
               THEN CAST(CAST(split_part(minute_raw,'+',1) AS INT)
                         + CAST(split_part(minute_raw,'+',2) AS INT) AS VARCHAR)
               ELSE minute_raw END AS minute
-       FROM raw"""
+       FROM raw ORDER BY l_orderkey, l_linenumber"""
 
   /** T8-style first-match-wins CASE classification (the reference's
     * svg-class keyword dict) over the first document token. */
@@ -152,6 +157,7 @@ object Scalars {
       .select($"o_orderkey", $"scraped",
         date_format(RefOps.parseScheduleDate($"scraped", 1997),
           "yyyy-MM-dd HH:mm:ss").as("parsed"))
+      .orderBy($"o_orderkey")
   }
 
   val q16Oracle: String =
@@ -159,7 +165,7 @@ object Scalars {
        strftime(o_orderdate, '%d.%m. %H:%M') AS scraped,
        strftime(try_strptime(strftime(o_orderdate, '%d.%m. %H:%M') || '.1997',
                              '%d.%m. %H:%M.%Y'), '%Y-%m-%d %H:%M:%S') AS parsed
-       FROM orders WHERE o_orderkey < 2000"""
+       FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"""
 
   /** T1/T2 split + explode (flatten) → token frequency. The shuffle key
     * is the token — at 100 TB this is the classic skewed-key aggregation;

@@ -101,6 +101,7 @@ object Similarity {
           .orderBy($"rank_key".desc, $"cid")))
       .filter($"rn" <= 10)
       .select($"qid", $"cid", $"rank_key", $"rn")
+      .orderBy($"qid", $"rn")
   }
 
   val q46Oracle: String =
@@ -121,7 +122,8 @@ object Similarity {
            row_number() OVER (PARTITION BY qid
              ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
          FROM scored WHERE num > 0)
-       SELECT qid, cid, rank_key, rn FROM ranked WHERE rn <= 10"""
+       SELECT qid, cid, rank_key, rn FROM ranked WHERE rn <= 10
+       ORDER BY qid, rn"""
 
   /** LSH-bucketed ANN (scale path): bucket = sign bits of the first 8
     * dims (axis-aligned hyperplane LSH); candidates are bucket-mates;
@@ -149,6 +151,7 @@ object Similarity {
           .orderBy($"rank_key".desc, $"cid")))
       .filter($"rn" <= 5)
       .select($"qid", $"bucket", $"cid", $"rank_key", $"rn")
+      .orderBy($"qid", $"rn")
   }
 
   val q47Oracle: String =
@@ -172,7 +175,8 @@ object Similarity {
            row_number() OVER (PARTITION BY qid
              ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
          FROM scored WHERE num > 0)
-       SELECT qid, bucket, cid, rank_key, rn FROM ranked WHERE rn <= 5"""
+       SELECT qid, bucket, cid, rank_key, rn FROM ranked WHERE rn <= 5
+       ORDER BY qid, rn"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_embedding_neardup" -> q45EmbeddingNearDup,

@@ -30,6 +30,7 @@ object TextAnalysis {
         size(array_distinct(tk)).as("n_uniq_tokens"),
         length(regexp_replace($"text", "\\s+", "")).as("n_nonspace_chars"),
         $"n_chars")
+      .orderBy($"doc_id")
   }
 
   val q30Oracle: String =
@@ -38,7 +39,7 @@ object TextAnalysis {
        len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS n_uniq_tokens,
        length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
        n_chars
-       FROM documents"""
+       FROM documents ORDER BY doc_id"""
 
   /** Quality scoring: length score + stopword-density penalty, integer
     * permille arithmetic (the classic pre-training heuristic filter). */
@@ -56,6 +57,7 @@ object TextAnalysis {
         stopPm.as("stop_permille"), uniqPm.as("uniq_permille"),
         (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
           .as("quality_score"))
+      .orderBy($"doc_id")
   }
 
   val q31Oracle: String =
@@ -71,7 +73,7 @@ object TextAnalysis {
          FROM t)
        SELECT doc_id, n_tokens, n_stop, stop_permille, uniq_permille,
          least(n_tokens, 100) * 10 + (1000 - stop_permille) + uniq_permille AS quality_score
-       FROM c"""
+       FROM c ORDER BY doc_id"""
 
   /** Language ID by stopword-profile scoring: count marker-word hits per
     * language, argmax with a fixed priority order (first-match-wins tie
@@ -139,6 +141,7 @@ object TextAnalysis {
         hash60(md5($"text")).as("exact_fp"),
         array_min(transform(sh, x => hash60(x))).as("winnow_fp"),
         size(sh).as("n_shingles"))
+      .orderBy($"doc_id")
   }
 
   val q33Oracle: String =
@@ -157,7 +160,7 @@ object TextAnalysis {
          ('0x' || substr(md5(md5(text)), 1, 15))::BIGINT AS exact_fp,
          list_min(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS winnow_fp,
          len(s) AS n_shingles
-       FROM sh"""
+       FROM sh ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats,

@@ -29,6 +29,7 @@ object Windows {
       .withColumn("v_filled",
         RefOps.ffill($"v_masked", Seq($"user_id"), $"event_id"))
       .select($"user_id", $"event_id", $"event_type", $"v_filled")
+      .orderBy($"user_id", $"event_id")
   }
 
   val q20Oracle: String =
@@ -37,7 +38,7 @@ object Windows {
                   IGNORE NULLS)
          OVER (PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
-       FROM events"""
+       FROM events ORDER BY user_id, event_id"""
 
   /** W2 head-N per group: top-3 orders by totalprice per customer
     * (deterministic tie-break on orderkey). */
@@ -50,6 +51,7 @@ object Windows {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
   }
 
   val q21Oracle: String =
@@ -58,7 +60,7 @@ object Windows {
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders WHERE o_custkey < 200)
-       WHERE rn <= 3"""
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
 
   /** T4 running-sum segmentation: signup events open a new segment per
     * user; aggregate per segment. */
@@ -224,6 +226,7 @@ object Windows {
         lead($"o_totalprice", 1).over(w).as("next_price"),
         rank().over(Window.partitionBy($"o_custkey")
           .orderBy($"o_totalprice".desc, $"o_orderkey")).as("price_rank"))
+      .orderBy($"o_custkey", $"o_orderkey")
   }
 
   val q28Oracle: String =
@@ -231,7 +234,7 @@ object Windows {
        lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
        lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
-       FROM orders WHERE o_custkey < 100"""
+       FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_ffill" -> q20Ffill,

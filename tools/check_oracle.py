@@ -58,7 +58,12 @@ def main():
                     print(f"   duck : {cw.loc[i].to_dict()}")
             else:
                 n_pass += 1
-                print(f"PASS  {name} ({len(cg)} rows)")
+                # informational: would it also match under an ORDER-
+                # SENSITIVE hash? (both sides carry total ORDER BYs)
+                gu = got.reindex(sorted(got.columns), axis=1).astype(str)
+                wu = want.reindex(sorted(want.columns), axis=1).astype(str)
+                tag = "" if gu.reset_index(drop=True).equals(wu.reset_index(drop=True)) else "  [row-order differs]"
+                print(f"PASS  {name} ({len(cg)} rows){tag}")
         except Exception as e:
             n_fail += 1
             print(f"FAIL  {name}: {type(e).__name__}: {e}")
