@@ -178,15 +178,88 @@ object Similarity {
        SELECT qid, bucket, cid, rank_key, rn FROM ranked WHERE rn <= 5
        ORDER BY qid, rn"""
 
+  /** IVF-style ANN (the second scale path): a deterministic centroid
+    * subset (every 50th vector) partitions the corpus into cells by
+    * nearest centroid (signed integer cosine key — `div` truncates
+    * toward zero in both engines, so negative cosines rank
+    * identically); queries probe their own cell, top-5 within it.
+    * At 100 TB: assignment is a broadcast argmax per vector (one scan),
+    * the probe is an equi-join on cell id — the inverted-file trade of
+    * recall for a bucket-bounded candidate set. */
+  def q48AnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val centroids = q.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("centroid_id"), $"qa".as("cv"), $"n2".as("cn"))
+    val assigned = q.join(broadcast(centroids))
+      .withColumn("num", dotQ($"qa", $"cv"))
+      .withColumn("key", expr("(num * abs(num) * 10000) div (n2 * cn)"))
+      .withColumn("arn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"label", $"qa", $"n2", $"centroid_id".as("cell"))
+    val queries = assigned.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"), $"cell")
+    val corpus = assigned.select($"vec_id".as("cid"), $"qa".as("cv2"),
+      $"n2".as("cn2"), $"cell".as("ccell"))
+    queries.join(corpus, $"cell" === $"ccell" && $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv2"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn2)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cell", $"cid", $"rank_key", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val q48Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       cent AS (
+         SELECT vec_id AS centroid_id, qa AS cv, n2 AS cn
+         FROM n WHERE vec_id % 50 = 0),
+       assign AS (
+         SELECT vec_id, qa, n2, centroid_id AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             (num * abs(num) * 10000) // (n2 * cn) DESC, centroid_id) AS arn
+         FROM (
+           SELECT a.vec_id, a.qa, a.n2, c.centroid_id, c.cn,
+             CAST(list_sum(list_transform(list_zip(a.qa, c.cv), p -> p[1]*p[2])) AS BIGINT) AS num
+           FROM n a, cent c)),
+       cells AS (SELECT vec_id, qa, n2, cell FROM assign WHERE arn = 1),
+       scored AS (
+         SELECT a.vec_id AS qid, a.cell, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn2
+         FROM cells a JOIN cells b
+           ON a.cell = b.cell AND a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT qid, cell, cid, (num * num * 10000) // (qn * cn2) AS rank_key,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+         FROM scored WHERE num > 0)
+       SELECT qid, cell, cid, rank_key, rn FROM ranked WHERE rn <= 5
+       ORDER BY qid, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_embedding_neardup" -> q45EmbeddingNearDup,
     "q46_ann_topk" -> q46AnnTopK,
     "q47_ann_lsh" -> q47AnnLsh,
+    "q48_ann_ivf" -> q48AnnIvf,
   )
 
   val oracles: Map[String, String] = Map(
     "q45_embedding_neardup" -> q45Oracle,
     "q46_ann_topk" -> q46Oracle,
     "q47_ann_lsh" -> q47Oracle,
+    "q48_ann_ivf" -> q48Oracle,
   )
 }
