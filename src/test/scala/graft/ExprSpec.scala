@@ -63,6 +63,16 @@ class ExprSpec extends SparkSpec {
     assert(got == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
 
+  test("SQL registration: dot_q and shingle_hashes callable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT dot_q(array(1L, 2L), array(3L, 4L)) AS d").head().getLong(0)
+    assert(d == 11L)
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 3, 7)) AS n").head().getInt(0)
+    assert(sh == 2)
+  }
+
   test("quantize1000 floors toward -inf (matches DuckDB floor)") {
     val got = Seq(Seq(0.0549f, -0.0375f, 1.9999f)).toDF("e")
       .select(Fns.quantize1000($"e")).as[Seq[Long]].head()
