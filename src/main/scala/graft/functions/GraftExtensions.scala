@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * users get `dot_q(a, b)` and `shingle_hashes(text, width, nibbles)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -236,7 +236,42 @@ object Windows {
        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
        FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"""
 
+  /** AS-OF JOIN via the custom Catalyst operator (graft.plans.AsOfJoin:
+    * logical node + planner strategy + streaming sort-merge exec): for
+    * every purchase, the user's latest click at-or-before it. Times
+    * compared at microsecond precision on both engines (Spark ts is
+    * already µs; the oracle truncates via epoch_us). */
+  def q63AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("c_ts"), $"value".as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "c_ts")
+      .select($"user_id", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("p_time"),
+        $"click_id", $"click_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q63Oracle: String =
+    """WITH p AS (
+         SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id AS c_user, event_id AS click_id,
+           make_timestamp(epoch_us(ts)) AS c_ts, value AS click_value
+         FROM events WHERE event_type = 'click')
+       SELECT p.user_id, p.event_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+         c.click_id, c.click_value
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.ts >= c.c_ts
+       ORDER BY p.user_id, p.event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_asof_join" -> q63AsofJoin,
     "q20_ffill" -> q20Ffill,
     "q21_topn_per_group" -> q21TopNPerGroup,
     "q22_running_segment" -> q22RunningSegment,
@@ -249,6 +284,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_asof_join" -> q63Oracle,
     "q20_ffill" -> q20Oracle,
     "q21_topn_per_group" -> q21Oracle,
     "q22_running_segment" -> q22Oracle,
