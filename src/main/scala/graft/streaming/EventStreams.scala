@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.10 north-star): the
@@ -49,5 +50,65 @@ object EventStreams {
   def hourlyCountsStream(s: SparkSession, eventsDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     hourlyCounts(s.readStream.schema(rawSchema).parquet(eventsDir))
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  case class SessionEvent(user_id: Long, us: Long)
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: String,
+      n_events: Long, duration_sec: Long)
+
+  private def fmtUs(us: Long): String =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Gap-based sessionization as CUSTOM STREAMING STATE (SURVEY.md
+    * §2.10 north star): per user, an open session survives in
+    * GroupState across microbatches; sessions closed by a gap >
+    * `gapUs` are emitted. `emitOpen=true` flushes the trailing open
+    * session too — the right semantics for batch mode (one invocation,
+    * state then discarded), asserted equal to the window-idiom q23 in
+    * StreamingSpec. Same boundary rule as q23: strict `gap > gapUs`. */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapUs: Long,
+      emitOpen: Boolean): Dataset[Session] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val times = it.map(_.us).toArray
+          java.util.Arrays.sort(times)
+          var closed = List.empty[OpenSession]
+          var cur = state.getOption
+          times.foreach { t =>
+            cur = cur match {
+              case None => Some(OpenSession(t, t, 1))
+              case Some(o) if t - o.last > gapUs =>
+                closed ::= o; Some(OpenSession(t, t, 1))
+              case Some(o) => Some(o.copy(last = math.max(o.last, t), n = o.n + 1))
+            }
+          }
+          cur.foreach(state.update)
+          val out = if (emitOpen) closed.reverse ++ cur.toList else closed.reverse
+          out.iterator.map(o =>
+            Session(user, fmtUs(o.start), o.n, (o.last - o.start) / 1000000L))
+      }
+  }
+
+  /** Streaming sessionization over the staged events dir (closed
+    * sessions only — open ones stay in state awaiting more batches). */
+  def sessionsStream(s: SparkSession, eventsDir: String, gapUs: Long): Dataset[Session] = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val evs = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .select(col("user_id"),
+        (col("ts") / 1000).cast("long").as("us")).as[SessionEvent]
+    sessionizeStateful(evs, gapUs, emitOpen = false)
   }
 }

@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
 import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
 
 /** Drives the Structured Streaming path end to end on the sf0.001
   * events parquet via the memory sink and checks it agrees with the
@@ -32,6 +35,63 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("hourly_out").collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful flatMapGroupsWithState sessionization == window-idiom q23 (batch)") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val evs = graft.io.Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("us")).as[SessionEvent]
+    val stateful = EventStreams
+      .sessionizeStateful(evs, 1800000000L, emitOpen = true)
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.n_events, s.duration_sec)).toSet
+    val windowed = Windows.q23Sessionize(spark, d)
+      .select($"user_id", $"session_start", $"n_events", $"duration_sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stateful == windowed)
+    assert(stateful.nonEmpty)
+  }
+
+  test("streaming sessionization carries state across microbatches") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // two microbatches: split events by half on event_id order
+    val staged = java.nio.file.Files.createTempDirectory("events_sessions")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    // split by TIME, not randomly: batches must arrive in event-time
+    // order for gap-state to stitch correctly (like a real ingest)
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    val n = raw.count()
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+
+    val batchSessions = EventStreams.sessionizeStateful(
+        raw.select($"user_id", (col("ts") / 1000).cast("long").as("us")).as[SessionEvent],
+        1800000000L, emitOpen = true)
+      .collect().map(s => (s.user_id, s.session_start, s.n_events)).toSet
+
+    val q = EventStreams.sessionsStream(spark, s"$staged/*", 1800000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // every CLOSED session emitted by the stream must be a real
+      // session of the full dataset (state stitched across batches)
+      assert(emitted.nonEmpty)
+      val missing = emitted -- batchSessions
+      assert(missing.isEmpty, s"streamed sessions not in batch set: ${missing.take(3)}")
+      assert(n > 0)
     } finally q.stop()
   }
 }
