@@ -20,7 +20,9 @@ import graft.functions.Fns._
   */
 object TextAnalysis {
 
-  /** Token statistics: counts, distinct counts, char totals per doc. */
+  /** Token statistics: whitespace tokens, a BPE-ish regex token count
+    * (word runs + single non-word marks — the classic pre-tokenizer
+    * shape), distinct counts, char totals per doc. */
   def q30TokenStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tk = tokens($"text")
@@ -28,6 +30,8 @@ object TextAnalysis {
       .select($"doc_id", $"lang",
         size(tk).as("n_tokens"),
         size(array_distinct(tk)).as("n_uniq_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"),
         length(regexp_replace($"text", "\\s+", "")).as("n_nonspace_chars"),
         $"n_chars")
       .orderBy($"doc_id")
@@ -37,6 +41,7 @@ object TextAnalysis {
     """SELECT doc_id, lang,
        len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
        len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS n_uniq_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
        length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
        n_chars
        FROM documents ORDER BY doc_id"""
