@@ -34,26 +34,6 @@ object Fns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: hash60 of "<seed>|" + value (seed as literal int). */
-  def hash60Seeded(seed: Int, c: Column): Column =
-    hash60(concat(lit(s"$seed|"), c))
-
-  /** Left-to-right dot product of two float-array columns, in double. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
-
-  /** L2 norm (double) of a float-array column. */
-  def normD(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) =>
-      acc + v.cast("double") * v.cast("double")))
-
-  /** Cosine similarity in double, left-to-right folds on both terms. */
-  def cosineD(a: Column, b: Column): Column =
-    dotD(a, b) / (normD(a) * normD(b))
-
   /** Whitespace tokenizer used across text analysis / dedup: split on
     * runs of whitespace, drop empty tokens (leading/trailing). */
   def tokens(text: Column): Column =

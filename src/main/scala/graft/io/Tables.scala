@@ -30,7 +30,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: ns values exceed 2^53, double `/` mis-truncates
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

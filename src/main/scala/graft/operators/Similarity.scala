@@ -18,6 +18,12 @@ import graft.functions.Fns._
   * Ranking uses the integer key  num·|num|·10⁴ div (‖a‖²‖b‖²)  —
   * monotone in cosine, ties broken by vec_id.
   *
+  * Range bound: num²·10⁴ ≤ 10⁴·‖a‖²_q·‖b‖²_q (Cauchy–Schwarz), which
+  * stays inside int64 while the product of RAW vector L2 norms is
+  * < ~30 (unit-norm embeddings give ~1). Unnormalized inputs beyond
+  * that would wrap in Spark but error in DuckDB — normalize (or lower
+  * the quantization scale) first; the testdata is unit-norm.
+  *
   * Scale notes:
   *  - Brute force is a broadcast nested-loop of the (small) query set
   *    against the corpus: one pass over the big side, no shuffle of it;

@@ -13,15 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object RefOps {
 
-  /** P1 — token blacklist filter over an array column.
-    * Ref: app/team_utilities.py:56-57. */
-  def dropBlacklisted(toks: Column, blacklist: Seq[String]): Column =
-    filter(toks, t => !t.isin(blacklist.map(lit): _*))
+  /** P1 — token-blacklist predicate (row form; the pipeline applies it
+    * post-explode). Ref: app/team_utilities.py:56-57. */
+  def notBlacklisted(tok: Column, blacklist: Seq[String]): Column =
+    !tok.isin(blacklist.map(lit): _*)
 
-  /** P2 — drop tokens containing any of the given header markers.
+  /** P2 — token contains none of the given header markers.
     * Ref: app/team_utilities.py:69-71. */
-  def dropContaining(toks: Column, markers: Seq[String]): Column =
-    filter(toks, t => markers.map(m => !t.contains(m)).reduce(_ && _))
+  def containsNone(tok: Column, markers: Seq[String]): Column =
+    markers.map(m => !tok.contains(m)).reduce(_ && _)
 
   /** T1/T3 — newline→comma normalize (with optional marker scrub) then
     * split. Ref: app/team_utilities.py:53-54, :415. */

@@ -30,12 +30,13 @@ object TeamPipeline {
   def parseH2hStreams(h2hTokens: DataFrame): DataFrame = {
     val s = h2hTokens.sparkSession
     import s.implicits._
-    val isHeader = $"tok".contains("LAATSTE WEDSTRIJDEN") || $"tok".contains("HEAD-TO-HEAD")
+    val headers = Seq("LAATSTE WEDSTRIJDEN", "HEAD-TO-HEAD")
+    val isHeader = !RefOps.containsNone($"tok", headers)
     val byUrl = Window.partitionBy($"match_url").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val segmented = h2hTokens
       .select($"match_url", posexplode($"tokens").as(Seq("pos", "tok")))
-      .filter(!$"tok".isin("Toon meer wedstrijden")) // P1 (ref :56-57)
+      .filter(RefOps.notBlacklisted($"tok", Seq("Toon meer wedstrijden"))) // P1
       .withColumn("seg", sum(when(isHeader, 1).otherwise(0)).over(byUrl))
       .filter($"seg".between(1, 3) && !isHeader) // P2: headers dropped (ref :69-71)
     val segArrays = segmented

@@ -24,9 +24,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * cheaper than the window-function rewrite (non-equi join + rank),
   * which materializes every candidate pair.
   *
-  * v1 constraints (documented, checked at plan build): keys are
+  * v1 constraints (checked at plan build in [[AsOf.join]]): keys are
   * non-null LongType, times are TimestampType/LongType (both are
-  * int64 internally).
+  * int64 internally). Among right rows with IDENTICAL (key, time) the
+  * winner is shuffle-order dependent — like any sort on a non-unique
+  * key; callers needing total determinism must dedup or add a
+  * tiebreak column to the time.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
@@ -120,13 +123,32 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
-    val lp = ColumnBridge.analyzed(left)
-    val rp = ColumnBridge.analyzed(right)
+    // the documented v1 constraints, enforced at plan build: the exec
+    // evals keys/times as raw longs, so a wrong type would surface as a
+    // ClassCastException (or a silent null→0L join) at runtime. Null
+    // keys/times are dropped up front (parquet schemas are always
+    // nullable even when the data isn't).
+    import org.apache.spark.sql.functions.col
+    val l2 = left.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val r2 = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val lp = ColumnBridge.analyzed(l2)
+    val rp = ColumnBridge.analyzed(r2)
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    def checkKey(a: Attribute): Attribute = {
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of key ${a.name} must be LongType, got ${a.dataType.simpleString}")
+      a
+    }
+    def checkTime(a: Attribute): Attribute = {
+      require(a.dataType == org.apache.spark.sql.types.TimestampType ||
+        a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of time ${a.name} must be TimestampType/LongType, got ${a.dataType.simpleString}")
+      a
+    }
     ColumnBridge.ofRows(spark, AsOfJoin(lp, rp,
-      attr(lp, leftKey), attr(lp, leftTime),
-      attr(rp, rightKey), attr(rp, rightTime)))
+      checkKey(attr(lp, leftKey)), checkTime(attr(lp, leftTime)),
+      checkKey(attr(rp, rightKey)), checkTime(attr(rp, rightTime))))
   }
 }

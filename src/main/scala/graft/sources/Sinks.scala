@@ -57,7 +57,8 @@ object Sinks {
       } catch {
         case e: Exception =>
           // T16 error normalization: class name + message head
-          errs ::= s"${e.getClass.getSimpleName}: ${e.getMessage.split("Stacktrace:")(0)}"
+          val msg = String.valueOf(e.getMessage).split("Stacktrace:")(0)
+          errs ::= s"${e.getClass.getSimpleName}: $msg"
           i += 1
       }
     }

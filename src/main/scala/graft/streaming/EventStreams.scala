@@ -34,7 +34,7 @@ object EventStreams {
     val s = events.sparkSession
     import s.implicits._
     events
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
@@ -107,8 +107,7 @@ object EventStreams {
     val evs = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .select(col("user_id"),
-        (col("ts") / 1000).cast("long").as("us")).as[SessionEvent]
+      .select(col("user_id"), expr("ts div 1000").as("us")).as[SessionEvent]
     sessionizeStateful(evs, gapUs, emitOpen = false)
   }
 }

@@ -75,7 +75,7 @@ class StreamingSpec extends SparkSpec {
       .write.parquet(staged.resolve("b2").toString)
 
     val batchSessions = EventStreams.sessionizeStateful(
-        raw.select($"user_id", (col("ts") / 1000).cast("long").as("us")).as[SessionEvent],
+        raw.select($"user_id", expr("ts div 1000").as("us")).as[SessionEvent],
         1800000000L, emitOpen = true)
       .collect().map(s => (s.user_id, s.session_start, s.n_events)).toSet
 
