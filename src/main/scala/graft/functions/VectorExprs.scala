@@ -38,6 +38,16 @@ case class DotQ(left: Expression, right: Expression)
     }
   }
 
+  /** Either array may carry null ELEMENTS (containsNull) even when the
+    * column itself is non-nullable — a touched null element makes the
+    * whole dot product null, so nullability must account for it. */
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true // unresolved: be conservative
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -45,6 +55,7 @@ case class DotQ(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
@@ -56,10 +67,17 @@ case class DotQ(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // ev.isNull is a mutable boolean here iff `nullable` — only emit the
+      // element-null branch when elements can actually be null, so the
+      // non-null fast path stays a tight primitive loop.
+      val nullCheck = if (elementsNullable) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

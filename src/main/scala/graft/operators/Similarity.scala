@@ -95,7 +95,11 @@ object Similarity {
     val queries = q.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))
     val corpus = q.select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"))
-    val scored = queries.join(broadcast(corpus), $"qid" =!= $"cid")
+    // Broadcast the SMALL side (the query set): the
+    // BroadcastNestedLoopJoin then streams the corpus partition-locally —
+    // one pass over the big side, no shuffle of it. (Broadcasting the
+    // corpus would OOM at scale.)
+    val scored = corpus.join(broadcast(queries), $"qid" =!= $"cid")
       .withColumn("num", dotQ($"qv", $"cv"))
       .filter($"num" > 0)
       .withColumn("rank_key",

@@ -27,12 +27,17 @@ object TokenParse {
       away_club_goal: Seq[String])
 
   private def isPyInt(s: String): Boolean = {
-    // mirrors Python int(str): optional sign, digits, surrounding
-    // whitespace allowed
+    // mirrors Python int(str): optional sign, decimal digits (Unicode Nd
+    // — Char.isDigit is Unicode-aware), surrounding whitespace, and
+    // PEP 515 single underscores BETWEEN digits ("1_0" ok; "_1", "1_",
+    // "1__0" are not). Known deviation: Python also trims some
+    // non-ASCII whitespace that String.trim does not.
     val t = s.trim
     t.nonEmpty && {
       val body = if (t.head == '+' || t.head == '-') t.tail else t
-      body.nonEmpty && body.forall(_.isDigit)
+      body.nonEmpty && body.head != '_' && body.last != '_' &&
+        !body.contains("__") &&
+        body.forall(c => c.isDigit || c == '_')
     }
   }
 

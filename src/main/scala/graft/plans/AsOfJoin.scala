@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -68,7 +68,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
-      new Iterator[InternalRow] {
+      // SparkPlan's implicit contract (getByteArrayRdd, UnsafeRowSerializer,
+      // SortExec) requires UnsafeRow output — project the JoinedRow through
+      // an UnsafeProjection per partition, mirroring SortMergeJoinExec's
+      // resultProj.
+      val resultProj = UnsafeProjection.create(output, output)
+      val joined = new Iterator[InternalRow] {
         private var rHead: InternalRow = _ // lookahead, copied
         private var lastMatch: InternalRow = _ // latest right row for key
         private var lastMatchKey: Long = _
@@ -96,6 +101,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           else joiner(l, nullRight)
         }
       }
+      joined.map(resultProj)
     }
   }
 

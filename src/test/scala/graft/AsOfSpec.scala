@@ -15,9 +15,15 @@ class AsOfSpec extends SparkSpec {
     val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts")
+    // Dedup to one click per (c_user, c_ts): among right rows with
+    // identical (key, time) the as-of exec's winner is shuffle-order
+    // dependent (documented), while the rewrite below tie-breaks on
+    // click_id — a unique (key, time) makes the comparison deterministic.
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"event_id".as("click_id"),
         $"ts".as("c_ts"))
+      .groupBy($"c_user", $"c_ts")
+      .agg(max($"click_id").as("click_id"))
 
     val custom = AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "c_ts")
     // the exec node prints without its Exec suffix; its children must
@@ -43,5 +49,21 @@ class AsOfSpec extends SparkSpec {
     assert(got.nonEmpty)
     // left-outer: some purchases precede any click by that user
     assert(got.exists(_(2) == null) || got.forall(_(2) != null))
+  }
+
+  test("AsOf.join emits UnsafeRow: direct collect and sort-on-top work") {
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("c_ts"))
+    val j = AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "c_ts")
+    // no interposed Project: getByteArrayRdd casts every row to UnsafeRow
+    // — would throw ClassCastException if the exec leaked JoinedRow
+    val rows = j.collect()
+    assert(rows.nonEmpty)
+    // SortExec directly over the node consumes UnsafeRow too
+    assert(j.orderBy($"event_id").limit(5).collect().length == 5)
   }
 }

@@ -38,6 +38,26 @@ class ExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [dotq"))
   }
 
+  test("DotQ is null when a touched element is null (eval + codegen)") {
+    // interpreted path: local relation
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 1L, 1L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 1L, null)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L, null))
+    ).toDF("a", "b")
+    val got = df.select(VectorExprs.dot_q($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    // row 3: the null element at b(2) is beyond min(len)=2 — untouched
+    assert(got.toSeq == Seq(null, null, java.lang.Long.valueOf(11L)))
+    // codegen path: range-derived input can't constant-fold
+    val cg = spark.range(2)
+      .select(array(when($"id" === 1, $"id")).as("a")) // [null], [1]
+      .select(VectorExprs.dot_q($"a", $"a").as("d"))
+    val cgGot = cg.collect().map(r =>
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    assert(cgGot.toSeq == Seq(null, java.lang.Long.valueOf(1L)))
+  }
+
   test("ShingleHashes == distinct md5-prefix hashes of word 3-grams") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",

@@ -42,6 +42,20 @@ class TokenParseSpec extends AnyFunSuite {
     assert(r.date == Seq("d", "next"))
   }
 
+  test("team variant: PEP 515 underscore literals count as numeric") {
+    // Python int('1_0') == 10, so a '1_0' 7th token is SKIPPED, not a reset;
+    // '_1', '1_', '1__0' raise in Python -> reset+drop
+    val skip = TokenParse.parseTeamSegment(Seq(
+      "d", "l", "h", "a", "1", "2", "1_0", "next"))
+    assert(skip.date == Seq("d")) // '1_0' skipped, 'next' also in post-record
+    val reset = TokenParse.parseTeamSegment(Seq(
+      "d", "l", "h", "a", "1", "2", "_1", "next"))
+    assert(reset.date == Seq("d", "next")) // '_1' resets+drops
+    val reset2 = TokenParse.parseTeamSegment(Seq(
+      "d", "l", "h", "a", "1", "2", "1__0", "next"))
+    assert(reset2.date == Seq("d", "next"))
+  }
+
   test("h2h variant: >3-char 7th token becomes the next record's date (ref :119-121)") {
     val r = TokenParse.parseH2hSegment(Seq(
       "01.04.", "LaLiga", "Real", "Barca", "2", "1",
