@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark surface for the driver: runs every `SparkEntry.queries` entry
+  * against `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+  *
+  * Methodology: one warmup pass over the entry query, then TWO measured
+  * passes per query, reporting the per-query MIN. Single-pass numbers on a
+  * shared 32-core box swing ±10-20% (one round-1 run showed 23 s on a
+  * normally-1.2 s query from JIT/GC noise); min-of-2 is the standard cure.
+  * Each query is forced through a noop datasource write, not `count()` —
+  * count lets Catalyst prune every computed column, so a projection-heavy
+  * query would report scan cost only.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +19,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,17 +28,24 @@ object Bench {
     // otherwise landing on whichever query iterates first)
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
       // a failed query reports -1, not its partial elapsed time — a
       // regression must not look like a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val names = SparkEntry.queries.keys.toSeq
+    val pass1 = names.map(n => n -> once(SparkEntry.queries(n))).toMap
+    val pass2 = names.map(n => n -> once(SparkEntry.queries(n))).toMap
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      // min of the successful passes; -1 only if BOTH failed
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

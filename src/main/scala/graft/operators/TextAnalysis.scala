@@ -137,15 +137,22 @@ object TextAnalysis {
 
   /** Document fingerprinting: winnowing-style minimum over 3-gram
     * shingle hashes (rolling-hash family; the min makes it robust to
-    * local edits), plus the full-text hash. */
+    * local edits), plus the full-text hash.
+    *
+    * Perf: the composable form `array_min(transform(shingles3(tokens(
+    * text)), hash60))` re-evaluates the tokenization once per element
+    * access inside the HOF lambdas (CodegenFallback + CollapseProject
+    * re-inlining) — measured 33 s at sf0.1. [[graft.functions.ShingleHashes]]
+    * does one compiled pass per row; min-over-distinct == min-over-all,
+    * and the shingle count is just max(n_tokens-2, 0). */
   def q33Fingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles3(tokens($"text"))
     Tables.documents(s, d)
       .select($"doc_id",
         hash60(md5($"text")).as("exact_fp"),
-        array_min(transform(sh, x => hash60(x))).as("winnow_fp"),
-        size(sh).as("n_shingles"))
+        array_min(graft.functions.TextExprs.shingle_hashes($"text", 3, 15))
+          .as("winnow_fp"),
+        greatest(size(tokens($"text")) - 2, lit(0)).cast("int").as("n_shingles"))
       .orderBy($"doc_id")
   }
 
