@@ -25,7 +25,9 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Parity.queries ++
       operators.Multimodal.queries ++
-      operators.Stats.queries
+      operators.Stats.queries ++
+      operators.RangeJoin.queries ++
+      operators.Reshape.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +40,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Parity.oracles ++
       operators.Multimodal.oracles ++
-      operators.Stats.oracles
+      operators.Stats.oracles ++
+      operators.RangeJoin.oracles ++
+      operators.Reshape.oracles
 }

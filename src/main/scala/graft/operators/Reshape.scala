@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Relational-shape operators beyond the reference's own surface:
+  * full-outer join reconciliation, pivot (long→wide), unpivot
+  * (wide→long), and a custom typed Aggregator (bounded top-k).
+  *
+  * Scale notes:
+  *  - q65 full outer: one hash shuffle per side on the join key; at
+  *    100 TB this is the standard reconciliation shape (AQE handles
+  *    the skewed-key case).
+  *  - q66 pivot with EXPLICIT value list: pivot values must be known
+  *    (or collected) up front — listing them keeps the plan a single
+  *    hash aggregate with conditional partials (no second pass to
+  *    discover values, no driver collect).
+  *  - q67 unpivot is a per-row Expand (n_metrics× fan-out, no shuffle);
+  *    the inverse direction of q66.
+  *  - q68 TopKOrders: a typed Aggregator keeps a BOUNDED buffer (k
+  *    entries) regardless of group size — the partial/merge tree makes
+  *    per-group top-k associative and shuffle-light, vs collect_list +
+  *    sort which buffers the whole group.
+  */
+object Reshape {
+
+  /** Full-outer reconciliation: even-keyed customers vs order counts of
+    * custkeys divisible by 3 — left-only, right-only, and matched rows
+    * all surface, with coalesced key. */
+  def q65FullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey", $"c_mktsegment")
+    val ords = Tables.orders(s, d)
+      .filter($"o_custkey" % 3 === 0)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    cust.join(ords, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        coalesce($"c_mktsegment", lit("<none>")).as("segment"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"custkey")
+  }
+
+  val q65Oracle: String =
+    """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+       o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+             WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+       SELECT coalesce(c_custkey, o_custkey) AS custkey,
+         coalesce(c_mktsegment, '<none>') AS segment,
+         coalesce(n_orders, 0) AS n_orders
+       FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+       ORDER BY custkey"""
+
+  /** Pivot long→wide: quantity totals per returnflag, one column per
+    * linestatus. Explicit value list ("F","O") → single-pass plan. */
+  def q66Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity".cast("decimal(18,2)")))
+      .select($"l_returnflag",
+        $"F".cast("double").as("qty_f"), $"O".cast("double").as("qty_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q66Oracle: String =
+    """SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Unpivot wide→long: per-nation customer/supplier counts as
+    * (nationkey, metric, n) rows — Expand, the exact inverse of q66. */
+  def q67Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nc = Tables.customer(s, d).groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val ns = Tables.supplier(s, d).groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    nc.join(ns, "nationkey")
+      .unpivot(Array($"nationkey"), Array($"n_cust", $"n_supp"), "metric", "n")
+      .orderBy($"nationkey", $"metric")
+  }
+
+  val q67Oracle: String =
+    """WITH w AS (
+         SELECT c.nationkey, n_cust, n_supp FROM
+           (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+           JOIN
+           (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+           USING (nationkey))
+       SELECT nationkey, 'n_cust' AS metric, n_cust AS n FROM w
+       UNION ALL
+       SELECT nationkey, 'n_supp' AS metric, n_supp AS n FROM w
+       ORDER BY nationkey, metric"""
+
+  /** Custom typed Aggregator: top-3 orderkeys per priority by
+    * (totalprice DESC, orderkey ASC) with a bounded k-entry buffer —
+    * see [[graft.functions.TopK]]. */
+  def q68TopKAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKOrders(3))
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top3_orderkeys"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q68Oracle: String =
+    """SELECT o_orderpriority,
+       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top3_orderkeys
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_full_outer" -> q65FullOuter,
+    "q66_pivot" -> q66Pivot,
+    "q67_unpivot" -> q67Unpivot,
+    "q68_topk_agg" -> q68TopKAgg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q65_full_outer" -> q65Oracle,
+    "q66_pivot" -> q66Oracle,
+    "q67_unpivot" -> q67Oracle,
+    "q68_topk_agg" -> q68Oracle,
+  )
+}
