@@ -54,11 +54,13 @@ object RangeJoin {
   }
 
   /** q64: pure (un-keyed) range join — global promo windows derived from
-    * a deterministic sample of purchase events (10/20/30-minute windows,
-    * second-aligned starts) joined against all click events that fall
-    * inside them. Window bounds are second-granularity so the µs-floored
-    * Spark timestamps and DuckDB's native-precision timestamps compare
-    * identically (flooring to µs never crosses a µs-aligned bound). */
+    * a deterministic sample of purchase events (4/8/12-hour windows,
+    * second-aligned starts; hour-scale so the sparse sf0.001 probe still
+    * yields pairs) joined against all click events that fall inside
+    * them. Window bounds are second-granularity so the µs-floored Spark
+    * timestamps and DuckDB's native-precision timestamps compare
+    * identically (flooring to µs never crosses a µs-aligned bound).
+    * Bucket = 4 h ≈ the min window length → interval fan-out ≤ 4. */
   def q64RangeJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d)
@@ -66,12 +68,12 @@ object RangeJoin {
       .filter($"event_type" === "purchase" && $"event_id" % 13 === 0)
       .select($"event_id".as("w_id"),
         date_trunc("second", $"ts").as("w_start"),
-        expr("timestampadd(MINUTE, 10 + (event_id % 3) * 10, date_trunc('second', ts))")
+        expr("timestampadd(HOUR, 4 * (1 + event_id % 3), date_trunc('second', ts))")
           .as("w_end"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id".as("p_id"), $"ts", $"user_id")
     bucketed(clicks, windows, $"ts", $"w_start", $"w_end",
-        bucketUs = 10L * 60 * 1000000)
+        bucketUs = 4L * 3600 * 1000000)
       .select($"w_id", $"p_id", $"user_id")
       .orderBy($"w_id", $"p_id")
   }
@@ -80,7 +82,7 @@ object RangeJoin {
     """WITH w AS (
          SELECT event_id AS w_id,
            date_trunc('second', ts) AS w_start,
-           date_trunc('second', ts) + to_minutes(10 + (event_id % 3) * 10) AS w_end
+           date_trunc('second', ts) + to_hours(4 * (1 + event_id % 3)) AS w_end
          FROM events WHERE event_type = 'purchase' AND event_id % 13 = 0),
        p AS (
          SELECT event_id AS p_id, ts, user_id
