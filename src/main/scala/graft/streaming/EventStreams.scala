@@ -110,4 +110,54 @@ object EventStreams {
       .select(col("user_id"), expr("ts div 1000").as("us")).as[SessionEvent]
     sessionizeStateful(evs, gapUs, emitOpen = false)
   }
+
+  // ---- stream-stream interval join + streaming dedup ----
+
+  /** Attribution-style stream-stream interval join: each purchase joins
+    * the same user's clicks from the preceding `lookbackSec` seconds.
+    * Written once over DataFrames so batch and streaming share it; in
+    * streaming BOTH sides carry watermarks and the time-range condition
+    * bounds join state (Spark evicts rows once the watermark passes
+    * `p_ts - lookback` / `c_ts + lookback`) — unbounded state otherwise,
+    * the stream-stream equivalent of the q64 bucket bound. Input needs
+    * µs `ts`, `event_id`, `user_id`, `event_type`. */
+  def purchaseClickJoin(events: DataFrame, lookbackSec: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr(s"INTERVAL $lookbackSec SECONDS"))
+      .select($"user_id", $"p_id", $"c_id")
+  }
+
+  /** Streaming exact dedup (the streaming twin of q40): drop repeated
+    * (event_type, day-bucket) keys, keeping state only within the
+    * watermark — bounded state, the only safe shape for an endless
+    * stream. Emits the kept keys. (Day-coarse key so even the sparse
+    * sf0.001 fixture actually contains duplicates to drop.) */
+  def dedupWithinWatermark(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"event_type", date_trunc("day", $"ts").as("day"), $"ts")
+      .withWatermark("ts", "25 hours")
+      .dropDuplicatesWithinWatermark("event_type", "day")
+      .select($"event_type", $"day")
+  }
+
+  /** µs-timestamped streaming read of a staged events dir. */
+  def eventsStream(s: SparkSession, eventsDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

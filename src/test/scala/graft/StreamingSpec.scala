@@ -94,4 +94,54 @@ class StreamingSpec extends SparkSpec {
       assert(n > 0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join == batch interval join") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batch = EventStreams.purchaseClickJoin(
+        graft.io.Tables.events(spark, d), lookbackSec = 6 * 3600)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture produced no attribution pairs")
+
+    val staged = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = EventStreams.purchaseClickJoin(
+        EventStreams.eventsStream(spark, staged.toString), lookbackSec = 6 * 3600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps exactly the distinct key set") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batchKeys = graft.io.Tables.events(spark, d)
+      .select($"event_type", date_trunc("day", $"ts").as("day"))
+      .distinct().collect().map(_.toSeq).toSet
+
+    val staged = java.nio.file.Files.createTempDirectory("events_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = EventStreams.dedupWithinWatermark(
+        EventStreams.eventsStream(spark, staged.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").collect().map(_.toSeq)
+      // one row per key (duplicates actually dropped), same key set
+      assert(streamed.length == streamed.toSet.size)
+      assert(streamed.toSet == batchKeys)
+      // the fixture must actually contain duplicates for this to test
+      val nRaw = graft.io.Tables.events(spark, d).count()
+      assert(nRaw > batchKeys.size, "no duplicate keys in fixture — weaken the key")
+    } finally q.stop()
+  }
 }
