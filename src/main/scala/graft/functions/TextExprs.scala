@@ -5,46 +5,23 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native distinct-hashed-shingle extraction: text → array<long> of
-  * md5-prefix hashes of word w-grams.
-  *
-  * Why a custom Expression (SURVEY.md §7.3 preference (b)): the
-  * composable formulation
-  * `transform(array_distinct(shingles3(tokens(text))), md5-hash)`
-  * is catastrophically slow in Spark — higher-order functions are
-  * CodegenFallback, and `element_at(tokens(text), i)` inside the
-  * shingle lambda re-evaluates the whole regex tokenization once per
-  * element access (measured: ~17 s just to materialize shingle hashes
-  * for 5 000 docs at sf0.1; this expression does it in <1 s). One
-  * compiled pass per row: split, slide a w-window, dedup, hash.
-  *
-  * Semantics (bit-equal to the DuckDB oracle twin):
-  *  - tokens: split on `\s+`, drop empties;
-  *  - shingles: tokens i..i+w-1 joined with a single space, i ≥ 0,
-  *    none if fewer than w tokens;
-  *  - hash: first `nibbles` hex chars of md5(shingle) parsed base-16
-  *    (DuckDB: `('0x' || substr(md5(x), 1, nibbles))::BIGINT`);
-  *  - distinct (set semantics).
-  */
-case class ShingleHashes(child: Expression, width: Int, nibbles: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(width >= 1 && nibbles >= 1 && nibbles <= 15)
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+/** Shared single-pass implementation of shingle hashing, callable from
+  * both interpreted eval and generated code. */
+object ShingleHashesImpl {
+  private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** text → distinct md5-prefix hashes of word w-gram shingles. */
+  def compute(input: UTF8String, width: Int, nibbles: Int): ArrayData = {
+    val text = input.toString
     val toks = text.split("\\s+").filter(_.nonEmpty)
     val n = toks.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -79,6 +56,46 @@ case class ShingleHashes(child: Expression, width: Int, nibbles: Int)
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** Native distinct-hashed-shingle extraction: text → array<long> of
+  * md5-prefix hashes of word w-grams.
+  *
+  * Why a custom Expression (SURVEY.md §7.3 preference (b)): the
+  * composable formulation
+  * `transform(array_distinct(shingles3(tokens(text))), md5-hash)`
+  * is catastrophically slow in Spark — higher-order functions are
+  * CodegenFallback, and `element_at(tokens(text), i)` inside the
+  * shingle lambda re-evaluates the whole regex tokenization once per
+  * element access (measured: ~17 s just to materialize shingle hashes
+  * for 5 000 docs at sf0.1; this expression does it in <1 s). One
+  * compiled pass per row: split, slide a w-window, dedup, hash.
+  *
+  * Codegen: emits a static call into [[ShingleHashesImpl]] rather than
+  * CodegenFallback — the expression stays INSIDE the whole-stage span
+  * (a fallback child splits the span and forces the surrounding
+  * projection back to interpreted row-at-a-time glue).
+  *
+  * Semantics (bit-equal to the DuckDB oracle twin):
+  *  - tokens: split on `\s+`, drop empties;
+  *  - shingles: tokens i..i+w-1 joined with a single space, i ≥ 0,
+  *    none if fewer than w tokens;
+  *  - hash: first `nibbles` hex chars of md5(shingle) parsed base-16
+  *    (DuckDB: `('0x' || substr(md5(x), 1, nibbles))::BIGINT`);
+  *  - distinct (set semantics).
+  */
+case class ShingleHashes(child: Expression, width: Int, nibbles: Int)
+    extends UnaryExpression {
+  require(width >= 1 && nibbles >= 1 && nibbles <= 15)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesImpl.compute(input.asInstanceOf[UTF8String], width, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashesImpl.compute($c, $width, $nibbles);")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)

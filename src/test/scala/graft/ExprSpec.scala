@@ -75,6 +75,17 @@ class ExprSpec extends SparkSpec {
     assert(custom.toSeq == reference.toSeq)
   }
 
+  test("ShingleHashes participates in whole-stage codegen (no fallback)") {
+    // range-derived (non-literal) input so the plan can't constant-fold
+    val df = spark.range(3)
+      .select(concat(lit("a b c d e f"), $"id".cast("string")).as("text"))
+      .select(TextExprs.shingle_hashes($"text", 3, 15).as("h"))
+    assert(df.as[Seq[Long]].collect().forall(_.nonEmpty))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [shinglehashes"),
+      s"shinglehashes not inside a whole-stage-codegen span:\n$plan")
+  }
+
   test("hash60 equals the documented md5-prefix construction") {
     // md5('hello') = 5d41402abc4b2a76b9719d911017c592
     // first 15 nibbles: 5d41402abc4b2a7 = 420138792274482855
