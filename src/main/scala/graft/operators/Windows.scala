@@ -236,6 +236,44 @@ object Windows {
        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
        FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"""
 
+  /** The rest of the ranking/navigation window family: first/last/nth
+    * value over an explicit frame, ntile bucketing, percent_rank and
+    * cume_dist (emitted as exact integer basis points — the quotients
+    * are small-integer ratios, but quantizing sidesteps any engine
+    * float-formatting drift). Frame note: first/last/nth use the FULL
+    * partition frame (unbounded both ways) so the result is a property
+    * of the partition, not of the current row's position. */
+  def q69WindowFamily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byDate = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val full = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter($"o_custkey" < 100)
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(full).as("first_key"),
+        last($"o_orderkey").over(full).as("last_key"),
+        nth_value($"o_orderkey", 2).over(full).as("second_key"),
+        ntile(4).over(byDate).as("quartile"),
+        floor(percent_rank().over(byDate) * 10000).cast("long").as("pr_bp"),
+        floor(cume_dist().over(byDate) * 10000).cast("long").as("cd_bp"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q69Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER wfull AS first_key,
+       last_value(o_orderkey) OVER wfull AS last_key,
+       nth_value(o_orderkey, 2) OVER wfull AS second_key,
+       ntile(4) OVER wdate AS quartile,
+       CAST(floor(percent_rank() OVER wdate * 10000) AS BIGINT) AS pr_bp,
+       CAST(floor(cume_dist() OVER wdate * 10000) AS BIGINT) AS cd_bp
+       FROM orders WHERE o_custkey < 100
+       WINDOW wdate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_custkey, o_orderkey"""
+
   /** AS-OF JOIN via the custom Catalyst operator (graft.plans.AsOfJoin:
     * logical node + planner strategy + streaming sort-merge exec): for
     * every purchase, the user's latest click at-or-before it. Times
@@ -281,6 +319,7 @@ object Windows {
     "q26_session_window" -> q26SessionWindow,
     "q27_rollup" -> q27Rollup,
     "q28_lag_lead" -> q28LagLead,
+    "q69_window_family" -> q69WindowFamily,
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +333,6 @@ object Windows {
     "q26_session_window" -> q26Oracle,
     "q27_rollup" -> q27Oracle,
     "q28_lag_lead" -> q28Oracle,
+    "q69_window_family" -> q69Oracle,
   )
 }
