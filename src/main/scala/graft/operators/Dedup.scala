@@ -292,8 +292,44 @@ object Dedup {
        FROM pairs WHERE bit_count(xor(s1, s2)) <= 3
        ORDER BY doc1, doc2"""
 
+  /** Edit-distance (Levenshtein) fuzzy near-dup: block on (lang,
+    * 64-char length bucket), compare 40-char prefixes within a block,
+    * keep pairs with distance ≤ 8. Blocking is the scale story: the
+    * self-join is equi on the block key (hash shuffle, bounded bucket
+    * fan-in) and the O(len²) distance only runs on block-mates — the
+    * same trade as LSH but for edit distance (lossy across blocks by
+    * design). Integer distances → exact cross-engine compare. */
+  def q70EditDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        expr("n_chars div 64").as("bkt"),
+        substring($"text", 1, 40).as("p"))
+      .repartition($"lang", $"bkt")
+    val l = b.select($"doc_id".as("doc1"), $"lang", $"bkt", $"p".as("p1"))
+    val r = b.select($"doc_id".as("doc2"), $"lang".as("lang2"),
+      $"bkt".as("bkt2"), $"p".as("p2"))
+    l.join(r, $"lang" === $"lang2" && $"bkt" === $"bkt2" && $"doc1" < $"doc2")
+      .withColumn("dist", levenshtein($"p1", $"p2"))
+      .filter($"dist" <= 8)
+      .select($"doc1", $"doc2", $"lang", $"dist")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q70Oracle: String =
+    """WITH b AS (
+         SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 40) AS p
+         FROM documents)
+       SELECT a.doc_id AS doc1, c.doc_id AS doc2, a.lang,
+         levenshtein(a.p, c.p) AS dist
+       FROM b a JOIN b c
+         ON a.lang = c.lang AND a.bkt = c.bkt AND a.doc_id < c.doc_id
+       WHERE levenshtein(a.p, c.p) <= 8
+       ORDER BY doc1, doc2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
+    "q70_edit_distance" -> q70EditDistance,
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
@@ -302,6 +338,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Oracle,
+    "q70_edit_distance" -> q70Oracle,
     "q41_minhash_lsh" -> q41Oracle,
     "q42_ngram_jaccard" -> q42Oracle,
     "q43_simhash" -> q43Oracle,
