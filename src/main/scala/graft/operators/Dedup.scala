@@ -309,9 +309,14 @@ object Dedup {
     val l = b.select($"doc_id".as("doc1"), $"lang", $"bkt", $"p".as("p1"))
     val r = b.select($"doc_id".as("doc2"), $"lang".as("lang2"),
       $"bkt".as("bkt2"), $"p".as("p2"))
+    // thresholded levenshtein: banded O(k·n) with early exit instead of
+    // the full O(n²) DP per pair — at sf0.1 the unbounded form burned
+    // ~20 s re-running the full DP for every far-apart block pair
+    // (returns -1 when distance > k; survivors carry exact distances,
+    // so parity with the oracle's unbounded levenshtein holds)
     l.join(r, $"lang" === $"lang2" && $"bkt" === $"bkt2" && $"doc1" < $"doc2")
-      .withColumn("dist", levenshtein($"p1", $"p2"))
-      .filter($"dist" <= 8)
+      .withColumn("dist", levenshtein($"p1", $"p2", 8))
+      .filter($"dist" >= 0 && $"dist" <= 8)
       .select($"doc1", $"doc2", $"lang", $"dist")
       .orderBy($"doc1", $"doc2")
   }
