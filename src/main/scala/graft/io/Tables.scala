@@ -28,7 +28,11 @@ object Tables {
     * nanos, so engine outputs derived from `ts` are always emitted at
     * second (or coarser) granularity, where floor(ns)==floor(µs). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fallback for driver-owned sessions (e.g. the smoke check calling
+    // SparkEntry.entry) that don't go through our builders; our own
+    // Verify/Bench/test sessions already set this at build time.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
       // integer division: ns values exceed 2^53, double `/` mis-truncates
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

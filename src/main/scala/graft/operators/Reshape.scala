@@ -102,20 +102,28 @@ object Reshape {
 
   /** Custom typed Aggregator: top-3 orderkeys per priority by
     * (totalprice DESC, orderkey ASC) with a bounded k-entry buffer —
-    * see [[graft.functions.TopK]]. */
+    * see [[graft.functions.TopK]]. The array result is posexploded to
+    * (priority, rnk, orderkey) rows so the driver's pandas-based
+    * compare can sort/hash it (list columns are unhashable there);
+    * the oracle is the equivalent row_number formulation. */
   def q68TopKAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val topk = udaf(new graft.functions.TopKOrders(3))
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
       .agg(topk($"o_totalprice", $"o_orderkey").as("top3_orderkeys"))
-      .orderBy($"o_orderpriority")
+      .select($"o_orderpriority", posexplode($"top3_orderkeys").as(Seq("pos", "orderkey")))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rnk"), $"orderkey")
+      .orderBy($"o_orderpriority", $"rnk")
   }
 
   val q68Oracle: String =
-    """SELECT o_orderpriority,
-       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top3_orderkeys
-       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    """SELECT o_orderpriority, rnk, orderkey FROM (
+         SELECT o_orderpriority, o_orderkey AS orderkey,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         FROM orders)
+       WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_full_outer" -> q65FullOuter,

@@ -48,7 +48,6 @@ object EventStreams {
     * events parquet files — callers with a single-file layout stage a
     * directory (see StreamingSpec). */
   def hourlyCountsStream(s: SparkSession, eventsDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     hourlyCounts(s.readStream.schema(rawSchema).parquet(eventsDir))
   }
 
@@ -102,7 +101,6 @@ object EventStreams {
   /** Streaming sessionization over the staged events dir (closed
     * sessions only — open ones stay in state awaiting more batches). */
   def sessionsStream(s: SparkSession, eventsDir: String, gapUs: Long): Dataset[Session] = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import s.implicits._
     val evs = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -152,9 +150,12 @@ object EventStreams {
       .select($"event_type", $"day")
   }
 
-  /** µs-timestamped streaming read of a staged events dir. */
+  /** µs-timestamped streaming read of a staged events dir. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (set in
+    * the Verify/Bench/SparkSpec builders) — deliberately NOT mutated
+    * here: a reader helper silently flipping session-global parquet
+    * semantics would affect unrelated reads in the same session. */
   def eventsStream(s: SparkSession, eventsDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)

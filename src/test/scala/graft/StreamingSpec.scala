@@ -13,7 +13,6 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming hourly windows == batch hourly windows on sf0.001") {
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val batch = EventStreams.hourlyCounts(
         spark.read.schema(EventStreams.rawSchema)
@@ -60,7 +59,6 @@ class StreamingSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     // two microbatches: split events by half on event_id order
     val staged = java.nio.file.Files.createTempDirectory("events_sessions")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
     // split by TIME, not randomly: batches must arrive in event-time

@@ -43,7 +43,7 @@ def main():
         print(f"\n{'query':30s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
         for name, dv in sorted(times.items(), key=lambda kv: -kv[1]):
             sv = bench.get(name)
-            if sv is None or dv <= 0:
+            if sv is None or sv < 0 or dv <= 0:
                 continue
             print(f"{name:30s} {sv:8.2f} {dv:8.2f} {sv/dv:7.1f}x")
 
