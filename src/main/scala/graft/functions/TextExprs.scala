@@ -101,10 +101,96 @@ case class ShingleHashes(child: Expression, width: Int, nibbles: Int)
     copy(child = c)
 }
 
+/** Shared single-pass SimHash implementation (interpreted + codegen). */
+object SimHash60Impl {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** text → 60-bit SimHash over whitespace tokens, or null if the text
+    * has no tokens (matching the explode-based formulation, where a
+    * token-less doc vanishes from the aggregation).
+    *
+    * Per token: h = first 15 hex chars of md5(token) as a long (high 60
+    * bits of the digest). Bit j of the fingerprint is 1 iff
+    * Σ_tokens (bit_j(h) ? +1 : −1) > 0. Every occurrence votes (no
+    * dedup) — same as the oracle's unnest. */
+  def compute(input: UTF8String): java.lang.Long = {
+    val toks = input.toString.split("\\s+")
+    val votes = new Array[Int](60)
+    val md = digest.get()
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        any = true
+        md.reset()
+        val dig = md.digest(t.getBytes(StandardCharsets.UTF_8))
+        // first 15 hex chars == high 60 bits of the digest
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        h >>>= 4
+        var j = 0
+        while (j < 60) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sh = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sh |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(sh)
+  }
+}
+
+/** Native single-pass SimHash: text → 60-bit fingerprint long.
+  *
+  * Why (same argument as [[ShingleHashes]]): the declarative
+  * formulation explodes every token and runs a 60-aggregate-column
+  * groupBy — a full shuffle of |tokens| rows just to come back to one
+  * row per document. This expression folds tokenize → md5 → 60
+  * majority votes → bit-pack into one compiled pass per row, keeping
+  * the whole query shuffle-free (scan → project → sort). Bit-equal to
+  * the DuckDB twin (md5-prefix token hash, +1/−1 votes, vote>0 ⇒ bit
+  * set). Null for token-less text, matching the explode formulation
+  * where such docs drop out of the aggregation. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60Impl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("simhashRes")
+      s"""
+      java.lang.Long $tmp = graft.functions.SimHash60Impl.compute($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
 object TextExprs {
   /** Distinct md5-prefix hashes of word w-gram shingles (see
     * [[ShingleHashes]]). */
   def shingle_hashes(text: Column, width: Int, nibbles: Int): Column =
     ColumnBridge.column(
       ShingleHashes(ColumnBridge.expression(text), width, nibbles))
+
+  /** 60-bit SimHash of whitespace tokens (see [[SimHash60]]). */
+  def simhash60(text: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
 }

@@ -207,22 +207,17 @@ object Dedup {
     * arithmetic — no float pow, no shift-by-column limitation). */
   def q43Simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Explode token hashes once, then all 60 per-bit majority votes as
-    // parallel aggregate columns in one codegen'd groupBy (no 60× row
-    // fan-out, no interpreted lambdas), and fold the votes into the
-    // fingerprint with a flat 60-term expression.
-    val voteCols = (0 until 60).map { j =>
-      sum(when(expr(s"(h div ${1L << j}L) % 2") === 1, 1L).otherwise(-1L))
-        .as(s"v$j")
-    }
-    val simhash = (0 until 60).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    // Single-pass custom expression (TextExprs.SimHash60): tokenize →
+    // md5 → 60 majority votes → bit-pack per row, so the whole query is
+    // scan → project → sort with NO shuffle. The earlier declarative
+    // form (explode token hashes + 60 vote aggregates in a groupBy)
+    // shuffled |tokens| rows per doc and was ~4× slower at sf0.1.
+    // Token-less docs yield null (they drop out of the explode
+    // formulation too) — filtered to keep parity with the oracle.
     Tables.documents(s, d)
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .select($"doc_id", hash60($"tok").as("h"))
-      .groupBy($"doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select($"doc_id", simhash.as("simhash"))
+      .select($"doc_id",
+        graft.functions.TextExprs.simhash60($"text").as("simhash"))
+      .filter($"simhash".isNotNull)
       .orderBy($"doc_id")
   }
 
@@ -301,11 +296,15 @@ object Dedup {
     * design). Integer distances → exact cross-engine compare. */
   def q70EditDistance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // No manual repartition: the blocked self-join is equi on
+    // (lang, bkt), so EnsureRequirements inserts the clustering
+    // exchanges when the planner picks SMJ — and when it picks
+    // broadcast (documents is small per-executor), a forced left-side
+    // shuffle would be pure overhead.
     val b = Tables.documents(s, d)
       .select($"doc_id", $"lang",
         expr("n_chars div 64").as("bkt"),
         substring($"text", 1, 40).as("p"))
-      .repartition($"lang", $"bkt")
     val l = b.select($"doc_id".as("doc1"), $"lang", $"bkt", $"p".as("p1"))
     val r = b.select($"doc_id".as("doc2"), $"lang".as("lang2"),
       $"bkt".as("bkt2"), $"p".as("p2"))
@@ -313,11 +312,15 @@ object Dedup {
     // the full O(n²) DP per pair — at sf0.1 the unbounded form burned
     // ~20 s re-running the full DP for every far-apart block pair
     // (returns -1 when distance > k; survivors carry exact distances,
-    // so parity with the oracle's unbounded levenshtein holds)
-    l.join(r, $"lang" === $"lang2" && $"bkt" === $"bkt2" && $"doc1" < $"doc2")
-      .withColumn("dist", levenshtein($"p1", $"p2", 8))
-      .filter($"dist" >= 0 && $"dist" <= 8)
-      .select($"doc1", $"doc2", $"lang", $"dist")
+    // so parity with the oracle's unbounded levenshtein holds).
+    // The -1 sentinel means `>= 0` alone expresses `0 <= dist <= 8`:
+    // one levenshtein call in the join condition (a second `<= 8`
+    // conjunct would double-evaluate the DP for every candidate pair —
+    // CollapseProject re-inlines, the round-1 HOF pitfall). The
+    // projection's recompute runs only on the few surviving pairs.
+    l.join(r, $"lang" === $"lang2" && $"bkt" === $"bkt2" && $"doc1" < $"doc2"
+        && levenshtein($"p1", $"p2", 8) >= 0)
+      .select($"doc1", $"doc2", $"lang", levenshtein($"p1", $"p2", 8).as("dist"))
       .orderBy($"doc1", $"doc2")
   }
 

@@ -86,6 +86,51 @@ class ExprSpec extends SparkSpec {
       s"shinglehashes not inside a whole-stage-codegen span:\n$plan")
   }
 
+  test("SimHash60 == explode + 60-vote-aggregate declarative formulation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one",                                    // single token
+      "r r r r r r",                            // repeated tokens all vote
+      "  leading   and   trailing   spaces  ",
+      "mixed CASE Tokens and punct-uation, too!")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val custom = df
+      .select($"doc_id", TextExprs.simhash60($"text").as("simhash"))
+      .orderBy($"doc_id").as[(Long, Long)].collect()
+    // the pre-round-3 declarative form q43 used (explode token hashes,
+    // 60 parallel majority-vote aggregates, bit-pack)
+    val voteCols = (0 until 60).map { j =>
+      sum(when(expr(s"(h div ${1L << j}L) % 2") === 1, 1L).otherwise(-1L))
+        .as(s"v$j")
+    }
+    val pack = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val reference = df
+      .select($"doc_id", explode(Fns.tokens($"text")).as("tok"))
+      .select($"doc_id", Fns.hash60($"tok").as("h"))
+      .groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select($"doc_id", pack.as("simhash"))
+      .orderBy($"doc_id").as[(Long, Long)].collect()
+    assert(custom.toSeq == reference.toSeq)
+  }
+
+  test("SimHash60 is null on token-less text and codegen'd otherwise") {
+    val df = Seq("", "   ", "a b").toDF("text")
+      .select(TextExprs.simhash60($"text").as("s"))
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    assert(got(0) == null && got(1) == null && got(2) != null)
+    // codegen placement on non-foldable input
+    val cg = spark.range(3)
+      .select(concat(lit("w x y "), $"id".cast("string")).as("text"))
+      .select(TextExprs.simhash60($"text").as("s"))
+    assert(cg.as[Long].collect().length == 3)
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash60"),
+      s"simhash60 not inside a whole-stage-codegen span:\n$plan")
+  }
+
   test("hash60 equals the documented md5-prefix construction") {
     // md5('hello') = 5d41402abc4b2a76b9719d911017c592
     // first 15 nibbles: 5d41402abc4b2a7 = 420138792274482855
