@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Stats.queries ++
       operators.RangeJoin.queries ++
-      operators.Reshape.queries
+      operators.Reshape.queries ++
+      operators.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Stats.oracles ++
       operators.RangeJoin.oracles ++
-      operators.Reshape.oracles
+      operators.Reshape.oracles ++
+      operators.Corpus.oracles
 }

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Corpus-level operators a large-scale training-data pipeline needs
+  * beyond per-doc scoring and pair-generation dedup: behavioral funnel
+  * analysis over the events stream, TF-IDF term ranking, global n-gram
+  * statistics, deterministic stratified sampling, and vocabulary
+  * profiling.
+  *
+  * Scale design:
+  *  - q72 funnel: three cascading (filter → groupBy user) partial
+  *    aggregations; every stage shuffles only the users that survived
+  *    the previous stage, so the data volume is monotonically
+  *    shrinking. All timestamps are compared as integer microseconds
+  *    (the ns-vs-µs parquet parity rule, see Tables.events).
+  *  - q73 TF-IDF: tf is a (doc, term) partial-agg groupBy; df is a
+  *    second groupBy OVER THE TF OUTPUT (already one row per
+  *    (doc, term) — no distinct needed); N arrives as a broadcast
+  *    scalar, so the per-term join is the only wide exchange.
+  *  - q74 bigrams: posexplode + lead() over (doc, pos) — one shuffle
+  *    on doc_id, then a countable token stream; the global top-k is
+  *    TakeOrderedAndProject (per-partition heaps, no full sort).
+  *  - q75 stratified sample: a pure scan-side filter — multiplicative
+  *    integer hash of the key vs a per-stratum threshold from a
+  *    broadcast dim. Zero shuffles for the kept-rows path; sampling
+  *    100 TB costs exactly one read. Integer-only arithmetic, so the
+  *    sample is deterministic and reproducible across engines (the
+  *    property `sample(seed)` of any one engine cannot give).
+  *  - q76 vocabulary: two stacked partial-agg groupBys (lang, term) →
+  *    (lang); hapax counting rides the second pass for free.
+  */
+object Corpus {
+
+  /** Ordered conversion funnel over events: view → click-after-view →
+    * purchase-after-click, strictly ordered per user by event time.
+    * Emits one row per funnel stage with the surviving user count. */
+  /** Funnel core over (user_id, event_type, us) rows: strictly-ordered
+    * view → click → purchase per user, one count row per stage.
+    * Exposed for direct testing (strictness: a click at or before the
+    * first view does not advance the funnel). */
+  def funnelStages(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    val stage = (df: DataFrame, n: Int, name: String) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("event"), $"n_users")
+    stage(v, 1, "view")
+      .union(stage(c, 2, "click_after_view"))
+      .union(stage(p, 3, "purchase_after_click"))
+  }
+
+  def q72Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    funnelStages(Tables.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us")))
+      .orderBy($"stage")
+  }
+
+  val q72Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       v AS (
+         SELECT user_id, min(us) AS t1 FROM e
+         WHERE event_type = 'view' GROUP BY 1),
+       c AS (
+         SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+         WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+       p AS (
+         SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+         WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+       SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event,
+              CAST(count(*) AS BIGINT) AS n_users FROM v
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'click_after_view',
+              CAST(count(*) AS BIGINT) FROM c
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'purchase_after_click',
+              CAST(count(*) AS BIGINT) FROM p
+       ORDER BY stage"""
+
+  /** TF-IDF top-3 terms per document. score_bp =
+    * floor(tf · ln((N+1)/(df+1)) · 1000): both engines evaluate the
+    * identical double expression (IEEE division and multiplication are
+    * correctly rounded; ln is the one library call — verified identical
+    * on this corpus at both test scales). Ties and ordering are decided
+    * by (score_bp DESC, term ASC), i.e. on integers/strings only. */
+  def q73Tfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nd = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfx, "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("score_bp",
+        floor($"tf" * log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))) * lit(1000.0))
+          .cast("long"))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy($"doc_id")
+          .orderBy($"score_bp".desc, $"term".asc)).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"score_bp")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val q73Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2),
+       dfx AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       sc AS (
+         SELECT doc_id, term, tf, df,
+           CAST(floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000.0) AS BIGINT) AS score_bp
+         FROM tf JOIN dfx USING (term) CROSS JOIN nd),
+       rk AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_bp DESC, term) AS rnk
+         FROM sc)
+       SELECT doc_id, rnk, term, tf, df, score_bp
+       FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
+  /** Global top-20 word bigrams with counts (deterministic tiebreak on
+    * the bigram text). Bigrams come from lead() over (doc, pos) — NOT
+    * from a transform/element_at lambda, which re-tokenizes per element
+    * access (the round-1 HOF pitfall). */
+  def q74Bigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    tok
+      .withColumn("nxt",
+        lead($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"nxt".isNotNull)
+      .select(concat_ws(" ", $"tok", $"nxt").as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  val q74Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       b AS (
+         SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         FROM tk WHERE len(tk) >= 2)
+       SELECT bigram, CAST(count(*) AS BIGINT) AS n
+       FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
+
+  /** Per-lang sampling thresholds: floor(fraction · 2³²) as exact
+    * integer literals (en 10%, every other lang 30%) — shared between
+    * the Spark dim and the oracle CASE so no float appears anywhere. */
+  private[operators] val sampleThresholds: Seq[(String, Long)] = Seq(
+    "en" -> 429496729L, "de" -> 1288490188L, "es" -> 1288490188L,
+    "fr" -> 1288490188L, "zh" -> 1288490188L)
+
+  /** Deterministic stratified sampling: keep doc iff
+    * (doc_id · 2654435761) mod 2³² < threshold(lang) — Knuth's
+    * multiplicative hash against a per-stratum threshold from a
+    * broadcast dim (the scalable form of `DataFrameStatFunctions
+    * .sampleBy`, but reproducible across engines and runs). Output is
+    * the per-stratum accounting; the kept-rows path is the same filter
+    * without the aggregation. */
+  def q75StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fr = s.createDataFrame(sampleThresholds).toDF("lang", "thresh")
+    Tables.documents(s, d)
+      .join(broadcast(fr), "lang")
+      .withColumn("kept",
+        ($"doc_id" * lit(2654435761L)) % lit(4294967296L) < $"thresh")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("sample_permille", expr("n_sampled * 1000 div n_total"))
+      .orderBy($"lang")
+  }
+
+  val q75Oracle: String =
+    """WITH k AS (
+         SELECT lang,
+           CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                     (CASE WHEN lang = 'en' THEN 429496729 ELSE 1288490188 END)
+                THEN 1 ELSE 0 END AS kept
+         FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(kept) AS BIGINT) AS n_sampled,
+         CAST(sum(kept) * 1000 // count(*) AS BIGINT) AS sample_permille
+       FROM k GROUP BY lang ORDER BY lang"""
+
+  /** Per-language vocabulary profile: distinct terms, hapax legomena
+    * (terms occurring exactly once in the stratum), total token count,
+    * hapax share in permille. */
+  def q76Vocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("term"))
+    tok.groupBy($"lang", $"term").agg(count(lit(1)).as("cnt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum($"cnt").as("n_tokens"))
+      .withColumn("hapax_permille", expr("n_hapax * 1000 div n_terms"))
+      .orderBy($"lang")
+  }
+
+  val q76Oracle: String =
+    """WITH tok AS (
+         SELECT lang,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tc AS (
+         SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+         FROM tok GROUP BY 1, 2)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hapax_permille
+       FROM tc GROUP BY lang ORDER BY lang"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_funnel" -> q72Funnel,
+    "q73_tfidf" -> q73Tfidf,
+    "q74_bigrams" -> q74Bigrams,
+    "q75_stratified_sample" -> q75StratifiedSample,
+    "q76_vocab" -> q76Vocab,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q72_funnel" -> q72Oracle,
+    "q73_tfidf" -> q73Oracle,
+    "q74_bigrams" -> q74Oracle,
+    "q75_stratified_sample" -> q75Oracle,
+    "q76_vocab" -> q76Oracle,
+  )
+}

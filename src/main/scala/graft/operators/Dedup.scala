@@ -235,10 +235,10 @@ object Dedup {
          CAST(sum(CASE WHEN vote > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
        FROM votes GROUP BY doc_id ORDER BY doc_id"""
 
-  /** SimHash near-dup pairs via 4×15-bit banded blocking + hamming
-    * verification (≤ 3 bits). Pigeonhole: hamming ≤ 3 over 4 bands ⇒
-    * at least one band identical, so the block join is lossless. */
-  def q44SimhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Un-ordered simhash near-dup pairs (doc1 < doc2, hamming ≤ 3) —
+    * shared by q44 (which just orders them) and q71 (which treats them
+    * as the edge set for cluster extraction). */
+  private[operators] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sims = q43Simhash(s, d)
     val chunks = s.createDataFrame(
@@ -258,11 +258,21 @@ object Dedup {
         bit_count($"m1.simhash".bitwiseXOR($"m2.simhash")).as("hamming"))
       .distinct()
       .filter($"hamming" <= 3)
-      .orderBy($"doc1", $"doc2")
   }
 
-  val q44Oracle: String =
-    """WITH toks AS (
+  /** SimHash near-dup pairs via 4×15-bit banded blocking + hamming
+    * verification (≤ 3 bits). Pigeonhole: hamming ≤ 3 over 4 bands ⇒
+    * at least one band identical, so the block join is lossless. */
+  def q44SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    simhashPairs(s, d).orderBy($"doc1", $"doc2")
+  }
+
+  /** Shared WITH-clause chain for the simhash pair pipeline (the SQL
+    * twin of [[simhashPairs]]): toks → votes → sims → banded → prs.
+    * `prs` carries (doc1, doc2, s1, s2) for doc1 < doc2 band-mates. */
+  private val simhashPairsWith: String =
+    """toks AS (
          SELECT doc_id,
            ('0x' || substr(md5(unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> ''))), 1, 15))::BIGINT AS h
          FROM documents),
@@ -278,14 +288,94 @@ object Dedup {
          SELECT doc_id, simhash, c,
            (simhash // (1::BIGINT << (15*c))) % 32768 AS chunk_val
          FROM sims, (SELECT unnest(generate_series(0, 3)) AS c)),
-       pairs AS (
+       prs AS (
          SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
            l.simhash AS s1, r.simhash AS s2
          FROM banded l JOIN banded r
-           ON l.c = r.c AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id)
+           ON l.c = r.c AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id)"""
+
+  val q44Oracle: String =
+    s"""WITH $simhashPairsWith
        SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
-       FROM pairs WHERE bit_count(xor(s1, s2)) <= 3
+       FROM prs WHERE bit_count(xor(s1, s2)) <= 3
        ORDER BY doc1, doc2"""
+
+  /** Near-dup CLUSTER extraction — the step a training pipeline
+    * actually needs after pair generation: connected components over
+    * the near-dup graph, labeling every involved doc with its
+    * component's minimum doc_id (the canonical survivor; "drop every
+    * doc where doc_id != cluster_id" is then the dedup policy).
+    *
+    * Spark-side: Pregel-style iterative min-label propagation —
+    * labels(v) := min(labels(v), min over neighbors) until a fixpoint,
+    * O(diameter) rounds. Each round is one equi-join + partial-agg
+    * groupBy on the edge list; `localCheckpoint` after every round
+    * truncates the lineage (without it the plan doubles per iteration
+    * and the job DAG, not the data, becomes the bottleneck). The
+    * convergence check is a scalar count per round — the standard
+    * driver-side loop of distributed graph processing, not a
+    * data collect. At 100 TB: same loop with edges pre-partitioned by
+    * src (the per-round shuffle reuses the partitioning), or
+    * alternating large-star/small-star (O(log n) rounds) if diameters
+    * are long; near-dup graphs are overwhelmingly tiny star clusters,
+    * so diameter-bound propagation is the right default.
+    *
+    * Oracle: recursive CTE flooding every label through the edge set,
+    * then min per vertex — exponential-state transitive closure that
+    * only works at oracle scale, which is exactly why the engine side
+    * iterates instead. */
+  /** Min-label propagation to a fixpoint over an undirected pair list
+    * (doc1, doc2): every vertex ends up labeled with its connected
+    * component's minimum id. The iterative core of [[q71DedupClusters]],
+    * exposed for direct testing on crafted graphs (chains exercise the
+    * multi-round path). */
+  def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    // undirected edge list, materialized once (reused every round)
+    val edges = pairs
+      .union(pairs.select($"doc2".as("doc1"), $"doc1".as("doc2")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val cand = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy($"dst").agg(min($"lbl").as("cand"))
+      // carry the previous label through the checkpoint so convergence
+      // is a local filter-count over materialized rows, not a second
+      // join per round (halves the per-round cost)
+      val next = labels.join(cand, labels("doc_id") === cand("dst"), "left")
+        .select(labels("doc_id"), $"lbl".as("old"),
+          least($"lbl", coalesce($"cand", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.filter($"lbl" =!= $"old").isEmpty
+      labels = next.select($"doc_id", $"lbl")
+    }
+    labels.select($"doc_id", $"lbl".as("cluster_id"))
+  }
+
+  def q71DedupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    minLabelComponents(simhashPairs(s, d).select($"doc1", $"doc2"))
+      .orderBy($"doc_id")
+  }
+
+  val q71Oracle: String =
+    s"""WITH RECURSIVE $simhashPairsWith,
+       good AS (
+         SELECT doc1, doc2 FROM prs WHERE bit_count(xor(s1, s2)) <= 3),
+       edges AS (
+         SELECT doc1 AS a, doc2 AS b FROM good
+         UNION ALL SELECT doc2, doc1 FROM good),
+       reach(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id)
+       SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
   /** Edit-distance (Levenshtein) fuzzy near-dup: block on (lang,
     * 64-char length bucket), compare 40-char prefixes within a block,
@@ -342,6 +432,7 @@ object Dedup {
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
     "q44_simhash_pairs" -> q44SimhashPairs,
+    "q71_dedup_clusters" -> q71DedupClusters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,5 +442,6 @@ object Dedup {
     "q42_ngram_jaccard" -> q42Oracle,
     "q43_simhash" -> q43Oracle,
     "q44_simhash_pairs" -> q44Oracle,
+    "q71_dedup_clusters" -> q71Oracle,
   )
 }
