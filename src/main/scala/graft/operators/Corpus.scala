@@ -240,8 +240,123 @@ object Corpus {
          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hapax_permille
        FROM tc GROUP BY lang ORDER BY lang"""
 
+  /** Unigram-LM surprisal quality scoring — the statistical-outlier
+    * filter of an LLM data pipeline: score every document by its mean
+    * token surprisal −E[ln p(token)] under the corpus' own unigram
+    * model (gibberish and boilerplate both land in the tails).
+    *
+    * Numeric parity design: the per-TERM surprisal is quantized to
+    * integer micro-nats FIRST (floor(ln(T/cnt)·10⁶) — one double ln
+    * per distinct term, same expression both engines), and the per-doc
+    * mean is then pure integer arithmetic (Σ tf·s_micro div n_tokens).
+    * Summing doubles per doc would be reduce-order-dependent; summing
+    * longs is exact in any order — the same quantize-then-sum rule the
+    * embedding queries use.
+    *
+    * Scale: term counts are one partial-agg groupBy; the scalar T
+    * broadcasts; the per-doc pass reuses the (doc, term) tf relation.
+    */
+  def q77Surprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    tf.join(tc, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"t" * lit(1.0)) / $"cnt") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        sum($"tf" * $"s_micro").as("s_sum"))
+      .withColumn("surprisal_micro", expr("s_sum div n_tokens"))
+      .select($"doc_id", $"n_tokens", $"surprisal_micro")
+      .orderBy($"doc_id")
+  }
+
+  val q77Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2),
+       tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+       sc AS (
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * CAST(floor(ln((t * 1.0) / cnt) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_sum
+         FROM tf JOIN tc USING (term) CROSS JOIN tot GROUP BY 1)
+       SELECT doc_id, n_tokens, CAST(s_sum // n_tokens AS BIGINT) AS surprisal_micro
+       FROM sc ORDER BY doc_id"""
+
+  /** Benchmark decontamination: flag training documents sharing word
+    * 3-gram shingles with a holdout/benchmark set (here: source =
+    * 'src0' stands in as the benchmark corpus). Output per candidate
+    * doc: its distinct-shingle count, how many of those appear
+    * anywhere in the benchmark set, and the overlap share.
+    *
+    * Scale: the benchmark shingle set is distinct-ed and BROADCAST —
+    * benchmark suites are tiny next to training corpora, so the
+    * candidate side streams map-side with zero shuffle for the
+    * membership probe (at extreme benchmark sizes, swap in a bloom
+    * filter build + might_contain prefilter, same shape as the
+    * AdaptiveSpec runtime-filter pattern). Shingles ride the
+    * single-pass ShingleHashes expression on the Spark side and its
+    * md5 SQL twin in the oracle. */
+  def q78Decontam(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15))
+          .as("sh"))
+    val bench = sh.filter($"source" === "src0").select($"sh").distinct()
+    val cand = sh.filter($"source" =!= "src0")
+    val totals = cand.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cand.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contam"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_contam", lit(0L)).as("n_contam"))
+      .withColumn("contam_permille", expr("n_contam * 1000 div n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val q78Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, source,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, source, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       inv AS (
+         SELECT doc_id, source,
+           unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+         FROM sh WHERE len(shd) > 0),
+       bench AS (SELECT DISTINCT sh FROM inv WHERE source = 'src0'),
+       cand AS (SELECT doc_id, sh FROM inv WHERE source <> 'src0'),
+       tot AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         FROM cand GROUP BY 1),
+       hit AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam
+         FROM cand WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+       SELECT tot.doc_id, n_shingles,
+         coalesce(n_contam, 0) AS n_contam,
+         CAST(coalesce(n_contam, 0) * 1000 // n_shingles AS BIGINT) AS contam_permille
+       FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_funnel" -> q72Funnel,
+    "q77_surprisal" -> q77Surprisal,
+    "q78_decontam" -> q78Decontam,
     "q73_tfidf" -> q73Tfidf,
     "q74_bigrams" -> q74Bigrams,
     "q75_stratified_sample" -> q75StratifiedSample,
@@ -250,6 +365,8 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q72_funnel" -> q72Oracle,
+    "q77_surprisal" -> q77Oracle,
+    "q78_decontam" -> q78Oracle,
     "q73_tfidf" -> q73Oracle,
     "q74_bigrams" -> q74Oracle,
     "q75_stratified_sample" -> q75Oracle,

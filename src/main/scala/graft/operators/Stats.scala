@@ -75,9 +75,11 @@ object Stats {
        count(*) AS n
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
-  /** Approximate distinct via HLL — sketch internals are engine-
-    * specific, so this is a rows-only query (no oracle); the relative-
-    * error bound is asserted against the exact counts in StatsSpec.
+  /** Approximate distinct via HLL. Sketch internals are engine-
+    * specific, so the APPROX values can't cross-engine compare — the
+    * output instead carries the exact counts plus error-bound booleans
+    * that the DuckDB oracle pins to TRUE (see below), making the
+    * sketch's contract driver-checked rather than rows-only.
     *
     * Plan shape: two single-distinct aggregations cross-joined, NOT one
     * agg with two countDistinct columns — multiple distinct groups make
@@ -93,9 +95,27 @@ object Stats {
     val orders = li.agg(
       approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
       countDistinct($"l_orderkey").as("exact_orders"))
+    // The sketch values themselves are engine-specific (HLL++ here, a
+    // different HLL in DuckDB), so they can't be hash-compared — but
+    // the sketch's CONTRACT can: emit the exact counts plus a bound
+    // check (|approx − exact| ≤ 10% of exact — 5σ at rsd 0.02), and
+    // let the oracle pin the booleans to TRUE. A sketch regression
+    // (or rsd misconfiguration) then fails the driver compare instead
+    // of silently passing a rows-only check.
     parts.crossJoin(orders)
-      .select($"approx_parts", $"exact_parts", $"approx_orders", $"exact_orders")
+      .select($"exact_parts", $"exact_orders",
+        (abs($"approx_parts" - $"exact_parts") * lit(10L) <=
+          $"exact_parts").as("parts_within_10pct"),
+        (abs($"approx_orders" - $"exact_orders") * lit(10L) <=
+          $"exact_orders").as("orders_within_10pct"))
   }
+
+  val q58Oracle: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+              count(DISTINCT l_orderkey) AS exact_orders,
+              TRUE AS parts_within_10pct,
+              TRUE AS orders_within_10pct
+       FROM lineitem"""
 
   /** Skew-salting idiom: pre-aggregate on (key, salt) to spread a
     * low-cardinality hot key across partitions, then re-aggregate on
@@ -132,6 +152,7 @@ object Stats {
     "q55_cube" -> q55Oracle,
     "q56_distinct_stats" -> q56Oracle,
     "q57_percentiles" -> q57Oracle,
+    "q58_approx_distinct" -> q58Oracle,
     "q59_salted_agg" -> q59Oracle,
   )
 }
