@@ -42,7 +42,16 @@ object Bench {
     val results = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       // min of the successful passes; -1 only if BOTH failed
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val m = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      // adaptive third pass: a slow-looking query whose two timings
+      // disagree badly is usually JIT/GC noise on the shared box (a
+      // round-2 driver run published q03 at 4.8 s vs its usual 1.7 s);
+      // one more measurement costs seconds and de-noises the min
+      val v = if (m >= 1.0 && math.max(a, b) > 1.5 * m) {
+        val t3 = once(SparkEntry.queries(n))
+        if (t3 < 0) m else math.min(m, t3) // a failed re-run never masks m
+      } else m
+      n -> v
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
