@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
   * against `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * Methodology: one warmup pass over the entry query, then TWO measured
-  * passes per query, reporting the per-query MIN. Single-pass numbers on a
-  * shared 32-core box swing ±10-20% (one round-1 run showed 23 s on a
-  * normally-1.2 s query from JIT/GC noise); min-of-2 is the standard cure.
+  * passes per query, reporting the per-query MIN — plus an adaptive THIRD
+  * pass (min-of-3) when the first two disagree by >1.5× on a ≥1 s query
+  * or one of them failed. Single-pass numbers on a shared 32-core box
+  * swing ±10-20% (one round-1 run showed 23 s on a normally-1.2 s query
+  * from JIT/GC noise; a round-2 driver run published 4.8 s for a steady
+  * 1.7 s query even at min-of-2).
   * Each query is forced through a noop datasource write, not `count()` —
   * count lets Catalyst prune every computed column, so a projection-heavy
   * query would report scan cost only.
@@ -44,10 +47,11 @@ object Bench {
       // min of the successful passes; -1 only if BOTH failed
       val m = if (a < 0) b else if (b < 0) a else math.min(a, b)
       // adaptive third pass: a slow-looking query whose two timings
-      // disagree badly is usually JIT/GC noise on the shared box (a
-      // round-2 driver run published q03 at 4.8 s vs its usual 1.7 s);
-      // one more measurement costs seconds and de-noises the min
-      val v = if (m >= 1.0 && math.max(a, b) > 1.5 * m) {
+      // disagree badly — or where one pass failed outright, leaving a
+      // single unchecked sample — is usually JIT/GC noise on the shared
+      // box (a round-2 driver run published q03 at 4.8 s vs its usual
+      // 1.7 s); one more measurement costs seconds and de-noises the min
+      val v = if (m >= 1.0 && (a < 0 || b < 0 || math.max(a, b) > 1.5 * m)) {
         val t3 = once(SparkEntry.queries(n))
         if (t3 < 0) m else math.min(m, t3) // a failed re-run never masks m
       } else m

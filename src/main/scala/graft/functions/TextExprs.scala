@@ -11,13 +11,34 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Shared single-pass implementation of shingle hashing, callable from
-  * both interpreted eval and generated code. */
-object ShingleHashesImpl {
+/** The one md5-prefix hash convention every text operator and every
+  * DuckDB oracle shares: first `nibbles` hex chars of md5(s) parsed
+  * base-16 (== high 4·nibbles bits of the digest). Centralized so a
+  * convention change cannot silently diverge between expressions. */
+object Md5Prefix {
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
+
+  def hash(s: String, nibbles: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    val dig = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < (nibbles + 1) / 2) {
+      h = (h << 8) | (dig(b) & 0xffL)
+      b += 1
+    }
+    if (nibbles % 2 == 1) h >>>= 4
+    h
+  }
+}
+
+/** Shared single-pass implementation of shingle hashing, callable from
+  * both interpreted eval and generated code. */
+object ShingleHashesImpl {
 
   /** text → distinct md5-prefix hashes of word w-gram shingles. */
   def compute(input: UTF8String, width: Int, nibbles: Int): ArrayData = {
@@ -25,7 +46,6 @@ object ShingleHashesImpl {
     val toks = text.split("\\s+").filter(_.nonEmpty)
     val n = toks.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val md = digest.get()
     val seen = new java.util.LinkedHashSet[Long]()
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -37,17 +57,7 @@ object ShingleHashesImpl {
         sb.append(toks(i + k))
         k += 1
       }
-      md.reset()
-      val dig = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
-      // first `nibbles` hex chars == high 4*nibbles bits of the digest
-      var h = 0L
-      var b = 0
-      while (b < (nibbles + 1) / 2) {
-        h = (h << 8) | (dig(b) & 0xffL)
-        b += 1
-      }
-      if (nibbles % 2 == 1) h >>>= 4
-      seen.add(h)
+      seen.add(Md5Prefix.hash(sb.toString, nibbles))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -103,36 +113,25 @@ case class ShingleHashes(child: Expression, width: Int, nibbles: Int)
 
 /** Shared single-pass SimHash implementation (interpreted + codegen). */
 object SimHash60Impl {
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
 
   /** text → 60-bit SimHash over whitespace tokens, or null if the text
     * has no tokens (matching the explode-based formulation, where a
     * token-less doc vanishes from the aggregation).
     *
-    * Per token: h = first 15 hex chars of md5(token) as a long (high 60
-    * bits of the digest). Bit j of the fingerprint is 1 iff
+    * Per token: h = [[Md5Prefix]] at 15 nibbles (high 60 bits of the
+    * digest). Bit j of the fingerprint is 1 iff
     * Σ_tokens (bit_j(h) ? +1 : −1) > 0. Every occurrence votes (no
     * dedup) — same as the oracle's unnest. */
   def compute(input: UTF8String): java.lang.Long = {
     val toks = input.toString.split("\\s+")
     val votes = new Array[Int](60)
-    val md = digest.get()
     var any = false
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (t.nonEmpty) {
         any = true
-        md.reset()
-        val dig = md.digest(t.getBytes(StandardCharsets.UTF_8))
-        // first 15 hex chars == high 60 bits of the digest
-        var h = 0L
-        var b = 0
-        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
-        h >>>= 4
+        val h = Md5Prefix.hash(t, 15)
         var j = 0
         while (j < 60) {
           votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)

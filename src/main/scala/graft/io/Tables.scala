@@ -28,11 +28,14 @@ object Tables {
     * nanos, so engine outputs derived from `ts` are always emitted at
     * second (or coarser) granularity, where floor(ns)==floor(µs). */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Fallback for driver-owned sessions (e.g. the smoke check calling
-    // SparkEntry.entry) that don't go through our builders; our own
-    // Verify/Bench/test sessions already set this at build time.
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // DELIBERATE session-global mutation, kept (unlike the streaming
+    // readers, which require the builder-set conf): this is the one
+    // entry point a driver-owned session (e.g. the smoke check calling
+    // SparkEntry.entry) reaches without our builders, and without the
+    // conf the read throws outright. The flag only affects parquet
+    // files that actually carry TIMESTAMP(NANOS) — of the testdata,
+    // exactly this table.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
       // integer division: ns values exceed 2^53, double `/` mis-truncates
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -101,7 +101,12 @@ object Corpus {
     import s.implicits._
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(tokens($"text")).as("term"))
+    // tf feeds three branches (scored, df, N); materialize it once —
+    // without the checkpoint each branch re-runs the scan + tokenize +
+    // (doc, term) shuffle (column pruning makes the subtrees differ, so
+    // ReuseExchange alone does not unify them)
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nd = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfx, "term")
@@ -178,19 +183,29 @@ object Corpus {
     "fr" -> 1288490188L, "zh" -> 1288490188L)
 
   /** Deterministic stratified sampling: keep doc iff
-    * (doc_id · 2654435761) mod 2³² < threshold(lang) — Knuth's
-    * multiplicative hash against a per-stratum threshold from a
-    * broadcast dim (the scalable form of `DataFrameStatFunctions
+    * ((doc_id mod 2³¹) · 2654435761) mod 2³² < threshold(lang) —
+    * Knuth's multiplicative hash against a per-stratum threshold from
+    * a broadcast dim (the scalable form of `DataFrameStatFunctions
     * .sampleBy`, but reproducible across engines and runs). Output is
     * the per-stratum accounting; the kept-rows path is the same filter
-    * without the aggregation. */
+    * without the aggregation.
+    *
+    * Overflow discipline: the key is reduced mod 2³¹ BEFORE the
+    * multiply, so the product is ≤ (2³¹)·2654435761 < 2⁶³ for any
+    * 64-bit doc_id — no ANSI overflow at any corpus size (the unreduced
+    * form throws past doc_id ≈ 3.5e9 on both engines). Ids differing by
+    * exactly 2³¹ share a hash — irrelevant for sampling.
+    * Unknown strata fall back to the default 30% threshold via LEFT
+    * join + coalesce (matching the oracle's CASE ELSE) instead of being
+    * silently dropped by an inner join. */
   def q75StratifiedSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fr = s.createDataFrame(sampleThresholds).toDF("lang", "thresh")
     Tables.documents(s, d)
-      .join(broadcast(fr), "lang")
+      .join(broadcast(fr), Seq("lang"), "left")
       .withColumn("kept",
-        ($"doc_id" * lit(2654435761L)) % lit(4294967296L) < $"thresh")
+        ($"doc_id" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L) <
+          coalesce($"thresh", lit(1288490188L)))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_total"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_sampled"))
@@ -201,7 +216,7 @@ object Corpus {
   val q75Oracle: String =
     """WITH k AS (
          SELECT lang,
-           CASE WHEN (doc_id * 2654435761) % 4294967296 <
+           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 <
                      (CASE WHEN lang = 'en' THEN 429496729 ELSE 1288490188 END)
                 THEN 1 ELSE 0 END AS kept
          FROM documents)
@@ -260,7 +275,9 @@ object Corpus {
     import s.implicits._
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(tokens($"text")).as("term"))
+    // materialized once for the same three-branch reason as q73's tf
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
     val tot = tc.agg(sum($"cnt").as("t"))
     tf.join(tc, "term")

@@ -16,4 +16,18 @@ class StatsSpec extends SparkSpec {
       s"orders sketch outside 10%: $r")
     assert(r.getAs[Long]("exact_parts") > 0 && r.getAs[Long]("exact_orders") > 0)
   }
+
+  test("sketch error is within 6% (3x the requested 2% rsd)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.io.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      countDistinct(col("l_partkey")).as("ep"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+      countDistinct(col("l_orderkey")).as("eo")).head()
+    val (ap, ep) = (r.getAs[Long]("ap"), r.getAs[Long]("ep"))
+    val (ao, eo) = (r.getAs[Long]("ao"), r.getAs[Long]("eo"))
+    assert(math.abs(ap - ep).toDouble / ep < 0.06, s"parts: $ap vs $ep")
+    assert(math.abs(ao - eo).toDouble / eo < 0.06, s"orders: $ao vs $eo")
+  }
 }
