@@ -109,6 +109,71 @@ object EventStreams {
     sessionizeStateful(evs, gapUs, emitOpen = false)
   }
 
+  // ---- stateful funnel tracking (flatMapGroupsWithState) ----
+
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  /** Per-user funnel progress: first view time, first qualifying click
+    * time, first qualifying purchase time (-1 = not reached). */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelAdvance(user_id: Long, stage: Long)
+
+  /** The streaming twin of the batch funnel (q72) as CUSTOM STATE: a
+    * user's funnel progress survives in GroupState across microbatches,
+    * and a row is emitted each time the user ADVANCES a stage (stage is
+    * monotone per user, so downstream consumers can max-aggregate).
+    *
+    * Semantics match Corpus.funnelStages given event-time-ordered
+    * batch arrival (the same contract the stateful sessionizer
+    * documents): t1 = first view; t2 = first click strictly after t1;
+    * t3 = first purchase strictly after t2. State is three longs per
+    * user — bounded regardless of stream length; users who never view
+    * keep no state at all. */
+  def funnelStateful(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_type))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val stage0 = if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2
+            else if (st.t1 >= 0) 1 else 0
+          evs.foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 < 0 => st = st.copy(t1 = e.us)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && e.us > st.t1 =>
+                st = st.copy(t2 = e.us)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.us > st.t2 =>
+                st = st.copy(t3 = e.us)
+              case _ => ()
+            }
+          }
+          val stage1 = if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2
+            else if (st.t1 >= 0) 1 else 0
+          if (stage1 > stage0) {
+            state.update(st)
+            // one row per newly reached stage keeps monotonicity explicit
+            ((stage0 + 1) to stage1).iterator
+              .map(sg => FunnelAdvance(user, sg.toLong))
+          } else {
+            if (stage1 > 0) state.update(st)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming funnel over the staged events dir. */
+  def funnelStream(s: SparkSession, eventsDir: String): Dataset[FunnelAdvance] = {
+    import s.implicits._
+    val evs = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us")).as[FunnelEvent]
+    funnelStateful(evs)
+  }
+
   // ---- stream-stream interval join + streaming dedup ----
 
   /** Attribution-style stream-stream interval join: each purchase joins

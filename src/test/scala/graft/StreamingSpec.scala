@@ -93,6 +93,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming funnel == batch q72 stage counts") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // batch truth: stage -> n_users from the oracle-checked pipeline
+    val batchCounts = graft.operators.Corpus.q72Funnel(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    // stage the events as two time-ordered microbatches (same ingest
+    // contract as the sessionization test)
+    val staged = java.nio.file.Files.createTempDirectory("events_funnel")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+
+    val q = EventStreams.funnelStream(spark, s"$staged/*")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      // advances are monotone per user: max = final stage reached
+      val finalStage = spark.table("funnel_out")
+        .groupBy($"user_id").agg(max($"stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamedCounts = (1L to 3L).map(sg =>
+        sg -> finalStage.values.count(_ >= sg).toLong).toMap
+      assert(streamedCounts == batchCounts,
+        s"streamed $streamedCounts vs batch $batchCounts")
+      assert(batchCounts(1L) > 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
