@@ -196,12 +196,20 @@ object Similarity {
     * At 100 TB: assignment is a broadcast argmax per vector (one scan),
     * the probe is an equi-join on cell id — the inverted-file trade of
     * recall for a bucket-bounded candidate set. */
-  def q48AnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** Deterministic IVF centroid subset (every 50th vector). */
+  private def ivfCentroids(q: DataFrame): DataFrame = {
+    val s = q.sparkSession
     import s.implicits._
-    val q = quantized(s, d)
-    val centroids = q.filter($"vec_id" % 50 === 0)
+    q.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("centroid_id"), $"qa".as("cv"), $"n2".as("cn"))
-    val assigned = q.join(broadcast(centroids))
+  }
+
+  /** Nearest-centroid assignment (broadcast argmax per vector) —
+    * shared by q48 (cell-probe ANN) and q79 (Lloyd step). */
+  private def ivfAssigned(q: DataFrame, centroids: DataFrame): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    q.join(broadcast(centroids))
       .withColumn("num", dotQ($"qa", $"cv"))
       .withColumn("key", expr("(num * abs(num) * 10000) div (n2 * cn)"))
       .withColumn("arn", row_number().over(
@@ -209,6 +217,12 @@ object Similarity {
           .partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
       .filter($"arn" === 1)
       .select($"vec_id", $"label", $"qa", $"n2", $"centroid_id".as("cell"))
+  }
+
+  def q48AnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val assigned = ivfAssigned(q, ivfCentroids(q))
     val queries = assigned.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"), $"cell")
     val corpus = assigned.select($"vec_id".as("cid"), $"qa".as("cv2"),
@@ -225,8 +239,11 @@ object Similarity {
       .orderBy($"qid", $"rn")
   }
 
-  val q48Oracle: String =
-    """WITH q AS (
+  /** Shared WITH-clause chain for the IVF assignment (the SQL twin of
+    * [[ivfAssigned]]): quantize → norms → centroid subset → argmax
+    * assignment → `cells` (vec_id, qa, n2, cell). */
+  private val ivfAssignWith: String =
+    """q AS (
          SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
          FROM embeddings),
        n AS (
@@ -244,7 +261,10 @@ object Similarity {
            SELECT a.vec_id, a.qa, a.n2, c.centroid_id, c.cn,
              CAST(list_sum(list_transform(list_zip(a.qa, c.cv), p -> p[1]*p[2])) AS BIGINT) AS num
            FROM n a, cent c)),
-       cells AS (SELECT vec_id, qa, n2, cell FROM assign WHERE arn = 1),
+       cells AS (SELECT vec_id, qa, n2, cell FROM assign WHERE arn = 1)"""
+
+  val q48Oracle: String =
+    s"""WITH $ivfAssignWith,
        scored AS (
          SELECT a.vec_id AS qid, a.cell, b.vec_id AS cid,
            CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
@@ -259,11 +279,63 @@ object Similarity {
        SELECT qid, cell, cid, rank_key, rn FROM ranked WHERE rn <= 5
        ORDER BY qid, rn"""
 
+  /** One Lloyd (k-means) iteration over the IVF assignment — the
+    * iterative ML primitive behind IVF index maintenance and embedding
+    * clustering: recompute each cell's centroid as the element-wise
+    * integer mean of its members, and report cell size, L1 drift from
+    * the seed centroid, and the new centroid's squared norm.
+    *
+    * Shape at scale: the assignment is the broadcast argmax (shared
+    * with q48); the recompute is posexplode → (cell, dim) partial-agg
+    * groupBy — dims are fixed (64), so the shuffle is |cells|·64 rows
+    * regardless of corpus size, with map-side combine doing the heavy
+    * summation. Integer means (`div` truncates toward zero identically
+    * in both engines, negatives included) keep the step bit-exact. A
+    * full k-means just repeats this block under the q71-style
+    * driver loop with localCheckpoint per round. */
+  def q79KmeansStep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val centroids = ivfCentroids(q)
+    val memb = ivfAssigned(q, centroids)
+      .select($"cell", posexplode($"qa").as(Seq("pos", "v")))
+    val newc = memb.groupBy($"cell", $"pos")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .withColumn("nc", expr("sv div n"))
+    val oldc = centroids.select($"centroid_id".as("cell"),
+      posexplode($"cv").as(Seq("pos", "ov")))
+    newc.join(oldc, Seq("cell", "pos"))
+      .groupBy($"cell")
+      .agg(max($"n").as("n_members"),
+        sum(abs($"nc" - $"ov")).as("drift_l1"),
+        sum($"nc" * $"nc").as("new_norm2"))
+      .orderBy($"cell")
+  }
+
+  val q79Oracle: String =
+    s"""WITH $ivfAssignWith,
+       memb AS (
+         SELECT cell, i AS pos, qa[i] AS v
+         FROM cells, unnest(generate_series(1, len(qa))) AS t(i)),
+       newc AS (
+         SELECT cell, pos, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS nc,
+           CAST(count(*) AS BIGINT) AS n
+         FROM memb GROUP BY 1, 2),
+       oldc AS (
+         SELECT centroid_id AS cell, i AS pos, cv[i] AS ov
+         FROM cent, unnest(generate_series(1, len(cv))) AS t(i))
+       SELECT cell, CAST(max(n) AS BIGINT) AS n_members,
+         CAST(sum(abs(nc - ov)) AS BIGINT) AS drift_l1,
+         CAST(sum(nc * nc) AS BIGINT) AS new_norm2
+       FROM newc JOIN oldc USING (cell, pos)
+       GROUP BY cell ORDER BY cell"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_embedding_neardup" -> q45EmbeddingNearDup,
     "q46_ann_topk" -> q46AnnTopK,
     "q47_ann_lsh" -> q47AnnLsh,
     "q48_ann_ivf" -> q48AnnIvf,
+    "q79_kmeans_step" -> q79KmeansStep,
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,5 +343,6 @@ object Similarity {
     "q46_ann_topk" -> q46Oracle,
     "q47_ann_lsh" -> q47Oracle,
     "q48_ann_ivf" -> q48Oracle,
+    "q79_kmeans_step" -> q79Oracle,
   )
 }
