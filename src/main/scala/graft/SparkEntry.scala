@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Stats.queries ++
       operators.RangeJoin.queries ++
       operators.Reshape.queries ++
-      operators.Corpus.queries
+      operators.Corpus.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.Stats.oracles ++
       operators.RangeJoin.oracles ++
       operators.Reshape.oracles ++
-      operators.Corpus.oracles
+      operators.Corpus.oracles ++
+      operators.Curation.oracles
 }

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Dataset-curation operators — the steps between "scored documents"
+  * and "training shards" in an LLM data pipeline: cross-document
+  * duplicated-passage detection, per-document repetition profiling
+  * (Gopher-style quality rules), greedy sequence packing into
+  * fixed-size token bins, pattern scrubbing/redaction accounting, and
+  * the deterministic train/val/test split.
+  *
+  * Scale design:
+  *  - q34 passage dedup: chunking is one (doc, chunk_no) partial-agg
+  *    groupBy over the exploded token stream (the shuffle key includes
+  *    doc_id, so it redistributes the corpus once); the cross-doc
+  *    roll-up groups by chunk text — the classic inverted-index shape
+  *    whose fan-in is bounded by passage frequency. Only repeated
+  *    passages survive the HAVING, so the output is tiny at any scale.
+  *  - q35 repetition profile: both passes are partial-agg groupBys
+  *    keyed by doc_id(+term) — map-side combine does the heavy
+  *    counting; no global structure is ever built.
+  *  - q36 sequence packing: one window per lang partition, ordered by
+  *    doc_id (a single shuffle); bin assignment is pure integer
+  *    arithmetic on the running sum. At 100 TB packing is per-shard by
+  *    construction: partition the corpus, pack within partitions —
+  *    exactly what partitionBy(lang) models here.
+  *  - q37 scrub: scan-side regexp projections + one partial-agg
+  *    groupBy on a low-cardinality key. Redaction at scale IS a scan.
+  *  - q38 split: the same multiplicative-hash-vs-threshold filter as
+  *    q75's sampler, but exhaustive (every doc lands in exactly one
+  *    split) — zero shuffles beyond the accounting groupBy, and the
+  *    assignment is reproducible across engines, runs, and cluster
+  *    sizes (which `rand(seed)` cannot give).
+  */
+object Curation {
+
+  /** Duplicated-passage detection (chunk-level dedup, à la C4/RefinedWeb
+    * line dedup but over fixed 8-token windows): split every document
+    * into non-overlapping 8-token chunks (ragged tails dropped), then
+    * report every chunk text that occurs in ≥ 2 distinct documents.
+    * Downstream policy: cut the passage from every doc but `first_doc`.
+    */
+  def q34PassageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    // sort_array over the collected (pos, tok) structs restores token
+    // order deterministically — collect_list order is not guaranteed
+    // under partial aggregation.
+    val chunks = tok
+      .withColumn("chunk_no", expr("pos div 8"))
+      .groupBy($"doc_id", $"chunk_no")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct($"pos", $"tok"))).as("st"))
+      .filter($"n" === 8)
+      .select($"doc_id",
+        array_join(expr("transform(st, x -> x.tok)"), " ").as("chunk"))
+    chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"chunk")
+  }
+
+  val q34Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       ch AS (
+         SELECT doc_id,
+           unnest([list_aggregate(tk[i*8+1 : i*8+8], 'string_agg', ' ')
+                   FOR i IN generate_series(0, len(tk)//8 - 1)]) AS chunk
+         FROM tk WHERE len(tk) >= 8)
+       SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occur,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(max(doc_id) AS BIGINT) AS last_doc
+       FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+       ORDER BY chunk"""
+
+  /** Per-document repetition profile — the Gopher-rule family: token
+    * count, distinct-token count, most-frequent-token share, and the
+    * share of bigram occurrences belonging to repeated bigrams (both
+    * in integer permille), plus the resulting `repetitive` flag.
+    * Thresholds (top token > 16%, duplicated bigrams > 20%) are the
+    * quality gate a filtering pass would apply. */
+  def q35RepetitionProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val uni = tf.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_c"))
+    // bigrams via lead() over (doc, pos) — the q74 idiom, not a HOF
+    val bf = tok
+      .withColumn("nxt",
+        lead($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"nxt").as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("bc"))
+    val bs = bf.groupBy($"doc_id")
+      .agg(sum($"bc").as("n_bigrams"),
+        sum(when($"bc" > 1, $"bc").otherwise(0L)).as("dup_occ"))
+    uni.join(bs, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        expr("top_c * 1000 div n_tokens").as("top_tok_permille"),
+        when(coalesce($"n_bigrams", lit(0L)) > 0,
+          expr("coalesce(dup_occ, 0) * 1000 div n_bigrams"))
+          .otherwise(0L).as("dup_bigram_permille"))
+      .withColumn("repetitive",
+        $"top_tok_permille" > 160 || $"dup_bigram_permille" > 200)
+      .orderBy($"doc_id")
+  }
+
+  val q35Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       uni AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+       tf AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+       us AS (
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_c
+         FROM tf GROUP BY 1),
+       bg AS (
+         SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1])) AS bg
+         FROM tk WHERE len(tk) >= 2),
+       bf AS (SELECT doc_id, bg, count(*) AS bc FROM bg GROUP BY 1, 2),
+       bs AS (
+         SELECT doc_id, CAST(sum(bc) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN bc > 1 THEN bc ELSE 0 END) AS BIGINT) AS dup_occ
+         FROM bf GROUP BY 1)
+       SELECT us.doc_id, n_tokens, n_distinct,
+         CAST(top_c * 1000 // n_tokens AS BIGINT) AS top_tok_permille,
+         CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+                   THEN coalesce(dup_occ, 0) * 1000 // n_bigrams
+                   ELSE 0 END AS BIGINT) AS dup_bigram_permille,
+         (top_c * 1000 // n_tokens > 160 OR
+          CASE WHEN coalesce(n_bigrams, 0) > 0
+               THEN coalesce(dup_occ, 0) * 1000 // n_bigrams
+               ELSE 0 END > 200) AS repetitive
+       FROM us LEFT JOIN bs USING (doc_id) ORDER BY doc_id"""
+
+  /** Greedy sequence packing: fill 512-token context bins per language
+    * in doc_id order — each document goes to the bin where the running
+    * token count stood when it arrived (a document that crosses a bin
+    * boundary stays in the bin it started in, so `fill_permille` can
+    * exceed 1000 on its bin; the trailing bin runs short). Per-bin
+    * accounting is what a shard-writer needs to emit fixed-budget
+    * training sequences. */
+  def q36SequencePacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin_id", expr("(cum - n_tok) div 512"))
+      .groupBy($"lang", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"))
+      .withColumn("fill_permille", expr("n_tokens * 1000 div 512"))
+      .orderBy($"lang", $"bin_id")
+  }
+
+  val q36Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+         FROM documents),
+       cum AS (
+         SELECT doc_id, lang, n_tok,
+           CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM tk)
+       SELECT lang, CAST((cum0) AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(sum(n_tok) * 1000 // 512 AS BIGINT) AS fill_permille
+       FROM (SELECT *, (cum - n_tok) // 512 AS cum0 FROM cum)
+       GROUP BY lang, cum0 ORDER BY lang, bin_id"""
+
+  /** Pattern scrub / redaction accounting over the events stream's
+    * props payload: mask every digit run to '#' (the PII-redaction
+    * shape — emails/phones/ids reduce to the same regexp_replace
+    * pipeline) and account per event type: events seen, characters
+    * masked, distinct post-redaction shapes, and a sample shape.
+    * The real redaction pass is the same projection minus the
+    * aggregation — a pure scan-side rewrite. */
+  def q37ScrubProps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        regexp_replace($"props", "[0-9]+", "#").as("shape"),
+        (length($"props") - length(regexp_replace($"props", "[0-9]", "")))
+          .cast("long").as("masked"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"masked").as("masked_chars"),
+        countDistinct($"shape").as("n_shapes"), min($"shape").as("sample_shape"))
+      .orderBy($"event_type")
+  }
+
+  val q37Oracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) AS masked_chars,
+         CAST(count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS BIGINT) AS n_shapes,
+         min(regexp_replace(props, '[0-9]+', '#', 'g')) AS sample_shape
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** 1%/1%/98% split-point thresholds: floor(2³²·0.01) and
+    * floor(2³²·0.02), exact integers shared with the oracle. */
+  private val testBound = 42949672L
+  private val valBound = 85899345L
+
+  /** Deterministic train/val/test split: the q75 multiplicative hash
+    * routes every document into exactly one split (test < 1%, val next
+    * 1%, train the rest), with per-(split, lang) accounting. Unlike
+    * `rand(seed)`, the assignment is a pure function of doc_id —
+    * stable across engines, re-runs, repartitioning, and corpus
+    * growth (existing docs never migrate when new ones arrive). */
+  def q38TrainSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = ($"doc_id" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h < testBound, "test").when(h < valBound, "val").otherwise("train"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  val q38Oracle: String =
+    """WITH k AS (
+         SELECT lang, n_chars,
+           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 42949672
+                THEN 'test'
+                WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 85899345
+                THEN 'val' ELSE 'train' END AS split
+         FROM documents)
+       SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+       FROM k GROUP BY split, lang ORDER BY split, lang"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_passage_dedup" -> q34PassageDedup,
+    "q35_repetition_profile" -> q35RepetitionProfile,
+    "q36_sequence_packing" -> q36SequencePacking,
+    "q37_scrub_props" -> q37ScrubProps,
+    "q38_train_split" -> q38TrainSplit,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_passage_dedup" -> q34Oracle,
+    "q35_repetition_profile" -> q35Oracle,
+    "q36_sequence_packing" -> q36Oracle,
+    "q37_scrub_props" -> q37Oracle,
+    "q38_train_split" -> q38Oracle,
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Targeted tests for the curation operators on crafted corpora —
+  * chunk boundaries, packing bin arithmetic, and split exhaustiveness,
+  * which the synthetic tables exercise only in aggregate. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Write a tiny documents.parquet-shaped table to a temp dir so the
+  // (SparkSession, dir)-signature operators can read it like testdata.
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q34: shared full 8-token chunk detected; ragged 7-token tail ignored") {
+    val shared = "a b c d e f g h" // exactly one full chunk
+    val d = docsDir(Seq(
+      (1L, shared + " x y z q w e r", "en", "s", 1L), // tail of 7 dropped
+      (2L, shared, "en", "s", 1L),
+      (3L, "totally different words one two three four five", "en", "s", 1L)))
+    val got = Curation.q34PassageDedup(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((shared, 2L, 2L, 1L, 2L)))
+  }
+
+  test("q34: chunking is positional — same tokens at shifted offsets differ") {
+    // doc 2's first chunk starts one token later, so no chunk text matches
+    val d = docsDir(Seq(
+      (1L, "a b c d e f g h", "en", "s", 1L),
+      (2L, "z a b c d e f g h", "en", "s", 1L)))
+    assert(Curation.q34PassageDedup(spark, d).isEmpty)
+  }
+
+  test("q35: fully repetitive doc flagged, diverse doc not") {
+    val d = docsDir(Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s", 1L),
+      (2L, "one two three four five six seven eight nine ten", "en", "s", 1L)))
+    val got = Curation.q35RepetitionProfile(spark, d)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_tok_permille",
+        $"dup_bigram_permille", $"repetitive")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 1L, 1000L, 1000L, true),   // 5 identical bigrams, all dup
+      (2L, 10L, 10L, 100L, 0L, false)))   // 1000/10 = 100 permille < 160
+  }
+
+  test("q36: doc crossing the 512 boundary stays in its starting bin; per-lang reset") {
+    // en: 300 + 300 tokens -> doc 2 starts at cum=300 (bin 0), crosses 512
+    // de: starts its own bin 0 regardless of en totals
+    val t300 = Seq.fill(300)("w").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, t300, "en", "s", 1L), (2L, t300, "en", "s", 1L),
+      (3L, t300, "de", "s", 1L)))
+    val got = Curation.q36SequencePacking(spark, d)
+      .select($"lang", $"bin_id", $"n_docs", $"n_tokens", $"fill_permille")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", 0L, 1L, 300L, 585L),
+      ("en", 0L, 2L, 600L, 1171L))) // both docs land in bin 0; 600*1000/512
+  }
+
+  test("q38: every doc lands in exactly one split and never migrates") {
+    val rows = (0L until 1000L).map(i => (i, "t", "en", "s", 1L))
+    val d = docsDir(rows)
+    val got = Curation.q38TrainSplit(spark, d)
+      .agg(sum($"n_docs")).as[Long].head()
+    assert(got == 1000L)
+    // determinism: identical accounting on a re-read
+    val a = Curation.q38TrainSplit(spark, d).collect().toSeq
+    val b = Curation.q38TrainSplit(spark, d).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q37: masked char accounting equals digits removed") {
+    // crafted via events-shaped temp table
+    val dir = java.nio.file.Files.createTempDirectory("curation-ev").toString
+    // ts as raw nanosecond longs — Tables.events reads the testdata's
+    // TIMESTAMP(NANOS) column as long (nanosAsLong) and floors to µs
+    Seq(
+      (1L, 0L, 10L, "click", 1.0, """{"k": 123, "id": 45}"""),
+      (2L, 0L, 11L, "click", 1.0, """{"k": 7}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Curation.q37ScrubProps(spark, dir)
+      .select($"event_type", $"n_events", $"masked_chars", $"n_shapes")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // 5 digits in row 1, 1 digit in row 2; shapes differ ({"k": #, "id": #} vs {"k": #})
+    assert(got == Seq(("click", 2L, 6L, 2L)))
+  }
+}
