@@ -110,10 +110,97 @@ object Multimodal {
          array_to_string([i FOR i IN generate_series(0, n_frames - 1, (n_frames + 7) // 8)], ',') AS sampled_frames
        FROM meta ORDER BY doc_id"""
 
+  case class FrameOut(doc_id: Long, frame_no: Long, frame_bytes: Array[Byte])
+
+  /** Typed frame-extraction path: one output row per sampled frame,
+    * with STUB frame payloads (deterministic bytes derived from
+    * (doc_id, frame_no) — a real FFmpeg seek+decode drops in here).
+    * The flatMap shape is the load-bearing part: frame explosion
+    * happens BEFORE any shuffle, so downstream stages move small
+    * frame payloads, never the source container bytes. */
+  def sampleFramesTyped(in: Dataset[MediaIn]): Dataset[FrameOut] = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.flatMap { r =>
+      val (_, _, f) = FakeDecoder.decode(r.media)
+      val step = (f + MaxFrames - 1) / MaxFrames
+      (0L until f by step).map { no =>
+        // STUB: deterministic fake frame bytes (md5 of "doc:frame")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        FrameOut(r.doc_id, no, md.digest(s"${r.doc_id}:$no".getBytes("UTF-8")))
+      }
+    }
+  }
+
+  /** Frame-sampling explode path (oracle-checked): one row per sampled
+    * frame with its 24fps timestamp, the ViT-style 16px patch grid of
+    * the resized frame, and a stub per-frame feature score (hash of
+    * (doc_id, frame_no) — stands in for an encoder output).
+    *
+    * Plan shape this demonstrates: metadata explode BEFORE payload
+    * movement — the generator multiplies only (doc_id, frame_no) rows,
+    * all sized columns are integer arithmetic on already-extracted
+    * metadata, and the binary column is dropped before the explode so
+    * no payload byte survives into the widened relation. */
+  def q51FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    val meta = Tables.documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .withColumn("width", h1 % 640 + 16)
+      .withColumn("height", h1 % 480 + 16)
+      .withColumn("n_frames", h1 % 240 + 1)
+      .withColumn("out_w", expr("width * 224 div greatest(width, height)"))
+      .withColumn("out_h", expr("height * 224 div greatest(width, height)"))
+      .drop("media") // payload gone before the explode widens the relation
+    meta
+      .select($"doc_id", $"out_w", $"out_h",
+        explode(sequence(lit(0L), $"n_frames" - 1,
+          expr("(n_frames + 7) div 8"))).as("frame_no"))
+      .withColumn("frame_ts_ms", expr("frame_no * 1000 div 24"))
+      .withColumn("patch_rows", expr("(out_h + 15) div 16"))
+      .withColumn("patch_cols", expr("(out_w + 15) div 16"))
+      .withColumn("n_patches", $"patch_rows" * $"patch_cols")
+      .withColumn("feat",
+        conv(substring(md5(concat($"doc_id", lit(":"), $"frame_no")), 1, 15),
+          16, 10).cast("long") % 1000)
+      .select($"doc_id", $"frame_no", $"frame_ts_ms",
+        $"patch_rows", $"patch_cols", $"n_patches", $"feat")
+      .orderBy($"doc_id", $"frame_no")
+  }
+
+  val q51Oracle: String =
+    """WITH m AS (
+         SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1
+         FROM documents),
+       meta AS (
+         SELECT doc_id,
+           h1 % 640 + 16 AS width, h1 % 480 + 16 AS height,
+           h1 % 240 + 1 AS n_frames
+         FROM m),
+       sz AS (
+         SELECT doc_id, n_frames,
+           width * 224 // greatest(width, height) AS out_w,
+           height * 224 // greatest(width, height) AS out_h
+         FROM meta),
+       fr AS (
+         SELECT doc_id, out_w, out_h,
+           unnest(generate_series(0, n_frames - 1, (n_frames + 7) // 8)) AS frame_no
+         FROM sz)
+       SELECT doc_id, frame_no,
+         frame_no * 1000 // 24 AS frame_ts_ms,
+         (out_h + 15) // 16 AS patch_rows,
+         (out_w + 15) // 16 AS patch_cols,
+         ((out_h + 15) // 16) * ((out_w + 15) // 16) AS n_patches,
+         ('0x' || substr(md5(doc_id || ':' || frame_no), 1, 15))::BIGINT % 1000 AS feat
+       FROM fr ORDER BY doc_id, frame_no"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_multimodal_meta" -> q50MultimodalMeta,
+    "q51_frame_sample" -> q51FrameSample,
   )
   val oracles: Map[String, String] = Map(
     "q50_multimodal_meta" -> q50Oracle,
+    "q51_frame_sample" -> q51Oracle,
   )
 }

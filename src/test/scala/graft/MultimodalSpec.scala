@@ -21,4 +21,33 @@ class MultimodalSpec extends SparkSpec {
     assert(typedPath == exprPath)
     assert(typedPath.nonEmpty)
   }
+
+  test("typed frame extraction samples the same frame_nos as q51") {
+    val d = "/root/testdata/sf0.001"
+    val exprFrames = Multimodal.q51FrameSample(spark, d)
+      .select($"doc_id", $"frame_no")
+      .as[(Long, Long)].collect().toSet
+    val typedIn = graft.io.Tables.documents(spark, d)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+      .as[MediaIn]
+    val typed = Multimodal.sampleFramesTyped(typedIn)
+    val typedFrames = typed.map(f => (f.doc_id, f.frame_no)).collect().toSet
+    assert(typedFrames == exprFrames)
+    // ≤ 8 frames sampled per doc, stub payloads deterministic + non-empty
+    val perDoc = typed.groupByKey(_.doc_id).count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_._2 <= 8))
+    assert(typed.head().frame_bytes.length == 16) // md5 stub payload
+  }
+
+  test("frame extraction is partitioning-invariant (batch boundaries don't leak)") {
+    val rows = (0L until 50L)
+      .map(i => MediaIn(i, s"payload-$i".getBytes("UTF-8")))
+    val one = Multimodal.sampleFramesTyped(
+      spark.createDataset(rows).repartition(1))
+      .collect().map(f => (f.doc_id, f.frame_no, f.frame_bytes.toSeq)).toSet
+    val many = Multimodal.sampleFramesTyped(
+      spark.createDataset(rows).repartition(7))
+      .collect().map(f => (f.doc_id, f.frame_no, f.frame_bytes.toSeq)).toSet
+    assert(one == many && one.nonEmpty)
+  }
 }
