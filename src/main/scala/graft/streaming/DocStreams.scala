@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import graft.io.Tables
 
@@ -72,4 +73,117 @@ object DocStreams {
       s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
         .parquet(docsDir),
       bench)
+
+  // ---- streaming MinHash-LSH dedup (flatMapGroupsWithState) ----
+
+  /** One LSH band posting: document × band, keyed by the band's
+    * signature digest. */
+  case class BandRow(b: Int, band_key: String, doc_id: Long, sig: Seq[Long])
+  /** Band-bucket state: every (doc_id, sig) this bucket has seen. */
+  case class BucketState(members: List[(Long, Seq[Long])])
+  /** Candidate near-dup pair (same schema as batch q41's output). */
+  case class CandPair(doc1: Long, doc2: Long, n_sig_equal: Long)
+
+  private val NSig = 24
+  private val BandRowsN = 3
+  private val P = 2147483647L
+
+  /** 24-element MinHash signature of a document — the SAME pipeline as
+    * batch q41 (ShingleHashesImpl 28-bit shingle hashes, then affine
+    * permutations (2i+1)·h + i mod p), evaluated per row in typed code
+    * so the streaming side needs no shuffle aggregation to build
+    * signatures (a streaming groupBy(doc).agg(min…) before stateful
+    * dedup would stack two stateful operators). None for shingle-less
+    * (< 3 token) docs, matching q41's implicit drop. */
+  def minhashSig(text: String): Option[Array[Long]] = {
+    val hs = graft.functions.ShingleHashesImpl
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(text), 3, 7)
+      .toLongArray()
+    if (hs.isEmpty) None
+    else Some(Array.tabulate(NSig) { i =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = ((2L * i + 1) * hs(j) + i) % P
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    })
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Doc stream → band postings (stateless per-row fan-out of 8). */
+  def bandRows(docs: Dataset[(Long, String)]): Dataset[BandRow] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.flatMap { case (id, text) =>
+      minhashSig(text).toSeq.flatMap { sig =>
+        (0 until NSig / BandRowsN).map { b =>
+          val key = md5Hex(
+            sig.slice(b * BandRowsN, (b + 1) * BandRowsN).mkString(","))
+          BandRow(b, key, id, sig.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Streaming LSH dedup: the band-bucket inverted index AS STREAMING
+    * STATE. Each (band, band_key) group remembers its members across
+    * microbatches; a newly arriving doc emits one candidate pair per
+    * existing bucket-mate (so pairs spanning microbatches are found,
+    * not just within-batch ones). The same pair can surface from
+    * several bands — downstream consumers (and the spec) dedup, like
+    * batch q41's `.distinct()`.
+    *
+    * State growth is the honest cost of EXACT streaming dedup: the
+    * index grows with the corpus, as any dedup index must. Production
+    * knobs, in the order a pipeline reaches for them: state-store TTL
+    * (forget docs older than the dedup horizon), bucket-size caps
+    * (LSH buckets beyond k members are near-certain dup families —
+    * emit against the first k only), or periodic compaction to the
+    * canonical-doc set per bucket. */
+  def lshDedupStateful(bands: Dataset[BandRow]): Dataset[CandPair] = {
+    val s = bands.sparkSession
+    import s.implicits._
+    bands.groupByKey(r => (r.b, r.band_key))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it: Iterator[BandRow], state: GroupState[BucketState]) =>
+          // process arrivals in doc_id order for deterministic output
+          val arrivals = it.map(r => (r.doc_id, r.sig)).toArray
+            .sortBy(_._1).distinct
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[CandPair]
+          arrivals.foreach { case (id, sig) =>
+            if (!members.exists(_._1 == id)) {
+              members.foreach { case (mid, msig) =>
+                val (d1, d2) = if (mid < id) (mid, id) else (id, mid)
+                val eq = sig.iterator.zip(msig.iterator)
+                  .count { case (x, y) => x == y }.toLong
+                out += CandPair(d1, d2, eq)
+              }
+              members ::= (id -> sig)
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming entry: file-source doc stream → signatures → band
+    * postings → stateful bucket dedup. Candidate pairs appear as soon
+    * as the second member of a bucket arrives, whichever microbatch
+    * brought it. */
+  def lshDedupStream(s: SparkSession, docsDir: String): Dataset[CandPair] = {
+    import s.implicits._
+    val docs = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    lshDedupStateful(bandRows(docs))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Corpus
+import graft.operators.{Corpus, Dedup}
 import graft.streaming.DocStreams
 
 /** Stream-static decontamination: the streamed per-doc probe must
@@ -54,6 +54,47 @@ class DocStreamsSpec extends SparkSpec {
         s"unexpected state in:\n$plan")
       // and no aggregation state metrics were reported
       assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
+
+  test("streaming LSH dedup == batch q41 candidate pairs, across microbatches") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batch = Dedup.q41MinhashLsh(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    // stage the corpus as TWO files (split by doc_id parity) so pairs
+    // spanning microbatches exercise the cross-batch state path — with
+    // maxFilesPerTrigger=1 every (even, odd) pair needs state carry-over
+    val staged = java.nio.file.Files.createTempDirectory("docs_lsh")
+    val docs = graft.io.Tables.documents(spark, d)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(staged.resolve("part_even").toString)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(staged.resolve("part_odd").toString)
+    // flatten: file source wants files in the dir root
+    val dir = java.nio.file.Files.createTempDirectory("docs_lsh_flat")
+    Seq("part_even", "part_odd").zipWithIndex.foreach { case (p, i) =>
+      val f = java.nio.file.Files.list(staged.resolve(p))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(f, dir.resolve(s"$i.parquet"))
+    }
+
+    val q = DocStreams.lshDedupStream(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lsh_dedup_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // state must actually have carried pairs across batches: at least
+      // one pair joins an even and an odd doc_id
+      assert(streamed.exists { case (a, b, _) => (a + b) % 2 == 1 })
+      // and more than one microbatch ran
+      assert(Option(q.lastProgress).exists(_.batchId >= 1))
     } finally q.stop()
   }
 }
