@@ -306,19 +306,19 @@ object Dedup {
     * component's minimum doc_id (the canonical survivor; "drop every
     * doc where doc_id != cluster_id" is then the dedup policy).
     *
-    * Spark-side: Pregel-style iterative min-label propagation —
-    * labels(v) := min(labels(v), min over neighbors) until a fixpoint,
-    * O(diameter) rounds. Each round is one equi-join + partial-agg
-    * groupBy on the edge list; `localCheckpoint` after every round
-    * truncates the lineage (without it the plan doubles per iteration
-    * and the job DAG, not the data, becomes the bottleneck). The
-    * convergence check is a scalar count per round — the standard
-    * driver-side loop of distributed graph processing, not a
-    * data collect. At 100 TB: same loop with edges pre-partitioned by
-    * src (the per-round shuffle reuses the partitioning), or
-    * alternating large-star/small-star (O(log n) rounds) if diameters
-    * are long; near-dup graphs are overwhelmingly tiny star clusters,
-    * so diameter-bound propagation is the right default.
+    * Spark-side: iterative min-label propagation WITH pointer jumping
+    * (path halving): each round does labels(v) := min over neighbors,
+    * then lbl := min(lbl, lbl(lbl)) — the second step halves label-path
+    * lengths, so convergence is O(log diameter) rounds instead of
+    * O(diameter) (the sf0.1 graph has a diameter-13 chain component:
+    * 14 rounds plain vs 5 with jumping; at 100 TB, where a crawl-dup
+    * chain can be arbitrarily long, the log bound is the difference
+    * between a bounded loop and an unbounded one). `localCheckpoint`
+    * after every round truncates lineage (without it the plan doubles
+    * per iteration and the job DAG, not the data, becomes the
+    * bottleneck). The convergence check is a scalar count per round —
+    * the standard driver-side loop of distributed graph processing,
+    * not a data collect.
     *
     * Oracle: recursive CTE flooding every label through the edge set,
     * then min per vertex — exponential-state transitive closure that
@@ -332,28 +332,63 @@ object Dedup {
   def minLabelComponents(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    // Size the LOOP's parallelism to the graph, not the corpus: the
+    // near-dup edge list is orders of magnitude smaller than the
+    // document set that produced it (pair generation is the distributed
+    // heavy lift; the component loop runs on its tiny residue). Keeping
+    // the corpus-side 32 shuffle partitions here made every round
+    // schedule ~3×32 tasks over a few hundred rows — the loop was pure
+    // task-launch overhead. One partition per ~64k edges, floor 1; at
+    // 100 TB the same formula keeps the loop wide when the graph
+    // actually is wide.
+    val nParts = math.max(1, (pairs.count() / 65536L).toInt)
     // undirected edge list, materialized once (reused every round)
     val edges = pairs
       .union(pairs.select($"doc2".as("doc1"), $"doc1".as("doc2")))
       .toDF("src", "dst")
+      .repartition(nParts, $"src")
       .localCheckpoint()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("lbl"))
+      .repartition(nParts, $"doc_id")
       .localCheckpoint()
     var converged = false
+    var rounds = 0
+    val tLoop = System.nanoTime()
+    // Explicit broadcast hints on the label side of every loop join:
+    // labels/cand/jmp are the tiny, shrinking side, and hinting them
+    // removes the per-round shuffle exchanges (each AQE shuffle stage
+    // is its own scheduled job — the dominant per-round cost on a tiny
+    // graph). Only the groupBy's aggregation exchange remains. The
+    // hint stays honest at scale: if the label table outgrows the
+    // broadcast threshold Spark falls back to shuffle joins, and the
+    // per-round cost becomes data-bound, which is then correct.
     while (!converged) {
-      val cand = edges.join(labels, edges("src") === labels("doc_id"))
+      rounds += 1
+      val cand = edges.join(broadcast(labels), edges("src") === labels("doc_id"))
         .groupBy($"dst").agg(min($"lbl").as("cand"))
       // carry the previous label through the checkpoint so convergence
       // is a local filter-count over materialized rows, not a second
       // join per round (halves the per-round cost)
-      val next = labels.join(cand, labels("doc_id") === cand("dst"), "left")
+      val prop = labels.join(broadcast(cand), labels("doc_id") === cand("dst"), "left")
         .select(labels("doc_id"), $"lbl".as("old"),
           least($"lbl", coalesce($"cand", $"lbl")).as("lbl"))
+      // pointer jump: lbl := min(lbl, lbl(lbl)). lbl(v) is always a
+      // vertex of v's component (labels only ever flow along edges), so
+      // adopting ITS label stays within the component while halving the
+      // distance to the minimum. prop is deliberately NOT checkpointed:
+      // recomputing it inside the self-join costs one extra tiny join,
+      // cheaper than a second materialization job per round.
+      val jmp = prop.select($"doc_id".as("j_id"), $"lbl".as("j_lbl"))
+      val next = prop.join(broadcast(jmp), prop("lbl") === jmp("j_id"), "left")
+        .select(prop("doc_id"), $"old",
+          least(prop("lbl"), coalesce($"j_lbl", prop("lbl"))).as("lbl"))
         .localCheckpoint()
       converged = next.filter($"lbl" =!= $"old").isEmpty
       labels = next.select($"doc_id", $"lbl")
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] rounds=$rounds loop_sec=${(System.nanoTime()-tLoop)/1e9}")
     labels.select($"doc_id", $"lbl".as("cluster_id"))
   }
 

@@ -60,10 +60,14 @@ object Similarity {
       $"qa".as("a1"), $"n2".as("d1"))
     val r = q.select($"vec_id".as("id2"), $"label".as("label2"),
       $"qa".as("a2"), $"n2".as("d2"))
-    l.join(r, $"id1" < $"id2")
-      .withColumn("num", dotQ($"a1", $"a2"))
-      .filter($"num" > 0 &&
-        lit(100) * $"num" * $"num" >= lit(16) * $"d1" * $"d2")
+    // Join condition order matters: the cheap id comparison first (it
+    // alone kills half the N² orderings), then the fused CosGateQ —
+    // ONE dot-product eval per surviving pair. The earlier form
+    // (`dotq > 0 && 100*dotq*dotq >= …` as separate conjuncts) ran the
+    // 64-dim loop three times per pair, before the id check.
+    l.join(r, $"id1" < $"id2" &&
+        graft.functions.VectorExprs.cos_gate_q($"a1", $"a2", $"d1", $"d2", 100L, 16L))
+      .withColumn("num", dotQ($"a1", $"a2")) // survivors only (tiny)
       .select($"id1", $"id2", $"label1", $"label2", $"num", $"d1", $"d2")
       .orderBy($"id1", $"id2")
   }

@@ -25,6 +25,27 @@ class ExprSpec extends SparkSpec {
     assert(custom.toSeq == expected)
   }
 
+  test("CosGateQ == composed dot-product threshold on seeded random vectors") {
+    val rnd = new scala.util.Random(7)
+    // mix of passing/failing pairs, incl. negative dot products
+    val cases = (1 to 50).map { _ =>
+      (Seq.fill(8)(rnd.nextLong() % 50), Seq.fill(8)(rnd.nextLong() % 50))
+    }
+    val df = cases.toDF("a", "b")
+      .withColumn("d1", VectorExprs.dot_q($"a", $"a"))
+      .withColumn("d2", VectorExprs.dot_q($"b", $"b"))
+    val gate = df.select(
+      VectorExprs.cos_gate_q($"a", $"b", $"d1", $"d2", 100L, 16L))
+      .as[Boolean].collect()
+    val composed = df
+      .withColumn("num", VectorExprs.dot_q($"a", $"b"))
+      .select($"num" > 0 &&
+        lit(100) * $"num" * $"num" >= lit(16) * $"d1" * $"d2")
+      .as[Boolean].collect()
+    assert(gate.toSeq == composed.toSeq)
+    assert(gate.contains(true) && gate.contains(false)) // non-degenerate
+  }
+
   test("DotQ participates in whole-stage codegen (no fallback)") {
     // non-literal input so the optimizer can't constant-fold the plan
     // into a LocalTableScan
