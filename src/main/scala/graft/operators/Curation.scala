@@ -46,19 +46,20 @@ object Curation {
     */
   def q34PassageDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
-    // sort_array over the collected (pos, tok) structs restores token
-    // order deterministically — collect_list order is not guaranteed
-    // under partial aggregation.
-    val chunks = tok
-      .withColumn("chunk_no", expr("pos div 8"))
-      .groupBy($"doc_id", $"chunk_no")
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(struct($"pos", $"tok"))).as("st"))
-      .filter($"n" === 8)
-      .select($"doc_id",
-        array_join(expr("transform(st, x -> x.tok)"), " ").as("chunk"))
+    // Chunk per row by slicing the token array — token order is free
+    // (it's the array), and no (doc, pos) token stream ever shuffles.
+    // The repartition is the materialization barrier: without it
+    // CollapseProject inlines `tokens(text)` into the transform lambda
+    // and re-tokenizes the document once per chunk (the round-1 HOF
+    // pitfall). With it, the only wide exchanges are this doc-count
+    // one and the final by-chunk groupBy.
+    val chunks = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .repartition($"doc_id")
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks) div 8 - 1),
+           i -> array_join(slice(toks, i*8+1, 8), ' '))""")).as("chunk"))
     chunks.groupBy($"chunk")
       .agg(countDistinct($"doc_id").as("n_docs"),
         count(lit(1)).as("n_occur"),

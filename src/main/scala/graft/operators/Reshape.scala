@@ -125,7 +125,59 @@ object Reshape {
          FROM orders)
        WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
 
+  /** CDC upsert / SCD "latest-wins" merge — the warehouse MERGE INTO,
+    * expressed engine-neutrally: base snapshot (version 1) unioned
+    * with a change batch (version 2: every 7th order re-priced +10.00
+    * and flagged 'U'), then one row per key by (version DESC) via
+    * row_number. The change batch is DERIVED deterministically from
+    * orders so both engines construct identical input.
+    *
+    * Scale shape: unionByName is free (no shuffle); the dedup window
+    * shuffles once on the merge key — the same cost as the
+    * shuffle-and-replace any MERGE implementation pays. When the
+    * change batch is small relative to the snapshot (the usual CDC
+    * case), the at-scale variant is an anti-join(base, updates) ∪
+    * updates, which broadcasts the batch and never shuffles the
+    * snapshot; the window form here is the general both-sides-large
+    * shape. Output: per-status accounting of the merged state. */
+  def q62ScdMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        lit(1L).as("version"))
+    val updates = Tables.orders(s, d)
+      .filter($"o_orderkey" % 7 === 3)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" + lit(10.0)).as("o_totalprice"), lit(2L).as("version"))
+    val merged = base.unionByName(updates)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_orderkey").orderBy($"version".desc)))
+      .filter($"rn" === 1)
+    merged.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("total_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q62Oracle: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+         FROM orders),
+       updates AS (
+         SELECT o_orderkey, 'U' AS o_orderstatus,
+           o_totalprice + 10.0 AS o_totalprice, 2 AS version
+         FROM orders WHERE o_orderkey % 7 = 3),
+       merged AS (
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           ORDER BY version DESC) AS rn
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+       SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       FROM merged WHERE rn = 1
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_scd_merge" -> q62ScdMerge,
     "q65_full_outer" -> q65FullOuter,
     "q66_pivot" -> q66Pivot,
     "q67_unpivot" -> q67Unpivot,
@@ -133,6 +185,7 @@ object Reshape {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_scd_merge" -> q62Oracle,
     "q65_full_outer" -> q65Oracle,
     "q66_pivot" -> q66Oracle,
     "q67_unpivot" -> q67Oracle,

@@ -140,7 +140,40 @@ object Stats {
        count(*) AS n
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Approximate percentiles (KLL/GK-style sketch behind Spark's
+    * `approx_percentile`) under the same contract-check pattern as
+    * q58's HLL: sketch internals are engine-specific, so the output
+    * carries the EXACT interpolated percentiles (hash-compared) plus
+    * booleans asserting the approx value lands between the exact
+    * p−1% and p+1% quantiles — the sketch's rank-error guarantee
+    * (accuracy 10000 → rank error ≤ 0.01%), which the oracle pins to
+    * TRUE. At 100 TB the sketch is the only option: it's one pass,
+    * fixed memory, mergeable across partitions; exact `percentile`
+    * collects every value per group. */
+  def q54ApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+        expr("percentile(o_totalprice, 0.49)").as("lo"),
+        expr("percentile(o_totalprice, 0.51)").as("hi"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"),
+        count(lit(1)).as("n"))
+      .select($"o_orderpriority", $"exact_median", $"n",
+        ($"approx" >= $"lo" && $"approx" <= $"hi").as("median_within_rank_1pct"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q54Oracle: String =
+    """SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS exact_median,
+       count(*) AS n,
+       TRUE AS median_within_rank_1pct
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_approx_percentile" -> q54ApproxPercentile,
     "q55_cube" -> q55Cube,
     "q56_distinct_stats" -> q56DistinctStats,
     "q57_percentiles" -> q57Percentiles,
@@ -149,6 +182,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_approx_percentile" -> q54Oracle,
     "q55_cube" -> q55Oracle,
     "q56_distinct_stats" -> q56Oracle,
     "q57_percentiles" -> q57Oracle,
