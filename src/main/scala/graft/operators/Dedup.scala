@@ -341,15 +341,60 @@ object Dedup {
     // task-launch overhead. One partition per ~64k edges, floor 1; at
     // 100 TB the same formula keeps the loop wide when the graph
     // actually is wide.
-    val nParts = math.max(1, (pairs.count() / 65536L).toInt)
-    // undirected edge list, materialized once (reused every round)
-    val edges = pairs
-      .union(pairs.select($"doc2".as("doc1"), $"doc1".as("doc2")))
+    // materialize the pair list ONCE: the sizing count below and the
+    // contraction pass both consume it, and without the checkpoint the
+    // whole upstream pair-generation pipeline runs twice
+    val pairsCk = pairs.localCheckpoint()
+    val nParts = math.max(1, (pairsCk.count() / 65536L).toInt)
+    // Tier 1 — LOCAL CONTRACTION: within each partition, run union-find
+    // over that partition's edges and replace them with star edges
+    // (node → partition-local component minimum). Connectivity is
+    // preserved exactly (a star is connectivity-equivalent to the
+    // partition's edge set, and a node seen by two partitions bridges
+    // their stars), but every intra-partition path collapses to length
+    // 1 — the global loop below only has to reconcile CROSS-partition
+    // bridges, which takes 1–2 rounds instead of O(log diameter). The
+    // union-find's memory is O(nodes per partition), bounded by the
+    // 64k-edge partition sizing above — the same per-task-memory
+    // contract any 100 TB mapPartitions must honor.
+    val sym = pairsCk
+      .union(pairsCk.select($"doc2".as("doc1"), $"doc1".as("doc2")))
       .toDF("src", "dst")
       .repartition(nParts, $"src")
+    val star = sym.select($"src", $"dst").as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElse(x, x)
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min: the root IS the local minimum
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+        }
+        // materialize keys before emitting: find() path-compresses (map
+        // writes), which must not race the key iteration
+        parent.keys.toArray.map(n => (n, find(n))).iterator
+      }.toDF("src", "dst")
+    // the loop's edge set: symmetrized star edges (self-loops where a
+    // node is its own local root are harmless and keep isolated roots
+    // present in the vertex set)
+    val edges = star
+      .union(star.select($"dst".as("src"), $"src".as("dst")))
+      .repartition(nParts, $"src")
       .localCheckpoint()
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("lbl"))
+    // jump-started labels: a node's minimum local root across all the
+    // partitions that saw it (≤ doc_id and always inside the component,
+    // so it is a valid — and much closer — starting label)
+    var labels = star.groupBy($"src".as("doc_id"))
+      .agg(min($"dst").as("lbl")) // root = local min ⇒ lbl ≤ doc_id
       .repartition(nParts, $"doc_id")
       .localCheckpoint()
     var converged = false
