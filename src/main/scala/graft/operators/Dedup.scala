@@ -160,6 +160,14 @@ object Dedup {
       .repartition($"doc_id")
     val sizes = hashed.select($"doc_id", size($"shs").as("n_sh"))
     val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
+    // Self-join kept deliberately: the q41/q44 bucket pattern (groupBy
+    // sh + collect_list + pair explode) was measured 20% SLOWER here —
+    // this corpus shares shingles densely, so buckets are large and the
+    // collect_list arrays serialize through one task each, while the
+    // hash join streams its probe side through codegen. On a sparse
+    // real-world corpus (mostly singleton shingles) the bucket shape
+    // wins by killing singletons pre-join; both quadratic blowups need
+    // a bucket-size cap at 100 TB either way.
     val inter = inv.as("a").join(inv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))

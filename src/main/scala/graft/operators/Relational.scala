@@ -96,16 +96,25 @@ object Relational {
     val ord = Tables.orders(s, d)
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey")
-    val li = Tables.lineitem(s, d)
+    // Partial-agg pushdown below the join: collapse lineitem to one
+    // revenue row per order BEFORE joining (4:1 at TPC-H shape, and the
+    // groupBy shuffles on l_orderkey — the key the join needed anyway,
+    // so the exchange is shared work, not extra). After the collapse
+    // each o_orderkey appears exactly once, so the original
+    // countDistinct(o_orderkey) — a second Expand+shuffle — becomes a
+    // plain count. Decimal partials keep the sum exact under
+    // re-association.
+    val orderRev = Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast(dec) *
+        (lit(1).cast(dec) - $"l_discount".cast(dec))).as("order_rev"))
     cust.join(ord, $"c_custkey" === $"o_custkey")
-      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(orderRev, $"o_orderkey" === $"l_orderkey")
       .groupBy($"c_mktsegment")
       .agg(
-        sum($"l_extendedprice".cast(dec) *
-          (lit(1).cast(dec) - $"l_discount".cast(dec)))
-          .cast("double").as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        sum($"order_rev").cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"c_mktsegment")
   }
 
