@@ -29,7 +29,8 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.Reshape.queries ++
       operators.Corpus.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.RangeJoin.oracles ++
       operators.Reshape.oracles ++
       operators.Corpus.oracles ++
-      operators.Curation.oracles
+      operators.Curation.oracles ++
+      operators.Graph.oracles
 }

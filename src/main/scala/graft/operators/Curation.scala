@@ -255,7 +255,43 @@ object Curation {
          CAST(sum(n_chars) AS BIGINT) AS n_chars
        FROM k GROUP BY split, lang ORDER BY split, lang"""
 
+  /** Per-source quota sampling (domain balancing): cap every source at
+    * K documents, chosen by a deterministic multiplicative hash of
+    * doc_id (q75's idiom — reproducible cross-engine, no RNG), with
+    * doc_id as the total tiebreak. This is the curation step that stops
+    * one crawl domain from dominating a training mix. Shape at scale:
+    * one hash per row (no join), a row_number window partitioned by
+    * source — the per-source state is a counter, and skewed mega-
+    * sources are exactly the case the hash-order matters for (the kept
+    * subset is a uniform sample of the source, not its head). */
+  def q81SourceQuota(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("hk",
+        ($"doc_id" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"hk", $"doc_id")))
+      .filter($"rn" <= 10)
+      .select($"source", $"doc_id", $"rn".cast("long").as("rn"))
+      .orderBy($"source", $"rn")
+  }
+
+  val q81Oracle: String =
+    """WITH h AS (
+         SELECT source, doc_id,
+           ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hk
+         FROM documents),
+       r AS (
+         SELECT source, doc_id,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+             AS BIGINT) AS rn
+         FROM h)
+       SELECT source, doc_id, rn FROM r WHERE rn <= 10
+       ORDER BY source, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_source_quota" -> q81SourceQuota,
     "q34_passage_dedup" -> q34PassageDedup,
     "q35_repetition_profile" -> q35RepetitionProfile,
     "q36_sequence_packing" -> q36SequencePacking,
@@ -264,6 +300,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_source_quota" -> q81Oracle,
     "q34_passage_dedup" -> q34Oracle,
     "q35_repetition_profile" -> q35Oracle,
     "q36_sequence_packing" -> q36Oracle,

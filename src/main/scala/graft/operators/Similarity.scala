@@ -220,7 +220,10 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
       .filter($"arn" === 1)
-      .select($"vec_id", $"label", $"qa", $"n2", $"centroid_id".as("cell"))
+      // ckey = the winning cosine rank key (vector ↔ its own cell's
+      // centroid) — q83 ranks members by it; q48/q79 ignore it
+      .select($"vec_id", $"label", $"qa", $"n2",
+        $"centroid_id".as("cell"), $"key".as("ckey"))
   }
 
   def q48AnnIvf(s: SparkSession, d: String): DataFrame = {
@@ -259,13 +262,14 @@ object Similarity {
          FROM n WHERE vec_id % 50 = 0),
        assign AS (
          SELECT vec_id, qa, n2, centroid_id AS cell,
+           (num * abs(num) * 10000) // (n2 * cn) AS ckey,
            row_number() OVER (PARTITION BY vec_id ORDER BY
              (num * abs(num) * 10000) // (n2 * cn) DESC, centroid_id) AS arn
          FROM (
            SELECT a.vec_id, a.qa, a.n2, c.centroid_id, c.cn,
              CAST(list_sum(list_transform(list_zip(a.qa, c.cv), p -> p[1]*p[2])) AS BIGINT) AS num
            FROM n a, cent c)),
-       cells AS (SELECT vec_id, qa, n2, cell FROM assign WHERE arn = 1)"""
+       cells AS (SELECT vec_id, qa, n2, cell, ckey FROM assign WHERE arn = 1)"""
 
   val q48Oracle: String =
     s"""WITH $ivfAssignWith,
@@ -334,7 +338,45 @@ object Similarity {
        FROM newc JOIN oldc USING (cell, pos)
        GROUP BY cell ORDER BY cell"""
 
+  /** Semantic deduplication (SemDeDup-style): cluster embeddings by
+    * nearest centroid (the shared IVF assignment), then keep ONE
+    * representative per cell — the member most cosine-similar to its
+    * centroid — and count how many near-duplicates it stands for. The
+    * "drop everything but the representative" policy is embedding-space
+    * dedup at corpus scale: assignment is a broadcast argmax per vector
+    * (one scan, no pairwise work at all — this is what replaces the
+    * O(n²) cosine near-dup pass once n is 10⁹), and the per-cell
+    * ranking is a bounded window over cells. Integer cosine keys (DotQ)
+    * keep selection bit-exact cross-engine. */
+  def q83SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    ivfAssigned(q, ivfCentroids(q))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cell").orderBy($"ckey".desc, $"vec_id")))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"vec_id")).as("rep_vec_id"),
+        max(when($"rn" === 1, $"ckey")).as("rep_key"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy($"cell")
+  }
+
+  val q83Oracle: String =
+    s"""WITH $ivfAssignWith,
+       r AS (
+         SELECT cell, vec_id, ckey,
+           row_number() OVER (PARTITION BY cell ORDER BY ckey DESC, vec_id) AS rn
+         FROM cells)
+       SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS rep_vec_id,
+         CAST(max(CASE WHEN rn = 1 THEN ckey END) AS BIGINT) AS rep_key,
+         CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       FROM r GROUP BY cell ORDER BY cell"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_semantic_dedup" -> q83SemanticDedup,
     "q45_embedding_neardup" -> q45EmbeddingNearDup,
     "q46_ann_topk" -> q46AnnTopK,
     "q47_ann_lsh" -> q47AnnLsh,
@@ -343,6 +385,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_semantic_dedup" -> q83Oracle,
     "q45_embedding_neardup" -> q45Oracle,
     "q46_ann_topk" -> q46Oracle,
     "q47_ann_lsh" -> q47Oracle,

@@ -172,7 +172,89 @@ object Stats {
        TRUE AS median_within_rank_1pct
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Correlation / regression aggregate family (corr, covar_samp,
+    * stddev_samp, regr_slope, regr_intercept) with exact cross-engine
+    * parity: native double-accumulating aggregates are engine-specific
+    * (Spark uses Welford-style co-moments, DuckDB its own kernel), so
+    * the hash-compared values are computed FROM EXACT INTEGER MOMENTS
+    * (n, Σx, Σy, Σx², Σy², Σxy as decimal(38,0) — overflow-safe, and
+    * partial-aggregation-friendly: each is a plain sum with map-side
+    * combine) with identical closed-form expression text in both
+    * engines; single IEEE divisions/sqrts on identical inputs are
+    * bit-deterministic (the q73/q77 precedent). Spark's NATIVE corr /
+    * covar_samp / stddev_samp are still exercised — as contract
+    * booleans (|native − moment-form| within 1e-6 relative) the oracle
+    * pins to TRUE, q58-style. x = l_quantity, y = whole-dollar
+    * l_extendedprice (decimal-floored, exact both sides). */
+  def q80StatsFamily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = "decimal(38,0)"
+    val base = Tables.lineitem(s, d).select($"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      floor($"l_extendedprice".cast("decimal(18,2)")).cast("long").as("y"))
+    base.groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").cast(d38).as("sx"), sum($"y").cast(d38).as("sy"),
+        sum($"x" * $"x").cast(d38).as("sxx"),
+        sum($"y" * $"y").cast(d38).as("syy"),
+        sum($"x" * $"y").cast(d38).as("sxy"),
+        corr($"x".cast("double"), $"y".cast("double")).as("nat_corr"),
+        covar_samp($"x".cast("double"), $"y".cast("double")).as("nat_covar"),
+        stddev_samp($"x".cast("double")).as("nat_sd"))
+      .withColumn("cnum", expr(s"cast(cast(n as $d38) * sxy - sx * sy as double)"))
+      .withColumn("dxx", expr(s"cast(cast(n as $d38) * sxx - sx * sx as double)"))
+      .withColumn("dyy", expr(s"cast(cast(n as $d38) * syy - sy * sy as double)"))
+      .withColumn("corr_xy", expr("cnum / (sqrt(dxx) * sqrt(dyy))"))
+      .withColumn("regr_slope", expr("cnum / dxx"))
+      .withColumn("regr_icept",
+        expr(s"cast(sy * sxx - sx * sxy as double) / dxx"))
+      .withColumn("covar_samp_xy",
+        expr(s"cnum / cast(cast(n as $d38) * (cast(n as $d38) - 1) as double)"))
+      .withColumn("stddev_x",
+        expr(s"sqrt(dxx / cast(cast(n as $d38) * (cast(n as $d38) - 1) as double))"))
+      .select($"l_returnflag", $"n", $"corr_xy", $"regr_slope", $"regr_icept",
+        $"covar_samp_xy", $"stddev_x",
+        (abs($"nat_corr" - $"corr_xy") <= lit(1e-6)).as("native_corr_ok"),
+        (abs($"nat_covar" - $"covar_samp_xy") <=
+          abs($"covar_samp_xy") * lit(1e-6)).as("native_covar_ok"),
+        (abs($"nat_sd" - $"stddev_x") <=
+          abs($"stddev_x") * lit(1e-6)).as("native_stddev_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q80Oracle: String =
+    """WITH b AS (
+         SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS y
+         FROM lineitem),
+       m AS (
+         SELECT l_returnflag, count(*) AS n,
+           CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+           CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+           CAST(sum(y*y) AS DECIMAL(38,0)) AS syy,
+           CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy
+         FROM b GROUP BY l_returnflag),
+       e AS (
+         SELECT l_returnflag, n,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS cnum,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS dxx,
+           CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS dyy,
+           CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum,
+           CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1) AS DOUBLE) AS nn1
+         FROM m)
+       SELECT l_returnflag, n,
+         cnum / (sqrt(dxx) * sqrt(dyy)) AS corr_xy,
+         cnum / dxx AS regr_slope,
+         inum / dxx AS regr_icept,
+         cnum / nn1 AS covar_samp_xy,
+         sqrt(dxx / nn1) AS stddev_x,
+         TRUE AS native_corr_ok, TRUE AS native_covar_ok,
+         TRUE AS native_stddev_ok
+       FROM e ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_stats_family" -> q80StatsFamily,
     "q54_approx_percentile" -> q54ApproxPercentile,
     "q55_cube" -> q55Cube,
     "q56_distinct_stats" -> q56DistinctStats,
@@ -182,6 +264,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_stats_family" -> q80Oracle,
     "q54_approx_percentile" -> q54Oracle,
     "q55_cube" -> q55Oracle,
     "q56_distinct_stats" -> q56Oracle,

@@ -308,7 +308,48 @@ object Windows {
        FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.ts >= c.c_ts
        ORDER BY p.user_id, p.event_id"""
 
+  /** Per-row trailing time-RANGE frame (RANGE BETWEEN 3600 PRECEDING):
+    * for every event, the count and quantized sum of the same user's
+    * events in the trailing hour — the rolling-rate primitive behind
+    * abuse velocity checks and per-key rate features. Unlike the
+    * tumbling/sliding GROUP-BY windows (q24/q25), this is a per-ROW
+    * frame over an ordered partition: no row is bucketed, every row
+    * sees its own trailing hour. Value-based RANGE frames bound state
+    * by time, not row count — the frame Spark maintains per partition
+    * is a sliding deque, so a burst of events widens the frame's row
+    * count but never its time span (the property that matters when one
+    * hot key bursts at 100 TB). Integer epoch-seconds (ns-safe floor)
+    * and per-scalar milli-quantized values keep the frame boundaries
+    * and sums bit-exact cross-engine. */
+  def q84RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_s").rangeBetween(-3600, 0)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts) div 1000000").as("ts_s"),
+        floor($"value" * 1000).cast("long").as("vmilli"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum($"vmilli").over(w))
+      .select($"user_id", $"event_id", $"ts_s", $"n_1h", $"sum_1h")
+      .orderBy($"user_id", $"ts_s", $"event_id")
+  }
+
+  val q84Oracle: String =
+    """WITH b AS (
+         SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+           CAST(floor(value * 1000) AS BIGINT) AS vmilli
+         FROM events)
+       SELECT user_id, event_id, ts_s,
+         CAST(count(*) OVER w AS BIGINT) AS n_1h,
+         CAST(sum(vmilli) OVER w AS BIGINT) AS sum_1h
+       FROM b
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, ts_s, event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_range_frame" -> q84RangeFrame,
     "q63_asof_join" -> q63AsofJoin,
     "q20_ffill" -> q20Ffill,
     "q21_topn_per_group" -> q21TopNPerGroup,
@@ -323,6 +364,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_range_frame" -> q84Oracle,
     "q63_asof_join" -> q63Oracle,
     "q20_ffill" -> q20Oracle,
     "q21_topn_per_group" -> q21Oracle,

@@ -77,6 +77,28 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q81: quota caps every source, kept set is hash-deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curation.q81SourceQuota(spark, d)
+    val perSource = got.groupBy($"source").count().as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 <= 10),
+      s"quota exceeded: ${perSource.mkString(",")}")
+    // deterministic: identical kept set on a re-run (no RNG anywhere)
+    assert(got.collect().toSeq == Curation.q81SourceQuota(spark, d).collect().toSeq)
+    // kept docs are a hash-ordered subset, not the doc_id head: at
+    // least one source must keep a doc whose doc_id exceeds one it cut
+    val kept = got.select($"source", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = graft.io.Tables.documents(spark, d)
+      .select($"source", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val headlike = kept.forall { case (src, ks) =>
+      val cut = all(src) -- ks
+      cut.isEmpty || ks.max < cut.min
+    }
+    assert(!headlike, "quota kept exactly the doc_id head — hash order not applied")
+  }
+
   test("q37: masked char accounting equals digits removed") {
     // crafted via events-shaped temp table
     val dir = java.nio.file.Files.createTempDirectory("curation-ev").toString

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q82 PageRank step, q83 semantic dedup, q84 range frame — invariant
+  * and brute-force cross-checks complementing the DuckDB oracles. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("q82: ranks carry the teleport base and flow conservation holds") {
+    val got = operators.Graph.q82PagerankStep(spark, d).collect()
+    assert(got.length > 0 && got.length <= 20)
+    // every rank ≥ base + at least 1 incoming unit
+    got.foreach { r =>
+      assert(r.getAs[Long]("rank_micro") > 150000L, s"no inflow: $r")
+      assert(r.getAs[Long]("n_in") >= 1L)
+    }
+    // top-20 is ordered desc with node tiebreak
+    val ranks = got.map(r => (-r.getAs[Long]("rank_micro"), r.getAs[Long]("node")))
+    assert(ranks.sameElements(ranks.sorted), "top-20 not rank-ordered")
+    // conservation (un-truncated): total emitted flow across ALL
+    // suppliers is #parts × 850000 minus only the integer-div dust
+    // (< outdeg per part). Recompute without the limit.
+    val edges = graft.io.Tables.lineitem(spark, d)
+      .select($"l_partkey".as("src"), $"l_suppkey".as("dst")).distinct()
+    val nParts = edges.select($"src").distinct().count()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val total = edges.join(outdeg, "src")
+      .agg(sum(expr("850000 div outdeg"))).as[Long].head()
+    assert(total <= 850000L * nParts && total > 850000L * nParts - 4L * nParts,
+      s"flow not conserved: $total vs ${850000L * nParts}")
+  }
+
+  test("q83: cells partition the corpus; representative is a member") {
+    val got = operators.Similarity.q83SemanticDedup(spark, d)
+    val nVecs = graft.io.Tables.embeddings(spark, d).count()
+    val agg = got.agg(sum($"n_members"), sum($"n_dropped"), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    assert(agg._1 == nVecs, s"members don't cover corpus: $agg vs $nVecs")
+    assert(agg._2 == agg._1 - agg._3, "dropped != members - representatives")
+  }
+
+  test("q84: trailing-hour frame equals a brute-force time self-join") {
+    val base = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts) div 1000000").as("ts_s"),
+        floor($"value" * 1000).cast("long").as("vmilli"))
+    val brute = base.as("a").join(base.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts_s") >= col("a.ts_s") - 3600 && col("b.ts_s") <= col("a.ts_s"))
+      .groupBy(col("a.user_id").as("user_id"), col("a.event_id").as("event_id"),
+        col("a.ts_s").as("ts_s"))
+      .agg(count(lit(1)).as("n_1h"), sum(col("b.vmilli")).as("sum_1h"))
+    val got = operators.Windows.q84RangeFrame(spark, d)
+    assert(got.count() === base.count())
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty,
+      "window frame disagrees with brute-force join")
+  }
+}

@@ -17,6 +17,19 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_parts") > 0 && r.getAs[Long]("exact_orders") > 0)
   }
 
+  test("q80 moment-form stats agree with Spark's native aggregates") {
+    val rows = Stats.q80StatsFamily(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("native_corr_ok"), s"corr drifted: $r")
+      assert(r.getAs[Boolean]("native_covar_ok"), s"covar drifted: $r")
+      assert(r.getAs[Boolean]("native_stddev_ok"), s"stddev drifted: $r")
+      val c = r.getAs[Double]("corr_xy")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+      assert(r.getAs[Double]("stddev_x") >= 0.0)
+    }
+  }
+
   test("sketch error is within 6% (3x the requested 2% rsd)") {
     import org.apache.spark.sql.functions._
     val li = graft.io.Tables.lineitem(spark, "/root/testdata/sf0.001")
