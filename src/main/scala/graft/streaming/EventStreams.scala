@@ -163,6 +163,78 @@ object EventStreams {
       }
   }
 
+  // ---- stateful rolling rate (flatMapGroupsWithState) ----
+
+  case class RateEvent(user_id: Long, event_id: Long, us: Long, vmilli: Long)
+  /** Per-user sliding deque of (epoch-second, milli-value) pairs still
+    * inside the trailing hour — bounded by TIME, not row count (the
+    * same state contract as Spark's value-RANGE frame in q84). */
+  case class RateState(ts: Seq[Long], vm: Seq[Long])
+  case class RateRow(user_id: Long, event_id: Long, ts_s: Long,
+      n_1h: Long, sum_1h: Long)
+
+  /** The streaming twin of q84's trailing-hour RANGE frame as CUSTOM
+    * STATE: per user, each event is emitted with the count and
+    * milli-quantized sum of the same user's events in [t−3600 s, t].
+    * This is the velocity / rate-limit feature computed online instead
+    * of over a table.
+    *
+    * RANGE-frame peer semantics are preserved: rows sharing an epoch
+    * second are processed as one peer group and all emitted with the
+    * group's closing totals (so the output matches q84 row for row).
+    * Contract, as for the other stateful ops: event-time-ordered
+    * arrival across microbatches, and a peer second must not straddle
+    * a batch boundary. State per user is only the trailing hour's
+    * events — eviction happens on every append, so a key that goes
+    * quiet holds at most one stale hour until its next event. */
+  def rollingRateStateful(events: Dataset[RateEvent]): Dataset[RateRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[RateEvent], state: GroupState[RateState]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          val st = state.getOption.getOrElse(RateState(Nil, Nil))
+          val ts = scala.collection.mutable.ArrayBuffer(st.ts: _*)
+          val vm = scala.collection.mutable.ArrayBuffer(st.vm: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateRow]
+          var run = vm.sum // O(|state|) once; incremental afterwards
+          // walk peer groups (whole epoch seconds) so same-second rows
+          // share their closing frame totals, like a RANGE frame
+          var i = 0
+          while (i < evs.length) {
+            val sec = Math.floorDiv(evs(i).us, 1000000L)
+            var j = i
+            while (j < evs.length && Math.floorDiv(evs(j).us, 1000000L) == sec) j += 1
+            (i until j).foreach { k =>
+              ts += sec; vm += evs(k).vmilli; run += evs(k).vmilli
+            }
+            while (ts.nonEmpty && ts.head < sec - 3600L) {
+              run -= vm.head; ts.remove(0); vm.remove(0)
+            }
+            val n = ts.length.toLong
+            (i until j).foreach { k =>
+              out += RateRow(user, evs(k).event_id, sec, n, run)
+            }
+            i = j
+          }
+          if (ts.nonEmpty) state.update(RateState(ts.toSeq, vm.toSeq))
+          out.iterator
+      }
+  }
+
+  /** Streaming rolling rate over the staged events dir. */
+  def rollingRateStream(s: SparkSession, eventsDir: String): Dataset[RateRow] = {
+    import s.implicits._
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        floor(col("value") * 1000).cast("long").as("vmilli")).as[RateEvent]
+      .transform(rollingRateStateful)
+  }
+
   /** Streaming funnel over the staged events dir. */
   def funnelStream(s: SparkSession, eventsDir: String): Dataset[FunnelAdvance] = {
     import s.implicits._

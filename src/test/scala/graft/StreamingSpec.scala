@@ -130,6 +130,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful rolling rate == batch q84 RANGE frame, across 2 microbatches") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batch = Windows.q84RangeFrame(spark, d).collect().map(_.toSeq).toSet
+
+    val staged = java.nio.file.Files.createTempDirectory("events_rate")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // snap the split to an epoch-SECOND boundary: the rate operator's
+    // contract is that a peer second never straddles microbatches
+    val midSec = Math.floorDiv(lo + (hi - lo) / 2, 1000000000L)
+    raw.filter($"ts" < midSec * 1000000000L).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" >= midSec * 1000000000L).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+
+    val q = EventStreams.rollingRateStream(spark, s"$staged/*")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rate_out")
+        .select($"user_id", $"event_id", $"ts_s", $"n_1h", $"sum_1h")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"rolling rate drifted: ${streamed.size} streamed vs ${batch.size} batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
