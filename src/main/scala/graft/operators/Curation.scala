@@ -290,7 +290,55 @@ object Curation {
        SELECT source, doc_id, rn FROM r WHERE rn <= 10
        ORDER BY source, rn"""
 
+  /** Temperature-based source mixing (the multinomial-with-temperature
+    * reweighting used to balance training mixes): sample each source at
+    * a rate ∝ √n (temperature 0.5), so small sources are up-weighted
+    * relative to proportional sampling. Everything is integer fixed-
+    * point: per-source weight wᵢ = floor(√nᵢ·10⁶) (sqrt is IEEE
+    * correctly-rounded, so wᵢ is bit-exact cross-engine; no double is
+    * ever summed), target share = wᵢ·10⁶ div Σw, and membership is the
+    * q75 multiplicative-hash threshold — deterministic, join-free
+    * per row, reproducible on any engine. Scale shape: the weight table
+    * is |sources| rows (a broadcast), the keep decision is one hash
+    * compare per row in the scan. */
+  def q85TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val w = docs.groupBy($"source").agg(count(lit(1)).as("n_total"))
+      .withColumn("w", floor(sqrt($"n_total") * lit(1000000L)).cast("long"))
+    // the normalizer stays in-plan (1-row broadcast), no driver collect
+    val tot = w.agg(sum($"w").as("tot"))
+    val rated = w.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr("w * 1000000 div tot"))
+    docs.join(broadcast(rated), "source")
+      .withColumn("kept",
+        ($"doc_id" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L) <
+          expr("rate_ppm * 4294967296 div 1000000")) // integer div, not `/`
+      .groupBy($"source", $"n_total", $"rate_ppm")
+      .agg(sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val q85Oracle: String =
+    """WITH c AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+         FROM documents GROUP BY source),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM c),
+       r AS (
+         SELECT source, n_total, (w * 1000000) // tot AS rate_ppm
+         FROM c, t),
+       k AS (
+         SELECT d.source, r.n_total, r.rate_ppm,
+           CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 4294967296 <
+                     (r.rate_ppm * 4294967296) // 1000000
+                THEN 1 ELSE 0 END AS kept
+         FROM documents d JOIN r USING (source))
+       SELECT source, n_total, rate_ppm, CAST(sum(kept) AS BIGINT) AS n_kept
+       FROM k GROUP BY source, n_total, rate_ppm ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_temperature_mix" -> q85TemperatureMix,
     "q81_source_quota" -> q81SourceQuota,
     "q34_passage_dedup" -> q34PassageDedup,
     "q35_repetition_profile" -> q35RepetitionProfile,
@@ -300,6 +348,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_temperature_mix" -> q85Oracle,
     "q81_source_quota" -> q81Oracle,
     "q34_passage_dedup" -> q34Oracle,
     "q35_repetition_profile" -> q35Oracle,

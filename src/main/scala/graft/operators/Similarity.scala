@@ -375,7 +375,63 @@ object Similarity {
          CAST(count(*) - 1 AS BIGINT) AS n_dropped
        FROM r GROUP BY cell ORDER BY cell"""
 
+  /** Multi-probe IVF ANN (q48 with nprobe=2): each query fans out to
+    * its TWO nearest cells instead of one — the standard recall lever
+    * of inverted-file indexes (FAISS's nprobe): recall lost to a query
+    * sitting near a cell boundary is recovered by probing the runner-up
+    * cell, at exactly 2× the candidate-set cost and nothing else. The
+    * corpus side is still the arn=1 assignment; only queries replicate.
+    * Probed cells are disjoint, so no candidate dedup is needed. */
+  def q86AnnMultiprobe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val cents = ivfCentroids(q)
+    val probes = q.filter($"vec_id" < 20).join(broadcast(cents))
+      .withColumn("num", dotQ($"qa", $"cv"))
+      .withColumn("key", expr("(num * abs(num) * 10000) div (n2 * cn)"))
+      .withColumn("arn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
+      .filter($"arn" <= 2)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"),
+        $"centroid_id".as("cell"), $"arn".as("probe_rank"))
+    val corpus = ivfAssigned(q, cents).select($"vec_id".as("cid"),
+      $"qa".as("cv2"), $"n2".as("cn2"), $"cell".as("ccell"))
+    probes.join(corpus, $"cell" === $"ccell" && $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv2"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn2)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cell", $"probe_rank", $"cid", $"rank_key", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val q86Oracle: String =
+    s"""WITH $ivfAssignWith,
+       probes AS (
+         SELECT vec_id AS qid, qa AS qv, n2 AS qn, cell,
+           CAST(arn AS BIGINT) AS probe_rank
+         FROM assign WHERE arn <= 2 AND vec_id < 20),
+       scored AS (
+         SELECT p.qid, p.cell, p.probe_rank, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(p.qv, b.qa), x -> x[1]*x[2])) AS BIGINT) AS num,
+           p.qn, b.n2 AS cn2
+         FROM probes p JOIN cells b
+           ON b.cell = p.cell AND b.vec_id <> p.qid),
+       ranked AS (
+         SELECT qid, cell, probe_rank, cid,
+           (num * num * 10000) // (qn * cn2) AS rank_key,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+         FROM scored WHERE num > 0)
+       SELECT qid, cell, probe_rank, cid, rank_key, CAST(rn AS BIGINT) AS rn
+       FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_ann_multiprobe" -> q86AnnMultiprobe,
     "q83_semantic_dedup" -> q83SemanticDedup,
     "q45_embedding_neardup" -> q45EmbeddingNearDup,
     "q46_ann_topk" -> q46AnnTopK,
@@ -385,6 +441,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_ann_multiprobe" -> q86Oracle,
     "q83_semantic_dedup" -> q83Oracle,
     "q45_embedding_neardup" -> q45Oracle,
     "q46_ann_topk" -> q46Oracle,

@@ -41,6 +41,39 @@ class GraphSpec extends SparkSpec {
     assert(agg._2 == agg._1 - agg._3, "dropped != members - representatives")
   }
 
+  test("q85: temperature mix up-weights uniformly, deterministically") {
+    val got = operators.Curation.q85TemperatureMix(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("rate_ppm") > 0L)
+    }
+    // uniform sources ⇒ identical rates, and Σrate ≈ 1e6 (div dust only)
+    val rates = got.map(_.getAs[Long]("rate_ppm"))
+    assert(rates.toSet.size == 1, s"uniform sources got mixed rates: ${rates.toSet}")
+    val tot = rates.sum
+    assert(tot <= 1000000L && tot > 1000000L - rates.length,
+      s"rates don't normalize: $tot")
+    assert(operators.Curation.q85TemperatureMix(spark, d).collect().toSeq ==
+      got.toSeq)
+  }
+
+  test("q86: multi-probe dominates single-probe pointwise (recall lever)") {
+    val single = operators.Similarity.q48AnnIvf(spark, d)
+      .select($"qid", $"rn", $"rank_key").as[(Long, Int, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val multi = operators.Similarity.q86AnnMultiprobe(spark, d)
+      .select($"qid", $"rn", $"rank_key").as[(Long, Int, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(multi.nonEmpty)
+    // at every (query, position) the 2-cell candidate pool can only
+    // improve (or tie) the similarity of the k-th neighbor
+    single.foreach { case (k, sk) =>
+      assert(multi.getOrElse(k, Long.MinValue) >= sk,
+        s"multi-probe lost recall at $k: ${multi.get(k)} < $sk")
+    }
+  }
+
   test("q84: trailing-hour frame equals a brute-force time self-join") {
     val base = graft.io.Tables.events(spark, d)
       .select($"user_id", $"event_id",
