@@ -118,6 +118,39 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Skew-salted JOIN (the join-side companion to q59's salted agg):
+    * when one join key is hot enough to overwhelm a single task, the
+    * standard fix is to widen the key with a salt — the probe (fact)
+    * side derives its salt from a non-key attribute, and the build
+    * (dim) side replicates each row across all 16 salt values, so the
+    * hot key's rows spread over 16 tasks instead of one. The oracle is
+    * the PLAIN join: salting must change the physical distribution,
+    * never the answer. (AQE's skew-join split is the automatic cousin
+    * — `AdaptiveSpec` documents it; this is the explicit form for when
+    * the skew is known ahead of time, e.g. the null-key or default-key
+    * hot spot every large fact table has.) */
+  def q87SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val salts = s.range(16).select($"id".cast("int").as("salt"))
+    val fact = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity",
+        pmod(hash($"l_linenumber"), lit(16)).cast("int").as("salt"))
+    val dim = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority")
+      .crossJoin(broadcast(salts)) // replicate build side across salts
+    fact.join(dim, $"l_orderkey" === $"o_orderkey" && fact("salt") === dim("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q87Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val q03Oracle: String =
     """SELECT c_mktsegment,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -293,6 +326,7 @@ object Relational {
           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_only_1995"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_salted_join" -> q87SaltedJoin,
     "q09_global_topk" -> q09GlobalTopK,
     "q09b_set_ops" -> q09bSetOps,
     "q01_pricing_summary" -> q01PricingSummary,
@@ -306,6 +340,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_salted_join" -> q87Oracle,
     "q09_global_topk" -> q09Oracle,
     "q09b_set_ops" -> q09bOracle,
     "q01_pricing_summary" -> q01Oracle,

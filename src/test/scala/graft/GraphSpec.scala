@@ -74,6 +74,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q87: salted join answers like the plain join, salt in the join key") {
+    val salted = operators.Relational.q87SaltedJoin(spark, d)
+    // the salt column must be part of the equi-join key (that's the
+    // whole point — the hot key fans out over 16 task-level keys)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("salt"), s"salt not in plan:\n$plan")
+    val plain = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.orders(spark, d),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    assert(salted.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("q84: trailing-hour frame equals a brute-force time self-join") {
     val base = graft.io.Tables.events(spark, d)
       .select($"user_id", $"event_id",
