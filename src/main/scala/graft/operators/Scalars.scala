@@ -219,7 +219,60 @@ object Scalars {
        count(*) AS n_events
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Array-function surface (set algebra over token arrays): intersect,
+    * union, except between each document's head-10 and tail-10 token
+    * windows, plus the sorted-intersection rendering and a Jaccard
+    * score in basis points. All Spark set ops (`array_intersect/union/
+    * except`) dedup; the oracle spells the same semantics with
+    * list_filter + list_distinct, and both sides sort before rendering
+    * so result ORDER inside the arrays is never compared. Docs shorter
+    * than 20 tokens are excluded (negative-index slice edge semantics
+    * differ across engines; at scale the filter is a scan-local
+    * predicate). */
+  def q88ArrayOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 20)
+      .select($"doc_id",
+        slice($"tk", 1, 10).as("a"), slice($"tk", -10, 10).as("b"))
+      .select($"doc_id",
+        array_sort(array_intersect($"a", $"b")).as("inter"),
+        array_sort(array_union($"a", $"b")).as("uni"),
+        array_sort(array_except($"a", $"b")).as("exc"))
+      .select($"doc_id",
+        size($"inter").cast("long").as("n_inter"),
+        size($"uni").cast("long").as("n_union"),
+        size($"exc").cast("long").as("n_except"),
+        array_join($"inter", " ").as("inter_str"))
+      .withColumn("jaccard_bp", expr("n_inter * 10000 div n_union"))
+      .orderBy($"doc_id")
+  }
+
+  val q88Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       ab AS (
+         SELECT doc_id, tk[1:10] AS a, tk[-10:] AS b
+         FROM tk WHERE len(tk) >= 20),
+       ops AS (
+         SELECT doc_id,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS inter,
+           list_sort(list_distinct(a || b)) AS uni,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS exc
+         FROM ab)
+       SELECT doc_id,
+         CAST(len(inter) AS BIGINT) AS n_inter,
+         CAST(len(uni) AS BIGINT) AS n_union,
+         CAST(len(exc) AS BIGINT) AS n_except,
+         coalesce(array_to_string(inter, ' '), '') AS inter_str,
+         len(inter) * 10000 // len(uni) AS jaccard_bp
+       FROM ops ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_array_ops" -> q88ArrayOps,
     "q10_token_blacklist" -> q10TokenBlacklist,
     "q11_arity_filter" -> q11ArityFilter,
     "q12_url_synthesis" -> q12UrlSynthesis,
@@ -233,6 +286,7 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_array_ops" -> q88Oracle,
     "q10_token_blacklist" -> q10Oracle,
     "q11_arity_filter" -> q11Oracle,
     "q12_url_synthesis" -> q12Oracle,

@@ -253,7 +253,48 @@ object Stats {
          TRUE AS native_stddev_ok
        FROM e ORDER BY l_returnflag"""
 
+  /** Fixed-width histogram + CDF (width_bucket profiling): 20 equal
+    * buckets over [0, 600000) on o_totalprice, per-bucket count,
+    * min/max, and the running cumulative count. The bucket expression
+    * is the same double arithmetic text in both engines (mul, div,
+    * floor — each IEEE-deterministic on identical inputs), clamped into
+    * range; the CDF is an integer running sum over 20 rows. This is
+    * the data-profiling primitive behind range-partition boundary
+    * estimation: at 100 TB the histogram is one partial-agg pass, and
+    * its output IS the partition spec. */
+  def q89Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        least(greatest(floor($"o_totalprice" * 20 / 600000), lit(0)), lit(19))
+          .cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .withColumn("cum_n", sum($"n").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy($"bucket")
+  }
+
+  val q89Oracle: String =
+    """WITH b AS (
+         SELECT CAST(least(greatest(floor(o_totalprice * 20 / 600000), 0), 19) AS BIGINT) AS bucket,
+           o_totalprice
+         FROM orders),
+       h AS (
+         SELECT bucket, count(*) AS n,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM b GROUP BY bucket)
+       SELECT bucket, n, min_price, max_price,
+         CAST(sum(n) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       FROM h ORDER BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_histogram" -> q89Histogram,
     "q80_stats_family" -> q80StatsFamily,
     "q54_approx_percentile" -> q54ApproxPercentile,
     "q55_cube" -> q55Cube,
@@ -264,6 +305,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_histogram" -> q89Oracle,
     "q80_stats_family" -> q80Oracle,
     "q54_approx_percentile" -> q54Oracle,
     "q55_cube" -> q55Oracle,
