@@ -337,7 +337,87 @@ object Curation {
        SELECT source, n_total, rate_ppm, CAST(sum(kept) AS BIGINT) AS n_kept
        FROM k GROUP BY source, n_total, rate_ppm ORDER BY source"""
 
+  /** End-to-end curation pipeline — the composed flagship of the LLM-
+    * data operator set, every stage an already-oracle-checked idiom
+    * chained into one plan: exact dedup (q40's normalized 5-token
+    * prefix key, min-doc_id survivor) → quality gate (q31's integer
+    * permille score ≥ 2000) → per-source quota (q81's hash-ordered cap,
+    * 15/source) → train/val/test split accounting (q38's hash bounds).
+    * One query because that's how it runs in production: Catalyst sees
+    * the whole chain, so column pruning reaches the scan (only text/
+    * source/doc_id/n_chars are read) and each stage's filter reduces
+    * the next stage's input — the pipeline never materializes between
+    * stages. Everything is integer/hash deterministic: the full
+    * composition hash-matches the oracle's CTE chain. */
+  def q90CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val norm = lower(regexp_replace(trim($"text"), "\\s+", " "))
+    val tkRaw = graft.functions.Fns.tokens($"text")
+    val nTok = size(tkRaw)
+    val nStop = size(filter(tkRaw, t => t.isin(stop.map(lit): _*)))
+    val stopPm = floor(nStop * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tkRaw)) * lit(1000) / nTok).cast("long")
+    val h = ($"doc_id" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars",
+        md5(concat_ws(" ",
+          slice(graft.functions.Fns.tokens(norm), 1, 5))).as("dup_key"),
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
+          .as("quality_score"))
+      .withColumn("dup_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"dup_key").orderBy($"doc_id")))
+      .filter($"dup_rn" === 1)                       // dedup survivor
+      .filter($"quality_score" >= 2000)              // quality gate
+      .withColumn("hk", h)
+      .withColumn("quota_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"hk", $"doc_id")))
+      .filter($"quota_rn" <= 15)                     // source quota
+      .withColumn("split",
+        when($"hk" < testBound, "test").when($"hk" < valBound, "val")
+          .otherwise("train"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"split", $"source")
+  }
+
+  val q90Oracle: String =
+    """WITH base AS (
+         SELECT doc_id, source, n_chars,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk,
+           md5(array_to_string(
+             (list_filter(string_split_regex(lower(trim(regexp_replace(text,'\s+',' ','g'))), '\s+'), t -> t <> ''))[1:5],
+             ' ')) AS dup_key
+         FROM documents),
+       scored AS (
+         SELECT doc_id, source, n_chars, dup_key,
+           least(len(tk), 100) * 10
+             + (1000 - CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT))
+             + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT)
+             AS quality_score,
+           row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS dup_rn
+         FROM base),
+       surv AS (
+         SELECT doc_id, source, n_chars,
+           ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hk
+         FROM scored WHERE dup_rn = 1 AND quality_score >= 2000),
+       quota AS (
+         SELECT doc_id, source, n_chars, hk,
+           row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS quota_rn
+         FROM surv),
+       fin AS (
+         SELECT source, n_chars,
+           CASE WHEN hk < 42949672 THEN 'test'
+                WHEN hk < 85899345 THEN 'val' ELSE 'train' END AS split
+         FROM quota WHERE quota_rn <= 15)
+       SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+       FROM fin GROUP BY split, source ORDER BY split, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_curation_pipeline" -> q90CurationPipeline,
     "q85_temperature_mix" -> q85TemperatureMix,
     "q81_source_quota" -> q81SourceQuota,
     "q34_passage_dedup" -> q34PassageDedup,
@@ -348,6 +428,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_curation_pipeline" -> q90Oracle,
     "q85_temperature_mix" -> q85Oracle,
     "q81_source_quota" -> q81Oracle,
     "q34_passage_dedup" -> q34Oracle,

@@ -99,6 +99,20 @@ class CurationSpec extends SparkSpec {
     assert(!headlike, "quota kept exactly the doc_id head — hash order not applied")
   }
 
+  test("q90: composed pipeline output respects every stage's bound") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Curation.q90CurationPipeline(spark, d).collect()
+    assert(rows.nonEmpty)
+    // per (split, source) can never exceed the quota cap
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 15L, s"quota broken: $r"))
+    // per source across splits: ≤ 15 (the quota is per source, pre-split)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    bySource.foreach { case (src, n) => assert(n <= 15L, s"$src kept $n > 15") }
+    // deterministic end to end
+    assert(Curation.q90CurationPipeline(spark, d).collect().toSeq == rows.toSeq)
+  }
+
   test("q37: masked char accounting equals digits removed") {
     // crafted via events-shaped temp table
     val dir = java.nio.file.Files.createTempDirectory("curation-ev").toString
