@@ -168,13 +168,14 @@ object Stats {
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
-        expr("percentile(o_totalprice, 0.49)").as("lo"),
-        expr("percentile(o_totalprice, 0.51)").as("hi"),
+        // one percentile buffer for all three quantiles (array form):
+        // each scalar call sorts its own copy of the group's values
+        expr("percentile(o_totalprice, array(0.49, 0.5, 0.51))").as("pct"),
         expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"),
         count(lit(1)).as("n"))
-      .select($"o_orderpriority", $"exact_median", $"n",
-        ($"approx" >= $"lo" && $"approx" <= $"hi").as("median_within_rank_1pct"))
+      .select($"o_orderpriority", $"pct"(1).as("exact_median"), $"n",
+        ($"approx" >= $"pct"(0) && $"approx" <= $"pct"(2))
+          .as("median_within_rank_1pct"))
       .orderBy($"o_orderpriority")
   }
 
