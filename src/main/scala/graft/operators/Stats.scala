@@ -75,9 +75,11 @@ object Stats {
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("median_price"),
-        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        // one sort buffer for both quantiles (see q54)
+        expr("percentile(o_totalprice, array(0.5, 0.9))").as("pct"),
         count(lit(1)).as("n"))
+      .select($"o_orderpriority", $"pct"(0).as("median_price"),
+        $"pct"(1).as("p90_price"), $"n")
       .orderBy($"o_orderpriority")
   }
 
