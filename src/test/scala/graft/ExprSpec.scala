@@ -175,4 +175,22 @@ class ExprSpec extends SparkSpec {
       .select(Fns.quantize1000($"e")).as[Seq[Long]].head()
     assert(got == Seq(54L, -38L, 1999L))
   }
+
+  test("bloom sketch: no false negatives, bounded false positives") {
+    import graft.functions.SketchExprs
+    import org.apache.spark.sql.functions._
+    val members = spark.range(1000).select(($"id" * 7919L).as("v"))
+    val bloom = members
+      .agg(SketchExprs.bloom_filter_agg($"v", 1000L, 16384L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // every member must probe true — bloom filters cannot false-negative
+    val misses = members
+      .filter(!SketchExprs.might_contain(lit(bloom), $"v")).count()
+    assert(misses == 0L, s"$misses false negatives — bloom contract broken")
+    // non-members: FP rate should be small at ~16 bits/item
+    val fps = spark.range(1000)
+      .select(($"id" * 7919L + 1L).as("v"))
+      .filter(SketchExprs.might_contain(lit(bloom), $"v")).count()
+    assert(fps < 50L, s"FP rate ${fps / 10.0}% — way above the sized bound")
+  }
 }
