@@ -57,10 +57,26 @@ object Bench {
       } else m
       n -> v
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision, full-name detail goes to a FILE: the driver records
+    // only the last ~2000 chars of stdout, and the 87-query full-name JSON
+    // line (~3.9 KB) overflows that window — rounds 1-4 all published
+    // BENCH_r{N}.json with "parsed": null because the line's head (the
+    // headline "metric"/"value" fields) was truncated away.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout gets ONE compact line that fits the driver's tail window:
+    // qNN short keys (the "qNN_" prefix is unique per query) and
+    // centisecond precision — ~1.3 KB for 87 queries.
+    def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

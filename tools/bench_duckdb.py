@@ -42,7 +42,9 @@ def main():
     if bench:
         print(f"\n{'query':30s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
         for name, dv in sorted(times.items(), key=lambda kv: -kv[1]):
-            sv = bench.get(name)
+            # graft.Bench stdout uses short "qNN" keys (tail-window fit);
+            # bench_detail.json keeps full names — accept either
+            sv = bench.get(name, bench.get(name.split("_")[0]))
             if sv is None or sv < 0 or dv <= 0:
                 continue
             print(f"{name:30s} {sv:8.2f} {dv:8.2f} {sv/dv:7.1f}x")
