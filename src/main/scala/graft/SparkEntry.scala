@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Reshape.queries ++
       operators.Corpus.queries ++
       operators.Curation.queries ++
-      operators.Graph.queries
+      operators.Graph.queries ++
+      operators.Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       operators.Reshape.oracles ++
       operators.Corpus.oracles ++
       operators.Curation.oracles ++
-      operators.Graph.oracles
+      operators.Graph.oracles ++
+      operators.Prep.oracles
 }

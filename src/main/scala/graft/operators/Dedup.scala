@@ -513,6 +513,91 @@ object Dedup {
        WHERE levenshtein(a.p, c.p) <= 8
        ORDER BY doc1, doc2"""
 
+  /** Near-dup ENSEMBLE: 2-of-3 vote across the three text-side methods
+    * — MinHash-LSH (signature agreement ≥ 8/24 ≈ ĵ ≥ 1/3), SimHash
+    * (hamming ≤ 3), and exact n-gram Jaccard (≥ 0.05). Single methods
+    * each have characteristic false positives (LSH band collisions,
+    * simhash's length blindness, Jaccard's short-doc inflation); the
+    * vote keeps only pairs two independent signals agree on — the
+    * policy production dedup pipelines actually ship.
+    *
+    * Shape: the three pair generators run as independent branches
+    * (each already bounded, see their scaladocs), then a single
+    * groupBy over the union of candidate pairs — the ensemble adds one
+    * shuffle of |candidate pairs| (tiny vs the corpus) on top of its
+    * inputs, and the branches parallelize across the cluster. */
+  def q95NeardupEnsemble(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mh = q41MinhashLsh(s, d).filter($"n_sig_equal" >= 8)
+      .select($"doc1", $"doc2", lit(1L).as("bit"))
+    val sh = simhashPairs(s, d)
+      .select($"doc1", $"doc2", lit(2L).as("bit"))
+    val jc = q42NgramJaccard(s, d)
+      .select($"doc1", $"doc2", lit(4L).as("bit"))
+    mh.union(sh).union(jc)
+      .groupBy($"doc1", $"doc2")
+      .agg(count(lit(1)).as("votes"), sum($"bit").as("mask"))
+      .filter($"votes" >= 2)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Oracle: the q41 + q44 + q42 WITH-chains stitched once (tk/sh are
+    * shared by minhash and jaccard), unioned with a method bit and
+    * voted. */
+  val q95Oracle: String =
+    raw"""WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       bands AS (
+         SELECT doc_id, sig, b,
+           md5(array_to_string(list_transform(sig[b*3+1 : b*3+3], v -> v::VARCHAR), ',')) AS band_key
+         FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+       mh AS (
+         SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+           len(list_filter(list_zip(l.sig, r.sig), p -> p[1] = p[2])) AS n_sig_equal
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS shh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shh = b.shh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jc AS (
+         SELECT doc1, doc2 FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       $simhashPairsWith,
+       shp AS (
+         SELECT doc1, doc2 FROM prs WHERE bit_count(xor(s1, s2)) <= 3),
+       u AS (
+         SELECT doc1, doc2, 1 AS bit FROM mh WHERE n_sig_equal >= 8
+         UNION ALL SELECT doc1, doc2, 2 FROM shp
+         UNION ALL SELECT doc1, doc2, 4 FROM jc)
+       SELECT doc1, doc2, CAST(count(*) AS BIGINT) AS votes,
+         CAST(sum(bit) AS BIGINT) AS mask
+       FROM u GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc1, doc2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
@@ -521,6 +606,7 @@ object Dedup {
     "q43_simhash" -> q43Simhash,
     "q44_simhash_pairs" -> q44SimhashPairs,
     "q71_dedup_clusters" -> q71DedupClusters,
+    "q95_neardup_ensemble" -> q95NeardupEnsemble,
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,5 +617,6 @@ object Dedup {
     "q43_simhash" -> q43Oracle,
     "q44_simhash_pairs" -> q44Oracle,
     "q71_dedup_clusters" -> q71Oracle,
+    "q95_neardup_ensemble" -> q95Oracle,
   )
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Training-data preparation operators: context-window chunking, PII
+  * scrubbing, equi-depth quality binning, and per-dimension embedding
+  * standardization. (Reference scope: the reference pipeline stops at
+  * flat per-row frames — `app/team_utilities.py` builds fixed-width
+  * match rows and loads them verbatim; these are the prep stages a
+  * training pipeline needs downstream of such ingestion.)
+  *
+  * Scale design:
+  *  - q91 chunking is scan → generate → explode → project: zero
+  *    shuffles, so chunking 100 TB costs one read and one write. The
+  *    stride arithmetic (`sequence(1, n, stride)`) keeps every chunk
+  *    row derivable from its document row alone — no window, no join.
+  *  - q92 scrubbing is a pure per-row expression chain (3 regex counts
+  *    + 3 sequential masks), fully codegen'd, no shuffle. Mask ORDER is
+  *    part of the contract: emails first, then IDs, then bare digit
+  *    runs, each counted on the text the previous stage produced (a
+  *    digit run inside an email must not double-count).
+  *  - q93 equi-depth bins WITHOUT a global sort: aggregate per distinct
+  *    value (shuffle ~ |distinct values|, not |rows|), cumulative-sum
+  *    over that small value domain, then bin by integer rank share.
+  *    The single-partition window is over distinct values only — the
+  *    row-level path a naive `ntile(10) OVER (ORDER BY v)` would take
+  *    funnels ALL rows through one task at 100 TB; this shape funnels
+  *    only the value histogram (bounded domain) and broadcasts back.
+  *  - q94 standardization: exact integer moments per dimension (n, Σq,
+  *    Σq²) from the quantized embeddings, then the outlier test
+  *    |z| > 2 is evaluated as the INTEGER inequality
+  *    (n·q − Σq)² > 4·(n·Σq² − (Σq)²) — no doubles anywhere, so the
+  *    result is bit-deterministic at any partition count on both
+  *    engines. Int64 bound: |q| ≤ 1000 (unit-norm inputs) keeps
+  *    n·Σq² < 9.2e18 up to n ≈ 3e6 vectors per aggregation scope;
+  *    beyond that the moments move to decimal(38,0) (q80's pattern).
+  */
+object Prep {
+
+  /** Context-window chunking: overlapping 32-token windows at stride 24
+    * (8-token overlap). One output row per chunk with its token count
+    * and a 60-bit content hash; the last chunk may be short. */
+  def q91DocChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunkLen = 32
+    val stride = 24
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .withColumn("n", size($"tk"))
+      .filter($"n" > 0)
+      .select($"doc_id", $"n", $"tk",
+        posexplode(sequence(lit(1), $"n", lit(stride))).as(Seq("pos", "start_i")))
+      .withColumn("chunk", slice($"tk", $"start_i", lit(chunkLen)))
+      .select(
+        $"doc_id",
+        $"pos".cast("long").as("chunk_id"),
+        $"start_i".cast("long").as("start_tok"),
+        size($"chunk").cast("long").as("n_tok"),
+        hash60(concat_ws(" ", $"chunk")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val q91Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       nz AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
+       st AS (SELECT doc_id, n, tk, unnest(generate_series(1, n, 24)) AS start_i FROM nz)
+       SELECT doc_id,
+         CAST((start_i - 1) // 24 AS BIGINT) AS chunk_id,
+         CAST(start_i AS BIGINT) AS start_tok,
+         CAST(len(tk[start_i : start_i + 31]) AS BIGINT) AS n_tok,
+         ('0x' || substr(md5(array_to_string(tk[start_i : start_i + 31], ' ')), 1, 15))::BIGINT AS chunk_hash
+       FROM st ORDER BY doc_id, chunk_id"""
+
+  /** PII scrubbing over synthesized contact profiles (the testdata has
+    * no organic PII, so — like q12's URL synthesis — the profile string
+    * is derived from customer columns, then scrubbed): sequential
+    * email → account-ID → digit-run masking with per-stage match
+    * counts and a content hash of the scrubbed text. */
+  def q92PiiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z]+\\.[0-9]+@[a-z.]+"
+    val idRe = "Customer#[0-9]+"
+    val numRe = "[0-9]{4,}"
+    Tables.customer(s, d)
+      .withColumn("profile",
+        concat($"c_name", lit(" seg "), $"c_mktsegment", lit(" contact "),
+          lower($"c_mktsegment"), lit("."), $"c_custkey".cast("string"),
+          lit("@mail.example ref "),
+          ($"c_custkey" * 7919 + 104729).cast("string")))
+      .withColumn("s1", regexp_replace($"profile", emailRe, "<EMAIL>"))
+      .withColumn("s2", regexp_replace($"s1", idRe, "<ID>"))
+      .withColumn("s3", regexp_replace($"s2", numRe, "<NUM>"))
+      .select(
+        $"c_custkey",
+        regexp_count($"profile", lit(emailRe)).cast("long").as("n_email"),
+        regexp_count($"s1", lit(idRe)).cast("long").as("n_id"),
+        regexp_count($"s2", lit(numRe)).cast("long").as("n_num"),
+        length($"profile").cast("long").as("len_orig"),
+        length($"s3").cast("long").as("len_scrub"),
+        hash60($"s3").as("scrub_hash"))
+      .orderBy($"c_custkey")
+  }
+
+  val q92Oracle: String =
+    """WITH p AS (
+         SELECT c_custkey,
+           c_name || ' seg ' || c_mktsegment || ' contact ' ||
+           lower(c_mktsegment) || '.' || CAST(c_custkey AS VARCHAR) ||
+           '@mail.example ref ' || CAST(c_custkey * 7919 + 104729 AS VARCHAR) AS profile
+         FROM customer),
+       m AS (
+         SELECT c_custkey, profile,
+           regexp_replace(profile, '[a-z]+\.[0-9]+@[a-z.]+', '<EMAIL>', 'g') AS s1
+         FROM p),
+       m2 AS (
+         SELECT *, regexp_replace(s1, 'Customer#[0-9]+', '<ID>', 'g') AS s2 FROM m),
+       m3 AS (
+         SELECT *, regexp_replace(s2, '[0-9]{4,}', '<NUM>', 'g') AS s3 FROM m2)
+       SELECT c_custkey,
+         CAST(len(regexp_extract_all(profile, '[a-z]+\.[0-9]+@[a-z.]+')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(s1, 'Customer#[0-9]+')) AS BIGINT) AS n_id,
+         CAST(len(regexp_extract_all(s2, '[0-9]{4,}')) AS BIGINT) AS n_num,
+         CAST(len(profile) AS BIGINT) AS len_orig,
+         CAST(len(s3) AS BIGINT) AS len_scrub,
+         ('0x' || substr(md5(s3), 1, 15))::BIGINT AS scrub_hash
+       FROM m3 ORDER BY c_custkey"""
+
+  /** Equi-depth decile binning of document length — computed from the
+    * VALUE HISTOGRAM (groupBy n_chars), not a row-level ntile: bin of a
+    * value v is floor(10 · rows_before(v) / N). Ties are indivisible
+    * (every row of one value lands in one bin), so bins can be uneven
+    * or absent under heavy ties — that is the deterministic contract. */
+  def q93QualityBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val vc = docs.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("cnt"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    vc.withColumn("cumb", coalesce(sum($"cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("(10 * cumb) div n_total"))
+      .groupBy($"bin")
+      .agg(
+        sum($"cnt").as("n_docs"),
+        min($"v").as("lo_chars"),
+        max($"v").as("hi_chars"))
+      .orderBy($"bin")
+  }
+
+  val q93Oracle: String =
+    """WITH vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+       c AS (SELECT v, cnt,
+               COALESCE(CAST(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+             FROM vc),
+       b AS (SELECT v, cnt, (10 * cumb) // n_total AS bin FROM c, t)
+       SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(min(v) AS BIGINT) AS lo_chars, CAST(max(v) AS BIGINT) AS hi_chars
+       FROM b GROUP BY 1 ORDER BY 1"""
+
+  /** Per-dimension embedding standardization stats + |z|>2 outlier
+    * counts, all in exact integer arithmetic over the quantized
+    * vectors (see object scaladoc for the inequality and its bound). */
+  def q94DimStandardize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode(quantize1000($"embedding")).as(Seq("pos", "q")))
+      .select(($"pos" + 1).cast("long").as("dim"), $"q")
+    val st = ex.groupBy($"dim").agg(
+      count(lit(1)).as("n"),
+      sum($"q").as("sum_q"),
+      sum($"q" * $"q").as("sumsq_q"))
+    val outl = ex.join(broadcast(st), "dim")
+      .filter(($"n" * $"q" - $"sum_q") * ($"n" * $"q" - $"sum_q") >
+        lit(4L) * ($"n" * $"sumsq_q" - $"sum_q" * $"sum_q"))
+      .groupBy($"dim").agg(count(lit(1)).as("n_outlier"))
+    st.join(outl, Seq("dim"), "left")
+      .select($"dim", $"n", $"sum_q", $"sumsq_q",
+        coalesce($"n_outlier", lit(0L)).as("n_outlier"))
+      .orderBy($"dim")
+  }
+
+  val q94Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS dim
+                  FROM embeddings),
+       q AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+               CAST(floor(embedding[dim]::DOUBLE * 1000) AS BIGINT) AS q
+             FROM e),
+       st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(q) AS BIGINT) AS sum_q,
+                CAST(sum(q*q) AS BIGINT) AS sumsq_q
+              FROM q GROUP BY 1),
+       o AS (SELECT q.dim, CAST(count(*) AS BIGINT) AS n_outlier
+             FROM q JOIN st ON q.dim = st.dim
+             WHERE (n*q.q - sum_q)*(n*q.q - sum_q) > 4*(n*sumsq_q - sum_q*sum_q)
+             GROUP BY 1)
+       SELECT st.dim, n, sum_q, sumsq_q, COALESCE(n_outlier, 0) AS n_outlier
+       FROM st LEFT JOIN o ON st.dim = o.dim ORDER BY st.dim"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_doc_chunks" -> q91DocChunks,
+    "q92_pii_scrub" -> q92PiiScrub,
+    "q93_quality_bins" -> q93QualityBins,
+    "q94_dim_standardize" -> q94DimStandardize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q91_doc_chunks" -> q91Oracle,
+    "q92_pii_scrub" -> q92Oracle,
+    "q93_quality_bins" -> q93Oracle,
+    "q94_dim_standardize" -> q94Oracle,
+  )
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Prep}
+
+/** Targeted tests for the prep operators on crafted inputs — chunk
+  * stride/overlap arithmetic, mask ordering, tie handling in equi-depth
+  * bins, and the integer outlier inequality — plus a consistency check
+  * of the ensemble vote against its member methods on real testdata. */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prep").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q91: stride-24 windows of 32 — boundary sizes and 8-token overlap") {
+    val toks = (1 to 40).map(i => s"t$i")
+    val d = docsDir(Seq((1L, toks.mkString(" "), "en", "s", 1L)))
+    val got = Prep.q91DocChunks(spark, d)
+      .select($"chunk_id", $"start_tok", $"n_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    // starts 1 and 25: first chunk full (32), second clipped to 16
+    assert(got == Seq((0L, 1L, 32L), (1L, 25L, 16L)))
+  }
+
+  test("q91: chunk hash is content-positional — doc of 24 tokens is one short chunk") {
+    val d = docsDir(Seq(
+      (1L, (1 to 24).map(i => s"w$i").mkString(" "), "en", "s", 1L),
+      (2L, "", "en", "s", 0L))) // token-less doc emits nothing
+    val got = Prep.q91DocChunks(spark, d)
+      .select($"doc_id", $"n_tok").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 24L)))
+  }
+
+  test("q92: email masked before ID before digit runs — no double counting") {
+    val dir = java.nio.file.Files.createTempDirectory("prep").toString
+    Seq((7L, "Customer#000000007", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Prep.q92PiiScrub(spark, dir)
+      .select($"n_email", $"n_id", $"n_num").as[(Long, Long, Long)].head()
+    // profile: Customer#000000007 seg BUILDING contact building.7@mail.example ref 160162
+    // one email; one ID (its 9-digit run must NOT also count as a num);
+    // one bare digit run (the ref number)
+    assert(got == ((1L, 1L, 1L)))
+  }
+
+  test("q93: distinct values spread one per decile; heavy ties collapse to one bin") {
+    val spread = docsDir((1L to 10L).map(i =>
+      (i, "x", "en", "s", 100L + i)))
+    val bins = Prep.q93QualityBins(spark, spread)
+      .select($"bin", $"n_docs").as[(Long, Long)].collect().toSeq
+    assert(bins == (0L to 9L).map(b => (b, 1L)))
+
+    val tied = docsDir((1L to 10L).map(i => (i, "x", "en", "s", 42L)))
+    val one = Prep.q93QualityBins(spark, tied)
+      .select($"bin", $"n_docs", $"lo_chars", $"hi_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 10L, 42L, 42L)))
+  }
+
+  test("q94: integer |z|>2 inequality flags the single spike dimension value") {
+    val dir = java.nio.file.Files.createTempDirectory("prep").toString
+    // 10 one-dim vectors: nine 0.0 and one 1.0 → q = 0×9, 1000×1
+    // (n·q − Σq)² = 9000² = 8.1e7 > 4(n·Σq² − Σq²) = 3.6e7 → 1 outlier
+    (1 to 10).map(i => (i.toLong, Seq(if (i == 10) 1.0f else 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Prep.q94DimStandardize(spark, dir)
+      .select($"dim", $"n", $"sum_q", $"sumsq_q", $"n_outlier")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1000L, 1000000L, 1L)))
+  }
+
+  test("q95: every ensemble pair is confirmed by ≥2 member methods (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val mh = Dedup.q41MinhashLsh(spark, d).filter($"n_sig_equal" >= 8)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val sh = Dedup.q44SimhashPairs(spark, d)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val jc = Dedup.q42NgramJaccard(spark, d)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val ens = Dedup.q95NeardupEnsemble(spark, d)
+      .select($"doc1", $"doc2", $"votes", $"mask")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ens.nonEmpty) // the corpus has known near-dup pairs
+    ens.foreach { case (a, b, votes, mask) =>
+      val members = Seq(mh((a, b)), sh((a, b)), jc((a, b)))
+      assert(members.count(identity) == votes && votes >= 2)
+      val expectMask = (if (members(0)) 1L else 0L) +
+        (if (members(1)) 2L else 0L) + (if (members(2)) 4L else 0L)
+      assert(mask == expectMask)
+    }
+    // and no 2-vote pair was dropped
+    val twoPlus = (mh & sh) | (mh & jc) | (sh & jc)
+    assert(ens.map(e => (e._1, e._2)).toSet == twoPlus)
+  }
+}
