@@ -528,12 +528,76 @@ object Dedup {
     * inputs, and the branches parallelize across the cluster. */
   def q95NeardupEnsemble(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mh = q41MinhashLsh(s, d).filter($"n_sig_equal" >= 8)
+    // ONE shingle-hash pass feeds both the minhash and jaccard branches:
+    // the 28-bit minhash base is the top bits of the 60-bit jaccard hash
+    // (same md5, nibble-aligned: h28 = h60 div 2^32), and ShingleHashes
+    // dedupes at the shingle-string level, so the derived multiset is
+    // identical to hashing at 7 nibbles directly. The repartition
+    // barrier materializes the hashed corpus once (ReusedExchange under
+    // every branch) instead of re-scanning + re-shingling 3×.
+    // localCheckpoint (not just a repartition barrier): the hashed
+    // corpus is consumed by FOUR subplans (minhash explode, jaccard
+    // self-join ×2, size dim) whose pruned projections canonicalize
+    // differently, so plain ReuseExchange doesn't fire and each branch
+    // would re-scan + re-shingle. Materializing once is also the
+    // realistic 100 TB shape: a production dedup pipeline persists the
+    // shingle-hashed corpus once and runs every method against it.
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+      .filter(size($"shs") > 0)
+      .repartition($"doc_id")
+      .localCheckpoint()
+
+    // minhash branch — q41's math on the derived 28-bit hashes
+    val nSig = 24
+    val bandRows = 3
+    val nBands = nSig / bandRows
+    val p = 2147483647L
+    val exploded = hashed
+      .select($"doc_id", explode($"shs").as("h60"))
+      .select($"doc_id", expr("h60 div 4294967296").as("h"))
+    val minCols = (0 until nSig).map(i =>
+      min((lit(2L * i + 1) * $"h" + lit(i.toLong)) % p).as(s"m$i"))
+    val sigs = exploded.groupBy($"doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select($"doc_id", array((0 until nSig).map(i => col(s"m$i")): _*).as("sig"))
+    val bands = sigs
+      .select($"doc_id", $"sig",
+        explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+      .select($"doc_id", $"sig", $"b",
+        md5(concat_ws(",",
+          transform(slice($"sig", $"b" * bandRows + 1, lit(bandRows)),
+            _.cast("string")))).as("band_key"))
+    val mh = bands
+      .groupBy($"b", $"band_key")
+      .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
+      .filter(size($"members") > 1)
+      .select(explode($"members").as("m1"), $"members")
+      .select($"m1", explode($"members").as("m2"))
+      .filter($"m1.doc_id" < $"m2.doc_id")
+      .select($"m1.doc_id".as("doc1"), $"m2.doc_id".as("doc2"),
+        size(filter(zip_with($"m1.sig", $"m2.sig", (x, y) => x === y), b => b))
+          .as("n_sig_equal"))
+      .distinct()
+      .filter($"n_sig_equal" >= 8)
       .select($"doc1", $"doc2", lit(1L).as("bit"))
+
+    // jaccard branch — q42's inverted-index join off the same barrier
+    val sizes = hashed.select($"doc_id", size($"shs").as("n_sh"))
+    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
+    val jc = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .filter(floor($"inter" * lit(10000) / ($"n1" + $"n2" - $"inter")) >= 500)
+      .select($"doc1", $"doc2", lit(4L).as("bit"))
+
     val sh = simhashPairs(s, d)
       .select($"doc1", $"doc2", lit(2L).as("bit"))
-    val jc = q42NgramJaccard(s, d)
-      .select($"doc1", $"doc2", lit(4L).as("bit"))
+
     mh.union(sh).union(jc)
       .groupBy($"doc1", $"doc2")
       .agg(count(lit(1)).as("votes"), sum($"bit").as("mask"))

@@ -109,12 +109,20 @@ object Relational {
       .groupBy($"l_orderkey")
       .agg(sum($"l_extendedprice".cast(dec) *
         (lit(1).cast(dec) - $"l_discount".cast(dec))).as("order_rev"))
-    cust.join(ord, $"c_custkey" === $"o_custkey")
-      .join(orderRev, $"o_orderkey" === $"l_orderkey")
+    // Second partial collapse, same principle one level up: aggregate
+    // per CUSTOMER before the dim join (orders:customers ≈ 10:1), so
+    // the customer join probes ~|customers| rows instead of |orders| —
+    // and the final segment rollup reduces pre-shrunk partials. Sums
+    // of decimal partials re-associate exactly; the order count
+    // becomes a sum of per-customer counts.
+    val perCust = ord.join(orderRev, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"order_rev").as("cust_rev"), count(lit(1)).as("cust_orders"))
+    perCust.join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
-        sum($"order_rev").cast("double").as("revenue"),
-        count(lit(1)).as("n_orders"))
+        sum($"cust_rev").cast("double").as("revenue"),
+        sum($"cust_orders").as("n_orders"))
       .orderBy($"c_mktsegment")
   }
 
