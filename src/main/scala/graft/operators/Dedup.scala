@@ -662,6 +662,68 @@ object Dedup {
          CAST(sum(bit) AS BIGINT) AS mask
        FROM u GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc1, doc2"""
 
+  /** Leakage-safe train/val/test split: the deterministic hash split
+    * (q38's 1%/1%/98% multiplicative-hash convention) keyed on the
+    * near-dup CLUSTER canonical id instead of the doc id. A doc-keyed
+    * split can put two near-duplicates of the same page on opposite
+    * sides of the train/test boundary — the classic eval-contamination
+    * bug; keying every cluster member by min(cluster doc_id) makes
+    * "same cluster ⇒ same split" structural. Singletons fall back to
+    * their own id (coalesce), so the fix costs nothing outside the
+    * clustered minority.
+    *
+    * Shape at scale: cluster extraction is q71's bounded loop; the
+    * doc→cluster map is a LEFT join on doc_id (clustered docs are a
+    * small fraction, and the map is far smaller than the corpus —
+    * broadcastable in practice); the split itself is one hash per row,
+    * no RNG, stable under corpus growth. */
+  def q96LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val testBound = 42949672L // floor(2^32 · 0.01), shared with q38/oracle
+    val valBound = 85899345L  // floor(2^32 · 0.02)
+    val clusters = minLabelComponents(simhashPairs(s, d).select($"doc1", $"doc2"))
+    val keyed = Tables.documents(s, d).select($"doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("skey", coalesce($"cluster_id", $"doc_id"))
+    val h = ($"skey" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+    keyed
+      .withColumn("split",
+        when(h < testBound, "test").when(h < valBound, "val").otherwise("train"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"cluster_id".isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        countDistinct($"cluster_id").as("n_clusters"))
+      .orderBy($"split")
+  }
+
+  val q96Oracle: String =
+    s"""WITH RECURSIVE $simhashPairsWith,
+       good AS (
+         SELECT doc1, doc2 FROM prs WHERE bit_count(xor(s1, s2)) <= 3),
+       edges AS (
+         SELECT doc1 AS a, doc2 AS b FROM good
+         UNION ALL SELECT doc2, doc1 FROM good),
+       reach(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id),
+       cl AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY doc_id),
+       k AS (SELECT d.doc_id, cl.cluster_id,
+               COALESCE(cl.cluster_id, d.doc_id) AS skey
+             FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       a AS (SELECT *,
+               CASE WHEN ((skey % 2147483648) * 2654435761) % 4294967296 < 42949672
+                    THEN 'test'
+                    WHEN ((skey % 2147483648) * 2654435761) % 4294967296 < 85899345
+                    THEN 'val' ELSE 'train' END AS split
+             FROM k)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       FROM a GROUP BY split ORDER BY split"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
@@ -671,6 +733,7 @@ object Dedup {
     "q44_simhash_pairs" -> q44SimhashPairs,
     "q71_dedup_clusters" -> q71DedupClusters,
     "q95_neardup_ensemble" -> q95NeardupEnsemble,
+    "q96_leakage_split" -> q96LeakageSplit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -682,5 +745,6 @@ object Dedup {
     "q44_simhash_pairs" -> q44Oracle,
     "q71_dedup_clusters" -> q71Oracle,
     "q95_neardup_ensemble" -> q95Oracle,
+    "q96_leakage_split" -> q96Oracle,
   )
 }

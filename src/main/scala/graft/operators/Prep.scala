@@ -44,11 +44,17 @@ object Prep {
   /** Context-window chunking: overlapping 32-token windows at stride 24
     * (8-token overlap). One output row per chunk with its token count
     * and a 60-bit content hash; the last chunk may be short. */
-  def q91DocChunks(s: SparkSession, d: String): DataFrame = {
+  /** The chunking transform itself — stateless per-row fan-out, shared
+    * verbatim by the batch query and the streaming twin
+    * ([[graft.streaming.DocStreams.chunkStream]]): no window, no join,
+    * no aggregation, so the same plan runs append-mode on an unbounded
+    * stream with no state store. */
+  def chunkTransform(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val chunkLen = 32
     val stride = 24
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", tokens($"text").as("tk"))
       .withColumn("n", size($"tk"))
       .filter($"n" > 0)
@@ -61,7 +67,11 @@ object Prep {
         $"start_i".cast("long").as("start_tok"),
         size($"chunk").cast("long").as("n_tok"),
         hash60(concat_ws(" ", $"chunk")).as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  def q91DocChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunkTransform(Tables.documents(s, d)).orderBy($"doc_id", $"chunk_id")
   }
 
   val q91Oracle: String =

@@ -74,6 +74,16 @@ object DocStreams {
         .parquet(docsDir),
       bench)
 
+  /** Streaming context-window chunking: the EXACT batch transform
+    * ([[graft.operators.Prep.chunkTransform]] — q91) applied to a doc
+    * stream. Chunking is a per-row fan-out (tokenize → stride starts →
+    * slice), so it needs no watermark and no state: each crawl shard is
+    * chunked the moment it lands, append mode end to end. */
+  def chunkStream(s: SparkSession, docsDir: String): DataFrame =
+    graft.operators.Prep.chunkTransform(
+      s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(docsDir))
+
   // ---- streaming MinHash-LSH dedup (flatMapGroupsWithState) ----
 
   /** One LSH band posting: document × band, keyed by the band's

@@ -97,4 +97,26 @@ class DocStreamsSpec extends SparkSpec {
       assert(Option(q.lastProgress).exists(_.batchId >= 1))
     } finally q.stop()
   }
+
+  test("streaming chunker == batch q91 and is stateless") {
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.operators.Prep.q91DocChunks(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+
+    val staged = java.nio.file.Files.createTempDirectory("docs_chunk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = DocStreams.chunkStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
 }

@@ -99,4 +99,18 @@ class PrepSpec extends SparkSpec {
     val twoPlus = (mh & sh) | (mh & jc) | (sh & jc)
     assert(ens.map(e => (e._1, e._2)).toSet == twoPlus)
   }
+
+  test("q96: near-dup cluster that straddles splits under doc-key lands whole") {
+    // h(89) < testBound (doc-keyed split would send 89 to 'test');
+    // h(1) and h(2) land in 'train'. Docs 1 and 89 are identical →
+    // one cluster with canonical id 1 → BOTH split by key 1 (train).
+    val d = docsDir(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 1L),
+      (89L, "alpha beta gamma delta epsilon zeta", "en", "s", 1L),
+      (2L, "totally unrelated words nothing shared here", "en", "s", 1L)))
+    val got = Dedup.q96LeakageSplit(spark, d)
+      .select($"split", $"n_docs", $"n_clustered", $"n_clusters")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("train", 3L, 2L, 1L)))
+  }
 }
