@@ -182,6 +182,76 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Shared single-pass repetition-profile implementation (interpreted +
+  * codegen): one tokenize pass builds the unigram and bigram count maps
+  * together, replacing q35's explode → two groupBys → window-lead →
+  * groupBy → join pipeline (5 shuffling operators) with a per-row
+  * scalar. Null for token-less docs (they vanish from the explode
+  * formulation too). Bigrams are over consecutive NON-EMPTY tokens —
+  * the same sequence the filtered-token explode produces. */
+object RepetitionStatsImpl {
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = input.toString.split("\\s+")
+    val uni = new java.util.HashMap[String, Int]()
+    val bi = new java.util.HashMap[String, Int]()
+    var n = 0
+    var prev: String = null
+    var i = 0
+    while (i < raw.length) {
+      val t = raw(i)
+      if (t.nonEmpty) {
+        n += 1
+        uni.merge(t, 1, Integer.sum)
+        if (prev != null) bi.merge(prev + " " + t, 1, Integer.sum)
+        prev = t
+      }
+      i += 1
+    }
+    if (n == 0) return null
+    var top = 0
+    val uit = uni.values().iterator()
+    while (uit.hasNext) { val v = uit.next(); if (v > top) top = v }
+    var dup = 0L
+    val bit = bi.values().iterator()
+    while (bit.hasNext) { val v = bit.next(); if (v > 1) dup += v }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, uni.size.toLong, top.toLong, (n - 1).toLong, dup))
+  }
+}
+
+/** text → struct(n_tokens, n_distinct, top_c, n_bigrams, dup_occ) in
+  * one compiled pass (see [[RepetitionStatsImpl]]). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStatsImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("repStats")
+      s"""
+      org.apache.spark.sql.catalyst.InternalRow $tmp =
+        graft.functions.RepetitionStatsImpl.compute($c);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
+object RepetitionStats {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_c", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup_occ", LongType, nullable = false)))
+}
+
 object TextExprs {
   /** Distinct md5-prefix hashes of word w-gram shingles (see
     * [[ShingleHashes]]). */
@@ -192,4 +262,8 @@ object TextExprs {
   /** 60-bit SimHash of whitespace tokens (see [[SimHash60]]). */
   def simhash60(text: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
+
+  /** Single-pass repetition profile (see [[RepetitionStats]]). */
+  def repetition_stats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 }

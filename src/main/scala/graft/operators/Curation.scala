@@ -94,27 +94,27 @@ object Curation {
     * quality gate a filtering pass would apply. */
   def q35RepetitionProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
-    val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-    val uni = tf.groupBy($"doc_id")
-      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max($"c").as("top_c"))
-    // bigrams via lead() over (doc, pos) — the q74 idiom, not a HOF
-    val bf = tok
-      .withColumn("nxt",
-        lead($"tok", 1).over(Window.partitionBy($"doc_id").orderBy($"pos")))
-      .filter($"nxt".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"tok", $"nxt").as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("bc"))
-    val bs = bf.groupBy($"doc_id")
-      .agg(sum($"bc").as("n_bigrams"),
-        sum(when($"bc" > 1, $"bc").otherwise(0L)).as("dup_occ"))
-    uni.join(bs, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_tokens", $"n_distinct",
-        expr("top_c * 1000 div n_tokens").as("top_tok_permille"),
-        when(coalesce($"n_bigrams", lit(0L)) > 0,
-          expr("coalesce(dup_occ, 0) * 1000 div n_bigrams"))
+    // Single-pass RepetitionStats expression: the whole profile is
+    // scan → project → sort, NO shuffle. The earlier declarative form
+    // (explode → tf groupBy → per-doc groupBy, window-lead bigrams →
+    // bigram groupBy → per-doc groupBy → join) shuffled |tokens| rows
+    // three times for what is per-row-computable state (~1.0 s →
+    // ~0.4 s at sf0.1; the same scan-local argument as q43's
+    // SimHash60). The struct is referenced by several output columns —
+    // whole-stage codegen's subexpression elimination evaluates the
+    // expression once per row after CollapseProject merges the
+    // projections (the round-1 HOF re-eval pitfall does NOT apply to
+    // a single named struct: it is one expression tree, dedup-able,
+    // not a lambda re-inlined per element).
+    Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextExprs.repetition_stats($"text").as("r"))
+      .filter($"r".isNotNull)
+      .select($"doc_id",
+        $"r.n_tokens".as("n_tokens"),
+        $"r.n_distinct".as("n_distinct"),
+        expr("r.top_c * 1000 div r.n_tokens").as("top_tok_permille"),
+        when($"r.n_bigrams" > 0, expr("r.dup_occ * 1000 div r.n_bigrams"))
           .otherwise(0L).as("dup_bigram_permille"))
       .withColumn("repetitive",
         $"top_tok_permille" > 160 || $"dup_bigram_permille" > 200)

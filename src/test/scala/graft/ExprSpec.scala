@@ -193,4 +193,43 @@ class ExprSpec extends SparkSpec {
       .filter(SketchExprs.might_contain(lit(bloom), $"v")).count()
     assert(fps < 50L, s"FP rate ${fps / 10.0}% — way above the sized bound")
   }
+
+  test("RepetitionStats == declarative explode/groupBy formulation; null on empty") {
+    val df = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val custom = df
+      .select($"doc_id", TextExprs.repetition_stats($"text").as("r"))
+      .filter($"r".isNotNull)
+      .select($"doc_id", $"r.n_tokens", $"r.n_distinct", $"r.top_c",
+        $"r.n_bigrams", $"r.dup_occ")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // pre-round-5 declarative pipeline (explode → tf → per-doc aggs;
+    // lead() bigrams → per-doc aggs; join)
+    val tok = df.select($"doc_id",
+      posexplode(Fns.tokens($"text")).as(Seq("pos", "tok")))
+    val uni = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_c"))
+    val bs = tok
+      .withColumn("nxt", lead($"tok", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"nxt").as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("bc"))
+      .groupBy($"doc_id")
+      .agg(sum($"bc").as("n_bigrams"),
+        sum(when($"bc" > 1, $"bc").otherwise(0L)).as("dup_occ"))
+    val reference = uni.join(bs, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_c",
+        coalesce($"n_bigrams", lit(0L)), coalesce($"dup_occ", lit(0L)))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(custom == reference && custom.nonEmpty)
+
+    val nulls = Seq("", "   ", "a").toDF("text")
+      .select(TextExprs.repetition_stats($"text").as("r")).collect()
+    assert(nulls(0).isNullAt(0) && nulls(1).isNullAt(0) && !nulls(2).isNullAt(0))
+  }
 }
