@@ -195,12 +195,75 @@ object Multimodal {
          ('0x' || substr(md5(doc_id || ':' || frame_no), 1, 15))::BIGINT % 1000 AS feat
        FROM fr ORDER BY doc_id, frame_no"""
 
+  /** Multimodal sequence budget — the packing-planner arithmetic for a
+    * text+vision training mix: per doc, text tokens + (sampled frames ×
+    * ViT 16px patches per resized frame) + 2 specials, and whether the
+    * doc fits an 8k context. All CLOSED-FORM per-row integer
+    * arithmetic: the sampled-frame count is ceil(n_frames/step) =
+    * (n_frames-1) div step + 1 rather than an explode-and-count, so the
+    * whole budget is scan-local — at 100 TB this is one pass producing
+    * one row per doc, no generator blow-up, no shuffle until the final
+    * sort (and none at all in the real pipeline, where this column
+    * feeds q36-style packing directly). */
+  def q97MmBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", $"text", $"text".cast("binary").as("media"))
+      .withColumn("text_tokens",
+        size(graft.functions.Fns.tokens($"text")).cast("long"))
+      .withColumn("width", h1 % 640 + 16)
+      .withColumn("height", h1 % 480 + 16)
+      .withColumn("n_frames", h1 % 240 + 1)
+      .withColumn("out_w", expr("width * 224 div greatest(width, height)"))
+      .withColumn("out_h", expr("height * 224 div greatest(width, height)"))
+      .withColumn("step", expr("(n_frames + 7) div 8"))
+      .withColumn("n_sampled", expr("(n_frames - 1) div step + 1"))
+      .withColumn("n_patches",
+        expr("((out_h + 15) div 16) * ((out_w + 15) div 16)"))
+      .withColumn("total_seq",
+        expr("text_tokens + n_sampled * n_patches + 2"))
+      .withColumn("fits_8k", $"total_seq" <= 8192)
+      .select($"doc_id", $"text_tokens", $"n_sampled", $"n_patches",
+        $"total_seq", $"fits_8k")
+      .orderBy($"doc_id")
+  }
+
+  val q97Oracle: String =
+    """WITH m AS (
+         SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS text_tokens,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1
+         FROM documents),
+       meta AS (
+         SELECT doc_id, text_tokens,
+           h1 % 640 + 16 AS width, h1 % 480 + 16 AS height,
+           h1 % 240 + 1 AS n_frames
+         FROM m),
+       sz AS (
+         SELECT doc_id, text_tokens, n_frames,
+           width * 224 // greatest(width, height) AS out_w,
+           height * 224 // greatest(width, height) AS out_h,
+           (n_frames + 7) // 8 AS step
+         FROM meta),
+       b AS (
+         SELECT doc_id, text_tokens,
+           (n_frames - 1) // step + 1 AS n_sampled,
+           ((out_h + 15) // 16) * ((out_w + 15) // 16) AS n_patches
+         FROM sz)
+       SELECT doc_id, text_tokens, n_sampled, n_patches,
+         text_tokens + n_sampled * n_patches + 2 AS total_seq,
+         text_tokens + n_sampled * n_patches + 2 <= 8192 AS fits_8k
+       FROM b ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_multimodal_meta" -> q50MultimodalMeta,
     "q51_frame_sample" -> q51FrameSample,
+    "q97_mm_budget" -> q97MmBudget,
   )
   val oracles: Map[String, String] = Map(
     "q50_multimodal_meta" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle,
+    "q97_mm_budget" -> q97Oracle,
   )
 }

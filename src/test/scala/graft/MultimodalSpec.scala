@@ -50,4 +50,23 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => (f.doc_id, f.frame_no, f.frame_bytes.toSeq)).toSet
     assert(one == many && one.nonEmpty)
   }
+
+  test("q97 closed-form budget == q51 explode-and-count per doc") {
+    val d = "/root/testdata/sf0.001"
+    val fromExplode = Multimodal.q51FrameSample(spark, d)
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max($"n_patches").as("p"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, p) => id -> ((n, p)) }.toMap
+    val budget = Multimodal.q97MmBudget(spark, d)
+      .select($"doc_id", $"n_sampled", $"n_patches")
+      .as[(Long, Long, Long)].collect()
+    assert(budget.nonEmpty)
+    budget.foreach { case (id, ns, np) =>
+      val (n, p) = fromExplode(id)
+      assert(ns == n && np == p, s"doc $id: closed form ($ns,$np) vs explode ($n,$p)")
+    }
+  }
 }
