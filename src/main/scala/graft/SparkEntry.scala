@@ -31,7 +31,8 @@ object SparkEntry {
       operators.Corpus.queries ++
       operators.Curation.queries ++
       operators.Graph.queries ++
-      operators.Prep.queries
+      operators.Prep.queries ++
+      operators.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       operators.Corpus.oracles ++
       operators.Curation.oracles ++
       operators.Graph.oracles ++
-      operators.Prep.oracles
+      operators.Prep.oracles ++
+      operators.Retrieval.oracles
 }

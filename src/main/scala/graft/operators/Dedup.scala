@@ -62,17 +62,21 @@ object Dedup {
     * integer-only, so the signature costs 1 md5 + 24 multiplies per
     * shingle instead of 24 md5s (a 25× hot-path reduction measured at
     * sf0.1: 382 s → seconds). */
-  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, sig, b, band_key) for every doc × band — the shared
+    * MinHash-LSH front half of q41 (batch self-dedup) and q52
+    * (incremental batch-vs-corpus dedup).
+    *
+    * Native ShingleHashes expression (one compiled pass per doc), then
+    * all 24 signature minima as parallel aggregate columns in a single
+    * codegen'd groupBy — no 24× row fan-out, no interpreted
+    * higher-order lambdas. (Measured at sf0.1: nested-HOF formulation
+    * ~400 s, 24×-explode ~22 s, this shape ~3 s.) */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nSig = 24
     val bandRows = 3
     val nBands = nSig / bandRows
     val p = 2147483647L
-    // Native ShingleHashes expression (one compiled pass per doc), then
-    // all 24 signature minima as parallel aggregate columns in a single
-    // codegen'd groupBy — no 24× row fan-out, no interpreted
-    // higher-order lambdas. (Measured at sf0.1: nested-HOF formulation
-    // ~400 s, 24×-explode ~22 s, this shape ~3 s.)
     val exploded = Tables.documents(s, d)
       .select($"doc_id",
         explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 7))
@@ -83,13 +87,18 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select($"doc_id", array((0 until nSig).map(i => col(s"m$i")): _*).as("sig"))
-    val bands = sigs
+    sigs
       .select($"doc_id", $"sig",
         explode(sequence(lit(0), lit(nBands - 1))).as("b"))
       .select($"doc_id", $"sig", $"b",
         md5(concat_ws(",",
           transform(slice($"sig", $"b" * bandRows + 1, lit(bandRows)),
             _.cast("string")))).as("band_key"))
+  }
+
+  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(s, d)
     // Bucket-local pair generation instead of a band self-join: the
     // self-join re-computed the whole signature pipeline on both sides
     // (no ReusedExchange across a BroadcastExchange boundary); grouping
@@ -142,6 +151,71 @@ object Dedup {
          FROM bands l JOIN bands r
            ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
        SELECT doc1, doc2, n_sig_equal FROM pairs ORDER BY doc1, doc2"""
+
+  /** Incremental (batch-vs-corpus) MinHash-LSH dedup — the production
+    * shape of q41: a small new batch (doc_id % 10 == 0 stands in for
+    * "today's crawl") is probed against the existing corpus index, and
+    * each new doc reports how many distinct corpus docs share an LSH
+    * band with it. The batch side is explicitly `broadcast()`: at
+    * 100 TB the corpus band index is a maintained table bucketed on
+    * (b, band_key) and never reshuffles — only the day's batch (orders
+    * of magnitude smaller) moves, as a broadcast hash join probe. Here
+    * both sides derive from one `minhashBands` pass so the corpus half
+    * of the plan is computed once and reused. */
+  def q52IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(s, d)
+      .select($"doc_id", $"b", $"band_key")
+      .localCheckpoint() // one sig computation feeds both sides
+    val newB = bands.filter($"doc_id" % 10 === 0)
+    val corpusB = bands.filter($"doc_id" % 10 =!= 0)
+    val matches = corpusB.as("o")
+      .join(broadcast(newB.as("n")), $"o.b" === $"n.b" && $"o.band_key" === $"n.band_key")
+      .groupBy($"n.doc_id".as("doc_id"))
+      .agg(countDistinct($"o.doc_id").as("n_matches"))
+    newB.select($"doc_id").distinct()
+      .join(matches, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .select($"doc_id", $"n_matches", ($"n_matches" > 0).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  val q52Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       bands AS (
+         SELECT doc_id, b,
+           md5(array_to_string(list_transform(sig[b*3+1 : b*3+3], v -> v::VARCHAR), ',')) AS band_key
+         FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+       m AS (
+         SELECT n.doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_matches
+         FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) o
+           ON n.b = o.b AND n.band_key = o.band_key
+         GROUP BY 1)
+       SELECT d.doc_id AS doc_id, CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+              coalesce(n_matches, 0) > 0 AS is_dup
+       FROM (SELECT DISTINCT doc_id FROM bands WHERE doc_id % 10 = 0) d
+       LEFT JOIN m ON d.doc_id = m.doc_id
+       ORDER BY doc_id"""
 
   /** n-gram Jaccard near-dup via inverted-index self-join: exact
     * pairwise Jaccard (basis points, integer floor) over distinct
@@ -728,6 +802,7 @@ object Dedup {
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
     "q41_minhash_lsh" -> q41MinhashLsh,
+    "q52_incremental_dedup" -> q52IncrementalDedup,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
     "q44_simhash_pairs" -> q44SimhashPairs,
@@ -740,6 +815,7 @@ object Dedup {
     "q40_dedup_exact" -> q40Oracle,
     "q70_edit_distance" -> q70Oracle,
     "q41_minhash_lsh" -> q41Oracle,
+    "q52_incremental_dedup" -> q52Oracle,
     "q42_ngram_jaccard" -> q42Oracle,
     "q43_simhash" -> q43Oracle,
     "q44_simhash_pairs" -> q44Oracle,

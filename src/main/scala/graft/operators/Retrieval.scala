@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Retrieval-side operators of a training-data pipeline: BM25 keyword
+  * retrieval (the classic sparse ranker used to mine hard negatives and
+  * to pre-filter RAG corpora) and exact duplicated-span detection (the
+  * hashed-span variant of suffix-array substring dedup — Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better").
+  *
+  * Scale design:
+  *  - q98 BM25: ONE scan and ONE shuffle (groupBy doc_id) produce the
+  *    per-doc length and all per-term tfs as parallel aggregate
+  *    columns; corpus statistics (N, avgdl, per-term df) collapse to a
+  *    single broadcast scalar row, so the scoring join is
+  *    exchange-free. Top-20 is TakeOrderedAndProject (per-partition
+  *    heaps), never a global sort. At 100 TB: identical shape — the
+  *    only wide exchange is doc-keyed and partially aggregated
+  *    map-side; the stats row stays O(#query-terms).
+  *  - q99 span dedup: spans are hashed per-row by the native
+  *    [[graft.functions.TextExprs.ShingleHashes]] expression (one
+  *    compiled pass, 60-bit md5 prefixes, within-doc distinct); the
+  *    single heavy shuffle is the groupBy on span hash — the same
+  *    cost center every substring-dedup implementation pays. The
+  *    duplicated-hash set stays far smaller than the span stream
+  *    (HAVING ≥2 docs), so the back-join is a shuffle-pruned left-semi
+  *    against a reduced build side. 60-bit hashes make cross-doc
+  *    false positives negligible at corpus scale (~n²/2⁶¹); a
+  *    verification re-join on the raw span text is the exact-mode
+  *    extension and shares the same plan shape.
+  */
+object Retrieval {
+
+  // query terms with deliberately spread document frequency:
+  // "dup" is the rare planted token (high idf), the others are
+  // ordinary vocabulary (low idf)
+  private val QueryTerms = Seq("spark", "vector", "dup")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 top-20 docs for a fixed 3-term query. Per-term contributions
+    * are floor-quantized to integer basis points BEFORE the per-doc
+    * sum, so the aggregate is an order-free integer sum and the
+    * cross-engine result is bit-exact (the double expression inside
+    * each floor is evaluated with the identical IEEE tree on both
+    * engines — same discipline as q73's score_bp). */
+  def q98Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    // one pass: doc length + tf of every query term as parallel columns
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val per = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    // corpus stats: one broadcast scalar row (N, Σdl, df per term)
+    val dfCols = QueryTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val glCols = Seq(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")) ++ dfCols
+    val gl = per.agg(glCols.head, glCols.tail: _*)
+    val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+    def termBp(i: Int) = {
+      val tf = col(s"tf$i"); val dfx = col(s"df$i")
+      val idf = log(($"n_docs" - dfx + lit(0.5)) / (dfx + lit(0.5)) + lit(1.0))
+      val w = (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * ($"dl".cast("double") / avgdl)))
+      floor(idf * w * lit(1000.0))
+    }
+    val nHit = QueryTerms.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    per.crossJoin(broadcast(gl))
+      .select($"doc_id", nHit.as("n_hit"),
+        QueryTerms.indices.map(termBp).reduce(_ + _).cast("long").as("score_bp"))
+      .filter($"score_bp" > 0)
+      .orderBy($"score_bp".desc, $"doc_id")
+      .limit(20)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"score_bp".desc, $"doc_id")).cast("long"))
+  }
+
+  val q98Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       per AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+           CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+           CAST(sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+         FROM tok GROUP BY 1),
+       gl AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+           CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         FROM per),
+       sc AS (
+         SELECT doc_id,
+           CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(
+             floor(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                   * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+                   * 1000.0)
+           + floor(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                   * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+                   * 1000.0)
+           + floor(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                   * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+                   * 1000.0) AS BIGINT) AS score_bp
+         FROM per, gl)
+       SELECT doc_id, n_hit, score_bp,
+              CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
+       FROM sc WHERE score_bp > 0
+       ORDER BY score_bp DESC, doc_id LIMIT 20"""
+
+  /** Duplicated-span profile: for every doc with ≥8 tokens, how many of
+    * its distinct 8-token spans also appear verbatim in ANOTHER doc.
+    * dup_bp = span-level duplication in basis points (integer div). */
+  def q99SpanDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // (doc, span-hash) stream feeds two aggregations + the semi join;
+    // materialize once (same rationale as q73's checkpointed tf)
+    val spans = Tables.documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 8, 15)).as("h"))
+      .localCheckpoint()
+    val dup = spans.groupBy($"h")
+      .agg(count(lit(1)).as("nd")) // distinct within doc ⇒ count == distinct docs
+      .filter($"nd" >= 2)
+      .select($"h")
+    val nd = spans.join(dup, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    spans.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(nd, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        expr("n_dup_spans * 10000 div n_spans").as("dup_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val q99Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sp AS (
+         SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(tk) >= 8
+                THEN list_transform(generate_series(1, len(tk) - 7),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                         || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])
+                ELSE [] END)) AS s
+         FROM tk),
+       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sp),
+       dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+       nd AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+         FROM h WHERE h IN (SELECT h FROM dup) GROUP BY 1),
+       ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM h GROUP BY 1)
+       SELECT ns.doc_id AS doc_id, n_spans,
+              CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+              CAST(coalesce(n_dup_spans, 0) * 10000 // n_spans AS BIGINT) AS dup_bp
+       FROM ns LEFT JOIN nd ON ns.doc_id = nd.doc_id
+       ORDER BY doc_id"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bm25" -> q98Bm25,
+    "q99_span_dedup" -> q99SpanDedup)
+
+  def oracles: Map[String, String] = Map(
+    "q98_bm25" -> q98Oracle,
+    "q99_span_dedup" -> q99Oracle)
+}

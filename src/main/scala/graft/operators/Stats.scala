@@ -321,7 +321,56 @@ object Stats {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
        FROM h ORDER BY bucket"""
 
+  /** Heavy hitters via a Misra–Gries mergeable summary
+    * ([[graft.functions.MisraGries]], k = 9 counters) checked against
+    * the exact per-key counts. The key is a deterministic skew
+    * synthesis over events (the testdata is uniform): 70 % of rows
+    * collapse onto user_id % 3 — three hot keys at ~23 % each — the
+    * rest keep their user_id as a cold tail, mirroring q59/q87's
+    * synthetic-skew convention.
+    *
+    * Output = every key whose EXACT count exceeds n/10 (integer
+    * compare cnt·10 > n), with two contract booleans the oracle pins
+    * TRUE: `in_sketch` (MG retained the key — guaranteed, since
+    * n/10 = n/(k+1) is exactly the MG retention bound for k = 9) and
+    * `err_bound_ok` (est ≤ exact and exact − est ≤ n/(k+1), the
+    * two-sided mergeable-summary error bound). The sketch side runs as
+    * a real partial-aggregating udaf over the same scan; the exact
+    * side is the groupBy any candidate verification pass would run on
+    * ONLY the surviving keys at scale. */
+  def q100HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 9
+    val keyed = Tables.events(s, d).select(
+      when($"user_id" % 10 < 7, $"user_id" % 3)
+        .otherwise($"user_id").as("key"))
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val sketch = keyed.agg(mg($"key").as("s"))
+      .select(explode($"s").as(Seq("key", "est")))
+    val exact = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum($"cnt").as("n"))
+    exact.crossJoin(broadcast(tot))
+      .filter($"cnt" * 10 > $"n")
+      .join(broadcast(sketch), Seq("key"), "left")
+      .select($"key", $"cnt",
+        $"est".isNotNull.as("in_sketch"),
+        ($"est".isNotNull && $"est" <= $"cnt" &&
+          ($"cnt" - $"est") * (k + 1) <= $"n").as("err_bound_ok"))
+      .orderBy($"key")
+  }
+
+  val q100Oracle: String =
+    """WITH keyed AS (
+         SELECT CASE WHEN user_id % 10 < 7 THEN user_id % 3
+                     ELSE user_id END AS key
+         FROM events),
+       e AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt FROM keyed GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM e)
+       SELECT key, cnt, TRUE AS in_sketch, TRUE AS err_bound_ok
+       FROM e, t WHERE cnt * 10 > n ORDER BY key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_heavy_hitters" -> q100HeavyHitters,
     "q89_histogram" -> q89Histogram,
     "q80_stats_family" -> q80StatsFamily,
     "q54_approx_percentile" -> q54ApproxPercentile,
@@ -333,6 +382,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_heavy_hitters" -> q100Oracle,
     "q89_histogram" -> q89Oracle,
     "q80_stats_family" -> q80Oracle,
     "q54_approx_percentile" -> q54Oracle,

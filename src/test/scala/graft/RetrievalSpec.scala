@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGries
+
+/** Targeted tests for the retrieval/sketch operators added in round 5:
+  * the Misra–Gries mergeable summary (eviction + guarantee on crafted
+  * skew, which the sf tables' uniform keys never force), BM25 ranking
+  * sanity, span-dedup detection on planted duplicates, and the
+  * incremental-dedup batch/corpus contract. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- MisraGries algebra (direct, no Spark) ----
+
+  test("MisraGries: eviction keeps the heavy key, est <= true") {
+    val mg = new MisraGries(2) // 2 counters, 4 distinct keys
+    // 60% key 1, tail 2/3/4 interleaved: n=10, heavy bound n/(k+1)=3.33
+    val stream = Seq(1L, 2L, 1L, 3L, 1L, 4L, 1L, 2L, 1L, 1L)
+    val summary = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(summary.contains(1L), "key above n/(k+1) must survive")
+    assert(summary(1L) <= 6L, "MG never overestimates")
+    assert(6L - summary(1L) <= 10L / 3, "undercount within n/(k+1)")
+  }
+
+  test("MisraGries: merge preserves the mergeable-summaries bound") {
+    val mg = new MisraGries(2)
+    // two partitions, same skew: key 1 heavy in both
+    val p1 = Seq(1L, 1L, 1L, 2L, 3L).foldLeft(mg.zero)(mg.reduce)
+    val p2 = Seq(1L, 1L, 4L, 5L, 1L).foldLeft(mg.zero)(mg.reduce)
+    val m = mg.merge(p1, p2)
+    assert(m.size <= 2)
+    assert(m.contains(1L), "6/10 > n/(k+1)=10/3 must survive the merge")
+    assert(m(1L) <= 6L && 6L - m(1L) <= 10L / 3)
+  }
+
+  test("MisraGries: under-capacity summary is exact") {
+    val mg = new MisraGries(8)
+    val s = Seq(1L, 2L, 1L, 3L).foldLeft(mg.zero)(mg.reduce)
+    assert(s == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ---- q100 end-to-end on the real table ----
+
+  test("q100: every reported key is above threshold and bounds hold") {
+    val rows = operators.Stats.q100HeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_sketch"), s"$r: heavy key missing from sketch")
+      assert(r.getAs[Boolean]("err_bound_ok"), s"$r: MG error bound violated")
+    }
+  }
+
+  // ---- BM25 ----
+
+  test("q98: rare planted term dominates via idf; ranks are dense") {
+    val rows = operators.Retrieval.q98Bm25(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to 20L),
+      "dense ranks 1..20")
+    val scores = rows.map(_.getAs[Long]("score_bp")).toSeq
+    assert(scores == scores.sorted.reverse, "ordered by score desc")
+    // 'dup' appears in ~26 of 500 docs -> idf ~ ln(500/26) >> the
+    // common terms' idf ~ ln(500/450); every top-20 doc must contain it
+    val dup = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter($"text".rlike("(^| )dup( |$)")).select($"doc_id")
+      .as[Long].collect().toSet
+    val top = rows.take(5).map(_.getAs[Long]("doc_id"))
+    assert(top.forall(dup.contains),
+      "top-ranked docs must contain the high-idf term")
+  }
+
+  // ---- span dedup ----
+
+  test("q99: planted shared 8-token span is found; disjoint text is not") {
+    val dir = java.nio.file.Files.createTempDirectory("retr-docs").toString
+    val shared = "a b c d e f g h" // 8 tokens, one shared span
+    Seq(
+      (0L, s"x1 x2 $shared y1 y2", "en", "s0", 0L),
+      (1L, s"z1 $shared z2 z3 z4", "en", "s1", 0L),
+      (2L, "p q r s t u v w x y z", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Retrieval.q99SpanDedup(spark, dir)
+      .select($"doc_id", $"n_dup_spans").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 1L && got(1L) == 1L, "exactly the planted span")
+    assert(got(2L) == 0L, "disjoint doc has no duplicated span")
+  }
+
+  test("q99 on testdata: planted duplicate passages produce nonzero dup_bp") {
+    val rows = operators.Retrieval.q99SpanDedup(spark, "/root/testdata/sf0.001")
+    assert(rows.filter($"n_dup_spans" > 0).count() > 0)
+  }
+
+  // ---- incremental dedup ----
+
+  test("q52: batch doc identical to a corpus doc is flagged, clean doc is not") {
+    val dir = java.nio.file.Files.createTempDirectory("retr-inc").toString
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    Seq(
+      (10L, text, "en", "s0", 0L), // batch (doc_id%10==0), dup of 11
+      (11L, text, "en", "s1", 0L), // corpus twin
+      (20L, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "s2", 0L), // batch, unique
+      (12L, "r1 r2 r3 r4 r5 r6 r7 r8", "en", "s3", 0L)) // corpus, unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.q52IncrementalDedup(spark, dir)
+      .select($"doc_id", $"is_dup").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 20L -> false))
+  }
+}
