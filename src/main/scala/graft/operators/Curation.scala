@@ -337,6 +337,54 @@ object Curation {
        SELECT source, n_total, rate_ppm, CAST(sum(kept) AS BIGINT) AS n_kept
        FROM k GROUP BY source, n_total, rate_ppm ORDER BY source"""
 
+  /** Mixture-epoch planning — the readout side of temperature mixing:
+    * given per-source TOKEN counts (not doc counts: budgets are paid in
+    * tokens) and a √n temperature-0.5 target share, how many epochs of
+    * each source fill one corpus-sized token budget? epochs_milli >
+    * 1000 is the classic small-source oversampling signal (the source
+    * is repeated); large sources land under 1000 (subsampled). The
+    * plan is two scalar-sized aggregations over one scan — the
+    * per-source stats table is |sources| rows, every division is
+    * integer fixed-point (√ is IEEE correctly-rounded, never summed),
+    * so the plan is bit-exact cross-engine and costs one shuffle of
+    * |sources| partial aggregates at any corpus size. */
+  def q101MixtureEpochs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perSrc = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(sum(size(graft.functions.Fns.tokens($"text"))).cast("long").as("n_tok"))
+      .withColumn("w", floor(sqrt($"n_tok") * lit(1000000L)).cast("long"))
+    val tot = perSrc.agg(sum($"w").as("tot_w"), sum($"n_tok").as("budget"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("w * 1000000 div tot_w"))
+      .withColumn("target_tok", expr("budget * share_ppm div 1000000"))
+      .withColumn("epochs_milli", expr("target_tok * 1000 div n_tok"))
+      .select($"source", $"n_tok", $"share_ppm", $"target_tok", $"epochs_milli")
+      .orderBy($"source")
+  }
+
+  val q101Oracle: String =
+    """WITH c AS (
+         SELECT source,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS n_tok
+         FROM documents GROUP BY source),
+       w AS (
+         SELECT source, n_tok,
+           CAST(floor(sqrt(n_tok) * 1000000) AS BIGINT) AS w
+         FROM c),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w,
+                    CAST(sum(n_tok) AS BIGINT) AS budget FROM w),
+       r AS (
+         SELECT source, n_tok, (w * 1000000) // tot_w AS share_ppm
+         FROM w, t),
+       f AS (
+         SELECT source, n_tok, share_ppm,
+           (budget * share_ppm) // 1000000 AS target_tok
+         FROM r, t)
+       SELECT source, n_tok, share_ppm, target_tok,
+              CAST(target_tok * 1000 // n_tok AS BIGINT) AS epochs_milli
+       FROM f ORDER BY source"""
+
   /** End-to-end curation pipeline — the composed flagship of the LLM-
     * data operator set, every stage an already-oracle-checked idiom
     * chained into one plan: exact dedup (q40's normalized 5-token
@@ -419,6 +467,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_curation_pipeline" -> q90CurationPipeline,
     "q85_temperature_mix" -> q85TemperatureMix,
+    "q101_mixture_epochs" -> q101MixtureEpochs,
     "q81_source_quota" -> q81SourceQuota,
     "q34_passage_dedup" -> q34PassageDedup,
     "q35_repetition_profile" -> q35RepetitionProfile,
@@ -430,6 +479,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q90_curation_pipeline" -> q90Oracle,
     "q85_temperature_mix" -> q85Oracle,
+    "q101_mixture_epochs" -> q101Oracle,
     "q81_source_quota" -> q81Oracle,
     "q34_passage_dedup" -> q34Oracle,
     "q35_repetition_profile" -> q35Oracle,

@@ -798,6 +798,72 @@ object Dedup {
          CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
        FROM a GROUP BY split ORDER BY split"""
 
+  /** Quality-aware canonical selection: within every near-dup cluster
+    * (q71's connected components over the simhash pair graph), keep the
+    * HIGHEST-QUALITY member — q31's integer permille score, ties to the
+    * smaller doc_id — instead of the arbitrary min-doc_id survivor.
+    * This is the policy production dedup ships (dropping the better
+    * copy of a page because its doc_id is larger throws away quality
+    * for free); structurally it is the per-group argmax idiom.
+    *
+    * Scale shape: the cluster map is tiny relative to the corpus (only
+    * clustered docs appear — broadcastable), the quality score is
+    * scan-local integer arithmetic, and the argmax window partitions by
+    * cluster_id whose groups are near-dup cluster sized (single
+    * digits), so the window never sees a heavy partition. */
+  def q102QualityCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = graft.functions.Fns.tokens($"text")
+    val nTok = size(tk)
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*))) * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    val quality = Tables.documents(s, d)
+      .select($"doc_id",
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
+          .as("quality_score"))
+    val clusters = minLabelComponents(simhashPairs(s, d).select($"doc1", $"doc2"))
+    broadcast(clusters).join(quality, "doc_id")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy($"quality_score".desc, $"doc_id")))
+      .select($"doc_id", $"cluster_id", $"quality_score",
+        ($"rnk" === 1).as("is_canonical"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
+  val q102Oracle: String =
+    s"""WITH RECURSIVE $simhashPairsWith,
+       good AS (
+         SELECT doc1, doc2 FROM prs WHERE bit_count(xor(s1, s2)) <= 3),
+       edges AS (
+         SELECT doc1 AS a, doc2 AS b FROM good
+         UNION ALL SELECT doc2, doc1 FROM good),
+       reach(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id),
+       cl AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY doc_id),
+       t AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+         FROM documents),
+       q AS (
+         SELECT doc_id,
+           least(len(tk), 100) * 10
+           + (1000 - CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT))
+           + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT)
+             AS quality_score
+         FROM t),
+       r AS (
+         SELECT cl.doc_id AS doc_id, cluster_id, quality_score,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, cl.doc_id) AS rnk
+         FROM cl JOIN q ON cl.doc_id = q.doc_id)
+       SELECT doc_id, cluster_id, quality_score, rnk = 1 AS is_canonical
+       FROM r ORDER BY cluster_id, doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
@@ -809,6 +875,7 @@ object Dedup {
     "q71_dedup_clusters" -> q71DedupClusters,
     "q95_neardup_ensemble" -> q95NeardupEnsemble,
     "q96_leakage_split" -> q96LeakageSplit,
+    "q102_quality_canonical" -> q102QualityCanonical,
   )
 
   val oracles: Map[String, String] = Map(
@@ -822,5 +889,6 @@ object Dedup {
     "q71_dedup_clusters" -> q71Oracle,
     "q95_neardup_ensemble" -> q95Oracle,
     "q96_leakage_split" -> q96Oracle,
+    "q102_quality_canonical" -> q102Oracle,
   )
 }

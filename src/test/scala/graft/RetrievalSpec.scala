@@ -94,6 +94,38 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.filter($"n_dup_spans" > 0).count() > 0)
   }
 
+  // ---- mixture-epoch planning ----
+
+  test("q101: budget conserved, temperature favors small sources") {
+    val rows = operators.Curation.q101MixtureEpochs(spark, "/root/testdata/sf0.01")
+      .collect()
+    val nTok = rows.map(r => r.getAs[Long]("n_tok"))
+    val budget = nTok.sum
+    assert(rows.map(_.getAs[Long]("target_tok")).sum <= budget,
+      "floor-quantized targets never exceed the budget")
+    assert(rows.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+    // √n reweighting: the smallest source gets a HIGHER epochs_milli
+    // (oversampled) than the largest (subsampled)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tok"))
+    assert(byTok.head.getAs[Long]("epochs_milli") >=
+      byTok.last.getAs[Long]("epochs_milli"))
+  }
+
+  // ---- quality-canonical selection ----
+
+  test("q102: exactly one canonical per cluster, and it is the argmax") {
+    val rows = operators.Dedup.q102QualityCanonical(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      val canon = members.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length == 1, s"cluster $cid: one canonical")
+      val best = members.map(_.getAs[Long]("quality_score")).max
+      assert(canon.head.getAs[Long]("quality_score") == best,
+        s"cluster $cid: canonical must have max quality")
+    }
+  }
+
   // ---- incremental dedup ----
 
   test("q52: batch doc identical to a corpus doc is flagged, clean doc is not") {
