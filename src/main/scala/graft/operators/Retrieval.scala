@@ -56,8 +56,13 @@ object Retrieval {
     val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf$i")
     }
+    // `per` feeds both the scoring join and the corpus-stats row;
+    // materialize once (q73's checkpointed-tf rationale — the pruned
+    // projections of the two consumers canonicalize differently, so
+    // ReuseExchange alone leaves two full tokenize+groupBy subtrees)
     val per = tok.groupBy($"doc_id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint()
     // corpus stats: one broadcast scalar row (N, Σdl, df per term)
     val dfCols = QueryTerms.indices.map(i =>
       sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
