@@ -71,7 +71,7 @@ object Dedup {
     * codegen'd groupBy — no 24× row fan-out, no interpreted
     * higher-order lambdas. (Measured at sf0.1: nested-HOF formulation
     * ~400 s, 24×-explode ~22 s, this shape ~3 s.) */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nSig = 24
     val bandRows = 3

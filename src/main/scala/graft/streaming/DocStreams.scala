@@ -196,4 +196,65 @@ object DocStreams {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     lshDedupStateful(bandRows(docs))
   }
+
+  // ---- incremental batch-vs-corpus dedup (streaming twin of q52) ----
+
+  /** The static side of the incremental-dedup probe: corpus LSH band
+    * index (band "b|band_key" → member doc_ids), collected once at
+    * stream start from the batch [[graft.operators.Dedup.minhashBands]]
+    * pipeline. At real scale this map is the maintained corpus index —
+    * a broadcast (or a bloom filter over band keys when doc lists are
+    * not needed) refreshed between ingest windows, never rebuilt per
+    * microbatch. */
+  def corpusBandIndex(s: SparkSession, d: String): Map[String, Seq[Long]] = {
+    import s.implicits._
+    graft.operators.Dedup.minhashBands(s, d)
+      .filter($"doc_id" % 10 =!= 0)
+      .select(concat($"b".cast("string"), lit("|"), $"band_key").as("k"), $"doc_id")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+  }
+
+  /** Shared transform: per-doc incremental dedup against the pinned
+    * corpus index — q52's semantics in a STATELESS per-row shape. The
+    * 24-hash signature, the 8 band keys, and the matched-corpus-doc
+    * set are all computed per row from the doc's own shingle array
+    * (identical integer arithmetic to the batch minhashBands), so the
+    * probe runs in append mode with no watermark and no state store —
+    * the only shape that survives an unbounded crawl stream. The
+    * nested higher-order lambdas are interpreted (CodegenFallback) but
+    * touch only the row's own ≤|shingles| array; a production build
+    * would fuse them into a native Expression like ShingleHashes. */
+  def incrementalDedup(docs: DataFrame, idx: Map[String, Seq[Long]]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter($"doc_id" % 10 === 0) // the "new batch" convention shared with q52
+      .select($"doc_id",
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 7).as("shs"))
+      .filter(size($"shs") > 0)
+      .withColumn("sig", expr(
+        """transform(sequence(0, 23),
+             i -> array_min(transform(shs, h -> ((2*i+1)*h + cast(i as bigint)) % 2147483647)))"""))
+      .withColumn("band_keys", expr(
+        """transform(sequence(0, 7),
+             b -> concat(cast(b as string), '|',
+                         md5(concat_ws(',', transform(slice(sig, b*3+1, 3), v -> cast(v as string))))))"""))
+      .select($"doc_id",
+        array_distinct(flatten(transform($"band_keys",
+          k => coalesce(element_at(typedLit(idx), k), typedLit(Seq.empty[Long])))))
+          .as("matched"))
+      .select($"doc_id",
+        size($"matched").cast("long").as("n_matches"),
+        (size($"matched") > 0).as("is_dup"))
+  }
+
+  /** Streaming entry: file-source doc stream probed against the static
+    * corpus band index on arrival. Stateless → append mode. */
+  def incrementalDedupStream(s: SparkSession, docsDir: String,
+      idx: Map[String, Seq[Long]]): DataFrame =
+    incrementalDedup(
+      s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(docsDir),
+      idx)
 }

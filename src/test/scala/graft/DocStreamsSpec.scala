@@ -119,4 +119,30 @@ class DocStreamsSpec extends SparkSpec {
       assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup == batch q52 and is stateless") {
+    val d = "/root/testdata/sf0.001"
+    val idx = DocStreams.corpusBandIndex(spark, d)
+    assert(idx.nonEmpty)
+    val batch = Dedup.q52IncrementalDedup(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+
+    val staged = java.nio.file.Files.createTempDirectory("docs_incdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = DocStreams.incrementalDedupStream(spark, staged.toString, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incdedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // the probe must actually flag something on this corpus
+      assert(streamed.exists(_.last == true))
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
 }
