@@ -333,7 +333,52 @@ object Relational {
           EXCEPT
           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_only_1995"""
 
+  /** Incremental aggregate maintenance — the materialized-view pattern:
+    * yesterday's aggregate SNAPSHOT (orders before the cutoff) merged
+    * with today's DELTA (orders since) must equal a full recompute,
+    * because every aggregate here is algebraically mergeable (count and
+    * decimal-sum add; min/max take least/greatest). The oracle IS the
+    * full recompute over all rows — hash equality proves the merge
+    * algebra, which is what lets a 100 TB pipeline maintain aggregates
+    * by scanning ONLY the day's delta instead of all of history.
+    *
+    * Determinism note: partial sums stay DECIMAL through the merge
+    * (decimal addition is exact, so snapshot+delta equals the direct
+    * decimal total bit-for-bit) and cast to double once at the end —
+    * summing doubles per half and adding would round differently than
+    * the oracle's single cast. */
+  def q103IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    def half(pred: org.apache.spark.sql.Column) = Tables.orders(s, d).filter(pred)
+      .groupBy(($"o_custkey" % 100).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("total_dec"),
+        min($"o_orderdate").as("first_date"),
+        max($"o_orderdate").as("last_date"))
+    val snap = half($"o_orderdate" < cutoff)
+    val delta = half($"o_orderdate" >= cutoff)
+    snap.as("a").join(delta.as("b"), Seq("bucket"), "full_outer")
+      .select($"bucket",
+        (coalesce($"a.n", lit(0L)) + coalesce($"b.n", lit(0L))).as("n"),
+        (coalesce($"a.total_dec", lit(0).cast("decimal(18,2)")) +
+          coalesce($"b.total_dec", lit(0).cast("decimal(18,2)")))
+          .cast("double").as("total"),
+        least(coalesce($"a.first_date", $"b.first_date"),
+          coalesce($"b.first_date", $"a.first_date")).as("first_date"),
+        greatest(coalesce($"a.last_date", $"b.last_date"),
+          coalesce($"b.last_date", $"a.last_date")).as("last_date"))
+      .orderBy($"bucket")
+  }
+
+  val q103Oracle: String =
+    """SELECT o_custkey % 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_incremental_agg" -> q103IncrementalAgg,
     "q87_salted_join" -> q87SaltedJoin,
     "q09_global_topk" -> q09GlobalTopK,
     "q09b_set_ops" -> q09bSetOps,
@@ -348,6 +393,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_incremental_agg" -> q103Oracle,
     "q87_salted_join" -> q87Oracle,
     "q09_global_topk" -> q09Oracle,
     "q09b_set_ops" -> q09bOracle,

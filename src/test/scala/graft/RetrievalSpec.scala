@@ -126,6 +126,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  // ---- incremental aggregate maintenance ----
+
+  test("q103: snapshot+delta merge == full recompute, incl. one-sided buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("incagg").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // bucket 1: only before cutoff; bucket 2: only after; bucket 3: both
+    Seq(
+      (1L, 1L, ts("1997-03-01 00:00:00"), 10.50),
+      (2L, 1L, ts("1997-05-01 00:00:00"), 20.25),
+      (3L, 2L, ts("1998-06-01 00:00:00"), 30.00),
+      (4L, 3L, ts("1997-09-01 00:00:00"), 5.75),
+      (5L, 3L, ts("1999-01-01 00:00:00"), 4.25))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Relational.q103IncrementalAgg(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 30.75), (2L, 1L, 30.00), (3L, 2L, 10.00)))
+  }
+
   // ---- incremental dedup ----
 
   test("q52: batch doc identical to a corpus doc is flagged, clean doc is not") {
