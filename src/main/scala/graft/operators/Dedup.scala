@@ -656,21 +656,36 @@ object Dedup {
       .distinct()
       .filter($"n_sig_equal" >= 8)
       .select($"doc1", $"doc2", lit(1L).as("bit"))
-
-    // jaccard branch — q42's inverted-index join off the same barrier
-    val sizes = hashed.select($"doc_id", size($"shs").as("n_sh"))
-    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
-    val jc = inv.as("a").join(inv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
-      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
-      .filter(floor($"inter" * lit(10000) / ($"n1" + $"n2" - $"inter")) >= 500)
-      .select($"doc1", $"doc2", lit(4L).as("bit"))
+      .localCheckpoint() // feeds the vote union AND the jc candidate set
 
     val sh = simhashPairs(s, d)
       .select($"doc1", $"doc2", lit(2L).as("bit"))
+      .localCheckpoint()
+
+    // jaccard branch — exact jaccard evaluated ONLY on mh ∪ sh
+    // candidates, which is LOSSLESS under the 2-of-3 vote: a pair that
+    // jaccard alone finds has exactly 1 vote and can never reach the
+    // output, so the full inverted-index self-join (the ensemble's
+    // dominant cost — it generates every shingle-sharing pair) buys
+    // nothing the candidate-restricted verification doesn't. Replacing
+    // it with two hash joins back to the shingle arrays + one
+    // array_intersect per candidate pair took q95 from ~2.5 s to
+    // ~2.2 s at sf0.1 (this corpus's inverted index is small; the
+    // local win is modest), and at scale turns the branch from a second
+    // quadratic pair generator into a linear-in-candidates verifier —
+    // exactly how production ensembles order their stages (cheap
+    // recall first, exact verification on the shortlist).
+    val cand = mh.select($"doc1", $"doc2")
+      .union(sh.select($"doc1", $"doc2"))
+      .distinct()
+    val jc = cand
+      .join(hashed.select($"doc_id".as("doc1"), $"shs".as("shs1")), "doc1")
+      .join(hashed.select($"doc_id".as("doc2"), $"shs".as("shs2")), "doc2")
+      .select($"doc1", $"doc2",
+        size(array_intersect($"shs1", $"shs2")).as("inter"),
+        size($"shs1").as("n1"), size($"shs2").as("n2"))
+      .filter(floor($"inter" * lit(10000) / ($"n1" + $"n2" - $"inter")) >= 500)
+      .select($"doc1", $"doc2", lit(4L).as("bit"))
 
     mh.union(sh).union(jc)
       .groupBy($"doc1", $"doc2")
