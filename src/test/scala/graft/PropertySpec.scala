@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Arbitrary}
+import org.scalacheck.rng.Seed
+import graft.ops.TokenParse
+
+/** Property-based tests (SURVEY §5.2.2) with deterministic ScalaCheck
+  * generation (fixed seeds — CI-stable, no flaky draws): the T5 parser
+  * against computable expected records on generated streams, T7
+  * overtime arithmetic ≡ integer sum, and the JSON round-trip. Data is
+  * drawn once per property and checked in a single Spark pass (one job
+  * per property, not one per sample). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // tokens that the reference's int() test must classify as NON-numeric
+  private val wordTok: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+  // a 6-field record: date, league, clubs are words; goals may be numeric
+  private val record: Gen[Seq[String]] = for {
+    date <- wordTok; league <- wordTok; h <- wordTok; a <- wordTok
+    hg <- Gen.choose(0, 12); ag <- Gen.choose(0, 12)
+  } yield Seq(date, league, h, a, hg.toString, ag.toString)
+
+  test("T5 team parse: word separator resyncs between generated records") {
+    // stream = r1 ++ [sep] ++ r2 ++ [sep] ++ … — each non-numeric 7th
+    // token is dropped and resets the cycle, so the parse must be the
+    // column-parallel zip of the generated records
+    val streams = draw(Gen.listOfN(60,
+      for { rs <- Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, record))
+            sep <- wordTok }
+        yield (rs, rs.map(_.toList).reduce(_ ++ List(sep) ++ _))), seed = 7L)
+    streams.foreach { case (rs, stream) =>
+      val got = TokenParse.parseTeamSegment(stream)
+      assert(got.date == rs.map(_(0)) && got.league == rs.map(_(1)) &&
+        got.home_club == rs.map(_(2)) && got.away_club == rs.map(_(3)) &&
+        got.home_club_goal == rs.map(_(4)) && got.away_club_goal == rs.map(_(5)),
+        s"stream=$stream")
+    }
+  }
+
+  test("T5 team parse: numeric 7th tokens are skipped without resync") {
+    // r1 ++ [numeric junk…] ++ [sep] ++ r2: numbers after a complete
+    // record are swallowed; only the word token resyncs
+    val cases = draw(Gen.listOfN(60, for {
+      r1 <- record; r2 <- record; sep <- wordTok
+      junk <- Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 99).map(_.toString)))
+    } yield (r1, r2, r1 ++ junk ++ Seq(sep) ++ r2)), seed = 11L)
+    cases.foreach { case (r1, r2, stream) =>
+      val got = TokenParse.parseTeamSegment(stream)
+      assert(got.date == Seq(r1(0), r2(0)) && got.away_club_goal == Seq(r1(5), r2(5)),
+        s"stream=$stream")
+    }
+  }
+
+  test("T5 h2h parse: a long 7th token IS the next record's date") {
+    val cases = draw(Gen.listOfN(60, for {
+      r1 <- record
+      d2 <- Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+      rest <- record.map(_.tail) // league..goals of record 2
+    } yield (r1, d2, rest, r1 ++ Seq(d2) ++ rest)), seed = 13L)
+    cases.foreach { case (r1, d2, rest, stream) =>
+      val got = TokenParse.parseH2hSegment(stream)
+      assert(got.date == Seq(r1(0), d2) && got.league == Seq(r1(1), rest(0)),
+        s"stream=$stream")
+    }
+  }
+
+  test("T7 overtime minute ≡ integer sum on generated a+b[+c] strings") {
+    val samples = draw(Gen.listOfN(200, for {
+      parts <- Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.choose(0, 130)))
+    } yield (parts.mkString("+"), parts.sum)), seed = 17L)
+    val got = samples.map(_._1).toDF("minute")
+      .select(graft.ops.RefOps.overtimeMinute($"minute").as("m"))
+      .as[String].collect()
+    got.zip(samples).foreach { case (m, (in, expected)) =>
+      assert(m == expected.toString, s"in=$in")
+    }
+  }
+
+  test("JSON round-trip: dict-of-string-lists survives to_json∘from_json") {
+    val entry: Gen[(String, Seq[String])] = for {
+      k <- Gen.identifier.map(_.take(8)); n <- Gen.choose(0, 5)
+      vs <- Gen.listOfN(n, wordTok)
+    } yield (k, vs)
+    val maps = draw(Gen.listOfN(80,
+      Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, entry).map(_.toMap))), seed = 23L)
+    val schema = MapType(StringType, ArrayType(StringType))
+    val got = maps.toDF("m")
+      .select(from_json(to_json($"m"), schema).as("r"))
+      .as[Map[String, Seq[String]]].collect()
+    got.zip(maps).foreach { case (r, m) => assert(r == m) }
+  }
+}
