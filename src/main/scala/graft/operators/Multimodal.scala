@@ -256,14 +256,99 @@ object Multimodal {
          text_tokens + n_sampled * n_patches + 2 <= 8192 AS fits_8k
        FROM b ORDER BY doc_id"""
 
+  /** Modality-aware sequence packing — q97's closed-form per-doc
+    * budget fed through q36's running-sum bin assignment, per source,
+    * into 8192-token context bins, with per-bin MODALITY accounting
+    * (text vs vision token share). This is the packing planner a
+    * vision-language training pipeline actually runs: decide bin
+    * membership from arithmetic on metadata (never decoding media),
+    * then fetch/decode only when writing shards. Same scale shape as
+    * q36: one window shuffle per source partition, everything else
+    * scan-local integer arithmetic. */
+  def q104MmPacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    val budgeted = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text", $"text".cast("binary").as("media"))
+      .withColumn("text_tokens",
+        size(graft.functions.Fns.tokens($"text")).cast("long"))
+      .withColumn("width", h1 % 640 + 16)
+      .withColumn("height", h1 % 480 + 16)
+      .withColumn("n_frames", h1 % 240 + 1)
+      .withColumn("out_w", expr("width * 224 div greatest(width, height)"))
+      .withColumn("out_h", expr("height * 224 div greatest(width, height)"))
+      .withColumn("step", expr("(n_frames + 7) div 8"))
+      .withColumn("vis_tokens", expr(
+        """((n_frames - 1) div step + 1)
+           * (((out_h + 15) div 16) * ((out_w + 15) div 16)) + 2"""))
+      .withColumn("total_seq", expr("text_tokens + vis_tokens"))
+      .filter($"total_seq" <= 8192)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    budgeted.withColumn("cum", sum($"total_seq").over(w))
+      .withColumn("bin_id", expr("(cum - total_seq) div 8192"))
+      .groupBy($"source", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"total_seq").as("n_tokens"),
+        sum($"text_tokens").as("text_tokens"),
+        sum($"vis_tokens").as("vis_tokens"),
+        min($"doc_id").as("first_doc"))
+      .withColumn("fill_permille", expr("n_tokens * 1000 div 8192"))
+      .withColumn("text_permille", expr("text_tokens * 1000 div n_tokens"))
+      .orderBy($"source", $"bin_id")
+  }
+
+  val q104Oracle: String =
+    """WITH m AS (
+         SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS text_tokens,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1
+         FROM documents),
+       meta AS (
+         SELECT doc_id, source, text_tokens,
+           h1 % 640 + 16 AS width, h1 % 480 + 16 AS height,
+           h1 % 240 + 1 AS n_frames
+         FROM m),
+       sz AS (
+         SELECT doc_id, source, text_tokens, n_frames,
+           width * 224 // greatest(width, height) AS out_w,
+           height * 224 // greatest(width, height) AS out_h,
+           (n_frames + 7) // 8 AS step
+         FROM meta),
+       b AS (
+         SELECT doc_id, source, text_tokens,
+           ((n_frames - 1) // step + 1)
+             * (((out_h + 15) // 16) * ((out_w + 15) // 16)) + 2 AS vis_tokens
+         FROM sz),
+       f AS (
+         SELECT *, text_tokens + vis_tokens AS total_seq FROM b
+         WHERE text_tokens + vis_tokens <= 8192),
+       cum AS (
+         SELECT *, CAST(sum(total_seq) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM f)
+       SELECT source, CAST((cum - total_seq) // 8192 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(total_seq) AS BIGINT) AS n_tokens,
+         CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+         CAST(sum(vis_tokens) AS BIGINT) AS vis_tokens,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(sum(total_seq) * 1000 // 8192 AS BIGINT) AS fill_permille,
+         CAST(sum(text_tokens) * 1000 // sum(total_seq) AS BIGINT) AS text_permille
+       FROM cum GROUP BY source, (cum - total_seq) // 8192
+       ORDER BY source, bin_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_multimodal_meta" -> q50MultimodalMeta,
     "q51_frame_sample" -> q51FrameSample,
     "q97_mm_budget" -> q97MmBudget,
+    "q104_mm_packing" -> q104MmPacking,
   )
   val oracles: Map[String, String] = Map(
     "q50_multimodal_meta" -> q50Oracle,
     "q51_frame_sample" -> q51Oracle,
     "q97_mm_budget" -> q97Oracle,
+    "q104_mm_packing" -> q104Oracle,
   )
 }

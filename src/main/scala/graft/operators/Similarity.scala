@@ -430,7 +430,52 @@ object Similarity {
        SELECT qid, cell, probe_rank, cid, rank_key, CAST(rn AS BIGINT) AS rn
        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** IVF index-quality audit — the ops readout every ANN deployment
+    * watches: per cell, member count, MEAN and WORST member↔centroid
+    * cosine rank key (clamped at 0 so the integer division is
+    * sign-safe across engines), and cell balance vs the ideal
+    * n_vecs/n_cells occupancy in permille. Skewed balance ⇒ probe-time
+    * hot cells (the ANN analog of join skew — q59/q87's diagnosis
+    * applied to the index); low mean ckey ⇒ the coarse quantizer fits
+    * poorly and recall will sag. One broadcast-argmax assignment (the
+    * same shared [[ivfAssigned]] as q48/q79/q83) + one |cells|-sized
+    * aggregation — at 100 TB the audit costs one narrow pass over the
+    * assignment table. */
+  def q105IndexQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val perCell = ivfAssigned(q, ivfCentroids(q))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(greatest($"ckey", lit(0L))).as("sum_ckey"),
+        min($"ckey").as("worst_ckey"))
+    val tot = perCell.agg(sum($"n_members").as("n_vecs"),
+      count(lit(1)).as("n_cells"))
+    perCell.crossJoin(broadcast(tot))
+      .select($"cell", $"n_members",
+        expr("sum_ckey div n_members").as("mean_ckey"),
+        $"worst_ckey",
+        expr("n_members * n_cells * 1000 div n_vecs").as("balance_permille"))
+      .orderBy($"cell")
+  }
+
+  val q105Oracle: String = {
+    s"""WITH $ivfAssignWith,
+       pc AS (
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(greatest(ckey, 0)) AS BIGINT) AS sum_ckey,
+           CAST(min(ckey) AS BIGINT) AS worst_ckey
+         FROM cells GROUP BY 1),
+       t AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_vecs,
+                    CAST(count(*) AS BIGINT) AS n_cells FROM pc)
+       SELECT cell, n_members,
+         CAST(sum_ckey // n_members AS BIGINT) AS mean_ckey, worst_ckey,
+         CAST((n_members * n_cells * 1000) // n_vecs AS BIGINT) AS balance_permille
+       FROM pc, t ORDER BY cell"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_index_quality" -> q105IndexQuality,
     "q86_ann_multiprobe" -> q86AnnMultiprobe,
     "q83_semantic_dedup" -> q83SemanticDedup,
     "q45_embedding_neardup" -> q45EmbeddingNearDup,
@@ -441,6 +486,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_index_quality" -> q105Oracle,
     "q86_ann_multiprobe" -> q86Oracle,
     "q83_semantic_dedup" -> q83Oracle,
     "q45_embedding_neardup" -> q45Oracle,

@@ -126,6 +126,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  // ---- multimodal packing + index audit ----
+
+  test("q104: bins are modality-consistent and conserve the budgeted docs") {
+    val d = "/root/testdata/sf0.01"
+    val bins = operators.Multimodal.q104MmPacking(spark, d).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { b =>
+      assert(b.getAs[Long]("text_tokens") + b.getAs[Long]("vis_tokens") ==
+        b.getAs[Long]("n_tokens"), "modality split must sum to the bin total")
+      assert(b.getAs[Long]("n_docs") >= 1)
+    }
+    // conservation: binned totals equal the fitting docs' budget total
+    val budget = operators.Multimodal.q97MmBudget(spark, d)
+      .filter($"fits_8k").agg(sum($"total_seq")).as[Long].first()
+    assert(bins.map(_.getAs[Long]("n_tokens")).sum == budget)
+  }
+
+  test("q105: members conserved, worst <= mean per cell") {
+    val d = "/root/testdata/sf0.01"
+    val rows = operators.Similarity.q105IndexQuality(spark, d).collect()
+    assert(rows.nonEmpty)
+    val nVecs = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs,
+      "every vector lands in exactly one cell")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("worst_ckey") <= r.getAs[Long]("mean_ckey"))
+      assert(r.getAs[Long]("balance_permille") > 0)
+    }
+  }
+
   // ---- incremental aggregate maintenance ----
 
   test("q103: snapshot+delta merge == full recompute, incl. one-sided buckets") {
