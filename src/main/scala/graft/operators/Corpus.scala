@@ -62,6 +62,91 @@ object Corpus {
       .union(stage(p, 3, "purchase_after_click"))
   }
 
+  /** Retention cohort analysis — the classic growth-analytics matrix:
+    * users bucketed by first-activity day (cohort), each later active
+    * day counted as a (cohort, day-offset) cell of distinct users.
+    * Shape at scale: one (user → min day) aggregate, one broadcastable
+    * join back (the cohort map is |users| rows — tiny vs events), then
+    * a distinct-collapsing aggregate keyed by (cohort, offset); every
+    * stage partially aggregates map-side. */
+  def q106RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"))
+    val cohort = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    e.join(broadcast(cohort), "user_id")
+      .select($"user_id", $"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q106Oracle: String =
+    """WITH e AS (
+         SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+       c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+       a AS (
+         SELECT DISTINCT e.user_id, cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset
+         FROM e JOIN c ON e.user_id = c.user_id)
+       SELECT cohort_day, day_offset,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Sessionized behavioral sequences — q23's gap sessionization
+    * finished into per-session ORDERED event-type strings (the
+    * training-sequence extraction for behavioral/recommendation
+    * models). The intra-group order is made explicit by sorting the
+    * collected (event_id, type) structs — never by relying on row
+    * order (SURVEY §7.5.2) — and capped at the first 20 events per
+    * session so a runaway session cannot blow the group buffer. */
+  def q107SessionSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(",",
+          transform(
+            slice(array_sort(collect_list(struct($"event_id", $"event_type"))), 1, 20),
+            x => x("event_type"))).as("seq"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q107Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+         FROM events),
+       s AS (
+         SELECT user_id, event_id, event_type,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM t),
+       r AS (
+         SELECT user_id, session_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id ORDER BY event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, session_id) AS n_events
+         FROM s)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              CAST(n_events AS BIGINT) AS n_events,
+              string_agg(event_type, ',' ORDER BY event_id) AS seq
+       FROM r WHERE rn <= 20
+       GROUP BY user_id, session_id, n_events
+       ORDER BY user_id, session_id"""
+
   def q72Funnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     funnelStages(Tables.events(s, d)
@@ -453,6 +538,8 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bloom_decontam" -> q49BloomDecontam,
     "q72_funnel" -> q72Funnel,
+    "q106_retention_cohorts" -> q106RetentionCohorts,
+    "q107_session_sequences" -> q107SessionSequences,
     "q77_surprisal" -> q77Surprisal,
     "q78_decontam" -> q78Decontam,
     "q73_tfidf" -> q73Tfidf,
@@ -464,6 +551,8 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "q49_bloom_decontam" -> q49Oracle,
     "q72_funnel" -> q72Oracle,
+    "q106_retention_cohorts" -> q106Oracle,
+    "q107_session_sequences" -> q107Oracle,
     "q77_surprisal" -> q77Oracle,
     "q78_decontam" -> q78Oracle,
     "q73_tfidf" -> q73Oracle,
