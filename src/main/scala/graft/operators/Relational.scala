@@ -377,7 +377,66 @@ object Relational {
        min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** Snapshot diff / CDC delta generation — the inverse of q62's
+    * latest-wins merge: given two table snapshots, emit the change
+    * feed (I/U/D rows with old and new values) that transforms one
+    * into the other. Both snapshots derive deterministically from
+    * orders so the engines construct identical inputs: snapshot A
+    * drops every 7th key, snapshot B drops every 5th and re-prices
+    * every 3rd (+1.00) — yielding all three op kinds.
+    *
+    * Shape at scale: ONE full-outer sort-merge join on the key — the
+    * irreducible cost of diffing unordered snapshots — then scan-local
+    * CASE classification; unchanged rows (the overwhelming majority in
+    * a real diff) are filtered before the output sort, so the delta,
+    * not the table, is what downstream consumes. The price compare is
+    * decimal-exact (same discipline as q103). */
+  def q108SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+    val snapA = o.filter($"o_orderkey" % 7 =!= 0)
+    val snapB = o.filter($"o_orderkey" % 5 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 3 === 0, $"price" + lit(1).cast("decimal(18,2)"))
+          .otherwise($"price").as("price"))
+    snapA.as("a").join(snapB.as("b"), Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when($"a.price".isNull, "I")
+          .when($"b.price".isNull, "D")
+          .when($"a.price" =!= $"b.price", "U"))
+      .filter($"op".isNotNull)
+      .select($"o_orderkey", $"op",
+        $"a.price".cast("double").as("old_price"),
+        $"b.price".cast("double").as("new_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q108Oracle: String =
+    """WITH o AS (
+         SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders),
+       a AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+       b AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN price + CAST(1 AS DECIMAL(18,2))
+                ELSE price END AS price
+         FROM o WHERE o_orderkey % 5 <> 0),
+       j AS (
+         SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           a.price AS ap, b.price AS bp
+         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+       SELECT o_orderkey,
+         CASE WHEN ap IS NULL THEN 'I'
+              WHEN bp IS NULL THEN 'D'
+              WHEN ap <> bp THEN 'U' END AS op,
+         CAST(ap AS DOUBLE) AS old_price, CAST(bp AS DOUBLE) AS new_price
+       FROM j
+       WHERE ap IS NULL OR bp IS NULL OR ap <> bp
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_snapshot_diff" -> q108SnapshotDiff,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q87_salted_join" -> q87SaltedJoin,
     "q09_global_topk" -> q09GlobalTopK,
@@ -393,6 +452,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_snapshot_diff" -> q108Oracle,
     "q103_incremental_agg" -> q103Oracle,
     "q87_salted_join" -> q87Oracle,
     "q09_global_topk" -> q09Oracle,

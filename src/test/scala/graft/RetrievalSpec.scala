@@ -175,6 +175,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 30.75), (2L, 1L, 30.00), (3L, 2L, 10.00)))
   }
 
+  // ---- snapshot diff (CDC generation) ----
+
+  test("q108: applying the emitted delta to snapshot A reproduces snapshot B") {
+    val d = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+    val snapA = o.filter($"o_orderkey" % 7 =!= 0)
+    val snapB = o.filter($"o_orderkey" % 5 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 3 === 0, $"price" + lit(1).cast("decimal(18,2)"))
+          .otherwise($"price").as("price"))
+    val diff = operators.Relational.q108SnapshotDiff(spark, d)
+    val applied = snapA
+      .join(diff.filter($"op".isin("D", "U")).select($"o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      .union(diff.filter($"op".isin("I", "U"))
+        .select($"o_orderkey", $"new_price".cast("decimal(18,2)").as("price")))
+    val got = applied.collect().map(r => (r.getLong(0), r.getDecimal(1))).toSet
+    val want = snapB.collect().map(r => (r.getLong(0), r.getDecimal(1))).toSet
+    assert(got == want, "delta must transform A into B exactly")
+    assert(Seq("I", "U", "D").forall(op =>
+      diff.filter($"op" === op).count() > 0), "all three op kinds present")
+  }
+
   // ---- incremental dedup ----
 
   test("q52: batch doc identical to a corpus doc is flagged, clean doc is not") {
