@@ -147,6 +147,57 @@ object Corpus {
        GROUP BY user_id, session_id, n_events
        ORDER BY user_id, session_id"""
 
+  /** Calendar densification + gap fill — the distributed cousin of the
+    * reference's W1 ffill: per user bucket, materialize EVERY day of
+    * the observed range (activity or not), zero-fill the silent days,
+    * and compute a trailing-7-day activity average over the now-dense
+    * series (integer milli). Dense grids are what window models and
+    * anomaly detectors consume; the sparse→dense join is the idiom.
+    *
+    * Shape at scale: the calendar spine is |buckets| × |days| rows
+    * built from a 1-row broadcast of the global date range (sequence +
+    * explode — never a driver loop); the activity side partially
+    * aggregates before the one spine join; the trailing window rides
+    * the dense per-bucket partition ordered by day. */
+  def q109DenseCalendar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val acts = Tables.events(s, d)
+      .select(($"user_id" % 10).as("bucket"), to_date($"ts").as("day"))
+      .groupBy($"bucket", $"day").agg(count(lit(1)).as("n_events"))
+    val range = acts.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = acts.select($"bucket").distinct()
+      .crossJoin(broadcast(range))
+      .select($"bucket",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"day").rowsBetween(-6, 0)
+    spine.join(acts, Seq("bucket", "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("trail7_milli",
+        floor(sum($"n_events").over(w) * 1000 / count(lit(1)).over(w)).cast("long"))
+      .orderBy($"bucket", $"day")
+  }
+
+  val q109Oracle: String =
+    """WITH a AS (
+         SELECT user_id % 10 AS bucket, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT min(day) AS d0, max(day) AS d1 FROM a),
+       spine AS (
+         SELECT bucket, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM (SELECT DISTINCT bucket FROM a), r),
+       dense AS (
+         SELECT spine.bucket AS bucket, spine.day AS day,
+           coalesce(n_events, 0) AS n_events
+         FROM spine LEFT JOIN a ON spine.bucket = a.bucket AND spine.day = a.day)
+       SELECT bucket, day, CAST(n_events AS BIGINT) AS n_events,
+         CAST(floor(sum(n_events) OVER tw * 1000 / count(*) OVER tw) AS BIGINT) AS trail7_milli
+       FROM dense
+       WINDOW tw AS (PARTITION BY bucket ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ORDER BY bucket, day"""
+
   def q72Funnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     funnelStages(Tables.events(s, d)
@@ -539,6 +590,7 @@ object Corpus {
     "q49_bloom_decontam" -> q49BloomDecontam,
     "q72_funnel" -> q72Funnel,
     "q106_retention_cohorts" -> q106RetentionCohorts,
+    "q109_dense_calendar" -> q109DenseCalendar,
     "q107_session_sequences" -> q107SessionSequences,
     "q77_surprisal" -> q77Surprisal,
     "q78_decontam" -> q78Decontam,
@@ -552,6 +604,7 @@ object Corpus {
     "q49_bloom_decontam" -> q49Oracle,
     "q72_funnel" -> q72Oracle,
     "q106_retention_cohorts" -> q106Oracle,
+    "q109_dense_calendar" -> q109Oracle,
     "q107_session_sequences" -> q107Oracle,
     "q77_surprisal" -> q77Oracle,
     "q78_decontam" -> q78Oracle,
