@@ -435,7 +435,37 @@ object Relational {
        WHERE ap IS NULL OR bp IS NULL OR ap <> bp
        ORDER BY o_orderkey"""
 
+  /** Textual-SQL surface: the same engine through `spark.sql` — tables
+    * registered as temp views, the query written as ANSI SQL text, and
+    * a `graft`-registered function (`dot_q`, injected by
+    * [[graft.functions.GraftExtensions]] via SparkSessionExtensions)
+    * callable FROM SQL. Catalyst parses/plans SQL text into the same
+    * optimized plans as the DataFrame API — this query exists to pin
+    * that equivalence (its oracle is near-verbatim the same SQL). */
+  def q110SqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS BIGINT) AS dotq_check
+         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""")
+  }
+
+  val q110Oracle: String =
+    """SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(32 AS BIGINT) AS dotq_check
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_sql_surface" -> q110SqlSurface,
     "q108_snapshot_diff" -> q108SnapshotDiff,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q87_salted_join" -> q87SaltedJoin,
@@ -452,6 +482,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q110_sql_surface" -> q110Oracle,
     "q108_snapshot_diff" -> q108Oracle,
     "q103_incremental_agg" -> q103Oracle,
     "q87_salted_join" -> q87Oracle,
