@@ -9,6 +9,9 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // same extension set as the Verify/Bench builders: SQL-registered
+    // graft functions (dot_q etc.) must resolve in tests too (q110)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     // events testdata carries TIMESTAMP(NANOS); session-wide by design (documented)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
