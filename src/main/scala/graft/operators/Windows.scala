@@ -85,6 +85,73 @@ object Windows {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS seg_value
        FROM seg GROUP BY user_id, seg ORDER BY user_id, seg"""
 
+  /** Sweep-line concurrency — max simultaneously-open sessions per
+    * day: each q23 session becomes a (+1 at start, −1 after end) delta
+    * event, a GLOBAL time-ordered running sum yields the concurrency
+    * curve, and the per-day max is read off it. The classic interval
+    * overlap-counting idiom (capacity planning, rate-limit sizing).
+    *
+    * Tie discipline: deltas sort (us, delta ASC) so a −1 at time t
+    * applies before a +1 at the same t — the half-open [start, end+1)
+    * reading, mirrored in the oracle. Scale note: the global ordered
+    * prefix sum is a range-partitioned scan in a distributed setting
+    * (Spark's Window.orderBy without partitionBy collapses to one
+    * task — acceptable here because the DELTA stream is 2·|sessions|
+    * rows, already thousands of times smaller than events; for a
+    * billion-session sweep, partition by coarse time range and carry
+    * partition-boundary offsets, the textbook distributed scan). */
+  def q111ConcurrencySweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"))
+    val deltas = sessions.select($"start_us".as("us"), lit(1L).as("delta"))
+      .unionAll(sessions.select(($"end_us" + 1).as("us"), lit(-1L).as("delta")))
+    val sweep = Window.orderBy($"us", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open", sum($"delta").over(sweep))
+      .withColumn("day", to_date(timestamp_micros($"us")))
+      .groupBy($"day")
+      .agg(max($"open").as("max_concurrent"))
+      .orderBy($"day")
+  }
+
+  val q111Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+         FROM events),
+       sx AS (
+         SELECT user_id, us,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM t),
+       sess AS (
+         SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+         FROM sx GROUP BY 1, 2),
+       deltas AS (
+         SELECT start_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+         UNION ALL
+         SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess),
+       curve AS (
+         SELECT us, delta,
+           CAST(sum(delta) OVER (ORDER BY us, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+         FROM deltas)
+       SELECT CAST(make_timestamp(us) AS DATE) AS day,
+              CAST(max(open) AS BIGINT) AS max_concurrent
+       FROM curve GROUP BY 1 ORDER BY 1"""
+
   /** Sessionization via the gap>threshold running-sum idiom — the same
     * T4 pattern at training-pipeline scale. Gap compared in integer
     * microseconds (unix_micros vs DuckDB epoch_us: both floor ns→µs,
@@ -355,6 +422,7 @@ object Windows {
     "q21_topn_per_group" -> q21TopNPerGroup,
     "q22_running_segment" -> q22RunningSegment,
     "q23_sessionize" -> q23Sessionize,
+    "q111_concurrency_sweep" -> q111ConcurrencySweep,
     "q24_hourly_window" -> q24HourlyWindow,
     "q25_sliding_window" -> q25SlidingWindow,
     "q26_session_window" -> q26SessionWindow,
@@ -370,6 +438,7 @@ object Windows {
     "q21_topn_per_group" -> q21Oracle,
     "q22_running_segment" -> q22Oracle,
     "q23_sessionize" -> q23Oracle,
+    "q111_concurrency_sweep" -> q111Oracle,
     "q24_hourly_window" -> q24Oracle,
     "q25_sliding_window" -> q25Oracle,
     "q26_session_window" -> q26Oracle,
