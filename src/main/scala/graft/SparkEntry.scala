@@ -32,7 +32,9 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.Graph.queries ++
       operators.Prep.queries ++
-      operators.Retrieval.queries
+      operators.Retrieval.queries ++
+      operators.Quality.queries ++
+      operators.Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +54,7 @@ object SparkEntry {
       operators.Curation.oracles ++
       operators.Graph.oracles ++
       operators.Prep.oracles ++
-      operators.Retrieval.oracles
+      operators.Retrieval.oracles ++
+      operators.Quality.oracles ++
+      operators.Behavior.oracles
 }

@@ -586,7 +586,78 @@ object Corpus {
          TRUE AS prefilter_kept_all_hits
        FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id"""
 
+  /** Per-source unigram entropy and KL divergence vs the corpus
+    * distribution, in integer micro-nats — the mixture-monitoring
+    * numbers behind source weighting (q85/q101): a source whose KL to
+    * the corpus is near zero adds no diversity; one with collapsing
+    * entropy signals template/boilerplate content.
+    *
+    * Numeric parity: q77's quantize-then-sum rule — each per-TERM log
+    * is floored to integer micro-nats first (one double `ln` per
+    * (source, term), identical expression both engines), then per-source
+    * sums and the integer-div mean are exact in any reduce order.
+    * Entropy term: tf · ⌊ln(n_s/tf)·10⁶⌋; KL term:
+    * tf · ⌊ln((tf·T)/(n_s·cnt_t))·10⁶⌋ (p_s = tf/n_s, p_corpus = cnt/T).
+    *
+    * Scale: tf is one partial-agg groupBy on (source, term)
+    * (checkpointed — it feeds three branches); source totals and corpus
+    * term counts are second-level aggregations of tf (shuffle sized by
+    * |vocab|, not |tokens|); the scalar T broadcasts. */
+  def q115SourceEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val st = tf.groupBy($"source")
+      .agg(sum($"tf").as("n_s"), count(lit(1)).as("n_terms"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    tf.join(st, "source").join(tc, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("h_micro",
+        floor(log(($"n_s" * lit(1.0)) / $"tf") * lit(1000000.0)).cast("long"))
+      .withColumn("k_micro",
+        floor(log(($"tf" * $"t" * lit(1.0)) / ($"n_s" * $"cnt")) * lit(1000000.0))
+          .cast("long"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"), max($"n_terms").as("n_terms"),
+        sum($"tf" * $"h_micro").as("hsum"), sum($"tf" * $"k_micro").as("ksum"))
+      // ksum can be slightly NEGATIVE (per-term floor undershoots a
+      // near-zero KL), and Spark's integer `div` truncates toward zero
+      // while DuckDB's `//` floors — so the mean uses the identical
+      // double-division + floor on both engines instead
+      .select($"source", $"n_tokens", $"n_terms",
+        expr("hsum div n_tokens").as("entropy_micro"),
+        floor(($"ksum" * lit(1.0)) / $"n_tokens").cast("long").as("kl_micro"))
+      .orderBy($"source")
+  }
+
+  val q115Oracle: String =
+    """WITH tok AS (
+         SELECT source,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (
+         SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2),
+       st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s,
+                CAST(count(*) AS BIGINT) AS n_terms
+              FROM tf GROUP BY 1),
+       tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+       q AS (
+         SELECT tf.source, tf.tf, n_s, n_terms,
+           CAST(floor(ln((n_s * 1.0) / tf.tf) * 1000000.0) AS BIGINT) AS h_micro,
+           CAST(floor(ln((tf.tf * t * 1.0) / (n_s * cnt)) * 1000000.0) AS BIGINT) AS k_micro
+         FROM tf JOIN st USING (source) JOIN tc USING (term) CROSS JOIN tot)
+       SELECT source, max(n_s) AS n_tokens, max(n_terms) AS n_terms,
+         CAST(sum(tf * h_micro) // max(n_s) AS BIGINT) AS entropy_micro,
+         CAST(floor((sum(tf * k_micro) * 1.0) / max(n_s)) AS BIGINT) AS kl_micro
+       FROM q GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_source_entropy" -> q115SourceEntropy,
     "q49_bloom_decontam" -> q49BloomDecontam,
     "q72_funnel" -> q72Funnel,
     "q106_retention_cohorts" -> q106RetentionCohorts,
@@ -601,6 +672,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_source_entropy" -> q115Oracle,
     "q49_bloom_decontam" -> q49Oracle,
     "q72_funnel" -> q72Oracle,
     "q106_retention_cohorts" -> q106Oracle,

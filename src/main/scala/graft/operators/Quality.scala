@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Data-engineering QA operators: constraint auditing, key-skew
+  * diagnostics, and multi-dimensional (Z-order) layout clustering.
+  *
+  * Reference lineage: the reference pipeline's only "validation" is
+  * count-and-retry around the Postgres load (`app/team_utilities.py:510-554`,
+  * `app/ref_utilities.py:206-245`) — rows that fail to parse are silently
+  * resynchronized (`team_utilities.py:82-88`) and nothing checks
+  * referential shape before load. These operators are the audit layer a
+  * production pipeline runs in front of such a sink.
+  *
+  * Scale design:
+  *  - q112 folds five constraint checks into TWO join passes + one
+  *    group-by: the three lineitem-side rules share a single
+  *    lineitem⋈orders left join (one shuffle of the fact table — at
+  *    100 TB this is the expensive pass, so every per-row rule rides
+  *    it), the customer-FK rule shares the orders⋈customer join, and
+  *    the duplicate-key rule is one partial-agg groupBy. Conditional
+  *    sums mean no rule adds a pass.
+  *  - q117 derives exact count-distribution percentiles from the
+  *    HISTOGRAM of per-key counts (groupBy cnt → ~|distinct counts|
+  *    rows), never sorting rows globally: the single-partition window
+  *    runs over the tiny histogram, the q93 trick. This is the
+  *    "should I salt this key?" advisor — max/mean ratio and p99 of
+  *    the key-count distribution are exactly the numbers that decide
+  *    between a plain and a salted shuffle (q59/q87).
+  *  - q118 computes a 32-bit Morton (Z-order) interleave of
+  *    (partkey, suppkey) as a pure integer expression and buckets rows
+  *    by z-prefix. Fixing a z-prefix bounds BOTH dimensions (a 2-D
+  *    tile), which is why sorting a table by z before writing makes
+  *    parquet min/max stats prunable on either column — the layout
+  *    trick behind Delta/Iceberg Z-ORDER. At 100 TB the write path is
+  *    `repartitionByRange($"z") .sortWithinPartitions($"z")`; here we
+  *    audit the tile occupancy that layout would produce.
+  */
+object Quality {
+
+  /** Five-rule constraint audit over orders/lineitem/customer:
+    * referential integrity (two FKs), key uniqueness, range rule,
+    * cross-table date rule. One output row per rule. */
+  def q112DqAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    // pass 1: all three lineitem-side rules ride one left join
+    val liAgg = li.select($"l_orderkey", $"l_quantity", $"l_shipdate")
+      .join(o.select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey", "left")
+      .agg(
+        count(lit(1)).as("n_li"),
+        sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("orphan"),
+        sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L))
+          .as("qty_bad"),
+        sum(when($"o_orderkey".isNotNull && ($"l_shipdate" < $"o_orderdate"), 1L)
+          .otherwise(0L)).as("ship_bad"))
+    // pass 2: customer-FK rule on the orders⋈customer join
+    val oAgg = o.select($"o_custkey")
+      .join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left")
+      .agg(count(lit(1)).as("n_o"),
+        sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("fk_bad"))
+    // pass 3: duplicate-key rule (partial-agg groupBy)
+    val dupAgg = o.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" - 1).as("dup_bad"))
+    liAgg.crossJoin(oAgg).crossJoin(dupAgg)
+      .select(explode(array(
+        struct(lit("lineitem_orphan_fk").as("rule"),
+          $"n_li".as("n_checked"), $"orphan".as("n_violations")),
+        struct(lit("lineitem_qty_range").as("rule"),
+          $"n_li".as("n_checked"), $"qty_bad".as("n_violations")),
+        struct(lit("lineitem_ship_before_order").as("rule"),
+          $"n_li".as("n_checked"), $"ship_bad".as("n_violations")),
+        struct(lit("orders_customer_fk").as("rule"),
+          $"n_o".as("n_checked"), $"fk_bad".as("n_violations")),
+        struct(lit("orders_dup_key").as("rule"),
+          $"n_o".as("n_checked"), $"dup_bad".as("n_violations")))).as("r"))
+      .select($"r.rule", $"r.n_checked", $"r.n_violations")
+      .orderBy($"rule")
+  }
+
+  val q112Oracle: String =
+    """WITH lo AS (
+         SELECT l.l_quantity, l.l_shipdate, o.o_orderkey, o.o_orderdate
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       li_agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_li,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_bad,
+           CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_shipdate < o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ship_bad
+         FROM lo),
+       o_agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_bad
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+       dup AS (
+         SELECT CAST(sum(c - 1) AS BIGINT) AS dup_bad
+         FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+       SELECT rule, n_checked, n_violations FROM (
+         SELECT 'lineitem_orphan_fk' AS rule, n_li AS n_checked, orphan AS n_violations
+           FROM li_agg
+         UNION ALL SELECT 'lineitem_qty_range', n_li, qty_bad FROM li_agg
+         UNION ALL SELECT 'lineitem_ship_before_order', n_li, ship_bad FROM li_agg
+         UNION ALL SELECT 'orders_customer_fk', n_o, fk_bad FROM o_agg, dup
+         UNION ALL SELECT 'orders_dup_key', n_o, dup_bad FROM o_agg, dup)
+       ORDER BY rule"""
+
+  /** Key-skew diagnostic for l_partkey: exact percentiles of the
+    * per-key count distribution (from the count histogram — no global
+    * row sort) plus the max/mean skew ratio in basis points. */
+  def q117SkewDiag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kc = Tables.lineitem(s, d)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val tot = kc.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+      max($"cnt").as("max_cnt"))
+    // histogram of counts: |distinct count values| rows — tiny, so the
+    // single-partition ordered window is safe at any scale
+    val w = Window.orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kc.groupBy($"cnt").agg(count(lit(1)).as("nk"))
+      .withColumn("cum", sum($"nk").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max($"n_keys").as("n_keys"),
+        max($"n_rows").as("n_rows"),
+        max($"max_cnt").as("max_cnt"),
+        min(when($"cum" * 2 >= $"n_keys", $"cnt")).as("p50_cnt"),
+        min(when($"cum" * 10 >= $"n_keys" * 9, $"cnt")).as("p90_cnt"),
+        min(when($"cum" * 100 >= $"n_keys" * 99, $"cnt")).as("p99_cnt"))
+      .withColumn("skew_bp", expr("10000 * max_cnt * n_keys div n_rows"))
+  }
+
+  val q117Oracle: String =
+    """WITH kc AS (
+         SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1),
+       tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt
+         FROM kc),
+       h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS nk FROM kc GROUP BY 1),
+       hc AS (
+         SELECT cnt, CAST(sum(nk) OVER (ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM h)
+       SELECT max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+         max(max_cnt) AS max_cnt,
+         min(CASE WHEN cum * 2 >= n_keys THEN cnt END) AS p50_cnt,
+         min(CASE WHEN cum * 10 >= n_keys * 9 THEN cnt END) AS p90_cnt,
+         min(CASE WHEN cum * 100 >= n_keys * 99 THEN cnt END) AS p99_cnt,
+         (10000 * max(max_cnt) * max(n_keys)) // max(n_rows) AS skew_bp
+       FROM hc CROSS JOIN tot"""
+
+  /** 32-bit Morton interleave of (l_partkey & 0xFFFF, l_suppkey & 0xFFFF)
+    * — partkey bits land at odd positions, suppkey bits at even — then
+    * tile occupancy per 2^16 z-prefix bucket. Within one bucket both
+    * key ranges are bounded by 256 (the 2-D tile property the
+    * `QualitySpec` asserts). Pure integer expression, fully codegen'd. */
+  def q118Zorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sparkZ = (0 until 16).map(i =>
+      s"shiftleft(shiftright(pk, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(sk, $i) & 1, ${2 * i})").mkString(" + ")
+    Tables.lineitem(s, d)
+      .select($"l_partkey".bitwiseAND(65535).as("pk"),
+        $"l_suppkey".bitwiseAND(65535).as("sk"))
+      .withColumn("z", expr(sparkZ))
+      .groupBy(expr("z div 65536").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"pk").as("min_pk"), max($"pk").as("max_pk"),
+        min($"sk").as("min_sk"), max($"sk").as("max_sk"))
+      .orderBy($"zbucket")
+  }
+
+  val q118Oracle: String = {
+    val duckZ = (0 until 16).map(i =>
+      s"(((pk >> $i) & 1) << ${2 * i + 1}) + (((sk >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH b AS (
+         SELECT l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk FROM lineitem),
+       z AS (SELECT pk, sk, $duckZ AS z FROM b)
+       SELECT z // 65536 AS zbucket, count(*) AS n,
+         min(pk) AS min_pk, max(pk) AS max_pk,
+         min(sk) AS min_sk, max(sk) AS max_sk
+       FROM z GROUP BY 1 ORDER BY 1"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_dq_audit" -> q112DqAudit,
+    "q117_skew_diag" -> q117SkewDiag,
+    "q118_zorder" -> q118Zorder,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q112_dq_audit" -> q112Oracle,
+    "q117_skew_diag" -> q117Oracle,
+    "q118_zorder" -> q118Oracle,
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** q113 last-touch attribution, q114 transition matrix, q115 source
+  * entropy/KL — invariant and brute-force cross-checks. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("q113: attribution equals the brute-force window formulation") {
+    val got = operators.Behavior.q113Attribution(spark, d)
+    // brute force: max click ts at-or-before each purchase via a
+    // window over the unioned, user-partitioned stream
+    val ev = graft.io.Tables.events(spark, d)
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"is_p", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val brute = ev.filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"ts", $"value",
+        unix_micros($"ts").as("us"),
+        when($"event_type" === "purchase", 1).otherwise(0).as("is_p"))
+      // clicks sort before purchases at equal ts (is_p asc) — matches
+      // the as-of join's at-or-before semantics
+      .withColumn("last_click_us",
+        max(when($"is_p" === 0, $"us")).over(byUser))
+      .filter($"is_p" === 1)
+      .withColumn("attributed",
+        $"last_click_us".isNotNull && ($"us" - $"last_click_us" <= 3600000000L))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),
+        coalesce(sum(when($"attributed", $"value").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).cast("double").as("attributed_value"))
+      .orderBy($"day")
+    assert(got.collect().toSeq == brute.collect().toSeq)
+  }
+
+  test("q114: transition counts cover all consecutive pairs; ppm is a row distribution") {
+    val got = operators.Behavior.q114Transitions(spark, d).collect()
+    val nEvents = graft.io.Tables.events(spark, d).count()
+    val nUsers = graft.io.Tables.events(spark, d).select($"user_id").distinct().count()
+    // every user contributes (events-1) transitions
+    assert(got.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    // per-src: totals consistent, ppm near 1e6 (floor dust < cells)
+    got.groupBy(_.getAs[String]("src")).foreach { case (_, rows) =>
+      val tot = rows.head.getAs[Long]("src_total")
+      assert(rows.map(_.getAs[Long]("n")).sum == tot)
+      val ppm = rows.map(_.getAs[Long]("p_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rows.length,
+        s"ppm row sum $ppm over ${rows.length} cells")
+    }
+  }
+
+  test("q115: entropy bounded by ln(n_terms); KL small vs own corpus; identical sources ⇒ near-zero KL") {
+    val got = operators.Corpus.q115SourceEntropy(spark, d).collect()
+    assert(got.length > 0)
+    got.foreach { r =>
+      val h = r.getAs[Long]("entropy_micro")
+      val hMax = (math.log(r.getAs[Long]("n_terms").toDouble) * 1e6).toLong
+      assert(h >= 0 && h <= hMax + 1, s"entropy out of range: $r (max $hMax)")
+      // KL ≥ -1 micro-floor dust; generated sources share one unigram
+      // model, so KL to the corpus stays far below entropy
+      val kl = r.getAs[Long]("kl_micro")
+      assert(kl >= -1000000L && kl < h + 1000000L, s"KL implausible: $r")
+    }
+  }
+}

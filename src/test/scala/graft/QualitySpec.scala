@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q112 constraint audit, q117 skew diagnostics, q118 Z-order tiles,
+  * q116 triangle count — invariant and brute-force cross-checks
+  * complementing the DuckDB oracles. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("q112: five rules, violations bounded by checked, FKs clean on testdata") {
+    val got = operators.Quality.q112DqAudit(spark, d).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getAs[String]("rule")).sorted.sameElements(
+      got.map(_.getAs[String]("rule"))), "rows not rule-ordered")
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_violations") >= 0L)
+      assert(r.getAs[Long]("n_violations") <= r.getAs[Long]("n_checked"))
+    }
+    // the generated TPC-H-ish testdata is referentially intact and
+    // key-unique — those rules must report zero (a nonzero here means
+    // the audit itself is broken, not the data)
+    val byRule = got.map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(byRule("lineitem_orphan_fk") == 0L)
+    assert(byRule("orders_customer_fk") == 0L)
+    assert(byRule("orders_dup_key") == 0L)
+    // n_checked matches the actual table sizes
+    val nLi = graft.io.Tables.lineitem(spark, d).count()
+    val nO = graft.io.Tables.orders(spark, d).count()
+    assert(byRule.size == 5)
+    got.foreach { r =>
+      val expected = if (r.getAs[String]("rule").startsWith("lineitem")) nLi else nO
+      assert(r.getAs[Long]("n_checked") == expected, s"wrong denominator: $r")
+    }
+  }
+
+  test("q117: percentiles are monotone and consistent with the key counts") {
+    val row = operators.Quality.q117SkewDiag(spark, d).collect().head
+    val (nKeys, nRows) = (row.getAs[Long]("n_keys"), row.getAs[Long]("n_rows"))
+    val (p50, p90, p99, mx) = (row.getAs[Long]("p50_cnt"),
+      row.getAs[Long]("p90_cnt"), row.getAs[Long]("p99_cnt"),
+      row.getAs[Long]("max_cnt"))
+    assert(p50 <= p90 && p90 <= p99 && p99 <= mx, s"percentiles not monotone: $row")
+    // cross-check against a brute-force sorted count list
+    val counts = graft.io.Tables.lineitem(spark, d)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .select($"cnt").as[Long].collect().sorted
+    assert(nKeys == counts.length && nRows == counts.sum && mx == counts.max)
+    def pct(p: Int): Long = counts((p * counts.length + 99) / 100 - 1) // ceil rank, 1-based
+    assert(p50 == pct(50) && p90 == pct(90) && p99 == pct(99),
+      s"got ($p50,$p90,$p99) want (${pct(50)},${pct(90)},${pct(99)})")
+    assert(row.getAs[Long]("skew_bp") == 10000L * mx * nKeys / nRows)
+  }
+
+  test("q118: each z-bucket is a bounded 2-D tile (both key ranges < 256)") {
+    val got = operators.Quality.q118Zorder(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // fixing z-prefix (bits ≥ 16) pins bits ≥ 8 of BOTH interleaved keys
+      assert(r.getAs[Long]("max_pk") - r.getAs[Long]("min_pk") < 256L, s"pk tile leak: $r")
+      assert(r.getAs[Long]("max_sk") - r.getAs[Long]("min_sk") < 256L, s"sk tile leak: $r")
+    }
+    // buckets cover all rows exactly once
+    val nLi = graft.io.Tables.lineitem(spark, d).count()
+    assert(got.map(_.getAs[Long]("n")).sum == nLi)
+  }
+
+  test("q116: triangle count equals brute-force triple enumeration") {
+    val row = operators.Graph.q116Triangles(spark, d).collect().head
+    // brute force: all node triples (a<b<c) with all three edges present
+    val items = graft.io.Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p")).distinct()
+    val e = items.as("a").join(items.as("b"), "ord")
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter($"u" < $"v").distinct()
+    val edges = e.as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).toArray.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edges((nodes(j), nodes(k))) && edges((nodes(i), nodes(k)))
+    } brute += 1
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(row.getAs[Long]("n_nodes") == nodes.length.toLong)
+    assert(row.getAs[Long]("n_triangles") == brute,
+      s"oriented count ${row.getAs[Long]("n_triangles")} != brute $brute")
+    // wedge identity: Σ C(d,2) over degrees
+    val degs = edges.toSeq.flatMap(t => Seq(t._1, t._2)).groupBy(identity).map(_._2.size.toLong)
+    assert(row.getAs[Long]("n_wedges") == degs.map(dg => dg * (dg - 1) / 2).sum)
+  }
+}
