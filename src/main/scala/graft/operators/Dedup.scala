@@ -320,9 +320,14 @@ object Dedup {
   /** Un-ordered simhash near-dup pairs (doc1 < doc2, hamming ≤ 3) —
     * shared by q44 (which just orders them) and q71 (which treats them
     * as the edge set for cluster extraction). */
-  private[operators] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsFrom(s, q43Simhash(s, d))
+
+  /** Same banded-blocking pair generation over an already-computed
+    * (doc_id, simhash) frame — lets q95 derive the simhash branch from
+    * its single materialized corpus scan instead of re-reading parquet. */
+  private[operators] def simhashPairsFrom(s: SparkSession, sims: DataFrame): DataFrame = {
     import s.implicits._
-    val sims = q43Simhash(s, d)
     val chunks = s.createDataFrame(
       (0 until 4).map(c => (c, 1L << (15 * c)))).toDF("c", "pc")
     val banded = sims.crossJoin(broadcast(chunks))
@@ -616,9 +621,14 @@ object Dedup {
     // would re-scan + re-shingle. Materializing once is also the
     // realistic 100 TB shape: a production dedup pipeline persists the
     // shingle-hashed corpus once and runs every method against it.
+    // the simhash fingerprint rides the SAME scan (both are per-row
+    // expressions over text), so the ensemble reads the corpus exactly
+    // once — at 100 TB a second full-scan branch is the difference
+    // between a 1-pass and a 2-pass pipeline
     val hashed = Tables.documents(s, d)
       .select($"doc_id",
-        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"),
+        graft.functions.TextExprs.simhash60($"text").as("simhash"))
       .filter(size($"shs") > 0)
       .repartition($"doc_id")
       .localCheckpoint()
@@ -656,11 +666,20 @@ object Dedup {
       .distinct()
       .filter($"n_sig_equal" >= 8)
       .select($"doc1", $"doc2", lit(1L).as("bit"))
-      .localCheckpoint() // feeds the vote union AND the jc candidate set
+      .localCheckpoint() // feeds the vote union AND the jc candidate
+      // set. Eager checkpoint beats .persist() here: with a lazy cache
+      // the two consumers race under the final action and both compute
+      // the band shuffle before either fills the cache (measured 1.8×
+      // slower at sf0.1)
 
-    val sh = simhashPairs(s, d)
+    // derived from the checkpointed corpus, not a second parquet scan.
+    // Restricting simhash to ≥3-token docs is lossless under the vote:
+    // a pair with a shorter endpoint can never collect a second vote
+    // (both mh and jc require shingles), so it can't reach the output.
+    val sh = simhashPairsFrom(s,
+        hashed.select($"doc_id", $"simhash").filter($"simhash".isNotNull))
       .select($"doc1", $"doc2", lit(2L).as("bit"))
-      .localCheckpoint()
+      .localCheckpoint() // same two-consumer shape as mh
 
     // jaccard branch — exact jaccard evaluated ONLY on mh ∪ sh
     // candidates, which is LOSSLESS under the 2-of-3 vote: a pair that
