@@ -656,8 +656,64 @@ object Corpus {
          CAST(floor((sum(tf * k_micro) * 1.0) / max(n_s)) AS BIGINT) AS kl_micro
        FROM q GROUP BY 1 ORDER BY 1"""
 
+  /** PMI collocation mining: top-20 token pairs by pointwise mutual
+    * information over document-level co-occurrence (distinct tokens per
+    * doc, unordered pairs, support ≥ 5 docs). PMI = ln(N·c_xy/(c_x·c_y))
+    * in integer micro-nats (the q77 quantize rule — one double ln per
+    * surviving pair, identical expression both engines).
+    *
+    * Scale shape: the pair generation is a per-doc self-join of the
+    * DISTINCT token set (bounded by per-doc vocabulary², not length²);
+    * the co-occurrence groupBy shuffles pair rows once; the support
+    * filter (≥5) runs BEFORE the joins to the unary counts, so the
+    * expensive branch carries only recurring pairs. Top-20 is
+    * TakeOrdered. The unary count table is vocabulary-sized —
+    * broadcast. */
+  def q120PmiPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("w"))
+      .localCheckpoint() // feeds unary counts, pair self-join (×2), N
+    val nDocs = toks.agg(countDistinct($"doc_id").as("n_docs"))
+    val cw = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val pairs = toks.select($"doc_id", $"w".as("w1"))
+      .join(toks.select($"doc_id", $"w".as("w2")), "doc_id")
+      .filter($"w1" < $"w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= 5)
+    pairs
+      .join(broadcast(cw.select($"w".as("w1"), $"c".as("c_x"))), "w1")
+      .join(broadcast(cw.select($"w".as("w2"), $"c".as("c_y"))), "w2")
+      .crossJoin(broadcast(nDocs))
+      .select($"w1", $"w2", $"c_xy",
+        floor(log(($"c_xy" * $"n_docs" * lit(1.0)) / ($"c_x" * $"c_y")) * lit(1000000.0))
+          .cast("long").as("pmi_micro"))
+      .orderBy($"pmi_micro".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val q120Oracle: String =
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS w
+         FROM documents),
+       nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+       cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       prs AS (
+         SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+         GROUP BY 1, 2 HAVING count(*) >= 5)
+       SELECT w1, w2, c_xy,
+         CAST(floor(ln((c_xy * n_docs * 1.0) / (cx.c * cy.c)) * 1000000.0) AS BIGINT) AS pmi_micro
+       FROM prs
+       JOIN cw cx ON prs.w1 = cx.w
+       JOIN cw cy ON prs.w2 = cy.w
+       CROSS JOIN nd
+       ORDER BY pmi_micro DESC, w1, w2 LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_source_entropy" -> q115SourceEntropy,
+    "q120_pmi_pairs" -> q120PmiPairs,
     "q49_bloom_decontam" -> q49BloomDecontam,
     "q72_funnel" -> q72Funnel,
     "q106_retention_cohorts" -> q106RetentionCohorts,
@@ -673,6 +729,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q115_source_entropy" -> q115Oracle,
+    "q120_pmi_pairs" -> q120Oracle,
     "q49_bloom_decontam" -> q49Oracle,
     "q72_funnel" -> q72Oracle,
     "q106_retention_cohorts" -> q106Oracle,

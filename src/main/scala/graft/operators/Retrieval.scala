@@ -176,11 +176,90 @@ object Retrieval {
        FROM ns LEFT JOIN nd ON ns.doc_id = nd.doc_id
        ORDER BY doc_id"""
 
+  /** Hybrid retrieval via Reciprocal-Rank Fusion: the BM25 top-20
+    * (q98's sparse ranking) fused with the embedding-cosine top-20 for
+    * the query vector (vec_id 0), score = Σ_lists ⌊10⁶/(60+rank)⌋ —
+    * Cormack et al.'s RRF with the standard k=60, the default fusion in
+    * hybrid search stacks. Working on RANKS (not scores) is what makes
+    * the fusion scale-free: BM25 basis points and cosine rank keys
+    * never need calibration against each other.
+    *
+    * Scale shape: each ranking is already a top-k (TakeOrdered — no
+    * global sort of either corpus); the fusion full-outer join and the
+    * final window run on ≤ 40 rows. Integer-exact throughout: ranks
+    * are ints and the RRF contribution is an integer division. */
+  def q119RrfFusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sparse = q98Bm25(s, d).select($"doc_id".as("id"), $"rnk".as("rnk_sparse"))
+    val qv = Similarity.quantized(s, d)
+    val query = qv.filter($"vec_id" === 0).select($"qa".as("qv"), $"n2".as("qn"))
+    val dense = qv.filter($"vec_id" =!= 0)
+      .select($"vec_id".as("id"), $"qa", $"n2")
+      .crossJoin(broadcast(query))
+      .withColumn("num", dotQ($"qa", $"qv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (n2 * qn)"))
+      .orderBy($"rank_key".desc, $"id")
+      .limit(20)
+      .withColumn("rnk_dense",
+        row_number().over(Window.orderBy($"rank_key".desc, $"id")).cast("long"))
+      .select($"id", $"rnk_dense")
+    sparse.join(dense, Seq("id"), "full_outer")
+      // RRF contributions from the NULLABLE ranks (absent list → 0),
+      // THEN the display ranks coalesce to 0 — order matters
+      .select($"id",
+        coalesce($"rnk_sparse", lit(0L)).as("rnk_sparse"),
+        coalesce($"rnk_dense", lit(0L)).as("rnk_dense"),
+        (coalesce(expr("1000000 div (60 + rnk_sparse)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rnk_dense)"), lit(0L))).as("rrf_micro"))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy($"rrf_micro".desc, $"id")).cast("long"))
+      .filter($"fused_rank" <= 10)
+      .orderBy($"fused_rank")
+  }
+
+  val q119Oracle: String =
+    s"""WITH sp AS (
+         SELECT doc_id AS id, rnk AS rnk_sparse FROM ($q98Oracle)),
+       qn AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n2t AS (
+         SELECT vec_id, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM qn),
+       qv AS (SELECT qa AS qv, n2 AS qn FROM n2t WHERE vec_id = 0),
+       den AS (
+         SELECT vec_id AS id,
+           CAST(list_sum(list_transform(list_zip(qa, qv), p -> p[1]*p[2])) AS BIGINT) AS num,
+           n2, qn
+         FROM n2t CROSS JOIN qv WHERE vec_id <> 0),
+       dr AS (
+         SELECT id,
+           CAST(row_number() OVER (ORDER BY (num*num*10000) // (n2*qn) DESC, id) AS BIGINT) AS rnk_dense
+         FROM den WHERE num > 0
+         ORDER BY (num*num*10000) // (n2*qn) DESC, id LIMIT 20),
+       f AS (
+         SELECT COALESCE(sp.id, dr.id) AS id, rnk_sparse, rnk_dense
+         FROM sp FULL OUTER JOIN dr ON sp.id = dr.id),
+       g AS (
+         SELECT id,
+           COALESCE(rnk_sparse, 0) AS rnk_sparse,
+           COALESCE(rnk_dense, 0) AS rnk_dense,
+           COALESCE(1000000 // (60 + rnk_sparse), 0)
+             + COALESCE(1000000 // (60 + rnk_dense), 0) AS rrf_micro
+         FROM f)
+       SELECT id, rnk_sparse, rnk_dense, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         CAST(row_number() OVER (ORDER BY rrf_micro DESC, id) AS BIGINT) AS fused_rank
+       FROM g QUALIFY fused_rank <= 10 ORDER BY fused_rank"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bm25" -> q98Bm25,
-    "q99_span_dedup" -> q99SpanDedup)
+    "q99_span_dedup" -> q99SpanDedup,
+    "q119_rrf_fusion" -> q119RrfFusion)
 
   def oracles: Map[String, String] = Map(
     "q98_bm25" -> q98Oracle,
-    "q99_span_dedup" -> q99Oracle)
+    "q99_span_dedup" -> q99Oracle,
+    "q119_rrf_fusion" -> q119Oracle)
 }

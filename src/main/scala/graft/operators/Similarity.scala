@@ -38,7 +38,7 @@ import graft.functions.Fns._
   */
 object Similarity {
 
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // repartition = a hard materialization barrier: without it Catalyst
     // collapses this projection into the pairwise join above it and

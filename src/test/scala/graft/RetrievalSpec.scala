@@ -215,4 +215,42 @@ class RetrievalSpec extends SparkSpec {
       .select($"doc_id", $"is_dup").as[(Long, Boolean)].collect().toMap
     assert(got == Map(10L -> true, 20L -> false))
   }
+
+  // ---- hybrid fusion ----
+
+  private val sfd = "/root/testdata/sf0.001"
+
+  test("q119: RRF score reconstructs from the ranks; fused ranks are 1..10") {
+    val got = operators.Retrieval.q119RrfFusion(spark, sfd).collect()
+    assert(got.map(_.getAs[Long]("fused_rank")).toSeq == (1L to got.length))
+    got.foreach { r =>
+      def contrib(rank: Long) = if (rank == 0L) 0L else 1000000L / (60L + rank)
+      assert(r.getAs[Long]("rrf_micro") ==
+        contrib(r.getAs[Long]("rnk_sparse")) + contrib(r.getAs[Long]("rnk_dense")),
+        s"rrf_micro mismatch: $r")
+      // at least one list contributed
+      assert(r.getAs[Long]("rnk_sparse") > 0 || r.getAs[Long]("rnk_dense") > 0)
+    }
+    // scores non-increasing in fused rank order
+    val scores = got.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q120: PMI matches a brute-force recount for every reported pair") {
+    val got = operators.Corpus.q120PmiPairs(spark, sfd).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val docs: Array[(Long, Set[String])] = graft.io.Tables.documents(spark, sfd)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSet }
+    val n = docs.length.toLong
+    val cw = docs.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    got.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(w1 < w2)
+      val cxy = docs.count { case (_, ws) => ws(w1) && ws(w2) }.toLong
+      assert(r.getAs[Long]("c_xy") == cxy && cxy >= 5, s"support mismatch: $r")
+      val pmi = math.floor(math.log((cxy * n).toDouble / (cw(w1) * cw(w2))) * 1e6).toLong
+      assert(r.getAs[Long]("pmi_micro") == pmi, s"pmi mismatch: $r want $pmi")
+    }
+  }
 }
