@@ -474,7 +474,55 @@ object Similarity {
        FROM pc, t ORDER BY cell"""
   }
 
+  /** Pseudo-labeling audit over the IVF cells: per cell, the majority
+    * TRUE label of its members (ties to the smaller label id) and the
+    * purity that majority would achieve if the cell's label were
+    * propagated to every member — the cluster-then-label workflow's
+    * quality gate (cells with low purity are where semi-supervised
+    * propagation would poison the training set).
+    *
+    * Scale shape: the assignment is the shared broadcast argmax; the
+    * audit is two stacked partial-agg groupBys ((cell,label) then cell)
+    * plus a broadcastable majority map — shuffle sized by
+    * |cells|·|labels|, independent of corpus size. */
+  def q122PseudoLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val memb = ivfAssigned(quantized(s, d), ivfCentroids(quantized(s, d)))
+      .select($"cell", $"vec_id", $"label".cast("long").as("label"))
+      .localCheckpoint() // feeds the label histogram AND the cell sizes
+    val lc = memb.groupBy($"cell", $"label").agg(count(lit(1)).as("nl"))
+    val major = lc.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cell").orderBy($"nl".desc, $"label")))
+      .filter($"rn" === 1)
+      .select($"cell", $"label".as("major_label"), $"nl".as("n_major"))
+    memb.groupBy($"cell").agg(count(lit(1)).as("n_members"))
+      .join(broadcast(major), "cell")
+      .select($"cell", $"n_members", $"major_label", $"n_major",
+        expr("10000 * n_major div n_members").as("purity_bp"))
+      .orderBy($"cell")
+  }
+
+  val q122Oracle: String =
+    s"""WITH $ivfAssignWith,
+       m AS (
+         SELECT cell, c.vec_id, CAST(e.label AS BIGINT) AS label
+         FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id),
+       lc AS (
+         SELECT cell, label, CAST(count(*) AS BIGINT) AS nl
+         FROM m GROUP BY 1, 2),
+       mj AS (
+         SELECT cell, label AS major_label, nl AS n_major
+         FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                 ORDER BY nl DESC, label) AS rn FROM lc)
+         WHERE rn = 1),
+       sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+       SELECT sz.cell AS cell, n_members, major_label, n_major,
+         (10000 * n_major) // n_members AS purity_bp
+       FROM sz JOIN mj ON sz.cell = mj.cell ORDER BY cell"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_pseudo_labels" -> q122PseudoLabels,
     "q105_index_quality" -> q105IndexQuality,
     "q86_ann_multiprobe" -> q86AnnMultiprobe,
     "q83_semantic_dedup" -> q83SemanticDedup,
@@ -486,6 +534,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_pseudo_labels" -> q122Oracle,
     "q105_index_quality" -> q105Oracle,
     "q86_ann_multiprobe" -> q86Oracle,
     "q83_semantic_dedup" -> q83Oracle,

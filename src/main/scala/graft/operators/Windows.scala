@@ -415,7 +415,55 @@ object Windows {
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
        ORDER BY user_id, ts_s, event_id"""
 
+  /** Rolling z-score anomaly detection: an event is anomalous when its
+    * value deviates from the mean of the same user's trailing 10-event
+    * window by more than 2 standard deviations. The z-test runs as the
+    * INTEGER inequality (n·x−Σ)² > 4·(n·Σx²−Σ²) over milli-quantized
+    * values (q94's moment trick, windowed) — no sqrt, no doubles, so
+    * the flags are bit-identical cross-engine at any partition count.
+    *
+    * Scale shape: one shuffle (partitionBy user), then a bounded ROWS
+    * frame — Spark maintains a 10-row deque per partition stream, O(1)
+    * memory per user regardless of user size. Only anomalies are
+    * emitted (output ≪ input). */
+  def q121Anomalies(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        floor($"value" * 1000).cast("long").as("vm"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"vm").over(w))
+      .withColumn("sxx", sum($"vm" * $"vm").over(w))
+      .filter($"n" === 10) // full windows only (warm-up rows can't test)
+      .filter(($"n" * $"vm" - $"sx") * ($"n" * $"vm" - $"sx") >
+        lit(4L) * ($"n" * $"sxx" - $"sx" * $"sx"))
+      .select($"user_id", $"event_id", $"vm", $"sx", $"sxx")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q121Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(floor(value * 1000) AS BIGINT) AS vm
+         FROM events),
+       wn AS (
+         SELECT user_id, event_id, vm,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(vm) OVER w AS BIGINT) AS sx,
+           CAST(sum(vm * vm) OVER w AS BIGINT) AS sxx
+         FROM t
+         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+       SELECT user_id, event_id, vm, sx, sxx
+       FROM wn
+       WHERE n = 10
+         AND (n * vm - sx) * (n * vm - sx) > 4 * (n * sxx - sx * sx)
+       ORDER BY user_id, event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_anomalies" -> q121Anomalies,
     "q84_range_frame" -> q84RangeFrame,
     "q63_asof_join" -> q63AsofJoin,
     "q20_ffill" -> q20Ffill,
@@ -432,6 +480,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_anomalies" -> q121Oracle,
     "q84_range_frame" -> q84Oracle,
     "q63_asof_join" -> q63Oracle,
     "q20_ffill" -> q20Oracle,

@@ -224,6 +224,60 @@ object EventStreams {
       }
   }
 
+  // ---- stateful last-touch attribution (flatMapGroupsWithState) ----
+
+  case class AttribEvent(user_id: Long, event_id: Long, is_click: Boolean,
+      us: Long, value: Double)
+  case class LastClick(us: Long)
+  case class Attribution(user_id: Long, event_id: Long, us: Long,
+      attributed: Boolean, value: Double)
+
+  /** The streaming twin of q113's last-touch attribution as CUSTOM
+    * STATE: per user, the latest click time survives in GroupState (ONE
+    * long — the minimal attribution state), and every purchase is
+    * emitted on arrival with its attribution verdict (click within the
+    * trailing `windowUs`). This is attribution computed online — the
+    * shape an event collector ships to billing in near-real-time —
+    * versus q113's as-of join over the warehouse table.
+    *
+    * Same ingest contract as the other stateful twins: event-time-
+    * ordered arrival across microbatches. Within a batch, clicks sort
+    * before purchases at the same microsecond, matching the as-of
+    * join's at-or-before (`ts >= c_ts`) semantics exactly. */
+  def attributionStateful(events: Dataset[AttribEvent],
+      windowUs: Long): Dataset[Attribution] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AttribEvent], state: GroupState[LastClick]) =>
+          val evs = it.toArray
+            .sortBy(e => (e.us, if (e.is_click) 0 else 1, e.event_id))
+          var last = state.getOption.map(_.us).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          evs.foreach { e =>
+            if (e.is_click) last = math.max(last, e.us)
+            else out += Attribution(user, e.event_id, e.us,
+              last != Long.MinValue && e.us - last <= windowUs, e.value)
+          }
+          if (last != Long.MinValue) state.update(LastClick(last))
+          out.iterator
+      }
+  }
+
+  /** Streaming attribution over the staged events dir (1-hour window). */
+  def attributionStream(s: SparkSession, eventsDir: String): Dataset[Attribution] = {
+    import s.implicits._
+    eventsStream(s, eventsDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "click").as("is_click"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[AttribEvent]
+      .transform(attributionStateful(_, 3600000000L))
+  }
+
   /** Streaming rolling rate over the staged events dir. */
   def rollingRateStream(s: SparkSession, eventsDir: String): Dataset[RateRow] = {
     import s.implicits._

@@ -52,6 +52,41 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q121: every flag matches a brute-force trailing-window z-test") {
+    val got = operators.Windows.q121Anomalies(spark, d).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    val evs = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        floor($"value" * 1000).cast("long").as("vm"))
+      .as[(Long, Long, Long, Long)].collect()
+    // .toSeq before flatMap: flatMapping a Map with tuple results would
+    // re-key by user and keep one flag per user
+    val brute = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ord = rows.sortBy(r => (r._3, r._2))
+      ord.indices.filter(_ >= 9).flatMap { i =>
+        val win = ord.slice(i - 9, i + 1).map(_._4)
+        val (n, sx, sxx) = (10L, win.sum, win.map(v => v * v).sum)
+        val x = ord(i)._4
+        if ((n * x - sx) * (n * x - sx) > 4L * (n * sxx - sx * sx))
+          Some((u, ord(i)._2)) else None
+      }
+    }.toSet
+    assert(got == brute, s"${got.size} flagged vs brute ${brute.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("q122: cells cover the corpus; majority and purity are consistent") {
+    val got = operators.Similarity.q122PseudoLabels(spark, d).collect()
+    val nVecs = graft.io.Tables.embeddings(spark, d).count()
+    assert(got.map(_.getAs[Long]("n_members")).sum == nVecs)
+    got.foreach { r =>
+      val (nm, nj) = (r.getAs[Long]("n_members"), r.getAs[Long]("n_major"))
+      assert(nj >= 1 && nj <= nm)
+      assert(r.getAs[Long]("purity_bp") == 10000L * nj / nm)
+      assert(r.getAs[Long]("major_label") >= 0)
+    }
+  }
+
   test("q115: entropy bounded by ln(n_terms); KL small vs own corpus; identical sources ⇒ near-zero KL") {
     val got = operators.Corpus.q115SourceEntropy(spark, d).collect()
     assert(got.length > 0)

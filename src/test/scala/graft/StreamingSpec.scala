@@ -162,6 +162,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming attribution == batch q113 daily report, across 2 microbatches") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.operators.Behavior.q113Attribution(spark, d)
+      .collect().map(_.toSeq).toSet
+
+    val staged = java.nio.file.Files.createTempDirectory("events_attr")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+
+    val q = EventStreams.attributionStream(spark, s"$staged/*")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      // fold the per-purchase verdicts into q113's daily report shape
+      val streamed = spark.table("attr_out")
+        .groupBy(to_date(timestamp_micros($"us")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),
+          coalesce(sum(when($"attributed", $"value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).cast("double").as("attributed_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"attribution drifted: ${streamed.size} streamed days vs ${batch.size} batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
