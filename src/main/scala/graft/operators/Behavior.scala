@@ -104,13 +104,50 @@ object Behavior {
          (1000000 * n) // CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
        FROM p ORDER BY 1, 2"""
 
+  /** Next-event baseline evaluation: predict each user's next event
+    * type as the argmax of q114's transition row (ties to the
+    * lexicographically smaller type) and report the accuracy that
+    * baseline achieves per source state — the sanity floor any
+    * sequence model must beat, computed from the same matrix. */
+  def q125NextEventBaseline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q114Transitions(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"n".desc, $"dst")))
+      .filter($"rn" === 1)
+      .select($"src", $"dst".as("predicted_dst"), $"n".as("n_correct"),
+        $"src_total", expr("(1000000 * n) div src_total").as("acc_ppm"))
+      .orderBy($"src")
+  }
+
+  val q125Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       x AS (
+         SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst
+         FROM e),
+       p AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         FROM x WHERE dst IS NOT NULL GROUP BY 1, 2),
+       t AS (
+         SELECT src, dst, n,
+           CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS src_total,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+         FROM p)
+       SELECT src, dst AS predicted_dst, n AS n_correct, src_total,
+         (1000000 * n) // src_total AS acc_ppm
+       FROM t WHERE rn = 1 ORDER BY src"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_attribution" -> q113Attribution,
     "q114_transitions" -> q114Transitions,
+    "q125_next_event_baseline" -> q125NextEventBaseline,
   )
 
   val oracles: Map[String, String] = Map(
     "q113_attribution" -> q113Oracle,
     "q114_transitions" -> q114Oracle,
+    "q125_next_event_baseline" -> q125Oracle,
   )
 }

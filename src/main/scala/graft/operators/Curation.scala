@@ -464,7 +464,69 @@ object Curation {
          CAST(sum(n_chars) AS BIGINT) AS n_chars
        FROM fin GROUP BY split, source ORDER BY split, source"""
 
+  /** 2-D Pareto skyline of the corpus: documents not dominated on
+    * (n_chars ↓, quality_score ↑) — no other doc is both shorter and at
+    * least as good, or as short and strictly better. The multi-
+    * objective curation shortlist (quality-per-byte frontier).
+    *
+    * Scale shape: the naive NOT EXISTS is a self-join; the sort-based
+    * skyline needs a global row order. This uses NEITHER: collapse to
+    * the per-n_chars quality maximum first (q93's value-histogram trick
+    * — shuffle sized by |distinct lengths|, not |docs|), run the
+    * running-max dominance test over that tiny ordered histogram, and
+    * broadcast the surviving (length, max-quality) frontier back over
+    * the corpus. The single-partition window touches only the value
+    * domain. */
+  def q123Skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = graft.functions.Fns.tokens($"text")
+    val nTok = size(tk)
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*)))
+      * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
+          .as("quality_score"))
+    val hq = docs.groupBy($"n_chars").agg(max($"quality_score").as("mq"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = hq
+      .withColumn("prevmax", max($"mq").over(w))
+      .filter($"prevmax".isNull || $"mq" > $"prevmax")
+      .select($"n_chars", $"mq")
+    docs.join(broadcast(frontier), Seq("n_chars"))
+      .filter($"quality_score" === $"mq")
+      .select($"doc_id", $"n_chars", $"quality_score")
+      .orderBy($"n_chars", $"doc_id")
+  }
+
+  val q123Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, n_chars,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       q AS (
+         SELECT doc_id, n_chars,
+           least(len(tk), 100) * 10
+           + (1000 - CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT))
+           + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT)
+             AS quality_score
+         FROM t),
+       hq AS (SELECT n_chars, max(quality_score) AS mq FROM q GROUP BY 1),
+       sw AS (
+         SELECT n_chars, mq,
+           max(mq) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+         FROM hq),
+       sky AS (SELECT n_chars, mq FROM sw WHERE prevmax IS NULL OR mq > prevmax)
+       SELECT doc_id, q.n_chars AS n_chars, quality_score
+       FROM q JOIN sky ON q.n_chars = sky.n_chars AND q.quality_score = sky.mq
+       ORDER BY n_chars, doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_skyline" -> q123Skyline,
     "q90_curation_pipeline" -> q90CurationPipeline,
     "q85_temperature_mix" -> q85TemperatureMix,
     "q101_mixture_epochs" -> q101MixtureEpochs,
@@ -477,6 +539,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_skyline" -> q123Oracle,
     "q90_curation_pipeline" -> q90Oracle,
     "q85_temperature_mix" -> q85Oracle,
     "q101_mixture_epochs" -> q101Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.functions.Fns._
@@ -176,7 +177,45 @@ object Reshape {
        FROM merged WHERE rn = 1
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** SCD Type-2 dimension build from an event log: each customer's
+    * orders become consecutive versions with [valid_from, valid_to)
+    * effective intervals (lead() closes each interval; the last is
+    * open-ended / is_current). The inverse of q63's point-in-time
+    * lookup and the companion of q62's latest-wins merge — together
+    * they cover the warehouse's slowly-changing-dimension lifecycle.
+    *
+    * Scale shape: one shuffle (partitionBy the dimension key), one
+    * ordered pass per key — the same cost as any per-key window; no
+    * joins, no global sort (the output ordering is for the compare
+    * harness only). */
+  def q124Scd2Build(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("nxt", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey", $"version", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format($"nxt", "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        $"nxt".isNull.as("is_current"))
+      .orderBy($"o_custkey", $"version")
+  }
+
+  val q124Oracle: String =
+    """SELECT o_custkey,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+         COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+         lead(o_orderdate) OVER w IS NULL AS is_current
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, version"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_scd2_build" -> q124Scd2Build,
     "q62_scd_merge" -> q62ScdMerge,
     "q65_full_outer" -> q65FullOuter,
     "q66_pivot" -> q66Pivot,
@@ -185,6 +224,7 @@ object Reshape {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_scd2_build" -> q124Oracle,
     "q62_scd_merge" -> q62Oracle,
     "q65_full_outer" -> q65Oracle,
     "q66_pivot" -> q66Oracle,

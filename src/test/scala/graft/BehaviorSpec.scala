@@ -87,6 +87,24 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q125: prediction is the argmax row of the q114 matrix; accuracy beats uniform") {
+    val matrix = operators.Behavior.q114Transitions(spark, d).collect()
+      .groupBy(_.getAs[String]("src"))
+    val got = operators.Behavior.q125NextEventBaseline(spark, d).collect()
+    assert(got.length == matrix.size)
+    got.foreach { r =>
+      val rows = matrix(r.getAs[String]("src"))
+      val best = rows.maxBy(x => (x.getAs[Long]("n"), -x.getAs[String]("dst").hashCode))
+      val bestN = rows.map(_.getAs[Long]("n")).max
+      assert(r.getAs[Long]("n_correct") == bestN)
+      assert(rows.filter(_.getAs[Long]("n") == bestN)
+        .map(_.getAs[String]("dst")).min == r.getAs[String]("predicted_dst"))
+      // majority-class accuracy is at least the uniform baseline
+      assert(r.getAs[Long]("acc_ppm") >= 1000000L / rows.length)
+      assert(best.getAs[Long]("n") == bestN)
+    }
+  }
+
   test("q115: entropy bounded by ln(n_terms); KL small vs own corpus; identical sources ⇒ near-zero KL") {
     val got = operators.Corpus.q115SourceEntropy(spark, d).collect()
     assert(got.length > 0)

@@ -129,4 +129,23 @@ class CurationSpec extends SparkSpec {
     // 5 digits in row 1, 1 digit in row 2; shapes differ ({"k": #, "id": #} vs {"k": #})
     assert(got == Seq(("click", 2L, 6L, 2L)))
   }
+
+  test("q123: output is exactly the non-dominated set (brute-force dominance check)") {
+    val d = "/root/testdata/sf0.001"
+    val sky = Curation.q123Skyline(spark, d)
+      .select($"doc_id", $"n_chars", $"quality_score")
+      .as[(Long, Long, Long)].collect()
+    assert(sky.nonEmpty)
+    // recompute every doc's (n_chars, quality) via the oracle-checked q31
+    val all = operators.TextAnalysis.q31QualityScore(spark, d)
+      .select($"doc_id", $"quality_score")
+      .join(graft.io.Tables.documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
+      .select($"doc_id", $"n_chars", $"quality_score")
+      .as[(Long, Long, Long)].collect()
+    def dominated(x: (Long, Long, Long)) = all.exists(o =>
+      o._2 <= x._2 && o._3 >= x._3 && (o._2 < x._2 || o._3 > x._3))
+    val want = all.filterNot(dominated).map(_._1).toSet
+    assert(sky.map(_._1).toSet == want,
+      s"skyline ${sky.length} docs vs brute ${want.size}")
+  }
 }

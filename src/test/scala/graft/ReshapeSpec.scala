@@ -48,4 +48,23 @@ class ReshapeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(back == wide.collect().map(_.toSeq).toSet)
   }
+
+  test("q124: SCD2 intervals chain per customer with exactly one open version") {
+    val d = "/root/testdata/sf0.001"
+    val rows = operators.Reshape.q124Scd2Build(spark, d)
+      .select($"o_custkey", $"version", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Long, String, String, Boolean)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (ck, vs) =>
+      val ord = vs.sortBy(_._2)
+      assert(ord.map(_._2).toSeq == (1L to ord.length), s"versions not dense: $ck")
+      ord.zip(ord.tail).foreach { case (a, b) =>
+        assert(a._4 == b._3, s"interval chain broken at $ck v${a._2}")
+        assert(!a._5, s"non-final version marked current: $ck v${a._2}")
+      }
+      assert(ord.last._5 && ord.last._4 == "9999-12-31")
+      ord.foreach(v => assert(v._3 <= v._4))
+    }
+  }
 }
