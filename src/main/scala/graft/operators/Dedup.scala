@@ -898,6 +898,100 @@ object Dedup {
        SELECT doc_id, cluster_id, quality_score, rnk = 1 AS is_canonical
        FROM r ORDER BY cluster_id, doc_id"""
 
+  /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin prefix
+    * filter; Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): exact
+    * Jaccard ≥ 0.8 pairs over distinct 3-gram shingle hashes, but the
+    * candidate join indexes only each document's PREFIX — its
+    * `n − ⌈0.8·n⌉ + 1` globally rarest shingles — instead of all of
+    * them (q42's inverted index).
+    *
+    * Losslessness: order all shingles by (corpus df, hash) — a total
+    * order. For any pair with J ≥ 0.8, |A∩B| ≥ 0.8·|A| (since
+    * J ≤ |A∩B|/|A|) and symmetrically for B; if the smallest common
+    * shingle w sat outside A's prefix, every common shingle would sit
+    * in A's suffix of ⌈0.8·n⌉ − 1 slots < 0.8·n ≤ |A∩B| — contradiction.
+    * So w lands in BOTH prefixes and the equi-join on prefix shingles
+    * finds every qualifying pair; the oracle (the plain exact-Jaccard
+    * join at the same threshold) pins that no pair is lost.
+    *
+    * Scale shape vs q42: the index the self-join shuffles is ~20% of
+    * the corpus shingle occurrences (measured: 0.2·n + 1 per doc), and
+    * rare-first ordering makes the join buckets the SMALLEST ones —
+    * the df-hot shingles that dominate q42's join never enter the
+    * index. The length filter (5·min ≥ 4·max, exact integers) prunes
+    * cross-size candidates before verification, and verification is a
+    * per-candidate `array_intersect` against the checkpointed shingle
+    * arrays — candidates, not corpus, sized. At 100 TB this is the
+    * difference between shuffling every posting and shuffling the rare
+    * fifth. */
+  def q126PrefixSimjoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // one checkpointed shingle pass feeds df-count, prefix build, and
+    // final verification (three consumers, one scan+shingle cost)
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+      .filter(size($"shs") > 0)
+      .localCheckpoint()
+    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
+    val dfreq = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // rare-first total order (df asc, hash asc — unique per doc), then
+    // keep the first n − ⌈0.8n⌉ + 1 = n − (4n+4) div 5 + 1 shingles
+    val pref = inv.join(dfreq, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ord"))
+      .select($"doc_id", size($"ord").as("n"),
+        expr("transform(slice(ord, 1, size(ord) - ((4*size(ord)+4) div 5) + 1), x -> x.sh)")
+          .as("prefix"))
+    val pinv = pref.select($"doc_id", $"n", explode($"prefix").as("sh"))
+    val cand = pinv.as("a").join(pinv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          // J ≥ 0.8 ⟹ sizes within 4:5 of each other (exact integers)
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    cand
+      .join(hashed.select($"doc_id".as("doc1"), $"shs".as("s1")), "doc1")
+      .join(hashed.select($"doc_id".as("doc2"), $"shs".as("s2")), "doc2")
+      .select($"doc1", $"doc2",
+        size(array_intersect($"s1", $"s2")).cast("long").as("inter"),
+        size($"s1").cast("long").as("n1"), size($"s2").cast("long").as("n2"))
+      .withColumn("jaccard_bp",
+        floor($"inter" * lit(10000) / ($"n1" + $"n2" - $"inter")).cast("long"))
+      .filter($"jaccard_bp" >= 8000)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Oracle = the UNFILTERED exact-Jaccard join at the same threshold:
+    * hash-identical output means the prefix filter lost nothing. */
+  val q126Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+         CAST(sa.n_sh AS BIGINT) AS n1, CAST(sb.n_sh AS BIGINT) AS n2,
+         CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_bp
+       FROM inter
+       JOIN nz sa ON doc1 = sa.doc_id
+       JOIN nz sb ON doc2 = sb.doc_id
+       WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 8000
+       ORDER BY doc1, doc2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
@@ -910,6 +1004,7 @@ object Dedup {
     "q95_neardup_ensemble" -> q95NeardupEnsemble,
     "q96_leakage_split" -> q96LeakageSplit,
     "q102_quality_canonical" -> q102QualityCanonical,
+    "q126_prefix_simjoin" -> q126PrefixSimjoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -924,5 +1019,6 @@ object Dedup {
     "q95_neardup_ensemble" -> q95Oracle,
     "q96_leakage_split" -> q96Oracle,
     "q102_quality_canonical" -> q102Oracle,
+    "q126_prefix_simjoin" -> q126Oracle,
   )
 }

@@ -100,6 +100,19 @@ class PrepSpec extends SparkSpec {
     assert(ens.map(e => (e._1, e._2)).toSet == twoPlus)
   }
 
+  test("q126: prefix filter loses no J≥0.8 pair vs the full inverted index") {
+    val d = "/root/testdata/sf0.001"
+    // ground truth: q42's FULL inverted-index join, re-thresholded
+    val full = Dedup.q42NgramJaccard(spark, d)
+      .filter($"jaccard_bp" >= 8000)
+      .select($"doc1", $"doc2", $"inter", $"n1", $"n2", $"jaccard_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val pref = Dedup.q126PrefixSimjoin(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(full.nonEmpty) // the corpus plants high-jaccard near-dups
+    assert(pref == full)
+  }
+
   test("q96: near-dup cluster that straddles splits under doc-key lands whole") {
     // h(89) < testBound (doc-keyed split would send 89 to 'test');
     // h(1) and h(2) land in 'train'. Docs 1 and 89 are identical →
