@@ -139,13 +139,99 @@ object Behavior {
          (1000000 * n) // src_total AS acc_ppm
        FROM t WHERE rn = 1 ORDER BY src"""
 
+  /** Population-stability-index drift audit: per event type, compare
+    * the `value` distribution of the first week (Jan 1–7) against the
+    * last week (Jan 24–30) over 10 fixed-width bins (50-wide, top bin
+    * open) with add-one smoothing, and publish PSI in integer
+    * micro-nats — the distribution-shift monitor a training pipeline
+    * runs between ingestion snapshots before trusting new data.
+    *
+    * Numeric parity (q115's rule): each BIN's term
+    * (p_a − p_b)·ln(p_a/p_b) is computed in doubles from the same
+    * integer counts on both engines and floored to micro-nats; the
+    * per-type sum of integers is then reduce-order-free. The bin spine
+    * is generated 0–9 so empty bins participate via smoothing instead
+    * of silently dropping from the join.
+    *
+    * Scale: two filtered partial-agg groupBys over the scan (the date
+    * windows push to the parquet scan as ts range filters), a 10-row
+    * spine per type, and a |types|×10-row join — nothing after the
+    * first aggregation is data-sized. */
+  def q128PsiDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"ts",
+      least(floor($"value" / 50.0), lit(9.0)).cast("long").as("bin"))
+    val a = ev.filter($"ts" < to_timestamp(lit("2024-01-08 00:00:00")))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("ca"))
+    val b = ev.filter($"ts" >= to_timestamp(lit("2024-01-24 00:00:00")))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("cb"))
+    val na = a.groupBy($"event_type").agg(sum($"ca").as("na"))
+    val nb = b.groupBy($"event_type").agg(sum($"cb").as("nb"))
+    val spine = ev.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(0L), lit(9L))).as("bin"))
+    spine
+      .join(a, Seq("event_type", "bin"), "left")
+      .join(b, Seq("event_type", "bin"), "left")
+      .join(na, "event_type").join(nb, "event_type")
+      .select($"event_type",
+        (coalesce($"ca", lit(0L)) + lit(1.0)).as("ca1"),
+        (coalesce($"cb", lit(0L)) + lit(1.0)).as("cb1"),
+        ($"na" + lit(10)).as("da"), ($"nb" + lit(10)).as("db"),
+        $"na", $"nb")
+      .select($"event_type", $"na", $"nb",
+        floor(($"ca1" / $"da" - $"cb1" / $"db")
+          * log(($"ca1" / $"da") / ($"cb1" / $"db")) * lit(1000000.0))
+          .cast("long").as("t_micro"))
+      .groupBy($"event_type")
+      .agg(max($"na").as("n_first_week"), max($"nb").as("n_last_week"),
+        sum($"t_micro").as("psi_micro"))
+      .withColumn("drifted", $"psi_micro" > 100000L)
+      .orderBy($"event_type")
+  }
+
+  val q128Oracle: String =
+    """WITH ev AS (
+         SELECT event_type, ts,
+           CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin
+         FROM events),
+       a AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS ca
+             FROM ev WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1, 2),
+       b AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cb
+             FROM ev WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1, 2),
+       na AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na FROM a GROUP BY 1),
+       nb AS (SELECT event_type, CAST(sum(cb) AS BIGINT) AS nb FROM b GROUP BY 1),
+       spine AS (
+         SELECT event_type, r AS bin
+         FROM (SELECT DISTINCT event_type FROM ev)
+         CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r)),
+       q AS (
+         SELECT s.event_type, na, nb,
+           coalesce(ca, 0) + 1.0 AS ca1, coalesce(cb, 0) + 1.0 AS cb1,
+           na + 10 AS da, nb + 10 AS db
+         FROM spine s
+         LEFT JOIN a ON s.event_type = a.event_type AND s.bin = a.bin
+         LEFT JOIN b ON s.event_type = b.event_type AND s.bin = b.bin
+         JOIN na ON s.event_type = na.event_type
+         JOIN nb ON s.event_type = nb.event_type),
+       t AS (
+         SELECT event_type, na, nb,
+           CAST(floor((ca1 / da - cb1 / db)
+             * ln((ca1 / da) / (cb1 / db)) * 1000000.0) AS BIGINT) AS t_micro
+         FROM q)
+       SELECT event_type, max(na) AS n_first_week, max(nb) AS n_last_week,
+         CAST(sum(t_micro) AS BIGINT) AS psi_micro,
+         CAST(sum(t_micro) AS BIGINT) > 100000 AS drifted
+       FROM t GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_psi_drift" -> q128PsiDrift,
     "q113_attribution" -> q113Attribution,
     "q114_transitions" -> q114Transitions,
     "q125_next_event_baseline" -> q125NextEventBaseline,
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_psi_drift" -> q128Oracle,
     "q113_attribution" -> q113Oracle,
     "q114_transitions" -> q114Oracle,
     "q125_next_event_baseline" -> q125Oracle,

@@ -369,7 +369,82 @@ object Stats {
        SELECT key, cnt, TRUE AS in_sketch, TRUE AS err_bound_ok
        FROM e, t WHERE cnt * 10 > n ORDER BY key"""
 
+  /** Count-Min sketch (Cormode & Muthukrishnan '05) term-frequency
+    * estimation: a 4×256 counter grid over every token occurrence,
+    * queried for the exact top-10 terms and checked against their true
+    * counts. The sketch is LINEAR, so it builds as a plain partial
+    * aggregation: each occurrence maps to 4 (row, bucket) cells and the
+    * groupBy collapses every map task to ≤ 4·256 rows before the
+    * exchange — the whole corpus crosses the shuffle as ≤ 1024 counters
+    * per task regardless of data size (the same mergeable-summary shape
+    * as q100's Misra–Gries, expressed declaratively instead of as a
+    * udaf). Estimate = min over the 4 rows of the term's cell.
+    *
+    * Parity: bucket = ((h mod p)·(2r+3) + (r+1)) mod p mod 256 over the
+    * shared 60-bit md5 token hash (p = 2³¹−1; products stay < 2³⁵ —
+    * exact in int64 on both engines), so sketch and estimates are
+    * deterministic and hash-compare exactly. `over_ok` pins CMS's
+    * one-sided guarantee (estimate never undercounts); `err` publishes
+    * the collision overcount for the audit trail. */
+  def q127CountMin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = 2147483647L
+    val occ = Tables.documents(s, d)
+      .select(explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .localCheckpoint() // one tokenize pass feeds sketch + exact top-10
+    val cells = occ
+      .select((graft.functions.Fns.hash60($"term") % p).as("hp"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select($"r", (($"hp" * ($"r" * 2 + 3) + ($"r" + 1)) % p % 256).as("bucket"))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+    val top = occ.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"exact_cnt".desc, $"term")))
+      .filter($"rn" <= 10).drop("rn")
+    top
+      .withColumn("hp", graft.functions.Fns.hash60($"term") % p)
+      .withColumn("r", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", ($"hp" * ($"r" * 2 + 3) + ($"r" + 1)) % p % 256)
+      .join(cells, Seq("r", "bucket"))
+      .groupBy($"term")
+      .agg(max($"exact_cnt").as("exact_cnt"), min($"c").as("est_cnt"))
+      .select($"term", $"exact_cnt", $"est_cnt",
+        ($"est_cnt" - $"exact_cnt").as("err"),
+        ($"est_cnt" >= $"exact_cnt").as("over_ok"))
+      .orderBy($"term")
+  }
+
+  val q127Oracle: String =
+    """WITH occ AS (
+         SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       hp AS (SELECT term, ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS hp
+              FROM occ),
+       cells AS (
+         SELECT r, (hp * (r*2+3) + (r+1)) % 2147483647 % 256 AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+         FROM hp, (SELECT unnest(generate_series(0, 3)) AS r)
+         GROUP BY 1, 2),
+       ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt FROM occ GROUP BY 1),
+       top AS (
+         SELECT term, exact_cnt FROM ex
+         ORDER BY exact_cnt DESC, term LIMIT 10),
+       est AS (
+         SELECT t.term, t.exact_cnt, CAST(min(c) AS BIGINT) AS est_cnt
+         FROM (SELECT term, exact_cnt,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS hp
+               FROM top) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs
+         JOIN cells ON cells.r = rs.r
+           AND cells.bucket = (t.hp * (rs.r*2+3) + (rs.r+1)) % 2147483647 % 256
+         GROUP BY 1, 2)
+       SELECT term, exact_cnt, est_cnt, est_cnt - exact_cnt AS err,
+         est_cnt >= exact_cnt AS over_ok
+       FROM est ORDER BY term"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_count_min" -> q127CountMin,
     "q100_heavy_hitters" -> q100HeavyHitters,
     "q89_histogram" -> q89Histogram,
     "q80_stats_family" -> q80StatsFamily,
@@ -382,6 +457,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_count_min" -> q127Oracle,
     "q100_heavy_hitters" -> q100Oracle,
     "q89_histogram" -> q89Oracle,
     "q80_stats_family" -> q80Oracle,

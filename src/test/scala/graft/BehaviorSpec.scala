@@ -118,4 +118,29 @@ class BehaviorSpec extends SparkSpec {
       assert(kl >= -1000000L && kl < h + 1000000L, s"KL implausible: $r")
     }
   }
+
+  test("q128: PSI is nonnegative, and a planted shift drifts while a stable type does not") {
+    // every true PSI term (p−q)·ln(p/q) is ≥ 0, and floor keeps it so
+    operators.Behavior.q128PsiDrift(spark, d).collect().foreach { r =>
+      assert(r.getAs[Long]("psi_micro") >= 0L, s"negative PSI: $r")
+    }
+    // crafted corpus: type "x" moves bin 0 → bin 9 between the weeks,
+    // type "y" stays put (ts written as raw nanos — Tables.events
+    // floors any INT64 ts to µs the same way it does TIMESTAMP(NANOS))
+    val jan2ns = 1704153600L * 1000000000L
+    val jan25ns = 1706140800L * 1000000000L
+    val rows = (0 until 100).flatMap { i =>
+      Seq(
+        (i * 4L, jan2ns + i * 1000000000L, i.toLong, "x", 10.0, "{}"),
+        (i * 4L + 1, jan25ns + i * 1000000000L, i.toLong, "x", 480.0, "{}"),
+        (i * 4L + 2, jan2ns + i * 1000000000L, i.toLong, "y", 10.0, "{}"),
+        (i * 4L + 3, jan25ns + i * 1000000000L, i.toLong, "y", 10.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("psi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Behavior.q128PsiDrift(spark, dir)
+      .select($"event_type", $"drifted").as[(String, Boolean)].collect().toMap
+    assert(got("x") && !got("y"), s"drift flags wrong: $got")
+  }
 }

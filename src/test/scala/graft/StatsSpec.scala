@@ -30,6 +30,27 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q127: CMS never undercounts, and the grid is linear in N") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val rows = Stats.q127CountMin(spark, d).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("over_ok"), s"CMS undercounted: $r")
+      assert(r.getAs[Long]("err") >= 0L)
+    }
+    // linearity: every sketch row's counters sum to the occurrence total
+    val occ = graft.io.Tables.documents(spark, d)
+      .select(explode(graft.functions.Fns.tokens(col("text"))).as("term"))
+    val n = occ.count()
+    val perRow = occ
+      .select((graft.functions.Fns.hash60(col("term")) % 2147483647L).as("hp"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(perRow.length == 4 && perRow.forall(_ == n))
+  }
+
   test("sketch error is within 6% (3x the requested 2% rsd)") {
     import org.apache.spark.sql.functions._
     val li = graft.io.Tables.lineitem(spark, "/root/testdata/sf0.001")
