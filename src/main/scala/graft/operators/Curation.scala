@@ -525,7 +525,62 @@ object Curation {
        FROM q JOIN sky ON q.n_chars = sky.n_chars AND q.quality_score = sky.mq
        ORDER BY n_chars, doc_id"""
 
+  /** Domain-level curation stats over parsed URLs: synthesize each
+    * document's canonical URL (deterministic, q12's synthesis
+    * convention — the testdata carries no organic URL column), then
+    * parse it BACK with Spark's native `parse_url` (HOST / PATH /
+    * QUERY:lang) and aggregate per (host, top path segment) — the
+    * domain-balance / blocklist audit a web-corpus pipeline runs
+    * before sampling (per-domain caps are q81's quota; this is the
+    * table that feeds it).
+    *
+    * Oracle: DuckDB has no parse_url, so the twin extracts the same
+    * components with anchored regexes — agreeing outputs pin that the
+    * parser actually decomposes the URL, not just string-slices it.
+    *
+    * Scale: URL parse is scan-local codegen'd projection; the only
+    * shuffle is the (host, seg) partial-agg groupBy, host-count sized. */
+  def q129DomainStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://"), $"source", lit(".example.com/cat"),
+      ($"doc_id" % 7).cast("string"), lit("/doc"), $"doc_id".cast("string"),
+      lit("?lang="), $"lang", lit("&p="), ($"doc_id" % 13).cast("string"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", url.as("url"))
+      .select($"doc_id", $"n_chars",
+        parse_url($"url", lit("HOST")).as("host"),
+        regexp_extract(parse_url($"url", lit("PATH")), "^/(cat[0-9]+)/", 1)
+          .as("seg"),
+        parse_url($"url", lit("QUERY"), lit("lang")).as("url_lang"))
+      .groupBy($"host", $"seg")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"url_lang").as("n_langs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"host", $"seg")
+  }
+
+  val q129Oracle: String =
+    """WITH u AS (
+         SELECT doc_id, n_chars,
+           'https://' || source || '.example.com/cat' || (doc_id % 7)
+             || '/doc' || doc_id || '?lang=' || lang || '&p=' || (doc_id % 13)
+             AS url
+         FROM documents),
+       p AS (
+         SELECT doc_id, n_chars,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+/(cat[0-9]+)/', 1) AS seg,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS url_lang
+         FROM u)
+       SELECT host, seg, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT url_lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_domain_stats" -> q129DomainStats,
     "q123_skyline" -> q123Skyline,
     "q90_curation_pipeline" -> q90CurationPipeline,
     "q85_temperature_mix" -> q85TemperatureMix,
@@ -539,6 +594,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_domain_stats" -> q129Oracle,
     "q123_skyline" -> q123Oracle,
     "q90_curation_pipeline" -> q90Oracle,
     "q85_temperature_mix" -> q85Oracle,

@@ -300,6 +300,57 @@ object EventStreams {
     funnelStateful(evs)
   }
 
+  // ---- stateful streaming heavy hitters (q100's online twin) ----
+
+  case class HHEvent(key: Long, shard: Int)
+  case class HHSnapshot(shard: Int, n: Long, keys: Array[Long], ests: Array[Long])
+
+  /** Streaming Misra–Gries heavy hitters: the online twin of q100's
+    * batch udaf. State is keyed by SHARD (key % nShards), each shard
+    * folding its sub-stream through the same [[MisraGries]] algebra the
+    * batch query aggregates with — O(k) state per shard, forever, no
+    * watermark needed (the summary is the eviction policy).
+    *
+    * Sharding is the scale story AND stays lossless: shards partition
+    * the key space, so a key's whole count lives in one shard, and any
+    * globally heavy key (count > n/(k+1)) is heavy in its shard too
+    * (count > n/(k+1) ≥ n_shard/(k+1)) — the shard-union candidate set
+    * retains every global heavy hitter, to then be exactly counted in
+    * a targeted second pass (q100's verification side). Each batch
+    * emits the shard's current snapshot (Update mode); the latest
+    * snapshot per shard is the live candidate table. */
+  def heavyHittersStateful(events: Dataset[HHEvent], k: Int)
+      : Dataset[HHSnapshot] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    events.groupByKey(_.shard)
+      .mapGroupsWithState[(Long, Map[Long, Long]), HHSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[HHEvent], state: GroupState[(Long, Map[Long, Long])]) =>
+          var (n, buf) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          it.foreach { e => buf = mg.reduce(buf, e.key); n += 1L }
+          state.update((n, buf))
+          val sorted = buf.toSeq.sortBy(_._1)
+          HHSnapshot(shard, n, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+      }
+  }
+
+  /** Streaming heavy hitters over the staged events dir, with q100's
+    * synthetic-skew key (70 % of rows collapse onto user_id % 3). */
+  def heavyHittersStream(s: SparkSession, eventsDir: String, k: Int = 9,
+      nShards: Int = 8): Dataset[HHSnapshot] = {
+    import s.implicits._
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .select(when(col("user_id") % 10 < 7, col("user_id") % 3)
+        .otherwise(col("user_id")).as("key"))
+      .select(col("key"), (col("key") % nShards).cast("int").as("shard"))
+      .as[HHEvent]
+      .transform(heavyHittersStateful(_, k))
+  }
+
   // ---- stream-stream interval join + streaming dedup ----
 
   /** Attribution-style stream-stream interval join: each purchase joins

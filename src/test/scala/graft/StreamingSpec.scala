@@ -247,4 +247,58 @@ class StreamingSpec extends SparkSpec {
       assert(nRaw > batchKeys.size, "no duplicate keys in fixture — weaken the key")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries retains every batch heavy hitter, est <= exact") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val k = 9
+    // batch truth over the same synthetic-skew key as q100
+    val keyed = graft.io.Tables.events(spark, d)
+      .select(when($"user_id" % 10 < 7, $"user_id" % 3)
+        .otherwise($"user_id").as("key"))
+    val exact = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val heavy = exact.filter { case (_, c) => c * 10 > n }.keySet
+    assert(heavy.nonEmpty, "fixture lost its synthetic skew")
+
+    val staged = java.nio.file.Files.createTempDirectory("events_hh")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+
+    val q = EventStreams.heavyHittersStream(spark, s"$staged/*", k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      // latest snapshot per shard = the live candidate table
+      val snaps = spark.table("hh_out")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"shard")
+            .orderBy($"n".desc)))
+        .filter($"rn" === 1)
+        .select($"shard", $"n", $"keys", $"ests").collect()
+      val candidates = snaps.flatMap { r =>
+        val keys = r.getAs[scala.collection.Seq[Long]]("keys")
+        val ests = r.getAs[scala.collection.Seq[Long]]("ests")
+        keys.zip(ests)
+      }.toMap
+      // every global heavy hitter survived its shard's summary
+      assert(heavy.subsetOf(candidates.keySet),
+        s"lost heavy hitters: ${heavy -- candidates.keySet}")
+      // MG one-sided bound: estimates never exceed the true count
+      candidates.foreach { case (key, est) =>
+        assert(est <= exact(key), s"overcount for $key: $est > ${exact(key)}")
+      }
+      // per-shard counts cover the whole stream (no dropped rows)
+      assert(snaps.map(_.getAs[Long]("n")).sum == n)
+    } finally q.stop()
+  }
 }
