@@ -711,7 +711,55 @@ object Corpus {
        CROSS JOIN nd
        ORDER BY pmi_micro DESC, w1, w2 LIMIT 20"""
 
+  /** BPE tokenizer-training primitive — the pair-count step of one
+    * merge iteration: weight every ADJACENT CHARACTER PAIR inside each
+    * distinct word by the word's corpus frequency and rank the top 20
+    * (the argmax is the pair BPE would merge next). Running this to a
+    * fixed point IS tokenizer training; one iteration is the
+    * data-plane kernel, and it is all relational: vocab groupBy →
+    * per-word pair explode (bounded by word length) → pair groupBy.
+    *
+    * Scale: the heavy aggregation is the (term, tf) vocab build — one
+    * partial-agg shuffle over the token stream; everything after runs
+    * on the VOCABULARY (pair explode fans each distinct word, not each
+    * occurrence), and the final top-20 is TakeOrdered, not a sort. */
+  def q130BpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("tf"))
+    tf.filter(length($"term") >= 2)
+      .select($"tf",
+        explode(sequence(lit(1), length($"term") - 1)).as("i"), $"term")
+      .select($"tf", expr("substring(term, i, 2)").as("pair"))
+      .groupBy($"pair").agg(sum($"tf").as("cnt"))
+      // unpartitioned window is safe here: its input is the aggregated
+      // pair table, bounded by |charset|² rows regardless of corpus size
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"pair")))
+      .filter($"rank" <= 20)
+      .select($"rank", $"pair", $"cnt")
+      .orderBy($"rank")
+  }
+
+  val q130Oracle: String =
+    """WITH occ AS (
+         SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1),
+       prs AS (
+         SELECT substr(term, i, 2) AS pair, tf
+         FROM tf, unnest(generate_series(1, len(term) - 1)) AS t(i)
+         WHERE len(term) >= 2),
+       agg AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS cnt FROM prs GROUP BY 1),
+       r AS (SELECT pair, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+             FROM agg)
+       SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_bpe_pairs" -> q130BpePairs,
     "q115_source_entropy" -> q115SourceEntropy,
     "q120_pmi_pairs" -> q120PmiPairs,
     "q49_bloom_decontam" -> q49BloomDecontam,
@@ -728,6 +776,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_bpe_pairs" -> q130Oracle,
     "q115_source_entropy" -> q115Oracle,
     "q120_pmi_pairs" -> q120Oracle,
     "q49_bloom_decontam" -> q49Oracle,

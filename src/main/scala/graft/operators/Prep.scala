@@ -216,7 +216,79 @@ object Prep {
        SELECT st.dim, n, sum_q, sumsq_q, COALESCE(n_outlier, 0) AS n_outlier
        FROM st LEFT JOIN o ON st.dim = o.dim ORDER BY st.dim"""
 
+  /** Content-defined chunking dedup (the FastCDC/rolling-hash family):
+    * chunk boundaries are decided by CONTENT (a token whose hash is
+    * ≡ 0 mod 32 starts a new chunk), not position, so inserting or
+    * deleting a sentence shifts only the chunks it touches — unlike
+    * q91's fixed-stride windows, where one insertion re-keys every
+    * downstream chunk. Identical passages in different documents
+    * therefore chunk identically, and a chunk-hash groupBy finds the
+    * shared content. Per doc: chunk count, cross-corpus duplicated
+    * chunk count, and the dup share in permille.
+    *
+    * Scale: one posexplode + per-doc window (shuffle on doc_id), one
+    * chunk-assembly groupBy on (doc_id, chunk_id) — same key, so AQE
+    * reuses the partitioning — and a chunk_hash-sized occurrence
+    * groupBy. Boundaries are scan-local expressions; mean chunk length
+    * is the modulus (32 tokens), tunable per corpus. */
+  def q131CdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("b", when(hash60($"tok") % 32 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum($"b").over(byDoc))
+    val chunks = toks.groupBy($"doc_id", $"chunk_id")
+      .agg(sort_array(collect_list(struct($"pos", $"tok"))).as("ord"))
+      .select($"doc_id",
+        hash60(concat_ws(" ", expr("transform(ord, x -> x.tok)"))).as("chunk_hash"))
+      .localCheckpoint() // feeds the occurrence count AND the per-doc join
+    val occ = chunks.groupBy($"chunk_hash").agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "chunk_hash")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        expr("(1000 * n_dup_chunks) div n_chunks").as("dup_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val q131Oracle: String =
+    """WITH t AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       tok AS (
+         SELECT doc_id, i AS pos, tk[i] AS tok
+         FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+       bnd AS (
+         SELECT doc_id, pos, tok,
+           CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 = 0
+                THEN 1 ELSE 0 END AS b
+         FROM tok),
+       ch AS (
+         SELECT doc_id,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id,
+           pos, tok
+         FROM bnd),
+       chunks AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT
+             AS chunk_hash
+         FROM ch GROUP BY doc_id, chunk_id),
+       occ AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ
+               FROM chunks GROUP BY 1)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         (1000 * CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS dup_permille
+       FROM chunks JOIN occ USING (chunk_hash)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_cdc_chunks" -> q131CdcChunks,
     "q91_doc_chunks" -> q91DocChunks,
     "q92_pii_scrub" -> q92PiiScrub,
     "q93_quality_bins" -> q93QualityBins,
@@ -224,6 +296,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_cdc_chunks" -> q131Oracle,
     "q91_doc_chunks" -> q91Oracle,
     "q92_pii_scrub" -> q92Oracle,
     "q93_quality_bins" -> q93Oracle,

@@ -68,6 +68,18 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("q130: BPE pair counts weight char pairs by word frequency") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // "aaab" ×2 contributes aa:4 ab:2; "xy" ×1 contributes xy:1
+    Seq((1L, "aaab xy aaab", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.q130BpePairs(spark, dir)
+      .select($"rank", $"pair", $"cnt").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "aa", 4L), (2L, "ab", 2L), (3L, "xy", 1L)), got.toString)
+  }
+
   test("tfidf ranks at most 3 terms per doc, ranks dense from 1") {
     val got = Corpus.q73Tfidf(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"rnk").as[(Long, Long)].collect()

@@ -113,6 +113,19 @@ class PrepSpec extends SparkSpec {
     assert(pref == full)
   }
 
+  test("q131: identical docs share every CDC chunk; disjoint vocab shares none") {
+    val twin = (1 to 80).map(i => s"w$i").mkString(" ")
+    val other = (1 to 80).map(i => s"z$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, twin, "en", "s", twin.length.toLong),
+      (2L, twin, "en", "s", twin.length.toLong),
+      (3L, other, "en", "s", other.length.toLong)))
+    val got = Prep.q131CdcChunks(spark, d)
+      .select($"doc_id", $"dup_permille").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1000L && got(2L) == 1000L, s"twins not fully dup: $got")
+    assert(got(3L) == 0L, s"disjoint doc flagged dup: $got")
+  }
+
   test("q96: near-dup cluster that straddles splits under doc-key lands whole") {
     // h(89) < testBound (doc-keyed split would send 89 to 'test');
     // h(1) and h(2) land in 'train'. Docs 1 and 89 are identical →
