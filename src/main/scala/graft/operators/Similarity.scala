@@ -521,7 +521,149 @@ object Similarity {
          (10000 * n_major) // n_members AS purity_bp
        FROM sz JOIN mj ON sz.cell = mj.cell ORDER BY cell"""
 
+  /** Label-centroid separation audit (silhouette-lite): per label,
+    * build the integer-mean centroid, then score every vector by
+    * a = squared distance to its OWN label's centroid and b = the
+    * minimum squared distance to any OTHER label's centroid;
+    * `separated` (b > a) counts vectors on the right side of the
+    * supervised partition — the embedding-quality report card run
+    * before trusting labels for pseudo-labeling (q122) or sampling.
+    *
+    * All integer: quantized vectors, truncated-mean centroids (q79's
+    * convention), and ‖v−c‖² expanded as n2(v) + n2(c) − 2·v·c so each
+    * comparison is one codegen'd [[DotQ]] per (vector, centroid).
+    *
+    * Scale: centroids are |labels|×dims — broadcast; the scan side
+    * streams once through the broadcast nested-loop and collapses to
+    * per-vector (a, b) in the same partial aggregation; only the
+    * per-label report shuffles. */
+  def q132LabelSilhouette(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val cent = q.select($"label", posexplode($"qa").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sv div n"))
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"pos", $"c"))).as("ord"))
+      .select($"label".as("clabel"),
+        expr("transform(ord, x -> x.c)").as("cv"))
+      .withColumn("cn2", norm2Q($"cv"))
+    val scored = q.crossJoin(broadcast(cent))
+      .withColumn("dist2", $"n2" + $"cn2" - lit(2) * dotQ($"qa", $"cv"))
+      .groupBy($"vec_id", $"label")
+      .agg(min(when($"label" === $"clabel", $"dist2")).as("a"),
+        min(when($"label" =!= $"clabel", $"dist2")).as("b"))
+    scored.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"b" > $"a", 1L).otherwise(0L)).as("n_separated"),
+        sum($"a").as("sum_own_dist2"))
+      .select($"label".cast("long").as("label"), $"n_vecs", $"n_separated",
+        expr("(1000 * n_separated) div n_vecs").as("sep_permille"),
+        expr("sum_own_dist2 div n_vecs").as("mean_own_dist2"))
+      .orderBy($"label")
+  }
+
+  val q132Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       m AS (
+         SELECT label, i AS pos, qa[i] AS v
+         FROM q, unnest(generate_series(1, len(qa))) AS t(i)),
+       cd AS (
+         SELECT label, pos,
+           CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+         FROM m GROUP BY 1, 2),
+       cent AS (
+         SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM cd GROUP BY 1),
+       cn AS (
+         SELECT clabel, cv,
+           CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn2
+         FROM cent),
+       sc AS (
+         SELECT n.vec_id, n.label,
+           min(CASE WHEN n.label = cn.clabel THEN
+             n2 + cn2 - 2*CAST(list_sum(list_transform(list_zip(qa, cv), p -> p[1]*p[2])) AS BIGINT)
+           END) AS a,
+           min(CASE WHEN n.label <> cn.clabel THEN
+             n2 + cn2 - 2*CAST(list_sum(list_transform(list_zip(qa, cv), p -> p[1]*p[2])) AS BIGINT)
+           END) AS b
+         FROM n CROSS JOIN cn GROUP BY 1, 2)
+       SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) AS n_separated,
+         (1000 * CAST(sum(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS sep_permille,
+         CAST(sum(a) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_own_dist2
+       FROM sc GROUP BY label ORDER BY label"""
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector (vec_id < 50), the 3 highest-cosine corpus vectors with a
+    * DIFFERENT label — the negatives that actually teach a retrieval
+    * model, vs random negatives a hash join would sample. Same
+    * broadcast brute-force shape as q46 (query side broadcasts, corpus
+    * streams once, per-partition top-k via the window); the label
+    * inequality rides the join condition so mismatched pairs never
+    * materialize. */
+  def q133HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val queries = q.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"qa".as("qv"), $"n2".as("qn"))
+    val corpus = q.select($"vec_id".as("cid"), $"label".as("clabel"),
+      $"qa".as("cv"), $"n2".as("cn"))
+    corpus.join(broadcast(queries),
+        $"qid" =!= $"cid" && $"qlabel" =!= $"clabel")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"cid",
+        $"qlabel".cast("long").as("qlabel"), $"clabel".cast("long").as("clabel"),
+        $"rank_key", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val q133Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       scored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(a.label AS BIGINT) AS qlabel, CAST(b.label AS BIGINT) AS clabel,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn
+         FROM n a JOIN n b
+           ON a.vec_id < 50 AND a.vec_id <> b.vec_id AND a.label <> b.label),
+       r AS (
+         SELECT qid, cid, qlabel, clabel,
+           (num * num * 10000) // (qn * cn) AS rank_key
+         FROM scored WHERE num > 0),
+       t AS (
+         SELECT qid, cid, qlabel, clabel, rank_key,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY rank_key DESC, cid) AS BIGINT) AS rn
+         FROM r)
+       SELECT qid, cid, qlabel, clabel, rank_key, rn
+       FROM t WHERE rn <= 3 ORDER BY qid, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_label_silhouette" -> q132LabelSilhouette,
+    "q133_hard_negatives" -> q133HardNegatives,
     "q122_pseudo_labels" -> q122PseudoLabels,
     "q105_index_quality" -> q105IndexQuality,
     "q86_ann_multiprobe" -> q86AnnMultiprobe,
@@ -534,6 +676,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_label_silhouette" -> q132Oracle,
+    "q133_hard_negatives" -> q133Oracle,
     "q122_pseudo_labels" -> q122Oracle,
     "q105_index_quality" -> q105Oracle,
     "q86_ann_multiprobe" -> q86Oracle,

@@ -106,4 +106,40 @@ class GraphSpec extends SparkSpec {
     assert(got.except(brute).isEmpty && brute.except(got).isEmpty,
       "window frame disagrees with brute-force join")
   }
+
+  test("q132: axis-separated labels score sep_permille = 1000") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    // two orthogonal clusters with tiny within-label jitter
+    val rows = (0 until 20).map { i =>
+      val label = i % 2
+      val base = Array.fill(8)(0.001f * i)
+      base(label) = 1.0f
+      (i.toLong, base, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.q132LabelSilhouette(spark, dir)
+      .select($"label", $"n_vecs", $"sep_permille")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 1L))
+    got.foreach { case (l, n, sep) =>
+      assert(n == 10L && sep == 1000L, s"label $l not separated: $got")
+    }
+  }
+
+  test("q133: hard negatives are cross-label, dense-ranked, rank-sorted") {
+    val rows = operators.Similarity.q133HardNegatives(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qlabel") != r.getAs[Long]("clabel"))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Number]("rn").longValue)
+      assert(sorted.map(_.getAs[Number]("rn").longValue).toSeq == (1L to g.length))
+      val keys = sorted.map(_.getAs[Long]("rank_key")).toSeq
+      assert(keys == keys.sorted.reverse, s"rank_key not descending: $keys")
+    }
+  }
 }
