@@ -758,7 +758,163 @@ object Corpus {
              FROM agg)
        SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank"""
 
+  /** Zipf's-law fit — the corpus-health diagnostic every data-quality
+    * audit runs: regress log(frequency) on log(rank) over each
+    * language's top-500 terms and report the negated slope in basis
+    * points (natural text ⇒ slope ≈ −1; synthetic/boilerplate corpora
+    * drift off it). Reported per language so a contaminated slice
+    * shows up on its own row.
+    *
+    * Numeric parity: per-term logs are quantized to integer MILLI-nats
+    * first (q77's quantize-then-sum rule: floor(ln·1000) is one double
+    * ln per term, identical in both engines), and the least-squares
+    * slope is then EXACT integer algebra on those longs —
+    * negslope_bp = (Σx·Σy − n·Σxy)·10000 div (n·Σx² − (Σx)²). The
+    * numerator is flipped so it is non-negative (freq is non-increasing
+    * in rank ⇒ covariance ≤ 0): positive `div` truncation agrees
+    * between Spark and DuckDB, so no floor-vs-truncate edge. Magnitudes
+    * stay ≤ ~1e14 ≪ 2⁶³ (x ≤ ln(500)·10³, y ≤ ln(N)·10³, n ≤ 500).
+    *
+    * Scale: term counts are one partial-agg shuffle; the rank window
+    * partitions by lang over the AGGREGATED vocab (bounded rows); the
+    * regression reduces 500 rows per lang to one. At 100 TB the only
+    * corpus-sized stage is the first groupBy. */
+  def q134ZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tc = Tables.documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("cnt"))
+    val ranked = tc
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"cnt".desc, $"term")))
+      .filter($"rank" <= 500)
+      .select($"lang",
+        floor(log($"rank".cast("double")) * 1000).cast("long").as("x"),
+        floor(log($"cnt".cast("double")) * 1000).cast("long").as("y"))
+    ranked.groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"lang", $"n".as("n_terms"),
+        expr("(sx * sy - n * sxy) * 10000 div (n * sxx - sx * sx)")
+          .as("negslope_bp"))
+      .orderBy($"lang")
+  }
+
+  val q134Oracle: String =
+    """WITH tok AS (
+         SELECT lang,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY 1, 2),
+       rk AS (SELECT lang, cnt,
+                row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank
+              FROM tc),
+       pts AS (
+         SELECT lang,
+           CAST(floor(ln(rank * 1.0) * 1000) AS BIGINT) AS x,
+           CAST(floor(ln(cnt * 1.0) * 1000) AS BIGINT) AS y
+         FROM rk WHERE rank <= 500),
+       agg AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM pts GROUP BY 1)
+       SELECT lang, n AS n_terms,
+         CAST((sx * sy - n * sxy) * 10000 // (n * sxx - sx * sx) AS BIGINT) AS negslope_bp
+       FROM agg ORDER BY lang"""
+
+  /** Heaps'-law fit — type growth V(N) ≈ K·N^β over the corpus read in
+    * doc_id order, the capacity-planning curve for tokenizer / vocab
+    * sizing (how many NEW types does the next TB contribute?). The
+    * "type" here is the word 3-GRAM, the unit the dedup/decontam
+    * operators key on — its growth rate directly sizes their shingle
+    * indexes. (The synthetic corpus draws words from a closed ~31-word
+    * set, so WORD types saturate at the first checkpoint; the n-gram
+    * space is where growth actually happens — on both the synthetic
+    * and any real corpus.)
+    *
+    * Distributed formulation (no global ordered scan): a type's
+    * contribution to V at checkpoint c is determined solely by its
+    * FIRST-occurrence doc (min(doc_id) — one partial-agg groupBy), and
+    * N(c) is a sum over per-doc token counts. Both reduce against a
+    * 10-row checkpoint spine derived from max(doc_id) (broadcast
+    * theta-join, ≤10× fan-out) — the cumulative curve without any
+    * single-partition window. β is then the q134 integer regression
+    * over the 10 (ln N, ln V) milli-quantized points (positive slope ⇒
+    * positive-operand div, engine-agnostic).
+    *
+    * Output: one row per checkpoint (coverage curve) with the fitted
+    * heaps_beta_bp repeated — the curve and its summary in one result. */
+  def q135HeapsLaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"))
+    val docTok = base.select($"doc_id", size($"tk").cast("long").as("n_tok"))
+    val firstOcc = base
+      .select($"doc_id", explode(shingles3($"tk")).as("term"))
+      .groupBy($"term").agg(min($"doc_id").as("fo"))
+    val spine = Tables.documents(s, d)
+      .agg(max($"doc_id").as("mx"))
+      .select(explode(sequence(lit(1L), lit(10L))).as("i"), $"mx")
+      .select($"i", expr("(i * (mx + 1)) div 10").as("cp"))
+    val n = docTok.join(broadcast(spine), $"doc_id" < $"cp")
+      .groupBy($"i", $"cp").agg(sum($"n_tok").as("n_tokens"))
+    val v = firstOcc.join(broadcast(spine), $"fo" < $"cp")
+      .groupBy($"i".as("i2")).agg(count(lit(1)).as("vocab"))
+    val pts = n.join(v, $"i" === $"i2")
+      .select($"i", $"cp", $"n_tokens", $"vocab",
+        floor(log($"n_tokens".cast("double")) * 1000).cast("long").as("x"),
+        floor(log($"vocab".cast("double")) * 1000).cast("long").as("y"))
+    val beta = pts
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(expr("(n * sxy - sx * sy) * 10000 div (n * sxx - sx * sx)")
+        .as("heaps_beta_bp"))
+    pts.crossJoin(broadcast(beta))
+      .select($"i".as("ckpt"), $"cp".as("doc_lt"), $"n_tokens", $"vocab",
+        $"heaps_beta_bp")
+      .orderBy($"ckpt")
+  }
+
+  val q135Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       dt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM tk),
+       sh AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS term
+         FROM tk),
+       fo AS (SELECT term, min(doc_id) AS fo FROM sh GROUP BY 1),
+       spine AS (
+         SELECT i, (i * (mx + 1)) // 10 AS cp
+         FROM (SELECT max(doc_id) AS mx FROM documents),
+              unnest(generate_series(1, 10)) AS t(i)),
+       n AS (SELECT i, cp, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             FROM dt JOIN spine ON doc_id < cp GROUP BY 1, 2),
+       v AS (SELECT i, CAST(count(*) AS BIGINT) AS vocab
+             FROM fo JOIN spine ON fo < cp GROUP BY 1),
+       pts AS (
+         SELECT n.i, cp, n_tokens, vocab,
+           CAST(floor(ln(n_tokens * 1.0) * 1000) AS BIGINT) AS x,
+           CAST(floor(ln(vocab * 1.0) * 1000) AS BIGINT) AS y
+         FROM n JOIN v ON n.i = v.i),
+       beta AS (
+         SELECT CAST((count(*) * sum(x*y) - sum(x) * sum(y)) * 10000
+                  // (count(*) * sum(x*x) - sum(x) * sum(x)) AS BIGINT) AS heaps_beta_bp
+         FROM pts)
+       SELECT CAST(i AS BIGINT) AS ckpt, cp AS doc_lt, n_tokens, vocab, heaps_beta_bp
+       FROM pts CROSS JOIN beta ORDER BY ckpt"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_zipf_slope" -> q134ZipfSlope,
+    "q135_heaps_law" -> q135HeapsLaw,
     "q130_bpe_pairs" -> q130BpePairs,
     "q115_source_entropy" -> q115SourceEntropy,
     "q120_pmi_pairs" -> q120PmiPairs,
@@ -776,6 +932,8 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_zipf_slope" -> q134Oracle,
+    "q135_heaps_law" -> q135Oracle,
     "q130_bpe_pairs" -> q130Oracle,
     "q115_source_entropy" -> q115Oracle,
     "q120_pmi_pairs" -> q120Oracle,

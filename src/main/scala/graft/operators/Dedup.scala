@@ -992,7 +992,57 @@ object Dedup {
        WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 8000
        ORDER BY doc1, doc2"""
 
+  /** Sorted-neighborhood-method (SNM) dedup — the third classic
+    * blocking family next to hash blocking (q70) and LSH (q41): sort
+    * the corpus once on a cheap key chosen so near-dups land ADJACENT
+    * (here (n_chars, doc_id) within lang), then compare each record
+    * only to its w=2 successors in that order. Cost is
+    * sort + O(n·w) comparisons — no candidate-pair explosion at all —
+    * at the price of missing dups the sort key separates (lossy by
+    * design, like every blocking scheme; sliding the window is the
+    * recall lever).
+    *
+    * Spark shape: one shuffle on lang (window partition), per-partition
+    * sort, `lead()` to reach the w successors — comparisons never cross
+    * the exchange. At 100 TB the lang partition skews (one dominant
+    * language), so the production key would prepend a coarse length
+    * bucket to the PARTITION key as well; kept single-key here to match
+    * the textbook formulation. Integer distances → exact parity. */
+  def q136SortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    val b = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars", substring($"text", 1, 40).as("p"))
+      .select($"doc_id", $"lang", $"n_chars", $"p",
+        lead($"doc_id", 1).over(w).as("d1"), lead($"p", 1).over(w).as("p1"),
+        lead($"doc_id", 2).over(w).as("d2"), lead($"p", 2).over(w).as("p2"))
+    val n1 = b.filter($"d1".isNotNull && levenshtein($"p", $"p1", 8) >= 0)
+      .select($"doc_id".as("doc1"), $"d1".as("doc2"), $"lang",
+        lit(1L).as("gap"), levenshtein($"p", $"p1", 8).cast("long").as("dist"))
+    val n2 = b.filter($"d2".isNotNull && levenshtein($"p", $"p2", 8) >= 0)
+      .select($"doc_id".as("doc1"), $"d2".as("doc2"), $"lang",
+        lit(2L).as("gap"), levenshtein($"p", $"p2", 8).cast("long").as("dist"))
+    n1.unionByName(n2).orderBy($"doc1", $"gap")
+  }
+
+  val q136Oracle: String =
+    """WITH b AS (
+         SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS p,
+           lead(doc_id, 1) OVER w AS d1, lead(p, 1) OVER w AS p1,
+           lead(doc_id, 2) OVER w AS d2, lead(p, 2) OVER w AS p2
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id))
+       SELECT doc_id AS doc1, d1 AS doc2, lang, CAST(1 AS BIGINT) AS gap,
+         CAST(levenshtein(p, p1) AS BIGINT) AS dist
+       FROM b WHERE d1 IS NOT NULL AND levenshtein(p, p1) <= 8
+       UNION ALL
+       SELECT doc_id, d2, lang, 2, CAST(levenshtein(p, p2) AS BIGINT)
+       FROM b WHERE d2 IS NOT NULL AND levenshtein(p, p2) <= 8
+       ORDER BY doc1, gap"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_sorted_neighborhood" -> q136SortedNeighborhood,
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
     "q41_minhash_lsh" -> q41MinhashLsh,
@@ -1008,6 +1058,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_sorted_neighborhood" -> q136Oracle,
     "q40_dedup_exact" -> q40Oracle,
     "q70_edit_distance" -> q70Oracle,
     "q41_minhash_lsh" -> q41Oracle,

@@ -661,7 +661,86 @@ object Similarity {
        SELECT qid, cid, qlabel, clabel, rank_key, rn
        FROM t WHERE rn <= 3 ORDER BY qid, rn"""
 
+  /** Margin-based parallel-pair mining (the CCMatrix / LASER bitext
+    * criterion): split the corpus into a "source" half (even vec_id)
+    * and "target" half (odd), and for each source accept its nearest
+    * target only when that score clearly DOMINATES the source's
+    * neighborhood — margin = best / mean(top-4), in basis points on
+    * the integer squared-cosine rank key. Absolute-threshold mining
+    * drowns in hubness (dense regions pass everything); the margin
+    * criterion is the published fix, and it is pure relational algebra
+    * on top of the q46 top-k shape.
+    *
+    * Shape: one broadcast brute-force scoring pass (source side
+    * broadcasts, target streams partition-locally), per-source top-4
+    * window, then a groupBy that folds the 4 rows into (best, mean) —
+    * margin and acceptance are exact integer ops. At 100 TB the
+    * scoring pass swaps for the IVF/multiprobe candidate generator
+    * (q48/q86) unchanged — margin only needs the top-k list, not
+    * global scores. `same_label` rides along as the mining-precision
+    * audit column (labels stand in for gold alignment). */
+  def q137BitextMargin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val src = q.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("sid"), $"label".as("slabel"),
+        $"qa".as("sv"), $"n2".as("sn"))
+    val tgt = q.filter($"vec_id" % 2 === 1)
+      .select($"vec_id".as("tid"), $"label".as("tlabel"),
+        $"qa".as("tv"), $"n2".as("tn"))
+    val top = tgt.join(broadcast(src), lit(true))
+      .withColumn("num", dotQ($"sv", $"tv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (sn * tn)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"sid").orderBy($"rank_key".desc, $"tid")))
+      .filter($"rn" <= 4)
+    top.groupBy($"sid")
+      .agg(max(when($"rn" === 1, $"tid")).as("tid"),
+        max(when($"rn" === 1, $"rank_key")).as("best_rk"),
+        max(when($"rn" === 1,
+          ($"slabel" === $"tlabel").cast("long"))).as("same_label"),
+        sum($"rank_key").as("s"), count(lit(1)).as("k"))
+      .withColumn("margin_bp", expr("best_rk * k * 10000 div s"))
+      .filter($"margin_bp" >= 15000)
+      .select($"sid", $"tid", $"best_rk", $"same_label", $"margin_bp")
+      .orderBy($"sid")
+  }
+
+  val q137Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       scored AS (
+         SELECT a.vec_id AS sid, b.vec_id AS tid,
+           a.label AS slabel, b.label AS tlabel,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS sn, b.n2 AS tn
+         FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       ranked AS (
+         SELECT sid, tid, slabel, tlabel,
+           (num * num * 10000) // (sn * tn) AS rank_key,
+           row_number() OVER (PARTITION BY sid
+             ORDER BY (num * num * 10000) // (sn * tn) DESC, tid) AS rn
+         FROM scored WHERE num > 0),
+       agg AS (
+         SELECT sid, max(CASE WHEN rn = 1 THEN tid END) AS tid,
+           max(CASE WHEN rn = 1 THEN rank_key END) AS best_rk,
+           max(CASE WHEN rn = 1 THEN CAST(slabel = tlabel AS BIGINT) END) AS same_label,
+           CAST(sum(rank_key) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS k
+         FROM ranked WHERE rn <= 4 GROUP BY sid)
+       SELECT sid, tid, best_rk, same_label, best_rk * k * 10000 // s AS margin_bp
+       FROM agg WHERE best_rk * k * 10000 // s >= 15000
+       ORDER BY sid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_bitext_margin" -> q137BitextMargin,
     "q132_label_silhouette" -> q132LabelSilhouette,
     "q133_hard_negatives" -> q133HardNegatives,
     "q122_pseudo_labels" -> q122PseudoLabels,
@@ -676,6 +755,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_bitext_margin" -> q137Oracle,
     "q132_label_silhouette" -> q132Oracle,
     "q133_hard_negatives" -> q133Oracle,
     "q122_pseudo_labels" -> q122Oracle,

@@ -455,7 +455,71 @@ object Stats {
          est_cnt >= exact_cnt AS over_ok
        FROM est ORDER BY term"""
 
+  /** Robust outlier audit — median/MAD, not mean/stddev: flag orders
+    * whose totalprice sits more than 5 MADs from their market segment's
+    * median. Mean/σ outlier rules break on the heavy tails they're
+    * meant to find (the outliers inflate σ until nothing is an
+    * outlier); median/MAD is the standard robust replacement for data
+    * QA gates.
+    *
+    * Parity: prices go through decimal→integer CENTS first, so the
+    * only doubles are the two interpolated medians — exact k.0/k.5
+    * halves (q57's proven percentile parity), making `dev > 5·mad`
+    * decidable identically in both engines.
+    *
+    * Shape: segment medians are a 5-row aggregate joined back via
+    * BROADCAST (fact side never reshuffles for the residual pass); the
+    * MAD is a second 5-row aggregate over the residuals, broadcast
+    * again for the final count. Three passes over the fact table, zero
+    * fact-table shuffles beyond the first groupBy's partial aggs. At
+    * 100 TB the exact sort-based `percentile` inside each segment is
+    * the one non-scalable piece — the swap is approx_percentile
+    * (q54's sketch) with the SAME downstream algebra. */
+  def q138MadOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seg = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val med = seg.groupBy($"segment")
+      .agg(expr("percentile(cents, 0.5)").as("med_cents"),
+        count(lit(1)).as("n"))
+    val dev = seg.join(broadcast(med), "segment")
+      .withColumn("dev", abs($"cents" - $"med_cents"))
+    val mad = dev.groupBy($"segment".as("seg2"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), $"segment" === $"seg2")
+      .groupBy($"segment")
+      .agg(first($"n").as("n"), first($"med_cents").as("med_cents"),
+        first($"mad_cents").as("mad_cents"),
+        sum(($"dev" > $"mad_cents" * 5).cast("long")).as("n_outliers"))
+      .orderBy($"segment")
+  }
+
+  val q138Oracle: String =
+    """WITH seg AS (
+         SELECT c_mktsegment AS segment,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       med AS (
+         SELECT segment, quantile_cont(cents, 0.5) AS med_cents,
+           CAST(count(*) AS BIGINT) AS n
+         FROM seg GROUP BY 1),
+       dev AS (
+         SELECT seg.segment, n, med_cents, abs(cents - med_cents) AS dev
+         FROM seg JOIN med USING (segment)),
+       mad AS (
+         SELECT segment, quantile_cont(dev, 0.5) AS mad_cents
+         FROM dev GROUP BY 1)
+       SELECT dev.segment, any_value(n) AS n, any_value(med_cents) AS med_cents,
+         any_value(mad_cents) AS mad_cents,
+         CAST(sum(CASE WHEN dev > mad_cents * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev JOIN mad ON dev.segment = mad.segment
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_mad_outliers" -> q138MadOutliers,
     "q127_count_min" -> q127CountMin,
     "q100_heavy_hitters" -> q100HeavyHitters,
     "q89_histogram" -> q89Histogram,
@@ -469,6 +533,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_mad_outliers" -> q138Oracle,
     "q127_count_min" -> q127Oracle,
     "q100_heavy_hitters" -> q100Oracle,
     "q89_histogram" -> q89Oracle,
