@@ -850,11 +850,15 @@ object Corpus {
     * heaps_beta_bp repeated — the curve and its summary in one result. */
   def q135HeapsLaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, d)
-      .select($"doc_id", tokens($"text").as("tk"))
-    val docTok = base.select($"doc_id", size($"tk").cast("long").as("n_tok"))
-    val firstOcc = base
-      .select($"doc_id", explode(shingles3($"tk")).as("term"))
+    val docTok = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+    // the first-occurrence groupBy keys on the 60-bit shingle HASH, not
+    // the ~50-char shingle string (ShingleHashes dedupes within-doc,
+    // harmless under min(doc_id)): the corpus-sized shuffle moves longs
+    // instead of strings — ~6× fewer shuffle bytes, same distinct set
+    val firstOcc = Tables.documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("term"))
       .groupBy($"term").agg(min($"doc_id").as("fo"))
     val spine = Tables.documents(s, d)
       .agg(max($"doc_id").as("mx"))
@@ -885,11 +889,12 @@ object Corpus {
          FROM documents),
        dt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM tk),
        sh AS (
-         SELECT doc_id, unnest(
+         SELECT doc_id, unnest(list_transform(
            CASE WHEN len(tk) >= 3
                 THEN list_transform(generate_series(1, len(tk)-2),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-                ELSE [] END) AS term
+                ELSE [] END,
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS term
          FROM tk),
        fo AS (SELECT term, min(doc_id) AS fo FROM sh GROUP BY 1),
        spine AS (

@@ -477,11 +477,15 @@ object Stats {
     * (q54's sketch) with the SAME downstream algebra. */
   def q138MadOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: three consumers (median agg, residual pass, final
+    // count) would otherwise re-run the scan+join trio — materialize the
+    // 2-column fact projection once
     val seg = Tables.orders(s, d)
       .join(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
         $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment".as("segment"),
         ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint()
     val med = seg.groupBy($"segment")
       .agg(expr("percentile(cents, 0.5)").as("med_cents"),
         count(lit(1)).as("n"))
