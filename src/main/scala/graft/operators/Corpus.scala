@@ -917,7 +917,75 @@ object Corpus {
        SELECT CAST(i AS BIGINT) AS ckpt, cp AS doc_lt, n_tokens, vocab, heaps_beta_bp
        FROM pts CROSS JOIN beta ORDER BY ckpt"""
 
+  /** Bigram-LM surprisal with Jelinek–Mercer smoothing — the modeling
+    * upgrade over q77's unigram filter: score each doc by its mean
+    * −ln p(w₂|w₁) under p = ¾·c₁₂/c₁ + ¼·c₂/T (all statistics over
+    * the corpus' own bigram stream). Context-aware scoring separates
+    * "rare words" (unigram-surprising, often fine) from "improbable
+    * SEQUENCES" (word salad, shuffled boilerplate) — the distinction
+    * the unigram filter cannot make.
+    *
+    * Parity: the interpolated probability is the exact rational
+    * (3·c₁₂·T + c₂·c₁)/(4·c₁·T); its per-bigram surprisal is quantized
+    * once (floor(ln·10⁶), operands < 2⁵³ so the double divide is
+    * IEEE-exact) and per-doc means are pure integer sums — q77's
+    * quantize-then-sum rule.
+    *
+    * Shape: one (doc,w1,w2) tf groupBy over the corpus (checkpointed —
+    * it feeds c₁₂ and the final doc agg); c₁/c₂ derive from the
+    * BIGRAM-VOCABULARY-sized c₁₂, not the corpus; T broadcasts. Docs
+    * with <2 tokens have no bigrams and drop out (same in the oracle). */
+  def q141BigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"))
+        .as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val c12 = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val c2 = c12.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val tot = c12.agg(sum($"c12").as("t"))
+    tf.join(c12, Seq("w1", "w2")).join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"c1" * $"t" * 4) * lit(1.0) / ($"c12" * $"t" * 3 + $"c2" * $"c1"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"s_micro").as("s_sum"))
+      .select($"doc_id", $"n_bigrams",
+        expr("s_sum div n_bigrams").as("bigram_surprisal_micro"))
+      .orderBy($"doc_id")
+  }
+
+  val q141Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       bg0 AS (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+           i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+         FROM t WHERE len(tk) >= 2),
+       tf AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS tf
+              FROM bg0 GROUP BY 1, 2, 3),
+       c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+       c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+       tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM c12),
+       sc AS (
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * CAST(floor(ln((4*c1*t)*1.0 / (3*c12*t + c2*c1)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_sum
+         FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
+         CROSS JOIN tot GROUP BY 1)
+       SELECT doc_id, n_bigrams, CAST(s_sum // n_bigrams AS BIGINT) AS bigram_surprisal_micro
+       FROM sc ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_bigram_lm" -> q141BigramLm,
     "q134_zipf_slope" -> q134ZipfSlope,
     "q135_heaps_law" -> q135HeapsLaw,
     "q130_bpe_pairs" -> q130BpePairs,
@@ -937,6 +1005,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_bigram_lm" -> q141Oracle,
     "q134_zipf_slope" -> q134Oracle,
     "q135_heaps_law" -> q135Oracle,
     "q130_bpe_pairs" -> q130Oracle,

@@ -579,7 +579,61 @@ object Curation {
          CAST(min(doc_id) AS BIGINT) AS first_doc
        FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Rendezvous (highest-random-weight) shard assignment + balance
+    * audit — the stable-sharding primitive for a 100 TB ingest layout:
+    * each doc goes to argmax over shards of hash(doc, shard). Unlike
+    * `doc_id % k`, adding or removing a shard reassigns only ~1/k of
+    * the corpus (every surviving shard keeps every doc it already won),
+    * which is what makes incremental re-layout affordable at scale.
+    *
+    * The argmax is max(struct(h, shard)) — one partial-aggregable max
+    * per doc, no window — and ties are structurally broken by shard id
+    * (the 60-bit hashes are identical cross-engine, so even a collision
+    * resolves identically). Output: per-shard doc counts, char mass,
+    * and load permille (the audit that the weights actually balance).
+    *
+    * Shape: an 8× row fan-out (generate shard candidates per doc — no
+    * shuffle), per-doc max partial-agg, then an 8-row groupBy. The
+    * corpus is scanned once; nothing shuffles at corpus size except the
+    * doc-keyed partial max, which combines map-side. */
+  def q140RendezvousShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nShards = 8
+    val won = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        explode(sequence(lit(0), lit(nShards - 1))).as("shard"))
+      .withColumn("h", hash60(concat($"doc_id", lit(":"), $"shard")))
+      .groupBy($"doc_id")
+      .agg(first($"n_chars").as("n_chars"),
+        max(struct($"h", $"shard")).getField("shard").as("shard"))
+    val tot = won.agg(count(lit(1)).as("n_total"))
+    won.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .crossJoin(broadcast(tot))
+      .select($"shard".cast("long").as("shard"), $"n_docs", $"n_chars",
+        expr("n_docs * 1000 div n_total").as("load_permille"))
+      .orderBy($"shard")
+  }
+
+  val q140Oracle: String =
+    """WITH cand AS (
+         SELECT doc_id, n_chars, s AS shard,
+           ('0x' || substr(md5(doc_id || ':' || s), 1, 15))::BIGINT AS h
+         FROM documents, unnest(generate_series(0, 7)) AS t(s)),
+       won AS (
+         SELECT doc_id, any_value(n_chars) AS n_chars,
+           (max({'h': h, 's': shard})).s AS shard
+         FROM cand GROUP BY doc_id),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM won)
+       SELECT CAST(shard AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(count(*) * 1000 // n_total AS BIGINT) AS load_permille
+       FROM won CROSS JOIN tot
+       GROUP BY shard, n_total ORDER BY shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_rendezvous_shards" -> q140RendezvousShards,
     "q129_domain_stats" -> q129DomainStats,
     "q123_skyline" -> q123Skyline,
     "q90_curation_pipeline" -> q90CurationPipeline,
@@ -594,6 +648,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_rendezvous_shards" -> q140Oracle,
     "q129_domain_stats" -> q129Oracle,
     "q123_skyline" -> q123Oracle,
     "q90_curation_pipeline" -> q90Oracle,

@@ -193,13 +193,102 @@ object Quality {
        FROM z GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Inter-rater agreement (Cohen's κ) between two independent quality
+    * gates — the calibration check a curation pipeline runs before
+    * trusting any single filter: gate A is the q31 heuristic score
+    * (length/stopword/uniqueness), gate B the q77 unigram-LM surprisal.
+    * κ corrects raw percent-agreement for the agreement two gates with
+    * these marginals would produce BY CHANCE — the difference between
+    * "both filters keep 50% so they agree half the time anyway" and
+    * real signal overlap. Output is the full 2×2 contingency plus
+    * κ in basis points (can be legitimately negative: systematic
+    * disagreement — worth knowing before ensembling filters).
+    *
+    * Parity: both gates are integer-thresholded (q31's permille score,
+    * q77's micro-nat surprisal), the contingency is exact counts, and κ
+    * is floor((po−pe)·10⁴/(1−pe)) evaluated as ONE double division
+    * whose operands stay ≤ n²·10⁴ < 2⁵³ — exact in IEEE, identical
+    * floor in both engines even when κ < 0 (integer `div` would
+    * truncate toward zero and disagree with `//` there).
+    *
+    * Shape: two doc-level aggregates (one a token groupBy chain), one
+    * equi-join on doc_id, then a single global 1-row reduce. */
+  def q139RaterAgreement(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = graft.functions.Fns.tokens($"text")
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*)))
+      * lit(1000) / size(tk)).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / size(tk)).cast("long")
+    val gateA = Tables.documents(s, d)
+      .select($"doc_id",
+        (least(size(tk), lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm >= 1980)
+          .cast("long").as("a"))
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    val gateB = tf.join(tc, "term").crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"t" * lit(1.0)) / $"cnt") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"tf" * $"s_micro") / sum($"tf") <= lit(3401500))
+        .cast("long").as("b"))
+    gateA.join(gateB, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"a" * $"b").as("n11"), sum($"a" * (lit(1) - $"b")).as("n10"),
+        sum((lit(1) - $"a") * $"b").as("n01"),
+        sum((lit(1) - $"a") * (lit(1) - $"b")).as("n00"))
+      .withColumn("pe_num",
+        ($"n11" + $"n10") * ($"n11" + $"n01") + ($"n01" + $"n00") * ($"n10" + $"n00"))
+      .select($"n", $"n11", $"n10", $"n01", $"n00",
+        floor((($"n11" + $"n00") * $"n" - $"pe_num") * lit(10000.0)
+          / ($"n" * $"n" - $"pe_num")).cast("long").as("kappa_bp"))
+  }
+
+  val q139Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       ga AS (
+         SELECT doc_id,
+           CAST(least(len(tk), 100) * 10
+             + (1000 - CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT))
+             + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) >= 1980 AS BIGINT) AS a
+         FROM t),
+       tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+       gb AS (
+         SELECT doc_id,
+           CAST(sum(tf * CAST(floor(ln((t * 1.0) / cnt) * 1000000.0) AS BIGINT)) * 1.0
+             / sum(tf) <= 3401500 AS BIGINT) AS b
+         FROM tf JOIN tc USING (term) CROSS JOIN tot GROUP BY 1),
+       ct AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a * b) AS BIGINT) AS n11, CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+           CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         FROM ga JOIN gb USING (doc_id))
+       SELECT n, n11, n10, n01, n00,
+         CAST(floor(((n11 + n00) * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) * 10000.0
+           / (n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))) AS BIGINT) AS kappa_bp
+       FROM ct"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
     "q117_skew_diag" -> q117SkewDiag,
     "q118_zorder" -> q118Zorder,
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,
     "q117_skew_diag" -> q117Oracle,
     "q118_zorder" -> q118Oracle,

@@ -253,13 +253,93 @@ object Retrieval {
          CAST(row_number() OVER (ORDER BY rrf_micro DESC, id) AS BIGINT) AS fused_rank
        FROM g QUALIFY fused_rank <= 10 ORDER BY fused_rank"""
 
+  /** Maximal duplicated-run extraction — the ExactSubstr direction of
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): q99 counts WHICH 8-token spans
+    * repeat across docs; this reconstructs HOW LONG each contiguous
+    * duplicated stretch is, per doc, so a scrubber can cut the run
+    * (len ≥ 50 tokens in the paper) instead of dropping the doc.
+    *
+    * Relational formulation: positioned spans (the explode keeps the
+    * token offset), cross-doc duplicated hashes (count(DISTINCT doc)
+    * ≥ 2 — positions make within-doc repeats possible, so plain count
+    * no longer equals doc count as in q99), then gaps-and-islands:
+    * adjacent duplicated positions share (pos − row_number()) within a
+    * doc, and an island of L consecutive duplicated 8-spans is a
+    * duplicated run of L+7 TOKENS. The per-doc window sorts only that
+    * doc's duplicated positions (bounded by doc length) — no global
+    * sort anywhere.
+    *
+    * Scale: the span-hash shuffle is the one corpus-sized exchange (the
+    * same exchange q99 pays); the distinct-doc filter is partial-agg
+    * friendly; the islands pass runs on the duplicated RESIDUE only. */
+  def q142DupRuns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // positioned spans: q99's ShingleHashes can't carry offsets, so the
+    // span string is rebuilt per position and hashed with the shared
+    // md5-60 primitive (identical hash values either way)
+    val sp = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> struct(i as pos, array_join(slice(tk, i, 8), ' ') as sp))"))
+        .as("e"))
+      .select($"doc_id", $"e.pos".as("pos"),
+        graft.functions.Fns.hash60($"e.sp").as("h"))
+      .localCheckpoint() // feeds dup-set build, residue probe, and per-doc totals
+    val dup = sp.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"h")
+    val dp = sp.join(dup, Seq("h"), "left_semi")
+      .withColumn("grp", $"pos" - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")))
+    val runs = dp.groupBy($"doc_id", $"grp")
+      .agg((count(lit(1)) + 7).as("run_tokens"))
+    val per = sp.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    per
+      .join(dp.groupBy($"doc_id").agg(count(lit(1)).as("n_dup_pos")),
+        Seq("doc_id"), "left")
+      .join(runs.groupBy($"doc_id").agg(max($"run_tokens").as("max_run_tokens")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_pos", "max_run_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q142Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       sp AS (
+         SELECT doc_id, i AS pos,
+           ('0x' || substr(md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]), 1, 15))::BIGINT AS h
+         FROM t, unnest(generate_series(1, len(tk)-7)) AS g(i)
+         WHERE len(tk) >= 8),
+       dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       dp AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM sp WHERE h IN (SELECT h FROM dup)),
+       runs AS (SELECT doc_id, CAST(count(*) + 7 AS BIGINT) AS run_tokens
+                FROM dp GROUP BY doc_id, grp),
+       per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1)
+       SELECT p.doc_id AS doc_id, n_spans,
+         CAST(coalesce(d.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+         CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run_tokens
+       FROM per p
+       LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos
+                  FROM dp GROUP BY 1) d ON p.doc_id = d.doc_id
+       LEFT JOIN (SELECT doc_id, CAST(max(run_tokens) AS BIGINT) AS max_run
+                  FROM runs GROUP BY 1) r ON p.doc_id = r.doc_id
+       ORDER BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bm25" -> q98Bm25,
     "q99_span_dedup" -> q99SpanDedup,
+    "q142_dup_runs" -> q142DupRuns,
     "q119_rrf_fusion" -> q119RrfFusion)
 
   def oracles: Map[String, String] = Map(
     "q98_bm25" -> q98Oracle,
     "q99_span_dedup" -> q99Oracle,
+    "q142_dup_runs" -> q142Oracle,
     "q119_rrf_fusion" -> q119Oracle)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Dedup, Similarity, Stats}
+import graft.operators.{Corpus, Curation, Dedup, Quality, Retrieval, Similarity, Stats}
 
 /** Invariant tests for the round-5 operators: the two power-law fits
   * (Zipf slope, Heaps growth), sorted-neighborhood dedup adjacency,
@@ -88,6 +88,73 @@ class FitSpec extends SparkSpec {
     // mark more than a quarter of any segment at 5 MADs)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_outliers") * 4 <= r.getAs[Long]("n"), s"$r")
+    }
+  }
+
+  test("q139: contingency cells partition the corpus; kappa within [-1,1]") {
+    val r = Quality.q139RaterAgreement(spark, d).head()
+    val n = r.getAs[Long]("n")
+    val cells = Seq("n11", "n10", "n01", "n00").map(r.getAs[Long])
+    assert(cells.sum == n && cells.forall(_ >= 0L), s"cells must partition: $r")
+    val k = r.getAs[Long]("kappa_bp")
+    assert(k >= -10000L && k <= 10000L, s"kappa_bp out of range: $k")
+  }
+
+  test("q140: every doc wins exactly one shard; loads roughly balance") {
+    val rows = Curation.q140RendezvousShards(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("shard")).sorted.toSeq == (0L to 7L))
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.io.Tables.documents(spark, d).count()
+    assert(nTotal == nDocs, "shard counts must partition the corpus")
+    // HRW over a 60-bit hash: no shard should be pathologically loaded
+    // (500 docs over 8 shards -> expect ~125 permille each)
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("load_permille")
+      assert(pm >= 50L && pm <= 250L, s"shard load far off balance: $r")
+    }
+  }
+
+  test("q140: rendezvous stability — shard-7 removal only moves shard-7 docs") {
+    import spark.implicits._
+    // recompute the argmax over shards 0..6 and compare with 0..7: every
+    // doc NOT won by shard 7 must keep its assignment (the HRW property
+    // that makes incremental re-layout affordable)
+    def assign(k: Int) = graft.io.Tables.documents(spark, d)
+      .select($"doc_id", explode(sequence(lit(0), lit(k - 1))).as("shard"))
+      .withColumn("h", graft.functions.Fns.hash60(
+        concat($"doc_id", lit(":"), $"shard")))
+      .groupBy($"doc_id")
+      .agg(max(struct($"h", $"shard")).getField("shard").as("shard"))
+      .as[(Long, Int)].collect().toMap
+    val with8 = assign(8)
+    val with7 = assign(7)
+    with8.foreach { case (doc, s8) =>
+      if (s8 != 7) assert(with7(doc) == s8, s"doc $doc moved $s8 -> ${with7(doc)}")
+    }
+  }
+
+  test("q141: bigram surprisal is finite and unigram-distinct") {
+    val rows = Corpus.q141BigramLm(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("bigram_surprisal_micro")
+      // -ln p in micro-nats: p<=1 => s>=0; p >= 1/(4T) bounds s above
+      assert(s >= 0L && s < 30000000L, s"surprisal out of band: $r")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+  }
+
+  test("q142: runs only where q99-style duplication exists; lengths bounded") {
+    val rows = Retrieval.q142DupRuns(spark, d).collect()
+    val withRuns = rows.filter(_.getAs[Long]("n_dup_pos") > 0)
+    assert(withRuns.nonEmpty, "synthetic corpus plants duplicated passages")
+    rows.foreach { r =>
+      val (nsp, ndp, run) = (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_pos"), r.getAs[Long]("max_run_tokens"))
+      assert(ndp <= nsp)
+      // an island of L duplicated 8-spans spans L+7 tokens; L <= n_dup_pos
+      if (ndp == 0) assert(run == 0L)
+      else assert(run >= 8L && run <= ndp + 7L, s"run bound violated: $r")
     }
   }
 }
