@@ -586,27 +586,32 @@ object Curation {
     * the corpus (every surviving shard keeps every doc it already won),
     * which is what makes incremental re-layout affordable at scale.
     *
-    * The argmax is max(struct(h, shard)) — one partial-aggregable max
-    * per doc, no window — and ties are structurally broken by shard id
-    * (the 60-bit hashes are identical cross-engine, so even a collision
-    * resolves identically). Output: per-shard doc counts, char mass,
-    * and load permille (the audit that the weights actually balance).
+    * The argmax is max(h·8 + shard) — the 60-bit hash and the 3-bit
+    * shard id packed into one int64 (2⁶⁰·8 + 7 = 2⁶³−1: exactly fits),
+    * so the winner extraction is a plain hash-aggregable MAX with the
+    * tie broken by shard id arithmetically (a max(struct) formulation
+    * measured here falls back to SortAggregate — per-partition sorts
+    * for what should be one running long). Output: per-shard doc
+    * counts, char mass, and load permille (the audit that the weights
+    * actually balance).
     *
     * Shape: an 8× row fan-out (generate shard candidates per doc — no
-    * shuffle), per-doc max partial-agg, then an 8-row groupBy. The
-    * corpus is scanned once; nothing shuffles at corpus size except the
-    * doc-keyed partial max, which combines map-side. */
+    * shuffle), per-doc max PARTIAL-aggregated before the one doc-keyed
+    * exchange (the fan-out collapses map-side; one combined row per doc
+    * moves), then an 8-row groupBy. The denominator row is a bare
+    * documents count — NOT a second pass over the assignment (each doc
+    * wins exactly once by construction). */
   def q140RendezvousShards(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nShards = 8
     val won = Tables.documents(s, d)
       .select($"doc_id", $"n_chars",
         explode(sequence(lit(0), lit(nShards - 1))).as("shard"))
-      .withColumn("h", hash60(concat($"doc_id", lit(":"), $"shard")))
+      .withColumn("k",
+        hash60(concat($"doc_id", lit(":"), $"shard")) * 8 + $"shard")
       .groupBy($"doc_id")
-      .agg(first($"n_chars").as("n_chars"),
-        max(struct($"h", $"shard")).getField("shard").as("shard"))
-    val tot = won.agg(count(lit(1)).as("n_total"))
+      .agg(first($"n_chars").as("n_chars"), (max($"k") % 8).as("shard"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
     won.groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
       .crossJoin(broadcast(tot))
@@ -617,14 +622,13 @@ object Curation {
 
   val q140Oracle: String =
     """WITH cand AS (
-         SELECT doc_id, n_chars, s AS shard,
-           ('0x' || substr(md5(doc_id || ':' || s), 1, 15))::BIGINT AS h
+         SELECT doc_id, n_chars,
+           ('0x' || substr(md5(doc_id || ':' || s), 1, 15))::BIGINT * 8 + s AS k
          FROM documents, unnest(generate_series(0, 7)) AS t(s)),
        won AS (
-         SELECT doc_id, any_value(n_chars) AS n_chars,
-           (max({'h': h, 's': shard})).s AS shard
+         SELECT doc_id, any_value(n_chars) AS n_chars, max(k) % 8 AS shard
          FROM cand GROUP BY doc_id),
-       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM won)
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
        SELECT CAST(shard AS BIGINT) AS shard,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars,
