@@ -984,7 +984,56 @@ object Corpus {
        SELECT doc_id, n_bigrams, CAST(s_sum // n_bigrams AS BIGINT) AS bigram_surprisal_micro
        FROM sc ORDER BY doc_id"""
 
+  /** Dataset card — the one-row corpus summary a curation pipeline
+    * publishes with every release: volume (docs/tokens/chars), slice
+    * cardinalities (langs/sources), exact-dup mass, and mean document
+    * length. The interesting part at scale is the PLAN, not the math:
+    * one scan feeds four 1-row aggregates (each partial-agg friendly)
+    * that cross-join back together — NOT one agg with three
+    * countDistincts, which would Expand every input row once per
+    * distinct group (q58's lesson: 3× the scan feeding the shuffle).
+    *
+    * The text-hash distinct count runs as its own aggregation over the
+    * 60-bit content hash (longs shuffle, not document bodies). */
+  def q144DatasetCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"lang", $"source", $"n_chars",
+        size(tokens($"text")).cast("long").as("n_tok"),
+        hash60($"text").as("th"))
+      .localCheckpoint() // one scan+tokenize, four aggregate consumers
+    val vol = base.agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+      sum($"n_chars").as("n_chars"))
+    val langs = base.select($"lang").distinct().agg(count(lit(1)).as("n_langs"))
+    val srcs = base.select($"source").distinct().agg(count(lit(1)).as("n_sources"))
+    val uniq = base.select($"th").distinct().agg(count(lit(1)).as("n_uniq_texts"))
+    vol.crossJoin(broadcast(langs)).crossJoin(broadcast(srcs))
+      .crossJoin(broadcast(uniq))
+      .select($"n_docs", $"n_tokens", $"n_chars", $"n_langs", $"n_sources",
+        $"n_uniq_texts",
+        expr("(n_docs - n_uniq_texts) * 1000 div n_docs").as("dup_permille"),
+        expr("n_tokens div n_docs").as("mean_doc_tokens"))
+  }
+
+  val q144Oracle: String =
+    """WITH base AS (
+         SELECT lang, source, n_chars,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS th
+         FROM documents),
+       vol AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars FROM base),
+       l AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM base),
+       s AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM base),
+       u AS (SELECT CAST(count(DISTINCT th) AS BIGINT) AS n_uniq_texts FROM base)
+       SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_uniq_texts,
+         (n_docs - n_uniq_texts) * 1000 // n_docs AS dup_permille,
+         n_tokens // n_docs AS mean_doc_tokens
+       FROM vol CROSS JOIN l CROSS JOIN s CROSS JOIN u"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_dataset_card" -> q144DatasetCard,
     "q141_bigram_lm" -> q141BigramLm,
     "q134_zipf_slope" -> q134ZipfSlope,
     "q135_heaps_law" -> q135HeapsLaw,
@@ -1005,6 +1054,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_dataset_card" -> q144Oracle,
     "q141_bigram_lm" -> q141Oracle,
     "q134_zipf_slope" -> q134Oracle,
     "q135_heaps_law" -> q135Oracle,

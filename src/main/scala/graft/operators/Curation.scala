@@ -636,7 +636,48 @@ object Curation {
        FROM won CROSS JOIN tot
        GROUP BY shard, n_total ORDER BY shard"""
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * draw 50 docs with inclusion probability ∝ n_chars by ranking on
+    * key = u^(1/w) — here the deterministic twin ln(u)/w with
+    * u = hash60(doc)/2⁶⁰ standing in for the uniform draw, quantized to
+    * integer micro units (one double ln per doc, the q77 rule; floor
+    * and the divide are IEEE-exact on identical operands). Length-
+    * proportional sampling is how mixture audits draw "token-fair"
+    * inspection samples — uniform doc sampling over-represents shorts.
+    *
+    * Scale shape: the A-ES reduction is top-k by key — a
+    * TakeOrderedAndProject (per-partition heaps, no global sort), with
+    * the display rank windowed AFTER the 50-row cut. */
+  def q143WeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        floor(log(hash60(concat($"doc_id", lit(":ws")))
+            / lit(1152921504606846976.0) /* 2^60 */) * lit(1000000.0)
+          / $"n_chars").cast("long").as("key_micro"))
+      .orderBy($"key_micro".desc, $"doc_id")
+      .limit(50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"key_micro".desc, $"doc_id")))
+      .select($"rank".cast("long").as("rank"), $"doc_id", $"n_chars", $"key_micro")
+      .orderBy($"rank")
+  }
+
+  val q143Oracle: String =
+    """WITH k AS (
+         SELECT doc_id, n_chars,
+           CAST(floor(ln(('0x' || substr(md5(doc_id || ':ws'), 1, 15))::BIGINT
+               / 1152921504606846976.0) * 1000000.0 / n_chars) AS BIGINT) AS key_micro
+         FROM documents),
+       r AS (SELECT doc_id, n_chars, key_micro,
+               CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id) AS BIGINT) AS rank
+             FROM k)
+       SELECT rank, doc_id, n_chars, key_micro FROM r WHERE rank <= 50
+       ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_weighted_sample" -> q143WeightedSample,
     "q140_rendezvous_shards" -> q140RendezvousShards,
     "q129_domain_stats" -> q129DomainStats,
     "q123_skyline" -> q123Skyline,
@@ -652,6 +693,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_weighted_sample" -> q143Oracle,
     "q140_rendezvous_shards" -> q140Oracle,
     "q129_domain_stats" -> q129Oracle,
     "q123_skyline" -> q123Oracle,

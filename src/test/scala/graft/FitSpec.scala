@@ -157,4 +157,27 @@ class FitSpec extends SparkSpec {
       else assert(run >= 8L && run <= ndp + 7L, s"run bound violated: $r")
     }
   }
+
+  test("q143: weight bias is visible — sampled docs are longer on average") {
+    val rows = Curation.q143WeightedSample(spark, d).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 50L))
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / 50
+    val corpusMean = graft.io.Tables.documents(spark, d)
+      .agg(avg($"n_chars")).head().getDouble(0)
+    // P(include) ∝ n_chars: the sample mean must sit above the corpus mean
+    assert(sampleMean > corpusMean,
+      s"no length bias: sample=$sampleMean corpus=$corpusMean")
+  }
+
+  test("q144: card fields are mutually consistent") {
+    val r = Corpus.q144DatasetCard(spark, d).head()
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nDocs == graft.io.Tables.documents(spark, d).count())
+    assert(r.getAs[Long]("n_uniq_texts") <= nDocs)
+    assert(r.getAs[Long]("dup_permille") >= 0L
+      && r.getAs[Long]("dup_permille") < 1000L)
+    assert(r.getAs[Long]("mean_doc_tokens") * nDocs <= r.getAs[Long]("n_tokens"))
+    assert(r.getAs[Long]("n_langs") >= 1L && r.getAs[Long]("n_sources") >= 1L)
+  }
 }
