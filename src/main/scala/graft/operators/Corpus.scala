@@ -950,11 +950,16 @@ object Corpus {
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val c2 = c12.groupBy($"w2").agg(sum($"c12").as("c2"))
     val tot = c12.agg(sum($"c12").as("t"))
-    tf.join(c12, Seq("w1", "w2")).join(c1, "w1").join(c2, "w2")
+    // enrich the VOCAB-sized bigram relation first (c12⨝c1⨝c2 are all
+    // bigram-type-sized), so the corpus-sized tf joins ONCE against the
+    // finished per-type surprisal — the tf⨝c12⨝c1⨝c2 order would
+    // re-shuffle the big relation on (w1,w2), then w1, then w2
+    val bstats = c12.join(c1, "w1").join(c2, "w2")
       .crossJoin(broadcast(tot))
-      .withColumn("s_micro",
+      .select($"w1", $"w2",
         floor(log(($"c1" * $"t" * 4) * lit(1.0) / ($"c12" * $"t" * 3 + $"c2" * $"c1"))
-          * lit(1000000.0)).cast("long"))
+          * lit(1000000.0)).cast("long").as("s_micro"))
+    tf.join(bstats, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"s_micro").as("s_sum"))
       .select($"doc_id", $"n_bigrams",

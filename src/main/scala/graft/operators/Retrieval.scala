@@ -261,9 +261,10 @@ object Retrieval {
     * (len ≥ 50 tokens in the paper) instead of dropping the doc.
     *
     * Relational formulation: positioned spans (the explode keeps the
-    * token offset), cross-doc duplicated hashes (count(DISTINCT doc)
-    * ≥ 2 — positions make within-doc repeats possible, so plain count
-    * no longer equals doc count as in q99), then gaps-and-islands:
+    * token offset), cross-doc duplicated hashes (min(doc) ≠ max(doc) —
+    * positions make within-doc repeats possible, so q99's plain count
+    * no longer equals doc count, and two running extremes beat a
+    * two-phase countDistinct), then gaps-and-islands:
     * adjacent duplicated positions share (pos − row_number()) within a
     * doc, and an island of L consecutive duplicated 8-spans is a
     * duplicated run of L+7 TOKENS. The per-doc window sorts only that
@@ -287,8 +288,13 @@ object Retrieval {
       .select($"doc_id", $"e.pos".as("pos"),
         graft.functions.Fns.hash60($"e.sp").as("h"))
       .localCheckpoint() // feeds dup-set build, residue probe, and per-doc totals
+    // "appears in ≥2 docs" as min(doc) ≠ max(doc): one partial-agg
+    // exchange, vs countDistinct's two-phase ((h,doc) then h) expansion
+    // — measured 3.2 → 2.3 s at sf0.1, and at scale it halves the
+    // heaviest shuffle in the query
     val dup = sp.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"h")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx").select($"h")
     val dp = sp.join(dup, Seq("h"), "left_semi")
       .withColumn("grp", $"pos" - row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -314,7 +320,7 @@ object Retrieval {
            ('0x' || substr(md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]), 1, 15))::BIGINT AS h
          FROM t, unnest(generate_series(1, len(tk)-7)) AS g(i)
          WHERE len(tk) >= 8),
-       dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       dup AS (SELECT h FROM sp GROUP BY h HAVING min(doc_id) <> max(doc_id)),
        dp AS (SELECT doc_id, pos,
                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
               FROM sp WHERE h IN (SELECT h FROM dup)),
