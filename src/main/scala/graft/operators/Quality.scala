@@ -280,7 +280,67 @@ object Quality {
            / (n * n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))) AS BIGINT) AS kappa_bp
        FROM ct"""
 
+  /** χ² independence audit between two categorical slices (lang ×
+    * source) — the dataset-bias check: does language composition differ
+    * by source beyond what margins explain? Large per-cell
+    * contributions localize WHICH (lang, source) cell drives the
+    * skew — the actionable output, vs a single yes/no statistic.
+    *
+    * The grid is the CROSS JOIN of the two margin relations (all
+    * r×c cells, including unobserved o=0 ones — omitting empty cells
+    * understates χ²), left-joined against observed counts. Each
+    * contribution is (o·n − rt·ct)²/(rt·ct·n) in micro units: o·n ≤
+    * 2.5e7 on this data so the square stays < 2⁵³ and the whole chain
+    * (long→double exact, IEEE mult/div correctly rounded, floor) is
+    * deterministic cross-engine with no ln/exp involved at all. At
+    * billion-doc scale the square outgrows double exactness — the swap
+    * is decimal(38,0) arithmetic with the same algebra.
+    *
+    * Shape: one corpus-sized groupBy; margins derive from the CELL
+    * relation (bounded by r×c); the grid is margin-sized. Nothing
+    * after the first aggregation touches the corpus. */
+  def q145Chi2Independence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.documents(s, d)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds margins, total, and the grid probe
+    val rt = obs.groupBy($"lang").agg(sum($"o").as("rt"))
+    val ct = obs.groupBy($"source").agg(sum($"o").as("ct"))
+    val n = obs.agg(sum($"o").as("n"))
+    val grid = rt.crossJoin(ct).crossJoin(broadcast(n))
+    val cells = grid.join(obs, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("contrib_micro",
+        floor(($"o" * $"n" - $"rt" * $"ct") * ($"o" * $"n" - $"rt" * $"ct")
+          * lit(1000000.0) / ($"rt" * $"ct" * $"n")).cast("long"))
+    val tot = cells.agg(sum($"contrib_micro").as("chi2_micro"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"o", $"contrib_micro",
+        $"chi2_micro", $"n_cells")
+      .orderBy($"lang", $"source")
+  }
+
+  val q145Oracle: String =
+    """WITH obs AS (
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+         FROM documents GROUP BY 1, 2),
+       rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+       ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+       n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+       grid AS (SELECT lang, source, rt, ct, n FROM rt CROSS JOIN ct CROSS JOIN n),
+       cells AS (
+         SELECT g.lang, g.source, CAST(coalesce(o.o, 0) AS BIGINT) AS o, rt, ct, n,
+           CAST(floor((coalesce(o.o,0)*n - rt*ct) * (coalesce(o.o,0)*n - rt*ct)
+             * 1000000.0 / (rt*ct*n)) AS BIGINT) AS contrib_micro
+         FROM grid g LEFT JOIN obs o ON g.lang = o.lang AND g.source = o.source),
+       tot AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro,
+                 CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+       SELECT lang, source, o, contrib_micro, chi2_micro, n_cells
+       FROM cells CROSS JOIN tot ORDER BY lang, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
     "q117_skew_diag" -> q117SkewDiag,
@@ -288,6 +348,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,
     "q117_skew_diag" -> q117Oracle,

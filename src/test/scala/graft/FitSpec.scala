@@ -180,4 +180,19 @@ class FitSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_doc_tokens") * nDocs <= r.getAs[Long]("n_tokens"))
     assert(r.getAs[Long]("n_langs") >= 1L && r.getAs[Long]("n_sources") >= 1L)
   }
+
+  test("q145: grid covers the full margin cross product; totals consistent") {
+    val rows = Quality.q145Chi2Independence(spark, d).collect()
+    val langs = rows.map(_.getAs[String]("lang")).distinct.length
+    val srcs = rows.map(_.getAs[String]("source")).distinct.length
+    assert(rows.length == langs * srcs,
+      "every (lang, source) cell must appear, observed or not")
+    val chi2 = rows.head.getAs[Long]("chi2_micro")
+    assert(rows.forall(_.getAs[Long]("chi2_micro") == chi2))
+    assert(chi2 >= rows.map(_.getAs[Long]("contrib_micro")).max)
+    assert(rows.head.getAs[Long]("n_cells") == rows.length)
+    // observed counts must reproduce the corpus size
+    val nDocs = graft.io.Tables.documents(spark, d).count()
+    assert(rows.map(_.getAs[Long]("o")).sum == nDocs)
+  }
 }
