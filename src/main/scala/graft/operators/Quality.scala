@@ -211,22 +211,29 @@ object Quality {
     * floor in both engines even when κ < 0 (integer `div` would
     * truncate toward zero and disagree with `//` there).
     *
-    * Shape: two doc-level aggregates (one a token groupBy chain), one
-    * equi-join on doc_id, then a single global 1-row reduce. */
+    * Shape: ONE scan — both gates derive from the same per-doc tf
+    * relation (q31's length/stopword/uniqueness counts are tf
+    * aggregates too: n_tokens = Σtf, distinct terms = row count,
+    * stopword hits = Σtf over the stoplist), checkpointed once for its
+    * three consumers; then one equi-join on doc_id and a single global
+    * 1-row reduce. The first formulation scanned + tokenized documents
+    * a second time just to rebuild gate A from the raw token array. */
   def q139RaterAgreement(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "and", "in", "to")
-    val tk = graft.functions.Fns.tokens($"text")
-    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*)))
-      * lit(1000) / size(tk)).cast("long")
-    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / size(tk)).cast("long")
-    val gateA = Tables.documents(s, d)
-      .select($"doc_id",
-        (least(size(tk), lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm >= 1980)
-          .cast("long").as("a"))
     val tf = Tables.documents(s, d)
       .select($"doc_id", explode(graft.functions.Fns.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val gateA = tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"), count(lit(1)).as("uniq"),
+        sum(when($"term".isin(stop.map(lit): _*), $"tf").otherwise(lit(0L)))
+          .as("nstop"))
+      .select($"doc_id",
+        (least($"n_tok", lit(100)) * 10
+          + (lit(1000) - floor($"nstop" * lit(1000) / $"n_tok").cast("long"))
+          + floor($"uniq" * lit(1000) / $"n_tok").cast("long") >= 1980)
+          .cast("long").as("a"))
     val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
     val tot = tc.agg(sum($"cnt").as("t"))
     val gateB = tf.join(tc, "term").crossJoin(broadcast(tot))
