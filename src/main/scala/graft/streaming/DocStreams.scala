@@ -74,6 +74,31 @@ object DocStreams {
         .parquet(docsDir),
       bench)
 
+  /** Rendezvous (HRW) shard routing as a PER-ROW projection — the
+    * streaming face of q140: each arriving doc's shard is
+    * greatest(hash(doc:0)·8+0, …, hash(doc:7)·8+7) mod 8, the same
+    * packed argmax as the batch query but evaluated with `greatest`
+    * over 8 codegen'd expressions instead of an explode+groupBy (a
+    * streaming groupBy would put a shuffle and state where routing
+    * needs neither). Stateless → append mode; this is the ingest
+    * router that decides which shard file a crawled doc lands in. */
+  def shardRoute(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ks = (0 until 8).map { i =>
+      graft.functions.Fns.hash60(concat($"doc_id", lit(":"), lit(i))) * 8 + i
+    }
+    docs.select($"doc_id", $"n_chars",
+      (greatest(ks: _*) % 8).as("shard"))
+  }
+
+  /** Streaming entry for [[shardRoute]]: file-source doc stream routed
+    * on arrival. */
+  def shardRouteStream(s: SparkSession, docsDir: String): DataFrame =
+    shardRoute(
+      s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(docsDir))
+
   /** Streaming context-window chunking: the EXACT batch transform
     * ([[graft.operators.Prep.chunkTransform]] — q91) applied to a doc
     * stream. Chunking is a per-row fan-out (tokenize → stride starts →

@@ -120,6 +120,39 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming shard router == batch q140 assignment and is stateless") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    // batch reference: recompute q140's per-doc winner with its packed max
+    val batch = {
+      import spark.implicits._
+      graft.io.Tables.documents(spark, d)
+        .select($"doc_id", $"n_chars",
+          explode(sequence(lit(0), lit(7))).as("shard"))
+        .withColumn("k", graft.functions.Fns.hash60(
+          concat($"doc_id", lit(":"), $"shard")) * 8 + $"shard")
+        .groupBy($"doc_id")
+        .agg(first($"n_chars").as("n_chars"), (max($"k") % 8).as("shard"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(batch.nonEmpty)
+
+    val staged = java.nio.file.Files.createTempDirectory("docs_route")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = DocStreams.shardRouteStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("route_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("route_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup == batch q52 and is stateless") {
     val d = "/root/testdata/sf0.001"
     val idx = DocStreams.corpusBandIndex(spark, d)
