@@ -779,6 +779,23 @@ object Corpus {
     * partitions by lang over the AGGREGATED vocab (bounded rows); the
     * regression reduces 500 rows per lang to one. At 100 TB the only
     * corpus-sized stage is the first groupBy. */
+  /** Shared integer least-squares pieces for the power-law fits (q134
+    * Zipf, q135 Heaps): the five partial-agg-friendly sums, and the
+    * closed-form slope in basis points as exact integer algebra over
+    * them. Callers must guarantee the numerator's sign (Zipf negates —
+    * freq non-increasing in rank; Heaps is positive by growth) so the
+    * positive-operand `div` truncation agrees between Spark and DuckDB.
+    * Property-tested in `PropertySpec` (exact slope recovery on
+    * collinear integer points, shift invariance). */
+  private[graft] def lsqSums(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+  private[graft] val slopeBpSql =
+    "(n * sxy - sx * sy) * 10000 div (n * sxx - sx * sx)"
+  private[graft] val negSlopeBpSql =
+    "(sx * sy - n * sxy) * 10000 div (n * sxx - sx * sx)"
+
   def q134ZipfSlope(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tc = Tables.documents(s, d)
@@ -792,13 +809,11 @@ object Corpus {
       .select($"lang",
         floor(log($"rank".cast("double")) * 1000).cast("long").as("x"),
         floor(log($"cnt".cast("double")) * 1000).cast("long").as("y"))
+    val sums = lsqSums($"x", $"y")
     ranked.groupBy($"lang")
-      .agg(count(lit(1)).as("n"),
-        sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .agg(sums.head, sums.tail: _*)
       .select($"lang", $"n".as("n_terms"),
-        expr("(sx * sy - n * sxy) * 10000 div (n * sxx - sx * sx)")
-          .as("negslope_bp"))
+        expr(negSlopeBpSql).as("negslope_bp"))
       .orderBy($"lang")
   }
 
@@ -872,11 +887,10 @@ object Corpus {
       .select($"i", $"cp", $"n_tokens", $"vocab",
         floor(log($"n_tokens".cast("double")) * 1000).cast("long").as("x"),
         floor(log($"vocab".cast("double")) * 1000).cast("long").as("y"))
+    val sums = lsqSums($"x", $"y")
     val beta = pts
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
-      .select(expr("(n * sxy - sx * sy) * 10000 div (n * sxx - sx * sx)")
-        .as("heaps_beta_bp"))
+      .agg(sums.head, sums.tail: _*)
+      .select(expr(slopeBpSql).as("heaps_beta_bp"))
     pts.crossJoin(broadcast(beta))
       .select($"i".as("ckpt"), $"cp".as("doc_lt"), $"n_tokens", $"vocab",
         $"heaps_beta_bp")

@@ -84,6 +84,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("integer least squares recovers exact collinear slopes (q134/q135 algebra)") {
+    // lines y = c − m·x over distinct integer xs: the regression residual
+    // is zero, so numerator = m · denominator exactly and the integer
+    // division must return m·10⁴ with NO truncation loss — for any m, c,
+    // and x placement. Shift invariance rides along: (c, xs) vary freely.
+    val lineGen = for {
+      m <- Gen.choose(1L, 9L); c <- Gen.choose(100000L, 900000L)
+      xs <- Gen.listOfN(40, Gen.choose(0L, 20000L)).map(_.distinct)
+      if xs.size >= 2
+    } yield (m, c, xs)
+    val lines = draw(Gen.listOfN(40, lineGen), seed = 31L)
+    // all 40 lines in ONE grouped aggregation (one job per property)
+    val pts = lines.zipWithIndex.flatMap { case ((m, c, xs), i) =>
+      xs.map(x => (i.toLong, x, c - m * x))
+    }.toDF("g", "x", "y")
+    val sums = graft.operators.Corpus.lsqSums($"x", $"y")
+    val got = pts.groupBy($"g").agg(sums.head, sums.tail: _*)
+      .select($"g", expr(graft.operators.Corpus.negSlopeBpSql).as("nb"),
+        expr(graft.operators.Corpus.slopeBpSql).as("b"))
+      .collect().map(r => r.getAs[Long]("g") ->
+        (r.getAs[Long]("nb"), r.getAs[Long]("b"))).toMap
+    lines.zipWithIndex.foreach { case ((m, c, xs), i) =>
+      assert(got(i.toLong) == (m * 10000L, -m * 10000L),
+        s"m=$m c=$c xs=${xs.take(5)}")
+    }
+  }
+
   test("JSON round-trip: dict-of-string-lists survives to_json∘from_json") {
     val entry: Gen[(String, Seq[String])] = for {
       k <- Gen.identifier.map(_.take(8)); n <- Gen.choose(0, 5)
