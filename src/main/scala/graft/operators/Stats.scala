@@ -522,7 +522,39 @@ object Stats {
        FROM dev JOIN mad ON dev.segment = mad.segment
        GROUP BY 1 ORDER BY 1"""
 
+  /** Explicit GROUPING SETS — the third member of the grouped-analytics
+    * family next to ROLLUP (q27) and CUBE (q55), for when the wanted
+    * slices are neither a prefix chain nor the full lattice: here the
+    * two single-dimension slices plus the grand total, WITHOUT the
+    * (lang, source) cross cells a cube would also compute. grouping_id
+    * disambiguates "NULL because aggregated away" from a (hypothetical)
+    * NULL data value — the standard pivot-table contract.
+    *
+    * Plan shape: one Expand of 3× (one replica per grouping set — the
+    * explicit list is exactly why it beats cube's 4×) feeding a single
+    * hash aggregate; same single-shuffle cost class as a plain groupBy
+    * with a small constant factor. */
+  def q146GroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq($"lang"), Seq($"source"), Seq.empty),
+        $"lang", $"source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"))
+      .orderBy($"gid", $"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  val q146Oracle: String =
+    """SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+       FROM documents
+       GROUP BY GROUPING SETS ((lang), (source), ())
+       ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_grouping_sets" -> q146GroupingSets,
     "q138_mad_outliers" -> q138MadOutliers,
     "q127_count_min" -> q127CountMin,
     "q100_heavy_hitters" -> q100HeavyHitters,
@@ -537,6 +569,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_grouping_sets" -> q146Oracle,
     "q138_mad_outliers" -> q138Oracle,
     "q127_count_min" -> q127Oracle,
     "q100_heavy_hitters" -> q100Oracle,

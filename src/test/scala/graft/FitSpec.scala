@@ -181,6 +181,21 @@ class FitSpec extends SparkSpec {
     assert(r.getAs[Long]("n_langs") >= 1L && r.getAs[Long]("n_sources") >= 1L)
   }
 
+  test("q146: grouping sets emit exactly the requested slices") {
+    val rows = Stats.q146GroupingSets(spark, d).collect()
+    val nDocs = graft.io.Tables.documents(spark, d).count()
+    // gid 1 = (lang), gid 2 = (source), gid 3 = () — and NO gid 0
+    // (lang, source) cross cells, the thing cube would have added
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    assert(byGid(3L).length == 1
+      && byGid(3L).head.getAs[Long]("n_docs") == nDocs)
+    Seq(1L, 2L).foreach { g =>
+      assert(byGid(g).map(_.getAs[Long]("n_docs")).sum == nDocs,
+        s"slice gid=$g must partition the corpus")
+    }
+  }
+
   test("q145: grid covers the full margin cross product; totals consistent") {
     val rows = Quality.q145Chi2Independence(spark, d).collect()
     val langs = rows.map(_.getAs[String]("lang")).distinct.length
