@@ -99,6 +99,24 @@ object DocStreams {
       s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
         .parquet(docsDir))
 
+  /** Running per-lang corpus counters — the dataset card's (q144)
+    * volume row maintained ONLINE: a global (non-windowed, watermark-
+    * free) streaming aggregation whose state is bounded by |langs|,
+    * not by time, so it needs no watermark and runs in UPDATE output
+    * mode (each microbatch re-emits only the langs it touched).
+    * Complete mode would re-emit every lang every batch — same state,
+    * chattier sink; append is unavailable without a watermark. This is
+    * the third output-mode point in the streaming matrix (append:
+    * decontam/chunk/route; complete: windowed counts; update: here). */
+  def corpusCardStream(s: SparkSession, docsDir: String): DataFrame = {
+    import s.implicits._
+    s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.Fns.tokens($"text"))).as("n_tokens"))
+  }
+
   /** Streaming context-window chunking: the EXACT batch transform
     * ([[graft.operators.Prep.chunkTransform]] — q91) applied to a doc
     * stream. Chunking is a per-row fan-out (tokenize → stride starts →

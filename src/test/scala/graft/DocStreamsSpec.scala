@@ -153,6 +153,49 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update-mode corpus counters converge to batch totals across microbatches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.io.Tables.documents(spark, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.Fns.tokens($"text"))).as("n_tokens"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+
+    // stage the SAME corpus as two files -> two microbatches, so the
+    // final update per lang must equal the batch aggregate only after
+    // state has accumulated across batches
+    val staged = java.nio.file.Files.createTempDirectory("docs_card")
+    val docs = graft.io.Tables.documents(spark, d)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write
+      .parquet(staged.resolve("part_a").toString)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write
+      .parquet(staged.resolve("part_b").toString)
+    val src = staged.toString + "/part_*"
+    val q = DocStreams.corpusCardStream(spark, src)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("card_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // memory sink in update mode appends every emitted update; the
+      // LAST row per lang is the converged counter
+      val streamed = spark.table("card_out")
+        .withColumn("rn", monotonically_increasing_id())
+        .collect()
+        .groupBy(_.getAs[String]("lang"))
+        .map { case (lang, rows) =>
+          val last = rows.maxBy(_.getAs[Long]("rn"))
+          Seq(lang, last.getAs[Long]("n_docs"), last.getAs[Long]("n_tokens"))
+        }.toSet
+      assert(streamed == batch)
+      // state operator present (it IS a stateful agg), no watermark needed
+      assert(Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup == batch q52 and is stateless") {
     val d = "/root/testdata/sf0.001"
     val idx = DocStreams.corpusBandIndex(spark, d)

@@ -196,6 +196,28 @@ class FitSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: q140 hash-aggregates, q143 takes ordered, q142 broadcasts residue") {
+    // q140's packed argmax must stay a HashAggregate — max(struct(..))
+    // regressed to SortAggregate (per-partition sorts) before the
+    // h*8+shard encoding
+    val p140 = Curation.q140RendezvousShards(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p140.contains("SortAggregate"), "q140 argmax fell back to SortAggregate")
+    // q143's top-50 must reduce via per-partition heaps, not a global sort
+    val p143 = Curation.q143WeightedSample(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p143.contains("TakeOrderedAndProject"), "q143 lost its top-k reduction")
+    // q142's dup set must reach the probe as a broadcast semi-join (the
+    // corpus-sized span relation never reshuffles for the probe). AQE
+    // makes this decision at runtime, so execute first and inspect the
+    // FINAL adaptive plan
+    val df142 = Retrieval.q142DupRuns(spark, d)
+    df142.collect()
+    val p142 = df142.queryExecution.executedPlan.toString
+    assert(p142.contains("LeftSemi") && p142.contains("BroadcastHashJoin"),
+      s"q142 residue probe is not a broadcast semi-join:\n$p142")
+  }
+
   test("q145: grid covers the full margin cross product; totals consistent") {
     val rows = Quality.q145Chi2Independence(spark, d).collect()
     val langs = rows.map(_.getAs[String]("lang")).distinct.length
