@@ -553,7 +553,74 @@ object Stats {
        GROUP BY GROUPING SETS ((lang), (source), ())
        ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
 
+  /** KMV (k-minimum-values) distinct sketch — the fourth sketch in the
+    * family (HLL q58, Misra–Gries q100, Count-Min q127), with a
+    * property the others lack: its state is a DETERMINISTIC function of
+    * the data (the k smallest distinct 60-bit hashes), so the oracle
+    * hash-compares the sketch itself, not just pinned error bounds.
+    * Estimate: (k−1)·2⁶⁰ / h₍ₖ₎ — distinct 3-gram types per lang, with
+    * the exact count alongside as the verification column (q58's
+    * pattern).
+    *
+    * Scale shape: [[graft.functions.MinKLongs]] partially aggregates —
+    * every map task keeps ≤ k longs per lang and the shuffle moves
+    * k-sized sorted buffers, NOT the distinct set (the oracle's
+    * row_number formulation, fine for DuckDB single-node, would
+    * globally sort all distinct hashes per group). Duplicates are
+    * absorbed by the buffer, so the sketch rides the raw shingle
+    * stream with no distinct() pass. The exact column's distinct
+    * aggregation is the one corpus-sized shuffle — at 100 TB it is
+    * the audit you run on a sample, while the sketch runs on
+    * everything. The estimate's double chain (63·2⁶⁰ ≈ 7.3e19 exceeds
+    * int64) is IEEE-deterministic: same operands → same rounding →
+    * same floor in both engines. */
+  def q147KmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val mink = udaf(new graft.functions.MinKLongs(k))
+    val sh = Tables.documents(s, d)
+      .select($"lang",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("h"))
+      .localCheckpoint() // sketch and exact audit share one shingle pass
+    val sk = sh.groupBy($"lang")
+      .agg(mink($"h").as("mins"))
+      .select($"lang", expr(s"try_element_at(mins, $k)").as("kth_min"))
+    val ex = sh.groupBy($"lang")
+      .agg(countDistinct($"h").as("exact_distinct"))
+    ex.join(sk, "lang")
+      .select($"lang", $"kth_min",
+        floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /* 2^60 */
+          / $"kth_min").cast("long").as("est_distinct"),
+        $"exact_distinct")
+      .orderBy($"lang")
+  }
+
+  val q147Oracle: String =
+    """WITH tk AS (
+         SELECT lang, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT lang, unnest(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS s
+         FROM tk),
+       dh AS (SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+              FROM sh),
+       rk AS (SELECT lang, h,
+                row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              FROM dh),
+       kth AS (SELECT lang AS lang2, h AS kth_min FROM rk WHERE rn = 64),
+       ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+              FROM dh GROUP BY 1)
+       SELECT lang, kth_min,
+         CAST(floor(63.0 * 1152921504606846976.0 / kth_min) AS BIGINT) AS est_distinct,
+         exact_distinct
+       FROM ex LEFT JOIN kth ON lang = lang2 ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_kmv_distinct" -> q147KmvDistinct,
     "q146_grouping_sets" -> q146GroupingSets,
     "q138_mad_outliers" -> q138MadOutliers,
     "q127_count_min" -> q127CountMin,
@@ -569,6 +636,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_kmv_distinct" -> q147Oracle,
     "q146_grouping_sets" -> q146Oracle,
     "q138_mad_outliers" -> q138Oracle,
     "q127_count_min" -> q127Oracle,

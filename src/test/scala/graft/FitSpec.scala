@@ -218,6 +218,38 @@ class FitSpec extends SparkSpec {
       s"q142 residue probe is not a broadcast semi-join:\n$p142")
   }
 
+  test("MinKLongs: buffer algebra — dedup, bound, and merge == global sort") {
+    val agg = new graft.functions.MinKLongs(5)
+    val xs = Seq(9L, 3L, 9L, 7L, 1L, 3L, 8L, 2L, 11L, 2L, 6L)
+    // sequential reduce == sorted distinct take-k
+    val seqBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(seqBuf == xs.distinct.sorted.take(5))
+    // any split point merges to the same buffer (mergeability)
+    (0 to xs.length).foreach { cut =>
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == seqBuf, s"cut=$cut")
+    }
+    // under-filled groups keep everything (try_element_at(k) → null upstream)
+    val small = Seq(4L, 4L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(small == Seq(2L, 4L))
+  }
+
+  test("q147: KMV estimate brackets the exact distinct count loosely") {
+    val rows = Stats.q147KmvDistinct(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      if (!r.isNullAt(r.fieldIndex("kth_min"))) {
+        val est = r.getAs[Long]("est_distinct")
+        // k=64 ⇒ relative σ ≈ 1/√62 ≈ 13%; allow 3σ either way
+        assert(est > exact * 6 / 10 && est < exact * 14 / 10,
+          s"KMV estimate far off: $r")
+      } else assert(exact < 64, s"kth_min null but >= k distinct values: $r")
+    }
+  }
+
   test("q145: grid covers the full margin cross product; totals consistent") {
     val rows = Quality.q145Chi2Independence(spark, d).collect()
     val langs = rows.map(_.getAs[String]("lang")).distinct.length
