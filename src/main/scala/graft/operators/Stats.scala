@@ -619,7 +619,62 @@ object Stats {
          exact_distinct
        FROM ex LEFT JOIN kth ON lang = lang2 ORDER BY lang"""
 
+  /** KMV union algebra as a QUERY — the sketch-merge property that
+    * makes q147 useful at warehouse scale: the union of per-slice
+    * sketches IS the sketch of the union. Here the corpus-wide
+    * distinct-shingle estimate is computed ONLY from the five per-lang
+    * k-minima buffers (explode + re-sketch, never re-touching the
+    * corpus), and the oracle computes the global kth-min directly from
+    * the data — a hash match proves merge(sketch(A), sketch(B)) ==
+    * sketch(A ∪ B) end to end. Same contract as q127's Count-Min
+    * linearity check, for the distinct-count dimension.
+    *
+    * At 100 TB this is the query pattern for "distinct across the
+    * whole lake" when only per-partition/per-day sketches are stored:
+    * the second aggregation touches 5 × 64 longs. */
+  def q148KmvUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val mink = udaf(new graft.functions.MinKLongs(k))
+    val sh = Tables.documents(s, d)
+      .select($"lang",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("h"))
+      .localCheckpoint() // per-lang sketches + the exact audit column
+    val perLang = sh.groupBy($"lang").agg(mink($"h").as("mins"))
+    val merged = perLang
+      .select(explode($"mins").as("h"))
+      .agg(mink($"h").as("mins"))
+      .select(expr(s"try_element_at(mins, $k)").as("kth_min"))
+    val ex = sh.agg(countDistinct($"h").as("exact_distinct"))
+    merged.crossJoin(ex)
+      .select($"kth_min",
+        floor(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+          / $"kth_min").cast("long").as("est_distinct"),
+        $"exact_distinct")
+  }
+
+  val q148Oracle: String =
+    """WITH tk AS (
+         SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT unnest(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS s
+         FROM tk),
+       dh AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM dh),
+       kth AS (SELECT h AS kth_min FROM rk WHERE rn = 64),
+       ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM dh)
+       SELECT kth_min,
+         CAST(floor(63.0 * 1152921504606846976.0 / kth_min) AS BIGINT) AS est_distinct,
+         exact_distinct
+       FROM kth CROSS JOIN ex"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_kmv_union" -> q148KmvUnion,
     "q147_kmv_distinct" -> q147KmvDistinct,
     "q146_grouping_sets" -> q146GroupingSets,
     "q138_mad_outliers" -> q138MadOutliers,
@@ -636,6 +691,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_kmv_union" -> q148Oracle,
     "q147_kmv_distinct" -> q147Oracle,
     "q146_grouping_sets" -> q146Oracle,
     "q138_mad_outliers" -> q138Oracle,
