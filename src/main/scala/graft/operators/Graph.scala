@@ -153,12 +153,96 @@ object Graph {
          CASE WHEN dd > 0 THEN 6000000 * n_triangles // dd ELSE 0 END AS gcc_ppm
        FROM nd CROSS JOIN st CROSS JOIN tri"""
 
+  /** Multi-source BFS hop distance (q150) over the supplier↔part
+    * bipartite supply graph (q82's edge set: distinct (l_partkey,
+    * l_suppkey) pairs; node ids disambiguated as supplier = 2·suppkey,
+    * part = 2·partkey+1). Seeds: suppliers with suppkey ≡ 1 (mod 100),
+    * distance 0; output is every node reachable within 6 hops with its
+    * MINIMUM hop count — the reachability / contamination-radius
+    * primitive (how far does a bad crawl seed spread through the dup
+    * graph?) alongside components (q71) and PageRank (q82).
+    *
+    * Spark-side: level-synchronous frontier expansion — per round, join
+    * the (tiny, broadcast) frontier against the edge list, anti-probe
+    * the visited set, localCheckpoint both. Each round is one bounded
+    * join over `edges`, so total work is O(rounds · m) REGARDLESS of
+    * path multiplicity. The oracle's only pure-SQL formulation — a
+    * recursive CTE whose working set is every distinct (node, dist)
+    * pair it has ever derived — re-derives rows once per incoming path
+    * length and cannot early-prune non-minimal distances (same asymmetry
+    * the engine exploits in q71: iterative dataflow is the right tool,
+    * SQL recursion isn't). Edges are checkpointed once and re-partitioned
+    * on the probe key so every round's join reuses the same layout; the
+    * frontier/visited sides stay broadcast-sized in any graph whose
+    * frontier fits a driver-adjacent table — and if one doesn't, the
+    * hints degrade to shuffle joins and the loop is data-bound, which
+    * is then correct. */
+  def q150BfsHops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Tables.lineitem(s, d)
+      .select(($"l_suppkey" * 2).as("sn"), ($"l_partkey" * 2 + 1).as("pn"))
+      .distinct()
+    val edges = ps.select($"sn".as("src"), $"pn".as("dst"))
+      .union(ps.select($"pn".as("src"), $"sn".as("dst")))
+    val seeds = Tables.supplier(s, d)
+      .filter($"s_suppkey" % 100 === 1)
+      .select(($"s_suppkey" * 2).as("node"))
+    bfsHops(edges, seeds, maxHops = 6).orderBy($"node")
+  }
+
+  /** Level-synchronous multi-source BFS: minimum hop distance from any
+    * seed, capped at `maxHops`. `edges` is a DIRECTED (src, dst) list —
+    * symmetrize before calling for undirected semantics. The iterative
+    * core of [[q150BfsHops]], exposed for direct testing on crafted
+    * graphs (chains exercise the multi-round path and the hop cap). */
+  def bfsHops(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.toDF("src", "dst")
+      .repartition($"src")
+      .localCheckpoint()
+    var visited = seeds.select($"node", lit(0L).as("dist")).localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      val next = edges
+        .join(broadcast(frontier), edges("src") === frontier("node"))
+        .select($"dst".as("node")).distinct()
+        .join(broadcast(visited.select($"node".as("vn"))),
+          $"node" === $"vn", "left_anti")
+        .select($"node", lit(hop.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  val q150Oracle: String =
+    """WITH RECURSIVE ps AS (
+         SELECT DISTINCT l_suppkey * 2 AS sn, l_partkey * 2 + 1 AS pn
+         FROM lineitem),
+       walk(node, dist) AS (
+         SELECT s_suppkey * 2, 0 FROM supplier WHERE s_suppkey % 100 = 1
+         UNION
+         SELECT CASE WHEN w.node % 2 = 0 THEN pn ELSE sn END,
+                w.dist + 1
+         FROM walk w JOIN ps
+           ON (w.node % 2 = 0 AND sn = w.node)
+           OR (w.node % 2 = 1 AND pn = w.node)
+         WHERE w.dist < 6)
+       SELECT node, CAST(min(dist) AS BIGINT) AS dist
+       FROM walk GROUP BY node ORDER BY node"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_bfs_hops" -> q150BfsHops,
     "q82_pagerank_step" -> q82PagerankStep,
     "q116_triangles" -> q116Triangles,
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_bfs_hops" -> q150Oracle,
     "q82_pagerank_step" -> q82Oracle,
     "q116_triangles" -> q116Oracle,
   )

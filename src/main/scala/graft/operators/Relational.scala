@@ -464,7 +464,57 @@ object Relational {
        GROUP BY c_mktsegment
        ORDER BY c_mktsegment"""
 
+  /** Correlated-subquery surface (q151): EXISTS, NOT IN, and a
+    * correlated scalar COUNT subquery — written as SQL text and shipped
+    * UNCHANGED to the oracle (modulo view names). Catalyst decorrelates
+    * all three (RewritePredicateSubquery → left-semi/left-anti joins;
+    * RewriteCorrelatedScalarSubquery → a left outer aggregate join with
+    * the COUNT-over-empty-group ⇒ 0 repair), so the executed plan is
+    * three joins over one orders scan — no per-row re-execution exists
+    * anywhere. That rewrite IS the scale story: a 100 TB `customer`
+    * with a correlated probe per row is a nested loop in a naive
+    * engine and three hash joins here. The COUNT-bug repair
+    * (customers with no 'F' orders must read 0, not NULL) is exactly
+    * the semantic a hand-rolled join rewrite gets wrong, which is why
+    * the query exists in SQL form. */
+  def q151Subqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders_v o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderstatus = 'F') AS n_finished
+         FROM customer_v c
+         WHERE EXISTS (
+             SELECT 1 FROM orders_v o
+             WHERE o.o_custkey = c.c_custkey
+               AND CAST(o.o_totalprice AS DECIMAL(18,2)) >
+                   CAST(300000 AS DECIMAL(18,2)))
+           AND c.c_custkey NOT IN (
+             SELECT o_custkey FROM orders_v
+             WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""")
+  }
+
+  val q151Oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderstatus = 'F') AS n_finished
+       FROM customer c
+       WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND CAST(o.o_totalprice AS DECIMAL(18,2)) >
+                 CAST(300000 AS DECIMAL(18,2)))
+         AND c.c_custkey NOT IN (
+           SELECT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_subqueries" -> q151Subqueries,
     "q110_sql_surface" -> q110SqlSurface,
     "q108_snapshot_diff" -> q108SnapshotDiff,
     "q103_incremental_agg" -> q103IncrementalAgg,
@@ -482,6 +532,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_subqueries" -> q151Oracle,
     "q110_sql_surface" -> q110Oracle,
     "q108_snapshot_diff" -> q108Oracle,
     "q103_incremental_agg" -> q103Oracle,

@@ -673,7 +673,65 @@ object Stats {
          exact_distinct
        FROM kth CROSS JOIN ex"""
 
+  /** q-digest mergeable quantile sketch (q149) — the fourth sketch
+    * dimension (distinct = KMV q147, heavy hitters = q100, frequency =
+    * CMS q127, quantiles = this). Per return flag, the sketch estimates
+    * the 25/50/75/95th percentile of l_extendedprice in integer cents
+    * over a 2²⁴ universe with compression k = 2048, and the query then
+    * audits each estimate EXACTLY: r_le = #{x ≤ est} and r_lt =
+    * #{x < est} are counted against the data, and the q-digest theorem
+    * (est is an ε-approximate φ-quantile with ε = O(depth/k), any merge
+    * order) is pinned as booleans the oracle fixes to TRUE.
+    *
+    * Scale shape: [[graft.functions.QDigestQuantiles]] partially
+    * aggregates — map tasks ship ≤ 3k counters per group instead of the
+    * value stream, which is what q57's exact per-group percentile (a
+    * global sort per group) cannot do at 100 TB. The audit join is a
+    * 12-row broadcast back over one cached scan — the verification
+    * pass you run at test scale, while production reads the digest
+    * alone. Estimates themselves stay internal: compress points are
+    * data-split dependent, so only the exact columns and the
+    * always-true bound are cross-engine comparable (q54/q58 contract).
+    */
+  def q149QdigestQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 24; val k = 2048
+    val phis = Seq(2500, 5000, 7500, 9500)
+    val qd = udaf(new graft.functions.QDigestQuantiles(depth, k, phis))
+    val base = Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint() // one scan feeds the sketch and the exact audit
+    val ests = base.groupBy($"l_returnflag")
+      .agg(qd($"cents").as("ests"))
+      .select($"l_returnflag".as("rf"),
+        posexplode($"ests").as(Seq("pos", "est")))
+      .select($"rf", element_at(
+        array(phis.map(lit): _*), $"pos" + 1).as("phi_bp"), $"est")
+    base.join(broadcast(ests), $"l_returnflag" === $"rf")
+      .groupBy($"l_returnflag", $"phi_bp")
+      .agg(count(lit(1)).as("n"),
+        sum(($"cents" <= $"est").cast("long")).as("r_le"),
+        sum(($"cents" < $"est").cast("long")).as("r_lt"))
+      .select($"l_returnflag", $"phi_bp", $"n",
+        // theorem, evaluated exactly: rank(est) brackets the target
+        // within the ε·n budget (2·depth·n/k + 2 covers post-merge
+        // pre-compress internal counts of up to 2τ on the query path)
+        ($"r_le" >= ceil($"n" * $"phi_bp" / lit(10000.0)).cast("long"))
+          .as("le_ok"),
+        ($"r_lt" <= ($"n" * $"phi_bp" / lit(10000.0)).cast("long")
+          + lit(2L * depth) * $"n" / lit(k) + 2L).as("lt_ok"))
+      .orderBy($"l_returnflag", $"phi_bp")
+  }
+
+  val q149Oracle: String =
+    """SELECT l_returnflag, phi_bp, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS le_ok, TRUE AS lt_ok
+       FROM lineitem CROSS JOIN (VALUES (2500),(5000),(7500),(9500)) p(phi_bp)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_qdigest_quantiles" -> q149QdigestQuantiles,
     "q148_kmv_union" -> q148KmvUnion,
     "q147_kmv_distinct" -> q147KmvDistinct,
     "q146_grouping_sets" -> q146GroupingSets,
@@ -691,6 +749,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_qdigest_quantiles" -> q149Oracle,
     "q148_kmv_union" -> q148Oracle,
     "q147_kmv_distinct" -> q147Oracle,
     "q146_grouping_sets" -> q146Oracle,

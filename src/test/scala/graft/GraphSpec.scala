@@ -142,4 +142,25 @@ class GraphSpec extends SparkSpec {
       assert(keys == keys.sorted.reverse, s"rank_key not descending: $keys")
     }
   }
+
+  test("q150 bfsHops: chain distances, hop cap, unreachable exclusion") {
+    // undirected chain 1—2—…—10 plus a disconnected pair 99—100
+    val chain = (1L to 9L).map(i => (i, i + 1)) :+ (99L, 100L)
+    val edges = chain.toDF("src", "dst")
+      .union(chain.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("node")
+    val got = operators.Graph.bfsHops(edges, seeds, maxHops = 6)
+      .as[(Long, Long)].collect().toMap
+    // nodes 1..7 at dist 0..6; 8..10 beyond the cap; 99/100 unreachable
+    assert(got == (1L to 7L).map(i => i -> (i - 1)).toMap, s"got $got")
+  }
+
+  test("q150 bfsHops: multi-seed minimum distance") {
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val edges = chain.toDF("src", "dst")
+      .union(chain.map(_.swap).toDF("src", "dst"))
+    val dists = operators.Graph.bfsHops(edges, Seq(1L, 10L).toDF("node"), 6)
+      .as[(Long, Long)].collect().toMap
+    assert(dists == (1L to 10L).map(i => i -> math.min(i - 1, 10 - i)).toMap)
+  }
 }

@@ -64,4 +64,50 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ap - ep).toDouble / ep < 0.06, s"parts: $ap vs $ep")
     assert(math.abs(ao - eo).toDouble / eo < 0.06, s"orders: $ao vs $eo")
   }
+
+  // ---- q149: q-digest quantile sketch algebra (direct, no Spark) ----
+
+  test("q-digest: rank error within the ε budget on uniform data") {
+    val depth = 14; val k = 256
+    val phis = Seq(1000, 2500, 5000, 7500, 9000, 9900)
+    val qd = new graft.functions.QDigestQuantiles(depth, k, phis)
+    val n = 10000
+    // deterministic shuffle of 0..n-1 (multiplicative hash order)
+    val vals = (0 until n).sortBy(v => (v * 2654435761L) & 0xffffffffL)
+    val buf = vals.foldLeft(qd.zero)((b, v) => qd.reduce(b, v.toLong))
+    val ests = qd.finish(buf)
+    val budget = 2L * depth * n / k + 2 // the q149 contract bound
+    phis.zip(ests).foreach { case (bp, est) =>
+      // values are exactly 0..n-1, so rank(x ≤ est) = est+1
+      val target = math.ceil(n.toDouble * bp / 10000.0).toLong
+      assert(est + 1 >= target, s"phi=$bp est=$est below target $target")
+      assert(est <= target + budget, s"phi=$bp est=$est over budget ($target+$budget)")
+    }
+    // state bound: compress caps the sparse map at O(k)
+    assert(buf.size <= 3 * k + 1, s"digest grew to ${buf.size}")
+  }
+
+  test("q-digest: merge of split halves honors the same bound") {
+    val depth = 14; val k = 256
+    val qd = new graft.functions.QDigestQuantiles(depth, k, Seq(5000))
+    val n = 10000
+    val (a, b) = (0 until n).partition(v => ((v * 40503L) & 4L) == 0L)
+    val bufA = a.foldLeft(qd.zero)((x, v) => qd.reduce(x, v.toLong))
+    val bufB = b.foldLeft(qd.zero)((x, v) => qd.reduce(x, v.toLong))
+    val est = qd.finish(qd.merge(bufA, bufB)).head
+    val budget = 2L * depth * n / k + 2
+    assert(est + 1 >= n / 2 && est <= n / 2 + budget, s"merged median $est")
+    // merge is symmetric in outcome bounds (not necessarily state)
+    val est2 = qd.finish(qd.merge(bufB, bufA)).head
+    assert(est2 + 1 >= n / 2 && est2 <= n / 2 + budget, s"flipped merge $est2")
+  }
+
+  test("q-digest: point mass collapses every quantile to the value") {
+    val qd = new graft.functions.QDigestQuantiles(14, 64, Seq(100, 5000, 9900))
+    val buf = (1 to 5000).foldLeft(qd.zero)((b, _) => qd.reduce(b, 777L))
+    assert(qd.finish(buf) == Seq(777L, 777L, 777L))
+    // out-of-universe values clamp to the extreme leaves, never throw
+    val clamped = qd.reduce(qd.reduce(qd.zero, -5L), 1L << 60)
+    assert(clamped.values.sum == 2L)
+  }
 }
