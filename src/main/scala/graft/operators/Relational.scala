@@ -513,7 +513,49 @@ object Relational {
            WHERE o_orderpriority = '1-URGENT')
        ORDER BY c_custkey"""
 
+  /** Null-semantics audit (q154): SQL three-valued logic pinned
+    * cross-engine on a synthesized nullable key (`nullif(status, 'P')`
+    * — the testdata itself is null-free). Exercises the three places
+    * engines classically diverge: (1) null-safe equality (`<=>` /
+    * IS NOT DISTINCT FROM) as a JOIN predicate — the only way the
+    * 'pending' dimension row with a NULL key can match; (2)
+    * `count(*)` vs `count(col)` (the NULL-key group counts rows but
+    * zero non-null values); (3) GROUP BY over an expression that
+    * produces NULLs. The dimension is a 3-row inline VALUES relation,
+    * so the null-safe join is a broadcast — null-safe equality
+    * hash-partitions fine (NULL is just a key value to the hash),
+    * unlike `= OR (IS NULL AND IS NULL)` formulations that defeat
+    * equi-join detection and fall to nested loops at scale. */
+  def q154NullSemantics(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT d.label,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o.st) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o.st) AS BIGINT) AS n_distinct
+         FROM (SELECT nullif(o_orderstatus, 'P') AS st FROM orders_v) o
+         JOIN (SELECT * FROM VALUES
+                 ('F', 'finished'), ('O', 'open'),
+                 (CAST(NULL AS STRING), 'pending') AS t(st, label)) d
+           ON o.st <=> d.st
+         GROUP BY d.label
+         ORDER BY d.label""")
+  }
+
+  val q154Oracle: String =
+    """SELECT d.label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o.st) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT o.st) AS BIGINT) AS n_distinct
+       FROM (SELECT nullif(o_orderstatus, 'P') AS st FROM orders) o
+       JOIN (VALUES ('F', 'finished'), ('O', 'open'), (NULL, 'pending'))
+         d(st, label)
+         ON o.st IS NOT DISTINCT FROM d.st
+       GROUP BY d.label
+       ORDER BY d.label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_null_semantics" -> q154NullSemantics,
     "q151_subqueries" -> q151Subqueries,
     "q110_sql_surface" -> q110SqlSurface,
     "q108_snapshot_diff" -> q108SnapshotDiff,
@@ -532,6 +574,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_null_semantics" -> q154Oracle,
     "q151_subqueries" -> q151Oracle,
     "q110_sql_surface" -> q110Oracle,
     "q108_snapshot_diff" -> q108Oracle,

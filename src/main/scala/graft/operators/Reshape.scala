@@ -214,7 +214,51 @@ object Reshape {
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
        ORDER BY o_custkey, version"""
 
+  /** MapType as a first-class column (q153) — the native modeling
+    * SURVEY §1.4 prescribes for the reference's dict-of-list JSONB
+    * columns, driver-checked: per source, the lang→doc-count map is
+    * BUILT (`map_from_entries` over sorted collect_list), FILTERED
+    * (`map_filter`, langs with ≥ 3 docs), TRANSFORMED
+    * (`transform_values` to share-permille of the source total), and
+    * only then exploded back to rows for the cross-engine compare
+    * (map cells themselves are unhashable in the driver's pandas
+    * sort — q68's lesson). The map algebra is Catalyst-native
+    * (codegen'd higher-order functions, no UDF); entries are sorted
+    * by key before map construction so explode order is deterministic.
+    *
+    * Scale shape: one (source, lang) partial+final agg, then a
+    * per-source agg over ≤ |langs| entries — map columns never carry
+    * more than a group's own cardinality, the same bounded-nesting
+    * contract as the pipelines' JSONB structs. */
+  def q153MapAlgebra(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(map_from_entries(sort_array(collect_list(struct($"lang", $"n"))))
+          .as("m"),
+        sum($"n").as("total"))
+      .select($"source", $"total",
+        map_filter($"m", (_, v) => v >= 3).as("mf"))
+      .select($"source",
+        explode(expr("transform_values(mf, (k, v) -> v * 1000 div total)"))
+          .as(Seq("lang", "permille")))
+      .select($"source", $"lang", $"permille")
+      .orderBy($"source", $"lang")
+  }
+
+  val q153Oracle: String =
+    """WITH c AS (
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2),
+       t AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+             FROM c GROUP BY 1)
+       SELECT c.source, c.lang, n * 1000 // total AS permille
+       FROM c JOIN t ON c.source = t.source
+       WHERE n >= 3 ORDER BY c.source, c.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_map_algebra" -> q153MapAlgebra,
     "q124_scd2_build" -> q124Scd2Build,
     "q62_scd_merge" -> q62ScdMerge,
     "q65_full_outer" -> q65FullOuter,
@@ -224,6 +268,7 @@ object Reshape {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_map_algebra" -> q153Oracle,
     "q124_scd2_build" -> q124Oracle,
     "q62_scd_merge" -> q62Oracle,
     "q65_full_outer" -> q65Oracle,

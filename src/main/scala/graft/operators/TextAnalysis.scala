@@ -174,7 +174,53 @@ object TextAnalysis {
          len(s) AS n_shingles
        FROM sh ORDER BY doc_id"""
 
+  /** BPE-style pre-tokenization (q152): the class-based regex split
+    * every BPE/WordPiece tokenizer runs before merges — maximal runs of
+    * letters, digits, or other non-space symbols become separate
+    * subtoken seeds (GPT-2's pretokenizer, minus the lookahead RE2
+    * can't do — the pattern here is deliberately in the regex subset
+    * Java and RE2 agree on). Applied to customer display names
+    * (`Customer#000000042` → `Customer`, `#`, `000000042`): per market
+    * segment, subtoken counts by class and the per-name subtoken
+    * arity. Complements q30 (whitespace tokens) and q130 (the BPE
+    * merge step itself) — together they cover the brief's "token
+    * counting (whitespace + a BPE-ish regex)" line end to end.
+    *
+    * Scale shape: `regexp_extract_all` is a codegen'd projection —
+    * scan → explode → one partial+final hash agg; no UDF, no shuffle
+    * beyond the group-by. */
+  def q152SubtokenProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+    Tables.customer(s, d)
+      .select($"c_mktsegment",
+        explode(expr(s"regexp_extract_all(c_name, '$pat', 0)")).as("tok"))
+      .withColumn("tok_class",
+        when($"tok".rlike("^[0-9]"), lit("digits"))
+          .when($"tok".rlike("^[A-Za-z]"), lit("letters"))
+          .otherwise(lit("symbols")))
+      .groupBy($"c_mktsegment", $"tok_class")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_distinct"),
+        sum(length($"tok")).as("n_chars"))
+      .orderBy($"c_mktsegment", $"tok_class")
+  }
+
+  val q152Oracle: String =
+    """SELECT c_mktsegment,
+         CASE WHEN regexp_matches(tok, '^[0-9]') THEN 'digits'
+              WHEN regexp_matches(tok, '^[A-Za-z]') THEN 'letters'
+              ELSE 'symbols' END AS tok_class,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+         CAST(sum(length(tok)) AS BIGINT) AS n_chars
+       FROM (SELECT c_mktsegment,
+               unnest(regexp_extract_all(c_name, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS tok
+             FROM customer)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_subtoken_profile" -> q152SubtokenProfile,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality_score" -> q31QualityScore,
     "q32_langid" -> q32LangId,
@@ -182,6 +228,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_subtoken_profile" -> q152Oracle,
     "q30_token_stats" -> q30Oracle,
     "q31_quality_score" -> q31Oracle,
     "q32_langid" -> q32Oracle,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q152 (regex sub-tokenizer), q153 (MapType algebra), q154 (null
+  * semantics): invariants that don't depend on the DuckDB oracle. */
+class SubtokenMapNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q152: subtoken classes partition each name; chars re-concatenate") {
+    // The three alternatives are disjoint and jointly cover every
+    // non-space char, so summed token length == non-space name length.
+    val names = graft.io.Tables.customer(spark, sf)
+      .select(sum(length(regexp_replace($"c_name", " ", ""))).as("chars"))
+      .as[Long].head()
+    val toks = operators.TextAnalysis.q152SubtokenProfile(spark, sf)
+      .agg(sum($"n_chars")).as[Long].head()
+    assert(toks == names, s"token chars $toks != non-space name chars $names")
+
+    val classes = operators.TextAnalysis.q152SubtokenProfile(spark, sf)
+      .select($"tok_class").distinct().as[String].collect().toSet
+    assert(classes.subsetOf(Set("letters", "digits", "symbols")))
+  }
+
+  test("q153: map algebra matches the plain relational rewrite") {
+    val got = operators.Reshape.q153MapAlgebra(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    val want = graft.io.Tables.documents(spark, sf)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .filter($"n" >= 3)
+      .select($"source", $"lang", ($"n" * 1000 / $"total").cast("long"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    // permille shares per source must sum to at most 1000
+    val over = operators.Reshape.q153MapAlgebra(spark, sf)
+      .groupBy($"source").agg(sum($"permille").as("p"))
+      .filter($"p" > 1000).count()
+    assert(over == 0)
+  }
+
+  test("q154: NULL-key group counts rows but no values") {
+    val rows = operators.Relational.q154NullSemantics(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val nP = graft.io.Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "P").count()
+    val (_, pRows, pNonnull, pDistinct) = rows("pending")
+    assert(pRows == nP)        // count(*) counts NULL-key rows
+    assert(pNonnull == 0L)     // count(col) skips NULLs
+    assert(pDistinct == 0L)    // count(distinct col) skips NULLs
+    val (_, fRows, fNonnull, fDistinct) = rows("finished")
+    assert(fRows == fNonnull && fDistinct == 1L)
+    // all orders land in exactly one group (null-safe join is total)
+    assert(rows.values.map(_._2).sum ==
+      graft.io.Tables.orders(spark, sf).count())
+  }
+}
