@@ -83,8 +83,9 @@ class StatsSpec extends SparkSpec {
       assert(est + 1 >= target, s"phi=$bp est=$est below target $target")
       assert(est <= target + budget, s"phi=$bp est=$est over budget ($target+$budget)")
     }
-    // state bound: compress caps the sparse map at O(k)
-    assert(buf.size <= 3 * k + 1, s"digest grew to ${buf.size}")
+    // state bound: the append log repacks to ≤ 4× the ≤ 3k compressed
+    // digest (plus the 512-pair floor), so the buffer stays O(k)
+    assert(buf.length <= 1 + 8 * (3 * k + 512), s"digest grew to ${buf.length}")
   }
 
   test("q-digest: merge of split halves honors the same bound") {
@@ -92,8 +93,10 @@ class StatsSpec extends SparkSpec {
     val qd = new graft.functions.QDigestQuantiles(depth, k, Seq(5000))
     val n = 10000
     val (a, b) = (0 until n).partition(v => ((v * 40503L) & 4L) == 0L)
-    val bufA = a.foldLeft(qd.zero)((x, v) => qd.reduce(x, v.toLong))
-    val bufB = b.foldLeft(qd.zero)((x, v) => qd.reduce(x, v.toLong))
+    // merge consumes its inputs (in-place, like Spark's partial-buffer
+    // contract: each partial is merged exactly once) — rebuild per call
+    def bufA = a.foldLeft(qd.zero)((x, v) => qd.reduce(x, v.toLong))
+    def bufB = b.foldLeft(qd.zero)((x, v) => qd.reduce(x, v.toLong))
     val est = qd.finish(qd.merge(bufA, bufB)).head
     val budget = 2L * depth * n / k + 2
     assert(est + 1 >= n / 2 && est <= n / 2 + budget, s"merged median $est")
@@ -108,6 +111,7 @@ class StatsSpec extends SparkSpec {
     assert(qd.finish(buf) == Seq(777L, 777L, 777L))
     // out-of-universe values clamp to the extreme leaves, never throw
     val clamped = qd.reduce(qd.reduce(qd.zero, -5L), 1L << 60)
-    assert(clamped.values.sum == 2L)
+    val mass = (0 until clamped(0).toInt).map(i => clamped(2 + 2 * i)).sum
+    assert(mass == 2L)
   }
 }
