@@ -235,13 +235,61 @@ object Graph {
        SELECT node, CAST(min(dist) AS BIGINT) AS dist
        FROM walk GROUP BY node ORDER BY node"""
 
+  /** Weighted bipartite projection + item-item top-k (q157): the
+    * order–part basket relation projected onto a part–part
+    * co-purchase graph with co-occurrence weights, then the 3
+    * strongest partners per part (ties broken by partner id) — the
+    * graph-construction half of every neighborhood recommender, and
+    * the weighted sibling of q116's unweighted edge set.
+    *
+    * Scale shape: the pair generation is a self-join BLOCKED BY
+    * ORDER KEY, so fan-out per key is the basket size (≤ 7 lines in
+    * this schema → ≤ 42 directed pairs), never |parts|² — the same
+    * bounded-blocking discipline as q70's length buckets; pair counts
+    * partially aggregate before the one shuffle on (part, partner);
+    * the per-part top-3 is a row_number over the part partition (the
+    * bounded TopK Aggregator of q68 is the alternative when k·|parts|
+    * partials must stay tiny). */
+  def q157CoPurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p")).distinct()
+    val pairs = items.as("a").join(items.as("b"), "ord")
+      .filter(col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("part"), col("b.p").as("partner"))
+      .groupBy($"part", $"partner").agg(count(lit(1)).as("n_co"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"part").orderBy($"n_co".desc, $"partner")
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"part", $"rk", $"partner", $"n_co")
+      .orderBy($"part", $"rk")
+  }
+
+  val q157Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, l_partkey AS p FROM lineitem),
+       pr AS (
+         SELECT a.p AS part, b.p AS partner, CAST(count(*) AS BIGINT) AS n_co
+         FROM items a JOIN items b USING (ord) WHERE a.p <> b.p
+         GROUP BY 1, 2),
+       rk AS (
+         SELECT part, partner, n_co,
+           CAST(row_number() OVER (PARTITION BY part
+                ORDER BY n_co DESC, partner) AS BIGINT) AS rk
+         FROM pr)
+       SELECT part, rk, partner, n_co FROM rk WHERE rk <= 3
+       ORDER BY part, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_copurchase" -> q157CoPurchase,
     "q150_bfs_hops" -> q150BfsHops,
     "q82_pagerank_step" -> q82PagerankStep,
     "q116_triangles" -> q116Triangles,
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_copurchase" -> q157Oracle,
     "q150_bfs_hops" -> q150Oracle,
     "q82_pagerank_step" -> q82Oracle,
     "q116_triangles" -> q116Oracle,

@@ -673,6 +673,111 @@ object Stats {
          exact_distinct
        FROM kth CROSS JOIN ex"""
 
+  /** KMV set-overlap estimation (q155) — the third leg of the KMV
+    * family: q147 sketches one set, q148 proves union mergeability,
+    * and this answers INTERSECTION queries from sketches alone. For
+    * every lang pair, the union sketch is the k smallest distinct
+    * values of the two k-minima buffers (q148's merge); ρ = the share
+    * of those union minima present in BOTH per-lang buffers is an
+    * unbiased Jaccard estimator (Beyer et al., SIGMOD'07), and
+    * |A∩B| ≈ ρ · est(|A∪B|) by inclusion–exclusion. Everything after
+    * the per-lang sketches touches 10 pairs × 64 longs — array algebra
+    * on broadcast-sized state — while the EXACT intersection audit
+    * alongside is the corpus-sized distinct self-join you could not
+    * afford at 100 TB (that asymmetry is the point of the sketch).
+    *
+    * Determinism contract (q147's): fixed hash → the sketches, the
+    * union minima, ρ, and both integer estimates are identical in any
+    * engine, so the driver hash-compares the estimator state itself;
+    * the exact columns audit it. */
+  def q155KmvJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val mink = udaf(new graft.functions.MinKLongs(k))
+    val sh = Tables.documents(s, d)
+      .select($"lang",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("h"))
+      .localCheckpoint() // one shingle pass feeds sketches + exact audit
+    val perLang = sh.groupBy($"lang")
+      .agg(mink($"h").as("mins"), countDistinct($"h").as("nd"))
+    val dhd = sh.select($"lang", $"h").distinct()
+    val inter = dhd.as("x")
+      .join(dhd.as("y"), $"x.h" === $"y.h" && $"x.lang" < $"y.lang")
+      .groupBy($"x.lang".as("l1"), $"y.lang".as("l2"))
+      .agg(count(lit(1)).as("exact_inter"))
+    perLang.as("a").join(perLang.as("b"), $"a.lang" < $"b.lang")
+      .select($"a.lang".as("l1"), $"b.lang".as("l2"),
+        slice(array_sort(array_distinct(concat($"a.mins", $"b.mins"))), 1, k)
+          .as("mk"),
+        $"a.mins".as("ma"), $"b.mins".as("mb"),
+        $"a.nd".as("nd1"), $"b.nd".as("nd2"))
+      .select($"l1", $"l2", $"nd1", $"nd2",
+        expr(s"try_element_at(mk, $k)").as("kth_min"),
+        size(array_intersect(array_intersect($"mk", $"ma"), $"mb"))
+          .cast("long").as("overlap_k"))
+      .join(inter, Seq("l1", "l2"), "left")
+      .select($"l1", $"l2", $"kth_min",
+        floor(lit((k - 1).toDouble) * lit(1152921504606846976.0) /* 2^60 */
+          / $"kth_min").cast("long").as("est_union"),
+        $"overlap_k",
+        expr(s"overlap_k * 10000 div $k").as("est_jacc_bp"),
+        coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+        ($"nd1" + $"nd2" - coalesce($"exact_inter", lit(0L))).as("exact_union"),
+        expr("coalesce(exact_inter, 0) * 10000 div (nd1 + nd2 - coalesce(exact_inter, 0))")
+          .as("exact_jacc_bp"))
+      .orderBy($"l1", $"l2")
+  }
+
+  val q155Oracle: String =
+    """WITH tk AS (
+         SELECT lang, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT lang, unnest(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS s
+         FROM tk),
+       dh AS (SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+              FROM sh),
+       rk AS (SELECT lang, h,
+                row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              FROM dh),
+       buf AS (SELECT lang, h FROM rk WHERE rn <= 64),
+       nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM dh GROUP BY 1),
+       pr AS (SELECT a.lang AS l1, b.lang AS l2, a.nd AS nd1, b.nd AS nd2
+              FROM nd a JOIN nd b ON a.lang < b.lang),
+       u AS (SELECT DISTINCT pr.l1, pr.l2, buf.h
+             FROM pr JOIN buf ON buf.lang = pr.l1 OR buf.lang = pr.l2),
+       ur AS (SELECT l1, l2, h,
+                row_number() OVER (PARTITION BY l1, l2 ORDER BY h) AS rn
+              FROM u),
+       uk AS (SELECT l1, l2, h AS kth_min FROM ur WHERE rn = 64),
+       ov AS (SELECT ur.l1, ur.l2, CAST(count(*) AS BIGINT) AS overlap_k
+              FROM ur
+              JOIN buf b1 ON b1.lang = ur.l1 AND b1.h = ur.h
+              JOIN buf b2 ON b2.lang = ur.l2 AND b2.h = ur.h
+              WHERE ur.rn <= 64 GROUP BY 1, 2),
+       iv AS (SELECT x.lang AS l1, y.lang AS l2,
+                CAST(count(*) AS BIGINT) AS exact_inter
+              FROM dh x JOIN dh y ON x.h = y.h AND x.lang < y.lang
+              GROUP BY 1, 2)
+       SELECT pr.l1, pr.l2, uk.kth_min,
+         CAST(floor(63.0 * 1152921504606846976.0 / uk.kth_min) AS BIGINT)
+           AS est_union,
+         coalesce(ov.overlap_k, 0) AS overlap_k,
+         coalesce(ov.overlap_k, 0) * 10000 // 64 AS est_jacc_bp,
+         coalesce(iv.exact_inter, 0) AS exact_inter,
+         nd1 + nd2 - coalesce(iv.exact_inter, 0) AS exact_union,
+         coalesce(iv.exact_inter, 0) * 10000
+           // (nd1 + nd2 - coalesce(iv.exact_inter, 0)) AS exact_jacc_bp
+       FROM pr
+       LEFT JOIN uk ON uk.l1 = pr.l1 AND uk.l2 = pr.l2
+       LEFT JOIN ov ON ov.l1 = pr.l1 AND ov.l2 = pr.l2
+       LEFT JOIN iv ON iv.l1 = pr.l1 AND iv.l2 = pr.l2
+       ORDER BY pr.l1, pr.l2"""
+
   /** q-digest mergeable quantile sketch (q149) — the fourth sketch
     * dimension (distinct = KMV q147, heavy hitters = q100, frequency =
     * CMS q127, quantiles = this). Per return flag, the sketch estimates
@@ -731,6 +836,7 @@ object Stats {
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_kmv_jaccard" -> q155KmvJaccard,
     "q149_qdigest_quantiles" -> q149QdigestQuantiles,
     "q148_kmv_union" -> q148KmvUnion,
     "q147_kmv_distinct" -> q147KmvDistinct,
@@ -749,6 +855,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_kmv_jaccard" -> q155Oracle,
     "q149_qdigest_quantiles" -> q149Oracle,
     "q148_kmv_union" -> q148Oracle,
     "q147_kmv_distinct" -> q147Oracle,

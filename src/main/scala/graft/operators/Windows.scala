@@ -462,7 +462,72 @@ object Windows {
          AND (n * vm - sx) * (n * vm - sx) > 4 * (n * sxx - sx * sx)
        ORDER BY user_id, event_id"""
 
+  /** Integer-exact trailing EWMA (q156) — the exponential-smoothing
+    * time-series primitive the window family lacked: per event type,
+    * daily volumes on the dense q109-style calendar spine, smoothed
+    * with halving weights over an 8-day horizon. The geometric tail
+    * beyond 8 days carries < 1/255 of the mass, so the TRUNCATED sum
+    * score(t) = Σ_{i=0..7} 2^{7−i}·n(t−i) is the whole estimator in
+    * integers: ewma_milli = score·1000 div 255 (Σ2^i = 255), exact in
+    * both engines — no float recursion s(t)=α·x+(1−α)·s(t−1), whose
+    * rounding would drift cross-engine and whose serial dependency
+    * would defeat partitioned evaluation anyway.
+    *
+    * Scale shape: one partial agg to daily counts, the broadcast-range
+    * spine join (q109), then ONE window pass per type ordered by day —
+    * the 8 lag() terms share a single sort+frame; the spine guarantees
+    * lag-by-rows IS lag-by-days. */
+  def q156Ewma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val range = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select($"event_type",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val score = (0 to 7).map(i =>
+      lag($"n", i, 0L).over(w) * lit(1L << (7 - i))).reduce(_ + _)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("ewma_score", score)
+      .select($"event_type", $"day", $"n",
+        $"ewma_score", expr("ewma_score * 1000 div 255").as("ewma_milli"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q156Oracle: String =
+    """WITH a AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT min(day) AS d0, max(day) AS d1 FROM a),
+       spine AS (
+         SELECT event_type,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM (SELECT DISTINCT event_type FROM a), r),
+       dense AS (
+         SELECT spine.event_type AS event_type, spine.day AS day,
+           coalesce(n, 0) AS n
+         FROM spine LEFT JOIN a
+           ON spine.event_type = a.event_type AND spine.day = a.day)
+       SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         CAST(128 * n + 64 * lag(n, 1, 0) OVER w + 32 * lag(n, 2, 0) OVER w
+            + 16 * lag(n, 3, 0) OVER w + 8 * lag(n, 4, 0) OVER w
+            + 4 * lag(n, 5, 0) OVER w + 2 * lag(n, 6, 0) OVER w
+            + lag(n, 7, 0) OVER w AS BIGINT) AS ewma_score,
+         CAST((128 * n + 64 * lag(n, 1, 0) OVER w + 32 * lag(n, 2, 0) OVER w
+            + 16 * lag(n, 3, 0) OVER w + 8 * lag(n, 4, 0) OVER w
+            + 4 * lag(n, 5, 0) OVER w + 2 * lag(n, 6, 0) OVER w
+            + lag(n, 7, 0) OVER w) * 1000 // 255 AS BIGINT) AS ewma_milli
+       FROM dense
+       WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       ORDER BY event_type, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_ewma" -> q156Ewma,
     "q121_anomalies" -> q121Anomalies,
     "q84_range_frame" -> q84RangeFrame,
     "q63_asof_join" -> q63AsofJoin,
@@ -480,6 +545,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_ewma" -> q156Oracle,
     "q121_anomalies" -> q121Oracle,
     "q84_range_frame" -> q84Oracle,
     "q63_asof_join" -> q63Oracle,

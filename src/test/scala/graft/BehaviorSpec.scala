@@ -143,4 +143,25 @@ class BehaviorSpec extends SparkSpec {
       .select($"event_type", $"drifted").as[(String, Boolean)].collect().toMap
     assert(got("x") && !got("y"), s"drift flags wrong: $got")
   }
+
+  test("q156: truncated-EWMA score matches a direct dense recomputation") {
+    val out = operators.Windows.q156Ewma(spark, d)
+      .as[(String, java.sql.Date, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val types = out.map(_._1).distinct
+    // every type covers the same dense day range (the spine)
+    val dayCounts = types.map(t => out.count(_._1 == t)).distinct
+    assert(dayCounts.length == 1, s"ragged spine: $dayCounts")
+    types.foreach { t =>
+      val series = out.filter(_._1 == t).sortBy(_._2.getTime)
+      val n = series.map(_._3)
+      series.indices.foreach { i =>
+        val want = (0 to 7).map(j =>
+          if (i - j >= 0) n(i - j) << (7 - j) else 0L).sum
+        assert(series(i)._4 == want,
+          s"$t day ${series(i)._2}: score ${series(i)._4} != $want")
+        assert(series(i)._5 == want * 1000 / 255)
+      }
+    }
+  }
 }

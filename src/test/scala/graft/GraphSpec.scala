@@ -163,4 +163,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(dists == (1L to 10L).map(i => i -> math.min(i - 1, 10 - i)).toMap)
   }
+
+  test("q157: top-3 partner lists are ranked, bounded, and weight-symmetric") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Graph.q157CoPurchase(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect() // part, rk, partner, n_co
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (part, vs) =>
+      val byRk = vs.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1 to vs.length).map(_.toLong),
+        s"ranks broken for $part")
+      // n_co non-increasing with rank; ties broken by partner id
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"order broken for $part: $a then $b")
+        case _ => ()
+      }
+    }
+    // co-occurrence is symmetric: recompute one pair's weight directly
+    val (part, _, partner, nCo) = rows.maxBy(_._4)
+    val items = graft.io.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p")).distinct()
+    val direct = items.filter($"p" === part)
+      .join(items.filter($"p" === partner).select($"ord"), "ord")
+      .count()
+    assert(direct == nCo, s"weight mismatch: $direct vs $nCo")
+  }
 }

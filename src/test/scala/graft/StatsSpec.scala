@@ -105,6 +105,25 @@ class StatsSpec extends SparkSpec {
     assert(est2 + 1 >= n / 2 && est2 <= n / 2 + budget, s"flipped merge $est2")
   }
 
+  test("q155: KMV Jaccard estimator brackets the true overlap (direct)") {
+    val k = 64
+    val mk = new graft.functions.MinKLongs(k)
+    def h(v: Int): Long = (v * 0x9E3779B97F4A7C15L) >>> 4 // scramble, keep positive
+    // |A|=1000, |B|=1000, |A∩B|=500 → J = 1/3
+    val a = (1 to 1000).map(h)
+    val b = (501 to 1500).map(h)
+    val bufA = a.foldLeft(mk.zero)(mk.reduce)
+    val bufB = b.foldLeft(mk.zero)(mk.reduce)
+    val union = mk.merge(bufA, bufB)
+    assert(union.length == k && union == union.sorted && union.distinct == union)
+    val rho = union.count(v => bufA.contains(v) && bufB.contains(v)).toDouble / k
+    // 3σ for a proportion at J=1/3, k=64 → ±0.18
+    assert(math.abs(rho - 1.0 / 3) < 0.18, s"rho=$rho")
+    // inclusion–exclusion estimate of the union size from the kth min
+    val est = 63.0 * (1L << 60).toDouble / union.last
+    assert(est > 1000 && est < 2000, s"est union=$est (true 1500)")
+  }
+
   test("q-digest: point mass collapses every quantile to the value") {
     val qd = new graft.functions.QDigestQuantiles(14, 64, Seq(100, 5000, 9900))
     val buf = (1 to 5000).foldLeft(qd.zero)((b, _) => qd.reduce(b, 777L))
