@@ -311,6 +311,118 @@ object Corpus {
        SELECT bigram, CAST(count(*) AS BIGINT) AS n
        FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** Sliding-window DISTINCT (q160): distinct active users over a
+    * trailing 7-day window, per day — the aggregation windows can't
+    * express (distinct doesn't decompose over a sliding frame) and
+    * range joins solve quadratically. The scalable rewrite: dedup to
+    * (user, day) grain, then EXPLODE each user-day into the ≤ 7 window
+    * days it covers — a bounded ×7 expansion — and count distinct per
+    * cover day. One explode, one distinct agg, no range join, no
+    * per-frame rescan; the same trick generalizes to any
+    * bounded-horizon sliding distinct (the HLL-merge variant replaces
+    * countDistinct when approximate is acceptable at 100 TB).
+    *
+    * The dense q109 spine keeps silent days visible as zeros; the
+    * horizon is clipped to the observed max day so the two engines
+    * agree on the output domain. */
+  def q160SlidingDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+      .localCheckpoint() // feeds daily, windowed, and the range
+    val range = ud.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = range.select(
+      explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val daily = ud.groupBy($"day").agg(countDistinct($"user_id").as("u1"))
+    val wind = ud
+      .crossJoin(broadcast(range))
+      .select(explode(sequence($"day",
+        least(date_add($"day", 6), $"d1"))).as("day"), $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("u7"))
+    spine.join(daily, Seq("day"), "left").join(wind, Seq("day"), "left")
+      .na.fill(0L, Seq("u1", "u7"))
+      .orderBy($"day")
+  }
+
+  val q160Oracle: String =
+    """WITH ud AS (
+         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       r AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+       spine AS (
+         SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM r),
+       daily AS (
+         SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS u1
+         FROM ud GROUP BY 1),
+       wind AS (
+         SELECT s.day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS u7
+         FROM spine s LEFT JOIN ud
+           ON ud.day BETWEEN s.day - 6 AND s.day
+         GROUP BY 1)
+       SELECT spine.day, coalesce(u1, 0) AS u1, coalesce(u7, 0) AS u7
+       FROM spine
+       LEFT JOIN daily ON spine.day = daily.day
+       LEFT JOIN wind ON spine.day = wind.day
+       ORDER BY spine.day"""
+
+  /** Positional inverted-index phrase search (q159): the canonical
+    * exact-phrase query plan — postings (doc, pos, token) built ONCE,
+    * then an n-way self-equi-join with position arithmetic (tok@p ⋈
+    * w2@p+1 ⋈ w3@p+2) — the way search engines answer quoted queries
+    * without re-scanning text. The probed phrase is mined from the
+    * corpus itself (globally most frequent trigram, ties by text) so
+    * the query is self-contained and the oracle can verify by direct
+    * trigram scan: index-join occurrences == scan occurrences, per doc.
+    *
+    * Scale shape: postings are checkpointed once (built by one explode
+    * pass) and probed three times; each probe is a broadcast of the
+    * 1-row phrase followed by an equi-join keyed (doc_id, pos) — all
+    * three hash-partition on the same key, so AQE coalesces them into
+    * one exchange family. At 100 TB the postings relation IS the
+    * inverted index you'd persist bucketed by token. */
+  def q159PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val post = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .localCheckpoint() // one tokenize pass: phrase mining + 3 probes
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val top = post
+      .withColumn("t2", lead($"tok", 1).over(w))
+      .withColumn("t3", lead($"tok", 2).over(w))
+      .filter($"t3".isNotNull)
+      .select(concat_ws(" ", $"tok", $"t2", $"t3").as("phrase"))
+      .groupBy($"phrase").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"phrase").limit(1)
+      .select($"phrase", split($"phrase", " ").as("ws"))
+      .select($"phrase", $"ws"(0).as("w1"), $"ws"(1).as("w2"), $"ws"(2).as("w3"))
+    post.join(broadcast(top), $"tok" === $"w1")
+      .select($"doc_id", $"pos", $"phrase", $"w2", $"w3")
+      .join(post.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("t2")),
+        Seq("doc_id", "pos"))
+      .filter($"t2" === $"w2")
+      .join(post.select($"doc_id", ($"pos" - 2).as("pos"), $"tok".as("t3")),
+        Seq("doc_id", "pos"))
+      .filter($"t3" === $"w3")
+      .groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  val q159Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       occ AS (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS phrase
+         FROM tk WHERE len(tk) >= 3),
+       top AS (
+         SELECT phrase, count(*) AS n FROM occ
+         GROUP BY 1 ORDER BY n DESC, phrase LIMIT 1)
+       SELECT doc_id, occ.phrase, CAST(count(*) AS BIGINT) AS n_hits
+       FROM occ JOIN top ON occ.phrase = top.phrase
+       GROUP BY 1, 2 ORDER BY doc_id"""
+
   /** Per-lang sampling thresholds: floor(fraction · 2³²) as exact
     * integer literals (en 10%, every other lang 30%) — shared between
     * the Spark dim and the oracle CASE so no float appears anywhere. */
@@ -1052,6 +1164,8 @@ object Corpus {
        FROM vol CROSS JOIN l CROSS JOIN s CROSS JOIN u"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_sliding_distinct" -> q160SlidingDistinct,
+    "q159_phrase_search" -> q159PhraseSearch,
     "q144_dataset_card" -> q144DatasetCard,
     "q141_bigram_lm" -> q141BigramLm,
     "q134_zipf_slope" -> q134ZipfSlope,
@@ -1073,6 +1187,8 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_sliding_distinct" -> q160Oracle,
+    "q159_phrase_search" -> q159Oracle,
     "q144_dataset_card" -> q144Oracle,
     "q141_bigram_lm" -> q141Oracle,
     "q134_zipf_slope" -> q134Oracle,

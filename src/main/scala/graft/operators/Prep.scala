@@ -287,7 +287,51 @@ object Prep {
        FROM chunks JOIN occ USING (chunk_hash)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Distributed power-iteration step (q161): y = G·v₀ for the Gram
+    * matrix G = Σ_v q_v q_vᵀ of the (milli-quantized) embedding set and
+    * start vector v₀ = 1 — the core of PCA / spectral methods at
+    * scale. G (64×64 here, d×d generally) is NEVER materialized: by
+    * associativity y = Σ_v q_v·(q_vᵀ·v₀), so each row contributes its
+    * own vector scaled by its coordinate sum — row-local arithmetic
+    * (the per-row sum via `aggregate`, the scaled coordinates via
+    * posexplode), then ONE d-group aggregation. No join, no shuffle of
+    * anything wider than (dim, partial) pairs; overflow headroom is
+    * |q|≤2¹⁰ · d=2⁶ · |q|≤2¹⁰ · n rows — exact in int64 up to ~2³⁶
+    * rows. Exact integers make the step hash-comparable cross-engine
+    * (q94's quantization contract).
+    *
+    * rayleigh = v₀ᵀGv₀ = Σ_v s_v² is emitted per dim (constant column)
+    * as the iteration's convergence scalar. */
+  def q161PowerIter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(quantize1000($"embedding").as("qa"))
+      .select($"qa", expr("aggregate(qa, 0L, (a, x) -> a + x)").as("sv"))
+      .select($"sv", posexplode($"qa").as(Seq("pos", "q")))
+      .groupBy(($"pos" + 1).cast("long").as("dim"))
+      .agg(sum($"q" * $"sv").as("y"),
+        sum($"sv" * $"sv").as("rayleigh"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy($"dim")
+  }
+
+  val q161Oracle: String =
+    """WITH q AS (
+         SELECT list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qa
+         FROM embeddings),
+       sv AS (SELECT qa, CAST(list_sum(qa) AS BIGINT) AS sv FROM q),
+       e AS (SELECT sv, unnest(qa) AS qv,
+               unnest(generate_series(1, len(qa))) AS dim
+             FROM sv)
+       SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(sum(qv * sv) AS BIGINT) AS y,
+         CAST(sum(sv * sv) AS BIGINT) AS rayleigh,
+         CAST(count(*) AS BIGINT) AS n_vecs
+       FROM e GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_power_iter" -> q161PowerIter,
     "q131_cdc_chunks" -> q131CdcChunks,
     "q91_doc_chunks" -> q91DocChunks,
     "q92_pii_scrub" -> q92PiiScrub,
@@ -296,6 +340,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_power_iter" -> q161Oracle,
     "q131_cdc_chunks" -> q131Oracle,
     "q91_doc_chunks" -> q91Oracle,
     "q92_pii_scrub" -> q92Oracle,

@@ -513,6 +513,61 @@ object Relational {
            WHERE o_orderpriority = '1-URGENT')
        ORDER BY c_custkey"""
 
+  /** Six-table snowflake star join (q158) — the TPC-H Q5/Q9 shape that
+    * exercises Catalyst's join planning end to end: part prunes the
+    * fact as a BROADCAST LEFT-SEMI (predicate `p_size < 25` never
+    * leaves the dim scan), the supplier→nation→region chain collapses
+    * into ONE broadcast map (region filter applied before the
+    * broadcast, so the chain ships only matching suppliers), and the
+    * single data-sized shuffle left is the lineitem⋈orders fact-fact
+    * join — on a fact already thinned by both broadcast probes.
+    * Money stays decimal(18,2) end to end (re-association exact).
+    *
+    * At 100 TB the entire plan moves the fact table through exactly
+    * one exchange; every dimension is map-side. That — not operator
+    * count — is what makes a star query scale. */
+  def q158StarRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(18,2)"
+    val supAsia = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)
+          .filter($"r_name" === "ASIA").select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"n_name")
+    val prt = Tables.part(s, d).filter($"p_size" < 25).select($"p_partkey")
+    val ord = Tables.orders(s, d)
+      .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        ($"l_extendedprice".cast(dec) *
+          (lit(1).cast(dec) - $"l_discount".cast(dec))).as("rev"))
+      .join(broadcast(prt), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(broadcast(supAsia), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name", $"o_year")
+      .agg(sum($"rev").cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"n_name", $"o_year")
+  }
+
+  val q158Oracle: String =
+    """SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 25)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Null-semantics audit (q154): SQL three-valued logic pinned
     * cross-engine on a synthesized nullable key (`nullif(status, 'P')`
     * — the testdata itself is null-free). Exercises the three places
@@ -555,6 +610,7 @@ object Relational {
        ORDER BY d.label"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_star_revenue" -> q158StarRevenue,
     "q154_null_semantics" -> q154NullSemantics,
     "q151_subqueries" -> q151Subqueries,
     "q110_sql_surface" -> q110SqlSurface,
@@ -574,6 +630,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_star_revenue" -> q158Oracle,
     "q154_null_semantics" -> q154Oracle,
     "q151_subqueries" -> q151Oracle,
     "q110_sql_surface" -> q110Oracle,

@@ -90,4 +90,36 @@ class CorpusSpec extends SparkSpec {
       assert(rnks.length <= 3)
     }
   }
+
+  test("q159: index-join hit counts equal a direct trigram scan") {
+    val d = "/root/testdata/sf0.001"
+    val got = Corpus.q159PhraseSearch(spark, d)
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    val phrase = got.head._2
+    val direct = graft.io.Tables.documents(spark, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, tk) =>
+        id -> tk.sliding(3).count(_.mkString(" ") == phrase)
+      }.filter(_._2 > 0).toMap
+    assert(got.map(r => r._1 -> r._3.toInt).toMap == direct)
+  }
+
+  test("q160: u7 dominates u1; brute-force check on the peak day") {
+    val d = "/root/testdata/sf0.001"
+    val out = Corpus.q160SlidingDistinct(spark, d)
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(out.nonEmpty)
+    out.foreach { case (day, u1, u7) =>
+      assert(u7 >= u1, s"$day: u7 $u7 < u1 $u1")
+    }
+    assert(out.head._2 == out.head._3) // first day: window == day
+    val (peak, _, peakU7) = out.maxBy(_._3)
+    val direct = graft.io.Tables.events(spark, d)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .filter($"day" <= lit(peak) && $"day" >= date_sub(lit(peak), 6))
+      .select($"user_id").distinct().count()
+    assert(direct == peakU7, s"peak $peak: $direct vs $peakU7")
+  }
 }

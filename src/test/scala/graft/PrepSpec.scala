@@ -139,4 +139,27 @@ class PrepSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("train", 3L, 2L, 1L)))
   }
+
+  test("q161: distributed y = G·1 equals the materialized Gram product") {
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select(graft.functions.Fns.quantize1000($"embedding"))
+      .as[Seq[Long]].collect()
+    val dim = vecs.head.length
+    // brute force: actually build G, then multiply by the ones vector
+    val g = Array.ofDim[Long](dim, dim)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val want = (0 until dim).map(i => g(i).sum)
+    val got = graft.operators.Prep.q161PowerIter(spark, d)
+      .select($"dim", $"y").as[(Long, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == want)
+  }
 }

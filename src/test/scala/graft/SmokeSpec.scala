@@ -23,4 +23,28 @@ class SmokeSpec extends SparkSpec {
     }
     assert(empty.isEmpty, s"queries with empty results: $empty")
   }
+
+  test("q158: hinted star plan equals the unhinted formulation; semi-join present") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val dec = "decimal(18,2)"
+    val hinted = operators.Relational.q158StarRevenue(spark, d)
+    val plain = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(graft.io.Tables.supplier(spark, d), $"l_suppkey" === $"s_suppkey")
+      .join(graft.io.Tables.nation(spark, d), $"s_nationkey" === $"n_nationkey")
+      .join(graft.io.Tables.region(spark, d), $"n_regionkey" === $"r_regionkey")
+      .join(graft.io.Tables.part(spark, d), $"l_partkey" === $"p_partkey")
+      .filter($"r_name" === "ASIA" && $"p_size" < 25)
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum($"l_extendedprice".cast(dec) *
+          (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+    assert(hinted.collect().toSeq.map(_.toSeq).toSet ==
+      plain.collect().toSeq.map(_.toSeq).toSet)
+    val phys = hinted.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), s"part prune not a semi join:\n$phys")
+  }
 }
