@@ -673,6 +673,50 @@ object Stats {
          exact_distinct
        FROM kth CROSS JOIN ex"""
 
+  /** Two-level aggregation (q162): median-of-medians — per-customer
+    * median order value, then the distribution OF those medians per
+    * market segment. The nesting is what makes it an operator of its
+    * own: a per-entity statistic becomes the input population of a
+    * per-group statistic, the standard robust-analytics shape
+    * ("typical customer's typical order") that flattening into one agg
+    * would silently change (order-weighted vs customer-weighted).
+    *
+    * Scale shape: level 1 groups on (segment, custkey) — the
+    * fine-grain shuffle where each sort buffer holds ONE customer's
+    * orders (~10 rows); level 2 re-shuffles only |customers| rows into
+    * |segments| exact-percentile buffers. Both levels use the exact
+    * interpolated percentile (the q57 cross-engine contract); at
+    * extreme scale level 2's exact buffer is the piece you'd swap for
+    * q149's mergeable digest. */
+  def q162MedianOfMedians(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    Tables.orders(s, d).select($"o_custkey", $"o_totalprice")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        expr("percentile(med, array(0.5, 0.9))").as("pct"),
+        min($"med").as("min_med"), max($"med").as("max_med"))
+      .select($"c_mktsegment", $"n_cust",
+        $"pct"(0).as("med_of_med"), $"pct"(1).as("p90_of_med"),
+        $"min_med", $"max_med")
+      .orderBy($"c_mktsegment")
+  }
+
+  val q162Oracle: String =
+    """WITH cm AS (
+         SELECT c_mktsegment, o_custkey,
+           quantile_cont(o_totalprice, 0.5) AS med
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2)
+       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+         quantile_cont(med, 0.5) AS med_of_med,
+         quantile_cont(med, 0.9) AS p90_of_med,
+         min(med) AS min_med, max(med) AS max_med
+       FROM cm GROUP BY 1 ORDER BY 1"""
+
   /** KMV set-overlap estimation (q155) — the third leg of the KMV
     * family: q147 sketches one set, q148 proves union mergeability,
     * and this answers INTERSECTION queries from sketches alone. For
@@ -836,6 +880,7 @@ object Stats {
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_median_of_medians" -> q162MedianOfMedians,
     "q155_kmv_jaccard" -> q155KmvJaccard,
     "q149_qdigest_quantiles" -> q149QdigestQuantiles,
     "q148_kmv_union" -> q148KmvUnion,
@@ -855,6 +900,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_median_of_medians" -> q162Oracle,
     "q155_kmv_jaccard" -> q155Oracle,
     "q149_qdigest_quantiles" -> q149Oracle,
     "q148_kmv_union" -> q148Oracle,

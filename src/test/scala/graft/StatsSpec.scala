@@ -124,6 +124,24 @@ class StatsSpec extends SparkSpec {
     assert(est > 1000 && est < 2000, s"est union=$est (true 1500)")
   }
 
+  test("q162: nested medians are bracketed and customer-weighted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val rows = Stats.q162MedianOfMedians(spark, d)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n, mm, p90, lo, hi) =>
+      assert(lo <= mm && mm <= p90 && p90 <= hi, s"$seg brackets broken")
+      assert(n > 0)
+    }
+    // level-2 population = customers with >= 1 order (customer-weighted,
+    // NOT order-weighted — the point of the nesting)
+    val custWithOrders = graft.io.Tables.orders(spark, d)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == custWithOrders)
+  }
+
   test("q-digest: point mass collapses every quantile to the value") {
     val qd = new graft.functions.QDigestQuantiles(14, 64, Seq(100, 5000, 9900))
     val buf = (1 to 5000).foldLeft(qd.zero)((b, _) => qd.reduce(b, 777L))
