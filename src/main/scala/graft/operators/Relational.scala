@@ -513,6 +513,62 @@ object Relational {
            WHERE o_orderpriority = '1-URGENT')
        ORDER BY c_custkey"""
 
+  /** Order-independent table fingerprints (q163): per table, XOR of a
+    * deterministic 60-bit per-row hash + the row count — the
+    * reconciliation primitive for cross-system migration ("does the
+    * copy in the new engine hold exactly the rows of the old?").
+    * XOR is commutative/associative and self-inverse, so the
+    * fingerprint is partition-order independent (any shuffle tree
+    * gives the same value), maps partially aggregate to ONE long per
+    * task, and the difference of two fingerprints localizes a
+    * mismatch without moving any data — the same property Merkle-less
+    * anti-entropy uses. Row rendering is pinned cross-engine: decimals
+    * via DECIMAL(18,2) (fixed 2-dp string), timestamps via epoch
+    * micros, fields joined with '|'.
+    *
+    * Caveat by design: XOR is blind to double-insertion of the same
+    * row pair — the row COUNT column alongside closes the loophole for
+    * whole-table equality. */
+  def q163TableFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def fp(name: String, df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      df.select(hash60(concat_ws("|", cols: _*)).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fingerprint"))
+        .select(lit(name).as("tbl"), $"n_rows", $"fingerprint")
+    val nat = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    fp("customer", cust, Seq($"c_custkey", $"c_name", $"c_nationkey",
+        $"c_mktsegment", $"c_acctbal".cast("decimal(18,2)").cast("string")))
+      .unionByName(fp("nation", nat,
+        Seq($"n_nationkey", $"n_name", $"n_regionkey")))
+      .unionByName(fp("orders", ord, Seq($"o_orderkey", $"o_custkey",
+        $"o_orderstatus", $"o_totalprice".cast("decimal(18,2)").cast("string"),
+        // NTZ parquet timestamp → epoch µs; session TZ is pinned UTC in
+        // every builder, so the cast is the identity DuckDB's epoch_us does
+        unix_micros($"o_orderdate".cast("timestamp")), $"o_orderpriority")))
+      .orderBy($"tbl")
+  }
+
+  val q163Oracle: String =
+    """SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         bit_xor(('0x' || substr(md5(concat_ws('|', c_custkey, c_name,
+           c_nationkey, c_mktsegment, c_acctbal::DECIMAL(18,2))), 1, 15))::BIGINT)
+           AS fingerprint
+       FROM customer
+       UNION ALL
+       SELECT 'nation', CAST(count(*) AS BIGINT),
+         bit_xor(('0x' || substr(md5(concat_ws('|', n_nationkey, n_name,
+           n_regionkey)), 1, 15))::BIGINT)
+       FROM nation
+       UNION ALL
+       SELECT 'orders', CAST(count(*) AS BIGINT),
+         bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice::DECIMAL(18,2), epoch_us(o_orderdate),
+           o_orderpriority)), 1, 15))::BIGINT)
+       FROM orders
+       ORDER BY tbl"""
+
   /** Six-table snowflake star join (q158) — the TPC-H Q5/Q9 shape that
     * exercises Catalyst's join planning end to end: part prunes the
     * fact as a BROADCAST LEFT-SEMI (predicate `p_size < 25` never
@@ -610,6 +666,7 @@ object Relational {
        ORDER BY d.label"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_table_fingerprint" -> q163TableFingerprint,
     "q158_star_revenue" -> q158StarRevenue,
     "q154_null_semantics" -> q154NullSemantics,
     "q151_subqueries" -> q151Subqueries,
@@ -630,6 +687,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_table_fingerprint" -> q163Oracle,
     "q158_star_revenue" -> q158Oracle,
     "q154_null_semantics" -> q154Oracle,
     "q151_subqueries" -> q151Oracle,

@@ -42,6 +42,21 @@ class SubtokenMapNullSpec extends SparkSpec {
     assert(over == 0)
   }
 
+  test("q163: fingerprint ignores partitioning/order, catches a lost row") {
+    val d = "/root/testdata/sf0.001"
+    def fp(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(graft.functions.Fns
+        .hash60(concat_ws("|", $"c_custkey", $"c_name")).as("h"))
+      .agg(expr("bit_xor(h)")).as[Long].head()
+    val cust = graft.io.Tables.customer(spark, d)
+    val a = fp(cust)
+    assert(a == fp(cust.repartition(17)), "partitioning changed the fingerprint")
+    assert(a == fp(cust.orderBy($"c_name".desc)), "row order changed the fingerprint")
+    val victim = cust.select($"c_custkey").as[Long].head()
+    assert(a != fp(cust.filter($"c_custkey" =!= victim)),
+      "dropping a row left the fingerprint unchanged")
+  }
+
   test("q154: NULL-key group counts rows but no values") {
     val rows = operators.Relational.q154NullSemantics(spark, sf)
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
