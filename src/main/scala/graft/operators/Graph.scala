@@ -242,21 +242,32 @@ object Graph {
     * graph-construction half of every neighborhood recommender, and
     * the weighted sibling of q116's unweighted edge set.
     *
-    * Scale shape: the pair generation is a self-join BLOCKED BY
-    * ORDER KEY, so fan-out per key is the basket size (≤ 7 lines in
-    * this schema → ≤ 42 directed pairs), never |parts|² — the same
-    * bounded-blocking discipline as q70's length buckets; pair counts
-    * partially aggregate before the one shuffle on (part, partner);
-    * the per-part top-3 is a row_number over the part partition (the
-    * bounded TopK Aggregator of q68 is the alternative when k·|parts|
-    * partials must stay tiny). */
+    * Scale shape: pair generation is BLOCKED BY ORDER KEY with the
+    * blocking done as one collect_set aggregation (partial-capable,
+    * buffers bounded by basket size ≤ 7) followed by a per-basket HOF
+    * cross-expansion — ≤ 42 directed pairs per order, never |parts|²,
+    * and NO self-join: the first formulation (items ⋈ items on ord)
+    * scanned lineitem twice, ran the distinct twice, and broadcast a
+    * fact-sized side; this one reads the fact once and ships it
+    * through one exchange (locally both bottom out on the same
+    * single-row-group scan task, so wall-clock ties at sf0.1 — at
+    * cluster scale the halved scan+shuffle volume is the win).
+    * Pair counts partially
+    * aggregate before the one shuffle on (part, partner); the per-part
+    * top-3 is a row_number the optimizer caps with WindowGroupLimit
+    * (the bounded TopK Aggregator of q68 is the alternative when
+    * k·|parts| partials must stay tiny). */
   def q157CoPurchase(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val items = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ord"), $"l_partkey".as("p")).distinct()
-    val pairs = items.as("a").join(items.as("b"), "ord")
-      .filter(col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("part"), col("b.p").as("partner"))
+    val pairs = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
+      .groupBy($"ord").agg(collect_set($"p").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+             x -> transform(ps, y -> struct(x AS part, y AS partner))))"""))
+        .as("pr"))
+      .select($"pr.part".as("part"), $"pr.partner".as("partner"))
+      .filter($"part" =!= $"partner")
       .groupBy($"part", $"partner").agg(count(lit(1)).as("n_co"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"part").orderBy($"n_co".desc, $"partner")
