@@ -392,6 +392,28 @@ object EventStreams {
       .select($"event_type", $"day")
   }
 
+  /** Shared transform: native session_window sessionization (q26's
+    * exact shape) over batch or streaming input. On a stream the
+    * engine MERGES session fragments across microbatches (two
+    * fragments < gap apart collapse into one window whose start
+    * moves) — the stateful-merge semantics that distinguish
+    * session_window state from ordinary keyed window state, asserted
+    * == batch q26 in StreamingSpec across a 2-file split. */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events")
+  }
+
+  /** Streaming entry for [[sessionCounts]] over a staged events dir. */
+  def sessionCountsStream(s: SparkSession, eventsDir: String): DataFrame =
+    sessionCounts(eventsStream(s, eventsDir))
+
   /** µs-timestamped streaming read of a staged events dir. Requires
     * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (set in
     * the Verify/Bench/SparkSpec builders) — deliberately NOT mutated

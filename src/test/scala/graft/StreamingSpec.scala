@@ -248,6 +248,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window stream merges fragments across microbatches == batch q26") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batch = EventStreams.sessionCounts(graft.io.Tables.events(spark, d))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+
+    // split mid-stream so sessions straddling the cut must MERGE:
+    // their first fragment arrives in batch 1, the rest in batch 2
+    val staged = java.nio.file.Files.createTempDirectory("events_sw")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+    // the split must actually cut through sessions for this to test
+    assert(raw.filter($"ts" <= mid).count() > 0 &&
+      raw.filter($"ts" > mid).count() > 0)
+
+    val q = EventStreams.sessionCountsStream(spark, s"$staged/*")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sw_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sw_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries retains every batch heavy hitter, est <= exact") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
