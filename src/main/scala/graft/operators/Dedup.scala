@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.functions.Fns._
 
@@ -1041,7 +1042,86 @@ object Dedup {
        FROM b WHERE d2 IS NOT NULL AND levenshtein(p, p2) <= 8
        ORDER BY doc1, gap"""
 
+  /** Golden-record survivorship (q164): per exact-dup cluster (q40's
+    * prefix key), the merged "source of truth" record assembled by
+    * FIELD-WISE rules — the entity-resolution step after dedup finds
+    * the clusters: id by min, text by longest-member (ties by id),
+    * lang and source by cluster majority (ties lexicographic). Each
+    * rule is a deterministic argmax, so the golden record is
+    * reproducible cross-engine — the property survivorship needs to
+    * be auditable at all.
+    *
+    * Scale shape: every rule keys on the SAME cluster hash, so the
+    * window ranks and count-majority aggregations all ride one hash
+    * partitioning (AQE reuses the exchange); the majority rules
+    * pre-aggregate to (cluster, value) counts before ranking —
+    * nothing ever holds a whole cluster in memory. */
+  def q164GoldenRecord(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = lower(regexp_replace(trim($"text"), "\\s+", " "))
+    val prefixKey = concat_ws(" ", slice(tokens(norm), 1, 5))
+    val m = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        md5(prefixKey).as("k"))
+      .localCheckpoint() // one scan feeds all four rules
+    val sized = m.groupBy($"k")
+      .agg(count(lit(1)).as("n_members"), min($"doc_id").as("keep_id"))
+      .filter($"n_members" >= 2)
+    def majority(col: String, as: String) = m
+      .groupBy($"k", m(col)).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"k")
+        .orderBy($"c".desc, m(col))))
+      .filter($"rn" === 1).select($"k", m(col).as(as))
+    val longest = m
+      .withColumn("rn", row_number().over(Window.partitionBy($"k")
+        .orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rn" === 1).select($"k", $"doc_id".as("text_from"))
+    sized.join(longest, "k")
+      .join(majority("lang", "lang_keep"), "k")
+      .join(majority("source", "src_keep"), "k")
+      .select($"k".as("dup_key"), $"n_members", $"keep_id",
+        $"text_from", $"lang_keep", $"src_keep")
+      .orderBy($"dup_key")
+  }
+
+  val q164Oracle: String =
+    """WITH m AS (
+         SELECT doc_id, lang, source, n_chars,
+           md5(array_to_string(
+             (list_filter(string_split_regex(lower(trim(regexp_replace(text,'\s+',' ','g'))), '\s+'), t -> t <> ''))[1:5],
+             ' ')) AS k
+         FROM documents),
+       sized AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS n_members,
+           min(doc_id) AS keep_id
+         FROM m GROUP BY 1 HAVING count(*) >= 2),
+       longest AS (
+         SELECT k, doc_id AS text_from FROM (
+           SELECT k, doc_id, row_number() OVER (PARTITION BY k
+             ORDER BY n_chars DESC, doc_id) AS rn FROM m)
+         WHERE rn = 1),
+       langk AS (
+         SELECT k, lang AS lang_keep FROM (
+           SELECT k, lang, row_number() OVER (PARTITION BY k
+             ORDER BY count(*) DESC, lang) AS rn
+           FROM m GROUP BY k, lang)
+         WHERE rn = 1),
+       srck AS (
+         SELECT k, source AS src_keep FROM (
+           SELECT k, source, row_number() OVER (PARTITION BY k
+             ORDER BY count(*) DESC, source) AS rn
+           FROM m GROUP BY k, source)
+         WHERE rn = 1)
+       SELECT sized.k AS dup_key, n_members, keep_id, text_from,
+         lang_keep, src_keep
+       FROM sized
+       JOIN longest ON sized.k = longest.k
+       JOIN langk ON sized.k = langk.k
+       JOIN srck ON sized.k = srck.k
+       ORDER BY dup_key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_golden_record" -> q164GoldenRecord,
     "q136_sorted_neighborhood" -> q136SortedNeighborhood,
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
@@ -1058,6 +1138,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_golden_record" -> q164Oracle,
     "q136_sorted_neighborhood" -> q136Oracle,
     "q40_dedup_exact" -> q40Oracle,
     "q70_edit_distance" -> q70Oracle,
