@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.functions.Fns._
 
@@ -739,7 +740,111 @@ object Similarity {
        FROM agg WHERE best_rk * k * 10000 // s >= 15000
        ORDER BY sid"""
 
+  /** Product-quantization ANN with asymmetric distance (q165) — the
+    * compression leg of the ANN family (brute q46, LSH q47, IVF q48,
+    * multiprobe q86): 64 dims split into M=8 subspaces of 8; each
+    * subspace gets a 16-entry codebook (deterministically seeded by
+    * the first 16 vectors' subvectors); every vector is ENCODED as 8
+    * one-byte codes (64 dims → 8 bytes, the ×32 memory cut that lets
+    * a 100 TB corpus's index live in RAM); queries score candidates
+    * by ADC — Σ_j L2²(q_j, codebook[j][code_j]) — which touches only
+    * the codes and a per-query 8×16 lookup table, never the vectors.
+    * Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI'11). The exact L2² is joined back for the top-5
+    * audit (integer-exact both engines).
+    *
+    * Scale shape: encoding is a broadcast (128-row codebook) argmin
+    * per (vector, subspace) — one scan, no shuffle wider than the
+    * codes; query scoring joins codes against a broadcast 640-row ADC
+    * table and partial-aggregates the 8 per-subspace terms; only the
+    * 25 winners ever touch a full vector again. */
+  def q165PqAdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = 8; val sub = 8; val nCent = 16; val nQ = 5
+    val q = quantized(s, d).localCheckpoint()
+    // (vec_id, j, sv): the M subvectors of every vector
+    val subv = q.select($"vec_id",
+        explode(expr(s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(qa, j * $sub + 1, $sub) AS sv))")).as("e"))
+      .select($"vec_id", $"e.j".as("j"), $"e.sv".as("sv"))
+      .localCheckpoint() // feeds codebook, encoding, and query tables
+    val codebook = subv.filter($"vec_id" < nCent)
+      .select($"j", $"vec_id".cast("int").as("c"), $"sv".as("cv"))
+    val codes = subv.join(broadcast(codebook), "j")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"vec_id", $"j")
+        .orderBy($"d2", $"c")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"j", $"c".as("code"))
+    // per-query ADC lookup table: L2²(q_j, centroid) for all (j, c)
+    val adcTab = subv.filter($"vec_id" < nQ)
+      .select($"vec_id".as("qid"), $"j", $"sv".as("qsv"))
+      .join(codebook, "j")
+      .withColumn("qd", expr(
+        "aggregate(zip_with(qsv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .select($"qid", $"j", $"c".as("code"), $"qd")
+    val est = codes.join(broadcast(adcTab), Seq("j", "code"))
+      .filter($"qid" =!= $"vec_id")
+      .groupBy($"qid", $"vec_id".as("cid")).agg(sum($"qd").as("adc_d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"qid")
+        .orderBy($"adc_d2", $"cid")).cast("long"))
+      .filter($"rn" <= 5)
+    // exact audit for the 25 winners only
+    est
+      .join(q.select($"vec_id".as("cid"), $"qa".as("cqa")), "cid")
+      .join(broadcast(q.filter($"vec_id" < nQ)
+        .select($"vec_id".as("qid"), $"qa".as("qqa"))), "qid")
+      .withColumn("exact_d2", expr(
+        "aggregate(zip_with(qqa, cqa, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .select($"qid", $"rn", $"cid", $"adc_d2", $"exact_d2")
+      .orderBy($"qid", $"rn")
+  }
+
+  val q165Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       subv AS (
+         SELECT vec_id, j, qa[j * 8 + 1 : j * 8 + 8] AS sv
+         FROM q, unnest(generate_series(0, 7)) AS u(j)),
+       cb AS (
+         SELECT j, CAST(vec_id AS INT) AS c, sv AS cv
+         FROM subv WHERE vec_id < 16),
+       enc AS (
+         SELECT vec_id, j, c AS code FROM (
+           SELECT s.vec_id, s.j, cb.c,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               list_sum(list_transform(list_zip(s.sv, cb.cv),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), cb.c) AS rn
+           FROM subv s JOIN cb ON s.j = cb.j)
+         WHERE rn = 1),
+       adc AS (
+         SELECT s.vec_id AS qid, s.j, cb.c AS code,
+           CAST(list_sum(list_transform(list_zip(s.sv, cb.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS qd
+         FROM subv s JOIN cb ON s.j = cb.j
+         WHERE s.vec_id < 5),
+       est AS (
+         SELECT qid, cid, adc_d2,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY adc_d2, cid) AS BIGINT) AS rn
+         FROM (
+           SELECT adc.qid, enc.vec_id AS cid,
+             CAST(sum(adc.qd) AS BIGINT) AS adc_d2
+           FROM enc JOIN adc ON enc.j = adc.j AND enc.code = adc.code
+           WHERE adc.qid <> enc.vec_id
+           GROUP BY 1, 2))
+       SELECT est.qid, est.rn, est.cid, est.adc_d2,
+         CAST(list_sum(list_transform(list_zip(qq.qa, cq.qa),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS exact_d2
+       FROM est
+       JOIN q cq ON est.cid = cq.vec_id
+       JOIN q qq ON est.qid = qq.vec_id
+       WHERE est.rn <= 5
+       ORDER BY est.qid, est.rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_pq_adc" -> q165PqAdc,
     "q137_bitext_margin" -> q137BitextMargin,
     "q132_label_silhouette" -> q132LabelSilhouette,
     "q133_hard_negatives" -> q133HardNegatives,
@@ -755,6 +860,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_pq_adc" -> q165Oracle,
     "q137_bitext_margin" -> q137Oracle,
     "q132_label_silhouette" -> q132Oracle,
     "q133_hard_negatives" -> q133Oracle,
