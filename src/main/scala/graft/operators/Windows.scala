@@ -526,7 +526,53 @@ object Windows {
        WINDOW w AS (PARTITION BY event_type ORDER BY day)
        ORDER BY event_type, day"""
 
+  /** Event-lateness audit (q166): how late do events arrive relative
+    * to the high-water mark of what already arrived? — the BATCH
+    * analysis that sizes a STREAMING watermark (§2.10's
+    * `withWatermark` durations are exactly this distribution's tail).
+    * Arrival order is event_id (the ingest sequence); lateness of an
+    * event is running_max(event_time) − event_time at its arrival
+    * position; the report counts, per type, how many events a 15-min
+    * or 1-hour watermark would have dropped, and the worst lateness
+    * seen. All integer µs.
+    *
+    * Scale shape: the running max is per event_type partition (the
+    * per-source watermark a real ingest tracks — a single global
+    * arrival order would serialize the window); one shuffle, one
+    * ordered pass, then a partial-agg rollup. */
+  def q166LatenessAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("late_us", max($"us").over(w) - $"us")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"late_us" > 15L * 60 * 1000000).cast("long")).as("n_late_15m"),
+        sum(($"late_us" > 60L * 60 * 1000000).cast("long")).as("n_late_1h"),
+        max($"late_us").as("max_late_us"))
+      .orderBy($"event_type")
+  }
+
+  val q166Oracle: String =
+    """WITH t AS (
+         SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+       lat AS (
+         SELECT event_type,
+           max(us) OVER (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late_us
+         FROM t)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late_15m,
+         CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late_1h,
+         CAST(max(late_us) AS BIGINT) AS max_late_us
+       FROM lat GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_lateness_audit" -> q166LatenessAudit,
     "q156_ewma" -> q156Ewma,
     "q121_anomalies" -> q121Anomalies,
     "q84_range_frame" -> q84RangeFrame,
@@ -545,6 +591,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_lateness_audit" -> q166Oracle,
     "q156_ewma" -> q156Oracle,
     "q121_anomalies" -> q121Oracle,
     "q84_range_frame" -> q84Oracle,
