@@ -248,6 +248,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark actually DROPS a late event in append mode (q166's tail, live)") {
+    import spark.implicits._
+    // Watermark activation is one batch DELAYED: the late-event filter
+    // for batch N uses the watermark computed from batch N-1's stats
+    // (watermarkForLateEvents), so a drop needs three batches — b1
+    // advances event time 5h, b2 (any on-time row) activates that
+    // watermark for late filtering, b3 replays an event from b1's hour
+    // (now 3h past the 2h watermark) and MUST be dropped.
+    val staged = java.nio.file.Files.createTempDirectory("events_late")
+    def mk(id: Long, us: Long) =
+      (id, us * 1000L, 1L, "view", 1.0, "{}")
+    def write(name: String, mtimePlusMs: Long, rows: (Long, Long, Long, String, Double, String)*): Unit = {
+      rows.toSeq.toDF(
+          "event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(staged.resolve(name).toString)
+      // the file source orders batches by mod time (second granularity)
+      java.nio.file.Files.walk(staged.resolve(name)).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimePlusMs))
+      }
+    }
+    val t0 = 1700000000000000L // µs; any stable epoch
+    write("b1", 0, mk(1, t0), mk(2, t0 + 5L * 3600 * 1000000))
+    write("b2", 60000, mk(4, t0 + 5L * 3600 * 1000000 + 60000000))
+    write("b3", 120000, mk(3, t0 + 1000)) // b1's hour — 3h late now
+
+    val q = EventStreams.hourlyCounts(
+        spark.readStream.schema(EventStreams.rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$staged/*"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      val prog = q.recentProgress.map(p =>
+        s"batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
+          s"dropped=${p.stateOperators.map(_.numRowsDroppedByWatermark).sum} " +
+          s"out=${p.sink.numOutputRows}")
+      val finalized = spark.table("late_out")
+        .select($"hour_start", $"n").as[(String, Long)].collect().toMap
+      // the first hour finalized with ONE event: the late replay (id 3)
+      // was dropped by the 2h watermark, not merged
+      val firstHour = finalized.keys.min
+      assert(finalized(firstHour) == 1L,
+        s"late event was not dropped: $finalized; progress: ${prog.mkString(" | ")}")
+      // the drop is observable in the state-operator metrics too
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"expected 1 watermark drop, saw $dropped: ${prog.mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("native session_window stream merges fragments across microbatches == batch q26") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
