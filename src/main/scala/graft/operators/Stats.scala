@@ -673,6 +673,101 @@ object Stats {
          exact_distinct
        FROM kth CROSS JOIN ex"""
 
+  /** Deterministic Poisson bootstrap (q167): 5–95% confidence
+    * intervals for the per-priority mean order value from B = 32
+    * replicates, with NO resampling shuffle — the distributed
+    * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012): classic resampling needs n draws
+    * WITH replacement from the whole dataset (a global operation);
+    * the Poisson trick gives each ROW an independent Poisson(1)
+    * replicate weight, computed scan-side from a hash, so every
+    * replicate is a weighted aggregation that partially aggregates
+    * like any other — the ×B fan-out never crosses a shuffle wider
+    * than (group, b) partials.
+    *
+    * Determinism contract: the uniform draw is q75's Knuth
+    * multiplicative hash on (orderkey·37 + b), inverted to a weight
+    * through the cumulative-Poisson(1) thresholds ⌊F(k)·2³²⌋ embedded
+    * as shared integer literals (tail ≥ 5 capped at 5, mass 0.37%);
+    * replicate means are floor(cents·10/n) in IEEE doubles (< 2⁵³,
+    * q139's contract); the CI is ranks 2 and 31 of the 32 ordered
+    * replicate means. Same constants both engines → hash-identical. */
+  def q167PoissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 32
+    val weightSql =
+      """CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+              WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+              WHEN u < 4279248373 THEN 4 ELSE 5 END"""
+    val base = Tables.orders(s, d)
+      .select($"o_orderpriority".as("pri"), $"o_orderkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint() // one scan: point estimate + 32 replicates
+    val point = base.groupBy($"pri")
+      .agg(count(lit(1)).as("n_total"), sum($"cents").as("sc"))
+      .select($"pri", $"n_total",
+        floor($"sc" * lit(10.0) / $"n_total").cast("long").as("mean_milli"))
+    val reps = base
+      .select($"pri", $"o_orderkey", $"cents",
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", expr(
+        "((o_orderkey * 37 + b) % 2147483648) * 2654435761 % 4294967296"))
+      .withColumn("w", expr(weightSql))
+      .groupBy($"pri", $"b")
+      .agg(sum($"w" * $"cents").as("sc"), sum($"w").as("nw"))
+      .filter($"nw" > 0)
+      .select($"pri", $"b",
+        floor($"sc" * lit(10.0) / $"nw").cast("long").as("rep_milli"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"pri").orderBy($"rep_milli", $"b")))
+    val ci = reps.groupBy($"pri").agg(
+      count(lit(1)).as("n_reps"),
+      max(when($"rk" === 2, $"rep_milli")).as("ci_lo_milli"),
+      max(when($"rk" === B - 1, $"rep_milli")).as("ci_hi_milli"))
+    point.join(ci, "pri")
+      .select($"pri", $"n_total", $"mean_milli",
+        $"n_reps", $"ci_lo_milli", $"ci_hi_milli")
+      .orderBy($"pri")
+  }
+
+  val q167Oracle: String =
+    """WITH base AS (
+         SELECT o_orderpriority AS pri, o_orderkey,
+           CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+         FROM orders),
+       pt AS (
+         SELECT pri, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(floor(CAST(sum(cents) AS DOUBLE) * 10.0 / count(*)) AS BIGINT)
+             AS mean_milli
+         FROM base GROUP BY 1),
+       reps AS (
+         SELECT pri, b,
+           CAST(floor(CAST(sum(w * cents) AS DOUBLE) * 10.0 / sum(w)) AS BIGINT)
+             AS rep_milli
+         FROM (
+           SELECT pri, cents, b,
+             CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+                  WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+                  WHEN u < 4279248373 THEN 4 ELSE 5 END AS w
+           FROM (
+             SELECT pri, cents, b,
+               ((o_orderkey * 37 + b) % 2147483648) * 2654435761 % 4294967296 AS u
+             FROM base, unnest(generate_series(0, 31)) AS g(b)))
+         GROUP BY 1, 2 HAVING sum(w) > 0),
+       rk AS (
+         SELECT pri, rep_milli,
+           row_number() OVER (PARTITION BY pri ORDER BY rep_milli, b) AS rk
+         FROM reps),
+       ci AS (
+         SELECT pri, CAST(count(*) AS BIGINT) AS n_reps,
+           max(CASE WHEN rk = 2 THEN rep_milli END) AS ci_lo_milli,
+           max(CASE WHEN rk = 31 THEN rep_milli END) AS ci_hi_milli
+         FROM rk GROUP BY 1)
+       SELECT pt.pri, n_total, mean_milli, n_reps, ci_lo_milli, ci_hi_milli
+       FROM pt JOIN ci ON pt.pri = ci.pri
+       ORDER BY pt.pri"""
+
   /** Two-level aggregation (q162): median-of-medians — per-customer
     * median order value, then the distribution OF those medians per
     * market segment. The nesting is what makes it an operator of its
@@ -880,6 +975,7 @@ object Stats {
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_poisson_bootstrap" -> q167PoissonBootstrap,
     "q162_median_of_medians" -> q162MedianOfMedians,
     "q155_kmv_jaccard" -> q155KmvJaccard,
     "q149_qdigest_quantiles" -> q149QdigestQuantiles,
@@ -900,6 +996,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_poisson_bootstrap" -> q167Oracle,
     "q162_median_of_medians" -> q162Oracle,
     "q155_kmv_jaccard" -> q155Oracle,
     "q149_qdigest_quantiles" -> q149Oracle,

@@ -142,6 +142,21 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(_._2).sum == custWithOrders)
   }
 
+  test("q167: bootstrap CI brackets the point estimate; 32 replicates per group") {
+    import spark.implicits._
+    val rows = Stats.q167PoissonBootstrap(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (pri, n, mean, nReps, lo, hi) =>
+      assert(nReps == 32, s"$pri replicates: $nReps")
+      assert(lo <= hi, s"$pri: CI inverted")
+      // percentile-bootstrap CI of the mean should bracket the point
+      // estimate on this data (deterministic — pinned)
+      assert(lo <= mean && mean <= hi, s"$pri: $mean outside [$lo, $hi]")
+      assert(n > 0)
+    }
+  }
+
   test("q-digest: point mass collapses every quantile to the value") {
     val qd = new graft.functions.QDigestQuantiles(14, 64, Seq(100, 5000, 9900))
     val buf = (1 to 5000).foldLeft(qd.zero)((b, _) => qd.reduce(b, 777L))
