@@ -513,6 +513,54 @@ object Relational {
            WHERE o_orderpriority = '1-URGENT')
        ORDER BY c_custkey"""
 
+  /** Relational division (q168): "parts shipped by suppliers in ALL
+    * regions" — the ∀-quantified join (Codd's division) the rest of
+    * the join family can't express directly. SQL's textbook form is a
+    * double NOT EXISTS (an anti-join of an anti-join); the scalable
+    * form used here is coverage COUNTING: dedup the (part, region)
+    * pairs, count distinct regions per part, and compare against the
+    * divisor's cardinality — two partial-aggregating shuffles instead
+    * of nested correlated anti-joins. Output is the whole coverage
+    * profile (how many parts reach k of the 5 regions, with an example
+    * part each); the n_regions = |divisor| row IS the division result.
+    *
+    * At 100 TB: the supplier→region map is a broadcast; the pair dedup
+    * shuffles (part, region) — already maximally collapsed by map-side
+    * distinct — and the rest is dimension-sized. */
+  def q168DivisionProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val supRegion = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select($"n_nationkey", $"n_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)
+        .select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"r_name")
+    val perPart = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey")
+      .join(broadcast(supRegion), $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey".as("part"), $"r_name").distinct()
+      .groupBy($"part").agg(count(lit(1)).as("n_regions")) // already distinct
+    perPart.groupBy($"n_regions")
+      .agg(count(lit(1)).as("n_parts"), min($"part").as("example_part"))
+      .orderBy($"n_regions")
+  }
+
+  val q168Oracle: String =
+    """WITH pr AS (
+         SELECT DISTINCT l_partkey AS part, r_name
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey),
+       pp AS (
+         SELECT part, CAST(count(*) AS BIGINT) AS n_regions
+         FROM pr GROUP BY 1)
+       SELECT n_regions, CAST(count(*) AS BIGINT) AS n_parts,
+         min(part) AS example_part
+       FROM pp GROUP BY 1 ORDER BY 1"""
+
   /** Order-independent table fingerprints (q163): per table, XOR of a
     * deterministic 60-bit per-row hash + the row count — the
     * reconciliation primitive for cross-system migration ("does the
@@ -666,6 +714,7 @@ object Relational {
        ORDER BY d.label"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_division_profile" -> q168DivisionProfile,
     "q163_table_fingerprint" -> q163TableFingerprint,
     "q158_star_revenue" -> q158StarRevenue,
     "q154_null_semantics" -> q154NullSemantics,
@@ -687,6 +736,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_division_profile" -> q168Oracle,
     "q163_table_fingerprint" -> q163Oracle,
     "q158_star_revenue" -> q158Oracle,
     "q154_null_semantics" -> q154Oracle,

@@ -57,6 +57,42 @@ class SubtokenMapNullSpec extends SparkSpec {
       "dropping a row left the fingerprint unchanged")
   }
 
+  test("q168: counting division == textbook double-anti-join division") {
+    val d = "/root/testdata/sf0.01"
+    val supRegion = graft.io.Tables.supplier(spark, d)
+      .select($"s_suppkey", $"s_nationkey")
+      .join(graft.io.Tables.nation(spark, d)
+        .select($"n_nationkey", $"n_regionkey"),
+        $"s_nationkey" === $"n_nationkey")
+      .join(graft.io.Tables.region(spark, d)
+        .select($"r_regionkey", $"r_name"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"r_name")
+    val pairs = graft.io.Tables.lineitem(spark, d)
+      .select($"l_partkey", $"l_suppkey")
+      .join(supRegion, $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey".as("part"), $"r_name").distinct()
+      .localCheckpoint()
+    val divisor = supRegion.select($"r_name").distinct()
+    val nDiv = divisor.count()
+    // textbook: parts with NO region missing (anti-join of the
+    // part×divisor cross against the observed pairs)
+    val missing = pairs.select($"part").distinct().crossJoin(divisor)
+      .join(pairs, Seq("part", "r_name"), "left_anti")
+    val divided = pairs.select($"part").distinct()
+      .join(missing.select($"part").distinct(), Seq("part"), "left_anti")
+      .as[Long].collect().toSet
+    // counting form (the query's n_regions == |divisor| bucket)
+    val counted = pairs.groupBy($"part").agg(count(lit(1)).as("n"))
+      .filter($"n" === nDiv).select($"part").as[Long].collect().toSet
+    assert(divided == counted)
+    // and the profile's top bucket agrees on cardinality
+    val top = operators.Relational.q168DivisionProfile(spark, d)
+      .filter($"n_regions" === nDiv).select($"n_parts")
+      .as[Long].collect().headOption.getOrElse(0L)
+    assert(top == counted.size, s"profile bucket $top != ${counted.size}")
+  }
+
   test("q154: NULL-key group counts rows but no values") {
     val rows = operators.Relational.q154NullSemantics(spark, sf)
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
