@@ -377,6 +377,32 @@ object EventStreams {
       .select($"user_id", $"p_id", $"c_id")
   }
 
+  /** LEFT OUTER stream-stream variant of [[purchaseClickJoin]]:
+    * purchases with NO qualifying click still emit — with null click
+    * columns — once the watermark proves no match can arrive. The
+    * outer side is the semantics batch gets for free but streaming
+    * must EARN from the watermark: an unmatched purchase sits in
+    * state until click-side event time passes its join window, and
+    * only then is the null row released (so outer results are
+    * eventually-complete, not immediate). State stays bounded by the
+    * same watermark that gates the emission. */
+  def purchaseClickOuter(events: DataFrame, lookbackSec: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr(s"INTERVAL $lookbackSec SECONDS"),
+      "left_outer")
+      .select($"user_id", $"p_id", $"c_id")
+  }
+
   /** Streaming exact dedup (the streaming twin of q40): drop repeated
     * (event_type, day-bucket) keys, keeping state only within the
     * watermark — bounded state, the only safe shape for an endless

@@ -221,6 +221,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matches == batch; null rows only after watermark") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val look = 6 * 3600
+    val inner = EventStreams.purchaseClickJoin(
+        graft.io.Tables.events(spark, d), look)
+      .collect().map(_.toSeq).toSet
+    val outerNulls = EventStreams.purchaseClickOuter(
+        graft.io.Tables.events(spark, d), look)
+      .filter($"c_id".isNull).collect().map(_.toSeq).toSet
+    assert(outerNulls.nonEmpty, "fixture has no unmatched purchases")
+
+    // two microbatches so the watermark activates and releases the
+    // early unmatched purchases as null rows
+    val staged = java.nio.file.Files.createTempDirectory("events_sso")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+    java.nio.file.Files.walk(staged.resolve("b2")).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 60000))
+    }
+    val q = EventStreams.purchaseClickOuter(
+        EventStreams.eventsStream(spark, s"$staged/*"), look)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sso_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sso_out").collect().map(_.toSeq)
+      val (nulls, matched) = streamed.partition(_.last == null)
+      // matched rows are exactly the batch inner join
+      assert(matched.toSet == inner)
+      // every emitted null row is a true batch-outer null; the tail of
+      // the stream (watermark never passed it) may be withheld — outer
+      // results are eventually-complete, not immediate
+      assert(nulls.toSet.subsetOf(outerNulls))
+      assert(nulls.nonEmpty,
+        "watermark released no unmatched purchases — split did not activate")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps exactly the distinct key set") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
