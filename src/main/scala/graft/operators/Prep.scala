@@ -330,7 +330,72 @@ object Prep {
          CAST(count(*) AS BIGINT) AS n_vecs
        FROM e GROUP BY 1 ORDER BY 1"""
 
+  /** Cross-source quantile normalization (q169) — batch-effect
+    * correction for heterogeneous corpora: each source's raw score
+    * (here doc length) is replaced by the GLOBAL score at the same
+    * within-source quantile, so a doc "long for src3" maps to what
+    * "equally long for the whole corpus" looks like — the rank-based
+    * calibration used when per-source score scales aren't comparable
+    * (quantile normalization, Bolstad et al. '03). Both ranks are
+    * deterministic (ties by doc_id); position arithmetic is pure
+    * integer: bp = (rank−1)·10⁴ div (n−1), global position =
+    * 1 + bp·(N−1) div 10⁴.
+    *
+    * Scale note: the within-source rank partitions by source (fine);
+    * the GLOBAL rank here is an exact single-partition sort — the
+    * audit-scale formulation. At 100 TB the global side swaps to the
+    * q149 q-digest (map bp → digest quantile) with everything else
+    * unchanged; the exact form is what validates that sketch. */
+  def q169QuantileNorm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source",
+      $"n_chars".as("score"))
+    val n = docs.count()
+    val srcRank = docs
+      .withColumn("r", row_number().over(Window.partitionBy($"source")
+        .orderBy($"score", $"doc_id")))
+      .withColumn("nsrc", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("bp", expr("(r - 1) * 10000 div (nsrc - 1)"))
+      .withColumn("gpos", expr(s"1 + bp * (${n} - 1) div 10000"))
+    val globalSorted = docs
+      .select($"score".as("gscore"), $"doc_id".as("gdoc"))
+      .withColumn("gpos", row_number().over(
+        Window.orderBy($"gscore", $"gdoc")).cast("long"))
+      .select($"gpos", $"gscore")
+    srcRank.join(globalSorted, "gpos")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"score").as("sum_raw"),
+        sum($"gscore").as("sum_calibrated"),
+        min($"gscore").as("min_calibrated"),
+        max($"gscore").as("max_calibrated"))
+      .orderBy($"source")
+  }
+
+  val q169Oracle: String =
+    """WITH docs AS (
+         SELECT doc_id, source, n_chars AS score FROM documents),
+       nn AS (SELECT count(*) AS n FROM docs),
+       sr AS (
+         SELECT source, score,
+           1 + ((row_number() OVER (PARTITION BY source ORDER BY score, doc_id) - 1)
+                * 10000 // (count(*) OVER (PARTITION BY source) - 1))
+               * (n - 1) // 10000 AS gpos
+         FROM docs, nn),
+       gs AS (
+         SELECT row_number() OVER (ORDER BY score, doc_id) AS gpos,
+           score AS gscore
+         FROM docs)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(sr.score) AS BIGINT) AS sum_raw,
+         CAST(sum(gscore) AS BIGINT) AS sum_calibrated,
+         CAST(min(gscore) AS BIGINT) AS min_calibrated,
+         CAST(max(gscore) AS BIGINT) AS max_calibrated
+       FROM sr JOIN gs ON sr.gpos = gs.gpos
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_quantile_norm" -> q169QuantileNorm,
     "q161_power_iter" -> q161PowerIter,
     "q131_cdc_chunks" -> q131CdcChunks,
     "q91_doc_chunks" -> q91DocChunks,
@@ -340,6 +405,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_quantile_norm" -> q169Oracle,
     "q161_power_iter" -> q161Oracle,
     "q131_cdc_chunks" -> q131Oracle,
     "q91_doc_chunks" -> q91Oracle,
