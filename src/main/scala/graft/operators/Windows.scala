@@ -571,7 +571,55 @@ object Windows {
          CAST(max(late_us) AS BIGINT) AS max_late_us
        FROM lat GROUP BY 1 ORDER BY 1"""
 
+  /** Time-weighted average (q170) — TWAP over an irregular event
+    * series: a value is assumed to HOLD until the next observation, so
+    * the average weights each reading by the µs it was in force —
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) div (t_N−t₁) — not by its row count. The
+    * difference from a plain avg is exactly what sampling bias does to
+    * irregular telemetry (a burst of readings at one level would
+    * otherwise swamp the quiet majority). Milli-quantized values ×
+    * µs durations stay < 2⁶³ for spans up to ~10⁵ years; the final
+    * div is nonneg/nonneg (both-engine truncation agreement).
+    *
+    * One shuffle (partitionBy user), one lead() pass, one partial agg
+    * — the same O(1)-state-per-stream shape as q121. */
+  def q170Twap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        floor($"value" * 1000).cast("long").as("vm"))
+      .withColumn("nxt", lead($"us", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_holds"),
+        (max($"nxt") - min($"us")).as("span_us"),
+        sum($"vm" * ($"nxt" - $"us")).as("vt_sum"),
+        sum($"vm").as("vm_sum"))
+      .select($"user_id", $"n_holds", $"span_us",
+        expr("vt_sum div span_us").as("twap_milli"),
+        expr("vm_sum div n_holds").as("avg_milli"))
+      .orderBy($"user_id")
+  }
+
+  val q170Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(floor(value * 1000) AS BIGINT) AS vm
+         FROM events),
+       h AS (
+         SELECT user_id, us, vm,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+         FROM t)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+         CAST(max(nxt) - min(us) AS BIGINT) AS span_us,
+         CAST(sum(vm * (nxt - us)) AS BIGINT) // (max(nxt) - min(us)) AS twap_milli,
+         CAST(sum(vm) AS BIGINT) // count(*) AS avg_milli
+       FROM h WHERE nxt IS NOT NULL
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_twap" -> q170Twap,
     "q166_lateness_audit" -> q166LatenessAudit,
     "q156_ewma" -> q156Ewma,
     "q121_anomalies" -> q121Anomalies,
@@ -591,6 +639,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_twap" -> q170Oracle,
     "q166_lateness_audit" -> q166Oracle,
     "q156_ewma" -> q156Oracle,
     "q121_anomalies" -> q121Oracle,
