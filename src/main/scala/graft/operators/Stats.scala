@@ -673,6 +673,51 @@ object Stats {
          exact_distinct
        FROM kth CROSS JOIN ex"""
 
+  /** Benford first-digit audit (q171): the leading-digit distribution
+    * of order values in cents against Benford's law P(d) = log₁₀(1 +
+    * 1/d) — the classic screen for fabricated or truncated numeric
+    * data (naturally-arising multi-magnitude amounts follow it;
+    * synthetic uniform data, like this testdata, deliberately does
+    * NOT — the audit exists to expose exactly that, and the per-digit
+    * deviation column shows it). The leading digit is extracted
+    * arithmetically-by-rendering (first char of the integer's decimal
+    * string — identical in any engine, no float log10 involved);
+    * expected masses are shared ⌊log₁₀(1+1/d)·10⁶⌋ ppm literals.
+    *
+    * One scan, one 9-group partial agg — audit-shaped at any scale. */
+  def q171Benford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val bexpr = element_at(array(benford.map(lit): _*), $"digit".cast("int"))
+    Tables.orders(s, d)
+      .select(substring(($"o_totalprice".cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over())
+      .select($"digit", $"n",
+        expr("n * 1000000 div total").as("observed_ppm"),
+        bexpr.as("benford_ppm"),
+        abs(expr("n * 1000000 div total") - bexpr).as("abs_dev_ppm"))
+      .orderBy($"digit")
+  }
+
+  val q171Oracle: String =
+    """WITH dg AS (
+         SELECT CAST(substr(CAST(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)
+             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         FROM orders),
+       c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       b AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+               (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+               (9, 45757)) v(digit, benford_ppm))
+       SELECT c.digit, n, n * 1000000 // total AS observed_ppm,
+         CAST(benford_ppm AS BIGINT) AS benford_ppm,
+         abs(n * 1000000 // total - benford_ppm) AS abs_dev_ppm
+       FROM c JOIN b ON c.digit = b.digit CROSS JOIN t
+       ORDER BY c.digit"""
+
   /** Deterministic Poisson bootstrap (q167): 5–95% confidence
     * intervals for the per-priority mean order value from B = 32
     * replicates, with NO resampling shuffle — the distributed
@@ -975,6 +1020,7 @@ object Stats {
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_benford" -> q171Benford,
     "q167_poisson_bootstrap" -> q167PoissonBootstrap,
     "q162_median_of_medians" -> q162MedianOfMedians,
     "q155_kmv_jaccard" -> q155KmvJaccard,
@@ -996,6 +1042,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_benford" -> q171Oracle,
     "q167_poisson_bootstrap" -> q167Oracle,
     "q162_median_of_medians" -> q162Oracle,
     "q155_kmv_jaccard" -> q155Oracle,
