@@ -221,4 +221,50 @@ class DocStreamsSpec extends SparkSpec {
       assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
     } finally q.stop()
   }
+
+  test("foreachBatch gold-table sink is idempotent under duplicate delivery") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.documents(spark, d)
+    val want = docs.select($"doc_id", $"source").collect().map(_.toSeq).toSet
+
+    // stage with OVERLAP: batch b2 redelivers part of b1 (at-least-once
+    // delivery), so a blind-append sink would double-count
+    val staged = java.nio.file.Files.createTempDirectory("docs_gold_src")
+    docs.filter($"doc_id" % 3 =!= 2).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    docs.filter($"doc_id" % 3 =!= 0).coalesce(1) // % 3 == 1 delivered twice
+      .write.parquet(staged.resolve("b2").toString)
+    java.nio.file.Files.walk(staged.resolve("b2")).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 60000))
+    }
+    val gold = java.nio.file.Files.createTempDirectory("docs_gold").toString
+    val q = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/*")
+      .select($"doc_id", $"source")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // merge-by-key upsert: old gold ∪ batch, deduped on doc_id —
+        // replayed rows collapse instead of appending
+        val existing =
+          try spark.read.parquet(s"$gold/t").collect().toSeq
+          catch { case _: Throwable => Seq.empty }
+        val merged = (existing ++ batch.collect().toSeq)
+          .map(r => r.getLong(0) -> r).toMap.values.toSeq
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(merged), batch.schema)
+          .write.mode("overwrite").parquet(s"$gold/t")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$gold/t").collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"missing=${(want -- got).size} extra=${(got -- want).size}")
+    } finally q.stop()
+  }
 }
