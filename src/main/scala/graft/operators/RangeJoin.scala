@@ -91,11 +91,97 @@ object RangeJoin {
        FROM p JOIN w ON p.ts >= w.w_start AND p.ts < w.w_end
        ORDER BY w_id, p_id"""
 
+  /** Interval × interval OVERLAP join (inner), the sibling of
+    * [[bucketed]] for two interval sides: `[aS, aE)` overlaps
+    * `[bS, bE)` iff `aS < bE && bS < aE`. Both sides explode into the
+    * buckets they cover, equi-join on bucket, re-check the exact
+    * predicate — and dedup is BY CONSTRUCTION, no distinct pass: a
+    * pair is kept only in the bucket containing `greatest(aS, bS)`
+    * (the overlap's start, which both intervals cover), so every
+    * overlapping pair survives in exactly one bucket. Bounds in µs
+    * epoch columns (already-extracted longs, unlike [[bucketed]]'s
+    * timestamp columns). */
+  def overlapBucketed(a: DataFrame, b: DataFrame,
+                      aS: Column, aE: Column, bS: Column, bE: Column,
+                      bucketUs: Long): DataFrame = {
+    val ax = a.filter(aE > aS).withColumn("_ov_b",
+      explode(expr(s"sequence(${aS} div $bucketUs, (${aE} - 1) div $bucketUs)")))
+    val bx = b.filter(bE > bS).withColumn("_ov_b",
+      explode(expr(s"sequence(${bS} div $bucketUs, (${bE} - 1) div $bucketUs)")))
+    ax.join(bx,
+        ax("_ov_b") === bx("_ov_b") &&
+          aS < bE && bS < aE &&
+          greatest(aS, bS) === ax("_ov_b") * bucketUs +
+            pmod(greatest(aS, bS), lit(bucketUs)))
+      .drop("_ov_b")
+  }
+
+  /** Concurrent-session analysis (q172): gap-sessionize every user
+    * (q23's 30-min idiom), then count, per day, the CROSS-USER session
+    * pairs whose time ranges overlap and their total pairwise overlap
+    * µs — the interval×interval overlap join [[overlapBucketed]]
+    * implements without a nested loop. The canonical-bucket rule keeps
+    * each pair once; the oracle runs the quadratic inequality join
+    * directly (fine single-node, the shape we specifically avoid
+    * distributed). Bucket = 1 h ≈ session scale → fan-out ~2. */
+  def q172IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us")
+    val sess = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("brk",
+        when($"prev".isNull || $"us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s_us"), (max($"us") + 1000000L).as("e_us"))
+      .localCheckpoint() // both sides of the self-overlap-join
+    val a = sess.select($"user_id".as("u1"), $"s_us".as("s1"), $"e_us".as("e1"))
+    val b = sess.select($"user_id".as("u2"), $"s_us".as("s2"), $"e_us".as("e2"))
+    overlapBucketed(a, b, $"s1", $"e1", $"s2", $"e2", 3600000000L)
+      .filter($"u1" < $"u2")
+      .select(to_date(timestamp_micros(greatest($"s1", $"s2"))).as("day"),
+        (least($"e1", $"e2") - greatest($"s1", $"s2")).as("ov_us"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ov_us").as("sum_overlap_us"))
+      .orderBy($"day")
+  }
+
+  val q172Oracle: String =
+    """WITH t AS (
+         SELECT user_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+             AS prev
+         FROM events),
+       m AS (
+         SELECT user_id, us,
+           sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM t),
+       sess AS (
+         SELECT user_id, sid, min(us) AS s_us, max(us) + 1000000 AS e_us
+         FROM m GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.user_id AS u1, b.user_id AS u2,
+           greatest(a.s_us, b.s_us) AS os, least(a.e_us, b.e_us) AS oe
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id
+          AND a.s_us < b.e_us AND b.s_us < a.e_us)
+       SELECT CAST(make_timestamp(os) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(oe - os) AS BIGINT) AS sum_overlap_us
+       FROM pairs GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_interval_overlap" -> q172IntervalOverlap,
     "q64_range_join" -> q64RangeJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_interval_overlap" -> q172Oracle,
     "q64_range_join" -> q64Oracle,
   )
 }

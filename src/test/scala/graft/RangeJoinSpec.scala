@@ -69,4 +69,29 @@ class RangeJoinSpec extends SparkSpec {
     // window 11 is empty and must match nothing (not explode negatively)
     assert(got == Set((10L, 1L)))
   }
+
+  test("overlapBucketed == direct inequality join; duplicate-free across buckets") {
+    val g = 100L // tiny bucket so real overlaps span MANY buckets
+    val mk = Seq(
+      (1L, 0L, 1000L),    // spans 10 buckets
+      (2L, 950L, 2000L),  // overlaps 1 in bucket 9, spans 11
+      (3L, 1000L, 1100L), // TOUCHES 1 (half-open: no overlap), overlaps 2
+      (4L, 5000L, 5001L), // isolated sliver
+      (5L, 0L, 2500L))    // overlaps 1, 2, 3 (whole span)
+    val a = mk.toDF("id1", "s1", "e1")
+    val b = mk.toDF("id2", "s2", "e2")
+    val got = RangeJoin.overlapBucketed(a, b,
+        $"s1", $"e1", $"s2", $"e2", g)
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicates even though overlaps span many buckets
+    assert(got.length == got.toSet.size, s"duplicates: ${got.toSeq}")
+    val want = (for {
+      (i, s1, e1) <- mk; (j, s2, e2) <- mk
+      if i < j && s1 < e2 && s2 < e1
+    } yield (i, j)).toSet
+    assert(got.toSet == want, s"got ${got.toSet} want $want")
+    assert(want == Set((1L, 2L), (2L, 3L), (1L, 5L), (2L, 5L), (3L, 5L)))
+  }
 }
