@@ -311,6 +311,79 @@ object Corpus {
        SELECT bigram, CAST(count(*) AS BIGINT) AS n
        FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** Greedy set cover for data selection (q173): which sources to
+    * license/ingest to maximize distinct-shingle coverage — the
+    * facility-location shape behind coverage-based corpus selection
+    * (greedy is the canonical (1−1/e)-approximation; each round picks
+    * the source adding the most NOT-YET-COVERED shingles). Two rounds
+    * materialized: round 1 is a plain distinct count; round 2 counts
+    * each source's shingles anti-joined against the winner's set —
+    * the marginal-gain computation that makes greedy different from
+    * "top-k by size" (a big source nearly identical to the winner
+    * gains ~nothing in round 2).
+    *
+    * Scale shape per round: one (source, h) dedup shuffle, an
+    * anti-join on h against the accumulated covered set (hash join,
+    * not broadcast — the covered set grows corpus-sized), and a
+    * dimension-sized argmax. Rounds beyond the first reuse the same
+    * checkpointed pair relation. */
+  def q173GreedyCover(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"source",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("h"))
+      .distinct()
+      .localCheckpoint() // both greedy rounds read it
+    val total = sh.select($"h").distinct().count()
+    val r1 = sh.groupBy($"source").agg(count(lit(1)).as("gain"))
+      .orderBy($"gain".desc, $"source").limit(1)
+      .select(lit(1L).as("round"), $"source", $"gain")
+    val w1 = r1.select($"source".as("ws")).collect().head.getString(0)
+    val coveredH = sh.filter($"source" === w1).select($"h")
+    val r2 = sh.filter($"source" =!= w1)
+      .join(coveredH, Seq("h"), "left_anti")
+      .groupBy($"source").agg(count(lit(1)).as("gain"))
+      .orderBy($"gain".desc, $"source").limit(1)
+      .select(lit(2L).as("round"), $"source", $"gain")
+    r1.unionByName(r2)
+      .withColumn("total_distinct", lit(total))
+      .withColumn("cum_coverage_bp", expr(
+        "sum(gain) OVER (ORDER BY round) * 10000 div total_distinct"))
+      .orderBy($"round")
+  }
+
+  val q173Oracle: String =
+    """WITH tk AS (
+         SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT source, ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
+         FROM (
+           SELECT source, unnest(
+             CASE WHEN len(tk) >= 3
+                  THEN list_transform(generate_series(1, len(tk)-2),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                  ELSE [] END) AS sg
+           FROM tk)),
+       tot AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS total FROM sh),
+       r1 AS (
+         SELECT 1 AS round, source, CAST(count(*) AS BIGINT) AS gain
+         FROM sh GROUP BY 2 ORDER BY gain DESC, source LIMIT 1),
+       r2 AS (
+         SELECT 2 AS round, s.source, CAST(count(*) AS BIGINT) AS gain
+         FROM sh s
+         WHERE s.source <> (SELECT source FROM r1)
+           AND NOT EXISTS (SELECT 1 FROM sh w
+                           WHERE w.source = (SELECT source FROM r1)
+                             AND w.h = s.h)
+         GROUP BY 2 ORDER BY gain DESC, s.source LIMIT 1),
+       u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+       SELECT CAST(round AS BIGINT) AS round, source, gain,
+         total AS total_distinct,
+         CAST(sum(gain) OVER (ORDER BY round) * 10000 // total AS BIGINT)
+           AS cum_coverage_bp
+       FROM u CROSS JOIN tot ORDER BY round"""
+
   /** Sliding-window DISTINCT (q160): distinct active users over a
     * trailing 7-day window, per day — the aggregation windows can't
     * express (distinct doesn't decompose over a sliding frame) and
@@ -1164,6 +1237,7 @@ object Corpus {
        FROM vol CROSS JOIN l CROSS JOIN s CROSS JOIN u"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_greedy_cover" -> q173GreedyCover,
     "q160_sliding_distinct" -> q160SlidingDistinct,
     "q159_phrase_search" -> q159PhraseSearch,
     "q144_dataset_card" -> q144DatasetCard,
@@ -1187,6 +1261,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_greedy_cover" -> q173Oracle,
     "q160_sliding_distinct" -> q160Oracle,
     "q159_phrase_search" -> q159Oracle,
     "q144_dataset_card" -> q144Oracle,
