@@ -201,22 +201,29 @@ object Graph {
     val edges = edgesIn.toDF("src", "dst")
       .repartition($"src")
       .localCheckpoint()
-    var visited = seeds.select($"node", lit(0L).as("dist")).localCheckpoint()
-    var frontier = visited
+    // visited = the accumulated per-round frontiers. Each frontier is
+    // checkpointed ONCE when produced; the running union of ≤ maxHops
+    // flat checkpoints needs no re-checkpoint per round (the earlier
+    // union-and-recheckpoint form paid a second materialization job
+    // every round — pure per-round floor, ~20% of q150 at sf0.1).
+    var frontiers = List(
+      seeds.select($"node", lit(0L).as("dist")).localCheckpoint())
+    var frontier = frontiers.head
     var hop = 0
     while (hop < maxHops && frontier.limit(1).count() > 0) {
       hop += 1
+      val visitedNodes = frontiers.map(_.select($"node".as("vn")))
+        .reduce(_ union _)
       val next = edges
         .join(broadcast(frontier), edges("src") === frontier("node"))
         .select($"dst".as("node")).distinct()
-        .join(broadcast(visited.select($"node".as("vn"))),
-          $"node" === $"vn", "left_anti")
+        .join(broadcast(visitedNodes), $"node" === $"vn", "left_anti")
         .select($"node", lit(hop.toLong).as("dist"))
         .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+      frontiers ::= next
       frontier = next
     }
-    visited
+    frontiers.reduce(_ union _)
   }
 
   val q150Oracle: String =
