@@ -311,6 +311,47 @@ object Corpus {
        SELECT bigram, CAST(count(*) AS BIGINT) AS n
        FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** Path-hierarchy prefix rollup (q174): every URL path contributes a
+    * row to EACH of its ancestor prefixes (/src, /src/catN,
+    * /src/catN/lang) — the filesystem-tree accounting pattern (crawl
+    * budgets, storage rollups) computed by a bounded prefix EXPLODE +
+    * one hash aggregation instead of a recursive hierarchy join: depth
+    * is a constant (3 here), so the fan-out is 3× and every subtree
+    * total lands in the same single pass. The q118 Z-order note's
+    * cousin: hierarchy questions become flat group-bys once the key
+    * encodes the ancestry. */
+  def q174PathRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = concat(lit("/"), $"source", lit("/cat"),
+      ($"doc_id" % 7).cast("string"), lit("/"), $"lang",
+      lit("/doc"), $"doc_id".cast("string"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", split(path, "/").as("segs"))
+      .select($"doc_id", $"n_chars", explode(expr(
+        """transform(sequence(1, 3),
+             i -> struct(i AS depth,
+                         concat('/', array_join(slice(segs, 2, i), '/'))
+                           AS prefix))""")).as("p"))
+      .groupBy($"p.depth".as("depth"), $"p.prefix".as("prefix"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"depth", $"prefix")
+  }
+
+  val q174Oracle: String =
+    """WITH p AS (
+         SELECT doc_id, n_chars,
+           string_split('/' || source || '/cat' || (doc_id % 7) || '/' ||
+             lang || '/doc' || doc_id, '/') AS segs
+         FROM documents),
+       x AS (
+         SELECT n_chars, u.depth,
+           '/' || array_to_string(segs[2 : 1 + u.depth], '/') AS prefix
+         FROM p, unnest(generate_series(1, 3)) AS u(depth))
+       SELECT CAST(depth AS BIGINT) AS depth, prefix,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Greedy set cover for data selection (q173): which sources to
     * license/ingest to maximize distinct-shingle coverage — the
     * facility-location shape behind coverage-based corpus selection
@@ -1237,6 +1278,7 @@ object Corpus {
        FROM vol CROSS JOIN l CROSS JOIN s CROSS JOIN u"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_path_rollup" -> q174PathRollup,
     "q173_greedy_cover" -> q173GreedyCover,
     "q160_sliding_distinct" -> q160SlidingDistinct,
     "q159_phrase_search" -> q159PhraseSearch,
@@ -1261,6 +1303,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_path_rollup" -> q174Oracle,
     "q173_greedy_cover" -> q173Oracle,
     "q160_sliding_distinct" -> q160Oracle,
     "q159_phrase_search" -> q159Oracle,
