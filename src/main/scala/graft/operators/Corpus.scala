@@ -311,6 +311,60 @@ object Corpus {
        SELECT bigram, CAST(count(*) AS BIGINT) AS n
        FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** Source-concentration audit (q175): how dominated is the corpus by
+    * its largest sources? — the diversity check run before mixing
+    * weights are chosen (q85/q101's input). Reports the Pareto point
+    * (fewest sources holding ≥ 80% of tokens, via a cumulative-share
+    * window over the source ranking) and the Herfindahl–Hirschman
+    * index Σ shareᵢ² — integer ppm end to end: shares in bp, HHI as
+    * Σ bp² div 10⁴ so both engines agree bit-for-bit. One partial-agg
+    * pass over the corpus, then dimension-sized windows. */
+  def q175Concentration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bySource = Tables.documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("tok"))
+    val ranked = bySource
+      .withColumn("total", sum($"tok").over())
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"tok".desc, $"source")).cast("long"))
+      .withColumn("cum", sum($"tok").over(
+        Window.orderBy($"tok".desc, $"source")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val pareto = ranked.filter($"cum" * 5 >= $"total" * 4)
+      .agg(min($"rk").as("k80"))
+    val hhi = ranked
+      .select(expr("tok * 10000 div total").as("share_bp"))
+      .agg(expr("sum(share_bp * share_bp) div 10000").as("hhi_ppm_scaled"),
+        count(lit(1)).as("n_sources"),
+        max($"share_bp").as("top_share_bp"))
+    hhi.crossJoin(pareto)
+      .select($"n_sources", $"top_share_bp", $"hhi_ppm_scaled", $"k80")
+  }
+
+  val q175Oracle: String =
+    """WITH b AS (
+         SELECT source,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             t -> t <> ''))) AS BIGINT) AS tok
+         FROM documents GROUP BY 1),
+       r AS (
+         SELECT source, tok,
+           CAST(sum(tok) OVER () AS BIGINT) AS total,
+           CAST(row_number() OVER (ORDER BY tok DESC, source) AS BIGINT) AS rk,
+           CAST(sum(tok) OVER (ORDER BY tok DESC, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM b),
+       pareto AS (SELECT min(rk) AS k80 FROM r WHERE cum * 5 >= total * 4),
+       hhi AS (
+         SELECT CAST(sum(share_bp * share_bp) AS BIGINT) // 10000
+             AS hhi_ppm_scaled,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(max(share_bp) AS BIGINT) AS top_share_bp
+         FROM (SELECT tok * 10000 // total AS share_bp FROM r))
+       SELECT n_sources, top_share_bp, hhi_ppm_scaled, k80
+       FROM hhi CROSS JOIN pareto"""
+
   /** Path-hierarchy prefix rollup (q174): every URL path contributes a
     * row to EACH of its ancestor prefixes (/src, /src/catN,
     * /src/catN/lang) — the filesystem-tree accounting pattern (crawl
@@ -1278,6 +1332,7 @@ object Corpus {
        FROM vol CROSS JOIN l CROSS JOIN s CROSS JOIN u"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_concentration" -> q175Concentration,
     "q174_path_rollup" -> q174PathRollup,
     "q173_greedy_cover" -> q173GreedyCover,
     "q160_sliding_distinct" -> q160SlidingDistinct,
@@ -1303,6 +1358,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_concentration" -> q175Oracle,
     "q174_path_rollup" -> q174Oracle,
     "q173_greedy_cover" -> q173Oracle,
     "q160_sliding_distinct" -> q160Oracle,
