@@ -346,7 +346,100 @@ object Quality {
        SELECT lang, source, o, contrib_micro, chi2_micro, n_cells
        FROM cells CROSS JOIN tot ORDER BY lang, source"""
 
+  /** Calibration / reliability audit (ECE) of the q31-style heuristic
+    * quality score against the q77 LM-surprisal gate — the check a
+    * curation pipeline runs before using a cheap score as a sampling
+    * weight: per score-decile, does the FRACTION of docs the expensive
+    * gate accepts track the score itself? q139 answers "do the two
+    * gates agree" with one κ; this emits the reliability table (which
+    * score band over/under-promises) plus the expected-calibration-
+    * error summary — the actionable version.
+    *
+    * Parity: the score is q139's integer permille composite (range
+    * [0,3000), binned by `div 300` into deciles), the label is q139's
+    * gate B verbatim, and both per-bin rates are ppm floor-divisions of
+    * exact counts (n_pos·10⁶ div n_b; s_sum·10⁶ div (3000·n_b)) — all
+    * ≤ 1.5·10¹² so 64-bit integer division is exact and identical to
+    * DuckDB's `//`. ECE is the n_b-weighted mean |acc−conf| in ppm,
+    * again one integer division.
+    *
+    * Shape: ONE corpus tokenization feeds both gates (the q139
+    * checkpoint trick); everything after the per-doc join groups into
+    * ≤ 10 bin rows — the reduction is all partial-agg, and the final
+    * ECE rides a broadcast of the 10-row bin relation. */
+  def q176Calibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val score = tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"), count(lit(1)).as("uniq"),
+        sum(when($"term".isin(stop.map(lit): _*), $"tf").otherwise(lit(0L)))
+          .as("nstop"))
+      .select($"doc_id",
+        (least($"n_tok", lit(100)) * 10
+          + (lit(1000) - floor($"nstop" * lit(1000) / $"n_tok").cast("long"))
+          + floor($"uniq" * lit(1000) / $"n_tok").cast("long")).as("score"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    val label = tf.join(tc, "term").crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"t" * lit(1.0)) / $"cnt") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"tf" * $"s_micro") / sum($"tf") <= lit(3401500))
+        .cast("long").as("y"))
+    val bins = score.join(label, "doc_id")
+      .groupBy(expr("score div 300").as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum($"y").as("n_pos"),
+        sum($"score").as("s_sum"))
+      .withColumn("acc_ppm", expr("n_pos * 1000000 div n_b"))
+      .withColumn("conf_ppm", expr("s_sum * 1000000 div (3000 * n_b)"))
+    val ece = bins
+      .agg(sum($"n_b").as("n"),
+        sum($"n_b" * abs($"acc_ppm" - $"conf_ppm")).as("dev"))
+      .select(expr("dev div n").as("ece_ppm"))
+    bins.crossJoin(broadcast(ece))
+      .select($"bin", $"n_b", $"n_pos", $"acc_ppm", $"conf_ppm", $"ece_ppm")
+      .orderBy($"bin")
+  }
+
+  val q176Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       sc AS (
+         SELECT doc_id,
+           CAST(least(sum(tf), 100) * 10
+             + (1000 - CAST(floor(sum(CASE WHEN term IN ('the','a','of','and','in','to')
+                                           THEN tf ELSE 0 END) * 1000.0 / sum(tf)) AS BIGINT))
+             + CAST(floor(count(*) * 1000.0 / sum(tf)) AS BIGINT) AS BIGINT) AS score
+         FROM tf GROUP BY 1),
+       tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+       gb AS (
+         SELECT doc_id,
+           CAST(sum(tf * CAST(floor(ln((t * 1.0) / cnt) * 1000000.0) AS BIGINT)) * 1.0
+             / sum(tf) <= 3401500 AS BIGINT) AS y
+         FROM tf JOIN tc USING (term) CROSS JOIN tot GROUP BY 1),
+       b AS (
+         SELECT score // 300 AS bin, CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(score) AS BIGINT) AS s_sum
+         FROM sc JOIN gb USING (doc_id) GROUP BY 1),
+       bb AS (
+         SELECT bin, n_b, n_pos, n_pos * 1000000 // n_b AS acc_ppm,
+           s_sum * 1000000 // (3000 * n_b) AS conf_ppm
+         FROM b),
+       e AS (SELECT CAST(sum(n_b * abs(acc_ppm - conf_ppm)) // sum(n_b) AS BIGINT) AS ece_ppm
+             FROM bb)
+       SELECT bin, n_b, n_pos, acc_ppm, conf_ppm, ece_ppm
+       FROM bb CROSS JOIN e ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_calibration" -> q176Calibration,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
@@ -355,6 +448,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_calibration" -> q176Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.functions.Fns._
@@ -1019,7 +1020,68 @@ object Stats {
        FROM lineitem CROSS JOIN (VALUES (2500),(5000),(7500),(9500)) p(phi_bp)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Lag-1..7 autocorrelation (ACF) of the daily-revenue series — the
+    * time-series health check behind seasonality detection and
+    * forecasting-feature selection (a strong lag-7 spike = weekly
+    * cycle; all-lags-near-zero = the series is noise and a forecast
+    * adds nothing).
+    *
+    * Parity: the series is whole-dollar daily sums (floor() BEFORE the
+    * bigint cast on both sides — Spark's decimal→long cast truncates
+    * while DuckDB's rounds, so the floor is load-bearing), centered on
+    * the FLOOR mean (one integer division — exact cross-engine, unlike
+    * the rational mean). With |y| ≤ ~10⁷ over ~2.4k days, Σy² ≤ ~10¹⁸
+    * stays in int64; the final ratio is floor(num·10⁴/den) evaluated in
+    * IEEE doubles with an identical expression tree on both sides.
+    *
+    * Shape: one orders scan → per-day partial agg (~2.4k rows); the
+    * unpartitioned ordered window runs over that day-level relation,
+    * not the fact table (the q117 histogram argument — at 100 TB the
+    * day relation is still tiny because the calendar is). One window
+    * pass produces all 7 lag columns; the 7 (num, den) sums reduce to
+    * a single row, exploded back to 7 output rows. */
+  def q177Acf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lags = 1 to 7
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+    val tot = daily.agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+    val y = daily.crossJoin(broadcast(tot))
+      .select($"day", ($"x" - expr("sx div n")).as("y"))
+    val w = Window.orderBy($"day")
+    val lagged = y.select(($"y" +: lags.map(k => lag($"y", k).over(w).as(s"y$k"))): _*)
+    val moments = lagged.agg(sum($"y" * $"y").as("den"),
+      lags.map(k => sum($"y" * col(s"y$k")).as(s"num$k")): _*)
+    moments
+      .select(posexplode(array(lags.map(k => col(s"num$k")): _*))
+        .as(Seq("pos", "num")), $"den")
+      .select(($"pos" + 1).cast("long").as("lag"), $"num", $"den",
+        floor($"num" * lit(10000.0) / $"den").cast("long").as("acf_bp"))
+      .orderBy($"lag")
+  }
+
+  val q177Oracle: String = {
+    val lagCols = (1 to 7).map(k => s"lag(y, $k) OVER (ORDER BY day) AS y$k").mkString(", ")
+    val numCols = (1 to 7).map(k => s"CAST(sum(y * y$k) AS BIGINT) AS num$k").mkString(", ")
+    val arms = (1 to 7).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, num$k AS num, den FROM a")
+      .mkString(" UNION ALL ")
+    s"""WITH daily AS (
+         SELECT o_orderdate AS day,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n FROM daily),
+       y AS (SELECT day, x - (sx // n) AS y FROM daily CROSS JOIN tot),
+       l AS (SELECT y, $lagCols FROM y),
+       a AS (SELECT CAST(sum(y * y) AS BIGINT) AS den, $numCols FROM l)
+       SELECT lag, num, den,
+         CAST(floor(num * 10000.0 / den) AS BIGINT) AS acf_bp
+       FROM ($arms) ORDER BY lag"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_acf" -> q177Acf,
     "q171_benford" -> q171Benford,
     "q167_poisson_bootstrap" -> q167PoissonBootstrap,
     "q162_median_of_medians" -> q162MedianOfMedians,
@@ -1042,6 +1104,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q177_acf" -> q177Oracle,
     "q171_benford" -> q171Oracle,
     "q167_poisson_bootstrap" -> q167Oracle,
     "q162_median_of_medians" -> q162Oracle,

@@ -53,6 +53,24 @@ class QualitySpec extends SparkSpec {
     assert(row.getAs[Long]("skew_bp") == 10000L * mx * nKeys / nRows)
   }
 
+  test("q176: bins partition the scored docs; rates in [0,1e6]; ECE is the weighted mean dev") {
+    val got = operators.Quality.q176Calibration(spark, d).collect()
+    assert(got.nonEmpty)
+    val nDocs = graft.io.Tables.documents(spark, d)
+      .filter(length(trim($"text")) > 0).count()
+    assert(got.map(_.getAs[Long]("n_b")).sum == nDocs, "bins must partition the corpus")
+    got.foreach { r =>
+      assert(r.getAs[Long]("acc_ppm") >= 0L && r.getAs[Long]("acc_ppm") <= 1000000L)
+      assert(r.getAs[Long]("conf_ppm") >= 0L && r.getAs[Long]("conf_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_b"))
+    }
+    // ECE recomputed from the published bins
+    val n = got.map(_.getAs[Long]("n_b")).sum
+    val dev = got.map(r => r.getAs[Long]("n_b") *
+      math.abs(r.getAs[Long]("acc_ppm") - r.getAs[Long]("conf_ppm"))).sum
+    assert(got.forall(_.getAs[Long]("ece_ppm") == dev / n))
+  }
+
   test("q118: each z-bucket is a bounded 2-D tile (both key ranges < 256)") {
     val got = operators.Quality.q118Zorder(spark, d).collect()
     assert(got.nonEmpty)

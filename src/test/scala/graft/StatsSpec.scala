@@ -8,6 +8,31 @@ import graft.operators.Stats
   * tolerance than the query's 10% emergency bound). */
 class StatsSpec extends SparkSpec {
 
+  test("q177: 7 lags, |acf| bounded by Cauchy-Schwarz, lag-1 matches brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q177Acf(spark, d).collect()
+    assert(got.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    val den = got.head.getAs[Long]("den")
+    assert(den > 0L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("den") == den, "den is lag-independent")
+      assert(math.abs(r.getAs[Long]("acf_bp")) <= 10000L)
+      assert(r.getAs[Long]("acf_bp") ==
+        math.floor(r.getAs[Long]("num") * 10000.0 / den).toLong)
+    }
+    // brute-force lag-1 numerator on the collected daily series
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy($"o_orderdate").agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .orderBy($"o_orderdate").select($"x").as[Long].collect()
+    val m = daily.sum / daily.length
+    val y = daily.map(_ - m)
+    val num1 = y.iterator.zip(y.iterator.drop(1)).map { case (a, b) => a * b }.sum
+    assert(got.find(_.getAs[Long]("lag") == 1L).get.getAs[Long]("num") == num1)
+    assert(den == y.map(v => v * v).sum)
+  }
+
   test("approx_count_distinct bound booleans hold at sf0.001") {
     val r = Stats.q58ApproxDistinct(spark, "/root/testdata/sf0.001").head()
     assert(r.getAs[Boolean]("parts_within_10pct"),
