@@ -513,6 +513,47 @@ object Relational {
            WHERE o_orderpriority = '1-URGENT')
        ORDER BY c_custkey"""
 
+  /** Correlated LATERAL subquery (q178): per-nation top-3 customers by
+    * balance, written as a dependent join in SQL text — the remaining
+    * subquery surface after q151's EXISTS/IN/scalar trio. A LATERAL
+    * derived table may reference the outer row, and this one carries
+    * the hard decorrelation case: ORDER BY + LIMIT UNDER the
+    * correlation, where Catalyst must rewrite per-outer-row semantics
+    * into a window (rank ≤ 3 per nation) over one customer scan
+    * (DecorrelateInnerQuery's domain-join + limit→window rewrite; a
+    * naive engine re-runs a top-3 sort of customer per nation row).
+    * Same scale story as q151: 25 nested sorts at reference scale, a
+    * nested loop over every outer row at 100 TB, versus one shuffle
+    * here. Determinism: balance ties broken by c_name; money exact in
+    * decimal, cast to double only at output. */
+  def q178Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT n_name, c_name,
+           CAST(CAST(bal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+         FROM nation_v n,
+         LATERAL (
+           SELECT c_name, c_acctbal AS bal
+           FROM customer_v c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_name
+           LIMIT 3) t
+         ORDER BY n_name, acctbal DESC, c_name""")
+  }
+
+  val q178Oracle: String =
+    """SELECT n_name, c_name,
+       CAST(CAST(bal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+       FROM nation n,
+       LATERAL (
+         SELECT c_name, c_acctbal AS bal
+         FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name
+         LIMIT 3) t
+       ORDER BY n_name, acctbal DESC, c_name"""
+
   /** Relational division (q168): "parts shipped by suppliers in ALL
     * regions" — the ∀-quantified join (Codd's division) the rest of
     * the join family can't express directly. SQL's textbook form is a
@@ -718,6 +759,7 @@ object Relational {
     "q163_table_fingerprint" -> q163TableFingerprint,
     "q158_star_revenue" -> q158StarRevenue,
     "q154_null_semantics" -> q154NullSemantics,
+    "q178_lateral" -> q178Lateral,
     "q151_subqueries" -> q151Subqueries,
     "q110_sql_surface" -> q110SqlSurface,
     "q108_snapshot_diff" -> q108SnapshotDiff,
@@ -740,6 +782,7 @@ object Relational {
     "q163_table_fingerprint" -> q163Oracle,
     "q158_star_revenue" -> q158Oracle,
     "q154_null_semantics" -> q154Oracle,
+    "q178_lateral" -> q178Oracle,
     "q151_subqueries" -> q151Oracle,
     "q110_sql_surface" -> q110Oracle,
     "q108_snapshot_diff" -> q108Oracle,

@@ -47,4 +47,31 @@ class SmokeSpec extends SparkSpec {
     val phys = hinted.queryExecution.executedPlan.toString
     assert(phys.contains("LeftSemi"), s"part prune not a semi join:\n$phys")
   }
+
+  test("q178: LATERAL top-3 decorrelates to one windowed customer scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Relational.q178Lateral(spark, d)
+    // semantics: equals the explicit window rewrite
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_name")
+    val want = graft.io.Tables.customer(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .join(graft.io.Tables.nation(spark, d), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_name",
+        $"c_acctbal".cast("decimal(18,2)").cast("double").as("acctbal"))
+    assert(got.collect().toSeq.map(_.toSeq).toSet ==
+      want.collect().toSeq.map(_.toSeq).toSet)
+    // plan: the per-outer-row LIMIT became a Window; customer scanned once
+    // AQE prints Final + Initial sections; count scans in the final only
+    val phys = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(phys.contains("Window"), s"no window decorrelation:\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"nested-loop residue:\n$phys")
+    val scans = "Scan parquet".r.findAllIn(phys).length
+    assert(scans == 2, s"expected 2 scans (nation, customer), got $scans:\n$phys")
+  }
 }
