@@ -299,7 +299,67 @@ object Graph {
        SELECT part, rk, partner, n_co FROM rk WHERE rk <= 3
        ORDER BY part, rk"""
 
+  /** Degree assortativity of the part→supplier bipartite graph: the
+    * Pearson correlation, across EDGES, between the two endpoint
+    * degrees — do well-connected parts ship through well-connected
+    * suppliers (r>0), or do hubs pair with leaves (r<0, the typical
+    * supply-chain / web shape)? The sign decides real strategy: a
+    * disassortative dedup graph means cluster sizes are hub-driven and
+    * salting the hot key (q87) is mandatory; an assortative one
+    * shuffles evenly. Also emits max degree per side (the hub size the
+    * skew planner needs).
+    *
+    * Parity: all six moments (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    * int64 sums over integer degrees (bounds: every product n·Σ ≲
+    * 10¹⁷ at sf0.1 — inside int64); r_bp is ONE shared expression
+    * tree of IEEE ops (int64→double conversions, two sqrt, one
+    * division, floor) — each correctly rounded, so both engines land
+    * the identical basis point.
+    *
+    * Shape: edge dedup is one shuffle; each endpoint degree is a COUNT
+    * window over the edge list itself partitioned on that endpoint
+    * (the q82 trick — no degree-table self-joins), so two further
+    * exchanges of the edge list; the moment reduce is partial-agg to
+    * ONE row. The join formulation would shuffle exactly as much and
+    * add two joins. */
+  def q179Assortativity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val edges = Tables.lineitem(s, d)
+      .select($"l_partkey".as("src"), $"l_suppkey".as("dst"))
+      .distinct()
+    edges
+      .withColumn("x", count(lit(1)).over(w.partitionBy($"src")))
+      .withColumn("y", count(lit(1)).over(w.partitionBy($"dst")))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"),
+        max($"x").as("max_pdeg"), max($"y").as("max_sdeg"))
+      .select($"n".as("n_edges"), $"max_pdeg", $"max_sdeg",
+        floor((($"n" * $"sxy" - $"sx" * $"sy") * lit(10000.0)) /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx") * lit(1.0)) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy") * lit(1.0))))
+          .cast("long").as("r_bp"))
+  }
+
+  val q179Oracle: String =
+    """WITH edges AS (
+         SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       dp AS (SELECT src, CAST(count(*) AS BIGINT) AS x FROM edges GROUP BY 1),
+       ds AS (SELECT dst, CAST(count(*) AS BIGINT) AS y FROM edges GROUP BY 1),
+       e AS (SELECT x, y FROM edges JOIN dp USING (src) JOIN ds USING (dst)),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(max(x) AS BIGINT) AS max_pdeg, CAST(max(y) AS BIGINT) AS max_sdeg
+             FROM e)
+       SELECT n AS n_edges, max_pdeg, max_sdeg,
+         CAST(floor(((n*sxy - sx*sy) * 10000.0) /
+           (sqrt((n*sxx - sx*sx) * 1.0) * sqrt((n*syy - sy*sy) * 1.0))) AS BIGINT) AS r_bp
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_assortativity" -> q179Assortativity,
     "q157_copurchase" -> q157CoPurchase,
     "q150_bfs_hops" -> q150BfsHops,
     "q82_pagerank_step" -> q82PagerankStep,
@@ -307,6 +367,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_assortativity" -> q179Oracle,
     "q157_copurchase" -> q157Oracle,
     "q150_bfs_hops" -> q150Oracle,
     "q82_pagerank_step" -> q82Oracle,

@@ -190,4 +190,28 @@ class GraphSpec extends SparkSpec {
       .count()
     assert(direct == nCo, s"weight mismatch: $direct vs $nCo")
   }
+
+  test("q179: assortativity matches driver-side brute force; |r| bounded") {
+    val d = "/root/testdata/sf0.001"
+    val row = operators.Graph.q179Assortativity(spark, d).collect().head
+    assert(math.abs(row.getAs[Long]("r_bp")) <= 10000L)
+    // brute force on the collected edge list
+    val edges = graft.io.Tables.lineitem(spark, d)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val dp = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ds = edges.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val xy = edges.map { case (p, sp) => (dp(p), ds(sp)) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, syy) = (xy.map(v => v._1 * v._1).sum, xy.map(v => v._2 * v._2).sum)
+    val sxy = xy.map(v => v._1 * v._2).sum
+    assert(row.getAs[Long]("n_edges") == n)
+    assert(row.getAs[Long]("max_pdeg") == xy.map(_._1).max)
+    assert(row.getAs[Long]("max_sdeg") == xy.map(_._2).max)
+    val want = math.floor(((n * sxy - sx * sy) * 10000.0) /
+      (math.sqrt((n * sxx - sx * sx) * 1.0) *
+        math.sqrt((n * syy - sy * sy) * 1.0))).toLong
+    assert(row.getAs[Long]("r_bp") == want)
+  }
 }
