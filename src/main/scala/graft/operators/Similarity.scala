@@ -843,7 +843,111 @@ object Similarity {
        WHERE est.rn <= 5
        ORDER BY est.qid, est.rn"""
 
+  /** Graded ANN-index evaluation: recall@10 AND nDCG@10 of the IVF
+    * index (q48's candidate generation, rank-10 cut) against the
+    * brute-force ground truth (q46's exact top-10) — per query. q105
+    * audits the index's internal geometry (occupancy, centroid fit);
+    * this measures what the user feels: how many true neighbors the
+    * index returns, and — the part recall alone misses — whether they
+    * surface at the TOP of the list (nDCG discounts a hit at rank 8
+    * to ~a third of a hit at rank 1). The standard accept/reject gate
+    * before swapping an exact pipeline for an approximate one.
+    *
+    * Parity: relevance is binary membership in the exact top-10; the
+    * rank discounts 1/log₂(i+1) are micro-unit INTEGER LITERALS
+    * computed once in Scala and embedded in both the plan and the
+    * oracle SQL (so no runtime transcendentals anywhere); DCG sums and
+    * the final ppm ratio are exact integer ops.
+    *
+    * Shape: ground truth is the q46 broadcast-queries pass over the
+    * corpus (no corpus shuffle); candidates are the q48 cell-local
+    * join; the eval join probes 10·|queries| candidate rows against
+    * 10·|queries| truth rows — evaluation cost is query-bounded, NOT
+    * corpus-bounded, so the same audit runs unchanged against a
+    * billion-vector corpus. */
+  def q180NdcgEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+    val wts = (1 to 10).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val idcg = wts.sum
+    val q = quantized(s, d)
+    // exact ground truth (q46): broadcast the query set over the corpus
+    val qs = q.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))
+    val corpus = q.select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"))
+    val truth = corpus.join(broadcast(qs), $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 10)
+      .select($"qid", $"cid", lit(1L).as("hit"))
+    // index candidates (q48): cell-restricted, same rank key, top-10
+    val assigned = ivfAssigned(q, ivfCentroids(q))
+    val qrs = assigned.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"), $"cell")
+    val corp = assigned.select($"vec_id".as("cid"), $"qa".as("cv2"),
+      $"n2".as("cn2"), $"cell".as("ccell"))
+    val cand = qrs.join(corp, $"cell" === $"ccell" && $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv2"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn2)"))
+      .withColumn("rn", row_number().over(
+        win.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 10)
+      .select($"qid", $"cid", $"rn")
+    cand.join(truth, Seq("qid", "cid"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy($"qid")
+      .agg(sum($"hit").as("n_hits"),
+        sum($"hit" * element_at(array(wts.map(lit): _*), $"rn".cast("int")))
+          .as("dcg_w"))
+      .select($"qid", $"n_hits", ($"n_hits" * 1000).as("recall_bp"),
+        expr(s"dcg_w * 1000000 div $idcg").as("ndcg_ppm"))
+      .orderBy($"qid")
+  }
+
+  val q180Oracle: String =
+    {
+      val wts = (1 to 10).map(i =>
+        math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+      val idcg = wts.sum
+      s"""WITH $ivfAssignWith,
+       tscored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       truth AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+           FROM tscored WHERE num > 0) WHERE rn <= 10),
+       cscored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn2
+         FROM cells a JOIN cells b
+           ON a.cell = b.cell AND a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       cand AS (
+         SELECT qid, cid, rn FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+           FROM cscored WHERE num > 0) WHERE rn <= 10),
+       j AS (
+         SELECT c.qid, c.rn,
+           CASE WHEN t.cid IS NULL THEN 0 ELSE 1 END AS hit
+         FROM cand c LEFT JOIN truth t ON c.qid = t.qid AND c.cid = t.cid)
+       SELECT qid, CAST(sum(hit) AS BIGINT) AS n_hits,
+         CAST(sum(hit) * 1000 AS BIGINT) AS recall_bp,
+         CAST(sum(hit * ([${wts.mkString(",")}])[rn]) * 1000000 // $idcg AS BIGINT) AS ndcg_ppm
+       FROM j GROUP BY qid ORDER BY qid"""
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_ndcg_eval" -> q180NdcgEval,
     "q165_pq_adc" -> q165PqAdc,
     "q137_bitext_margin" -> q137BitextMargin,
     "q132_label_silhouette" -> q132LabelSilhouette,
@@ -860,6 +964,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_ndcg_eval" -> q180Oracle,
     "q165_pq_adc" -> q165Oracle,
     "q137_bitext_margin" -> q137Oracle,
     "q132_label_silhouette" -> q132Oracle,

@@ -290,4 +290,25 @@ class RetrievalSpec extends SparkSpec {
     assert(overlaps.sum >= 7, s"recall collapsed: ${overlaps.sum}/25")
     assert(exact5.count() > 0) // brute-force baseline still alive
   }
+
+  test("q180: nDCG/recall bounded, consistent, and hits agree with q46 truth") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Similarity.q180NdcgEval(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (hits, ndcg) = (r.getAs[Long]("n_hits"), r.getAs[Long]("ndcg_ppm"))
+      assert(hits >= 0L && hits <= 10L)
+      assert(r.getAs[Long]("recall_bp") == hits * 1000L)
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      assert((hits == 0L) == (ndcg == 0L), s"hits/ndcg inconsistent: $r")
+    }
+    // per-query hit count can never exceed the truth-set size for that
+    // query (q46 at rn<=10 IS the truth list)
+    val truthSizes = operators.Similarity.q46AnnTopK(spark, d)
+      .groupBy($"qid").count().as[(Long, Long)].collect().toMap
+    got.foreach { r =>
+      val q = r.getAs[Long]("qid")
+      assert(r.getAs[Long]("n_hits") <= truthSizes.getOrElse(q, 0L))
+    }
+  }
 }
