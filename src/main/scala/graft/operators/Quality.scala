@@ -438,7 +438,75 @@ object Quality {
        SELECT bin, n_b, n_pos, acc_ppm, conf_ppm, ece_ppm
        FROM bb CROSS JOIN e ORDER BY bin"""
 
+  /** Zone-map / data-skipping audit: for a predicate `shipdate >= m`,
+    * how many 256-row files could min/max statistics let the scan SKIP
+    * — under the table's NATURAL write order versus a shipdate-sorted
+    * rewrite? A file is prunable iff its max_shipdate < m (the parquet
+    * row-group / Iceberg-manifest rule). The natural layout of this
+    * data is date-uncorrelated, so its curve sits at ~0 across the
+    * calendar; the sorted layout prunes in proportion to the threshold
+    * — the GAP between the two curves is the exact number this audit
+    * exists to produce: the scan savings a `repartitionByRange(sort
+    * key)` rewrite would buy, measured BEFORE paying to rewrite 100 TB
+    * (the decision-side companion to q118's Z-order tiles and
+    * `LayoutSpec`'s real PartitionFilters).
+    *
+    * Parity & shape: both layouts are simulated with explicit
+    * row_number assignments (natural = (orderkey, linenumber) order,
+    * sorted = (shipdate, orderkey, linenumber) — fully tiebroken, so
+    * file membership is deterministic cross-engine), collapsed to one
+    * stats row per file; the 12-probe grid runs over the stats
+    * relation only. The global windows here are simulation artifacts —
+    * a real audit reads footer stats, never the data; everything
+    * downstream of the per-file collapse is stats-sized at any scale. */
+  def q181ZonemapAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = (1 to 12).map(m => f"1997-$m%02d-01")
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+      .withColumn("nat_f", expr(s"(row_number() over (order by l_orderkey, l_linenumber) - 1) div 256"))
+      .withColumn("srt_f", expr(s"(row_number() over (order by l_shipdate, l_orderkey, l_linenumber) - 1) div 256"))
+    val natFiles = li.groupBy($"nat_f").agg(max($"l_shipdate").as("max_sd"))
+    val srtFiles = li.groupBy($"srt_f").agg(max($"l_shipdate").as("max_sd"))
+    def curve(files: DataFrame, label: String): DataFrame =
+      files.select($"max_sd", explode(array(probes.map(lit): _*)).as("probe"))
+        .groupBy($"probe")
+        .agg(count(lit(1)).as("n_files"),
+          sum(($"max_sd" < $"probe".cast("timestamp")).cast("long"))
+            .as(s"pruned_$label"))
+    curve(natFiles, "nat")
+      .join(curve(srtFiles, "srt"), Seq("probe", "n_files"))
+      .select($"probe", $"n_files", $"pruned_nat", $"pruned_srt",
+        expr("pruned_nat * 10000 div n_files").as("nat_bp"),
+        expr("pruned_srt * 10000 div n_files").as("srt_bp"))
+      .orderBy($"probe")
+  }
+
+  val q181Oracle: String = {
+    val probeList = (1 to 12).map(m => f"('1997-$m%02d-01')").mkString(",")
+    s"""WITH li AS (
+         SELECT l_shipdate,
+           (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 256 AS nat_f,
+           (row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1) // 256 AS srt_f
+         FROM lineitem),
+       nf AS (SELECT nat_f, max(l_shipdate) AS max_sd FROM li GROUP BY 1),
+       sf AS (SELECT srt_f, max(l_shipdate) AS max_sd FROM li GROUP BY 1),
+       nc AS (
+         SELECT probe, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN max_sd < CAST(probe AS TIMESTAMP) THEN 1 ELSE 0 END) AS BIGINT) AS pruned_nat
+         FROM nf CROSS JOIN (VALUES $probeList) p(probe) GROUP BY 1),
+       sc AS (
+         SELECT probe, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN max_sd < CAST(probe AS TIMESTAMP) THEN 1 ELSE 0 END) AS BIGINT) AS pruned_srt
+         FROM sf CROSS JOIN (VALUES $probeList) p(probe) GROUP BY 1)
+       SELECT probe, n_files, pruned_nat, pruned_srt,
+         pruned_nat * 10000 // n_files AS nat_bp,
+         pruned_srt * 10000 // n_files AS srt_bp
+       FROM nc JOIN sc USING (probe, n_files) ORDER BY probe"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_zonemap_audit" -> q181ZonemapAudit,
     "q176_calibration" -> q176Calibration,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
@@ -448,6 +516,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_zonemap_audit" -> q181Oracle,
     "q176_calibration" -> q176Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,

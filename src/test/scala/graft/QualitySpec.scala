@@ -71,6 +71,32 @@ class QualitySpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("ece_ppm") == dev / n))
   }
 
+  test("q181: sorted layout dominates natural; curves monotone; sorted prunes") {
+    val got = operators.Quality.q181ZonemapAudit(spark, d).collect()
+    assert(got.length == 12)
+    val nFiles = got.head.getAs[Long]("n_files")
+    assert(got.forall(_.getAs[Long]("n_files") == nFiles))
+    // month-start probes ascend → both curves must be non-decreasing
+    val nat = got.map(_.getAs[Long]("pruned_nat"))
+    val srt = got.map(_.getAs[Long]("pruned_srt"))
+    assert(nat.sameElements(nat.sorted) && srt.sameElements(srt.sorted))
+    got.foreach { r =>
+      assert(r.getAs[Long]("pruned_srt") <= nFiles)
+      // on a date-sorted layout the prunable file set for a range
+      // predicate is maximal — it can never lose to the natural order
+      assert(r.getAs[Long]("pruned_srt") >= r.getAs[Long]("pruned_nat"))
+      assert(r.getAs[Long]("srt_bp") == r.getAs[Long]("pruned_srt") * 10000 / nFiles)
+    }
+    // exactness on the sorted layout: a file is fully below the probe
+    // iff its last (256th) row is, so pruned_srt == ⌊rows_below/256⌋
+    val dec = got.last
+    val below = graft.io.Tables.lineitem(spark, d)
+      .filter($"l_shipdate" < lit("1997-12-01").cast("timestamp")).count()
+    assert(dec.getAs[Long]("pruned_srt") == below / 256,
+      s"pruned_srt=${dec.getAs[Long]("pruned_srt")} below=$below")
+    assert(dec.getAs[Long]("pruned_srt") > 0L, "audit measured nothing")
+  }
+
   test("q118: each z-bucket is a bounded 2-D tile (both key ranges < 256)") {
     val got = operators.Quality.q118Zorder(spark, d).collect()
     assert(got.nonEmpty)
