@@ -223,7 +223,98 @@ object Behavior {
          CAST(sum(t_micro) AS BIGINT) > 100000 AS drifted
        FROM t GROUP BY 1 ORDER BY 1"""
 
+  /** Apriori step: frequent BRAND triples in order baskets, counted
+    * the apriori way — candidates are generated ONLY from frequent
+    * pairs ((a,b)∧(a,c)∧(b,c) all frequent ⇒ (a,b,c) is a candidate;
+    * downward closure makes that lossless), and the basket pass counts
+    * ONLY those candidates. That pruning is the whole algorithm: brands
+    * give a 25-symbol alphabet, but at catalog scale the unpruned
+    * triple space is |items|³ while candidates stay ~|frequent pairs|·k.
+    *
+    * Shape: ONE basket materialization (groupBy ord → sorted distinct
+    * brand array, the q157 HOF trick — no self-joins of the fact
+    * table); pairs and triples both explode from the SAME basket
+    * relation with index-nested `transform`s (i<j<k, so each set is
+    * emitted exactly once, already canonically ordered); the candidate
+    * set is dimension-sized and broadcast into a semi-join BEFORE the
+    * triple groupBy, so the shuffle carries candidate triples only.
+    * Support thresholds are integer permille comparisons (support·10³ ≥
+    * 3·n_baskets, one minsup across levels — exact cross-engine).
+    *
+    * Honest note on THIS corpus: brand baskets are uniform, so at 3‰
+    * every pair is frequent (pair floor ≈13‰) and level-2 pruning
+    * passes the full candidate grid — the level-3 support cut is the
+    * selective one (~57% of triples fail it at sf0.01). The machinery
+    * is what's under test; on a skewed real catalog the level-2 prune
+    * is where the |items|³ → |candidates| collapse happens. Output:
+    * candidate triples meeting minsup, plus the basket denominator. */
+  def q182AprioriTriples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ord"), $"p_brand".as("b"))
+      .groupBy($"ord").agg(array_sort(collect_set($"b")).as("bs"))
+      .localCheckpoint() // feeds the pair pass, the triple pass, and n
+    val nB = baskets.agg(count(lit(1)).as("n_baskets"))
+    val pairs = baskets.filter(size($"bs") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(bs)-2), i ->
+             transform(sequence(i+1, size(bs)-1), j ->
+               struct(bs[i] AS b1, bs[j] AS b2))))""")).as("p"))
+      .groupBy($"p.b1".as("b1"), $"p.b2".as("b2"))
+      .agg(count(lit(1)).as("sup"))
+    val fp = pairs.crossJoin(broadcast(nB))
+      .filter($"sup" * 1000 >= lit(3) * $"n_baskets")
+      .select($"b1", $"b2")
+    // candidate generation: join frequent pairs sharing the first item,
+    // then require the closing (b2, b3) pair to be frequent too
+    val cand = fp.as("x").join(fp.as("y"), $"x.b1" === $"y.b1" && $"x.b2" < $"y.b2")
+      .select($"x.b1".as("b1"), $"x.b2".as("b2"), $"y.b2".as("b3"))
+      .join(fp.select($"b1".as("b2"), $"b2".as("b3")), Seq("b2", "b3"), "left_semi")
+      .select($"b1", $"b2", $"b3")
+    baskets.filter(size($"bs") >= 3)
+      .select(explode(expr(
+        """flatten(flatten(transform(sequence(0, size(bs)-3), i ->
+             transform(sequence(i+1, size(bs)-2), j ->
+               transform(sequence(j+1, size(bs)-1), k ->
+                 struct(bs[i] AS b1, bs[j] AS b2, bs[k] AS b3))))))""")).as("t"))
+      .select($"t.b1".as("b1"), $"t.b2".as("b2"), $"t.b3".as("b3"))
+      .join(broadcast(cand), Seq("b1", "b2", "b3"), "left_semi")
+      .groupBy($"b1", $"b2", $"b3").agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nB))
+      .filter($"support" * 1000 >= lit(3) * $"n_baskets")
+      .select($"b1", $"b2", $"b3", $"support", $"n_baskets")
+      .orderBy($"support".desc, $"b1", $"b2", $"b3")
+  }
+
+  val q182Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, p_brand AS b
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       nb AS (SELECT CAST(count(DISTINCT ord) AS BIGINT) AS n_baskets FROM items),
+       fp AS (
+         SELECT a.b AS b1, c.b AS b2
+         FROM items a JOIN items c USING (ord)
+         WHERE a.b < c.b
+         GROUP BY 1, 2
+         HAVING CAST(count(*) AS BIGINT) * 1000 >= 3 * (SELECT n_baskets FROM nb)),
+       cand AS (
+         SELECT x.b1, x.b2, y.b2 AS b3
+         FROM fp x JOIN fp y ON x.b1 = y.b1 AND x.b2 < y.b2
+         WHERE EXISTS (SELECT 1 FROM fp z WHERE z.b1 = x.b2 AND z.b2 = y.b2)),
+       tri AS (
+         SELECT a.b AS b1, c.b AS b2, e.b AS b3, CAST(count(*) AS BIGINT) AS support
+         FROM items a JOIN items c USING (ord) JOIN items e USING (ord)
+         WHERE a.b < c.b AND c.b < e.b
+         GROUP BY 1, 2, 3)
+       SELECT t.b1, t.b2, t.b3, t.support, nb.n_baskets
+       FROM tri t JOIN cand USING (b1, b2, b3) CROSS JOIN nb
+       WHERE t.support * 1000 >= 3 * nb.n_baskets
+       ORDER BY t.support DESC, t.b1, t.b2, t.b3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_apriori_triples" -> q182AprioriTriples,
     "q128_psi_drift" -> q128PsiDrift,
     "q113_attribution" -> q113Attribution,
     "q114_transitions" -> q114Transitions,
@@ -231,6 +322,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_apriori_triples" -> q182Oracle,
     "q128_psi_drift" -> q128Oracle,
     "q113_attribution" -> q113Oracle,
     "q114_transitions" -> q114Oracle,

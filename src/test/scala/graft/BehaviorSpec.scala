@@ -164,4 +164,37 @@ class BehaviorSpec extends SparkSpec {
       }
     }
   }
+
+  test("q182: triples canonical, above minsup, and equal to brute-force counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q182AprioriTriples(spark, d).collect()
+    assert(got.nonEmpty)
+    val nB = got.head.getAs[Long]("n_baskets")
+    got.foreach { r =>
+      val (b1, b2, b3) = (r.getAs[String]("b1"), r.getAs[String]("b2"), r.getAs[String]("b3"))
+      assert(b1 < b2 && b2 < b3, s"not canonical: $r")
+      assert(r.getAs[Long]("support") * 1000 >= 3 * nB)
+    }
+    // brute force over collected baskets
+    val baskets = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.part(spark, d), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (_, v) => v.map(_._2).sorted.toVector }
+    assert(nB == baskets.size)
+    val counts = scala.collection.mutable.Map[(String, String, String), Long]()
+    baskets.foreach { bs =>
+      for (i <- bs.indices; j <- (i + 1) until bs.size; k <- (j + 1) until bs.size)
+        counts((bs(i), bs(j), bs(k))) = counts.getOrElse((bs(i), bs(j), bs(k)), 0L) + 1
+    }
+    val want = counts.filter { case (_, c) => c * 1000 >= 3 * nB }
+    assert(got.length == want.size,
+      s"row count ${got.length} != brute-force ${want.size}")
+    got.foreach { r =>
+      val key = (r.getAs[String]("b1"), r.getAs[String]("b2"), r.getAs[String]("b3"))
+      assert(want(key) == r.getAs[Long]("support"), s"support mismatch at $key")
+    }
+  }
 }
