@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

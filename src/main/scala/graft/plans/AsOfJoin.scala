@@ -110,6 +110,46 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer integration for the custom node: Catalyst's own
+  * PushDownPredicates only understands built-in operators, so a Filter
+  * written ABOVE an as-of join (`AsOf.join(...).filter(...)`) would
+  * otherwise run after the two shuffles and the merge — at 100 TB that
+  * is the difference between shuffling the filtered slice and shuffling
+  * the whole fact table, and it silently severs the chain to parquet
+  * PushedFilters (FileSourceStrategy can only collect predicates that
+  * sit over the scan).
+  *
+  * Soundness: an as-of join emits EXACTLY ONE output row per left row,
+  * computed independently of every other left row — so any
+  * deterministic predicate over left-side columns commutes with the
+  * join. Right-side (or mixed) predicates do NOT: dropping a right row
+  * changes which row is "latest at-or-before" for the lefts behind it,
+  * so they stay above the join (same reason outer-join pushdown rules
+  * never push into the preserved side's opposite). Non-deterministic
+  * predicates never move (standard Catalyst contract).
+  *
+  * Injected via [[graft.functions.GraftExtensions]]
+  * (`injectOptimizerRule`, the user-provided batch — runs to fixpoint,
+  * and this rule is convergent: after one firing the residual Filter
+  * contains no pushable conjunct). */
+object PushFilterThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j @ AsOfJoin(l, _, _, _, _, _)) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(l.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), l))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, lt, rk, rt) =>

@@ -66,4 +66,48 @@ class AsOfSpec extends SparkSpec {
     // SortExec directly over the node consumes UnsafeRow too
     assert(j.orderBy($"event_id").limit(5).collect().length == 5)
   }
+
+  test("PushFilterThroughAsOfJoin: left predicates sink, right predicates stay") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"ts".as("c_ts"))
+      .groupBy($"c_user", $"c_ts").agg(max($"click_id").as("click_id"))
+    // mixed conjunction: value>40 is left-side (pushable), click_id
+    // is right-side (must NOT move — it would change match selection
+    // if misclassified, and as a null filter it post-filters the
+    // outer join's null rows)
+    val q = AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "c_ts")
+      .filter($"value" > 40.0 && $"click_id".isNotNull)
+    val opt = q.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: graft.plans.AsOfJoin => j }
+    assert(joins.size == 1, s"expected one AsOfJoin:\n$opt")
+    val j = joins.head
+    // the pushable conjunct landed inside the join's left subtree...
+    val leftFilters = j.left.collect { case f: LFilter => f.condition.sql }
+    assert(leftFilters.exists(_.contains("value")),
+      s"value predicate not pushed below the as-of join:\n$opt")
+    // ...the right-side conjunct did not sink anywhere
+    assert(!j.left.collect { case f: LFilter => f.condition.sql }
+      .exists(_.contains("click_id")), s"right predicate illegally pushed:\n$opt")
+    assert(!j.right.collect { case f: LFilter => f.condition.sql }
+      .exists(_.contains("click_id")), s"right predicate illegally pushed right:\n$opt")
+    // and it survives above the join
+    val above = opt.collect { case f: LFilter
+        if f.condition.sql.contains("click_id") => f }
+    assert(above.nonEmpty, s"click_id filter vanished:\n$opt")
+    // semantics: identical to filtering the left input by hand
+    val manual = AsOf.join(purchases.filter($"value" > 40.0), clicks,
+      "user_id", "ts", "c_user", "c_ts")
+      .filter($"click_id".isNotNull)
+      .select($"user_id", $"event_id", $"click_id")
+      .collect().map(_.toSeq).toSet
+    val got = q.select($"user_id", $"event_id", $"click_id")
+      .collect().map(_.toSeq).toSet
+    assert(got == manual)
+    assert(got.nonEmpty)
+  }
 }
