@@ -451,58 +451,75 @@ object Quality {
     * (the decision-side companion to q118's Z-order tiles and
     * `LayoutSpec`'s real PartitionFilters).
     *
-    * Parity & shape: both layouts are simulated with explicit
-    * row_number assignments (natural = (orderkey, linenumber) order,
-    * sorted = (shipdate, orderkey, linenumber) — fully tiebroken, so
-    * file membership is deterministic cross-engine), collapsed to one
-    * stats row per file; the 12-probe grid runs over the stats
-    * relation only. The global windows here are simulation artifacts —
-    * a real audit reads footer stats, never the data; everything
-    * downstream of the per-file collapse is stats-sized at any scale. */
+    * Parity & shape — both curves are SHUFFLE-LIGHT by construction,
+    * no global sort anywhere:
+    *  - natural files are 64-orderkey write batches (what an appending
+    *    writer produces); their max-stat table is one partial-agg
+    *    groupBy on `l_orderkey div 64`, and the 12-probe grid runs over
+    *    that stats relation only — a real audit reads footer stats,
+    *    never data, and this is its exact dataflow.
+    *  - the sorted layout needs no simulation at all: with 256-row
+    *    files in shipdate order, a file is entirely below probe m iff
+    *    its last row is, so pruned(m) = ⌊|rows < m|/256⌋ EXACTLY and
+    *    n_files = ⌈n/256⌉ — twelve conditional sums in ONE pass over
+    *    the scan. (Simulating with a global row_number measured 2.2 s
+    *    at sf0.1 and would single-partition at scale; the closed form
+    *    is both exact and free.)
+    * Both sides emit bp fractions (integer div) since the two layouts
+    * have different file counts. */
   def q181ZonemapAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val probes = (1 to 12).map(m => f"1997-$m%02d-01")
-    val li = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
-      .withColumn("nat_f", expr(s"(row_number() over (order by l_orderkey, l_linenumber) - 1) div 256"))
-      .withColumn("srt_f", expr(s"(row_number() over (order by l_shipdate, l_orderkey, l_linenumber) - 1) div 256"))
-    val natFiles = li.groupBy($"nat_f").agg(max($"l_shipdate").as("max_sd"))
-    val srtFiles = li.groupBy($"srt_f").agg(max($"l_shipdate").as("max_sd"))
-    def curve(files: DataFrame, label: String): DataFrame =
-      files.select($"max_sd", explode(array(probes.map(lit): _*)).as("probe"))
-        .groupBy($"probe")
-        .agg(count(lit(1)).as("n_files"),
-          sum(($"max_sd" < $"probe".cast("timestamp")).cast("long"))
-            .as(s"pruned_$label"))
-    curve(natFiles, "nat")
-      .join(curve(srtFiles, "srt"), Seq("probe", "n_files"))
-      .select($"probe", $"n_files", $"pruned_nat", $"pruned_srt",
-        expr("pruned_nat * 10000 div n_files").as("nat_bp"),
-        expr("pruned_srt * 10000 div n_files").as("srt_bp"))
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+    // natural layout: per-write-batch max stats, then the probe grid
+    val natFiles = li.groupBy(expr("l_orderkey div 64").as("nat_f"))
+      .agg(max($"l_shipdate").as("max_sd"))
+    val natCurve = natFiles
+      .select($"max_sd", explode(array(probes.map(lit): _*)).as("probe"))
+      .groupBy($"probe")
+      .agg(count(lit(1)).as("nat_files"),
+        sum(($"max_sd" < $"probe".cast("timestamp")).cast("long"))
+          .as("pruned_nat"))
+    // sorted layout: closed form from one multi-conditional-sum pass
+    val belowCols = probes.map(p =>
+      sum(($"l_shipdate" < lit(p).cast("timestamp")).cast("long"))
+        .as(s"below_$p"))
+    val srtCurve = li
+      .agg(count(lit(1)).as("n"), belowCols: _*)
+      .select(posexplode(array(probes.map(p => col(s"below_$p")): _*))
+        .as(Seq("pos", "below")), $"n")
+      .select(element_at(array(probes.map(lit): _*), $"pos" + 1).as("probe"),
+        expr("(n + 255) div 256").as("srt_files"),
+        expr("below div 256").as("pruned_srt"))
+    natCurve.join(srtCurve, "probe")
+      .select($"probe", $"nat_files", $"pruned_nat",
+        expr("pruned_nat * 10000 div nat_files").as("nat_bp"),
+        $"srt_files", $"pruned_srt",
+        expr("pruned_srt * 10000 div srt_files").as("srt_bp"))
       .orderBy($"probe")
   }
 
   val q181Oracle: String = {
     val probeList = (1 to 12).map(m => f"('1997-$m%02d-01')").mkString(",")
-    s"""WITH li AS (
-         SELECT l_shipdate,
-           (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 256 AS nat_f,
-           (row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1) // 256 AS srt_f
-         FROM lineitem),
-       nf AS (SELECT nat_f, max(l_shipdate) AS max_sd FROM li GROUP BY 1),
-       sf AS (SELECT srt_f, max(l_shipdate) AS max_sd FROM li GROUP BY 1),
+    val belowCols = (1 to 12).map(m =>
+      f"CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-$m%02d-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS b$m%02d")
+      .mkString(", ")
+    val belowArms = (1 to 12).map(m =>
+      f"SELECT '1997-$m%02d-01' AS probe, b$m%02d AS below, n FROM s").mkString(" UNION ALL ")
+    s"""WITH nf AS (
+         SELECT l_orderkey // 64 AS nat_f, max(l_shipdate) AS max_sd
+         FROM lineitem GROUP BY 1),
        nc AS (
-         SELECT probe, CAST(count(*) AS BIGINT) AS n_files,
+         SELECT probe, CAST(count(*) AS BIGINT) AS nat_files,
            CAST(sum(CASE WHEN max_sd < CAST(probe AS TIMESTAMP) THEN 1 ELSE 0 END) AS BIGINT) AS pruned_nat
          FROM nf CROSS JOIN (VALUES $probeList) p(probe) GROUP BY 1),
-       sc AS (
-         SELECT probe, CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(CASE WHEN max_sd < CAST(probe AS TIMESTAMP) THEN 1 ELSE 0 END) AS BIGINT) AS pruned_srt
-         FROM sf CROSS JOIN (VALUES $probeList) p(probe) GROUP BY 1)
-       SELECT probe, n_files, pruned_nat, pruned_srt,
-         pruned_nat * 10000 // n_files AS nat_bp,
-         pruned_srt * 10000 // n_files AS srt_bp
-       FROM nc JOIN sc USING (probe, n_files) ORDER BY probe"""
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n, $belowCols FROM lineitem),
+       sc AS (SELECT probe, below, n FROM ($belowArms))
+       SELECT probe, nat_files, pruned_nat,
+         pruned_nat * 10000 // nat_files AS nat_bp,
+         (n + 255) // 256 AS srt_files, below // 256 AS pruned_srt,
+         (below // 256) * 10000 // ((n + 255) // 256) AS srt_bp
+       FROM nc JOIN sc USING (probe) ORDER BY probe"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -71,30 +71,38 @@ class QualitySpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("ece_ppm") == dev / n))
   }
 
-  test("q181: sorted layout dominates natural; curves monotone; sorted prunes") {
+  test("q181: sorted layout beats natural; curves monotone; closed form exact") {
     val got = operators.Quality.q181ZonemapAudit(spark, d).collect()
     assert(got.length == 12)
-    val nFiles = got.head.getAs[Long]("n_files")
-    assert(got.forall(_.getAs[Long]("n_files") == nFiles))
+    val natFiles = got.head.getAs[Long]("nat_files")
+    val srtFiles = got.head.getAs[Long]("srt_files")
+    assert(got.forall(_.getAs[Long]("nat_files") == natFiles))
+    assert(got.forall(_.getAs[Long]("srt_files") == srtFiles))
     // month-start probes ascend → both curves must be non-decreasing
     val nat = got.map(_.getAs[Long]("pruned_nat"))
     val srt = got.map(_.getAs[Long]("pruned_srt"))
     assert(nat.sameElements(nat.sorted) && srt.sameElements(srt.sorted))
     got.foreach { r =>
-      assert(r.getAs[Long]("pruned_srt") <= nFiles)
-      // on a date-sorted layout the prunable file set for a range
-      // predicate is maximal — it can never lose to the natural order
-      assert(r.getAs[Long]("pruned_srt") >= r.getAs[Long]("pruned_nat"))
-      assert(r.getAs[Long]("srt_bp") == r.getAs[Long]("pruned_srt") * 10000 / nFiles)
+      assert(r.getAs[Long]("pruned_nat") <= natFiles)
+      assert(r.getAs[Long]("pruned_srt") <= srtFiles)
+      assert(r.getAs[Long]("nat_bp") ==
+        r.getAs[Long]("pruned_nat") * 10000 / natFiles)
+      assert(r.getAs[Long]("srt_bp") ==
+        r.getAs[Long]("pruned_srt") * 10000 / srtFiles)
     }
-    // exactness on the sorted layout: a file is fully below the probe
-    // iff its last (256th) row is, so pruned_srt == ⌊rows_below/256⌋
-    val dec = got.last
-    val below = graft.io.Tables.lineitem(spark, d)
+    // closed form: pruned_srt == ⌊rows_below/256⌋, srt_files == ⌈n/256⌉
+    val li = graft.io.Tables.lineitem(spark, d)
+    val n = li.count()
+    val below = li
       .filter($"l_shipdate" < lit("1997-12-01").cast("timestamp")).count()
+    val dec = got.last
+    assert(srtFiles == (n + 255) / 256)
     assert(dec.getAs[Long]("pruned_srt") == below / 256,
       s"pruned_srt=${dec.getAs[Long]("pruned_srt")} below=$below")
     assert(dec.getAs[Long]("pruned_srt") > 0L, "audit measured nothing")
+    // the layout dividend this audit exists to surface: on the
+    // date-uncorrelated natural layout, sorting wins outright
+    assert(dec.getAs[Long]("srt_bp") > dec.getAs[Long]("nat_bp"))
   }
 
   test("q118: each z-bucket is a bounded 2-D tile (both key ranges < 256)") {
