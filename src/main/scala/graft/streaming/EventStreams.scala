@@ -451,4 +451,54 @@ object EventStreams {
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  // ---- arbitrary state v2 (transformWithState / StatefulProcessor) ----
+
+  case class TypeTotals(event_type: String, n_events: Long, total_cents: Long)
+
+  /** Per-event-type running totals on the NEW arbitrary-state API
+    * (Spark 4 `transformWithState`): typed `ValueState` in the RocksDB
+    * state store (the API mandates that provider), explicit
+    * `TimeMode`/`TTLConfig`, update-mode re-emission of each key's
+    * totals per batch it appears in. Functional twin of the
+    * flatMapGroupsWithState family above — kept alongside it because
+    * v2 is where streaming state is headed (timers, composite state,
+    * TTL, initial state) while GroupState remains the v1 surface; the
+    * engine exercises both against the same batch oracle. Cents are
+    * integer (value·100 truncated) so cross-batch accumulation is
+    * exact — state carries no floats. */
+  class TypeTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), TypeTotals] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[TypeTotals] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += r._2 }
+      totals.update((n, cents))
+      Iterator.single(TypeTotals(key, n, cents))
+    }
+  }
+
+  /** Stream driver for [[TypeTotalsProcessor]] over a staged events
+    * dir. Callers must have the RocksDB state-store provider configured
+    * (StreamingSpec sets it on the runtime conf before starting). */
+  def typeTotalsStream(s: SparkSession, eventsDir: String): Dataset[TypeTotals] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .select($"event_type", ($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -435,4 +435,56 @@ class StreamingSpec extends SparkSpec {
       assert(snaps.map(_.getAs[Long]("n")).sum == n)
     } finally q.stop()
   }
+
+  test("transformWithState: v2 running totals converge to batch across microbatches") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    // two time-ordered microbatches
+    val staged = java.nio.file.Files.createTempDirectory("events_tws")
+    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter($"ts" <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter($"ts" > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+    // batch oracle with the identical cents expression
+    val batch = raw
+      .select($"event_type", ($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the v2 API requires the RocksDB state store provider
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStreams.typeTotalsStream(spark, s"$staged/*")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_out").start()
+    try {
+      q.processAllAvailable()
+      val updates = spark.table("tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(updates.nonEmpty)
+      // per key: updates are strictly increasing in n (state carried
+      // across batches, never reset), and the LAST update equals batch
+      updates.groupBy(_._1).foreach { case (k, rows) =>
+        val ns = rows.map(_._2).sorted
+        assert(ns.distinct.length == ns.length, s"$k: repeated totals $ns")
+        val (bn, bc) = batch(k)
+        assert(ns.last == bn, s"$k: final n ${ns.last} != batch $bn")
+        assert(rows.map(_._3).max == bc, s"$k: final cents != batch")
+      }
+      // every batch key reached the sink
+      assert(updates.map(_._1).toSet == batch.keySet)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
