@@ -618,7 +618,107 @@ object Windows {
        FROM h WHERE nxt IS NOT NULL
        GROUP BY 1 ORDER BY 1"""
 
+  /** Weekday seasonality index of order volume and revenue — the
+    * calendar profile behind staffing/capacity planning and the q177
+    * ACF's lag-7 reading: idx_bp = (per-weekday daily mean) / (overall
+    * daily mean) in basis points, for both order count and revenue.
+    * 10000 = flat; the synthetic corpus IS near-flat, which the spec
+    * pins as a weighted-mean invariant rather than assuming signal.
+    *
+    * Parity: day-of-week is ISO (Spark `weekday()+1` == DuckDB
+    * `isodow`, Monday=1 — neither engine's 0/1-Sunday default is
+    * portable); revenue in floor()ed whole dollars (Spark decimal→long
+    * casts truncate, DuckDB rounds — the explicit floor removes the
+    * difference); both index ratios are single identical IEEE
+    * expressions over exact int64 moments.
+    *
+    * Shape: fact scan → per-day partial agg (calendar-sized) → 7-row
+    * groupBy; the totals row is broadcast. Nothing after the first
+    * collapse is data-sized. */
+  def q183WeekdaySeasonality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(count(lit(1)).as("n_ord"),
+        sum(floor($"o_totalprice").cast("long")).as("rev"))
+      .withColumn("dow", (weekday($"day".cast("date")) + 1).cast("long"))
+    val tot = daily.agg(sum($"n_ord").as("n_tot"), sum($"rev").as("r_tot"),
+      count(lit(1)).as("d_tot"))
+    daily.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"n_ord").as("n_orders"),
+        sum($"rev").as("rev"))
+      .crossJoin(broadcast(tot))
+      .select($"dow", $"n_days", $"n_orders", $"rev",
+        floor($"n_orders" * $"d_tot" * lit(10000.0) / ($"n_days" * $"n_tot"))
+          .cast("long").as("vol_idx_bp"),
+        floor($"rev" * $"d_tot" * lit(10000.0) / ($"n_days" * $"r_tot"))
+          .cast("long").as("rev_idx_bp"))
+      .orderBy($"dow")
+  }
+
+  val q183Oracle: String =
+    """WITH daily AS (
+         SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n_ord,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+         FROM orders GROUP BY 1),
+       dd AS (SELECT isodow(CAST(day AS DATE)) AS dow, n_ord, rev FROM daily),
+       tot AS (SELECT CAST(sum(n_ord) AS BIGINT) AS n_tot,
+                 CAST(sum(rev) AS BIGINT) AS r_tot,
+                 CAST(count(*) AS BIGINT) AS d_tot FROM dd),
+       g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_ord) AS BIGINT) AS n_orders,
+               CAST(sum(rev) AS BIGINT) AS rev
+             FROM dd GROUP BY 1)
+       SELECT CAST(dow AS BIGINT) AS dow, n_days, n_orders, rev,
+         CAST(floor(n_orders * d_tot * 10000.0 / (n_days * n_tot)) AS BIGINT) AS vol_idx_bp,
+         CAST(floor(rev * d_tot * 10000.0 / (n_days * r_tot)) AS BIGINT) AS rev_idx_bp
+       FROM g CROSS JOIN tot ORDER BY dow"""
+
+  /** Year-over-year monthly revenue growth: monthly sums → lag-12 over
+    * the (tiny) month spine → growth in basis points, NULL for the
+    * first year (no comparable). The month relation is calendar-sized,
+    * so the unpartitioned lag window is safe at any scale (q117's
+    * histogram argument). Growth ratio is one identical IEEE floor
+    * both sides; months keyed as y*100+m integers.
+    *
+    * Assumes a CONTIGUOUS month spine (true of this data, pinned in
+    * BehaviorSpec): lag-12-rows == same-month-prior-year only without
+    * gaps — a sparse series must densify first (q109's spine) or join
+    * on ym−100 instead. */
+  def q185YoyGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate"))
+        .cast("long").as("ym"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy($"ym")
+    monthly
+      .withColumn("rev_prev", lag($"rev", 12).over(w))
+      .select($"ym", $"n_orders", $"rev", $"rev_prev",
+        when($"rev_prev".isNotNull,
+          floor(($"rev" - $"rev_prev") * lit(10000.0) / $"rev_prev")
+            .cast("long")).as("yoy_bp"))
+      .orderBy($"ym")
+  }
+
+  val q185Oracle: String =
+    """WITH m AS (
+         SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1),
+       l AS (SELECT ym, n_orders, rev,
+               lag(rev, 12) OVER (ORDER BY ym) AS rev_prev FROM m)
+       SELECT ym, n_orders, rev, rev_prev,
+         CASE WHEN rev_prev IS NOT NULL
+           THEN CAST(floor((rev - rev_prev) * 10000.0 / rev_prev) AS BIGINT)
+         END AS yoy_bp
+       FROM l ORDER BY ym"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_weekday_seasonality" -> q183WeekdaySeasonality,
+    "q185_yoy_growth" -> q185YoyGrowth,
     "q170_twap" -> q170Twap,
     "q166_lateness_audit" -> q166LatenessAudit,
     "q156_ewma" -> q156Ewma,
@@ -639,6 +739,8 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_weekday_seasonality" -> q183Oracle,
+    "q185_yoy_growth" -> q185Oracle,
     "q170_twap" -> q170Oracle,
     "q166_lateness_audit" -> q166Oracle,
     "q156_ewma" -> q156Oracle,

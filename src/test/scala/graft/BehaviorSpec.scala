@@ -165,6 +165,45 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q183: ISO dows partition the calendar; indexes average to par") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q183WeekdaySeasonality(spark, d).collect()
+    assert(got.map(_.getAs[Long]("dow")).toSeq == (1L to 7L))
+    val dTot = got.map(_.getAs[Long]("n_days")).sum
+    val nTot = got.map(_.getAs[Long]("n_orders")).sum
+    // weighted mean of the volume index is par (10000) up to floor loss
+    val wmean = got.map(r => r.getAs[Long]("n_days") * r.getAs[Long]("vol_idx_bp")).sum / dTot
+    assert(wmean <= 10000L && wmean >= 9993L, s"weighted mean $wmean")
+    // direct recompute of one row
+    val r = got.head
+    val want = math.floor(r.getAs[Long]("n_orders") * dTot * 10000.0 /
+      (r.getAs[Long]("n_days") * nTot)).toLong
+    assert(r.getAs[Long]("vol_idx_bp") == want)
+  }
+
+  test("q185: first 12 months have no comparable; growth recomputes exactly") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q185YoyGrowth(spark, d).collect()
+    assert(got.length >= 24, "need at least two years of months")
+    // months ascend and the first 12 lack a year-ago comparable
+    val yms = got.map(_.getAs[Long]("ym"))
+    assert(yms.sameElements(yms.sorted))
+    got.take(12).foreach(r => assert(r.isNullAt(r.fieldIndex("yoy_bp"))))
+    got.drop(12).foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("rev_prev")))
+      val want = math.floor((r.getAs[Long]("rev") - r.getAs[Long]("rev_prev")) *
+        10000.0 / r.getAs[Long]("rev_prev")).toLong
+      assert(r.getAs[Long]("yoy_bp") == want)
+    }
+    // lag-12 really is the same calendar month one year earlier
+    val revByYm = got.map(r => r.getAs[Long]("ym") -> r.getAs[Long]("rev")).toMap
+    got.drop(12).foreach { r =>
+      val prevYm = r.getAs[Long]("ym") - 100
+      assert(revByYm.get(prevYm).contains(r.getAs[Long]("rev_prev")),
+        s"ym ${r.getAs[Long]("ym")}: lag-12 is not $prevYm")
+    }
+  }
+
   test("q182: triples canonical, above minsup, and equal to brute-force counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
