@@ -313,7 +313,64 @@ object Behavior {
        WHERE t.support * 1000 >= 3 * nb.n_baskets
        ORDER BY t.support DESC, t.b1, t.b2, t.b3"""
 
+  /** Trending velocity (q190): last-30-day vs prior-30-day demand per
+    * brand, anchored at the data's max ship date — the "what's
+    * accelerating" report every storefront and every training-data
+    * source dashboard runs. A minimum prior-window support (≥2) keeps
+    * 0→1 noise out of the ranking; growth is floor((a−b)·10⁴/b) in
+    * IEEE doubles on BOTH sides because the numerator can be negative
+    * (Spark's integer `div` truncates toward zero, DuckDB's `//`
+    * floors — they disagree below zero; the shared double floor is the
+    * documented workaround).
+    *
+    * Shape: anchor max is a 1-row broadcast; the 14-day filter then
+    * collapses the scan into per-part conditional sums (one partial-agg
+    * shuffle); top-20 is TakeOrdered, no global sort. At 100 TB the
+    * anchor comes from table stats and the date filter prunes
+    * partitions — the dataflow below it is unchanged. */
+  def q190Trending(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_shipdate")
+    val mx = li.agg(max(to_date($"l_shipdate")).as("d_max"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("age", datediff($"d_max", to_date($"l_shipdate")))
+      .filter($"age" < 60)
+      .groupBy($"p_brand")
+      .agg(sum(($"age" < 30).cast("long")).as("cnt_recent"),
+        sum(($"age" >= 30).cast("long")).as("cnt_prior"))
+      .filter($"cnt_prior" >= 2)
+      .select($"p_brand", $"cnt_recent", $"cnt_prior",
+        floor(($"cnt_recent" - $"cnt_prior") * lit(10000.0) / $"cnt_prior")
+          .cast("long").as("growth_bp"))
+      .orderBy($"growth_bp".desc, $"p_brand")
+      .limit(20)
+  }
+
+  val q190Oracle: String =
+    """WITH li AS (
+         SELECT p_brand, l_shipdate
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS d_max FROM li),
+       f AS (
+         SELECT p_brand,
+           date_diff('day', CAST(l_shipdate AS DATE), d_max) AS age
+         FROM li CROSS JOIN mx
+         WHERE date_diff('day', CAST(l_shipdate AS DATE), d_max) < 60),
+       g AS (
+         SELECT p_brand,
+           CAST(sum(CASE WHEN age < 30 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_recent,
+           CAST(sum(CASE WHEN age >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_prior
+         FROM f GROUP BY 1)
+       SELECT p_brand, cnt_recent, cnt_prior,
+         CAST(floor((cnt_recent - cnt_prior) * 10000.0 / cnt_prior) AS BIGINT) AS growth_bp
+       FROM g WHERE cnt_prior >= 2
+       ORDER BY growth_bp DESC, p_brand LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_trending" -> q190Trending,
     "q182_apriori_triples" -> q182AprioriTriples,
     "q128_psi_drift" -> q128PsiDrift,
     "q113_attribution" -> q113Attribution,
@@ -322,6 +379,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q190_trending" -> q190Oracle,
     "q182_apriori_triples" -> q182Oracle,
     "q128_psi_drift" -> q128Oracle,
     "q113_attribution" -> q113Oracle,

@@ -754,7 +754,66 @@ object Relational {
        GROUP BY d.label
        ORDER BY d.label"""
 
+  /** Bag-semantics set operations (q187): EXCEPT ALL / INTERSECT ALL
+    * over two month slices of the (returnflag, linestatus, quantity)
+    * multiset — the multiplicity-preserving cousins of q09b's DISTINCT
+    * set ops, and a different operator in Catalyst: both rewrite to a
+    * count-difference aggregation + `Generate replicaterows(...)`
+    * (RewriteExceptAll / RewriteIntersectAll), so the plan has no
+    * row-matching at all. That rewrite is the scale story: bag
+    * difference of two 100 TB scans is ONE groupBy on the value tuple
+    * with per-side counts, not a pairing problem. Output re-groups the
+    * surviving multiset into (row, multiplicity) for a stable,
+    * order-free compare. */
+  def q187BagSetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def slice(m: String, mNext: String) = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit(m).cast("timestamp") &&
+        $"l_shipdate" < lit(mNext).cast("timestamp"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("qty"))
+    val a = slice("1997-01-01", "1997-02-01")
+    val b = slice("1997-02-01", "1997-03-01")
+    val ex = a.exceptAll(b)
+      .groupBy($"l_returnflag", $"l_linestatus", $"qty")
+      .agg(count(lit(1)).as("multiplicity"))
+      .withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b)
+      .groupBy($"l_returnflag", $"l_linestatus", $"qty")
+      .agg(count(lit(1)).as("multiplicity"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select($"op", $"l_returnflag", $"l_linestatus", $"qty", $"multiplicity")
+      .orderBy($"op", $"l_returnflag", $"l_linestatus", $"qty")
+  }
+
+  val q187Oracle: String =
+    """WITH a AS (
+         SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'),
+       b AS (
+         SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-02-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'),
+       ex AS (
+         SELECT 'except_all' AS op, l_returnflag, l_linestatus, qty,
+           CAST(count(*) AS BIGINT) AS multiplicity
+         FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+         GROUP BY 2, 3, 4),
+       ix AS (
+         SELECT 'intersect_all' AS op, l_returnflag, l_linestatus, qty,
+           CAST(count(*) AS BIGINT) AS multiplicity
+         FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+         GROUP BY 2, 3, 4)
+       SELECT op, l_returnflag, l_linestatus, qty, multiplicity
+       FROM (SELECT * FROM ex UNION ALL SELECT * FROM ix)
+       ORDER BY op, l_returnflag, l_linestatus, qty"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_bag_set_ops" -> q187BagSetOps,
     "q168_division_profile" -> q168DivisionProfile,
     "q163_table_fingerprint" -> q163TableFingerprint,
     "q158_star_revenue" -> q158StarRevenue,
@@ -778,6 +837,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_bag_set_ops" -> q187Oracle,
     "q168_division_profile" -> q168Oracle,
     "q163_table_fingerprint" -> q163Oracle,
     "q158_star_revenue" -> q158Oracle,

@@ -716,7 +716,75 @@ object Windows {
          END AS yoy_bp
        FROM l ORDER BY ym"""
 
+  /** CUSUM change-point detection over the daily revenue series — the
+    * level-shift monitor the q121 rolling z-score can't provide (a
+    * z-score flags single outliers; CUSUM accumulates SUSTAINED small
+    * shifts until they cross a decision threshold — the Page 1954
+    * sequential test, standard on data-volume and quality-rate
+    * monitors).
+    *
+    * The textbook recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ−m−k) is
+    * non-associative, but has a CLOSED WINDOW FORM: with prefix sums
+    * Pₜ = Σᵢ≤ₜ(xᵢ−m−k), S⁺ₜ = Pₜ − min(0, min_{j≤t} Pⱼ) — the running
+    * drawup, with P₀=0 in the extremum so the first rows match the
+    * recursion; symmetric S⁻ via the running max of Qₜ = Σ(xᵢ−m+k). That turns a
+    * sequential scan into two window aggregates over the CALENDAR-SIZED
+    * day relation (q117's argument: the unpartitioned window never
+    * touches fact-table cardinality). All integer: m is the floor
+    * mean, allowance k = m div 50 (2%), threshold h = 2m; flags are
+    * exact int comparisons, identical cross-engine. */
+  def q195Cusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+    val tot = daily.agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("m", expr("sx div n"))
+      .withColumn("k", expr("(sx div n) div 50"))
+      .withColumn("p_up", sum($"x" - $"m" - $"k").over(w))
+      .withColumn("p_dn", sum($"x" - $"m" + $"k").over(w))
+      .withColumn("s_up", $"p_up" - least(min($"p_up").over(w), lit(0L)))
+      .withColumn("s_dn", greatest(max($"p_dn").over(w), lit(0L)) - $"p_dn")
+      .select($"day", $"x", $"s_up", $"s_dn",
+        ($"s_up" > $"m" * 2).cast("long").as("drift_up"),
+        ($"s_dn" > $"m" * 2).cast("long").as("drift_dn"))
+      .orderBy($"day")
+  }
+
+  val q195Oracle: String =
+    """WITH daily AS (
+         SELECT o_orderdate AS day,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n
+               FROM daily),
+       base AS (
+         SELECT day, x, sx // n AS m, (sx // n) // 50 AS k
+         FROM daily CROSS JOIN tot),
+       pre AS (
+         SELECT day, x, m, k,
+           CAST(sum(x - m - k) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p_up,
+           CAST(sum(x - m + k) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p_dn
+         FROM base),
+       c AS (
+         SELECT day, x, m,
+           p_up - least(CAST(min(p_up) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_up,
+           greatest(CAST(max(p_dn) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) - p_dn AS s_dn
+         FROM pre)
+       SELECT day, x, s_up, s_dn,
+         CAST(s_up > m * 2 AS BIGINT) AS drift_up,
+         CAST(s_dn > m * 2 AS BIGINT) AS drift_dn
+       FROM c ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_cusum" -> q195Cusum,
     "q183_weekday_seasonality" -> q183WeekdaySeasonality,
     "q185_yoy_growth" -> q185YoyGrowth,
     "q170_twap" -> q170Twap,
@@ -739,6 +807,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_cusum" -> q195Oracle,
     "q183_weekday_seasonality" -> q183Oracle,
     "q185_yoy_growth" -> q185Oracle,
     "q170_twap" -> q170Oracle,

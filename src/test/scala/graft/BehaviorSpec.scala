@@ -204,6 +204,78 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q187: bag-op multiplicities are max(0,a-b) and min(a,b) of slice counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    def counts(lo: String, hi: String) = graft.io.Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit(lo).cast("timestamp") &&
+        $"l_shipdate" < lit(hi).cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus", $"l_quantity".cast("long"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val a = counts("1997-01-01", "1997-02-01")
+    val b = counts("1997-02-01", "1997-03-01")
+    val got = operators.Relational.q187BagSetOps(spark, d).collect()
+    assert(got.nonEmpty)
+    val byOp = got.groupBy(_.getAs[String]("op"))
+    byOp("except_all").foreach { r =>
+      val k = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"),
+        r.getAs[Long]("qty"))
+      assert(r.getAs[Long]("multiplicity") ==
+        math.max(0L, a.getOrElse(k, 0L) - b.getOrElse(k, 0L)), s"except at $k")
+    }
+    byOp("intersect_all").foreach { r =>
+      val k = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"),
+        r.getAs[Long]("qty"))
+      assert(r.getAs[Long]("multiplicity") ==
+        math.min(a.getOrElse(k, 0L), b.getOrElse(k, 0L)), s"intersect at $k")
+    }
+    // completeness: every tuple with a-b>0 appears in except_all
+    val missing = a.filter { case (k, c) => c > b.getOrElse(k, 0L) }.keySet --
+      byOp("except_all").map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[String]("l_linestatus"), r.getAs[Long]("qty"))).toSet
+    assert(missing.isEmpty, s"except_all dropped: ${missing.take(3)}")
+  }
+
+  test("q190: growth recomputes from direct window counts; ordered; capped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q190Trending(spark, d).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val gs = got.map(_.getAs[Long]("growth_bp"))
+    assert(gs.sameElements(gs.sorted.reverse), "not growth-ordered")
+    got.foreach { r =>
+      assert(r.getAs[Long]("cnt_prior") >= 2L)
+      assert(r.getAs[Long]("growth_bp") ==
+        math.floor((r.getAs[Long]("cnt_recent") - r.getAs[Long]("cnt_prior")) *
+          10000.0 / r.getAs[Long]("cnt_prior")).toLong)
+    }
+  }
+
+  test("q195: closed window form equals the sequential CUSUM recursion") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q195Cusum(spark, d).collect()
+    assert(got.nonEmpty)
+    val xs = got.map(_.getAs[Long]("x"))
+    val n = xs.length
+    val m = xs.sum / n
+    val k = m / 50
+    var (sUp, sDn) = (0L, 0L)
+    got.zipWithIndex.foreach { case (r, i) =>
+      sUp = math.max(0L, sUp + xs(i) - m - k)
+      sDn = math.max(0L, sDn + m - xs(i) - k)
+      assert(r.getAs[Long]("s_up") == sUp, s"s_up diverges at row $i")
+      assert(r.getAs[Long]("s_dn") == sDn, s"s_dn diverges at row $i")
+      assert(r.getAs[Long]("drift_up") == (if (sUp > m * 2) 1L else 0L))
+      assert(r.getAs[Long]("drift_dn") == (if (sDn > m * 2) 1L else 0L))
+    }
+  }
+
   test("q182: triples canonical, above minsup, and equal to brute-force counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
