@@ -369,7 +369,71 @@ object Behavior {
        FROM g WHERE cnt_prior >= 2
        ORDER BY growth_bp DESC, p_brand LIMIT 20"""
 
+  /** Funnel time-to-convert distribution (q189): latency from each
+    * user's FIRST view to their first purchase strictly after it, as
+    * exact minute-resolution percentiles — the "how long does
+    * conversion take" follow-up to q72's stage counts (which say how
+    * MANY convert, not how fast; p90 sets the attribution/retention
+    * window, and the q113 1-hour cutoff should be justified by this
+    * curve, not guessed).
+    *
+    * Percentiles use the q117 histogram trick at MINUTE resolution:
+    * the cum-window runs over the latency-minute histogram, whose
+    * domain is bounded by the observation span (~44k minutes for one
+    * month) regardless of user count — so no global sort of user-level
+    * data exists at any scale. Ceil-rank semantics, exact integers
+    * end to end. */
+  def q189FunnelLatency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val lat = firstView
+      .join(ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"us".as("p_us")), "user_id")
+      .filter($"p_us" > $"v_us")
+      .groupBy($"user_id").agg(min($"p_us" - $"v_us").as("lat_us"))
+      .select(expr("lat_us div 60000000").as("lat_min"))
+    val hist = lat.groupBy($"lat_min").agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy($"lat_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum($"nk").as("n"))
+    hist.withColumn("cum", sum($"nk").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max($"n").as("n_conversions"),
+        min(when($"cum" * 2 >= $"n", $"lat_min")).as("p50_min"),
+        min(when($"cum" * 10 >= $"n" * 9, $"lat_min")).as("p90_min"),
+        min(when($"cum" * 100 >= $"n" * 99, $"lat_min")).as("p99_min"),
+        max($"lat_min").as("max_min"))
+  }
+
+  val q189Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       fv AS (
+         SELECT user_id, min(us) AS v_us
+         FROM e WHERE event_type = 'view' GROUP BY 1),
+       lat AS (
+         SELECT min(p.us - fv.v_us) // 60000000 AS lat_min
+         FROM fv JOIN e p ON fv.user_id = p.user_id
+         WHERE p.event_type = 'purchase' AND p.us > fv.v_us
+         GROUP BY fv.user_id),
+       h AS (SELECT lat_min, CAST(count(*) AS BIGINT) AS nk FROM lat GROUP BY 1),
+       hc AS (
+         SELECT lat_min, CAST(sum(nk) OVER (ORDER BY lat_min
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM h),
+       tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n FROM h)
+       SELECT max(n) AS n_conversions,
+         CAST(min(CASE WHEN cum * 2 >= n THEN lat_min END) AS BIGINT) AS p50_min,
+         CAST(min(CASE WHEN cum * 10 >= n * 9 THEN lat_min END) AS BIGINT) AS p90_min,
+         CAST(min(CASE WHEN cum * 100 >= n * 99 THEN lat_min END) AS BIGINT) AS p99_min,
+         CAST(max(lat_min) AS BIGINT) AS max_min
+       FROM hc CROSS JOIN tot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_funnel_latency" -> q189FunnelLatency,
     "q190_trending" -> q190Trending,
     "q182_apriori_triples" -> q182AprioriTriples,
     "q128_psi_drift" -> q128PsiDrift,
@@ -379,6 +443,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_funnel_latency" -> q189Oracle,
     "q190_trending" -> q190Oracle,
     "q182_apriori_triples" -> q182Oracle,
     "q128_psi_drift" -> q128Oracle,

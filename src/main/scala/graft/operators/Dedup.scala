@@ -1120,7 +1120,91 @@ object Dedup {
        JOIN srck ON sized.k = srck.k
        ORDER BY dup_key"""
 
+  /** IDF-WEIGHTED Jaccard near-dup (q188): q42's set overlap, but each
+    * shingle counts its corpus rarity — w(sh) = ⌊ln(N/df)·10⁶⌋ micro-
+    * nats — so two docs sharing boilerplate ("click here to subscribe",
+    * df≈N, w≈0) don't pair, while sharing one rare passage does. This
+    * is the fix for the classic unweighted-Jaccard failure mode on
+    * template-heavy web corpora, and the exact-arithmetic cousin of
+    * weighted-MinHash sketching: J_w = Σ_{A∩B} w / Σ_{A∪B} w with the
+    * union weight as W_a + W_b − inter (inclusion-exclusion — never
+    * materialize unions).
+    *
+    * Shape: ONE shingle relation (checkpointed) feeds df, per-doc
+    * weights, and both sides of the inverted-index self-join; df and
+    * the idf map are shingle-domain-sized; everything integer until
+    * the final shared IEEE floor. Same join scaling caveats as q42
+    * (bucket-size cap at 100 TB); zero-weight (df=N) shingles still
+    * join — at scale, filter w > 0 first: it prunes exactly the
+    * hottest, most skew-prone keys, an optimization unweighted
+    * Jaccard cannot legally make. */
+  def q188WeightedJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+      .filter(size($"shs") > 0)
+      .repartition($"doc_id")
+    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
+      .localCheckpoint() // feeds df, doc weights, and both join sides
+    val nDocs = hashed.agg(count(lit(1)).as("n_docs"))
+    val w = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select($"sh",
+        floor(log($"n_docs" * lit(1.0) / $"df") * lit(1000000.0))
+          .cast("long").as("w"))
+    val weighted = inv.join(w, "sh")
+    val docW = weighted.groupBy($"doc_id").agg(sum($"w").as("tw"))
+    weighted.as("a").join(weighted.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(sum(col("a.w")).as("inter_w"))
+      .join(docW.select($"doc_id".as("doc1"), $"tw".as("w1")), "doc1")
+      .join(docW.select($"doc_id".as("doc2"), $"tw".as("w2")), "doc2")
+      .withColumn("wj_bp",
+        floor($"inter_w" * lit(10000.0) / ($"w1" + $"w2" - $"inter_w"))
+          .cast("long"))
+      .filter($"wj_bp" >= 500)
+      .select($"doc1", $"doc2", $"inter_w", $"w1", $"w2", $"wj_bp")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q188Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nz),
+       wt AS (
+         SELECT sh, CAST(floor(ln(n_docs * 1.0 / count(*)) * 1000000.0) AS BIGINT) AS w
+         FROM inv CROSS JOIN nd GROUP BY sh, n_docs),
+       wv AS (SELECT doc_id, inv.sh, w FROM inv JOIN wt ON inv.sh = wt.sh),
+       dw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM wv GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(sum(a.w) AS BIGINT) AS inter_w
+         FROM wv a JOIN wv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc1, doc2, inter_w, da.tw AS w1, db.tw AS w2,
+         CAST(floor(inter_w * 10000.0 / (da.tw + db.tw - inter_w)) AS BIGINT) AS wj_bp
+       FROM inter
+       JOIN dw da ON inter.doc1 = da.doc_id
+       JOIN dw db ON inter.doc2 = db.doc_id
+       WHERE CAST(floor(inter_w * 10000.0 / (da.tw + db.tw - inter_w)) AS BIGINT) >= 500
+       ORDER BY doc1, doc2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_weighted_jaccard" -> q188WeightedJaccard,
     "q164_golden_record" -> q164GoldenRecord,
     "q136_sorted_neighborhood" -> q136SortedNeighborhood,
     "q40_dedup_exact" -> q40DedupExact,
@@ -1138,6 +1222,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_weighted_jaccard" -> q188Oracle,
     "q164_golden_record" -> q164Oracle,
     "q136_sorted_neighborhood" -> q136Oracle,
     "q40_dedup_exact" -> q40Oracle,

@@ -276,6 +276,54 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q189: percentiles monotone; conversion count matches direct query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = operators.Behavior.q189FunnelLatency(spark, d).collect().head
+    val (p50, p90, p99, mx) = (r.getAs[Long]("p50_min"), r.getAs[Long]("p90_min"),
+      r.getAs[Long]("p99_min"), r.getAs[Long]("max_min"))
+    assert(p50 <= p90 && p90 <= p99 && p99 <= mx)
+    assert(r.getAs[Long]("n_conversions") > 0L)
+    // direct: users whose first view precedes some purchase
+    val ev = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val fv = ev.filter($"event_type" === "view").groupBy($"user_id")
+      .agg(min($"us").as("v_us"))
+    val n = fv.join(ev.filter($"event_type" === "purchase"), "user_id")
+      .filter($"us" > $"v_us").select($"user_id").distinct().count()
+    assert(r.getAs[Long]("n_conversions") == n)
+  }
+
+  test("q188: weighted-Jaccard bounds hold and one pair recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q188WeightedJaccard(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (iw, w1, w2) = (r.getAs[Long]("inter_w"), r.getAs[Long]("w1"), r.getAs[Long]("w2"))
+      assert(iw <= math.min(w1, w2), s"intersection exceeds a side: $r")
+      val bp = r.getAs[Long]("wj_bp")
+      assert(bp >= 500L && bp <= 10000L)
+      assert(bp == math.floor(iw * 10000.0 / (w1 + w2 - iw)).toLong)
+    }
+    // full recompute of the first reported pair from raw shingles + idf
+    val first = got.head
+    val shs = graft.io.Tables.documents(spark, d)
+      .select($"doc_id", graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+      .filter(size($"shs") > 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    val n = shs.size
+    val df = shs.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    def w(sh: Long): Long = math.floor(math.log(n * 1.0 / df(sh)) * 1000000.0).toLong
+    val (aSet, bSet) = (shs(first.getAs[Long]("doc1")).toSet, shs(first.getAs[Long]("doc2")).toSet)
+    val iw = (aSet & bSet).toSeq.map(w).sum
+    assert(first.getAs[Long]("inter_w") == iw)
+    assert(first.getAs[Long]("w1") == aSet.toSeq.map(w).sum)
+    assert(first.getAs[Long]("w2") == bSet.toSeq.map(w).sum)
+  }
+
   test("q182: triples canonical, above minsup, and equal to brute-force counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
