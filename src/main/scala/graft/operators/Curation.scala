@@ -676,7 +676,78 @@ object Curation {
        SELECT rank, doc_id, n_chars, key_micro FROM r WHERE rank <= 50
        ORDER BY rank"""
 
+  /** Per-source nucleus (top-p) budget cut (q193): within each source,
+    * rank documents by the q31 quality composite and keep the
+    * highest-quality prefix until 80% of the source's character mass
+    * is covered (the first doc always kept) — the curation move that
+    * spends a fixed token budget on the best material per source,
+    * rather than truncating uniformly (q81's count quota) or
+    * re-weighting sources against each other (q85/q101). Same shape
+    * as sampling-time nucleus/top-p: an ordered cumulative-mass cut.
+    *
+    * Determinism: rank ties break on doc_id; the cut is an integer
+    * inequality (cum·5 ≤ total·4); empty-token docs are excluded up
+    * front (their quality is undefined — division by zero — in BOTH
+    * engines). One window pass per source partition over the doc
+    * relation, then a per-source partial-agg rollup; nothing global. */
+  def q193NucleusBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = tokens($"text")
+    val nTok = size(tk)
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*)))
+      * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    val scored = Tables.documents(s, d)
+      .filter(size(tokens($"text")) > 0)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("mass"),
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm).as("q"))
+    val ord = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum", sum($"mass").over(cumW))
+      .withColumn("total", sum($"mass").over(Window.partitionBy($"source")))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("kept",
+        ($"cum" * 5 <= $"total" * 4 || $"rn" === 1).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
+        max($"total").as("mass_total"), sum($"kept" * $"mass").as("mass_kept"))
+      .withColumn("kept_bp", expr("mass_kept * 10000 div mass_total"))
+      .orderBy($"source")
+  }
+
+  val q193Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, source, n_chars,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       sc AS (
+         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS mass,
+           least(len(tk), 100) * 10
+             + (1000 - CAST(floor(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 1000.0 / len(tk)) AS BIGINT))
+             + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS q
+         FROM t WHERE len(tk) > 0),
+       w AS (
+         SELECT source, mass,
+           CAST(sum(mass) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(mass) OVER (PARTITION BY source) AS BIGINT) AS total,
+           row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+         FROM sc),
+       k AS (
+         SELECT source, mass, total,
+           CAST(cum * 5 <= total * 4 OR rn = 1 AS BIGINT) AS kept
+         FROM w)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(kept) AS BIGINT) AS n_kept,
+         CAST(max(total) AS BIGINT) AS mass_total,
+         CAST(sum(kept * mass) AS BIGINT) AS mass_kept,
+         CAST(sum(kept * mass) AS BIGINT) * 10000 // CAST(max(total) AS BIGINT) AS kept_bp
+       FROM k GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_nucleus_budget" -> q193NucleusBudget,
     "q143_weighted_sample" -> q143WeightedSample,
     "q140_rendezvous_shards" -> q140RendezvousShards,
     "q129_domain_stats" -> q129DomainStats,
@@ -693,6 +764,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_nucleus_budget" -> q193Oracle,
     "q143_weighted_sample" -> q143Oracle,
     "q140_rendezvous_shards" -> q140Oracle,
     "q129_domain_stats" -> q129Oracle,

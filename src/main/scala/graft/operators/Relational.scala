@@ -812,7 +812,57 @@ object Relational {
        FROM (SELECT * FROM ex UNION ALL SELECT * FROM ix)
        ORDER BY op, l_returnflag, l_linestatus, qty"""
 
+  /** NOT IN with NULLs in the subquery (q191) — SQL's sharpest
+    * three-valued-logic edge and a DISTINCT physical operator: `x NOT
+    * IN (set containing NULL)` is never TRUE for any x, so the
+    * with-nulls variant must return count 0, which this query PINS
+    * next to the null-filtered variant's real count. Catalyst can't
+    * use a plain hash anti join for the first one — the plan needs
+    * null-aware anti semantics (single-column NAAJ under
+    * BroadcastHashJoin, else BroadcastNestedLoopJoin) — and a naive
+    * "rewrite NOT IN to anti join" engine silently returns the wrong,
+    * non-empty answer. The pinned 0 is the regression trap for
+    * exactly that bug; q154 covers the null-safe-equality cousin. */
+  def q191NullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH probe AS (
+           SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                       ELSE o_custkey END AS k
+           FROM orders_v
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         with_nulls AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer_v
+           WHERE c_custkey NOT IN (SELECT k FROM probe)),
+         no_nulls AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer_v
+           WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+         SELECT 'not_in_with_nulls' AS variant, n_rows FROM with_nulls
+         UNION ALL
+         SELECT 'not_in_null_filtered' AS variant, n_rows FROM no_nulls
+         ORDER BY variant""")
+  }
+
+  val q191Oracle: String =
+    """WITH probe AS (
+         SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                     ELSE o_custkey END AS k
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       with_nulls AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe)),
+       no_nulls AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+       SELECT 'not_in_with_nulls' AS variant, n_rows FROM with_nulls
+       UNION ALL
+       SELECT 'not_in_null_filtered' AS variant, n_rows FROM no_nulls
+       ORDER BY variant"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_null_aware_anti" -> q191NullAwareAnti,
     "q187_bag_set_ops" -> q187BagSetOps,
     "q168_division_profile" -> q168DivisionProfile,
     "q163_table_fingerprint" -> q163TableFingerprint,
@@ -837,6 +887,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_null_aware_anti" -> q191Oracle,
     "q187_bag_set_ops" -> q187Oracle,
     "q168_division_profile" -> q168Oracle,
     "q163_table_fingerprint" -> q163Oracle,

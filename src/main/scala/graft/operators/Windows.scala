@@ -783,7 +783,53 @@ object Windows {
          CAST(s_dn > m * 2 AS BIGINT) AS drift_dn
        FROM c ORDER BY day"""
 
+  /** Centered ±3-day moving average (q192) — the RANGE frame with a
+    * FOLLOWING bound, the one frame direction q84 (trailing-only)
+    * doesn't exercise. RANGE (not ROWS) on integer epoch-days, so
+    * calendar gaps shrink the window instead of leaking neighbors in:
+    * a day bordering a gap averages over the days that exist, which is
+    * why the mean divides by the frame's own count, not 7. Integer
+    * division is safe (both operands positive). The window is over the
+    * calendar-sized day relation (q117's argument). Centered frames
+    * are inherently non-streaming (they read the future) — this is the
+    * batch smoothing pass behind q121-style anomaly baselines. */
+  def q192CenteredMa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .withColumn("day_num",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy($"day_num").rangeBetween(-3, 3)
+    daily
+      .withColumn("frame_sum", sum($"x").over(w))
+      .withColumn("frame_n", count(lit(1)).over(w))
+      .select($"day", $"x", $"frame_sum", $"frame_n",
+        expr("frame_sum div frame_n").as("ma"))
+      .orderBy($"day")
+  }
+
+  val q192Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       n AS (
+         SELECT day, x,
+           CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
+         FROM daily),
+       f AS (
+         SELECT day, x,
+           CAST(sum(x) OVER (ORDER BY day_num
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS frame_sum,
+           CAST(count(*) OVER (ORDER BY day_num
+             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS frame_n
+         FROM n)
+       SELECT day, x, frame_sum, frame_n, frame_sum // frame_n AS ma
+       FROM f ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_centered_ma" -> q192CenteredMa,
     "q195_cusum" -> q195Cusum,
     "q183_weekday_seasonality" -> q183WeekdaySeasonality,
     "q185_yoy_growth" -> q185YoyGrowth,
@@ -807,6 +853,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_centered_ma" -> q192Oracle,
     "q195_cusum" -> q195Oracle,
     "q183_weekday_seasonality" -> q183Oracle,
     "q185_yoy_growth" -> q185Oracle,

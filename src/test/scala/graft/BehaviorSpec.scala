@@ -324,6 +324,23 @@ class BehaviorSpec extends SparkSpec {
     assert(first.getAs[Long]("w2") == bSet.toSeq.map(w).sum)
   }
 
+  test("q192: centered frame covers <=7 calendar days and recomputes directly") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q192CenteredMa(spark, d).collect()
+    assert(got.nonEmpty)
+    val byDay = got.map(r => r.getDate(0).toLocalDate -> r.getAs[Long]("x")).toMap
+    got.foreach { r =>
+      val n = r.getAs[Long]("frame_n")
+      assert(n >= 1L && n <= 7L)
+      assert(r.getAs[Long]("ma") == r.getAs[Long]("frame_sum") / n)
+      // direct recompute over the ±3 calendar-day neighborhood
+      val day = r.getDate(0).toLocalDate
+      val neigh = (-3 to 3).flatMap(o => byDay.get(day.plusDays(o.toLong)))
+      assert(neigh.size.toLong == n, s"$day: frame_n $n != ${neigh.size}")
+      assert(neigh.sum == r.getAs[Long]("frame_sum"))
+    }
+  }
+
   test("q182: triples canonical, above minsup, and equal to brute-force counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -148,4 +148,37 @@ class CurationSpec extends SparkSpec {
     assert(sky.map(_._1).toSet == want,
       s"skyline ${sky.length} docs vs brute ${want.size}")
   }
+
+  test("q193: nucleus cut keeps the best-quality prefix to ~80% mass per source") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Curation.q193NucleusBudget(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_kept") >= 1L)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("mass_kept") <= r.getAs[Long]("mass_total"))
+      assert(r.getAs[Long]("kept_bp") ==
+        r.getAs[Long]("mass_kept") * 10000 / r.getAs[Long]("mass_total"))
+    }
+    // brute-force one source: rank by (quality desc, doc_id), cut at 80%
+    val src = got.head.getAs[String]("source")
+    val docs = graft.operators.TextAnalysis.q31QualityScore(spark, d)
+      .filter($"quality_score".isNotNull) // q193 excludes token-less docs
+      .select($"doc_id", $"quality_score")
+      .join(graft.io.Tables.documents(spark, d)
+        .filter($"source" === src)
+        .select($"doc_id", $"n_chars".cast("long").as("mass")), "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    val total = docs.map(_._3).sum
+    var cum = 0L
+    val kept = docs.zipWithIndex.takeWhile { case ((_, _, m), i) =>
+      cum += m; cum * 5 <= total * 4 || i == 0
+    }
+    assert(got.head.getAs[Long]("n_kept") == kept.length.toLong,
+      s"$src: kept ${got.head.getAs[Long]("n_kept")} != brute ${kept.length}")
+    assert(got.head.getAs[Long]("mass_kept") == kept.map(_._1._3).sum)
+  }
 }

@@ -48,6 +48,21 @@ class SmokeSpec extends SparkSpec {
     assert(phys.contains("LeftSemi"), s"part prune not a semi join:\n$phys")
   }
 
+  test("q191: NOT IN with nulls pins to zero; filtered variant is real and anti-joined") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Relational.q191NullAwareAnti(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // three-valued logic: a NULL in the NOT IN set makes the predicate
+    // never-true — any nonzero here is the classic rewrite bug
+    assert(got("not_in_with_nulls") == 0L)
+    assert(got("not_in_null_filtered") > 0L)
+    val nCust = graft.io.Tables.customer(spark, d).count()
+    assert(got("not_in_null_filtered") < nCust, "filter did not exclude anyone")
+    val plan = operators.Relational.q191NullAwareAnti(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Anti"), s"no anti join in plan:\n$plan")
+  }
+
   test("q178: LATERAL top-3 decorrelates to one windowed customer scan") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
