@@ -432,7 +432,85 @@ object Behavior {
          CAST(max(lat_min) AS BIGINT) AS max_min
        FROM hc CROSS JOIN tot"""
 
+  /** Association rules with confidence and lift (q196) — the step
+    * AFTER q182's frequent-itemset mining: turn each frequent brand
+    * pair into both directed rules a→b and b→a, score confidence
+    * (P(b|a)) and lift (P(ab)/P(a)P(b)) in integer ppm, and keep the
+    * top 20 by lift. Confidence is what a recommender thresholds on;
+    * lift > 1e6 ppm separates genuine affinity from popularity —
+    * a rule to a bestseller can have high confidence and lift ≈ 1.
+    *
+    * Scale shape: ONE basket materialization feeds both the item
+    * counts (explode → groupBy, partial-agg) and the pair counts
+    * (the i<j HOF expansion, ≤ k²/2 per basket — never a fact
+    * self-join); item counts are dimension-sized and broadcast onto
+    * the frequent pairs; the final top-20 is TakeOrdered. All scores
+    * are int64-exact: sup·10⁶ div cnt and sup·n·10⁶ div (cntA·cntB)
+    * stay under 2⁶³ through sf1000 basket counts (~1.5e9·10⁶ needs
+    * the lift product < 9.2e18 — cnt products cap it; at larger
+    * scale drop to per-million-basket units). */
+  def q196AssocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ord"), $"p_brand".as("b"))
+      .groupBy($"ord").agg(array_sort(collect_set($"b")).as("bs"))
+      .localCheckpoint() // feeds item counts, pair counts, and n
+    val nB = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = baskets.select(explode($"bs").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("cnt"))
+    val pairs = baskets.filter(size($"bs") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(bs)-2), i ->
+             transform(sequence(i+1, size(bs)-1), j ->
+               struct(bs[i] AS b1, bs[j] AS b2))))""")).as("p"))
+      .groupBy($"p.b1".as("b1"), $"p.b2".as("b2"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nB))
+      .filter($"sup" * 1000 >= lit(3) * $"n_baskets")
+    val rules = pairs.select($"b1".as("ante"), $"b2".as("cons"), $"sup", $"n_baskets")
+      .union(pairs.select($"b2".as("ante"), $"b1".as("cons"), $"sup", $"n_baskets"))
+    rules
+      .join(broadcast(itemCnt.select($"b".as("ante"), $"cnt".as("cnt_a"))), "ante")
+      .join(broadcast(itemCnt.select($"b".as("cons"), $"cnt".as("cnt_c"))), "cons")
+      .select($"ante", $"cons", $"sup".as("support"),
+        expr("sup * 1000000 div cnt_a").as("conf_ppm"),
+        expr("sup * n_baskets * 1000000 div (cnt_a * cnt_c)").as("lift_ppm"),
+        $"n_baskets")
+      .orderBy($"lift_ppm".desc, $"conf_ppm".desc, $"ante", $"cons")
+      .limit(20)
+  }
+
+  val q196Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, p_brand AS b
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       nb AS (SELECT CAST(count(DISTINCT ord) AS BIGINT) AS n_baskets FROM items),
+       ic AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY b),
+       p AS (
+         SELECT a.b AS b1, c.b AS b2, CAST(count(*) AS BIGINT) AS sup
+         FROM items a JOIN items c USING (ord)
+         WHERE a.b < c.b
+         GROUP BY 1, 2
+         HAVING CAST(count(*) AS BIGINT) * 1000 >= 3 * (SELECT n_baskets FROM nb)),
+       rules AS (
+         SELECT b1 AS ante, b2 AS cons, sup FROM p
+         UNION ALL
+         SELECT b2 AS ante, b1 AS cons, sup FROM p)
+       SELECT r.ante, r.cons, r.sup AS support,
+         r.sup * 1000000 // a.cnt AS conf_ppm,
+         r.sup * nb.n_baskets * 1000000 // (a.cnt * c.cnt) AS lift_ppm,
+         nb.n_baskets
+       FROM rules r
+       JOIN ic a ON r.ante = a.b
+       JOIN ic c ON r.cons = c.b
+       CROSS JOIN nb
+       ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
+       LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_assoc_rules" -> q196AssocRules,
     "q189_funnel_latency" -> q189FunnelLatency,
     "q190_trending" -> q190Trending,
     "q182_apriori_triples" -> q182AprioriTriples,
@@ -443,6 +521,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q196_assoc_rules" -> q196Oracle,
     "q189_funnel_latency" -> q189Oracle,
     "q190_trending" -> q190Oracle,
     "q182_apriori_triples" -> q182Oracle,

@@ -1150,12 +1150,18 @@ object Dedup {
     val nDocs = hashed.agg(count(lit(1)).as("n_docs"))
     val w = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select($"sh",
+      .select($"sh", $"df",
         floor(log($"n_docs" * lit(1.0) / $"df") * lit(1000000.0))
           .cast("long").as("w"))
-    val weighted = inv.join(w, "sh")
+    // materialize inv ⋈ w ONCE — it feeds the per-doc totals and both
+    // self-join sides (un-checkpointed, Spark re-ran the join 3×)
+    val weighted = inv.join(w, "sh").localCheckpoint()
     val docW = weighted.groupBy($"doc_id").agg(sum($"w").as("tw"))
-    weighted.as("a").join(weighted.as("b"),
+    // only shingles appearing in ≥2 docs can produce a pair: the df≥2
+    // residue is the pair-join input (q99's trick), which also drops
+    // every df=1 posting — the bulk of the index on real corpora
+    val wd = weighted.filter($"df" >= 2).select($"doc_id", $"sh", $"w")
+    wd.as("a").join(wd.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(sum(col("a.w")).as("inter_w"))

@@ -1080,7 +1080,125 @@ object Stats {
        FROM ($arms) ORDER BY lag"""
   }
 
+  /** Mann–Whitney U rank-sum test (q194), integer-exact: does the
+    * n_chars distribution differ between two corpus sources? The
+    * nonparametric two-sample location test — the distribution-shift
+    * audit you run before believing a per-source quality gap (q31) or
+    * after a loader change, where a t-test's normality assumption is
+    * unavailable. Works on ranks only, so it is EXACT in int64: ranks
+    * are computed per distinct value (average-rank tie handling kept
+    * integral by carrying 2·rank), and the output is the doubled rank
+    * sums, doubled U statistics, and the tie-correction term
+    * Σ(t³−t) — everything a caller needs for the normal approximation,
+    * none of the irrational parts. `u2_identity` pins the invariant
+    * U_a + U_b = n_a·n_b at 0 — any ranking bug breaks it.
+    *
+    * Scale shape: one groupBy collapses the corpus to the distinct
+    * VALUE relation (bounded by the value domain, not corpus size);
+    * the single unpartitioned window runs over that tiny relation, and
+    * the final reduce is one row. The corpus-sized stage is only the
+    * partial-aggregating groupBy. */
+  def q194RankSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byVal = Tables.documents(s, d)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("na"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("cnt", $"na" + $"nb")
+      .withColumn("less", coalesce(sum($"cnt").over(w), lit(0L)))
+      .agg(
+        sum($"na").as("n_a"), sum($"nb").as("n_b"),
+        sum($"na" * ($"less" * 2 + $"cnt" + 1)).as("r2_a"),
+        sum($"nb" * ($"less" * 2 + $"cnt" + 1)).as("r2_b"),
+        sum($"cnt" * ($"cnt" - 1) * ($"cnt" + 1)).as("tie_term"))
+      .select($"n_a", $"n_b", $"r2_a", $"r2_b",
+        ($"r2_a" - $"n_a" * ($"n_a" + 1)).as("u2_a"),
+        ($"r2_b" - $"n_b" * ($"n_b" + 1)).as("u2_b"),
+        $"tie_term")
+      .withColumn("u2_identity",
+        $"u2_a" + $"u2_b" - $"n_a" * $"n_b" * 2)
+  }
+
+  val q194Oracle: String =
+    """WITH f AS (
+         SELECT source, n_chars AS v FROM documents
+         WHERE source IN ('src0', 'src1')),
+       byv AS (
+         SELECT v,
+           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM f GROUP BY v),
+       r AS (
+         SELECT v, na, nb, na + nb AS cnt,
+           CAST(coalesce(sum(na + nb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS less
+         FROM byv),
+       a AS (
+         SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+           CAST(sum(na * (less * 2 + cnt + 1)) AS BIGINT) AS r2_a,
+           CAST(sum(nb * (less * 2 + cnt + 1)) AS BIGINT) AS r2_b,
+           CAST(sum(cnt * (cnt - 1) * (cnt + 1)) AS BIGINT) AS tie_term
+         FROM r)
+       SELECT n_a, n_b, r2_a, r2_b,
+         r2_a - n_a * (n_a + 1) AS u2_a,
+         r2_b - n_b * (n_b + 1) AS u2_b,
+         tie_term,
+         (r2_a - n_a * (n_a + 1)) + (r2_b - n_b * (n_b + 1)) - n_a * n_b * 2 AS u2_identity
+       FROM a"""
+
+  /** Exact weighted median (q197): per return flag, the smallest price
+    * (in cents) at which cumulative quantity-weight crosses half the
+    * total — the weighted-percentile primitive (q57 covers unweighted
+    * exact, q54/q149 the sketched forms). A weighted median is what
+    * "median price per unit SOLD" means, and no built-in covers it:
+    * percentile_approx ignores weights unless rows are exploded
+    * weight-many times, which multiplies the shuffle by mean(w).
+    *
+    * Shape: groupBy (flag, cents) first — the window then runs over
+    * the DISTINCT-VALUE relation (bounded by the price domain), not
+    * the fact table, and the only corpus-sized stage is that
+    * partial-aggregating groupBy. Money is exact: decimal(18,2)·100 →
+    * int64 cents on both engines; the crossing test (2·cum ≥ tot) is
+    * integer. */
+  def q197WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.lineitem(s, d)
+      .select($"l_returnflag".as("flag"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"flag", $"cents").agg(sum($"w").as("cw"))
+    val cumW = Window.partitionBy($"flag").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.withColumn("cum", sum($"cw").over(cumW))
+      .withColumn("tot", sum($"cw").over(Window.partitionBy($"flag")))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"flag")
+      .agg(min($"cents").as("wmedian_cents"), max($"tot").as("total_weight"))
+      .orderBy($"flag")
+  }
+
+  val q197Oracle: String =
+    """WITH v AS (
+         SELECT l_returnflag AS flag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cw
+         FROM lineitem GROUP BY 1, 2),
+       c AS (
+         SELECT flag, cents, cw,
+           CAST(sum(cw) OVER (PARTITION BY flag ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(cw) OVER (PARTITION BY flag) AS BIGINT) AS tot
+         FROM v)
+       SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+         CAST(max(tot) AS BIGINT) AS total_weight
+       FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_weighted_median" -> q197WeightedMedian,
+    "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
     "q171_benford" -> q171Benford,
     "q167_poisson_bootstrap" -> q167PoissonBootstrap,
@@ -1104,6 +1222,8 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_weighted_median" -> q197Oracle,
+    "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,
     "q171_benford" -> q171Oracle,
     "q167_poisson_bootstrap" -> q167Oracle,

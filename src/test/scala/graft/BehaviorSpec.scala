@@ -373,4 +373,38 @@ class BehaviorSpec extends SparkSpec {
       assert(want(key) == r.getAs[Long]("support"), s"support mismatch at $key")
     }
   }
+
+  test("q196: rule scores match brute-force basket counts; lift is symmetric") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q196AssocRules(spark, d).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    // brute-force baskets
+    val items = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.part(spark, d), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .as[(Long, String)].collect()
+    val nB = items.map(_._1).distinct.length.toLong
+    val itemCnt = items.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val pairCnt = items.groupBy(_._1).values
+      .flatMap(xs => xs.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    got.foreach { r =>
+      val (a, c) = (r.getAs[String]("ante"), r.getAs[String]("cons"))
+      val sup = r.getAs[Long]("support")
+      val key = if (a < c) (a, c) else (c, a)
+      assert(pairCnt(key) == sup, s"support mismatch for $a->$c")
+      assert(sup * 1000 >= 3 * nB, "below minsup")
+      assert(r.getAs[Long]("n_baskets") == nB)
+      assert(r.getAs[Long]("conf_ppm") == sup * 1000000L / itemCnt(a))
+      assert(r.getAs[Long]("lift_ppm") == sup * nB * 1000000L / (itemCnt(a) * itemCnt(c)))
+    }
+    // lift symmetry: for any rule whose reverse also surfaced, scores agree
+    val byPair = got.groupBy(r =>
+      Set(r.getAs[String]("ante"), r.getAs[String]("cons")))
+    byPair.values.filter(_.length == 2).foreach { rs =>
+      assert(rs(0).getAs[Long]("lift_ppm") == rs(1).getAs[Long]("lift_ppm"))
+    }
+  }
 }

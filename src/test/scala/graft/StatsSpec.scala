@@ -191,4 +191,53 @@ class StatsSpec extends SparkSpec {
     val mass = (0 until clamped(0).toInt).map(i => clamped(2 + 2 * i)).sum
     assert(mass == 2L)
   }
+
+  test("q194: U identity pinned at 0 and rank sums match brute-force ranking") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q194RankSum(spark, d).head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 0 && nb > 0)
+    assert(r.getAs[Long]("u2_identity") == 0L)
+    // total doubled rank sum over both groups = n(n+1)
+    val n = na + nb
+    assert(r.getAs[Long]("r2_a") + r.getAs[Long]("r2_b") == n * (n + 1))
+    // brute force: average-rank with ties on the collected values
+    val vals = graft.io.Tables.documents(spark, d)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val sorted = vals.map(_._2).sorted
+    val first = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2).min }
+    val count = sorted.groupBy(identity).map { case (v, xs) => v -> xs.length }
+    def rank2(v: Long) = 2L * first(v) + count(v) + 1 // 2*(avg 1-based rank)
+    val r2a = vals.filter(_._1 == "src0").map(t => rank2(t._2)).sum
+    assert(r.getAs[Long]("r2_a") == r2a, s"r2_a ${r.getAs[Long]("r2_a")} != $r2a")
+  }
+
+  test("q197: weighted median crosses half the weight and matches brute force") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q197WeightedMedian(spark, d).collect()
+    assert(got.nonEmpty)
+    val rows = graft.io.Tables.lineitem(spark, d)
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val xs = rows.filter(_._1 == flag).map(t => (t._2, t._3)).sortBy(_._1)
+      val tot = xs.map(_._2).sum
+      assert(r.getAs[Long]("total_weight") == tot)
+      var cum = 0L
+      val wm = xs.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(r.getAs[Long]("wmedian_cents") == wm, s"$flag: expected $wm")
+      // at least half the weight sits at or below the median, and
+      // strictly less than half sits strictly below it
+      val below = xs.filter(_._1 < wm).map(_._2).sum
+      val atOrBelow = xs.filter(_._1 <= wm).map(_._2).sum
+      assert(atOrBelow * 2 >= tot && below * 2 < tot)
+    }
+  }
 }
