@@ -509,7 +509,74 @@ object Behavior {
        ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
        LIMIT 20"""
 
+  /** Session entry/exit pages + bounce rate (q201): q23's 30-minute
+    * gap sessionization rolled up one level — for every (first event
+    * type, last event type) pair, how many sessions flow that way, how
+    * many bounce (single-event sessions, where entry = exit by
+    * construction), and the total dwell time. The landing→exit matrix
+    * plus bounce rate is the first report every product-analytics
+    * stack ships; on a training-data pipeline the same shape audits
+    * crawl sessions (entered at robots.txt and left immediately = a
+    * bounce).
+    *
+    * Entry/exit are `min_by`/`max_by` on the unique event id — exact
+    * and deterministic in both engines, no struct-sort tricks. Shape:
+    * one window pass per user partition (the q23 session id), one
+    * session-level agg, then a tiny (|event types|²) rollup; nothing
+    * after the first groupBy sees the event stream. */
+  def q201EntryExit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(expr("min_by(event_type, event_id)").as("entry_type"),
+        expr("max_by(event_type, event_id)").as("exit_type"),
+        count(lit(1)).as("n_events"),
+        ((max($"us") - min($"us")) / lit(1000000L)).cast("long").as("dur_s"))
+      .groupBy($"entry_type", $"exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(($"n_events" === 1).cast("long")).as("n_bounce"),
+        sum($"dur_s").as("total_dur_s"))
+      .withColumn("bounce_bp", expr("n_bounce * 10000 div n_sessions"))
+      .orderBy($"entry_type", $"exit_type")
+  }
+
+  val q201Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+         FROM events),
+       se AS (
+         SELECT user_id, event_id, event_type, us,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM t),
+       sess AS (
+         SELECT user_id, session_id,
+           min_by(event_type, event_id) AS entry_type,
+           max_by(event_type, event_id) AS exit_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s
+         FROM se GROUP BY 1, 2)
+       SELECT entry_type, exit_type,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+         CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+           // CAST(count(*) AS BIGINT) AS bounce_bp
+       FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_entry_exit" -> q201EntryExit,
     "q196_assoc_rules" -> q196AssocRules,
     "q189_funnel_latency" -> q189FunnelLatency,
     "q190_trending" -> q190Trending,
@@ -521,6 +588,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_entry_exit" -> q201Oracle,
     "q196_assoc_rules" -> q196Oracle,
     "q189_funnel_latency" -> q189Oracle,
     "q190_trending" -> q190Oracle,

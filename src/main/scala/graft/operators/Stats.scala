@@ -1196,7 +1196,164 @@ object Stats {
          CAST(max(tot) AS BIGINT) AS total_weight
        FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag"""
 
+  /** From-scratch HyperLogLog (q198): [[graft.functions.HllLongs]]
+    * (p = 12, dense registers, linear-counting small-range fix) run
+    * per return flag over hashed part keys, audited against the exact
+    * distinct count. q58 trusts Spark's built-in HLL++; this pins OUR
+    * register algebra — reduce/merge mergeability is what the spec
+    * exercises directly — behind the same cross-engine contract: the
+    * oracle can't rebuild an engine-specific sketch, so the comparable
+    * columns are the exact count and the error-bound boolean (3σ ≈
+    * 4.9% at p = 12) pinned TRUE.
+    *
+    * Shape: the sketch groupBy partially aggregates (4 KiB of
+    * registers per group per map task cross the shuffle — never the
+    * key stream); the exact branch is the audit you run at test scale
+    * only. */
+  def q198HllSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hll = udaf(new graft.functions.HllLongs(12))
+    val li = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_partkey")
+    val est = li.select($"l_returnflag", xxhash64($"l_partkey").as("h"))
+      .groupBy($"l_returnflag").agg(hll($"h").as("est"))
+    val exact = li.distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"n_exact",
+        (abs($"est" - $"n_exact") * 100 <= $"n_exact" * 5).as("within_5pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q198Oracle: String =
+    """SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       TRUE AS within_5pct
+       FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+  /** Bitmap-index audience overlap (q199): month-to-month active-
+    * customer overlap for 1995, computed on PACKED BITMAPS — customers
+    * bucketed 60 per int64 (bucket = key div 60, bit = key mod 60),
+    * one `bit_or` aggregation per (month, bucket), pairwise AND +
+    * popcount for the intersection. The roaring-bitmap idea in pure
+    * relational algebra: a 150k-customer month compresses to ~2.5k
+    * bitmap rows, so the 66 month-pair intersections touch KiBs, not
+    * the fact table — the segment-overlap / audience-sizing workhorse.
+    * Bit 60-63 stay unused so every packed word is non-negative in
+    * both engines.
+    *
+    * Shape: one orders scan → (month, bucket) bit_or partial agg; the
+    * pair join is bucket-aligned (equi-join on bucket, month inequality
+    * as residual), and per-month cardinalities come from popcounting
+    * the SAME bitmaps (no second distinct pass). Everything after the
+    * first agg is bitmap-domain-sized. At 100 TB the bitmap relation
+    * is |customers|/60 per month — still tiny next to orders. */
+  def q199BitmapOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bm = Tables.orders(s, d)
+      .filter(year($"o_orderdate") === 1995)
+      .select((month($"o_orderdate")).cast("long").as("m"),
+        ($"o_custkey" % 60).cast("int").as("bit"),
+        expr("o_custkey div 60").cast("long").as("bucket"))
+      .groupBy($"m", $"bucket")
+      .agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
+      .localCheckpoint() // feeds per-month counts and both pair sides
+    val nm = bm.groupBy($"m").agg(sum(bit_count($"bits")).cast("long").as("n"))
+    bm.as("a").join(bm.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+      .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits"))))
+        .cast("long").as("n_both"))
+      .join(broadcast(nm.select($"m".as("m1"), $"n".as("n_m1"))), "m1")
+      .join(broadcast(nm.select($"m".as("m2"), $"n".as("n_m2"))), "m2")
+      .select($"m1", $"m2", $"n_m1", $"n_m2", $"n_both",
+        expr("n_both * 10000 div (n_m1 + n_m2 - n_both)").as("jaccard_bp"))
+      .orderBy($"m1", $"m2")
+  }
+
+  val q199Oracle: String =
+    """WITH bm AS (
+         SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+           o_custkey // 60 AS bucket,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 60 AS INTEGER)) AS BIGINT) AS bits
+         FROM orders WHERE year(o_orderdate) = 1995
+         GROUP BY 1, 2),
+       nm AS (SELECT m, CAST(sum(bit_count(bits)) AS BIGINT) AS n FROM bm GROUP BY m),
+       pr AS (
+         SELECT a.m AS m1, b.m AS m2,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+         FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.m < b.m
+         GROUP BY 1, 2)
+       SELECT m1, m2, x.n AS n_m1, y.n AS n_m2, n_both,
+         n_both * 10000 // (x.n + y.n - n_both) AS jaccard_bp
+       FROM pr JOIN nm x ON pr.m1 = x.m JOIN nm y ON pr.m2 = y.m
+       ORDER BY m1, m2"""
+
+  /** Trimmed and winsorized means (q200): per order priority, the
+    * 10%-trimmed mean (drop the bottom and top n/10 order totals) and
+    * the 10%-winsorized mean (clamp them to the 10th/90th boundary
+    * values) — the robust-location estimators that survive the heavy
+    * tails ruining plain averages in spend/latency reporting, exact in
+    * integer cents. Trimming is rank arithmetic: lo = n div 10, keep
+    * ranks (lo, n−lo]; ties at a boundary are harmless because any
+    * tie-break keeps the same VALUE multiset. Winsorizing adds back
+    * lo copies of each boundary value. Integer division floors the
+    * means (both sides positive).
+    *
+    * Shape: one window pass per priority partition (rank + count),
+    * then conditional partial aggs — no self-joins, no percentile
+    * buffers; the window input is the orders relation partitioned 5
+    * ways, the natural parallel sort. */
+  def q200TrimmedMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.orders(s, d)
+      .select($"o_orderpriority".as("prio"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val part = Window.partitionBy($"prio")
+    val rnW = part.orderBy($"cents")
+    v.withColumn("rn", row_number().over(rnW).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("lo", expr("n div 10"))
+      .groupBy($"prio")
+      .agg(max($"n").as("n"),
+        sum(when($"rn" > $"lo" && $"rn" <= $"n" - $"lo", $"cents")).as("trim_sum"),
+        max(when($"rn" === $"lo" + 1, $"cents")).as("v_lo"),
+        max(when($"rn" === $"n" - $"lo", $"cents")).as("v_hi"),
+        max($"lo").as("lo"))
+      .select($"prio", $"n",
+        expr("trim_sum div (n - 2 * lo)").as("trimmed_mean_cents"),
+        expr("(trim_sum + lo * v_lo + lo * v_hi) div n").as("winsor_mean_cents"),
+        $"v_lo".as("p10_cents"), $"v_hi".as("p90_cents"))
+      .orderBy($"prio")
+  }
+
+  val q200Oracle: String =
+    """WITH v AS (
+         SELECT o_orderpriority AS prio,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM orders),
+       r AS (
+         SELECT prio, cents,
+           CAST(row_number() OVER (PARTITION BY prio ORDER BY cents) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+         FROM v),
+       a AS (
+         SELECT prio, max(n) AS n, max(n) // 10 AS lo,
+           CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                         THEN cents END) AS BIGINT) AS trim_sum,
+           CAST(max(CASE WHEN rn = n // 10 + 1 THEN cents END) AS BIGINT) AS v_lo,
+           CAST(max(CASE WHEN rn = n - n // 10 THEN cents END) AS BIGINT) AS v_hi
+         FROM r GROUP BY prio)
+       SELECT prio, n,
+         trim_sum // (n - 2 * lo) AS trimmed_mean_cents,
+         (trim_sum + lo * v_lo + lo * v_hi) // n AS winsor_mean_cents,
+         v_lo AS p10_cents, v_hi AS p90_cents
+       FROM a ORDER BY prio"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_hll_sketch" -> q198HllSketch,
+    "q199_bitmap_overlap" -> q199BitmapOverlap,
+    "q200_trimmed_mean" -> q200TrimmedMean,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -1222,6 +1379,9 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_hll_sketch" -> q198Oracle,
+    "q199_bitmap_overlap" -> q199Oracle,
+    "q200_trimmed_mean" -> q200Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -374,6 +374,28 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q201: entry/exit matrix reconciles with q23 sessions; bounces have entry = exit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q201EntryExit(spark, d).collect()
+    assert(got.nonEmpty)
+    // session count and bounce totals reconcile with q23's session list
+    val q23 = operators.Windows.q23Sessionize(spark, d)
+      .select($"n_events").as[Long].collect()
+    assert(got.map(_.getAs[Long]("n_sessions")).sum == q23.length.toLong)
+    assert(got.map(_.getAs[Long]("n_bounce")).sum == q23.count(_ == 1L).toLong)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_bounce") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("bounce_bp") ==
+        r.getAs[Long]("n_bounce") * 10000 / r.getAs[Long]("n_sessions"))
+      // a bounce is a 1-event session: entry must equal exit, so any
+      // off-diagonal cell must have zero bounces
+      if (r.getAs[String]("entry_type") != r.getAs[String]("exit_type"))
+        assert(r.getAs[Long]("n_bounce") == 0L)
+    }
+  }
+
   test("q196: rule scores match brute-force basket counts; lift is symmetric") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

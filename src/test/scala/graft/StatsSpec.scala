@@ -192,6 +192,85 @@ class StatsSpec extends SparkSpec {
     assert(mass == 2L)
   }
 
+  test("HLL: exact in linear-counting range, merge = single-pass, error bound holds") {
+    val hll = new graft.functions.HllLongs(12)
+    def hash(x: Long) = {
+      // 64-bit splitmix — a decent stand-in for xxhash64 in unit tests
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // small range: LC should be near-exact at n << m
+    val small = (1L to 500L).map(hash)
+    val sk = small.foldLeft(hll.zero)(hll.reduce)
+    val estSmall = hll.finish(sk)
+    assert(math.abs(estSmall - 500L) <= 10L, s"LC estimate $estSmall")
+    // duplicates are absorbed: feeding the stream twice changes nothing
+    val sk2 = small.foldLeft(small.foldLeft(hll.zero)(hll.reduce))(hll.reduce)
+    assert(hll.finish(sk2) == estSmall)
+    // merge algebra: split-merge equals single-pass, any order
+    val big = (1L to 60000L).map(hash)
+    val (l, r) = big.splitAt(17000)
+    val one = big.foldLeft(hll.zero)(hll.reduce)
+    val merged = hll.merge(
+      r.foldLeft(hll.zero)(hll.reduce), l.foldLeft(hll.zero)(hll.reduce))
+    assert(java.util.Arrays.equals(one, merged))
+    // raw-estimator range: within 3 rsd = 4.9% at p=12
+    val est = hll.finish(one)
+    assert(math.abs(est - 60000L) <= 60000L * 5 / 100, s"estimate $est")
+  }
+
+  test("q199: bitmap popcount overlap equals brute-force set intersection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q199BitmapOverlap(spark, d).collect()
+    assert(got.nonEmpty)
+    val active = graft.io.Tables.orders(spark, d)
+      .filter(year($"o_orderdate") === 1995)
+      .select(month($"o_orderdate").cast("long"), $"o_custkey")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).toSet }
+    got.foreach { r =>
+      val (a, b) = (active(r.getAs[Long]("m1")), active(r.getAs[Long]("m2")))
+      assert(r.getAs[Long]("n_m1") == a.size.toLong)
+      assert(r.getAs[Long]("n_m2") == b.size.toLong)
+      assert(r.getAs[Long]("n_both") == (a & b).size.toLong)
+    }
+    val pairs = got.map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"))).toSet
+    // every month pair with a shared bucket surfaces; with 1995 fully
+    // populated that is all 66 ordered pairs
+    assert(pairs.size == got.length)
+  }
+
+  test("q200: trimmed/winsorized means match brute force on sorted values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q200TrimmedMean(spark, d).collect()
+    assert(got.nonEmpty)
+    val rows = graft.io.Tables.orders(spark, d)
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getAs[String]("prio")).map(_._2).sorted
+      val n = xs.length
+      val lo = n / 10
+      val mid = xs.slice(lo, n - lo)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Long]("p10_cents") == xs(lo))
+      assert(r.getAs[Long]("p90_cents") == xs(n - lo - 1))
+      assert(r.getAs[Long]("trimmed_mean_cents") == mid.sum / mid.length)
+      val winSum = mid.sum + lo * xs(lo) + lo * xs(n - lo - 1)
+      assert(r.getAs[Long]("winsor_mean_cents") == winSum / n)
+      // robustness direction: both estimators sit inside the value range
+      assert(r.getAs[Long]("trimmed_mean_cents") >= xs.head &&
+        r.getAs[Long]("trimmed_mean_cents") <= xs.last)
+    }
+  }
+
   test("q194: U identity pinned at 0 and rank sums match brute-force ranking") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
