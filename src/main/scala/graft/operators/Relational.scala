@@ -861,7 +861,83 @@ object Relational {
        SELECT 'not_in_null_filtered' AS variant, n_rows FROM no_nulls
        ORDER BY variant"""
 
+  /** Price-index decomposition (q203): per brand, how much of the
+    * 1995→1996 revenue change is PRICE vs VOLUME — the Laspeyres index
+    * (base-year quantities as weights), the Paasche index (current-year
+    * weights), and their geometric mean, the Fisher ideal index. The
+    * canonical economics answer to "did we sell dearer or just more?",
+    * and the same algebra as a training-corpus cost decomposition
+    * (tokens/doc × docs — which moved?).
+    *
+    * Exactness: unit prices are rationals, so each part-year price is
+    * fixed to MILLI-CENTS by one integer division (revenue·1000 div
+    * qty — floor, both engines; milli not micro keeps Σq·p under 2⁶³
+    * through ~sf10000); the index numerators/denominators are then
+    * int64 sums of q·p products and the bp ratio one more integer
+    * division. Fisher needs a square root: floor(sqrt(L·P)) evaluated
+    * on int64-exact inputs < 2⁵³ in IEEE doubles — correctly rounded,
+    * bit-identical cross-engine (the q139 rule). Only parts trading in
+    * BOTH years enter (the matched-basket requirement).
+    *
+    * Shape: one lineitem scan → (brand, part, year) partial agg; the
+    * base/current split is a self-join of that SMALL relation on
+    * (brand, part) — dimension-sized, not fact-sized; per-brand rollup
+    * partial-aggregates. */
+  def q203PriceIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val py = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .filter(year($"l_shipdate").isin(1995, 1996))
+      .groupBy($"p_brand".as("brand"), $"l_partkey".as("part"),
+        year($"l_shipdate").as("yr"))
+      .agg(sum($"l_quantity".cast("long")).as("q"),
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("r_cents"))
+      .withColumn("p_milli", expr("r_cents * 1000 div q"))
+    val base = py.filter($"yr" === 1995)
+      .select($"brand", $"part", $"q".as("q0"), $"p_milli".as("p0"))
+    val cur = py.filter($"yr" === 1996)
+      .select($"brand", $"part", $"q".as("q1"), $"p_milli".as("p1"))
+    base.join(cur, Seq("brand", "part"))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"q0" * $"p1").as("l_num"), sum($"q0" * $"p0").as("l_den"),
+        sum($"q1" * $"p1").as("p_num"), sum($"q1" * $"p0").as("p_den"))
+      .select($"brand", $"n_parts",
+        expr("l_num * 10000 div l_den").as("laspeyres_bp"),
+        expr("p_num * 10000 div p_den").as("paasche_bp"))
+      .withColumn("fisher_bp",
+        floor(sqrt($"laspeyres_bp" * $"paasche_bp")).cast("long"))
+      .orderBy($"brand")
+  }
+
+  val q203Oracle: String =
+    """WITH py AS (
+         SELECT p_brand AS brand, l_partkey AS part,
+           year(l_shipdate) AS yr,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) IN (1995, 1996)
+         GROUP BY 1, 2, 3),
+       pm AS (SELECT brand, part, yr, q, r_cents * 1000 // q AS p_milli FROM py),
+       base AS (SELECT brand, part, q AS q0, p_milli AS p0 FROM pm WHERE yr = 1995),
+       cur AS (SELECT brand, part, q AS q1, p_milli AS p1 FROM pm WHERE yr = 1996),
+       j AS (
+         SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(q0 * p1) AS BIGINT) AS l_num, CAST(sum(q0 * p0) AS BIGINT) AS l_den,
+           CAST(sum(q1 * p1) AS BIGINT) AS p_num, CAST(sum(q1 * p0) AS BIGINT) AS p_den
+         FROM base JOIN cur USING (brand, part)
+         GROUP BY brand)
+       SELECT brand, n_parts,
+         l_num * 10000 // l_den AS laspeyres_bp,
+         p_num * 10000 // p_den AS paasche_bp,
+         CAST(floor(sqrt(CAST((l_num * 10000 // l_den) * (p_num * 10000 // p_den) AS DOUBLE))) AS BIGINT) AS fisher_bp
+       FROM j ORDER BY brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_price_index" -> q203PriceIndex,
     "q191_null_aware_anti" -> q191NullAwareAnti,
     "q187_bag_set_ops" -> q187BagSetOps,
     "q168_division_profile" -> q168DivisionProfile,
@@ -887,6 +963,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q203_price_index" -> q203Oracle,
     "q191_null_aware_anti" -> q191Oracle,
     "q187_bag_set_ops" -> q187Oracle,
     "q168_division_profile" -> q168Oracle,

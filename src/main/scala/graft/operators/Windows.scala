@@ -828,7 +828,67 @@ object Windows {
        SELECT day, x, frame_sum, frame_n, frame_sum // frame_n AS ma
        FROM f ORDER BY day"""
 
+  /** Clamp-at-zero running balance (q202): per-supplier daily net
+    * stock flow (returns in, shipments out) accumulated under the
+    * inventory rule "stock never goes negative" — the nonlinear
+    * recurrence S_i = max(0, S_{i-1} + x_i) that looks like it needs
+    * recursion or a per-key sequential scan, but has the exact window
+    * closed form S_i = P_i − min(0, min_{k≤i} P_k) (prefix sum minus
+    * clamped running minimum: each time the raw prefix dips to a new
+    * low the clamp "writes off" exactly that deficit, permanently).
+    * Same family as backlog tracking, rate-limiter token buckets, and
+    * drawdown-reset P&L — all usually misimplemented as driver loops.
+    *
+    * Shape: daily pre-agg collapses the fact table, then ONE window
+    * pass per supplier partition computes both running quantities; the
+    * per-supplier rollup is partial-aggregating. Everything integer
+    * (quantities), no recursion, no mapGroups — at 100 TB this is a
+    * shuffle on s_suppkey and a linear in-partition scan. */
+  def q202ClampedBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey".as("supp"), $"l_shipdate".cast("date").as("day"))
+      .agg(sum(when($"l_returnflag" === "R", $"l_quantity")
+        .otherwise(-$"l_quantity")).cast("long").as("net"))
+    val run = Window.partitionBy($"supp").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("p", sum($"net").over(run))
+      .withColumn("stock", $"p" - least(min($"p").over(run), lit(0L)))
+      .groupBy($"supp")
+      .agg(count(lit(1)).as("n_days"),
+        max($"stock").as("peak_stock"),
+        expr("max_by(stock, day)").as("final_stock"),
+        sum(($"stock" === 0L).cast("long")).as("n_stockout_days"))
+      .orderBy($"supp")
+  }
+
+  val q202Oracle: String =
+    """WITH daily AS (
+         SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS day,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                         ELSE -l_quantity END) AS BIGINT) AS net
+         FROM lineitem GROUP BY 1, 2),
+       pr AS (
+         SELECT supp, day,
+           CAST(sum(net) OVER (PARTITION BY supp ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+         FROM daily),
+       r AS (
+         SELECT supp, day, p,
+           CAST(min(p) OVER (PARTITION BY supp ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmin
+         FROM pr),
+       st AS (
+         SELECT supp, day, p - least(runmin, 0) AS stock FROM r)
+       SELECT supp, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(max(stock) AS BIGINT) AS peak_stock,
+         CAST(max_by(stock, day) AS BIGINT) AS final_stock,
+         CAST(sum(CASE WHEN stock = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stockout_days
+       FROM st GROUP BY supp ORDER BY supp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_clamped_balance" -> q202ClampedBalance,
     "q192_centered_ma" -> q192CenteredMa,
     "q195_cusum" -> q195Cusum,
     "q183_weekday_seasonality" -> q183WeekdaySeasonality,
@@ -853,6 +913,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q202_clamped_balance" -> q202Oracle,
     "q192_centered_ma" -> q192Oracle,
     "q195_cusum" -> q195Oracle,
     "q183_weekday_seasonality" -> q183Oracle,

@@ -374,6 +374,52 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q202: window closed form equals the sequential clamp recurrence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q202ClampedBalance(spark, d).collect()
+    assert(got.nonEmpty)
+    // brute force: replay S_i = max(0, S_{i-1} + x_i) per supplier
+    val daily = graft.io.Tables.lineitem(spark, d)
+      .groupBy($"l_suppkey".as("supp"), $"l_shipdate".cast("date").as("day"))
+      .agg(sum(when($"l_returnflag" === "R", $"l_quantity")
+        .otherwise(-$"l_quantity")).cast("long").as("net"))
+      .select($"supp", $"day".cast("string"), $"net")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, xs) => k -> xs.sortBy(_._2).map(_._3) }
+    got.foreach { r =>
+      val flows = daily(r.getAs[Long]("supp"))
+      var s = 0L; var peak = 0L; var zeros = 0L
+      flows.foreach { x =>
+        s = math.max(0L, s + x)
+        peak = math.max(peak, s)
+        if (s == 0L) zeros += 1
+      }
+      assert(r.getAs[Long]("final_stock") == s)
+      assert(r.getAs[Long]("peak_stock") == peak)
+      assert(r.getAs[Long]("n_stockout_days") == zeros)
+      assert(r.getAs[Long]("n_days") == flows.length.toLong)
+    }
+  }
+
+  test("q203: Fisher sits between Laspeyres and Paasche; basket is matched") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Relational.q203PriceIndex(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (l, p, f) = (r.getAs[Long]("laspeyres_bp"),
+        r.getAs[Long]("paasche_bp"), r.getAs[Long]("fisher_bp"))
+      assert(l > 0 && p > 0)
+      // geometric mean lies between its arguments (floor can undershoot
+      // the lower bound by at most 1)
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p))
+      assert(f == math.floor(math.sqrt((l * p).toDouble)).toLong)
+      assert(r.getAs[Long]("n_parts") > 0)
+    }
+  }
+
   test("q201: entry/exit matrix reconciles with q23 sessions; bounces have entry = exit") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
