@@ -746,7 +746,112 @@ object Curation {
          CAST(sum(kept * mass) AS BIGINT) * 10000 // CAST(max(total) AS BIGINT) AS kept_bp
        FROM k GROUP BY source ORDER BY source"""
 
+  /** Length-bucketed batching audit (q204): how many pad tokens does
+    * each batching strategy burn? Docs are token-counted, capped at
+    * the 2048 context, and assigned to 16-token buckets (narrow enough to be non-degenerate on the short synthetic docs; production would use 128); per bucket
+    * the query reports the waste under FIXED padding (every sequence
+    * padded to 2048 — the naive collator) vs BUCKETED padding (padded
+    * to the bucket's own max — dynamic/length-grouped batching). The
+    * padding-efficiency report is what decides a packing strategy
+    * before anyone trains; q36's sequence packing is the third
+    * strategy this baselines against. `eff_bp` = real tokens over
+    * padded slots in basis points, integer division (denominator
+    * n·max > 0 by construction).
+    *
+    * Shape: one documents scan → per-bucket partial agg; ~16 output
+    * rows. Nothing shuffles but the bucket rollup. */
+  def q204LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ctx = 2048
+    val bw = 16
+    Tables.documents(s, d)
+      .select(least(size(tokens($"text")), lit(ctx)).cast("long").as("tok"))
+      .filter($"tok" >= 1)
+      .withColumn("bucket", expr(s"(tok + ${bw - 1}) div $bw"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").as("sum_tok"),
+        max($"tok").as("bucket_max"),
+        sum(lit(ctx.toLong) - $"tok").as("waste_fixed"))
+      .withColumn("waste_bucketed", $"n_docs" * $"bucket_max" - $"sum_tok")
+      .withColumn("eff_bp",
+        expr("sum_tok * 10000 div (n_docs * bucket_max)"))
+      .orderBy($"bucket")
+  }
+
+  val q204Oracle: String =
+    """WITH t AS (
+         SELECT least(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT), 2048) AS tok
+         FROM documents),
+       b AS (
+         SELECT tok, (tok + 15) // 16 AS bucket FROM t WHERE tok >= 1)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS sum_tok,
+         CAST(max(tok) AS BIGINT) AS bucket_max,
+         CAST(sum(2048 - tok) AS BIGINT) AS waste_fixed,
+         CAST(count(*) AS BIGINT) * CAST(max(tok) AS BIGINT)
+           - CAST(sum(tok) AS BIGINT) AS waste_bucketed,
+         CAST(sum(tok) AS BIGINT) * 10000
+           // (CAST(count(*) AS BIGINT) * CAST(max(tok) AS BIGINT)) AS eff_bp
+       FROM b GROUP BY bucket ORDER BY bucket"""
+
+  /** Largest-remainder (Hamilton) apportionment (q205): split a fixed
+    * 10,000-slot training budget across sources proportional to their
+    * character mass so the allocations SUM EXACTLY to the budget —
+    * the constraint naive per-source rounding silently violates (and
+    * which then breaks downstream "sample exactly N" contracts). Each
+    * source gets ⌊K·w/W⌋ plus one extra slot if its remainder
+    * K·w mod W ranks among the seats left over; ranking ties break on
+    * source name. Pure integer arithmetic end to end — the allocation
+    * every mixture scheduler (q85/q101) actually needs.
+    *
+    * Shape: per-source mass is one partial agg; everything after runs
+    * on the |sources|-row relation (broadcast total, one ranking
+    * window). At 100 TB only the mass agg sees the corpus. */
+  def q205Apportionment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 10000L
+    val mass = Tables.documents(s, d)
+      .groupBy($"source").agg(sum($"n_chars".cast("long")).as("w"))
+    val tot = mass.agg(sum($"w").as("big_w"), count(lit(1)).as("n_src"))
+    val base = mass.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"w * $k div big_w"))
+      .withColumn("rem", expr(s"w * $k % big_w"))
+    val short = base.agg((lit(k) - sum($"base")).as("n_extra"))
+    val rk = Window.orderBy($"rem".desc, $"source")
+    base.crossJoin(broadcast(short))
+      .withColumn("rnk", row_number().over(rk).cast("long"))
+      .withColumn("extra", ($"rnk" <= $"n_extra").cast("long"))
+      .select($"source", $"w", $"base", $"extra",
+        ($"base" + $"extra").as("alloc"))
+      .orderBy($"source")
+  }
+
+  val q205Oracle: String =
+    """WITH mass AS (
+         SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+         FROM documents GROUP BY source),
+       tot AS (SELECT CAST(sum(w) AS BIGINT) AS big_w FROM mass),
+       base AS (
+         SELECT source, w,
+           w * 10000 // big_w AS base,
+           w * 10000 % big_w AS rem
+         FROM mass CROSS JOIN tot),
+       short AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS n_extra FROM base),
+       rk AS (
+         SELECT source, w, base,
+           CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rnk
+         FROM base)
+       SELECT source, w, base,
+         CAST(rnk <= n_extra AS BIGINT) AS extra,
+         base + CAST(rnk <= n_extra AS BIGINT) AS alloc
+       FROM rk CROSS JOIN short
+       ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_length_buckets" -> q204LengthBuckets,
+    "q205_apportionment" -> q205Apportionment,
     "q193_nucleus_budget" -> q193NucleusBudget,
     "q143_weighted_sample" -> q143WeightedSample,
     "q140_rendezvous_shards" -> q140RendezvousShards,
@@ -764,6 +869,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_length_buckets" -> q204Oracle,
+    "q205_apportionment" -> q205Oracle,
     "q193_nucleus_budget" -> q193Oracle,
     "q143_weighted_sample" -> q143Oracle,
     "q140_rendezvous_shards" -> q140Oracle,

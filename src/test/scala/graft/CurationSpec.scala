@@ -181,4 +181,37 @@ class CurationSpec extends SparkSpec {
       s"$src: kept ${got.head.getAs[Long]("n_kept")} != brute ${kept.length}")
     assert(got.head.getAs[Long]("mass_kept") == kept.map(_._1._3).sum)
   }
+
+  test("q204: bucketed waste never exceeds fixed waste; efficiency consistent") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Curation.q204LengthBuckets(spark, d).collect()
+    assert(got.length > 1, "bucket width should split this corpus")
+    got.foreach { r =>
+      val (n, sum, mx) = (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tok"),
+        r.getAs[Long]("bucket_max"))
+      // bucket max lies inside the bucket's token range
+      val b = r.getAs[Long]("bucket")
+      assert(mx > (b - 1) * 16 && mx <= b * 16)
+      assert(r.getAs[Long]("waste_bucketed") == n * mx - sum)
+      assert(r.getAs[Long]("waste_bucketed") <= r.getAs[Long]("waste_fixed"))
+      assert(r.getAs[Long]("eff_bp") == sum * 10000 / (n * mx))
+      assert(r.getAs[Long]("eff_bp") <= 10000L)
+    }
+  }
+
+  test("q205: allocations sum exactly to the budget and differ from base by <=1") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Curation.q205Apportionment(spark, d).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("alloc")).sum == 10000L,
+      "largest-remainder must hit the budget exactly")
+    val w = got.map(_.getAs[Long]("w")).sum
+    got.foreach { r =>
+      assert(r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L)
+      assert(r.getAs[Long]("alloc") == r.getAs[Long]("base") + r.getAs[Long]("extra"))
+      // quota property: base = floor(K*w/W), so alloc is within 1 of quota
+      val base = r.getAs[Long]("w") * 10000L / w
+      assert(r.getAs[Long]("base") == base)
+    }
+  }
 }
