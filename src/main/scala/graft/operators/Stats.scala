@@ -1350,7 +1350,69 @@ object Stats {
          v_lo AS p10_cents, v_hi AS p90_cents
        FROM a ORDER BY prio"""
 
+  /** Join-size estimation by sampling (q206): the self-join size on
+    * l_partkey (Σ c_p² — what a planner must know before picking a
+    * strategy) estimated two ways against the exact value: KEY
+    * sampling (keep every row of 1-in-20 hash-chosen KEYS, scale the
+    * sampled Σc² by 20 — unbiased, because a join key's contribution
+    * is all-or-nothing) and ROW sampling (keep 1-in-20 hash-chosen
+    * ROWS, scale pair counts by 20² = 400 — the estimator textbooks
+    * warn about: row thinning hits c² quadratically, so rare keys
+    * vanish and the estimate rides the survivors). Both samples are
+    * HASH-derived, so the whole query is deterministic cross-engine —
+    * no rand(), no pinned-boolean weakening: the oracle reproduces
+    * the exact same samples and errors.
+    *
+    * Shape: one scan → per-key counts (partial agg); each estimator
+    * is a filter + 1-row reduce over the count relation. The sample
+    * decision rides the scan (hash-mod predicates push down); at
+    * 100 TB key-sampling is the one you can evaluate without ever
+    * joining. */
+  def q206JoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_partkey".as("k"),
+        (hash60(concat_ws("-", $"l_orderkey", $"l_linenumber")) % 20 === 0)
+          .as("row_in"))
+    val counts = li.groupBy($"k")
+      .agg(count(lit(1)).as("c"), sum($"row_in".cast("long")).as("c_samp"))
+      .withColumn("key_in", hash60($"k".cast("string")) % 20 === 0)
+      .localCheckpoint() // three 1-row reduces read it
+    val exact = counts.agg(sum($"c" * $"c").as("exact_size"))
+    val keyEst = counts.filter($"key_in")
+      .agg((sum($"c" * $"c") * 20).as("key_est"))
+    val rowEst = counts.agg((sum($"c_samp" * $"c_samp") * 400).as("row_est"))
+    exact.crossJoin(keyEst).crossJoin(rowEst)
+      .select($"exact_size", $"key_est", $"row_est",
+        expr("abs(key_est - exact_size) * 10000 div exact_size")
+          .as("key_err_bp"),
+        expr("abs(row_est - exact_size) * 10000 div exact_size")
+          .as("row_err_bp"))
+  }
+
+  val q206Oracle: String =
+    """WITH li AS (
+         SELECT l_partkey AS k,
+           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 20 = 0 AS row_in
+         FROM lineitem),
+       counts AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN row_in THEN 1 ELSE 0 END) AS BIGINT) AS c_samp,
+           ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 20 = 0 AS key_in
+         FROM li GROUP BY k),
+       e AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM counts),
+       ke AS (SELECT CAST(sum(c * c) * 20 AS BIGINT) AS key_est
+              FROM counts WHERE key_in),
+       re AS (SELECT CAST(sum(c_samp * c_samp) * 400 AS BIGINT) AS row_est
+              FROM counts)
+       SELECT exact_size, key_est, row_est,
+         abs(key_est - exact_size) * 10000 // exact_size AS key_err_bp,
+         abs(row_est - exact_size) * 10000 // exact_size AS row_err_bp
+       FROM e CROSS JOIN ke CROSS JOIN re"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_join_size_est" -> q206JoinSizeEst,
     "q198_hll_sketch" -> q198HllSketch,
     "q199_bitmap_overlap" -> q199BitmapOverlap,
     "q200_trimmed_mean" -> q200TrimmedMean,
@@ -1379,6 +1441,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_join_size_est" -> q206Oracle,
     "q198_hll_sketch" -> q198Oracle,
     "q199_bitmap_overlap" -> q199Oracle,
     "q200_trimmed_mean" -> q200Oracle,

@@ -271,6 +271,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q206: exact self-join size matches brute force; key-sampling beats row-sampling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q206JoinSizeEst(spark, d).head()
+    val counts = graft.io.Tables.lineitem(spark, d)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .select($"c").as[Long].collect()
+    assert(r.getAs[Long]("exact_size") == counts.map(c => c * c).sum)
+    assert(r.getAs[Long]("key_err_bp") ==
+      math.abs(r.getAs[Long]("key_est") - r.getAs[Long]("exact_size")) * 10000 /
+        r.getAs[Long]("exact_size"))
+    // the headline planner lesson on this (and any non-degenerate) data
+    assert(r.getAs[Long]("key_err_bp") < r.getAs[Long]("row_err_bp"),
+      s"key sampling should beat row sampling: $r")
+  }
+
   test("q194: U identity pinned at 0 and rank sums match brute-force ranking") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
