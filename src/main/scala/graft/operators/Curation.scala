@@ -849,7 +849,91 @@ object Curation {
        FROM rk CROSS JOIN short
        ORDER BY source"""
 
+  /** Consistent-hash ring sharding (q208): q140's rendezvous
+    * alternative — 8 shards × 16 virtual nodes hashed onto a 60-bit
+    * ring, every doc owned by its SUCCESSOR vnode (smallest vnode
+    * position ≥ the doc's position, wrapping past the top). The ring
+    * is what memcached/Dynamo-style systems actually deploy: adding a
+    * shard moves only the keys in the arcs its vnodes claim (~1/9 of
+    * the data), where modulo sharding moves nearly everything.
+    *
+    * The successor lookup is the FFILL IDIOM RUN BACKWARD: union the
+    * 128 vnode rows with the doc rows, sort by position DESCENDING
+    * (vnodes first on the impossible tie), and forward-fill the last
+    * seen vnode — each doc picks up the nearest vnode above it; docs
+    * above the top vnode coalesce to the ring's minimum-position vnode
+    * (the wrap). Output is the per-shard load profile with imbalance
+    * in bp of the 1/8 ideal.
+    *
+    * Scale note: the union trick costs one GLOBAL sort of the doc
+    * relation — correct but the wrong plan at 100 TB; there you
+    * broadcast the 128-point ring as a literal array and binary-search
+    * it per row (scan-local, no shuffle), or range-join against the
+    * [pos, next_pos) arc table. The ring-arc table IS this query's
+    * vnode relation — the production form reuses it unchanged. */
+  def q208HashRing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ring = (0 until 8).flatMap(sh => (0 until 16).map(v => (sh, v)))
+      .toDF("shard", "v")
+      .select($"shard".cast("long").as("vnode_shard"),
+        hash60(concat_ws(":", lit("shard"), $"shard", $"v")).as("pos"))
+    val minVnode = ring.orderBy($"pos").limit(1)
+      .select($"vnode_shard".as("wrap_shard"))
+    val keys = Tables.documents(s, d)
+      .select($"doc_id", hash60($"doc_id".cast("string")).as("pos"))
+    val union = ring.select($"pos", $"vnode_shard", lit(null).cast("long").as("doc_id"))
+      .unionByName(keys.select($"pos", lit(null).cast("long").as("vnode_shard"), $"doc_id"))
+    val w = Window.orderBy($"pos".desc, $"vnode_shard".desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union
+      .withColumn("owner", last($"vnode_shard", ignoreNulls = true).over(w))
+      .filter($"doc_id".isNotNull)
+      .crossJoin(broadcast(minVnode))
+      .select($"doc_id", coalesce($"owner", $"wrap_shard").as("shard"))
+      .groupBy($"shard").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("n_total"))))
+      .select($"shard", $"n_docs",
+        expr("n_docs * 10000 div n_total").as("share_bp"),
+        expr("abs(n_docs * 8 - n_total) * 10000 div n_total")
+          .as("imbalance_bp"))
+      .orderBy($"shard")
+  }
+
+  val q208Oracle: String =
+    """WITH ring AS (
+         SELECT CAST(sh AS BIGINT) AS vnode_shard,
+           ('0x' || substr(md5('shard:' || CAST(sh AS VARCHAR) || ':' ||
+              CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pos
+         FROM generate_series(0, 7) s(sh)
+         CROSS JOIN generate_series(0, 15) t(v)),
+       wrapv AS (SELECT vnode_shard AS wrap_shard FROM ring
+                 ORDER BY pos LIMIT 1),
+       keys AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pos
+         FROM documents),
+       u AS (
+         SELECT pos, vnode_shard, CAST(NULL AS BIGINT) AS doc_id FROM ring
+         UNION ALL
+         SELECT pos, CAST(NULL AS BIGINT), doc_id FROM keys),
+       f AS (
+         SELECT doc_id,
+           last_value(vnode_shard IGNORE NULLS) OVER (
+             ORDER BY pos DESC, vnode_shard DESC NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS owner
+         FROM u),
+       asg AS (
+         SELECT doc_id, coalesce(owner, (SELECT wrap_shard FROM wrapv)) AS shard
+         FROM f WHERE doc_id IS NOT NULL),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+       SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) * 10000 // n_total AS share_bp,
+         abs(CAST(count(*) AS BIGINT) * 8 - n_total) * 10000 // n_total AS imbalance_bp
+       FROM asg CROSS JOIN tot GROUP BY shard, n_total ORDER BY shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_hash_ring" -> q208HashRing,
     "q204_length_buckets" -> q204LengthBuckets,
     "q205_apportionment" -> q205Apportionment,
     "q193_nucleus_budget" -> q193NucleusBudget,
@@ -869,6 +953,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q208_hash_ring" -> q208Oracle,
     "q204_length_buckets" -> q204Oracle,
     "q205_apportionment" -> q205Oracle,
     "q193_nucleus_budget" -> q193Oracle,

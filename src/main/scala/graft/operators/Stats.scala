@@ -1411,7 +1411,73 @@ object Stats {
          abs(row_est - exact_size) * 10000 // exact_size AS row_err_bp
        FROM e CROSS JOIN ke CROSS JOIN re"""
 
+  /** Weight-of-evidence / information-value screening (q207): decile-
+    * bin order totals and score how well the bin separates urgent from
+    * non-urgent orders — WOE = ln(good-share / bad-share) per bin, IV =
+    * Σ (Δshare · WOE) — credit-scoring's standard univariate feature
+    * screen (IV < 0.02 ⇒ the feature is useless, > 0.3 ⇒ strong), the
+    * same add-λ-smoothed divergence family as q128's PSI but against a
+    * LABEL instead of across time.
+    *
+    * Parity: deciles come from ntile(10) over a TOTAL order (cents,
+    * orderkey — ntile is row_number-based, so the tie-break is the
+    * determinism); counts are exact; WOE/IV are the q128 pattern — ONE
+    * shared double expression tree (ratios of +1/+10-smoothed int64
+    * counts, one ln, floor to micro) evaluated identically in both
+    * engines. Shape: one window pass for the decile, one partial-agg
+    * rollup to 10 rows, IV reduces those. */
+  def q207WoeIv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.orders(s, d)
+      .select(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        $"o_orderkey",
+        ($"o_orderpriority" === "1-URGENT").cast("long").as("bad"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"cents", $"o_orderkey")).cast("long"))
+    val bins = v.groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"bad").as("n_bad"))
+      .withColumn("n_good", $"n" - $"n_bad")
+    val tot = bins.agg(sum($"n_good").as("g"), sum($"n_bad").as("b"))
+    bins.crossJoin(broadcast(tot))
+      .select($"decile", $"n", $"n_bad", $"n_good",
+        (($"n_good" + lit(1.0)) / ($"g" + lit(10.0))).as("gs"),
+        (($"n_bad" + lit(1.0)) / ($"b" + lit(10.0))).as("bs"))
+      .select($"decile", $"n", $"n_bad", $"n_good",
+        floor(log($"gs" / $"bs") * lit(1000000.0)).cast("long").as("woe_micro"),
+        floor(($"gs" - $"bs") * log($"gs" / $"bs") * lit(1000000.0))
+          .cast("long").as("iv_micro"))
+      .orderBy($"decile")
+  }
+
+  val q207Oracle: String =
+    """WITH v AS (
+         SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           o_orderkey,
+           CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS bad
+         FROM orders),
+       dec AS (
+         SELECT bad,
+           CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS decile
+         FROM v),
+       bins AS (
+         SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bad) AS BIGINT) AS n_bad,
+           CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+         FROM dec GROUP BY decile),
+       tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g,
+                      CAST(sum(n_bad) AS BIGINT) AS b FROM bins),
+       r AS (
+         SELECT decile, n, n_bad, n_good,
+           (n_good + 1.0) / (g + 10.0) AS gs,
+           (n_bad + 1.0) / (b + 10.0) AS bs
+         FROM bins CROSS JOIN tot)
+       SELECT decile, n, n_bad, n_good,
+         CAST(floor(ln(gs / bs) * 1000000.0) AS BIGINT) AS woe_micro,
+         CAST(floor((gs - bs) * ln(gs / bs) * 1000000.0) AS BIGINT) AS iv_micro
+       FROM r ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_woe_iv" -> q207WoeIv,
     "q206_join_size_est" -> q206JoinSizeEst,
     "q198_hll_sketch" -> q198HllSketch,
     "q199_bitmap_overlap" -> q199BitmapOverlap,
@@ -1441,6 +1507,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q207_woe_iv" -> q207Oracle,
     "q206_join_size_est" -> q206Oracle,
     "q198_hll_sketch" -> q198Oracle,
     "q199_bitmap_overlap" -> q199Oracle,

@@ -271,6 +271,51 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q207: WOE decile counts partition the table; IV contributions have WOE's sign") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q207WoeIv(spark, d).collect()
+    assert(got.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val nTot = graft.io.Tables.orders(spark, d).count()
+    assert(got.map(_.getAs[Long]("n")).sum == nTot)
+    // ntile balance: deciles differ by at most one row
+    val ns = got.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_bad") + r.getAs[Long]("n_good") == r.getAs[Long]("n"))
+      // iv term = (gs-bs)*ln(gs/bs) >= 0 up to the floor's -1; and it
+      // must carry WOE's sign direction: ln>0 iff gs>bs
+      assert(r.getAs[Long]("iv_micro") >= -1L)
+    }
+  }
+
+  test("q208: ring assignment matches a brute-force successor lookup; all docs assigned") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.operators.Curation.q208HashRing(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.io.Tables.documents(spark, d).count())
+    // brute force: rebuild the 128-point ring and assign each doc
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val ring = for (sh <- 0 until 8; v <- 0 until 16)
+      yield (h60(s"shard:$sh:$v"), sh.toLong)
+    val sortedRing = ring.sortBy(_._1)
+    def owner(pos: Long): Long =
+      sortedRing.find(_._1 >= pos).getOrElse(sortedRing.head)._2
+    val docs = graft.io.Tables.documents(spark, d)
+      .select($"doc_id").as[Long].collect()
+    val want = docs.groupBy(id => owner(h60(id.toString)))
+      .map { case (sh, xs) => sh -> xs.length.toLong }
+    rows.foreach { r =>
+      assert(want(r.getAs[Long]("shard")) == r.getAs[Long]("n_docs"),
+        s"shard ${r.getAs[Long]("shard")}")
+    }
+  }
+
   test("q206: exact self-join size matches brute force; key-sampling beats row-sampling") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
