@@ -575,7 +575,100 @@ object Behavior {
            // CAST(count(*) AS BIGINT) AS bounce_bp
        FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Kaplan–Meier survival estimator (q210): how long until a
+    * customer's NEXT order? Each order contributes one spell — days to
+    * the next order by the same customer (event) or days to the
+    * dataset's last date (right-censored: the follow-up ended, the
+    * customer didn't "die"). The product-limit curve S(t) =
+    * Π_{u≤t} (1 − d_u/n_u) over the first 30 weeks handles that
+    * censoring correctly — a naive "average gap over completed gaps"
+    * systematically understates time-to-repurchase because long gaps
+    * are exactly the ones still open. The same estimator runs churn,
+    * hardware-failure, and crawl-recency analyses.
+    *
+    * Parity: spells and risk sets are exact integers; S(t) is the one
+    * rational product, computed as exp(Σ ln(1 − d/n)) with the running
+    * sum over a 30-row window in fixed t-order — every term evaluates
+    * identically in IEEE, the sum order is identical, and the final
+    * micro floor is shared (q128's discipline). n_u > 0 for every
+    * emitted row (risk sets only shrink; weeks past the horizon don't
+    * emit). Shape: one lead() window per customer partition over the
+    * ORDERS relation, one week-level agg, and a 30-row cumulative
+    * window — the fact table is touched once. */
+  def q210KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val horizon = 30L
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val maxD = Tables.orders(s, d).agg(max($"o_orderdate").as("max_d"))
+    val spells = Tables.orders(s, d)
+      .withColumn("next_d", lead($"o_orderdate", 1).over(byCust))
+      .crossJoin(broadcast(maxD))
+      .select(
+        when($"next_d".isNotNull,
+          floor(datediff($"next_d", $"o_orderdate") / 7.0).cast("long"))
+          .otherwise(floor(datediff($"max_d", $"o_orderdate") / 7.0).cast("long"))
+          .as("wk"),
+        $"next_d".isNotNull.cast("long").as("event"))
+      .select(least($"wk", lit(horizon)).as("wk"),
+        ($"event" === 1L && $"wk" <= horizon).cast("long").as("event"))
+    val byWk = spells.groupBy($"wk")
+      .agg(count(lit(1)).as("ending"), sum($"event").as("d"))
+    val tot = spells.agg(count(lit(1)).as("n_spells"))
+    val w = Window.orderBy($"wk")
+    byWk.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        $"n_spells" - coalesce(sum($"ending")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("surv_micro",
+        floor(exp(sum(log(lit(1.0) - $"d" * lit(1.0) / $"n_at_risk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          * lit(1000000.0)).cast("long"))
+      .filter($"wk" < horizon) // horizon bucket pools censoring, not a real week
+      .select($"wk", $"n_at_risk", $"d", $"ending", $"surv_micro")
+      .orderBy($"wk")
+  }
+
+  val q210Oracle: String =
+    """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+       sp AS (
+         SELECT o_custkey, o_orderdate, o_orderkey,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS next_d
+         FROM orders),
+       spell AS (
+         SELECT
+           CASE WHEN next_d IS NOT NULL
+             THEN CAST(floor(date_diff('day', o_orderdate, next_d) / 7.0) AS BIGINT)
+             ELSE CAST(floor(date_diff('day', o_orderdate, max_d) / 7.0) AS BIGINT)
+           END AS wk0,
+           CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev0
+         FROM sp CROSS JOIN mx),
+       spell2 AS (
+         SELECT least(wk0, 30) AS wk,
+           CAST(ev0 = 1 AND wk0 <= 30 AS BIGINT) AS event
+         FROM spell),
+       bywk AS (
+         SELECT wk, CAST(count(*) AS BIGINT) AS ending,
+           CAST(sum(event) AS BIGINT) AS d
+         FROM spell2 GROUP BY wk),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_spells FROM spell2),
+       r AS (
+         SELECT wk, ending, d,
+           n_spells - CAST(coalesce(sum(ending) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_at_risk
+         FROM bywk CROSS JOIN tot),
+       sv AS (
+         SELECT wk, n_at_risk, d, ending,
+           CAST(floor(exp(sum(ln(1.0 - d * 1.0 / n_at_risk)) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000.0)
+             AS BIGINT) AS surv_micro
+         FROM r)
+       SELECT wk, n_at_risk, d, ending, surv_micro
+       FROM sv WHERE wk < 30 ORDER BY wk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_kaplan_meier" -> q210KaplanMeier,
     "q201_entry_exit" -> q201EntryExit,
     "q196_assoc_rules" -> q196AssocRules,
     "q189_funnel_latency" -> q189FunnelLatency,
@@ -588,6 +681,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_kaplan_meier" -> q210Oracle,
     "q201_entry_exit" -> q201Oracle,
     "q196_assoc_rules" -> q196Oracle,
     "q189_funnel_latency" -> q189Oracle,

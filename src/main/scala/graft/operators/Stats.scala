@@ -1476,7 +1476,118 @@ object Stats {
          CAST(floor((gs - bs) * ln(gs / bs) * 1000000.0) AS BIGINT) AS iv_micro
        FROM r ORDER BY decile"""
 
+  /** Leave-one-out target encoding (q209): replace a categorical
+    * (p_brand) with the mean of the target (l_quantity) over all OTHER
+    * rows of the same brand — (Σy − y_i) / (n − 1) — the standard
+    * high-cardinality encoder, with the leave-one-out correction that
+    * keeps a row's own label out of its feature (plain mean encoding
+    * leaks the target and inflates validation scores; LOO is the
+    * minimal fix). Micro-unit integer division keeps it exact; n = 1
+    * brands fall back to the global mean (the same rule production
+    * encoders apply to unseen categories).
+    *
+    * The per-row encodings are fact-table-sized, so the QUERY output
+    * is the per-brand audit: row count, target sum, and the extreme
+    * LOO values (the rows whose own y was largest/smallest get the
+    * most extreme corrections — min/max pin the whole per-row vector
+    * through any regression). Shape: one partial-agg groupBy for the
+    * brand sums, broadcast back onto the scan, second partial-agg
+    * rollup; no window, no self-join. */
+  def q209LooEncoding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"), $"l_quantity".cast("long").as("y"))
+    val g = rows.groupBy($"brand")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sum_y"))
+    val tot = rows.agg(sum($"y").as("sy"), count(lit(1)).as("cnt"))
+      .select(expr("sy * 1000000 div cnt").as("global_micro"))
+    rows.join(broadcast(g), "brand").crossJoin(broadcast(tot))
+      .withColumn("loo_micro",
+        when($"n" > 1, expr("(sum_y - y) * 1000000 div (n - 1)"))
+          .otherwise($"global_micro"))
+      .groupBy($"brand")
+      .agg(max($"n").as("n"), max($"sum_y").as("sum_y"),
+        min($"loo_micro").as("loo_min_micro"),
+        max($"loo_micro").as("loo_max_micro"))
+      .orderBy($"brand")
+  }
+
+  val q209Oracle: String =
+    """WITH rows_ AS (
+         SELECT p_brand AS brand, CAST(l_quantity AS BIGINT) AS y
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sum_y
+             FROM rows_ GROUP BY brand),
+       tot AS (SELECT CAST(sum(y) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS global_micro
+               FROM rows_),
+       loo AS (
+         SELECT r.brand, g.n, g.sum_y,
+           CASE WHEN g.n > 1 THEN (g.sum_y - r.y) * 1000000 // (g.n - 1)
+                ELSE global_micro END AS loo_micro
+         FROM rows_ r JOIN g ON r.brand = g.brand CROSS JOIN tot)
+       SELECT brand, max(n) AS n, max(sum_y) AS sum_y,
+         CAST(min(loo_micro) AS BIGINT) AS loo_min_micro,
+         CAST(max(loo_micro) AS BIGINT) AS loo_max_micro
+       FROM loo GROUP BY brand ORDER BY brand"""
+
+  /** Gini coefficient of revenue concentration (q211): per market
+    * segment, how unequally is customer revenue distributed? G =
+    * (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over rank-sorted per-customer
+    * totals — the Lorenz-curve summary regulators and marketplaces
+    * quote, and (with q175's Pareto/HHI) the third concentration lens.
+    * Rank ties are harmless: within a tied value group Σ i·x is
+    * invariant under rank permutation, so the orderkey tie-break only
+    * fixes determinism, not the answer.
+    *
+    * Exactness: revenue is floored to whole DOLLARS before ranking —
+    * dollars keep num·10⁴ = n·Σx·G·10⁴ within int64 through ~sf100
+    * where cents would overflow; everything including the final bp
+    * division is integer. Shape: customer totals are one partial agg;
+    * the rank window runs over the CUSTOMER relation (not lineitem)
+    * partitioned by segment; the moment reduce is 5 rows. */
+  def q211Gini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"), $"o_custkey")
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+    val rk = Window.partitionBy($"seg").orderBy($"x", $"o_custkey")
+    cust.withColumn("i", row_number().over(rk).cast("long"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sum_x"),
+        sum($"i" * $"x").as("rank_wsum"))
+      .select($"seg", $"n", $"sum_x",
+        expr("(2 * rank_wsum - (n + 1) * sum_x) * 10000 div (n * sum_x)")
+          .as("gini_bp"))
+      .orderBy($"seg")
+  }
+
+  val q211Oracle: String =
+    """WITH cust AS (
+         SELECT c_mktsegment AS seg, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2),
+       r AS (
+         SELECT seg, x,
+           CAST(row_number() OVER (PARTITION BY seg ORDER BY x, o_custkey) AS BIGINT) AS i
+         FROM cust),
+       a AS (
+         SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(i * x) AS BIGINT) AS rank_wsum
+         FROM r GROUP BY seg)
+       SELECT seg, n, sum_x,
+         (2 * rank_wsum - (n + 1) * sum_x) * 10000 // (n * sum_x) AS gini_bp
+       FROM a ORDER BY seg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_loo_encoding" -> q209LooEncoding,
+    "q211_gini" -> q211Gini,
     "q207_woe_iv" -> q207WoeIv,
     "q206_join_size_est" -> q206JoinSizeEst,
     "q198_hll_sketch" -> q198HllSketch,
@@ -1507,6 +1618,8 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q209_loo_encoding" -> q209Oracle,
+    "q211_gini" -> q211Oracle,
     "q207_woe_iv" -> q207Oracle,
     "q206_join_size_est" -> q206Oracle,
     "q198_hll_sketch" -> q198Oracle,

@@ -374,6 +374,32 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q210: KM curve is monotone from 1.0; risk sets telescope; censoring respected") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q210KaplanMeier(spark, d).collect()
+    assert(got.nonEmpty)
+    // weeks ascend, survival is non-increasing, bounded by 1e6
+    var prev = 1000000L
+    var prevRisk = Long.MaxValue
+    got.foreach { r =>
+      val sv = r.getAs[Long]("surv_micro")
+      assert(sv <= prev, s"survival must be monotone non-increasing at $r")
+      assert(sv >= 0L)
+      prev = sv
+      val risk = r.getAs[Long]("n_at_risk")
+      assert(risk <= prevRisk && risk > 0)
+      prevRisk = risk
+      assert(r.getAs[Long]("d") <= r.getAs[Long]("ending"))
+      assert(r.getAs[Long]("d") < risk, "deaths must not exhaust the risk set")
+    }
+    // risk sets telescope: n(t+1) = n(t) - ending(t)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_at_risk") ==
+        a.getAs[Long]("n_at_risk") - a.getAs[Long]("ending"))
+    case _ => ()
+    }
+  }
+
   test("q202: window closed form equals the sequential clamp recurrence") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

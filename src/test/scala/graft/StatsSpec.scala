@@ -271,6 +271,52 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q209: LOO extremes match brute force; encoding excludes own label") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q209LooEncoding(spark, d).collect()
+    assert(got.nonEmpty)
+    val rows = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.part(spark, d), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_quantity".cast("long"))
+      .as[(String, Long)].collect()
+    got.foreach { r =>
+      val ys = rows.filter(_._1 == r.getAs[String]("brand")).map(_._2)
+      assert(r.getAs[Long]("n") == ys.length.toLong)
+      val sum = ys.sum
+      assert(r.getAs[Long]("sum_y") == sum)
+      if (ys.length > 1) {
+        val loos = ys.map(y => (sum - y) * 1000000L / (ys.length - 1))
+        assert(r.getAs[Long]("loo_min_micro") == loos.min)
+        assert(r.getAs[Long]("loo_max_micro") == loos.max)
+        // LOO of the max label is the MINIMUM encoding (own label excluded)
+        assert(loos.min == (sum - ys.max) * 1000000L / (ys.length - 1))
+      }
+    }
+  }
+
+  test("q211: Gini matches brute-force Lorenz computation and sits in [0,1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q211Gini(spark, d).collect()
+    assert(got.nonEmpty)
+    val cust = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .select($"c_mktsegment", $"x").as[(String, Long)].collect()
+    got.foreach { r =>
+      val xs = cust.filter(_._1 == r.getAs[String]("seg")).map(_._2).sorted
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val rw = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val bp = (2 * rw - (n + 1) * sx) * 10000 / (n * sx)
+      assert(r.getAs[Long]("gini_bp") == bp)
+      assert(bp >= 0 && bp < 10000)
+    }
+  }
+
   test("q207: WOE decile counts partition the table; IV contributions have WOE's sign") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
