@@ -1585,7 +1585,65 @@ object Stats {
          (2 * rank_wsum - (n + 1) * sum_x) * 10000 // (n * sum_x) AS gini_bp
        FROM a ORDER BY seg"""
 
+  /** Wilson score intervals (q213): per event type, the share of
+    * high-value events (value ≥ 50) with its 95% Wilson CI — the
+    * binomial interval that behaves at small n and extreme p where
+    * the naive ±z√(p(1−p)/n) Wald interval collapses or escapes
+    * [0,1]. This is the closed-form counterpart of q167's bootstrap
+    * CI, and the interval A/B dashboards should quote.
+    *
+    * Parity: counts are exact; center and half-width are ONE shared
+    * double expression tree (z = 1.96 as the literal 196/100), floored
+    * to ppm on both engines; the q128/q139 shared-IEEE discipline.
+    * Bounds are clamped into [0, 10⁶] by construction (Wilson's
+    * algebra guarantees it; the floor can only pull inward). Shape:
+    * one partial-agg groupBy to |event types| rows; everything else is
+    * per-row arithmetic. */
+  def q213WilsonCi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(($"value" >= 50.0).cast("long")).as("succ"))
+    g.select($"event_type", $"n", $"succ",
+        expr("succ * 1000000 div n").as("p_ppm"),
+        ($"succ" * lit(1.0) / $"n").as("p"), ($"n" * lit(1.0)).as("nd"))
+      .withColumn("z2", lit(1.96 * 1.96))
+      .withColumn("denom", lit(1.0) + $"z2" / $"nd")
+      .withColumn("center", ($"p" + $"z2" / (lit(2.0) * $"nd")) / $"denom")
+      .withColumn("hw",
+        (lit(1.96) * sqrt($"p" * (lit(1.0) - $"p") / $"nd"
+          + $"z2" / (lit(4.0) * $"nd" * $"nd"))) / $"denom")
+      .select($"event_type", $"n", $"succ", $"p_ppm",
+        floor(($"center" - $"hw") * lit(1000000.0)).cast("long").as("lo_ppm"),
+        floor(($"center" + $"hw") * lit(1000000.0)).cast("long").as("hi_ppm"))
+      .orderBy($"event_type")
+  }
+
+  val q213Oracle: String =
+    """WITH g AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS succ
+         FROM events GROUP BY event_type),
+       e AS (
+         SELECT event_type, n, succ,
+           succ * 1000000 // n AS p_ppm,
+           succ * 1.0 / n AS p, n * 1.0 AS nd,
+           1.96 * 1.96 AS z2
+         FROM g),
+       c AS (
+         SELECT event_type, n, succ, p_ppm,
+           (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+           (1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
+             / (1.0 + z2 / nd) AS hw
+         FROM e)
+       SELECT event_type, n, succ, p_ppm,
+         CAST(floor((center - hw) * 1000000.0) AS BIGINT) AS lo_ppm,
+         CAST(floor((center + hw) * 1000000.0) AS BIGINT) AS hi_ppm
+       FROM c ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_wilson_ci" -> q213WilsonCi,
     "q209_loo_encoding" -> q209LooEncoding,
     "q211_gini" -> q211Gini,
     "q207_woe_iv" -> q207WoeIv,
@@ -1618,6 +1676,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q213_wilson_ci" -> q213Oracle,
     "q209_loo_encoding" -> q209Oracle,
     "q211_gini" -> q211Oracle,
     "q207_woe_iv" -> q207Oracle,

@@ -84,7 +84,10 @@ object TextAnalysis {
     * language, argmax with a fixed priority order (first-match-wins tie
     * break, the reference's T8 idiom), then a confusion matrix against
     * the labeled lang column. */
-  def q32LangId(s: SparkSession, d: String): DataFrame = {
+  /** Shared n-gram language predictor: (doc_id, lang, pred_lang) —
+    * the scoring core of q32's confusion matrix and q214's
+    * precision/recall/F1 evaluation. */
+  private[operators] def langPredictions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "and", "of", "in"),
@@ -103,7 +106,12 @@ object TextAnalysis {
       val others = markers.map(_._1).filter(_ != l).map(o => c >= col(s"c_$o"))
       when(c > 0 && others.reduce(_ && _), lit(l)).otherwise(els)
     }
-    scored.withColumn("pred_lang", pred)
+    scored.withColumn("pred_lang", pred).select($"doc_id", $"lang", $"pred_lang")
+  }
+
+  def q32LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    langPredictions(s, d)
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"pred_lang")
@@ -219,7 +227,115 @@ object TextAnalysis {
              FROM customer)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Classification evaluation (q214): per-class precision, recall,
+    * and F1 of the q32 language predictor against the labeled `lang`
+    * column, plus a `__micro__` row (micro-averaged P = R = F1 =
+    * accuracy for single-label classification). The eval half every
+    * classifier-in-the-pipeline needs (q180 covers the IR/ranking
+    * metrics; this covers the classification ones), computed straight
+    * off the confusion matrix: tp from the diagonal, fp from the
+    * predicted-class column sums, fn from the true-class row sums.
+    * All ratios are ppm integer divisions; zero denominators (a class
+    * never predicted) yield 0, the sklearn zero_division=0 contract.
+    *
+    * Shape: the corpus collapses to the |classes|² confusion matrix
+    * in one partial agg; every metric is arithmetic on that tiny
+    * relation (two re-groupings + an outer join on class). */
+  def q214ClassificationEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cm = langPredictions(s, d)
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // class sums, diagonal, and micro all read it
+    val actual = cm.groupBy($"lang".as("cls")).agg(sum($"n").as("n_actual"))
+    val predicted = cm.groupBy($"pred_lang".as("cls")).agg(sum($"n").as("n_predicted"))
+    val tp = cm.filter($"lang" === $"pred_lang")
+      .select($"lang".as("cls"), $"n".as("tp"))
+    val per = actual.join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select($"cls",
+        coalesce($"n_actual", lit(0L)).as("n_actual"),
+        coalesce($"n_predicted", lit(0L)).as("n_predicted"),
+        coalesce($"tp", lit(0L)).as("tp"))
+      .withColumn("prec_ppm",
+        when($"n_predicted" > 0, expr("tp * 1000000 div n_predicted")).otherwise(0L))
+      .withColumn("rec_ppm",
+        when($"n_actual" > 0, expr("tp * 1000000 div n_actual")).otherwise(0L))
+      .withColumn("f1_ppm",
+        when($"prec_ppm" + $"rec_ppm" > 0,
+          expr("2 * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")).otherwise(0L))
+    val micro = cm.agg(sum($"n").as("n_all"),
+        sum(when($"lang" === $"pred_lang", $"n").otherwise(0L)).as("tp_all"))
+      .select(lit("__micro__").as("cls"), $"n_all".as("n_actual"),
+        $"n_all".as("n_predicted"), $"tp_all".as("tp"),
+        expr("tp_all * 1000000 div n_all").as("prec_ppm"),
+        expr("tp_all * 1000000 div n_all").as("rec_ppm"),
+        expr("tp_all * 1000000 div n_all").as("f1_ppm"))
+    per.unionByName(micro).orderBy($"cls")
+  }
+
+  val q214Oracle: String = {
+    val cm =
+      """WITH t AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sc AS (
+         SELECT doc_id, lang,
+           len(list_filter(tk, t -> list_contains(['the','a','and','of','in'], t))) AS c_en,
+           len(list_filter(tk, t -> list_contains(['der','die','das','und'], t))) AS c_de,
+           len(list_filter(tk, t -> list_contains(['le','les','et','une'], t))) AS c_fr,
+           len(list_filter(tk, t -> list_contains(['el','los','y','una'], t))) AS c_es,
+           len(list_filter(tk, t -> list_contains(['的','是','了'], t))) AS c_zh
+         FROM t),
+       p AS (
+         SELECT lang,
+           CASE
+             WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+             WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+             WHEN c_fr > 0 AND c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+             WHEN c_es > 0 AND c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+             WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_fr AND c_zh >= c_es THEN 'zh'
+             ELSE 'und' END AS pred_lang
+         FROM sc),
+       cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2)"""
+    cm + """,
+       act AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_actual FROM cm GROUP BY 1),
+       prd AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS n_predicted FROM cm GROUP BY 1),
+       diag AS (SELECT lang AS cls, n AS tp FROM cm WHERE lang = pred_lang),
+       per AS (
+         SELECT coalesce(act.cls, prd.cls) AS cls,
+           coalesce(n_actual, 0) AS n_actual,
+           coalesce(n_predicted, 0) AS n_predicted,
+           coalesce(tp, 0) AS tp
+         FROM act FULL OUTER JOIN prd ON act.cls = prd.cls
+         LEFT JOIN diag ON coalesce(act.cls, prd.cls) = diag.cls),
+       m AS (
+         SELECT cls, n_actual, n_predicted, tp,
+           CASE WHEN n_predicted > 0 THEN tp * 1000000 // n_predicted ELSE 0 END AS prec_ppm,
+           CASE WHEN n_actual > 0 THEN tp * 1000000 // n_actual ELSE 0 END AS rec_ppm
+         FROM per),
+       mf AS (
+         SELECT cls, n_actual, n_predicted, tp, prec_ppm, rec_ppm,
+           CASE WHEN prec_ppm + rec_ppm > 0
+                THEN 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm) ELSE 0 END AS f1_ppm
+         FROM m),
+       micro AS (
+         SELECT '__micro__' AS cls,
+           CAST(sum(n) AS BIGINT) AS n_actual, CAST(sum(n) AS BIGINT) AS n_predicted,
+           CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS prec_ppm,
+           CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS rec_ppm,
+           CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS f1_ppm
+         FROM cm)
+       SELECT * FROM mf UNION ALL SELECT * FROM micro ORDER BY cls"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_classification_eval" -> q214ClassificationEval,
     "q152_subtoken_profile" -> q152SubtokenProfile,
     "q30_token_stats" -> q30TokenStats,
     "q31_quality_score" -> q31QualityScore,
@@ -228,6 +344,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q214_classification_eval" -> q214Oracle,
     "q152_subtoken_profile" -> q152Oracle,
     "q30_token_stats" -> q30Oracle,
     "q31_quality_score" -> q31Oracle,

@@ -887,7 +887,91 @@ object Windows {
          CAST(sum(CASE WHEN stock = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stockout_days
        FROM st GROUP BY supp ORDER BY supp"""
 
+  /** Additive seasonal decomposition (q212): daily revenue split into
+    * TREND (the q192 centered ±3-day moving average) + SEASONAL (the
+    * mean detrended value per ISO weekday — q183's index re-derived on
+    * the detrended series, which is the correct order: deseasonalizing
+    * raw data conflates trend drift with weekday effect) + RESIDUAL,
+    * with the global variance-explained share. The STL-lite everybody
+    * actually ships; the residual column is what q121-style anomaly
+    * flags should threshold on.
+    *
+    * Parity: the daily series and trend are integers (q192's div);
+    * the seasonal index divides a possibly-NEGATIVE detrended sum, so
+    * it uses the floor(x·1.0/n) shared-double form (the q139 rule —
+    * `div` truncates, `//` floors, they disagree below zero); residual
+    * sums of squares are then exact int64 again, and var_explained_bp
+    * one last integer division of non-negatives. Shape: two window
+    * passes over the calendar-sized daily relation (trend, then
+    * nothing — the seasonal join is a 7-row broadcast), one 7-row
+    * output. */
+  def q212SeasonalDecomp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .withColumn("day_num",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy($"day_num").rangeBetween(-3, 3)
+    val detW = daily
+      .withColumn("fs", sum($"x").over(w))
+      .withColumn("fn", count(lit(1)).over(w))
+      .withColumn("trend", expr("fs div fn"))
+      .withColumn("dt", $"x" - $"trend")
+      .withColumn("dow", (weekday($"day") + 1).cast("long"))
+    val seasonal = detW.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"dt").as("sdt"))
+      .withColumn("seasonal", floor($"sdt" * lit(1.0) / $"n_days").cast("long"))
+    val joined = detW.join(broadcast(seasonal.select($"dow", $"seasonal")), "dow")
+      .withColumn("resid", $"dt" - $"seasonal")
+    val tot = joined.agg(sum($"dt" * $"dt").as("ss_dt"),
+      sum($"resid" * $"resid").as("ss_res"))
+    seasonal.crossJoin(broadcast(tot))
+      .select($"dow", $"n_days", $"seasonal",
+        // floored-mean seasonal can (rarely) push ss_res above ss_dt,
+        // so the numerator may be negative → shared double floor, not div
+        floor(($"ss_dt" - $"ss_res") * lit(10000.0) / $"ss_dt")
+          .cast("long").as("var_explained_bp"))
+      .orderBy($"dow")
+  }
+
+  val q212Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       n AS (
+         SELECT day, x,
+           CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
+         FROM daily),
+       f AS (
+         SELECT day, x,
+           CAST(sum(x) OVER win AS BIGINT) AS fs,
+           CAST(count(*) OVER win AS BIGINT) AS fn
+         FROM n
+         WINDOW win AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       det AS (
+         SELECT day, x, x - fs // fn AS dt,
+           CAST(isodow(day) AS BIGINT) AS dow
+         FROM f),
+       seas AS (
+         SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dt) AS BIGINT) AS sdt,
+           CAST(floor(sum(dt) * 1.0 / count(*)) AS BIGINT) AS seasonal
+         FROM det GROUP BY dow),
+       j AS (
+         SELECT det.dt, det.dt - seas.seasonal AS resid
+         FROM det JOIN seas ON det.dow = seas.dow),
+       tot AS (
+         SELECT CAST(sum(dt * dt) AS BIGINT) AS ss_dt,
+           CAST(sum(resid * resid) AS BIGINT) AS ss_res
+         FROM j)
+       SELECT dow, n_days, seasonal,
+         CAST(floor((ss_dt - ss_res) * 10000.0 / ss_dt) AS BIGINT) AS var_explained_bp
+       FROM seas CROSS JOIN tot ORDER BY dow"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_seasonal_decomp" -> q212SeasonalDecomp,
     "q202_clamped_balance" -> q202ClampedBalance,
     "q192_centered_ma" -> q192CenteredMa,
     "q195_cusum" -> q195Cusum,
@@ -913,6 +997,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_seasonal_decomp" -> q212Oracle,
     "q202_clamped_balance" -> q202Oracle,
     "q192_centered_ma" -> q192Oracle,
     "q195_cusum" -> q195Oracle,

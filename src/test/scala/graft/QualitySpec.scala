@@ -145,4 +145,32 @@ class QualitySpec extends SparkSpec {
     val degs = edges.toSeq.flatMap(t => Seq(t._1, t._2)).groupBy(identity).map(_._2.size.toLong)
     assert(row.getAs[Long]("n_wedges") == degs.map(dg => dg * (dg - 1) / 2).sum)
   }
+
+  test("q214: metrics reconcile with the q32 confusion matrix; micro row is accuracy") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.TextAnalysis.q214ClassificationEval(spark, d).collect()
+    val cm = graft.operators.TextAnalysis.q32LangId(spark, d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) ->
+        r.getAs[Long]("n")).toMap
+    val total = cm.values.sum
+    val correct = cm.collect { case ((t, p), n) if t == p => n }.sum
+    val micro = got.find(_.getAs[String]("cls") == "__micro__").get
+    assert(micro.getAs[Long]("tp") == correct)
+    assert(micro.getAs[Long]("f1_ppm") == correct * 1000000L / total)
+    got.filter(_.getAs[String]("cls") != "__micro__").foreach { r =>
+      val c = r.getAs[String]("cls")
+      val tp = cm.getOrElse((c, c), 0L)
+      val actual = cm.collect { case ((t, _), n) if t == c => n }.sum
+      val predicted = cm.collect { case ((_, p), n) if p == c => n }.sum
+      assert(r.getAs[Long]("tp") == tp)
+      assert(r.getAs[Long]("n_actual") == actual)
+      assert(r.getAs[Long]("n_predicted") == predicted)
+      val prec = if (predicted > 0) tp * 1000000L / predicted else 0L
+      val rec = if (actual > 0) tp * 1000000L / actual else 0L
+      assert(r.getAs[Long]("prec_ppm") == prec)
+      assert(r.getAs[Long]("rec_ppm") == rec)
+      val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0L
+      assert(r.getAs[Long]("f1_ppm") == f1)
+    }
+  }
 }

@@ -271,6 +271,60 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q213: Wilson interval brackets p-hat and stays inside [0, 1e6]") {
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q213WilsonCi(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lo, hi, p) = (r.getAs[Long]("lo_ppm"), r.getAs[Long]("hi_ppm"),
+        r.getAs[Long]("p_ppm"))
+      assert(lo >= 0L && hi <= 1000000L, s"bounds escaped [0,1]: $r")
+      assert(lo <= p && p <= hi, s"interval must bracket p-hat: $r")
+      // brute-force the Wilson bounds
+      val (n, succ) = (r.getAs[Long]("n").toDouble, r.getAs[Long]("succ").toDouble)
+      val z2 = 1.96 * 1.96
+      val ph = succ / n
+      val center = (ph + z2 / (2 * n)) / (1 + z2 / n)
+      val hw = 1.96 * math.sqrt(ph * (1 - ph) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+      assert(lo == math.floor((center - hw) * 1e6).toLong)
+      assert(hi == math.floor((center + hw) * 1e6).toLong)
+    }
+  }
+
+  test("q212: decomposition matches a brute-force trend/seasonal/residual replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q212SeasonalDecomp(spark, d).collect()
+    assert(got.length == 7)
+    assert(got.map(_.getAs[Long]("dow")).toSeq == (1L to 7L))
+    val ve = got.head.getAs[Long]("var_explained_bp")
+    got.foreach(r => assert(r.getAs[Long]("var_explained_bp") == ve))
+    assert(ve <= 10000L)
+    // brute force the whole decomposition on the collected daily series
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .select($"day".cast("string"), $"x").as[(String, Long)].collect()
+      .map { case (s0, x) => (java.time.LocalDate.parse(s0), x) }.sortBy(_._1)
+    val byDay = daily.toMap
+    val dt = daily.map { case (day, x) =>
+      val neigh = (-3 to 3).flatMap(o => byDay.get(day.plusDays(o.toLong)))
+      val trend = Math.floorDiv(neigh.sum, neigh.size.toLong)
+      (day.getDayOfWeek.getValue.toLong, x - trend)
+    }
+    val seas = dt.groupBy(_._1).map { case (dow, xs) =>
+      dow -> math.floor(xs.map(_._2).sum.toDouble / xs.length).toLong
+    }
+    got.foreach { r =>
+      assert(r.getAs[Long]("seasonal") == seas(r.getAs[Long]("dow")),
+        s"seasonal mismatch at dow ${r.getAs[Long]("dow")}")
+    }
+    val ssDt = dt.map(t => t._2 * t._2).sum
+    val ssRes = dt.map { case (dow, v) => val e = v - seas(dow); e * e }.sum
+    assert(ve == math.floor((ssDt - ssRes) * 10000.0 / ssDt).toLong)
+  }
+
   test("q209: LOO extremes match brute force; encoding excludes own label") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
