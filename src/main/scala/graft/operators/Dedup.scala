@@ -1209,7 +1209,79 @@ object Dedup {
        WHERE CAST(floor(inter_w * 10000.0 / (da.tw + db.tw - inter_w)) AS BIGINT) >= 500
        ORDER BY doc1, doc2"""
 
+  /** Shingle CONTAINMENT near-dup (q215): Broder's asymmetric measure
+    * C(A→B) = |A∩B| / |A| alongside q42/q188's symmetric Jaccard — the
+    * detector for the quote/excerpt case Jaccard structurally misses:
+    * a 10-shingle doc fully embedded in a 200-shingle doc has J ≈ 5%
+    * (invisible at any sane threshold) but C = 100%. Pairs surface
+    * when EITHER direction's containment clears 80%; both directions
+    * are reported so the caller knows which doc is the fragment.
+    *
+    * Shape: q188's skeleton — one checkpointed shingle relation feeds
+    * per-doc sizes and both sides of the inverted-index self-join; the
+    * df ≥ 2 residue prunes the pair join; sizes broadcast back onto
+    * the surviving pairs. Containment needs no union size, so there is
+    * no inclusion-exclusion step at all — strictly cheaper than
+    * Jaccard at the same candidate set. */
+  def q215Containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        array_distinct(
+          graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("shs"))
+      .filter(size($"shs") > 0)
+      .repartition($"doc_id")
+    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
+      .localCheckpoint() // sizes, df, and both join sides
+    val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val dup = inv.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+    val wd = inv.join(dup.select($"sh"), "sh")
+    wd.as("a").join(wd.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
+      .withColumn("cont1_bp", expr("inter * 10000 div sz1"))
+      .withColumn("cont2_bp", expr("inter * 10000 div sz2"))
+      .filter($"cont1_bp" >= 8000 || $"cont2_bp" >= 8000)
+      .select($"doc1", $"doc2", $"inter", $"sz1", $"sz2",
+        $"cont1_bp", $"cont2_bp")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q215Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM inv GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS BIGINT) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc1, doc2, inter, s1.sz AS sz1, s2.sz AS sz2,
+         inter * 10000 // s1.sz AS cont1_bp,
+         inter * 10000 // s2.sz AS cont2_bp
+       FROM inter
+       JOIN sizes s1 ON inter.doc1 = s1.doc_id
+       JOIN sizes s2 ON inter.doc2 = s2.doc_id
+       WHERE inter * 10000 // s1.sz >= 8000 OR inter * 10000 // s2.sz >= 8000
+       ORDER BY doc1, doc2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_containment" -> q215Containment,
     "q188_weighted_jaccard" -> q188WeightedJaccard,
     "q164_golden_record" -> q164GoldenRecord,
     "q136_sorted_neighborhood" -> q136SortedNeighborhood,
@@ -1228,6 +1300,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_containment" -> q215Oracle,
     "q188_weighted_jaccard" -> q188Oracle,
     "q164_golden_record" -> q164Oracle,
     "q136_sorted_neighborhood" -> q136Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.functions.Fns._
@@ -334,7 +335,74 @@ object TextAnalysis {
        SELECT * FROM mf UNION ALL SELECT * FROM micro ORDER BY cls"""
   }
 
+  /** Character-entropy quality signal (q216): per-source distribution
+    * of per-document Shannon entropy over letter frequencies — the
+    * compression-ratio proxy: natural prose sits near the language's
+    * ceiling (~2.9 nats for English letters), boilerplate and
+    * keyword-stuffed spam sit low, and random noise pegs the maximum.
+    * One of the cheap "does this even look like text" gates (q31's
+    * ratios, q35's repetition, this) that run before any model-based
+    * scoring.
+    *
+    * Parity: letter counts are exact ((doc, letter) partial agg over
+    * `regexp_extract_all(lower(text), '[a-z]')` — identical extraction
+    * both engines); each entropy TERM −(c/n)·ln(c/n) is floored to
+    * micro-nats independently (term-wise floors are order-free, so
+    * the integer SUM of ≤ 26 floored terms is exact cross-engine —
+    * tighter discipline than floating accumulation). Shape: explode →
+    * (doc, letter) partial agg → per-doc sum → per-source rollup;
+    * every stage partial-aggregates and the letter alphabet caps the
+    * per-doc state at 26 rows. */
+  def q216CharEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)")).as("ch"))
+      .groupBy($"doc_id", $"source", $"ch").agg(count(lit(1)).as("c"))
+    val perDoc = counts
+      .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      .withColumn("term_micro",
+        floor(-($"c" * lit(1.0) / $"n") * log($"c" * lit(1.0) / $"n")
+          * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"term_micro").as("ent_micro"), max($"n").as("n_letters"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(ent_micro) div count(1)").as("avg_ent_micro"),
+        min($"ent_micro").as("min_ent_micro"),
+        max($"ent_micro").as("max_ent_micro"))
+      .orderBy($"source")
+  }
+
+  val q216Oracle: String =
+    """WITH ch AS (
+         SELECT doc_id, source,
+           unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+         FROM documents),
+       cnt AS (
+         SELECT doc_id, source, ch, CAST(count(*) AS BIGINT) AS c
+         FROM ch GROUP BY 1, 2, 3),
+       wn AS (
+         SELECT doc_id, source, c,
+           CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         FROM cnt),
+       t AS (
+         SELECT doc_id, source, n,
+           CAST(floor(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1000000.0) AS BIGINT)
+             AS term_micro
+         FROM wn),
+       pd AS (
+         SELECT doc_id, source, CAST(sum(term_micro) AS BIGINT) AS ent_micro,
+           max(n) AS n_letters
+         FROM t GROUP BY 1, 2)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ent_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_ent_micro,
+         CAST(min(ent_micro) AS BIGINT) AS min_ent_micro,
+         CAST(max(ent_micro) AS BIGINT) AS max_ent_micro
+       FROM pd GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_char_entropy" -> q216CharEntropy,
     "q214_classification_eval" -> q214ClassificationEval,
     "q152_subtoken_profile" -> q152SubtokenProfile,
     "q30_token_stats" -> q30TokenStats,
@@ -344,6 +412,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q216_char_entropy" -> q216Oracle,
     "q214_classification_eval" -> q214Oracle,
     "q152_subtoken_profile" -> q152Oracle,
     "q30_token_stats" -> q30Oracle,

@@ -970,7 +970,79 @@ object Windows {
          CAST(floor((ss_dt - ss_res) * 10000.0 / ss_dt) AS BIGINT) AS var_explained_bp
        FROM seas CROSS JOIN tot ORDER BY dow"""
 
+  /** Interval-union coverage (q217): each event opens a 30-minute
+    * activity interval; per user, how much wall-clock is covered by
+    * the UNION of those intervals (overlaps merged, not double-
+    * counted), and in how many contiguous activity islands? The
+    * gaps-and-islands pattern in its interval form — billable-time,
+    * uptime-from-heartbeats, and crawl-activity accounting all reduce
+    * to it, and the naive Σ durations overcounts every overlap (the
+    * `overcount_sec` column pins exactly how much, so the query also
+    * certifies its own merge). q172 counts pairwise overlaps; this
+    * merges them.
+    *
+    * Island detection: an interval starts a new island iff its start
+    * exceeds the running max END of all EARLIER intervals (strictly
+    * before — the 1-preceding frame; abutting intervals merge, by the
+    * half-open [s, s+30m) convention). Island id = running count of
+    * starts; per-island coverage = max(end) − min(start), exact in
+    * int64 micros. One window pass per user partition, ordered by
+    * (start, event id) for determinism; two tiny rollups after.
+    * At 100 TB this is a shuffle on user_id and linear scans. */
+  def q217IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val span = 1800000000L // 30 min in micros
+    val byUser = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val prevMax = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("st"))
+      .withColumn("en", $"st" + span)
+      .withColumn("pmax", max($"en").over(prevMax))
+      .withColumn("is_new",
+        ($"pmax".isNull || $"st" > $"pmax").cast("long"))
+      .withColumn("island", sum($"is_new").over(run))
+      .groupBy($"user_id", $"island")
+      .agg(min($"st").as("is"), max($"en").as("ie"), count(lit(1)).as("n_ev"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        (sum($"ie" - $"is") / lit(1000000L)).cast("long").as("covered_sec"),
+        sum($"n_ev").as("n_events"))
+      .withColumn("overcount_sec",
+        ($"n_events" * (span / 1000000L)) - $"covered_sec")
+      .orderBy($"user_id")
+  }
+
+  val q217Oracle: String =
+    """WITH iv AS (
+         SELECT user_id, event_id, epoch_us(ts) AS st,
+           epoch_us(ts) + 1800000000 AS en
+         FROM events),
+       m AS (
+         SELECT user_id, event_id, st, en,
+           max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         FROM iv),
+       isl AS (
+         SELECT user_id, event_id, st, en,
+           CAST(sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY st, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS island
+         FROM m),
+       pi AS (
+         SELECT user_id, island, CAST(min(st) AS BIGINT) AS is_,
+           CAST(max(en) AS BIGINT) AS ie, CAST(count(*) AS BIGINT) AS n_ev
+         FROM isl GROUP BY 1, 2)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+         CAST(sum(ie - is_) // 1000000 AS BIGINT) AS covered_sec,
+         CAST(sum(n_ev) AS BIGINT) AS n_events,
+         CAST(sum(n_ev) AS BIGINT) * 1800 - CAST(sum(ie - is_) // 1000000 AS BIGINT)
+           AS overcount_sec
+       FROM pi GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_interval_union" -> q217IntervalUnion,
     "q212_seasonal_decomp" -> q212SeasonalDecomp,
     "q202_clamped_balance" -> q202ClampedBalance,
     "q192_centered_ma" -> q192CenteredMa,
@@ -997,6 +1069,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q217_interval_union" -> q217Oracle,
     "q212_seasonal_decomp" -> q212Oracle,
     "q202_clamped_balance" -> q202Oracle,
     "q192_centered_ma" -> q192Oracle,

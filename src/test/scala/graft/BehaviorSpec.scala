@@ -374,6 +374,57 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q215: containment catches an embedded fragment that Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q215Containment(spark, d).collect()
+    got.foreach { r =>
+      val (inter, sz1, sz2) = (r.getAs[Long]("inter"),
+        r.getAs[Long]("sz1"), r.getAs[Long]("sz2"))
+      assert(inter <= math.min(sz1, sz2))
+      assert(r.getAs[Long]("cont1_bp") == inter * 10000 / sz1)
+      assert(r.getAs[Long]("cont2_bp") == inter * 10000 / sz2)
+      assert(r.getAs[Long]("cont1_bp") >= 8000 || r.getAs[Long]("cont2_bp") >= 8000)
+    }
+    // synthetic check on the measure itself: fragment ⊂ host gives
+    // containment 100% while Jaccard stays at |A|/|B|
+    val a = Set(1L, 2L, 3L)
+    val b = (1L to 30L).toSet
+    val inter = (a & b).size
+    assert(inter * 10000 / a.size == 10000)
+    assert(inter * 10000 / (a | b).size < 1500)
+  }
+
+  test("q217: interval union matches a sequential merge replay per user") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q217IntervalUnion(spark, d).collect()
+    assert(got.nonEmpty)
+    val span = 1800000000L
+    val evs = graft.io.Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    got.foreach { r =>
+      val starts = evs(r.getAs[Long]("user_id"))
+      var islands = 0L; var covered = 0L
+      var curS = -1L; var curE = -1L
+      starts.foreach { st =>
+        if (curE < 0 || st > curE) {
+          if (curE >= 0) covered += curE - curS
+          islands += 1; curS = st; curE = st + span
+        } else curE = math.max(curE, st + span)
+      }
+      if (curE >= 0) covered += curE - curS
+      assert(r.getAs[Long]("n_islands") == islands)
+      assert(r.getAs[Long]("covered_sec") == covered / 1000000L)
+      assert(r.getAs[Long]("n_events") == starts.length.toLong)
+      assert(r.getAs[Long]("overcount_sec") ==
+        starts.length * 1800L - covered / 1000000L)
+    }
+  }
+
   test("q210: KM curve is monotone from 1.0; risk sets telescope; censoring respected") {
     val d = "/root/testdata/sf0.001"
     val got = operators.Behavior.q210KaplanMeier(spark, d).collect()

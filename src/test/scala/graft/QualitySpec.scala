@@ -146,6 +146,29 @@ class QualitySpec extends SparkSpec {
     assert(row.getAs[Long]("n_wedges") == degs.map(dg => dg * (dg - 1) / 2).sum)
   }
 
+  test("q216: entropy bounded by ln(26); uniform letters peg it, single letter zeroes it") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.TextAnalysis.q216CharEntropy(spark, d).collect()
+    assert(got.nonEmpty)
+    val lnMaxMicro = math.floor(math.log(26.0) * 1e6).toLong
+    got.foreach { r =>
+      assert(r.getAs[Long]("min_ent_micro") >= 0L)
+      // term-wise floors can only undershoot the true entropy <= ln 26
+      assert(r.getAs[Long]("max_ent_micro") <= lnMaxMicro)
+      assert(r.getAs[Long]("avg_ent_micro") >= r.getAs[Long]("min_ent_micro"))
+      assert(r.getAs[Long]("avg_ent_micro") <= r.getAs[Long]("max_ent_micro"))
+    }
+    // the measure itself: 26 equi-frequent letters → ln 26 (up to 26 floors)
+    val uniform = (0 until 26).map(_ => 10L)
+    val n = uniform.sum.toDouble
+    val ent = uniform.map { c =>
+      math.floor(-(c / n) * math.log(c / n) * 1e6).toLong
+    }.sum
+    assert(ent > lnMaxMicro - 26 && ent <= lnMaxMicro)
+    // a single repeated letter has zero entropy: -(1)ln(1) = 0
+    assert(math.floor(-1.0 * math.log(1.0) * 1e6).toLong == 0L)
+  }
+
   test("q214: metrics reconcile with the q32 confusion matrix; micro row is accuracy") {
     val d = "/root/testdata/sf0.001"
     val got = graft.operators.TextAnalysis.q214ClassificationEval(spark, d).collect()
