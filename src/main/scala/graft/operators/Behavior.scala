@@ -667,7 +667,64 @@ object Behavior {
        SELECT wk, n_at_risk, d, ending, surv_micro
        FROM sv WHERE wk < 30 ORDER BY wk"""
 
+  /** Burstiness index (q219): per user, B = (σ − μ)/(σ + μ) over
+    * inter-event gaps — the Goh–Barabási statistic separating three
+    * regimes: B → −1 periodic (heartbeat/cron), B ≈ 0 Poisson (human
+    * background), B → 1 bursty (sessions/bots/incident storms). The
+    * standard traffic-shape fingerprint for bot filtering and crawler
+    * rate-audit — exactly the signal a scraping pipeline (the
+    * reference's domain) uses to see whether it is being throttled.
+    *
+    * Parity: gaps are integer seconds; μ and σ² come from exact int64
+    * moments (n, Σg, Σg²; population variance n·Σg² − (Σg)² over n²);
+    * B is one shared double tree — sqrt of the exact variance
+    * rational, then the floor to bp (the q139 rule — numerator can be
+    * negative). Users with < 2 events (no gaps) drop out. Shape: one
+    * lag window per user partition, one per-user partial agg — the
+    * q23 shuffle shape. */
+  def q219Burstiness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(byUser))
+      .filter($"prev".isNotNull)
+      .select($"user_id", (($"us" - $"prev") / lit(1000000L)).cast("long").as("g"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"g").as("sg"), sum($"g" * $"g").as("sg2"))
+      .select($"user_id", $"n",
+        expr("sg div n").as("mean_sec"),
+        // B = (sqrt(var) - mean) / (sqrt(var) + mean), var & mean as
+        // exact rationals evaluated in one shared double expression
+        floor((sqrt(($"n" * $"sg2" - $"sg" * $"sg") * lit(1.0)) / $"n"
+          - $"sg" * lit(1.0) / $"n")
+          / (sqrt(($"n" * $"sg2" - $"sg" * $"sg") * lit(1.0)) / $"n"
+            + $"sg" * lit(1.0) / $"n") * lit(10000.0)).cast("long")
+          .as("burst_bp"))
+      .orderBy($"user_id")
+  }
+
+  val q219Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev
+         FROM events),
+       g AS (
+         SELECT user_id, (us - prev) // 1000000 AS g
+         FROM e WHERE prev IS NOT NULL),
+       m AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sg2
+         FROM g GROUP BY user_id)
+       SELECT user_id, n, sg // n AS mean_sec,
+         CAST(floor((sqrt((n * sg2 - sg * sg) * 1.0) / n - sg * 1.0 / n)
+           / (sqrt((n * sg2 - sg * sg) * 1.0) / n + sg * 1.0 / n)
+           * 10000.0) AS BIGINT) AS burst_bp
+       FROM m ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_burstiness" -> q219Burstiness,
     "q210_kaplan_meier" -> q210KaplanMeier,
     "q201_entry_exit" -> q201EntryExit,
     "q196_assoc_rules" -> q196AssocRules,
@@ -681,6 +738,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q219_burstiness" -> q219Oracle,
     "q210_kaplan_meier" -> q210Oracle,
     "q201_entry_exit" -> q201Oracle,
     "q196_assoc_rules" -> q196Oracle,

@@ -946,7 +946,80 @@ object Similarity {
        FROM j GROUP BY qid ORDER BY qid"""
     }
 
+  /** int8 scalar-quantization audit (q218): compress each embedding to
+    * 8-bit codes with a per-vector scale (symmetric max-abs — the
+    * faiss/SQ8 default), dequantize, and measure what the compression
+    * costs: per-label relative squared error and the worst cosine
+    * similarity between original and reconstruction. The 4× memory
+    * saving is only free if cos(orig, dequant) ≈ 1; this query is the
+    * audit that decides whether the ANN index (q46-48/q86/q165) can
+    * run on int8.
+    *
+    * Parity: the suite's milli-quantized integer vectors are the
+    * "original"; the two per-element roundings (code = ⌊x·127/amax⌋,
+    * dequant = ⌊code·amax/127⌋) are SHARED double floors (operands
+    * < 2⁵³ — exact); everything after is int64 algebra (SSE, norms,
+    * the rank-key cosine in bp). Zero vectors are excluded (no scale
+    * exists). Shape: embarrassingly per-row on the scan (HOF lambdas,
+    * no joins), then one |labels|-row partial agg. */
+  def q218QuantizationAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = quantized(s, d)
+      .withColumn("amax", expr("array_max(transform(qa, x -> abs(x)))"))
+      .filter($"amax" > 0)
+      .withColumn("dq", expr(
+        """transform(qa, x ->
+             cast(floor(cast(floor(x * 127.0 / amax) as double)
+                        * amax / 127.0) as bigint))"""))
+      .withColumn("sse", expr(
+        "aggregate(zip_with(qa, dq, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("nd2", expr(
+        "aggregate(dq, 0L, (acc, x) -> acc + x*x)"))
+      .withColumn("num", expr(
+        "aggregate(zip_with(qa, dq, (a, b) -> a*b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rel_err_bp", expr("sse * 10000 div n2"))
+      .withColumn("cos_bp", expr("(num * num * 10000) div (n2 * nd2)"))
+    base.groupBy($"label".cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(rel_err_bp) div count(1)").as("avg_rel_err_bp"),
+        max($"rel_err_bp").as("max_rel_err_bp"),
+        min($"cos_bp").as("min_cos_bp"))
+      .orderBy($"label")
+  }
+
+  val q218Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2,
+           CAST(list_max(list_transform(qa, x -> abs(x))) AS BIGINT) AS amax
+         FROM q),
+       dqv AS (
+         SELECT vec_id, label, qa, n2, amax,
+           list_transform(qa, x ->
+             CAST(floor(CAST(floor(x * 127.0 / amax) AS DOUBLE) * amax / 127.0)
+               AS BIGINT)) AS dq
+         FROM n WHERE amax > 0),
+       m AS (
+         SELECT label,
+           CAST(list_sum(list_transform(list_zip(qa, dq),
+             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) * 10000 // n2 AS rel_err_bp,
+           (CAST(list_sum(list_transform(list_zip(qa, dq), p -> p[1]*p[2])) AS BIGINT)
+             * CAST(list_sum(list_transform(list_zip(qa, dq), p -> p[1]*p[2])) AS BIGINT)
+             * 10000)
+             // (n2 * CAST(list_sum(list_transform(dq, x -> x*x)) AS BIGINT)) AS cos_bp
+         FROM dqv)
+       SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(rel_err_bp) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_rel_err_bp,
+         CAST(max(rel_err_bp) AS BIGINT) AS max_rel_err_bp,
+         CAST(min(cos_bp) AS BIGINT) AS min_cos_bp
+       FROM m GROUP BY label ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_quantization_audit" -> q218QuantizationAudit,
     "q180_ndcg_eval" -> q180NdcgEval,
     "q165_pq_adc" -> q165PqAdc,
     "q137_bitext_margin" -> q137BitextMargin,
@@ -964,6 +1037,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q218_quantization_audit" -> q218Oracle,
     "q180_ndcg_eval" -> q180Oracle,
     "q165_pq_adc" -> q165Oracle,
     "q137_bitext_margin" -> q137Oracle,

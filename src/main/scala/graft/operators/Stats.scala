@@ -1642,7 +1642,69 @@ object Stats {
          CAST(floor((center + hw) * 1000000.0) AS BIGINT) AS hi_ppm
        FROM c ORDER BY event_type"""
 
+  /** Hill tail-index estimator (q220): over the top k = 100 order
+    * totals, H = (1/k)·Σ ln(x_i / x_k) and the tail exponent α = 1/H —
+    * the standard answer to "how heavy is this tail?": α < 2 means
+    * infinite variance (plan for skew-killing, q87's salting), α > 3
+    * means the tail is tame and mean-based capacity planning is safe.
+    * Run on spend here; the same estimator profiles file sizes,
+    * session lengths, and dedup-cluster sizes before choosing
+    * partition strategies.
+    *
+    * Parity: the top-(k+1) set is deterministic (orderBy value desc,
+    * key — TakeOrdered, no global sort); each ln term is floored to
+    * micro-nats INDEPENDENTLY (term-wise floors make the sum
+    * order-free and integer-exact — the q216 discipline); H and α are
+    * integer divisions of that exact sum. x_k is the (k+1)-th value —
+    * the threshold ITSELF is excluded from the sum (its term is 0
+    * anyway: ln(x_k/x_k)). Shape: one TakeOrdered(101) over the scan,
+    * then driver-free arithmetic on 101 rows. */
+  def q220HillTail(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val top = Tables.orders(s, d)
+      .select(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        $"o_orderkey")
+      .orderBy($"cents".desc, $"o_orderkey")
+      .limit(k + 1)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy($"cents", $"o_orderkey")))
+    val xk = ranked.filter($"rn" === 1).select($"cents".as("xk"))
+    ranked.filter($"rn" > 1).crossJoin(broadcast(xk))
+      .select(floor(log($"cents" * lit(1.0) / $"xk") * lit(1000000.0))
+        .cast("long").as("term_micro"), $"xk")
+      .agg(count(lit(1)).as("k"), max($"xk").as("xk_cents"),
+        sum($"term_micro").as("sum_ln_micro"))
+      .select($"k", $"xk_cents", $"sum_ln_micro",
+        expr("sum_ln_micro div k").as("hill_micro"),
+        expr("1000000000 div (sum_ln_micro div k)").as("alpha_milli"))
+  }
+
+  val q220Oracle: String =
+    """WITH top AS (
+         SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           o_orderkey
+         FROM orders ORDER BY cents DESC, o_orderkey LIMIT 101),
+       rk AS (
+         SELECT cents, o_orderkey,
+           row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+         FROM top),
+       xkv AS (SELECT cents AS xk FROM rk WHERE rn = 1),
+       t AS (
+         SELECT CAST(floor(ln(cents * 1.0 / xk) * 1000000.0) AS BIGINT) AS term_micro,
+           xk
+         FROM rk CROSS JOIN xkv WHERE rn > 1),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(xk) AS BIGINT) AS xk_cents,
+           CAST(sum(term_micro) AS BIGINT) AS sum_ln_micro
+         FROM t)
+       SELECT k, xk_cents, sum_ln_micro,
+         sum_ln_micro // k AS hill_micro,
+         1000000000 // (sum_ln_micro // k) AS alpha_milli
+       FROM a"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_hill_tail" -> q220HillTail,
     "q213_wilson_ci" -> q213WilsonCi,
     "q209_loo_encoding" -> q209LooEncoding,
     "q211_gini" -> q211Gini,
@@ -1676,6 +1738,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q220_hill_tail" -> q220Oracle,
     "q213_wilson_ci" -> q213Oracle,
     "q209_loo_encoding" -> q209Oracle,
     "q211_gini" -> q211Oracle,

@@ -271,6 +271,61 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q220: Hill estimator matches brute force on the top-k tail") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q220HillTail(spark, d).head()
+    assert(r.getAs[Long]("k") == 100L)
+    val cents = graft.io.Tables.orders(spark, d)
+      .select(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[Long].collect().sorted(Ordering[Long].reverse).take(101)
+    val xk = cents.last
+    assert(r.getAs[Long]("xk_cents") == xk)
+    val sum = cents.init.map(c =>
+      math.floor(math.log(c.toDouble / xk) * 1e6).toLong).sum
+    assert(r.getAs[Long]("sum_ln_micro") == sum)
+    assert(r.getAs[Long]("hill_micro") == sum / 100)
+    assert(r.getAs[Long]("alpha_milli") == 1000000000L / (sum / 100))
+    // TPC-H totals are NOT heavy-tailed: alpha should be large (> 3)
+    assert(r.getAs[Long]("alpha_milli") > 3000L)
+  }
+
+  test("q219: burstiness is -1 for periodic gaps, ~0 for Poisson, in [-1,1] on data") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q219Burstiness(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val b = r.getAs[Long]("burst_bp")
+      assert(b >= -10000L && b <= 10000L, s"B out of range: $r")
+      assert(r.getAs[Long]("n") >= 1L && r.getAs[Long]("mean_sec") >= 0L)
+    }
+    // the statistic itself: constant gaps → B = -1 exactly
+    def bOf(gaps: Seq[Long]): Double = {
+      val n = gaps.length.toDouble
+      val mu = gaps.sum / n
+      val sd = math.sqrt(gaps.map(g => (g - mu) * (g - mu)).sum / n)
+      (sd - mu) / (sd + mu)
+    }
+    assert(bOf(Seq(10L, 10L, 10L, 10L)) == -1.0)
+    // exponential-ish spread: B near 0 (within 0.35 for this small sample)
+    assert(math.abs(bOf(Seq(1L, 3L, 7L, 15L, 2L, 5L, 30L, 9L))) < 0.35)
+  }
+
+  test("q218: dequantization error bounded by the scalar step; cosine stays high") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Similarity.q218QuantizationAudit(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // int8 with per-vector scale keeps relative SSE small and cosine
+      // near 1e4 bp on any non-degenerate vectors
+      assert(r.getAs[Long]("avg_rel_err_bp") <= r.getAs[Long]("max_rel_err_bp"))
+      assert(r.getAs[Long]("max_rel_err_bp") < 100L,
+        s"rel err above 1%: $r")
+      assert(r.getAs[Long]("min_cos_bp") >= 9990L, s"cosine degraded: $r")
+      assert(r.getAs[Long]("n_vecs") > 0L)
+    }
+  }
+
   test("q213: Wilson interval brackets p-hat and stays inside [0, 1e6]") {
     val d = "/root/testdata/sf0.001"
     val got = Stats.q213WilsonCi(spark, d).collect()
