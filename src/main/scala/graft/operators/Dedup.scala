@@ -1280,7 +1280,65 @@ object Dedup {
        WHERE inter * 10000 // s1.sz >= 8000 OR inter * 10000 // s2.sz >= 8000
        ORDER BY doc1, doc2"""
 
+  /** Duplicate-provenance matrix (q222): WHICH sources share exact-
+    * duplicate text with which — per source pair, the count of
+    * distinct full-text hashes present in both, plus the diagonal
+    * (hashes duplicated WITHIN one source). q40 counts duplicates;
+    * this attributes them: mirror pairs light up one cell, a scraper
+    * that re-crawls itself lights the diagonal, and the matrix is the
+    * evidence for per-source dedup ordering (dedup the copier against
+    * the original, not vice versa — q193/q81 then act on it).
+    *
+    * Shape: one hash projection, dedup to the (hash, source) relation
+    * (partial agg); the pair join runs on the DUPLICATED-hash residue
+    * only (q99's argument — the join input is the duplication volume,
+    * not the corpus); diagonal cells come from a per-(hash, source)
+    * count, no join at all. */
+  def q222DupProvenance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hs = Tables.documents(s, d)
+      // q90's near-dup key (first-5-token prefix), not the full-text
+      // hash: this corpus has no byte-identical cross-source copies,
+      // and a 0-row matrix audits nothing — the prefix key is the
+      // fingerprint the curation pipeline actually clusters on
+      .select(hash60(array_join(slice(tokens($"text"), 1, 5), " ")).as("h"),
+        $"source")
+      .localCheckpoint() // feeds the within- and cross-source branches
+    val perSrc = hs.groupBy($"h", $"source").agg(count(lit(1)).as("c"))
+    val diag = perSrc.filter($"c" >= 2)
+      .groupBy($"source").agg(count(lit(1)).as("n_hashes"))
+      .select($"source".as("src1"), $"source".as("src2"), $"n_hashes")
+    val m = perSrc.select($"h", $"source")
+    val dupH = m.groupBy($"h").agg(count(lit(1)).as("ns")).filter($"ns" >= 2)
+    val md = m.join(dupH.select($"h"), "h")
+    val cross = md.as("a").join(md.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("n_hashes"))
+    cross.unionByName(diag).orderBy($"src1", $"src2")
+  }
+
+  val q222Oracle: String =
+    """WITH hs AS (
+         SELECT ('0x' || substr(md5(array_to_string(
+             (list_filter(string_split_regex(text, '\s+'), t -> t <> ''))[1:5],
+             ' ')), 1, 15))::BIGINT AS h, source
+         FROM documents),
+       per AS (SELECT h, source, CAST(count(*) AS BIGINT) AS c
+               FROM hs GROUP BY 1, 2),
+       diag AS (
+         SELECT source AS src1, source AS src2, CAST(count(*) AS BIGINT) AS n_hashes
+         FROM per WHERE c >= 2 GROUP BY source),
+       m AS (SELECT h, source FROM per),
+       cross_ AS (
+         SELECT a.source AS src1, b.source AS src2, CAST(count(*) AS BIGINT) AS n_hashes
+         FROM m a JOIN m b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT * FROM cross_ UNION ALL SELECT * FROM diag
+       ORDER BY src1, src2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_dup_provenance" -> q222DupProvenance,
     "q215_containment" -> q215Containment,
     "q188_weighted_jaccard" -> q188WeightedJaccard,
     "q164_golden_record" -> q164GoldenRecord,
@@ -1300,6 +1358,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q222_dup_provenance" -> q222Oracle,
     "q215_containment" -> q215Oracle,
     "q188_weighted_jaccard" -> q188Oracle,
     "q164_golden_record" -> q164Oracle,

@@ -405,6 +405,100 @@ object Quality {
       .orderBy($"bin")
   }
 
+  /** Cumulative-gains / lift table (q223): treat q176's heuristic
+    * quality score as a retrieval model for the LM-gate label and ask
+    * the budgeted question — if we keep only the top d deciles, what
+    * share of the good documents do we capture, and at what lift over
+    * random? This is the curation counterpart of a marketing gains
+    * chart, and the decision artifact behind every "keep the top X%"
+    * threshold (q193 spends a budget this way; this measures whether
+    * the score deserves it). Deciles come from ntile(10) over the
+    * TOTAL order (score desc, doc_id); gains/lift are integer bp
+    * divisions of exact cumulative counts.
+    *
+    * Shape: q176's score+label machinery (one checkpointed tf
+    * relation), one ntile window over the doc relation, a 10-row
+    * cumulative window after the decile agg. */
+  def q223GainsCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val score = tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"), count(lit(1)).as("uniq"),
+        sum(when($"term".isin(stop.map(lit): _*), $"tf").otherwise(lit(0L)))
+          .as("nstop"))
+      .select($"doc_id",
+        (least($"n_tok", lit(100)) * 10
+          + (lit(1000) - floor($"nstop" * lit(1000) / $"n_tok").cast("long"))
+          + floor($"uniq" * lit(1000) / $"n_tok").cast("long")).as("score"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    val label = tf.join(tc, "term").crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"t" * lit(1.0)) / $"cnt") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"tf" * $"s_micro") / sum($"tf") <= lit(3401500))
+        .cast("long").as("y"))
+    val dec = score.join(label, "doc_id")
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_d"), sum($"y").as("pos_d"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dec
+      .withColumn("cum_n", sum($"n_d").over(w))
+      .withColumn("cum_pos", sum($"pos_d").over(w))
+    val g = cum.agg(max($"cum_n").as("n_all"), max($"cum_pos").as("pos_all"))
+    cum.crossJoin(broadcast(g))
+      .select($"decile", $"n_d", $"pos_d",
+        expr("cum_pos * 10000 div pos_all").as("gain_bp"),
+        expr("(cum_pos * n_all * 10000) div (pos_all * cum_n)").as("lift_bp"))
+      .orderBy($"decile")
+  }
+
+  val q223Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       sc AS (
+         SELECT doc_id,
+           CAST(least(sum(tf), 100) * 10
+             + (1000 - CAST(floor(sum(CASE WHEN term IN ('the','a','of','and','in','to')
+                                           THEN tf ELSE 0 END) * 1000.0 / sum(tf)) AS BIGINT))
+             + CAST(floor(count(*) * 1000.0 / sum(tf)) AS BIGINT) AS BIGINT) AS score
+         FROM tf GROUP BY 1),
+       tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+       gb AS (
+         SELECT doc_id,
+           CAST(sum(tf * CAST(floor(ln((t * 1.0) / cnt) * 1000000.0) AS BIGINT)) * 1.0
+             / sum(tf) <= 3401500 AS BIGINT) AS y
+         FROM tf JOIN tc USING (term) CROSS JOIN tot GROUP BY 1),
+       dd AS (
+         SELECT CAST(ntile(10) OVER (ORDER BY score DESC, sc.doc_id) AS BIGINT) AS decile, y
+         FROM sc JOIN gb ON sc.doc_id = gb.doc_id),
+       dec AS (
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_d, CAST(sum(y) AS BIGINT) AS pos_d
+         FROM dd GROUP BY decile),
+       cum AS (
+         SELECT decile, n_d, pos_d,
+           CAST(sum(n_d) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+           CAST(sum(pos_d) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+         FROM dec),
+       g AS (SELECT max(cum_n) AS n_all, max(cum_pos) AS pos_all FROM cum)
+       SELECT decile, n_d, pos_d,
+         cum_pos * 10000 // pos_all AS gain_bp,
+         (cum_pos * n_all * 10000) // (pos_all * cum_n) AS lift_bp
+       FROM cum CROSS JOIN g ORDER BY decile"""
+
   val q176Oracle: String =
     """WITH tok AS (
          SELECT doc_id,
@@ -525,6 +619,7 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_zonemap_audit" -> q181ZonemapAudit,
     "q176_calibration" -> q176Calibration,
+    "q223_gains_curve" -> q223GainsCurve,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
@@ -535,6 +630,7 @@ object Quality {
   val oracles: Map[String, String] = Map(
     "q181_zonemap_audit" -> q181Oracle,
     "q176_calibration" -> q176Oracle,
+    "q223_gains_curve" -> q223Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,

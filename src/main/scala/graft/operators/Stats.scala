@@ -1707,7 +1707,71 @@ object Stats {
          1000000000 // (sum_ln_micro // k) AS alpha_milli
        FROM a"""
 
+  /** Kolmogorov–Smirnov two-sample statistic (q221): D = sup_x |F₁(x)
+    * − F₂(x)| between two sources' n_chars distributions — the
+    * whole-shape complement to q194's location-sensitive rank test (KS
+    * sees variance and shape differences a rank-sum misses; together
+    * they are the distribution-shift toolkit). EXACT in integers: the
+    * sup runs over the pooled distinct values, and |cum₁·n₂ − cum₂·n₁|
+    * is compared as int64 before any division — D_bp is derived from
+    * the argmax numerator only at the end. Also emits the classic
+    * √((n₁+n₂)/(n₁n₂))-scaled critical value at α = 0.05 (c = 1.358)
+    * as a shared-double bp and the reject flag.
+    *
+    * Shape: the corpus collapses to the per-value count relation
+    * (q194's shape); one cumulative window over the value domain; the
+    * sup is a 1-row max-reduce. */
+  def q221KsTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byVal = Tables.documents(s, d)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal
+      .withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w))
+    val tot = cum.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs($"cum1" * $"n2" - $"cum2" * $"n1")).as("d_num"),
+        max($"n1").as("n1"), max($"n2").as("n2"))
+      .select($"n1", $"n2", $"d_num",
+        expr("d_num * 10000 div (n1 * n2)").as("d_bp"),
+        floor(lit(1.358) * sqrt(($"n1" + $"n2") * lit(1.0) / ($"n1" * $"n2"))
+          * lit(10000.0)).cast("long").as("crit_bp"))
+      .withColumn("reject", $"d_bp" > $"crit_bp")
+  }
+
+  val q221Oracle: String =
+    """WITH byv AS (
+         SELECT n_chars AS v,
+           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         FROM documents WHERE source IN ('src0', 'src1') GROUP BY v),
+       cum AS (
+         SELECT v,
+           CAST(sum(c1) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+           CAST(sum(c2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+         FROM byv),
+       tot AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cum),
+       agg AS (
+         SELECT CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+           CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+         FROM cum CROSS JOIN tot)
+       SELECT n1, n2, d_num,
+         d_num * 10000 // (n1 * n2) AS d_bp,
+         CAST(floor(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 10000.0) AS BIGINT)
+           AS crit_bp,
+         d_num * 10000 // (n1 * n2)
+           > CAST(floor(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 10000.0) AS BIGINT)
+           AS reject
+       FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_ks_test" -> q221KsTest,
     "q220_hill_tail" -> q220HillTail,
     "q213_wilson_ci" -> q213WilsonCi,
     "q209_loo_encoding" -> q209LooEncoding,
@@ -1742,6 +1806,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q221_ks_test" -> q221Oracle,
     "q220_hill_tail" -> q220Oracle,
     "q213_wilson_ci" -> q213Oracle,
     "q209_loo_encoding" -> q209Oracle,

@@ -271,6 +271,71 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q221: KS statistic matches a brute-force ECDF sweep") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q221KsTest(spark, d).head()
+    val vals = graft.io.Tables.documents(spark, d)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val a = vals.filter(_._1 == "src0").map(_._2).sorted
+    val b = vals.filter(_._1 == "src1").map(_._2).sorted
+    assert(r.getAs[Long]("n1") == a.length.toLong)
+    assert(r.getAs[Long]("n2") == b.length.toLong)
+    val pooled = (a ++ b).distinct.sorted
+    val dNum = pooled.map { v =>
+      val c1 = a.count(_ <= v).toLong; val c2 = b.count(_ <= v).toLong
+      math.abs(c1 * b.length - c2 * a.length)
+    }.max
+    assert(r.getAs[Long]("d_num") == dNum)
+    assert(r.getAs[Long]("d_bp") == dNum * 10000 / (a.length.toLong * b.length))
+    assert(r.getAs[Boolean]("reject") ==
+      (r.getAs[Long]("d_bp") > r.getAs[Long]("crit_bp")))
+  }
+
+  test("q222: provenance cells match brute-force prefix-key intersections") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q222DupProvenance(spark, d).collect()
+    assert(got.nonEmpty, "prefix key must collide on this corpus")
+    val hs = graft.io.Tables.documents(spark, d)
+      .select(graft.functions.Fns.hash60(
+        array_join(slice(graft.functions.Fns.tokens($"text"), 1, 5), " ")).as("h"),
+        $"source")
+      .as[(Long, String)].collect()
+    got.foreach { r =>
+      val (s1, s2) = (r.getAs[String]("src1"), r.getAs[String]("src2"))
+      val want =
+        if (s1 == s2)
+          hs.filter(_._2 == s1).groupBy(_._1).count(_._2.length >= 2).toLong
+        else {
+          val h1 = hs.filter(_._2 == s1).map(_._1).toSet
+          val h2 = hs.filter(_._2 == s2).map(_._1).toSet
+          (h1 & h2).size.toLong
+        }
+      assert(r.getAs[Long]("n_hashes") == want, s"cell ($s1,$s2)")
+    }
+  }
+
+  test("q223: gains are monotone to 10000bp; lift decreasing toward 10000") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q223GainsCurve(spark, d).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    var prevGain = 0L
+    got.foreach { r =>
+      val g = r.getAs[Long]("gain_bp")
+      assert(g >= prevGain, "cumulative gains must be monotone")
+      prevGain = g
+    }
+    assert(got.last.getAs[Long]("gain_bp") == 10000L, "full capture at decile 10")
+    assert(got.last.getAs[Long]("lift_bp") == 10000L, "lift converges to 1")
+    // total positives reconcile
+    val pos = got.map(_.getAs[Long]("pos_d")).sum
+    assert(pos > 0L)
+  }
+
   test("q220: Hill estimator matches brute force on the top-k tail") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
