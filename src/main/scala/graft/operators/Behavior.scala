@@ -723,7 +723,67 @@ object Behavior {
            * 10000.0) AS BIGINT) AS burst_bp
        FROM m ORDER BY user_id"""
 
+  /** Top session paths (q224): the 20 most common session prefixes —
+    * each session reduced to its first 5 event types in order — with
+    * counts and share. The Sankey/flow-diagram feed and the "what do
+    * users actually do" report; on crawl telemetry the same query
+    * surfaces the dominant fetch→parse→error paths. Paths come from
+    * an ORDERED collect: sort_array over (event_id, type) structs
+    * makes the list deterministic (collect_list alone has no order
+    * guarantee — the classic wrong-on-a-cluster bug this query
+    * documents by doing it right).
+    *
+    * Shape: one q23-style session window, one groupBy building the
+    * per-session path (the sorted struct array is bounded by session
+    * length), a path-level partial agg, TakeOrdered(20). */
+  def q224SessionPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(expr(
+        """array_join(slice(transform(
+             sort_array(collect_list(struct(event_id, event_type))),
+             p -> p.event_type), 1, 5), '>')""").as("path"))
+    val tot = sess.agg(count(lit(1)).as("n_sessions"))
+    sess.groupBy($"path").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n * 10000 div n_sessions"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  val q224Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+         FROM events),
+       se AS (
+         SELECT user_id, event_id, event_type,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM t),
+       sess AS (
+         SELECT user_id, session_id,
+           array_to_string((list(event_type ORDER BY event_id))[1:5], '>') AS path
+         FROM se GROUP BY 1, 2),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
+       SELECT path, CAST(count(*) AS BIGINT) AS n, n_sessions,
+         CAST(count(*) AS BIGINT) * 10000 // n_sessions AS share_bp
+       FROM sess CROSS JOIN tot GROUP BY path, n_sessions
+       ORDER BY n DESC, path LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_session_paths" -> q224SessionPaths,
     "q219_burstiness" -> q219Burstiness,
     "q210_kaplan_meier" -> q210KaplanMeier,
     "q201_entry_exit" -> q201EntryExit,
@@ -738,6 +798,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_session_paths" -> q224Oracle,
     "q219_burstiness" -> q219Oracle,
     "q210_kaplan_meier" -> q210Oracle,
     "q201_entry_exit" -> q201Oracle,

@@ -1041,7 +1041,47 @@ object Windows {
            AS overcount_sec
        FROM pi GROUP BY user_id ORDER BY user_id"""
 
+  /** Sliding rate-limit audit (q225): per user, the maximum number of
+    * events inside ANY trailing 60-second window — computed exactly
+    * with a RANGE frame over event-time micros (count over
+    * [t−60s, t]), which evaluates the sliding count at every event,
+    * the only moments a trailing maximum can change. This is the
+    * rate-limiter / abuse-detection primitive ("did anyone exceed N
+    * requests per minute?") and, with q219's burstiness, the traffic
+    * shape pair; the RANGE-on-bigint trailing frame also completes
+    * the frame-type coverage next to q84 (trailing rows), q192
+    * (centered range on days), and q160 (bounded explode form).
+    *
+    * Exact integers throughout. Shape: one RANGE window per user
+    * partition, then a per-user partial-agg max — shuffle on user_id
+    * and a linear scan, nothing else. */
+  def q225RateLimit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-60000000L, 0L)
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("c60", count(lit(1)).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"c60").as("max_per_min"))
+      .withColumn("over_10", ($"max_per_min" > 10L).cast("long"))
+      .orderBy($"user_id")
+  }
+
+  val q225Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       c AS (
+         SELECT user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS c60
+         FROM e)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(c60) AS BIGINT) AS max_per_min,
+         CAST(max(c60) > 10 AS BIGINT) AS over_10
+       FROM c GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_rate_limit" -> q225RateLimit,
     "q217_interval_union" -> q217IntervalUnion,
     "q212_seasonal_decomp" -> q212SeasonalDecomp,
     "q202_clamped_balance" -> q202ClampedBalance,
@@ -1069,6 +1109,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q225_rate_limit" -> q225Oracle,
     "q217_interval_union" -> q217Oracle,
     "q212_seasonal_decomp" -> q212Oracle,
     "q202_clamped_balance" -> q202Oracle,

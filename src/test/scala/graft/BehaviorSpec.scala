@@ -374,6 +374,48 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q224: paths reconcile with session count; shares are consistent") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q224SessionPaths(spark, d).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val nSessions = got.head.getAs[Long]("n_sessions")
+    val q23n = operators.Windows.q23Sessionize(spark, d).count()
+    assert(nSessions == q23n, "session denominator must match q23")
+    var prev = Long.MaxValue
+    got.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n <= prev, "paths must be ordered by count desc")
+      prev = n
+      assert(r.getAs[Long]("share_bp") == n * 10000 / nSessions)
+      // a path has at most 5 steps
+      assert(r.getAs[String]("path").split(">").length <= 5)
+    }
+  }
+
+  test("q225: sliding 60s max matches a brute-force two-pointer sweep") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q225RateLimit(spark, d).collect()
+    assert(got.nonEmpty)
+    val byUser = graft.io.Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    got.foreach { r =>
+      val ts = byUser(r.getAs[Long]("user_id"))
+      var lo = 0
+      var best = 0
+      ts.indices.foreach { hi =>
+        while (ts(hi) - ts(lo) > 60000000L) lo += 1
+        best = math.max(best, hi - lo + 1)
+      }
+      assert(r.getAs[Long]("max_per_min") == best.toLong,
+        s"user ${r.getAs[Long]("user_id")}: got ${r.getAs[Long]("max_per_min")} want $best")
+      assert(r.getAs[Long]("n_events") == ts.length.toLong)
+      assert(r.getAs[Long]("over_10") == (if (best > 10) 1L else 0L))
+    }
+  }
+
   test("q215: containment catches an embedded fragment that Jaccard misses") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
