@@ -782,7 +782,71 @@ object Behavior {
        FROM sess CROSS JOIN tot GROUP BY path, n_sessions
        ORDER BY n DESC, path LIMIT 20"""
 
+  /** RFM segmentation (q226): score every customer 1–5 on Recency
+    * (days since last order, lower = better), Frequency (order
+    * count), and Monetary (total spend in cents), each by quintile,
+    * concatenate into the classic 111–555 segment code, and report
+    * segment sizes with averages — the first customer segmentation
+    * every commerce stack builds, and the same recency/frequency/mass
+    * triple a crawl scheduler scores domains with. Quintiles are
+    * ntile(5) over TOTAL orders (value, custkey) — deterministic; the
+    * recency quintile reverses (freshest = 5). Averages are integer
+    * divisions of exact sums.
+    *
+    * Shape: one per-customer partial agg off the orders scan
+    * (recency anchor is a 1-row broadcast max), three ntile windows
+    * over the CUSTOMER relation, one segment-level rollup. */
+  def q226RfmSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxD = Tables.orders(s, d).agg(max($"o_orderdate".cast("date")).as("anchor"))
+    val cust = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate".cast("date")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("m"))
+      .crossJoin(broadcast(maxD))
+      .select($"o_custkey", datediff($"anchor", $"last_d").cast("long").as("r_days"),
+        $"f", $"m")
+    val seg = cust
+      .withColumn("r_q", (lit(6) - ntile(5).over(
+        Window.orderBy($"r_days", $"o_custkey"))).cast("long"))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy($"f", $"o_custkey")).cast("long"))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy($"m", $"o_custkey")).cast("long"))
+      .withColumn("segment", $"r_q" * 100 + $"f_q" * 10 + $"m_q")
+    seg.groupBy($"segment")
+      .agg(count(lit(1)).as("n_cust"),
+        expr("sum(r_days) div count(1)").as("avg_r_days"),
+        expr("sum(f) div count(1)").as("avg_f"),
+        expr("sum(m) div count(1)").as("avg_m_cents"))
+      .orderBy($"segment")
+  }
+
+  val q226Oracle: String =
+    """WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS anchor FROM orders),
+       cust AS (
+         SELECT o_custkey,
+           CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), anchor) AS BIGINT) AS r_days,
+           CAST(count(*) AS BIGINT) AS f,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+         FROM orders CROSS JOIN mx GROUP BY o_custkey, anchor),
+       q AS (
+         SELECT o_custkey, r_days, f, m,
+           6 - CAST(ntile(5) OVER (ORDER BY r_days, o_custkey) AS BIGINT) AS r_q,
+           CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_q,
+           CAST(ntile(5) OVER (ORDER BY m, o_custkey) AS BIGINT) AS m_q
+         FROM cust),
+       seg AS (
+         SELECT r_q * 100 + f_q * 10 + m_q AS segment, r_days, f, m FROM q)
+       SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(r_days) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_r_days,
+         CAST(sum(f) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_f,
+         CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_m_cents
+       FROM seg GROUP BY segment ORDER BY segment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_rfm_segments" -> q226RfmSegments,
     "q224_session_paths" -> q224SessionPaths,
     "q219_burstiness" -> q219Burstiness,
     "q210_kaplan_meier" -> q210KaplanMeier,
@@ -798,6 +862,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q226_rfm_segments" -> q226Oracle,
     "q224_session_paths" -> q224Oracle,
     "q219_burstiness" -> q219Oracle,
     "q210_kaplan_meier" -> q210Oracle,

@@ -1337,7 +1337,81 @@ object Dedup {
        SELECT * FROM cross_ UNION ALL SELECT * FROM diag
        ORDER BY src1, src2"""
 
+  /** Similarity-band histogram (q227): the distribution of pairwise
+    * n-gram Jaccard similarities in 5%-wide bands, with cumulative
+    * pair counts from the top — the threshold-sensitivity audit run
+    * BEFORE committing to a dedup cutoff. A healthy corpus is bimodal
+    * (near-dups at the top, noise floor at the bottom) and the band
+    * histogram shows exactly how many pairs a cutoff of 0.80 vs 0.85
+    * would add or drop; a fat middle band means no threshold is safe
+    * and the ensemble vote (q95) is required. Bands cover the FULL
+    * range (no ≥500bp floor — the noise floor is the point); the
+    * cumulative column turns the histogram into the pairs-removed
+    * curve.
+    *
+    * Shape: q42's inverted-index pair relation (one checkpoint, one
+    * self-join) collapsed to ≤ 20 band rows by a partial agg; the
+    * cumulative window runs over those 20 rows. */
+  def q227SimHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
+      .filter(size($"shs") > 0)
+      .repartition($"doc_id")
+    val sizes = hashed.select($"doc_id", size($"shs").as("n_sh"))
+    val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
+    val bands = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .select(least(
+        expr("cast(floor(inter * 10000 / (n1 + n2 - inter)) as bigint) div 500"),
+        lit(19L)).cast("long").as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("cum_from_top", sum($"n_pairs").over(w))
+      .select($"band", ($"band" * 500).as("lo_bp"), $"n_pairs", $"cum_from_top")
+      .orderBy($"band")
+  }
+
+  val q227Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       sizes AS (SELECT doc_id, CAST(len(shd) AS BIGINT) AS n_sh FROM nz),
+       pr AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       bp AS (
+         SELECT least(CAST(floor(inter * 10000 / (s1.n_sh + s2.n_sh - inter)) AS BIGINT)
+                  // 500, 19) AS band
+         FROM pr JOIN sizes s1 ON pr.doc1 = s1.doc_id
+         JOIN sizes s2 ON pr.doc2 = s2.doc_id),
+       h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM bp GROUP BY band)
+       SELECT band, band * 500 AS lo_bp, n_pairs,
+         CAST(sum(n_pairs) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_from_top
+       FROM h ORDER BY band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_sim_histogram" -> q227SimHistogram,
     "q222_dup_provenance" -> q222DupProvenance,
     "q215_containment" -> q215Containment,
     "q188_weighted_jaccard" -> q188WeightedJaccard,
@@ -1358,6 +1432,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q227_sim_histogram" -> q227Oracle,
     "q222_dup_provenance" -> q222Oracle,
     "q215_containment" -> q215Oracle,
     "q188_weighted_jaccard" -> q188Oracle,

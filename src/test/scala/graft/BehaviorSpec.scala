@@ -374,6 +374,52 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q226: RFM codes are valid; customer total reconciles; quintiles balanced") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q226RfmSegments(spark, d).collect()
+    assert(got.nonEmpty)
+    val nCust = graft.io.Tables.orders(spark, d)
+      .select("o_custkey").distinct().count()
+    assert(got.map(_.getAs[Long]("n_cust")).sum == nCust)
+    got.foreach { r =>
+      val seg = r.getAs[Long]("segment")
+      val (rq, fq, mq) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(rq >= 1 && rq <= 5 && fq >= 1 && fq <= 5 && mq >= 1 && mq <= 5,
+        s"invalid segment code $seg")
+      assert(r.getAs[Long]("avg_f") >= 1L)
+    }
+    // each R quintile holds ~1/5 of customers (ntile balance)
+    val byR = got.groupBy(_.getAs[Long]("segment") / 100)
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_cust")).sum }
+    assert(byR.values.max - byR.values.min <= 1L)
+  }
+
+  test("q227: band histogram covers all pairs; cumulative telescopes from top") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q227SimHistogram(spark, d).collect()
+      .sortBy(_.getAs[Long]("band"))
+    assert(got.nonEmpty)
+    // cum_from_top at the LOWEST band equals the total pair count
+    val total = got.map(_.getAs[Long]("n_pairs")).sum
+    assert(got.head.getAs[Long]("cum_from_top") == total)
+    // telescoping: cum(b) = cum(b_above) + n(b)
+    got.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("cum_from_top") ==
+          hi.getAs[Long]("cum_from_top") + lo.getAs[Long]("n_pairs"))
+      case _ => ()
+    }
+    got.foreach { r =>
+      assert(r.getAs[Long]("band") >= 0L && r.getAs[Long]("band") <= 19L)
+      assert(r.getAs[Long]("lo_bp") == r.getAs[Long]("band") * 500)
+    }
+    // the q42 threshold (>=500bp = band >= 1) pair count reconciles
+    val q42n = operators.Dedup.q42NgramJaccard(spark, d).count()
+    val above = got.filter(_.getAs[Long]("band") >= 1L)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(above == q42n, s"bands >=1 ($above) must equal q42 pairs ($q42n)")
+  }
+
   test("q224: paths reconcile with session count; shares are consistent") {
     val d = "/root/testdata/sf0.001"
     val got = operators.Behavior.q224SessionPaths(spark, d).collect()
