@@ -89,4 +89,41 @@ class SmokeSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(phys).length
     assert(scans == 2, s"expected 2 scans (nation, customer), got $scans:\n$phys")
   }
+
+  test("q199: bitmap plan has no Expand and no customer-level distinct join") {
+    val d = "/root/testdata/sf0.001"
+    val phys = graft.operators.Stats.q199BitmapOverlap(spark, d)
+      .queryExecution.executedPlan.toString
+    // the whole point: month-pair overlap WITHOUT count(distinct ...)
+    // (which would plan an Expand) and without joining customer rows.
+    // NB the bitmap build sits behind a localCheckpoint, so this plan
+    // shows only the pair-join half; the bit_or half is asserted via
+    // the un-checkpointed builder below.
+    assert(!phys.contains("Expand"), s"Expand leaked into bitmap plan:\n$phys")
+    assert(phys.contains("bit_count"), s"popcount missing:\n$phys")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bmPlan = graft.io.Tables.orders(spark, d)
+      .filter(year($"o_orderdate") === 1995)
+      .select(month($"o_orderdate").cast("long").as("m"),
+        ($"o_custkey" % 60).cast("int").as("bit"),
+        expr("o_custkey div 60").cast("long").as("bucket"))
+      .groupBy($"m", $"bucket")
+      .agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
+      .queryExecution.executedPlan.toString
+    assert(bmPlan.contains("bit_or"), s"bit_or aggregation missing:\n$bmPlan")
+    assert(!bmPlan.contains("Expand"), s"Expand in bitmap build:\n$bmPlan")
+  }
+
+  test("q203: price index broadcasts the part dim and shuffles the fact once") {
+    val d = "/root/testdata/sf0.001"
+    val phys = graft.operators.Relational.q203PriceIndex(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$phys")
+    // the base/cur self-join runs on the small (brand, part, yr) agg,
+    // not the fact table: lineitem appears exactly twice (base+cur
+    // branches of one logical scan) or once if the exchange is reused
+    val liScans = "lineitem".r.findAllIn(phys).length
+    assert(liScans <= 4, s"fact scan duplicated beyond the two branches:\n$phys")
+  }
 }
