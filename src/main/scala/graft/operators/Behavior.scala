@@ -845,7 +845,111 @@ object Behavior {
          CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_m_cents
        FROM seg GROUP BY segment ORDER BY segment"""
 
+  /** Composite bot-detection vote (q228): three independent traffic
+    * signals per user — REGULARITY (q219's burstiness below −0.05:
+    * more periodic than the corpus norm), RATE (q225's sliding-60s
+    * max ≥ 2), VOLUME (event count ≥ 25% above average) — each
+    * votes, and two of three flags the user. The ensemble shape is
+    * the q95 near-dup lesson applied to behavior: every single signal
+    * has a benign explanation (a cron-using power user, one bursty
+    * session, one heavy day), but their conjunction rarely does.
+    * Output is one row per (votes, flagged) bucket with user counts —
+    * the triage summary, not a user list.
+    *
+    * Shape: the three signals share ONE pass over the per-user gap
+    * relation (one lag window computes gaps AND the rate frame rides
+    * the same shuffle); thresholds are integer/shared-double exact as
+    * in the source queries. */
+  def q228BotVote(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val rateW = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-60000000L, 0L)
+    val base = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(byUser))
+      .withColumn("c60", count(lit(1)).over(rateW))
+    val perUser = base.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"c60").as("max_per_min"),
+        count($"prev").as("n_gaps"),
+        sum(when($"prev".isNotNull,
+          (($"us" - $"prev") / lit(1000000L)).cast("long"))).as("sg"),
+        sum(when($"prev".isNotNull,
+          (($"us" - $"prev") / lit(1000000L)).cast("long")
+            * (($"us" - $"prev") / lit(1000000L)).cast("long"))).as("sg2"))
+    val avgN = perUser.agg(expr("sum(n_events) div count(1)").as("avg_n"))
+    perUser.crossJoin(broadcast(avgN))
+      .withColumn("burst_bp",
+        when($"n_gaps" >= 2,
+          floor((sqrt(($"n_gaps" * $"sg2" - $"sg" * $"sg") * lit(1.0)) / $"n_gaps"
+            - $"sg" * lit(1.0) / $"n_gaps")
+            / (sqrt(($"n_gaps" * $"sg2" - $"sg" * $"sg") * lit(1.0)) / $"n_gaps"
+              + $"sg" * lit(1.0) / $"n_gaps") * lit(10000.0)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("v_regular", ($"burst_bp" < -500L).cast("long"))
+      .withColumn("v_rate", ($"max_per_min" >= 2L).cast("long"))
+      .withColumn("v_volume", ($"n_events" * 4 > $"avg_n" * 5).cast("long"))
+      .withColumn("votes", $"v_regular" + $"v_rate" + $"v_volume")
+      .withColumn("flagged", ($"votes" >= 2L).cast("long"))
+      .groupBy($"votes", $"flagged")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"v_regular").as("n_regular"), sum($"v_rate").as("n_rate"),
+        sum($"v_volume").as("n_volume"))
+      .orderBy($"votes")
+  }
+
+  val q228Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev
+         FROM events),
+       c AS (
+         SELECT user_id, us, prev,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS c60
+         FROM e),
+       pu AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(c60) AS BIGINT) AS max_per_min,
+           CAST(count(prev) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         THEN (us - prev) // 1000000 END) AS BIGINT) AS sg,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         THEN ((us - prev) // 1000000) * ((us - prev) // 1000000)
+                    END) AS BIGINT) AS sg2
+         FROM c GROUP BY user_id),
+       an AS (SELECT CAST(sum(n_events) AS BIGINT) // CAST(count(*) AS BIGINT)
+                AS avg_n FROM pu),
+       v AS (
+         SELECT user_id, n_events, max_per_min,
+           CASE WHEN n_gaps >= 2 THEN
+             CAST(floor((sqrt((n_gaps * sg2 - sg * sg) * 1.0) / n_gaps
+               - sg * 1.0 / n_gaps)
+               / (sqrt((n_gaps * sg2 - sg * sg) * 1.0) / n_gaps
+                 + sg * 1.0 / n_gaps) * 10000.0) AS BIGINT)
+           ELSE 0 END AS burst_bp,
+           avg_n
+         FROM pu CROSS JOIN an),
+       vv AS (
+         SELECT CAST(burst_bp < -500 AS BIGINT) AS v_regular,
+           CAST(max_per_min >= 2 AS BIGINT) AS v_rate,
+           CAST(n_events * 4 > avg_n * 5 AS BIGINT) AS v_volume
+         FROM v),
+       f AS (
+         SELECT v_regular, v_rate, v_volume,
+           v_regular + v_rate + v_volume AS votes,
+           CAST(v_regular + v_rate + v_volume >= 2 AS BIGINT) AS flagged
+         FROM vv)
+       SELECT votes, flagged, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(v_regular) AS BIGINT) AS n_regular,
+         CAST(sum(v_rate) AS BIGINT) AS n_rate,
+         CAST(sum(v_volume) AS BIGINT) AS n_volume
+       FROM f GROUP BY votes, flagged ORDER BY votes"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_bot_vote" -> q228BotVote,
     "q226_rfm_segments" -> q226RfmSegments,
     "q224_session_paths" -> q224SessionPaths,
     "q219_burstiness" -> q219Burstiness,
@@ -862,6 +966,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q228_bot_vote" -> q228Oracle,
     "q226_rfm_segments" -> q226Oracle,
     "q224_session_paths" -> q224Oracle,
     "q219_burstiness" -> q219Oracle,

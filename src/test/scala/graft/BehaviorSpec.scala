@@ -374,6 +374,26 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q228: vote buckets partition users; flags fire only at >=2 votes") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q228BotVote(spark, d).collect()
+    assert(got.length > 1, "thresholds should split this corpus")
+    val nUsers = graft.io.Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_users")).sum == nUsers)
+    got.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 0L && v <= 3L)
+      assert(r.getAs[Long]("flagged") == (if (v >= 2) 1L else 0L))
+      // component votes within a bucket cannot exceed users-in-bucket,
+      // and their sum equals votes * n_users (each user in the bucket
+      // has exactly `votes` raised flags)
+      val comp = r.getAs[Long]("n_regular") + r.getAs[Long]("n_rate") +
+        r.getAs[Long]("n_volume")
+      assert(comp == v * r.getAs[Long]("n_users"))
+    }
+  }
+
   test("q226: RFM codes are valid; customer total reconciles; quintiles balanced") {
     val d = "/root/testdata/sf0.001"
     val got = operators.Behavior.q226RfmSegments(spark, d).collect()
