@@ -1080,7 +1080,98 @@ object Windows {
          CAST(max(c60) > 10 AS BIGINT) AS over_10
        FROM c GROUP BY user_id ORDER BY user_id"""
 
+  /** Seasonality-adjusted anomaly days (q229): q212's decomposition
+    * driven to its purpose — flag the days whose RESIDUAL (revenue
+    * minus trend minus weekday effect) exceeds 5× the residual MAD.
+    * Thresholding the residual instead of the raw series is the whole
+    * point of decomposing: a strong Saturday is normal, a strong
+    * Saturday AFTER removing the Saturday effect is news. MAD (median
+    * absolute deviation) rather than σ because anomalies contaminate
+    * the σ they're tested against; the median ignores them (q138's
+    * argument, composed with q212's decomposition).
+    *
+    * Exactness: residuals are integers (q212); the MAD is an exact
+    * integer median via the cumulative-crossing idiom (q197) over the
+    * |resid| value domain; the flag is an integer comparison. Shape:
+    * q212's two window passes + one domain-bounded median + a filter —
+    * the calendar-sized relation end to end. */
+  def q229AnomalyDays(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .withColumn("day_num",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy($"day_num").rangeBetween(-3, 3)
+    val det = daily
+      .withColumn("fs", sum($"x").over(w))
+      .withColumn("fn", count(lit(1)).over(w))
+      .withColumn("trend", expr("fs div fn"))
+      .withColumn("dt", $"x" - $"trend")
+      .withColumn("dow", (weekday($"day") + 1).cast("long"))
+    val seasonal = det.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"dt").as("sdt"))
+      .select($"dow", floor($"sdt" * lit(1.0) / $"n_days").cast("long").as("seasonal"))
+    val resid = det.join(broadcast(seasonal), "dow")
+      .select($"day", $"x", $"trend", ($"dt" - $"seasonal").as("resid"))
+      .localCheckpoint() // feeds the MAD branch and the flag filter
+    val byAbs = resid.groupBy(abs($"resid").as("a")).agg(count(lit(1)).as("c"))
+    val cumW = Window.orderBy($"a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byAbs.agg(sum($"c").as("n"))
+    val mad = byAbs.withColumn("cum", sum($"c").over(cumW))
+      .crossJoin(broadcast(tot))
+      .filter($"cum" * 2 >= $"n")
+      .agg(min($"a").as("mad"))
+    resid.crossJoin(broadcast(mad))
+      .filter(abs($"resid") > $"mad" * 5)
+      .select($"day", $"x", $"trend", $"resid", $"mad",
+        ($"resid" > 0).cast("long").as("is_spike"))
+      .orderBy($"day")
+  }
+
+  val q229Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       n AS (
+         SELECT day, x,
+           CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
+         FROM daily),
+       f AS (
+         SELECT day, x,
+           CAST(sum(x) OVER win AS BIGINT) AS fs,
+           CAST(count(*) OVER win AS BIGINT) AS fn
+         FROM n
+         WINDOW win AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       det AS (
+         SELECT day, x, fs // fn AS trend, x - fs // fn AS dt,
+           CAST(isodow(day) AS BIGINT) AS dow
+         FROM f),
+       seas AS (
+         SELECT dow, CAST(floor(sum(dt) * 1.0 / count(*)) AS BIGINT) AS seasonal
+         FROM det GROUP BY dow),
+       r AS (
+         SELECT day, x, trend, dt - seasonal AS resid
+         FROM det JOIN seas ON det.dow = seas.dow),
+       byabs AS (SELECT abs(resid) AS a, CAST(count(*) AS BIGINT) AS c
+                 FROM r GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM byabs),
+       cum AS (
+         SELECT a, CAST(sum(c) OVER (ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM byabs),
+       mad AS (SELECT CAST(min(a) AS BIGINT) AS mad
+               FROM cum CROSS JOIN tot WHERE cum * 2 >= nn)
+       SELECT day, x, trend, resid, mad,
+         CAST(resid > 0 AS BIGINT) AS is_spike
+       FROM r CROSS JOIN mad
+       WHERE abs(resid) > mad * 5
+       ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_anomaly_days" -> q229AnomalyDays,
     "q225_rate_limit" -> q225RateLimit,
     "q217_interval_union" -> q217IntervalUnion,
     "q212_seasonal_decomp" -> q212SeasonalDecomp,
@@ -1109,6 +1200,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q229_anomaly_days" -> q229Oracle,
     "q225_rate_limit" -> q225Oracle,
     "q217_interval_union" -> q217Oracle,
     "q212_seasonal_decomp" -> q212Oracle,

@@ -411,6 +411,42 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q229: flagged days exceed 5x the brute-force residual MAD") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Windows.q229AnomalyDays(spark, d).collect()
+    assert(got.nonEmpty, "sf0.001 should flag at least one day")
+    // brute-force the residual series (same replay as the q212 spec)
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
+      .select($"day".cast("string"), $"x").as[(String, Long)].collect()
+      .map { case (s0, x) => (java.time.LocalDate.parse(s0), x) }.sortBy(_._1)
+    val byDay = daily.toMap
+    val dt = daily.map { case (day, x) =>
+      val neigh = (-3 to 3).flatMap(o => byDay.get(day.plusDays(o.toLong)))
+      (day, x, x - neigh.sum / neigh.size)
+    }
+    val seas = dt.groupBy(_._1.getDayOfWeek.getValue).map { case (dow, xs) =>
+      dow -> math.floor(xs.map(_._3).sum.toDouble / xs.length).toLong
+    }
+    val resid = dt.map { case (day, x, v) =>
+      (day, x, v - seas(day.getDayOfWeek.getValue))
+    }
+    val sortedAbs = resid.map(r => math.abs(r._3)).sorted
+    var cum = 0L
+    val madWant = sortedAbs.find { _ => cum += 1; cum * 2 >= sortedAbs.length }.get
+    val flagged = resid.filter(r => math.abs(r._3) > madWant * 5)
+    assert(got.length == flagged.length,
+      s"flag count ${got.length} != brute ${flagged.length}")
+    got.foreach { r =>
+      assert(r.getAs[Long]("mad") == madWant)
+      assert(math.abs(r.getAs[Long]("resid")) > madWant * 5)
+      assert(r.getAs[Long]("is_spike") == (if (r.getAs[Long]("resid") > 0) 1L else 0L))
+    }
+  }
+
   test("q212: decomposition matches a brute-force trend/seasonal/residual replay") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
