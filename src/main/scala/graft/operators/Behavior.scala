@@ -948,7 +948,102 @@ object Behavior {
          CAST(sum(v_volume) AS BIGINT) AS n_volume
        FROM f GROUP BY votes, flagged ORDER BY votes"""
 
+  /** Position-based (U-shaped) multi-touch attribution (q230): each
+    * purchase's value splits across the user's clicks in the prior
+    * 24 h — 40% to the first touch, 40% to the last, 20% shared by the
+    * middles (1-click journeys take 100%, 2-click journeys 50/50) —
+    * the standard middle ground between q113's last-touch (recency
+    * bias) and linear (dilution). Output: per role, the touch count
+    * and attributed cents, plus unattributed purchase value.
+    *
+    * Exactness: weights are integer ppm by journey size; attributed
+    * cents floor per touch (Σ floors ≤ the purchase's cents — the
+    * difference is the documented rounding dust, ≤ n−1 cents per
+    * purchase); roles come from row_number over (ts, event_id), ties
+    * impossible on unique event ids. Shape: the purchase×click
+    * interval join is user-equi + 1-hour range residual (q172's
+    * shape); journeys are small, so the per-purchase window runs on
+    * the joined relation; two partial-agg rollups finish. */
+  def q230PositionAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+        unix_micros($"ts").as("p_us"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v_cents"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+        unix_micros($"ts").as("c_us"))
+    val touches = purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_us" <= $"p_us" && $"c_us" > $"p_us" - 86400000000L)
+    val byJourney = Window.partitionBy($"p_id")
+    val ranked = touches
+      .withColumn("rn", row_number().over(byJourney.orderBy($"c_us", $"c_id")))
+      .withColumn("n", count(lit(1)).over(byJourney))
+      .withColumn("role",
+        when($"n" === 1, "only")
+          .when($"rn" === 1, "first")
+          .when($"rn" === $"n", "last")
+          .otherwise("middle"))
+      .withColumn("w_ppm",
+        when($"n" === 1, lit(1000000L))
+          .when($"n" === 2, lit(500000L))
+          .when($"rn" === 1 || $"rn" === $"n", lit(400000L))
+          .otherwise(expr("200000 div (n - 2)")))
+      .withColumn("attr_cents", expr("v_cents * w_ppm div 1000000"))
+    val roles = ranked.groupBy($"role")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"attr_cents").as("attributed_cents"))
+    val unattributed = purchases
+      .join(ranked.select($"p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_touches"),
+        coalesce(sum($"v_cents"), lit(0L)).as("attributed_cents"))
+      .select(lit("unattributed").as("role"), $"n_touches", $"attributed_cents")
+    roles.unionByName(unattributed).orderBy($"role")
+  }
+
+  val q230Oracle: String =
+    """WITH p AS (
+         SELECT user_id AS p_user, event_id AS p_id, epoch_us(ts) AS p_us,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id AS c_user, event_id AS c_id, epoch_us(ts) AS c_us
+         FROM events WHERE event_type = 'click'),
+       t AS (
+         SELECT p_id, v_cents, c_id, c_us
+         FROM p JOIN c ON p_user = c_user
+           AND c_us <= p_us AND c_us > p_us - 86400000000),
+       r AS (
+         SELECT p_id, v_cents,
+           CAST(row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+         FROM t),
+       w AS (
+         SELECT p_id, v_cents, rn, n,
+           CASE WHEN n = 1 THEN 'only'
+                WHEN rn = 1 THEN 'first'
+                WHEN rn = n THEN 'last'
+                ELSE 'middle' END AS role,
+           CASE WHEN n = 1 THEN 1000000
+                WHEN n = 2 THEN 500000
+                WHEN rn = 1 OR rn = n THEN 400000
+                ELSE 200000 // (n - 2) END AS w_ppm
+         FROM r),
+       roles AS (
+         SELECT role, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(v_cents * w_ppm // 1000000) AS BIGINT) AS attributed_cents
+         FROM w GROUP BY role),
+       unatt AS (
+         SELECT 'unattributed' AS role,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(coalesce(sum(v_cents), 0) AS BIGINT) AS attributed_cents
+         FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM t))
+       SELECT * FROM roles UNION ALL SELECT * FROM unatt ORDER BY role"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_position_attribution" -> q230PositionAttribution,
     "q228_bot_vote" -> q228BotVote,
     "q226_rfm_segments" -> q226RfmSegments,
     "q224_session_paths" -> q224SessionPaths,
@@ -966,6 +1061,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q230_position_attribution" -> q230Oracle,
     "q228_bot_vote" -> q228Oracle,
     "q226_rfm_segments" -> q226Oracle,
     "q224_session_paths" -> q224Oracle,

@@ -374,6 +374,48 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q230: attribution conserves value up to rounding dust; roles match replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Behavior.q230PositionAttribution(spark, d).collect()
+      .map(r => r.getAs[String]("role") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("attributed_cents"))).toMap
+    assert(got.contains("only") || got.contains("first"))
+    // brute-force replay
+    val evs = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, String, Long, Long)].collect()
+    val clicks = evs.filter(_._3 == "click")
+    val purch = evs.filter(_._3 == "purchase")
+    var roles = Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    var unattN = 0L; var unattV = 0L
+    purch.foreach { case (u, _, _, pus, v) =>
+      val js = clicks.filter(c => c._1 == u && c._4 <= pus &&
+        c._4 > pus - 86400000000L).sortBy(c => (c._4, c._2))
+      val n = js.length
+      if (n == 0) { unattN += 1; unattV += v }
+      else js.zipWithIndex.foreach { case (_, i) =>
+        val (role, w) =
+          if (n == 1) ("only", 1000000L)
+          else if (n == 2) (if (i == 0) "first" else "last", 500000L)
+          else if (i == 0) ("first", 400000L)
+          else if (i == n - 1) ("last", 400000L)
+          else ("middle", 200000L / (n - 2))
+        val (cn, cv) = roles(role)
+        roles += role -> (cn + 1, cv + v * w / 1000000L)
+      }
+    }
+    roles.foreach { case (role, want) =>
+      assert(got(role) == want, s"$role: ${got(role)} != $want")
+    }
+    assert(got("unattributed") == (unattN, unattV))
+    // conservation: attributed never exceeds total purchase value
+    val totalV = purch.map(_._5).sum
+    assert(got.values.map(_._2).sum <= totalV)
+  }
+
   test("q228: vote buckets partition users; flags fire only at >=2 votes") {
     val d = "/root/testdata/sf0.001"
     val got = operators.Behavior.q228BotVote(spark, d).collect()
