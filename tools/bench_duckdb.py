@@ -22,8 +22,17 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # BDD_SKIP: comma-separated query names to skip (pathological pure-SQL
+    # formulations, e.g. q150's recursive-CTE BFS whose working set is the
+    # full path closure at sf>=0.1). Skipped => -2.0, excluded from total.
+    skip = set(filter(None, os.environ.get("BDD_SKIP", "").split(",")))
     times = {}
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            times[name] = -2.0
+            print(f"{name}: SKIPPED (BDD_SKIP)", file=sys.stderr)
+            continue
+        print(f"{name}...", file=sys.stderr, flush=True)
         best = None
         for _ in range(2):
             t0 = time.monotonic()
