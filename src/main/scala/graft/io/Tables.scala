@@ -22,23 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses outright; read it as raw nanos (legacy conf) and floor to a
-    * microsecond TimestampType column. Oracle parity: DuckDB keeps full
-    * nanos, so engine outputs derived from `ts` are always emitted at
-    * second (or coarser) granularity, where floor(ns)==floor(µs). */
+  /** The events table's `ts` encoding has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+    * without the legacy nanos-as-long conf) and plain TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ under default inference). Normalize both to
+    * a session-zone TimestampType column — every downstream query (and
+    * the UTC-pinned Verify/Bench sessions) sees identical micros either
+    * way. Oracle parity: DuckDB reads the same file natively; outputs
+    * derived from `ts` compare at microsecond-or-coarser granularity. */
   def events(s: SparkSession, d: String): DataFrame = {
     // DELIBERATE session-global mutation, kept (unlike the streaming
     // readers, which require the builder-set conf): this is the one
     // entry point a driver-owned session (e.g. the smoke check calling
-    // SparkEntry.entry) reaches without our builders, and without the
-    // conf the read throws outright. The flag only affects parquet
-    // files that actually carry TIMESTAMP(NANOS) — of the testdata,
-    // exactly this table.
+    // SparkEntry.entry) reaches without our builders, and a
+    // nanos-generation file would otherwise refuse to read outright.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      // integer division: ns values exceed 2^53, double `/` mis-truncates
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      // nanos generation: integer division (ns values exceed 2^53,
+      // double `/` mis-truncates), then micros → timestamp
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros generation: NTZ (or already-LTZ) → session-zone timestamp;
+      // under the UTC sessions this is a pure re-tag of the same micros
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -18,11 +18,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Read-side schema of the events parquet (ts as raw nanos — parquet
-    * TIMESTAMP(NANOS) needs the nanosAsLong legacy read, Tables.events). */
+  /** Read-side schema of the events parquet (current testdata
+    * generation: TIMESTAMP(MICROS); declaring TimestampType reads the
+    * micros with no adjustment under the UTC sessions). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -34,7 +35,7 @@ object EventStreams {
     val s = events.sparkSession
     import s.implicits._
     events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
@@ -105,7 +106,7 @@ object EventStreams {
     val evs = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .select(col("user_id"), expr("ts div 1000").as("us")).as[SessionEvent]
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[SessionEvent]
     sessionizeStateful(evs, gapUs, emitOpen = false)
   }
 
@@ -284,7 +285,7 @@ object EventStreams {
     s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         floor(col("value") * 1000).cast("long").as("vmilli")).as[RateEvent]
       .transform(rollingRateStateful)
   }
@@ -296,7 +297,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us")).as[FunnelEvent]
+        unix_micros(col("ts")).as("us")).as[FunnelEvent]
     funnelStateful(evs)
   }
 
@@ -440,16 +441,13 @@ object EventStreams {
   def sessionCountsStream(s: SparkSession, eventsDir: String): DataFrame =
     sessionCounts(eventsStream(s, eventsDir))
 
-  /** µs-timestamped streaming read of a staged events dir. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session (set in
-    * the Verify/Bench/SparkSpec builders) — deliberately NOT mutated
-    * here: a reader helper silently flipping session-global parquet
-    * semantics would affect unrelated reads in the same session. */
+  /** µs-timestamped streaming read of a staged events dir (session-zone
+    * TimestampType, matching the batch Tables.events output). */
   def eventsStream(s: SparkSession, eventsDir: String): DataFrame = {
     s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   // ---- arbitrary state v2 (transformWithState / StatefulProcessor) ----

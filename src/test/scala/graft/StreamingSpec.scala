@@ -63,17 +63,17 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$d/events.parquet")
     // split by TIME, not randomly: batches must arrive in event-time
     // order for gap-state to stitch correctly (like a real ingest)
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
     val n = raw.count()
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
 
     val batchSessions = EventStreams.sessionizeStateful(
-        raw.select($"user_id", expr("ts div 1000").as("us")).as[SessionEvent],
+        raw.select($"user_id", unix_micros($"ts").as("us")).as[SessionEvent],
         1800000000L, emitOpen = true)
       .collect().map(s => (s.user_id, s.session_start, s.n_events)).toSet
 
@@ -105,12 +105,12 @@ class StreamingSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("events_funnel")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
 
     val q = EventStreams.funnelStream(spark, s"$staged/*")
@@ -138,14 +138,14 @@ class StreamingSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("events_rate")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     // snap the split to an epoch-SECOND boundary: the rate operator's
     // contract is that a peer second never straddles microbatches
-    val midSec = Math.floorDiv(lo + (hi - lo) / 2, 1000000000L)
-    raw.filter($"ts" < midSec * 1000000000L).coalesce(1)
+    val midSec = Math.floorDiv(lo + (hi - lo) / 2, 1000000L)
+    raw.filter(unix_micros($"ts") < midSec * 1000000L).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" >= midSec * 1000000000L).coalesce(1)
+    raw.filter(unix_micros($"ts") >= midSec * 1000000L).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
 
     val q = EventStreams.rollingRateStream(spark, s"$staged/*")
@@ -171,12 +171,12 @@ class StreamingSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("events_attr")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
 
     val q = EventStreams.attributionStream(spark, s"$staged/*")
@@ -238,12 +238,12 @@ class StreamingSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("events_sso")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
     java.nio.file.Files.walk(staged.resolve("b2")).forEach { p =>
       java.nio.file.Files.setLastModifiedTime(p,
@@ -306,10 +306,11 @@ class StreamingSpec extends SparkSpec {
     // (now 3h past the 2h watermark) and MUST be dropped.
     val staged = java.nio.file.Files.createTempDirectory("events_late")
     def mk(id: Long, us: Long) =
-      (id, us * 1000L, 1L, "view", 1.0, "{}")
+      (id, us, 1L, "view", 1.0, "{}")
     def write(name: String, mtimePlusMs: Long, rows: (Long, Long, Long, String, Double, String)*): Unit = {
       rows.toSeq.toDF(
           "event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros($"ts"))
         .coalesce(1).write.parquet(staged.resolve(name).toString)
       // the file source orders batches by mod time (second granularity)
       java.nio.file.Files.walk(staged.resolve(name)).forEach { p =>
@@ -360,16 +361,16 @@ class StreamingSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("events_sw")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
     // the split must actually cut through sessions for this to test
-    assert(raw.filter($"ts" <= mid).count() > 0 &&
-      raw.filter($"ts" > mid).count() > 0)
+    assert(raw.filter(unix_micros($"ts") <= mid).count() > 0 &&
+      raw.filter(unix_micros($"ts") > mid).count() > 0)
 
     val q = EventStreams.sessionCountsStream(spark, s"$staged/*")
       .writeStream.outputMode("complete")
@@ -399,12 +400,12 @@ class StreamingSpec extends SparkSpec {
     val staged = java.nio.file.Files.createTempDirectory("events_hh")
     val raw = spark.read.schema(EventStreams.rawSchema)
       .parquet(s"$d/events.parquet")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
 
     val q = EventStreams.heavyHittersStream(spark, s"$staged/*", k)
@@ -443,12 +444,12 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$d/events.parquet")
     // two time-ordered microbatches
     val staged = java.nio.file.Files.createTempDirectory("events_tws")
-    val Array(lo, hi) = raw.agg(min($"ts"), max($"ts")).head()
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = lo + (hi - lo) / 2
-    raw.filter($"ts" <= mid).coalesce(1)
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
       .write.parquet(staged.resolve("b1").toString)
-    raw.filter($"ts" > mid).coalesce(1)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
       .write.parquet(staged.resolve("b2").toString)
     // batch oracle with the identical cents expression
     val batch = raw
