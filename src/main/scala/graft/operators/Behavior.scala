@@ -1042,7 +1042,129 @@ object Behavior {
          FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM t))
        SELECT * FROM roles UNION ALL SELECT * FROM unatt ORDER BY role"""
 
+  /** Cumulative distinct users per day (q233): daily actives, daily
+    * NEW users, and the running total of distinct users ever seen —
+    * the growth-accounting curve every usage dashboard opens with.
+    * `count(DISTINCT x) OVER (ORDER BY day)` is unsupported in both
+    * engines (and would be quadratic if it weren't); the scalable
+    * identity is: a user's FIRST day contributes 1 to that day's
+    * new-user count, and cumulative distinct = running sum of daily
+    * news. Distinct-over-window collapses to two partial-agg passes.
+    *
+    * Shape: one (user, day) dedup (partial-agg groupBy), then a
+    * per-user min reduce and two day-level rollups; the only window
+    * runs over the ~spine-sized day relation. At 100 TB the user-day
+    * dedup is the only corpus-sized stage — everything after is
+    * bounded by |users| then |days|. */
+  def q233CumulativeDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val active = ud.groupBy($"day").agg(count(lit(1)).as("active_users"))
+    val firstSeen = ud.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    active.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      // day spine is calendar-bounded; the unpartitioned window is safe
+      .withColumn("cum_users", sum($"new_users").over(
+        Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"day")
+  }
+
+  val q233Oracle: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       a AS (
+         SELECT day, CAST(count(*) AS BIGINT) AS active_users
+         FROM ud GROUP BY day),
+       f AS (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
+       nw AS (
+         SELECT day, CAST(count(*) AS BIGINT) AS new_users
+         FROM f GROUP BY day)
+       SELECT a.day, a.active_users,
+         coalesce(nw.new_users, 0) AS new_users,
+         CAST(sum(coalesce(nw.new_users, 0)) OVER (ORDER BY a.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+       FROM a LEFT JOIN nw ON a.day = nw.day
+       ORDER BY a.day"""
+
+  /** Longest rising-revenue streak per market segment (q235): the
+    * gaps-and-islands idiom applied to a DERIVED flag — consecutive
+    * days where daily revenue strictly exceeds the previous day's.
+    * (q217/q222's islands group by raw adjacency; here the island
+    * boundary is a lag comparison, the other half of the pattern —
+    * MATCH_RECOGNIZE's `B+ ORDER BY rev ASC` shape without the
+    * operator.) Ties and gaps in the calendar both break streaks:
+    * "previous day" means previous TRADING day in the series.
+    *
+    * Exactness: revenue in integer cents; streak group id = running
+    * count of non-up days (integer). Tie-break for the per-segment
+    * winner: longest streak, then earliest end day — a deterministic
+    * argmax via one ordered rank over the ISLAND relation (bounded by
+    * |days|, not the fact table).
+    *
+    * Shape: fact collapses to (segment, day) cents in one partial-agg
+    * pass; lag/flag/island windows all run per-segment over the
+    * calendar-bounded daily relation. */
+  def q235RevenueStreaks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), to_date($"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val bySeg = Window.partitionBy($"segment").orderBy($"day")
+    val flagged = daily
+      .withColumn("up",
+        when($"cents" > lag($"cents", 1).over(bySeg), 1L).otherwise(0L))
+      .withColumn("grp", sum(lit(1L) - $"up").over(
+        bySeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = flagged.filter($"up" === 1L)
+      .groupBy($"segment", $"grp")
+      .agg(count(lit(1)).as("streak_days"), max($"day").as("end_day"))
+    islands
+      .withColumn("rk", row_number().over(Window.partitionBy($"segment")
+        .orderBy($"streak_days".desc, $"end_day")))
+      .filter($"rk" === 1)
+      .select($"segment", $"streak_days", $"end_day")
+      .orderBy($"segment")
+  }
+
+  val q235Oracle: String =
+    """WITH daily AS (
+         SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2),
+       flagged AS (
+         SELECT segment, day, cents,
+           CASE WHEN cents > lag(cents) OVER (PARTITION BY segment ORDER BY day)
+                THEN 1 ELSE 0 END AS up
+         FROM daily),
+       grouped AS (
+         SELECT segment, day, up,
+           CAST(sum(1 - up) OVER (PARTITION BY segment ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+         FROM flagged),
+       islands AS (
+         SELECT segment, grp, CAST(count(*) AS BIGINT) AS streak_days,
+           max(day) AS end_day
+         FROM grouped WHERE up = 1 GROUP BY segment, grp),
+       ranked AS (
+         SELECT segment, streak_days, end_day,
+           row_number() OVER (PARTITION BY segment
+             ORDER BY streak_days DESC, end_day) AS rk
+         FROM islands)
+       SELECT segment, streak_days, end_day
+       FROM ranked WHERE rk = 1 ORDER BY segment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_cumulative_distinct" -> q233CumulativeDistinct,
+    "q235_revenue_streaks" -> q235RevenueStreaks,
     "q230_position_attribution" -> q230PositionAttribution,
     "q228_bot_vote" -> q228BotVote,
     "q226_rfm_segments" -> q226RfmSegments,
@@ -1061,6 +1183,8 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_cumulative_distinct" -> q233Oracle,
+    "q235_revenue_streaks" -> q235Oracle,
     "q230_position_attribution" -> q230Oracle,
     "q228_bot_vote" -> q228Oracle,
     "q226_rfm_segments" -> q226Oracle,

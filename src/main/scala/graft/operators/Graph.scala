@@ -358,7 +358,55 @@ object Graph {
            (sqrt((n*sxx - sx*sx) * 1.0) * sqrt((n*syy - sy*sy) * 1.0))) AS BIGINT) AS r_bp
        FROM m"""
 
+  /** One HITS iteration over the part→supplier bipartite graph (q239):
+    * from uniform hub scores, authority(s) = Σ hubs pointing at s
+    * (= in-degree), then hub(p) = Σ authority of p's suppliers — the
+    * mutually-recursive centrality pair, cut after one exact integer
+    * iteration (unnormalized: HITS normalization only rescales ranks,
+    * and dropping it keeps every score an exact int64 — the same
+    * fixed-point-step discipline as q82's PageRank flow). A hub here
+    * is a part sourced from well-connected suppliers; an authority a
+    * supplier serving many parts — second-order degree centrality.
+    *
+    * Shape: one distinct shuffle builds the edge list; authorities are
+    * a partial-agg groupBy; the hub pass joins the |suppliers|-sized
+    * authority relation back BROADCAST (the fact-sized edge list never
+    * reshuffles); both top-10s are TakeOrdered heaps, no global sort. */
+  def q239HitsStep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, d)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sp")).distinct()
+    val auth = edges.groupBy($"sp").agg(count(lit(1)).as("score"))
+    val topAuth = auth
+      .select(lit("authority").as("role"), $"sp".as("node"), $"score")
+      .orderBy($"score".desc, $"node").limit(10)
+    val hubs = edges.join(broadcast(auth), "sp")
+      .groupBy($"p").agg(sum($"score").as("score"))
+    val topHubs = hubs
+      .select(lit("hub").as("role"), $"p".as("node"), $"score")
+      .orderBy($"score".desc, $"node").limit(10)
+    topAuth.unionByName(topHubs).orderBy($"role", $"score".desc, $"node")
+  }
+
+  val q239Oracle: String =
+    """WITH edges AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+       auth AS (
+         SELECT sp, CAST(count(*) AS BIGINT) AS score FROM edges GROUP BY sp),
+       ta AS (
+         SELECT 'authority' AS role, sp AS node, score
+         FROM auth ORDER BY score DESC, node LIMIT 10),
+       hubs AS (
+         SELECT p, CAST(sum(score) AS BIGINT) AS score
+         FROM edges JOIN auth USING (sp) GROUP BY p),
+       th AS (
+         SELECT 'hub' AS role, p AS node, score
+         FROM hubs ORDER BY score DESC, node LIMIT 10)
+       SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+       ORDER BY role, score DESC, node"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_hits_step" -> q239HitsStep,
     "q179_assortativity" -> q179Assortativity,
     "q157_copurchase" -> q157CoPurchase,
     "q150_bfs_hops" -> q150BfsHops,
@@ -367,6 +415,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q239_hits_step" -> q239Oracle,
     "q179_assortativity" -> q179Oracle,
     "q157_copurchase" -> q157Oracle,
     "q150_bfs_hops" -> q150Oracle,

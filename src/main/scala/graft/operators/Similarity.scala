@@ -1018,7 +1018,107 @@ object Similarity {
          CAST(min(cos_bp) AS BIGINT) AS min_cos_bp
        FROM m GROUP BY label ORDER BY label"""
 
+  /** Grid-blocked ε-neighborhood join + DBSCAN point classification
+    * (q232): every point's neighbor count within ε in the 2-D plane
+    * spanned by the first two embedding dimensions, then the DBSCAN
+    * taxonomy — core (≥ minPts neighbors), border (non-core touching a
+    * core), noise. The spatial-blocking family the engine lacked: the
+    * plane is tiled into ε×ε cells, each point probes its 3×3 cell
+    * neighborhood (bounded 9× fan-out on the probe side only), and the
+    * exact integer distance check runs on cell-mates alone — the
+    * standard way a distributed engine computes ε-joins/DBSCAN without
+    * the O(N²) cross join (the oracle IS that cross join, feasible only
+    * at oracle scale). Same shape as a geohash join; 2 dims keep the
+    * cell fan-out at 9 (3ᵈ grows fast — grid joins are a low-d tool).
+    *
+    * Exactness: coordinates are floor(double(dim)·1000) milli-units
+    * (float→double is exact, one shared floor), shifted +1000 so the
+    * cell id is a plain `div` (toward-zero == floor only for
+    * non-negative operands). ε = 60 milli, minPts = 4; all distances
+    * int64. Output: per-class point count and total neighbor-degree.
+    *
+    * Shape: one bounded explode (9×), one equi shuffle join on cell id,
+    * a per-point partial-agg count, and a broadcast semi-join of the
+    * core set back onto the pair relation for borders. Degrees and
+    * classes are |points|-sized; nothing is ever N². */
+  def q232GridDbscan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eps = 60L
+    val minPts = 4L
+    val pts = Tables.embeddings(s, d).select($"vec_id",
+      (floor(element_at($"embedding", 1).cast("double") * 1000.0)
+        .cast("long") + 1000L).as("x"),
+      (floor(element_at($"embedding", 2).cast("double") * 1000.0)
+        .cast("long") + 1000L).as("y"))
+    val build = pts.select($"vec_id".as("b_id"), $"x".as("bx"), $"y".as("by"),
+      (expr(s"x div $eps") * 10000L + expr(s"y div $eps")).as("cell"))
+    val off = Seq(-1L, 0L, 1L)
+    val probe = pts
+      .withColumn("dx", explode(typedLit(off)))
+      .withColumn("dy", explode(typedLit(off)))
+      .select($"vec_id".as("a_id"), $"x".as("ax"), $"y".as("ay"),
+        ((expr(s"x div $eps") + $"dx") * 10000L +
+          (expr(s"y div $eps") + $"dy")).as("cell"))
+    val pairs = probe.join(build, "cell")
+      .filter($"a_id" =!= $"b_id" &&
+        ($"ax" - $"bx") * ($"ax" - $"bx") +
+          ($"ay" - $"by") * ($"ay" - $"by") <= eps * eps)
+      .select($"a_id", $"b_id")
+    val deg = pts.join(
+        pairs.groupBy($"a_id").agg(count(lit(1)).as("deg")),
+        $"vec_id" === $"a_id", "left")
+      .select($"vec_id", coalesce($"deg", lit(0L)).as("deg"))
+    val core = deg.filter($"deg" >= minPts).select($"vec_id".as("core_id"))
+    val borderIds = pairs
+      .join(broadcast(core), $"b_id" === $"core_id", "left_semi")
+      .select($"a_id").distinct()
+    val classed = deg
+      .join(broadcast(core), $"vec_id" === $"core_id", "left")
+      .join(borderIds.withColumn("is_b", lit(true)),
+        $"vec_id" === $"a_id", "left")
+      .select($"vec_id", $"deg",
+        when($"core_id".isNotNull, "core")
+          .when($"is_b", "border").otherwise("noise").as("class"))
+    classed.groupBy($"class")
+      .agg(count(lit(1)).as("n_points"), sum($"deg").as("total_deg"))
+      .orderBy($"class")
+  }
+
+  val q232Oracle: String =
+    """WITH p AS (
+         SELECT vec_id,
+           CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) + 1000
+             AS x,
+           CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) + 1000
+             AS y
+         FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM p a JOIN p b
+           ON a.vec_id <> b.vec_id
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600),
+       deg AS (
+         SELECT p.vec_id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+         FROM p LEFT JOIN (
+           SELECT a_id, count(*) AS deg FROM pairs GROUP BY a_id) d
+           ON p.vec_id = d.a_id),
+       core AS (SELECT vec_id FROM deg WHERE deg >= 4),
+       border AS (
+         SELECT DISTINCT a_id AS vec_id FROM pairs
+         WHERE b_id IN (SELECT vec_id FROM core)
+           AND a_id NOT IN (SELECT vec_id FROM core)),
+       classed AS (
+         SELECT deg.vec_id, deg.deg,
+           CASE WHEN deg.vec_id IN (SELECT vec_id FROM core) THEN 'core'
+                WHEN deg.vec_id IN (SELECT vec_id FROM border) THEN 'border'
+                ELSE 'noise' END AS class
+         FROM deg)
+       SELECT class, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(deg) AS BIGINT) AS total_deg
+       FROM classed GROUP BY class ORDER BY class"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_grid_dbscan" -> q232GridDbscan,
     "q218_quantization_audit" -> q218QuantizationAudit,
     "q180_ndcg_eval" -> q180NdcgEval,
     "q165_pq_adc" -> q165PqAdc,
@@ -1037,6 +1137,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q232_grid_dbscan" -> q232Oracle,
     "q218_quantization_audit" -> q218Oracle,
     "q180_ndcg_eval" -> q180Oracle,
     "q165_pq_adc" -> q165Oracle,

@@ -1770,7 +1770,239 @@ object Stats {
            AS reject
        FROM agg"""
 
+  /** Welch's two-sample t-test (q231): does mean order value differ
+    * between URGENT and LOW priority orders? The unequal-variance
+    * companion to q194 (rank-sum, location) and q221 (KS, shape) —
+    * Welch is the default parametric A/B read-out when group variances
+    * and sizes differ, and the Welch–Satterthwaite df is the part
+    * naive pooled-t gets wrong.
+    *
+    * Exactness: the sufficient statistics (n, Σx, Σx²) are EXACT — Σx²
+    * in decimal (c² ≤ 3.6e15 × 30k rows overflows int64 at sf0.1) —
+    * and both engines evaluate the IDENTICAL parenthesized double tree
+    * over them (the shared-IEEE discipline: same nodes, same order ⇒
+    * bit-equal doubles ⇒ equal floors). Output floors t and df to
+    * milli; means as integer division.
+    *
+    * Shape: ONE partial-agg scan (conditional aggregation — no
+    * groupBy, no shuffle beyond the 1-row reduce); arithmetic on the
+    * 1-row result. At 100 TB the scan is the only stage. */
+  def q231WelchTtest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(($"o_orderpriority" === "1-URGENT").as("g1"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .select($"g1", $"c",
+        ($"c".cast("decimal(12,0)") * $"c".cast("decimal(12,0)")).as("c2"))
+      .agg(
+        sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+        sum(when($"g1", $"c")).as("s1"),
+        sum(when($"g1", $"c2")).as("q1"),
+        sum(when(!$"g1", 1L).otherwise(0L)).as("n2"),
+        sum(when(!$"g1", $"c")).as("s2"),
+        sum(when(!$"g1", $"c2")).as("q2"))
+      .selectExpr(
+        "n1", "n2",
+        "s1 div n1 AS mean1_cents", "s2 div n2 AS mean2_cents",
+        """CAST(floor(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+             (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+            sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+                 (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))) * 1000.0) AS BIGINT)
+           AS t_milli""",
+        """CAST(floor(
+            (((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+              (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))) *
+             ((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+              (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)))) /
+            (((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) *
+              (((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) +
+             ((((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) *
+              (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))) * 1000.0) AS BIGINT)
+           AS df_milli""")
+      .withColumn("reject", abs($"t_milli") > 1960L)
+  }
+
+  val q231Oracle: String =
+    """WITH a AS (
+         SELECT
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN g1 THEN c END) AS BIGINT) AS s1,
+           sum(CASE WHEN g1 THEN CAST(c AS HUGEINT) * c END) AS q1,
+           CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN NOT g1 THEN c END) AS BIGINT) AS s2,
+           sum(CASE WHEN NOT g1 THEN CAST(c AS HUGEINT) * c END) AS q2
+         FROM (
+           SELECT o_orderpriority = '1-URGENT' AS g1,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))
+       SELECT n1, n2, s1 // n1 AS mean1_cents, s2 // n2 AS mean2_cents,
+         CAST(floor(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+             (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+            sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+                 (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))) * 1000.0) AS BIGINT)
+           AS t_milli,
+         CAST(floor(
+            (((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+              (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))) *
+             ((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+              (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)))) /
+            (((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) *
+              (((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) +
+             ((((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) *
+              (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))) * 1000.0) AS BIGINT)
+           AS df_milli,
+         abs(CAST(floor(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+             (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+            sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+                 (((CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))) * 1000.0) AS BIGINT)) > 1960
+           AS reject
+       FROM a"""
+
+  /** Mutual information between two categorical features (q234):
+    * MI(segment; nation) over customers, with marginal entropies and
+    * the normalized score MI/√(H(x)·H(y)) — the model-free "are these
+    * columns related?" screen (q207's WOE/IV is the supervised
+    * cousin; this one needs no label). Near-zero NMI here is itself
+    * the finding: TPC-H assigns segments independently of nation.
+    *
+    * Exactness: every term is floored to micro-nats INDEPENDENTLY
+    * (term-wise floors ⇒ order-free integer sums, q216's discipline);
+    * ln arguments are exact-integer ratios (c_xy·N / c_x·c_y).
+    * Zero-count cells contribute nothing and are naturally absent
+    * from the joint groupBy.
+    *
+    * Shape: one partial-agg pass to the |X|·|Y| joint relation (≤125
+    * rows regardless of corpus size); margins via window sums OVER
+    * THAT RELATION (not re-scans); three 1-row reduces cross-joined.
+    * At 100 TB the corpus scan is the only data-sized stage. */
+  def q234MutualInfo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joint = Tables.customer(s, d)
+      .groupBy($"c_mktsegment".as("x"), $"c_nationkey".as("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val withMargins = joint
+      .withColumn("cx", sum($"cxy").over(Window.partitionBy($"x")))
+      .withColumn("cy", sum($"cxy").over(Window.partitionBy($"y")))
+      .withColumn("n", sum($"cxy").over(Window.partitionBy()))
+    val mi = withMargins.select(
+      $"n",
+      floor((($"cxy".cast("double") / $"n".cast("double")) *
+        log(($"cxy".cast("double") * $"n".cast("double")) /
+          ($"cx".cast("double") * $"cy".cast("double")))) * lit(1000000.0))
+        .cast("long").as("term"))
+      .agg(max($"n").as("n"), sum($"term").as("mi_micro"))
+    val hx = withMargins.select($"x", $"cx", $"n").distinct()
+      .select(floor((-($"cx".cast("double") / $"n".cast("double")) *
+        log($"cx".cast("double") / $"n".cast("double"))) * lit(1000000.0))
+        .cast("long").as("term"))
+      .agg(sum($"term").as("hx_micro"))
+    val hy = withMargins.select($"y", $"cy", $"n").distinct()
+      .select(floor((-($"cy".cast("double") / $"n".cast("double")) *
+        log($"cy".cast("double") / $"n".cast("double"))) * lit(1000000.0))
+        .cast("long").as("term"))
+      .agg(sum($"term").as("hy_micro"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .withColumn("nmi_milli",
+        expr("mi_micro * 1000 div CAST(floor(sqrt(CAST(hx_micro AS DOUBLE) * CAST(hy_micro AS DOUBLE))) AS BIGINT)"))
+  }
+
+  val q234Oracle: String =
+    """WITH joint AS (
+         SELECT c_mktsegment AS x, c_nationkey AS y,
+           CAST(count(*) AS BIGINT) AS cxy
+         FROM customer GROUP BY 1, 2),
+       m AS (
+         SELECT x, y, cxy,
+           CAST(sum(cxy) OVER (PARTITION BY x) AS BIGINT) AS cx,
+           CAST(sum(cxy) OVER (PARTITION BY y) AS BIGINT) AS cy,
+           CAST(sum(cxy) OVER () AS BIGINT) AS n
+         FROM joint),
+       mi AS (
+         SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+             ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+                (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS mi_micro
+         FROM m),
+       hx AS (
+         SELECT CAST(sum(CAST(floor((-(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) *
+             ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS hx_micro
+         FROM (SELECT DISTINCT x, cx, n FROM m)),
+       hy AS (
+         SELECT CAST(sum(CAST(floor((-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) *
+             ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS hy_micro
+         FROM (SELECT DISTINCT y, cy, n FROM m))
+       SELECT n, mi_micro, hx_micro, hy_micro,
+         mi_micro * 1000 // CAST(floor(sqrt(CAST(hx_micro AS DOUBLE) * CAST(hy_micro AS DOUBLE))) AS BIGINT)
+           AS nmi_milli
+       FROM mi CROSS JOIN hx CROSS JOIN hy"""
+
+  /** Distributed EXACT median by iterative range narrowing (q238): the
+    * classic selection algorithm for data that cannot be globally
+    * sorted — each round partitions the live value range into 256
+    * equal-width buckets, one partial-agg counting pass finds the
+    * bucket containing the target rank, and the range shrinks 256×.
+    * ⌈log₂₅₆(range)⌉ passes total (3 here: ~10⁷ cents → 43k → 169 → 1)
+    * — each pass a scan + a ≤256-row aggregate, nothing ever sorted,
+    * nothing ever collected but the histogram. This is how you take an
+    * exact quantile of 100 TB: q57's exact percentile sorts within
+    * groups, q54/q149's sketches approximate; this one is exact AND
+    * sort-free (the driver loop is the engine's iterative-dataflow
+    * idiom, same as q71/q150/q173).
+    *
+    * The rank convention is the LOWER median k = (n+1) div 2, kept in
+    * integers end-to-end; ties need no care (bucket counting is
+    * multiplicity-aware by construction). */
+  def q238IterativeMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.lineitem(s, d)
+      .select(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val (n, mn, mx) = cents.agg(count(lit(1)), min($"c"), max($"c"))
+      .as[(Long, Long, Long)].head()
+    val k = (n + 1) / 2
+    var lo = mn
+    var hi = mx
+    var below = 0L // exact count of values < lo, maintained across rounds
+    while (lo < hi) {
+      val width = (hi - lo) / 256 + 1
+      val hist = cents.filter($"c" >= lo && $"c" <= hi)
+        .groupBy(expr(s"(c - $lo) div $width").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var cum = below
+      var b = 0L
+      while (cum + hist.getOrElse(b, 0L) < k) {
+        cum += hist.getOrElse(b, 0L); b += 1
+      }
+      below = cum
+      lo = lo + b * width
+      hi = math.min(hi, lo + width - 1)
+    }
+    Seq((n, k, lo)).toDF("n", "k", "median_cents")
+  }
+
+  val q238Oracle: String =
+    """WITH c AS (
+         SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+         FROM lineitem),
+       t AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST((count(*) + 1) // 2 AS BIGINT) AS k
+         FROM c),
+       sel AS (
+         SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+       SELECT n, k,
+         (SELECT cents FROM sel WHERE rn = (SELECT k FROM t)) AS median_cents
+       FROM t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_iterative_median" -> q238IterativeMedian,
+    "q231_welch_ttest" -> q231WelchTtest,
+    "q234_mutual_info" -> q234MutualInfo,
     "q221_ks_test" -> q221KsTest,
     "q220_hill_tail" -> q220HillTail,
     "q213_wilson_ci" -> q213WilsonCi,
@@ -1806,6 +2038,9 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_iterative_median" -> q238Oracle,
+    "q231_welch_ttest" -> q231Oracle,
+    "q234_mutual_info" -> q234Oracle,
     "q221_ks_test" -> q221Oracle,
     "q220_hill_tail" -> q220Oracle,
     "q213_wilson_ci" -> q213Oracle,

@@ -702,4 +702,55 @@ class BehaviorSpec extends SparkSpec {
       assert(rs(0).getAs[Long]("lift_ppm") == rs(1).getAs[Long]("lift_ppm"))
     }
   }
+
+  test("q233: cumulative distinct reconciles with direct distinct counts") {
+    val got = operators.Behavior.q233CumulativeDistinct(spark, d).collect()
+    assert(got.nonEmpty)
+    val ud = graft.io.Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day"))
+      .as[(Long, java.sql.Date)].collect().distinct
+    val allUsers = ud.map(_._1).distinct.length.toLong
+    // final cumulative == total distinct users; news telescope to it
+    assert(got.last.getAs[Long]("cum_users") == allUsers)
+    assert(got.map(_.getAs[Long]("new_users")).sum == allUsers)
+    // per-day: actives match a direct distinct count; cum is the
+    // EXACT distinct-user count of the prefix (the identity the
+    // first-day trick is supposed to compute)
+    got.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day")
+      val active = ud.count(_._2 == day).toLong
+      assert(r.getAs[Long]("active_users") == active)
+      val prefix = ud.filter(_._2.getTime <= day.getTime).map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("cum_users") == prefix, s"$day: cum mismatch")
+    }
+    // monotone non-decreasing cumulative
+    val cums = got.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q235: streaks match a sequential replay of each segment's daily series") {
+    val got = operators.Behavior.q235RevenueStreaks(spark, d).collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("streak_days"), r.getAs[java.sql.Date]("end_day"))).toMap
+    assert(got.nonEmpty)
+    val daily = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", to_date($"o_orderdate"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .as[(String, java.sql.Date, Long)].collect()
+    daily.groupBy(_._1).foreach { case (seg, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(t => (t._2, t._3))
+      var best = 0L; var bestEnd: java.sql.Date = null
+      var run = 0L
+      series.indices.foreach { i =>
+        if (i > 0 && series(i)._2 > series(i - 1)._2) run += 1 else run = 0
+        if (run > best) { best = run; bestEnd = series(i)._1 }
+      }
+      if (best > 0) {
+        val (len, end) = got(seg)
+        assert(len == best, s"$seg: streak $len vs replay $best")
+        assert(end == bestEnd, s"$seg: end $end vs replay $bestEnd")
+      } else assert(!got.contains(seg))
+    }
+  }
 }

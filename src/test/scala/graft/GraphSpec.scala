@@ -214,4 +214,40 @@ class GraphSpec extends SparkSpec {
         math.sqrt((n * syy - sy * sy) * 1.0))).toLong
     assert(row.getAs[Long]("r_bp") == want)
   }
+
+  test("q232: grid-blocked neighbor counts equal the brute-force N\u00b2 join") {
+    import spark.implicits._
+    val got = operators.Similarity.q232GridDbscan(spark, d).collect()
+      .map(r => r.getAs[String]("class") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("total_deg"))).toMap
+    val pts = graft.io.Tables.embeddings(spark, d).select($"vec_id",
+        (floor(element_at($"embedding", 1).cast("double") * 1000.0)
+          .cast("long") + 1000L),
+        (floor(element_at($"embedding", 2).cast("double") * 1000.0)
+          .cast("long") + 1000L))
+      .as[(Long, Long, Long)].collect()
+    val deg = pts.map { case (id, x, y) =>
+      id -> pts.count { case (id2, x2, y2) =>
+        id2 != id && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= 3600L
+      }.toLong
+    }.toMap
+    val core = deg.filter(_._2 >= 4L).keySet
+    val border = pts.filter { case (id, x, y) =>
+      !core(id) && pts.exists { case (id2, x2, y2) =>
+        id2 != id && core(id2) &&
+          (x - x2) * (x - x2) + (y - y2) * (y - y2) <= 3600L
+      }
+    }.map(_._1).toSet
+    def want(cls: String, ids: Set[Long]) = {
+      if (ids.nonEmpty) {
+        assert(got(cls)._1 == ids.size.toLong, s"$cls count")
+        assert(got(cls)._2 == ids.toSeq.map(deg).sum, s"$cls degree sum")
+      } else assert(!got.contains(cls))
+    }
+    val noise = pts.map(_._1).toSet -- core -- border
+    want("core", core); want("border", border); want("noise", noise)
+    assert(got.values.map(_._1).sum == pts.length.toLong)
+    // the fixture should actually exercise all three classes
+    assert(core.nonEmpty && noise.nonEmpty, "degenerate spatial fixture")
+  }
 }

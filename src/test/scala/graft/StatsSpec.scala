@@ -637,4 +637,54 @@ class StatsSpec extends SparkSpec {
       assert(atOrBelow * 2 >= tot && below * 2 < tot)
     }
   }
+
+  test("q231: Welch t matches a direct two-sample recomputation") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q231WelchTtest(spark, d).collect().head
+    val cents = graft.io.Tables.orders(spark, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select($"o_orderpriority" === "1-URGENT",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Boolean, Long)].collect()
+    def stats(xs: Array[Double]) = {
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats(cents.filter(_._1).map(_._2.toDouble))
+    val (n2, m2, v2) = stats(cents.filterNot(_._1).map(_._2.toDouble))
+    assert(r.getAs[Long]("n1") == n1.toLong && r.getAs[Long]("n2") == n2.toLong)
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se2)
+    val df = se2 * se2 /
+      (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1)))
+    // centered recomputation vs the query's raw-moment form: equal to
+    // within floating dust, so compare at milli ± 1
+    assert(math.abs(r.getAs[Long]("t_milli") - math.floor(t * 1000).toLong) <= 1,
+      s"t drift: got ${r.getAs[Long]("t_milli")} want ~${t * 1000}")
+    assert(math.abs(r.getAs[Long]("df_milli") - math.floor(df * 1000).toLong) <= 1)
+    // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    assert(r.getAs[Long]("df_milli") >= 1000L * (math.min(n1, n2).toLong - 1)
+      && r.getAs[Long]("df_milli") <= 1000L * (n1 + n2).toLong)
+  }
+
+  test("q234: MI of an independent assignment is tiny; NMI bounded; entropies sane") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q234MutualInfo(spark, d).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n == graft.io.Tables.customer(spark, d).count())
+    val mi = r.getAs[Long]("mi_micro")
+    val hx = r.getAs[Long]("hx_micro")
+    val hy = r.getAs[Long]("hy_micro")
+    // H(segment) ≤ ln 5, H(nation) ≤ ln 25 (micro-nats, floor dust ≤ |cells|)
+    assert(hx > 0 && hx <= math.floor(math.log(5.0) * 1e6).toLong + 1)
+    assert(hy > 0 && hy <= math.floor(math.log(25.0) * 1e6).toLong + 1)
+    // MI ≥ -(term floor dust); independence keeps it far below entropy
+    assert(mi >= -200L, s"MI floor dust out of range: $mi")
+    assert(mi < math.min(hx, hy) / 4, s"segment⊥nation violated: $mi")
+    val nmi = r.getAs[Long]("nmi_milli")
+    assert(nmi >= -1L && nmi <= 1000L, s"NMI out of range: $nmi")
+  }
 }
