@@ -1410,7 +1410,96 @@ object Dedup {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_from_top
        FROM h ORDER BY band"""
 
+  /** Fellegi–Sunter record-linkage scoring (q236): probabilistic
+    * entity resolution between two TABLES (customer ↔ supplier) — the
+    * cross-source cousin of the within-corpus dedup family. The
+    * classic pipeline: (1) BLOCK candidate pairs on a cheap key
+    * (nationkey — never the N² cross join), (2) score each pair by
+    * summing per-field agreement/disagreement weights (log-likelihood
+    * ratios ln(m/u), here fixed milli-nat constants: balance within
+    * $500 → +2197/−1504, name-suffix digit equality → +1609/−588,
+    * key-residue congruence → +1000/−300), (3) cut the score into
+    * match / review / non-match bands (≥2500 / ≥0 / below). Output:
+    * per-block pair counts per band plus the argmax pair (score desc,
+    * then ids — deterministic).
+    *
+    * Exactness: balances in integer cents, weights integer milli —
+    * the whole score is int64 arithmetic. Shape: the block join is
+    * equi on nationkey (SMJ/BHJ, never nested-loop); scoring is a
+    * projection; the per-block rollup and argmax are one partial-agg
+    * pass + one per-block rank over the scored relation. Block-size
+    * skew is the known FS failure mode — q117's skew diagnostics are
+    * the pre-flight check at scale. */
+  def q236RecordLinkage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey",
+      ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("c_cents"),
+      expr("right(c_name, 1)").as("c_last"))
+    val supp = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey",
+      ($"s_acctbal".cast("decimal(18,2)") * 100).cast("long").as("s_cents"),
+      expr("right(s_name, 1)").as("s_last"))
+    val scored = cust.join(supp, $"c_nationkey" === $"s_nationkey")
+      .withColumn("score_milli",
+        when(abs($"c_cents" - $"s_cents") <= 50000L, 2197L).otherwise(-1504L) +
+          when($"c_last" === $"s_last", 1609L).otherwise(-588L) +
+          when($"c_custkey" % 10 === $"s_suppkey" % 10, 1000L).otherwise(-300L))
+    val bands = scored.groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"score_milli" >= 2500L, 1L).otherwise(0L)).as("n_match"),
+        sum(when($"score_milli" >= 0L && $"score_milli" < 2500L, 1L)
+          .otherwise(0L)).as("n_review"))
+    val best = scored
+      .withColumn("rk", row_number().over(Window.partitionBy($"c_nationkey")
+        .orderBy($"score_milli".desc, $"c_custkey", $"s_suppkey")))
+      .filter($"rk" === 1)
+      .select($"c_nationkey".as("nationkey"),
+        $"score_milli".as("best_score_milli"),
+        $"c_custkey".as("best_cust"), $"s_suppkey".as("best_supp"))
+    bands.join(best, "nationkey").orderBy($"nationkey")
+  }
+
+  val q236Oracle: String =
+    """WITH c AS (
+         SELECT c_custkey, c_nationkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c_cents,
+           right(c_name, 1) AS c_last
+         FROM customer),
+       sup AS (
+         SELECT s_suppkey, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_cents,
+           right(s_name, 1) AS s_last
+         FROM supplier),
+       scored AS (
+         SELECT c_nationkey, c_custkey, s_suppkey,
+           (CASE WHEN abs(c_cents - s_cents) <= 50000 THEN 2197 ELSE -1504 END
+            + CASE WHEN c_last = s_last THEN 1609 ELSE -588 END
+            + CASE WHEN c_custkey % 10 = s_suppkey % 10 THEN 1000 ELSE -300 END)
+             AS score_milli
+         FROM c JOIN sup ON c_nationkey = s_nationkey),
+       bands AS (
+         SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN score_milli >= 2500 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(sum(CASE WHEN score_milli >= 0 AND score_milli < 2500
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_review
+         FROM scored GROUP BY 1),
+       best AS (
+         SELECT c_nationkey AS nationkey,
+           CAST(score_milli AS BIGINT) AS best_score_milli,
+           c_custkey AS best_cust, s_suppkey AS best_supp
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY score_milli DESC, c_custkey, s_suppkey) AS rk
+           FROM scored)
+         WHERE rk = 1)
+       SELECT bands.nationkey, n_pairs, n_match, n_review,
+         best_score_milli, best_cust, best_supp
+       FROM bands JOIN best ON bands.nationkey = best.nationkey
+       ORDER BY bands.nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_record_linkage" -> q236RecordLinkage,
     "q227_sim_histogram" -> q227SimHistogram,
     "q222_dup_provenance" -> q222DupProvenance,
     "q215_containment" -> q215Containment,
@@ -1432,6 +1521,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q236_record_linkage" -> q236Oracle,
     "q227_sim_histogram" -> q227Oracle,
     "q222_dup_provenance" -> q222Oracle,
     "q215_containment" -> q215Oracle,

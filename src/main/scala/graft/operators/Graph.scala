@@ -405,7 +405,86 @@ object Graph {
        SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
        ORDER BY role, score DESC, node"""
 
+  /** PageRank iterated to round 3 with a convergence read-out (q237):
+    * q82 is ONE power-iteration step; this is the multi-round version
+    * every real ranking run needs — re-broadcast the rank vector, one
+    * join + one aggregation per round, and an L1-delta between the
+    * last two same-side rounds that tells you when to stop. Each round
+    * computes r(dst) = 150000 + Σ_src (850000·r(src)/10⁶) div outdeg
+    * in exact int64 micro-units (integer `div` truncation dust is
+    * deterministic in both engines). The bipartite rank alternates
+    * sides naturally: parts push to suppliers (rounds 1, 3), suppliers
+    * push back through the same edges (round 2), so after 3 rounds the
+    * supplier ranks carry 3-hop structure. Rank mass is NOT conserved
+    * exactly (truncation sheds micro-dust) — the supplier-side L1
+    * delta between rounds 3 and 1 is the stopping signal.
+    *
+    * Shape per round: the rank relation is |one side| (bounded by
+    * suppliers/parts, both ≪ edges); it broadcasts into the edge
+    * list, one partial-agg groupBy lands the next vector. The edge
+    * list is scanned once per round and NEVER re-shuffled (broadcast
+    * hash join on the rank side); the loop is the q71/q150/q238
+    * iterative-dataflow idiom. Top-10 + a 1-row delta summary out. */
+  def q237PagerankLoop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, d)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sp"))
+      .distinct().localCheckpoint()
+    val pdeg = edges.groupBy($"p").agg(count(lit(1)).as("pdeg"))
+    val sdeg = edges.groupBy($"sp").agg(count(lit(1)).as("sdeg"))
+    val ep = edges.join(broadcast(pdeg), "p")
+    val es = edges.join(broadcast(sdeg), "sp")
+    // round 1: uniform part rank 1e6 → suppliers
+    val r1 = ep.groupBy($"sp")
+      .agg((lit(150000L) + sum(expr("850000 div pdeg"))).as("r"))
+    // round 2: suppliers push back to parts
+    val r2 = es.join(broadcast(r1), "sp")
+      .groupBy($"p")
+      .agg((lit(150000L) + sum(expr("(850000 * r div 1000000) div sdeg")))
+        .as("r"))
+    // round 3: parts push to suppliers again
+    val r3 = ep.join(broadcast(r2), "p")
+      .groupBy($"sp")
+      .agg((lit(150000L) + sum(expr("(850000 * r div 1000000) div pdeg")))
+        .as("r"))
+    val delta = r3.join(r1.select($"sp", $"r".as("r_prev")), "sp")
+      .agg(sum(abs($"r" - $"r_prev")).as("l1_delta_micro"),
+        count(lit(1)).as("n_nodes"))
+      .select(lit(0L).as("node"), lit("delta").as("kind"),
+        $"l1_delta_micro".as("value"), $"n_nodes")
+    val top = r3.orderBy($"r".desc, $"sp").limit(10)
+      .select($"sp".as("node"), lit("rank3").as("kind"),
+        $"r".as("value"), lit(0L).as("n_nodes"))
+    top.unionByName(delta).orderBy($"kind", $"value".desc, $"node")
+  }
+
+  val q237Oracle: String =
+    """WITH edges AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+       pdeg AS (SELECT p, CAST(count(*) AS BIGINT) AS pdeg FROM edges GROUP BY p),
+       sdeg AS (SELECT sp, CAST(count(*) AS BIGINT) AS sdeg FROM edges GROUP BY sp),
+       r1 AS (
+         SELECT sp, CAST(150000 + sum(850000 // pdeg) AS BIGINT) AS r
+         FROM edges JOIN pdeg USING (p) GROUP BY sp),
+       r2 AS (
+         SELECT p, CAST(150000 + sum((850000 * r // 1000000) // sdeg) AS BIGINT) AS r
+         FROM edges JOIN sdeg USING (sp) JOIN r1 USING (sp) GROUP BY p),
+       r3 AS (
+         SELECT sp, CAST(150000 + sum((850000 * r // 1000000) // pdeg) AS BIGINT) AS r
+         FROM edges JOIN pdeg USING (p) JOIN r2 USING (p) GROUP BY sp),
+       delta AS (
+         SELECT CAST(0 AS BIGINT) AS node, 'delta' AS kind,
+           CAST(sum(abs(r3.r - r1.r)) AS BIGINT) AS value,
+           CAST(count(*) AS BIGINT) AS n_nodes
+         FROM r3 JOIN r1 USING (sp)),
+       top AS (
+         SELECT sp AS node, 'rank3' AS kind, r AS value, CAST(0 AS BIGINT) AS n_nodes
+         FROM r3 ORDER BY r DESC, sp LIMIT 10)
+       SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM delta)
+       ORDER BY kind, value DESC, node"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_pagerank_loop" -> q237PagerankLoop,
     "q239_hits_step" -> q239HitsStep,
     "q179_assortativity" -> q179Assortativity,
     "q157_copurchase" -> q157CoPurchase,
@@ -415,6 +494,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_pagerank_loop" -> q237Oracle,
     "q239_hits_step" -> q239Oracle,
     "q179_assortativity" -> q179Oracle,
     "q157_copurchase" -> q157Oracle,

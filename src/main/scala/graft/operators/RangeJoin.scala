@@ -175,12 +175,110 @@ object RangeJoin {
          CAST(sum(oe - os) AS BIGINT) AS sum_overlap_us
        FROM pairs GROUP BY 1 ORDER BY 1"""
 
+  /** FIFO allocation by cumulative-interval overlap (q241): match each
+    * part's demand stream ('R' lineitems) against its supply lots ('A'
+    * lineitems) in ship-date order, first-in-first-out — inventory
+    * costing, queue matching, and lot-tracing all reduce to this. The
+    * set-based formulation replaces the sequential walk: position each
+    * lot at its cumulative-quantity interval [cum−q, cum) and each
+    * demand likewise, and FIFO allocation between lot i and demand j
+    * is EXACTLY the overlap of their intervals — the classic trick
+    * that turns an inherently serial recurrence into one interval
+    * join (q202's clamp identity is the same move for a different
+    * recurrence). Output: brand-level arcs, allocated quantity, and
+    * the unmatched tails on both sides.
+    *
+    * Exactness: quantities are integral doubles → int64; cumulative
+    * positions are per-(part, side) window sums ordered by (shipdate,
+    * orderkey, linenumber) — a unique total order, so both engines
+    * build identical intervals. Shape: two window passes over the
+    * A/R-filtered fact (predicate pushed to the scan), an equi join
+    * ON PART with the overlap residual (per-part streams are small;
+    * the q64 bucketing is the escalation if a single key's streams
+    * blow up), and partial-agg rollups to brand. The allocated total
+    * per part provably equals min(supply, demand) — the spec pins it. */
+  def q241FifoAllocation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .filter($"l_returnflag".isin("A", "R"))
+      .select($"l_partkey".as("p"), $"l_returnflag".as("side"),
+        $"l_quantity".cast("long").as("q"),
+        $"l_shipdate".as("ts"), $"l_orderkey".as("ok"), $"l_linenumber".as("ln"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p", $"side").orderBy($"ts", $"ok", $"ln")
+    val cum = li
+      .withColumn("hi", sum($"q").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("lo", $"hi" - $"q")
+    val sup = cum.filter($"side" === "A")
+      .select($"p", $"lo".as("s_lo"), $"hi".as("s_hi"))
+    val dem = cum.filter($"side" === "R")
+      .select($"p".as("dp"), $"lo".as("d_lo"), $"hi".as("d_hi"))
+    val arcs = sup.join(dem,
+        $"p" === $"dp" && $"s_lo" < $"d_hi" && $"d_lo" < $"s_hi")
+      .select($"p",
+        (least($"s_hi", $"d_hi") - greatest($"s_lo", $"d_lo")).as("alloc"))
+    val byPart = arcs.groupBy($"p")
+      .agg(count(lit(1)).as("n_arcs"), sum($"alloc").as("allocated"))
+    val totals = li.groupBy($"p")
+      .agg(sum(when($"side" === "A", $"q").otherwise(0L)).as("s_q"),
+        sum(when($"side" === "R", $"q").otherwise(0L)).as("d_q"))
+    totals.join(byPart, Seq("p"), "left")
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
+        $"p" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"))
+      .agg(sum(coalesce($"n_arcs", lit(0L))).as("n_arcs"),
+        sum(coalesce($"allocated", lit(0L))).as("allocated_qty"),
+        sum(greatest($"d_q" - $"s_q", lit(0L))).as("unmatched_demand"),
+        sum(greatest($"s_q" - $"d_q", lit(0L))).as("leftover_supply"))
+      .orderBy($"brand")
+  }
+
+  val q241Oracle: String =
+    """WITH li AS (
+         SELECT l_partkey AS p, l_returnflag AS side,
+           CAST(l_quantity AS BIGINT) AS q,
+           l_shipdate AS ts, l_orderkey AS ok, l_linenumber AS ln
+         FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       cum AS (
+         SELECT p, side, q,
+           CAST(sum(q) OVER (PARTITION BY p, side ORDER BY ts, ok, ln
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+         FROM li),
+       c2 AS (SELECT p, side, q, hi, hi - q AS lo FROM cum),
+       sup AS (SELECT p, lo AS s_lo, hi AS s_hi FROM c2 WHERE side = 'A'),
+       dem AS (SELECT p AS dp, lo AS d_lo, hi AS d_hi FROM c2 WHERE side = 'R'),
+       arcs AS (
+         SELECT p, least(s_hi, d_hi) - greatest(s_lo, d_lo) AS alloc
+         FROM sup JOIN dem
+           ON p = dp AND s_lo < d_hi AND d_lo < s_hi),
+       bypart AS (
+         SELECT p, CAST(count(*) AS BIGINT) AS n_arcs,
+           CAST(sum(alloc) AS BIGINT) AS allocated
+         FROM arcs GROUP BY p),
+       totals AS (
+         SELECT p,
+           CAST(sum(CASE WHEN side = 'A' THEN q ELSE 0 END) AS BIGINT) AS s_q,
+           CAST(sum(CASE WHEN side = 'R' THEN q ELSE 0 END) AS BIGINT) AS d_q
+         FROM li GROUP BY p)
+       SELECT p_brand AS brand,
+         CAST(sum(coalesce(n_arcs, 0)) AS BIGINT) AS n_arcs,
+         CAST(sum(coalesce(allocated, 0)) AS BIGINT) AS allocated_qty,
+         CAST(sum(greatest(d_q - s_q, 0)) AS BIGINT) AS unmatched_demand,
+         CAST(sum(greatest(s_q - d_q, 0)) AS BIGINT) AS leftover_supply
+       FROM totals LEFT JOIN bypart USING (p)
+       JOIN part ON p = p_partkey
+       GROUP BY p_brand ORDER BY p_brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_fifo_allocation" -> q241FifoAllocation,
     "q172_interval_overlap" -> q172IntervalOverlap,
     "q64_range_join" -> q64RangeJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    "q241_fifo_allocation" -> q241Oracle,
     "q172_interval_overlap" -> q172Oracle,
     "q64_range_join" -> q64Oracle,
   )

@@ -1170,7 +1170,71 @@ object Windows {
        WHERE abs(resid) > mad * 5
        ORDER BY day"""
 
+  /** SCD2 point-in-time dimension join (q240): each lineitem priced
+    * against the customer's order-priority IN EFFECT on its ship date
+    * — the slowly-changing-dimension lookup every warehouse does
+    * against effective-dated history, and the second production
+    * domain for the custom AsOfJoin plan (q63 proved it on event
+    * streams; reusing the operator on (custkey, date) keys is the
+    * point: a first-class operator generalizes, a hand-rolled window
+    * rewrite would be re-derived per query). The "history" here is
+    * each customer's own order stream: an order's priority becomes
+    * effective on its order date and stays until the next order.
+    *
+    * Tie discipline: as-of semantics need a UNIQUE time per key or
+    * the winner is undefined — the effective time is
+    * epoch_µs(orderdate) + orderkey (day granularity is 8.64e10 µs,
+    * orderkeys are far smaller, so same-day orders stay inside their
+    * day and resolve to the LARGEST orderkey, deterministically in
+    * both engines); the probe time is end-of-ship-day so same-day
+    * changes apply. Output: revenue rollup by effective priority ×
+    * returnflag.
+    *
+    * Shape: the fact side is lineitem⋈orders on orderkey (the q03
+    * fact-fact shuffle) to recover custkey; the as-of itself plans
+    * like a SortMergeJoin clustered on custkey (PLANS.md q63); the
+    * rollup is one partial-agg pass. */
+  def q240PitJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val facts = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (unix_micros($"l_shipdate".cast("timestamp")) + 86399999999L).as("ship_t"))
+      .join(orders.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+    val dim = orders.select($"o_custkey".as("d_cust"),
+      (unix_micros($"o_orderdate".cast("timestamp")) + $"o_orderkey").as("eff_t"),
+      $"o_orderpriority".as("eff_priority"))
+    graft.plans.AsOf.join(facts, dim, "o_custkey", "ship_t", "d_cust", "eff_t")
+      // a few synthetic lineitems ship BEFORE their own order date; the
+      // as-of is a LEFT join, so they surface as an explicit NONE bucket
+      .groupBy(coalesce($"eff_priority", lit("0-NONE")).as("eff_priority"),
+        $"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("revenue_cents"))
+      .orderBy($"eff_priority", $"l_returnflag")
+  }
+
+  val q240Oracle: String =
+    """WITH f AS (
+         SELECT o_custkey AS cust,
+           CAST(epoch_us(l_shipdate) + 86399999999 AS BIGINT) AS ship_t,
+           l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       dim AS (
+         SELECT o_custkey AS dcust,
+           CAST(epoch_us(o_orderdate) + o_orderkey AS BIGINT) AS eff_t,
+           o_orderpriority AS eff_priority
+         FROM orders)
+       SELECT coalesce(eff_priority, '0-NONE') AS eff_priority,
+         l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+       FROM f ASOF LEFT JOIN dim ON f.cust = dim.dcust AND f.ship_t >= dim.eff_t
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_pit_join" -> q240PitJoin,
     "q229_anomaly_days" -> q229AnomalyDays,
     "q225_rate_limit" -> q225RateLimit,
     "q217_interval_union" -> q217IntervalUnion,
@@ -1200,6 +1264,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q240_pit_join" -> q240Oracle,
     "q229_anomaly_days" -> q229Oracle,
     "q225_rate_limit" -> q225Oracle,
     "q217_interval_union" -> q217Oracle,

@@ -110,4 +110,33 @@ class AsOfSpec extends SparkSpec {
     assert(got == manual)
     assert(got.nonEmpty)
   }
+
+  test("q240: PIT dimension lookup equals a window-rank rewrite") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Windows.q240PitJoin(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("revenue_cents"))).toMap
+    // independent rewrite: plain non-equi join + row_number argmax
+    val orders = graft.io.Tables.orders(spark, d)
+    val facts = graft.io.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (unix_micros($"l_shipdate".cast("timestamp")) + 86399999999L).as("ship_t"))
+      .join(orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .withColumn("fid", monotonically_increasing_id())
+    val dim = orders.select($"o_custkey".as("d_cust"),
+      (unix_micros($"o_orderdate".cast("timestamp")) + $"o_orderkey").as("eff_t"),
+      $"o_orderpriority".as("eff_priority"))
+    val want = facts.join(dim,
+        $"o_custkey" === $"d_cust" && $"eff_t" <= $"ship_t", "left")
+      .withColumn("rk", row_number().over(Window.partitionBy($"fid")
+        .orderBy($"eff_t".desc_nulls_last)))
+      .filter($"rk" === 1)
+      .groupBy(coalesce($"eff_priority", lit("0-NONE")).as("pr"), $"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("rc"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("rc"))).toMap
+    assert(got == want, s"PIT drift: ${got.size} vs ${want.size} groups")
+    assert(got.keys.exists(_._1 != "0-NONE"))
+  }
 }

@@ -162,4 +162,27 @@ class PrepSpec extends SparkSpec {
       .sortBy(_._1).map(_._2).toSeq
     assert(got == want)
   }
+
+  test("q236: FS bands partition each block; best pair maximizes the score") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q236RecordLinkage(spark, d).collect()
+    assert(got.nonEmpty)
+    val nc = graft.io.Tables.customer(spark, d)
+      .groupBy($"c_nationkey").count().as[(Int, Long)].collect().toMap
+    val ns = graft.io.Tables.supplier(spark, d)
+      .groupBy($"s_nationkey").count().as[(Int, Long)].collect().toMap
+    got.foreach { r =>
+      val nat = r.getAs[Int]("nationkey")
+      // blocked pair count is exactly |customers| x |suppliers| in the block
+      assert(r.getAs[Long]("n_pairs") == nc(nat) * ns(nat), s"block $nat")
+      assert(r.getAs[Long]("n_match") + r.getAs[Long]("n_review")
+        <= r.getAs[Long]("n_pairs"))
+      // the best score is attainable: within the FS weight range
+      val best = r.getAs[Long]("best_score_milli")
+      assert(best >= -2392L && best <= 4806L, s"score out of range: $best")
+    }
+    // nations with both sides present are all reported
+    assert(got.length == nc.keySet.intersect(ns.keySet).size)
+  }
 }

@@ -94,4 +94,50 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet == want, s"got ${got.toSet} want $want")
     assert(want == Set((1L, 2L), (2L, 3L), (1L, 5L), (2L, 5L), (3L, 5L)))
   }
+
+  test("q241: FIFO arc sums equal a sequential per-part replay") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.RangeJoin.q241FifoAllocation(spark, d).collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Long]("n_arcs"), r.getAs[Long]("allocated_qty"),
+          r.getAs[Long]("unmatched_demand"), r.getAs[Long]("leftover_supply"))).toMap
+    assert(got.nonEmpty)
+    val rows = graft.io.Tables.lineitem(spark, d)
+      .filter($"l_returnflag".isin("A", "R"))
+      .join(graft.io.Tables.part(spark, d),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_partkey", $"l_returnflag",
+        $"l_quantity".cast("long"), unix_micros($"l_shipdate".cast("timestamp")),
+        $"l_orderkey", $"l_linenumber".cast("long"))
+      .as[(String, Long, String, Long, Long, Long, Long)].collect()
+    // sequential FIFO replay per part: walk both ship-date-ordered
+    // streams with two cursors, consuming greedily — the textbook
+    // serial algorithm the interval formulation must reproduce
+    val byBrand = rows.groupBy(_._1)
+    byBrand.foreach { case (brand, brows) =>
+      var arcs = 0L; var alloc = 0L; var unm = 0L; var left = 0L
+      brows.groupBy(_._2).foreach { case (_, prows) =>
+        def stream(side: String) = prows.filter(_._3 == side)
+          .sortBy(t => (t._5, t._6, t._7)).map(_._4).toArray
+        val sup = stream("A"); val dem = stream("R")
+        var si = 0; var di = 0
+        var sRem = if (sup.nonEmpty) sup(0) else 0L
+        var dRem = if (dem.nonEmpty) dem(0) else 0L
+        while (si < sup.length && di < dem.length) {
+          val take = math.min(sRem, dRem)
+          if (take > 0) { alloc += take; arcs += 1 }
+          sRem -= take; dRem -= take
+          if (sRem == 0) { si += 1; if (si < sup.length) sRem = sup(si) }
+          if (dRem == 0) { di += 1; if (di < dem.length) dRem = dem(di) }
+        }
+        unm += dRem + dem.drop(di + 1).sum
+        left += sRem + sup.drop(si + 1).sum
+      }
+      val (ga, gal, gu, gl) = got(brand)
+      assert(gal == alloc, s"$brand allocated $gal vs replay $alloc")
+      assert(ga == arcs, s"$brand arcs $ga vs replay $arcs")
+      assert(gu == unm && gl == left, s"$brand tails ($gu,$gl) vs ($unm,$left)")
+    }
+  }
 }
