@@ -616,7 +616,58 @@ object Quality {
        FROM nc JOIN sc USING (probe) ORDER BY probe"""
   }
 
+  /** Two-level distributed sequence-gap census (q243): the largest
+    * holes in the order-key sequence — missing-id detection for
+    * invoice/audit trails. The naive formulation is lead() over ONE
+    * global ordering (a single-partition window — the known scale
+    * cliff); the scalable shape splits the work: keys are blocked by
+    * `key div 4096`, INTERNAL gaps come from a per-block lag window
+    * (parallel by block), and CROSS-BLOCK gaps from a lag over the
+    * block-summary relation (|blocks| rows ≈ |keys|/4096 — if even
+    * that exceeds one partition, recurse: it's the same two-level
+    * trick one level up). Union, keep positive gaps, top-10 by
+    * (length desc, start) — TakeOrdered, no global sort anywhere.
+    *
+    * Empty blocks fall out naturally: a cross-block gap spans from
+    * one present block's max to the NEXT PRESENT block's min, so a
+    * run of wholly-missing blocks becomes one gap. Gap arithmetic is
+    * pure int64; the oracle is the single-window naive form —
+    * different algorithm, same answer, which is the point. */
+  def q243GapCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the raw o_orderkey sequence is gap-free by construction in this
+    // generator; the census runs over the FILLED orders' keys (status
+    // 'F'), whose holes are the open/pending orders — the realistic
+    // "which invoice ranges are incomplete?" question
+    val keys = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("k"))
+      .withColumn("blk", expr("k div 4096"))
+    val byBlk = Window.partitionBy($"blk").orderBy($"k")
+    val internal = keys
+      .withColumn("nxt", lead($"k", 1).over(byBlk))
+      .filter($"nxt".isNotNull && $"nxt" - $"k" > 1L)
+      .select(($"k" + 1L).as("gap_start"), ($"nxt" - $"k" - 1L).as("gap_len"))
+    val blocks = keys.groupBy($"blk")
+      .agg(min($"k").as("bmin"), max($"k").as("bmax"))
+    val cross = blocks
+      .withColumn("nmin", lead($"bmin", 1).over(Window.orderBy($"blk")))
+      .filter($"nmin".isNotNull && $"nmin" - $"bmax" > 1L)
+      .select(($"bmax" + 1L).as("gap_start"), ($"nmin" - $"bmax" - 1L).as("gap_len"))
+    internal.unionByName(cross)
+      .orderBy($"gap_len".desc, $"gap_start").limit(10)
+  }
+
+  val q243Oracle: String =
+    """WITH g AS (
+         SELECT o_orderkey AS k,
+           lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+         FROM orders WHERE o_orderstatus = 'F')
+       SELECT k + 1 AS gap_start, CAST(nxt - k - 1 AS BIGINT) AS gap_len
+       FROM g WHERE nxt IS NOT NULL AND nxt - k > 1
+       ORDER BY gap_len DESC, gap_start LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_gap_census" -> q243GapCensus,
     "q181_zonemap_audit" -> q181ZonemapAudit,
     "q176_calibration" -> q176Calibration,
     "q223_gains_curve" -> q223GainsCurve,
@@ -628,6 +679,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q243_gap_census" -> q243Oracle,
     "q181_zonemap_audit" -> q181Oracle,
     "q176_calibration" -> q176Oracle,
     "q223_gains_curve" -> q223Oracle,

@@ -1233,7 +1233,82 @@ object Windows {
        FROM f ASOF LEFT JOIN dim ON f.cust = dim.dcust AND f.ship_t >= dim.eff_t
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Rolling 30-day correlation between two daily series (q242):
+    * trailing-window Pearson r of revenue vs shipped quantity — the
+    * co-movement monitor behind pairs-trading, demand/price coupling,
+    * and metric-drift dashboards. One RANGE frame maintains all five
+    * sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) simultaneously;
+    * r is closed-form from them per row — never a per-window rescan
+    * (q84's frame discipline extended from sum/count to a bivariate
+    * statistic).
+    *
+    * Exactness: the fact table collapses to ONE row per day (integer
+    * dollars and quantity — dollars not cents, so Σx² over a 30-day
+    * frame stays far inside int64 at any plausible scale); all frame
+    * sums are exact int64; r_bp is ONE shared IEEE expression over
+    * them, floored (q139's discipline). Windows with < 10 days of
+    * history or zero variance emit no row (integer-exact guard —
+    * identical in both engines).
+    *
+    * Shape: one partial-agg pass to the |days|-sized daily relation;
+    * the unpartitioned window is calendar-bounded (the q89/q117
+    * argument); output ~|days| rows. */
+  def q242RollingCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date($"l_shipdate").as("day"))
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"), sum($"l_quantity".cast("long")).as("y"))
+      .select($"day", expr("cents div 100").as("x"), $"y",
+        datediff($"day", lit("1992-01-01").cast("date")).as("dayn"))
+    val w = Window.orderBy($"dayn").rangeBetween(-29L, 0L)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .withColumn("syy", sum($"y" * $"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .filter($"n" >= 10L &&
+        $"n" * $"sxx" - $"sx" * $"sx" > 0L && $"n" * $"syy" - $"sy" * $"sy" > 0L)
+      .select($"day", $"n",
+        floor(lit(10000.0) *
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))))
+          .cast("long").as("r_bp"))
+      .orderBy($"day")
+  }
+
+  val q242Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(l_shipdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100
+             AS x,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+           datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS dayn
+         FROM lineitem GROUP BY 1, 4),
+       f AS (
+         SELECT day,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(y) OVER w AS BIGINT) AS sy,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+           CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         FROM daily
+         WINDOW w AS (ORDER BY dayn RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+       SELECT day, n,
+         CAST(floor(10000.0 *
+           (CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+               sqrt(CAST(n * syy - sy * sy AS DOUBLE))))) AS BIGINT) AS r_bp
+       FROM f
+       WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_rolling_corr" -> q242RollingCorr,
     "q240_pit_join" -> q240PitJoin,
     "q229_anomaly_days" -> q229AnomalyDays,
     "q225_rate_limit" -> q225RateLimit,
@@ -1264,6 +1339,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q242_rolling_corr" -> q242Oracle,
     "q240_pit_join" -> q240Oracle,
     "q229_anomaly_days" -> q229Oracle,
     "q225_rate_limit" -> q225Oracle,

@@ -753,4 +753,37 @@ class BehaviorSpec extends SparkSpec {
       } else assert(!got.contains(seg))
     }
   }
+
+  test("q242: rolling correlation matches a direct per-window recomputation") {
+    val got = operators.Windows.q242RollingCorr(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("r_bp"))).toMap
+    assert(got.nonEmpty)
+    val daily = graft.io.Tables.lineitem(spark, d)
+      .groupBy(to_date($"l_shipdate").as("day"))
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")).as("c"),
+        sum($"l_quantity".cast("long")).as("y"))
+      .select($"day", expr("c div 100"), $"y")
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.getTime)
+    val dayMs = 86400000L
+    daily.foreach { case (day, _, _) =>
+      val win = daily.filter(t => t._1.getTime <= day.getTime &&
+        t._1.getTime > day.getTime - 30L * dayMs)
+      val n = win.length.toLong
+      val sx = win.map(_._2).sum; val sy = win.map(_._3).sum
+      val sxx = win.map(t => t._2 * t._2).sum
+      val syy = win.map(t => t._3 * t._3).sum
+      val sxy = win.map(t => t._2 * t._3).sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (n >= 10 && vx > 0 && vy > 0) {
+        val r = 10000.0 * (n * sxy - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+        assert(got.contains(day), s"missing $day")
+        assert(got(day)._1 == n)
+        assert(math.abs(got(day)._2 - math.floor(r).toLong) <= 1,
+          s"$day: r_bp ${got(day)._2} vs $r")
+        assert(got(day)._2 >= -10000L && got(day)._2 <= 10000L)
+      } else assert(!got.contains(day), s"guard leaked $day")
+    }
+  }
 }

@@ -196,4 +196,23 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Long]("f1_ppm") == f1)
     }
   }
+
+  test("q243: two-level gap census equals the single-window naive scan") {
+    import spark.implicits._
+    val got = operators.Quality.q243GapCensus(spark, d).collect()
+      .map(r => (r.getAs[Long]("gap_start"), r.getAs[Long]("gap_len"))).toSeq
+    val keys = graft.io.Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val gaps = keys.zip(keys.tail)
+      .collect { case (a, b) if b - a > 1 => (a + 1, b - a - 1) }
+      .sortBy(t => (-t._2, t._1)).take(10).toSeq
+    assert(got == gaps, s"census drift:\n$got\nvs\n$gaps")
+    assert(got.nonEmpty, "fixture has no gaps — census untested")
+    // note whether the fixture exercises the cross-block path (a gap
+    // whose endpoints land in different 4096-key blocks); internal
+    // gaps alone still validate the union shape
+    val crossBlock = gaps.exists(g => (g._1 - 1) / 4096 != (g._1 + g._2) / 4096)
+    info(s"cross-block gap present in fixture: $crossBlock")
+  }
 }
