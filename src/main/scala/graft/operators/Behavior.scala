@@ -1162,7 +1162,45 @@ object Behavior {
        SELECT segment, streak_days, end_day
        FROM ranked WHERE rk = 1 ORDER BY segment"""
 
+  /** Exclusive-reach audit (q247): per event type, how many of its
+    * users does ONLY it reach? The marginal-contribution question
+    * behind channel-portfolio and source-licensing decisions (drop
+    * the type → lose exactly its exclusive users), and the
+    * per-element complement of q222's pairwise overlap matrix.
+    *
+    * Shape: one (user, type) dedup (partial-agg distinct), per-user
+    * type counts as a second partial agg joined back on user, and a
+    * per-type rollup — no N² type-pair work, no distinct-over-join.
+    * Exclusive share in integer bp. */
+  def q247ExclusiveReach(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ut = Tables.events(s, d)
+      .select($"user_id", $"event_type").distinct()
+    val userTypes = ut.groupBy($"user_id").agg(count(lit(1)).as("ntypes"))
+    ut.join(userTypes, "user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"ntypes" === 1L, 1L).otherwise(0L)).as("n_exclusive"))
+      .withColumn("exclusive_bp", expr("10000 * n_exclusive div n_users"))
+      .orderBy($"event_type")
+  }
+
+  val q247Oracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       u AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS ntypes
+         FROM ut GROUP BY user_id)
+       SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN ntypes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exclusive,
+         10000 * CAST(sum(CASE WHEN ntypes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS exclusive_bp
+       FROM ut JOIN u USING (user_id)
+       GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_exclusive_reach" -> q247ExclusiveReach,
     "q233_cumulative_distinct" -> q233CumulativeDistinct,
     "q235_revenue_streaks" -> q235RevenueStreaks,
     "q230_position_attribution" -> q230PositionAttribution,
@@ -1183,6 +1221,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q247_exclusive_reach" -> q247Oracle,
     "q233_cumulative_distinct" -> q233Oracle,
     "q235_revenue_streaks" -> q235Oracle,
     "q230_position_attribution" -> q230Oracle,

@@ -271,13 +271,98 @@ object RangeJoin {
        JOIN part ON p = p_partkey
        GROUP BY p_brand ORDER BY p_brand"""
 
+  /** FIFO inventory aging (q246): after q241's FIFO consumption, the
+    * UNCONSUMED remainder of each supply lot — and how old it is. A
+    * lot's leftover is the overlap of its cumulative interval
+    * [lo, hi) with [D, ∞) where D is the part's total demand (FIFO
+    * consumes from the front, so survivors sit at the BACK of the
+    * cumulative axis): leftover = max(0, hi − max(lo, D)) — no join
+    * at all, just the per-part demand total broadcast back onto the
+    * supply intervals. Aging buckets (0–30/31–60/61–90/90+ days
+    * before the fleet-wide max ship date) roll up to brand × bucket —
+    * the slow-moving-stock report.
+    *
+    * Exactness: quantities int64 (q241's discipline); ages are
+    * datediff days against a 1-row max-date broadcast. Shape: one
+    * window pass over the supply side, one partial-agg demand total
+    * per part joined back (both sides keyed on part), one rollup. */
+  def q246InventoryAging(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .filter($"l_returnflag".isin("A", "R"))
+      .select($"l_partkey".as("p"), $"l_returnflag".as("side"),
+        $"l_quantity".cast("long").as("q"),
+        to_date($"l_shipdate").as("day"), $"l_orderkey".as("ok"),
+        $"l_linenumber".as("ln"))
+    val sup = li.filter($"side" === "A")
+      .withColumn("hi", sum($"q").over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"p").orderBy($"day", $"ok", $"ln")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("lo", $"hi" - $"q")
+    val dem = li.filter($"side" === "R")
+      .groupBy($"p".as("dp")).agg(sum($"q").as("dtot"))
+    val maxDay = li.agg(max($"day").as("d_max"))
+    val lots = sup.join(dem, $"p" === $"dp", "left")
+      .withColumn("dtot", coalesce($"dtot", lit(0L)))
+      .withColumn("leftover", greatest($"hi" - greatest($"lo", $"dtot"), lit(0L)))
+      .filter($"leftover" > 0L)
+      .crossJoin(broadcast(maxDay))
+      .withColumn("age_days", datediff($"d_max", $"day"))
+      .withColumn("bucket",
+        when($"age_days" <= 30, "a_0_30")
+          .when($"age_days" <= 60, "b_31_60")
+          .when($"age_days" <= 90, "c_61_90")
+          .otherwise("d_over_90"))
+    lots.join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
+        $"p" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), $"bucket")
+      .agg(count(lit(1)).as("n_lots"), sum($"leftover").as("qty"))
+      .orderBy($"brand", $"bucket")
+  }
+
+  val q246Oracle: String =
+    """WITH li AS (
+         SELECT l_partkey AS p, l_returnflag AS side,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(l_shipdate AS DATE) AS day, l_orderkey AS ok, l_linenumber AS ln
+         FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       sup AS (
+         SELECT p, q, day,
+           CAST(sum(q) OVER (PARTITION BY p ORDER BY day, ok, ln
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+         FROM li WHERE side = 'A'),
+       dem AS (
+         SELECT p AS dp, CAST(sum(q) AS BIGINT) AS dtot
+         FROM li WHERE side = 'R' GROUP BY p),
+       mx AS (SELECT max(day) AS d_max FROM li),
+       lots AS (
+         SELECT p, day,
+           greatest(hi - greatest(hi - q, coalesce(dtot, 0)), 0) AS leftover,
+           datediff('day', day, d_max) AS age_days
+         FROM sup LEFT JOIN dem ON p = dp CROSS JOIN mx),
+       bucketed AS (
+         SELECT p, leftover,
+           CASE WHEN age_days <= 30 THEN 'a_0_30'
+                WHEN age_days <= 60 THEN 'b_31_60'
+                WHEN age_days <= 90 THEN 'c_61_90'
+                ELSE 'd_over_90' END AS bucket
+         FROM lots WHERE leftover > 0)
+       SELECT p_brand AS brand, bucket,
+         CAST(count(*) AS BIGINT) AS n_lots,
+         CAST(sum(leftover) AS BIGINT) AS qty
+       FROM bucketed JOIN part ON p = p_partkey
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_inventory_aging" -> q246InventoryAging,
     "q241_fifo_allocation" -> q241FifoAllocation,
     "q172_interval_overlap" -> q172IntervalOverlap,
     "q64_range_join" -> q64RangeJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_inventory_aging" -> q246Oracle,
     "q241_fifo_allocation" -> q241Oracle,
     "q172_interval_overlap" -> q172Oracle,
     "q64_range_join" -> q64Oracle,

@@ -1999,7 +1999,152 @@ object Stats {
          (SELECT cents FROM sel WHERE rn = (SELECT k FROM t)) AS median_cents
        FROM t"""
 
+  /** Volume/rate/mix decomposition of a year-over-year revenue change
+    * (q244): for each market segment, split Δrevenue (1995 → 1996)
+    * into a VOLUME effect (order-count change at the old average order
+    * value), a RATE effect (average-value change at the old volume),
+    * and the residual INTERACTION — the shift-share arithmetic behind
+    * every "why did revenue move?" readout (q203's price indexes are
+    * the SKU-level cousin; this is the account-level one).
+    *
+    * Exactness: revenues in integer cents; volume = (n₁−n₀)·rev₀ div
+    * n₀ and rate = (rev₁ div n₁ − rev₀ div n₀)·n₀ are integer
+    * divisions (both engines truncate toward zero on these provably
+    * non-negative-denominator terms), and interaction is DEFINED as
+    * the residual Δrev − volume − rate, so the three effects sum to
+    * the exact Δ by construction — truncation dust lands in the
+    * interaction term, where shift-share practice puts it anyway.
+    *
+    * Shape: one orders⋈customer pass collapses to the (segment, year)
+    * relation (partial agg); the pivot to per-segment 1995/1996
+    * columns and the effect arithmetic run on ≤|segments| rows. */
+  def q244MixDecomposition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byYear = Tables.orders(s, d)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), year($"o_orderdate").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("rev"))
+    byYear.groupBy($"segment")
+      .agg(sum(when($"yr" === 1995, $"n")).as("n0"),
+        sum(when($"yr" === 1995, $"rev")).as("rev0"),
+        sum(when($"yr" === 1996, $"n")).as("n1"),
+        sum(when($"yr" === 1996, $"rev")).as("rev1"))
+      .select($"segment", $"n0", $"n1", $"rev0", $"rev1",
+        ($"rev1" - $"rev0").as("delta"),
+        expr("(n1 - n0) * rev0 div n0").as("volume_effect"),
+        expr("(rev1 div n1 - rev0 div n0) * n0").as("rate_effect"))
+      .withColumn("interaction",
+        $"delta" - $"volume_effect" - $"rate_effect")
+      .orderBy($"segment")
+  }
+
+  val q244Oracle: String =
+    """WITH byyear AS (
+         SELECT c_mktsegment AS segment, year(o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS rev
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE year(o_orderdate) IN (1995, 1996)
+         GROUP BY 1, 2),
+       piv AS (
+         SELECT segment,
+           CAST(sum(CASE WHEN yr = 1995 THEN n END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN yr = 1995 THEN rev END) AS BIGINT) AS rev0,
+           CAST(sum(CASE WHEN yr = 1996 THEN n END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN yr = 1996 THEN rev END) AS BIGINT) AS rev1
+         FROM byyear GROUP BY segment)
+       SELECT segment, n0, n1, rev0, rev1,
+         rev1 - rev0 AS delta,
+         (n1 - n0) * rev0 // n0 AS volume_effect,
+         (rev1 // n1 - rev0 // n0) * n0 AS rate_effect,
+         (rev1 - rev0) - ((n1 - n0) * rev0 // n0)
+           - ((rev1 // n1 - rev0 // n0) * n0) AS interaction
+       FROM piv ORDER BY segment"""
+
+  /** CUPED variance reduction (q245): adjust each customer's 1996
+    * spend by their 1995 (pre-period) spend — ŷᵢ = yᵢ − θ(xᵢ − x̄),
+    * θ = cov(x,y)/var(x) — and report how much metric variance the
+    * covariate removes (ρ², the maximum CUPED can deliver). The
+    * standard experimentation-platform trick: a pre-period covariate
+    * shrinks A/B confidence intervals by 1/(1−ρ²) with zero bias.
+    * Read with q231 (the test CUPED would then sharpen).
+    *
+    * Exactness: per-customer yearly spends collapse to integer
+    * DOLLARS (cents div 100 — Σx² must clear int64 at 100 TB scale
+    * too); all five moments are exact int64; θ and ρ² are ONE shared
+    * IEEE tree over them, floored to micro/bp. Customers missing a
+    * year count as 0 spend (the left-join-coalesce is part of the
+    * estimand: "no orders" is a real pre-period value).
+    *
+    * Shape: one orders pass → (custkey, year) partial agg → customer
+    * pivot; the moments are a second 1-row partial agg; no window, no
+    * sort. */
+  def q245Cuped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .groupBy($"o_custkey", year($"o_orderdate").as("yr"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .groupBy($"o_custkey")
+      .agg(expr("coalesce(sum(CASE WHEN yr = 1995 THEN c END), 0) div 100").as("x"),
+        expr("coalesce(sum(CASE WHEN yr = 1996 THEN c END), 0) div 100").as("y"))
+    spend.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .selectExpr("n", "sx", "sy",
+        // every product is formed in DOUBLE (int64 n·Σxy would overflow
+        // at scale); both engines evaluate the identical tree
+        """CAST(floor(1000000.0 *
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           AS BIGINT) AS theta_micro""",
+        """CAST(floor(10000.0 *
+             (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+              ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))
+           AS BIGINT) AS rho2_bp""")
+  }
+
+  val q245Oracle: String =
+    """WITH spend AS (
+         SELECT o_custkey,
+           coalesce(sum(CASE WHEN year(o_orderdate) = 1995
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) // 100
+             AS x,
+           coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) // 100
+             AS y
+         FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         GROUP BY o_custkey),
+       m AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+         FROM spend)
+       SELECT n, sx, sy,
+         CAST(floor(1000000.0 *
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           AS BIGINT) AS theta_micro,
+         CAST(floor(10000.0 *
+           (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+            ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))
+           AS BIGINT) AS rho2_bp
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_mix_decomposition" -> q244MixDecomposition,
+    "q245_cuped" -> q245Cuped,
     "q238_iterative_median" -> q238IterativeMedian,
     "q231_welch_ttest" -> q231WelchTtest,
     "q234_mutual_info" -> q234MutualInfo,
@@ -2038,6 +2183,8 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q244_mix_decomposition" -> q244Oracle,
+    "q245_cuped" -> q245Oracle,
     "q238_iterative_median" -> q238Oracle,
     "q231_welch_ttest" -> q231Oracle,
     "q234_mutual_info" -> q234Oracle,

@@ -786,4 +786,20 @@ class BehaviorSpec extends SparkSpec {
       } else assert(!got.contains(day), s"guard leaked $day")
     }
   }
+
+  test("q247: exclusive counts match brute-force per-user type sets") {
+    val got = operators.Behavior.q247ExclusiveReach(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_exclusive"))).toMap
+    val ut = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect()
+    val byUser = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (t, (nu, ne)) =>
+      assert(nu == byUser.values.count(_.contains(t)).toLong, s"$t users")
+      assert(ne == byUser.values.count(s => s == Set(t)).toLong, s"$t exclusive")
+    }
+    // exclusives across types never double-count a user
+    assert(got.values.map(_._2).sum <= byUser.size.toLong)
+  }
 }

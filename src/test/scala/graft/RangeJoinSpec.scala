@@ -140,4 +140,22 @@ class RangeJoinSpec extends SparkSpec {
       assert(gu == unm && gl == left, s"$brand tails ($gu,$gl) vs ($unm,$left)")
     }
   }
+
+  test("q246: aged leftovers reconcile with q241 brand-level leftover supply") {
+    val d = "/root/testdata/sf0.001"
+    val aging = operators.RangeJoin.q246InventoryAging(spark, d).collect()
+    assert(aging.nonEmpty)
+    val agingByBrand = aging.groupBy(_.getAs[String]("brand"))
+      .view.mapValues(_.map(_.getAs[Long]("qty")).sum).toMap
+    val fifo = operators.RangeJoin.q241FifoAllocation(spark, d).collect()
+      .map(r => r.getAs[String]("brand") -> r.getAs[Long]("leftover_supply"))
+      .toMap
+    fifo.foreach { case (brand, leftover) =>
+      assert(agingByBrand.getOrElse(brand, 0L) == leftover,
+        s"$brand: aged ${agingByBrand.get(brand)} vs FIFO leftover $leftover")
+    }
+    // buckets are the fixed taxonomy
+    val buckets = aging.map(_.getAs[String]("bucket")).toSet
+    assert(buckets.subsetOf(Set("a_0_30", "b_31_60", "c_61_90", "d_over_90")))
+  }
 }

@@ -687,4 +687,46 @@ class StatsSpec extends SparkSpec {
     val nmi = r.getAs[Long]("nmi_milli")
     assert(nmi >= -1L && nmi <= 1000L, s"NMI out of range: $nmi")
   }
+
+  test("q244: the three effects sum exactly to the revenue delta") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q244MixDecomposition(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("volume_effect") + r.getAs[Long]("rate_effect")
+        + r.getAs[Long]("interaction") == r.getAs[Long]("delta"),
+        s"effects do not telescope: $r")
+      // volume effect carries the sign of the count change
+      val dn = r.getAs[Long]("n1") - r.getAs[Long]("n0")
+      val ve = r.getAs[Long]("volume_effect")
+      assert(dn == 0 && ve == 0 || dn * ve >= 0, s"volume sign: $r")
+    }
+  }
+
+  test("q245: CUPED theta and rho2 match a direct covariance computation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q245Cuped(spark, d).collect().head
+    val xs = graft.io.Tables.orders(spark, d)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .groupBy($"o_custkey")
+      .agg(
+        expr("coalesce(sum(CASE WHEN year(o_orderdate) = 1995 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) div 100").as("x"),
+        expr("coalesce(sum(CASE WHEN year(o_orderdate) = 1996 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) div 100").as("y"))
+      .as[(Long, Long, Long)].collect()
+    val n = xs.length.toDouble
+    val mx = xs.map(_._2).sum / n; val my = xs.map(_._3).sum / n
+    val cov = xs.map(t => (t._2 - mx) * (t._3 - my)).sum
+    val vx = xs.map(t => (t._2 - mx) * (t._2 - mx)).sum
+    val vy = xs.map(t => (t._3 - my) * (t._3 - my)).sum
+    assert(r.getAs[Long]("n") == xs.length.toLong)
+    assert(math.abs(r.getAs[Long]("theta_micro") -
+      math.floor(1e6 * cov / vx).toLong) <= 1)
+    val rho2 = r.getAs[Long]("rho2_bp")
+    assert(math.abs(rho2 - math.floor(1e4 * cov * cov / (vx * vy)).toLong) <= 1)
+    assert(rho2 >= 0 && rho2 <= 10000)
+  }
 }
