@@ -72,11 +72,11 @@ object Dedup {
     * codegen'd groupBy — no 24× row fan-out, no interpreted
     * higher-order lambdas. (Measured at sf0.1: nested-HOF formulation
     * ~400 s, 24×-explode ~22 s, this shape ~3 s.) */
-  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, sig[24]) — the signature half of [[minhashBands]], also
+    * the shared input of q248's band-configuration sweep. */
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nSig = 24
-    val bandRows = 3
-    val nBands = nSig / bandRows
     val p = 2147483647L
     val exploded = Tables.documents(s, d)
       .select($"doc_id",
@@ -84,11 +84,17 @@ object Dedup {
           .as("h"))
     val minCols = (0 until nSig).map(i =>
       min((lit(2L * i + 1) * $"h" + lit(i.toLong)) % p).as(s"m$i"))
-    val sigs = exploded
+    exploded
       .groupBy($"doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select($"doc_id", array((0 until nSig).map(i => col(s"m$i")): _*).as("sig"))
-    sigs
+  }
+
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bandRows = 3
+    val nBands = 24 / bandRows
+    minhashSigs(s, d)
       .select($"doc_id", $"sig",
         explode(sequence(lit(0), lit(nBands - 1))).as("b"))
       .select($"doc_id", $"sig", $"b",
@@ -1498,7 +1504,99 @@ object Dedup {
        FROM bands JOIN best ON bands.nationkey = best.nationkey
        ORDER BY bands.nationkey"""
 
+  /** LSH band-configuration sensitivity sweep (q248): the SAME 24
+    * minhashes banded three ways — (12 bands × 2 rows), (8 × 3),
+    * (6 × 4) — evaluated side by side in ONE pass over the signature
+    * relation. The bands/rows split is THE recall/precision dial of
+    * minhash-LSH (collision probability 1−(1−J^r)^b): more, shorter
+    * bands catch lower-similarity pairs at the cost of junk
+    * candidates. Per config: candidate-pair count, pairs whose full
+    * 24-signature agreement estimates J ≥ 0.5, and the implied
+    * precision — the table you consult BEFORE re-running a 100 TB
+    * dedup with different knobs (the sweep costs one signature
+    * pipeline, not three).
+    *
+    * Shape: signatures computed once (q41's codegen'd min-aggregate
+    * shape); the config dimension is a bounded 3× explode and banding
+    * a ≤12× explode — both scan-local; buckets group on (config,
+    * band, key); pair agreement reads the sig arrays already in the
+    * bucket rows (no join back); per-config distinct then a 3-row
+    * rollup. */
+  def q248LshSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cfgs = Seq((12, 2), (8, 3), (6, 4))
+    val banded = minhashSigs(s, d)
+      .select($"doc_id", $"sig", explode(typedLit(cfgs)).as("cfg"))
+      .select($"doc_id", $"sig",
+        $"cfg._1".as("bands"), $"cfg._2".as("rows"))
+      .withColumn("b", explode(sequence(lit(0), $"bands" - 1)))
+      .withColumn("band_key", md5(concat_ws(",",
+        transform(slice($"sig", $"b" * $"rows" + 1, $"rows"),
+          _.cast("string")))))
+    val buckets = banded
+      .groupBy($"bands", $"rows", $"b", $"band_key")
+      .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
+      .filter(size($"members") > 1)
+    val pairs = buckets
+      .select($"bands", $"rows", explode($"members").as("m1"), $"members")
+      .select($"bands", $"rows", $"m1", explode($"members").as("m2"))
+      .filter($"m1.doc_id" < $"m2.doc_id")
+      .select($"bands", $"rows", $"m1.doc_id".as("d1"), $"m2.doc_id".as("d2"),
+        size(filter(zip_with($"m1.sig", $"m2.sig", (x, y) => x === y), v => v))
+          .as("n_eq"))
+      .distinct()
+    pairs.groupBy($"bands", $"rows")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"n_eq" >= 12L, 1L).otherwise(0L)).as("n_est_dups"))
+      .withColumn("precision_bp", expr("10000 * n_est_dups div n_pairs"))
+      .orderBy($"bands".desc)
+  }
+
+  val q248Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       cfg AS (SELECT * FROM (VALUES (12, 2), (8, 3), (6, 4)) AS t(bands, rws)),
+       banded AS (
+         SELECT doc_id, sig, bands, rws, b,
+           md5(array_to_string(list_transform(
+             sig[b*rws+1 : b*rws+rws], x -> CAST(x AS VARCHAR)), ',')) AS band_key
+         FROM sig CROSS JOIN cfg
+         CROSS JOIN unnest(generate_series(0, bands-1)) AS g(b)),
+       pairs AS (
+         SELECT DISTINCT a.bands, a.rws, a.doc_id AS d1, b.doc_id AS d2,
+           list_sum(list_transform(generate_series(1, 24),
+             i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS n_eq
+         FROM banded a JOIN banded b
+           ON a.bands = b.bands AND a.rws = b.rws AND a.b = b.b
+          AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       SELECT bands, rws AS rows,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN n_eq >= 12 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_est_dups,
+         10000 * CAST(sum(CASE WHEN n_eq >= 12 THEN 1 ELSE 0 END) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS precision_bp
+       FROM pairs GROUP BY bands, rws ORDER BY bands DESC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_lsh_sweep" -> q248LshSweep,
     "q236_record_linkage" -> q236RecordLinkage,
     "q227_sim_histogram" -> q227SimHistogram,
     "q222_dup_provenance" -> q222DupProvenance,
@@ -1521,6 +1619,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q248_lsh_sweep" -> q248Oracle,
     "q236_record_linkage" -> q236Oracle,
     "q227_sim_histogram" -> q227Oracle,
     "q222_dup_provenance" -> q222Oracle,

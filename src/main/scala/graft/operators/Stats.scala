@@ -2142,7 +2142,66 @@ object Stats {
            AS BIGINT) AS rho2_bp
        FROM m"""
 
+  /** Monthly order→ship latency percentile trend (q250): p50/p90/p99
+    * of days-to-ship per order month — the SLA trend report. The
+    * scalable exact-percentile shape: the fact table collapses to the
+    * (month, latency-days) COUNT relation first (partial agg), and
+    * the percentile is the cumulative-count crossing value over that
+    * domain-bounded relation (q197/q117's discipline — the window
+    * sees |months|×|distinct latencies| rows, never the fact table;
+    * latencies are bounded days, so this holds at any scale). Rank
+    * convention: smallest value with cum·100 ≥ n·P (the inverted-CDF
+    * / type-1 quantile), exact in integers.
+    *
+    * Negative latencies (the generator's ship-before-order rows,
+    * q240's NONE population) are REPORTED, not dropped: min_days in
+    * the output keeps the audit honest. */
+  def q250LatencyTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lat = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).cast("long")
+          .as("days"))
+      .groupBy($"month", $"days").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"month").orderBy($"days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lat
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"month")))
+      .groupBy($"month")
+      .agg(max($"n").as("n_items"),
+        min($"days").as("min_days"),
+        min(when($"cum" * 100 >= $"n" * 50, $"days")).as("p50_days"),
+        min(when($"cum" * 100 >= $"n" * 90, $"days")).as("p90_days"),
+        min(when($"cum" * 100 >= $"n" * 99, $"days")).as("p99_days"))
+      .orderBy($"month")
+  }
+
+  val q250Oracle: String =
+    """WITH lat AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) AS BIGINT) AS days,
+           CAST(count(*) AS BIGINT) AS c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2),
+       cc AS (
+         SELECT month, days, c,
+           CAST(sum(c) OVER (PARTITION BY month ORDER BY days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY month) AS BIGINT) AS n
+         FROM lat)
+       SELECT month, max(n) AS n_items,
+         min(days) AS min_days,
+         min(CASE WHEN cum * 100 >= n * 50 THEN days END) AS p50_days,
+         min(CASE WHEN cum * 100 >= n * 90 THEN days END) AS p90_days,
+         min(CASE WHEN cum * 100 >= n * 99 THEN days END) AS p99_days
+       FROM cc GROUP BY month ORDER BY month"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_latency_trend" -> q250LatencyTrend,
     "q244_mix_decomposition" -> q244MixDecomposition,
     "q245_cuped" -> q245Cuped,
     "q238_iterative_median" -> q238IterativeMedian,
@@ -2183,6 +2242,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q250_latency_trend" -> q250Oracle,
     "q244_mix_decomposition" -> q244Oracle,
     "q245_cuped" -> q245Oracle,
     "q238_iterative_median" -> q238Oracle,

@@ -1307,7 +1307,86 @@ object Windows {
        WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
        ORDER BY day"""
 
+  /** Seasonal-naive forecast backtest (q249): predict each day's order
+    * count with the same-weekday value one week earlier (the
+    * seasonal-naive baseline every forecasting effort must beat) and
+    * score it over the evaluation window — MAE, MAPE, and signed bias
+    * per weekday plus overall. This is the BACKTEST shape: no model
+    * state, just a lag-7 join over the day spine and error rollups;
+    * swap the lag for any model's prediction column and the harness
+    * is unchanged (q212's decomposition and q156's EWMA are candidate
+    * models; their residuals feed the same scorer).
+    *
+    * Exactness: counts and absolute errors are int64; MAPE is the
+    * ratio of integer sums (Σ|err|·10⁴ div Σactual — the
+    * weighted/aggregate MAPE, immune to divide-by-zero days); bias
+    * keeps its sign in integer units. Uses lag over the day spine
+    * (dense here; q109's sequence-explode is the gap-filling step if
+    * the calendar had holes).
+    *
+    * Shape: one partial-agg pass to the daily relation; a per-weekday
+    * lag-7 == lag-1 OVER (PARTITION BY dow ORDER BY day) window on
+    * the spine; two small rollups. */
+  def q249ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("actual"))
+      .withColumn("dow", (weekday($"day") + 1).cast("long"))
+    val withPred = daily
+      .withColumn("pred", lag($"actual", 1).over(
+        Window.partitionBy($"dow").orderBy($"day")))
+      .filter($"pred".isNotNull)
+      .withColumn("err", $"actual" - $"pred")
+    val byDow = withPred.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"err")).as("sae"), sum($"err").as("bias"),
+        sum($"actual").as("sa"))
+    val overall = withPred
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"err")).as("sae"), sum($"err").as("bias"),
+        sum($"actual").as("sa"))
+      .select(lit(0L).as("dow"), $"n_days", $"sae", $"bias", $"sa")
+    byDow.unionByName(overall)
+      .select($"dow", $"n_days",
+        expr("sae div n_days").as("mae"),
+        expr("10000 * sae div sa").as("mape_bp"),
+        $"bias")
+      .orderBy($"dow")
+  }
+
+  val q249Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS actual,
+           isodow(CAST(o_orderdate AS DATE)) AS dow
+         FROM orders GROUP BY 1),
+       p AS (
+         SELECT day, dow, actual,
+           lag(actual) OVER (PARTITION BY dow ORDER BY day) AS pred
+         FROM daily),
+       e AS (
+         SELECT dow, actual, actual - pred AS err
+         FROM p WHERE pred IS NOT NULL),
+       bydow AS (
+         SELECT CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(err)) AS BIGINT) AS sae,
+           CAST(sum(err) AS BIGINT) AS bias,
+           CAST(sum(actual) AS BIGINT) AS sa
+         FROM e GROUP BY 1),
+       overall AS (
+         SELECT CAST(0 AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(err)) AS BIGINT) AS sae,
+           CAST(sum(err) AS BIGINT) AS bias,
+           CAST(sum(actual) AS BIGINT) AS sa
+         FROM e)
+       SELECT dow, n_days, sae // n_days AS mae,
+         10000 * sae // sa AS mape_bp, bias
+       FROM (SELECT * FROM bydow UNION ALL SELECT * FROM overall)
+       ORDER BY dow"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_forecast_backtest" -> q249ForecastBacktest,
     "q242_rolling_corr" -> q242RollingCorr,
     "q240_pit_join" -> q240PitJoin,
     "q229_anomaly_days" -> q229AnomalyDays,
@@ -1339,6 +1418,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q249_forecast_backtest" -> q249Oracle,
     "q242_rolling_corr" -> q242Oracle,
     "q240_pit_join" -> q240Oracle,
     "q229_anomaly_days" -> q229Oracle,

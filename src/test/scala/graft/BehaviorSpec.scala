@@ -802,4 +802,29 @@ class BehaviorSpec extends SparkSpec {
     // exclusives across types never double-count a user
     assert(got.values.map(_._2).sum <= byUser.size.toLong)
   }
+
+  test("q249: per-dow MAE/bias match a direct lag-7 replay") {
+    val rows = operators.Windows.q249ForecastBacktest(spark, d).collect()
+      .map(r => r.getAs[Long]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("mae"), r.getAs[Long]("bias"))).toMap
+    assert(rows.contains(0L) && rows.size >= 2)
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy(to_date($"o_orderdate").as("day")).agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.getTime)
+    // pair each day with the previous SAME-WEEKDAY day present in the data
+    val cal = java.util.Calendar.getInstance()
+    def dow(dt: java.sql.Date) = { cal.setTime(dt)
+      val x = cal.get(java.util.Calendar.DAY_OF_WEEK); if (x == 1) 7 else x - 1 }
+    val byDow = daily.groupBy(t => dow(t._1))
+    byDow.foreach { case (k, series) =>
+      val s = series.sortBy(_._1.getTime).map(_._2)
+      if (s.length > 1) {
+        val errs = s.zip(s.tail).map { case (prev, cur) => cur - prev }
+        val (n, mae, bias) = rows(k.toLong)
+        assert(n == errs.length.toLong, s"dow $k n")
+        assert(mae == errs.map(math.abs).sum / errs.length, s"dow $k mae")
+        assert(bias == errs.sum, s"dow $k bias")
+      }
+    }
+  }
 }

@@ -185,4 +185,38 @@ class PrepSpec extends SparkSpec {
     // nations with both sides present are all reported
     assert(got.length == nc.keySet.intersect(ns.keySet).size)
   }
+
+  test("q248: each config's candidates match a brute-force banding of the sigs") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q248LshSweep(spark, d).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_est_dups"))).toMap
+    val sigs = operators.Dedup.minhashSigs(spark, d)
+      .as[(Long, Seq[Long])].collect()
+    def pairs(bands: Int, rows: Int): Set[(Long, Long)] = {
+      val byBucket = sigs.flatMap { case (id, sig) =>
+        (0 until bands).map(b => (b, sig.slice(b * rows, b * rows + rows)) -> id)
+      }.groupBy(_._1).values
+      byBucket.flatMap { members =>
+        val ids = members.map(_._2).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    }
+    val sigMap = sigs.toMap
+    Seq((12, 2), (8, 3), (6, 4)).foreach { case (b, r) =>
+      val want = pairs(b, r)
+      if (want.isEmpty) assert(!got.contains((b, r)))
+      else {
+        assert(got((b, r))._1 == want.size.toLong, s"($b,$r) pair count")
+        val est = want.count { case (d1, d2) =>
+          sigMap(d1).zip(sigMap(d2)).count(t => t._1 == t._2) >= 12 }
+        assert(got((b, r))._2 == est.toLong, s"($b,$r) est dups")
+      }
+    }
+    // structural: every (6,4) collision is a (12,2) collision (a
+    // matching 4-row band contains two matching 2-row halves)
+    assert(pairs(6, 4).subsetOf(pairs(12, 2)))
+  }
 }

@@ -729,4 +729,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rho2 - math.floor(1e4 * cov * cov / (vx * vy)).toLong) <= 1)
     assert(rho2 >= 0 && rho2 <= 10000)
   }
+
+  test("q250: monthly percentiles satisfy the exact crossing property") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q250LatencyTrend(spark, d).collect()
+    assert(got.nonEmpty)
+    val lat = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .select(date_format($"o_orderdate", "yyyy-MM"),
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).cast("long"))
+      .as[(String, Long)].collect()
+    got.foreach { r =>
+      val m = r.getAs[String]("month")
+      val xs = lat.filter(_._1 == m).map(_._2).sorted
+      assert(r.getAs[Long]("n_items") == xs.length.toLong)
+      assert(r.getAs[Long]("min_days") == xs.head)
+      Seq(50 -> "p50_days", 90 -> "p90_days", 99 -> "p99_days").foreach {
+        case (pct, colName) =>
+          val v = r.getAs[Long](colName)
+          val atOrBelow = xs.count(_ <= v).toLong
+          val below = xs.count(_ < v).toLong
+          assert(atOrBelow * 100 >= xs.length.toLong * pct, s"$m $colName low")
+          assert(below * 100 < xs.length.toLong * pct, s"$m $colName not minimal")
+      }
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+      assert(r.getAs[Long]("p90_days") <= r.getAs[Long]("p99_days"))
+    }
+  }
 }
