@@ -1199,7 +1199,56 @@ object Behavior {
        FROM ut JOIN u USING (user_id)
        GROUP BY event_type ORDER BY event_type"""
 
+  /** New-vs-returning revenue split per month (q254): each order is
+    * NEW iff its month is the customer's first-ever order month — the
+    * acquisition/retention revenue mix every growth report leads
+    * with, and the month-level twin of q106's cohort matrix. The
+    * first-month relation is one per-customer min (partial agg,
+    * |customers| rows) broadcast-joined back; no window over the fact
+    * table.
+    *
+    * Exactness: cents int64; shares integer bp. Month boundaries by
+    * calendar month of o_orderdate (identical string bucketing both
+    * engines). */
+  def q254NewVsReturning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("month"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val firstMonth = orders.groupBy($"o_custkey")
+      .agg(min($"month").as("fm"))
+    orders.join(firstMonth, "o_custkey")
+      .withColumn("is_new", $"month" === $"fm")
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"is_new", $"cents").otherwise(0L)).as("new_cents"),
+        sum(when(!$"is_new", $"cents").otherwise(0L)).as("ret_cents"))
+      .withColumn("new_share_bp",
+        expr("10000 * new_cents div (new_cents + ret_cents)"))
+      .orderBy($"month")
+  }
+
+  val q254Oracle: String =
+    """WITH o AS (
+         SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM orders),
+       fm AS (SELECT o_custkey, min(month) AS fm FROM o GROUP BY o_custkey)
+       SELECT month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN month = fm THEN cents ELSE 0 END) AS BIGINT)
+           AS new_cents,
+         CAST(sum(CASE WHEN month <> fm THEN cents ELSE 0 END) AS BIGINT)
+           AS ret_cents,
+         10000 * CAST(sum(CASE WHEN month = fm THEN cents ELSE 0 END) AS BIGINT)
+           // (CAST(sum(CASE WHEN month = fm THEN cents ELSE 0 END) AS BIGINT)
+              + CAST(sum(CASE WHEN month <> fm THEN cents ELSE 0 END) AS BIGINT))
+           AS new_share_bp
+       FROM o JOIN fm USING (o_custkey)
+       GROUP BY month ORDER BY month"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_new_vs_returning" -> q254NewVsReturning,
     "q247_exclusive_reach" -> q247ExclusiveReach,
     "q233_cumulative_distinct" -> q233CumulativeDistinct,
     "q235_revenue_streaks" -> q235RevenueStreaks,
@@ -1221,6 +1270,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q254_new_vs_returning" -> q254Oracle,
     "q247_exclusive_reach" -> q247Oracle,
     "q233_cumulative_distinct" -> q233Oracle,
     "q235_revenue_streaks" -> q235Oracle,

@@ -666,7 +666,104 @@ object Quality {
        FROM g WHERE nxt IS NOT NULL AND nxt - k > 1
        ORDER BY gap_len DESC, gap_start LIMIT 10"""
 
+  /** ROC AUC of the heuristic quality score against the LM-gate label
+    * (q252): the threshold-free companion to q176 (calibration), q214
+    * (P/R/F1 at a fixed gate), and q223 (gains deciles) — AUC is the
+    * probability a random positive outranks a random negative, and
+    * the rank-statistic identity AUC = (2ΣR₊ − n₊(n₊+1)) / (2n₊n₋)
+    * (average ranks for ties) computes it EXACTLY in integers from
+    * the score VALUE DOMAIN: group by score, cumulative counts, and
+    * each score value contributes pos·(2·cum_below + n + 1) doubled
+    * rank mass (q194's 2·rank trick keeps tie-averaged ranks
+    * integral). Gini = 2·AUC − 1 comes along free.
+    *
+    * Shape: the q223 score/label construction (one tf checkpoint
+    * feeding both), then one groupBy over the score domain + one
+    * cumulative window over that bounded relation + a 1-row reduce.
+    * The fact-sized stages are the tf passes; ranking never sorts
+    * documents, only score values. */
+  def q252Auc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val score = tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"), count(lit(1)).as("uniq"),
+        sum(when($"term".isin(stop.map(lit): _*), $"tf").otherwise(lit(0L)))
+          .as("nstop"))
+      .select($"doc_id",
+        (least($"n_tok", lit(100)) * 10
+          + (lit(1000) - floor($"nstop" * lit(1000) / $"n_tok").cast("long"))
+          + floor($"uniq" * lit(1000) / $"n_tok").cast("long")).as("score"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    val label = tf.join(tc, "term").crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"t" * lit(1.0)) / $"cnt") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"tf" * $"s_micro") / sum($"tf") <= lit(3401500))
+        .cast("long").as("y"))
+    val byScore = score.join(label, "doc_id")
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum", sum($"n").over(w))
+      .select($"n", $"npos", ($"cum" - $"n").as("below"))
+      .agg(sum($"npos").as("n_pos"), sum($"n" - $"npos").as("n_neg"),
+        sum($"npos" * (lit(2L) * $"below" + $"n" + 1L)).as("r2sum"))
+      .select($"n_pos", $"n_neg",
+        expr("(r2sum - n_pos * (n_pos + 1)) * 10000 div (2 * n_pos * n_neg)")
+          .as("auc_bp"))
+      .withColumn("gini_bp", $"auc_bp" * 2 - 10000L)
+  }
+
+  val q252Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       sc AS (
+         SELECT doc_id,
+           CAST(least(sum(tf), 100) * 10
+             + (1000 - CAST(floor(sum(CASE WHEN term IN ('the','a','of','and','in','to')
+                                           THEN tf ELSE 0 END) * 1000.0 / sum(tf)) AS BIGINT))
+             + CAST(floor(count(*) * 1000.0 / sum(tf)) AS BIGINT) AS BIGINT) AS score
+         FROM tf GROUP BY 1),
+       tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+       gb AS (
+         SELECT doc_id,
+           CAST(sum(tf * CAST(floor(ln((t * 1.0) / cnt) * 1000000.0) AS BIGINT)) * 1.0
+             / sum(tf) <= 3401500 AS BIGINT) AS y
+         FROM tf JOIN tc USING (term) CROSS JOIN tot GROUP BY 1),
+       bys AS (
+         SELECT score, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS npos
+         FROM sc JOIN gb USING (doc_id) GROUP BY score),
+       cc AS (
+         SELECT n, npos,
+           CAST(sum(n) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n
+             AS below
+         FROM bys),
+       agg AS (
+         SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+           CAST(sum(n - npos) AS BIGINT) AS n_neg,
+           CAST(sum(npos * (2 * below + n + 1)) AS BIGINT) AS r2sum
+         FROM cc)
+       SELECT n_pos, n_neg,
+         (r2sum - n_pos * (n_pos + 1)) * 10000 // (2 * n_pos * n_neg) AS auc_bp,
+         (r2sum - n_pos * (n_pos + 1)) * 10000 // (2 * n_pos * n_neg) * 2 - 10000
+           AS gini_bp
+       FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_auc" -> q252Auc,
     "q243_gap_census" -> q243GapCensus,
     "q181_zonemap_audit" -> q181ZonemapAudit,
     "q176_calibration" -> q176Calibration,
@@ -679,6 +776,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q252_auc" -> q252Oracle,
     "q243_gap_census" -> q243Oracle,
     "q181_zonemap_audit" -> q181Oracle,
     "q176_calibration" -> q176Oracle,

@@ -2200,7 +2200,91 @@ object Stats {
          min(CASE WHEN cum * 100 >= n * 99 THEN days END) AS p99_days
        FROM cc GROUP BY month ORDER BY month"""
 
+  /** Per-brand log-log price-elasticity regression (q253): for every
+    * brand, the least-squares slope of ln(monthly quantity) on
+    * ln(monthly unit price) across its month series — grouped
+    * regression (REGR_SLOPE per key), the workhorse of pricing and
+    * demand analysis. TPC-H prices don't drive quantities, so slopes
+    * near zero ARE the expected finding; the operator under test is
+    * the grouped exact-moment regression, not the economics.
+    *
+    * Exactness: unit price = integer division of cents by quantity;
+    * both lns floor to micro-nats (one shared double op each, q134's
+    * discipline); per-brand moment sums are exact int64; slope and r
+    * form every product in DOUBLE (n·Σxy brushes int64 at this
+    * magnitude — q245's rule). Months with zero quantity cannot occur
+    * (a month row exists only if lineitems exist).
+    *
+    * Shape: one partial-agg pass to (brand, month); a second to the
+    * per-brand moment row; closed-form per brand. Nothing bigger than
+    * |brands|×|months| after the first agg. */
+  def q253Elasticity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"),
+        date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg(sum($"l_quantity".cast("long")).as("q"),
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("rev"))
+      .select($"brand",
+        floor(log(expr("CAST(rev div q AS DOUBLE)")) * lit(1000000.0))
+          .cast("long").as("x"),
+        floor(log($"q".cast("double")) * lit(1000000.0)).cast("long").as("y"))
+    monthly.groupBy($"brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .filter($"n" >= 12L)
+      .selectExpr("brand", "n AS n_months",
+        """CAST(floor(1000.0 *
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           AS BIGINT) AS slope_milli""",
+        """CAST(floor(10000.0 *
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))
+           AS BIGINT) AS r_bp""")
+      .orderBy($"brand")
+  }
+
+  val q253Oracle: String =
+    """WITH monthly AS (
+         SELECT p_brand AS brand, strftime(l_shipdate, '%Y-%m') AS month,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+       xy AS (
+         SELECT brand,
+           CAST(floor(ln(CAST(rev // q AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+           CAST(floor(ln(CAST(q AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         FROM monthly),
+       m AS (
+         SELECT brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+         FROM xy GROUP BY brand)
+       SELECT brand, n AS n_months,
+         CAST(floor(1000.0 *
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           AS BIGINT) AS slope_milli,
+         CAST(floor(10000.0 *
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))
+           AS BIGINT) AS r_bp
+       FROM m WHERE n >= 12 ORDER BY brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_elasticity" -> q253Elasticity,
     "q250_latency_trend" -> q250LatencyTrend,
     "q244_mix_decomposition" -> q244MixDecomposition,
     "q245_cuped" -> q245Cuped,
@@ -2242,6 +2326,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q253_elasticity" -> q253Oracle,
     "q250_latency_trend" -> q250Oracle,
     "q244_mix_decomposition" -> q244Oracle,
     "q245_cuped" -> q245Oracle,

@@ -827,4 +827,27 @@ class BehaviorSpec extends SparkSpec {
       }
     }
   }
+
+  test("q254: new+returning partition the revenue; first months are all-new") {
+    val got = operators.Behavior.q254NewVsReturning(spark, d).collect()
+    assert(got.nonEmpty)
+    val total = graft.io.Tables.orders(spark, d)
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")))
+      .as[Long].head()
+    assert(got.map(r => r.getAs[Long]("new_cents") + r.getAs[Long]("ret_cents")).sum
+      == total, "revenue not partitioned")
+    // the first month in the data is 100% new by definition
+    val first = got.minBy(_.getAs[String]("month"))
+    assert(first.getAs[Long]("ret_cents") == 0L)
+    assert(first.getAs[Long]("new_share_bp") == 10000L)
+    // every customer contributes new revenue in exactly one month
+    val newTotal = got.map(_.getAs[Long]("new_cents")).sum
+    val firstMonthRev = graft.io.Tables.orders(spark, d)
+      .groupBy($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"o_custkey").orderBy($"m")))
+      .filter($"rk" === 1).agg(sum($"c")).as[Long].head()
+    assert(newTotal == firstMonthRev)
+  }
 }

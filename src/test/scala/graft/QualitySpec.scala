@@ -215,4 +215,41 @@ class QualitySpec extends SparkSpec {
     val crossBlock = gaps.exists(g => (g._1 - 1) / 4096 != (g._1 + g._2) / 4096)
     info(s"cross-block gap present in fixture: $crossBlock")
   }
+
+  test("q252: AUC equals the pairwise positive-over-negative probability") {
+    import spark.implicits._
+    val r = operators.Quality.q252Auc(spark, d).collect().head
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    assert(r.getAs[Long]("gini_bp") == r.getAs[Long]("auc_bp") * 2 - 10000L)
+    // brute-force pairwise AUC from the reconstructed (score, label)
+    // relation: wins + half-ties over all pos x neg pairs
+    val tf = graft.io.Tables.documents(spark, d)
+      .select($"doc_id", explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val score = tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tok"), count(lit(1)).as("uniq"),
+        sum(when($"term".isin(stop.map(lit): _*), $"tf").otherwise(lit(0L))).as("nstop"))
+      .select($"doc_id",
+        (least($"n_tok", lit(100)) * 10
+          + (lit(1000) - floor($"nstop" * lit(1000) / $"n_tok").cast("long"))
+          + floor($"uniq" * lit(1000) / $"n_tok").cast("long")).as("score"))
+    val tc = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = tc.agg(sum($"cnt").as("t"))
+    val label = tf.join(tc, "term").crossJoin(broadcast(tot))
+      .withColumn("s_micro",
+        floor(log(($"t" * lit(1.0)) / $"cnt") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"tf" * $"s_micro") / sum($"tf") <= lit(3401500)).cast("long").as("y"))
+    val rows = score.join(label, "doc_id")
+      .select($"score", $"y").as[(Long, Long)].collect()
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    var wins2 = 0L // doubled: win = 2, tie = 1
+    pos.foreach { p => neg.foreach { n =>
+      if (p > n) wins2 += 2 else if (p == n) wins2 += 1 } }
+    val aucBp = wins2 * 10000L / (2L * pos.length * neg.length)
+    assert(r.getAs[Long]("auc_bp") == aucBp,
+      s"AUC ${r.getAs[Long]("auc_bp")} vs pairwise $aucBp")
+  }
 }

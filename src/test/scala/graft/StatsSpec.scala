@@ -758,4 +758,41 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("p90_days") <= r.getAs[Long]("p99_days"))
     }
   }
+
+  test("q253: grouped regression matches a direct per-brand least squares") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Stats.q253Elasticity(spark, d).collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Long]("n_months"), r.getAs[Long]("slope_milli"),
+          r.getAs[Long]("r_bp"))).toMap
+    assert(got.nonEmpty)
+    val xy = graft.io.Tables.lineitem(spark, d)
+      .join(graft.io.Tables.part(spark, d), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", date_format($"l_shipdate", "yyyy-MM"))
+      .agg(sum($"l_quantity".cast("long")).as("q"),
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")).as("rev"))
+      .select($"p_brand",
+        floor(log(expr("CAST(rev div q AS DOUBLE)")) * lit(1e6)).cast("long"),
+        floor(log($"q".cast("double")) * lit(1e6)).cast("long"))
+      .as[(String, Long, Long)].collect()
+    xy.groupBy(_._1).foreach { case (brand, rows) =>
+      if (rows.length >= 12) {
+        val n = rows.length.toDouble
+        val sx = rows.map(_._2).sum.toDouble; val sy = rows.map(_._3).sum.toDouble
+        val sxx = rows.map(t => t._2.toDouble * t._2).sum
+        val syy = rows.map(t => t._3.toDouble * t._3).sum
+        val sxy = rows.map(t => t._2.toDouble * t._3).sum
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val rr = (n * sxy - sx * sy) /
+          (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+        val (gn, gs, gr) = got(brand)
+        assert(gn == rows.length.toLong)
+        assert(math.abs(gs - math.floor(slope * 1000).toLong) <= 1, s"$brand slope")
+        assert(math.abs(gr - math.floor(rr * 10000).toLong) <= 1, s"$brand r")
+        assert(gr >= -10000 && gr <= 10000)
+      } else assert(!got.contains(brand))
+    }
+  }
 }
