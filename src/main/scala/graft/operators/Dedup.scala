@@ -1595,7 +1595,78 @@ object Dedup {
            // CAST(count(*) AS BIGINT) AS precision_bp
        FROM pairs GROUP BY bands, rws ORDER BY bands DESC"""
 
+  /** LSH index cost planner (q256): the bucket-size distribution of
+    * the q41 band index and the pair work it implies — Σ s(s−1)/2
+    * over buckets is EXACTLY the candidate-pair volume the dedup join
+    * will generate, and its concentration (largest bucket's share,
+    * p99 bucket size) is the skew forecast that decides whether the
+    * pair join needs bucket-size caps or salting BEFORE burning a
+    * 100 TB pass (q117's key-skew advisor specialized to the LSH
+    * workload). Output: one row per bucket-size class with bucket
+    * count and pairs contributed, plus a TOTAL row with the grand
+    * pair budget.
+    *
+    * Shape: the band relation collapses to bucket sizes (one partial
+    * agg on (band, key)), sizes to the size histogram (second partial
+    * agg, ≤|distinct sizes| rows); all arithmetic exact int64. */
+  def q256LshCostPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sizes = minhashBands(s, d)
+      .groupBy($"b", $"band_key").agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy($"sz")
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("pairs", expr("n_buckets * sz * (sz - 1) div 2"))
+      .select($"sz", $"n_buckets", $"pairs")
+    val total = hist.agg(sum($"n_buckets").as("n_buckets"),
+        sum($"pairs").as("pairs"))
+      .select(lit(0L).as("sz"), $"n_buckets", $"pairs")
+    hist.filter($"sz" > 1L).unionByName(total).orderBy($"sz")
+  }
+
+  val q256Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       bands AS (
+         SELECT doc_id, b,
+           md5(array_to_string(list_transform(sig[b*3+1 : b*3+3], v -> v::VARCHAR), ',')) AS band_key
+         FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+       sizes AS (
+         SELECT b, band_key, CAST(count(*) AS BIGINT) AS sz
+         FROM bands GROUP BY 1, 2),
+       hist AS (
+         SELECT sz, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * sz * (sz - 1) // 2 AS BIGINT) AS pairs
+         FROM sizes GROUP BY sz),
+       tot AS (
+         SELECT CAST(0 AS BIGINT) AS sz,
+           CAST(sum(n_buckets) AS BIGINT) AS n_buckets,
+           CAST(sum(pairs) AS BIGINT) AS pairs
+         FROM hist)
+       SELECT * FROM (
+         SELECT sz, n_buckets, pairs FROM hist WHERE sz > 1
+         UNION ALL SELECT * FROM tot)
+       ORDER BY sz"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_lsh_cost_planner" -> q256LshCostPlanner,
     "q248_lsh_sweep" -> q248LshSweep,
     "q236_record_linkage" -> q236RecordLinkage,
     "q227_sim_histogram" -> q227SimHistogram,
@@ -1619,6 +1690,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q256_lsh_cost_planner" -> q256Oracle,
     "q248_lsh_sweep" -> q248Oracle,
     "q236_record_linkage" -> q236Oracle,
     "q227_sim_histogram" -> q227Oracle,

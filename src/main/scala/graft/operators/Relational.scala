@@ -936,7 +936,76 @@ object Relational {
          CAST(floor(sqrt(CAST((l_num * 10000 // l_den) * (p_num * 10000 // p_den) AS DOUBLE))) AS BIGINT) AS fisher_bp
        FROM j ORDER BY brand"""
 
+  /** Incremental JOIN-view maintenance (q257): q103 maintains an
+    * AGGREGATE under inserts; this maintains a JOIN — the other half
+    * of materialized-view upkeep. View V = revenue per order priority
+    * over orders ⋈ lineitem. With insert deltas on BOTH sides
+    * (ΔO = every 7th order "arrived today", ΔL = every 5th order's
+    * lineitems), the delta-join identity
+    * ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL (disjoint by construction) updates
+    * the view from three SMALL joins — at 100 TB each delta side is a
+    * day's data, so every maintenance join has a broadcastable side,
+    * vs re-joining two full tables nightly. The output reports the
+    * maintained total alongside the three delta contributions; the
+    * oracle recomputes V from scratch and derives identical columns —
+    * hash equality IS the delta-join algebra proof.
+    *
+    * Exactness: revenue in integer cents (decimal→long); the four
+    * component relations partition orders×lineitem pairs exactly
+    * (old/new × old/new), so v_full = v_old + the three deltas with
+    * no dust. */
+  def q257JoinIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+    val l = Tables.lineitem(s, d).select($"l_orderkey",
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val oOld = o.filter($"o_orderkey" % 7 =!= 0)
+    val oNew = o.filter($"o_orderkey" % 7 === 0)
+    val lOld = l.filter($"l_orderkey" % 5 =!= 0)
+    val lNew = l.filter($"l_orderkey" % 5 === 0)
+    // the three maintenance joins are REAL separate joins, shaped as
+    // they'd run nightly: the day's ΔO broadcasts; only the O₀⋈ΔL leg
+    // shuffles (on ΔL's size, not history's). v_old stands in for the
+    // stored view (in production it is a table read, not a join).
+    def leg(os: DataFrame, ls: DataFrame, kind: String) =
+      os.join(ls, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(sum($"cents").as("v")).withColumn("kind", lit(kind))
+    leg(oOld, lOld, "v_old")
+      .unionByName(leg(broadcast(oNew), lOld, "d_new_orders"))
+      .unionByName(leg(oOld, lNew, "d_new_items"))
+      .unionByName(leg(broadcast(oNew), lNew, "d_both"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        coalesce(sum(when($"kind" === "v_old", $"v")), lit(0L)).as("v_old"),
+        coalesce(sum(when($"kind" === "d_new_orders", $"v")), lit(0L)).as("d_new_orders"),
+        coalesce(sum(when($"kind" === "d_new_items", $"v")), lit(0L)).as("d_new_items"),
+        coalesce(sum(when($"kind" === "d_both", $"v")), lit(0L)).as("d_both"))
+      .withColumn("v_maintained",
+        $"v_old" + $"d_new_orders" + $"d_new_items" + $"d_both")
+      .orderBy($"o_orderpriority")
+  }
+
+  val q257Oracle: String =
+    """WITH j AS (
+         SELECT o_orderpriority,
+           o_orderkey % 7 = 0 AS o_new, l_orderkey % 5 = 0 AS l_new,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+       SELECT o_orderpriority,
+         CAST(sum(CASE WHEN NOT o_new AND NOT l_new THEN cents ELSE 0 END) AS BIGINT)
+           AS v_old,
+         CAST(sum(CASE WHEN o_new AND NOT l_new THEN cents ELSE 0 END) AS BIGINT)
+           AS d_new_orders,
+         CAST(sum(CASE WHEN NOT o_new AND l_new THEN cents ELSE 0 END) AS BIGINT)
+           AS d_new_items,
+         CAST(sum(CASE WHEN o_new AND l_new THEN cents ELSE 0 END) AS BIGINT)
+           AS d_both,
+         CAST(sum(cents) AS BIGINT) AS v_maintained
+       FROM j GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_join_ivm" -> q257JoinIvm,
     "q203_price_index" -> q203PriceIndex,
     "q191_null_aware_anti" -> q191NullAwareAnti,
     "q187_bag_set_ops" -> q187BagSetOps,
@@ -963,6 +1032,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q257_join_ivm" -> q257Oracle,
     "q203_price_index" -> q203Oracle,
     "q191_null_aware_anti" -> q191Oracle,
     "q187_bag_set_ops" -> q187Oracle,

@@ -2283,7 +2283,92 @@ object Stats {
            AS BIGINT) AS r_bp
        FROM m WHERE n >= 12 ORDER BY brand"""
 
+  /** Two-proportion z-test on funnel conversion between cohorts
+    * (q255): does the view→click rate differ between even and odd
+    * user ids? The A/B read-out for RATES, completing the test
+    * toolkit (q231 Welch for means, q194/q221 for distributions,
+    * q213 for single-proportion CIs): pooled z = (p̂₁−p̂₂)/√(p̂(1−p̂)
+    * (1/n₁+1/n₂)). Cohort by user-id parity is the determinist
+    * stand-in for an experiment assignment column.
+    *
+    * Exactness: stage counts are exact (q72's strict event-time
+    * gates, evaluated per cohort in ONE pass via conditional
+    * aggregation); rates in integer bp; z is one shared IEEE tree
+    * over the four counts, floored to milli; |z| > 1.96 reject flag
+    * compares in integers.
+    *
+    * Shape: the funnel's per-user min-reduces (two partial aggs +
+    * broadcast semi-gates) then a 1-row reduce — the cohort split
+    * adds a projection, not a pass. */
+  def q255FunnelZtest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val c = e.join(v, "user_id")
+      // bounded conversion: click within ONE HOUR of the first view —
+      // unbounded "ever clicks" saturates at p=1 here, which zeroes the
+      // pooled-variance denominator (and answers a useless question)
+      .filter($"event_type" === "click" && $"us" > $"t1" &&
+        $"us" <= $"t1" + 3600000000L)
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    v.join(c, Seq("user_id"), "left")
+      .select(($"user_id" % 2 === 0).as("even"), $"t2".isNotNull.as("conv"))
+      .agg(
+        sum(when($"even", 1L).otherwise(0L)).as("n1"),
+        sum(when($"even" && $"conv", 1L).otherwise(0L)).as("k1"),
+        sum(when(!$"even", 1L).otherwise(0L)).as("n2"),
+        sum(when(!$"even" && $"conv", 1L).otherwise(0L)).as("k2"))
+      .selectExpr("n1", "k1", "n2", "k2",
+        "10000 * k1 div n1 AS rate1_bp", "10000 * k2 div n2 AS rate2_bp",
+        """CAST(floor(1000.0 *
+             ((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+             sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+                  (1.0 - (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) *
+                  ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n2 AS DOUBLE)))))
+           AS BIGINT) AS z_milli""")
+      .withColumn("reject", abs($"z_milli") > 1960L)
+  }
+
+  val q255Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       v AS (
+         SELECT user_id, min(us) AS t1 FROM e
+         WHERE event_type = 'view' GROUP BY 1),
+       c AS (
+         SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+         WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+         GROUP BY 1),
+       j AS (
+         SELECT v.user_id % 2 = 0 AS even, c.user_id IS NOT NULL AS conv
+         FROM v LEFT JOIN c ON v.user_id = c.user_id),
+       a AS (
+         SELECT
+           CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN even AND conv THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           CAST(sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN NOT even AND conv THEN 1 ELSE 0 END) AS BIGINT) AS k2
+         FROM j)
+       SELECT n1, k1, n2, k2,
+         10000 * k1 // n1 AS rate1_bp, 10000 * k2 // n2 AS rate2_bp,
+         CAST(floor(1000.0 *
+           ((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+           sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+                (1.0 - (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) *
+                ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n2 AS DOUBLE)))))
+           AS BIGINT) AS z_milli,
+         abs(CAST(floor(1000.0 *
+           ((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+           sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+                (1.0 - (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) *
+                ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n2 AS DOUBLE)))))
+           AS BIGINT)) > 1960 AS reject
+       FROM a"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_funnel_ztest" -> q255FunnelZtest,
     "q253_elasticity" -> q253Elasticity,
     "q250_latency_trend" -> q250LatencyTrend,
     "q244_mix_decomposition" -> q244MixDecomposition,
@@ -2326,6 +2411,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q255_funnel_ztest" -> q255Oracle,
     "q253_elasticity" -> q253Oracle,
     "q250_latency_trend" -> q250Oracle,
     "q244_mix_decomposition" -> q244Oracle,

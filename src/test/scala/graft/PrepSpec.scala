@@ -219,4 +219,26 @@ class PrepSpec extends SparkSpec {
     // matching 4-row band contains two matching 2-row halves)
     assert(pairs(6, 4).subsetOf(pairs(12, 2)))
   }
+
+  test("q256: pair budget equals sum s(s-1)/2 and bounds the q41 candidate set") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val rows = operators.Dedup.q256LshCostPlanner(spark, d).collect()
+    val total = rows.filter(_.getAs[Long]("sz") == 0L).head
+    val classes = rows.filter(_.getAs[Long]("sz") > 0L)
+    // per-class pairs arithmetic and the total roll-up
+    classes.foreach { r =>
+      val s = r.getAs[Long]("sz")
+      assert(r.getAs[Long]("pairs") == r.getAs[Long]("n_buckets") * s * (s - 1) / 2)
+    }
+    assert(classes.map(_.getAs[Long]("pairs")).sum == total.getAs[Long]("pairs"))
+    // direct bucket-size recomputation
+    val sizes = operators.Dedup.minhashBands(spark, d)
+      .groupBy($"b", $"band_key").count().select($"count").as[Long].collect()
+    assert(total.getAs[Long]("pairs") == sizes.map(s => s * (s - 1) / 2).sum)
+    // the planner's budget bounds the DISTINCT candidate pairs q41 emits
+    val q41Pairs = operators.Dedup.q41MinhashLsh(spark, d).count()
+    assert(q41Pairs <= total.getAs[Long]("pairs"),
+      s"distinct pairs $q41Pairs exceed budget ${total.getAs[Long]("pairs")}")
+  }
 }

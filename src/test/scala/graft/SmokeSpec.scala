@@ -126,4 +126,26 @@ class SmokeSpec extends SparkSpec {
     val liScans = "lineitem".r.findAllIn(phys).length
     assert(liScans <= 4, s"fact scan duplicated beyond the two branches:\n$phys")
   }
+
+  test("q257: maintained view equals the full recompute; legs partition it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Relational.q257JoinIvm(spark, d).collect()
+    assert(got.nonEmpty)
+    val full = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.lineitem(spark, d), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("v")).toMap
+    got.foreach { r =>
+      val pr = r.getAs[String]("o_orderpriority")
+      assert(r.getAs[Long]("v_maintained") == full(pr), s"$pr: view drifted")
+      assert(r.getAs[Long]("v_old") + r.getAs[Long]("d_new_orders")
+        + r.getAs[Long]("d_new_items") + r.getAs[Long]("d_both")
+        == r.getAs[Long]("v_maintained"))
+      // deltas are genuinely exercised by the 7/5 residue split
+      assert(r.getAs[Long]("d_new_orders") > 0 && r.getAs[Long]("d_new_items") > 0)
+    }
+  }
 }

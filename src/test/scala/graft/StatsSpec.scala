@@ -795,4 +795,18 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(brand))
     }
   }
+
+  test("q255: z matches a direct two-proportion computation") {
+    val r = Stats.q255FunnelZtest(spark, "/root/testdata/sf0.001").collect().head
+    val (n1, k1) = (r.getAs[Long]("n1"), r.getAs[Long]("k1"))
+    val (n2, k2) = (r.getAs[Long]("n2"), r.getAs[Long]("k2"))
+    assert(n1 > 0 && n2 > 0 && k1 <= n1 && k2 <= n2)
+    val p1 = k1.toDouble / n1; val p2 = k2.toDouble / n2
+    val p = (k1 + k2).toDouble / (n1 + n2)
+    assert(p > 0 && p < 1, "fixture degenerate — bounded gate failed")
+    val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(r.getAs[Long]("z_milli") - math.floor(z * 1000).toLong) <= 1)
+    assert(r.getAs[Boolean]("reject") == (math.abs(r.getAs[Long]("z_milli")) > 1960))
+    assert(r.getAs[Long]("rate1_bp") == 10000 * k1 / n1)
+  }
 }
