@@ -229,6 +229,13 @@ object Dedup {
     * 3-gram shingles, thresholded at 0.05. */
   def q42NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    jaccardPairs(s, d).orderBy($"doc1", $"doc2")
+  }
+
+  /** The q42 pair relation (jaccard_bp >= 500), unordered — shared by
+    * q42 and q258's threshold-persistence sweep. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     // Invert on the 60-bit shingle hash, not the shingle string (the
     // self-join shuffles fixed-width longs instead of ~30-byte strings)
     // and materialize the hashed base behind a repartition barrier:
@@ -260,7 +267,6 @@ object Dedup {
         floor($"inter" * lit(10000) / ($"n1" + $"n2" - $"inter")).cast("long"))
       .filter($"jaccard_bp" >= 500)
       .select($"doc1", $"doc2", $"inter", $"n1", $"n2", $"jaccard_bp")
-      .orderBy($"doc1", $"doc2")
   }
 
   val q42Oracle: String =
@@ -1665,7 +1671,106 @@ object Dedup {
          UNION ALL SELECT * FROM tot)
        ORDER BY sz"""
 
+  /** Threshold-persistence clustering audit (q258): the q42 Jaccard
+    * pair graph clustered at THREE similarity thresholds (≥ 0.50,
+    * ≥ 0.70, ≥ 0.90), reporting components, covered docs, and the
+    * largest cluster at each level — the single-linkage dendrogram
+    * read at three heights. This is how you CHOOSE a dedup threshold
+    * before committing a 100 TB pass: if the cluster count and giant-
+    * component size change violently across the band, the corpus has
+    * a chaining problem (transitive near-dups) and canonical-doc
+    * selection (q102) needs the tighter cut; flat curves mean the
+    * threshold is safe to relax for recall.
+    *
+    * Shape: the pair relation (the expensive distributed part) is
+    * computed ONCE and checkpointed; each threshold filters the tiny
+    * edge residue and runs the q71 two-tier component loop on it.
+    * Edges are nested by construction (E₉₀ ⊆ E₇₀ ⊆ E₅₀), so cluster
+    * counts and coverage move monotonically — the spec pins that. */
+  def q258ThresholdPersistence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, d)
+      .select($"doc1", $"doc2", $"jaccard_bp")
+      .filter($"jaccard_bp" >= 5000L)
+      .localCheckpoint()
+    Seq(5000L, 7000L, 9000L).map { thr =>
+      minLabelComponents(
+          pairs.filter($"jaccard_bp" >= thr).select($"doc1", $"doc2"))
+        .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+          coalesce(sum($"sz"), lit(0L)).as("n_docs"),
+          coalesce(max($"sz"), lit(0L)).as("largest"))
+        .select(lit(thr).as("threshold_bp"), $"n_clusters", $"n_docs",
+          $"largest")
+    }.reduce(_ unionByName _).orderBy($"threshold_bp")
+  }
+
+  val q258Oracle: String =
+    """WITH RECURSIVE tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       prs AS (
+         SELECT doc1, doc2,
+           CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jbp
+         FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 5000),
+       e5 AS (SELECT doc1 AS a, doc2 AS b FROM prs WHERE jbp >= 5000
+              UNION ALL SELECT doc2, doc1 FROM prs WHERE jbp >= 5000),
+       e7 AS (SELECT doc1 AS a, doc2 AS b FROM prs WHERE jbp >= 7000
+              UNION ALL SELECT doc2, doc1 FROM prs WHERE jbp >= 7000),
+       e9 AS (SELECT doc1 AS a, doc2 AS b FROM prs WHERE jbp >= 9000
+              UNION ALL SELECT doc2, doc1 FROM prs WHERE jbp >= 9000),
+       r5(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM e5
+         UNION SELECT e.b, r5.r FROM r5 JOIN e5 e ON e.a = r5.doc_id),
+       r7(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM e7
+         UNION SELECT e.b, r7.r FROM r7 JOIN e7 e ON e.a = r7.doc_id),
+       r9(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM e9
+         UNION SELECT e.b, r9.r FROM r9 JOIN e9 e ON e.a = r9.doc_id),
+       c5 AS (SELECT doc_id, min(r) AS c FROM r5 GROUP BY doc_id),
+       c7 AS (SELECT doc_id, min(r) AS c FROM r7 GROUP BY doc_id),
+       c9 AS (SELECT doc_id, min(r) AS c FROM r9 GROUP BY doc_id),
+       s5 AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c5 GROUP BY c),
+       s7 AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c7 GROUP BY c),
+       s9 AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM c9 GROUP BY c)
+       SELECT * FROM (
+         SELECT CAST(5000 AS BIGINT) AS threshold_bp,
+           CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+           CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(max(sz), 0) AS BIGINT) AS largest FROM s5
+         UNION ALL
+         SELECT CAST(7000 AS BIGINT),
+           CAST(coalesce(count(*), 0) AS BIGINT),
+           CAST(coalesce(sum(sz), 0) AS BIGINT),
+           CAST(coalesce(max(sz), 0) AS BIGINT) FROM s7
+         UNION ALL
+         SELECT CAST(9000 AS BIGINT),
+           CAST(coalesce(count(*), 0) AS BIGINT),
+           CAST(coalesce(sum(sz), 0) AS BIGINT),
+           CAST(coalesce(max(sz), 0) AS BIGINT) FROM s9)
+       ORDER BY threshold_bp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_threshold_persistence" -> q258ThresholdPersistence,
     "q256_lsh_cost_planner" -> q256LshCostPlanner,
     "q248_lsh_sweep" -> q248LshSweep,
     "q236_record_linkage" -> q236RecordLinkage,
@@ -1690,6 +1795,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q258_threshold_persistence" -> q258Oracle,
     "q256_lsh_cost_planner" -> q256Oracle,
     "q248_lsh_sweep" -> q248Oracle,
     "q236_record_linkage" -> q236Oracle,

@@ -267,6 +267,51 @@ object EventStreams {
       }
   }
 
+  // ---- stateful first-seen detection (streaming distinct) ----
+
+  case class FirstSeen(user_id: Long, day: String)
+
+  /** Streaming new-user detection — the online half of q233's
+    * cumulative-distinct identity: a user's FIRST event emits exactly
+    * one (user, day) row; everything after is suppressed by a 1-bit
+    * per-key state. Downstream, `count by day` of this stream IS the
+    * new-users series, and its running sum the cumulative distinct —
+    * maintained without ever re-scanning history (the batch query's
+    * first-occurrence trick, flipped into per-key state). State is one
+    * boolean per user — the honest cost of streaming distinct; at
+    * 100 TB-of-users scale this is where a TTL or an approximate
+    * filter (q49's bloom) takes over, traded explicitly against exact
+    * semantics. Ingest contract: microbatches arrive in event-time
+    * order (same as sessions/funnel), else "first" is
+    * processing-order. */
+  def firstSeenStateful(evs: Dataset[SessionEvent]): Dataset[FirstSeen] = {
+    val s = evs.sparkSession
+    import s.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val firstUs = rows.map(_.us).min
+            state.update(true)
+            val day = java.time.Instant.ofEpochSecond(firstUs / 1000000L)
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            Iterator.single(FirstSeen(user, day))
+          }
+      }
+  }
+
+  /** Streaming first-seen over a staged events dir. */
+  def firstSeenStream(s: SparkSession, eventsDir: String): Dataset[FirstSeen] = {
+    import s.implicits._
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[SessionEvent]
+      .transform(firstSeenStateful)
+  }
+
   /** Streaming attribution over the staged events dir (1-hour window). */
   def attributionStream(s: SparkSession, eventsDir: String): Dataset[Attribution] = {
     import s.implicits._

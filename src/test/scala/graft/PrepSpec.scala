@@ -241,4 +241,40 @@ class PrepSpec extends SparkSpec {
     assert(q41Pairs <= total.getAs[Long]("pairs"),
       s"distinct pairs $q41Pairs exceed budget ${total.getAs[Long]("pairs")}")
   }
+
+  test("q258: persistence curves are monotone and reconcile with q71-style CC") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Dedup.q258ThresholdPersistence(spark, d).collect()
+      .map(r => r.getAs[Long]("threshold_bp") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("largest"))).toMap
+    assert(got.keySet == Set(5000L, 7000L, 9000L))
+    // tighter threshold => fewer-or-equal covered docs, and the largest
+    // cluster can only shrink; cluster count is NOT monotone in general
+    // but coverage and max size are
+    assert(got(9000L)._2 <= got(7000L)._2 && got(7000L)._2 <= got(5000L)._2)
+    assert(got(9000L)._3 <= got(7000L)._3 && got(7000L)._3 <= got(5000L)._3)
+    // brute-force components at 0.5 from the pair relation
+    val edges = operators.Dedup.jaccardPairs(spark, d)
+      .filter($"jaccard_bp" >= 5000L)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect()
+    if (edges.nonEmpty) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElse(x, x)
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val comps = nodes.groupBy(find).values
+      assert(got(5000L)._1 == comps.size.toLong)
+      assert(got(5000L)._2 == nodes.length.toLong)
+      assert(got(5000L)._3 == comps.map(_.length).max.toLong)
+    } else assert(got(5000L) == ((0L, 0L, 0L)))
+  }
 }

@@ -488,4 +488,38 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming first-seen emits each user once, on their true first day") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("events_fs")
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet(s"$d/events.parquet")
+    val Array(lo, hi) = raw.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo) / 2
+    raw.filter(unix_micros($"ts") <= mid).coalesce(1)
+      .write.parquet(staged.resolve("b1").toString)
+    raw.filter(unix_micros($"ts") > mid).coalesce(1)
+      .write.parquet(staged.resolve("b2").toString)
+
+    val batch = graft.io.Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day"))
+      .groupBy($"user_id").agg(min($"day").cast("string").as("day"))
+      .as[(Long, String)].collect().toSet
+
+    val q = EventStreams.firstSeenStream(spark, s"$staged/*")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fs_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fs_out")
+        .as[(Long, String)].collect()
+      // exactly-once per user, and the day matches the batch min
+      assert(streamed.length == streamed.map(_._1).distinct.length,
+        "a user was emitted twice")
+      assert(streamed.toSet == batch,
+        s"first-seen drift: ${streamed.size} streamed vs ${batch.size} batch")
+    } finally q.stop()
+  }
 }
