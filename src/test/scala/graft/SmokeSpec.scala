@@ -148,4 +148,24 @@ class SmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("d_new_orders") > 0 && r.getAs[Long]("d_new_items") > 0)
     }
   }
+
+  test("q232/q241/q257: no nested-loop joins; delta legs broadcast") {
+    val d = "/root/testdata/sf0.001"
+    def phys(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // the grid eps-join and the FIFO interval join must plan as equi
+    // joins — a BroadcastNestedLoopJoin/CartesianProduct here means the
+    // blocking key was lost and the plan is O(N^2)
+    Seq(operators.Similarity.q232GridDbscan(spark, d),
+        operators.RangeJoin.q241FifoAllocation(spark, d)).foreach { q =>
+      val p = phys(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"quadratic join shape leaked:\n${p.take(2000)}")
+    }
+    // the IVM delta legs carry explicit broadcast hints on the new-order
+    // side — both must survive planning
+    val ivm = phys(operators.Relational.q257JoinIvm(spark, d))
+    assert("BroadcastHashJoin".r.findAllIn(ivm).size >= 2,
+      s"delta joins lost their broadcast shape:\n${ivm.take(2000)}")
+  }
 }
