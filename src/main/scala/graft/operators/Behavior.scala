@@ -1247,7 +1247,66 @@ object Behavior {
        FROM o JOIN fm USING (o_custkey)
        GROUP BY month ORDER BY month"""
 
+  /** Rolling 7-day return rate (q259): of each day's active users,
+    * what fraction come back within the next 7 days? The
+    * short-horizon retention pulse (q106's cohort matrix is the
+    * long-form; this is the one that goes on a daily dashboard). The
+    * scalable shape avoids both a user-day self-join on a range
+    * predicate and any per-day rescans: from the deduped (user, day)
+    * relation, a per-user lead(day) gives the NEXT active day in one
+    * window pass, and "returned within 7" is a per-row comparison —
+    * the range semi-join collapses into lead() because only the
+    * nearest future visit matters.
+    *
+    * Days with no 7-day lookahead remaining in the data (the final
+    * week) still report — their rate is genuinely right-censored, and
+    * the censored flag column says so (q210's censoring discipline,
+    * not silent truncation). */
+  def q259RollingRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val nxt = ud
+      .withColumn("next_day", lead($"day", 1).over(
+        Window.partitionBy($"user_id").orderBy($"day")))
+      .withColumn("returned",
+        when($"next_day".isNotNull &&
+          datediff($"next_day", $"day") <= 7, 1L).otherwise(0L))
+    val maxDay = ud.agg(max($"day").as("d_max"))
+    nxt.crossJoin(broadcast(maxDay))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("active_users"),
+        sum($"returned").as("returned_7d"),
+        max(when(datediff($"d_max", $"day") < 7, true).otherwise(false))
+          .as("censored"))
+      .withColumn("return_bp", expr("10000 * returned_7d div active_users"))
+      .orderBy($"day")
+  }
+
+  val q259Oracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       nxt AS (
+         SELECT user_id, day,
+           lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+         FROM ud),
+       r AS (
+         SELECT day,
+           CASE WHEN next_day IS NOT NULL
+                 AND datediff('day', day, next_day) <= 7
+                THEN 1 ELSE 0 END AS returned
+         FROM nxt),
+       mx AS (SELECT max(day) AS d_max FROM ud)
+       SELECT day,
+         CAST(count(*) AS BIGINT) AS active_users,
+         CAST(sum(returned) AS BIGINT) AS returned_7d,
+         max(datediff('day', day, d_max) < 7) AS censored,
+         10000 * CAST(sum(returned) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS return_bp
+       FROM r CROSS JOIN mx
+       GROUP BY day, d_max ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_rolling_retention" -> q259RollingRetention,
     "q254_new_vs_returning" -> q254NewVsReturning,
     "q247_exclusive_reach" -> q247ExclusiveReach,
     "q233_cumulative_distinct" -> q233CumulativeDistinct,
@@ -1270,6 +1329,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q259_rolling_retention" -> q259Oracle,
     "q254_new_vs_returning" -> q254Oracle,
     "q247_exclusive_reach" -> q247Oracle,
     "q233_cumulative_distinct" -> q233Oracle,

@@ -762,7 +762,49 @@ object Quality {
            AS gini_bp
        FROM agg"""
 
+  /** Cross-table freshness watermark (q260): per time-bearing table,
+    * its high-water mark and lag behind the fleet-wide maximum, plus
+    * the SAFE consistent watermark (the MINIMUM of the per-table
+    * maxima — the latest instant every table has reached, which is
+    * the only timestamp an incremental consumer may process up to
+    * without seeing partial joins). The data-eng freshness audit
+    * behind every "is the pipeline caught up?" page.
+    *
+    * Shape: one max-reduce per table (scan-only, parquet footer
+    * statistics could even short-circuit it), a 4-row union, a 1-row
+    * broadcast of the extrema back over it. Second-granularity
+    * timestamps keep cross-engine parity trivial. */
+  def q260FreshnessWatermark(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def hwm(df: DataFrame, name: String, col: org.apache.spark.sql.Column) =
+      df.agg(max(col).as("ts")).select(lit(name).as("tbl"),
+        unix_micros($"ts".cast("timestamp")).as("hwm_us"))
+    val marks = hwm(Tables.orders(s, d), "orders", $"o_orderdate")
+      .unionByName(hwm(Tables.lineitem(s, d), "lineitem", $"l_shipdate"))
+      .unionByName(hwm(Tables.events(s, d), "events", $"ts"))
+    val ext = marks.agg(min($"hwm_us").as("safe_us"), max($"hwm_us").as("max_us"))
+    marks.crossJoin(broadcast(ext))
+      .select($"tbl", expr("hwm_us div 1000000").as("hwm_s"),
+        expr("(max_us - hwm_us) div 1000000").as("lag_behind_max_s"),
+        expr("safe_us div 1000000").as("safe_watermark_s"))
+      .orderBy($"tbl")
+  }
+
+  val q260Oracle: String =
+    """WITH marks AS (
+         SELECT 'orders' AS tbl, epoch_us(max(o_orderdate)) AS hwm_us FROM orders
+         UNION ALL
+         SELECT 'lineitem', epoch_us(max(l_shipdate)) FROM lineitem
+         UNION ALL
+         SELECT 'events', epoch_us(max(ts)) FROM events),
+       ext AS (SELECT min(hwm_us) AS safe_us, max(hwm_us) AS max_us FROM marks)
+       SELECT tbl, CAST(hwm_us // 1000000 AS BIGINT) AS hwm_s,
+         CAST((max_us - hwm_us) // 1000000 AS BIGINT) AS lag_behind_max_s,
+         CAST(safe_us // 1000000 AS BIGINT) AS safe_watermark_s
+       FROM marks CROSS JOIN ext ORDER BY tbl"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_freshness_watermark" -> q260FreshnessWatermark,
     "q252_auc" -> q252Auc,
     "q243_gap_census" -> q243GapCensus,
     "q181_zonemap_audit" -> q181ZonemapAudit,
@@ -776,6 +818,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q260_freshness_watermark" -> q260Oracle,
     "q252_auc" -> q252Oracle,
     "q243_gap_census" -> q243Oracle,
     "q181_zonemap_audit" -> q181Oracle,

@@ -850,4 +850,26 @@ class BehaviorSpec extends SparkSpec {
       .filter($"rk" === 1).agg(sum($"c")).as[Long].head()
     assert(newTotal == firstMonthRev)
   }
+
+  test("q259: return flags match a brute-force per-user day scan") {
+    val got = operators.Behavior.q259RollingRetention(spark, d).collect()
+    assert(got.nonEmpty)
+    val ud = graft.io.Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day"))
+      .as[(Long, java.sql.Date)].collect().distinct
+    val byUser = ud.groupBy(_._1).view
+      .mapValues(_.map(_._2.getTime).sorted).toMap
+    val dayMs = 86400000L
+    val maxDay = ud.map(_._2.getTime).max
+    got.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").getTime
+      val active = ud.filter(_._2.getTime == day).map(_._1)
+      assert(r.getAs[Long]("active_users") == active.length.toLong)
+      val returned = active.count { u =>
+        byUser(u).exists(t => t > day && t <= day + 7 * dayMs) }
+      assert(r.getAs[Long]("returned_7d") == returned.toLong,
+        s"$day: returned mismatch")
+      assert(r.getAs[Boolean]("censored") == (maxDay - day < 7 * dayMs))
+    }
+  }
 }

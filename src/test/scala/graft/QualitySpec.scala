@@ -252,4 +252,20 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("auc_bp") == aucBp,
       s"AUC ${r.getAs[Long]("auc_bp")} vs pairwise $aucBp")
   }
+
+  test("q260: safe watermark is the min high-water mark; lags reconcile") {
+    val got = operators.Quality.q260FreshnessWatermark(spark, d).collect()
+    assert(got.map(_.getAs[String]("tbl")).sorted.toSeq
+      == Seq("events", "lineitem", "orders"))
+    val safe = got.head.getAs[Long]("safe_watermark_s")
+    assert(got.forall(_.getAs[Long]("safe_watermark_s") == safe))
+    assert(safe == got.map(_.getAs[Long]("hwm_s")).min)
+    // exactly one table defines the fleet max (lag 0), and every lag is
+    // max_hwm - hwm
+    val maxH = got.map(_.getAs[Long]("hwm_s")).max
+    got.foreach { r =>
+      assert(r.getAs[Long]("lag_behind_max_s") == maxH - r.getAs[Long]("hwm_s"))
+    }
+    assert(got.exists(_.getAs[Long]("lag_behind_max_s") == 0L))
+  }
 }
