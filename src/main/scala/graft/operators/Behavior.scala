@@ -289,7 +289,11 @@ object Behavior {
   }
 
   val q182Oracle: String =
-    """WITH items AS (
+    // items is AS MATERIALIZED: inlined, DuckDB re-plans the DISTINCT
+    // into all three legs of the triple self-join and picks a
+    // catastrophic join order at sf0.1 (hours); materialized it runs in
+    // ~0.3 s. Result-identical — a pure planner hint.
+    """WITH items AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS ord, p_brand AS b
          FROM lineitem JOIN part ON l_partkey = p_partkey),
        nb AS (SELECT CAST(count(DISTINCT ord) AS BIGINT) AS n_baskets FROM items),
