@@ -1309,7 +1309,55 @@ object Behavior {
        FROM r CROSS JOIN mx
        GROUP BY day, d_max ORDER BY day"""
 
+  /** State-occupancy analysis (q263): how much wall-clock time do
+    * users spend "in" each event type? Each event opens a spell that
+    * lasts until the user's next event (the hold-until-next convention
+    * q170's TWAP uses for prices, applied to behavioral states); final
+    * events close no spell. Occupancy share answers "where does user
+    * time actually go?" — the duration-weighted complement of q114's
+    * transition COUNTS.
+    *
+    * Exactness: spell lengths are exact µs differences; shares integer
+    * bp of the summed total. Shape: one per-user lead() window pass,
+    * one partial-agg rollup per type, a 1-row total broadcast back. */
+  def q263StateOccupancy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val spells = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next_us", lead($"us", 1).over(w))
+      .filter($"next_us".isNotNull)
+      .select($"event_type", ($"next_us" - $"us").as("dur_us"))
+    val byType = spells.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_spells"), sum($"dur_us").as("total_us"))
+    val tot = byType.agg(sum($"total_us").as("all_us"))
+    byType.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_spells", $"total_us",
+        expr("10000 * total_us div all_us").as("share_bp"),
+        expr("total_us div n_spells div 1000000").as("mean_spell_s"))
+      .orderBy($"event_type")
+  }
+
+  val q263Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       sp AS (
+         SELECT event_type,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+             AS dur_us
+         FROM e),
+       bt AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_spells,
+           CAST(sum(dur_us) AS BIGINT) AS total_us
+         FROM sp WHERE dur_us IS NOT NULL GROUP BY event_type),
+       tot AS (SELECT CAST(sum(total_us) AS BIGINT) AS all_us FROM bt)
+       SELECT event_type, n_spells, total_us,
+         10000 * total_us // all_us AS share_bp,
+         total_us // n_spells // 1000000 AS mean_spell_s
+       FROM bt CROSS JOIN tot ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_state_occupancy" -> q263StateOccupancy,
     "q259_rolling_retention" -> q259RollingRetention,
     "q254_new_vs_returning" -> q254NewVsReturning,
     "q247_exclusive_reach" -> q247ExclusiveReach,
@@ -1333,6 +1381,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q263_state_occupancy" -> q263Oracle,
     "q259_rolling_retention" -> q259Oracle,
     "q254_new_vs_returning" -> q254Oracle,
     "q247_exclusive_reach" -> q247Oracle,

@@ -932,7 +932,66 @@ object Curation {
          abs(CAST(count(*) AS BIGINT) * 8 - n_total) * 10000 // n_total AS imbalance_bp
        FROM asg CROSS JOIN tot GROUP BY shard, n_total ORDER BY shard"""
 
+  /** Net-new content contribution per source (q261): how much of each
+    * source's shingle mass is FIRST SEEN there, when sources are
+    * ingested in priority (name) order? Gross shingles credit every
+    * source that contains them; net-new credits only the first — the
+    * marginal-value number that prices a data acquisition ("source k
+    * adds only 8% new content given what we already have"). The
+    * q247 exclusive-reach question lifted from users to content, and
+    * the additive complement of q173's greedy set cover (which picks
+    * the order; this audits a FIXED order).
+    *
+    * Shape: one shingle explode → (shingle, source) dedup →
+    * per-shingle min(source) partial agg; gross counts ride the same
+    * deduped relation; one rollup joins the two |sources|-sized
+    * results. All corpus-sized work is the two partial aggs. */
+  def q261NetNewContent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ss = Tables.documents(s, d)
+      .select($"source",
+        explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("sh"))
+      .distinct()
+    val gross = ss.groupBy($"source").agg(count(lit(1)).as("gross_shingles"))
+    val netNew = ss.groupBy($"sh").agg(min($"source").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("net_new_shingles"))
+    gross.join(netNew, Seq("source"), "left")
+      .withColumn("net_new_shingles", coalesce($"net_new_shingles", lit(0L)))
+      .withColumn("net_new_bp", expr("10000 * net_new_shingles div gross_shingles"))
+      .orderBy($"source")
+  }
+
+  val q261Oracle: String =
+    """WITH tk AS (
+         SELECT source, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT source, unnest(list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END)) AS shd
+         FROM tk),
+       ss AS (
+         SELECT DISTINCT source,
+           ('0x' || substr(md5(shd), 1, 15))::BIGINT AS sh
+         FROM sh),
+       gross AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS gross_shingles
+         FROM ss GROUP BY source),
+       netnew AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS net_new_shingles
+         FROM (SELECT sh, min(source) AS source FROM ss GROUP BY sh)
+         GROUP BY source)
+       SELECT g.source, g.gross_shingles,
+         coalesce(n.net_new_shingles, 0) AS net_new_shingles,
+         10000 * coalesce(n.net_new_shingles, 0) // g.gross_shingles
+           AS net_new_bp
+       FROM gross g LEFT JOIN netnew n ON g.source = n.source
+       ORDER BY g.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_netnew_content" -> q261NetNewContent,
     "q208_hash_ring" -> q208HashRing,
     "q204_length_buckets" -> q204LengthBuckets,
     "q205_apportionment" -> q205Apportionment,
@@ -953,6 +1012,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q261_netnew_content" -> q261Oracle,
     "q208_hash_ring" -> q208Oracle,
     "q204_length_buckets" -> q204Oracle,
     "q205_apportionment" -> q205Oracle,

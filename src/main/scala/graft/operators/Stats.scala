@@ -2367,7 +2367,81 @@ object Stats {
            AS BIGINT)) > 1960 AS reject
        FROM a"""
 
+  /** One-way ANOVA across order priorities (q262): does mean order
+    * value differ across the five priority classes? F = (SSB/(k−1)) /
+    * (SSW/(N−k)) plus the effect size η² = SSB/SST — the k-group
+    * generalization of q231's two-sample Welch (classic equal-variance
+    * ANOVA here; with five near-equal groups the robustness caveat is
+    * moot and the operator under test is the grouped-moment algebra).
+    *
+    * Exactness: per-group (n, Σx, Σx²) are exact (dollars; Σx² in
+    * decimal for scale headroom); the cross-group reduction
+    * Σ_g (Σx_g)²/n_g uses TERM-WISE milli floors (order-free integer
+    * sum — five doubles summed in engine-dependent order would not be
+    * bit-stable); F and η² are one shared IEEE tree over those exact
+    * pieces.
+    *
+    * Shape: one partial-agg pass to k group rows, one 1-row reduce
+    * over them. */
+  def q262Anova(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val groups = Tables.orders(s, d)
+      .select($"o_orderpriority".as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
+          .as("x"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"),
+        sum($"x".cast("decimal(14,0)") * $"x".cast("decimal(14,0)")).as("q"))
+      .select($"n", $"s", $"q",
+        floor(lit(1000.0) * (($"s".cast("double") * $"s".cast("double")) /
+          $"n".cast("double"))).cast("long").as("t_milli"))
+    groups
+      .agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+        sum($"s").as("s_total"), sum($"q".cast("decimal(28,0)")).as("q_total"),
+        sum($"t_milli").as("sum_t"))
+      .selectExpr("k", "n_total",
+        """CAST(floor(1000.0 *
+             (((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+              ((1000.0 * CAST(q_total AS DOUBLE) - CAST(sum_t AS DOUBLE)) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))))
+           AS BIGINT) AS f_milli""",
+        """CAST(floor(10000.0 *
+             ((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) /
+              (1000.0 * CAST(q_total AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE))))
+           AS BIGINT) AS eta2_bp""")
+  }
+
+  val q262Oracle: String =
+    """WITH g AS (
+         SELECT o_orderpriority AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x
+         FROM orders),
+       grp AS (
+         SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+           sum(CAST(x AS HUGEINT) * x) AS q
+         FROM g GROUP BY g),
+       t AS (
+         SELECT n, s, q,
+           CAST(floor(1000.0 * ((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+             CAST(n AS DOUBLE))) AS BIGINT) AS t_milli
+         FROM grp),
+       a AS (
+         SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(sum(s) AS BIGINT) AS s_total, sum(q) AS q_total,
+           CAST(sum(t_milli) AS BIGINT) AS sum_t
+         FROM t)
+       SELECT k, n_total,
+         CAST(floor(1000.0 *
+           (((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+            ((1000.0 * CAST(q_total AS DOUBLE) - CAST(sum_t AS DOUBLE)) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))))
+           AS BIGINT) AS f_milli,
+         CAST(floor(10000.0 *
+           ((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) /
+            (1000.0 * CAST(q_total AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE))))
+           AS BIGINT) AS eta2_bp
+       FROM a"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
     "q253_elasticity" -> q253Elasticity,
     "q250_latency_trend" -> q250LatencyTrend,
@@ -2411,6 +2485,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q262_anova" -> q262Oracle,
     "q255_funnel_ztest" -> q255Oracle,
     "q253_elasticity" -> q253Oracle,
     "q250_latency_trend" -> q250Oracle,

@@ -872,4 +872,20 @@ class BehaviorSpec extends SparkSpec {
       assert(r.getAs[Boolean]("censored") == (maxDay - day < 7 * dayMs))
     }
   }
+
+  test("q263: occupancy reconciles with total inter-event time; shares sum to ~1") {
+    val got = operators.Behavior.q263StateOccupancy(spark, d).collect()
+    assert(got.nonEmpty)
+    val spans = graft.io.Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg((unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("span"),
+        count(lit(1)).as("n"))
+      .agg(sum($"span"), sum($"n" - 1)).as[(Long, Long)].head()
+    // total occupied time == sum of per-user (max-min) spans, and the
+    // spell count == events minus one per user
+    assert(got.map(_.getAs[Long]("total_us")).sum == spans._1)
+    assert(got.map(_.getAs[Long]("n_spells")).sum == spans._2)
+    val shareSum = got.map(_.getAs[Long]("share_bp")).sum
+    assert(shareSum >= 10000 - got.length && shareSum <= 10000)
+  }
 }

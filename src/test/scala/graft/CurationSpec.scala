@@ -214,4 +214,24 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("base") == base)
     }
   }
+
+  test("q261: net-new partitions the distinct shingle universe") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Curation.q261NetNewContent(spark, d).collect()
+    assert(got.nonEmpty)
+    // every source's net-new is bounded by its gross
+    got.foreach { r =>
+      assert(r.getAs[Long]("net_new_shingles") <= r.getAs[Long]("gross_shingles"))
+      assert(r.getAs[Long]("net_new_bp") >= 0 && r.getAs[Long]("net_new_bp") <= 10000)
+    }
+    // sum of net-new == |distinct shingles| (each credited exactly once)
+    val universe = graft.io.Tables.documents(spark, d)
+      .select(explode(graft.functions.TextExprs.shingle_hashes($"text", 3, 15)))
+      .distinct().count()
+    assert(got.map(_.getAs[Long]("net_new_shingles")).sum == universe)
+    // the first source (priority order) keeps ALL its shingles
+    val first = got.minBy(_.getAs[String]("source"))
+    assert(first.getAs[Long]("net_new_shingles") == first.getAs[Long]("gross_shingles"))
+  }
 }

@@ -809,4 +809,33 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject") == (math.abs(r.getAs[Long]("z_milli")) > 1960))
     assert(r.getAs[Long]("rate1_bp") == 10000 * k1 / n1)
   }
+
+  test("q262: F and eta2 match a direct ANOVA decomposition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Stats.q262Anova(spark, d).collect().head
+    val xs = graft.io.Tables.orders(spark, d)
+      .select($"o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))
+      .as[(String, Long)].collect()
+    val n = xs.length.toDouble
+    val mean = xs.map(_._2).sum / n
+    val groups = xs.groupBy(_._1).values
+    val ssb = groups.map { g =>
+      val gn = g.length.toDouble; val gm = g.map(_._2).sum / gn
+      gn * (gm - mean) * (gm - mean) }.sum
+    val ssw = groups.map { g =>
+      val gm = g.map(_._2).sum / g.length.toDouble
+      g.map(t => (t._2 - gm) * (t._2 - gm)).sum }.sum
+    val k = groups.size.toDouble
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val eta2 = ssb / (ssb + ssw)
+    assert(r.getAs[Long]("k") == groups.size.toLong)
+    assert(r.getAs[Long]("n_total") == xs.length.toLong)
+    // centered vs raw-moment forms agree to floating dust
+    assert(math.abs(r.getAs[Long]("f_milli") - math.floor(f * 1000).toLong) <= 1,
+      s"F ${r.getAs[Long]("f_milli")} vs $f")
+    assert(math.abs(r.getAs[Long]("eta2_bp") - math.floor(eta2 * 10000).toLong) <= 1)
+  }
 }
