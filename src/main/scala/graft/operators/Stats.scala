@@ -2393,20 +2393,22 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum($"x").as("s"),
         sum($"x".cast("decimal(14,0)") * $"x".cast("decimal(14,0)")).as("q"))
       .select($"n", $"s", $"q",
-        floor(lit(1000.0) * (($"s".cast("double") * $"s".cast("double")) /
-          $"n".cast("double"))).cast("long").as("t_milli"))
+        // whole-dollar^2 units: the milli scaling overflowed int64 at
+        // sf0.1 (s^2/n ~ 7e14 already); the F ratio is scale-free
+        floor(($"s".cast("double") * $"s".cast("double")) /
+          $"n".cast("double")).cast("long").as("t_d2"))
     groups
       .agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
         sum($"s").as("s_total"), sum($"q".cast("decimal(28,0)")).as("q_total"),
-        sum($"t_milli").as("sum_t"))
+        sum($"t_d2").as("sum_t"))
       .selectExpr("k", "n_total",
         """CAST(floor(1000.0 *
-             (((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
-              ((1000.0 * CAST(q_total AS DOUBLE) - CAST(sum_t AS DOUBLE)) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))))
+             (((CAST(sum_t AS DOUBLE) - (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+              ((CAST(q_total AS DOUBLE) - CAST(sum_t AS DOUBLE)) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))))
            AS BIGINT) AS f_milli""",
         """CAST(floor(10000.0 *
-             ((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) /
-              (1000.0 * CAST(q_total AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE))))
+             ((CAST(sum_t AS DOUBLE) - (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) /
+              (CAST(q_total AS DOUBLE) - (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE))))
            AS BIGINT) AS eta2_bp""")
   }
 
@@ -2421,22 +2423,22 @@ object Stats {
          FROM g GROUP BY g),
        t AS (
          SELECT n, s, q,
-           CAST(floor(1000.0 * ((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
-             CAST(n AS DOUBLE))) AS BIGINT) AS t_milli
+           CAST(floor((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+             CAST(n AS DOUBLE)) AS BIGINT) AS t_d2
          FROM grp),
        a AS (
          SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
            CAST(sum(s) AS BIGINT) AS s_total, sum(q) AS q_total,
-           CAST(sum(t_milli) AS BIGINT) AS sum_t
+           CAST(sum(t_d2) AS BIGINT) AS sum_t
          FROM t)
        SELECT k, n_total,
          CAST(floor(1000.0 *
-           (((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
-            ((1000.0 * CAST(q_total AS DOUBLE) - CAST(sum_t AS DOUBLE)) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))))
+           (((CAST(sum_t AS DOUBLE) - (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+            ((CAST(q_total AS DOUBLE) - CAST(sum_t AS DOUBLE)) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))))
            AS BIGINT) AS f_milli,
          CAST(floor(10000.0 *
-           ((CAST(sum_t AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) /
-            (1000.0 * CAST(q_total AS DOUBLE) - 1000.0 * (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE))))
+           ((CAST(sum_t AS DOUBLE) - (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE)) /
+            (CAST(q_total AS DOUBLE) - (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)) / CAST(n_total AS DOUBLE))))
            AS BIGINT) AS eta2_bp
        FROM a"""
 
