@@ -1356,7 +1356,129 @@ object Behavior {
          total_us // n_spells // 1000000 AS mean_spell_s
        FROM bt CROSS JOIN tot ORDER BY event_type"""
 
+  /** Cohort LTV curve (q264): for each acquisition cohort (first-order
+    * month), cumulative revenue per cohort member by months-since-
+    * acquisition — the customer-lifetime-value triangle that prices
+    * acquisition spend. The q106 retention matrix weighted by money
+    * and cumulated along the age axis.
+    *
+    * Exactness: cents int64; per-member LTV as integer division;
+    * month age = exact (year·12+month) arithmetic, no date
+    * subtraction ambiguity. Shape: one pass to (cohort, age) cells
+    * (partial agg after the broadcast first-month join), cohort sizes
+    * broadcast back, cumulative window per cohort over the ≤|months|²
+    * triangle. Ages capped at 11 (first year) to bound the output. */
+  def q264CohortLtv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val first = o.groupBy($"o_custkey").agg(min($"m").as("m0"))
+    val sizes = first.groupBy($"m0").agg(count(lit(1)).as("cohort_n"))
+    val cells = o.join(first, "o_custkey")
+      .withColumn("age", $"m" - $"m0")
+      .filter($"age" <= 11)
+      .groupBy($"m0", $"age").agg(sum($"cents").as("rev"))
+    cells.join(broadcast(sizes), "m0")
+      .withColumn("cum_rev", sum($"rev").over(
+        Window.partitionBy($"m0").orderBy($"age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        concat(expr("lpad(CAST((m0 - 1) div 12 AS STRING), 4, '0')"), lit("-"),
+          expr("lpad(CAST((m0 - 1) % 12 + 1 AS STRING), 2, '0')")).as("cohort"),
+        $"age".cast("long").as("age"), $"cohort_n", $"rev",
+        expr("cum_rev div cohort_n").as("cum_ltv_cents"))
+      .orderBy($"cohort", $"age")
+  }
+
+  val q264Oracle: String =
+    """WITH o AS (
+         SELECT o_custkey,
+           year(o_orderdate) * 12 + month(o_orderdate) AS m,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM orders),
+       f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+       sz AS (SELECT m0, CAST(count(*) AS BIGINT) AS cohort_n FROM f GROUP BY m0),
+       cells AS (
+         SELECT m0, m - m0 AS age, CAST(sum(cents) AS BIGINT) AS rev
+         FROM o JOIN f USING (o_custkey)
+         WHERE m - m0 <= 11 GROUP BY 1, 2),
+       cum AS (
+         SELECT m0, age, rev,
+           CAST(sum(rev) OVER (PARTITION BY m0 ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev
+         FROM cells)
+       SELECT lpad(CAST((m0 - 1) // 12 AS VARCHAR), 4, '0') || '-' ||
+           lpad(CAST((m0 - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+         CAST(age AS BIGINT) AS age, cohort_n, rev,
+         cum_rev // cohort_n AS cum_ltv_cents
+       FROM cum JOIN sz USING (m0)
+       ORDER BY cohort, age"""
+
+  /** Spend-tier migration matrix (q265): customers quintiled by 1995
+    * spend and again by 1996 spend; the 5×5 transition matrix (plus
+    * churn-to-zero and new-in-1996 bands) shows mobility between
+    * value tiers — the Markov view of customer value (q114's
+    * transition matrix lifted from events to yearly value states).
+    *
+    * Determinism: quintiles via ntile(5) ordered by (spend DESC,
+    * custkey) — the q226 discipline; zero-spend years are their own
+    * band 0 rather than polluting tier 5. Shape: two conditional
+    * aggregations off one orders pass, two ntile windows over the
+    * |customers| relation, one 36-cell rollup. */
+  def q265TierMigration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when(year($"o_orderdate") === 1995,
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("s95"),
+        sum(when(year($"o_orderdate") === 1996,
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("s96"))
+    val tiered = spend
+      .withColumn("t95", when($"s95" === 0L, 0L)
+        .otherwise(ntile(5).over(Window.partitionBy($"s95" === 0L)
+          .orderBy($"s95".desc, $"o_custkey")).cast("long")))
+      .withColumn("t96", when($"s96" === 0L, 0L)
+        .otherwise(ntile(5).over(Window.partitionBy($"s96" === 0L)
+          .orderBy($"s96".desc, $"o_custkey")).cast("long")))
+    tiered.groupBy($"t95", $"t96")
+      .agg(count(lit(1)).as("n_customers"), sum($"s96").as("rev96_cents"))
+      .orderBy($"t95", $"t96")
+  }
+
+  val q265Oracle: String =
+    """WITH spend AS (
+         SELECT o_custkey,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1995
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS s95,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS s96
+         FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         GROUP BY o_custkey),
+       t AS (
+         SELECT o_custkey, s96,
+           CASE WHEN s95 = 0 THEN 0
+                ELSE CAST(ntile(5) OVER (PARTITION BY s95 = 0
+                  ORDER BY s95 DESC, o_custkey) AS BIGINT) END AS t95,
+           CASE WHEN s96 = 0 THEN 0
+                ELSE CAST(ntile(5) OVER (PARTITION BY s96 = 0
+                  ORDER BY s96 DESC, o_custkey) AS BIGINT) END AS t96
+         FROM spend)
+       SELECT t95, t96, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(s96) AS BIGINT) AS rev96_cents
+       FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_cohort_ltv" -> q264CohortLtv,
+    "q265_tier_migration" -> q265TierMigration,
     "q263_state_occupancy" -> q263StateOccupancy,
     "q259_rolling_retention" -> q259RollingRetention,
     "q254_new_vs_returning" -> q254NewVsReturning,
@@ -1381,6 +1503,8 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q264_cohort_ltv" -> q264Oracle,
+    "q265_tier_migration" -> q265Oracle,
     "q263_state_occupancy" -> q263Oracle,
     "q259_rolling_retention" -> q259Oracle,
     "q254_new_vs_returning" -> q254Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.functions.Fns._
@@ -1004,7 +1005,73 @@ object Relational {
          CAST(sum(cents) AS BIGINT) AS v_maintained
        FROM j GROUP BY 1 ORDER BY 1"""
 
+  /** ABC revenue classification of parts (q266): A = parts covering
+    * the top 80% of revenue, B = the next 15%, C = the tail — the
+    * inventory-management Pareto cut (q175 reports concentration
+    * numbers; this assigns the classes and their populations). The
+    * boundary rule is "first part whose RUNNING share crosses the
+    * line starts the next class" (strictly-less comparison), ties
+    * broken by part key — deterministic in both engines.
+    *
+    * Shape: one partial-agg pass to per-part revenue; the running
+    * share is a cumulative window over the |parts| relation ordered
+    * by (revenue desc, key) — parts, not lineitems, get sorted (at
+    * 100 TB |parts| is dimension-sized; if even that were too big,
+    * q238's counting-pass selection finds the class boundaries
+    * without any sort). Class rollup is 3 rows. */
+  def q266AbcClassification(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("rev"))
+    val tot = perPart.agg(sum($"rev").as("total"))
+    perPart.crossJoin(broadcast(tot))
+      .withColumn("cum", sum($"rev").over(
+        Window.orderBy($"rev".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cls",
+        when(($"cum" - $"rev") * 100 < $"total" * 80, "A")
+          .when(($"cum" - $"rev") * 100 < $"total" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev").as("class_rev_cents"))
+      .withColumn("rev_share_bp",
+        sum($"class_rev_cents").over(Window.partitionBy()).cast("long"))
+      .select($"cls", $"n_parts", $"class_rev_cents",
+        expr("10000 * class_rev_cents div rev_share_bp").as("rev_share_bp"))
+      .orderBy($"cls")
+  }
+
+  val q266Oracle: String =
+    """WITH pp AS (
+         SELECT l_partkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS rev
+         FROM lineitem GROUP BY l_partkey),
+       tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM pp),
+       c AS (
+         SELECT rev, total,
+           CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM pp CROSS JOIN tot),
+       cls AS (
+         SELECT CASE WHEN (cum - rev) * 100 < total * 80 THEN 'A'
+                     WHEN (cum - rev) * 100 < total * 95 THEN 'B'
+                     ELSE 'C' END AS cls,
+           rev
+         FROM c),
+       agg AS (
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_rev_cents
+         FROM cls GROUP BY cls),
+       g AS (SELECT CAST(sum(class_rev_cents) AS BIGINT) AS allrev FROM agg)
+       SELECT cls, n_parts, class_rev_cents,
+         10000 * class_rev_cents // allrev AS rev_share_bp
+       FROM agg CROSS JOIN g ORDER BY cls"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_abc_classification" -> q266AbcClassification,
     "q257_join_ivm" -> q257JoinIvm,
     "q203_price_index" -> q203PriceIndex,
     "q191_null_aware_anti" -> q191NullAwareAnti,
@@ -1032,6 +1099,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_abc_classification" -> q266Oracle,
     "q257_join_ivm" -> q257Oracle,
     "q203_price_index" -> q203Oracle,
     "q191_null_aware_anti" -> q191Oracle,

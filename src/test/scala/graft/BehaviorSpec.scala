@@ -888,4 +888,41 @@ class BehaviorSpec extends SparkSpec {
     val shareSum = got.map(_.getAs[Long]("share_bp")).sum
     assert(shareSum >= 10000 - got.length && shareSum <= 10000)
   }
+
+  test("q264: LTV triangle is monotone and reconciles with total first-year revenue") {
+    val got = operators.Behavior.q264CohortLtv(spark, d).collect()
+    assert(got.nonEmpty)
+    // cumulative LTV is non-decreasing in age within a cohort
+    got.groupBy(_.getAs[String]("cohort")).foreach { case (c, rows) =>
+      val byAge = rows.sortBy(_.getAs[Long]("age"))
+      val ltv = byAge.map(_.getAs[Long]("cum_ltv_cents"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => a <= b }, s"$c not monotone")
+      assert(byAge.head.getAs[Long]("age") == 0L, s"$c missing age 0")
+    }
+    // cell revenues cover exactly the orders within 11 months of first
+    val totalCells = got.map(_.getAs[Long]("rev")).sum
+    val expected = graft.io.Tables.orders(spark, d)
+      .select($"o_custkey", (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .withColumn("m0", min($"m").over(Window.partitionBy($"o_custkey")))
+      .filter($"m" - $"m0" <= 11)
+      .agg(sum($"c")).as[Long].head()
+    assert(totalCells == expected)
+  }
+
+  test("q265: the migration matrix partitions customers; tiers are balanced") {
+    val got = operators.Behavior.q265TierMigration(spark, d).collect()
+    val nCust = graft.io.Tables.orders(spark, d)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .select($"o_custkey").distinct().count()
+    assert(got.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // row/col marginals for the NONZERO tiers are quintile-balanced
+    Seq("t95", "t96").foreach { axis =>
+      val marg = got.groupBy(_.getAs[Long](axis)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      val tiers = marg.filterKeys(_ > 0).values
+      if (tiers.nonEmpty)
+        assert(tiers.max - tiers.min <= 1, s"$axis quintiles unbalanced: $marg")
+    }
+  }
 }

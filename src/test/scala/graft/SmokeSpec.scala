@@ -168,4 +168,25 @@ class SmokeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(ivm).size >= 2,
       s"delta joins lost their broadcast shape:\n${ivm.take(2000)}")
   }
+
+  test("q266: ABC classes partition parts; shares bracket the 80/15/5 rule") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Relational.q266AbcClassification(spark, d).collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("class_rev_cents"),
+          r.getAs[Long]("rev_share_bp"))).toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    val nParts = graft.io.Tables.lineitem(spark, d)
+      .select($"l_partkey").distinct().count()
+    assert(got.values.map(_._1).sum == nParts)
+    // A's share is >= 80% minus one part's worth (the boundary part
+    // belongs to A by the strictly-less rule); C's is <= 5% plus dust
+    assert(got("A")._3 >= 7900 && got("A")._3 <= 9000, s"A share ${got("A")._3}")
+    // TPC-H part revenue is near-uniform, so A legitimately holds most
+    // parts here — the classifier's value shows on skewed catalogs; the
+    // partition and share brackets are the engine-level contract
+    assert(got("C")._3 <= 600, s"C share ${got("C")._3}")
+    assert(got.values.map(_._3).sum >= 10000 - 3 && got.values.map(_._3).sum <= 10000)
+  }
 }
