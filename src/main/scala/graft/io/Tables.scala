@@ -31,13 +31,20 @@ object Tables {
     * way. Oracle parity: DuckDB reads the same file natively; outputs
     * derived from `ts` compare at microsecond-or-coarser granularity. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // DELIBERATE session-global mutation, kept (unlike the streaming
-    // readers, which require the builder-set conf): this is the one
-    // entry point a driver-owned session (e.g. the smoke check calling
-    // SparkEntry.entry) reaches without our builders, and a
-    // nanos-generation file would otherwise refuse to read outright.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(s, d, "events")
+    // No hidden session mutation here: the nanos-generation legacy conf
+    // is the session builder's job (Bench/Verify/QTime/Explain and the
+    // test sessions all set it). If a builder-less session meets a
+    // nanos-generation file, surface the one-line fix instead of
+    // Spark's opaque "Illegal Parquet type".
+    val raw =
+      try read(s, d, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            s"$d/events.parquet carries TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true in the " +
+              "SparkSession builder (as graft.Bench/Verify do)", e)
+      }
     raw.schema("ts").dataType match {
       // nanos generation: integer division (ns values exceed 2^53,
       // double `/` mis-truncates), then micros → timestamp

@@ -1033,11 +1033,15 @@ object Similarity {
     *
     * Exactness: coordinates are floor(double(dim)·1000) milli-units
     * (float→double is exact, one shared floor), shifted +1000 so the
-    * cell id is a plain `div` (toward-zero == floor only for
-    * non-negative operands). ε = 60 milli, minPts = 4; all distances
-    * int64. Output: per-class point count and total neighbor-degree.
+    * cell coordinate is a plain `div` (toward-zero == floor only for
+    * non-negative operands — the shift covers the embeddings' unit
+    * range; a reuse outside [-1, 1] coordinates must re-shift, which
+    * is why the cell is a (cellx, celly) composite join key rather
+    * than an arithmetic pack: the pack added a second, silent range
+    * assumption). ε = 60 milli, minPts = 4; all distances int64.
+    * Output: per-class point count and total neighbor-degree.
     *
-    * Shape: one bounded explode (9×), one equi shuffle join on cell id,
+    * Shape: one bounded explode (9×), one equi shuffle join on the cell pair,
     * a per-point partial-agg count, and a broadcast semi-join of the
     * core set back onto the pair relation for borders. Degrees and
     * classes are |points|-sized; nothing is ever N². */
@@ -1050,16 +1054,20 @@ object Similarity {
         .cast("long") + 1000L).as("x"),
       (floor(element_at($"embedding", 2).cast("double") * 1000.0)
         .cast("long") + 1000L).as("y"))
+    // the cell id is TWO join columns, not an arithmetic pack: a packed
+    // xdiv*K + ydiv collides once the y extent exceeds K cells, so the
+    // composite key is the reuse-safe form (the shuffle hashes both
+    // columns together — same exchange, no collision surface)
     val build = pts.select($"vec_id".as("b_id"), $"x".as("bx"), $"y".as("by"),
-      (expr(s"x div $eps") * 10000L + expr(s"y div $eps")).as("cell"))
+      expr(s"x div $eps").as("cellx"), expr(s"y div $eps").as("celly"))
     val off = Seq(-1L, 0L, 1L)
     val probe = pts
       .withColumn("dx", explode(typedLit(off)))
       .withColumn("dy", explode(typedLit(off)))
       .select($"vec_id".as("a_id"), $"x".as("ax"), $"y".as("ay"),
-        ((expr(s"x div $eps") + $"dx") * 10000L +
-          (expr(s"y div $eps") + $"dy")).as("cell"))
-    val pairs = probe.join(build, "cell")
+        (expr(s"x div $eps") + $"dx").as("cellx"),
+        (expr(s"y div $eps") + $"dy").as("celly"))
+    val pairs = probe.join(build, Seq("cellx", "celly"))
       .filter($"a_id" =!= $"b_id" &&
         ($"ax" - $"bx") * ($"ax" - $"bx") +
           ($"ay" - $"by") * ($"ay" - $"by") <= eps * eps)

@@ -1902,9 +1902,13 @@ object Stats {
         log($"cy".cast("double") / $"n".cast("double"))) * lit(1000000.0))
         .cast("long").as("term"))
       .agg(sum($"term").as("hy_micro"))
+    // nullif on the entropy geomean: a degenerate marginal (single
+    // segment or single nation ⇒ hx or hy = 0) must yield NULL in BOTH
+    // engines — Spark's `div` nulls on zero while DuckDB's `//` raises,
+    // so without the shared guard the two diverge on degenerate data
     mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
       .withColumn("nmi_milli",
-        expr("mi_micro * 1000 div CAST(floor(sqrt(CAST(hx_micro AS DOUBLE) * CAST(hy_micro AS DOUBLE))) AS BIGINT)"))
+        expr("mi_micro * 1000 div nullif(CAST(floor(sqrt(CAST(hx_micro AS DOUBLE) * CAST(hy_micro AS DOUBLE))) AS BIGINT), 0)"))
   }
 
   val q234Oracle: String =
@@ -1936,7 +1940,7 @@ object Stats {
              AS hy_micro
          FROM (SELECT DISTINCT y, cy, n FROM m))
        SELECT n, mi_micro, hx_micro, hy_micro,
-         mi_micro * 1000 // CAST(floor(sqrt(CAST(hx_micro AS DOUBLE) * CAST(hy_micro AS DOUBLE))) AS BIGINT)
+         mi_micro * 1000 // nullif(CAST(floor(sqrt(CAST(hx_micro AS DOUBLE) * CAST(hy_micro AS DOUBLE))) AS BIGINT), 0)
            AS nmi_milli
        FROM mi CROSS JOIN hx CROSS JOIN hy"""
 

@@ -1183,11 +1183,14 @@ object Windows {
     *
     * Tie discipline: as-of semantics need a UNIQUE time per key or
     * the winner is undefined — the effective time is
-    * epoch_µs(orderdate) + orderkey (day granularity is 8.64e10 µs,
-    * orderkeys are far smaller, so same-day orders stay inside their
-    * day and resolve to the LARGEST orderkey, deterministically in
-    * both engines); the probe time is end-of-ship-day so same-day
-    * changes apply. Output: revenue rollup by effective priority ×
+    * epoch_µs(orderdate) + orderkey MOD 8.64e10 (one day of µs): the
+    * residue keeps every orderkey inside its own day no matter how
+    * large keys grow at scale (a raw `+ orderkey` would silently
+    * spill into later days once keys exceed 8.64e10), and same-day
+    * orders resolve to the LARGEST residue, deterministically in
+    * both engines (a same-day residue collision needs two orderkeys
+    * ≡ mod 8.64e10 for one customer on one day); the probe time is
+    * end-of-ship-day so same-day changes apply. Output: revenue rollup by effective priority ×
     * returnflag.
     *
     * Shape: the fact side is lineitem⋈orders on orderkey (the q03
@@ -1204,7 +1207,8 @@ object Windows {
       .join(orders.select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
     val dim = orders.select($"o_custkey".as("d_cust"),
-      (unix_micros($"o_orderdate".cast("timestamp")) + $"o_orderkey").as("eff_t"),
+      (unix_micros($"o_orderdate".cast("timestamp"))
+        + pmod($"o_orderkey", lit(86400000000L))).as("eff_t"),
       $"o_orderpriority".as("eff_priority"))
     graft.plans.AsOf.join(facts, dim, "o_custkey", "ship_t", "d_cust", "eff_t")
       // a few synthetic lineitems ship BEFORE their own order date; the
@@ -1224,7 +1228,7 @@ object Windows {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        dim AS (
          SELECT o_custkey AS dcust,
-           CAST(epoch_us(o_orderdate) + o_orderkey AS BIGINT) AS eff_t,
+           CAST(epoch_us(o_orderdate) + o_orderkey % 86400000000 AS BIGINT) AS eff_t,
            o_orderpriority AS eff_priority
          FROM orders)
        SELECT coalesce(eff_priority, '0-NONE') AS eff_priority,

@@ -12,19 +12,20 @@ import graft.io.Tables
   *
   * The decontamination probe is the canonical STREAM-STATIC shape:
   * the benchmark shingle set is static and small (a benchmark suite),
-  * the document stream is unbounded. Keeping the per-doc shingle set
-  * as one array row (the single-pass ShingleHashes expression) makes
-  * the whole probe STATELESS — `array_intersect` against the pinned
-  * benchmark array is a per-row scalar op, so the query runs in
-  * append mode with no watermark, no state store, and no shuffle.
-  * That is the only shape that survives an endless stream: any
-  * formulation that explodes shingles and re-aggregates per doc_id
-  * would accumulate unbounded aggregation state.
+  * the document stream is unbounded. The set rides in as a ONE-ROW
+  * broadcast relation (array column) joined on a constant key, and
+  * keeping the per-doc shingle set as one array row (the single-pass
+  * ShingleHashes expression) makes the probe itself a per-row scalar
+  * `array_intersect` — so the query is STATELESS: append mode, no
+  * watermark, no state store, no shuffle, and no driver collect at
+  * stream start. That is the only shape that survives an endless
+  * stream: any formulation that explodes shingles and re-aggregates
+  * per doc_id would accumulate unbounded aggregation state.
   *
-  * At real scale the pinned array is a broadcast variable per
-  * executor (same memory budget as the batch q78 broadcast); if the
-  * benchmark set ever outgrows memory, swap to a bloom-filter column
-  * (build once, `might_contain` per row — still stateless).
+  * If the benchmark set ever outgrows executor memory, swap the
+  * array relation for the q49 bloom build (bloom_filter_agg once,
+  * `might_contain` per row — still stateless; exactness then needs
+  * the q49 two-tier verify).
   */
 object DocStreams {
 
@@ -36,22 +37,33 @@ object DocStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The static side: distinct benchmark shingle hashes (source =
-    * 'src0'), collected once at stream start. Sorted for determinism. */
-  def benchmarkShingles(s: SparkSession, d: String): Array[Long] = {
+  /** The static side: the distinct benchmark shingle hashes (source =
+    * 'src0') as a ONE-ROW broadcast relation — a sorted array column,
+    * never collected to the driver. The stream joins this row in via a
+    * broadcast stream-static equi-join, so the benchmark set is built
+    * by executors, shipped once per executor, and the stream-start
+    * path is collect-free (the previous Array[Long] form materialized
+    * the whole set on the driver and embedded it in every task's
+    * serialized plan as a literal). */
+  def benchmarkShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .filter($"source" === "src0")
       .select(explode(
         graft.functions.TextExprs.shingle_hashes($"text", 3, 15)).as("sh"))
       .distinct()
-      .as[Long].collect().sorted
+      .agg(array_sort(collect_list($"sh")).as("bench_arr"))
+      .withColumn("k", lit(1))
   }
 
-  /** Shared transform: per-doc contamination against the pinned
-    * benchmark set. Works identically on batch and streaming inputs —
-    * asserted equal to the batch q78 output in DocStreamsSpec. */
-  def decontam(docs: DataFrame, bench: Array[Long]): DataFrame = {
+  /** Shared transform: per-doc contamination against the benchmark
+    * relation. Works identically on batch and streaming inputs —
+    * asserted equal to the batch q78 output in DocStreamsSpec. The
+    * join is stream-static on a constant key with a broadcast 1-row
+    * static side (a broadcast hash join, no shuffle, no state), and
+    * the probe stays a per-row scalar `array_intersect` — the whole
+    * query remains stateless append-mode. */
+  def decontam(docs: DataFrame, bench: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -59,16 +71,18 @@ object DocStreams {
       .select($"doc_id",
         graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
       .filter(size($"shs") > 0)
+      .withColumn("k", lit(1))
+      .join(broadcast(bench), Seq("k"))
       .select($"doc_id",
         size($"shs").cast("long").as("n_shingles"),
-        size(array_intersect($"shs", typedLit(bench))).cast("long").as("n_contam"))
+        size(array_intersect($"shs", $"bench_arr")).cast("long").as("n_contam"))
       .withColumn("contam_permille", expr("n_contam * 1000 div n_shingles"))
   }
 
   /** Streaming entry: file-source stream over a staged documents dir,
     * decontaminated on arrival. Stateless → append mode. */
   def decontamStream(s: SparkSession, docsDir: String,
-      bench: Array[Long]): DataFrame =
+      bench: DataFrame): DataFrame =
     decontam(
       s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
         .parquet(docsDir),

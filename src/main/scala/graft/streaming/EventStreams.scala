@@ -29,6 +29,40 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming events reader, generation-aware like the batch
+    * [[graft.io.Tables.events]]: probes the directory's parquet footer
+    * for the `ts` physical type — a TIMESTAMP(NANOS) generation
+    * surfaces as LongType under the builder-set legacy conf, a
+    * TIMESTAMP(MICROS) generation as a timestamp — declares the
+    * matching read schema, and normalizes to a session-zone
+    * TimestampType column either way, so every stream below is
+    * generation-agnostic. A builder-less session meeting a nanos file
+    * gets the same actionable error as the batch path. */
+  def readEventsStream(s: SparkSession, eventsDir: String,
+      oneFilePerTrigger: Boolean = true): DataFrame = {
+    val probed =
+      try s.read.parquet(eventsDir).schema
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            s"$eventsDir carries TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true in the " +
+              "SparkSession builder (as graft.Bench/Verify do)", e)
+      }
+    val tsType = probed("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val rd0 = s.readStream.schema(schema)
+    val rd = if (oneFilePerTrigger) rd0.option("maxFilesPerTrigger", "1") else rd0
+    val raw = rd.parquet(eventsDir)
+    tsType match {
+      // nanos generation: integer division (ns exceed 2^53), then
+      // micros → timestamp — same arithmetic as Tables.events
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   /** Shared transform: nanos → timestamp, watermark, 1-hour tumbling
     * windows per event type. Works on both batch and streaming inputs. */
   def hourlyCounts(events: DataFrame): DataFrame = {
@@ -49,7 +83,7 @@ object EventStreams {
     * events parquet files — callers with a single-file layout stage a
     * directory (see StreamingSpec). */
   def hourlyCountsStream(s: SparkSession, eventsDir: String): DataFrame = {
-    hourlyCounts(s.readStream.schema(rawSchema).parquet(eventsDir))
+    hourlyCounts(readEventsStream(s, eventsDir, oneFilePerTrigger = false))
   }
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----
@@ -103,9 +137,7 @@ object EventStreams {
     * sessions only — open ones stay in state awaiting more batches). */
   def sessionsStream(s: SparkSession, eventsDir: String, gapUs: Long): Dataset[Session] = {
     import s.implicits._
-    val evs = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    val evs = readEventsStream(s, eventsDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).as[SessionEvent]
     sessionizeStateful(evs, gapUs, emitOpen = false)
   }
@@ -305,9 +337,7 @@ object EventStreams {
   /** Streaming first-seen over a staged events dir. */
   def firstSeenStream(s: SparkSession, eventsDir: String): Dataset[FirstSeen] = {
     import s.implicits._
-    s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    readEventsStream(s, eventsDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).as[SessionEvent]
       .transform(firstSeenStateful)
   }
@@ -327,9 +357,7 @@ object EventStreams {
   /** Streaming rolling rate over the staged events dir. */
   def rollingRateStream(s: SparkSession, eventsDir: String): Dataset[RateRow] = {
     import s.implicits._
-    s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    readEventsStream(s, eventsDir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         floor(col("value") * 1000).cast("long").as("vmilli")).as[RateEvent]
       .transform(rollingRateStateful)
@@ -338,9 +366,7 @@ object EventStreams {
   /** Streaming funnel over the staged events dir. */
   def funnelStream(s: SparkSession, eventsDir: String): Dataset[FunnelAdvance] = {
     import s.implicits._
-    val evs = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    val evs = readEventsStream(s, eventsDir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us")).as[FunnelEvent]
     funnelStateful(evs)
@@ -387,9 +413,7 @@ object EventStreams {
   def heavyHittersStream(s: SparkSession, eventsDir: String, k: Int = 9,
       nShards: Int = 8): Dataset[HHSnapshot] = {
     import s.implicits._
-    s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    readEventsStream(s, eventsDir)
       .select(when(col("user_id") % 10 < 7, col("user_id") % 3)
         .otherwise(col("user_id")).as("key"))
       .select(col("key"), (col("key") % nShards).cast("int").as("shard"))
@@ -489,9 +513,7 @@ object EventStreams {
   /** µs-timestamped streaming read of a staged events dir (session-zone
     * TimestampType, matching the batch Tables.events output). */
   def eventsStream(s: SparkSession, eventsDir: String): DataFrame = {
-    s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    readEventsStream(s, eventsDir)
       .withColumn("ts", col("ts").cast(TimestampType))
   }
 
@@ -535,9 +557,7 @@ object EventStreams {
   def typeTotalsStream(s: SparkSession, eventsDir: String): Dataset[TypeTotals] = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+    readEventsStream(s, eventsDir)
       .select($"event_type", ($"value" * 100).cast("long").as("cents"))
       .as[(String, Long)]
       .groupByKey(_._1)

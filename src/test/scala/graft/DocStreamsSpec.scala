@@ -11,7 +11,7 @@ class DocStreamsSpec extends SparkSpec {
   test("streaming decontam == batch q78 on sf0.001") {
     val d = "/root/testdata/sf0.001"
     val bench = DocStreams.benchmarkShingles(spark, d)
-    assert(bench.nonEmpty)
+    assert(bench.head().getSeq[Long](0).nonEmpty)
 
     val batch = Corpus.q78Decontam(spark, d)
       .collect().map(_.toSeq).toSet
