@@ -4,13 +4,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark surface for the driver: runs every `SparkEntry.queries` entry
   * against `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * Methodology: one warmup pass over the entry query, then TWO measured
-  * passes per query, reporting the per-query MIN — plus an adaptive THIRD
-  * pass (min-of-3) when the first two disagree by >1.5× on a ≥1 s query
-  * or one of them failed. Single-pass numbers on a shared 32-core box
-  * swing ±10-20% (one round-1 run showed 23 s on a normally-1.2 s query
-  * from JIT/GC noise; a round-2 driver run published 4.8 s for a steady
-  * 1.7 s query even at min-of-2).
+  * Methodology: a JVM warmup plus one untimed warm-up query PER
+  * OPERATOR MODULE (at sf0.001 — primes each module's codegen and
+  * classloading), then TWO measured passes per query in DIFFERENT
+  * deterministic shuffles of the suite (decorrelates neighbors and
+  * suite position between passes), reporting the per-query MIN — plus
+  * an adaptive THIRD pass (min-of-3) when the first two disagree by
+  * >1.5× on a ≥1 s query or one of them failed. Per-query max/min
+  * spread lands in bench_detail.json ("spread_permille") so future
+  * rounds can read a "regression" against the measured noise band.
+  * Single-pass numbers on a shared 32-core box swing ±10-20% (one
+  * round-1 run showed 23 s on a normally-1.2 s query from JIT/GC
+  * noise; a round-2 driver run published 4.8 s for a steady 1.7 s
+  * query even at min-of-2).
   * Each query is forced through a noop datasource write, not `count()` —
   * count lets Catalyst prune every computed column, so a projection-heavy
   * query would report scan cost only.
@@ -40,10 +46,33 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val names = SparkEntry.queries.keys.toSeq
-    val pass1 = names.map(n => n -> once(SparkEntry.queries(n))).toMap
-    val pass2 = names.map(n => n -> once(SparkEntry.queries(n))).toMap
-    val results = names.map { n =>
+    // per-module warm-up: one untimed query per operator module, at the
+    // SMALLEST scale dir available (the point is classloading + codegen
+    // of that module's expressions, not data) — without it, whichever of
+    // a module's queries the shuffled order reaches first absorbs its
+    // one-time costs
+    val warmDir = {
+      val sf001 = "/root/testdata/sf0.001"
+      if (new java.io.File(sf001).isDirectory) sf001 else sfDir
+    }
+    SparkEntry.queryModules.toSeq.sortBy(_._1).foreach { case (_, qs) =>
+      qs.sorted.headOption.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    // each pass visits the suite in a DIFFERENT deterministic shuffle:
+    // neighbors decorrelate (a GC pause or compilation storm stops
+    // taxing the same queries in both passes), and a query's pass-1 JIT
+    // charge meets a clean pass-2 sample at a different suite position —
+    // deterministic seeds keep driver runs reproducible
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val order1 = new scala.util.Random(101).shuffle(names)
+    val order2 = new scala.util.Random(202).shuffle(names)
+    val pass1 = order1.map(n => n -> once(SparkEntry.queries(n))).toMap
+    val pass2 = order2.map(n => n -> once(SparkEntry.queries(n))).toMap
+    val measured = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       // min of the successful passes; -1 only if BOTH failed
       val m = if (a < 0) b else if (b < 0) a else math.min(a, b)
@@ -52,11 +81,25 @@ object Bench {
       // single unchecked sample — is usually JIT/GC noise on the shared
       // box (a round-2 driver run published q03 at 4.8 s vs its usual
       // 1.7 s); one more measurement costs seconds and de-noises the min
-      val v = if (m >= 1.0 && (a < 0 || b < 0 || math.max(a, b) > 1.5 * m)) {
-        val t3 = once(SparkEntry.queries(n))
-        if (t3 < 0) m else math.min(m, t3) // a failed re-run never masks m
-      } else m
-      n -> v
+      val samples =
+        if (m >= 1.0 && (a < 0 || b < 0 || math.max(a, b) > 1.5 * m)) {
+          val t3 = once(SparkEntry.queries(n))
+          Seq(a, b, t3)
+        } else Seq(a, b)
+      n -> samples
+    }
+    val results = measured.map { case (n, samples) =>
+      val ok = samples.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // spread = max/min over successful samples, permille — the measured
+    // noise band per query, recorded so a "regression" in a future round
+    // can be read against this round's variance before anyone tunes a
+    // plan that didn't change
+    val spread = measured.map { case (n, samples) =>
+      val ok = samples.filter(_ >= 0)
+      n -> (if (ok.isEmpty || ok.min == 0) -1L
+        else math.round(ok.max / ok.min * 1000))
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full-precision, full-name detail goes to a FILE: the driver records
@@ -66,8 +109,10 @@ object Bench {
     // headline "metric"/"value" fields) was truncated away.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreadQs = spread.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread_permille":$spreadQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -36,6 +36,31 @@ object SparkEntry {
       operators.Quality.queries ++
       operators.Behavior.queries
 
+  /** Operator module → its query names, for the bench's per-module
+    * JVM warm-up (one untimed query per module primes that module's
+    * codegen/classloading so it isn't charged to whichever of its
+    * queries the shuffled timing order reaches first). */
+  def queryModules: Map[String, Seq[String]] = Map(
+    "Relational" -> operators.Relational.queries.keys.toSeq,
+    "Scalars" -> operators.Scalars.queries.keys.toSeq,
+    "Windows" -> operators.Windows.queries.keys.toSeq,
+    "TextAnalysis" -> operators.TextAnalysis.queries.keys.toSeq,
+    "Dedup" -> operators.Dedup.queries.keys.toSeq,
+    "Similarity" -> operators.Similarity.queries.keys.toSeq,
+    "Parity" -> operators.Parity.queries.keys.toSeq,
+    "Multimodal" -> operators.Multimodal.queries.keys.toSeq,
+    "Stats" -> operators.Stats.queries.keys.toSeq,
+    "RangeJoin" -> operators.RangeJoin.queries.keys.toSeq,
+    "Reshape" -> operators.Reshape.queries.keys.toSeq,
+    "Corpus" -> operators.Corpus.queries.keys.toSeq,
+    "Curation" -> operators.Curation.queries.keys.toSeq,
+    "Graph" -> operators.Graph.queries.keys.toSeq,
+    "Prep" -> operators.Prep.queries.keys.toSeq,
+    "Retrieval" -> operators.Retrieval.queries.keys.toSeq,
+    "Quality" -> operators.Quality.queries.keys.toSeq,
+    "Behavior" -> operators.Behavior.queries.keys.toSeq,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

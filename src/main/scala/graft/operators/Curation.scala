@@ -857,20 +857,18 @@ object Curation {
     * shard moves only the keys in the arcs its vnodes claim (~1/9 of
     * the data), where modulo sharding moves nearly everything.
     *
-    * The successor lookup is the FFILL IDIOM RUN BACKWARD: union the
-    * 128 vnode rows with the doc rows, sort by position DESCENDING
-    * (vnodes first on the impossible tie), and forward-fill the last
-    * seen vnode — each doc picks up the nearest vnode above it; docs
-    * above the top vnode coalesce to the ring's minimum-position vnode
-    * (the wrap). Output is the per-shard load profile with imbalance
-    * in bp of the 1/8 ideal.
-    *
-    * Scale note: the union trick costs one GLOBAL sort of the doc
-    * relation — correct but the wrong plan at 100 TB; there you
-    * broadcast the 128-point ring as a literal array and binary-search
-    * it per row (scan-local, no shuffle), or range-join against the
-    * [pos, next_pos) arc table. The ring-arc table IS this query's
-    * vnode relation — the production form reuses it unchanged. */
+    * The successor lookup is a BROADCAST ARC RANGE JOIN — the
+    * production shape: the 128-vnode ring becomes its arc table
+    * ((prev_pos, pos] per vnode, built with one lag window over the
+    * LITERAL ring relation — 128 rows, no data source anywhere near
+    * it), each doc key probes the broadcast arcs with a range
+    * predicate (scan-local, ~128 comparisons per row, no shuffle of
+    * the doc relation), and keys above the top vnode left-join-miss
+    * into the ring's minimum-position vnode (the wrap). Output is the
+    * per-shard load profile with imbalance in bp of the 1/8 ideal.
+    * (An earlier form unioned vnodes into the doc stream and ran a
+    * global desc-sort forward-fill — correct, but one global sort of
+    * the doc relation; the arc probe is what survives 100 TB.) */
   def q208HashRing(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ring = (0 until 8).flatMap(sh => (0 until 16).map(v => (sh, v)))
@@ -879,17 +877,19 @@ object Curation {
         hash60(concat_ws(":", lit("shard"), $"shard", $"v")).as("pos"))
     val minVnode = ring.orderBy($"pos").limit(1)
       .select($"vnode_shard".as("wrap_shard"))
+    // arc table: vnode at `pos` owns keys in (prev_pos, pos]; the lag
+    // window runs over the 128-row literal ring, not over data
+    val wRing = Window.orderBy($"pos")
+    val arcs = ring
+      .withColumn("lo", lag($"pos", 1).over(wRing))
+      .select($"vnode_shard", $"lo", $"pos".as("hi"))
     val keys = Tables.documents(s, d)
       .select($"doc_id", hash60($"doc_id".cast("string")).as("pos"))
-    val union = ring.select($"pos", $"vnode_shard", lit(null).cast("long").as("doc_id"))
-      .unionByName(keys.select($"pos", lit(null).cast("long").as("vnode_shard"), $"doc_id"))
-    val w = Window.orderBy($"pos".desc, $"vnode_shard".desc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    union
-      .withColumn("owner", last($"vnode_shard", ignoreNulls = true).over(w))
-      .filter($"doc_id".isNotNull)
+    keys
+      .join(broadcast(arcs),
+        ($"lo".isNull || $"pos" > $"lo") && $"pos" <= $"hi", "left_outer")
       .crossJoin(broadcast(minVnode))
-      .select($"doc_id", coalesce($"owner", $"wrap_shard").as("shard"))
+      .select($"doc_id", coalesce($"vnode_shard", $"wrap_shard").as("shard"))
       .groupBy($"shard").agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(
         Tables.documents(s, d).agg(count(lit(1)).as("n_total"))))

@@ -341,11 +341,17 @@ object Prep {
     * integer: bp = (rank−1)·10⁴ div (n−1), global position =
     * 1 + bp·(N−1) div 10⁴.
     *
-    * Scale note: the within-source rank partitions by source (fine);
-    * the GLOBAL rank here is an exact single-partition sort — the
-    * audit-scale formulation. At 100 TB the global side swaps to the
-    * q149 q-digest (map bp → digest quantile) with everything else
-    * unchanged; the exact form is what validates that sketch. */
+    * Scale note: the within-source rank partitions by source (fine).
+    * The GLOBAL side never sorts rows: the score at global position p
+    * depends only on the score MULTISET, so it is read off the score
+    * VALUE HISTOGRAM (groupBy(score), bounded — n_chars has bounded
+    * cardinality) — and only the ≤ 10⁴+1 positions the bp grid can
+    * ever request are looked up, via a broadcast range join of the
+    * needed-position set against the histogram's cumulative ranges.
+    * Identical output to the row_number formulation (position→value is
+    * tiebreak-independent), zero row-level global windows. At 100 TB
+    * the same map can swap to the q149 q-digest (q169b is that twin,
+    * contract-checked against this exact form). */
   def q169QuantileNorm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"source",
@@ -357,12 +363,20 @@ object Prep {
       .withColumn("nsrc", count(lit(1)).over(Window.partitionBy($"source")))
       .withColumn("bp", expr("(r - 1) * 10000 div (nsrc - 1)"))
       .withColumn("gpos", expr(s"1 + bp * (${n} - 1) div 10000"))
-    val globalSorted = docs
-      .select($"score".as("gscore"), $"doc_id".as("gdoc"))
-      .withColumn("gpos", row_number().over(
-        Window.orderBy($"gscore", $"gdoc")).cast("long"))
+    // value histogram of the global score distribution: position p
+    // falls in the value v whose cumulative range [gcumb+1, gcumb+gcnt]
+    // contains p
+    val wg = Window.orderBy($"gscore")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gmap = docs.groupBy($"score".as("gscore"))
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcumb", coalesce(sum($"gcnt").over(wg), lit(0L)))
+    // only the grid-reachable positions are resolved (≤ 10⁴+1 rows)
+    val needed = srcRank.select($"gpos").distinct()
+    val globalAtPos = gmap.join(broadcast(needed),
+        $"gpos" > $"gcumb" && $"gpos" <= $"gcumb" + $"gcnt")
       .select($"gpos", $"gscore")
-    srcRank.join(globalSorted, "gpos")
+    srcRank.join(broadcast(globalAtPos), "gpos")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"score").as("sum_raw"),
@@ -394,8 +408,112 @@ object Prep {
        FROM sr JOIN gs ON sr.gpos = gs.gpos
        GROUP BY 1 ORDER BY 1"""
 
+  /** Quantile normalization, SKETCHED global side (q169b) — the
+    * at-scale twin q169's scaladoc promises: the within-source bp →
+    * global-value map goes through ONE mergeable q-digest
+    * ([[graft.functions.QDigestQuantiles]], depth 16 / k 2048 over the
+    * n_chars universe) instead of any exact global rank structure.
+    * Map tasks ship ≤3k counters, the digest answers every grid bp —
+    * that is the piece that still works when the corpus is 100 TB and
+    * even the value histogram is inconvenient to window over.
+    *
+    * Contract-checked against the exact form, q149/q54-style: for
+    * each bp on a 21-point grid the query reports the EXACT global
+    * value at that position (read off the value histogram, as q169
+    * does) and evaluates the q-digest rank-error theorem exactly
+    * against the histogram — `le_ok` (the estimate's rank reaches the
+    * target) and `lt_ok` (it overshoots by ≤ εn = 2·depth·n/k + 2)
+    * are pinned TRUE by the oracle. The digest's own estimates stay
+    * internal (compress points are data-split dependent; only exact
+    * columns and always-true bounds are cross-engine comparable).
+    *
+    * Shape: one scan feeds (a) the per-source ranked grid lookup
+    * (windows partitioned by source), (b) the digest (partial-agg),
+    * (c) the value histogram; the audit is arithmetic over two ≤21-row
+    * broadcasts and the bounded histogram. */
+  def q169bQuantileNormDigest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 16; val k = 2048
+    val grid = (0 to 10000 by 500).toSeq
+    val docs = Tables.documents(s, d).select($"doc_id", $"source",
+      $"n_chars".as("score"))
+    val n = docs.count()
+    // per-source exact value at each grid bp (partitioned windows)
+    val ranked = docs
+      .withColumn("r", row_number().over(Window.partitionBy($"source")
+        .orderBy($"score", $"doc_id")))
+    val nsrc = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val srcGrid = nsrc
+      .withColumnRenamed("source", "gsource")
+      .withColumn("phi_bp", explode(typedLit(grid.map(_.toLong))))
+      .withColumn("p_src", expr("1 + phi_bp * (n_src - 1) div 10000"))
+    val srcVal = ranked.join(broadcast(srcGrid),
+        $"source" === $"gsource" && $"r" === $"p_src")
+      .select($"source", $"phi_bp", $"n_src", $"score".as("src_score"))
+    // global value histogram (bounded) + exact value at each grid bp
+    val wg = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    val ghist = docs.groupBy($"score".as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(sum($"cnt").over(wg), lit(0L)))
+    val posn = grid.map(_.toLong).toDF("phi_bp")
+      .withColumn("gpos", expr(s"1 + phi_bp * (${n} - 1) div 10000"))
+    val exact = ghist.join(broadcast(posn),
+        $"gpos" > $"cumb" && $"gpos" <= $"cumb" + $"cnt")
+      .select($"phi_bp", $"v".as("gcal_exact"))
+    // the sketch: one global q-digest, one estimate per grid bp
+    val qd = udaf(new graft.functions.QDigestQuantiles(depth, k, grid.map(_.toInt)))
+    val ests = docs.agg(qd($"score").as("ests"))
+      .select(posexplode($"ests").as(Seq("pos", "est")))
+      .select(element_at(typedLit(grid.map(_.toLong)), $"pos" + 1)
+        .as("phi_bp"), $"est")
+    // exact rank audit of each estimate against the histogram
+    val audit = ghist.crossJoin(broadcast(ests))
+      .groupBy($"phi_bp", $"est")
+      .agg(sum(when($"v" <= $"est", $"cnt").otherwise(lit(0L))).as("r_le"),
+        sum(when($"v" < $"est", $"cnt").otherwise(lit(0L))).as("r_lt"))
+      .select($"phi_bp",
+        ($"r_le" >= ceil(lit(n) * $"phi_bp" / lit(10000.0)).cast("long"))
+          .as("le_ok"),
+        ($"r_lt" <= (lit(n) * $"phi_bp" / lit(10000.0)).cast("long")
+          + lit(2L * depth) * lit(n) / lit(k) + 2L).as("lt_ok"))
+    srcVal
+      .join(broadcast(exact), "phi_bp")
+      .join(broadcast(audit), "phi_bp")
+      .withColumn("n", lit(n))
+      .select($"source", $"phi_bp", $"n_src", $"src_score",
+        $"gcal_exact", $"n", $"le_ok", $"lt_ok")
+      .orderBy($"source", $"phi_bp")
+  }
+
+  val q169bOracle: String =
+    """WITH docs AS (
+         SELECT doc_id, source, n_chars AS score FROM documents),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+       grid AS (SELECT CAST(unnest(generate_series(0, 10000, 500)) AS BIGINT) AS phi_bp),
+       ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM docs GROUP BY 1),
+       ranked AS (
+         SELECT source, score,
+           row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r
+         FROM docs),
+       sv AS (
+         SELECT ns.source, g.phi_bp, ns.n_src, ranked.score AS src_score
+         FROM ns CROSS JOIN grid g
+         JOIN ranked ON ranked.source = ns.source
+           AND ranked.r = 1 + g.phi_bp * (ns.n_src - 1) // 10000),
+       granked AS (
+         SELECT score, row_number() OVER (ORDER BY score, doc_id) AS gr
+         FROM docs),
+       ge AS (
+         SELECT g.phi_bp, granked.score AS gcal_exact
+         FROM grid g CROSS JOIN nn
+         JOIN granked ON granked.gr = 1 + g.phi_bp * (nn.n - 1) // 10000)
+       SELECT sv.source, sv.phi_bp, sv.n_src, sv.src_score,
+         ge.gcal_exact, nn.n AS n, TRUE AS le_ok, TRUE AS lt_ok
+       FROM sv JOIN ge ON sv.phi_bp = ge.phi_bp CROSS JOIN nn
+       ORDER BY sv.source, sv.phi_bp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_quantile_norm" -> q169QuantileNorm,
+    "q169b_quantile_norm_digest" -> q169bQuantileNormDigest,
     "q161_power_iter" -> q161PowerIter,
     "q131_cdc_chunks" -> q131CdcChunks,
     "q91_doc_chunks" -> q91DocChunks,
@@ -406,6 +524,7 @@ object Prep {
 
   val oracles: Map[String, String] = Map(
     "q169_quantile_norm" -> q169Oracle,
+    "q169b_quantile_norm_digest" -> q169bOracle,
     "q161_power_iter" -> q161Oracle,
     "q131_cdc_chunks" -> q131Oracle,
     "q91_doc_chunks" -> q91Oracle,

@@ -412,13 +412,32 @@ object Quality {
     * random? This is the curation counterpart of a marketing gains
     * chart, and the decision artifact behind every "keep the top X%"
     * threshold (q193 spends a budget this way; this measures whether
-    * the score deserves it). Deciles come from ntile(10) over the
-    * TOTAL order (score desc, doc_id); gains/lift are integer bp
-    * divisions of exact cumulative counts.
+    * the score deserves it). Deciles are EXACT ntile(10) semantics
+    * over the total order (score desc, doc_id) — but computed without
+    * a global row-level sort. Gains/lift are integer bp divisions of
+    * exact cumulative counts.
+    *
+    * Exact ntile without the global sort: a row's ntile depends only
+    * on its global rank, and rank decomposes as (rows in strictly
+    * higher score groups) + (row_number within its own group). The
+    * first term comes from the SCORE HISTOGRAM (groupBy(score), a
+    * bounded relation — the score formula has ≲3k reachable values —
+    * so its cumulative window is a q93-style bounded-histogram
+    * window, never a doc-level one). The tile of a rank is closed-
+    * form arithmetic on (N div 10, N mod 10). A score group whose
+    * rank range [cumb+1, cumb+cnt] lies inside one tile contributes
+    * its (cnt, Σy) wholesale — no per-row work at all. Only groups
+    * STRADDLING one of the 9 tile boundaries (≤ 9 groups, at most one
+    * per boundary... a group can cover several) are joined back to
+    * their rows and ranked by a window PARTITIONED BY score — the
+    * per-boundary-group sort is the irreducible cost of exact ntile
+    * under ties, and it touches boundary groups only, not the corpus.
     *
     * Shape: q176's score+label machinery (one checkpointed tf
-    * relation), one ntile window over the doc relation, a 10-row
-    * cumulative window after the decile agg. */
+    * relation), one bounded histogram window, one partitioned
+    * row_number over the straddling residue, a 10-row cumulative
+    * window after the decile agg. No unpartitioned row-level
+    * WindowExec anywhere (asserted in QualitySpec). */
   def q223GainsCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -442,11 +461,15 @@ object Quality {
       .groupBy($"doc_id")
       .agg((sum($"tf" * $"s_micro") / sum($"tf") <= lit(3401500))
         .cast("long").as("y"))
-    val dec = score.join(label, "doc_id")
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
-      .groupBy($"decile")
-      .agg(count(lit(1)).as("n_d"), sum($"y").as("pos_d"))
+    // one materialization feeds both exactNtileAgg branches (histogram
+    // build + boundary-group ranking) — the local stand-in for the
+    // reused shuffle a cluster plan would keep (q149's pattern)
+    val scored = score.join(label, "doc_id").localCheckpoint()
+    // exact ntile(10) over (score desc, doc_id) via the shared
+    // histogram-rank engine — see Windows.exactNtileAgg
+    val dec = Windows.exactNtileAgg(scored, "score", "doc_id", "y",
+        10, descending = true)
+      .select($"tile".as("decile"), $"n_t".as("n_d"), $"y_t".as("pos_d"))
     val w = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = dec

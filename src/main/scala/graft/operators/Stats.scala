@@ -410,11 +410,11 @@ object Stats {
       .select($"r", $"tf",
         (($"hp" * ($"r" * 2 + 3) + ($"r" + 1)) % p % 256).as("bucket"))
       .groupBy($"r", $"bucket").agg(sum($"tf").as("c"))
+    // top-10 terms by exact count: TakeOrderedAndProject (per-partition
+    // heaps), not a global row_number over the vocab relation
     val top = tf.withColumnRenamed("tf", "exact_cnt")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"exact_cnt".desc, $"term")))
-      .filter($"rn" <= 10).drop("rn")
+      .orderBy($"exact_cnt".desc, $"term")
+      .limit(10)
     top
       .withColumn("hp", graft.functions.Fns.hash60($"term") % p)
       .withColumn("r", explode(sequence(lit(0), lit(3))))
@@ -1423,23 +1423,25 @@ object Stats {
     * same add-λ-smoothed divergence family as q128's PSI but against a
     * LABEL instead of across time.
     *
-    * Parity: deciles come from ntile(10) over a TOTAL order (cents,
-    * orderkey — ntile is row_number-based, so the tie-break is the
-    * determinism); counts are exact; WOE/IV are the q128 pattern — ONE
-    * shared double expression tree (ratios of +1/+10-smoothed int64
-    * counts, one ln, floor to micro) evaluated identically in both
-    * engines. Shape: one window pass for the decile, one partial-agg
-    * rollup to 10 rows, IV reduces those. */
+    * Parity: deciles are EXACT ntile(10) semantics over a TOTAL order
+    * (cents, orderkey — ntile is row_number-based, so the tie-break is
+    * the determinism), computed via [[Windows.exactNtileAgg]]'s
+    * histogram-rank engine rather than a global row-level window (the
+    * cents histogram is bounded by the price range); counts are exact;
+    * WOE/IV are the q128 pattern — ONE shared double expression tree
+    * (ratios of +1/+10-smoothed int64 counts, one ln, floor to micro)
+    * evaluated identically in both engines. Shape: one bounded
+    * histogram window + boundary-group ranking for the decile, one
+    * partial-agg rollup to 10 rows, IV reduces those. */
   def q207WoeIv(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val v = Tables.orders(s, d)
       .select(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
         $"o_orderkey",
         ($"o_orderpriority" === "1-URGENT").cast("long").as("bad"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy($"cents", $"o_orderkey")).cast("long"))
-    val bins = v.groupBy($"decile")
-      .agg(count(lit(1)).as("n"), sum($"bad").as("n_bad"))
+    val bins = Windows.exactNtileAgg(v, "cents", "o_orderkey", "bad",
+        10, descending = false)
+      .select($"tile".as("decile"), $"n_t".as("n"), $"y_t".as("n_bad"))
       .withColumn("n_good", $"n" - $"n_bad")
     val tot = bins.agg(sum($"n_good").as("g"), sum($"n_bad").as("b"))
     bins.crossJoin(broadcast(tot))

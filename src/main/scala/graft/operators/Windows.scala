@@ -19,6 +19,70 @@ import graft.ops.RefOps
   */
 object Windows {
 
+  /** EXACT ntile(nTiles) aggregation WITHOUT a global row sort — the
+    * shared engine behind q223's gains deciles and q207's WoE bins.
+    * Semantically identical to
+    * `ntile(nTiles).over(Window.orderBy(score [desc], tie))` followed
+    * by `groupBy(tile).agg(count, sum(y))`, but computed from the
+    * score VALUE HISTOGRAM: a row's ntile depends only on its global
+    * rank, and rank = (rows in strictly earlier score groups, read off
+    * the bounded histogram's cumulative window) + (row_number within
+    * the group). The tile of a rank is closed-form arithmetic on
+    * (N div T, N mod T). Score groups whose rank range sits inside one
+    * tile contribute (count, Σy) wholesale; only groups STRADDLING one
+    * of the T−1 tile boundaries (≤ T−1 of them) are joined back to
+    * their rows and ranked by a window PARTITIONED BY score — the
+    * per-boundary-group sort is the irreducible cost of exact ntile
+    * under ties, and it touches boundary groups only, never the
+    * row-level relation.
+    *
+    * `rows` must expose `score`, `tie` (unique within a score group),
+    * and `y`; returns (tile, n_t, y_t). */
+  def exactNtileAgg(rows: DataFrame, score: String, tie: String, y: String,
+      nTiles: Int, descending: Boolean): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val hist = rows.groupBy(col(score))
+      .agg(count(lit(1)).as("cnt"), sum(col(y)).as("sum_y"))
+    val ord = if (descending) col(score).desc else col(score).asc
+    val wCum = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nTot = hist.agg(sum($"cnt").as("n_all"))
+    // ntile closed form: with q = N div T, r = N mod T, the first r
+    // tiles hold q+1 rows — tile(rank) is pure integer arithmetic
+    def tileSql(rank: String) =
+      s"""CASE WHEN r > 0 AND $rank <= r * (q + 1)
+            THEN ($rank - 1) div (q + 1) + 1
+            ELSE r + ($rank - r * (q + 1) - 1) div q + 1 END"""
+    // checkpoint the annotated histogram: it is bounded (≤ |distinct
+    // score| rows) and BOTH branches below consume it — without the
+    // cut, the inside branch and the straddle broadcast would each
+    // re-run the row-level aggregation + cumulative window
+    val h = hist
+      .withColumn("cumb", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("q", expr(s"n_all div $nTiles"))
+      .withColumn("r", expr(s"n_all % $nTiles"))
+      .withColumn("lo", $"cumb" + 1)
+      .withColumn("hi", $"cumb" + $"cnt")
+      .withColumn("tile_lo", expr(tileSql("lo")))
+      .withColumn("tile_hi", expr(tileSql("hi")))
+      .localCheckpoint()
+    val inside = h.filter($"tile_lo" === $"tile_hi")
+      .select($"tile_lo".as("tile"), $"cnt".as("n_t"), $"sum_y".as("y_t"))
+    val straddle = rows
+      .join(broadcast(h.filter($"tile_lo" =!= $"tile_hi")
+        .select(col(score), $"cumb", $"q", $"r")), score)
+      .withColumn("rank", $"cumb" + row_number().over(
+        Window.partitionBy(col(score)).orderBy(col(tie))))
+      .withColumn("tile", expr(tileSql("rank")))
+      .groupBy($"tile")
+      .agg(count(lit(1)).as("n_t"), sum(col(y)).as("y_t"))
+    inside.unionByName(straddle)
+      .groupBy($"tile")
+      .agg(sum($"n_t").as("n_t"), sum($"y_t").as("y_t"))
+  }
+
   /** W1 forward-fill: error events have their value masked to NULL and
     * inherit the last non-null value in event order, per user. */
   def q20Ffill(s: SparkSession, d: String): DataFrame = {

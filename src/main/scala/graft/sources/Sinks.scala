@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Sink layer (SURVEY.md §2.1 K1/K2/K3 + the retry/salvage protocol of
   * §3.1 step 4-5 / §3.2). The test harness sinks Parquet; JDBC is the
-  * parity sink for the two Postgres tables. No database runs in this
-  * container, so the JDBC path is exercised only to the point of
-  * option/DDL assembly (SinksSpec) — the write call itself is the
-  * stock `df.write.format("jdbc")`.
+  * parity sink for the two Postgres tables. No Postgres runs in this
+  * container, so SinksSpec drives the JDBC path end to end against
+  * EMBEDDED DERBY (create → append ×2 → read-back, plus retry against
+  * an unreachable URL), with the Postgres-specific JSONB DDL asserted
+  * textually against the sink schemas.
   */
 object Sinks {
 
@@ -34,12 +35,44 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
   /** JDBC append sink (K1/K2): the reference's `to_sql(if_exists=
-    * 'append')`. */
+    * 'append')`, as DDL-FIRST create + append.
+    *
+    * Why not Spark's `createTableColumnTypes` option: its value must
+    * parse as SPARK SQL types (CatalystSqlParser), so a Postgres-only
+    * type like JSONB throws a ParseException before any SQL is sent —
+    * the option can never emit the reference's JSONB columns. The
+    * pattern that works against a real database is the one here: issue
+    * the exact target-dialect DDL over a raw JDBC connection (ignoring
+    * an already-exists failure — the append then appends), and let the
+    * frame append WITHOUT Spark-side type mapping. Against Postgres,
+    * add `stringtype=unspecified` to the JDBC URL so TEXT parameters
+    * coerce into the jsonb columns on insert.
+    *
+    * Exercised for real against embedded Derby in SinksSpec (create →
+    * append ×2 → read-back), including the reserved-word `date` column
+    * via quoted identifiers — Spark quotes all identifiers through the
+    * dialect, so the DDL must too. */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      columnTypes: String, props: java.util.Properties): Unit =
-    df.write.mode(SaveMode.Append)
-      .option("createTableColumnTypes", columnTypes)
-      .jdbc(url, table, props)
+      columnTypes: String, props: java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $table ($columnTypes)")
+      catch { case _: java.sql.SQLException => () } // exists: append below
+      finally st.close()
+    } finally conn.close()
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** Render a `name TYPE, ...` DDL string in a target dialect: quote
+    * every identifier (the sink schema has the reserved word `date`)
+    * and map types through `mapType`. Identity mapping yields the
+    * Postgres form; SinksSpec maps JSONB/VARCHAR onto Derby types. */
+  def renderDdl(columnTypes: String, mapType: String => String): String =
+    columnTypes.split(", ").map { colSpec =>
+      val (name, tpe) = colSpec.splitAt(colSpec.indexOf(' '))
+      "\"" + name + "\" " + mapType(tpe.trim)
+    }.mkString(", ")
 
   /** The reference's 2-attempt load retry (ref :510-522): try the
     * write `attempts` times; on final failure hand the frame to the

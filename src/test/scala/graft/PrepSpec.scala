@@ -17,6 +17,19 @@ class PrepSpec extends SparkSpec {
     dir
   }
 
+  test("q169/q169b: no unpartitioned row-level WindowExec (global side is histogram/digest)") {
+    val d001 = "/root/testdata/sf0.001"
+    val a = operators.Prep.q169QuantileNorm(spark, d001)
+    a.collect()
+    assertNoRowLevelGlobalWindow(a, "q169")
+    val b = operators.Prep.q169bQuantileNormDigest(spark, d001)
+    val rows = b.collect()
+    assertNoRowLevelGlobalWindow(b, "q169b")
+    // the digest rank-error theorem holds on every grid point
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Boolean]("le_ok") && r.getAs[Boolean]("lt_ok")))
+  }
+
   test("q91: stride-24 windows of 32 — boundary sizes and 8-token overlap") {
     val toks = (1 to 40).map(i => s"t$i")
     val d = docsDir(Seq((1L, toks.mkString(" "), "en", "s", 1L)))

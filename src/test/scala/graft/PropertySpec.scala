@@ -27,6 +27,41 @@ class PropertySpec extends SparkSpec {
     hg <- Gen.choose(0, 12); ag <- Gen.choose(0, 12)
   } yield Seq(date, league, h, a, hg.toString, ag.toString)
 
+  test("exactNtileAgg ≡ ntile window on generated tie-heavy data (incl. N < T)") {
+    // scores drawn from a TINY domain force heavy ties and many
+    // boundary-straddling groups — the hard regime for the closed-form
+    // rank arithmetic; sizes below/at/above the tile count hit the
+    // q = 0 and r = 0 edges
+    val gen = for {
+      n <- Gen.oneOf(1, 3, 7, 10, 11, 50, 137, 400)
+      scores <- Gen.listOfN(n, Gen.choose(0L, 4L))
+      ys <- Gen.listOfN(n, Gen.choose(0L, 1L))
+    } yield (scores, ys)
+    (1L to 8L).foreach { seed =>
+      val (scores, ys) = draw(gen, seed)
+      val rows = scores.zip(ys).zipWithIndex
+        .map { case ((sc, y), i) => (sc, i.toLong, y) }
+        .toDF("score", "tie", "y")
+      Seq(true, false).foreach { desc =>
+        Seq(4, 10).foreach { t =>
+          val got = operators.Windows.exactNtileAgg(
+              rows, "score", "tie", "y", t, desc)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+          val ord = if (desc) Seq($"score".desc, $"tie") else Seq($"score".asc, $"tie")
+          val want = rows
+            .withColumn("tile", ntile(t).over(
+              org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
+            .groupBy($"tile")
+            .agg(count(lit(1)).as("n_t"), sum($"y").as("y_t"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+          assert(got == want, s"seed=$seed desc=$desc t=$t")
+        }
+      }
+    }
+  }
+
   test("T5 team parse: word separator resyncs between generated records") {
     // stream = r1 ++ [sep] ++ r2 ++ [sep] ++ … — each non-numeric 7th
     // token is dropped and resets the cycle, so the parse must be the

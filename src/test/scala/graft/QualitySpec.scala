@@ -9,6 +9,12 @@ class QualitySpec extends SparkSpec {
   import spark.implicits._
   private val d = "/root/testdata/sf0.001"
 
+  test("q223: plan has no unpartitioned row-level WindowExec") {
+    val df = operators.Quality.q223GainsCurve(spark, d)
+    df.collect() // settle the AQE final plan before auditing it
+    assertNoRowLevelGlobalWindow(df, "q223")
+  }
+
   test("q112: five rules, violations bounded by checked, FKs clean on testdata") {
     val got = operators.Quality.q112DqAudit(spark, d).collect()
     assert(got.length == 5)

@@ -58,4 +58,63 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.historicMatchColumnTypes.contains("home_team_matches JSONB"))
     assert(Sinks.refHistoricMatchColumnTypes.contains("referee_matchhistdetails JSONB"))
   }
+
+  test("DDL round-trips the reference sink schemas exactly: 7 VARCHAR + 5 JSONB / 8 VARCHAR + 2 JSONB, in pipeline column order") {
+    def parse(ddl: String): Seq[(String, String)] =
+      ddl.split(", ").toSeq.map { spec =>
+        val i = spec.indexOf(' '); (spec.take(i), spec.drop(i + 1))
+      }
+    val hm = parse(Sinks.historicMatchColumnTypes)
+    assert(hm.count(_._2 == "VARCHAR") == 7)
+    assert(hm.count(_._2 == "JSONB") == 5)
+    val rm = parse(Sinks.refHistoricMatchColumnTypes)
+    assert(rm.count(_._2 == "VARCHAR") == 8)
+    assert(rm.count(_._2 == "JSONB") == 2)
+    // the DDL's column names ARE the pipelines' output schemas, in order
+    val q60cols = operators.Parity
+      .q60TeamPipeline(spark, "unused").schema.fieldNames.toSeq
+    assert(hm.map(_._1) == q60cols)
+    val q61cols = operators.Parity
+      .q61RefPipeline(spark, "unused").schema.fieldNames.toSeq
+    assert(rm.map(_._1) == q61cols)
+    // JSONB lands exactly on the JSON payload columns
+    assert(hm.filter(_._2 == "JSONB").map(_._1) == Seq(
+      "home_team_matches", "away_team_matches", "head2head_matches",
+      "home_team_matchespattern", "away_team_matchespattern"))
+    assert(rm.filter(_._2 == "JSONB").map(_._1) == Seq(
+      "referee_matchistlink", "referee_matchhistdetails"))
+  }
+
+  test("writeJdbc against embedded Derby: DDL-first create, append x2, read-back") {
+    val url = "jdbc:derby:memory:graft_sink;create=true"
+    val props = new java.util.Properties()
+    // Derby rendering of the historic_match DDL: quoted identifiers
+    // (`date` is reserved) and Derby-typed columns
+    val ddl = Sinks.renderDdl(Sinks.historicMatchColumnTypes, {
+      case "JSONB" => "VARCHAR(8000)"
+      case _ => "VARCHAR(512)"
+    })
+    val df = operators.Parity.q60TeamPipeline(spark, "unused")
+    Sinks.writeJdbc(df, url, "historic_match", ddl, props)
+    Sinks.writeJdbc(df, url, "historic_match", ddl, props) // append, not replace
+    val back = spark.read.jdbc(url, "historic_match", props)
+    assert(back.count() == 2 * df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+    // value fidelity incl. the JSON payload columns
+    val k = Seq("match_urls", "home_team_matches", "home_team_matchespattern")
+    val want = df.select(k.head, k.tail: _*).collect().map(_.toSeq)
+    val got = back.select(k.head, k.tail: _*).distinct().collect().map(_.toSeq)
+    assert(got.toSet == want.toSet)
+  }
+
+  test("writeWithRetry around a real JDBC failure: unreachable URL -> SQLException recorded, no success") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val (ok, errs) = Sinks.writeWithRetry(df, 2) { frame =>
+      Sinks.writeJdbc(frame, "jdbc:derby:memory:no_such;create=false",
+        "t", "\"id\" INT, \"v\" VARCHAR(10)", new java.util.Properties())
+    }
+    assert(!ok && errs.size == 2)
+    // Derby surfaces the refused boot as an SQL(NonTransient...)Exception
+    assert(errs.forall(e => e.contains("SQL") || e.contains("Exception")))
+  }
 }
