@@ -990,7 +990,148 @@ object Curation {
        FROM gross g LEFT JOIN netnew n ON g.source = n.source
        ORDER BY g.source"""
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * (non-target) document by how target-like its hashed-bigram profile
+    * is, and keep the top 25. Target sample = the `lang='en'` slice;
+    * raw = the whole corpus. Features are bigrams hashed into B=4096
+    * buckets (the shared md5-60 hash); both distributions are
+    * add-one-smoothed unigram models over buckets, and the document
+    * score is Σ_counts log(p_target(b)/p_raw(b)) with the house
+    * micro-nat term-wise floor (one shared IEEE ln per BUCKET, then
+    * exact integer count-weighted sums — order-free).
+    *
+    * Scale: the bucket model is a bounded relation (≤ 4096 rows) built
+    * by one partial-agg groupBy over the bigram stream; doc scoring is
+    * a per-(doc,bucket) partial-agg groupBy + a broadcast join against
+    * the 4096-row weight table + one per-doc sum. The top-25 cut is
+    * TakeOrderedAndProject. Note the weight formula multiplies
+    * (c+1)·(N+B) inside one double before the ln — exact below 2⁵³
+    * (any realistic bucket count); beyond that split into ln terms and
+    * accept ±1 micro-nat per bucket. */
+  def q267DsirSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", $"lang", $"source", explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+           i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""))
+        .as("g"))
+      .withColumn("b", hash60($"g") % 4096)
+    val bc = bg.groupBy($"b")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val tot = bc.agg(sum($"c_t").as("n_t"), sum($"c_r").as("n_r"))
+    val w = bc.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        floor(log(
+          (($"c_t" + 1) * ($"n_r" + 4096)).cast("double") /
+            (($"c_r" + 1) * ($"n_t" + 4096)).cast("double")) * 1000000.0)
+          .cast("long"))
+      .select($"b", $"w_micro")
+    bg.filter($"lang" =!= "en")
+      .groupBy($"doc_id", $"lang", $"source", $"b")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w), "b")
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"cnt" * $"w_micro").as("score_micro"))
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(25)
+  }
+
+  val q267Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, lang, source,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       bg AS (
+         SELECT doc_id, lang, source,
+           unnest([('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT % 4096
+                   FOR i IN generate_series(1, len(tk) - 1)]) AS b
+         FROM tk WHERE len(tk) >= 2),
+       bc AS (
+         SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+           CAST(count(*) AS BIGINT) AS c_r
+         FROM bg GROUP BY b),
+       tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r FROM bc),
+       w AS (
+         SELECT b, CAST(floor(ln(((c_t + 1) * (n_r + 4096))::DOUBLE
+             / ((c_r + 1) * (n_t + 4096))::DOUBLE) * 1000000.0) AS BIGINT) AS w_micro
+         FROM bc CROSS JOIN tot),
+       ds AS (
+         SELECT doc_id, lang, source, b, CAST(count(*) AS BIGINT) AS cnt
+         FROM bg WHERE lang <> 'en' GROUP BY 1, 2, 3, 4),
+       sc AS (
+         SELECT doc_id, lang, source, CAST(sum(cnt * w_micro) AS BIGINT) AS score_micro
+         FROM ds JOIN w USING (b) GROUP BY 1, 2, 3)
+       SELECT doc_id, lang, source, score_micro
+       FROM sc ORDER BY score_micro DESC, doc_id LIMIT 25"""
+
+  /** Cross-document boilerplate scrub (CCNet / RefinedWeb line-level
+    * dedup, applied — q34 detects shared passages, this one REMOVES
+    * them and accounts for it): any 8-token chunk occurring in ≥ 3
+    * distinct documents is boilerplate; every occurrence is cut from
+    * every document. Output is the per-document accounting a curation
+    * run reports: chunk counts, occurrences removed, tokens kept
+    * (ragged tails always survive), and the removed share in permille.
+    *
+    * Scale: same two shuffles as q34 (doc-keyed chunking, chunk-keyed
+    * frequency roll-up); the boilerplate residue is tiny by
+    * construction (bounded by chunks with df ≥ 3) so the join back is
+    * a broadcast, and the accounting is one per-doc partial agg. The
+    * scrub itself at 100 TB is this exact plan with the projection
+    * writing the filtered text instead of counts. */
+  def q268BoilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .repartition($"doc_id")
+      .localCheckpoint() // both the chunk stream and the per-doc base read this
+    val chunks = docs.filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks) div 8 - 1),
+           i -> array_join(slice(toks, i*8+1, 8), ' '))""")).as("chunk"))
+    val bp = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 3).select($"chunk")
+    val removed = chunks.join(broadcast(bp), "chunk")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_bp"))
+    docs.select($"doc_id", size($"toks").cast("long").as("n_tok"),
+        expr("size(toks) div 8").cast("long").as("n_chunks"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("n_bp", coalesce($"n_bp", lit(0L)))
+      .withColumn("kept_tokens", $"n_tok" - $"n_bp" * 8)
+      .withColumn("removed_permille",
+        when($"n_tok" > 0, expr("n_bp * 8000 div n_tok")).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
+  val q268Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       ch AS (
+         SELECT doc_id,
+           unnest([list_aggregate(tk[i*8+1 : i*8+8], 'string_agg', ' ')
+                   FOR i IN generate_series(0, len(tk)//8 - 1)]) AS chunk
+         FROM tk WHERE len(tk) >= 8),
+       bp AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3),
+       rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bp
+              FROM ch JOIN bp USING (chunk) GROUP BY doc_id)
+       SELECT tk.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tok,
+         CAST(len(tk.tk) // 8 AS BIGINT) AS n_chunks,
+         CAST(coalesce(rm.n_bp, 0) AS BIGINT) AS n_bp,
+         CAST(len(tk.tk) - coalesce(rm.n_bp, 0) * 8 AS BIGINT) AS kept_tokens,
+         CAST(CASE WHEN len(tk.tk) > 0 THEN coalesce(rm.n_bp, 0) * 8000 // len(tk.tk)
+                   ELSE 0 END AS BIGINT) AS removed_permille
+       FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id
+       ORDER BY tk.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_dsir_select" -> q267DsirSelect,
+    "q268_boilerplate_scrub" -> q268BoilerplateScrub,
     "q261_netnew_content" -> q261NetNewContent,
     "q208_hash_ring" -> q208HashRing,
     "q204_length_buckets" -> q204LengthBuckets,
@@ -1012,6 +1153,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q267_dsir_select" -> q267Oracle,
+    "q268_boilerplate_scrub" -> q268Oracle,
     "q261_netnew_content" -> q261Oracle,
     "q208_hash_ring" -> q208Oracle,
     "q204_length_buckets" -> q204Oracle,

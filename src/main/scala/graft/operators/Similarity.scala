@@ -1125,7 +1125,241 @@ object Similarity {
          CAST(sum(deg) AS BIGINT) AS total_deg
        FROM classed GROUP BY class ORDER BY class"""
 
+  /** Farthest-first traversal (greedy k-center, Gonzalez 1985) — the
+    * deterministic seeding used for coreset selection and k-means++-style
+    * initialization in embedding-space curation: start from the lowest
+    * vec_id, then repeatedly add the point farthest (exact integer L2²
+    * over quantized vectors) from the chosen set. Output: one row per
+    * round with the chosen center and its distance from the previous
+    * center set — the 2-approximation coverage-radius certificate of
+    * the k-center objective (sel_dist_sq is non-increasing by
+    * construction; `SimilaritySeedSpec` asserts it).
+    *
+    * Scale: each round is ONE scan of the corpus computing
+    * min-over-centers distance (centers live in the plan as literals —
+    * k·dim longs, nothing is collected but the 1-row argmax), with the
+    * running d_min maintained as a column instead of recomputed from
+    * all centers. k rounds = k scans, the same driver-loop contract as
+    * q237's PageRank; the corpus never reshuffles. The argmax per round
+    * is a TakeOrdered head, not a global sort. */
+  def q269FarthestFirst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 4
+    // one materialization: every round scans this, not the parquet+quantize
+    val q = quantized(s, d).select($"vec_id", $"qa", $"n2").localCheckpoint()
+    def distTo(v: Seq[Long], vn2: Long) =
+      $"n2" - lit(2L) * dotQ($"qa", typedLit(v)) + lit(vn2)
+    val seed = q.orderBy($"vec_id").select($"vec_id", $"qa", $"n2").head()
+    val seedV = seed.getSeq[Long](1)
+    var picked = List((1L, seed.getLong(0), 0L))
+    var dmin = q.withColumn("dm", distTo(seedV, seed.getLong(2)))
+    for (r <- 2 to k) {
+      val nxt = dmin.orderBy($"dm".desc, $"vec_id")
+        .select($"vec_id", $"dm", $"qa", $"n2").head()
+      picked ::= (r.toLong, nxt.getLong(0), nxt.getLong(1))
+      if (r < k)
+        dmin = dmin.withColumn("dm",
+          least($"dm", distTo(nxt.getSeq[Long](2), nxt.getLong(3))))
+    }
+    picked.reverse.toDF("round", "center_id", "sel_dist_sq")
+      .orderBy($"round")
+  }
+
+  val q269Oracle: String =
+    """WITH q AS (
+         SELECT vec_id,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS v
+         FROM embeddings),
+       c1 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+       d1 AS (
+         SELECT q.vec_id, q.v,
+           CAST(list_sum(list_transform(list_zip(q.v, c1.v),
+             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dm
+         FROM q CROSS JOIN c1),
+       c2 AS (SELECT vec_id, v, dm FROM d1 ORDER BY dm DESC, vec_id LIMIT 1),
+       d2 AS (
+         SELECT d1.vec_id, d1.v,
+           least(d1.dm, CAST(list_sum(list_transform(list_zip(d1.v, c2.v),
+             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS dm
+         FROM d1 CROSS JOIN c2),
+       c3 AS (SELECT vec_id, v, dm FROM d2 ORDER BY dm DESC, vec_id LIMIT 1),
+       d3 AS (
+         SELECT d2.vec_id, d2.v,
+           least(d2.dm, CAST(list_sum(list_transform(list_zip(d2.v, c3.v),
+             p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS dm
+         FROM d2 CROSS JOIN c3),
+       c4 AS (SELECT vec_id, v, dm FROM d3 ORDER BY dm DESC, vec_id LIMIT 1)
+       SELECT CAST(1 AS BIGINT) AS round, c1.vec_id AS center_id,
+         CAST(0 AS BIGINT) AS sel_dist_sq FROM c1
+       UNION ALL SELECT 2, vec_id, dm FROM c2
+       UNION ALL SELECT 3, vec_id, dm FROM c3
+       UNION ALL SELECT 4, vec_id, dm FROM c4
+       ORDER BY round"""
+
+  /** Deterministic ±1 sign matrix for the JL projection (q270): 16
+    * projection rows over 64 input dims, signs from the shared 60-bit
+    * md5 hash of "i_j" — reproducible in any engine, and computed HERE
+    * (driver-side, 1024 hashes at plan build) so the projection compiles
+    * to 16 literal-vector dot products instead of a join against a sign
+    * relation. The q165/q208 literal-codebook pattern. */
+  private lazy val jlSigns: IndexedSeq[Seq[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val hex = mdt.digest(s"${i}_${j}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }.toSeq
+    }
+  }
+
+  /** Johnson–Lindenstrauss random-projection distortion audit: project
+    * the 64-dim quantized embeddings to m=16 dims with a deterministic
+    * ±1 matrix (Achlioptas 2003 — database-friendly random projections)
+    * and measure, over a fixed pair sample (vec v vs v+100), how well
+    * (1/m)·‖P(a−b)‖² preserves ‖a−b‖². distortion_bp = 10⁴ ⇔ exact;
+    * mean_dev_bp is the audit's headline number (how much distance
+    * error a 4× dimensionality cut would inject into q45/q46-style
+    * downstream similarity work).
+    *
+    * Scale: the projection is 16 codegen'd literal dot products in the
+    * scan projection — no join, no shuffle, no sign relation; the pair
+    * sample is an equi-join on vec_id+100. Everything after the diff
+    * vector is exact int64 (|P(a−b)ⱼ| ≤ 64·2000, squared ·16 ≪ 2⁶³). */
+  def q270JlAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d).select($"vec_id", $"qa")
+    val pairs = q.select($"vec_id".as("pair_id"), $"qa".as("av"))
+      .filter($"pair_id" < 100)
+      .join(q.select(($"vec_id" - 100).as("pair_id"), $"qa".as("bv")), "pair_id")
+      .withColumn("dq", zip_with($"av", $"bv", (x, y) => x - y))
+    val projSq = jlSigns.map { row =>
+      val p = dotQ($"dq", typedLit(row)); p * p
+    }.reduce(_ + _)
+    val base = pairs
+      .select($"pair_id", dotQ($"dq", $"dq").as("orig_sq"), projSq.as("proj_sq"))
+      .withColumn("distortion_bp",
+        when($"orig_sq" > 0, expr("proj_sq * 10000 div (16 * orig_sq)"))
+          .otherwise(lit(10000L)))
+    val dev = base.agg(
+      expr("sum(abs(distortion_bp - 10000)) div count(1)").as("mean_dev_bp"))
+    base.crossJoin(broadcast(dev))
+      .select($"pair_id", $"orig_sq", $"proj_sq", $"distortion_bp",
+        $"mean_dev_bp")
+      .orderBy($"pair_id")
+  }
+
+  val q270Oracle: String =
+    """WITH q AS (
+         SELECT vec_id,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS v
+         FROM embeddings),
+       sgn AS (
+         SELECT j, list(CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                             THEN 1 ELSE -1 END ORDER BY i) AS srow
+         FROM generate_series(0, 63) t(i) CROSS JOIN generate_series(0, 15) u(j)
+         GROUP BY j),
+       pr AS (
+         SELECT a.vec_id AS pair_id,
+           list_transform(list_zip(a.v, b.v), p -> p[1] - p[2]) AS dq
+         FROM q a JOIN q b ON b.vec_id = a.vec_id + 100
+         WHERE a.vec_id < 100),
+       pj AS (
+         SELECT pair_id, j,
+           CAST(list_sum(list_transform(list_zip(dq, srow), p -> p[1]*p[2])) AS BIGINT) AS pw
+         FROM pr CROSS JOIN sgn),
+       ps AS (SELECT pair_id, CAST(sum(pw*pw) AS BIGINT) AS proj_sq FROM pj GROUP BY pair_id),
+       po AS (SELECT pair_id,
+           CAST(list_sum(list_transform(dq, x -> x*x)) AS BIGINT) AS orig_sq FROM pr),
+       base AS (
+         SELECT pair_id, orig_sq, proj_sq,
+           CAST(CASE WHEN orig_sq > 0 THEN proj_sq * 10000 // (16 * orig_sq)
+                     ELSE 10000 END AS BIGINT) AS distortion_bp
+         FROM po JOIN ps USING (pair_id)),
+       dev AS (SELECT CAST(sum(abs(distortion_bp - 10000)) // count(*) AS BIGINT) AS mean_dev_bp FROM base)
+       SELECT pair_id, orig_sq, proj_sq, distortion_bp, mean_dev_bp
+       FROM base CROSS JOIN dev ORDER BY pair_id"""
+
+  /** k-NN label-agreement audit (confident-learning-lite): for every
+    * embedding, find its 5 nearest neighbors by exact integer cosine
+    * (q46's rank key) and compare its own label against the neighbors'
+    * majority label (ties: larger count first, then smaller label).
+    * A row is `suspect` when ≥ 4 of 5 neighbors agree on a DIFFERENT
+    * label — the standard label-noise triage before training a
+    * classifier on curated data.
+    *
+    * Scale: the all-pairs candidate generator here is the exact-audit
+    * form (N² is fine at audit sample sizes); at corpus scale the
+    * candidate stage swaps for q48's IVF cells or q47's LSH buckets
+    * with this exact same vote/flag tail — the audit is defined by the
+    * tail, not the candidate generator. Vote + argmax are partial-agg
+    * groupBys and a per-qid window over ≤ 10 label rows. */
+  def q271KnnLabelAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val a = q.select($"vec_id".as("qid"), $"label".cast("long").as("qlabel"),
+      $"qa".as("qv"), $"n2".as("qn"))
+    val b = q.select($"vec_id".as("cid"), $"label".cast("long").as("clabel"),
+      $"qa".as("cv"), $"n2".as("cn"))
+    val nb = a.join(b, $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"qlabel", $"clabel")
+    val vote = nb.groupBy($"qid", $"qlabel", $"clabel")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"c".desc, $"clabel")))
+    val nn = nb.groupBy($"qid").agg(count(lit(1)).as("n_nbrs"))
+    vote.filter($"vr" === 1)
+      .select($"qid", $"qlabel", $"clabel".as("maj_label"), $"c".as("n_agree"))
+      .join(nn, "qid")
+      .withColumn("suspect", $"maj_label" =!= $"qlabel" && $"n_agree" >= 4)
+      .select($"qid".as("vec_id"), $"qlabel".as("label"), $"maj_label",
+        $"n_agree", $"n_nbrs", $"suspect")
+      .orderBy($"vec_id")
+  }
+
+  val q271Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, CAST(label AS BIGINT) AS label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       scored AS (
+         SELECT a.vec_id AS qid, a.label AS qlabel,
+           b.vec_id AS cid, b.label AS clabel,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn
+         FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       nb AS (
+         SELECT qid, qlabel, clabel
+         FROM (SELECT qid, qlabel, clabel,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+               FROM scored WHERE num > 0)
+         WHERE rn <= 5),
+       vote AS (
+         SELECT qid, qlabel, clabel, CAST(count(*) AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY qid ORDER BY count(*) DESC, clabel) AS vr
+         FROM nb GROUP BY qid, qlabel, clabel),
+       nn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_nbrs FROM nb GROUP BY qid)
+       SELECT vote.qid AS vec_id, vote.qlabel AS label,
+         vote.clabel AS maj_label, vote.c AS n_agree, nn.n_nbrs,
+         (vote.clabel <> vote.qlabel AND vote.c >= 4) AS suspect
+       FROM vote JOIN nn USING (qid) WHERE vote.vr = 1
+       ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_farthest_first" -> q269FarthestFirst,
+    "q270_jl_audit" -> q270JlAudit,
+    "q271_knn_label_audit" -> q271KnnLabelAudit,
     "q232_grid_dbscan" -> q232GridDbscan,
     "q218_quantization_audit" -> q218QuantizationAudit,
     "q180_ndcg_eval" -> q180NdcgEval,
@@ -1145,6 +1379,9 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q269_farthest_first" -> q269Oracle,
+    "q270_jl_audit" -> q270Oracle,
+    "q271_knn_label_audit" -> q271Oracle,
     "q232_grid_dbscan" -> q232Oracle,
     "q218_quantization_audit" -> q218Oracle,
     "q180_ndcg_eval" -> q180Oracle,

@@ -234,4 +234,43 @@ class CurationSpec extends SparkSpec {
     val first = got.minBy(_.getAs[String]("source"))
     assert(first.getAs[Long]("net_new_shingles") == first.getAs[Long]("gross_shingles"))
   }
+
+  test("q267: DSIR ranks the target-like raw doc first; target slice never selected") {
+    // en target talks about "alpha beta"; raw doc 10 parrots it, raw doc 11
+    // is disjoint vocabulary -> 10 must outrank 11
+    val tgt = "alpha beta alpha beta alpha beta alpha beta"
+    val d = docsDir(Seq(
+      (1L, tgt, "en", "s", 1L), (2L, tgt, "en", "s", 1L),
+      (10L, "alpha beta alpha beta", "de", "s", 1L),
+      (11L, "uno dos tres cuatro", "de", "s", 1L)))
+    val got = Curation.q267DsirSelect(spark, d)
+      .select($"doc_id", $"lang", $"score_micro")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L, 11L)) // ordered by score desc
+    assert(got.forall(_._2 != "en"))
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("q268: chunk in 3 docs scrubbed everywhere incl. twice-in-one-doc; df=2 chunk kept") {
+    val bp = "a b c d e f g h"          // df 3 -> boilerplate
+    val keep = "p q r s t u v w"        // df 2 -> kept
+    val d = docsDir(Seq(
+      (1L, s"$bp $bp tail1 tail2", "en", "s", 1L), // both occurrences removed
+      (2L, bp, "en", "s", 1L),
+      (3L, s"$bp $keep", "en", "s", 1L),
+      (4L, keep, "en", "s", 1L),
+      (5L, "short doc", "en", "s", 1L)))           // < 8 tokens: no chunks
+    val got = Curation.q268BoilerplateScrub(spark, d)
+      .select($"doc_id", $"n_tok", $"n_chunks", $"n_bp", $"kept_tokens",
+        $"removed_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 18L, 2L, 2L, 2L, 888L),  // 16 of 18 tokens cut
+      (2L, 8L, 1L, 1L, 0L, 1000L),
+      (3L, 16L, 2L, 1L, 8L, 500L),
+      (4L, 8L, 1L, 0L, 8L, 0L),
+      (5L, 2L, 0L, 0L, 2L, 0L)))
+    // conservation: kept + 8·removed == total tokens, every row
+    got.foreach { case (_, n, _, nbp, kept, _) => assert(kept + 8 * nbp == n) }
+  }
 }

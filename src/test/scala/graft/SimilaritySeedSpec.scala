@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Targeted tests for the round-6 embedding-curation additions:
+  * farthest-first k-center seeding (q269), the JL random-projection
+  * distortion audit (q270), and the k-NN label-agreement noise audit
+  * (q271) — crafted geometries where the exact answer is checkable by
+  * hand, unlike the synthetic corpus where only the oracle sees it. */
+class SimilaritySeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("simseed").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q269: farthest-first picks the known order; sel_dist non-increasing") {
+    // 1-D line at 0, 1, 10, 4 (quantized ×1000). Seed = min vec_id (0 at x=0).
+    // Round 2: farthest from {0} is x=10 (d=100e6). Round 3: min-dist to
+    // {0,10} maximized at x=4 (d=16e6 vs 36e6 -> 16e6; x=1's is 1e6).
+    // Round 4: remaining x=1, d=1e6.
+    val d = embDir(Seq(
+      (0L, Seq(0f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(10f, 0f), 0), (3L, Seq(4f, 0f), 0)))
+    val got = Similarity.q269FarthestFirst(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L), (2L, 2L, 100000000L),
+      (3L, 3L, 16000000L), (4L, 1L, 1000000L)))
+    // greedy k-center invariant: selection distances never increase
+    val dists = got.drop(1).map(_._3)
+    assert(dists == dists.sorted.reverse)
+  }
+
+  test("q270: distortion identity holds; identical pair reads exactly 10000") {
+    // pair 0: (id 0, id 100) differ; pair 1: (id 1, id 101) identical
+    val d = embDir(Seq(
+      (0L, Seq(1f, 2f, 3f), 0), (100L, Seq(0.5f, -1f, 3f), 0),
+      (1L, Seq(0.25f, 0.75f), 0), (101L, Seq(0.25f, 0.75f), 0)))
+    val got = Similarity.q270JlAudit(spark, d)
+      .select($"pair_id", $"orig_sq", $"proj_sq", $"distortion_bp")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 2)
+    val (_, orig, proj, dist) = got(0)
+    assert(orig == 500 * 500 + 3000 * 3000) // q diffs: (500,3000,0)
+    assert(dist == proj * 10000L / (16L * orig))
+    assert(got(1) == (1L, 0L, 0L, 10000L)) // zero distance -> pinned exact
+  }
+
+  test("q271: odd label inside a tight cluster is flagged; peers are not") {
+    // cluster A: 6 colinear vectors, labels 0 except vec 5 labeled 9;
+    // cluster B: orthogonal (dot vs A = 0, filtered by num > 0), label 1
+    val a = (0L to 5L).map(i =>
+      (i, Seq(1f + 0.001f * i, 0f), if (i == 5) 9 else 0))
+    val b = (10L to 15L).map(i => (i, Seq(0f, 1f + 0.001f * i), 1))
+    val d = embDir(a ++ b)
+    val got = Similarity.q271KnnLabelAudit(spark, d)
+      .select($"vec_id", $"label", $"maj_label", $"n_agree", $"suspect")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(5L) == (5L, 9L, 0L, 5L, true))   // 5 of 5 neighbors say 0
+    (0L to 4L).foreach { i =>
+      assert(got(i) == (i, 0L, 0L, 4L, false))  // 4 peers + the odd one
+    }
+    (10L to 15L).foreach(i => assert(!got(i)._5))
+    // no cross-cluster contamination: every B vector has 5 B neighbors
+    val nbrs = Similarity.q271KnnLabelAudit(spark, d)
+      .select($"vec_id", $"n_nbrs").as[(Long, Long)].collect().toMap
+    assert(nbrs.values.forall(_ == 5L))
+  }
+}
