@@ -990,6 +990,40 @@ object Curation {
        FROM gross g LEFT JOIN netnew n ON g.source = n.source
        ORDER BY g.source"""
 
+  /** The (doc, hashed-bigram-bucket) stream q267's DSIR model and
+    * scorer both consume: bigrams over the whitespace tokens, bucketed
+    * by the shared md5-60 hash mod 4096. */
+  private[graft] def dsirBigramBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", $"lang", $"source", explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+           i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""))
+        .as("g"))
+      .withColumn("b", hash60($"g") % 4096)
+  }
+
+  /** The DSIR bucket model: per-bucket target/raw counts, corpus
+    * totals, and the add-one-smoothed importance weight in micro-nats.
+    * Bounded relation (≤ 4096 rows); `n_t`/`n_r` ride along so callers
+    * (the streaming weight array) can compute the unseen-bucket default
+    * weight without a second totals pass. */
+  private[graft] def dsirModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bc = dsirBigramBuckets(s, d).groupBy($"b")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val tot = bc.agg(sum($"c_t").as("n_t"), sum($"c_r").as("n_r"))
+    bc.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        floor(log(
+          (($"c_t" + 1) * ($"n_r" + 4096)).cast("double") /
+            (($"c_r" + 1) * ($"n_t" + 4096)).cast("double")) * 1000000.0)
+          .cast("long"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * (non-target) document by how target-like its hashed-bigram profile
@@ -1011,25 +1045,8 @@ object Curation {
     * accept ±1 micro-nat per bucket. */
   def q267DsirSelect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bg = Tables.documents(s, d)
-      .select($"doc_id", $"lang", $"source", tokens($"text").as("tk"))
-      .filter(size($"tk") >= 2)
-      .select($"doc_id", $"lang", $"source", explode(expr(
-        """transform(sequence(1, size(tk) - 1),
-           i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""))
-        .as("g"))
-      .withColumn("b", hash60($"g") % 4096)
-    val bc = bg.groupBy($"b")
-      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"),
-        count(lit(1)).as("c_r"))
-    val tot = bc.agg(sum($"c_t").as("n_t"), sum($"c_r").as("n_r"))
-    val w = bc.crossJoin(broadcast(tot))
-      .withColumn("w_micro",
-        floor(log(
-          (($"c_t" + 1) * ($"n_r" + 4096)).cast("double") /
-            (($"c_r" + 1) * ($"n_t" + 4096)).cast("double")) * 1000000.0)
-          .cast("long"))
-      .select($"b", $"w_micro")
+    val bg = dsirBigramBuckets(s, d)
+    val w = dsirModel(s, d).select($"b", $"w_micro")
     bg.filter($"lang" =!= "en")
       .groupBy($"doc_id", $"lang", $"source", $"b")
       .agg(count(lit(1)).as("cnt"))

@@ -1301,25 +1301,30 @@ object Similarity {
       $"qa".as("qv"), $"n2".as("qn"))
     val b = q.select($"vec_id".as("cid"), $"label".cast("long").as("clabel"),
       $"qa".as("cv"), $"n2".as("cn"))
+    // ONE N² pass: n_nbrs is recovered as Σc over the ≤10-row per-qid
+    // vote relation instead of a second groupBy over `nb` — a separate
+    // branch would make Spark re-run the whole pair join + top-5 window
+    // (measured 2× the query at sf0.1). The vectors are projected away
+    // before the ranking sort so the window carries 5 scalar columns.
     val nb = a.join(b, $"qid" =!= $"cid")
-      .withColumn("num", dotQ($"qv", $"cv"))
+      .select($"qid", $"qlabel", $"clabel", $"cid",
+        dotQ($"qv", $"cv").as("num"), $"qn", $"cn")
       .filter($"num" > 0)
-      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn)"))
+      .select($"qid", $"qlabel", $"clabel", $"cid",
+        expr("(num * num * 10000) div (qn * cn)").as("rank_key"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
       .filter($"rn" <= 5)
       .select($"qid", $"qlabel", $"clabel")
-    val vote = nb.groupBy($"qid", $"qlabel", $"clabel")
+    nb.groupBy($"qid", $"qlabel", $"clabel")
       .agg(count(lit(1)).as("c"))
       .withColumn("vr", row_number().over(
         Window.partitionBy($"qid").orderBy($"c".desc, $"clabel")))
-    val nn = nb.groupBy($"qid").agg(count(lit(1)).as("n_nbrs"))
-    vote.filter($"vr" === 1)
-      .select($"qid", $"qlabel", $"clabel".as("maj_label"), $"c".as("n_agree"))
-      .join(nn, "qid")
-      .withColumn("suspect", $"maj_label" =!= $"qlabel" && $"n_agree" >= 4)
-      .select($"qid".as("vec_id"), $"qlabel".as("label"), $"maj_label",
-        $"n_agree", $"n_nbrs", $"suspect")
+      .withColumn("n_nbrs", sum($"c").over(Window.partitionBy($"qid")))
+      .filter($"vr" === 1)
+      .withColumn("suspect", $"clabel" =!= $"qlabel" && $"c" >= 4)
+      .select($"qid".as("vec_id"), $"qlabel".as("label"),
+        $"clabel".as("maj_label"), $"c".as("n_agree"), $"n_nbrs", $"suspect")
       .orderBy($"vec_id")
   }
 

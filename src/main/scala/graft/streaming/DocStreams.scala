@@ -141,6 +141,69 @@ object DocStreams {
       s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
         .parquet(docsDir))
 
+  // ---- streaming DSIR scoring (stream-static, stateless) ----
+
+  /** The static side of streaming DSIR (q267's model as an ingest-time
+    * scorer): the 4096-bucket weight table DENSIFIED into one sorted
+    * array row — index b+1 holds bucket b's micro-nat weight, with
+    * buckets the training corpus never produced filled by the add-one-
+    * smoothed default ln((n_r+B)/(n_t+B)) (c_t = c_r = 0), so a NEW
+    * streamed document hashing into an unseen bucket is scored with
+    * the model's actual probability for it, not dropped. Same 1-row
+    * broadcast-relation shape as [[benchmarkShingles]]: built by
+    * executors, no driver collect at stream start. */
+  def dsirWeightArray(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = graft.operators.Curation.dsirModel(s, d).localCheckpoint()
+    val spine = m.select($"n_t", $"n_r").limit(1)
+      .select(explode(sequence(lit(0L), lit(4095L))).as("b"), $"n_t", $"n_r")
+    spine.join(m.select($"b", $"w_micro"), Seq("b"), "left")
+      .select($"b", coalesce($"w_micro",
+        floor(log(($"n_r" + 4096).cast("double") / ($"n_t" + 4096).cast("double"))
+          * 1000000.0).cast("long")).as("wm"))
+      .agg(expr("transform(array_sort(collect_list(struct(b, wm))), x -> x.wm)")
+        .as("w_arr"))
+      .withColumn("k", lit(1))
+  }
+
+  /** Shared transform: per-doc DSIR importance score against the pinned
+    * weight array — q267's scoring half in a STATELESS per-row shape
+    * (batch q267 explodes bigrams and double-groupBys; a streaming
+    * groupBy would put unbounded per-doc aggregation state where
+    * scoring needs none). The per-row `aggregate` over the doc's own
+    * bigram list is integer-exact and identical to the batch sum, so
+    * DocStreamsSpec can assert score equality row-for-row and that the
+    * streamed top-25 IS the q267 selection. Same interpreted-HOF
+    * caveat as [[incrementalDedup]]. */
+  def dsirScore(docs: DataFrame, wArr: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.filter($"lang" =!= "en")
+      .select($"doc_id", $"lang", $"source",
+        graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .withColumn("k", lit(1))
+      .join(broadcast(wArr), Seq("k"))
+      .select($"doc_id", $"lang", $"source",
+        expr(
+          """aggregate(
+               transform(sequence(1, size(tk) - 1),
+                 i -> cast(conv(substr(md5(concat(element_at(tk, i), ' ',
+                        element_at(tk, i + 1))), 1, 15), 16, 10) as bigint) % 4096),
+               cast(0 as bigint),
+               (acc, b) -> acc + element_at(w_arr, cast(b as int) + 1))""")
+          .as("score_micro"))
+  }
+
+  /** Streaming entry: file-source doc stream scored on arrival against
+    * the static DSIR model. Stateless → append mode. */
+  def dsirScoreStream(s: SparkSession, docsDir: String,
+      wArr: DataFrame): DataFrame =
+    dsirScore(
+      s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(docsDir),
+      wArr)
+
   // ---- streaming MinHash-LSH dedup (flatMapGroupsWithState) ----
 
   /** One LSH band posting: document × band, keyed by the band's

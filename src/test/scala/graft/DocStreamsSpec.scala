@@ -33,6 +33,43 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR score == batch transform; top-25 == q267 selection; stateless") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val wArr = DocStreams.dsirWeightArray(spark, d)
+    assert(wArr.head().getSeq[Long](0).size == 4096)
+
+    val batch = DocStreams.dsirScore(graft.io.Tables.documents(spark, d), wArr)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val staged = java.nio.file.Files.createTempDirectory("docs_dsir")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = DocStreams.dsirScoreStream(spark, staged.toString, wArr)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_out")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      // the streamed scores reproduce the oracle-checked batch selection
+      val top25 = streamed.toSeq.sortBy(t => (-t._4, t._1)).take(25)
+        .map(t => (t._1, t._2, t._3, t._4))
+      val q267 = graft.operators.Curation.q267DsirSelect(spark, d)
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(top25 == q267)
+      // stateless: no state store in the plan, no state operator metrics
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain(extended = false) }
+      assert(!buf.toString.contains("StateStore"))
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
+
   test("decontam transform is stateless (no state store operators)") {
     val d = "/root/testdata/sf0.001"
     val bench = DocStreams.benchmarkShingles(spark, d)
