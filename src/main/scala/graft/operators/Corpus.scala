@@ -1331,7 +1331,101 @@ object Corpus {
          n_tokens // n_docs AS mean_doc_tokens
        FROM vol CROSS JOIN l CROSS JOIN s CROSS JOIN u"""
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split documents into head / middle / tail terciles by
+    * their bigram-LM surprisal under that LANGUAGE'S OWN model (q141's
+    * Jelinek–Mercer bigram LM with every statistic keyed by lang —
+    * cross-language surprisals are not comparable, which is why CCNet
+    * trains one LM per language), then report each bucket's size and
+    * surprisal range. Head = the most-fluent third, the slice CCNet
+    * keeps unconditionally; tail is the usual drop candidate.
+    *
+    * The tercile cut is the q93 value-histogram idiom per lang: the
+    * cumulative window runs over the per-lang SURPRISAL HISTOGRAM
+    * (bounded, partitioned by lang — never over document rows), ties
+    * indivisible, bucket = (3·rows_before) div n_lang. Mean surprisal
+    * comes from the histogram itself (Σ s·cnt), so no join back to
+    * documents. Scale: q141's shape with lang added to every key —
+    * partial-agg groupBys over the bigram stream, vocabulary-sized
+    * model joins, broadcast per-lang totals. */
+  def q272PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"))
+        .as("bg"))
+      .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
+      .groupBy($"doc_id", $"lang", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val c12 = tf.groupBy($"lang", $"w1", $"w2").agg(sum($"tf").as("c12"))
+    val c1 = c12.groupBy($"lang", $"w1").agg(sum($"c12").as("c1"))
+    val c2 = c12.groupBy($"lang", $"w2").agg(sum($"c12").as("c2"))
+    val tot = c12.groupBy($"lang").agg(sum($"c12").as("t"))
+    val bstats = c12.join(c1, Seq("lang", "w1")).join(c2, Seq("lang", "w2"))
+      .join(broadcast(tot), "lang")
+      .select($"lang", $"w1", $"w2",
+        floor(log(($"c1" * $"t" * 4) * lit(1.0) / ($"c12" * $"t" * 3 + $"c2" * $"c1"))
+          * lit(1000000.0)).cast("long").as("s_micro"))
+    val ds = tf.join(bstats, Seq("lang", "w1", "w2"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tf").as("nb"), sum($"tf" * $"s_micro").as("ss"))
+      .select($"lang", expr("ss div nb").as("s"))
+    val hist = ds.groupBy($"lang", $"s").agg(count(lit(1)).as("cnt"))
+    val nl = ds.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val w = Window.partitionBy($"lang").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("cumb", coalesce(sum($"cnt").over(w), lit(0L)))
+      .join(broadcast(nl), "lang")
+      .withColumn("bucket", expr(
+        "CASE (3 * cumb) div n_lang WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .groupBy($"lang", $"bucket")
+      .agg(sum($"cnt").as("n_docs"),
+        min($"s").as("lo_micro"), max($"s").as("hi_micro"),
+        expr("sum(s * cnt) div sum(cnt)").as("mean_micro"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val q272Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       bg0 AS (
+         SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(tk)-1),
+           i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+         FROM t WHERE len(tk) >= 2),
+       tf AS (SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2,
+                CAST(count(*) AS BIGINT) AS tf
+              FROM bg0 GROUP BY 1, 2, 3, 4),
+       c12 AS (SELECT lang, w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2, 3),
+       c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1, 2),
+       c2 AS (SELECT lang, w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1, 2),
+       tot AS (SELECT lang, CAST(sum(c12) AS BIGINT) AS t FROM c12 GROUP BY 1),
+       ds AS (
+         SELECT doc_id, lang,
+           CAST(sum(tf * CAST(floor(ln((4*c1*t)*1.0 / (3*c12*t + c2*c1)) * 1000000.0) AS BIGINT))
+             // sum(tf) AS BIGINT) AS s
+         FROM tf JOIN c12 USING (lang, w1, w2) JOIN c1 USING (lang, w1)
+           JOIN c2 USING (lang, w2) JOIN tot USING (lang)
+         GROUP BY 1, 2),
+       hist AS (SELECT lang, s, CAST(count(*) AS BIGINT) AS cnt FROM ds GROUP BY 1, 2),
+       nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM ds GROUP BY 1),
+       c AS (SELECT lang, s, cnt,
+               COALESCE(CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+             FROM hist),
+       b AS (SELECT c.lang, s, cnt,
+               CASE (3 * cumb) // n_lang WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+             FROM c JOIN nl ON c.lang = nl.lang)
+       SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(min(s) AS BIGINT) AS lo_micro, CAST(max(s) AS BIGINT) AS hi_micro,
+         CAST(sum(s * cnt) // sum(cnt) AS BIGINT) AS mean_micro
+       FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_perplexity_buckets" -> q272PerplexityBuckets,
     "q175_concentration" -> q175Concentration,
     "q174_path_rollup" -> q174PathRollup,
     "q173_greedy_cover" -> q173GreedyCover,
@@ -1358,6 +1452,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q272_perplexity_buckets" -> q272Oracle,
     "q175_concentration" -> q175Oracle,
     "q174_path_rollup" -> q174Oracle,
     "q173_greedy_cover" -> q173Oracle,

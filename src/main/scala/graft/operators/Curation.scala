@@ -1146,7 +1146,54 @@ object Curation {
        FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id
        ORDER BY tk.doc_id"""
 
+  /** Context-length truncation audit — the planning table behind
+    * choosing a sequence cap: for each candidate cap (32/64/96 tokens,
+    * bracketing this corpus' 10–99 length range), how many documents
+    * overflow, how many tokens a hard truncation discards, and what
+    * share of the corpus that loss is (bp). The q97/q104 packing
+    * planners consume exactly this trade-off.
+    *
+    * Shape: everything computes off the LENGTH HISTOGRAM (groupBy
+    * n_tok — bounded by max doc length), cross-joined with the 3-row
+    * literal cap relation; no per-doc work after the one partial-agg
+    * groupBy, and the corpus total rides the same histogram. */
+  def q275TruncationAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both the totals row and the per-cap sums
+    val tot = hist.agg(sum($"cnt" * $"n_tok").as("total_tokens"))
+    val caps = Seq(32L, 64L, 96L).toDF("cap")
+    hist.crossJoin(broadcast(caps))
+      .groupBy($"cap")
+      .agg(sum(when($"n_tok" > $"cap", $"cnt").otherwise(0L)).as("n_docs_over"),
+        sum(when($"n_tok" > $"cap", ($"n_tok" - $"cap") * $"cnt")
+          .otherwise(0L)).as("tokens_lost"))
+      .crossJoin(broadcast(tot))
+      .withColumn("loss_bp", expr("tokens_lost * 10000 div total_tokens"))
+      .select($"cap", $"n_docs_over", $"tokens_lost", $"total_tokens", $"loss_bp")
+      .orderBy($"cap")
+  }
+
+  val q275Oracle: String =
+    """WITH hist AS (
+         SELECT CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt * n_tok) AS BIGINT) AS total_tokens FROM hist),
+       caps AS (SELECT CAST(unnest([32, 64, 96]) AS BIGINT) AS cap)
+       SELECT cap,
+         CAST(sum(CASE WHEN n_tok > cap THEN cnt ELSE 0 END) AS BIGINT) AS n_docs_over,
+         CAST(sum(CASE WHEN n_tok > cap THEN (n_tok - cap) * cnt ELSE 0 END) AS BIGINT) AS tokens_lost,
+         total_tokens,
+         CAST(sum(CASE WHEN n_tok > cap THEN (n_tok - cap) * cnt ELSE 0 END) * 10000
+           // total_tokens AS BIGINT) AS loss_bp
+       FROM hist CROSS JOIN caps CROSS JOIN tot
+       GROUP BY cap, total_tokens ORDER BY cap"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_truncation_audit" -> q275TruncationAudit,
     "q267_dsir_select" -> q267DsirSelect,
     "q268_boilerplate_scrub" -> q268BoilerplateScrub,
     "q261_netnew_content" -> q261NetNewContent,
@@ -1170,6 +1217,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q275_truncation_audit" -> q275Oracle,
     "q267_dsir_select" -> q267Oracle,
     "q268_boilerplate_scrub" -> q268Oracle,
     "q261_netnew_content" -> q261Oracle,

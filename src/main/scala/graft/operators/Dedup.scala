@@ -1769,7 +1769,74 @@ object Dedup {
            CAST(coalesce(max(sz), 0) AS BIGINT) FROM s9)
        ORDER BY threshold_bp"""
 
+  /** Dedup-aggressiveness sensitivity curve: how much duplicate mass
+    * each canonicalization tier surfaces, on the same corpus, under
+    * three progressively looser keys — exact text, the sorted token
+    * multiset (word-order-insensitive "bag" dedup), and the first-16-
+    * token prefix (template/header dedup). The three dup rates are the
+    * decision table behind "which dedup level do we run": both loose
+    * tiers SUBSUME the exact tier (an exact dup collides under any
+    * derived key), but they answer different questions off that base —
+    * the bag key is order-insensitive, the prefix key is order-
+    * sensitive, so neither contains the other (`DedupTierSpec` plants
+    * a reordered pair that only the bag tier catches).
+    *
+    * Shape: ONE scan explodes each doc into its 3 (tier, key60) rows
+    * (keys are 60-bit hashes computed scan-side — strings never
+    * shuffle), one (tier, key) partial-agg groupBy, one per-tier
+    * roll-up. Scale: the shuffle is 3N hash rows; cluster fan-in is
+    * bounded by duplicate multiplicity like q40. */
+  def q274DedupTiers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"), $"text")
+      .select(explode(array(
+        struct(lit("1_exact").as("tier"), hash60($"text").as("k")),
+        struct(lit("2_bag").as("tier"),
+          hash60(array_join(array_sort($"tk"), " ")).as("k")),
+        struct(lit("3_prefix16").as("tier"),
+          hash60(array_join(slice($"tk", 1, 16), " ")).as("k")))).as("tk2"))
+      .select($"tk2.tier", $"tk2.k")
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    keyed.groupBy($"tier", $"k").agg(count(lit(1)).as("cnt"))
+      .groupBy($"tier")
+      .agg(sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_clusters"),
+        sum(when($"cnt" >= 2, $"cnt").otherwise(0L)).as("n_dup_docs"),
+        sum(when($"cnt" >= 2, $"cnt" - 1).otherwise(0L)).as("n_removable"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dup_permille", expr("n_removable * 1000 div n_docs"))
+      .select($"tier", $"n_clusters", $"n_dup_docs", $"n_removable",
+        $"dup_permille")
+      .orderBy($"tier")
+  }
+
+  val q274Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       keyed AS (
+         SELECT '1_exact' AS tier,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS k FROM tk
+         UNION ALL
+         SELECT '2_bag',
+           ('0x' || substr(md5(list_aggregate(list_sort(tk), 'string_agg', ' ')), 1, 15))::BIGINT
+         FROM tk
+         UNION ALL
+         SELECT '3_prefix16',
+           ('0x' || substr(md5(list_aggregate(tk[1:16], 'string_agg', ' ')), 1, 15))::BIGINT
+         FROM tk),
+       cl AS (SELECT tier, k, CAST(count(*) AS BIGINT) AS cnt FROM keyed GROUP BY 1, 2),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       SELECT tier,
+         CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_removable,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) * 1000 // n_docs AS BIGINT) AS dup_permille
+       FROM cl CROSS JOIN tot GROUP BY tier, n_docs ORDER BY tier"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
     "q256_lsh_cost_planner" -> q256LshCostPlanner,
     "q248_lsh_sweep" -> q248LshSweep,
@@ -1795,6 +1862,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q274_dedup_tiers" -> q274Oracle,
     "q258_threshold_persistence" -> q258Oracle,
     "q256_lsh_cost_planner" -> q256Oracle,
     "q248_lsh_sweep" -> q248Oracle,

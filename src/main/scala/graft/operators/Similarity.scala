@@ -1361,7 +1361,74 @@ object Similarity {
        FROM vote JOIN nn USING (qid) WHERE vote.vr = 1
        ORDER BY vec_id"""
 
+  /** Cluster-boundary ambiguity mining (active-learning margin
+    * sampling over the IVF geometry): rank every vector's two nearest
+    * centroids by the signed cosine key and surface the 50 vectors
+    * with the SMALLEST margin key1−key2 — points sitting between two
+    * cells, which is where IVF recall loss concentrates (q86's
+    * multi-probe exists exactly for them) and where a labeling budget
+    * buys the most information. Centroids themselves score key1=10⁴
+    * and land at the bottom of the ambiguity order, never selected.
+    *
+    * Shape: the q48 broadcast-argmax assignment widened to arn ≤ 2 and
+    * pivoted by conditional agg (no second window, no join); the
+    * 50-row cut is TakeOrderedAndProject. Scale: one corpus scan ×
+    * broadcast centroid table, a per-vec_id window over |centroids|
+    * candidate rows, one partial-agg pivot. */
+  def q273AmbiguityMargin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val cent = q.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("centroid_id"), $"qa".as("cv"), $"n2".as("cn"))
+    q.join(broadcast(cent))
+      .withColumn("num", dotQ($"qa", $"cv"))
+      .select($"vec_id", $"centroid_id",
+        expr("(num * abs(num) * 10000) div (n2 * cn)").as("key"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
+      .filter($"arn" <= 2)
+      .groupBy($"vec_id")
+      .agg(max(when($"arn" === 1, $"centroid_id")).as("cell1"),
+        max(when($"arn" === 1, $"key")).as("key1"),
+        max(when($"arn" === 2, $"centroid_id")).as("cell2"),
+        max(when($"arn" === 2, $"key")).as("key2"))
+      .withColumn("margin", $"key1" - $"key2")
+      .orderBy($"margin".asc, $"vec_id")
+      .limit(50)
+  }
+
+  val q273Oracle: String =
+    """WITH q AS (
+         SELECT vec_id,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       cent AS (
+         SELECT vec_id AS centroid_id, qa AS cv, n2 AS cn
+         FROM n WHERE vec_id % 50 = 0),
+       ranked AS (
+         SELECT vec_id, centroid_id, (num * abs(num) * 10000) // (n2 * cn) AS key,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             (num * abs(num) * 10000) // (n2 * cn) DESC, centroid_id) AS arn
+         FROM (
+           SELECT a.vec_id, a.n2, c.centroid_id, c.cn,
+             CAST(list_sum(list_transform(list_zip(a.qa, c.cv), p -> p[1]*p[2])) AS BIGINT) AS num
+           FROM n a, cent c)),
+       piv AS (
+         SELECT vec_id,
+           max(CASE WHEN arn = 1 THEN centroid_id END) AS cell1,
+           max(CASE WHEN arn = 1 THEN key END) AS key1,
+           max(CASE WHEN arn = 2 THEN centroid_id END) AS cell2,
+           max(CASE WHEN arn = 2 THEN key END) AS key2
+         FROM ranked WHERE arn <= 2 GROUP BY vec_id)
+       SELECT vec_id, cell1, key1, cell2, key2, key1 - key2 AS margin
+       FROM piv ORDER BY margin ASC, vec_id LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_ambiguity_margin" -> q273AmbiguityMargin,
     "q269_farthest_first" -> q269FarthestFirst,
     "q270_jl_audit" -> q270JlAudit,
     "q271_knn_label_audit" -> q271KnnLabelAudit,
@@ -1384,6 +1451,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q273_ambiguity_margin" -> q273Oracle,
     "q269_farthest_first" -> q269Oracle,
     "q270_jl_audit" -> q270Oracle,
     "q271_knn_label_audit" -> q271Oracle,

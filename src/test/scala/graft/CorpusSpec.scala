@@ -122,4 +122,27 @@ class CorpusSpec extends SparkSpec {
       .select($"user_id").distinct().count()
     assert(direct == peakU7, s"peak $peak: $direct vs $peakU7")
   }
+
+  test("q272: buckets partition each lang; surprisal ranges are ordered and disjoint") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Corpus.q272PerplexityBuckets(spark, d)
+      .select($"lang", $"bucket", $"n_docs", $"lo_micro", $"hi_micro", $"mean_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // per lang: bucket doc counts sum to the lang's scoreable docs
+    val perLang = graft.io.Tables.documents(spark, d)
+      .select($"lang", size(graft.functions.Fns.tokens($"text")).as("nt"))
+      .filter($"nt" >= 2).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum == perLang(lang), s"partition broken for $lang")
+      // head < middle < tail on the value axis (ties indivisible ->
+      // value ranges are disjoint and ordered)
+      val by = rows.map(r => r._2 -> r).toMap
+      for (a <- by.get("head"); b <- by.get("middle")) assert(a._5 < b._4)
+      for (b <- by.get("middle"); c <- by.get("tail")) assert(b._5 < c._4)
+      // mean inside [lo, hi]
+      rows.foreach(r => assert(r._6 >= r._4 && r._6 <= r._5))
+    }
+  }
 }

@@ -251,6 +251,24 @@ class CurationSpec extends SparkSpec {
     assert(got(0)._3 > got(1)._3)
   }
 
+  test("q275: truncation table exact on known lengths; loss conserved") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, words(3), "en", "s", 1L),
+      (2L, words(40), "en", "s", 1L),
+      (3L, words(100), "en", "s", 1L)))
+    val got = Curation.q275TruncationAudit(spark, d)
+      .select($"cap", $"n_docs_over", $"tokens_lost", $"total_tokens", $"loss_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (32L, 2L, 76L, 143L, 76L * 10000 / 143),
+      (64L, 1L, 36L, 143L, 36L * 10000 / 143),
+      (96L, 1L, 4L, 143L, 4L * 10000 / 143)))
+    // larger caps never lose more
+    val lost = got.map(_._3)
+    assert(lost == lost.sorted.reverse)
+  }
+
   test("q268: chunk in 3 docs scrubbed everywhere incl. twice-in-one-doc; df=2 chunk kept") {
     val bp = "a b c d e f g h"          // df 3 -> boilerplate
     val keep = "p q r s t u v w"        // df 2 -> kept

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Dedup
+
+/** q274 dedup-tier sensitivity on a crafted corpus where each tier
+  * catches exactly one more planted duplicate family than the last. */
+class DedupTierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_tiers").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q274: each tier surfaces its own planted family; dup mass monotone") {
+    val prefix = (1 to 16).map(i => s"p$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, "a b c"), (2L, "a b c"),              // exact dup pair
+      (3L, "x y z"), (4L, "z y x"),              // bag dup only
+      (5L, s"$prefix tail one"), (6L, s"$prefix other end"), // prefix-16 only
+      (7L, "lonely unique document")))
+    val got = Dedup.q274DedupTiers(spark, d)
+      .select($"tier", $"n_clusters", $"n_dup_docs", $"n_removable")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1_exact", 1L, 2L, 1L),      // docs 1,2
+      ("2_bag", 2L, 4L, 2L),        // + docs 3,4 (reordered words)
+      ("3_prefix16", 2L, 4L, 2L)))  // docs 1,2 + 5,6; NOT the bag pair —
+    // the prefix key is order-sensitive, so bag ⊄ prefix16: the two
+    // loose tiers answer different questions off the exact base
+    val rem = got.map(_._4)
+    assert(rem.head <= rem(1) && rem.head <= rem(2)) // exact ⊆ each loose tier
+  }
+
+  test("q274: bag and prefix tiers subsume exact dups") {
+    val d = docsDir(Seq((1L, "same text here"), (2L, "same text here")))
+    val got = Dedup.q274DedupTiers(spark, d)
+      .select($"tier", $"n_removable").as[(String, Long)].collect().toMap
+    // an exact dup is a dup under every tier
+    assert(got("1_exact") == 1L && got("2_bag") == 1L && got("3_prefix16") == 1L)
+  }
+}

@@ -51,6 +51,25 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(got(1) == (1L, 0L, 0L, 10000L)) // zero distance -> pinned exact
   }
 
+  test("q273: the point between two centroids has margin 0 and ranks first") {
+    // centroids are vec_id % 50 == 0: ids 0 and 50. vec 1 sits exactly
+    // on the bisector (equal cosine to both), vec 2 hugs centroid 0.
+    val d = embDir(Seq(
+      (0L, Seq(1f, 0f), 0), (50L, Seq(0f, 1f), 0),
+      (1L, Seq(1f, 1f), 0),       // 45 deg to both -> key1 == key2
+      (2L, Seq(1f, 0.1f), 0)))    // decisively in cell 0
+    val got = Similarity.q273AmbiguityMargin(spark, d)
+      .select($"vec_id", $"cell1", $"cell2", $"margin")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head._1 == 1L && got.head._4 == 0L) // most ambiguous first
+    assert(got.head._2 == 0L && got.head._3 == 50L) // tie -> smaller centroid wins arn 1
+    // margins are non-decreasing in output order
+    val ms = got.map(_._4)
+    assert(ms == ms.sorted)
+    // the decisive point is far less ambiguous than the bisector point
+    assert(got.find(_._1 == 2L).get._4 > 0L)
+  }
+
   test("q271: odd label inside a tight cluster is flagged; peers are not") {
     // cluster A: 6 colinear vectors, labels 0 except vec 5 labeled 9;
     // cluster B: orthogonal (dot vs A = 0, filtered by num > 0), label 1
