@@ -1350,27 +1350,41 @@ object Corpus {
     * model joins, broadcast per-lang totals. */
   def q272PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tf = Tables.documents(s, d)
+    // Words are replaced by native 64-bit xxhash keys in the FIRST
+    // projection (the q134/q135 hash-keyed-groupBy tuning: every
+    // downstream shuffle moves longs, not strings — measured 3.3 s →
+    // string-free at sf0.1). The oracle still groups by the words
+    // themselves, so a real hash collision would change counts and
+    // fail the hash compare — the verification doubles as the
+    // collision check.
+    // No (doc, bigram) pre-aggregation: within a document bigrams
+    // rarely repeat, so that groupBy shuffles ~|occurrences| groups for
+    // nothing (measured: it was the dominant stage). The occurrence
+    // stream itself is checkpointed once and feeds both the model
+    // build and the scoring join; the doc score aggregates occurrence
+    // surprisals directly (Σ over occurrences == Σ tf·s by
+    // commutativity, same integers).
+    val occ = Tables.documents(s, d)
       .select($"doc_id", $"lang", tokens($"text").as("tk"))
       .filter(size($"tk") >= 2)
       .select($"doc_id", $"lang", explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"))
         .as("bg"))
-      .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
-      .groupBy($"doc_id", $"lang", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+      .select($"doc_id", $"lang",
+        xxhash64($"bg.w1").as("h1"), xxhash64($"bg.w2").as("h2"))
       .localCheckpoint()
-    val c12 = tf.groupBy($"lang", $"w1", $"w2").agg(sum($"tf").as("c12"))
-    val c1 = c12.groupBy($"lang", $"w1").agg(sum($"c12").as("c1"))
-    val c2 = c12.groupBy($"lang", $"w2").agg(sum($"c12").as("c2"))
+    val c12 = occ.groupBy($"lang", $"h1", $"h2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"lang", $"h1").agg(sum($"c12").as("c1"))
+    val c2 = c12.groupBy($"lang", $"h2").agg(sum($"c12").as("c2"))
     val tot = c12.groupBy($"lang").agg(sum($"c12").as("t"))
-    val bstats = c12.join(c1, Seq("lang", "w1")).join(c2, Seq("lang", "w2"))
+    val bstats = c12.join(c1, Seq("lang", "h1")).join(c2, Seq("lang", "h2"))
       .join(broadcast(tot), "lang")
-      .select($"lang", $"w1", $"w2",
+      .select($"lang", $"h1", $"h2",
         floor(log(($"c1" * $"t" * 4) * lit(1.0) / ($"c12" * $"t" * 3 + $"c2" * $"c1"))
           * lit(1000000.0)).cast("long").as("s_micro"))
-    val ds = tf.join(bstats, Seq("lang", "w1", "w2"))
+    val ds = occ.join(bstats, Seq("lang", "h1", "h2"))
       .groupBy($"doc_id", $"lang")
-      .agg(sum($"tf").as("nb"), sum($"tf" * $"s_micro").as("ss"))
+      .agg(count(lit(1)).as("nb"), sum($"s_micro").as("ss"))
       .select($"lang", expr("ss div nb").as("s"))
     val hist = ds.groupBy($"lang", $"s").agg(count(lit(1)).as("cnt"))
     val nl = ds.groupBy($"lang").agg(count(lit(1)).as("n_lang"))

@@ -1192,7 +1192,67 @@ object Curation {
        FROM hist CROSS JOIN caps CROSS JOIN tot
        GROUP BY cap, total_tokens ORDER BY cap"""
 
+  /** Incremental maintenance of the DSIR bucket model (the q103/q257
+    * IVM discipline applied to q267's language model): the corpus
+    * model lives as a stored 4096-row count table; when a new doc
+    * batch lands (the doc_id%10==0 convention shared with q52), its
+    * bucket counts are aggregated ALONE and merged algebraically into
+    * the snapshot — counts add under full-outer + coalesce, totals
+    * add, and the smoothed weight recomputes from merged counts only.
+    * No corpus rescan: at scale the snapshot side is a table read, and
+    * the delta side touches only the new batch (this plan's two scans
+    * over one parquet dir are the local stand-in — the checkpoint
+    * below is the "stored snapshot"). The oracle recomputes the model
+    * from the FULL corpus from scratch — hash equality IS the merge-
+    * correctness proof (same contract as q103). The output model is
+    * what [[graft.streaming.DocStreams.dsirWeightArray]] would pin for
+    * the next ingest window. */
+  def q276DsirModelIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = dsirBigramBuckets(s, d).localCheckpoint()
+    def counts(pred: org.apache.spark.sql.Column) = bg.filter(pred)
+      .groupBy($"b")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val snap = counts($"doc_id" % 10 =!= 0)
+    val delta = counts($"doc_id" % 10 === 0)
+    val merged = snap.as("a").join(delta.as("b"), Seq("b"), "full_outer")
+      .select($"b",
+        (coalesce($"a.c_t", lit(0L)) + coalesce($"b.c_t", lit(0L))).as("c_t"),
+        (coalesce($"a.c_r", lit(0L)) + coalesce($"b.c_r", lit(0L))).as("c_r"))
+    val tot = merged.agg(sum($"c_t").as("n_t"), sum($"c_r").as("n_r"))
+    merged.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        floor(log(
+          (($"c_t" + 1) * ($"n_r" + 4096)).cast("double") /
+            (($"c_r" + 1) * ($"n_t" + 4096)).cast("double")) * 1000000.0)
+          .cast("long"))
+      .select($"b", $"c_t", $"c_r", $"w_micro")
+      .orderBy($"b")
+  }
+
+  val q276Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       bg AS (
+         SELECT doc_id, lang,
+           unnest([('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT % 4096
+                   FOR i IN generate_series(1, len(tk) - 1)]) AS b
+         FROM tk WHERE len(tk) >= 2),
+       bc AS (
+         SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+           CAST(count(*) AS BIGINT) AS c_r
+         FROM bg GROUP BY b),
+       tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r FROM bc)
+       SELECT b, c_t, c_r,
+         CAST(floor(ln(((c_t + 1) * (n_r + 4096))::DOUBLE
+             / ((c_r + 1) * (n_t + 4096))::DOUBLE) * 1000000.0) AS BIGINT) AS w_micro
+       FROM bc CROSS JOIN tot ORDER BY b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_dsir_model_ivm" -> q276DsirModelIvm,
     "q275_truncation_audit" -> q275TruncationAudit,
     "q267_dsir_select" -> q267DsirSelect,
     "q268_boilerplate_scrub" -> q268BoilerplateScrub,
@@ -1217,6 +1277,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q276_dsir_model_ivm" -> q276Oracle,
     "q275_truncation_audit" -> q275Oracle,
     "q267_dsir_select" -> q267Oracle,
     "q268_boilerplate_scrub" -> q268Oracle,

@@ -401,7 +401,87 @@ object TextAnalysis {
          CAST(max(ent_micro) AS BIGINT) AS max_ent_micro
        FROM pd GROUP BY source ORDER BY source"""
 
+  /** Code-switching / mixed-language audit: run q32's 5-profile
+    * stopword predictor per 20-token WINDOW instead of per document,
+    * then report per doc how many windows there are, how many agree
+    * with the labeled language, and how many distinct (non-'und')
+    * languages the windows claim — `mixed` flags docs whose windows
+    * disagree about the language, the signature of concatenated or
+    * code-switched text that a doc-level langid mistakes for one
+    * language. Docs under 20 tokens have no full window and drop out
+    * (too short to window-vote).
+    *
+    * Shape: one scan, a bounded per-doc window explode (≤ n_tok/20
+    * rows), the marker counts as scan-side array filters, and one
+    * per-doc partial agg. Nothing shuffles but the ≤5-per-doc window
+    * rows. */
+  def q277CodeSwitch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "in"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "les", "et", "une"),
+      "es" -> Seq("el", "los", "y", "una"),
+      "zh" -> Seq("的", "是", "了"))
+    val win = Tables.documents(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 20)
+      .select($"doc_id", $"lang", explode(expr(
+        """transform(sequence(0, size(tk) div 20 - 1),
+           i -> slice(tk, i*20+1, 20))""")).as("w"))
+    def score(ws: Seq[String]): Column =
+      size(filter($"w", t => t.isin(ws.map(lit): _*)))
+    val scored = win.select(Seq($"doc_id", $"lang") ++
+      markers.map { case (l, ws) => score(ws).as(s"c_$l") }: _*)
+    val pred = markers.map(_._1).foldRight(lit("und")) { (l, els) =>
+      val c = col(s"c_$l")
+      val others = markers.map(_._1).filter(_ != l).map(o => c >= col(s"c_$o"))
+      when(c > 0 && others.reduce(_ && _), lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred", pred)
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"pred" === $"lang", 1L).otherwise(0L)).as("n_match"),
+        countDistinct(when($"pred" =!= "und", $"pred")).as("n_langs"))
+      .withColumn("mixed", $"n_langs" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  val q277Oracle: String =
+    """WITH t AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+         FROM documents),
+       win AS (
+         SELECT doc_id, lang,
+           unnest([tk[i*20+1 : i*20+20] FOR i IN generate_series(0, len(tk)//20 - 1)]) AS w
+         FROM t WHERE len(tk) >= 20),
+       sc AS (
+         SELECT doc_id, lang,
+           len(list_filter(w, t -> list_contains(['the','a','and','of','in'], t))) AS c_en,
+           len(list_filter(w, t -> list_contains(['der','die','das','und'], t))) AS c_de,
+           len(list_filter(w, t -> list_contains(['le','les','et','une'], t))) AS c_fr,
+           len(list_filter(w, t -> list_contains(['el','los','y','una'], t))) AS c_es,
+           len(list_filter(w, t -> list_contains(['的','是','了'], t))) AS c_zh
+         FROM win),
+       p AS (
+         SELECT doc_id, lang,
+           CASE
+             WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+             WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+             WHEN c_fr > 0 AND c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+             WHEN c_es > 0 AND c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+             WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_fr AND c_zh >= c_es THEN 'zh'
+             ELSE 'und' END AS pred
+         FROM sc)
+       SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(count(DISTINCT CASE WHEN pred <> 'und' THEN pred END) AS BIGINT) AS n_langs,
+         (count(DISTINCT CASE WHEN pred <> 'und' THEN pred END) >= 2) AS mixed
+       FROM p GROUP BY doc_id, lang ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_code_switch" -> q277CodeSwitch,
     "q216_char_entropy" -> q216CharEntropy,
     "q214_classification_eval" -> q214ClassificationEval,
     "q152_subtoken_profile" -> q152SubtokenProfile,
@@ -412,6 +492,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q277_code_switch" -> q277Oracle,
     "q216_char_entropy" -> q216Oracle,
     "q214_classification_eval" -> q214Oracle,
     "q152_subtoken_profile" -> q152Oracle,

@@ -123,6 +123,24 @@ class CorpusSpec extends SparkSpec {
     assert(direct == peakU7, s"peak $peak: $direct vs $peakU7")
   }
 
+  test("q277: concatenated en+de doc flagged mixed; pure doc is not") {
+    val en20 = Seq.fill(4)("the a and of in").mkString(" ")   // 20 en tokens
+    val de20 = Seq.fill(5)("der die das und").mkString(" ")   // 20 de tokens
+    val dir = java.nio.file.Files.createTempDirectory("codesw").toString
+    Seq(
+      (1L, s"$en20 $de20", "en", "s", 1L),  // window 1 en, window 2 de
+      (2L, s"$en20 $en20", "en", "s", 1L),  // both windows en
+      (3L, "short text", "en", "s", 1L))    // < 20 tokens: dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.q277CodeSwitch(spark, dir)
+      .select($"doc_id", $"n_windows", $"n_match", $"n_langs", $"mixed")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 2L, true),
+      (2L, 2L, 2L, 1L, false)))
+  }
+
   test("q272: buckets partition each lang; surprisal ranges are ordered and disjoint") {
     val d = "/root/testdata/sf0.001"
     val got = operators.Corpus.q272PerplexityBuckets(spark, d)

@@ -251,6 +251,23 @@ class CurationSpec extends SparkSpec {
     assert(got(0)._3 > got(1)._3)
   }
 
+  test("q276: snapshot+delta merge equals the from-scratch model inside the engine") {
+    // docs 1,2 are the "stored snapshot"; doc 10 (doc_id%10==0) is the
+    // new batch, sharing one bigram with the snapshot and adding one
+    val d = docsDir(Seq(
+      (1L, "alpha beta gamma", "en", "s", 1L),
+      (2L, "alpha beta", "de", "s", 1L),
+      (10L, "beta gamma delta", "de", "s", 1L)))
+    val ivm = Curation.q276DsirModelIvm(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val full = Curation.dsirModel(spark, d)
+      .select($"b", $"c_t", $"c_r", $"w_micro").orderBy($"b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ivm == full)
+    // totals: 2 en bigrams (doc 1), 3 raw-only (docs 2, 10)
+    assert(ivm.map(_._2).sum == 2L && ivm.map(_._3).sum == 5L)
+  }
+
   test("q275: truncation table exact on known lengths; loss conserved") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val d = docsDir(Seq(
