@@ -483,7 +483,87 @@ object Graph {
        SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM delta)
        ORDER BY kind, value DESC, node"""
 
+  /** k-core peeling (k=4, 4 synchronous rounds) over the sparse
+    * part–supplier bipartite slice (distinct edges with quantity ≤ 3 —
+    * the full graph is too dense to peel): each round removes every
+    * alive node whose CURRENT degree is < 4 (isolated nodes count as
+    * degree 0) and drops their edges; the per-round removal counts are
+    * the classic cascade signature (one large first round, small
+    * aftershocks, fixpoint). The surviving subgraph is the 4-core —
+    * the standard "dense interaction core" extraction used for
+    * community seeding and spam/botnet analysis, and the iterative-
+    * peeling primitive PageRank/HITS/CC (q237/q239/q71) don't cover.
+    *
+    * Scale: each round is one degree aggregation over the remaining
+    * edges (partial-agg groupBy after a union of endpoints) and one
+    * semi-join filter of the edge relation against the alive set —
+    * edges shrink monotonically, and the edge relation is
+    * re-checkpointed per round so lineage stays flat (q237's driver-
+    * loop contract; only 1-row counts ever reach the driver). Fixed
+    * round count keeps the oracle expressible as 4 nested CTEs; real
+    * peeling runs to fixpoint with the same per-round plan. */
+  def q278KcorePeel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var edges = Tables.lineitem(s, d)
+      .filter($"l_quantity" <= 3)
+      .select(($"l_partkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var alive = edges.select($"u".as("x"))
+      .union(edges.select($"v".as("x"))).distinct().localCheckpoint()
+    val out = collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+    for (r <- 1 to 4) {
+      val deg = edges.select($"u".as("x")).unionAll(edges.select($"v".as("x")))
+        .groupBy($"x").agg(count(lit(1)).as("deg"))
+      val nextAlive = alive.join(deg, Seq("x"), "left")
+        .filter(coalesce($"deg", lit(0L)) >= 4)
+        .select($"x").localCheckpoint()
+      val nAlive = nextAlive.count()
+      val nRemoved = alive.count() - nAlive
+      edges = edges
+        .join(nextAlive.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(nextAlive.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      alive = nextAlive
+      out += ((r.toLong, nRemoved, nAlive, edges.count()))
+    }
+    out.toSeq.toDF("round", "n_removed", "n_alive", "n_edges")
+      .orderBy($"round")
+  }
+
+  val q278Oracle: String = {
+    // 4 unrolled synchronous peel rounds; aN/eN = alive nodes / edges
+    // after round N. coalesce(deg,0) keeps isolated alive nodes peelable.
+    // AS MATERIALIZED: without it DuckDB re-inlines each round's CTEs
+    // into every later reference and the plan blows up exponentially
+    // (the q182 pathology; hung at sf0.01 un-hinted, 0.04 s hinted)
+    def round(n: Int) = {
+      val p = n - 1
+      s"""d$n AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT u AS x FROM e$p UNION ALL SELECT v AS x FROM e$p)
+              GROUP BY x),
+         a$n AS MATERIALIZED (SELECT a$p.x FROM a$p LEFT JOIN d$n ON a$p.x = d$n.x
+                 WHERE coalesce(d$n.deg, 0) >= 4),
+         e$n AS MATERIALIZED (SELECT u, v FROM e$p
+                 WHERE u IN (SELECT x FROM a$n) AND v IN (SELECT x FROM a$n)),
+         r$n AS (SELECT CAST($n AS BIGINT) AS round,
+                  (SELECT count(*) FROM a$p) - (SELECT count(*) FROM a$n) AS n_removed,
+                  (SELECT CAST(count(*) AS BIGINT) FROM a$n) AS n_alive,
+                  (SELECT CAST(count(*) AS BIGINT) FROM e$n) AS n_edges)"""
+    }
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         FROM lineitem WHERE l_quantity <= 3),
+       a0 AS MATERIALIZED (SELECT u AS x FROM e0 UNION SELECT v AS x FROM e0),
+       ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+       SELECT round, CAST(n_removed AS BIGINT) AS n_removed, n_alive, n_edges
+       FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+       ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_kcore_peel" -> q278KcorePeel,
     "q237_pagerank_loop" -> q237PagerankLoop,
     "q239_hits_step" -> q239HitsStep,
     "q179_assortativity" -> q179Assortativity,
@@ -494,6 +574,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q278_kcore_peel" -> q278Oracle,
     "q237_pagerank_loop" -> q237Oracle,
     "q239_hits_step" -> q239Oracle,
     "q179_assortativity" -> q179Oracle,

@@ -8,6 +8,25 @@ class GraphSpec extends SparkSpec {
   import spark.implicits._
   private val d = "/root/testdata/sf0.001"
 
+  test("q278: star unravels in a two-round cascade; the 4x4 biclique core survives") {
+    // star: supplier 100 serves parts 1..5 (part degree 1 -> peeled
+    // round 1; the hub then drops to degree 0 -> peeled round 2).
+    // biclique: parts 10..13 x suppliers 20..23, every degree exactly
+    // 4 -> the 4-core, untouched through all rounds.
+    val dir = java.nio.file.Files.createTempDirectory("kcore").toString
+    val star = (1L to 5L).map(p => (p, 100L, 1.0))
+    val k44 = for (p <- 10L to 13L; s <- 20L to 23L) yield (p, s, 1.0)
+    (star ++ k44).toDF("l_partkey", "l_suppkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Graph.q278KcorePeel(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 9L, 16L),  // 5 leaf parts peel; 14 nodes -> 9
+      (2L, 1L, 8L, 16L),  // the orphaned hub follows
+      (3L, 0L, 8L, 16L),
+      (4L, 0L, 8L, 16L))) // fixpoint: the biclique is the 4-core
+  }
+
   test("q82: ranks carry the teleport base and flow conservation holds") {
     val got = operators.Graph.q82PagerankStep(spark, d).collect()
     assert(got.length > 0 && got.length <= 20)
