@@ -21,6 +21,37 @@ object Formats {
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 
+  /** PERMISSIVE JSON ingest with corrupt-record salvage — the U1/T16
+    * retry-and-salvage discipline applied at the SOURCE: malformed
+    * lines land in `_corrupt_record` instead of failing the scan
+    * (FAILFAST) or silently vanishing (DROPMALFORMED). Returns (good
+    * rows with the user schema, quarantine rows carrying the raw bad
+    * line) so the pipeline loads what parses and files the rest for
+    * the error digest — at 100 TB one bad crawl line must not kill a
+    * stage, and dropping it unrecorded corrupts recall silently.
+    *
+    * Spark caveat encoded here: `_corrupt_record` must be part of the
+    * scan schema to be populated, and a query that selects ONLY the
+    * corrupt column is disallowed (Spark requires referencing data
+    * columns alongside it), so the split is projected from one cached
+    * full read. */
+  def readJsonSalvage(s: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // one scan feeds both splits (and satisfies Spark's
+               // no-corrupt-column-only-query rule)
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, quarantine)
+  }
+
   /** S4 in-engine equivalent: raw results-page text → (row_idx, cells)
     * rows. One table row per line, cells separated by `;` — the shape
     * a fetcher outside the engine would dump. Pure Column ops: the

@@ -30,6 +30,25 @@ class FormatsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == expect)
   }
 
+  test("JSON salvage: good rows parse, malformed lines quarantine verbatim, none lost") {
+    import org.apache.spark.sql.types._
+    val p = tmp.resolve("salvage.jsonl")
+    java.nio.file.Files.write(p, java.util.Arrays.asList(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": 2, "name": "also ok"}""",
+      """{"id": 3, "name": truncated""", // malformed -> quarantine
+      """not json at all"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, quarantine) = Formats.readJsonSalvage(spark, p.toString, schema)
+    assert(good.orderBy($"id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "ok"), (2L, "also ok")))
+    val bad = quarantine.as[String].collect().toSet
+    assert(bad == Set("""{"id": 3, "name": truncated""", "not json at all"))
+    // conservation: every input line is exactly one of good/quarantine
+    assert(good.count() + quarantine.count() == 4)
+  }
+
   test("raw text dump parses to (row_idx, cells) rows, empties dropped") {
     val p = tmp.resolve("dump.txt")
     java.nio.file.Files.write(p, java.util.Arrays.asList(
