@@ -271,7 +271,73 @@ object Scalars {
          len(inter) * 10000 // len(uni) AS jaccard_bp
        FROM ops ORDER BY doc_id"""
 
+  /** Spark 4 VARIANT surface (q279): heterogeneous semi-structured
+    * payloads — each event type carries a DIFFERENT JSON shape
+    * (purchase: flat amount; click: flat target string; signup: a
+    * NESTED profile object; view/error: a code) — parsed once into the
+    * binary VariantType and field-extracted with typed
+    * `try_variant_get` paths, including a two-level path into the
+    * nested shape. Exactly the open-schema ingest problem VARIANT
+    * exists for: one column, per-row shape, no schema unification, no
+    * per-shape DataFrame split.
+    *
+    * The oracle never touches JSON: it computes the same aggregates
+    * straight from the payload-construction semantics — hash equality
+    * proves the JSON→VARIANT→typed-path round trip is value-exact
+    * (cents ride a decimal cast, never a raw double). Scale: scan →
+    * project (parse_json + extractions are per-row expressions) → one
+    * partial-agg groupBy; the variant never shuffles. */
+  def q279VariantExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("cents",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("js", expr(
+        """CASE event_type
+             WHEN 'purchase' THEN to_json(named_struct('amount_cents', cents, 'cur', 'usd'))
+             WHEN 'click'    THEN to_json(named_struct('target', concat('el-', user_id % 10)))
+             WHEN 'signup'   THEN to_json(named_struct('profile', named_struct('plan', concat('p', user_id % 3))))
+             ELSE                 to_json(named_struct('code', user_id % 7))
+           END"""))
+      .withColumn("v", expr("parse_json(js)"))
+      .select($"event_type",
+        expr("try_variant_get(v, '$.amount_cents', 'bigint')").as("amount"),
+        expr("try_variant_get(v, '$.target', 'string')").as("target"),
+        expr("try_variant_get(v, '$.profile.plan', 'string')").as("plan"),
+        expr("try_variant_get(v, '$.code', 'bigint')").as("code"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count($"amount").as("n_amount"),
+        coalesce(sum($"amount"), lit(0L)).as("amount_cents_total"),
+        countDistinct($"target").as("n_targets"),
+        countDistinct($"plan").as("n_plans"),
+        coalesce(sum($"code"), lit(0L)).as("code_sum"))
+      .orderBy($"event_type")
+  }
+
+  val q279Oracle: String =
+    """WITH ev AS (
+         SELECT event_type, user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       x AS (
+         SELECT event_type,
+           CASE WHEN event_type = 'purchase' THEN cents END AS amount,
+           CASE WHEN event_type = 'click' THEN 'el-' || (user_id % 10) END AS target,
+           CASE WHEN event_type = 'signup' THEN 'p' || (user_id % 3) END AS plan,
+           CASE WHEN event_type NOT IN ('purchase', 'click', 'signup')
+                THEN user_id % 7 END AS code
+         FROM ev)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(amount) AS BIGINT) AS n_amount,
+         CAST(coalesce(sum(amount), 0) AS BIGINT) AS amount_cents_total,
+         CAST(count(DISTINCT target) AS BIGINT) AS n_targets,
+         CAST(count(DISTINCT plan) AS BIGINT) AS n_plans,
+         CAST(coalesce(sum(code), 0) AS BIGINT) AS code_sum
+       FROM x GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_variant_extract" -> q279VariantExtract,
     "q88_array_ops" -> q88ArrayOps,
     "q10_token_blacklist" -> q10TokenBlacklist,
     "q11_arity_filter" -> q11ArityFilter,
@@ -286,6 +352,7 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q279_variant_extract" -> q279Oracle,
     "q88_array_ops" -> q88Oracle,
     "q10_token_blacklist" -> q10Oracle,
     "q11_arity_filter" -> q11Oracle,

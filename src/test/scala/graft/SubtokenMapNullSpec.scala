@@ -108,4 +108,31 @@ class SubtokenMapNullSpec extends SparkSpec {
     assert(rows.values.map(_._2).sum ==
       graft.io.Tables.orders(spark, sf).count())
   }
+
+  test("q279: VARIANT typed paths — nested extraction exact, wrong-shape paths null") {
+    // direct round-trip on a literal heterogeneous pair
+    val got = spark.sql(
+      """SELECT try_variant_get(v, '$.profile.plan', 'string') AS plan,
+                try_variant_get(v, '$.amount_cents', 'bigint') AS amount
+         FROM VALUES (parse_json('{"profile": {"plan": "p2"}}')),
+                     (parse_json('{"amount_cents": 12345}')) AS t(v)""")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSet == Set(("p2", -1L), (null, 12345L)))
+
+    // per-type shape exclusivity on the real table: each event type
+    // populates ONLY its own field family
+    val rows = operators.Scalars.q279VariantExtract(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("purchase").getAs[Long]("n_amount") ==
+      rows("purchase").getAs[Long]("n"))
+    assert(rows("purchase").getAs[Long]("n_targets") == 0)
+    assert(rows("click").getAs[Long]("n_amount") == 0)
+    assert(rows("click").getAs[Long]("n_targets") <= 10)
+    assert(rows("signup").getAs[Long]("n_plans") <= 3 &&
+      rows("signup").getAs[Long]("n_plans") >= 1)
+    Seq("view", "error").foreach { t =>
+      assert(rows(t).getAs[Long]("n_amount") == 0 &&
+        rows(t).getAs[Long]("n_targets") == 0 && rows(t).getAs[Long]("n_plans") == 0)
+    }
+  }
 }
