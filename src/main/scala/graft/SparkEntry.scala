@@ -34,7 +34,8 @@ object SparkEntry {
       operators.Prep.queries ++
       operators.Retrieval.queries ++
       operators.Quality.queries ++
-      operators.Behavior.queries
+      operators.Behavior.queries ++
+      operators.Lexicon.queries
 
   /** Operator module → its query names, for the bench's per-module
     * JVM warm-up (one untimed query per module primes that module's
@@ -59,6 +60,7 @@ object SparkEntry {
     "Retrieval" -> operators.Retrieval.queries.keys.toSeq,
     "Quality" -> operators.Quality.queries.keys.toSeq,
     "Behavior" -> operators.Behavior.queries.keys.toSeq,
+    "Lexicon" -> operators.Lexicon.queries.keys.toSeq,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +83,6 @@ object SparkEntry {
       operators.Prep.oracles ++
       operators.Retrieval.oracles ++
       operators.Quality.oracles ++
-      operators.Behavior.oracles
+      operators.Behavior.oracles ++
+      operators.Lexicon.oracles
 }

@@ -1,0 +1,440 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Fns._
+
+/** Tokenizer-training and corpus-composition operators — the lexical
+  * layer of a training-data pipeline: learning a subword vocabulary
+  * from the corpus (BPE), budgeting a stratified sample across slices
+  * (Neyman allocation), and scoring pairwise textual overlap with the
+  * summarization-style clipped n-gram metrics (ROUGE).
+  *
+  * Scale design:
+  *  - q280 BPE: the working set after the first groupBy is the WORD
+  *    HISTOGRAM — vocabulary-sized, not corpus-sized. 100 TB of text
+  *    collapses to |vocab| rows in one partial-agg pass, and every
+  *    merge round is an explode + partial agg over that bounded
+  *    relation plus a 1-row TakeOrdered argmax that re-enters the plan
+  *    as a broadcast. No driver-side loop state beyond the unrolled
+  *    round count (q237's driver-loop contract).
+  *  - q281 Neyman: per-stratum moments are one partial-agg groupBy;
+  *    the allocation window runs over the |strata|-row aggregate
+  *    (bounded — the PlanShapeSpec "window above aggregation" shape).
+  *  - q282 ROUGE: candidate pairs come from the shared q42 inverted-
+  *    index relation (already thresholded + banded); the clipped
+  *    overlap join touches only the ≤2·topK selected documents, pinned
+  *    to broadcast joins.
+  */
+object Lexicon {
+
+  /** Byte-pair-encoding merge learning, 3 synchronous rounds (Sennrich
+    * et al. 2016 — the tokenizer-training core of every LLM data
+    * stack), fully in-plan:
+    *
+    *  1. one corpus scan → word histogram (freq-weighted; the BPE
+    *     working set is vocab-sized from here on);
+    *  2. per round: adjacent-symbol pair counts (explode + partial
+    *     agg, overlap-counting like the reference algorithm), argmax
+    *     pair by (count desc, pair asc — deterministic tie-break),
+    *     merge applied via non-overlapping left-to-right string
+    *     replacement.
+    *
+    * The merge-application trick keeps everything in Catalyst: symbols
+    * are rendered as a DOUBLE-space-joined, single-space-padded string
+    * (" a  b  c "); the pair (a,b) becomes the pattern " a  b " whose
+    * non-overlapping left-to-right `replace` (identical semantics in
+    * Spark and DuckDB) is EXACTLY the greedy BPE merge scan — each
+    * match consumes one space from each neighboring boundary and the
+    * replacement " ab " restores them, so "a a a a" → "aa aa" and
+    * "a a a" → "aa a" like the reference implementation, while the
+    * double-space boundary makes a cross-symbol false match (pair
+    * "x y" against "…ax  y…") impossible.
+    *
+    * The per-round localCheckpoint is the driver-loop contract (q237):
+    * it cuts the re-derivation of round r-1's argmax out of round r's
+    * lineage; the checkpointed relation is vocab-sized.
+    *
+    * Output: one row per merge round (pair, merged symbol, weighted
+    * count) + a round-0 summary row carrying the corpus symbol count
+    * after all merges. */
+  /** One BPE merge applied to a symbol array: non-overlapping
+    * left-to-right replacement of adjacent pair `pair` ("a b") by its
+    * concatenation, via the padded double-space string rendering (see
+    * q280's scaladoc for why this is exactly the greedy merge scan).
+    * Exposed for direct spec testing of the boundary cases. */
+  private[graft] def mergeSyms(syms: Column, pair: Column): Column =
+    split(trim(replace(
+      concat(lit(" "), array_join(syms, "  "), lit(" ")),
+      concat(lit(" "), replace(pair, lit(" "), lit("  ")), lit(" ")),
+      concat(lit(" "), replace(pair, lit(" "), lit("")), lit(" ")))),
+      "  ")
+
+  def q280BpeMergeLoop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq",
+        transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    var cur = wh
+    var rounds = Vector.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val pairs = cur.filter(size($"syms") >= 2)
+        .select($"freq",
+          explode(transform(sequence(lit(1), size($"syms") - 1),
+            i => concat(element_at($"syms", i), lit(" "),
+              element_at($"syms", i + 1)))).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"pair").limit(1)
+      rounds = rounds :+ best.select(lit(r.toLong).as("round"), $"pair",
+        replace($"pair", lit(" "), lit("")).as("merged"), $"cnt")
+      cur = cur.crossJoin(broadcast(best.select($"pair".as("bp"))))
+        .select($"freq", mergeSyms($"syms", $"bp").as("syms"))
+        .localCheckpoint()
+    }
+    val summary = cur.agg(sum($"freq" * size($"syms")).as("cnt"))
+      .select(lit(0L).as("round"), lit("").as("pair"),
+        lit("corpus_symbols").as("merged"), $"cnt")
+    rounds.reduce(_ unionByName _).unionByName(summary).orderBy($"round")
+  }
+
+  val q280Oracle: String =
+    """WITH wh AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS w
+           FROM documents) GROUP BY 1),
+       w0 AS (SELECT freq,
+                list_transform(generate_series(1, len(w)), i -> w[i]) AS syms
+              FROM wh),
+       p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+                         i -> syms[i] || ' ' || syms[i+1])) AS pair
+                FROM w0 WHERE len(syms) >= 2) GROUP BY 1),
+       b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+       w1 AS (SELECT freq,
+                string_split(trim(replace(
+                  ' ' || array_to_string(syms, '  ') || ' ',
+                  ' ' || replace(b1.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b1.pair, ' ', '') || ' ')), '  ') AS syms
+              FROM w0, b1),
+       p2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+                         i -> syms[i] || ' ' || syms[i+1])) AS pair
+                FROM w1 WHERE len(syms) >= 2) GROUP BY 1),
+       b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+       w2 AS (SELECT freq,
+                string_split(trim(replace(
+                  ' ' || array_to_string(syms, '  ') || ' ',
+                  ' ' || replace(b2.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b2.pair, ' ', '') || ' ')), '  ') AS syms
+              FROM w1, b2),
+       p3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+                         i -> syms[i] || ' ' || syms[i+1])) AS pair
+                FROM w2 WHERE len(syms) >= 2) GROUP BY 1),
+       b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+       w3 AS (SELECT freq,
+                string_split(trim(replace(
+                  ' ' || array_to_string(syms, '  ') || ' ',
+                  ' ' || replace(b3.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b3.pair, ' ', '') || ' ')), '  ') AS syms
+              FROM w2, b3)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM b1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b3
+         UNION ALL
+         SELECT CAST(0 AS BIGINT), '', 'corpus_symbols',
+           CAST(sum(freq * len(syms)) AS BIGINT) FROM w3)
+       ORDER BY round"""
+
+  /** Neyman-allocated stratified sampling plan (Neyman 1934): split a
+    * 10,000-row sample budget across customer market segments
+    * proportionally to N_h·σ_h — the allocation that minimizes the
+    * variance of the stratified mean estimator. The corpus-sampling
+    * counterpart: budget annotation/eval slots across slices by how
+    * big AND how internally varied each slice is, not by size alone.
+    *
+    * Determinism: moments are exact int64 sums of integer cents; σ_h
+    * is the population sd floored to whole cents, computed by the SAME
+    * IEEE expression tree on both engines (products formed in double —
+    * the int64 square of a cent sum overflows, q245's rule); the
+    * integer largest-remainder rounding makes allocations sum to the
+    * budget exactly, ties broken by segment name. The remainder-rank
+    * window runs over the 5-row strata aggregate. */
+  def q281NeymanAllocation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.customer(s, d)
+      .select($"c_mktsegment".as("segment"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_h"), sum($"cents").as("sum_c"),
+        sum($"cents" * $"cents").as("sumsq_c"))
+      .withColumn("sd_c",
+        floor(sqrt(($"sumsq_c".cast("double")
+          - $"sum_c".cast("double") * $"sum_c".cast("double") / $"n_h")
+          / $"n_h")).cast("long"))
+      .withColumn("weight", $"n_h" * $"sd_c")
+    val tot = st.agg(sum($"weight").as("w_tot"))
+    val base = st.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr("(10000 * weight) div w_tot"))
+      .withColumn("rem", expr("(10000 * weight) % w_tot"))
+    val leftover = base.agg((lit(10000L) - sum($"alloc_floor")).as("left"))
+    val rw = Window.orderBy($"rem".desc, $"segment")
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rr", row_number().over(rw).cast("long"))
+      .select($"segment", $"n_h", $"sd_c", $"weight",
+        ($"alloc_floor" + when($"rr" <= $"left", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"segment")
+  }
+
+  val q281Oracle: String =
+    """WITH st AS (
+         SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_h,
+           CAST(sum(cents) AS BIGINT) AS sum_c,
+           CAST(sum(cents * cents) AS BIGINT) AS sumsq_c
+         FROM (SELECT c_mktsegment,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM customer)
+         GROUP BY 1),
+       sd AS (
+         SELECT *, CAST(floor(sqrt((CAST(sumsq_c AS DOUBLE)
+                  - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_h)
+                  / n_h)) AS BIGINT) AS sd_c
+         FROM st),
+       w AS (SELECT *, n_h * sd_c AS weight FROM sd),
+       t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_tot FROM w),
+       base AS (
+         SELECT w.*, (10000 * weight) // w_tot AS alloc_floor,
+           (10000 * weight) % w_tot AS rem
+         FROM w, t),
+       lo AS (SELECT 10000 - CAST(sum(alloc_floor) AS BIGINT) AS leftover FROM base),
+       rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, segment) AS rr
+              FROM base)
+       SELECT segment, n_h, sd_c, weight,
+         CAST(alloc_floor + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       FROM rk, lo ORDER BY segment"""
+
+  /** ROUGE-1/2 scoring (Lin 2004) over the top-20 near-duplicate
+    * candidate pairs: clipped n-gram precision / recall / F1 in basis
+    * points, the summarization-metric view of pairwise overlap that
+    * complements Jaccard (q42 treats grams as a SET; ROUGE clips by
+    * occurrence count, so repeated boilerplate is counted once per
+    * occurrence on the smaller side, not once total).
+    *
+    * Scale: candidates come from the shared q42 inverted-index pair
+    * relation (banded + thresholded — never all pairs); the gram
+    * relation is built ONLY for the ≤40 selected documents and enters
+    * both overlap joins as a broadcast. F1 needs no float: with
+    * overlap o and sizes s1,s2, F1 = 2o/(s1+s2), so f1_bp =
+    * 20000·o div (s1+s2) exactly. */
+  def q282RougePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top = Dedup.jaccardPairs(s, d)
+      .orderBy($"jaccard_bp".desc, $"doc1", $"doc2").limit(20)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val ids = top.select($"doc1".as("doc_id"))
+      .unionByName(top.select($"doc2".as("doc_id"))).distinct()
+    val docs = Tables.documents(s, d).join(broadcast(ids), "doc_id")
+      .select($"doc_id", tokens($"text").as("tk"))
+    val uni = docs.select($"doc_id", lit(1L).as("n"), explode($"tk").as("g"))
+    val bi = docs.filter(size($"tk") >= 2)
+      .select($"doc_id", lit(2L).as("n"),
+        explode(transform(sequence(lit(1), size($"tk") - 1),
+          i => concat(element_at($"tk", i), lit(" "),
+            element_at($"tk", i + 1)))).as("g"))
+    val grams = uni.unionByName(bi)
+      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val sizes = grams.groupBy($"doc_id", $"n").agg(sum($"tf").as("sz"))
+    val ov = top
+      .join(broadcast(grams).as("ga"), $"doc1" === col("ga.doc_id"))
+      .join(broadcast(grams).as("gb"),
+        $"doc2" === col("gb.doc_id") && col("ga.n") === col("gb.n") &&
+          col("ga.g") === col("gb.g"))
+      .groupBy($"doc1", $"doc2", col("ga.n").as("n"))
+      .agg(sum(least(col("ga.tf"), col("gb.tf"))).as("ov"))
+    val pairN = top.crossJoin(
+      Seq(1L, 2L).toDF("n"))
+    pairN
+      .join(ov, Seq("doc1", "doc2", "n"), "left")
+      .join(broadcast(sizes.select($"doc_id".as("doc1"), $"n",
+        $"sz".as("sz1"))), Seq("doc1", "n"))
+      .join(broadcast(sizes.select($"doc_id".as("doc2"), $"n",
+        $"sz".as("sz2"))), Seq("doc2", "n"))
+      .select($"doc1", $"doc2", $"n",
+        coalesce($"ov", lit(0L)).as("ov"), $"sz1", $"sz2")
+      .withColumn("p_bp", expr("(10000 * ov) div sz2"))
+      .withColumn("r_bp", expr("(10000 * ov) div sz1"))
+      .withColumn("f1_bp", expr("(20000 * ov) div (sz1 + sz2)"))
+      .orderBy($"doc1", $"doc2", $"n")
+  }
+
+  val q282Oracle: String =
+    """WITH tkk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       shd0 AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tkk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM shd0 WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT doc1, doc2,
+           CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_bp
+         FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       top AS (SELECT doc1, doc2 FROM cand
+               ORDER BY jaccard_bp DESC, doc1, doc2 LIMIT 20),
+       sel AS (SELECT DISTINCT doc_id FROM
+                 (SELECT doc1 AS doc_id FROM top
+                  UNION ALL SELECT doc2 FROM top)),
+       dtk AS (SELECT t.doc_id, tk FROM tkk t JOIN sel USING (doc_id)),
+       grams AS (
+         SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, CAST(1 AS BIGINT) AS n, unnest(tk) AS g FROM dtk
+           UNION ALL
+           SELECT doc_id, CAST(2 AS BIGINT) AS n,
+             unnest(list_transform(generate_series(1, len(tk)-1),
+               i -> tk[i] || ' ' || tk[i+1])) AS g
+           FROM dtk WHERE len(tk) >= 2)
+         GROUP BY 1, 2, 3),
+       sizes AS (SELECT doc_id, n, CAST(sum(tf) AS BIGINT) AS sz
+                 FROM grams GROUP BY 1, 2),
+       ov AS (
+         SELECT doc1, doc2, ga.n AS n,
+           CAST(sum(least(ga.tf, gb.tf)) AS BIGINT) AS ov
+         FROM top
+         JOIN grams ga ON doc1 = ga.doc_id
+         JOIN grams gb ON doc2 = gb.doc_id AND ga.n = gb.n AND ga.g = gb.g
+         GROUP BY 1, 2, 3),
+       pn AS (SELECT doc1, doc2, n FROM top, (SELECT unnest([1, 2]) AS n))
+       SELECT pn.doc1, pn.doc2, CAST(pn.n AS BIGINT) AS n,
+         COALESCE(ov.ov, 0) AS ov, s1.sz AS sz1, s2.sz AS sz2,
+         (10000 * COALESCE(ov.ov, 0)) // s2.sz AS p_bp,
+         (10000 * COALESCE(ov.ov, 0)) // s1.sz AS r_bp,
+         (20000 * COALESCE(ov.ov, 0)) // (s1.sz + s2.sz) AS f1_bp
+       FROM pn
+       LEFT JOIN ov ON pn.doc1 = ov.doc1 AND pn.doc2 = ov.doc2 AND pn.n = ov.n
+       JOIN sizes s1 ON pn.doc1 = s1.doc_id AND pn.n = s1.n
+       JOIN sizes s2 ON pn.doc2 = s2.doc_id AND pn.n = s2.n
+       ORDER BY pn.doc1, pn.doc2, pn.n"""
+
+  /** Per-language Jensen–Shannon divergence against the REST of the
+    * corpus — the slice-drift metric behind mixture rebalancing: how
+    * far does each language's unigram distribution sit from the
+    * complement's? (JSD is KL's symmetric, bounded [0, ln 2] cousin —
+    * the right shape for "how different is this slice", where raw KL
+    * blows up on slice-only vocabulary.)
+    *
+    * Determinism (q141's rule): with a = lang term count, A = lang
+    * total, b = complement count, B = complement total, the two odds
+    * ratios p/m = 2aB/(aB+bA) and q/m = 2bA/(aB+bA) are exact int64
+    * rationals (products < 2⁵³); each term's ln is floored to
+    * micro-nats ONCE, weighted by the INTEGER counts a (resp. b), and
+    * the per-language jsd is (s1 div A + s2 div B) div 2 — integer
+    * sums, order-free, engine-identical. Terms absent from a side
+    * contribute zero to that side (the 0·ln 0 limit), so each sum runs
+    * only over its side's support.
+    *
+    * Scale: per-(lang, term) counts are one corpus-scan partial agg;
+    * everything downstream (term marginals, the langs × vocab
+    * complement relation) is VOCAB-sized. The lang-totals dim enters
+    * as a broadcast. */
+  def q283JsdSlices(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lt = Tables.documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    val gt = lt.groupBy($"term").agg(sum($"a").as("gt"))
+    val al = lt.groupBy($"lang").agg(sum($"a").as("atot"))
+    val tot = lt.agg(sum($"a").as("t"))
+    // langs × vocab complement grid: VOCAB-sized per language —
+    // bounded by type counts, not corpus size
+    val grid = gt.crossJoin(broadcast(al)).crossJoin(broadcast(tot))
+      .join(lt, Seq("lang", "term"), "left")
+      .select($"lang", $"term", coalesce($"a", lit(0L)).as("a"),
+        ($"gt" - coalesce($"a", lit(0L))).as("b"),
+        $"atot", ($"t" - $"atot").as("btot"))
+    val terms = grid
+      .select($"lang", $"atot", $"btot", $"a", $"b",
+        when($"a" > 0,
+          $"a" * floor(log(($"a" * $"btot" * 2) * lit(1.0)
+            / ($"a" * $"btot" + $"b" * $"atot")) * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("w1"),
+        when($"b" > 0,
+          $"b" * floor(log(($"b" * $"atot" * 2) * lit(1.0)
+            / ($"a" * $"btot" + $"b" * $"atot")) * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("w2"))
+    terms.groupBy($"lang")
+      .agg(max($"atot").as("n_tokens"), max($"btot").as("n_rest"),
+        count(when($"a" > 0, lit(1))).as("n_terms"),
+        sum($"w1").as("s1"), sum($"w2").as("s2"))
+      .select($"lang", $"n_tokens", $"n_terms",
+        expr("((s1 div n_tokens) + (s2 div n_rest)) div 2")
+          .as("jsd_micro"))
+      .orderBy($"lang")
+  }
+
+  val q283Oracle: String =
+    """WITH lt AS (
+         SELECT lang, term, CAST(count(*) AS BIGINT) AS a FROM (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS term
+           FROM documents) GROUP BY 1, 2),
+       gt AS (SELECT term, CAST(sum(a) AS BIGINT) AS gt FROM lt GROUP BY 1),
+       al AS (SELECT lang, CAST(sum(a) AS BIGINT) AS atot FROM lt GROUP BY 1),
+       tot AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM lt),
+       grid AS (
+         SELECT al.lang, gt.term, COALESCE(lt.a, 0) AS a,
+           gt.gt - COALESCE(lt.a, 0) AS b, al.atot AS atot, t.t - al.atot AS btot
+         FROM gt CROSS JOIN al CROSS JOIN tot t
+         LEFT JOIN lt ON lt.lang = al.lang AND lt.term = gt.term),
+       terms AS (
+         SELECT lang, atot, btot, a, b,
+           CASE WHEN a > 0 THEN a * CAST(floor(ln((a*btot*2)*1.0 / (a*btot + b*atot)) * 1000000.0) AS BIGINT)
+                ELSE 0 END AS w1,
+           CASE WHEN b > 0 THEN b * CAST(floor(ln((b*atot*2)*1.0 / (a*btot + b*atot)) * 1000000.0) AS BIGINT)
+                ELSE 0 END AS w2
+         FROM grid)
+       SELECT lang, max(atot) AS n_tokens,
+         CAST(count(CASE WHEN a > 0 THEN 1 END) AS BIGINT) AS n_terms,
+         ((CAST(sum(w1) AS BIGINT) // max(atot))
+          + (CAST(sum(w2) AS BIGINT) // max(btot))) // 2 AS jsd_micro
+       FROM terms GROUP BY lang ORDER BY lang"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_bpe_merge_loop" -> q280BpeMergeLoop,
+    "q281_neyman_allocation" -> q281NeymanAllocation,
+    "q282_rouge_pairs" -> q282RougePairs,
+    "q283_jsd_slices" -> q283JsdSlices,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q280_bpe_merge_loop" -> q280Oracle,
+    "q281_neyman_allocation" -> q281Oracle,
+    "q282_rouge_pairs" -> q282Oracle,
+    "q283_jsd_slices" -> q283Oracle,
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Lexicon
+
+/** Crafted-corpus tests for the lexical operators: BPE merge-scan
+  * boundary semantics (the part the synthetic tables only exercise in
+  * aggregate), Neyman allocation arithmetic, and ROUGE clipping. */
+class LexiconSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("lexicon").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def merge(syms: Seq[String], pair: String): Seq[String] =
+    Seq(syms).toDF("syms")
+      .select(Lexicon.mergeSyms($"syms", lit(pair)).as("m"))
+      .as[Seq[String]].head()
+
+  test("mergeSyms: greedy non-overlapping left-to-right, like reference BPE") {
+    assert(merge(Seq("a", "a", "a", "a"), "a a") == Seq("aa", "aa"))
+    assert(merge(Seq("a", "a", "a"), "a a") == Seq("aa", "a"))
+    assert(merge(Seq("b", "a", "a", "c"), "a a") == Seq("b", "aa", "c"))
+  }
+
+  test("mergeSyms: no cross-symbol false match on shared characters") {
+    // pair "x y" must not fire inside symbols ("ax","y") or ("x","ya")
+    assert(merge(Seq("ax", "y"), "x y") == Seq("ax", "y"))
+    assert(merge(Seq("x", "ya"), "x y") == Seq("x", "ya"))
+    assert(merge(Seq("x", "y"), "x y") == Seq("xy"))
+    // merged multi-char symbols participate in later merges
+    assert(merge(Seq("ab", "cd"), "ab cd") == Seq("abcd"))
+  }
+
+  test("q280: merge counts non-increasing; symbol count telescopes") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Lexicon.q280BpeMergeLoop(spark, d)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(rows.length == 4)
+    val Seq(sum0, m1, m2, m3) = rows.toSeq
+    // classic BPE invariant: the best pair frequency never increases
+    assert(m1._4 >= m2._4 && m2._4 >= m3._4)
+    // each merge occurrence removes exactly one symbol: final symbol
+    // count == total word chars − Σ merge counts
+    val chars = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.functions.Fns.tokens($"text")).as("w"))
+      .agg(sum(length($"w"))).as[Long].head()
+    assert(sum0._4 == chars - m1._4 - m2._4 - m3._4)
+    // merged symbol is the pair with the space removed
+    assert(m1._3 == m1._2.replace(" ", ""))
+  }
+
+  test("q281: allocations sum to the budget; Neyman proportionality") {
+    val rows = Lexicon.q281NeymanAllocation(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._5).sum == 10000L)
+    val wTot = rows.map(_._4).sum
+    rows.foreach { case (_, _, _, w, alloc) =>
+      // largest-remainder: within 1 of the exact proportional share
+      val exact = 10000.0 * w / wTot
+      assert(math.abs(alloc - exact) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q282: clipped overlap bounded by the smaller side; F1 between P and R") {
+    val rows = Lexicon.q282RougePairs(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0) // n=1 and n=2 per pair
+    rows.foreach { case (_, _, _, ov, sz1, sz2, p, r, f1) =>
+      assert(ov <= math.min(sz1, sz2))
+      assert(p <= 10000 && r <= 10000)
+      // harmonic mean lies between min and max (±1 for integer floors)
+      assert(f1 >= math.min(p, r) - 1 && f1 <= math.max(p, r) + 1)
+    }
+  }
+
+  test("q282: identical texts score 10000 across the board") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val d = docsDir(Seq(
+      (1L, t, "en", "s", t.length.toLong),
+      (2L, t, "en", "s", t.length.toLong),
+      (3L, "unrelated words entirely disjoint from the pair corpus", "en", "s", 1L)))
+    val rows = Lexicon.q282RougePairs(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).distinct.toSeq == Seq((1L, 2L)))
+    rows.foreach { case (_, _, _, ov, sz1, sz2, p, r, f1) =>
+      assert(sz1 == sz2 && ov == sz1)
+      assert(p == 10000 && r == 10000 && f1 == 10000)
+    }
+  }
+
+  test("q283: JSD bounded by ln 2; identical slices sit at zero") {
+    // two languages with IDENTICAL word multisets → JSD exactly 0 for
+    // both (every per-term odds ratio is exactly 1, ln floors to 0)
+    val t = "one two three two one"
+    val d = docsDir(Seq(
+      (1L, t, "en", "s", 1L), (2L, t, "de", "s", 1L)))
+    val rows = Lexicon.q283JsdSlices(spark, d)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("de", "en"))
+    rows.foreach { case (_, _, _, jsd) => assert(jsd == 0L) }
+    // disjoint-vocabulary slices approach the ln 2 ceiling
+    val d2 = docsDir(Seq(
+      (1L, "aa bb cc aa bb", "en", "s", 1L),
+      (2L, "xx yy zz xx yy", "de", "s", 1L)))
+    val far = Lexicon.q283JsdSlices(spark, d2)
+      .as[(String, Long, Long, Long)].collect()
+    far.foreach { case (_, _, _, jsd) =>
+      assert(jsd >= 693146L && jsd <= 693148L) // ln 2 in micro-nats ±1
+    }
+    // real corpus: strictly inside (0, ln 2)
+    val real = Lexicon.q283JsdSlices(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (_, _, _, jsd) =>
+      assert(jsd >= 0L && jsd < 693147L)
+    }
+  }
+}
