@@ -424,11 +424,234 @@ object Lexicon {
           + (CAST(sum(w2) AS BIGINT) // max(btot))) // 2 AS jsd_micro
        FROM terms GROUP BY lang ORDER BY lang"""
 
+  /** Tokenizer fertility by language under the q280-learned BPE vocab:
+    * merges are learned from the GLOBAL pair statistics (exactly
+    * q280's three — the per-(lang, word) histogram aggregates to the
+    * same global pair counts), then applied to every language's
+    * words, and fertility = subword tokens per word is reported per
+    * language. The metric behind "this tokenizer taxes language X":
+    * a vocab learned on a skewed mix segments under-represented
+    * languages into more pieces (Rust et al. 2021's fertility, on the
+    * corpus' own miniature BPE).
+    *
+    * Scale: identical to q280 — the working set is the (lang × word)
+    * histogram; the per-round argmax is global and re-enters as a
+    * broadcast. */
+  def q284BpeFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = Tables.documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+      .select($"lang", $"freq",
+        transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    var cur = wh
+    for (_ <- 1 to 3) {
+      val best = cur.filter(size($"syms") >= 2)
+        .select($"freq",
+          explode(transform(sequence(lit(1), size($"syms") - 1),
+            i => concat(element_at($"syms", i), lit(" "),
+              element_at($"syms", i + 1)))).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair").limit(1)
+      cur = cur.crossJoin(broadcast(best.select($"pair".as("bp"))))
+        .select($"lang", $"freq", mergeSyms($"syms", $"bp").as("syms"))
+        .localCheckpoint()
+    }
+    cur.groupBy($"lang")
+      .agg(sum($"freq").as("n_words"),
+        sum($"freq" * size($"syms")).as("n_subtok"))
+      .select($"lang", $"n_words", $"n_subtok",
+        expr("(10000 * n_subtok) div n_words").as("fertility_bp"))
+      .orderBy($"lang")
+  }
+
+  val q284Oracle: String =
+    """WITH wh AS (
+         SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS w
+           FROM documents) GROUP BY 1, 2),
+       w0 AS (SELECT lang, freq,
+                list_transform(generate_series(1, len(w)), i -> w[i]) AS syms
+              FROM wh),
+       b1 AS (SELECT pair FROM (
+                SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                  SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+                           i -> syms[i] || ' ' || syms[i+1])) AS pair
+                  FROM w0 WHERE len(syms) >= 2) GROUP BY 1)
+              ORDER BY cnt DESC, pair LIMIT 1),
+       w1 AS (SELECT lang, freq,
+                string_split(trim(replace(
+                  ' ' || array_to_string(syms, '  ') || ' ',
+                  ' ' || replace(b1.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b1.pair, ' ', '') || ' ')), '  ') AS syms
+              FROM w0, b1),
+       b2 AS (SELECT pair FROM (
+                SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                  SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+                           i -> syms[i] || ' ' || syms[i+1])) AS pair
+                  FROM w1 WHERE len(syms) >= 2) GROUP BY 1)
+              ORDER BY cnt DESC, pair LIMIT 1),
+       w2 AS (SELECT lang, freq,
+                string_split(trim(replace(
+                  ' ' || array_to_string(syms, '  ') || ' ',
+                  ' ' || replace(b2.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b2.pair, ' ', '') || ' ')), '  ') AS syms
+              FROM w1, b2),
+       b3 AS (SELECT pair FROM (
+                SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                  SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+                           i -> syms[i] || ' ' || syms[i+1])) AS pair
+                  FROM w2 WHERE len(syms) >= 2) GROUP BY 1)
+              ORDER BY cnt DESC, pair LIMIT 1),
+       w3 AS (SELECT lang, freq,
+                string_split(trim(replace(
+                  ' ' || array_to_string(syms, '  ') || ' ',
+                  ' ' || replace(b3.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b3.pair, ' ', '') || ' ')), '  ') AS syms
+              FROM w2, b3)
+       SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+         CAST(sum(freq * len(syms)) AS BIGINT) AS n_subtok,
+         (10000 * CAST(sum(freq * len(syms)) AS BIGINT))
+           // CAST(sum(freq) AS BIGINT) AS fertility_bp
+       FROM w3 GROUP BY lang ORDER BY lang"""
+
+  /** Good–Turing frequency-of-frequencies profile per language
+    * (Good 1953): the unseen-mass estimate p₀ = N₁/T and the
+    * discounted count r* = (r+1)·N_{r+1}/N_r for r = 1..3 — the
+    * smoothing view of q76's vocabulary profile, and the standard
+    * answer to "how much of this language's distribution have we NOT
+    * seen" when sizing a crawl or a held-out split.
+    *
+    * Everything is integer: frequency-of-frequencies come from two
+    * stacked vocab-sized groupBys; p₀ lands in basis points and r* in
+    * milli-units by integer floor division. Zero N_r (possible in a
+    * tiny slice) yields NULL r* on both engines via nullif. */
+  def q285GoodTuring(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tc = Tables.documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("r"))
+    val fof = tc.groupBy($"lang")
+      .agg(sum($"r").as("t"), count(lit(1)).as("v"),
+        count(when($"r" === 1, lit(1))).as("n1"),
+        count(when($"r" === 2, lit(1))).as("n2"),
+        count(when($"r" === 3, lit(1))).as("n3"),
+        count(when($"r" === 4, lit(1))).as("n4"))
+    fof.select($"lang", $"t", $"v", $"n1", $"n2", $"n3", $"n4",
+        expr("(10000 * n1) div t").as("p0_bp"),
+        expr("(2000 * n2) div nullif(n1, 0)").as("rstar1_milli"),
+        expr("(3000 * n3) div nullif(n2, 0)").as("rstar2_milli"),
+        expr("(4000 * n4) div nullif(n3, 0)").as("rstar3_milli"))
+      .orderBy($"lang")
+  }
+
+  val q285Oracle: String =
+    """WITH tc AS (
+         SELECT lang, term, CAST(count(*) AS BIGINT) AS r FROM (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS term
+           FROM documents) GROUP BY 1, 2),
+       fof AS (
+         SELECT lang, CAST(sum(r) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v,
+           CAST(count(CASE WHEN r = 1 THEN 1 END) AS BIGINT) AS n1,
+           CAST(count(CASE WHEN r = 2 THEN 1 END) AS BIGINT) AS n2,
+           CAST(count(CASE WHEN r = 3 THEN 1 END) AS BIGINT) AS n3,
+           CAST(count(CASE WHEN r = 4 THEN 1 END) AS BIGINT) AS n4
+         FROM tc GROUP BY 1)
+       SELECT lang, t, v, n1, n2, n3, n4,
+         (10000 * n1) // t AS p0_bp,
+         (2000 * n2) // nullif(n1, 0) AS rstar1_milli,
+         (3000 * n3) // nullif(n2, 0) AS rstar2_milli,
+         (4000 * n4) // nullif(n3, 0) AS rstar3_milli
+       FROM fof ORDER BY lang"""
+
+  /** Sliding 8-gram duplicate-span coverage (the per-document metric
+    * of exact-substring dedup, Lee et al. 2022): a token is
+    * "duplicated" if it lies inside ANY 8-token window whose exact
+    * text occurs ≥2 times corpus-wide; report each document's
+    * duplicated-token mass. Unlike q34's aligned chunks, the windows
+    * SLIDE — a copied passage is caught at every offset, which is
+    * what makes the metric robust to insertions before the copy.
+    *
+    * Shape: one scan explodes per-position window hashes (60-bit —
+    * longs shuffle, not 8-word strings); one corpus-wide partial-agg
+    * count marks duplicated window STARTS; the start flags join back
+    * position-aligned, and per-token coverage is a window max over
+    * [p−7, p] PARTITIONED BY doc — the union-of-intervals computed
+    * without materializing intervals. Every window is doc-partitioned;
+    * nothing global is sorted. */
+  def q286DupSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .localCheckpoint()
+    val starts = tk.filter(size($"tk") >= 8)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(1), size($"tk") - 7),
+          i => hash60(concat_ws(" ",
+            element_at($"tk", i), element_at($"tk", i + 1),
+            element_at($"tk", i + 2), element_at($"tk", i + 3),
+            element_at($"tk", i + 4), element_at($"tk", i + 5),
+            element_at($"tk", i + 6), element_at($"tk", i + 7)))))
+        .as(Seq("sp", "gh")))
+    val dupg = starts.groupBy($"gh").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2)
+    // (doc_id, sp) is unique in `starts`, so the dup-gram semi-join
+    // leaves it unique — no re-aggregation needed
+    val dupStarts = starts.join(dupg.select($"gh"), "gh")
+      .select($"doc_id".as("d2"), $"sp", lit(1L).as("dupstart"))
+    val pos = tk.select($"doc_id", posexplode($"tk").as(Seq("p", "w")))
+      .select($"doc_id", $"p")
+    val w = Window.partitionBy($"doc_id").orderBy($"p").rowsBetween(-7, 0)
+    val cov = pos
+      .join(dupStarts, $"doc_id" === $"d2" && $"p" === $"sp", "left")
+      .select($"doc_id", $"p", coalesce($"dupstart", lit(0L)).as("ds"))
+      .withColumn("covered", max($"ds").over(w))
+    cov.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"covered").as("dup_tokens"))
+      .filter($"dup_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"dup_tokens",
+        expr("(10000 * dup_tokens) div n_tokens").as("dup_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val q286Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       starts AS (
+         SELECT doc_id, sp, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM (
+           SELECT doc_id, unnest(generate_series(1, len(tk) - 7)) AS sp,
+             unnest(list_transform(generate_series(1, len(tk) - 7),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS g
+           FROM tk WHERE len(tk) >= 8)),
+       dupg AS (SELECT gh FROM starts GROUP BY gh HAVING count(*) >= 2),
+       ds AS (SELECT doc_id, sp, CAST(1 AS BIGINT) AS dupstart
+              FROM starts JOIN dupg USING (gh)),
+       pos AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS p FROM tk),
+       cov AS (
+         SELECT pos.doc_id, pos.p,
+           max(COALESCE(ds.dupstart, 0)) OVER (PARTITION BY pos.doc_id
+             ORDER BY pos.p ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+         FROM pos LEFT JOIN ds ON pos.doc_id = ds.doc_id AND pos.p = ds.sp)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(covered) AS BIGINT) AS dup_tokens,
+         (10000 * CAST(sum(covered) AS BIGINT)) // count(*) AS dup_bp
+       FROM cov GROUP BY doc_id HAVING sum(covered) > 0
+       ORDER BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q280_bpe_merge_loop" -> q280BpeMergeLoop,
     "q281_neyman_allocation" -> q281NeymanAllocation,
     "q282_rouge_pairs" -> q282RougePairs,
     "q283_jsd_slices" -> q283JsdSlices,
+    "q284_bpe_fertility" -> q284BpeFertility,
+    "q285_good_turing" -> q285GoodTuring,
+    "q286_dup_span_coverage" -> q286DupSpanCoverage,
   )
 
   def oracles: Map[String, String] = Map(
@@ -436,5 +659,8 @@ object Lexicon {
     "q281_neyman_allocation" -> q281Oracle,
     "q282_rouge_pairs" -> q282Oracle,
     "q283_jsd_slices" -> q283Oracle,
+    "q284_bpe_fertility" -> q284Oracle,
+    "q285_good_turing" -> q285Oracle,
+    "q286_dup_span_coverage" -> q286Oracle,
   )
 }

@@ -93,6 +93,68 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("q284: fertility floor is one subtoken per word; merges reduce it") {
+    val rows = Lexicon.q284BpeFertility(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nw, ns, f) =>
+      assert(ns >= nw)          // a word is at least one subtoken
+      assert(f >= 10000L)       // fertility_bp ≥ 1.0
+      assert(f == 10000 * ns / nw)
+    }
+  }
+
+  test("q285: Good-Turing identities on a crafted frequency profile") {
+    // lang "en": 4 hapax, 2 doubletons, 1 tripleton, 1 four-count
+    val text = "a b c d e e f f g g g h h h h"
+    val d = docsDir(Seq((1L, text, "en", "s", 1L)))
+    val r = Lexicon.q285GoodTuring(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Long], Option[Long], Option[Long])].collect()
+    assert(r.length == 1)
+    val (_, t, v, n1, n2, n3, n4, p0, r1, r2, r3) = r.head
+    assert((t, v, n1, n2, n3, n4) == (15L, 8L, 4L, 2L, 1L, 1L))
+    assert(p0 == 10000 * 4 / 15)
+    assert(r1.contains(2000L * 2 / 4))  // r*=1 → 2·N2/N1 milli
+    assert(r2.contains(3000L * 1 / 2))
+    assert(r3.contains(4000L * 1 / 1))
+    // zero-N_r guard: all-hapax slice → r*1 = 0 (N2=0 numerator) but
+    // r*2 NULL (N2=0 divisor)
+    val d2 = docsDir(Seq((1L, "x y z", "de", "s", 1L)))
+    val r2null = Lexicon.q285GoodTuring(spark, d2)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Long], Option[Long], Option[Long])].collect().head
+    assert(r2null._9.contains(0L) && r2null._10.isEmpty)
+  }
+
+  test("q286: sliding windows catch shifted copies; aligned-only chunking would not") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8" // one 8-gram
+    // doc 2 repeats the passage at offset 1 — a slid copy
+    val d = docsDir(Seq(
+      (1L, passage + " t1 t2", "en", "s", 1L),
+      (2L, "zz " + passage, "en", "s", 1L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s", 1L)))
+    val rows = Lexicon.q286DupSpanCoverage(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // docs 1 and 2 each have their 8 passage tokens covered; doc 3 clean
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    assert(rows.map(_._3).toSeq == Seq(8L, 8L))
+    assert(rows.head._4 == 10000 * 8 / 10)
+  }
+
+  test("q286: coverage union merges overlapping duplicate windows") {
+    // 9-token duplicated passage → two overlapping dup 8-grams whose
+    // union must count 9 tokens, not 16
+    val p9 = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    val d = docsDir(Seq(
+      (1L, p9 + " a1 a2", "en", "s", 1L),
+      (2L, p9 + " b1 b2", "en", "s", 1L)))
+    val rows = Lexicon.q286DupSpanCoverage(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 2)
+    rows.foreach { case (_, n, dup, _) => assert(n == 11 && dup == 9) }
+  }
+
   test("q283: JSD bounded by ln 2; identical slices sit at zero") {
     // two languages with IDENTICAL word multisets → JSD exactly 0 for
     // both (every per-term odds ratio is exactly 1, ln floors to 0)
