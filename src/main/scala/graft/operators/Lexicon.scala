@@ -644,6 +644,57 @@ object Lexicon {
        FROM cov GROUP BY doc_id HAVING sum(covered) > 0
        ORDER BY doc_id"""
 
+  /** PMI collocation mining (Church & Hanks 1990): the top-25 bigram
+    * collocations by pointwise mutual information, with a count floor
+    * of 5 (PMI without a floor surfaces one-off typos — the floor is
+    * the standard fix). The phrase-mining pass that feeds multi-word
+    * vocab entries and tokenizer preprocessing.
+    *
+    * Determinism: PMI = ln(c12·T / (c1·c2)) on exact int64 operands
+    * (products < 2⁵³), floored once to micro-nats (q141's rule);
+    * top-25 by (pmi, bigram) is a TakeOrdered, not a global sort.
+    * Scale: the bigram stream partial-aggs to bigram-TYPE counts in
+    * one pass; c1/c2 derive from the type relation, not the corpus. */
+  def q287PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .select(tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"))
+        .as("bg"))
+      .select($"bg.w1", $"bg.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = bg.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val c2 = bg.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val tot = bg.agg(sum($"c12").as("t"))
+    bg.filter($"c12" >= 5)
+      .join(c1, "w1").join(c2, "w2").crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"c12",
+        floor(log(($"c12" * $"t") * lit(1.0) / ($"c1" * $"c2"))
+          * lit(1000000.0)).cast("long").as("pmi_micro"))
+      .orderBy($"pmi_micro".desc, $"w1", $"w2").limit(25)
+  }
+
+  val q287Oracle: String =
+    """WITH tkk AS (
+         SELECT list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       bg AS (
+         SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+           SELECT unnest(list_transform(generate_series(1, len(tk)-1),
+             i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+           FROM tkk WHERE len(tk) >= 2) GROUP BY 1, 2),
+       c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+       c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+       tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM bg)
+       SELECT w1, w2, c12,
+         CAST(floor(ln((c12 * t) * 1.0 / (c1.c1 * c2.c2)) * 1000000.0) AS BIGINT) AS pmi_micro
+       FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+       WHERE c12 >= 5
+       ORDER BY pmi_micro DESC, w1, w2 LIMIT 25"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q280_bpe_merge_loop" -> q280BpeMergeLoop,
     "q281_neyman_allocation" -> q281NeymanAllocation,
@@ -652,6 +703,7 @@ object Lexicon {
     "q284_bpe_fertility" -> q284BpeFertility,
     "q285_good_turing" -> q285GoodTuring,
     "q286_dup_span_coverage" -> q286DupSpanCoverage,
+    "q287_pmi_collocations" -> q287PmiCollocations,
   )
 
   def oracles: Map[String, String] = Map(
@@ -662,5 +714,6 @@ object Lexicon {
     "q284_bpe_fertility" -> q284Oracle,
     "q285_good_turing" -> q285Oracle,
     "q286_dup_span_coverage" -> q286Oracle,
+    "q287_pmi_collocations" -> q287Oracle,
   )
 }

@@ -155,6 +155,22 @@ class LexiconSpec extends SparkSpec {
     rows.foreach { case (_, n, dup, _) => assert(n == 11 && dup == 9) }
   }
 
+  test("q287: exclusive rare pair out-ranks frequent independent pair") {
+    // "aa bb" always co-occur (5×, never apart); "cc" pairs with many
+    // different successors, so (cc, *) has high marginals and low PMI
+    val fill = (1 to 5).map(i => s"cc d$i cc e$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, ("aa bb " * 5).trim + " " + fill + " " + ("cc ff " * 5).trim,
+        "en", "s", 1L)))
+    val rows = Lexicon.q287PmiCollocations(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert((rows.head._1, rows.head._2) == ("aa", "bb"))
+    assert(rows.forall(_._3 >= 5))
+    // output is ordered by PMI descending
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("q283: JSD bounded by ln 2; identical slices sit at zero") {
     // two languages with IDENTICAL word multisets → JSD exactly 0 for
     // both (every per-term odds ratio is exactly 1, ln floors to 0)
