@@ -1427,6 +1427,120 @@ object Similarity {
        SELECT vec_id, cell1, key1, cell2, key2, key1 - key2 AS margin
        FROM piv ORDER BY margin ASC, vec_id LIMIT 50"""
 
+  /** ANN recall audit — recall@5 of the IVF cell-probe search against
+    * the EXACT brute-force ground truth, at 1 and 2 probes: the
+    * contract check every approximate index owes its users (the
+    * q54/q58/q169b pattern applied to similarity search). Recall here
+    * is exact-set membership: |ivf-top5 ∩ exact-top5| / |exact-top5|
+    * under the shared deterministic ranking (integer squared-cosine
+    * key, vec_id tiebreak).
+    *
+    * Scale: ground truth is the broadcast nested-loop of the 20-query
+    * set against the corpus (one narrow pass over the big side — the
+    * audit's irreducible cost, run on a SAMPLE of queries by design);
+    * both IVF variants share one assignment pass, and candidates
+    * stay cell-bounded. All windows are (method, qid)-partitioned. */
+  def q288IvfRecallAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d).localCheckpoint()
+    val cents = ivfCentroids(q)
+    val probes = q.filter($"vec_id" < 20).join(broadcast(cents))
+      .withColumn("num", dotQ($"qa", $"cv"))
+      .withColumn("key", expr("(num * abs(num) * 10000) div (n2 * cn)"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
+      .filter($"arn" <= 2)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"),
+        $"centroid_id".as("cell"), $"arn")
+    val methods = Seq((1L, "ivf1"), (2L, "ivf2")).toDF("nprobe", "method")
+    val probesM = probes.join(broadcast(methods), $"arn" <= $"nprobe")
+    val corpus = ivfAssigned(q, cents).select($"vec_id".as("cid"),
+      $"qa".as("cv2"), $"n2".as("cn2"), $"cell".as("ccell"))
+    // a corpus vector lives in exactly one cell and probe cells are
+    // distinct, so (method, qid, cid) is unique — no dedup needed
+    val ivf5 = probesM.join(corpus, $"cell" === $"ccell" && $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv2"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn2)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"method", $"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 5)
+      .select($"method", $"qid", $"cid")
+    val qset = q.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))
+    val exact5 = q.select($"vec_id".as("cid"), $"qa".as("cv2"), $"n2".as("cn2"))
+      .join(broadcast(qset), $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv2"))
+      .filter($"num" > 0)
+      .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn2)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid")
+      .localCheckpoint()
+    val exactM = exact5.crossJoin(broadcast(methods.select($"method")))
+    val hits = exactM.join(ivf5, Seq("method", "qid", "cid"), "left_semi")
+      .groupBy($"method", $"qid").agg(count(lit(1)).as("n_hit"))
+    exact5.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(methods.select($"method")))
+      .join(hits, Seq("method", "qid"), "left")
+      .select($"qid", $"method", $"n_exact",
+        coalesce($"n_hit", lit(0L)).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
+      .orderBy($"qid", $"method")
+  }
+
+  val q288Oracle: String =
+    s"""WITH $ivfAssignWith,
+       methods AS (SELECT * FROM (VALUES (1, 'ivf1'), (2, 'ivf2')) m(nprobe, method)),
+       pr0 AS (
+         SELECT a.vec_id, a.qa, a.n2, c.centroid_id,
+           CAST(list_sum(list_transform(list_zip(a.qa, c.cv), p -> p[1]*p[2])) AS BIGINT) AS num,
+           c.cn
+         FROM n a, cent c WHERE a.vec_id < 20),
+       probes AS (
+         SELECT vec_id AS qid, qa AS qv, n2 AS qn, centroid_id AS cell, arn FROM (
+           SELECT vec_id, qa, n2, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               (num * abs(num) * 10000) // (n2 * cn) DESC, centroid_id) AS arn
+           FROM pr0)
+         WHERE arn <= 2),
+       probem AS (SELECT m.method, p.* FROM probes p JOIN methods m ON p.arn <= m.nprobe),
+       iscored AS (
+         SELECT pm.method, pm.qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(pm.qv, b.qa), x -> x[1]*x[2])) AS BIGINT) AS num,
+           pm.qn, b.n2 AS cn2
+         FROM probem pm JOIN cells b ON b.cell = pm.cell AND b.vec_id <> pm.qid),
+       iranked AS (
+         SELECT method, qid, cid,
+           row_number() OVER (PARTITION BY method, qid
+             ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+         FROM iscored WHERE num > 0),
+       ivf5 AS (SELECT method, qid, cid FROM iranked WHERE rn <= 5),
+       escored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), x -> x[1]*x[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn2
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       eranked AS (
+         SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+         FROM escored WHERE num > 0),
+       ex5 AS (SELECT qid, cid FROM eranked WHERE rn <= 5),
+       hits AS (
+         SELECT e.method, e.qid, CAST(count(i.cid) AS BIGINT) AS n_hit FROM
+           (SELECT m.method, x.qid, x.cid FROM ex5 x CROSS JOIN methods m) e
+         LEFT JOIN ivf5 i ON e.method = i.method AND e.qid = i.qid AND e.cid = i.cid
+         GROUP BY 1, 2),
+       nex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM ex5 GROUP BY 1)
+       SELECT nex.qid, m.method, nex.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+         (10000 * COALESCE(h.n_hit, 0)) // nex.n_exact AS recall_bp
+       FROM nex CROSS JOIN methods m
+       LEFT JOIN hits h ON h.qid = nex.qid AND h.method = m.method
+       ORDER BY nex.qid, m.method"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q273_ambiguity_margin" -> q273AmbiguityMargin,
     "q269_farthest_first" -> q269FarthestFirst,
@@ -1448,6 +1562,7 @@ object Similarity {
     "q47_ann_lsh" -> q47AnnLsh,
     "q48_ann_ivf" -> q48AnnIvf,
     "q79_kmeans_step" -> q79KmeansStep,
+    "q288_ivf_recall_audit" -> q288IvfRecallAudit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1471,5 +1586,6 @@ object Similarity {
     "q47_ann_lsh" -> q47Oracle,
     "q48_ann_ivf" -> q48Oracle,
     "q79_kmeans_step" -> q79Oracle,
+    "q288_ivf_recall_audit" -> q288Oracle,
   )
 }

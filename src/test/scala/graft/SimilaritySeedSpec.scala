@@ -91,4 +91,36 @@ class SimilaritySeedSpec extends SparkSpec {
       .select($"vec_id", $"n_nbrs").as[(Long, Long)].collect().toMap
     assert(nbrs.values.forall(_ == 5L))
   }
+
+  test("q288: recall audit — structural invariants and a perfect-cell geometry") {
+    // 51 vectors: centroids are vec_id 0 and 50 (every 50th). Queries
+    // are vec_ids 0..19. Cluster A = ids 0..19 near e1 (distinct small
+    // x-offsets in dim 2), cluster B = ids 20..50 near e2. Every
+    // query's exact top-5 lives in its own cell (cluster A maps to
+    // centroid 0, cluster B to 50), so recall@5 must be 10000 for all
+    // methods and queries.
+    val dim = 4
+    def v(x: Float, y: Float, z: Float): Seq[Float] = Seq(x, y, z, 0f)
+    val rows = (0 to 19).map(i => (i.toLong, v(1f, 0.001f * i, 0f), 0)) ++
+      (20 to 50).map(i => (i.toLong, v(0f, 1f, 0.001f * (i - 20)), 1))
+    val d = embDir(rows)
+    val got = Similarity.q288IvfRecallAudit(spark, d)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.length == 40)
+    got.foreach { case (_, m, nEx, nHit, bp) =>
+      assert(Set("ivf1", "ivf2").contains(m))
+      assert(nHit <= nEx && nEx <= 5)
+      assert(bp == 10000 * nHit / nEx)
+      assert(bp == 10000L) // perfect-cell geometry: nothing is missed
+    }
+    // real corpus: bounds hold and 2-probe mean recall dominates 1-probe
+    val real = Similarity.q288IvfRecallAudit(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(real.length == 40)
+    real.foreach { case (_, _, nEx, nHit, bp) =>
+      assert(nHit <= nEx && bp >= 0 && bp <= 10000)
+    }
+    val mean = real.groupBy(_._2).view.mapValues(r => r.map(_._5).sum / r.length)
+    assert(mean("ivf2") >= mean("ivf1"))
+  }
 }
