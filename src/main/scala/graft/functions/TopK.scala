@@ -47,3 +47,35 @@ class TopKOrders(k: Int)
   override def outputEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
 }
+
+/** Bounded top-k neighbor-label Aggregator for the kNN audits (q271's
+  * tail): per group, the labels of the k candidates with the highest
+  * (rank_key DESC, cid ASC) order — the same partial-aggregation
+  * argument as [[TopKOrders]] (map-side buffers never exceed k), which
+  * replaces a row_number window over the full N·(N−1) candidate
+  * relation with one partial-aggregable groupBy: no global sort of the
+  * pair stream, and the shuffle moves ≤ k entries per vector. */
+class TopKLabels(k: Int)
+    extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)], Seq[Long]] {
+  require(k >= 1)
+
+  private def ord: Ordering[(Long, Long, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def zero: Seq[(Long, Long, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Long, Long, Long)], in: (Long, Long, Long)): Seq[(Long, Long, Long)] =
+    (buf :+ in).sorted(ord).take(k)
+
+  override def merge(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[(Long, Long, Long)]): Seq[Long] =
+    buf.sorted(ord).map(_._3)
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}

