@@ -1835,6 +1835,92 @@ object Dedup {
          CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) * 1000 // n_docs AS BIGINT) AS dup_permille
        FROM cl CROSS JOIN tot GROUP BY tier, n_docs ORDER BY tier"""
 
+  /** MinHash Jaccard-estimator error audit: for the top-50 exact
+    * near-dup pairs (the shared q42 relation), compare the 24-hash
+    * MinHash estimate  n_eq/24  against the exact shingle Jaccard —
+    * the sketch-error counterpart of q288's recall audit (every
+    * approximation in the engine ships with its own error
+    * measurement). Theory says stderr ≈ √(j(1−j)/24) ≈ 10 bp·100 at
+    * j≈0.5; the reported mean-absolute-error pins what THIS corpus
+    * actually sees, md5 domains and 28-bit collisions included.
+    *
+    * Scale: both inputs are shared relations (exact pairs: banded
+    * inverted index; signatures: one compiled pass + 24-column
+    * min-agg); the audit itself joins 50 rows against the
+    * vocab-bounded signature table. */
+  def q289MinhashErrorAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = jaccardPairs(s, d)
+      .orderBy($"jaccard_bp".desc, $"doc1", $"doc2").limit(50)
+      .select($"doc1", $"doc2", $"jaccard_bp")
+    val sigs = minhashSigs(s, d)
+    val base = exact
+      .join(sigs.select($"doc_id".as("doc1"), $"sig".as("sig1")), "doc1")
+      .join(sigs.select($"doc_id".as("doc2"), $"sig".as("sig2")), "doc2")
+      .withColumn("n_eq",
+        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), b => b))
+          .cast("long"))
+      .select($"doc1", $"doc2", $"jaccard_bp", $"n_eq")
+      .withColumn("est_bp", expr("(n_eq * 10000) div 24"))
+      .withColumn("err_bp", $"est_bp" - $"jaccard_bp")
+    val m = base.agg(expr("sum(abs(err_bp)) div count(1)").as("mae_bp"))
+    base.crossJoin(broadcast(m))
+      .select($"doc1", $"doc2", $"jaccard_bp", $"n_eq", $"est_bp",
+        $"err_bp", $"mae_bp")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val q289Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT doc1, doc2,
+           CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_bp
+         FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       top AS (SELECT doc1, doc2, jaccard_bp FROM cand
+               ORDER BY jaccard_bp DESC, doc1, doc2 LIMIT 50),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       base AS (
+         SELECT t.doc1, t.doc2, t.jaccard_bp,
+           CAST(len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) AS BIGINT) AS n_eq
+         FROM top t
+         JOIN sig s1 ON t.doc1 = s1.doc_id
+         JOIN sig s2 ON t.doc2 = s2.doc_id),
+       ext AS (SELECT *, (n_eq * 10000) // 24 AS est_bp,
+                 (n_eq * 10000) // 24 - jaccard_bp AS err_bp FROM base),
+       m AS (SELECT CAST(sum(abs(err_bp)) AS BIGINT) // count(*) AS mae_bp FROM ext)
+       SELECT doc1, doc2, jaccard_bp, n_eq, est_bp, err_bp, mae_bp
+       FROM ext, m ORDER BY doc1, doc2"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
@@ -1850,6 +1936,7 @@ object Dedup {
     "q40_dedup_exact" -> q40DedupExact,
     "q70_edit_distance" -> q70EditDistance,
     "q41_minhash_lsh" -> q41MinhashLsh,
+    "q289_minhash_error_audit" -> q289MinhashErrorAudit,
     "q52_incremental_dedup" -> q52IncrementalDedup,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
@@ -1876,6 +1963,7 @@ object Dedup {
     "q40_dedup_exact" -> q40Oracle,
     "q70_edit_distance" -> q70Oracle,
     "q41_minhash_lsh" -> q41Oracle,
+    "q289_minhash_error_audit" -> q289Oracle,
     "q52_incremental_dedup" -> q52Oracle,
     "q42_ngram_jaccard" -> q42Oracle,
     "q43_simhash" -> q43Oracle,

@@ -42,4 +42,25 @@ class DedupTierSpec extends SparkSpec {
     // an exact dup is a dup under every tier
     assert(got("1_exact") == 1L && got("2_bag") == 1L && got("3_prefix16") == 1L)
   }
+
+  test("q289: identical pair estimates exactly; error bounded by 10000") {
+    // 20+-token identical docs: exact jaccard 10000, all 24 signature
+    // minima equal -> est 10000, err 0; a half-overlapping pair keeps
+    // |err| < 10000 and mae reflects both
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 12).map(i => s"w$i") ++ (1 to 12).map(i => s"v$i")).mkString(" ")
+    val d = docsDir(Seq((1L, base), (2L, base), (3L, half)))
+    val got = Dedup.q289MinhashErrorAudit(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ident = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(ident._3 == 10000L && ident._4 == 24L
+      && ident._5 == 10000L && ident._6 == 0L)
+    got.foreach { r =>
+      assert(r._4 >= 0 && r._4 <= 24)
+      assert(r._5 == 10000 * r._4 / 24)
+      assert(math.abs(r._6) <= 10000)
+      assert(r._7 == got.map(x => math.abs(x._6)).sum / got.length)
+    }
+  }
 }
