@@ -2448,6 +2448,62 @@ object Stats {
            AS BIGINT) AS eta2_bp
        FROM a"""
 
+  /** Two-proportion power analysis (q290): the sample size an A/B test
+    * needs PER ARM to detect a 10% relative lift in each segment's
+    * urgent-order share at alpha = 0.05 (two-sided) and 80% power —
+    * the forward-planning complement of q255's z-test (q255 judges a
+    * finished experiment; this sizes the next one from the observed
+    * baseline). n = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1 + p2*q2))^2
+    * / (p2 - p1)^2, z_a = 1.959964, z_b = 0.841621.
+    *
+    * Determinism: baselines are exact int64 counts from ONE partial-agg
+    * pass over orders (joined to the broadcast customer dim); the
+    * double formula is the SAME IEEE expression tree on both engines
+    * (sqrt/mult/div are correctly rounded; no pow, no libm ln), then
+    * ceil once to an integer row count. p2 = 1.1*p1 stays < 1 for any
+    * baseline below 90.9% — urgent shares sit near 20%. */
+  def q290PowerAnalysis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val st = Tables.orders(s, d)
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("n_urgent"))
+    st.select($"segment", $"n_orders", $"n_urgent",
+        expr("(1000000 * n_urgent) div n_orders").as("p1_ppm"),
+        expr("""CAST(ceil(
+          (1.959964 * sqrt(2.0 * ((CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0) * (1.0 - (CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0))
+           + 0.841621 * sqrt(CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - CAST(n_urgent AS DOUBLE) / n_orders)
+                             + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - 1.1 * CAST(n_urgent AS DOUBLE) / n_orders)))
+          * (1.959964 * sqrt(2.0 * ((CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0) * (1.0 - (CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0))
+           + 0.841621 * sqrt(CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - CAST(n_urgent AS DOUBLE) / n_orders)
+                             + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - 1.1 * CAST(n_urgent AS DOUBLE) / n_orders)))
+          / ((0.1 * CAST(n_urgent AS DOUBLE) / n_orders) * (0.1 * CAST(n_urgent AS DOUBLE) / n_orders))
+        ) AS BIGINT)""").as("n_per_arm"))
+      .orderBy($"segment")
+  }
+
+  val q290Oracle: String =
+    """WITH st AS (
+         SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_urgent
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1)
+       SELECT segment, n_orders, n_urgent,
+         (1000000 * n_urgent) // n_orders AS p1_ppm,
+         CAST(ceil(
+           (1.959964 * sqrt(2.0 * ((CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0) * (1.0 - (CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0))
+            + 0.841621 * sqrt(CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - CAST(n_urgent AS DOUBLE) / n_orders)
+                              + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - 1.1 * CAST(n_urgent AS DOUBLE) / n_orders)))
+           * (1.959964 * sqrt(2.0 * ((CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0) * (1.0 - (CAST(n_urgent AS DOUBLE) / n_orders + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders) / 2.0))
+            + 0.841621 * sqrt(CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - CAST(n_urgent AS DOUBLE) / n_orders)
+                              + 1.1 * CAST(n_urgent AS DOUBLE) / n_orders * (1.0 - 1.1 * CAST(n_urgent AS DOUBLE) / n_orders)))
+           / ((0.1 * CAST(n_urgent AS DOUBLE) / n_orders) * (0.1 * CAST(n_urgent AS DOUBLE) / n_orders))
+         ) AS BIGINT) AS n_per_arm
+       FROM st ORDER BY segment"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
@@ -2468,6 +2524,7 @@ object Stats {
     "q198_hll_sketch" -> q198HllSketch,
     "q199_bitmap_overlap" -> q199BitmapOverlap,
     "q200_trimmed_mean" -> q200TrimmedMean,
+    "q290_power_analysis" -> q290PowerAnalysis,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -2512,6 +2569,7 @@ object Stats {
     "q198_hll_sketch" -> q198Oracle,
     "q199_bitmap_overlap" -> q199Oracle,
     "q200_trimmed_mean" -> q200Oracle,
+    "q290_power_analysis" -> q290Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -838,4 +838,24 @@ class StatsSpec extends SparkSpec {
       s"F ${r.getAs[Long]("f_milli")} vs $f")
     assert(math.abs(r.getAs[Long]("eta2_bp") - math.floor(eta2 * 10000).toLong) <= 1)
   }
+
+  test("q290: power-analysis formula matches a direct recomputation; monotone in baseline") {
+    import spark.implicits._
+    val rows = graft.operators.Stats.q290PowerAnalysis(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, u, p1ppm, nArm) =>
+      assert(p1ppm == 1000000L * u / n)
+      val p1 = u.toDouble / n
+      val p2 = 1.1 * p1
+      val pbar = (p1 + p2) / 2.0
+      val num = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+      val expect = math.ceil(num * num / ((0.1 * p1) * (0.1 * p1))).toLong
+      assert(nArm == expect)
+    }
+    // relative-MDE sizing shrinks as the baseline grows
+    val byP1 = rows.sortBy(_._4)
+    assert(byP1.map(_._5).toSeq == byP1.map(_._5).sortBy(-_).toSeq)
+  }
 }
