@@ -38,6 +38,60 @@ object Md5Prefix {
 
 /** Shared single-pass implementation of shingle hashing, callable from
   * both interpreted eval and generated code. */
+object ShingleHashSeqImpl {
+
+  /** text → md5-prefix hashes of word w-gram shingles IN POSITION
+    * ORDER (non-distinct): element i is the hash of tokens i..i+w−1.
+    * The positional sibling of [[ShingleHashesImpl]] for operators
+    * that need window STARTS (q286 dup-span coverage), where set
+    * semantics would lose the offsets. */
+  def compute(input: UTF8String, width: Int, nibbles: Int): ArrayData = {
+    val text = input.toString
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = Md5Prefix.hash(sb.toString, nibbles)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Positional (non-distinct) variant of [[ShingleHashes]] — same
+  * tokenization, shingle text, and md5-prefix hash, but one element
+  * per shingle START, in order. Same codegen argument: a static call
+  * keeps the expression inside the whole-stage span (the HOF
+  * `transform(sequence(...), 8 × element_at + concat_ws + md5)`
+  * formulation it replaces is interpreted per element — measured 2.2 s
+  * → the scan floor on q286 at sf0.1). */
+case class ShingleHashSeq(child: Expression, width: Int, nibbles: Int)
+    extends UnaryExpression {
+  require(width >= 1 && nibbles >= 1 && nibbles <= 15)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashSeqImpl.compute(input.asInstanceOf[UTF8String], width, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashSeqImpl.compute($c, $width, $nibbles);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashSeq =
+    copy(child = c)
+}
+
 object ShingleHashesImpl {
 
   /** text → distinct md5-prefix hashes of word w-gram shingles. */
@@ -258,6 +312,11 @@ object TextExprs {
   def shingle_hashes(text: Column, width: Int, nibbles: Int): Column =
     ColumnBridge.column(
       ShingleHashes(ColumnBridge.expression(text), width, nibbles))
+
+  /** Positional w-gram shingle hashes (see [[ShingleHashSeq]]). */
+  def shingle_hash_seq(text: Column, width: Int, nibbles: Int): Column =
+    ColumnBridge.column(
+      ShingleHashSeq(ColumnBridge.expression(text), width, nibbles))
 
   /** 60-bit SimHash of whitespace tokens (see [[SimHash60]]). */
   def simhash60(text: Column): Column =

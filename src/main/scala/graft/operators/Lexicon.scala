@@ -585,34 +585,40 @@ object Lexicon {
     * nothing global is sorted. */
   def q286DupSpanCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tk = Tables.documents(s, d)
-      .select($"doc_id", tokens($"text").as("tk"))
-      .localCheckpoint()
-    val starts = tk.filter(size($"tk") >= 8)
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    // one compiled pass per doc for all window hashes (positional
+    // ShingleHashSeq expression — the interpreted HOF formulation with
+    // 8 element_ats per window was the query's bottleneck)
+    val starts = base
       .select($"doc_id", posexplode(
-        transform(sequence(lit(1), size($"tk") - 7),
-          i => hash60(concat_ws(" ",
-            element_at($"tk", i), element_at($"tk", i + 1),
-            element_at($"tk", i + 2), element_at($"tk", i + 3),
-            element_at($"tk", i + 4), element_at($"tk", i + 5),
-            element_at($"tk", i + 6), element_at($"tk", i + 7)))))
+        graft.functions.TextExprs.shingle_hash_seq($"text", 8, 15))
         .as(Seq("sp", "gh")))
     val dupg = starts.groupBy($"gh").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2)
     // (doc_id, sp) is unique in `starts`, so the dup-gram semi-join
-    // leaves it unique — no re-aggregation needed
+    // leaves it unique. Coverage = |∪ [s, s+7]| over the doc's dup
+    // starts; with every interval exactly 8 long, the union telescopes
+    // to Σ min(8, next_start − start) + 8 over the SORTED start list —
+    // so the union is computed from the (small, per-doc-bounded) dup
+    // start arrays alone. The first formulation exploded every token
+    // position and ran a [p−7, p] window max over the corpus token
+    // stream: 6M window rows at sf0.1, 2.2 s, and 2.9× DuckDB; this
+    // one aggregates only dup starts — the token stream is never
+    // re-materialized after the gram count.
     val dupStarts = starts.join(dupg.select($"gh"), "gh")
-      .select($"doc_id".as("d2"), $"sp", lit(1L).as("dupstart"))
-    val pos = tk.select($"doc_id", posexplode($"tk").as(Seq("p", "w")))
-      .select($"doc_id", $"p")
-    val w = Window.partitionBy($"doc_id").orderBy($"p").rowsBetween(-7, 0)
-    val cov = pos
-      .join(dupStarts, $"doc_id" === $"d2" && $"p" === $"sp", "left")
-      .select($"doc_id", $"p", coalesce($"dupstart", lit(0L)).as("ds"))
-      .withColumn("covered", max($"ds").over(w))
-    cov.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"covered").as("dup_tokens"))
-      .filter($"dup_tokens" > 0)
+      .select($"doc_id", $"sp")
+    val cov = dupStarts.groupBy($"doc_id")
+      .agg(array_sort(collect_list($"sp")).as("ss"))
+      .select($"doc_id",
+        expr("""aggregate(transform(sequence(1, size(ss)),
+            i -> IF(i < size(ss),
+                    least(CAST(8 AS BIGINT),
+                          CAST(element_at(ss, i + 1) - element_at(ss, i) AS BIGINT)),
+                    CAST(8 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, x) -> a + x)""").as("dup_tokens"))
+    val nt = base.select($"doc_id",
+      size(tokens($"text")).cast("long").as("n_tokens"))
+    cov.join(nt, "doc_id")
       .select($"doc_id", $"n_tokens", $"dup_tokens",
         expr("(10000 * dup_tokens) div n_tokens").as("dup_bp"))
       .orderBy($"doc_id")
