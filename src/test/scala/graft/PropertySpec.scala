@@ -159,4 +159,33 @@ class PropertySpec extends SparkSpec {
       .as[Map[String, Seq[String]]].collect()
     got.zip(maps).foreach { case (r, m) => assert(r == m) }
   }
+
+  test("mergeSyms ≡ reference greedy BPE merge on generated symbol runs") {
+    // reference implementation: scan left to right, merge the pair
+    // greedily and non-overlappingly — the textbook BPE merge step
+    def ref(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: ref(rest, a, b)
+      case x :: rest => x :: ref(rest, a, b)
+      case Nil => Nil
+    }
+    // small alphabet with multi-char symbols forces overlap runs AND
+    // cross-symbol near-matches ("ax" next to "y" vs pair (x, y))
+    val sym: Gen[String] = Gen.oneOf("a", "b", "ab", "ax", "x", "y", "ya")
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      syms <- Gen.listOfN(n, sym)
+      a <- sym; b <- sym
+    } yield (syms, a, b)
+    val cases = (1L to 200L).map(seed => draw(gen, seed))
+    val rows = cases.zipWithIndex
+      .map { case ((syms, a, b), i) => (i.toLong, syms, s"$a $b") }
+      .toDF("id", "syms", "pair")
+    val got = rows
+      .select($"id", operators.Lexicon.mergeSyms($"syms", $"pair").as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    cases.zipWithIndex.foreach { case ((syms, a, b), i) =>
+      assert(got(i.toLong) == ref(syms, a, b),
+        s"case $i: $syms merge ($a,$b) -> ${got(i.toLong)} vs ${ref(syms, a, b)}")
+    }
+  }
 }
