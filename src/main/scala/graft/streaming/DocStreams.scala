@@ -88,6 +88,62 @@ object DocStreams {
         .parquet(docsDir),
       bench)
 
+  /** The static side of the streaming dup-span probe: the corpus'
+    * duplicated 8-gram hashes (corpus-wide occurrence count ≥ 2, same
+    * positional hashes as batch q286) as a ONE-ROW broadcast relation
+    * — the [[benchmarkShingles]] shape, built by executors, never
+    * collected to the driver. */
+  def dupGramIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(
+        graft.functions.TextExprs.shingle_hash_seq($"text", 8, 15)).as("gh"))
+      .groupBy($"gh").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+      .agg(array_sort(collect_list($"gh")).as("dup_arr"))
+      .withColumn("k", lit(1))
+  }
+
+  /** Per-doc duplicate-span coverage against a static dup-gram index —
+    * the streaming face of q286 for continuous ingest: each arriving
+    * doc is scored for how much of it is covered by 8-token windows
+    * already known to be duplicated. Everything after the broadcast
+    * join is a per-row scalar computation (positional window hashes
+    * from the compiled ShingleHashSeq pass, membership filter, then
+    * the same telescoped interval union as the batch query), so the
+    * query is STATELESS: append mode, no watermark, no state store.
+    * Equality with batch q286 on the same corpus is asserted in
+    * DocStreamsSpec. */
+  def dupSpan(docs: DataFrame, idx: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        size(graft.functions.Fns.tokens($"text")).cast("long").as("n_tokens"),
+        graft.functions.TextExprs.shingle_hash_seq($"text", 8, 15).as("ghs"))
+      .withColumn("k", lit(1))
+      .join(broadcast(idx), Seq("k"))
+      .withColumn("ss", expr(
+        "filter(sequence(1, size(ghs)), i -> array_contains(dup_arr, element_at(ghs, i)))"))
+      .filter(size($"ss") > 0)
+      .withColumn("dup_tokens", expr("""aggregate(transform(sequence(1, size(ss)),
+          i -> IF(i < size(ss),
+                  least(CAST(8 AS BIGINT),
+                        CAST(element_at(ss, i + 1) - element_at(ss, i) AS BIGINT)),
+                  CAST(8 AS BIGINT))),
+        CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .select($"doc_id", $"n_tokens", $"dup_tokens",
+        expr("(10000 * dup_tokens) div n_tokens").as("dup_bp"))
+  }
+
+  /** Streaming entry: file-source stream scored on arrival. */
+  def dupSpanStream(s: SparkSession, docsDir: String,
+      idx: DataFrame): DataFrame =
+    dupSpan(
+      s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(docsDir),
+      idx)
+
   /** Rendezvous (HRW) shard routing as a PER-ROW projection — the
     * streaming face of q140: each arriving doc's shard is
     * greatest(hash(doc:0)·8+0, …, hash(doc:7)·8+7) mod 8, the same

@@ -304,4 +304,29 @@ class DocStreamsSpec extends SparkSpec {
         s"missing=${(want -- got).size} extra=${(got -- want).size}")
     } finally q.stop()
   }
+
+  test("streaming dup-span == batch q286; stateless") {
+    val d = "/root/testdata/sf0.001"
+    val idx = DocStreams.dupGramIndex(spark, d)
+    assert(idx.head().getSeq[Long](0).nonEmpty)
+    val batch = graft.operators.Lexicon.q286DupSpanCoverage(spark, d)
+      .collect().map(_.toSeq).toSet
+    val staged = java.nio.file.Files.createTempDirectory("docs_dupspan")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = DocStreams.dupSpanStream(spark, staged.toString, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dupspan_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dupspan_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain(extended = false) }
+      assert(!buf.toString.contains("StateStore"))
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
 }
