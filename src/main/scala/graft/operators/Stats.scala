@@ -2504,6 +2504,126 @@ object Stats {
        FROM st ORDER BY segment"""
 
 
+  /** Always-valid sequential A/B monitor — the mixture SPRT (mSPRT,
+    * Johari et al. 2017/2022, the "peeking problem" fix): per day, the
+    * cumulative two-sample mean difference in whole-dollar order value
+    * between deterministic arms (o_orderkey parity), the normal-
+    * mixture likelihood ratio Λ with prior τ² = σ², and the
+    * always-valid p-value p_n = min(1, 1/max_{d'≤d} Λ_d') — monotone
+    * non-increasing by construction, so the experimenter may stop ANY
+    * day without inflating false positives (q290 sizes the experiment,
+    * q255 judges its endpoint, this one makes continuous monitoring
+    * legitimate).
+    *
+    * Determinism: day aggregates and global moments are exact int64
+    * (whole dollars — floor() before the bigint cast, the q177 rule;
+    * Σusd² stays in int64 headroom where cents would overflow, the
+    * q262 rule); Λ's doubles come from ONE identical IEEE expression
+    * tree (sqrt + exp — the q210 Kaplan–Meier precedent), the exp
+    * argument is clamped at 60 and Λ·10⁶ at 10¹⁵ so a decisive
+    * experiment saturates instead of overflowing to engine-dependent
+    * infinities, and Λ is floored ONCE to micro units before the
+    * integer running max.
+    *
+    * Shape: one orders scan → per-day partial agg (~2.4k rows); both
+    * cumulative windows run over the day-level relation (the calendar
+    * is tiny at any corpus scale); global moments broadcast. */
+  def q291Msprt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(
+      $"o_orderdate".cast("date").as("day"),
+      floor($"o_totalprice".cast("decimal(18,2)")).cast("long").as("usd"),
+      ($"o_orderkey" % 2).as("arm"))
+    val daily = o.groupBy($"day").agg(
+      count(when($"arm" === 0, lit(1))).as("na_d"),
+      sum(when($"arm" === 0, $"usd").otherwise(lit(0L))).as("sa_d"),
+      count(when($"arm" === 1, lit(1))).as("nb_d"),
+      sum(when($"arm" === 1, $"usd").otherwise(lit(0L))).as("sb_d"))
+    val g = o.agg(count(lit(1)).as("gn"), sum($"usd").as("gs"),
+      sum($"usd" * $"usd").as("gss"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("na", sum($"na_d").over(w))
+      .withColumn("sa", sum($"sa_d").over(w))
+      .withColumn("nb", sum($"nb_d").over(w))
+      .withColumn("sb", sum($"sb_d").over(w))
+      .filter($"na" > 0 && $"nb" > 0)
+      .crossJoin(broadcast(g))
+      .withColumn("lam_micro", expr("""CAST(floor(least(
+          sqrt((2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0))
+               / (2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0)
+                  + (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn))))
+          * exp(least(
+              (CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb) * (CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+                * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn))
+              / (2.0 * (2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0))
+                 / 1.0
+                 * (2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0)
+                    + (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)))),
+              60.0))
+          * 1000000.0, 1000000000000000.0)) AS BIGINT)"""))
+      .withColumn("diff_micro", expr(
+        "CAST(floor((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb) * 1000000.0) AS BIGINT)"))
+    val wm = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum.withColumn("maxlam", max($"lam_micro").over(wm))
+      .select($"day", $"na", $"nb", $"diff_micro", $"lam_micro",
+        expr("least(CAST(10000 AS BIGINT), 10000000000 div greatest(maxlam, 1))")
+          .as("pval_bp"))
+      .orderBy($"day")
+  }
+
+  val q291Oracle: String =
+    """WITH o AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS usd,
+           o_orderkey % 2 AS arm
+         FROM orders),
+       daily AS (
+         SELECT day,
+           CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS na_d,
+           CAST(sum(CASE WHEN arm = 0 THEN usd ELSE 0 END) AS BIGINT) AS sa_d,
+           CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS nb_d,
+           CAST(sum(CASE WHEN arm = 1 THEN usd ELSE 0 END) AS BIGINT) AS sb_d
+         FROM o GROUP BY 1),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(usd) AS BIGINT) AS gs,
+               CAST(sum(usd * usd) AS BIGINT) AS gss FROM o),
+       cum AS (
+         SELECT day,
+           CAST(sum(na_d) OVER wnd AS BIGINT) AS na,
+           CAST(sum(sa_d) OVER wnd AS BIGINT) AS sa,
+           CAST(sum(nb_d) OVER wnd AS BIGINT) AS nb,
+           CAST(sum(sb_d) OVER wnd AS BIGINT) AS sb
+         FROM daily
+         WINDOW wnd AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       lam AS (
+         SELECT day, na, nb,
+           CAST(floor((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb) * 1000000.0) AS BIGINT) AS diff_micro,
+           CAST(floor(least(
+             sqrt((2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0))
+                  / (2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0)
+                     + (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn))))
+             * exp(least(
+                 (CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb) * (CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+                   * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn))
+                 / (2.0 * (2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0))
+                    / 1.0
+                    * (2.0 * (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)) / ((na + nb) / 2.0)
+                       + (CAST(gss AS DOUBLE)/gn - (CAST(gs AS DOUBLE)/gn)*(CAST(gs AS DOUBLE)/gn)))),
+                 60.0))
+             * 1000000.0, 1000000000000000.0)) AS BIGINT) AS lam_micro
+         FROM cum, g
+         WHERE na > 0 AND nb > 0),
+       fin AS (
+         SELECT *, CAST(max(lam_micro) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS maxlam
+         FROM lam)
+       SELECT day, na, nb, diff_micro, lam_micro,
+         least(CAST(10000 AS BIGINT), 10000000000 // greatest(maxlam, 1)) AS pval_bp
+       FROM fin ORDER BY day"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
@@ -2525,6 +2645,7 @@ object Stats {
     "q199_bitmap_overlap" -> q199BitmapOverlap,
     "q200_trimmed_mean" -> q200TrimmedMean,
     "q290_power_analysis" -> q290PowerAnalysis,
+    "q291_msprt" -> q291Msprt,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -2570,6 +2691,7 @@ object Stats {
     "q199_bitmap_overlap" -> q199Oracle,
     "q200_trimmed_mean" -> q200Oracle,
     "q290_power_analysis" -> q290Oracle,
+    "q291_msprt" -> q291Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

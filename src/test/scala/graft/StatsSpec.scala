@@ -858,4 +858,45 @@ class StatsSpec extends SparkSpec {
     val byP1 = rows.sortBy(_._4)
     assert(byP1.map(_._5).toSeq == byP1.map(_._5).sortBy(-_).toSeq)
   }
+
+  test("q291: mSPRT sequential replay matches; always-valid p is non-increasing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q291Msprt(spark, d)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // reference replay: day-level aggregates + the same formula
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderdate").cast("date").as("day"),
+        floor(col("o_totalprice").cast("decimal(18,2)")).cast("long").as("usd"),
+        (col("o_orderkey") % 2).as("arm"))
+      .as[(java.sql.Date, Long, Long)].collect()
+    val gn = o.length.toDouble
+    val gs = o.map(_._2).sum.toDouble
+    val gss = o.map(x => x._2 * x._2).sum.toDouble
+    val sig2 = gss / gn - (gs / gn) * (gs / gn)
+    val byDay = o.groupBy(_._1).toSeq.sortBy(_._1.toString)
+    var (na, sa, nb, sb) = (0L, 0L, 0L, 0L)
+    var maxLam = 1L
+    val expected = byDay.map { case (day, rows) =>
+      na += rows.count(_._3 == 0); sa += rows.filter(_._3 == 0).map(_._2).sum
+      nb += rows.count(_._3 == 1); sb += rows.filter(_._3 == 1).map(_._2).sum
+      (day, na, sa, nb, sb)
+    }.filter(r => r._2 > 0 && r._4 > 0).map { case (day, na, sa, nb, sb) =>
+      val dd = sa.toDouble / na - sb.toDouble / nb
+      val v = 2.0 * sig2 / ((na + nb) / 2.0)
+      val lam = math.sqrt(v / (v + sig2)) *
+        math.exp(math.min(dd * dd * sig2 / (2.0 * v / 1.0 * (v + sig2)), 60.0))
+      val lamMicro = math.floor(math.min(lam * 1e6, 1e15)).toLong
+      maxLam = math.max(maxLam, math.max(lamMicro, 1L))
+      val pval = math.min(10000L, 10000000000L / maxLam)
+      (day, na, nb, math.floor(dd * 1e6).toLong, lamMicro, pval)
+    }
+    assert(got.toSeq.map(r => (r._1.toString, r._2, r._3, r._4, r._5, r._6)) ==
+      expected.map(r => (r._1.toString, r._2, r._3, r._4, r._5, r._6)))
+    // the always-valid guarantee: p never increases
+    val ps = got.map(_._6)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+  }
 }
