@@ -1552,6 +1552,120 @@ object Similarity {
        ORDER BY nex.qid, m.method"""
 
 
+  /** MRR@10 / MAP@10 quantization rank audit — what does 10× coarser
+    * integer quantization (floor(x·100) vs the engine-standard
+    * floor(x·1000)) cost in RANKING quality? The coarse cosine re-ranks
+    * the corpus per query; the fine ranking's top-10 is the truth; the
+    * two remaining standard IR metrics next to q288's recall and
+    * q180's nDCG report the damage (MRR: is the first true neighbor
+    * still on top; MAP: precision integrated over every hit — unlike
+    * recall it sees WHERE the misses land). q218 audits quantization's
+    * effect on pairwise distances; this audits its effect on the
+    * decision a retrieval system actually makes.
+    *
+    * Exactness trick: every rank k ≤ 10 divides 2520 (= lcm 1..10), so
+    * 1/k and precision-at-k sums are EXACT integers in 1/2520 units —
+    * rr_2520 = 2520/first_rank, AP numerator Σ_hits cumhits_k·(2520/k)
+    * over denominator 25200 — no floats anywhere.
+    *
+    * Shape: both rankings are the q46 broadcast-queries pass (20
+    * queries, one corpus scan each, no corpus shuffle); the eval joins
+    * 10·|queries| rows against 10·|queries| — query-bounded, corpus
+    * size never enters the eval. */
+  def q292QuantRankEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, d)
+      .select($"vec_id", quantize1000($"embedding").as("qa"),
+        transform($"embedding", x => floor(x.cast("double") * 100).cast("long"))
+          .as("qc"))
+      .withColumn("n2", norm2Q($"qa"))
+      .withColumn("c2", norm2Q($"qc"))
+      .repartition(col("vec_id"))
+      .localCheckpoint()
+    def top10(key: String, nrm: String): DataFrame = {
+      val qset = q.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), col(key).as("qv"), col(nrm).as("qn"))
+      q.select($"vec_id".as("cid"), col(key).as("cv2"), col(nrm).as("cn2"))
+        .join(broadcast(qset), $"qid" =!= $"cid")
+        .withColumn("num", dotQ($"qv", $"cv2"))
+        .filter($"num" > 0)
+        .withColumn("rank_key", expr("(num * num * 10000) div (qn * cn2)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"rank_key".desc, $"cid")))
+        .filter($"rn" <= 10)
+        .select($"qid", $"cid", $"rn")
+    }
+    val coarse10 = top10("qc", "c2")
+    val exact10 = top10("qa", "n2").select($"qid", $"cid", lit(1L).as("rel"))
+    val wq = Window.partitionBy($"qid").orderBy($"rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = coarse10
+      .join(exact10, Seq("qid", "cid"), "left")
+      .withColumn("rel", coalesce($"rel", lit(0L)))
+      .withColumn("cumhits", sum($"rel").over(wq))
+    marked.groupBy($"qid")
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum($"rel").as("n_hits"),
+        coalesce(min(when($"rel" === 1, $"rn")), lit(0L)).as("first_rank"),
+        sum(when($"rel" === 1, $"cumhits" * expr("2520 div rn"))
+          .otherwise(lit(0L))).as("ap_num_2520"))
+      .select($"qid", $"n_retrieved", $"n_hits", $"first_rank",
+        when($"first_rank" > 0, expr("2520 div first_rank"))
+          .otherwise(lit(0L)).as("rr_2520"),
+        $"ap_num_2520",
+        expr("(1000000 * ap_num_2520) div 25200").as("ap_micro"))
+      .orderBy($"qid")
+  }
+
+  val q292Oracle: String =
+    """WITH q AS (
+         SELECT vec_id,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa,
+           [CAST(floor(x::DOUBLE * 100) AS BIGINT) FOR x IN embedding] AS qc
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa, qc,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2,
+           CAST(list_sum(list_transform(qc, x -> x*x)) AS BIGINT) AS c2
+         FROM q),
+       fine AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), x -> x[1]*x[2])) AS BIGINT) AS num,
+           a.n2 AS qn, b.n2 AS cn2
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       coarse AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+           CAST(list_sum(list_transform(list_zip(a.qc, b.qc), x -> x[1]*x[2])) AS BIGINT) AS num,
+           a.c2 AS qn, b.c2 AS cn2
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       c10 AS (SELECT qid, cid, rn FROM (
+           SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+           FROM coarse WHERE num > 0)
+         WHERE rn <= 10),
+       e10 AS (SELECT qid, cid, CAST(1 AS BIGINT) AS rel FROM (
+           SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY (num * num * 10000) // (qn * cn2) DESC, cid) AS rn
+           FROM fine WHERE num > 0)
+         WHERE rn <= 10),
+       marked AS (
+         SELECT c.qid, c.rn, COALESCE(e.rel, 0) AS rel,
+           CAST(sum(COALESCE(e.rel, 0)) OVER (PARTITION BY c.qid ORDER BY c.rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhits
+         FROM c10 c LEFT JOIN e10 e ON c.qid = e.qid AND c.cid = e.cid)
+       SELECT qid, CAST(count(*) AS BIGINT) AS n_retrieved,
+         CAST(sum(rel) AS BIGINT) AS n_hits,
+         COALESCE(min(CASE WHEN rel = 1 THEN rn END), 0) AS first_rank,
+         CASE WHEN COALESCE(min(CASE WHEN rel = 1 THEN rn END), 0) > 0
+              THEN 2520 // min(CASE WHEN rel = 1 THEN rn END)
+              ELSE 0 END AS rr_2520,
+         CAST(sum(CASE WHEN rel = 1 THEN cumhits * (2520 // rn) ELSE 0 END) AS BIGINT) AS ap_num_2520,
+         (1000000 * CAST(sum(CASE WHEN rel = 1 THEN cumhits * (2520 // rn) ELSE 0 END) AS BIGINT)) // 25200 AS ap_micro
+       FROM marked GROUP BY qid ORDER BY qid"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q273_ambiguity_margin" -> q273AmbiguityMargin,
     "q269_farthest_first" -> q269FarthestFirst,
@@ -1574,6 +1688,7 @@ object Similarity {
     "q48_ann_ivf" -> q48AnnIvf,
     "q79_kmeans_step" -> q79KmeansStep,
     "q288_ivf_recall_audit" -> q288IvfRecallAudit,
+    "q292_quant_rank_eval" -> q292QuantRankEval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1598,5 +1713,6 @@ object Similarity {
     "q48_ann_ivf" -> q48Oracle,
     "q79_kmeans_step" -> q79Oracle,
     "q288_ivf_recall_audit" -> q288Oracle,
+    "q292_quant_rank_eval" -> q292Oracle,
   )
 }

@@ -123,4 +123,44 @@ class SimilaritySeedSpec extends SparkSpec {
     val mean = real.groupBy(_._2).view.mapValues(r => r.map(_._5).sum / r.length)
     assert(mean("ivf2") >= mean("ivf1"))
   }
+
+  test("q292: metrics match a full Scala replay of both rankings") {
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quant(v: Array[Float], sc: Double): Array[Long] =
+      v.map(x => math.floor(x.toDouble * sc).toLong)
+    def rank(sc: Double): Map[Long, Seq[Long]] = {
+      val q = emb.map { case (id, v) =>
+        (id, quant(v, sc)) }
+      val norms = q.map { case (id, a) => id -> a.map(x => x * x).sum }.toMap
+      q.filter(_._1 < 20).map { case (qid, qv) =>
+        val scored = q.filter(_._1 != qid).flatMap { case (cid, cv) =>
+          val num = qv.zip(cv).map { case (a, b) => a * b }.sum
+          if (num > 0)
+            Some((cid, Math.floorDiv(num * num * 10000, norms(qid) * norms(cid))))
+          else None
+        }
+        qid -> scored.sortBy { case (cid, k) => (-k, cid) }.take(10).map(_._1).toSeq
+      }.toMap
+    }
+    val fine = rank(1000.0); val coarse = rank(100.0)
+    val expected = (0L until 20L).map { qid =>
+      val truth = fine(qid).toSet
+      val got = coarse(qid)
+      val rels = got.map(c => if (truth.contains(c)) 1L else 0L)
+      val cum = rels.scanLeft(0L)(_ + _).tail
+      val first = rels.indexOf(1L) match { case -1 => 0L; case i => i + 1L }
+      val apn = rels.zip(cum).zipWithIndex.collect {
+        case ((1L, ch), i) => ch * (2520L / (i + 1)) }.sum
+      (qid, got.length.toLong, rels.sum, first,
+        if (first > 0) 2520L / first else 0L, apn, 1000000L * apn / 25200L)
+    }
+    val got = Similarity.q292QuantRankEval(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the audit is informative on this corpus: some query takes damage
+    assert(got.exists(_._7 < 1000000))
+  }
 }
