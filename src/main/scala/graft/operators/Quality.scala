@@ -826,6 +826,103 @@ object Quality {
          CAST(safe_us // 1000000 AS BIGINT) AS safe_watermark_s
        FROM marks CROSS JOIN ext ORDER BY tbl"""
 
+  /** Exact isotonic calibration (q293) via the minimax identity: fit
+    * the best MONOTONE map from account-balance bin to urgent-order
+    * propensity — the calibrator of choice when Platt scaling's
+    * sigmoid shape is wrong and histogram binning is too jagged
+    * (Zadrozny & Elkan 2002). The L2-isotonic solution has the closed
+    * form  iso(i) = max_{j≤i} min_{k≥i} avg(y over bins j..k)  — no
+    * PAVA iteration, no sequential driver loop: over the BOUNDED
+    * 20-bin relation the whole minimax is two grouped reductions over
+    * a ≤20³ interval grid, exact and order-free.
+    *
+    * Determinism: bin sums are exact int64; interval averages are
+    * single IEEE divisions of those int64s (identical both engines);
+    * min/max over those doubles are value-comparisons (no
+    * accumulation); the result is floored to micro once. Equal-width
+    * bins over integer cents make bin assignment pure integer math.
+    *
+    * Shape: one customers-orders semi-join pass → per-customer label,
+    * one partial-agg groupBy to 20 bins; everything after is
+    * constant-sized (the q93 bounded-domain argument). */
+  def q293IsotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey")).distinct()
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey",
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(urgent.withColumn("y", lit(1L)), Seq("c_custkey"), "left")
+      .select($"cents", coalesce($"y", lit(0L)).as("y"))
+    val rng = cust.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val bins = cust.crossJoin(broadcast(rng))
+      .select(least(expr("(20 * (cents - lo)) div (hi - lo + 1)"), lit(19L))
+        .as("bin"), $"y")
+      .groupBy($"bin").agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+      .localCheckpoint()
+    // interval grid over the 20-row bin relation: prefix sums via a
+    // bounded window, intervals from prefix differences
+    val w = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("ccnt", sum($"cnt").over(w))
+      .withColumn("cpos", sum($"pos").over(w))
+      .select($"bin", $"cnt", $"pos", $"ccnt", $"cpos")
+    val jj = pre.select($"bin".as("j"), ($"ccnt" - $"cnt").as("cb"),
+      ($"cpos" - $"pos").as("pb"))
+    val kk = pre.select($"bin".as("k"), $"ccnt".as("ce"), $"cpos".as("pe"))
+    val ivals = jj.crossJoin(kk).filter($"j" <= $"k")
+      .select($"j", $"k",
+        (($"pe" - $"pb").cast("double") / ($"ce" - $"cb").cast("double"))
+          .as("q"))
+    val idim = bins.select($"bin".as("i"))
+    val inner = idim.join(ivals, $"j" <= $"i" && $"k" >= $"i")
+      .groupBy($"i", $"j").agg(min($"q").as("mq"))
+    val iso = inner.groupBy($"i").agg(max($"mq").as("iso"))
+    bins.join(iso, $"bin" === $"i")
+      .select($"bin", $"cnt", $"pos",
+        expr("(1000000 * pos) div cnt").as("raw_rate_micro"),
+        floor($"iso" * lit(1000000.0)).cast("long").as("iso_rate_micro"))
+      .orderBy($"bin")
+  }
+
+  val q293Oracle: String =
+    """WITH urgent AS (
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders
+         WHERE o_orderpriority = '1-URGENT'),
+       cust AS (
+         SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+         FROM customer c LEFT JOIN urgent u USING (c_custkey)),
+       rng AS (SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi FROM cust),
+       bins AS (
+         SELECT least((20 * (cents - lo)) // (hi - lo + 1), 19) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+         FROM cust, rng GROUP BY 1),
+       pre AS (
+         SELECT bin, cnt, pos,
+           CAST(sum(cnt) OVER wnd AS BIGINT) AS ccnt,
+           CAST(sum(pos) OVER wnd AS BIGINT) AS cpos
+         FROM bins
+         WINDOW wnd AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       ivals AS (
+         SELECT j.bin AS j, k.bin AS k,
+           CAST(k.cpos - (j.cpos - j.pos) AS DOUBLE)
+             / CAST(k.ccnt - (j.ccnt - j.cnt) AS DOUBLE) AS q
+         FROM pre j JOIN pre k ON j.bin <= k.bin),
+       inner_min AS (
+         SELECT i.bin AS i, v.j, min(v.q) AS mq
+         FROM bins i JOIN ivals v ON v.j <= i.bin AND v.k >= i.bin
+         GROUP BY 1, 2),
+       iso AS (SELECT i, max(mq) AS iso FROM inner_min GROUP BY 1)
+       SELECT b.bin, b.cnt, b.pos,
+         (1000000 * b.pos) // b.cnt AS raw_rate_micro,
+         CAST(floor(iso.iso * 1000000.0) AS BIGINT) AS iso_rate_micro
+       FROM bins b JOIN iso ON b.bin = iso.i
+       ORDER BY b.bin"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_freshness_watermark" -> q260FreshnessWatermark,
     "q252_auc" -> q252Auc,
@@ -833,6 +930,7 @@ object Quality {
     "q181_zonemap_audit" -> q181ZonemapAudit,
     "q176_calibration" -> q176Calibration,
     "q223_gains_curve" -> q223GainsCurve,
+    "q293_isotonic_calibration" -> q293IsotonicCalibration,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
@@ -847,6 +945,7 @@ object Quality {
     "q181_zonemap_audit" -> q181Oracle,
     "q176_calibration" -> q176Oracle,
     "q223_gains_curve" -> q223Oracle,
+    "q293_isotonic_calibration" -> q293Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,

@@ -274,4 +274,38 @@ class QualitySpec extends SparkSpec {
     }
     assert(got.exists(_.getAs[Long]("lag_behind_max_s") == 0L))
   }
+
+  test("q293: minimax isotonic fit == PAVA replay; monotone; mass-preserving") {
+    import spark.implicits._
+    val got = graft.operators.Quality
+      .q293IsotonicCalibration(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 20)
+    // PAVA: pool adjacent violators over the (cnt, pos) sequence
+    case class Block(cnt: Long, pos: Long) { def r: Double = pos.toDouble / cnt }
+    var blocks = List.empty[Block] // reversed
+    got.foreach { case (_, cnt, pos, _, _) =>
+      var b = Block(cnt, pos)
+      while (blocks.nonEmpty && blocks.head.r >= b.r) {
+        b = Block(blocks.head.cnt + b.cnt, blocks.head.pos + b.pos)
+        blocks = blocks.tail
+      }
+      blocks = b :: blocks
+    }
+    val pava = blocks.reverse.flatMap(b => Seq.fill(b.cnt.toInt)(b.r))
+    // expand engine iso per-bin to per-customer weights for comparison
+    val isoSeq = got.flatMap { case (_, cnt, _, _, iso) =>
+      Seq.fill(cnt.toInt)(iso) }
+    val pavaMicro = pava.map(r => math.floor(r * 1e6).toLong)
+    assert(isoSeq.toSeq == pavaMicro)
+    // monotone non-decreasing across bins
+    val isoBins = got.map(_._5)
+    assert(isoBins.zip(isoBins.tail).forall { case (a, b) => b >= a })
+    // PAVA preserves the weighted mean within each pooled block, so
+    // the global weighted sum matches the positives up to micro floors
+    val n = got.map(_._2).sum
+    val wsum = got.map { case (_, cnt, _, _, iso) => cnt * iso }.sum
+    val posTot = got.map(_._3).sum
+    assert(math.abs(wsum - 1000000L * posTot) <= n)
+  }
 }
