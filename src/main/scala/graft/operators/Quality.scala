@@ -923,6 +923,90 @@ object Quality {
        ORDER BY b.bin"""
 
 
+  /** Split-conformal prediction audit (q294, Vovk et al. / Lei et al.):
+    * per segment, calibrate a residual threshold with a finite-sample
+    * coverage guarantee — the distribution-free answer to "give me an
+    * interval that contains 90% of future values, no normality
+    * assumed". Customers split by custkey parity into calibration and
+    * test; nonconformity = |balance − segment calibration mean| in
+    * exact cents; the threshold is the ⌈(n+1)·0.9⌉-th smallest
+    * calibration score (an EXACT order statistic, computed by
+    * cumulative-count crossing over the per-segment score histogram —
+    * the q250 idiom, no sort of raw rows); the test half then reports
+    * empirical coverage, which the guarantee says lands ≥ 9000 bp in
+    * expectation.
+    *
+    * All integer: cents, integer mean (floor), absolute residuals,
+    * histogram counts, one bp division at the end. The per-segment
+    * windows run over value histograms (bounded domains), partitioned
+    * by segment. */
+  def q294ConformalAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_mktsegment".as("segment"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        ($"c_custkey" % 2).as("half"))
+      .localCheckpoint()
+    val mu = cust.filter($"half" === 1)
+      .groupBy($"segment")
+      .agg(expr("sum(cents) div count(1)").as("mu"), count(lit(1)).as("n_cal"))
+    val scored = cust.join(broadcast(mu), "segment")
+      .select($"segment", $"half", $"n_cal", abs($"cents" - $"mu").as("sc"))
+    val hist = scored.filter($"half" === 1)
+      .groupBy($"segment", $"n_cal", $"sc").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"segment").orderBy($"sc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k = ceil((n+1)·0.9) = (9·(n+1) + 9) div 10 clamped to n; the
+    // threshold is the smallest score whose cumulative count reaches k
+    val thr = hist
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("k", least(expr("(9 * (n_cal + 1) + 9) div 10"), $"n_cal"))
+      .filter($"cum" >= $"k")
+      .groupBy($"segment", $"n_cal", $"k").agg(min($"sc").as("threshold"))
+    val cov = scored.filter($"half" === 0).select($"segment", $"sc")
+      .join(broadcast(thr), "segment")
+      .groupBy($"segment", $"n_cal", $"k", $"threshold")
+      .agg(count(lit(1)).as("n_test"),
+        count(when($"sc" <= $"threshold", lit(1))).as("n_covered"))
+    cov.select($"segment", $"n_cal", $"k", $"threshold", $"n_test",
+        $"n_covered", expr("(10000 * n_covered) div n_test").as("coverage_bp"))
+      .orderBy($"segment")
+  }
+
+  val q294Oracle: String =
+    """WITH cust AS (
+         SELECT c_mktsegment AS segment,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           c_custkey % 2 AS half
+         FROM customer),
+       mu AS (
+         SELECT segment, CAST(sum(cents) AS BIGINT) // count(*) AS mu,
+           CAST(count(*) AS BIGINT) AS n_cal
+         FROM cust WHERE half = 1 GROUP BY 1),
+       scored AS (
+         SELECT c.segment, c.half, m.n_cal, abs(c.cents - m.mu) AS sc
+         FROM cust c JOIN mu m ON c.segment = m.segment),
+       hist AS (
+         SELECT segment, n_cal, sc, CAST(count(*) AS BIGINT) AS c
+         FROM scored WHERE half = 1 GROUP BY 1, 2, 3),
+       thr AS (
+         SELECT segment, n_cal, k, CAST(min(sc) AS BIGINT) AS threshold FROM (
+           SELECT segment, n_cal, sc,
+             CAST(sum(c) OVER (PARTITION BY segment ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             least((9 * (n_cal + 1) + 9) // 10, n_cal) AS k
+           FROM hist)
+         WHERE cum >= k GROUP BY 1, 2, 3)
+       SELECT s.segment, t.n_cal, t.k, t.threshold,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(count(CASE WHEN s.sc <= t.threshold THEN 1 END) AS BIGINT) AS n_covered,
+         (10000 * CAST(count(CASE WHEN s.sc <= t.threshold THEN 1 END) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS coverage_bp
+       FROM scored s JOIN thr t ON s.segment = t.segment
+       WHERE s.half = 0
+       GROUP BY 1, 2, 3, 4 ORDER BY 1"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_freshness_watermark" -> q260FreshnessWatermark,
     "q252_auc" -> q252Auc,
@@ -931,6 +1015,7 @@ object Quality {
     "q176_calibration" -> q176Calibration,
     "q223_gains_curve" -> q223GainsCurve,
     "q293_isotonic_calibration" -> q293IsotonicCalibration,
+    "q294_conformal_audit" -> q294ConformalAudit,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
@@ -946,6 +1031,7 @@ object Quality {
     "q176_calibration" -> q176Oracle,
     "q223_gains_curve" -> q223Oracle,
     "q293_isotonic_calibration" -> q293Oracle,
+    "q294_conformal_audit" -> q294Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,

@@ -308,4 +308,30 @@ class QualitySpec extends SparkSpec {
     val posTot = got.map(_._3).sum
     assert(math.abs(wsum - 1000000L * posTot) <= n)
   }
+
+  test("q294: conformal threshold is the exact order statistic; replay matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q294ConformalAudit(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (col("c_custkey") % 2).as("half"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (seg, nCal, k, thr, nTest, nCov, covBp) =>
+      val cal = cust.filter(c => c._1 == seg && c._3 == 1).map(_._2)
+      val test = cust.filter(c => c._1 == seg && c._3 == 0).map(_._2)
+      assert(nCal == cal.length && nTest == test.length)
+      val mu = Math.floorDiv(cal.sum, cal.length)
+      val scores = cal.map(c => math.abs(c - mu)).sorted
+      val kExp = math.min(math.ceil((cal.length + 1) * 0.9).toLong, cal.length)
+      assert(k == kExp)
+      assert(thr == scores(k.toInt - 1)) // k-th smallest, 1-indexed
+      val covered = test.count(c => math.abs(c - mu) <= thr)
+      assert(nCov == covered && covBp == 10000L * covered / test.length)
+    }
+  }
 }
