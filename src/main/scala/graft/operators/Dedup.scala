@@ -1921,6 +1921,93 @@ object Dedup {
        FROM ext, m ORDER BY doc1, doc2"""
 
 
+  /** LSH candidate-generation quality eval (q295): pairwise precision /
+    * recall / F1 of the MinHash-LSH candidate pairs (q41: any shared
+    * (band, key) bucket) against the exact-Jaccard truth pairs (q42:
+    * distinct-shingle Jaccard ≥ 0.05) — the acceptance gate before
+    * trusting banded LSH as the dedup scale path, and the measured
+    * counterpart of q256's analytic cost/recall planner (q256 predicts
+    * the candidate budget; this measures what the bands actually
+    * caught). One row: pair counts, TP/FP/FN, and bp metrics — exact
+    * integer arithmetic throughout.
+    *
+    * Scale: both pair relations are the shared banded/inverted-index
+    * shapes (never all-pairs); the eval is a full-outer join of two
+    * pair sets already thresholded to near-dup density. */
+  def q295LshPairEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = q41MinhashLsh(s, d).select($"doc1", $"doc2", lit(1L).as("c"))
+    val truth = jaccardPairs(s, d).select($"doc1", $"doc2", lit(1L).as("t"))
+    val j = cand.join(truth, Seq("doc1", "doc2"), "full_outer")
+      .select(coalesce($"c", lit(0L)).as("c"), coalesce($"t", lit(0L)).as("t"))
+    j.agg(
+        sum($"c").as("n_cand"), sum($"t").as("n_truth"),
+        sum($"c" * $"t").as("tp"),
+        sum($"c" * (lit(1L) - $"t")).as("fp"),
+        sum((lit(1L) - $"c") * $"t").as("fn"))
+      .select($"n_cand", $"n_truth", $"tp", $"fp", $"fn",
+        expr("(10000 * tp) div n_cand").as("precision_bp"),
+        expr("(10000 * tp) div n_truth").as("recall_bp"),
+        expr("(20000 * tp) div (n_cand + n_truth)").as("f1_bp"))
+  }
+
+  val q295Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT doc1, doc2, CAST(1 AS BIGINT) AS t
+         FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       bands AS (
+         SELECT doc_id, b,
+           md5(array_to_string(list_transform(sig[b*3+1 : b*3+3], v -> v::VARCHAR), ',')) AS band_key
+         FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, CAST(1 AS BIGINT) AS c
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       j AS (
+         SELECT COALESCE(c, 0) AS c, COALESCE(t, 0) AS t
+         FROM cand FULL OUTER JOIN truth USING (doc1, doc2))
+       SELECT CAST(sum(c) AS BIGINT) AS n_cand, CAST(sum(t) AS BIGINT) AS n_truth,
+         CAST(sum(c * t) AS BIGINT) AS tp,
+         CAST(sum(c * (1 - t)) AS BIGINT) AS fp,
+         CAST(sum((1 - c) * t) AS BIGINT) AS fn,
+         (10000 * CAST(sum(c * t) AS BIGINT)) // CAST(sum(c) AS BIGINT) AS precision_bp,
+         (10000 * CAST(sum(c * t) AS BIGINT)) // CAST(sum(t) AS BIGINT) AS recall_bp,
+         (20000 * CAST(sum(c * t) AS BIGINT))
+           // (CAST(sum(c) AS BIGINT) + CAST(sum(t) AS BIGINT)) AS f1_bp
+       FROM j"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
@@ -1937,6 +2024,7 @@ object Dedup {
     "q70_edit_distance" -> q70EditDistance,
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q289_minhash_error_audit" -> q289MinhashErrorAudit,
+    "q295_lsh_pair_eval" -> q295LshPairEval,
     "q52_incremental_dedup" -> q52IncrementalDedup,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
@@ -1964,6 +2052,7 @@ object Dedup {
     "q70_edit_distance" -> q70Oracle,
     "q41_minhash_lsh" -> q41Oracle,
     "q289_minhash_error_audit" -> q289Oracle,
+    "q295_lsh_pair_eval" -> q295Oracle,
     "q52_incremental_dedup" -> q52Oracle,
     "q42_ngram_jaccard" -> q42Oracle,
     "q43_simhash" -> q43Oracle,

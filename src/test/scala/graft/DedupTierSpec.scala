@@ -63,4 +63,24 @@ class DedupTierSpec extends SparkSpec {
       assert(r._7 == got.map(x => math.abs(x._6)).sum / got.length)
     }
   }
+
+  test("q295: identical pair is TP; partition identities hold") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, base), (2L, base),
+      (3L, "totally different words that share nothing with the pair")))
+    val r = Dedup.q295LshPairEval(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (nc, nt, tp, fp, fn, p, rec, f1) = r
+    assert(tp >= 1)            // the identical pair banded AND exact
+    assert(nc == tp + fp && nt == tp + fn)
+    assert(p == 10000 * tp / nc && rec == 10000 * tp / nt)
+    assert(f1 == 20000 * tp / (nc + nt))
+    // on the real corpus recall is high (q41's bands rarely miss a
+    // >=0.05-jaccard pair) and precision is the known LSH trade
+    val real = Dedup.q295LshPairEval(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(real._7 >= 5000, s"recall collapsed: $real")
+    assert(real._1 == real._3 + real._4 && real._2 == real._3 + real._5)
+  }
 }
