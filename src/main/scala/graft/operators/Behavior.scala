@@ -1476,6 +1476,124 @@ object Behavior {
          CAST(sum(s96) AS BIGINT) AS rev96_cents
        FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Two-group log-rank test (q296, Mantel–Cox): do even- and odd-key
+    * customers repurchase at different speeds? The hypothesis-test
+    * companion of q210's Kaplan–Meier curve, on the SAME censored
+    * spell construction (order → days to next order, right-censored at
+    * the dataset edge, week buckets, 30-week horizon): at each event
+    * week the observed group-1 events are compared against the
+    * hypergeometric expectation E₁ = n₁·d/n given the week's risk
+    * sets, and χ² = (Σ(O₁−E₁))²/ΣV. Arms split by customer-key parity
+    * — a true A/A null, so the statistic should sit near its χ²(1)
+    * mean (and does).
+    *
+    * Parity: risk sets and event counts are exact integers derived
+    * from two cumulative windows over the bounded WEEK spine; each
+    * week's E and V terms are single IEEE expressions floored to micro
+    * once (q128's discipline), then integer-summed; the final χ² is
+    * one double division floored to milli. No per-spell window beyond
+    * q210's per-customer lead(). */
+  def q296Logrank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val horizon = 30L
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val maxD = Tables.orders(s, d).agg(max($"o_orderdate").as("max_d"))
+    val spells = Tables.orders(s, d)
+      .withColumn("next_d", lead($"o_orderdate", 1).over(byCust))
+      .crossJoin(broadcast(maxD))
+      .select(($"o_custkey" % 2).as("grp"),
+        when($"next_d".isNotNull,
+          floor(datediff($"next_d", $"o_orderdate") / 7.0).cast("long"))
+          .otherwise(floor(datediff($"max_d", $"o_orderdate") / 7.0).cast("long"))
+          .as("wk0"),
+        $"next_d".isNotNull.cast("long").as("ev0"))
+      .select($"grp", least($"wk0", lit(horizon)).as("wk"),
+        ($"ev0" === 1L && $"wk0" <= horizon).cast("long").as("event"))
+    val byWk = spells.groupBy($"wk").agg(
+      count(when($"grp" === 0, lit(1))).as("end0"),
+      sum(when($"grp" === 0, $"event").otherwise(lit(0L))).as("d0"),
+      count(when($"grp" === 1, lit(1))).as("end1"),
+      sum(when($"grp" === 1, $"event").otherwise(lit(0L))).as("d1"))
+    val tot = spells.groupBy().agg(
+      count(when($"grp" === 0, lit(1))).as("t0"),
+      count(when($"grp" === 1, lit(1))).as("t1"))
+    val w = Window.orderBy($"wk")
+    val terms = byWk.crossJoin(broadcast(tot))
+      .withColumn("n0", $"t0" - coalesce(sum($"end0")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n1", $"t1" - coalesce(sum($"end1")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"wk" < horizon && ($"d0" + $"d1") > 0)
+      .withColumn("e1_micro", expr("""CAST(floor(
+          CAST(n1 AS DOUBLE) * (d0 + d1) / (n0 + n1) * 1000000.0) AS BIGINT)"""))
+      .withColumn("v_micro", expr("""CAST(floor(
+          CAST(n0 AS DOUBLE) * n1 * (d0 + d1) * (n0 + n1 - d0 - d1)
+          / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
+          * 1000000.0) AS BIGINT)"""))
+    terms.agg(
+        max($"t0").as("n0_spells"), max($"t1").as("n1_spells"),
+        sum($"d0").as("events0"), sum($"d1").as("events1"),
+        (sum($"d1") * lit(1000000L) - sum($"e1_micro")).as("o_minus_e_micro"),
+        sum($"v_micro").as("var_micro"))
+      .withColumn("chi_milli", expr("""CAST(floor(
+          CAST(o_minus_e_micro AS DOUBLE) * o_minus_e_micro
+          / (1000.0 * var_micro)) AS BIGINT)"""))
+  }
+
+  val q296Oracle: String =
+    """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+       sp AS (
+         SELECT o_custkey, o_orderdate, o_orderkey,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS next_d
+         FROM orders),
+       spell AS (
+         SELECT o_custkey % 2 AS grp,
+           CASE WHEN next_d IS NOT NULL
+             THEN CAST(floor(date_diff('day', o_orderdate, next_d) / 7.0) AS BIGINT)
+             ELSE CAST(floor(date_diff('day', o_orderdate, max_d) / 7.0) AS BIGINT)
+           END AS wk0,
+           CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev0
+         FROM sp CROSS JOIN mx),
+       spell2 AS (
+         SELECT grp, least(wk0, 30) AS wk,
+           CAST(ev0 = 1 AND wk0 <= 30 AS BIGINT) AS event
+         FROM spell),
+       bywk AS (
+         SELECT wk,
+           CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS end0,
+           CAST(sum(CASE WHEN grp = 0 THEN event ELSE 0 END) AS BIGINT) AS d0,
+           CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS end1,
+           CAST(sum(CASE WHEN grp = 1 THEN event ELSE 0 END) AS BIGINT) AS d1
+         FROM spell2 GROUP BY wk),
+       tot AS (SELECT CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS t0,
+                 CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS t1
+               FROM spell2),
+       terms AS (
+         SELECT wk, d0, d1, t0, t1,
+           t0 - COALESCE(CAST(sum(end0) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n0,
+           t1 - COALESCE(CAST(sum(end1) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n1
+         FROM bywk CROSS JOIN tot),
+       ev AS (
+         SELECT *,
+           CAST(floor(CAST(n1 AS DOUBLE) * (d0 + d1) / (n0 + n1) * 1000000.0) AS BIGINT) AS e1_micro,
+           CAST(floor(CAST(n0 AS DOUBLE) * n1 * (d0 + d1) * (n0 + n1 - d0 - d1)
+             / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
+             * 1000000.0) AS BIGINT) AS v_micro
+         FROM terms WHERE wk < 30 AND (d0 + d1) > 0),
+       agg AS (
+         SELECT CAST(max(t0) AS BIGINT) AS n0_spells, CAST(max(t1) AS BIGINT) AS n1_spells,
+           CAST(sum(d0) AS BIGINT) AS events0, CAST(sum(d1) AS BIGINT) AS events1,
+           CAST(sum(d1) * 1000000 - sum(e1_micro) AS BIGINT) AS o_minus_e_micro,
+           CAST(sum(v_micro) AS BIGINT) AS var_micro
+         FROM ev)
+       SELECT *, CAST(floor(CAST(o_minus_e_micro AS DOUBLE) * o_minus_e_micro
+         / (1000.0 * var_micro)) AS BIGINT) AS chi_milli
+       FROM agg"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q264_cohort_ltv" -> q264CohortLtv,
     "q265_tier_migration" -> q265TierMigration,
@@ -1491,6 +1609,7 @@ object Behavior {
     "q224_session_paths" -> q224SessionPaths,
     "q219_burstiness" -> q219Burstiness,
     "q210_kaplan_meier" -> q210KaplanMeier,
+    "q296_logrank" -> q296Logrank,
     "q201_entry_exit" -> q201EntryExit,
     "q196_assoc_rules" -> q196AssocRules,
     "q189_funnel_latency" -> q189FunnelLatency,
@@ -1517,6 +1636,7 @@ object Behavior {
     "q224_session_paths" -> q224Oracle,
     "q219_burstiness" -> q219Oracle,
     "q210_kaplan_meier" -> q210Oracle,
+    "q296_logrank" -> q296Oracle,
     "q201_entry_exit" -> q201Oracle,
     "q196_assoc_rules" -> q196Oracle,
     "q189_funnel_latency" -> q189Oracle,

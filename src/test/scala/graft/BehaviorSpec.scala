@@ -925,4 +925,21 @@ class BehaviorSpec extends SparkSpec {
         assert(tiers.max - tiers.min <= 1, s"$axis quintiles unbalanced: $marg")
     }
   }
+
+  test("q296: log-rank O-E and variance reconcile; A/A null stays small") {
+    import spark.implicits._
+    val r = graft.operators.Behavior.q296Logrank(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (n0, n1, e0, e1, oe, v, chi) = r
+    assert(n0 > 0 && n1 > 0 && e0 > 0 && e1 > 0)
+    assert(v > 0)
+    // chi is the floored milli of (O-E)^2/V — recompute directly
+    assert(chi == math.floor(oe.toDouble * oe / (1000.0 * v)).toLong)
+    // the parity split is a true null: the statistic should not be
+    // astronomically significant (chi2(1) critical value at 0.001 is
+    // 10.83 — allow wide slack, the point is "no systematic effect")
+    assert(chi < 11000L, s"A/A log-rank exploded: chi_milli=$chi")
+    // |O-E| bounded by total group-1 events in micro units
+    assert(math.abs(oe) <= 1000000L * e1)
+  }
 }
