@@ -2008,6 +2008,90 @@ object Dedup {
        FROM j"""
 
 
+  /** Capture–recapture estimate of the near-dup population (q297,
+    * Chapman's Lincoln–Petersen): treat the SimHash detector (hamming
+    * ≤ 3) and the MinHash detector (≥ 12/24 signature agreement) as
+    * two independent samples of the unknown true near-dup pair
+    * population; the overlap m then estimates the total as
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the standard ecology estimator,
+    * applied to "how many near-dup pairs exist that NEITHER detector
+    * caught?" (the question per-detector recall can't answer without
+    * ground truth). Per-detector coverage is reported against N̂.
+    *
+    * Exact: counts and N̂ are integer; only the Chapman standard error
+    * takes one identical IEEE sqrt (the 4-term product is formed in
+    * double — at extreme scale it would exceed int64). Both pair
+    * relations are the shared banded shapes. */
+  def q297CaptureRecapture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val s1 = simhashPairs(s, d).select($"doc1", $"doc2").localCheckpoint()
+    val s2 = q41MinhashLsh(s, d).filter($"n_sig_equal" >= 12)
+      .select($"doc1", $"doc2").localCheckpoint()
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    val n2 = s2.agg(count(lit(1)).as("n2"))
+    val m = s1.join(s2, Seq("doc1", "doc2"), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .withColumn("nhat", expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+      .withColumn("se_milli", expr("""CAST(floor(sqrt(
+          (n1 + 1.0) * (n2 + 1) * (n1 - m) * (n2 - m)
+          / (((m + 1.0) * (m + 1)) * (m + 2))) * 1000.0) AS BIGINT)"""))
+      .select($"n1", $"n2", $"m", $"nhat", $"se_milli",
+        expr("(10000 * n1) div nhat").as("cov1_bp"),
+        expr("(10000 * n2) div nhat").as("cov2_bp"))
+  }
+
+  val q297Oracle: String = {
+    val minhashCte = """
+       mtk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       msh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM mtk),
+       mhs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM msh WHERE len(shd) > 0),
+       msig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs,
+               h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM mhs),
+       mbands AS (
+         SELECT doc_id, sig, b,
+           md5(array_to_string(list_transform(sig[b*3+1 : b*3+3], v -> v::VARCHAR), ',')) AS band_key
+         FROM msig, (SELECT unnest(generate_series(0, 7)) AS b)),
+       s2 AS (
+         SELECT doc1, doc2 FROM (
+           SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+             len(list_filter(list_zip(l.sig, r.sig), p -> p[1] = p[2])) AS n_sig_equal
+           FROM mbands l JOIN mbands r
+             ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+         WHERE n_sig_equal >= 12)"""
+    s"""WITH $simhashPairsWith,
+       s1 AS (SELECT doc1, doc2 FROM prs WHERE bit_count(xor(s1, s2)) <= 3),
+       $minhashCte,
+       c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1),
+       c2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM s2),
+       cm AS (SELECT CAST(count(*) AS BIGINT) AS m
+              FROM s1 SEMI JOIN s2 USING (doc1, doc2))
+       SELECT n1, n2, m,
+         ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS nhat,
+         CAST(floor(sqrt(
+           (n1 + 1.0) * (n2 + 1) * (n1 - m) * (n2 - m)
+           / (((m + 1.0) * (m + 1)) * (m + 2))) * 1000.0) AS BIGINT) AS se_milli,
+         (10000 * n1) // (((n1 + 1) * (n2 + 1)) // (m + 1) - 1) AS cov1_bp,
+         (10000 * n2) // (((n1 + 1) * (n2 + 1)) // (m + 1) - 1) AS cov2_bp
+       FROM c1, c2, cm"""
+  }
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
@@ -2025,6 +2109,7 @@ object Dedup {
     "q41_minhash_lsh" -> q41MinhashLsh,
     "q289_minhash_error_audit" -> q289MinhashErrorAudit,
     "q295_lsh_pair_eval" -> q295LshPairEval,
+    "q297_capture_recapture" -> q297CaptureRecapture,
     "q52_incremental_dedup" -> q52IncrementalDedup,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
@@ -2053,6 +2138,7 @@ object Dedup {
     "q41_minhash_lsh" -> q41Oracle,
     "q289_minhash_error_audit" -> q289Oracle,
     "q295_lsh_pair_eval" -> q295Oracle,
+    "q297_capture_recapture" -> q297Oracle,
     "q52_incremental_dedup" -> q52Oracle,
     "q42_ngram_jaccard" -> q42Oracle,
     "q43_simhash" -> q43Oracle,

@@ -83,4 +83,17 @@ class DedupTierSpec extends SparkSpec {
     assert(real._7 >= 5000, s"recall collapsed: $real")
     assert(real._1 == real._3 + real._4 && real._2 == real._3 + real._5)
   }
+
+  test("q297: Chapman estimator identities; nested detectors collapse to the superset") {
+    import spark.implicits._
+    val r = graft.operators.Dedup
+      .q297CaptureRecapture(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (n1, n2, m, nhat, se, cov1, cov2) = r
+    assert(m <= math.min(n1, n2))
+    assert(nhat == (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert(nhat >= math.max(n1, n2)) // the estimate can never undershoot a sample
+    assert(cov1 == 10000 * n1 / nhat && cov2 == 10000 * n2 / nhat)
+    if (m == n1 || m == n2) assert(se == 0) // nested ⇒ zero Chapman variance
+  }
 }
