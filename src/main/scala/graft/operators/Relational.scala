@@ -1070,6 +1070,67 @@ object Relational {
          10000 * class_rev_cents // allrev AS rev_share_bp
        FROM agg CROSS JOIN g ORDER BY cls"""
 
+  /** Aggregate view maintenance under RETRACTIONS (q298): q103 merges
+    * insert-only deltas, but real CDC streams carry deletes — and
+    * deletes split the aggregate surface in two. Additive aggregates
+    * (count, sum) maintain by signed merge: apply the delta with −1
+    * multiplicity. Non-additive ones (min/max) CANNOT retract — if the
+    * deleted row held the minimum there is no algebra that recovers
+    * the runner-up — so the maintainer re-aggregates ONLY the affected
+    * groups from the post-delete base (the standard partial-recompute:
+    * delta-group-bounded work, not a full refresh). The oracle is the
+    * full recompute over the post-delete state, so the hash match IS
+    * the maintenance proof (q276's pattern).
+    *
+    * Delete set: every order with o_orderkey ≡ 0 (mod 97) —
+    * deterministic, hits every bucket. Shape: snapshot agg + signed
+    * delta agg (both partial-agg groupBys), one semi-join-bounded
+    * re-aggregation for min/max on affected buckets, one broadcast
+    * merge. */
+  def q298RetractionIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey",
+      ($"o_custkey" % 100).as("bucket"),
+      $"o_totalprice".cast("decimal(18,2)").as("price"), $"o_orderdate")
+      .localCheckpoint()
+    val deleted = base.filter($"o_orderkey" % 97 === 0)
+    // additive path: snapshot totals merged with signed delete totals
+    val snap = base.groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"price").as("total_dec"))
+    val dneg = deleted.groupBy($"bucket")
+      .agg(count(lit(1)).as("dn"), sum($"price").as("dtotal"))
+    // non-additive path: re-aggregate min/max over the POST-DELETE base,
+    // but only for buckets the delta touched; untouched buckets keep
+    // their snapshot extremes
+    val snapExt = base.groupBy($"bucket")
+      .agg(min($"o_orderdate").as("first_date"),
+        max($"o_orderdate").as("last_date"))
+    val touched = dneg.select($"bucket")
+    val recompExt = base.filter($"o_orderkey" % 97 =!= 0)
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .groupBy($"bucket")
+      .agg(min($"o_orderdate").as("r_first"), max($"o_orderdate").as("r_last"))
+    snap.join(broadcast(dneg), Seq("bucket"), "left")
+      .join(snapExt, Seq("bucket"))
+      .join(broadcast(recompExt), Seq("bucket"), "left")
+      .select($"bucket",
+        ($"n" - coalesce($"dn", lit(0L))).as("n"),
+        ($"total_dec" - coalesce($"dtotal", lit(0).cast("decimal(18,2)")))
+          .cast("double").as("total"),
+        coalesce($"r_first", $"first_date").as("first_date"),
+        coalesce($"r_last", $"last_date").as("last_date"))
+      .filter($"n" > 0)
+      .orderBy($"bucket")
+  }
+
+  val q298Oracle: String =
+    """SELECT o_custkey % 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+       FROM orders WHERE o_orderkey % 97 <> 0
+       GROUP BY 1 HAVING count(*) > 0 ORDER BY 1"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_abc_classification" -> q266AbcClassification,
     "q257_join_ivm" -> q257JoinIvm,
@@ -1085,6 +1146,7 @@ object Relational {
     "q110_sql_surface" -> q110SqlSurface,
     "q108_snapshot_diff" -> q108SnapshotDiff,
     "q103_incremental_agg" -> q103IncrementalAgg,
+    "q298_retraction_ivm" -> q298RetractionIvm,
     "q87_salted_join" -> q87SaltedJoin,
     "q09_global_topk" -> q09GlobalTopK,
     "q09b_set_ops" -> q09bSetOps,
@@ -1113,6 +1175,7 @@ object Relational {
     "q110_sql_surface" -> q110Oracle,
     "q108_snapshot_diff" -> q108Oracle,
     "q103_incremental_agg" -> q103Oracle,
+    "q298_retraction_ivm" -> q298Oracle,
     "q87_salted_join" -> q87Oracle,
     "q09_global_topk" -> q09Oracle,
     "q09b_set_ops" -> q09bOracle,

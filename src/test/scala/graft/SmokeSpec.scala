@@ -189,4 +189,30 @@ class SmokeSpec extends SparkSpec {
     assert(got("C")._3 <= 600, s"C share ${got("C")._3}")
     assert(got.values.map(_._3).sum >= 10000 - 3 && got.values.map(_._3).sum <= 10000)
   }
+
+  test("q298: retraction maintenance == full recompute; untouched buckets keep snapshot extremes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Relational.q298RetractionIvm(spark, d).collect()
+    val full = graft.io.Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .filter(col("n") > 0).orderBy(col("bucket")).collect()
+    assert(got.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    // at least one bucket was actually touched by a delete AND at least
+    // one extreme changed somewhere vs the snapshot — i.e. the
+    // non-additive path did real work on this data
+    val snap = graft.io.Tables.orders(spark, d)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .collect().map(r => r.get(0) -> (r.get(1), r.get(2))).toMap
+    val changed = got.count { r =>
+      snap(r.get(0)) != ((r.get(3), r.get(4))) }
+    assert(changed >= 1, "delete set never held a group extreme — test data too tame")
+  }
 }
