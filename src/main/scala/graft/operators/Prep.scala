@@ -511,6 +511,102 @@ object Prep {
        FROM sv JOIN ge ON sv.phi_bp = ge.phi_bp CROSS JOIN nn
        ORDER BY sv.source, sv.phi_bp"""
 
+  /** ChiMerge supervised discretization (q299, Kerber 1992): start
+    * from 20 equal-width account-balance bins labeled with urgent-order
+    * propensity and repeatedly merge the adjacent pair whose class
+    * distributions are MOST similar (minimum 2×2 χ²), 5 rounds — the
+    * supervised cousin of q93's equi-depth bins and the third member
+    * of the discretization family (q207 scores bins, q293 smooths
+    * them, this one DRAWS them). Merging the lowest-χ² pair first is
+    * what keeps class-informative boundaries alive while statistical
+    * noise pools.
+    *
+    * Determinism: bin contents are exact int64; each pair's χ² is the
+    * 2×2 closed form n·(ad−bc)²/((a+c)(b+d)·n₁·n₂) evaluated once in
+    * identical IEEE doubles (zero margins coalesce to 0 — such pairs
+    * merge first, deterministically by position); the argmin is a
+    * 1-row TakeOrdered re-entering as a broadcast, and bins renumber
+    * in-plan — q280's driver-loop contract, every round vocab-sized
+    * (here: ≤20 rows). */
+  def q299ChiMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey")).distinct()
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey",
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(urgent.withColumn("y", lit(1L)), Seq("c_custkey"), "left")
+      .select($"cents", coalesce($"y", lit(0L)).as("y"))
+    val rng = cust.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    var cur = cust.crossJoin(broadcast(rng))
+      .select(least(expr("(20 * (cents - lo)) div (hi - lo + 1)"), lit(19L))
+        .as("bid"), $"cents", $"y")
+      .groupBy($"bid").agg(count(lit(1)).as("cnt"), sum($"y").as("pos"),
+        min($"cents").as("lo_c"), max($"cents").as("hi_c"))
+      .localCheckpoint()
+    for (_ <- 1 to 5) {
+      val a = cur.select($"bid".as("i"), $"cnt".as("n1"), $"pos".as("p1"))
+      val b = cur.select(($"bid" - 1).as("i"), $"cnt".as("n2"), $"pos".as("p2"))
+      val best = a.join(b, "i")
+        .withColumn("chi", expr("""coalesce(
+            (n1 + n2) * CAST((p1 * (n2 - p2) - p2 * (n1 - p1)) AS DOUBLE)
+              * (p1 * (n2 - p2) - p2 * (n1 - p1))
+            / nullif(CAST((p1 + p2) AS DOUBLE) * ((n1 - p1) + (n2 - p2))
+                     * n1 * n2, 0.0), 0.0)"""))
+        .orderBy($"chi", $"i").limit(1)
+        .select($"i".as("mi"))
+      cur = cur.crossJoin(broadcast(best))
+        .select(when($"bid" <= $"mi", $"bid").otherwise($"bid" - 1).as("bid"),
+          $"cnt", $"pos", $"lo_c", $"hi_c")
+        .groupBy($"bid").agg(sum($"cnt").as("cnt"), sum($"pos").as("pos"),
+          min($"lo_c").as("lo_c"), max($"hi_c").as("hi_c"))
+        .localCheckpoint()
+    }
+    cur.select($"bid", $"lo_c", $"hi_c", $"cnt", $"pos",
+        expr("(1000000 * pos) div cnt").as("rate_micro"))
+      .orderBy($"bid")
+  }
+
+  val q299Oracle: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "b0" else s"m${i - 1}"
+      s"""
+       p$i AS (
+         SELECT a.bid AS i, a.cnt AS n1, a.pos AS p1, b.cnt AS n2, b.pos AS p2
+         FROM $prev a JOIN $prev b ON b.bid = a.bid + 1),
+       w$i AS (
+         SELECT i, COALESCE(
+             (n1 + n2) * CAST((p1 * (n2 - p2) - p2 * (n1 - p1)) AS DOUBLE)
+               * (p1 * (n2 - p2) - p2 * (n1 - p1))
+             / nullif(CAST((p1 + p2) AS DOUBLE) * ((n1 - p1) + (n2 - p2))
+                      * n1 * n2, 0.0), 0.0) AS chi
+         FROM p$i),
+       s$i AS (SELECT i AS mi FROM w$i ORDER BY chi, i LIMIT 1),
+       m$i AS (
+         SELECT CASE WHEN bid <= mi THEN bid ELSE bid - 1 END AS bid,
+           CAST(sum(cnt) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS pos,
+           CAST(min(lo_c) AS BIGINT) AS lo_c, CAST(max(hi_c) AS BIGINT) AS hi_c
+         FROM $prev, s$i GROUP BY 1)"""
+    }
+    s"""WITH urgent AS (
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders
+         WHERE o_orderpriority = '1-URGENT'),
+       cust AS (
+         SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+         FROM customer c LEFT JOIN urgent u USING (c_custkey)),
+       rng AS (SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi FROM cust),
+       b0 AS (
+         SELECT least((20 * (cents - lo)) // (hi - lo + 1), 19) AS bid,
+           CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos,
+           CAST(min(cents) AS BIGINT) AS lo_c, CAST(max(cents) AS BIGINT) AS hi_c
+         FROM cust, rng GROUP BY 1),${(1 to 5).map(round).mkString(",")}
+       SELECT bid, lo_c, hi_c, cnt, pos, (1000000 * pos) // cnt AS rate_micro
+       FROM m5 ORDER BY bid"""
+  }
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_quantile_norm" -> q169QuantileNorm,
     "q169b_quantile_norm_digest" -> q169bQuantileNormDigest,
@@ -519,6 +615,7 @@ object Prep {
     "q91_doc_chunks" -> q91DocChunks,
     "q92_pii_scrub" -> q92PiiScrub,
     "q93_quality_bins" -> q93QualityBins,
+    "q299_chimerge" -> q299ChiMerge,
     "q94_dim_standardize" -> q94DimStandardize,
   )
 
@@ -530,6 +627,7 @@ object Prep {
     "q91_doc_chunks" -> q91Oracle,
     "q92_pii_scrub" -> q92Oracle,
     "q93_quality_bins" -> q93Oracle,
+    "q299_chimerge" -> q299Oracle,
     "q94_dim_standardize" -> q94Oracle,
   )
 }

@@ -290,4 +290,46 @@ class PrepSpec extends SparkSpec {
       assert(got(5000L)._3 == comps.map(_.length).max.toLong)
     } else assert(got(5000L) == ((0L, 0L, 0L)))
   }
+
+  test("q299: ChiMerge == direct replay; bins stay ordered and mass-conserving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Prep.q299ChiMerge(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 15)
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+    val urgent = spark.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().as[Long].collect().toSet
+    val lo = cust.map(_._2).min; val hi = cust.map(_._2).max
+    case class B(cnt: Long, pos: Long, loC: Long, hiC: Long)
+    var bins = cust.groupBy { case (_, c) =>
+        math.min(20 * (c - lo) / (hi - lo + 1), 19L) }
+      .toSeq.sortBy(_._1).map { case (_, rows) =>
+        B(rows.length, rows.count(r => urgent.contains(r._1)),
+          rows.map(_._2).min, rows.map(_._2).max) }.toVector
+    def chi(x: B, y: B): Double = {
+      val det = (x.pos * (y.cnt - y.pos) - y.pos * (x.cnt - x.pos)).toDouble
+      val den = (x.pos + y.pos).toDouble * ((x.cnt - x.pos) + (y.cnt - y.pos)) *
+        x.cnt * y.cnt
+      if (den == 0.0) 0.0 else (x.cnt + y.cnt) * det * det / den
+    }
+    for (_ <- 1 to 5) {
+      val i = bins.indices.dropRight(1)
+        .minBy(i => (chi(bins(i), bins(i + 1)), i))
+      val m = B(bins(i).cnt + bins(i + 1).cnt, bins(i).pos + bins(i + 1).pos,
+        bins(i).loC, bins(i + 1).hiC)
+      bins = (bins.take(i) :+ m) ++ bins.drop(i + 2)
+    }
+    val expected = bins.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.loC, b.hiC, b.cnt, b.pos, 1000000L * b.pos / b.cnt) }
+    assert(got.toSeq == expected)
+    // ordered, non-overlapping ranges; counts conserve the population
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 < b._2); case _ => }
+    assert(got.map(_._4).sum == cust.length.toLong)
+  }
 }
