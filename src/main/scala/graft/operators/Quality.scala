@@ -1007,6 +1007,92 @@ object Quality {
        GROUP BY 1, 2, 3, 4 ORDER BY 1"""
 
 
+  /** K-fold cross-validated calibration audit (q300): how well does a
+    * balance-bin propensity model TRANSFER? 5 folds by customer-key
+    * residue; each fold is scored by the model trained on the OTHER
+    * four and charged its expected calibration error. The punchline is
+    * the plan, not the math: no 5× re-training pass — the (bin, fold)
+    * contingency is built in ONE partial-agg scan and every fold's
+    * leave-one-out training stats are the bin totals MINUS its own
+    * cell (complement arithmetic over a 100-row relation), so adding
+    * folds costs nothing. The per-fold ECE row plus a pooled summary
+    * row (fold = −1) make the generalization gap visible next to the
+    * in-sample q176/q215-style calibration numbers.
+    *
+    * All integer: counts exact; predicted and observed rates floored
+    * to micro once per cell; ECE is the n-weighted integer mean of
+    * |pred − obs|. */
+  def q300CvCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey")).distinct()
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey",
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(urgent.withColumn("y", lit(1L)), Seq("c_custkey"), "left")
+      .select($"c_custkey", $"cents", coalesce($"y", lit(0L)).as("y"))
+    val rng = cust.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val cells = cust.crossJoin(broadcast(rng))
+      .select(least(expr("(20 * (cents - lo)) div (hi - lo + 1)"), lit(19L))
+        .as("bin"), ($"c_custkey" % 5).as("fold"), $"y")
+      .groupBy($"bin", $"fold")
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+      .localCheckpoint()
+    val binTot = cells.groupBy($"bin")
+      .agg(sum($"n").as("nb"), sum($"pos").as("pb"))
+    val scored = cells.join(binTot, "bin")
+      .withColumn("pred_micro",
+        expr("(1000000 * (pb - pos)) div nullif(nb - n, 0)"))
+      .withColumn("obs_micro", expr("(1000000 * pos) div n"))
+      // a bin fully contained in one fold has no LOO training data —
+      // its cells drop (pred undefined), same on both engines
+      .filter($"pred_micro".isNotNull)
+      .withColumn("dev", abs($"pred_micro" - $"obs_micro"))
+    val perFold = scored.groupBy($"fold")
+      .agg(sum($"n").as("n_eval"),
+        expr("sum(n * dev) div sum(n)").as("ece_micro"))
+    val pooled = scored.agg(sum($"n").as("n_eval"),
+        expr("sum(n * dev) div sum(n)").as("ece_micro"))
+      .select(lit(-1L).as("fold"), $"n_eval", $"ece_micro")
+    perFold.unionByName(pooled).orderBy($"fold")
+  }
+
+  val q300Oracle: String =
+    """WITH urgent AS (
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders
+         WHERE o_orderpriority = '1-URGENT'),
+       cust AS (
+         SELECT c.c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+         FROM customer c LEFT JOIN urgent u USING (c_custkey)),
+       rng AS (SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi FROM cust),
+       cells AS (
+         SELECT least((20 * (cents - lo)) // (hi - lo + 1), 19) AS bin,
+           c_custkey % 5 AS fold,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+         FROM cust, rng GROUP BY 1, 2),
+       bt AS (SELECT bin, CAST(sum(n) AS BIGINT) AS nb, CAST(sum(pos) AS BIGINT) AS pb
+              FROM cells GROUP BY 1),
+       scored AS (
+         SELECT c.fold, c.n,
+           abs((1000000 * (bt.pb - c.pos)) // nullif(bt.nb - c.n, 0)
+               - (1000000 * c.pos) // c.n) AS dev
+         FROM cells c JOIN bt USING (bin)
+         WHERE (1000000 * (bt.pb - c.pos)) // nullif(bt.nb - c.n, 0) IS NOT NULL),
+       pf AS (
+         SELECT fold, CAST(sum(n) AS BIGINT) AS n_eval,
+           CAST(sum(n * dev) AS BIGINT) // CAST(sum(n) AS BIGINT) AS ece_micro
+         FROM scored GROUP BY 1),
+       pooled AS (
+         SELECT CAST(-1 AS BIGINT) AS fold, CAST(sum(n) AS BIGINT) AS n_eval,
+           CAST(sum(n * dev) AS BIGINT) // CAST(sum(n) AS BIGINT) AS ece_micro
+         FROM scored)
+       SELECT * FROM (SELECT * FROM pf UNION ALL SELECT * FROM pooled)
+       ORDER BY fold"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_freshness_watermark" -> q260FreshnessWatermark,
     "q252_auc" -> q252Auc,
@@ -1016,6 +1102,7 @@ object Quality {
     "q223_gains_curve" -> q223GainsCurve,
     "q293_isotonic_calibration" -> q293IsotonicCalibration,
     "q294_conformal_audit" -> q294ConformalAudit,
+    "q300_cv_calibration" -> q300CvCalibration,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
@@ -1032,6 +1119,7 @@ object Quality {
     "q223_gains_curve" -> q223Oracle,
     "q293_isotonic_calibration" -> q293Oracle,
     "q294_conformal_audit" -> q294Oracle,
+    "q300_cv_calibration" -> q300Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,

@@ -334,4 +334,43 @@ class QualitySpec extends SparkSpec {
       assert(nCov == covered && covBp == 10000L * covered / test.length)
     }
   }
+
+  test("q300: complement arithmetic == literal leave-one-fold-out training") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q300CvCalibration(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 6 && got.head._1 == -1L)
+    // literal replay: for each fold, train bin rates on the OTHER
+    // folds' members, evaluate weighted |pred - obs| on this fold
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+    val urgent = spark.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().as[Long].collect().toSet
+    val lo = cust.map(_._2).min; val hi = cust.map(_._2).max
+    val rows = cust.map { case (ck, c) =>
+      (math.min(20 * (c - lo) / (hi - lo + 1), 19L), ck % 5,
+        if (urgent.contains(ck)) 1L else 0L) }
+    val expected = (0L until 5L).flatMap { f =>
+      val cellsF = rows.filter(_._2 == f).groupBy(_._1)
+      val terms = cellsF.toSeq.flatMap { case (b, rs) =>
+        val train = rows.filter(r => r._1 == b && r._2 != f)
+        if (train.isEmpty) None
+        else {
+          val pred = 1000000L * train.map(_._3).sum / train.length
+          val obs = 1000000L * rs.map(_._3).sum / rs.length
+          Some((rs.length.toLong, math.abs(pred - obs)))
+        }
+      }
+      val n = terms.map(_._1).sum
+      if (n == 0) None else Some((f, n, terms.map(t => t._1 * t._2).sum / n))
+    }
+    assert(got.filter(_._1 >= 0).toSeq == expected)
+    // pooled row is the n-weighted pooling of the same cell terms
+    assert(got.head._2 == expected.map(_._2).sum)
+  }
 }
