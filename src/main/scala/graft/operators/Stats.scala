@@ -2624,6 +2624,247 @@ object Stats {
        FROM fin ORDER BY day"""
 
 
+  /** Fixed-effect meta-analysis across segments (q301, Cochran's Q +
+    * Higgins' I²): treat each market segment's A/B mean-value effect
+    * (orderkey-parity arms, whole-dollar order values) as one study;
+    * inverse-variance-pool them and test whether the per-segment
+    * effects are HOMOGENEOUS (Q against χ²(k−1)) — the standard answer
+    * to "is this lift the same everywhere or driven by one slice?",
+    * and the aggregation layer over q231/q255's single-cell tests.
+    *
+    * Determinism: per-segment moments are exact int64 (whole dollars,
+    * q262's headroom rule); δ_i and Welch v_i are single IEEE trees;
+    * the meta sums Σw, Σwδ, and Q accumulate through cumulative
+    * windows in FIXED segment order over the 5-row aggregate (q210's
+    * ordered-window discipline — no reduce-order ambiguity), and each
+    * reported number is floored once. Output: one row per segment
+    * (effect, weight) + a '_META' row (Q milli, I² bp, pooled effect).
+    */
+  def q301MetaAnalysis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment".as("segment"))),
+        $"o_custkey" === $"c_custkey")
+      .select($"segment", ($"o_orderkey" % 2).as("arm"),
+        floor($"o_totalprice".cast("decimal(18,2)")).cast("long").as("usd"))
+    val st = base.groupBy($"segment").agg(
+      count(when($"arm" === 0, lit(1))).as("n0"),
+      sum(when($"arm" === 0, $"usd").otherwise(lit(0L))).as("s0"),
+      sum(when($"arm" === 0, $"usd" * $"usd").otherwise(lit(0L))).as("q0"),
+      count(when($"arm" === 1, lit(1))).as("n1"),
+      sum(when($"arm" === 1, $"usd").otherwise(lit(0L))).as("s1"),
+      sum(when($"arm" === 1, $"usd" * $"usd").otherwise(lit(0L))).as("q1"))
+    val eff = st.select($"segment", $"n0", $"n1",
+        expr("CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1").as("delta"),
+        expr("""(CAST(q0 AS DOUBLE)/n0 - (CAST(s0 AS DOUBLE)/n0)*(CAST(s0 AS DOUBLE)/n0)) / n0
+              + (CAST(q1 AS DOUBLE)/n1 - (CAST(s1 AS DOUBLE)/n1)*(CAST(s1 AS DOUBLE)/n1)) / n1""")
+          .as("v"))
+      .localCheckpoint()
+    val w = Window.orderBy($"segment")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = eff
+      .withColumn("cw", sum(lit(1.0) / $"v").over(w))
+      .withColumn("cwd", sum($"delta" / $"v").over(w))
+      .withColumn("k", sum(lit(1L)).over(w))
+      .orderBy($"segment".desc).limit(1)
+      .select(($"cwd" / $"cw").as("dbar"), $"cw", $"k")
+    val qstat = eff.crossJoin(broadcast(tot))
+      .withColumn("cq", sum(($"delta" - $"dbar") * ($"delta" - $"dbar") / $"v")
+        .over(w))
+      .orderBy($"segment".desc).limit(1)
+      .select($"k", $"dbar", $"cw", $"cq")
+    val seg = eff.select($"segment", $"n0", $"n1",
+      floor($"delta" * lit(1000000.0)).cast("long").as("delta_micro"),
+      floor(sqrt($"v") * lit(1000.0)).cast("long").as("se_milli"),
+      lit(0L).as("q_milli"), lit(0L).as("i2_bp"))
+    val meta = qstat.select(lit("_META").as("segment"),
+      $"k".as("n0"), lit(0L).as("n1"),
+      floor($"dbar" * lit(1000000.0)).cast("long").as("delta_micro"),
+      floor(sqrt(lit(1.0) / $"cw") * lit(1000.0)).cast("long").as("se_milli"),
+      floor($"cq" * lit(1000.0)).cast("long").as("q_milli"),
+      greatest(lit(0L),
+        floor(($"cq" - ($"k" - 1)) / $"cq" * lit(10000.0)).cast("long"))
+        .as("i2_bp"))
+    seg.unionByName(meta).orderBy($"segment")
+  }
+
+  val q301Oracle: String =
+    """WITH base AS (
+         SELECT c_mktsegment AS segment, o_orderkey % 2 AS arm,
+           CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS usd
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       st AS (
+         SELECT segment,
+           CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN arm = 0 THEN usd ELSE 0 END) AS BIGINT) AS s0,
+           CAST(sum(CASE WHEN arm = 0 THEN usd * usd ELSE 0 END) AS BIGINT) AS q0,
+           CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN arm = 1 THEN usd ELSE 0 END) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN arm = 1 THEN usd * usd ELSE 0 END) AS BIGINT) AS q1
+         FROM base GROUP BY 1),
+       eff AS (
+         SELECT segment, n0, n1,
+           CAST(s0 AS DOUBLE)/n0 - CAST(s1 AS DOUBLE)/n1 AS delta,
+           (CAST(q0 AS DOUBLE)/n0 - (CAST(s0 AS DOUBLE)/n0)*(CAST(s0 AS DOUBLE)/n0)) / n0
+             + (CAST(q1 AS DOUBLE)/n1 - (CAST(s1 AS DOUBLE)/n1)*(CAST(s1 AS DOUBLE)/n1)) / n1 AS v
+         FROM st),
+       tot AS (
+         SELECT cwd / cw AS dbar, cw, k FROM (
+           SELECT segment,
+             sum(1.0 / v) OVER wnd AS cw,
+             sum(delta / v) OVER wnd AS cwd,
+             CAST(sum(1) OVER wnd AS BIGINT) AS k
+           FROM eff
+           WINDOW wnd AS (ORDER BY segment ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         ORDER BY segment DESC LIMIT 1),
+       qs AS (
+         SELECT k, dbar, cw, cq FROM (
+           SELECT e.segment, t.k, t.dbar, t.cw,
+             sum((e.delta - t.dbar) * (e.delta - t.dbar) / e.v) OVER wnd AS cq
+           FROM eff e CROSS JOIN tot t
+           WINDOW wnd AS (ORDER BY e.segment ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         ORDER BY segment DESC LIMIT 1)
+       SELECT * FROM (
+         SELECT segment, n0, n1,
+           CAST(floor(delta * 1000000.0) AS BIGINT) AS delta_micro,
+           CAST(floor(sqrt(v) * 1000.0) AS BIGINT) AS se_milli,
+           CAST(0 AS BIGINT) AS q_milli, CAST(0 AS BIGINT) AS i2_bp
+         FROM eff
+         UNION ALL
+         SELECT '_META', k, 0,
+           CAST(floor(dbar * 1000000.0) AS BIGINT),
+           CAST(floor(sqrt(1.0 / cw) * 1000.0) AS BIGINT),
+           CAST(floor(cq * 1000.0) AS BIGINT),
+           greatest(0, CAST(floor((cq - (k - 1)) / cq * 10000.0) AS BIGINT))
+         FROM qs)
+       ORDER BY segment"""
+
+  /** Sample-ratio-mismatch sentinel (q302): per day, are the two arms
+    * actually 50/50? SRM is the #1 silent killer of online experiments
+    * (a biased bucketing bug invalidates every downstream metric); the
+    * daily χ² = (n₀−n₁)²/(n₀+n₁) against its 3.841 / 10.828 critical
+    * values (χ²(1) at 5% / 0.1%) gives warn and alert flags per day
+    * plus the worst-day summary. Counts exact; one floored double
+    * division per day. */
+  def q302SrmSentinel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .select($"o_orderdate".cast("date").as("day"),
+        ($"o_orderkey" % 2).as("arm"))
+      .groupBy($"day").agg(
+        count(when($"arm" === 0, lit(1))).as("n0"),
+        count(when($"arm" === 1, lit(1))).as("n1"))
+      .withColumn("chi_milli", expr("""CAST(floor(
+          CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1) * 1000.0)
+          AS BIGINT)"""))
+      .withColumn("warn", ($"chi_milli" > 3841L).cast("long"))
+      .withColumn("alert", ($"chi_milli" > 10828L).cast("long"))
+    daily.filter($"warn" === 1)
+      .unionByName(daily.orderBy($"chi_milli".desc, $"day").limit(1))
+      .distinct()
+      .orderBy($"day")
+  }
+
+  val q302Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n1
+         FROM orders GROUP BY 1),
+       scored AS (
+         SELECT *, CAST(floor(CAST((n0 - n1) AS DOUBLE) * (n0 - n1)
+             / (n0 + n1) * 1000.0) AS BIGINT) AS chi_milli
+         FROM daily),
+       flagged AS (
+         SELECT *, CAST(chi_milli > 3841 AS BIGINT) AS warn,
+           CAST(chi_milli > 10828 AS BIGINT) AS alert
+         FROM scored)
+       SELECT DISTINCT * FROM (
+         SELECT * FROM flagged WHERE warn = 1
+         UNION ALL
+         (SELECT * FROM flagged ORDER BY chi_milli DESC, day LIMIT 1))
+       ORDER BY day"""
+
+  /** Cluster-randomized design effect (q303): if the experiment had
+    * been randomized by NATION instead of by customer, how much sample
+    * would the clustering waste? ICC from the one-way ANOVA components
+    * (q262's machinery: MSB/MSW over nation clusters of whole-dollar
+    * order values), design effect 1 + (m̄−1)·ICC, and the effective
+    * sample size n/deff — the number every geo-experiment proposal
+    * needs before claiming power. Exact int64 moments; the ANOVA
+    * ratios are one IEEE tree; floors once each. */
+  def q303ClusterDesign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("cl"),
+        floor($"o_totalprice".cast("decimal(18,2)")).cast("long").as("usd"))
+    val per = base.groupBy($"cl")
+      .agg(count(lit(1)).as("m"), sum($"usd").as("sm"),
+        sum($"usd" * $"usd").as("qm"))
+    val w = Window.orderBy($"cl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("ck", sum(lit(1L)).over(w))
+      .withColumn("cn", sum($"m").over(w))
+      .withColumn("cs", sum($"sm").over(w))
+      .withColumn("cq", sum($"qm").over(w))
+      // between-group SS accumulates exactly: Σ s_i²/m_i needs doubles,
+      // fixed cl order (q210's ordered-window discipline)
+      .withColumn("cbs", sum(expr("CAST(sm AS DOUBLE) * sm / m")).over(w))
+      .orderBy($"cl".desc).limit(1)
+      .select(
+        $"ck".as("k"), $"cn".as("n"),
+        expr("""CAST(floor(
+            ((cbs - CAST(cs AS DOUBLE) * cs / cn) / (ck - 1)
+             - (CAST(cq AS DOUBLE) - cbs) / (cn - ck))
+            / ((cbs - CAST(cs AS DOUBLE) * cs / cn) / (ck - 1)
+               + (CAST(cn AS DOUBLE) / ck - 1)
+                 * ((CAST(cq AS DOUBLE) - cbs) / (cn - ck)))
+            * 10000.0) AS BIGINT)""").as("icc_bp"))
+      .withColumn("deff_milli", expr("""CAST(floor(
+          1000.0 + (CAST(n AS DOUBLE) / k - 1) * icc_bp / 10.0) AS BIGINT)"""))
+      .withColumn("n_eff", expr("(1000 * n) div deff_milli"))
+  }
+
+  val q303Oracle: String =
+    """WITH base AS (
+         SELECT c_nationkey AS cl,
+           CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS usd
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       per AS (
+         SELECT cl, CAST(count(*) AS BIGINT) AS m, CAST(sum(usd) AS BIGINT) AS sm,
+           CAST(sum(usd * usd) AS BIGINT) AS qm
+         FROM base GROUP BY 1),
+       cum AS (
+         SELECT cl,
+           CAST(sum(1) OVER wnd AS BIGINT) AS ck,
+           CAST(sum(m) OVER wnd AS BIGINT) AS cn,
+           CAST(sum(sm) OVER wnd AS BIGINT) AS cs,
+           CAST(sum(qm) OVER wnd AS BIGINT) AS cq,
+           sum(CAST(sm AS DOUBLE) * sm / m) OVER wnd AS cbs
+         FROM per
+         WINDOW wnd AS (ORDER BY cl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       last AS (SELECT * FROM cum ORDER BY cl DESC LIMIT 1),
+       icc AS (
+         SELECT ck AS k, cn AS n,
+           CAST(floor(
+             ((cbs - CAST(cs AS DOUBLE) * cs / cn) / (ck - 1)
+              - (CAST(cq AS DOUBLE) - cbs) / (cn - ck))
+             / ((cbs - CAST(cs AS DOUBLE) * cs / cn) / (ck - 1)
+                + (CAST(cn AS DOUBLE) / ck - 1)
+                  * ((CAST(cq AS DOUBLE) - cbs) / (cn - ck)))
+             * 10000.0) AS BIGINT) AS icc_bp
+         FROM last),
+       de AS (
+         SELECT *, CAST(floor(
+           1000.0 + (CAST(n AS DOUBLE) / k - 1) * icc_bp / 10.0) AS BIGINT) AS deff_milli
+         FROM icc)
+       SELECT k, n, icc_bp, deff_milli, (1000 * n) // deff_milli AS n_eff FROM de"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
@@ -2646,6 +2887,9 @@ object Stats {
     "q200_trimmed_mean" -> q200TrimmedMean,
     "q290_power_analysis" -> q290PowerAnalysis,
     "q291_msprt" -> q291Msprt,
+    "q301_meta_analysis" -> q301MetaAnalysis,
+    "q302_srm_sentinel" -> q302SrmSentinel,
+    "q303_cluster_design" -> q303ClusterDesign,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -2692,6 +2936,9 @@ object Stats {
     "q200_trimmed_mean" -> q200Oracle,
     "q290_power_analysis" -> q290Oracle,
     "q291_msprt" -> q291Oracle,
+    "q301_meta_analysis" -> q301Oracle,
+    "q302_srm_sentinel" -> q302Oracle,
+    "q303_cluster_design" -> q303Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -899,4 +899,77 @@ class StatsSpec extends SparkSpec {
     val ps = got.map(_._6)
     assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
   }
+
+  test("q301: meta-analysis replay; A/A effects pool homogeneous") {
+    import spark.implicits._
+    val rows = graft.operators.Stats.q301MetaAnalysis(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val segs = rows.filter(_._1 != "_META")
+    val meta = rows.find(_._1 == "_META").get
+    assert(segs.length == 5 && meta._2 == 5)
+    // pooled effect lies within the per-segment effect envelope
+    assert(meta._4 >= segs.map(_._4).min && meta._4 <= segs.map(_._4).max)
+    // pooled SE beats every single segment's SE (inverse-variance pooling)
+    assert(meta._5 <= segs.map(_._5).min)
+    // I2 is consistent with Q and df = 4
+    val q = meta._6 / 1000.0
+    val expI2 = math.max(0L, math.floor((q - 4) / q * 10000).toLong)
+    assert(meta._7 == expI2)
+  }
+
+  test("q302: SRM sentinel flags exactly the chi-threshold days") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q302SrmSentinel(spark, d)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n0, n1, chi, warn, alert) =>
+      assert(chi == math.floor((n0 - n1).toDouble * (n0 - n1) / (n0 + n1) * 1000.0).toLong)
+      assert(warn == (if (chi > 3841) 1L else 0L))
+      assert(alert == (if (chi > 10828) 1L else 0L))
+    }
+    // every warn-flagged day in the raw dailies appears in the output
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(when(col("o_orderkey") % 2 === 0, 1)).as("n0"),
+        count(when(col("o_orderkey") % 2 === 1, 1)).as("n1"))
+      .as[(java.sql.Date, Long, Long)].collect()
+    val warnDays = daily.filter { case (_, n0, n1) =>
+      math.floor((n0 - n1).toDouble * (n0 - n1) / (n0 + n1) * 1000.0) > 3841 }
+      .map(_._1.toString).toSet
+    assert(warnDays.subsetOf(got.map(_._1.toString).toSet))
+  }
+
+  test("q303: design effect reconciles with a direct ANOVA replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = graft.operators.Stats.q303ClusterDesign(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (k, n, icc, deff, neff) = r
+    val base = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("cl"),
+        floor(col("o_totalprice").cast("decimal(18,2)")).cast("long").as("usd"))
+      .as[(Long, Long)].collect()
+    val byCl = base.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(k == byCl.length && n == base.length)
+    // replay the cumulative-window accumulation in the same cl order
+    var (cbs, cs, cq) = (0.0, 0L, 0L)
+    byCl.foreach { case (_, rs) =>
+      val sm = rs.map(_._2).sum
+      cbs += sm.toDouble * sm / rs.length
+      cs += sm; cq += rs.map(x => x._2 * x._2).sum
+    }
+    val msb = (cbs - cs.toDouble * cs / n) / (k - 1)
+    val msw = (cq.toDouble - cbs) / (n - k)
+    val iccExp = math.floor(
+      (msb - msw) / (msb + (n.toDouble / k - 1) * msw) * 10000.0).toLong
+    assert(icc == iccExp)
+    assert(deff == math.floor(1000.0 + (n.toDouble / k - 1) * icc / 10.0).toLong)
+    assert(neff == 1000L * n / deff)
+  }
 }
