@@ -1131,6 +1131,132 @@ object Relational {
        GROUP BY 1 HAVING count(*) > 0 ORDER BY 1"""
 
 
+  /** GDPR deletion-debt planner (q304): given an erasure list (every
+    * 97th customer), how much REWRITE does honoring it cost per
+    * month-partition of the orders table? In a parquet lake a delete
+    * rewrites whole files, so the planner reports, per partition:
+    * stored rows, rows to erase, and the write amplification
+    * rows-rewritten-per-row-erased — plus a '_TOTAL' row. The report
+    * that decides between eager rewrite, deletion vectors, and
+    * compaction-time cleanup. One scan, one partial-agg groupBy; the
+    * erasure list arrives as a broadcast semi-joinable dim. */
+  def q304DeletionDebt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, d)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("part"),
+        ($"o_custkey" % 97 === 0).cast("long").as("del"))
+      .groupBy($"part")
+      .agg(count(lit(1)).as("n_rows"), sum($"del").as("n_erase"))
+      .withColumn("rewrite_rows",
+        when($"n_erase" > 0, $"n_rows").otherwise(lit(0L)))
+      .withColumn("amp_permille",
+        when($"n_erase" > 0, expr("(1000 * n_rows) div n_erase"))
+          .otherwise(lit(0L)))
+    val tot = per.agg(sum($"n_rows").as("n_rows"),
+        sum($"n_erase").as("n_erase"), sum($"rewrite_rows").as("rewrite_rows"))
+      .select(lit("_TOTAL").as("part"), $"n_rows", $"n_erase",
+        $"rewrite_rows",
+        expr("(1000 * rewrite_rows) div nullif(n_erase, 0)").as("amp_permille"))
+    per.unionByName(tot).orderBy($"part")
+  }
+
+  val q304Oracle: String =
+    """WITH per AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS part,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_erase
+         FROM orders GROUP BY 1),
+       ext AS (
+         SELECT part, n_rows, n_erase,
+           CASE WHEN n_erase > 0 THEN n_rows ELSE 0 END AS rewrite_rows,
+           CASE WHEN n_erase > 0 THEN (1000 * n_rows) // n_erase ELSE 0 END AS amp_permille
+         FROM per),
+       tot AS (
+         SELECT '_TOTAL' AS part, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(n_erase) AS BIGINT) AS n_erase,
+           CAST(sum(rewrite_rows) AS BIGINT) AS rewrite_rows,
+           (1000 * CAST(sum(rewrite_rows) AS BIGINT)) // nullif(CAST(sum(n_erase) AS BIGINT), 0) AS amp_permille
+         FROM ext)
+       SELECT * FROM (SELECT * FROM ext UNION ALL SELECT * FROM tot)
+       ORDER BY part"""
+
+  /** Merkle partition-tree diff (q305): localize WHERE two table
+    * states differ without comparing rows — the table-sync / repair
+    * primitive behind "which partitions do I re-copy?". Each month
+    * partition's leaf digest is the bit_xor of its row hashes
+    * (order-free, partial-agg friendly — q163 fingerprints the whole
+    * table; this builds the TREE), quarters and years xor their
+    * children, and the diff of two states (here: base orders vs the
+    * q298 post-erasure state) walks level by level. Output: every
+    * tree node with both digests and a differs flag — a differing
+    * year that narrows to one differing quarter and one month is the
+    * log-time localization argument, readable directly from the rows.
+    * Both trees build from ONE scan each (three-level rollup of the
+    * same leaf relation). */
+  def q305MerkleDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        hash60(concat_ws("|", $"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)"))).as("h"),
+        ($"o_custkey" % 97 =!= 0).cast("long").as("keep"))
+      .select(
+        date_format($"o_orderdate", "yyyy-MM").as("month"),
+        date_format($"o_orderdate", "yyyy").as("year"),
+        concat(date_format($"o_orderdate", "yyyy"), lit("-Q"),
+          quarter($"o_orderdate")).as("qtr"),
+        $"h", $"keep")
+      .localCheckpoint()
+    def level(col0: String, lvl: String): DataFrame = rows
+      .groupBy(col(col0).as("node"))
+      .agg(expr("bit_xor(h)").as("h_base"),
+        expr("bit_xor(CASE WHEN keep = 1 THEN h ELSE 0 END)").as("h_new"))
+      .select(lit(lvl).as("level"), $"node", $"h_base", $"h_new")
+    val root = rows.groupBy()
+      .agg(expr("bit_xor(h)").as("h_base"),
+        expr("bit_xor(CASE WHEN keep = 1 THEN h ELSE 0 END)").as("h_new"))
+      .select(lit("0_root").as("level"), lit("*").as("node"),
+        $"h_base", $"h_new")
+    root
+      .unionByName(level("year", "1_year"))
+      .unionByName(level("qtr", "2_quarter"))
+      .unionByName(level("month", "3_month"))
+      .withColumn("differs", ($"h_base" =!= $"h_new").cast("long"))
+      .orderBy($"level", $"node")
+  }
+
+  val q305Oracle: String =
+    """WITH rws AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           strftime(o_orderdate, '%Y') AS year,
+           strftime(o_orderdate, '%Y') || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(o_custkey AS VARCHAR) || '|' ||
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))::BIGINT AS h,
+           CASE WHEN o_custkey % 97 <> 0 THEN 1 ELSE 0 END AS keep
+         FROM orders),
+       lvl AS (
+         SELECT '0_root' AS level, '*' AS node,
+           CAST(bit_xor(h) AS BIGINT) AS h_base,
+           CAST(bit_xor(CASE WHEN keep = 1 THEN h ELSE 0 END) AS BIGINT) AS h_new
+         FROM rws
+         UNION ALL
+         SELECT '1_year', year, CAST(bit_xor(h) AS BIGINT),
+           CAST(bit_xor(CASE WHEN keep = 1 THEN h ELSE 0 END) AS BIGINT)
+         FROM rws GROUP BY year
+         UNION ALL
+         SELECT '2_quarter', qtr, CAST(bit_xor(h) AS BIGINT),
+           CAST(bit_xor(CASE WHEN keep = 1 THEN h ELSE 0 END) AS BIGINT)
+         FROM rws GROUP BY qtr
+         UNION ALL
+         SELECT '3_month', month, CAST(bit_xor(h) AS BIGINT),
+           CAST(bit_xor(CASE WHEN keep = 1 THEN h ELSE 0 END) AS BIGINT)
+         FROM rws GROUP BY month)
+       SELECT level, node, h_base, h_new,
+         CAST(h_base <> h_new AS BIGINT) AS differs
+       FROM lvl ORDER BY level, node"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_abc_classification" -> q266AbcClassification,
     "q257_join_ivm" -> q257JoinIvm,
@@ -1147,6 +1273,8 @@ object Relational {
     "q108_snapshot_diff" -> q108SnapshotDiff,
     "q103_incremental_agg" -> q103IncrementalAgg,
     "q298_retraction_ivm" -> q298RetractionIvm,
+    "q304_deletion_debt" -> q304DeletionDebt,
+    "q305_merkle_diff" -> q305MerkleDiff,
     "q87_salted_join" -> q87SaltedJoin,
     "q09_global_topk" -> q09GlobalTopK,
     "q09b_set_ops" -> q09bSetOps,
@@ -1176,6 +1304,8 @@ object Relational {
     "q108_snapshot_diff" -> q108Oracle,
     "q103_incremental_agg" -> q103Oracle,
     "q298_retraction_ivm" -> q298Oracle,
+    "q304_deletion_debt" -> q304Oracle,
+    "q305_merkle_diff" -> q305Oracle,
     "q87_salted_join" -> q87Oracle,
     "q09_global_topk" -> q09Oracle,
     "q09b_set_ops" -> q09bOracle,

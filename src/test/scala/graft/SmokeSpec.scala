@@ -215,4 +215,40 @@ class SmokeSpec extends SparkSpec {
       snap(r.get(0)) != ((r.get(3), r.get(4))) }
     assert(changed >= 1, "delete set never held a group extreme — test data too tame")
   }
+
+  test("q304/q305: deletion debt reconciles; merkle diff localizes erasures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val debt = graft.operators.Relational.q304DeletionDebt(spark, d).collect()
+    val tot = debt.filter(_.getString(0) == "_TOTAL").head
+    val parts = debt.filter(_.getString(0) != "_TOTAL")
+    // totals row sums the partitions
+    assert(tot.getLong(1) == parts.map(_.getLong(1)).sum)
+    assert(tot.getLong(2) == parts.map(_.getLong(2)).sum)
+    assert(tot.getLong(3) == parts.map(_.getLong(3)).sum)
+    // a partition rewrites fully iff it holds an erasure
+    parts.foreach { r =>
+      assert(r.getLong(3) == (if (r.getLong(2) > 0) r.getLong(1) else 0L)) }
+
+    val mk = graft.operators.Relational.q305MerkleDiff(spark, d)
+      .as[(String, String, Long, Long, Long)].collect()
+    val byLevel = mk.groupBy(_._1)
+    // the root differs exactly when ANY leaf differs
+    val rootDiff = byLevel("0_root").head._5
+    val leafDiffs = byLevel("3_month").count(_._5 == 1)
+    assert(rootDiff == (if (leafDiffs > 0) 1L else 0L))
+    assert(leafDiffs >= 1) // erasure list touches some month at this sf
+    // hierarchy consistency: a quarter differs iff one of its months does
+    val monthByQ = byLevel("3_month").groupBy(m => {
+      val ym = m._2.split("-"); s"${ym(0)}-Q${(ym(1).toInt - 1) / 3 + 1}" })
+    byLevel("2_quarter").foreach { q =>
+      val kids = monthByQ.getOrElse(q._2, Array.empty)
+      // xor aggregation can cancel, but only kid-differs can make a
+      // parent differ
+      if (q._5 == 1L) assert(kids.exists(_._5 == 1L), s"orphan diff ${q._2}")
+    }
+    // untouched partitions digest identically in both states
+    assert(byLevel("3_month").filter(_._5 == 0).forall(m => m._3 == m._4))
+  }
 }
