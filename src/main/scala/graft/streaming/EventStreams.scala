@@ -86,6 +86,36 @@ object EventStreams {
     hourlyCounts(readEventsStream(s, eventsDir, oneFilePerTrigger = false))
   }
 
+  /** Streaming sample-ratio-mismatch sentinel — q302's online face:
+    * per 1-hour event window, arm counts (user-id parity — the
+    * bucketing function under test), the χ² against 50/50, and
+    * warn/alert flags at the 3.841 / 10.828 criticals. A biased
+    * bucketing deploy shows up here within one watermark delay instead
+    * of at the end of the experiment. Same shape as [[hourlyCounts]]
+    * (watermarked tumbling window, partial-agg counts); the χ² is a
+    * per-row projection after the aggregation, so the state cost is
+    * the windowed count state only. */
+  def srmSentinel(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(when($"user_id" % 2 === 0, lit(1))).as("n0"),
+        count(when($"user_id" % 2 === 1, lit(1))).as("n1"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"n0", $"n1",
+        expr("""CAST(floor(CAST((n0 - n1) AS DOUBLE) * (n0 - n1)
+            / (n0 + n1) * 1000.0) AS BIGINT)""").as("chi_milli"))
+      .withColumn("warn", ($"chi_milli" > 3841L).cast("long"))
+      .withColumn("alert", ($"chi_milli" > 10828L).cast("long"))
+  }
+
+  /** Streaming entry for [[srmSentinel]]. */
+  def srmSentinelStream(s: SparkSession, eventsDir: String): DataFrame =
+    srmSentinel(readEventsStream(s, eventsDir, oneFilePerTrigger = false))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, us: Long)

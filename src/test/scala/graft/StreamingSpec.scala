@@ -522,4 +522,26 @@ class StreamingSpec extends SparkSpec {
         s"first-seen drift: ${streamed.size} streamed vs ${batch.size} batch")
     } finally q.stop()
   }
+
+  test("streaming SRM sentinel == batch transform on the same events") {
+    val d = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("ev_srm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      staged.resolve("events.parquet"))
+    val batch = EventStreams.srmSentinel(
+      spark.read.schema(EventStreams.rawSchema)
+        .parquet(staged.resolve("events.parquet").toString))
+      .collect().map(_.toSeq).toSet
+    val q = EventStreams.srmSentinelStream(spark, staged.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("srm_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("srm_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the bucketing under test is healthy: no alert-level hour
+      assert(batch.forall(r => r.last == 0L))
+    } finally q.stop()
+  }
 }
