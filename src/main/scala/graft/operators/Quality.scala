@@ -1093,6 +1093,130 @@ object Quality {
        ORDER BY fold"""
 
 
+  /** k-anonymity / l-diversity audit (q306, Sweeney 2002; Machanavajjhala
+    * 2007): before a customer extract ships, how re-identifiable is it?
+    * Quasi-identifiers = (segment, nation, balance decile); every
+    * equivalence class's size k is one partial-agg groupBy, and the
+    * audit reports the minimum k, the row mass living in classes below
+    * k = 5 and k = 10, and — for the sensitive attribute (the
+    * customer's dominant order priority) — the share of classes with
+    * l < 2 distinct sensitive values, where membership alone disclose
+    * the attribute. All integers off two stacked bounded groupBys.
+    *
+    * The balance decile uses the q93 value-histogram idiom (bounded
+    * cumulative window over distinct cents — never a row-level
+    * ntile). */
+  def q306KAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // dominant order priority per customer, count-desc then name tiebreak
+    val dom = Tables.orders(s, d)
+      .groupBy($"o_custkey", $"o_orderpriority").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"o_custkey")
+          .orderBy($"c".desc, $"o_orderpriority")))
+      .filter($"rn" === 1)
+      .select($"o_custkey".as("c_custkey"), $"o_orderpriority".as("sens"))
+    // balance decile from the value histogram (q93 idiom)
+    val vc = cust.groupBy($"cents".as("v")).agg(count(lit(1)).as("cnt"))
+    val tot = cust.agg(count(lit(1)).as("n_total"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    val decile = vc
+      .withColumn("cumb", coalesce(sum($"cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select($"v".as("cents"), expr("(10 * cumb) div n_total").as("dec"))
+    val rows = cust.join(broadcast(decile), "cents")
+      .join(dom, Seq("c_custkey"), "left")
+      .select($"seg", $"nat", $"dec", coalesce($"sens", lit("NONE")).as("sens"))
+    val classes = rows.groupBy($"seg", $"nat", $"dec")
+      .agg(count(lit(1)).as("k"), countDistinct($"sens").as("l"))
+    classes.agg(
+        sum($"k").as("n_rows"), count(lit(1)).as("n_classes"),
+        min($"k").as("k_min"),
+        sum(when($"k" < 5, $"k").otherwise(lit(0L))).as("r5"),
+        sum(when($"k" < 10, $"k").otherwise(lit(0L))).as("r10"),
+        count(when($"l" < 2, lit(1))).as("c_l1"))
+      .select($"n_rows", $"n_classes", $"k_min",
+        expr("(10000 * r5) div n_rows").as("rows_k_lt5_bp"),
+        expr("(10000 * r10) div n_rows").as("rows_k_lt10_bp"),
+        expr("(10000 * c_l1) div n_classes").as("classes_l_lt2_bp"))
+  }
+
+  val q306Oracle: String =
+    """WITH cust AS (
+         SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM customer),
+       dom AS (
+         SELECT c_custkey, sens FROM (
+           SELECT o_custkey AS c_custkey, o_orderpriority AS sens,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_custkey, o_orderpriority)
+         WHERE rn = 1),
+       vc AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM cust GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cust),
+       dec AS (
+         SELECT v AS cents, (10 * cumb) // n_total AS dec FROM (
+           SELECT v, cnt, COALESCE(CAST(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+           FROM vc), t),
+       rws AS (
+         SELECT c.seg, c.nat, d.dec, COALESCE(m.sens, 'NONE') AS sens
+         FROM cust c JOIN dec d USING (cents)
+         LEFT JOIN dom m USING (c_custkey)),
+       cls AS (
+         SELECT seg, nat, dec, CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT sens) AS BIGINT) AS l
+         FROM rws GROUP BY 1, 2, 3)
+       SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(k) AS BIGINT) AS k_min,
+         (10000 * CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT))
+           // CAST(sum(k) AS BIGINT) AS rows_k_lt5_bp,
+         (10000 * CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT))
+           // CAST(sum(k) AS BIGINT) AS rows_k_lt10_bp,
+         (10000 * CAST(count(CASE WHEN l < 2 THEN 1 END) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS classes_l_lt2_bp
+       FROM cls"""
+
+  /** Differential-privacy noise calibration planner (q307): before
+    * publishing per-segment counts under ε-DP, what does each ε cost
+    * in accuracy? For the Laplace mechanism on a count (sensitivity 1)
+    * the scale is 1/ε and the expected absolute error is b = 1/ε, so
+    * the planning table reports, per segment × ε ∈ {0.1, 0.5, 1, 2},
+    * the noise scale and the expected RELATIVE error in bp — the
+    * utility half of the privacy-utility negotiation, computed without
+    * ever drawing noise (the mechanism is run elsewhere; planning is
+    * deterministic). Pure integer arithmetic off one count pass and a
+    * 4-row literal ε dim. */
+  def q307DpPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.customer(s, d)
+      .groupBy($"c_mktsegment".as("segment")).agg(count(lit(1)).as("n"))
+    val eps = Seq(100L, 500L, 1000L, 2000L).toDF("eps_milli")
+    per.crossJoin(broadcast(eps))
+      .select($"segment", $"eps_milli", $"n",
+        expr("1000000 div eps_milli").as("scale_milli"),
+        expr("(10000 * 1000) div (eps_milli * n)").as("rel_err_bp"))
+      .orderBy($"segment", $"eps_milli")
+  }
+
+  val q307Oracle: String =
+    """WITH per AS (
+         SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY 1),
+       eps AS (SELECT CAST(unnest([100, 500, 1000, 2000]) AS BIGINT) AS eps_milli)
+       SELECT segment, eps_milli, n,
+         1000000 // eps_milli AS scale_milli,
+         (10000 * 1000) // (eps_milli * n) AS rel_err_bp
+       FROM per CROSS JOIN eps
+       ORDER BY segment, eps_milli"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_freshness_watermark" -> q260FreshnessWatermark,
     "q252_auc" -> q252Auc,
@@ -1103,6 +1227,8 @@ object Quality {
     "q293_isotonic_calibration" -> q293IsotonicCalibration,
     "q294_conformal_audit" -> q294ConformalAudit,
     "q300_cv_calibration" -> q300CvCalibration,
+    "q306_k_anonymity" -> q306KAnonymity,
+    "q307_dp_planner" -> q307DpPlanner,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
     "q112_dq_audit" -> q112DqAudit,
@@ -1120,6 +1246,8 @@ object Quality {
     "q293_isotonic_calibration" -> q293Oracle,
     "q294_conformal_audit" -> q294Oracle,
     "q300_cv_calibration" -> q300Oracle,
+    "q306_k_anonymity" -> q306Oracle,
+    "q307_dp_planner" -> q307Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,
     "q112_dq_audit" -> q112Oracle,

@@ -373,4 +373,42 @@ class QualitySpec extends SparkSpec {
     // pooled row is the n-weighted pooling of the same cell terms
     assert(got.head._2 == expected.map(_._2).sum)
   }
+
+  test("q306/q307: anonymity audit replay; DP planning identities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = graft.operators.Quality.q306KAnonymity(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (nRows, nCls, kMin, r5, r10, l2) = r
+    assert(nRows == spark.read.parquet(s"$d/customer.parquet").count())
+    assert(kMin >= 1 && nCls <= nRows)
+    assert(r5 <= r10 && r10 <= 10000) // k<5 mass nested in k<10 mass
+    assert(l2 >= 0 && l2 <= 10000)
+    // crafted: one class of 2 rows sharing a sensitive value (l=1),
+    // one singleton class (k=1, l=1) — k_min 1, all rows below k=5
+    val cdir = java.nio.file.Files.createTempDirectory("kanon").toString
+    Seq((1L, "A", 1L, 100.00), (2L, "A", 1L, 100.00), (3L, "B", 2L, 900.00))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$cdir/customer.parquet")
+    spark.emptyDataFrame.select(lit(1L).as("o_custkey"),
+        lit("1-URGENT").as("o_orderpriority")).limit(0)
+      .write.mode("overwrite").parquet(s"$cdir/orders.parquet")
+    val c = graft.operators.Quality.q306KAnonymity(spark, cdir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(c == ((3L, 2L, 1L, 10000L, 10000L, 10000L)))
+
+    val dp = graft.operators.Quality.q307DpPlanner(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(dp.length == 5 * 4)
+    dp.foreach { case (_, eps, n, scale, rel) =>
+      assert(scale == 1000000L / eps)
+      assert(rel == 10000L * 1000L / (eps * n))
+    }
+    // tighter privacy (smaller eps) always costs more accuracy
+    dp.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq)
+    }
+  }
 }
