@@ -2865,6 +2865,148 @@ object Stats {
        SELECT k, n, icc_bp, deff_milli, (1000 * n) // deff_milli AS n_eff FROM de"""
 
 
+  /** Spearman rank correlation with tie midranks (q308): does a
+    * customer's balance track their order ACTIVITY monotonically? —
+    * the rank-based association that catches what Pearson (q80)
+    * misses when the relationship is monotone but not linear, per
+    * segment plus an '_ALL' row. Midranks come from each variable's
+    * VALUE HISTOGRAM: the average rank of value v is cum_before(v) +
+    * (cnt+1)/2, kept integral as 2·rank = 2·cumb + cnt + 1 — so the
+    * whole computation is Pearson's moment form over exact int64
+    * doubled-ranks (q80's machinery), with one IEEE sqrt at the end.
+    * Windows run over per-segment value histograms (bounded domains,
+    * segment-partitioned). */
+  def q308Spearman(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment".as("seg"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .join(Tables.orders(s, d).groupBy($"o_custkey".as("c_custkey"))
+        .agg(count(lit(1)).as("y")), Seq("c_custkey"), "left")
+      .select($"seg", $"x", coalesce($"y", lit(0L)).as("y"))
+      .localCheckpoint()
+    def withAll(df: DataFrame): DataFrame =
+      df.unionByName(df.withColumn("seg", lit("_ALL")))
+    val base = withAll(perCust)
+    def ranks(vcol: String, rname: String): DataFrame = {
+      val w = Window.partitionBy($"seg").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy($"seg", col(vcol).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cumb", coalesce(sum($"cnt").over(w), lit(0L)))
+        .select($"seg", $"v".as(vcol),
+          (lit(2L) * $"cumb" + $"cnt" + 1L).as(rname))
+    }
+    val joined = base
+      .join(ranks("x", "rx"), Seq("seg", "x"))
+      .join(ranks("y", "ry"), Seq("seg", "y"))
+    joined.groupBy($"seg").agg(
+        count(lit(1)).as("n"),
+        sum($"rx").as("sx"), sum($"ry").as("sy"),
+        sum($"rx" * $"ry").as("sxy"),
+        sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"))
+      .select($"seg".as("segment"), $"n",
+        expr("""CAST(floor(
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 10000.0) AS BIGINT)""").as("rho_bp"))
+      .orderBy($"segment")
+  }
+
+  val q308Oracle: String =
+    """WITH pc AS (
+         SELECT c.c_custkey, c.c_mktsegment AS seg,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           COALESCE(o.y, 0) AS y
+         FROM customer c LEFT JOIN (
+           SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1) o USING (c_custkey)),
+       base AS (SELECT seg, x, y FROM pc
+                UNION ALL SELECT '_ALL', x, y FROM pc),
+       rx AS (
+         SELECT seg, v AS x, 2 * cumb + cnt + 1 AS rx FROM (
+           SELECT seg, v, cnt, COALESCE(CAST(sum(cnt) OVER (PARTITION BY seg
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+           FROM (SELECT seg, x AS v, CAST(count(*) AS BIGINT) AS cnt
+                 FROM base GROUP BY 1, 2))),
+       ry AS (
+         SELECT seg, v AS y, 2 * cumb + cnt + 1 AS ry FROM (
+           SELECT seg, v, cnt, COALESCE(CAST(sum(cnt) OVER (PARTITION BY seg
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+           FROM (SELECT seg, y AS v, CAST(count(*) AS BIGINT) AS cnt
+                 FROM base GROUP BY 1, 2))),
+       j AS (
+         SELECT b.seg, rx.rx, ry.ry
+         FROM base b JOIN rx ON b.seg = rx.seg AND b.x = rx.x
+         JOIN ry ON b.seg = ry.seg AND b.y = ry.y),
+       m AS (
+         SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+           CAST(sum(rx * ry) AS BIGINT) AS sxy,
+           CAST(sum(rx * rx) AS BIGINT) AS sxx,
+           CAST(sum(ry * ry) AS BIGINT) AS syy
+         FROM j GROUP BY 1)
+       SELECT seg AS segment, n,
+         CAST(floor(
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           * 10000.0) AS BIGINT) AS rho_bp
+       FROM m ORDER BY segment"""
+
+  /** Quantile treatment effects (q309): the DISTRIBUTIONAL view of the
+    * A/B comparison — per arm (orderkey parity), exact p10/p50/p90 of
+    * whole-dollar order value via cumulative-count crossing over the
+    * per-arm value histogram (the q250 idiom, no sort of fact rows),
+    * and the per-quantile effect. Mean-effect tests (q231/q301) can
+    * read ZERO while the tails move in opposite directions; QTE is how
+    * that shows up. Integer throughout: the φ-th order statistic is
+    * the smallest value whose cumulative count reaches ⌈φ·n⌉. */
+  def q309Qte(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, d)
+      .select(($"o_orderkey" % 2).as("arm"),
+        floor($"o_totalprice".cast("decimal(18,2)")).cast("long").as("usd"))
+    val hist = vals.groupBy($"arm", $"usd").agg(count(lit(1)).as("cnt"))
+    val tot = vals.groupBy($"arm").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"arm").orderBy($"usd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"cnt").over(w))
+      .join(broadcast(tot), "arm")
+    val phis = Seq(1000L, 5000L, 9000L).toDF("phi_bp")
+    val qs = cum.crossJoin(broadcast(phis))
+      .filter($"cum" * 10000L >= $"phi_bp" * $"n")
+      .groupBy($"arm", $"phi_bp").agg(min($"usd").as("q"))
+    qs.groupBy($"phi_bp").pivot("arm", Seq(0, 1)).agg(first($"q"))
+      .select($"phi_bp", $"0".as("q_arm0"), $"1".as("q_arm1"),
+        ($"1" - $"0").as("qte_usd"))
+      .orderBy($"phi_bp")
+  }
+
+  val q309Oracle: String =
+    """WITH vals AS (
+         SELECT o_orderkey % 2 AS arm,
+           CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS usd
+         FROM orders),
+       hist AS (SELECT arm, usd, CAST(count(*) AS BIGINT) AS cnt
+                FROM vals GROUP BY 1, 2),
+       tot AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+       cum AS (
+         SELECT h.arm, h.usd, t.n,
+           CAST(sum(cnt) OVER (PARTITION BY h.arm ORDER BY h.usd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM hist h JOIN tot t USING (arm)),
+       phis AS (SELECT CAST(unnest([1000, 5000, 9000]) AS BIGINT) AS phi_bp),
+       qs AS (
+         SELECT arm, phi_bp, CAST(min(usd) AS BIGINT) AS q
+         FROM cum CROSS JOIN phis
+         WHERE cum * 10000 >= phi_bp * n
+         GROUP BY 1, 2)
+       SELECT a.phi_bp, a.q AS q_arm0, b.q AS q_arm1, b.q - a.q AS qte_usd
+       FROM qs a JOIN qs b ON a.phi_bp = b.phi_bp AND a.arm = 0 AND b.arm = 1
+       ORDER BY a.phi_bp"""
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
@@ -2890,6 +3032,8 @@ object Stats {
     "q301_meta_analysis" -> q301MetaAnalysis,
     "q302_srm_sentinel" -> q302SrmSentinel,
     "q303_cluster_design" -> q303ClusterDesign,
+    "q308_spearman" -> q308Spearman,
+    "q309_qte" -> q309Qte,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -2939,6 +3083,8 @@ object Stats {
     "q301_meta_analysis" -> q301Oracle,
     "q302_srm_sentinel" -> q302Oracle,
     "q303_cluster_design" -> q303Oracle,
+    "q308_spearman" -> q308Oracle,
+    "q309_qte" -> q309Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

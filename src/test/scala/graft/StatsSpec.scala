@@ -972,4 +972,61 @@ class StatsSpec extends SparkSpec {
     assert(deff == math.floor(1000.0 + (n.toDouble / k - 1) * icc / 10.0).toLong)
     assert(neff == 1000L * n / deff)
   }
+
+  test("q308: Spearman rho matches a midrank replay; bounded in [-1,1]") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q308Spearman(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).contains("_ALL"))
+    got.foreach { case (_, _, rho) => assert(rho >= -10000L && rho <= 10000L) }
+    // independent replay: classic midranks over the _ALL population
+    val base = graft.io.Tables.customer(spark, d)
+      .select(col("c_custkey"), (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").as("x"))
+      .join(graft.io.Tables.orders(spark, d)
+        .groupBy(col("o_custkey").as("c_custkey")).agg(count(lit(1)).as("y")),
+        Seq("c_custkey"), "left")
+      .select(col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .as[(Long, Long)].collect()
+    def midranks(v: Seq[Long]): Map[Long, Double] = {
+      val sorted = v.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (k, g) => k -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+    }
+    val rx = midranks(base.map(_._1).toSeq)
+    val ry = midranks(base.map(_._2).toSeq)
+    val n = base.length
+    val xs = base.map(b => rx(b._1)); val ys = base.map(b => ry(b._2))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = base.indices.map(i => xs(i) * ys(i)).sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val expAll = math.floor(rho * 10000.0).toLong
+    assert(got.find(_._1 == "_ALL").get._3 == expAll)
+  }
+
+  test("q309: QTE quantiles match a sorted-order-statistic replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q309Qte(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1000L, 5000L, 9000L))
+    val vals = graft.io.Tables.orders(spark, d)
+      .select((col("o_orderkey") % 2).as("arm"),
+        floor(col("o_totalprice").cast("decimal(18,2)")).cast("long").as("usd"))
+      .as[(Long, Long)].collect()
+    def quant(arm: Long, phiBp: Long): Long = {
+      val v = vals.filter(_._1 == arm).map(_._2).sorted
+      // smallest value whose cumulative count reaches ceil(phi*n/10000)
+      val k = ((phiBp * v.length + 9999) / 10000).toInt
+      v(k - 1)
+    }
+    got.foreach { case (phi, q0, q1, qte) =>
+      assert(q0 == quant(0, phi) && q1 == quant(1, phi) && qte == q1 - q0)
+    }
+  }
 }
