@@ -3006,6 +3006,297 @@ object Stats {
        FROM qs a JOIN qs b ON a.phi_bp = b.phi_bp AND a.arm = 0 AND b.arm = 1
        ORDER BY a.phi_bp"""
 
+  /** Mann–Kendall trend test + Sen's slope per year (q310): is daily
+    * revenue trending, non-parametrically? MK's S = Σ sign(x_j − x_i)
+    * over ordered day pairs is robust to outliers and needs no
+    * linearity; the tie-corrected variance gives the z read-out, and
+    * Sen's slope (median of pairwise slopes) is the robust effect
+    * size that OLS (q253) isn't.
+    *
+    * Scale shape: the fact scan reduces to a DAILY aggregate first —
+    * a relation bounded by the calendar (~2.4k rows at ANY data
+    * scale), so the O(n²) pairwise self-join is over a bounded
+    * broadcast-sized input and the per-year window over slope values
+    * is bounded too. Slopes quantized to milli-cents/day via
+    * floor(dx·1000/dd) in doubles (exact: |dx|·1000 < 2⁵³); S, ties,
+    * and the var18 polynomial are pure int64; one IEEE sqrt at the
+    * end, floored once. Sen's median = smallest slope whose
+    * cumulative pair count reaches ⌈npairs/2⌉. */
+  def q310MannKendall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"),
+        year($"o_orderdate").cast("long").as("yr"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .localCheckpoint()
+    val pairs = daily.select($"yr", $"day".as("d1"), $"x".as("x1"))
+      .join(daily.select($"yr", $"day".as("d2"), $"x".as("x2")), Seq("yr"))
+      .filter($"d2" > $"d1")
+      .select($"yr",
+        when($"x2" > $"x1", 1L).when($"x2" < $"x1", -1L).otherwise(0L).as("sgn"),
+        floor(($"x2" - $"x1") * lit(1000.0) / datediff($"d2", $"d1"))
+          .cast("long").as("slope"))
+    val sp = pairs.groupBy($"yr")
+      .agg(count(lit(1)).as("npairs"), sum($"sgn").as("s"))
+    val nn = daily.groupBy($"yr").agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy($"yr", $"x").agg(count(lit(1)).as("t"))
+      .groupBy($"yr")
+      .agg(sum($"t" * ($"t" - 1) * (lit(2L) * $"t" + 5L)).as("tiesum"))
+    val v = nn.join(sp, "yr").join(ties, Seq("yr"), "left")
+      .select($"yr", $"n", $"s", $"npairs",
+        ($"n" * ($"n" - 1) * (lit(2L) * $"n" + 5L) -
+          coalesce($"tiesum", lit(0L))).as("var18"))
+    val w = Window.partitionBy($"yr").orderBy($"slope")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val senm = pairs.groupBy($"yr", $"slope").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(w))
+      .join(v.select($"yr", $"npairs"), "yr")
+      .filter($"cum" >= expr("(npairs + 1) div 2"))
+      .groupBy($"yr").agg(min($"slope").as("sen_milli"))
+    val zc = when($"s" > 0,
+        floor(($"s" - 1) / sqrt($"var18" / lit(18.0)) * 1000.0).cast("long"))
+      .when($"s" < 0,
+        floor(($"s" + 1) / sqrt($"var18" / lit(18.0)) * 1000.0).cast("long"))
+      .otherwise(0L)
+    v.join(senm, "yr")
+      .select($"yr".as("year"), $"n", $"s", zc.as("z_milli"), $"sen_milli",
+        when(zc > 1960L, "up").when(zc < -1960L, "down")
+          .otherwise("none").as("trend"))
+      .orderBy($"year")
+  }
+
+  val q310Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.yr,
+           CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+           CAST(floor((b.x - a.x) * 1000.0 / datediff('day', a.day, b.day)) AS BIGINT) AS slope
+         FROM daily a JOIN daily b ON a.yr = b.yr AND b.day > a.day),
+       sp AS (SELECT yr, CAST(count(*) AS BIGINT) AS npairs, CAST(sum(sgn) AS BIGINT) AS s
+              FROM pairs GROUP BY 1),
+       nn AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+       ties AS (SELECT yr, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tiesum
+                FROM (SELECT yr, x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+                GROUP BY 1),
+       v AS (SELECT nn.yr, nn.n, sp.s, sp.npairs,
+               nn.n * (nn.n - 1) * (2 * nn.n + 5) - COALESCE(ties.tiesum, 0) AS var18
+             FROM nn JOIN sp USING (yr) LEFT JOIN ties USING (yr)),
+       sen AS (SELECT yr, slope,
+                 CAST(sum(count(*)) OVER (PARTITION BY yr ORDER BY slope
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM pairs GROUP BY yr, slope),
+       senm AS (SELECT sen.yr, CAST(min(sen.slope) AS BIGINT) AS sen_milli
+                FROM sen JOIN v ON sen.yr = v.yr
+                WHERE sen.cum >= (v.npairs + 1) // 2
+                GROUP BY 1),
+       zz AS (SELECT v.yr, v.n, v.s, senm.sen_milli,
+                CASE WHEN v.s > 0 THEN CAST(floor((v.s - 1) / sqrt(v.var18 / 18.0) * 1000.0) AS BIGINT)
+                     WHEN v.s < 0 THEN CAST(floor((v.s + 1) / sqrt(v.var18 / 18.0) * 1000.0) AS BIGINT)
+                     ELSE 0 END AS z_milli
+              FROM v JOIN senm ON v.yr = senm.yr)
+       SELECT yr AS year, n, s, z_milli, sen_milli,
+         CASE WHEN z_milli > 1960 THEN 'up' WHEN z_milli < -1960 THEN 'down'
+              ELSE 'none' END AS trend
+       FROM zz ORDER BY year"""
+
+  /** Benjamini–Hochberg FDR control over a family of tests (q311):
+    * the experimentation-platform guardrail for the multiple-
+    * comparisons problem — 25 per-nation A/A Welch z-tests (orderkey
+    * parity), each two-sided p via the Lin (1989) normal-tail
+    * approximation p ≈ exp(−0.717|z| − 0.416z²), then the BH step-up:
+    * reject all ranks ≤ k* = max{i : p_(i) ≤ i·α/m}. The step-up
+    * comparison is INTEGER (p_micro·m ≤ i·50000), so rank logic is
+    * exact; Bonferroni shown alongside. On A/A data the expected
+    * output is zero rejections — that is the product claim.
+    *
+    * Shape: one partial-agg fact scan to 25 sufficient-stat rows;
+    * the rank/step-up windows run over the bounded 25-row family
+    * (m = number of tests, never data-sized). zd is materialized
+    * ONCE as a double column, so both engines floor the identical
+    * IEEE tree (q231's discipline, without its expression blow-up). */
+  def q311FdrBh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), ($"o_orderkey" % 2 === 1).as("g1"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .select($"nation", $"g1", $"c",
+        ($"c".cast("decimal(12,0)") * $"c".cast("decimal(12,0)")).as("c2"))
+    val a = base.groupBy($"nation").agg(
+      sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+      sum(when($"g1", $"c")).as("s1"),
+      sum(when($"g1", $"c2")).as("q1"),
+      sum(when(!$"g1", 1L).otherwise(0L)).as("n0"),
+      sum(when(!$"g1", $"c")).as("s0"),
+      sum(when(!$"g1", $"c2")).as("q0"))
+    val z = a.selectExpr("nation", "n0", "n1",
+      """((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+         sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+              (((CAST(q0 AS DOUBLE) - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))) AS zd""")
+    val p = z.selectExpr("nation", "n0", "n1",
+      "CAST(floor(zd * 1000.0) AS BIGINT) AS z_milli",
+      "CAST(floor(exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0) AS BIGINT) AS p_micro")
+    val r = p
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"p_micro", $"nation")).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    r.withColumn("kstar",
+        max(when($"p_micro" * $"m" <= $"rnk" * 50000L, $"rnk").otherwise(0L))
+          .over(Window.partitionBy()))
+      .select($"nation", $"n0", $"n1", $"z_milli", $"p_micro", $"rnk",
+        ($"rnk" <= $"kstar").as("bh_reject"),
+        ($"p_micro" * $"m" <= 50000L).as("bonf_reject"))
+      .orderBy($"rnk")
+  }
+
+  val q311Oracle: String =
+    """WITH base AS (
+         SELECT n.n_name AS nation, o_orderkey % 2 = 1 AS g1,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+         JOIN nation n ON cu.c_nationkey = n.n_nationkey),
+       a AS (
+         SELECT nation,
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN g1 THEN c END) AS BIGINT) AS s1,
+           sum(CASE WHEN g1 THEN CAST(c AS HUGEINT) * c END) AS q1,
+           CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN NOT g1 THEN c END) AS BIGINT) AS s0,
+           sum(CASE WHEN NOT g1 THEN CAST(c AS HUGEINT) * c END) AS q0
+         FROM base GROUP BY 1),
+       z AS (
+         SELECT nation, n0, n1,
+           ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+             sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+                  (((CAST(q0 AS DOUBLE) - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))) AS zd
+         FROM a),
+       p AS (
+         SELECT nation, n0, n1,
+           CAST(floor(zd * 1000.0) AS BIGINT) AS z_milli,
+           CAST(floor(exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0) AS BIGINT) AS p_micro
+         FROM z),
+       r AS (
+         SELECT nation, n0, n1, z_milli, p_micro,
+           CAST(row_number() OVER (ORDER BY p_micro, nation) AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS m
+         FROM p),
+       k AS (
+         SELECT r.*, CAST(max(CASE WHEN p_micro * m <= rnk * 50000 THEN rnk ELSE 0 END) OVER () AS BIGINT) AS kstar
+         FROM r)
+       SELECT nation, n0, n1, z_milli, p_micro, rnk,
+         rnk <= kstar AS bh_reject,
+         p_micro * m <= 50000 AS bonf_reject
+       FROM k ORDER BY rnk"""
+
+  /** Difference-in-differences (q312): the quasi-experimental
+    * estimator — treated = customer-key parity, post = orderdate ≥
+    * 1998-07-01, outcome = order value; DiD = (m̄₁₁−m̄₁₀)−(m̄₀₁−m̄₀₀)
+    * per segment plus an exact _ALL (re-aggregated from the CELL
+    * sufficient statistics, not a second scan). SE is the four-cell
+    * independent-means form; on parity (A/A) assignment the expected
+    * read-out is no rejection — the null-calibration claim.
+    *
+    * Shape: ONE fact scan → ≤ 24 sufficient-stat cells (n, Σc, Σc²
+    * with Σc² in decimal for int64 headroom); everything after is
+    * arithmetic on a bounded relation. Doubles appear once, in one
+    * staged tree, floored once (q231 discipline). */
+  def q312Did(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), ($"c_custkey" % 2).as("t"),
+        when($"o_orderdate" >= lit("1998-07-01").cast("date"), 1L)
+          .otherwise(0L).as("p"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .select($"seg", $"t", $"p", $"c",
+        ($"c".cast("decimal(12,0)") * $"c".cast("decimal(12,0)")).as("c2"))
+    val cells = base.groupBy($"seg", $"t", $"p")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"), sum($"c2").as("q"))
+      .localCheckpoint()
+    val allc = cells.groupBy($"t", $"p")
+      .agg(sum($"n").as("n"), sum($"s").as("s"), sum($"q").as("q"))
+      .withColumn("seg", lit("_ALL"))
+      .select($"seg", $"t", $"p", $"n", $"s", $"q")
+    def cell(t: Int, p: Int, col: String): String =
+      s"max(CASE WHEN t = $t AND p = $p THEN $col END)"
+    val wide = cells.unionByName(allc).groupBy($"seg").agg(
+      expr(cell(0, 0, "n")).as("n00"), expr(cell(0, 1, "n")).as("n01"),
+      expr(cell(1, 0, "n")).as("n10"), expr(cell(1, 1, "n")).as("n11"),
+      expr("CAST(" + cell(0, 0, "s") + " AS DOUBLE)").as("s00"),
+      expr("CAST(" + cell(0, 1, "s") + " AS DOUBLE)").as("s01"),
+      expr("CAST(" + cell(1, 0, "s") + " AS DOUBLE)").as("s10"),
+      expr("CAST(" + cell(1, 1, "s") + " AS DOUBLE)").as("s11"),
+      expr("CAST(" + cell(0, 0, "q") + " AS DOUBLE)").as("q00"),
+      expr("CAST(" + cell(0, 1, "q") + " AS DOUBLE)").as("q01"),
+      expr("CAST(" + cell(1, 0, "q") + " AS DOUBLE)").as("q10"),
+      expr("CAST(" + cell(1, 1, "q") + " AS DOUBLE)").as("q11"))
+    val eff = wide.selectExpr("seg", "n00", "n01", "n10", "n11",
+      "(s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00) AS did",
+      """sqrt(((q00 - s00 * s00 / n00) / (n00 - 1.0)) / n00 +
+              ((q01 - s01 * s01 / n01) / (n01 - 1.0)) / n01 +
+              ((q10 - s10 * s10 / n10) / (n10 - 1.0)) / n10 +
+              ((q11 - s11 * s11 / n11) / (n11 - 1.0)) / n11) AS se""")
+    eff.selectExpr("seg AS segment", "n00", "n01", "n10", "n11",
+        "CAST(floor(did) AS BIGINT) AS did_cents",
+        "CAST(floor(se) AS BIGINT) AS se_cents",
+        "CAST(floor(did / se * 1000.0) AS BIGINT) AS z_milli")
+      .withColumn("reject", abs($"z_milli") > 1960L)
+      .orderBy($"segment")
+  }
+
+  val q312Oracle: String =
+    """WITH base AS (
+         SELECT cu.c_mktsegment AS seg,
+           CAST(cu.c_custkey % 2 AS BIGINT) AS t,
+           CASE WHEN o.o_orderdate >= DATE '1998-07-01' THEN 1 ELSE 0 END AS p,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey),
+       cells AS (
+         SELECT seg, t, p, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+           sum(CAST(c AS HUGEINT) * c) AS q
+         FROM base GROUP BY 1, 2, 3),
+       allc AS (
+         SELECT '_ALL' AS seg, t, p, CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(s) AS BIGINT) AS s, sum(q) AS q
+         FROM cells GROUP BY 2, 3),
+       u AS (SELECT * FROM cells UNION ALL SELECT * FROM allc),
+       wide AS (
+         SELECT seg,
+           max(CASE WHEN t = 0 AND p = 0 THEN n END) AS n00,
+           max(CASE WHEN t = 0 AND p = 1 THEN n END) AS n01,
+           max(CASE WHEN t = 1 AND p = 0 THEN n END) AS n10,
+           max(CASE WHEN t = 1 AND p = 1 THEN n END) AS n11,
+           CAST(max(CASE WHEN t = 0 AND p = 0 THEN s END) AS DOUBLE) AS s00,
+           CAST(max(CASE WHEN t = 0 AND p = 1 THEN s END) AS DOUBLE) AS s01,
+           CAST(max(CASE WHEN t = 1 AND p = 0 THEN s END) AS DOUBLE) AS s10,
+           CAST(max(CASE WHEN t = 1 AND p = 1 THEN s END) AS DOUBLE) AS s11,
+           CAST(max(CASE WHEN t = 0 AND p = 0 THEN q END) AS DOUBLE) AS q00,
+           CAST(max(CASE WHEN t = 0 AND p = 1 THEN q END) AS DOUBLE) AS q01,
+           CAST(max(CASE WHEN t = 1 AND p = 0 THEN q END) AS DOUBLE) AS q10,
+           CAST(max(CASE WHEN t = 1 AND p = 1 THEN q END) AS DOUBLE) AS q11
+         FROM u GROUP BY 1),
+       eff AS (
+         SELECT seg, n00, n01, n10, n11,
+           (s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00) AS did,
+           sqrt(((q00 - s00 * s00 / n00) / (n00 - 1.0)) / n00 +
+                ((q01 - s01 * s01 / n01) / (n01 - 1.0)) / n01 +
+                ((q10 - s10 * s10 / n10) / (n10 - 1.0)) / n10 +
+                ((q11 - s11 * s11 / n11) / (n11 - 1.0)) / n11) AS se
+         FROM wide)
+       SELECT seg AS segment, n00, n01, n10, n11,
+         CAST(floor(did) AS BIGINT) AS did_cents,
+         CAST(floor(se) AS BIGINT) AS se_cents,
+         CAST(floor(did / se * 1000.0) AS BIGINT) AS z_milli,
+         abs(CAST(floor(did / se * 1000.0) AS BIGINT)) > 1960 AS reject
+       FROM eff ORDER BY segment"""
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_anova" -> q262Anova,
@@ -3034,6 +3325,9 @@ object Stats {
     "q303_cluster_design" -> q303ClusterDesign,
     "q308_spearman" -> q308Spearman,
     "q309_qte" -> q309Qte,
+    "q310_mann_kendall" -> q310MannKendall,
+    "q311_fdr_bh" -> q311FdrBh,
+    "q312_did" -> q312Did,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3085,6 +3379,9 @@ object Stats {
     "q303_cluster_design" -> q303Oracle,
     "q308_spearman" -> q308Oracle,
     "q309_qte" -> q309Oracle,
+    "q310_mann_kendall" -> q310Oracle,
+    "q311_fdr_bh" -> q311Oracle,
+    "q312_did" -> q312Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

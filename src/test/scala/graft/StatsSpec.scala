@@ -1029,4 +1029,96 @@ class StatsSpec extends SparkSpec {
       assert(q0 == quant(0, phi) && q1 == quant(1, phi) && qte == q1 - q0)
     }
   }
+
+  test("q310: Mann-Kendall S/z/Sen match a direct pairwise replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q310MannKendall(spark, d)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (dt, x) => (dt.toLocalDate, x) }
+    got.foreach { case (year, n, s, zMilli, senMilli, trend) =>
+      val series = daily.filter(_._1.getYear == year).sortBy(_._1.toEpochDay)
+      assert(n == series.length)
+      val pairs = for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(i), series(j))
+      val expS = pairs.map { case ((_, xi), (_, xj)) =>
+        java.lang.Long.signum(xj - xi).toLong }.sum
+      assert(s == expS)
+      val tiesum = series.groupBy(_._2).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tiesum
+      val expZ =
+        if (s > 0) math.floor((s - 1) / math.sqrt(var18 / 18.0) * 1000.0).toLong
+        else if (s < 0) math.floor((s + 1) / math.sqrt(var18 / 18.0) * 1000.0).toLong
+        else 0L
+      assert(zMilli == expZ)
+      val slopes = pairs.map { case ((di, xi), (dj, xj)) =>
+        math.floor((xj - xi) * 1000.0 / (dj.toEpochDay - di.toEpochDay)).toLong
+      }.sorted
+      assert(senMilli == slopes((slopes.length + 1) / 2 - 1))
+      assert(trend == (if (expZ > 1960) "up" else if (expZ < -1960) "down" else "none"))
+    }
+  }
+
+  test("q311: BH step-up replay; rejections form a rank prefix") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q311FdrBh(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .sortBy(_._6)
+    val m = got.length
+    assert(got.map(_._6).toSeq == (1L to m).toSeq)
+    // p is non-decreasing in rank; BH rejections are exactly ranks <= k*
+    val ps = got.map(_._5)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    val kstar = (1 to m).filter(i => ps(i - 1) * m <= i.toLong * 50000L)
+      .lastOption.getOrElse(0)
+    got.foreach { r => assert(r._7 == (r._6 <= kstar)) }
+    // Bonferroni is never more permissive than BH
+    got.foreach { r => if (r._8) assert(r._7) }
+  }
+
+  test("q312: DiD _ALL row reconciles with a direct four-cell replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val all = graft.operators.Stats.q312Did(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .find(_._1 == "_ALL").get
+    val cells = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select((col("c_custkey") % 2).as("t"),
+        when(col("o_orderdate") >= lit("1998-07-01").cast("date"), 1L)
+          .otherwise(0L).as("p"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_._3).sum.toDouble,
+          rs.map(r => BigInt(r._3) * BigInt(r._3)).sum.toDouble)
+      }
+    def cell(t: Long, p: Long) = cells((t, p))
+    val (n00, s00, q00) = cell(0, 0); val (n01, s01, q01) = cell(0, 1)
+    val (n10, s10, q10) = cell(1, 0); val (n11, s11, q11) = cell(1, 1)
+    assert((all._2, all._3, all._4, all._5) == (n00, n01, n10, n11))
+    val did = (s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00)
+    val se = math.sqrt(
+      ((q00 - s00 * s00 / n00) / (n00 - 1.0)) / n00 +
+      ((q01 - s01 * s01 / n01) / (n01 - 1.0)) / n01 +
+      ((q10 - s10 * s10 / n10) / (n10 - 1.0)) / n10 +
+      ((q11 - s11 * s11 / n11) / (n11 - 1.0)) / n11)
+    assert(all._6 == math.floor(did).toLong)
+    assert(all._7 == math.floor(se).toLong)
+    assert(all._8 == math.floor(did / se * 1000.0).toLong)
+    assert(all._9 == (math.abs(all._8) > 1960))
+  }
 }
