@@ -1217,7 +1217,237 @@ object Quality {
        ORDER BY segment, eps_milli"""
 
 
+  /** Bradley–Terry pairwise-preference ranking (q313): the arena-
+    * leaderboard model — 20 document sources "battle" round-robin
+    * (round r pits each source's r-th doc against every other's;
+    * winner = higher vocabulary richness, integer micro so wins are
+    * exact; ties excluded, BT-standard), then TWO
+    * minorization–maximization steps from a uniform start:
+    * π′_i = 2W_i/N_i closed-form, then π″_i = W_i / Σ_j n_ij/(π′_i+π′_j).
+    * The j-sum is a double over ≤19 terms, accumulated through a
+    * FIXED-order cumulative window (q301's discipline) so both
+    * engines fold left-to-right identically; floored once to micro.
+    *
+    * Scale shape: battles are linear in docs (per-round join on the
+    * bounded source dim), immediately aggregated to ≤C(20,2) pair
+    * stats; every window thereafter runs over the bounded source/pair
+    * relations. */
+  def q313BradleyTerry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        floor(lit(1000000.0) * size(array_distinct(split($"text", " ")))
+          / size(split($"text", " "))).cast("long").as("rich"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .localCheckpoint()
+    val battles = docs.select($"source".as("sa"), $"idx", $"rich".as("ra"))
+      .join(docs.select($"source".as("sb"), $"idx", $"rich".as("rb")), Seq("idx"))
+      .filter($"sa" < $"sb" && $"ra" =!= $"rb")
+      .select($"sa", $"sb", when($"ra" > $"rb", 1L).otherwise(0L).as("wa"))
+    val pairw = battles.groupBy($"sa", $"sb")
+      .agg(count(lit(1)).as("n"), sum($"wa").as("w"))
+    val edges = pairw.select($"sa".as("i"), $"sb".as("j"), $"n", $"w")
+      .unionByName(pairw.select($"sb".as("i"), $"sa".as("j"), $"n",
+        ($"n" - $"w").as("w")))
+    val tot = edges.groupBy($"i")
+      .agg(sum($"n").as("ni"), sum($"w").as("wi"))
+    val pi1 = tot.select($"i", (lit(2.0) * $"wi" / $"ni").as("pi"))
+    val terms = edges
+      .join(pi1.select($"i", $"pi".as("pa")), Seq("i"))
+      .join(pi1.select($"i".as("j"), $"pi".as("pb")), Seq("j"))
+      .select($"i", $"j", ($"n" / ($"pa" + $"pb")).as("term"))
+    val den = terms
+      .withColumn("cum", sum($"term").over(Window.partitionBy($"i")
+        .orderBy($"j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"i").orderBy($"j".desc)))
+      .filter($"rn" === 1)
+    den.join(tot, "i")
+      .select($"i", $"ni", $"wi",
+        floor($"wi" / $"cum" * 1000000.0).cast("long").as("pi2_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"pi2_micro".desc, $"i")).cast("long"))
+      .select($"i".as("source"), $"ni".as("battles"), $"wi".as("wins"),
+        $"pi2_micro", $"rank")
+      .orderBy($"rank")
+  }
+
+  val q313Oracle: String =
+    """WITH docs AS (
+         SELECT source, doc_id,
+           CAST(floor(1000000.0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS BIGINT) AS rich,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx
+         FROM documents),
+       battles AS (
+         SELECT a.source AS sa, b.source AS sb,
+           CASE WHEN a.rich > b.rich THEN 1 ELSE 0 END AS wa
+         FROM docs a JOIN docs b ON a.idx = b.idx AND a.source < b.source
+         WHERE a.rich <> b.rich),
+       pairw AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n, CAST(sum(wa) AS BIGINT) AS w
+                 FROM battles GROUP BY 1, 2),
+       edges AS (
+         SELECT sa AS i, sb AS j, n, w FROM pairw
+         UNION ALL SELECT sb, sa, n, n - w FROM pairw),
+       tot AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni, CAST(sum(w) AS BIGINT) AS wi
+               FROM edges GROUP BY 1),
+       pi1 AS (SELECT i, 2.0 * wi / ni AS pi FROM tot),
+       terms AS (
+         SELECT e.i, e.j, e.n / (a.pi + b.pi) AS term
+         FROM edges e JOIN pi1 a ON e.i = a.i JOIN pi1 b ON e.j = b.i),
+       den AS (
+         SELECT i,
+           sum(term) OVER (PARTITION BY i ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           row_number() OVER (PARTITION BY i ORDER BY j DESC) AS rn
+         FROM terms),
+       pi2 AS (
+         SELECT d.i, t.ni, t.wi, CAST(floor(t.wi / d.cum * 1000000.0) AS BIGINT) AS pi2_micro
+         FROM den d JOIN tot t ON d.i = t.i WHERE d.rn = 1)
+       SELECT i AS source, ni AS battles, wi AS wins, pi2_micro,
+         CAST(row_number() OVER (ORDER BY pi2_micro DESC, i) AS BIGINT) AS rank
+       FROM pi2 ORDER BY rank"""
+
+  /** McNemar's paired test (q314): do two classifiers disagree in a
+    * SYSTEMATIC direction on the same documents? Accuracy deltas
+    * (q214) ignore pairing; McNemar conditions on the discordant
+    * cells only — classifier A = "has ' the '" vs B = "≥5 stopword
+    * tokens", both predicting lang='en'. Continuity-corrected
+    * χ² = (max(|b−c|−1,0))²/(b+c), PURE int64 off one scan (a 2×2
+    * contingency fold like q145, but paired). Degenerate b+c=0 is
+    * guarded identically on both sides. */
+  def q314Mcnemar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d).select(
+      ($"lang" === "en").as("truth"),
+      concat(lit(" "), $"text", lit(" ")).contains(" the ").as("pa"),
+      expr("""size(split(text, ' ')) - size(filter(split(text, ' '),
+           x -> x <> 'the' AND x <> 'a' AND x <> 'of')) >= 5""").as("pb"))
+    t.agg(
+        count(lit(1)).as("n"),
+        sum(when($"pa" === $"truth" && $"pb" === $"truth", 1L).otherwise(0L)).as("both_right"),
+        sum(when($"pa" === $"truth" && $"pb" =!= $"truth", 1L).otherwise(0L)).as("only_a"),
+        sum(when($"pa" =!= $"truth" && $"pb" === $"truth", 1L).otherwise(0L)).as("only_b"),
+        sum(when($"pa" =!= $"truth" && $"pb" =!= $"truth", 1L).otherwise(0L)).as("both_wrong"))
+      .selectExpr("n", "both_right", "only_a", "only_b", "both_wrong",
+        "1000000 * (both_right + only_a) div n AS acc_a_micro",
+        "1000000 * (both_right + only_b) div n AS acc_b_micro",
+        """CASE WHEN only_a + only_b = 0 THEN 0
+           ELSE (1000 * greatest(abs(only_a - only_b) - 1, 0) * greatest(abs(only_a - only_b) - 1, 0)) div (only_a + only_b)
+           END AS chi2_milli""")
+      .withColumn("reject", $"chi2_milli" > 3841L)
+  }
+
+  val q314Oracle: String =
+    """WITH t AS (
+         SELECT lang = 'en' AS truth,
+           (' ' || text || ' ' LIKE '% the %') AS pa,
+           len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+             x -> x <> 'the' AND x <> 'a' AND x <> 'of')) >= 5 AS pb
+         FROM documents),
+       c AS (
+         SELECT
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pa = truth AND pb = truth THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+           CAST(sum(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+           CAST(sum(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+           CAST(sum(CASE WHEN pa <> truth AND pb <> truth THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+         FROM t)
+       SELECT n, both_right, only_a, only_b, both_wrong,
+         1000000 * (both_right + only_a) // n AS acc_a_micro,
+         1000000 * (both_right + only_b) // n AS acc_b_micro,
+         CASE WHEN only_a + only_b = 0 THEN 0
+              ELSE (1000 * greatest(abs(only_a - only_b) - 1, 0) * greatest(abs(only_a - only_b) - 1, 0)) // (only_a + only_b)
+         END AS chi2_milli,
+         CASE WHEN only_a + only_b = 0 THEN FALSE
+              ELSE (1000 * greatest(abs(only_a - only_b) - 1, 0) * greatest(abs(only_a - only_b) - 1, 0)) // (only_a + only_b) > 3841
+         END AS reject
+       FROM c"""
+
+  /** Precision–recall curve + average precision (q315): the
+    * imbalanced-class companion to q252's ROC-AUC — scores are the
+    * integer dot product of each embedding with the label-0 class
+    * CENTROID (per-dim milli mean, the q79 k-means building block),
+    * so the ranking is a real retrieval model, not an arbitrary
+    * column. PR points are computed per SCORE BUCKET (÷2000 → a
+    * bounded threshold histogram at any data scale — never a
+    * row-level rank), cumulated descending; AP is the step-sum
+    * Σ Δtp·precision/n₀, all int64.
+    *
+    * Scale shape: explode is linear (64·N), the centroid is a 64-row
+    * broadcast, and every window runs over the bounded bucket
+    * histogram. */
+  def q315PrCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, d).select($"vec_id", $"label",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qa"))
+    val ex = q.select($"vec_id", $"label", posexplode($"qa").as(Seq("dim", "qv")))
+    val cent = ex.filter($"label" === 0)
+      .groupBy($"dim")
+      .agg(floor(sum($"qv") * lit(1.0) / count(lit(1))).cast("long").as("cm"))
+    val sc = ex.join(broadcast(cent), "dim")
+      .groupBy($"vec_id")
+      .agg(max(when($"label" === 0, 1L).otherwise(0L)).as("pos"),
+        sum($"qv" * $"cm").as("s_dot"))
+    val b = sc.groupBy(floor($"s_dot" / lit(2000.0)).cast("long").as("thr_bucket"))
+      .agg(count(lit(1)).as("nb"), sum($"pos").as("tpb"))
+    val w = Window.orderBy($"thr_bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cum = b
+      .withColumn("cn", sum($"nb").over(w))
+      .withColumn("ctp", sum($"tpb").over(w))
+      .withColumn("n0", sum($"tpb").over(all))
+    val pr = cum.selectExpr("thr_bucket", "nb", "tpb", "n0",
+      "cn", "ctp",
+      "1000000 * ctp div cn AS precision_micro",
+      "1000000 * ctp div n0 AS recall_micro")
+      .withColumn("ap_term", $"tpb" * $"precision_micro")
+    pr.withColumn("ap_micro",
+        expr("sum(ap_term) OVER () div n0"))
+      .select($"thr_bucket", $"cn", $"ctp", $"precision_micro",
+        $"recall_micro", $"ap_micro")
+      .orderBy($"thr_bucket".desc)
+  }
+
+  val q315Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       ex AS (
+         SELECT vec_id, label, unnest(qa) AS qv, unnest(range(len(qa))) AS dim FROM q),
+       cent AS (
+         SELECT dim, CAST(floor(CAST(sum(qv) AS BIGINT) * 1.0 / count(*)) AS BIGINT) AS cm
+         FROM ex WHERE label = 0 GROUP BY 1),
+       sc AS (
+         SELECT e.vec_id, CAST(max(CASE WHEN e.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(sum(e.qv * c.cm) AS BIGINT) AS s_dot
+         FROM ex e JOIN cent c ON e.dim = c.dim
+         GROUP BY 1),
+       b AS (
+         SELECT CAST(floor(s_dot / 2000.0) AS BIGINT) AS thr_bucket,
+           CAST(count(*) AS BIGINT) AS nb, CAST(sum(pos) AS BIGINT) AS tpb
+         FROM sc GROUP BY 1),
+       cum AS (
+         SELECT thr_bucket, nb, tpb,
+           CAST(sum(nb) OVER (ORDER BY thr_bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+           CAST(sum(tpb) OVER (ORDER BY thr_bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctp,
+           CAST(sum(tpb) OVER () AS BIGINT) AS n0
+         FROM b),
+       pr AS (
+         SELECT thr_bucket, cn, ctp, n0,
+           1000000 * ctp // cn AS precision_micro,
+           1000000 * ctp // n0 AS recall_micro,
+           tpb * (1000000 * ctp // cn) AS ap_term
+         FROM cum)
+       SELECT thr_bucket, cn, ctp, precision_micro, recall_micro,
+         CAST(sum(ap_term) OVER () AS BIGINT) // n0 AS ap_micro
+       FROM pr ORDER BY thr_bucket DESC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_bradley_terry" -> q313BradleyTerry,
+    "q314_mcnemar" -> q314Mcnemar,
+    "q315_pr_curve" -> q315PrCurve,
     "q260_freshness_watermark" -> q260FreshnessWatermark,
     "q252_auc" -> q252Auc,
     "q243_gap_census" -> q243GapCensus,
@@ -1237,6 +1467,9 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q313_bradley_terry" -> q313Oracle,
+    "q314_mcnemar" -> q314Oracle,
+    "q315_pr_curve" -> q315Oracle,
     "q260_freshness_watermark" -> q260Oracle,
     "q252_auc" -> q252Oracle,
     "q243_gap_census" -> q243Oracle,

@@ -411,4 +411,105 @@ class QualitySpec extends SparkSpec {
       assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq)
     }
   }
+
+  test("q313: Bradley-Terry two MM steps match an exact fold replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q313BradleyTerry(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._5).sorted.toSeq == (1L to got.length).toSeq)
+    // replay: battles from raw docs, then the exact MM arithmetic
+    val docs = graft.io.Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        floor(lit(1000000.0) * size(array_distinct(split(col("text"), " ")))
+          / size(split(col("text"), " "))).cast("long").as("rich"))
+      .as[(String, Long, Long)].collect()
+    val byIdx = docs.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, _, rich), i) => (i, src, rich) }
+    }.groupBy(_._1)
+    val wins = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val games = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    byIdx.values.foreach { round =>
+      for (a <- round; b <- round if a._2 < b._2 && a._3 != b._3) {
+        games((a._2, b._2)) += 1
+        if (a._3 > b._3) wins((a._2, b._2)) += 1
+      }
+    }
+    val sources = docs.map(_._1).distinct.sorted
+    def nij(i: String, j: String) =
+      if (i < j) games((i, j)) else games((j, i))
+    def wij(i: String, j: String) =
+      if (i < j) wins((i, j)) else games((j, i)) - wins((j, i))
+    val ni = sources.map(i => i -> sources.filter(_ != i).map(j => nij(i, j)).sum).toMap
+    val wi = sources.map(i => i -> sources.filter(_ != i).map(j => wij(i, j)).sum).toMap
+    val pi1 = sources.map(i => i -> 2.0 * wi(i) / ni(i)).toMap
+    got.foreach { case (srcName, battles, winCount, pi2Micro, _) =>
+      assert(battles == ni(srcName) && winCount == wi(srcName))
+      // fold in ascending-j order, exactly as the cumulative window does
+      var cum = 0.0
+      sources.filter(j => j != srcName && nij(srcName, j) > 0).sorted.foreach { j =>
+        cum += nij(srcName, j) / (pi1(srcName) + pi1(j))
+      }
+      assert(pi2Micro == math.floor(wi(srcName) / cum * 1000000.0).toLong)
+    }
+  }
+
+  test("q314: McNemar counts and chi2 match a direct replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = graft.operators.Quality.q314Mcnemar(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    val rows = graft.io.Tables.documents(spark, d)
+      .select((col("lang") === "en").as("truth"),
+        concat(lit(" "), col("text"), lit(" ")).contains(" the ").as("pa"),
+        expr("""size(split(text, ' ')) - size(filter(split(text, ' '),
+             x -> x <> 'the' AND x <> 'a' AND x <> 'of')) >= 5""").as("pb"))
+      .as[(Boolean, Boolean, Boolean)].collect()
+    val b = rows.count(r => r._2 == r._1 && r._3 != r._1).toLong
+    val c = rows.count(r => r._2 != r._1 && r._3 == r._1).toLong
+    assert(r._1 == rows.length && r._3 == b && r._4 == c)
+    assert(r._2 + r._3 + r._4 + r._5 == r._1)
+    val corr = math.max(math.abs(b - c) - 1, 0L)
+    val exp = if (b + c == 0) 0L else 1000L * corr * corr / (b + c)
+    assert(r._8 == exp && r._9 == (exp > 3841L))
+  }
+
+  test("q315: AP matches a scalar replay; recall monotone along curve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q315PrCurve(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(-_._1)
+    // descending buckets: cn and ctp (and so recall) non-decreasing
+    assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => a <= b })
+    assert(got.map(_._5).zip(got.map(_._5).tail).forall { case (a, b) => a <= b })
+    // replay AP from raw embeddings
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qa"))
+      .as[(Long, Long, Seq[Long])].collect()
+    val dims = vecs.head._3.length
+    val lab0 = vecs.filter(_._2 == 0L)
+    val cm = (0 until dims).map { k =>
+      math.floor(lab0.map(_._3(k)).sum * 1.0 / lab0.length).toLong }
+    val scored = vecs.map { case (_, lbl, qa) =>
+      (math.floor((0 until dims).map(k => qa(k) * cm(k)).sum / 2000.0).toLong,
+        if (lbl == 0L) 1L else 0L)
+    }
+    val hist = scored.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (bkt, rs) => (bkt, rs.length.toLong, rs.map(_._2).sum) }
+    val n0 = hist.map(_._3).sum
+    var (cn, ctp, apSum) = (0L, 0L, 0L)
+    val expRows = hist.map { case (bkt, nb, tpb) =>
+      cn += nb; ctp += tpb
+      val prec = 1000000L * ctp / cn
+      apSum += tpb * prec
+      (bkt, cn, ctp, prec, 1000000L * ctp / n0)
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == expRows)
+    assert(got.head._6 == apSum / n0)
+  }
 }
