@@ -1251,7 +1251,67 @@ object Curation {
              / ((c_r + 1) * (n_t + 4096))::DOUBLE) * 1000000.0) AS BIGINT) AS w_micro
        FROM bc CROSS JOIN tot ORDER BY b"""
 
+  /** DPO/RLHF preference-pair mining (q316): build (chosen, rejected)
+    * training pairs from a scored candidate pool — documents grouped
+    * by their leading token (the "prompt"), scored by stopword
+    * density (integer micro, exact comparisons), chosen = best,
+    * rejected = worst, pair emitted only when the group has ≥2
+    * candidates AND the margin clears 0.02 (margin filtering is what
+    * keeps noisy near-tie pairs out of a DPO set). Both endpoints are
+    * picked by fully tie-broken row_number windows PARTITIONED by
+    * prompt — per-group, never global, so the construction is one
+    * shuffle on the prompt key at any scale. */
+  def q316DpoPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, d).select($"doc_id",
+      element_at(split($"text", " "), 1).as("prompt"),
+      floor(lit(1000000.0) * size(expr(
+          "filter(split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')"))
+        / size(split($"text", " "))).cast("long").as("score"))
+    val ranked = scored
+      .withColumn("rb", row_number().over(Window.partitionBy($"prompt")
+        .orderBy($"score".desc, $"doc_id")))
+      .withColumn("rw", row_number().over(Window.partitionBy($"prompt")
+        .orderBy($"score".asc, $"doc_id".desc)))
+      .withColumn("n_cand",
+        count(lit(1)).over(Window.partitionBy($"prompt")).cast("long"))
+    ranked.filter($"rb" === 1)
+      .select($"prompt", $"n_cand", $"doc_id".as("chosen_doc"),
+        $"score".as("chosen_score"))
+      .join(ranked.filter($"rw" === 1)
+        .select($"prompt", $"doc_id".as("rejected_doc"),
+          $"score".as("rejected_score")), Seq("prompt"))
+      .withColumn("margin", $"chosen_score" - $"rejected_score")
+      .filter($"n_cand" >= 2 && $"margin" >= 20000L)
+      .select($"prompt", $"n_cand", $"chosen_doc", $"chosen_score",
+        $"rejected_doc", $"rejected_score", $"margin")
+      .orderBy($"prompt")
+  }
+
+  val q316Oracle: String =
+    """WITH scored AS (
+         SELECT doc_id, string_split(text, ' ')[1] AS prompt,
+           CAST(floor(1000000.0 * len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a' OR x = 'of')) / len(string_split(text, ' '))) AS BIGINT) AS score
+         FROM documents),
+       ranked AS (
+         SELECT prompt, doc_id, score,
+           row_number() OVER (PARTITION BY prompt ORDER BY score DESC, doc_id) AS rb,
+           row_number() OVER (PARTITION BY prompt ORDER BY score ASC, doc_id DESC) AS rw,
+           CAST(count(*) OVER (PARTITION BY prompt) AS BIGINT) AS n_cand
+         FROM scored),
+       pairs AS (
+         SELECT b.prompt, b.n_cand,
+           b.doc_id AS chosen_doc, b.score AS chosen_score,
+           w.doc_id AS rejected_doc, w.score AS rejected_score,
+           b.score - w.score AS margin
+         FROM ranked b JOIN ranked w ON b.prompt = w.prompt AND b.rb = 1 AND w.rw = 1)
+       SELECT prompt, n_cand, chosen_doc, chosen_score, rejected_doc, rejected_score, margin
+       FROM pairs WHERE n_cand >= 2 AND margin >= 20000
+       ORDER BY prompt"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_dpo_pairs" -> q316DpoPairs,
     "q276_dsir_model_ivm" -> q276DsirModelIvm,
     "q275_truncation_audit" -> q275TruncationAudit,
     "q267_dsir_select" -> q267DsirSelect,
@@ -1277,6 +1337,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q316_dpo_pairs" -> q316Oracle,
     "q276_dsir_model_ivm" -> q276Oracle,
     "q275_truncation_audit" -> q275Oracle,
     "q267_dsir_select" -> q267Oracle,

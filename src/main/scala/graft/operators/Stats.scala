@@ -3297,6 +3297,75 @@ object Stats {
          abs(CAST(floor(did / se * 1000.0) AS BIGINT)) > 1960 AS reject
        FROM eff ORDER BY segment"""
 
+  /** Changepoint detection — binary-segmentation step (q318): the
+    * top-5 candidate split days of the daily-revenue series by
+    * between-segment sum-of-squares (CUSUM-of-means / CART split
+    * criterion): BSS(τ) = S_L²/n_L + S_R²/n_R − S²/n, maximized over
+    * τ. q195's CUSUM monitors a known baseline; this finds WHERE the
+    * level shifted, offline. Full binary segmentation recurses on the
+    * winner — one level is the per-pass operator (the q79/q237 loop
+    * discipline: each pass is a plan, the driver recurses).
+    *
+    * Scale shape: the fact scan reduces to the bounded daily
+    * aggregate (≤2.4k rows at any SF); prefix sums via cumulative
+    * window over that bounded spine; BSS in doubles from exact int64
+    * prefix sums (identical tree both engines), floored once;
+    * argmax fully tie-broken (bss desc, day). */
+  def q318Changepoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val wcum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val pre = daily
+      .withColumn("sl", sum($"x").over(wcum))
+      .withColumn("nl", row_number().over(Window.orderBy($"day")).cast("long"))
+      .withColumn("st", sum($"x").over(all))
+      .withColumn("nt", count(lit(1)).over(all).cast("long"))
+    val bss = pre.filter($"nl" < $"nt")
+      .selectExpr("day", "sl", "nl", "st - sl AS sr", "nt - nl AS nr",
+        """CAST(floor((
+             CAST(sl AS DOUBLE) * sl / nl +
+             CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) -
+             CAST(st AS DOUBLE) * st / nt) / nt * 1000.0) AS BIGINT) AS bss_pn_milli""")
+    bss.withColumn("rank", row_number().over(
+        Window.orderBy($"bss_pn_milli".desc, $"day")).cast("long"))
+      .filter($"rank" <= 5)
+      .selectExpr("rank", "day AS split_day", "nl AS n_left", "nr AS n_right",
+        "sl div nl AS mean_left_cents", "sr div nr AS mean_right_cents",
+        "bss_pn_milli")
+      .orderBy($"rank")
+  }
+
+  val q318Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       pre AS (
+         SELECT day, x,
+           CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl,
+           CAST(sum(x) OVER () AS BIGINT) AS st,
+           CAST(count(*) OVER () AS BIGINT) AS nt
+         FROM daily),
+       bss AS (
+         SELECT day, sl, nl, st - sl AS sr, nt - nl AS nr,
+           CAST(floor((
+             CAST(sl AS DOUBLE) * sl / nl +
+             CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) -
+             CAST(st AS DOUBLE) * st / nt) / nt * 1000.0) AS BIGINT) AS bss_pn_milli
+         FROM pre WHERE nl < nt),
+       top AS (
+         SELECT day AS split_day, nl AS n_left, nr AS n_right,
+           sl // nl AS mean_left_cents, sr // nr AS mean_right_cents, bss_pn_milli,
+           CAST(row_number() OVER (ORDER BY bss_pn_milli DESC, day) AS BIGINT) AS rank
+         FROM bss)
+       SELECT rank, split_day, n_left, n_right, mean_left_cents, mean_right_cents, bss_pn_milli
+       FROM top WHERE rank <= 5 ORDER BY rank"""
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_anova" -> q262Anova,
@@ -3328,6 +3397,7 @@ object Stats {
     "q310_mann_kendall" -> q310MannKendall,
     "q311_fdr_bh" -> q311FdrBh,
     "q312_did" -> q312Did,
+    "q318_changepoint" -> q318Changepoint,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3382,6 +3452,7 @@ object Stats {
     "q310_mann_kendall" -> q310Oracle,
     "q311_fdr_bh" -> q311Oracle,
     "q312_did" -> q312Oracle,
+    "q318_changepoint" -> q318Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -308,4 +308,32 @@ class CurationSpec extends SparkSpec {
     // conservation: kept + 8·removed == total tokens, every row
     got.foreach { case (_, n, _, nbp, kept, _) => assert(kept + 8 * nbp == n) }
   }
+
+  test("q316: DPO pairs pick exact best/worst on a crafted pool") {
+    // prompt p1: scores 3/6 the-density (500000), 0, 2/4 (500000 tie
+    //   broken by doc_id), margin 500000 → pair (1, 2)
+    // prompt p2: two docs, margin below 20000 → no pair
+    // prompt p3: singleton → no pair
+    val d = docsDir(Seq(
+      (1L, "p1 the a of the x the", "en", "s", 1L),     // 6 tok, 4 stop? p1,the,a,of,the,x,the = 7 tok, 5 stop
+      (2L, "p1 x y z", "en", "s", 1L),                  // 0 stop
+      (3L, "p1 the of x y", "en", "s", 1L),
+      (4L, "p2 the x", "en", "s", 1L),
+      (5L, "p2 the y", "en", "s", 1L),
+      (6L, "p3 the", "en", "s", 1L)))
+    val got = Curation.q316DpoPairs(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("p1"))
+    val p1 = got.head
+    assert(p1._2 == 3 && p1._3 == 1L && p1._5 == 2L)
+    assert(p1._4 == math.floor(1000000.0 * 5 / 7).toLong && p1._6 == 0L)
+    assert(p1._7 == p1._4 - p1._6 && p1._7 >= 20000L)
+    // full-table invariants at sf0.001
+    val full = Curation.q316DpoPairs(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    full.foreach { r =>
+      assert(r._2 >= 2 && r._4 > r._6 && r._7 == r._4 - r._6 && r._7 >= 20000L)
+      assert(r._3 != r._5)
+    }
+  }
 }

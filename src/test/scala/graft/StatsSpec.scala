@@ -1121,4 +1121,37 @@ class StatsSpec extends SparkSpec {
     assert(all._8 == math.floor(did / se * 1000.0).toLong)
     assert(all._9 == (math.abs(all._8) > 1960))
   }
+
+  test("q318: changepoint top split matches an exhaustive BSS replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q318Changepoint(spark, d)
+      .as[(Long, java.sql.Date, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 5L).toSeq)
+    // bss non-increasing down the ranks
+    val bs = got.map(_._7)
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b })
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    val st = daily.map(_._2).sum
+    val nt = daily.length.toLong
+    var sl = 0L
+    val cand = daily.dropRight(1).zipWithIndex.map { case ((day, x), i) =>
+      sl += x
+      val nl = i + 1L
+      val sr = st - sl
+      val bss = math.floor((sl.toDouble * sl / nl + sr.toDouble * sr / (nt - nl)
+        - st.toDouble * st / nt) / nt * 1000.0).toLong
+      (day, nl, nt - nl, sl / nl, sr / (nt - nl), bss, sl, sr)
+    }
+    val top = cand.sortBy(c => (-c._6, c._1.toString)).take(5)
+    got.zip(top).foreach { case (g, t) =>
+      assert(g._2.toString == t._1.toString && g._3 == t._2 && g._4 == t._3)
+      assert(g._5 == t._4 && g._6 == t._5 && g._7 == t._6)
+    }
+  }
 }
