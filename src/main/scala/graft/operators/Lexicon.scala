@@ -701,7 +701,129 @@ object Lexicon {
        WHERE c12 >= 5
        ORDER BY pmi_micro DESC, w1, w2 LIMIT 25"""
 
+  /** Unigram-LM subword segmentation — Viterbi inference (q317), the
+    * SentencePiece/Kudo-2018 companion to q280's BPE training: a
+    * piece vocabulary is seeded from corpus substring frequencies
+    * (all single chars for closure + the top-40 length-2..4
+    * substrings, freq-weighted, deterministically tie-broken), piece
+    * cost = ⌊ln(total/freq)·10⁶⌋ micro-nats (q141's exact-rational ln
+    * discipline), and each word is segmented by minimum-total-cost
+    * dynamic programming: best(i) = min over j∈[i−4,i) of
+    * best(j) + cost(word[j+1..i]).
+    *
+    * The DP is unrolled as LMAX=12 synchronous rounds (words longer
+    * than 12 chars are out of scope by contract — the cap is the
+    * round count, the q280/q299 bounded-loop discipline). Each round
+    * is a ≤4-way union of (vocab-broadcast) joins over the DISTINCT-
+    * WORD relation — bounded by true vocabulary size at any corpus
+    * scale, and the argmin is fully tie-broken (cost, then segment
+    * string) so the winning PATH, not just its cost, is
+    * deterministic. The oracle is the same 12 rounds as generated
+    * SQL, with AS MATERIALIZED on the round states (the q182 lesson:
+    * a 4-way-recursive CTE inlines exponentially without it).
+    *
+    * Output: per word — corpus count, length, piece count, total cost
+    * in micro-nats, and the '|'-joined segmentation itself. */
+  def q317UnigramViterbi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val LMAX = 12
+    val words = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val sub = words
+      .select($"w", $"cnt", explode(sequence(lit(1), lit(4))).as("ln"))
+      .filter(length($"w") >= $"ln")
+      .select($"w", $"cnt", $"ln",
+        explode(sequence(lit(1), length($"w") - $"ln" + 1)).as("st"))
+      .select(expr("substr(w, st, ln)").as("piece"), $"cnt")
+    val freq = sub.groupBy($"piece").agg(sum($"cnt").as("freq"))
+    val multi = freq.filter(length($"piece") >= 2)
+      .withColumn("rn", row_number().over(Window.orderBy($"freq".desc, $"piece")))
+      .filter($"rn" <= 40).select($"piece", $"freq")
+    val vocab = freq.filter(length($"piece") === 1).unionByName(multi)
+    val tot = vocab.agg(sum($"freq").as("t"))
+    val costs = vocab.crossJoin(broadcast(tot))
+      .select($"piece",
+        floor(log($"t" * lit(1.0) / $"freq") * 1000000.0).cast("long").as("pcost"))
+      .localCheckpoint()
+    val s0 = words.filter(length($"w") <= LMAX)
+      .select($"w".as("word"), lit(0L).as("cost"), lit("").as("seg"))
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
+    for (i <- 1 to LMAX) {
+      val cands = (math.max(0, i - 4) until i).map { j =>
+        states(j).filter(length($"word") >= i)
+          .select($"word", $"cost", $"seg",
+            expr(s"substr(word, ${j + 1}, ${i - j})").as("piece"))
+          .join(broadcast(costs), "piece")
+          .select($"word", ($"cost" + $"pcost").as("cost"),
+            concat($"seg", lit("|"), $"piece").as("seg"))
+      }.reduce(_ unionByName _)
+      val si = cands.withColumn("rn", row_number().over(
+          Window.partitionBy($"word").orderBy($"cost", $"seg")))
+        .filter($"rn" === 1).select($"word", $"cost", $"seg")
+        .localCheckpoint()
+      states += si
+    }
+    val fin = (1 to LMAX).map { i =>
+      states(i).filter(length($"word") === i)
+        .select($"word", lit(i.toLong).as("wlen"), $"cost", $"seg")
+    }.reduce(_ unionByName _)
+    fin.join(words.withColumnRenamed("w", "word"), "word")
+      .select($"word", $"cnt", $"wlen",
+        (size(split($"seg", "\\|")) - 1).cast("long").as("n_pieces"),
+        $"cost".as("cost_micro"), expr("substr(seg, 2)").as("seg"))
+      .orderBy($"word")
+  }
+
+  /** q317's oracle: the identical 12-round DP, generated as unrolled
+    * MATERIALIZED CTEs. */
+  val q317Oracle: String = {
+    val LMAX = 12
+    val head =
+      s"""WITH words AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(list_filter(string_split_regex(text,'\\s+'), t -> t <> '')) AS w
+           FROM documents) GROUP BY 1),
+       sub1 AS (SELECT w, cnt, ln FROM words CROSS JOIN (SELECT unnest([1,2,3,4]) AS ln) WHERE len(w) >= ln),
+       sub2 AS (SELECT substr(w, CAST(st AS INTEGER), CAST(ln AS INTEGER)) AS piece, cnt
+                FROM (SELECT w, cnt, ln, unnest(range(1, len(w) - ln + 2)) AS st FROM sub1)),
+       freq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM sub2 GROUP BY 1),
+       multi AS (SELECT piece, freq FROM (
+                   SELECT piece, freq, row_number() OVER (ORDER BY freq DESC, piece) AS rn
+                   FROM freq WHERE len(piece) >= 2) WHERE rn <= 40),
+       vocab AS (SELECT piece, freq FROM freq WHERE len(piece) = 1
+                 UNION ALL SELECT piece, freq FROM multi),
+       tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM vocab),
+       costs AS MATERIALIZED (SELECT piece, CAST(floor(ln(t * 1.0 / freq) * 1000000.0) AS BIGINT) AS pcost
+                 FROM vocab CROSS JOIN tot),
+       s0 AS MATERIALIZED (SELECT w AS word, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words WHERE len(w) <= $LMAX)"""
+    val rounds = (1 to LMAX).map { i =>
+      val cands = (math.max(0, i - 4) until i).map { j =>
+        s"""SELECT s.word, s.cost + v.pcost AS cost, s.seg || '|' || v.piece AS seg
+          FROM s$j s JOIN costs v ON v.piece = substr(s.word, ${j + 1}, ${i - j})
+          WHERE len(s.word) >= $i"""
+      }.mkString(" UNION ALL ")
+      s"""c$i AS ($cands),
+       s$i AS MATERIALIZED (SELECT word, cost, seg FROM (
+         SELECT word, cost, seg, row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+         FROM c$i) WHERE rn = 1)"""
+    }
+    val finals = (1 to LMAX).map { i =>
+      s"SELECT word, CAST($i AS BIGINT) AS wlen, cost, seg FROM s$i WHERE len(word) = $i"
+    }.mkString(" UNION ALL ")
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s""",
+       fin AS ($finals)
+       SELECT f.word, wc.cnt, f.wlen,
+         CAST(len(string_split(f.seg, '|')) - 1 AS BIGINT) AS n_pieces,
+         f.cost AS cost_micro, substr(f.seg, 2) AS seg
+       FROM fin f JOIN words wc ON f.word = wc.w
+       ORDER BY f.word"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_unigram_viterbi" -> q317UnigramViterbi,
     "q280_bpe_merge_loop" -> q280BpeMergeLoop,
     "q281_neyman_allocation" -> q281NeymanAllocation,
     "q282_rouge_pairs" -> q282RougePairs,
@@ -713,6 +835,7 @@ object Lexicon {
   )
 
   def oracles: Map[String, String] = Map(
+    "q317_unigram_viterbi" -> q317Oracle,
     "q280_bpe_merge_loop" -> q280Oracle,
     "q281_neyman_allocation" -> q281Oracle,
     "q282_rouge_pairs" -> q282Oracle,

@@ -198,4 +198,52 @@ class LexiconSpec extends SparkSpec {
       assert(jsd >= 0L && jsd < 693147L)
     }
   }
+
+  test("q317: Viterbi segmentation matches an independent DP replay") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = Lexicon.q317UnigramViterbi(spark, d)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    // independent replay: vocab, costs, and DP recomputed in Scala
+    val words = graft.io.Tables.documents(spark, d)
+      .select(explode(graft.functions.Fns.tokens($"text")).as("w"))
+      .as[String].collect()
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    words.foreach { case (w, cnt) =>
+      for (l <- 1 to 4; s <- 0 to w.length - l)
+        freq(w.substring(s, s + l)) += cnt
+    }
+    val multi = freq.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(40)
+    val vocab = freq.filter(_._1.length == 1).toSeq ++ multi
+    val tot = vocab.map(_._2).sum
+    val cost = vocab.map { case (p, f) =>
+      p -> math.floor(math.log(tot * 1.0 / f) * 1000000.0).toLong }.toMap
+    def viterbi(w: String): (Long, String) = {
+      val best = Array.fill[(Long, String)](w.length + 1)((Long.MaxValue, ""))
+      best(0) = (0L, "")
+      for (i <- 1 to w.length) {
+        var cands = List.empty[(Long, String)]
+        for (j <- math.max(0, i - 4) until i if best(j)._1 != Long.MaxValue) {
+          val piece = w.substring(j, i)
+          cost.get(piece).foreach { pc =>
+            cands ::= (best(j)._1 + pc, best(j)._2 + "|" + piece)
+          }
+        }
+        if (cands.nonEmpty)
+          best(i) = cands.minBy(identity)((Ordering.Tuple2[Long, String]))
+      }
+      (best(w.length)._1, best(w.length)._2.drop(1))
+    }
+    got.foreach { case (w, cnt, wlen, nPieces, costMicro, seg) =>
+      assert(cnt == words(w) && wlen == w.length)
+      val (expCost, expSeg) = viterbi(w)
+      assert(costMicro == expCost, s"word $w")
+      assert(seg == expSeg && nPieces == seg.split("\\|").length)
+      // optimality sanity: never worse than the all-singles segmentation
+      assert(expCost <= w.map(c => cost(c.toString)).sum)
+    }
+  }
 }
