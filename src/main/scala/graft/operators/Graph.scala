@@ -562,7 +562,167 @@ object Graph {
        ORDER BY round"""
   }
 
+  /** Adamic–Adar link prediction (q319): score NON-adjacent part
+    * pairs in the Q1-1995 co-purchase graph (q116's edge set) by
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — the classic "which links are
+    * missing?" heuristic (recommenders, dedup-graph edge recovery).
+    * Per-center weights are quantized to micro FIRST
+    * (⌊10⁶/ln(deg)⌋, deg ≥ 2 so ln > 0), then only integer sums —
+    * exact. Candidates come from the wedge join through each center;
+    * existing edges are removed by a null-producing left join (an
+    * anti join in effect); top-25 fully tie-broken (score, u, v) via
+    * orderBy+limit = TakeOrdered, no global sort materialized.
+    *
+    * Scale: wedges are Θ(Σ deg²) — hub centers are capped at
+    * deg ≤ 50 (their per-wedge weight ≤ 1/ln 51 ≈ 0.26 is the
+    * smallest anyway; the cap is the standard AA scale mitigation
+    * and is part of this operator's CONTRACT, not an approximation
+    * flag). */
+  def q319AdamicAdar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
+      .distinct()
+    val e = items.as("a").join(items.as("b"), "ord")
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter($"u" < $"v")
+      .distinct()
+      .localCheckpoint() // feeds degree, adjacency, and the anti probe
+    val deg = e.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val adj = e.select($"u".as("w"), $"v".as("n"))
+      .unionByName(e.select($"v".as("w"), $"u".as("n")))
+    val centers = deg.filter($"deg".between(2, 50))
+      .select($"n".as("w"),
+        floor(lit(1000000.0) / log($"deg")).cast("long").as("wt"))
+    val wedge = adj.as("a").join(adj.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .select(col("a.w").as("w"), col("a.n").as("u"), col("b.n").as("v"))
+      .join(centers, "w")
+    val aa = wedge.groupBy($"u", $"v")
+      .agg(count(lit(1)).as("common"), sum($"wt").as("aa_micro"))
+    aa.join(e, Seq("u", "v"), "left_anti")
+      .orderBy($"aa_micro".desc, $"u", $"v")
+      .limit(25)
+      .select($"u", $"v", $"common", $"aa_micro")
+  }
+
+  val q319Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+       e AS (
+         SELECT DISTINCT a.p AS u, b.p AS v
+         FROM items a JOIN items b ON a.ord = b.ord AND a.p < b.p),
+       deg AS (
+         SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+       adj AS (SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e),
+       wedge AS (
+         SELECT a.n AS u, b.n AS v, CAST(floor(1000000.0 / ln(d.deg)) AS BIGINT) AS wt
+         FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+         JOIN deg d ON d.n = a.w
+         WHERE d.deg BETWEEN 2 AND 50),
+       aa AS (
+         SELECT u, v, CAST(count(*) AS BIGINT) AS common, CAST(sum(wt) AS BIGINT) AS aa_micro
+         FROM wedge GROUP BY 1, 2),
+       cand AS (
+         SELECT aa.u, aa.v, aa.common, aa.aa_micro
+         FROM aa LEFT JOIN e ON aa.u = e.u AND aa.v = e.v
+         WHERE e.u IS NULL)
+       SELECT u, v, common, aa_micro FROM cand
+       ORDER BY aa_micro DESC, u, v LIMIT 25"""
+
+  /** Semi-supervised label propagation, one synchronous round (q320):
+    * seed 10% of parts with their brand (partkey % 10 — the
+    * labeled-subset simulation), propagate across the co-purchase
+    * graph by seed-neighbor majority vote, argmax fully tie-broken
+    * (votes desc, label asc). Output is the per-label adoption
+    * summary plus a '_NONE' row for reachable-but-unvoted nodes —
+    * the coverage number that tells you how many LPA rounds the
+    * corpus actually needs (multi-round = driver loop, q237
+    * discipline).
+    *
+    * Scale: votes = edges × seed fraction (linear); the argmax is a
+    * node-partitioned window; the summary is brand-bounded. */
+  def q320LabelProp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
+      .distinct()
+    val e = items.as("a").join(items.as("b"), "ord")
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter($"u" < $"v")
+      .distinct()
+      .localCheckpoint()
+    val adj = e.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(e.select($"v".as("src"), $"u".as("dst")))
+    val seeds = Tables.part(s, d)
+      .filter($"p_partkey" % 10 === 0)
+      .select($"p_partkey".as("node"), $"p_brand".as("label"))
+    val unlab = adj.select($"src".as("node")).distinct()
+      .join(seeds.select($"node"), Seq("node"), "left_anti")
+    val votes = adj.join(seeds.withColumnRenamed("node", "dst"), "dst")
+      .select($"src".as("node"), $"label")
+      .join(unlab, Seq("node"), "left_semi")
+      .groupBy($"node", $"label").agg(count(lit(1)).as("votes"))
+    val lab = votes.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"node").orderBy($"votes".desc, $"label")))
+      .filter($"rn" === 1)
+    val summary = lab.groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"votes").as("total_votes"))
+    val nolab = unlab
+      .join(votes.select($"node").distinct(), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit("_NONE").as("label"), $"n_nodes",
+        lit(0L).as("total_votes"))
+      .filter($"n_nodes" > 0)
+    summary.unionByName(nolab).orderBy($"label")
+  }
+
+  val q320Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+       e AS (
+         SELECT DISTINCT a.p AS u, b.p AS v
+         FROM items a JOIN items b ON a.ord = b.ord AND a.p < b.p),
+       adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+       seeds AS (
+         SELECT p_partkey AS node, p_brand AS label FROM part WHERE p_partkey % 10 = 0),
+       unlab AS (
+         SELECT DISTINCT src AS node FROM adj
+         WHERE src NOT IN (SELECT node FROM seeds)),
+       votes AS (
+         SELECT a.src AS node, s.label, CAST(count(*) AS BIGINT) AS votes
+         FROM adj a JOIN seeds s ON a.dst = s.node
+         JOIN unlab u ON a.src = u.node
+         GROUP BY 1, 2),
+       pred AS (
+         SELECT node, label, votes,
+           row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
+         FROM votes),
+       lab AS (SELECT node, label, votes FROM pred WHERE rn = 1),
+       summary AS (
+         SELECT label, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(votes) AS BIGINT) AS total_votes
+         FROM lab GROUP BY 1),
+       nolab AS (
+         SELECT '_NONE' AS label, CAST(count(*) AS BIGINT) AS n_nodes, CAST(0 AS BIGINT) AS total_votes
+         FROM unlab WHERE node NOT IN (SELECT node FROM votes))
+       SELECT label, n_nodes, total_votes FROM summary
+       UNION ALL SELECT label, n_nodes, total_votes FROM nolab WHERE n_nodes > 0
+       ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_adamic_adar" -> q319AdamicAdar,
+    "q320_label_prop" -> q320LabelProp,
     "q278_kcore_peel" -> q278KcorePeel,
     "q237_pagerank_loop" -> q237PagerankLoop,
     "q239_hits_step" -> q239HitsStep,
@@ -574,6 +734,8 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q319_adamic_adar" -> q319Oracle,
+    "q320_label_prop" -> q320Oracle,
     "q278_kcore_peel" -> q278Oracle,
     "q237_pagerank_loop" -> q237Oracle,
     "q239_hits_step" -> q239Oracle,

@@ -269,4 +269,54 @@ class GraphSpec extends SparkSpec {
     // the fixture should actually exercise all three classes
     assert(core.nonEmpty && noise.nonEmpty, "degenerate spatial fixture")
   }
+
+  // Crafted co-purchase fixture for q319/q320: orders are cliques.
+  //   order 1: parts 1,20   order 2: parts 20,3   order 3: parts 3,40
+  //   order 4: parts 1,40   order 5: parts 1,5,6
+  // Edges: 1-20, 20-3, 3-40, 1-40, 1-5, 1-6, 5-6.
+  // Degrees: 1:4, others:2. Seeds (partkey%10==0): 20, 40.
+  private def copurchaseDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("copurchase").toString
+    val rows = Seq((1L, 1L), (1L, 20L), (2L, 20L), (2L, 3L), (3L, 3L), (3L, 40L),
+      (4L, 1L), (4L, 40L), (5L, 1L), (5L, 5L), (5L, 6L))
+      .map { case (o, p) => (o, p, java.sql.Timestamp.valueOf("1995-02-01 00:00:00")) }
+    rows.toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((20L, "B#two"), (40L, "B#four"), (100L, "B#offgraph"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("q319: Adamic-Adar on a crafted graph matches hand computation") {
+    val dir = copurchaseDir()
+    val got = operators.Graph.q319AdamicAdar(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val w2 = math.floor(1000000.0 / math.log(2.0)).toLong  // deg-2 center
+    val w4 = math.floor(1000000.0 / math.log(4.0)).toLong  // deg-4 center (node 1)
+    // non-adjacent pairs with common neighbors:
+    //   (1,3): centers 20,40 (deg 2 each)  -> 2*w2
+    //   (20,40): centers 1(d4), 3(d2)      -> w4 + w2
+    //   via center 1 (neighbors {20,40,5,6}): (5,20),(5,40),(6,20),(6,40) -> w4
+    //   (5,6) adjacent -> excluded
+    val exp = Seq(
+      (1L, 3L, 2L, 2 * w2),
+      (20L, 40L, 2L, w4 + w2),
+      (5L, 20L, 1L, w4), (5L, 40L, 1L, w4),
+      (6L, 20L, 1L, w4), (6L, 40L, 1L, w4))
+      .sortBy { case (u, v, _, aa) => (-aa, u, v) }
+    assert(got == exp)
+  }
+
+  test("q320: one LPA round labels exactly the seed-adjacent nodes") {
+    val dir = copurchaseDir()
+    val got = operators.Graph.q320LabelProp(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // seeds: 20 -> B#two, 40 -> B#four (100 is not a graph node).
+    // unlabeled nodes: 1, 3, 5, 6.
+    //   node 1: neighbors {20,40,5,6} -> B#two:1, B#four:1 -> tie -> B#four (asc)
+    //   node 3: neighbors {20,40}     -> tie -> B#four
+    //   nodes 5,6: no seed neighbors  -> _NONE
+    assert(got == Seq(("B#four", 2L, 2L), ("_NONE", 2L, 0L)))
+  }
 }
