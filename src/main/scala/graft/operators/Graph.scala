@@ -582,7 +582,7 @@ object Graph {
     import s.implicits._
     val items = Tables.lineitem(s, d)
       .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
       .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
       .distinct()
     val e = items.as("a").join(items.as("b"), "ord")
@@ -613,7 +613,7 @@ object Graph {
     """WITH items AS (
          SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
          FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
        e AS (
          SELECT DISTINCT a.p AS u, b.p AS v
          FROM items a JOIN items b ON a.ord = b.ord AND a.p < b.p),
@@ -652,7 +652,7 @@ object Graph {
     import s.implicits._
     val items = Tables.lineitem(s, d)
       .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
       .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
       .distinct()
     val e = items.as("a").join(items.as("b"), "ord")
@@ -690,7 +690,7 @@ object Graph {
     """WITH items AS (
          SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
          FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
        e AS (
          SELECT DISTINCT a.p AS u, b.p AS v
          FROM items a JOIN items b ON a.ord = b.ord AND a.p < b.p),

@@ -1444,7 +1444,64 @@ object Quality {
          CAST(sum(ap_term) OVER () AS BIGINT) // n0 AS ap_micro
        FROM pr ORDER BY thr_bucket DESC"""
 
+  /** Randomized-response frequency estimation (q332): Warner's
+    * local-DP mechanism alongside q307's central-DP planner — each
+    * customer reports segment membership truthfully w.p. 3/4 and
+    * inverted w.p. 1/4 (the "coin flip" is a reproducible hash bit,
+    * q143 discipline — the mechanism's randomness is simulated, the
+    * ESTIMATOR is the operator), and the debiasing estimator
+    * π̂ = 2f̂ − 1/2 recovers each segment's true frequency. Output
+    * shows observed f, the estimate, the true rate, and the error —
+    * the utility-loss readout for ε = ln 3 local DP. Pure integer
+    * arithmetic; one scan × 5-row segment dim. */
+  def q332RandomizedResponse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment",
+      when(graft.functions.Fns.hash60(concat($"c_custkey", lit(":rr"))) % 4 === 0, 1L)
+        .otherwise(0L).as("lie"))
+    val segs = Tables.customer(s, d)
+      .select($"c_mktsegment".as("seg")).distinct()
+    base.crossJoin(broadcast(segs))
+      .select($"seg",
+        when($"c_mktsegment" === $"seg", 1L).otherwise(0L).as("truth"),
+        $"lie")
+      .withColumn("yes", when($"truth" + $"lie" === 1, 1L).otherwise(0L))
+      .groupBy($"seg").agg(count(lit(1)).as("n"),
+        sum($"yes").as("n_yes"), sum($"truth").as("n_true"))
+      .selectExpr("seg", "n", "n_yes",
+        "1000 * n_yes div n AS f_milli",
+        "2 * (1000 * n_yes div n) - 500 AS est_milli",
+        "1000 * n_true div n AS true_milli",
+        "(2 * (1000 * n_yes div n) - 500 - 1000 * n_true div n) * 10 AS err_bp")
+      .orderBy($"seg")
+  }
+
+  val q332Oracle: String =
+    """WITH base AS (
+         SELECT c_custkey, c_mktsegment,
+           CASE WHEN ('0x' || substr(md5(c_custkey || ':rr'), 1, 15))::BIGINT % 4 = 0
+                THEN 1 ELSE 0 END AS lie
+         FROM customer),
+       segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+       resp AS (
+         SELECT s.seg,
+           CASE WHEN b.c_mktsegment = s.seg THEN 1 ELSE 0 END AS truth,
+           b.lie
+         FROM base b CROSS JOIN segs s),
+       agg AS (
+         SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN truth + lie = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
+           CAST(sum(truth) AS BIGINT) AS n_true
+         FROM resp GROUP BY 1)
+       SELECT seg, n, n_yes,
+         1000 * n_yes // n AS f_milli,
+         2 * (1000 * n_yes // n) - 500 AS est_milli,
+         1000 * n_true // n AS true_milli,
+         (2 * (1000 * n_yes // n) - 500 - 1000 * n_true // n) * 10 AS err_bp
+       FROM agg ORDER BY seg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_randomized_response" -> q332RandomizedResponse,
     "q313_bradley_terry" -> q313BradleyTerry,
     "q314_mcnemar" -> q314Mcnemar,
     "q315_pr_curve" -> q315PrCurve,
@@ -1467,6 +1524,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q332_randomized_response" -> q332Oracle,
     "q313_bradley_terry" -> q313Oracle,
     "q314_mcnemar" -> q314Oracle,
     "q315_pr_curve" -> q315Oracle,

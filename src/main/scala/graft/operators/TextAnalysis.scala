@@ -480,7 +480,69 @@ object TextAnalysis {
          (count(DISTINCT CASE WHEN pred <> 'und' THEN pred END) >= 2) AS mixed
        FROM p GROUP BY doc_id, lang ORDER BY doc_id"""
 
+  /** T5-style span-corruption masking plan (q325): deterministically
+    * select mask spans over each document's token stream — span
+    * starts where hash60(doc_id:pos) ≡ 0 (mod 10) (≈10% of
+    * positions), each span covering 3 tokens; overlapping spans
+    * merge, and the plan reports per doc the span count, masked-token
+    * count, merged-run count, and corruption rate. This is the
+    * PLANNING half of denoising-objective pretraining data prep (the
+    * actual sentinel-token rewrite is a trivial map once the plan
+    * exists); the hash makes the "random" selection reproducible
+    * across engines and runs — the q143 discipline.
+    *
+    * Scale: posexplode is linear; both windows are PARTITIONED by
+    * doc_id (never global); output is one row per document. */
+  def q325SpanCorruption(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "w")))
+    val marked = tok.select($"doc_id", $"pos",
+      when(hash60(concat($"doc_id", lit(":"), $"pos")) % 10 === 0, 1L)
+        .otherwise(0L).as("is_start"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val cov = marked.withColumn("covered",
+      max($"is_start").over(wDoc.rowsBetween(-2, Window.currentRow)))
+    val runs = cov.withColumn("run_start",
+      when($"covered" === 1 && lag($"covered", 1, 0L).over(wDoc) === 0, 1L)
+        .otherwise(0L))
+    runs.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum($"is_start").as("n_spans"),
+        sum($"covered").as("n_masked"),
+        sum($"run_start").as("n_runs"))
+      .withColumn("corruption_permille", expr("1000 * n_masked div n_tok"))
+      .orderBy($"doc_id")
+  }
+
+  val q325Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS w,
+           unnest(range(len(list_filter(string_split_regex(text,'\s+'), t -> t <> '')))) AS pos
+         FROM documents),
+       marked AS (
+         SELECT doc_id, pos,
+           CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT % 10 = 0
+                THEN 1 ELSE 0 END AS is_start
+         FROM tok),
+       cov AS (
+         SELECT doc_id, pos, is_start,
+           max(is_start) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+         FROM marked),
+       runs AS (
+         SELECT doc_id, pos, is_start, covered,
+           CASE WHEN covered = 1 AND lag(covered, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) = 0
+                THEN 1 ELSE 0 END AS run_start
+         FROM cov)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(is_start) AS BIGINT) AS n_spans,
+         CAST(sum(covered) AS BIGINT) AS n_masked,
+         CAST(sum(run_start) AS BIGINT) AS n_runs,
+         1000 * CAST(sum(covered) AS BIGINT) // CAST(count(*) AS BIGINT) AS corruption_permille
+       FROM runs GROUP BY 1 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_span_corruption" -> q325SpanCorruption,
     "q277_code_switch" -> q277CodeSwitch,
     "q216_char_entropy" -> q216CharEntropy,
     "q214_classification_eval" -> q214ClassificationEval,
@@ -492,6 +554,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q325_span_corruption" -> q325Oracle,
     "q277_code_switch" -> q277Oracle,
     "q216_char_entropy" -> q216Oracle,
     "q214_classification_eval" -> q214Oracle,

@@ -1453,7 +1453,91 @@ object Windows {
        FROM (SELECT * FROM bydow UNION ALL SELECT * FROM overall)
        ORDER BY dow"""
 
+  /** Brown's double exponential smoothing + h-step forecast (q321):
+    * the level-AND-trend upgrade of q156's EWMA — S′ is q156's
+    * truncated power-of-two kernel (α = ½, 8 lags, weights 2⁷⁻ⁱ/255),
+    * S″ is the SAME kernel applied to S′, which telescopes into ONE
+    * 15-lag window whose weights are the kernel's self-convolution
+    * (Σc = 255² — computed programmatically, not hand-typed). With
+    * α = ½ the Brown identities reduce to level = (510·S₁−S₂)/255²
+    * and trend = (255·S₁−S₂)/255², so everything up to the final
+    * floor is INT64 on counts; the forecast ŷ(h) = level + h·trend
+    * is reported at h ∈ {1, 7, 14}. Negative trends make the scaled
+    * numerators signed — hence floor(x·1000.0/65025), the both-sides
+    * float-floor idiom, never integer div.
+    *
+    * Scale: one shuffle to the (type, day) aggregate; windows run
+    * per event_type over the bounded day spine. */
+  def q321HoltDes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val range = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select($"event_type",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val s1 = (0 to 7).map(i =>
+      lag($"n", i, 0L).over(w) * lit(1L << (7 - i))).reduce(_ + _)
+    val s2 = (0 to 14).map(i =>
+      lag($"n", i, 0L).over(w) * lit(desConv(i))).reduce(_ + _)
+    dense.withColumn("s1", s1).withColumn("s2", s2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"day".desc)))
+      .filter($"rn" === 1)
+      .selectExpr("event_type", "day AS last_day",
+        "CAST(floor((510 * s1 - s2) * 1000.0 / 65025) AS BIGINT) AS level_milli",
+        "CAST(floor((255 * s1 - s2) * 1000.0 / 65025) AS BIGINT) AS trend_milli",
+        "CAST(floor((510 * s1 - s2 + 1 * (255 * s1 - s2)) * 1000.0 / 65025) AS BIGINT) AS f1_milli",
+        "CAST(floor((510 * s1 - s2 + 7 * (255 * s1 - s2)) * 1000.0 / 65025) AS BIGINT) AS f7_milli",
+        "CAST(floor((510 * s1 - s2 + 14 * (255 * s1 - s2)) * 1000.0 / 65025) AS BIGINT) AS f14_milli")
+      .orderBy($"event_type")
+  }
+
+  /** q156 kernel self-convolution: weight of lag i in S″. */
+  private[graft] val desConv: IndexedSeq[Long] = {
+    val k = (0 to 7).map(j => 1L << (7 - j))
+    (0 to 14).map(i =>
+      (math.max(0, i - 7) to math.min(7, i)).map(j => k(j) * k(i - j)).sum)
+  }
+
+  val q321Oracle: String = {
+    def lagTerm(i: Int, coef: Long): String =
+      if (i == 0) s"$coef * n" else s"$coef * lag(n, $i, 0) OVER w"
+    val s1 = (0 to 7).map(i => lagTerm(i, 1L << (7 - i))).mkString(" + ")
+    val s2 = (0 to 14).map(i => lagTerm(i, desConv(i))).mkString(" + ")
+    s"""WITH a AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT min(day) AS d0, max(day) AS d1 FROM a),
+       spine AS (
+         SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM (SELECT DISTINCT event_type FROM a), r),
+       dense AS (
+         SELECT spine.event_type AS event_type, spine.day AS day, coalesce(n, 0) AS n
+         FROM spine LEFT JOIN a ON spine.event_type = a.event_type AND spine.day = a.day),
+       sm AS (
+         SELECT event_type, day,
+           CAST($s1 AS BIGINT) AS s1,
+           CAST($s2 AS BIGINT) AS s2,
+           row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+         FROM dense
+         WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       SELECT event_type, day AS last_day,
+         CAST(floor((510 * s1 - s2) * 1000.0 / 65025) AS BIGINT) AS level_milli,
+         CAST(floor((255 * s1 - s2) * 1000.0 / 65025) AS BIGINT) AS trend_milli,
+         CAST(floor((510 * s1 - s2 + 1 * (255 * s1 - s2)) * 1000.0 / 65025) AS BIGINT) AS f1_milli,
+         CAST(floor((510 * s1 - s2 + 7 * (255 * s1 - s2)) * 1000.0 / 65025) AS BIGINT) AS f7_milli,
+         CAST(floor((510 * s1 - s2 + 14 * (255 * s1 - s2)) * 1000.0 / 65025) AS BIGINT) AS f14_milli
+       FROM sm WHERE rn = 1 ORDER BY event_type"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_holt_des" -> q321HoltDes,
     "q249_forecast_backtest" -> q249ForecastBacktest,
     "q242_rolling_corr" -> q242RollingCorr,
     "q240_pit_join" -> q240PitJoin,
@@ -1501,6 +1585,7 @@ object Windows {
     "q170_twap" -> q170Oracle,
     "q166_lateness_audit" -> q166Oracle,
     "q156_ewma" -> q156Oracle,
+    "q321_holt_des" -> q321Oracle,
     "q121_anomalies" -> q121Oracle,
     "q84_range_frame" -> q84Oracle,
     "q63_asof_join" -> q63Oracle,

@@ -942,4 +942,37 @@ class BehaviorSpec extends SparkSpec {
     // |O-E| bounded by total group-1 events in micro units
     assert(math.abs(oe) <= 1000000L * e1)
   }
+
+  test("q321: Brown DES matches a direct double-smoothing replay") {
+    val got = operators.Windows.q321HoltDes(spark, d)
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // replay: dense per-type daily series, truncated EWMA twice
+    val daily = graft.io.Tables.events(spark, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val allDays = daily.map(_._2.toLocalDate)
+    val (d0, d1) = (allDays.minBy(_.toEpochDay), allDays.maxBy(_.toEpochDay))
+    got.foreach { case (tpe, lastDay, level, trend, f1, f7, f14) =>
+      assert(lastDay.toLocalDate == d1)
+      val byDay = daily.filter(_._1 == tpe)
+        .map(r => r._2.toLocalDate.toEpochDay -> r._3).toMap
+      val series = (d0.toEpochDay to d1.toEpochDay)
+        .map(ed => byDay.getOrElse(ed, 0L))
+      def lagN(i: Int): Long =
+        if (series.length - 1 - i >= 0) series(series.length - 1 - i) else 0L
+      val s1 = (0 to 7).map(i => (1L << (7 - i)) * lagN(i)).sum
+      val s2 = (0 to 14).map(i => operators.Windows.desConv(i) * lagN(i)).sum
+      def m(x: Long) = math.floor(x * 1000.0 / 65025).toLong
+      assert(level == m(510 * s1 - s2) && trend == m(255 * s1 - s2))
+      assert(f1 == m(510 * s1 - s2 + (255 * s1 - s2)))
+      assert(f7 == m(510 * s1 - s2 + 7 * (255 * s1 - s2)))
+      assert(f14 == m(510 * s1 - s2 + 14 * (255 * s1 - s2)))
+      // consistency: forecasts are collinear in h (integer dust aside)
+      assert(math.abs((f14 - f1) - 13 * trend) <= 13)
+    }
+    // the convolution kernel is a true self-convolution
+    assert(operators.Windows.desConv.sum == 65025L)
+  }
 }

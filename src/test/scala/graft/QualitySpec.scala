@@ -512,4 +512,58 @@ class QualitySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == expRows)
     assert(got.head._6 == apSum / n0)
   }
+
+  test("q332: randomized-response estimator identities hold per segment") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q332RandomizedResponse(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    val nTotal = got.head._2
+    got.foreach { case (_, n, nYes, f, est, tru, err) =>
+      assert(n == nTotal)
+      assert(f == 1000L * nYes / n)
+      assert(est == 2 * f - 500)
+      assert(err == (est - tru) * 10)
+      assert(tru >= 0 && tru <= 1000)
+    }
+    // the 5 one-vs-rest true rates partition the population
+    assert(math.abs(got.map(_._6).sum - 1000L) <= 5) // integer-div dust
+  }
+
+  test("q325: span plan replays exactly on one document") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.TextAnalysis.q325SpanCorruption(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nTok, nSpans, nMasked, nRuns, perm) =>
+      assert(nMasked >= nSpans && nMasked <= 3 * nSpans) // merge can only shrink
+      assert(nRuns <= nSpans && (nSpans == 0) == (nRuns == 0))
+      assert(perm == 1000 * nMasked / nTok)
+    }
+    // exact replay for the first 20 docs using the engine's own hash
+    val docs = graft.io.Tables.documents(spark, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"), graft.functions.Fns.tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])].collect()
+    val hashes = docs.flatMap { case (id, tk) =>
+      tk.indices.map(p => (id, p))
+    }
+    val hmap = hashes.toSeq.toDF("id", "p")
+      .select($"id", $"p",
+        (graft.functions.Fns.hash60(concat($"id", lit(":"), $"p")) % 10 === 0)
+          .as("st"))
+      .as[(Long, Int, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    docs.foreach { case (id, tk) =>
+      val starts = tk.indices.map(p => hmap((id, p)))
+      val covered = tk.indices.map(p =>
+        (math.max(0, p - 2) to p).exists(starts))
+      val runs = tk.indices.count(p => covered(p) && (p == 0 || !covered(p - 1)))
+      val row = got.find(_._1 == id).get
+      assert(row._2 == tk.length && row._3 == starts.count(identity))
+      assert(row._4 == covered.count(identity) && row._5 == runs)
+    }
+  }
 }
