@@ -3297,6 +3297,232 @@ object Stats {
          abs(CAST(floor(did / se * 1000.0) AS BIGINT)) > 1960 AS reject
        FROM eff ORDER BY segment"""
 
+  /** OLS multiple regression via normal equations (q322): fit
+    * y = b₀ + b₁·acctbal + b₂·days(orderdate) per segment + _ALL —
+    * the 2-regressor upgrade of q253's log-log elasticity. The whole
+    * fit is CLOSED FORM off eleven sufficient statistics (n, Σx, Σx²,
+    * Σxy … — second-order sums in decimal for int64 headroom, the
+    * q231 convention), solved by Cramer's rule on a 3×3 system whose
+    * determinants are staged double columns (computed once, both
+    * engines floor the identical tree). _ALL re-aggregates the exact
+    * per-segment sums — no second scan. R² from the same stats.
+    * One partial-agg scan at any scale; everything after is
+    * arithmetic on ≤6 rows. */
+  def q322OlsRegression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("y"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("x1"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+      .select($"seg", $"y", $"x1", $"x2",
+        ($"x1".cast("decimal(12,0)") * $"x1".cast("decimal(12,0)")).as("p11"),
+        ($"x1".cast("decimal(12,0)") * $"x2".cast("decimal(12,0)")).as("p12"),
+        ($"x2".cast("decimal(12,0)") * $"x2".cast("decimal(12,0)")).as("p22"),
+        ($"x1".cast("decimal(12,0)") * $"y".cast("decimal(12,0)")).as("p1y"),
+        ($"x2".cast("decimal(12,0)") * $"y".cast("decimal(12,0)")).as("p2y"),
+        ($"y".cast("decimal(12,0)") * $"y".cast("decimal(12,0)")).as("pyy"))
+    val cells = base.groupBy($"seg").agg(
+        count(lit(1)).as("n"), sum($"x1").as("s1"), sum($"x2").as("s2"),
+        sum($"y").as("sy"), sum($"p11").as("s11"), sum($"p12").as("s12"),
+        sum($"p22").as("s22"), sum($"p1y").as("s1y"), sum($"p2y").as("s2y"),
+        sum($"pyy").as("syy"))
+      .localCheckpoint()
+    val allc = cells.groupBy().agg(
+        sum($"n").as("n"), sum($"s1").as("s1"), sum($"s2").as("s2"),
+        sum($"sy").as("sy"), sum($"s11").as("s11"), sum($"s12").as("s12"),
+        sum($"s22").as("s22"), sum($"s1y").as("s1y"), sum($"s2y").as("s2y"),
+        sum($"syy").as("syy"))
+      .withColumn("seg", lit("_ALL"))
+      .select(cells.columns.map(col).toSeq: _*)
+    cells.unionByName(allc)
+      .selectExpr("seg", "n",
+        "CAST(n AS DOUBLE) AS dn", "CAST(s1 AS DOUBLE) AS d1",
+        "CAST(s2 AS DOUBLE) AS d2", "CAST(sy AS DOUBLE) AS dy",
+        "CAST(s11 AS DOUBLE) AS d11", "CAST(s12 AS DOUBLE) AS d12",
+        "CAST(s22 AS DOUBLE) AS d22", "CAST(s1y AS DOUBLE) AS d1y",
+        "CAST(s2y AS DOUBLE) AS d2y", "CAST(syy AS DOUBLE) AS dyy")
+      .selectExpr("seg", "n", "dn", "d1", "d2", "dy", "d1y", "d2y", "dyy",
+        "dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2) AS det0",
+        "dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y) AS detb0",
+        "dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2) AS detb1",
+        "dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2) AS detb2")
+      .selectExpr("seg", "n",
+        "detb0 / det0 AS b0", "detb1 / det0 AS b1", "detb2 / det0 AS b2",
+        "dy", "d1y", "d2y", "dyy", "dn")
+      .selectExpr("seg AS segment", "n",
+        "CAST(floor(b0) AS BIGINT) AS b0_cents",
+        "CAST(floor(b1 * 1000000.0) AS BIGINT) AS b1_micro",
+        "CAST(floor(b2 * 1000.0) AS BIGINT) AS b2_milli",
+        "CAST(floor((1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y) / (dyy - dy * dy / dn)) * 10000.0) AS BIGINT) AS r2_bp")
+      .orderBy($"segment")
+  }
+
+  val q322Oracle: String =
+    """WITH base AS (
+         SELECT cu.c_mktsegment AS seg,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+           CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x2
+         FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey),
+       cells AS (
+         SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+           CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+           sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+           sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+           sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+           sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+         FROM base GROUP BY 1),
+       allc AS (
+         SELECT '_ALL' AS seg, CAST(sum(n) AS BIGINT), CAST(sum(s1) AS BIGINT), CAST(sum(s2) AS BIGINT),
+           CAST(sum(sy) AS BIGINT), sum(s11), sum(s12), sum(s22), sum(s1y), sum(s2y), sum(syy)
+         FROM cells),
+       u AS (SELECT * FROM cells UNION ALL SELECT * FROM allc),
+       dd AS (
+         SELECT seg, n,
+           CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+           CAST(sy AS DOUBLE) AS dy, CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+           CAST(s22 AS DOUBLE) AS d22, CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y,
+           CAST(syy AS DOUBLE) AS dyy
+         FROM u),
+       det AS (
+         SELECT seg, n, dn, d1, d2, dy, d1y, d2y, dyy,
+           dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2) AS det0,
+           dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y) AS detb0,
+           dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2) AS detb1,
+           dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2) AS detb2
+         FROM dd),
+       fit AS (
+         SELECT seg, n,
+           detb0 / det0 AS b0, detb1 / det0 AS b1, detb2 / det0 AS b2,
+           dy, d1y, d2y, dyy, dn
+         FROM det)
+       SELECT seg AS segment, n,
+         CAST(floor(b0) AS BIGINT) AS b0_cents,
+         CAST(floor(b1 * 1000000.0) AS BIGINT) AS b1_micro,
+         CAST(floor(b2 * 1000.0) AS BIGINT) AS b2_milli,
+         CAST(floor((1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y) / (dyy - dy * dy / dn)) * 10000.0) AS BIGINT) AS r2_bp
+       FROM fit ORDER BY segment"""
+
+  /** Propensity-score stratification (q323): the observational-causal
+    * companion to q245 (CUPED) and q312 (DiD) — treatment =
+    * high-balance customer (> $5,000), outcome = lifetime spend,
+    * stratified by each nation's treatment RATE (coarsened-exact-
+    * matching on the only confounder proxy the schema offers):
+    * nations are quintiled by rate through the q93 cumulative-
+    * histogram idiom over the 25-row nation relation, within-stratum
+    * effects are treated-minus-control means, and the pooled ATE is
+    * the population-weighted sum accumulated through a FIXED-order
+    * cumulative window (q301 discipline). Doubles appear once per
+    * stratum, floored once. Scale: one customer scan + one orders
+    * partial agg; all windows over ≤25-row bounded relations. */
+  def q323PropensityStrata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey",
+        when($"c_acctbal".cast("decimal(18,2)") > 5000.00, 1L)
+          .otherwise(0L).as("treated"))
+    val nrate = cust.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        expr("1000 * sum(treated) div count(*)").as("rate_milli"))
+    val ranked = nrate
+      .withColumn("cum", sum($"n_cust").over(
+        Window.orderBy($"rate_milli", $"c_nationkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"n_cust").over(Window.partitionBy()))
+    val strata = ranked.select($"c_nationkey",
+      least(lit(4L), expr("5 * (cum - 1) div tot")).as("stratum"))
+    val ordv = Tables.orders(s, d)
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("spend"))
+    val joined = cust.join(broadcast(strata), "c_nationkey")
+      .join(ordv, Seq("c_custkey"), "left")
+      .select($"stratum", $"treated", coalesce($"spend", lit(0L)).as("spend"))
+    val cells = joined.groupBy($"stratum").agg(
+        sum($"treated").as("n_t"),
+        sum(lit(1L) - $"treated").as("n_c"),
+        sum(when($"treated" === 1, $"spend")).as("sy_t"),
+        sum(when($"treated" === 0, $"spend")).as("sy_c"))
+    val eff = cells.selectExpr("stratum", "n_t", "n_c",
+      "CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c AS effd")
+    val pool = eff
+      .withColumn("cumeff", sum(($"n_t" + $"n_c") * $"effd").over(
+        Window.orderBy($"stratum")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_all", sum($"n_t" + $"n_c").over(Window.partitionBy()))
+      .withColumn("rn", row_number().over(Window.orderBy($"stratum".desc)))
+    val perStratum = pool.select($"stratum".cast("string").as("stratum"),
+      $"n_t", $"n_c", floor($"effd").cast("long").as("effect_cents"))
+    val pooled = pool.groupBy().agg(
+        sum($"n_t").as("n_t"), sum($"n_c").as("n_c"),
+        floor(max(when($"rn" === 1, $"cumeff" / $"n_all"))).cast("long")
+          .as("effect_cents"))
+      .withColumn("stratum", lit("_POOLED"))
+      .select($"stratum", $"n_t", $"n_c", $"effect_cents")
+    perStratum.unionByName(pooled).orderBy($"stratum")
+  }
+
+  val q323Oracle: String =
+    """WITH cust AS (
+         SELECT c_custkey, c_nationkey,
+           CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) > 5000.00 THEN 1 ELSE 0 END AS treated
+         FROM customer),
+       nrate AS (
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+           1000 * CAST(sum(treated) AS BIGINT) // CAST(count(*) AS BIGINT) AS rate_milli
+         FROM cust GROUP BY 1),
+       ranked AS (
+         SELECT c_nationkey, rate_milli,
+           CAST(sum(n_cust) OVER (ORDER BY rate_milli, c_nationkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(n_cust) OVER () AS BIGINT) AS tot
+         FROM nrate),
+       strata AS (
+         SELECT c_nationkey, CAST(least(4, 5 * (cum - 1) // tot) AS BIGINT) AS stratum
+         FROM ranked),
+       ordv AS (
+         SELECT o_custkey AS c_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend
+         FROM orders GROUP BY 1),
+       joined AS (
+         SELECT s.stratum, c.treated, COALESCE(o.spend, 0) AS spend
+         FROM cust c JOIN strata s ON c.c_nationkey = s.c_nationkey
+         LEFT JOIN ordv o ON c.c_custkey = o.c_custkey),
+       cells AS (
+         SELECT stratum,
+           CAST(sum(treated) AS BIGINT) AS n_t,
+           CAST(sum(1 - treated) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN treated = 1 THEN spend END) AS BIGINT) AS sy_t,
+           CAST(sum(CASE WHEN treated = 0 THEN spend END) AS BIGINT) AS sy_c
+         FROM joined GROUP BY 1),
+       eff AS (
+         SELECT stratum, n_t, n_c,
+           CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c AS effd
+         FROM cells),
+       pool AS (
+         SELECT stratum, n_t, n_c, effd,
+           sum((n_t + n_c) * effd) OVER (ORDER BY stratum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumeff,
+           CAST(sum(n_t + n_c) OVER () AS BIGINT) AS n_all,
+           row_number() OVER (ORDER BY stratum DESC) AS rn
+         FROM eff)
+       SELECT CAST(stratum AS VARCHAR) AS stratum, n_t, n_c,
+         CAST(floor(effd) AS BIGINT) AS effect_cents
+       FROM pool
+       UNION ALL
+       SELECT '_POOLED', CAST(sum(n_t) AS BIGINT), CAST(sum(n_c) AS BIGINT),
+         CAST(floor(max(CASE WHEN rn = 1 THEN cumeff / n_all END)) AS BIGINT)
+       FROM pool
+       ORDER BY stratum"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -3398,6 +3624,8 @@ object Stats {
     "q311_fdr_bh" -> q311FdrBh,
     "q312_did" -> q312Did,
     "q318_changepoint" -> q318Changepoint,
+    "q322_ols_regression" -> q322OlsRegression,
+    "q323_propensity_strata" -> q323PropensityStrata,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3453,6 +3681,8 @@ object Stats {
     "q311_fdr_bh" -> q311Oracle,
     "q312_did" -> q312Oracle,
     "q318_changepoint" -> q318Oracle,
+    "q322_ols_regression" -> q322Oracle,
+    "q323_propensity_strata" -> q323Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -1154,4 +1154,58 @@ class StatsSpec extends SparkSpec {
       assert(g._5 == t._4 && g._6 == t._5 && g._7 == t._6)
     }
   }
+
+  test("q322: OLS normal-equation fit matches a Cramer replay on _ALL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q322OlsRegression(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 6 && got.map(_._1).contains("_ALL"))
+    got.foreach { r => assert(r._6 >= -1 && r._6 <= 10000) } // R² in range
+    val rows = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val dn = rows.length.toDouble
+    def bsum(f: ((Long, Long, Long)) => BigInt): Double =
+      rows.map(f).sum.toDouble
+    val d1 = bsum(r => BigInt(r._2)); val d2 = bsum(r => BigInt(r._3))
+    val dy = bsum(r => BigInt(r._1))
+    val d11 = bsum(r => BigInt(r._2) * r._2); val d12 = bsum(r => BigInt(r._2) * r._3)
+    val d22 = bsum(r => BigInt(r._3) * r._3); val d1y = bsum(r => BigInt(r._2) * r._1)
+    val d2y = bsum(r => BigInt(r._3) * r._1); val dyy = bsum(r => BigInt(r._1) * r._1)
+    val det0 = dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2)
+    val detb0 = dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y)
+    val detb1 = dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2)
+    val detb2 = dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2)
+    val (b0, b1, b2) = (detb0 / det0, detb1 / det0, detb2 / det0)
+    val all = got.find(_._1 == "_ALL").get
+    assert(all._2 == rows.length)
+    assert(all._3 == math.floor(b0).toLong)
+    assert(all._4 == math.floor(b1 * 1000000.0).toLong)
+    assert(all._5 == math.floor(b2 * 1000.0).toLong)
+    assert(all._6 == math.floor(
+      (1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y) / (dyy - dy * dy / dn)) * 10000.0).toLong)
+  }
+
+  test("q323: stratified ATE replay; pooled is the weighted stratum mix") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q323PropensityStrata(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    val strata = got.filter(_._1 != "_POOLED").sortBy(_._1)
+    val pooled = got.find(_._1 == "_POOLED").get
+    assert(pooled._2 == strata.map(_._2).sum && pooled._3 == strata.map(_._3).sum)
+    // pooled effect lies within the stratum-effect envelope
+    assert(pooled._4 >= strata.map(_._4).min && pooled._4 <= strata.map(_._4).max)
+    // every customer is in exactly one stratum
+    val nCust = graft.io.Tables.customer(spark, d).count()
+    assert(pooled._2 + pooled._3 == nCust)
+  }
 }
