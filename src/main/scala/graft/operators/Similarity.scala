@@ -504,6 +504,67 @@ object Similarity {
       .orderBy($"cell")
   }
 
+  /** B-cubed clustering evaluation (q336): score the IVF cell
+    * partition (the engine's dedup/semantic-clustering unit, q83/q122)
+    * against the gold labels with the B-cubed P/R/F1 of Bagga &
+    * Baldwin — the standard for DEDUP cluster quality because, unlike
+    * pair-F1, it weights every ITEM equally: per item, precision is
+    * the label-purity of its cluster and recall is the fraction of
+    * its class it shares a cluster with. Both reduce to sums over the
+    * (cell, label) contingency cells: P = Σ cnt·⌊10⁶cnt/n_cluster⌋/N
+    * (quantize per cell, THEN integer-sum — exact cross-engine).
+    * Single summary row; everything after the assignment argmax is
+    * contingency-sized. */
+  def q336BcubedEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = ivfAssigned(quantized(s, d), ivfCentroids(quantized(s, d)))
+      .select($"cell", $"vec_id", $"label".cast("long").as("label"))
+      .localCheckpoint()
+    val cellSz = m.groupBy($"cell").agg(count(lit(1)).as("n_cluster"))
+    val clsSz = m.groupBy($"label").agg(count(lit(1)).as("n_class"))
+    val cellCls = m.groupBy($"cell", $"label").agg(count(lit(1)).as("cnt"))
+    val pr = cellCls
+      .join(cellSz, "cell").join(clsSz, "label")
+      .agg(sum($"cnt").as("n"),
+        sum($"cnt" * expr("1000000 * cnt div n_cluster")).as("psum"),
+        sum($"cnt" * expr("1000000 * cnt div n_class")).as("rsum"))
+    val sizes = cellSz.agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(clsSz.agg(count(lit(1)).as("n_classes")))
+    pr.crossJoin(sizes)
+      .selectExpr("n", "n_clusters", "n_classes",
+        "psum div n AS bcubed_p_micro",
+        "rsum div n AS bcubed_r_micro")
+      .withColumn("bcubed_f1_micro",
+        expr("""CASE WHEN bcubed_p_micro + bcubed_r_micro = 0 THEN 0
+                ELSE (2 * bcubed_p_micro * bcubed_r_micro) div (bcubed_p_micro + bcubed_r_micro) END"""))
+  }
+
+  val q336Oracle: String =
+    s"""WITH $ivfAssignWith,
+       m AS (
+         SELECT cell, c.vec_id, CAST(e.label AS BIGINT) AS label
+         FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id),
+       csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cluster FROM m GROUP BY 1),
+       ksz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class FROM m GROUP BY 1),
+       cc AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2),
+       pr AS (
+         SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(cnt * (1000000 * cnt // n_cluster)) AS BIGINT) AS psum,
+           CAST(sum(cnt * (1000000 * cnt // n_class)) AS BIGINT) AS rsum
+         FROM cc JOIN csz USING (cell) JOIN ksz USING (label)),
+       sz AS (
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM csz) AS n_clusters,
+           (SELECT CAST(count(*) AS BIGINT) FROM ksz) AS n_classes),
+       f AS (
+         SELECT n, n_clusters, n_classes,
+           psum // n AS bcubed_p_micro, rsum // n AS bcubed_r_micro
+         FROM pr CROSS JOIN sz)
+       SELECT n, n_clusters, n_classes, bcubed_p_micro, bcubed_r_micro,
+         CASE WHEN bcubed_p_micro + bcubed_r_micro = 0 THEN 0
+              ELSE (2 * bcubed_p_micro * bcubed_r_micro) // (bcubed_p_micro + bcubed_r_micro) END
+           AS bcubed_f1_micro
+       FROM f"""
+
   val q122Oracle: String =
     s"""WITH $ivfAssignWith,
        m AS (
@@ -1679,6 +1740,7 @@ object Similarity {
     "q132_label_silhouette" -> q132LabelSilhouette,
     "q133_hard_negatives" -> q133HardNegatives,
     "q122_pseudo_labels" -> q122PseudoLabels,
+    "q336_bcubed_eval" -> q336BcubedEval,
     "q105_index_quality" -> q105IndexQuality,
     "q86_ann_multiprobe" -> q86AnnMultiprobe,
     "q83_semantic_dedup" -> q83SemanticDedup,
@@ -1704,6 +1766,7 @@ object Similarity {
     "q132_label_silhouette" -> q132Oracle,
     "q133_hard_negatives" -> q133Oracle,
     "q122_pseudo_labels" -> q122Oracle,
+    "q336_bcubed_eval" -> q336Oracle,
     "q105_index_quality" -> q105Oracle,
     "q86_ann_multiprobe" -> q86Oracle,
     "q83_semantic_dedup" -> q83Oracle,

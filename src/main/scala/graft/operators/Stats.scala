@@ -3523,6 +3523,92 @@ object Stats {
        FROM pool
        ORDER BY stratum"""
 
+  /** James–Stein / Efron–Morris shrinkage of group means (q338): the
+    * winner's-curse correction — 25 per-nation mean order values are
+    * shrunk toward the grand mean with the positive-part factor
+    * B_i = max(0, 1 − (k−3)·(σ̂²/n_i)/S), S = Σ(m_i − m̄)², σ̂² the
+    * pooled within variance. Near-zero B here is the correct
+    * finding: nation means on this data are mostly noise, and the
+    * raw per-group leaderboard (q04-style) overstates the spread —
+    * exactly what a metrics platform ships shrinkage for. The two
+    * k-sized double sums accumulate through FIXED-order cumulative
+    * windows (q301 discipline); one fact scan, everything after on
+    * the 25-row relation. */
+  def q338JamesStein(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("y"))
+    val cells = base.groupBy($"nation").agg(
+      count(lit(1)).as("n"), sum($"y").as("sy"),
+      sum($"y".cast("decimal(12,0)") * $"y".cast("decimal(12,0)")).as("syy"))
+    val tot = cells.agg(sum($"n").as("nt"), sum($"sy").as("syt"),
+      count(lit(1)).as("k"))
+    val st = cells.crossJoin(broadcast(tot))
+      .selectExpr("nation", "n",
+        "CAST(sy AS DOUBLE) / n AS mi",
+        "CAST(syt AS DOUBLE) / nt AS gm",
+        "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) AS wss",
+        "nt", "k")
+    val wcum = Window.orderBy($"nation")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acc = st
+      .withColumn("cumw", sum($"wss").over(wcum))
+      .withColumn("cums", sum(($"mi" - $"gm") * ($"mi" - $"gm")).over(wcum))
+      .withColumn("rn", row_number().over(Window.orderBy($"nation".desc)))
+    val scal = acc.filter($"rn" === 1)
+      .selectExpr("cumw / (nt - k) AS sig2", "cums AS s")
+    acc.crossJoin(broadcast(scal))
+      .selectExpr("nation", "n", "mi", "gm",
+        "greatest(0.0, 1.0 - (k - 3) * (sig2 / n) / s) AS b")
+      .selectExpr("nation", "n",
+        "CAST(floor(mi) AS BIGINT) AS mean_cents",
+        "CAST(floor(b * 1000.0) AS BIGINT) AS b_milli",
+        "CAST(floor(gm + b * (mi - gm)) AS BIGINT) AS shrunk_cents")
+      .orderBy($"nation")
+  }
+
+  val q338Oracle: String =
+    """WITH base AS (
+         SELECT n.n_name AS nation,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+         JOIN nation n ON cu.c_nationkey = n.n_nationkey),
+       cells AS (
+         SELECT nation, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+         FROM base GROUP BY 1),
+       tot AS (
+         SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sy) AS BIGINT) AS syt,
+           CAST(count(*) AS BIGINT) AS k
+         FROM cells),
+       st AS (
+         SELECT c.nation, c.n,
+           CAST(c.sy AS DOUBLE) / c.n AS mi,
+           CAST(t.syt AS DOUBLE) / t.nt AS gm,
+           (CAST(c.syy AS DOUBLE) - CAST(c.sy AS DOUBLE) * CAST(c.sy AS DOUBLE) / c.n) AS wss,
+           t.nt, t.k
+         FROM cells c CROSS JOIN tot t),
+       acc AS (
+         SELECT nation, n, mi, gm, nt, k,
+           sum(wss) OVER (ORDER BY nation ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum((mi - gm) * (mi - gm)) OVER (ORDER BY nation ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+           row_number() OVER (ORDER BY nation DESC) AS rn
+         FROM st),
+       scal AS (SELECT cumw / (nt - k) AS sig2, cums AS s FROM acc WHERE rn = 1),
+       fit AS (
+         SELECT a.nation, a.n, a.mi, a.gm,
+           greatest(0.0, 1.0 - (a.k - 3) * (sc.sig2 / a.n) / sc.s) AS b
+         FROM acc a CROSS JOIN scal sc)
+       SELECT nation, n,
+         CAST(floor(mi) AS BIGINT) AS mean_cents,
+         CAST(floor(b * 1000.0) AS BIGINT) AS b_milli,
+         CAST(floor(gm + b * (mi - gm)) AS BIGINT) AS shrunk_cents
+       FROM fit ORDER BY nation"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -3626,6 +3712,7 @@ object Stats {
     "q318_changepoint" -> q318Changepoint,
     "q322_ols_regression" -> q322OlsRegression,
     "q323_propensity_strata" -> q323PropensityStrata,
+    "q338_james_stein" -> q338JamesStein,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3683,6 +3770,7 @@ object Stats {
     "q318_changepoint" -> q318Oracle,
     "q322_ols_regression" -> q322Oracle,
     "q323_propensity_strata" -> q323Oracle,
+    "q338_james_stein" -> q338Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

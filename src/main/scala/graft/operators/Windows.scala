@@ -1536,7 +1536,21 @@ object Windows {
        FROM sm WHERE rn = 1 ORDER BY event_type"""
   }
 
+  /** Hourly value-quantile sentinel, batch twin (q335): the same
+    * single-aggregation bucket-histogram transform that runs under
+    * Structured Streaming ([[graft.streaming.EventStreams
+    * .valueQuantiles]]) — registering the batch face here puts the
+    * SHARED code path under the DuckDB hash gate, so the streaming
+    * query's arithmetic is oracle-checked even though the stream
+    * itself is spec-checked by equality. */
+  def q335HourlyQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventStreams.valueQuantiles(Tables.events(s, d))
+      .orderBy($"hour_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_hourly_quantiles" -> q335HourlyQuantiles,
     "q321_holt_des" -> q321HoltDes,
     "q249_forecast_backtest" -> q249ForecastBacktest,
     "q242_rolling_corr" -> q242RollingCorr,
@@ -1586,6 +1600,7 @@ object Windows {
     "q166_lateness_audit" -> q166Oracle,
     "q156_ewma" -> q156Oracle,
     "q321_holt_des" -> q321Oracle,
+    "q335_hourly_quantiles" -> graft.streaming.EventStreams.q335Oracle,
     "q121_anomalies" -> q121Oracle,
     "q84_range_frame" -> q84Oracle,
     "q63_asof_join" -> q63Oracle,

@@ -116,6 +116,75 @@ object EventStreams {
   def srmSentinelStream(s: SparkSession, eventsDir: String): DataFrame =
     srmSentinel(readEventsStream(s, eventsDir, oneFilePerTrigger = false))
 
+  /** Geometric cent thresholds for [[valueQuantiles]]: the quantile
+    * readout is the smallest threshold whose cumulative count reaches
+    * the rank, i.e. a CONSERVATIVE upper bound at bucket resolution. */
+  private[graft] val quantileBuckets: Seq[Long] =
+    Seq(100L, 200L, 500L, 1000L, 2000L, 5000L, 10000L, 20000L, 50000L)
+
+  private def bucketCase(phi: Int): String =
+    quantileBuckets.zipWithIndex.map { case (t, i) =>
+      s"WHEN 100 * c${i + 1} >= $phi * n THEN $t"
+    }.mkString("CAST(CASE ", " ", " ELSE 999999 END AS BIGINT)")
+
+  /** Streaming value-quantile sentinel: per 1-hour window, p50/p90/p99
+    * of the event value as bucket-histogram upper bounds. The trick
+    * that makes this STREAMING-SAFE in append mode is that the
+    * cumulative bucket counters are conditional counts INSIDE the one
+    * windowed aggregation (c_i = #{value ≤ t_i} — monotone by
+    * construction), and the quantile selection is a stateless CASE
+    * projection after it: single stateful operator, watermark-bounded
+    * state, no second aggregation, no per-window sort. Bucket
+    * resolution is the contract (9 geometric thresholds); exact
+    * within-bucket quantiles are the batch engine's job (q57/q149).
+    * Works identically on batch input — q335 registers that twin
+    * against a DuckDB oracle. */
+  def valueQuantiles(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val counters = quantileBuckets.zipWithIndex.map { case (t, i) =>
+      count(when($"c" <= t, lit(1))).as(s"c${i + 1}")
+    }
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("c", ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), counters: _*)
+      .select(Seq(
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"n",
+        expr(bucketCase(50)).as("p50_le_cents"),
+        expr(bucketCase(90)).as("p90_le_cents"),
+        expr(bucketCase(99)).as("p99_le_cents")): _*)
+  }
+
+  /** Streaming entry for [[valueQuantiles]]. */
+  def valueQuantilesStream(s: SparkSession, eventsDir: String): DataFrame =
+    valueQuantiles(readEventsStream(s, eventsDir, oneFilePerTrigger = false))
+
+  /** q335's DuckDB oracle — generated from the same bucket list and
+    * CASE builder as the engine side. */
+  val q335Oracle: String = {
+    val sums = quantileBuckets.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN c <= $t THEN 1 ELSE 0 END) AS BIGINT) AS c${i + 1}"
+    }.mkString(",\n           ")
+    s"""WITH ev AS (
+         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         FROM events),
+       agg AS (
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(count(*) AS BIGINT) AS n,
+           $sums
+         FROM ev GROUP BY 1)
+       SELECT hour_start, n,
+         ${bucketCase(50)} AS p50_le_cents,
+         ${bucketCase(90)} AS p90_le_cents,
+         ${bucketCase(99)} AS p99_le_cents
+       FROM agg ORDER BY hour_start"""
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, us: Long)

@@ -163,4 +163,43 @@ class SimilaritySeedSpec extends SparkSpec {
     // the audit is informative on this corpus: some query takes damage
     assert(got.exists(_._7 < 1000000))
   }
+
+  test("q336: B-cubed matches a from-scratch assignment + eval replay") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qa"))
+      .as[(Long, Long, Seq[Long])].collect()
+    // replicate the engine's IVF assignment: centroid = vec_id % 50 == 0,
+    // rank key = (num·|num|·10000) div (n2·cn), argmax with centroid tiebreak
+    def n2(v: Seq[Long]) = v.map(x => x * x).sum
+    val cents = vecs.filter(_._1 % 50 == 0).map(c => (c._1, c._3, n2(c._3)))
+    val assigned = vecs.map { case (id, label, qa) =>
+      val vn = n2(qa)
+      val best = cents.map { case (cid, cv, cn) =>
+        val num = qa.zip(cv).map { case (a, b) => a * b }.sum
+        // Spark `div` truncates toward zero — match it exactly
+        val key = num * math.abs(num) * 10000 / (vn * cn)
+        (-key, cid)
+      }.min
+      (best._2, id, label)
+    }
+    val byCell = assigned.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byClass = assigned.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cellCls = assigned.groupBy(a => (a._1, a._3)).view.mapValues(_.length.toLong)
+    val n = assigned.length.toLong
+    val psum = cellCls.map { case ((cell, _), cnt) =>
+      cnt * (1000000L * cnt / byCell(cell)) }.sum
+    val rsum = cellCls.map { case ((_, cls), cnt) =>
+      cnt * (1000000L * cnt / byClass(cls)) }.sum
+    val (p, r) = (psum / n, rsum / n)
+    val f1 = if (p + r == 0) 0L else 2 * p * r / (p + r)
+    val got = Similarity.q336BcubedEval(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((n, byCell.size.toLong, byClass.size.toLong, p, r, f1)))
+    // B-cubed stays inside [0, 1]; the harmonic mean sits between P and R
+    assert(p <= 1000000L && r <= 1000000L)
+    assert(f1 >= math.min(p, r) - 1 && f1 <= math.max(p, r))
+  }
 }

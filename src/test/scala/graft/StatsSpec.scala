@@ -1208,4 +1208,50 @@ class StatsSpec extends SparkSpec {
     val nCust = graft.io.Tables.customer(spark, d).count()
     assert(pooled._2 + pooled._3 == nCust)
   }
+
+  test("q338: James-Stein shrinkage matches an exact fold replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q338JamesStein(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 25)
+    val rows = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.io.Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val cells = rows.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum,
+        g.map(v => BigInt(v._2) * v._2).sum)
+    }.toMap
+    val k = cells.size
+    val nt = cells.values.map(_._1).sum
+    val gm = cells.values.map(_._2).sum.toDouble / nt
+    val nations = cells.keys.toSeq.sorted
+    var (cumw, cums) = (0.0, 0.0)
+    nations.foreach { nm =>
+      val (n, sy, syy) = cells(nm)
+      cumw += syy.toDouble - sy.toDouble * sy.toDouble / n
+      val mi = sy.toDouble / n
+      cums += (mi - gm) * (mi - gm)
+    }
+    val sig2 = cumw / (nt - k)
+    got.foreach { case (nm, n, meanC, bMilli, shrunkC) =>
+      val (cn, sy, _) = cells(nm)
+      assert(n == cn)
+      val mi = sy.toDouble / n
+      val b = math.max(0.0, 1.0 - (k - 3) * (sig2 / n) / cums)
+      assert(meanC == math.floor(mi).toLong)
+      assert(bMilli == math.floor(b * 1000.0).toLong)
+      assert(shrunkC == math.floor(gm + b * (mi - gm)).toLong)
+      // shrunk estimate lies between the raw mean and the grand mean
+      assert(shrunkC >= math.min(meanC, math.floor(gm).toLong) - 1 &&
+        shrunkC <= math.max(meanC, math.ceil(gm).toLong) + 1)
+    }
+  }
 }

@@ -544,4 +544,32 @@ class StreamingSpec extends SparkSpec {
       assert(batch.forall(r => r.last == 0L))
     } finally q.stop()
   }
+
+  test("streaming value-quantile sentinel == batch transform") {
+    val d = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("ev_vq")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      staged.resolve("events.parquet"))
+    val batch = EventStreams.valueQuantiles(
+      spark.read.schema(EventStreams.rawSchema)
+        .parquet(staged.resolve("events.parquet").toString))
+      .collect().map(_.toSeq).toSet
+    val q = EventStreams.valueQuantilesStream(spark, staged.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vq_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("vq_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // quantile readouts are ordered and come from the bucket grid
+      val grid = EventStreams.quantileBuckets.toSet + 999999L
+      batch.foreach { r =>
+        val (p50, p90, p99) =
+          (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long], r(4).asInstanceOf[Long])
+        assert(p50 <= p90 && p90 <= p99)
+        assert(grid(p50) && grid(p90) && grid(p99))
+      }
+    } finally q.stop()
+  }
 }
