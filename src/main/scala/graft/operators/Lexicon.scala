@@ -730,7 +730,7 @@ object Lexicon {
     val words = Tables.documents(s, d)
       .select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .cache()
     val sub = words
       .select($"w", $"cnt", explode(sequence(lit(1), lit(4))).as("ln"))
       .filter(length($"w") >= $"ln")
@@ -746,34 +746,49 @@ object Lexicon {
     val costs = vocab.crossJoin(broadcast(tot))
       .select($"piece",
         floor(log($"t" * lit(1.0) / $"freq") * 1000000.0).cast("long").as("pcost"))
-      .localCheckpoint()
-    val s0 = words.filter(length($"w") <= LMAX)
-      .select($"w".as("word"), lit(0L).as("cost"), lit("").as("seg"))
-    val states = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
-    for (i <- 1 to LMAX) {
-      val cands = (math.max(0, i - 4) until i).map { j =>
-        states(j).filter(length($"word") >= i)
-          .select($"word", $"cost", $"seg",
-            expr(s"substr(word, ${j + 1}, ${i - j})").as("piece"))
-          .join(broadcast(costs), "piece")
-          .select($"word", ($"cost" + $"pcost").as("cost"),
-            concat($"seg", lit("|"), $"piece").as("seg"))
-      }.reduce(_ unionByName _)
-      val si = cands.withColumn("rn", row_number().over(
-          Window.partitionBy($"word").orderBy($"cost", $"seg")))
-        .filter($"rn" === 1).select($"word", $"cost", $"seg")
-        .localCheckpoint()
-      states += si
-    }
-    val fin = (1 to LMAX).map { i =>
-      states(i).filter(length($"word") === i)
-        .select($"word", lit(i.toLong).as("wlen"), $"cost", $"seg")
-    }.reduce(_ unionByName _)
-    fin.join(words.withColumnRenamed("w", "word"), "word")
-      .select($"word", $"cnt", $"wlen",
-        (size(split($"seg", "\\|")) - 1).cast("long").as("n_pieces"),
-        $"cost".as("cost_micro"), expr("substr(seg, 2)").as("seg"))
-      .orderBy($"word")
+      .cache()
+    // The piece-cost table is VOCAB-BOUNDED (all single chars + top-40
+    // multigrams) — collecting it is a driver control decision over a
+    // tiny relation (the q238 class). The per-word DP itself is
+    // genuine per-row imperative logic, so it runs as a typed map
+    // over the DISTINCT-WORD relation (the union-find / multimodal
+    // doctrine: mapPartitions-class code exactly where Catalyst does
+    // not fit) — embarrassingly parallel per word at any corpus
+    // scale, one narrow stage, no per-round jobs. Two declarative
+    // formulations were measured first and rejected: per-round
+    // DataFrames need an eager checkpoint per position (12 jobs,
+    // 9.6 s at sf0.1), and a rolling-column projection chain
+    // re-expands through projection collapse into a 4^LMAX
+    // expression tree (OOM). The result is still hash-checked
+    // against the DuckDB unrolled-CTE oracle.
+    val costMap = costs.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = words.filter(length($"w") <= LMAX)
+      .select($"w", $"cnt").as[(String, Long)]
+      .map { case (w, cnt) =>
+        val best = Array.fill[(Long, String)](w.length + 1)((Long.MaxValue, ""))
+        best(0) = (0L, "")
+        for (i <- 1 to w.length) {
+          var winner: (Long, String) = (Long.MaxValue, "")
+          for (k <- 1 to math.min(4, i) if best(i - k)._1 != Long.MaxValue) {
+            val piece = w.substring(i - k, i)
+            costMap.get(piece).foreach { pc =>
+              val cand = (best(i - k)._1 + pc, best(i - k)._2 + "|" + piece)
+              // argmin on (cost, seg) — the same tie-break the
+              // windowed formulation used
+              if (cand._1 < winner._1 ||
+                  (cand._1 == winner._1 && cand._2 < winner._2))
+                winner = cand
+            }
+          }
+          best(i) = winner
+        }
+        val (c, seg) = best(w.length)
+        (w, cnt, w.length.toLong,
+          seg.split("\\|").length - 1L, c, seg.drop(1))
+      }
+      .toDF("word", "cnt", "wlen", "n_pieces", "cost_micro", "seg")
+    out.filter($"cost_micro" =!= Long.MaxValue).orderBy($"word")
   }
 
   /** q317's oracle: the identical 12-round DP, generated as unrolled
