@@ -565,6 +565,71 @@ object Similarity {
            AS bcubed_f1_micro
        FROM f"""
 
+  /** Embedding dimension-correlation audit (q340): the feature-
+    * covariance health check run before whitening / PCA decisions
+    * (q94 standardizes scales; q270 audits a projection; this finds
+    * REDUNDANT axes): Pearson ρ for every dimension pair off exact
+    * int64 sufficient statistics, top-15 by |ρ| with full tie-break.
+    * The pair space is Θ(D²/2) per vector (D = 64 → 2016 values/row)
+    * — bounded by DIMENSION, linear in corpus size; the correlation
+    * and ranking run over the 2016-row aggregate. One IEEE
+    * sqrt-ratio per pair, floored once (q308's moment form). */
+  def q340DimCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables.embeddings(s, d).select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qa"))
+      .select($"vec_id", posexplode($"qa").as(Seq("dim", "v")))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
+      .select(col("a.dim").as("di"), col("b.dim").as("dj"),
+        col("a.v").as("vi"), col("b.v").as("vj"))
+    val stats = pairs.groupBy($"di", $"dj").agg(
+      count(lit(1)).as("n"), sum($"vi").as("si"), sum($"vj").as("sj"),
+      sum($"vi" * $"vj").as("sij"), sum($"vi" * $"vi").as("sii"),
+      sum($"vj" * $"vj").as("sjj"))
+    stats.selectExpr("di", "dj", "n",
+        """CAST(floor(
+            (CAST(n AS DOUBLE) * sij - CAST(si AS DOUBLE) * sj)
+            / sqrt((CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si)
+                   * (CAST(n AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj))
+            * 10000.0) AS BIGINT) AS rho_bp""")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs($"rho_bp").desc, $"di", $"dj")).cast("long"))
+      .filter($"rank" <= 15)
+      .select($"di", $"dj", $"n", $"rho_bp", $"rank")
+      .orderBy($"rank")
+  }
+
+  val q340Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       ex AS (SELECT vec_id, unnest(qa) AS v, unnest(range(len(qa))) AS dim FROM q),
+       pairs AS (
+         SELECT a.dim AS di, b.dim AS dj, a.v AS vi, b.v AS vj
+         FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim),
+       stats AS (
+         SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vi) AS BIGINT) AS si, CAST(sum(vj) AS BIGINT) AS sj,
+           CAST(sum(vi * vj) AS BIGINT) AS sij,
+           CAST(sum(vi * vi) AS BIGINT) AS sii,
+           CAST(sum(vj * vj) AS BIGINT) AS sjj
+         FROM pairs GROUP BY 1, 2),
+       corr AS (
+         SELECT di, dj, n,
+           CAST(floor(
+             (CAST(n AS DOUBLE) * sij - CAST(si AS DOUBLE) * sj)
+             / sqrt((CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si)
+                    * (CAST(n AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj))
+             * 10000.0) AS BIGINT) AS rho_bp
+         FROM stats),
+       r AS (
+         SELECT di, dj, n, rho_bp,
+           CAST(row_number() OVER (ORDER BY abs(rho_bp) DESC, di, dj) AS BIGINT) AS rank
+         FROM corr)
+       SELECT di, dj, n, rho_bp, rank FROM r WHERE rank <= 15 ORDER BY rank"""
+
   val q122Oracle: String =
     s"""WITH $ivfAssignWith,
        m AS (
@@ -1741,6 +1806,7 @@ object Similarity {
     "q133_hard_negatives" -> q133HardNegatives,
     "q122_pseudo_labels" -> q122PseudoLabels,
     "q336_bcubed_eval" -> q336BcubedEval,
+    "q340_dim_corr" -> q340DimCorr,
     "q105_index_quality" -> q105IndexQuality,
     "q86_ann_multiprobe" -> q86AnnMultiprobe,
     "q83_semantic_dedup" -> q83SemanticDedup,
@@ -1767,6 +1833,7 @@ object Similarity {
     "q133_hard_negatives" -> q133Oracle,
     "q122_pseudo_labels" -> q122Oracle,
     "q336_bcubed_eval" -> q336Oracle,
+    "q340_dim_corr" -> q340Oracle,
     "q105_index_quality" -> q105Oracle,
     "q86_ann_multiprobe" -> q86Oracle,
     "q83_semantic_dedup" -> q83Oracle,

@@ -3609,6 +3609,97 @@ object Stats {
          CAST(floor(gm + b * (mi - gm)) AS BIGINT) AS shrunk_cents
        FROM fit ORDER BY nation"""
 
+  /** Qini / uplift-by-decile audit (q339): the TARGETING read-out an
+    * uplift model ships with — customers deciled by a score (balance,
+    * via the q93 descending cumulative-histogram idiom — never a
+    * row-level ntile), per decile the treated-vs-control conversion
+    * uplift and the cumulative Qini curve
+    * Q(k) = ΣY_t − ΣY_c·N_t/N_c. On parity (A/A) arms the curve
+    * correctly hugs zero — the null-calibration claim. Integer rates
+    * (micro, floor-div); the single double ratio in Q is one
+    * identical tree floored once. One customer scan + one orders
+    * semi-aggregate; windows over the 10-row decile relation. */
+  def q339Qini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", ($"c_custkey" % 2).as("t"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("score"))
+    val conv = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey".as("c_custkey")).agg(lit(1L).as("converted"))
+    val base = cust.join(conv, Seq("c_custkey"), "left")
+      .select($"t", $"score", coalesce($"converted", lit(0L)).as("y"))
+      .localCheckpoint()
+    val hist = base.groupBy($"score").agg(count(lit(1)).as("cnt"))
+    val dec = hist
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"score".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"cnt").over(Window.partitionBy()))
+      .select($"score",
+        least(lit(9L), expr("10 * (cum - cnt) div tot")).as("decile"))
+    val cells = base.join(dec, "score").groupBy($"decile").agg(
+      sum(when($"t" === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when($"t" === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when($"t" === 1, $"y").otherwise(0L)).as("y_t"),
+      sum(when($"t" === 0, $"y").otherwise(0L)).as("y_c"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cnt_t", sum($"n_t").over(w))
+      .withColumn("cnt_c", sum($"n_c").over(w))
+      .withColumn("cy_t", sum($"y_t").over(w))
+      .withColumn("cy_c", sum($"y_c").over(w))
+      .selectExpr("decile", "n_t", "n_c",
+        "1000000 * y_t div n_t AS rate_t_micro",
+        "1000000 * y_c div n_c AS rate_c_micro",
+        "1000000 * y_t div n_t - 1000000 * y_c div n_c AS uplift_micro",
+        "CAST(floor((cy_t - CAST(cy_c AS DOUBLE) * cnt_t / cnt_c) * 1000.0) AS BIGINT) AS qini_milli")
+      .orderBy($"decile")
+  }
+
+  val q339Oracle: String =
+    """WITH cust AS (
+         SELECT c_custkey, CAST(c_custkey % 2 AS BIGINT) AS t,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+         FROM customer),
+       conv AS (
+         SELECT o_custkey AS c_custkey, CAST(1 AS BIGINT) AS converted
+         FROM orders
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1),
+       base AS (
+         SELECT c.t, c.score, COALESCE(v.converted, 0) AS y
+         FROM cust c LEFT JOIN conv v ON c.c_custkey = v.c_custkey),
+       hist AS (
+         SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+       dec AS (
+         SELECT score,
+           CAST(least(9, 10 * (cum - cnt) // tot) AS BIGINT) AS decile
+         FROM (SELECT score, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS tot
+               FROM hist)),
+       cells AS (
+         SELECT d.decile,
+           CAST(sum(CASE WHEN b.t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(sum(CASE WHEN b.t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN b.t = 1 THEN b.y ELSE 0 END) AS BIGINT) AS y_t,
+           CAST(sum(CASE WHEN b.t = 0 THEN b.y ELSE 0 END) AS BIGINT) AS y_c
+         FROM base b JOIN dec d ON b.score = d.score
+         GROUP BY 1),
+       cum AS (
+         SELECT decile, n_t, n_c, y_t, y_c,
+           CAST(sum(n_t) OVER w AS BIGINT) AS cnt_t, CAST(sum(n_c) OVER w AS BIGINT) AS cnt_c,
+           CAST(sum(y_t) OVER w AS BIGINT) AS cy_t, CAST(sum(y_c) OVER w AS BIGINT) AS cy_c
+         FROM cells
+         WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT decile, n_t, n_c,
+         1000000 * y_t // n_t AS rate_t_micro,
+         1000000 * y_c // n_c AS rate_c_micro,
+         1000000 * y_t // n_t - 1000000 * y_c // n_c AS uplift_micro,
+         CAST(floor((cy_t - CAST(cy_c AS DOUBLE) * cnt_t / cnt_c) * 1000.0) AS BIGINT) AS qini_milli
+       FROM cum ORDER BY decile"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -3713,6 +3804,7 @@ object Stats {
     "q322_ols_regression" -> q322OlsRegression,
     "q323_propensity_strata" -> q323PropensityStrata,
     "q338_james_stein" -> q338JamesStein,
+    "q339_qini" -> q339Qini,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3771,6 +3863,7 @@ object Stats {
     "q322_ols_regression" -> q322Oracle,
     "q323_propensity_strata" -> q323Oracle,
     "q338_james_stein" -> q338Oracle,
+    "q339_qini" -> q339Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -202,4 +202,30 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(p <= 1000000L && r <= 1000000L)
     assert(f1 >= math.min(p, r) - 1 && f1 <= math.max(p, r))
   }
+
+  test("q340: top dim correlations match a scalar Pearson replay") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = Similarity.q340DimCorr(spark, d)
+      .as[(Int, Int, Long, Long, Long)].collect().sortBy(_._5)
+    assert(got.map(_._5).toSeq == (1L to 15L))
+    got.foreach { r => assert(math.abs(r._4) <= 10000L && r._1 < r._2) }
+    // |rho| non-increasing down the ranks
+    val a = got.map(r => math.abs(r._4))
+    assert(a.zip(a.tail).forall { case (x, y) => x >= y })
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .as[Seq[Long]].collect()
+    def rho(i: Int, j: Int): Long = {
+      val n = vecs.length.toDouble
+      val (vi, vj) = (vecs.map(_(i)), vecs.map(_(j)))
+      val si = vi.sum.toDouble; val sj = vj.sum.toDouble
+      val sij = vi.zip(vj).map { case (a, b) => a * b }.sum.toDouble
+      val sii = vi.map(x => x * x).sum.toDouble
+      val sjj = vj.map(x => x * x).sum.toDouble
+      math.floor((n * sij - si * sj) /
+        math.sqrt((n * sii - si * si) * (n * sjj - sj * sj)) * 10000.0).toLong
+    }
+    got.foreach { r => assert(r._4 == rho(r._1, r._2), s"pair ${(r._1, r._2)}") }
+  }
 }

@@ -1254,4 +1254,44 @@ class StatsSpec extends SparkSpec {
         shrunkC <= math.max(meanC, math.ceil(gm).toLong) + 1)
     }
   }
+
+  test("q339: Qini curve matches a full decile replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q339Qini(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    val cust = graft.io.Tables.customer(spark, d)
+      .select(col("c_custkey"), (col("c_custkey") % 2).as("t"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("score"))
+      .as[(Long, Long, Long)].collect()
+    val conv = graft.io.Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().as[Long].collect().toSet
+    // decile replay: descending-score histogram, bin by mass before
+    val hist = cust.groupBy(_._3).view.mapValues(_.length.toLong).toSeq
+      .sortBy(-_._1)
+    val tot = cust.length.toLong
+    var cum = 0L
+    val decOf = hist.map { case (score, cnt) =>
+      val before = cum; cum += cnt
+      score -> math.min(9L, 10 * before / tot)
+    }.toMap
+    val byDec = cust.groupBy(c => decOf(c._3))
+    var (cyT, cyC, cntT, cntC) = (0L, 0L, 0L, 0L)
+    (0L to 9L).foreach { dec =>
+      val g = byDec.getOrElse(dec, Array.empty[(Long, Long, Long)])
+      val nT = g.count(_._2 == 1L).toLong; val nC = g.count(_._2 == 0L).toLong
+      val yT = g.count(r => r._2 == 1L && conv(r._1)).toLong
+      val yC = g.count(r => r._2 == 0L && conv(r._1)).toLong
+      cyT += yT; cyC += yC; cntT += nT; cntC += nC
+      val row = got(dec.toInt)
+      assert(row._2 == nT && row._3 == nC)
+      assert(row._4 == 1000000L * yT / nT && row._5 == 1000000L * yC / nC)
+      assert(row._6 == row._4 - row._5)
+      assert(row._7 == math.floor((cyT - cyC.toDouble * cntT / cntC) * 1000.0).toLong)
+    }
+    assert(cntT + cntC == tot)
+  }
 }
