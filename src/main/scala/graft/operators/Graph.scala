@@ -720,7 +720,85 @@ object Graph {
        UNION ALL SELECT label, n_nodes, total_votes FROM nolab WHERE n_nodes > 0
        ORDER BY label"""
 
+  /** Newman modularity of a community assignment (q341): score the
+    * BRAND partition of the 1995 co-purchase graph —
+    * Q = Σ_c [e_in(c)/m − (d(c)/2m)²] — the objective Louvain/LPA
+    * optimize, exposed as the measuring stick so a driver loop
+    * (q320's rounds) can compare partitions. Near-zero Q here is the
+    * honest finding: brands do NOT cluster co-purchases. Integer
+    * e_in/m term (floor-div), one float-floor for the degree term;
+    * both per-community and the summed global Q (fixed total over
+    * the bounded community relation).
+    *
+    * Scale: two broadcast-dim hash joins tag edge endpoints; counts
+    * group by community (bounded); no per-node state. */
+  def q341Modularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
+      .distinct()
+    val e = items.as("a").join(items.as("b"), "ord")
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter($"u" < $"v")
+      .distinct()
+      .localCheckpoint()
+    val cassign = Tables.part(s, d)
+      .select($"p_partkey".as("node"), $"p_brand".as("c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e
+      .join(broadcast(cassign).withColumnRenamed("node", "u")
+        .withColumnRenamed("c", "cu"), "u")
+      .join(broadcast(cassign).withColumnRenamed("node", "v")
+        .withColumnRenamed("c", "cv"), "v")
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("c")).agg(count(lit(1)).as("e_in"))
+    val deg = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
+      .join(broadcast(cassign), "node")
+      .groupBy($"c").agg(count(lit(1)).as("dtot"))
+    deg.join(intra, Seq("c"), "left").crossJoin(broadcast(m))
+      .selectExpr("c", "COALESCE(e_in, 0) AS e_in", "dtot", "m")
+      .selectExpr("c", "e_in", "dtot",
+        """1000000 * e_in div m
+           - CAST(floor(1000000.0 * dtot * dtot / (4.0 * m * m)) AS BIGINT) AS q_micro""")
+      .withColumn("modularity_micro", sum($"q_micro").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"c".as("community"), $"e_in", $"dtot", $"q_micro",
+        $"modularity_micro")
+      .orderBy($"community")
+  }
+
+  val q341Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+       e AS (
+         SELECT DISTINCT a.p AS u, b.p AS v
+         FROM items a JOIN items b ON a.ord = b.ord AND a.p < b.p),
+       cassign AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       intra AS (
+         SELECT ca.c, CAST(count(*) AS BIGINT) AS e_in
+         FROM e JOIN cassign ca ON e.u = ca.node
+         JOIN cassign cb ON e.v = cb.node
+         WHERE ca.c = cb.c GROUP BY 1),
+       deg AS (
+         SELECT ca.c, CAST(count(*) AS BIGINT) AS dtot
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) x
+         JOIN cassign ca ON x.node = ca.node GROUP BY 1),
+       terms AS (
+         SELECT d.c, COALESCE(i.e_in, 0) AS e_in, d.dtot,
+           1000000 * COALESCE(i.e_in, 0) // m.m
+             - CAST(floor(1000000.0 * d.dtot * d.dtot / (4.0 * m.m * m.m)) AS BIGINT) AS q_micro
+         FROM deg d LEFT JOIN intra i ON d.c = i.c CROSS JOIN m)
+       SELECT c AS community, e_in, dtot, q_micro,
+         CAST(sum(q_micro) OVER () AS BIGINT) AS modularity_micro
+       FROM terms ORDER BY c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_modularity" -> q341Modularity,
     "q319_adamic_adar" -> q319AdamicAdar,
     "q320_label_prop" -> q320LabelProp,
     "q278_kcore_peel" -> q278KcorePeel,
@@ -734,6 +812,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q341_modularity" -> q341Oracle,
     "q319_adamic_adar" -> q319Oracle,
     "q320_label_prop" -> q320Oracle,
     "q278_kcore_peel" -> q278Oracle,

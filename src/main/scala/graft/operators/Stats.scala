@@ -3700,6 +3700,54 @@ object Stats {
          CAST(floor((cy_t - CAST(cy_c AS DOUBLE) * cnt_t / cnt_c) * 1000.0) AS BIGINT) AS qini_milli
        FROM cum ORDER BY decile"""
 
+  /** UCB1 bandit planning table (q342): the deterministic face of the
+    * explore/exploit loop — per arm (order priority), empirical
+    * reward mean (order value > $250k) plus the Auer et al.
+    * exploration bonus √(2 ln N / n_i), ranked into the next play
+    * order. Thompson sampling draws noise; UCB1 is a pure function
+    * of the counts, so the whole planner is one partial-agg scan and
+    * a 5-row ranking — and the engine's job is exactly this table
+    * (the draw/serve loop lives outside, q307's planner pattern).
+    * Integer mean (micro floor-div); the bonus is one identical
+    * double tree floored once. */
+  def q342Ucb1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.orders(s, d)
+      .select($"o_orderpriority".as("arm"),
+        when($"o_totalprice".cast("decimal(18,2)") > 250000.00, 1L)
+          .otherwise(0L).as("reward"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"reward").as("wins"))
+    val tot = agg.agg(sum($"n").as("nt"))
+    agg.crossJoin(broadcast(tot))
+      .selectExpr("arm", "n", "wins",
+        "1000000 * wins div n AS mean_micro",
+        "CAST(floor(sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / n) * 1000000.0) AS BIGINT) AS bonus_micro")
+      .withColumn("ucb_micro", $"mean_micro" + $"bonus_micro")
+      .withColumn("play_rank", row_number().over(
+        Window.orderBy(($"mean_micro" + $"bonus_micro").desc, $"arm")).cast("long"))
+      .orderBy($"play_rank")
+  }
+
+  val q342Oracle: String =
+    """WITH pulls AS (
+         SELECT o_orderpriority AS arm,
+           CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > 250000.00 THEN 1 ELSE 0 END AS reward
+         FROM orders),
+       agg AS (
+         SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(reward) AS BIGINT) AS wins
+         FROM pulls GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM agg),
+       sc AS (
+         SELECT arm, n, wins,
+           1000000 * wins // n AS mean_micro,
+           CAST(floor(sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / n) * 1000000.0) AS BIGINT) AS bonus_micro
+         FROM agg CROSS JOIN tot)
+       SELECT arm, n, wins, mean_micro, bonus_micro,
+         mean_micro + bonus_micro AS ucb_micro,
+         CAST(row_number() OVER (ORDER BY mean_micro + bonus_micro DESC, arm) AS BIGINT) AS play_rank
+       FROM sc ORDER BY play_rank"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -3805,6 +3853,7 @@ object Stats {
     "q323_propensity_strata" -> q323PropensityStrata,
     "q338_james_stein" -> q338JamesStein,
     "q339_qini" -> q339Qini,
+    "q342_ucb1" -> q342Ucb1,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3864,6 +3913,7 @@ object Stats {
     "q323_propensity_strata" -> q323Oracle,
     "q338_james_stein" -> q338Oracle,
     "q339_qini" -> q339Oracle,
+    "q342_ucb1" -> q342Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

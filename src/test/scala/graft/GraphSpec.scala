@@ -319,4 +319,26 @@ class GraphSpec extends SparkSpec {
     //   nodes 5,6: no seed neighbors  -> _NONE
     assert(got == Seq(("B#four", 2L, 2L), ("_NONE", 2L, 0L)))
   }
+
+  test("q341: modularity identities — sum of degrees, Q bounds, null replay") {
+    val got = operators.Graph.q341Modularity(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val qSum = got.head._5
+    assert(got.forall(_._5 == qSum))
+    assert(qSum == got.map(_._4).sum)
+    // Q in [-1/2, 1) in micro units
+    assert(qSum >= -500000L && qSum < 1000000L)
+    // Σ community degrees = 2m exactly; Σ e_in ≤ m
+    val edges = graft.io.Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p")).distinct()
+    val e = edges.as("a").join(edges.as("b"), "ord")
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter($"u" < $"v").distinct()
+    val m = e.count()
+    assert(got.map(_._3).sum == 2 * m)
+    assert(got.map(_._2).sum <= m)
+  }
 }

@@ -1294,4 +1294,22 @@ class StatsSpec extends SparkSpec {
     }
     assert(cntT + cntC == tot)
   }
+
+  test("q342: UCB1 scores match a direct replay; rank consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q342Ucb1(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._7)
+    assert(got.map(_._7).toSeq == (1L to got.length))
+    val nt = got.map(_._2).sum
+    got.foreach { case (_, n, wins, mean, bonus, ucb, _) =>
+      assert(mean == 1000000L * wins / n)
+      assert(bonus == math.floor(math.sqrt(2.0 * math.log(nt.toDouble) / n) * 1000000.0).toLong)
+      assert(ucb == mean + bonus)
+    }
+    // play order is (ucb desc, arm) exactly
+    val ord = got.map(r => (-r._6, r._1))
+    assert(ord.sameElements(ord.sorted))
+  }
 }
