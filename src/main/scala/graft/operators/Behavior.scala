@@ -1594,7 +1594,79 @@ object Behavior {
        FROM agg"""
 
 
+  /** Session Markov-surprisal anomaly ranking (q343): fit a global
+    * first-order transition model over (user, day) event sequences
+    * (q114's matrix as a LANGUAGE MODEL), score each session by the
+    * total surprisal of its transitions — ⌊ln(c_a/c_ab)·10⁶⌋ per
+    * transition, quantized at the BOUNDED model relation then only
+    * integer-summed (q141's discipline) — and rank the top-20 most
+    * anomalous sessions by average surprisal. This is the behavioral
+    * "weird session" detector (bot/fraud triage) built from the same
+    * machinery as the text LM ops.
+    *
+    * Scale: sequence windows are (user, day)-partitioned; the model
+    * is |event_types|²-bounded and broadcast back onto the
+    * transition stream; ranking is a TakeOrdered-shaped top-20 over
+    * the session aggregate. */
+  def q343SessionSurprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seq = Tables.events(s, d)
+      .select($"user_id", $"ts".cast("date").as("day"), $"ts",
+        $"event_type", $"event_id")
+      .withColumn("nxt", lead($"event_type", 1).over(
+        Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")))
+    val trans = seq.filter($"nxt".isNotNull)
+      .select($"user_id", $"day", $"event_type".as("a"), $"nxt".as("b"))
+      .localCheckpoint()
+    val gc = trans.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    val ga = gc.groupBy($"a").agg(sum($"c_ab").as("c_a"))
+    val w = gc.join(ga, "a")
+      .select($"a", $"b",
+        floor(log($"c_a".cast("double") / $"c_ab") * 1000000.0)
+          .cast("long").as("s_micro"))
+    val sess = trans.join(broadcast(w), Seq("a", "b"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_trans"), sum($"s_micro").as("surprise_micro"))
+      .filter($"n_trans" >= 3)
+      .withColumn("avg_micro", expr("surprise_micro div n_trans"))
+    sess.withColumn("rank", row_number().over(
+        Window.orderBy($"avg_micro".desc, $"user_id", $"day")).cast("long"))
+      .filter($"rank" <= 20)
+      .select($"rank", $"user_id", $"day", $"n_trans",
+        $"surprise_micro", $"avg_micro")
+      .orderBy($"rank")
+  }
+
+  val q343Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, CAST(ts AS TIMESTAMP) AS t, event_type, event_id
+         FROM events),
+       seq AS (
+         SELECT user_id, day, event_type,
+           lead(event_type) OVER (PARTITION BY user_id, day ORDER BY t, event_id) AS nxt
+         FROM ev),
+       trans AS (SELECT user_id, day, event_type AS a, nxt AS b FROM seq WHERE nxt IS NOT NULL),
+       gc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM trans GROUP BY 1, 2),
+       ga AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM gc GROUP BY 1),
+       w AS (
+         SELECT gc.a, gc.b,
+           CAST(floor(ln(CAST(ga.c_a AS DOUBLE) / gc.c_ab) * 1000000.0) AS BIGINT) AS s_micro
+         FROM gc JOIN ga ON gc.a = ga.a),
+       sess AS (
+         SELECT t.user_id, t.day, CAST(count(*) AS BIGINT) AS n_trans,
+           CAST(sum(w.s_micro) AS BIGINT) AS surprise_micro
+         FROM trans t JOIN w ON t.a = w.a AND t.b = w.b
+         GROUP BY 1, 2),
+       r AS (
+         SELECT user_id, day, n_trans, surprise_micro,
+           surprise_micro // n_trans AS avg_micro,
+           row_number() OVER (ORDER BY surprise_micro // n_trans DESC, user_id, day) AS rnk
+         FROM sess WHERE n_trans >= 3)
+       SELECT CAST(rnk AS BIGINT) AS rank, user_id, day, n_trans, surprise_micro, avg_micro
+       FROM r WHERE rnk <= 20 ORDER BY rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_session_surprisal" -> q343SessionSurprisal,
     "q264_cohort_ltv" -> q264CohortLtv,
     "q265_tier_migration" -> q265TierMigration,
     "q263_state_occupancy" -> q263StateOccupancy,
@@ -1622,6 +1694,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q343_session_surprisal" -> q343Oracle,
     "q264_cohort_ltv" -> q264Oracle,
     "q265_tier_migration" -> q265Oracle,
     "q263_state_occupancy" -> q263Oracle,

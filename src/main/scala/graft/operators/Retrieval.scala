@@ -337,13 +337,90 @@ object Retrieval {
                   FROM runs GROUP BY 1) r ON p.doc_id = r.doc_id
        ORDER BY doc_id"""
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (q344): the
+    * LM-based ranking that sits beside BM25 (q98) in every retrieval
+    * stack — score(d) = Σ_t ln((tf + μ·cf_t/|C|)/(|d| + μ)), μ=2000,
+    * over a literal 3-term query. Each term's log is taken on an
+    * EXACT int64 rational ((tf·C + μ·cf)/(C·(len+μ))), floored once
+    * to micro-nats, then only integer-summed — the q141 discipline,
+    * so the ranking is bit-stable cross-engine. Zero-tf terms keep
+    * the collection-model mass (the whole point of smoothing), which
+    * is why the scan is a LEFT join from the doc-length relation.
+    *
+    * Scale: tf touches only postings of the ≤|q| query terms; the
+    * per-doc side is the doc-length aggregate; top-20 fully
+    * tie-broken. */
+  def q344QueryLikelihood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .localCheckpoint()
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val cf = toks.groupBy($"w").agg(count(lit(1)).as("cf"))
+    val ctot = toks.agg(count(lit(1)).as("c"))
+    val qterms = Seq("spark", "join", "window").toDF("w")
+    val tf = toks.join(broadcast(qterms), "w")
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val scored = dl.crossJoin(broadcast(qterms))
+      .join(broadcast(cf.join(qterms, "w")), "w")
+      .crossJoin(broadcast(ctot))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .selectExpr("doc_id",
+        "COALESCE(tf, 0) AS tf",
+        """CAST(floor(ln(
+            (CAST(COALESCE(tf, 0) AS DOUBLE) * c + 2000.0 * cf)
+            / (CAST(c AS DOUBLE) * (len + 2000))) * 1000000.0) AS BIGINT) AS s_micro""")
+    scored.groupBy($"doc_id")
+      .agg(sum($"s_micro").as("ql_micro"),
+        sum(when($"tf" > 0, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"ql_micro".desc, $"doc_id")).cast("long"))
+      .filter($"rank" <= 20)
+      .select($"rank", $"doc_id", $"n_hit", $"ql_micro")
+      .orderBy($"rank")
+  }
+
+  val q344Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS w
+         FROM documents),
+       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
+       cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY 1),
+       ctot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM toks),
+       qterms AS (SELECT unnest(['spark', 'join', 'window']) AS w),
+       tf AS (
+         SELECT t.doc_id, t.w, CAST(count(*) AS BIGINT) AS tf
+         FROM toks t JOIN qterms q ON t.w = q.w GROUP BY 1, 2),
+       scored AS (
+         SELECT d.doc_id, COALESCE(tf.tf, 0) AS tf,
+           CAST(floor(ln(
+             (CAST(COALESCE(tf.tf, 0) AS DOUBLE) * ct.c + 2000.0 * cf.cf)
+             / (CAST(ct.c AS DOUBLE) * (d.len + 2000))) * 1000000.0) AS BIGINT) AS s_micro
+         FROM dl d CROSS JOIN qterms q
+         JOIN cf ON cf.w = q.w
+         CROSS JOIN ctot ct
+         LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.w = q.w),
+       agg AS (
+         SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS ql_micro,
+           CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM scored GROUP BY 1),
+       r AS (
+         SELECT doc_id, n_hit, ql_micro,
+           row_number() OVER (ORDER BY ql_micro DESC, doc_id) AS rnk
+         FROM agg)
+       SELECT CAST(rnk AS BIGINT) AS rank, doc_id, n_hit, ql_micro
+       FROM r WHERE rnk <= 20 ORDER BY rnk"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_query_likelihood" -> q344QueryLikelihood,
     "q98_bm25" -> q98Bm25,
     "q99_span_dedup" -> q99SpanDedup,
     "q142_dup_runs" -> q142DupRuns,
     "q119_rrf_fusion" -> q119RrfFusion)
 
   def oracles: Map[String, String] = Map(
+    "q344_query_likelihood" -> q344Oracle,
     "q98_bm25" -> q98Oracle,
     "q99_span_dedup" -> q99Oracle,
     "q142_dup_runs" -> q142Oracle,

@@ -975,4 +975,33 @@ class BehaviorSpec extends SparkSpec {
     // the convolution kernel is a true self-convolution
     assert(operators.Windows.desConv.sum == 65025L)
   }
+
+  test("q343: session surprisal matches a transition-LM replay") {
+    val got = operators.Behavior.q343SessionSurprisal(spark, d)
+      .as[(Long, Long, java.sql.Date, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to got.length))
+    val ev = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("date").as("day"), $"ts", $"event_type",
+        $"event_id")
+      .as[(Long, java.sql.Date, java.sql.Timestamp, String, Long)].collect()
+    val bySess = ev.groupBy(e => (e._1, e._2.toString))
+    val trans = bySess.toSeq.flatMap { case (k, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._3.getNanos, e._5))
+      sorted.zip(sorted.tail).map { case (a, b) => (k, a._4, b._4) }
+    }
+    val cab = trans.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val ca = trans.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def sMicro(a: String, b: String): Long =
+      math.floor(math.log(ca(a).toDouble / cab((a, b))) * 1000000.0).toLong
+    val sess = trans.groupBy(_._1).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(t => sMicro(t._2, t._3)).sum)
+    }.toMap.filter(_._2._1 >= 3)
+    got.foreach { case (_, uid, day, nTrans, surprise, avg) =>
+      val (en, es) = sess((uid, day.toString))
+      assert(nTrans == en && surprise == es && avg == es / en)
+    }
+    // top-20 really is the global maximum of avg surprisal
+    val topAvg = sess.values.map { case (n, sp) => sp / n }.toSeq.sortBy(-_)
+    assert(got.map(_._6).toSeq == topAvg.take(got.length))
+  }
 }

@@ -311,4 +311,34 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_hits") <= truthSizes.getOrElse(q, 0L))
     }
   }
+
+  test("q344: Dirichlet QL scores match a scalar replay") {
+    val d = "/root/testdata/sf0.001"
+    val got = operators.Retrieval.q344QueryLikelihood(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to got.length))
+    val docs = graft.io.Tables.documents(spark, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text"))
+      .as[(Long, Seq[String])].collect()
+    val c = docs.map(_._2.length.toLong).sum
+    val query = Seq("spark", "join", "window")
+    val cf = query.map(t => t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val scores = docs.map { case (id, tk) =>
+      val len = tk.length.toLong
+      val sc = query.map { t =>
+        val tf = tk.count(_ == t).toLong
+        math.floor(math.log(
+          (tf.toDouble * c + 2000.0 * cf(t)) / (c.toDouble * (len + 2000)))
+          * 1000000.0).toLong
+      }.sum
+      val hits = query.count(t => tk.contains(t)).toLong
+      (id, hits, sc)
+    }
+    val top = scores.sortBy(s => (-s._3, s._1)).take(got.length)
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ==
+      top.map(t => (t._1, t._2, t._3)).toSeq)
+    // smoothing property: a doc with MORE hits of a rarer term can
+    // outrank longer docs — at minimum top-1 has all query terms
+    assert(got.head._3 == query.length)
+  }
 }
