@@ -3748,6 +3748,140 @@ object Stats {
          CAST(row_number() OVER (ORDER BY mean_micro + bonus_micro DESC, arm) AS BIGINT) AS play_rank
        FROM sc ORDER BY play_rank"""
 
+  /** Theil-T inequality decomposition (q345): the DECOMPOSABLE
+    * inequality index (q211's Gini is not): T = Σ (y/Y)·ln(y·n/Y),
+    * split exactly into within-segment contributions plus a
+    * between-segment term ln(ȳ_g/ȳ)·Y_g/Y. Near-zero between-share
+    * is the finding: segments explain none of the balance
+    * inequality. Per-row terms are floored to NANO (the row weight
+    * y/Y is ~1e-5, so micro would quantize to zero) then only
+    * integer-summed; balances are shifted +$1000 so y > 0 and the
+    * log is defined — the shift is part of the operator contract.
+    * One scan + a 5-row decomposition. */
+  def q345Theil(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_mktsegment".as("seg"),
+        (($"c_acctbal".cast("decimal(18,2)") * 100).cast("long") + 100000L).as("y"))
+    val tot = cust.agg(count(lit(1)).as("n"), sum($"y").as("yt"))
+    val rowterm = cust.crossJoin(broadcast(tot))
+      .selectExpr("seg", "y", "n", "yt",
+        "CAST(floor(ln(CAST(y AS DOUBLE) * n / yt) * CAST(y AS DOUBLE) / yt * 1000000000.0) AS BIGINT) AS t_nano")
+    val within = rowterm.groupBy($"seg")
+      .agg(count(lit(1)).as("n_g"), sum($"y").as("y_g"),
+        sum($"t_nano").as("t_g_nano"))
+    val betw = within.crossJoin(broadcast(tot))
+      .selectExpr("seg", "n_g", "y_g", "t_g_nano",
+        "CAST(floor(ln(CAST(y_g AS DOUBLE) * n / (yt * CAST(n_g AS DOUBLE))) * y_g / yt * 1000000000.0) AS BIGINT) AS b_nano")
+    betw
+      .withColumn("theil_total_nano",
+        sum($"t_g_nano").over(Window.partitionBy()))
+      .withColumn("theil_between_nano",
+        sum($"b_nano").over(Window.partitionBy()))
+      .select($"seg".as("segment"), $"n_g", $"y_g",
+        $"t_g_nano".as("theil_contrib_nano"), $"b_nano".as("between_nano"),
+        $"theil_total_nano", $"theil_between_nano")
+      .orderBy($"segment")
+  }
+
+  val q345Oracle: String =
+    """WITH cust AS (
+         SELECT c_mktsegment AS seg, c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000 AS y
+         FROM customer),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS yt FROM cust),
+       rowterm AS (
+         SELECT c.seg, c.y, t.n, t.yt,
+           CAST(floor(ln(CAST(c.y AS DOUBLE) * t.n / t.yt) * CAST(c.y AS DOUBLE) / t.yt * 1000000000.0) AS BIGINT) AS t_nano
+         FROM cust c CROSS JOIN tot t),
+       within AS (
+         SELECT seg, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(y) AS BIGINT) AS y_g,
+           CAST(sum(t_nano) AS BIGINT) AS t_g_nano
+         FROM rowterm GROUP BY 1),
+       betw AS (
+         SELECT w.seg, w.n_g, w.y_g, w.t_g_nano,
+           CAST(floor(ln(CAST(w.y_g AS DOUBLE) * t.n / (t.yt * CAST(w.n_g AS DOUBLE))) * w.y_g / t.yt * 1000000000.0) AS BIGINT) AS b_nano
+         FROM within w CROSS JOIN tot t)
+       SELECT seg AS segment, n_g, y_g, t_g_nano AS theil_contrib_nano, b_nano AS between_nano,
+         CAST(sum(t_g_nano) OVER () AS BIGINT) AS theil_total_nano,
+         CAST(sum(b_nano) OVER () AS BIGINT) AS theil_between_nano
+       FROM betw ORDER BY segment"""
+
+  /** Delete-one-group jackknife variance (q346): the resampling-free
+    * uncertainty estimate for a MEAN over clustered data — leave out
+    * each nation in turn, recompute the mean from the TOTALS minus
+    * that group (exact integer arithmetic; no data re-scan), and
+    * apply the grouped-jackknife variance (k−1)/k·Σ(R₍ᵢ₎−R̄)². The
+    * deterministic cousin of q167's Poisson bootstrap — same
+    * clustered-uncertainty question, zero randomness. Group sums are
+    * one partial-agg scan; the k-sized double accumulations run
+    * through fixed-order cumulative windows (q301 discipline). */
+  def q346Jackknife(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grp = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("g"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy($"g").agg(count(lit(1)).as("n_g"), sum($"y").as("y_g"))
+    val tot = grp.agg(sum($"n_g").as("n"), sum($"y_g").as("yt"),
+      count(lit(1)).as("k"))
+    val pseudo = grp.crossJoin(broadcast(tot))
+      .selectExpr("g", "n_g", "k",
+        "CAST(yt - y_g AS DOUBLE) / (n - n_g) AS r_i",
+        "CAST(yt AS DOUBLE) / n AS r_all")
+    val wcum = Window.orderBy($"g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acc = pseudo
+      .withColumn("cum_r", sum($"r_i").over(wcum))
+      .withColumn("rn", row_number().over(Window.orderBy($"g".desc)))
+    val mean = acc.filter($"rn" === 1)
+      .selectExpr("cum_r / k AS rbar")
+    acc.crossJoin(broadcast(mean))
+      .withColumn("cum_ss",
+        sum(($"r_i" - $"rbar") * ($"r_i" - $"rbar")).over(wcum))
+      .withColumn("rn2", row_number().over(Window.orderBy($"g".desc)))
+      .filter($"rn2" === 1)
+      .selectExpr(
+        "CAST(floor(r_all) AS BIGINT) AS mean_cents",
+        "CAST(floor((k - 1.0) / k * cum_ss * 1000000.0) AS BIGINT) AS jk_var_micro",
+        "CAST(floor(sqrt((k - 1.0) / k * cum_ss) * 1000.0) AS BIGINT) AS jk_se_milli",
+        "CAST(k AS BIGINT) AS k")
+  }
+
+  val q346Oracle: String =
+    """WITH base AS (
+         SELECT cu.c_nationkey AS g,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey),
+       grp AS (
+         SELECT g, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(y) AS BIGINT) AS y_g
+         FROM base GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(y_g) AS BIGINT) AS yt,
+               CAST(count(*) AS BIGINT) AS k FROM grp),
+       pseudo AS (
+         SELECT grp.g, grp.n_g, tot.k,
+           CAST(tot.yt - grp.y_g AS DOUBLE) / (tot.n - grp.n_g) AS r_i,
+           CAST(tot.yt AS DOUBLE) / tot.n AS r_all
+         FROM grp CROSS JOIN tot),
+       acc AS (
+         SELECT g, n_g, k, r_i, r_all,
+           sum(r_i) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+           row_number() OVER (ORDER BY g DESC) AS rn
+         FROM pseudo),
+       mean AS (SELECT cum_r / k AS rbar, k FROM acc WHERE rn = 1),
+       vterm AS (
+         SELECT a.g, a.n_g, a.r_i, a.r_all, m.rbar, m.k,
+           sum((a.r_i - m.rbar) * (a.r_i - m.rbar)) OVER (ORDER BY a.g
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ss,
+           row_number() OVER (ORDER BY a.g DESC) AS rn
+         FROM acc a CROSS JOIN mean m)
+       SELECT CAST(floor(r_all) AS BIGINT) AS mean_cents,
+         CAST(floor((k - 1.0) / k * cum_ss * 1000000.0) AS BIGINT) AS jk_var_micro,
+         CAST(floor(sqrt((k - 1.0) / k * cum_ss) * 1000.0) AS BIGINT) AS jk_se_milli,
+         CAST(k AS BIGINT) AS k
+       FROM vterm WHERE rn = 1"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -3854,6 +3988,8 @@ object Stats {
     "q338_james_stein" -> q338JamesStein,
     "q339_qini" -> q339Qini,
     "q342_ucb1" -> q342Ucb1,
+    "q345_theil" -> q345Theil,
+    "q346_jackknife" -> q346Jackknife,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -3914,6 +4050,8 @@ object Stats {
     "q338_james_stein" -> q338Oracle,
     "q339_qini" -> q339Oracle,
     "q342_ucb1" -> q342Oracle,
+    "q345_theil" -> q345Oracle,
+    "q346_jackknife" -> q346Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -471,6 +471,84 @@ object EventStreams {
     funnelStateful(evs)
   }
 
+  // ---- stateful streaming session surprisal (q343's online face) ----
+
+  case class TransEvent(user_id: Long, day: String, event_type: String,
+      us: Long, event_id: Long)
+  case class LastEvent(event_type: String, us: Long, event_id: Long)
+  case class ScoredTrans(user_id: Long, day: String, s_micro: Long)
+
+  /** Score arriving event transitions against an OFFLINE-trained
+    * first-order transition model (q343's LM, broadcast into the
+    * closure) — the canonical "train batch, score stream" deploy
+    * shape. State per (user, day) is ONE LastEvent (bounded); each
+    * microbatch sorts its slice by (us, event_id) — the same order
+    * q343's lead() window uses — prepends the carried last event,
+    * and emits one scored row per transition. Unknown transitions
+    * (never seen in training) emit nothing, exactly like the batch
+    * join. Aggregation/ranking is downstream's choice (the
+    * funnelStateful contract: emit the advance, let consumers
+    * aggregate). */
+  def surprisalStateful(events: Dataset[TransEvent],
+      model: Map[(String, String), Long]): Dataset[ScoredTrans] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[LastEvent, ScoredTrans](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[TransEvent],
+            state: GroupState[LastEvent]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[ScoredTrans]
+          evs.foreach { e =>
+            last.foreach { l =>
+              model.get((l.event_type, e.event_type)).foreach { sm =>
+                out += ScoredTrans(key._1, key._2, sm)
+              }
+            }
+            last = Some(LastEvent(e.event_type, e.us, e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** The q343 transition model from a BATCH read of the same events —
+    * ⌊ln(c_a/c_ab)·10⁶⌋ per observed transition. Bounded by
+    * |event_types|². */
+  def surprisalModel(s: SparkSession, eventsDir: String): Map[(String, String), Long] = {
+    import s.implicits._
+    val seq = s.read.schema(rawSchema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+        col("ts"), col("event_type"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val gc = seq.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ca = gc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    gc.map { case (a, b, cab) =>
+      (a, b) -> math.floor(math.log(ca(a).toDouble / cab) * 1000000.0).toLong
+    }.toMap
+  }
+
+  /** Streaming entry: file-source stream scored against the offline
+    * model built from `modelDir` (typically a historical snapshot). */
+  def surprisalStream(s: SparkSession, eventsDir: String,
+      model: Map[(String, String), Long]): Dataset[ScoredTrans] = {
+    import s.implicits._
+    val evs = readEventsStream(s, eventsDir)
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[TransEvent]
+    surprisalStateful(evs, model)
+  }
+
   // ---- stateful streaming heavy hitters (q100's online twin) ----
 
   case class HHEvent(key: Long, shard: Int)

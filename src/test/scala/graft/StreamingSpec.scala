@@ -572,4 +572,44 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming surprisal scorer == batch stateful twin, reconciles with q343") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("ev_surp")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      staged.resolve("events.parquet"))
+    val model = EventStreams.surprisalModel(spark, staged.toString)
+    assert(model.nonEmpty && model.size <= 25) // |event_types|^2 bounded
+    // batch application of the same stateful function
+    val batchEvs = spark.read.schema(EventStreams.rawSchema)
+      .parquet(staged.resolve("events.parquet").toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select($"user_id", $"ts".cast("date").cast("string").as("day"),
+        $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .as[EventStreams.TransEvent]
+    val batch = EventStreams.surprisalStateful(batchEvs, model)
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"), sum($"s_micro").as("sp"))
+      .as[(Long, String, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val q = EventStreams.surprisalStream(spark, staged.toString, model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("surp_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("surp_out")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n"), sum($"s_micro").as("sp"))
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+      // reconciliation: q343's ranked sessions carry the same totals
+      val q343 = graft.operators.Behavior.q343SessionSurprisal(spark, d)
+        .as[(Long, Long, java.sql.Date, Long, Long, Long)].collect()
+      q343.foreach { case (_, uid, day, nTrans, surprise, _) =>
+        assert(batch((uid, day.toString)) == ((nTrans, surprise)))
+      }
+    } finally q.stop()
+  }
 }
