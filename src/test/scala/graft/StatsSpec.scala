@@ -1312,4 +1312,60 @@ class StatsSpec extends SparkSpec {
     val ord = got.map(r => (-r._6, r._1))
     assert(ord.sameElements(ord.sorted))
   }
+
+  test("q345: Theil identities — total is the contrib sum, between tiny") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q345Theil(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    val total = got.head._6
+    assert(got.forall(r => r._6 == total && r._7 == got.head._7))
+    assert(total == got.map(_._4).sum)
+    assert(got.head._7 == got.map(_._5).sum)
+    // Theil >= 0 (up to per-row floor dust); between << total on
+    // segment-independent balances
+    assert(total > 0 && got.head._7 < total / 10)
+    // between replay for one segment
+    val n = got.map(_._2).sum
+    val yt = got.map(_._3).sum
+    got.foreach { case (_, nG, yG, _, bNano, _, _) =>
+      val exp = math.floor(math.log(yG.toDouble * n / (yt * nG.toDouble))
+        * yG / yt * 1000000000.0).toLong
+      assert(bNano == exp)
+    }
+  }
+
+  test("q346: grouped jackknife matches an exact replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = graft.operators.Stats.q346Jackknife(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    val grp = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum))
+      .toMap
+    val k = grp.size
+    val n = grp.values.map(_._1).sum
+    val yt = grp.values.map(_._2).sum
+    val gs = grp.keys.toSeq.sorted
+    var cumR = 0.0
+    gs.foreach { g => cumR += (yt - grp(g)._2).toDouble / (n - grp(g)._1) }
+    val rbar = cumR / k
+    var cumSS = 0.0
+    gs.foreach { g =>
+      val ri = (yt - grp(g)._2).toDouble / (n - grp(g)._1)
+      cumSS += (ri - rbar) * (ri - rbar)
+    }
+    assert(r._1 == math.floor(yt.toDouble / n).toLong)
+    assert(r._2 == math.floor((k - 1.0) / k * cumSS * 1000000.0).toLong)
+    assert(r._3 == math.floor(math.sqrt((k - 1.0) / k * cumSS) * 1000.0).toLong)
+    assert(r._4 == k)
+  }
 }
