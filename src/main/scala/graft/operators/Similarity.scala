@@ -630,6 +630,88 @@ object Similarity {
          FROM corr)
        SELECT di, dj, n, rho_bp, rank FROM r WHERE rank <= 15 ORDER BY rank"""
 
+  /** Embedding drift audit (q347): compare two corpus halves (vec_id
+    * parity standing in for "yesterday's batch vs today's") by (a)
+    * the cosine between their CENTROID sums — scale-free, so the sums
+    * need no mean division — and (b) the top-5 dimensions by absolute
+    * mean shift. The embedding-space companion to q128's scalar PSI:
+    * a retrieval index whose incoming vectors drift needs re-training
+    * before its recall silently decays (q288's audit would catch it
+    * late; this catches it at ingest). Per-dim sums are exact int64;
+    * the single cosine is one identical double tree floored once;
+    * mean shifts are micro-floored before the abs-compare. Everything
+    * after the one exploded scan is 64-row bounded. */
+  def q347EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables.embeddings(s, d).select(
+        ($"vec_id" % 2).as("half"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qa"))
+      .select($"half", posexplode($"qa").as(Seq("dim", "v")))
+    val cent = ex.groupBy($"half", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    val wide = cent.filter($"half" === 0)
+      .select($"dim", $"sv".as("sa"), $"n".as("na"))
+      .join(cent.filter($"half" === 1)
+        .select($"dim", $"sv".as("sb"), $"n".as("nb")), "dim")
+      .localCheckpoint()
+    val dot = wide.agg(
+      sum($"sa".cast("decimal(20,0)") * $"sb".cast("decimal(20,0)"))
+        .cast("double").as("sab"),
+      sum($"sa".cast("decimal(20,0)") * $"sa".cast("decimal(20,0)"))
+        .cast("double").as("saa"),
+      sum($"sb".cast("decimal(20,0)") * $"sb".cast("decimal(20,0)"))
+        .cast("double").as("sbb"),
+      max($"na").as("na"), max($"nb").as("nb"))
+    val shifts = wide.selectExpr("dim",
+      "CAST(floor(CAST(sa AS DOUBLE) / na * 1000.0) AS BIGINT) AS ma_micro",
+      "CAST(floor(CAST(sb AS DOUBLE) / nb * 1000.0) AS BIGINT) AS mb_micro")
+      .withColumn("shift_abs", abs($"ma_micro" - $"mb_micro"))
+    shifts.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"shift_abs".desc, $"dim")).cast("long"))
+      .filter($"rank" <= 5)
+      .crossJoin(broadcast(dot))
+      .selectExpr("rank", "dim", "ma_micro", "mb_micro", "shift_abs",
+        "na", "nb",
+        "CAST(floor(sab / sqrt(saa * sbb) * 1000000.0) AS BIGINT) AS centroid_cos_micro")
+      .orderBy($"rank")
+  }
+
+  val q347Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, vec_id % 2 AS half,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       ex AS (SELECT vec_id, half, unnest(qa) AS v, unnest(range(len(qa))) AS dim FROM q),
+       cent AS (
+         SELECT half, dim, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+         FROM ex GROUP BY 1, 2),
+       wide AS (
+         SELECT a.dim, a.sv AS sa, a.n AS na, b.sv AS sb, b.n AS nb
+         FROM cent a JOIN cent b ON a.dim = b.dim AND a.half = 0 AND b.half = 1),
+       dot AS (
+         SELECT CAST(sum(CAST(sa AS HUGEINT) * sb) AS DOUBLE) AS sab,
+           CAST(sum(CAST(sa AS HUGEINT) * sa) AS DOUBLE) AS saa,
+           CAST(sum(CAST(sb AS HUGEINT) * sb) AS DOUBLE) AS sbb,
+           CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb
+         FROM wide),
+       shifts AS (
+         SELECT dim,
+           CAST(floor(CAST(sa AS DOUBLE) / na * 1000.0) AS BIGINT) AS ma_micro,
+           CAST(floor(CAST(sb AS DOUBLE) / nb * 1000.0) AS BIGINT) AS mb_micro,
+           abs(CAST(floor(CAST(sa AS DOUBLE) / na * 1000.0) AS BIGINT)
+             - CAST(floor(CAST(sb AS DOUBLE) / nb * 1000.0) AS BIGINT)) AS shift_abs
+         FROM wide),
+       top AS (
+         SELECT dim, ma_micro, mb_micro, shift_abs,
+           row_number() OVER (ORDER BY shift_abs DESC, dim) AS rnk
+         FROM shifts)
+       SELECT t.rnk AS rank, t.dim, t.ma_micro, t.mb_micro, t.shift_abs,
+         d.na, d.nb,
+         CAST(floor(d.sab / sqrt(d.saa * d.sbb) * 1000000.0) AS BIGINT) AS centroid_cos_micro
+       FROM top t CROSS JOIN dot d
+       WHERE t.rnk <= 5 ORDER BY t.rnk"""
+
   val q122Oracle: String =
     s"""WITH $ivfAssignWith,
        m AS (
@@ -1807,6 +1889,7 @@ object Similarity {
     "q122_pseudo_labels" -> q122PseudoLabels,
     "q336_bcubed_eval" -> q336BcubedEval,
     "q340_dim_corr" -> q340DimCorr,
+    "q347_embedding_drift" -> q347EmbeddingDrift,
     "q105_index_quality" -> q105IndexQuality,
     "q86_ann_multiprobe" -> q86AnnMultiprobe,
     "q83_semantic_dedup" -> q83SemanticDedup,
@@ -1834,6 +1917,7 @@ object Similarity {
     "q122_pseudo_labels" -> q122Oracle,
     "q336_bcubed_eval" -> q336Oracle,
     "q340_dim_corr" -> q340Oracle,
+    "q347_embedding_drift" -> q347Oracle,
     "q105_index_quality" -> q105Oracle,
     "q86_ann_multiprobe" -> q86Oracle,
     "q83_semantic_dedup" -> q83Oracle,

@@ -3882,6 +3882,55 @@ object Stats {
          CAST(k AS BIGINT) AS k
        FROM vterm WHERE rn = 1"""
 
+  /** Index-of-dispersion / overdispersion test (q348): is daily order
+    * arrival Poisson-like per segment? VMR = s²/x̄ and the χ²
+    * dispersion statistic Σ(x−x̄)²/x̄ vs the 99% normal approximation
+    * n + 2.33√(2n) — the diagnostic that decides whether a Poisson
+    * rate model (q225's limiter, q167's bootstrap) or a negative-
+    * binomial one fits the traffic. The under-dispersed verdict on
+    * this data (VMR ≈ 0.5) is itself the finding. Exact int sums per
+    * segment; one staged double ratio, floored per output column. */
+  def q348Dispersion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"),
+        $"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val agg = daily.groupBy($"seg").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+    agg.selectExpr("seg", "n", "sx",
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (CAST(sx AS DOUBLE)) AS dstat")
+      .selectExpr("seg AS segment", "n", "sx AS total_orders",
+        "CAST(floor(dstat * n / (n - 1.0) * 1000.0) AS BIGINT) AS vmr_milli",
+        "CAST(floor(dstat * n * 1000.0) AS BIGINT) AS chi2_milli",
+        """CAST(floor(dstat * n * 1000.0) AS BIGINT)
+           > CAST(floor((n + 2.33 * sqrt(2.0 * n)) * 1000.0) AS BIGINT) AS overdispersed""")
+      .orderBy($"segment")
+  }
+
+  val q348Oracle: String =
+    """WITH daily AS (
+         SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2),
+       agg AS (
+         SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM daily GROUP BY 1),
+       disp AS (
+         SELECT seg, n, sx,
+           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (CAST(sx AS DOUBLE)) AS dstat
+         FROM agg)
+       SELECT seg AS segment, n, sx AS total_orders,
+         CAST(floor(dstat * n / (n - 1.0) * 1000.0) AS BIGINT) AS vmr_milli,
+         CAST(floor(dstat * n * 1000.0) AS BIGINT) AS chi2_milli,
+         CAST(floor(dstat * n * 1000.0) AS BIGINT)
+           > CAST(floor((n + 2.33 * sqrt(2.0 * n)) * 1000.0) AS BIGINT) AS overdispersed
+       FROM disp ORDER BY segment"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -3990,6 +4039,7 @@ object Stats {
     "q342_ucb1" -> q342Ucb1,
     "q345_theil" -> q345Theil,
     "q346_jackknife" -> q346Jackknife,
+    "q348_dispersion" -> q348Dispersion,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -4052,6 +4102,7 @@ object Stats {
     "q342_ucb1" -> q342Oracle,
     "q345_theil" -> q345Oracle,
     "q346_jackknife" -> q346Oracle,
+    "q348_dispersion" -> q348Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -228,4 +228,39 @@ class SimilaritySeedSpec extends SparkSpec {
     }
     got.foreach { r => assert(r._4 == rho(r._1, r._2), s"pair ${(r._1, r._2)}") }
   }
+
+  test("q347: drift audit matches a centroid replay") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = Similarity.q347EmbeddingDrift(spark, d)
+      .as[(Long, Int, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    val cosAll = got.head._8
+    assert(got.forall(_._8 == cosAll))
+    assert(math.abs(cosAll) <= 1000000L)
+    val vecs = graft.io.Tables.embeddings(spark, d)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .as[(Long, Seq[Long])].collect()
+    val dims = vecs.head._2.length
+    val a = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val b = vecs.filter(_._1 % 2 == 1).map(_._2)
+    val sa = (0 until dims).map(k => a.map(_(k)).sum)
+    val sb = (0 until dims).map(k => b.map(_(k)).sum)
+    def bsum(f: Int => BigInt): Double = (0 until dims).map(f).sum.toDouble
+    val expCos = math.floor(
+      bsum(k => BigInt(sa(k)) * sb(k)) /
+        math.sqrt(bsum(k => BigInt(sa(k)) * sa(k)) * bsum(k => BigInt(sb(k)) * sb(k)))
+        * 1000000.0).toLong
+    assert(cosAll == expCos)
+    got.foreach { case (_, dim, ma, mb, shift, na, nb, _) =>
+      assert(na == a.length && nb == b.length)
+      assert(ma == math.floor(sa(dim).toDouble / na * 1000.0).toLong)
+      assert(mb == math.floor(sb(dim).toDouble / nb * 1000.0).toLong)
+      assert(shift == math.abs(ma - mb))
+    }
+    // shifts non-increasing down the ranks
+    val sh = got.map(_._5)
+    assert(sh.zip(sh.tail).forall { case (x, y) => x >= y })
+  }
 }

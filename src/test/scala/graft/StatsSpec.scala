@@ -1368,4 +1368,29 @@ class StatsSpec extends SparkSpec {
     assert(r._3 == math.floor(math.sqrt((k - 1.0) / k * cumSS) * 1000.0).toLong)
     assert(r._4 == k)
   }
+
+  test("q348: dispersion index matches a daily-count replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q348Dispersion(spark, d)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 5)
+    val daily = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderdate").cast("date"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, java.sql.Date, Long)].collect()
+    got.foreach { case (seg, n, totalOrders, vmr, chi2, over) =>
+      val xs = daily.filter(_._1 == seg).map(_._3)
+      assert(n == xs.length && totalOrders == xs.sum)
+      val sx = xs.sum.toDouble
+      val dstat = (xs.map(x => x * x).sum - sx * sx / n) / sx
+      assert(vmr == math.floor(dstat * n / (n - 1.0) * 1000.0).toLong)
+      assert(chi2 == math.floor(dstat * n * 1000.0).toLong)
+      assert(over == (chi2 > math.floor((n + 2.33 * math.sqrt(2.0 * n)) * 1000.0).toLong))
+    }
+  }
 }
