@@ -2092,7 +2092,45 @@ object Dedup {
   }
 
 
+  /** Bloom-filter sizing planner (q351): the capacity table behind
+    * q49's decontamination bloom — for the measured distinct-key
+    * cardinality and a sweep of target FPRs, the textbook optimum
+    * m = −n·ln(ε)/ln²2 bits and k = log₂(1/ε) hashes, plus the
+    * bytes and bits-per-key the operator actually costs. Planning is
+    * deterministic (q307/q342 pattern: the engine ships the table,
+    * the build consumes it); one distinct-count scan × a 4-row
+    * literal ε dim; ln on exact rationals, ceil once. */
+  def q351BloomPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.lineitem(s, d)
+      .agg(countDistinct($"l_partkey").as("n_keys"))
+    val eps = Seq(10L, 100L, 1000L, 10000L).toDF("fpr_recip")
+    keys.crossJoin(broadcast(eps))
+      .selectExpr("n_keys", "fpr_recip",
+        "CAST(ceil(- CAST(n_keys AS DOUBLE) * ln(1.0 / fpr_recip) / (ln(2.0) * ln(2.0))) AS BIGINT) AS m_bits",
+        "CAST(ceil(ln(CAST(fpr_recip AS DOUBLE)) / ln(2.0)) AS BIGINT) AS k_hashes")
+      .selectExpr("n_keys", "fpr_recip", "m_bits", "k_hashes",
+        "(m_bits + 7) div 8 AS bytes",
+        "CAST(floor(CAST(m_bits AS DOUBLE) / n_keys * 100.0) AS BIGINT) AS bits_per_key_centi")
+      .orderBy($"fpr_recip")
+  }
+
+  val q351Oracle: String =
+    """WITH keys AS (
+         SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys FROM lineitem),
+       eps AS (SELECT CAST(unnest([10, 100, 1000, 10000]) AS BIGINT) AS fpr_recip),
+       plan AS (
+         SELECT k.n_keys, e.fpr_recip,
+           CAST(ceil(- CAST(k.n_keys AS DOUBLE) * ln(1.0 / e.fpr_recip) / (ln(2.0) * ln(2.0))) AS BIGINT) AS m_bits,
+           CAST(ceil(ln(CAST(e.fpr_recip AS DOUBLE)) / ln(2.0)) AS BIGINT) AS k_hashes
+         FROM keys k CROSS JOIN eps e)
+       SELECT n_keys, fpr_recip, m_bits, k_hashes,
+         (m_bits + 7) // 8 AS bytes,
+         CAST(floor(CAST(m_bits AS DOUBLE) / n_keys * 100.0) AS BIGINT) AS bits_per_key_centi
+       FROM plan ORDER BY fpr_recip"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_bloom_planner" -> q351BloomPlanner,
     "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
     "q256_lsh_cost_planner" -> q256LshCostPlanner,
@@ -2122,6 +2160,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q351_bloom_planner" -> q351Oracle,
     "q274_dedup_tiers" -> q274Oracle,
     "q258_threshold_persistence" -> q258Oracle,
     "q256_lsh_cost_planner" -> q256Oracle,

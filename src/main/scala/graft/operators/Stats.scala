@@ -3931,6 +3931,86 @@ object Stats {
            > CAST(floor((n + 2.33 * sqrt(2.0 * n)) * 1000.0) AS BIGINT) AS overdispersed
        FROM disp ORDER BY segment"""
 
+  /** Covariate-balance audit — standardized mean differences (q349):
+    * the table every observational study (q323's stratification,
+    * q312's DiD) must print before anyone believes its effect:
+    * per covariate, SMD = (x̄₁−x̄₀)/√((s₁²+s₀²)/2), with the |SMD| <
+    * 0.1 convention as the balanced verdict. On parity (A/A)
+    * assignment every covariate passes — the calibration claim. The
+    * covariates are stacked LONG (one union'd scan → per-(covariate,
+    * arm) sufficient stats, Σx² in decimal), so adding a covariate
+    * is one more union leg, not a new pipeline. One identical double
+    * tree per covariate, floored once. */
+  def q349SmdBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", ($"c_custkey" % 2).as("t"), $"c_nationkey",
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("bal"))
+    val ords = Tables.orders(s, d)
+      .groupBy($"o_custkey".as("c_custkey")).agg(count(lit(1)).as("n_ord"))
+    val base = cust.join(ords, Seq("c_custkey"), "left")
+      .select($"t", $"c_nationkey", $"bal",
+        coalesce($"n_ord", lit(0L)).as("n_ord"))
+      .localCheckpoint()
+    val long = base.select($"t", lit("bal").as("covariate"), $"bal".as("x"))
+      .unionByName(base.select($"t", lit("n_ord").as("covariate"),
+        $"n_ord".as("x")))
+      .unionByName(base.select($"t", lit("nation").as("covariate"),
+        $"c_nationkey".cast("long").as("x")))
+    val agg = long.groupBy($"covariate", $"t").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"x".cast("decimal(12,0)") * $"x".cast("decimal(12,0)")).as("sxx"))
+    val wide = agg.filter($"t" === 1)
+      .select($"covariate", $"n".as("n1"), $"sx".as("s1"), $"sxx".as("q1"))
+      .join(agg.filter($"t" === 0)
+        .select($"covariate", $"n".as("n0"), $"sx".as("s0"), $"sxx".as("q0")),
+        "covariate")
+    wide.selectExpr("covariate", "n0", "n1",
+        """(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) /
+           sqrt((
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1.0) +
+             (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1.0)) / 2.0) AS d""")
+      .selectExpr("covariate", "n0", "n1",
+        "CAST(floor(d * 10000.0) AS BIGINT) AS smd_bp",
+        "abs(CAST(floor(d * 10000.0) AS BIGINT)) < 1000 AS balanced")
+      .orderBy($"covariate")
+  }
+
+  val q349Oracle: String =
+    """WITH cust AS (
+         SELECT c_custkey, CAST(c_custkey % 2 AS BIGINT) AS t, c_nationkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+         FROM customer),
+       ords AS (
+         SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_ord
+         FROM orders GROUP BY 1),
+       base AS (
+         SELECT c.t, c.c_nationkey, c.bal, COALESCE(o.n_ord, 0) AS n_ord
+         FROM cust c LEFT JOIN ords o ON c.c_custkey = o.c_custkey),
+       long AS (
+         SELECT t, 'bal' AS covariate, bal AS x FROM base
+         UNION ALL SELECT t, 'n_ord', n_ord FROM base
+         UNION ALL SELECT t, 'nation', c_nationkey FROM base),
+       agg AS (
+         SELECT covariate, t, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+           sum(CAST(x AS HUGEINT) * x) AS sxx
+         FROM long GROUP BY 1, 2),
+       wide AS (
+         SELECT a.covariate, a.n AS n1, a.sx AS s1, a.sxx AS q1,
+           b.n AS n0, b.sx AS s0, b.sxx AS q0
+         FROM agg a JOIN agg b ON a.covariate = b.covariate AND a.t = 1 AND b.t = 0),
+       smd AS (
+         SELECT covariate, n0, n1,
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) /
+           sqrt((
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1.0) +
+             (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1.0)) / 2.0) AS d
+         FROM wide)
+       SELECT covariate, n0, n1,
+         CAST(floor(d * 10000.0) AS BIGINT) AS smd_bp,
+         abs(CAST(floor(d * 10000.0) AS BIGINT)) < 1000 AS balanced
+       FROM smd ORDER BY covariate"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -4040,6 +4120,7 @@ object Stats {
     "q345_theil" -> q345Theil,
     "q346_jackknife" -> q346Jackknife,
     "q348_dispersion" -> q348Dispersion,
+    "q349_smd_balance" -> q349SmdBalance,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -4103,6 +4184,7 @@ object Stats {
     "q345_theil" -> q345Oracle,
     "q346_jackknife" -> q346Oracle,
     "q348_dispersion" -> q348Oracle,
+    "q349_smd_balance" -> q349Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

@@ -1393,4 +1393,57 @@ class StatsSpec extends SparkSpec {
       assert(over == (chi2 > math.floor((n + 2.33 * math.sqrt(2.0 * n)) * 1000.0).toLong))
     }
   }
+
+  test("q349: SMD matches a direct replay; A/A arms are balanced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q349SmdBalance(spark, d)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq("bal", "n_ord", "nation"))
+    // parity arms: every covariate balanced (the A/A calibration)
+    got.foreach { r => assert(r._5 == (math.abs(r._4) < 1000)) }
+    val base = graft.io.Tables.customer(spark, d)
+      .select(col("c_custkey"), (col("c_custkey") % 2).as("t"),
+        col("c_nationkey").cast("long"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .join(graft.io.Tables.orders(spark, d)
+        .groupBy(col("o_custkey").as("c_custkey")).agg(count(lit(1)).as("n_ord")),
+        Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("n_ord"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    def smd(f: ((Long, Long, Long, Long, Long)) => Long): Long = {
+      val g1 = base.filter(_._2 == 1L).map(f); val g0 = base.filter(_._2 == 0L).map(f)
+      val (n1, n0) = (g1.length.toDouble, g0.length.toDouble)
+      val (s1, s0) = (g1.sum.toDouble, g0.sum.toDouble)
+      val q1 = g1.map(x => BigInt(x) * x).sum.toDouble
+      val q0 = g0.map(x => BigInt(x) * x).sum.toDouble
+      val dd = (s1 / n1 - s0 / n0) / math.sqrt(
+        ((q1 - s1 * s1 / n1) / (n1 - 1.0) + (q0 - s0 * s0 / n0) / (n0 - 1.0)) / 2.0)
+      math.floor(dd * 10000.0).toLong
+    }
+    assert(got.find(_._1 == "bal").get._4 == smd(_._4))
+    assert(got.find(_._1 == "nation").get._4 == smd(_._3))
+    assert(got.find(_._1 == "n_ord").get._4 == smd(_._5))
+  }
+
+  test("q351: bloom planner is the textbook optimum, monotone in FPR") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Dedup.q351BloomPlanner(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(10L, 100L, 1000L, 10000L))
+    val n = got.head._1
+    got.foreach { case (nk, fr, m, k, bytes, bpk) =>
+      assert(nk == n)
+      assert(m == math.ceil(-n.toDouble * math.log(1.0 / fr)
+        / (math.log(2.0) * math.log(2.0))).toLong)
+      assert(k == math.ceil(math.log(fr.toDouble) / math.log(2.0)).toLong)
+      assert(bytes == (m + 7) / 8)
+      assert(bpk == math.floor(m.toDouble / n * 100.0).toLong)
+    }
+    // tighter FPR costs monotonically more bits and hashes
+    assert(got.map(_._3).zip(got.map(_._3).tail).forall { case (a, b) => a < b })
+    assert(got.map(_._4).zip(got.map(_._4).tail).forall { case (a, b) => a <= b })
+  }
 }
