@@ -4011,6 +4011,157 @@ object Stats {
          abs(CAST(floor(d * 10000.0) AS BIGINT)) < 1000 AS balanced
        FROM smd ORDER BY covariate"""
 
+  /** Kendall τ-b rank correlation (q352): the concordant/discordant-
+    * pair companion to q308's Spearman, with the τ-b tie correction —
+    * over the 25-row nation aggregate (total balance vs order count),
+    * so the O(k²) pair join is bounded by the DIMENSION, and pair
+    * classification is pure int64 sign arithmetic; one sqrt at the
+    * end. */
+  def q352KendallTau(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bal = Tables.customer(s, d)
+      .groupBy($"c_nationkey".as("g"))
+      .agg(sum(($"c_acctbal".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val ord = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("g")).agg(count(lit(1)).as("y"))
+    val nat = bal.join(ord, Seq("g"), "left")
+      .select($"g", $"x", coalesce($"y", lit(0L)).as("y"))
+    val pairs = nat.select($"g".as("ga"), $"x".as("xa"), $"y".as("ya"))
+      .crossJoin(nat.select($"g".as("gb"), $"x".as("xb"), $"y".as("yb")))
+      .filter($"ga" < $"gb")
+      .select(
+        when(($"xa" - $"xb") * ($"ya" - $"yb") > 0, 1L).otherwise(0L).as("conc"),
+        when(($"xa" - $"xb") * ($"ya" - $"yb") < 0, 1L).otherwise(0L).as("disc"),
+        when($"xa" === $"xb", 1L).otherwise(0L).as("tx"),
+        when($"ya" === $"yb", 1L).otherwise(0L).as("ty"))
+    pairs.agg(count(lit(1)).as("n0"), sum($"conc").as("nc"),
+        sum($"disc").as("nd"), sum($"tx").as("ntx"), sum($"ty").as("nty"))
+      .selectExpr("n0 AS n_pairs", "nc", "nd", "ntx", "nty",
+        "CAST(floor((nc - nd) / sqrt(CAST(n0 - ntx AS DOUBLE) * (n0 - nty)) * 10000.0) AS BIGINT) AS tau_b_bp")
+  }
+
+  val q352Oracle: String =
+    """WITH bal AS (
+         SELECT c_nationkey AS g,
+           CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+         FROM customer GROUP BY 1),
+       ord AS (
+         SELECT c.c_nationkey AS g, CAST(count(*) AS BIGINT) AS y
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1),
+       nat AS (
+         SELECT bal.g, bal.x, COALESCE(ord.y, 0) AS y
+         FROM bal LEFT JOIN ord ON bal.g = ord.g),
+       pairs AS (
+         SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+           CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+           CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+         FROM nat a JOIN nat b ON a.g < b.g),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(conc) AS BIGINT) AS nc, CAST(sum(disc) AS BIGINT) AS nd,
+           CAST(sum(tx) AS BIGINT) AS ntx, CAST(sum(ty) AS BIGINT) AS nty
+         FROM pairs)
+       SELECT n0 AS n_pairs, nc, nd, ntx, nty,
+         CAST(floor((nc - nd) / sqrt(CAST(n0 - ntx AS DOUBLE) * (n0 - nty)) * 10000.0) AS BIGINT) AS tau_b_bp
+       FROM agg"""
+
+  /** DeLong standard error of the AUC (q353): q252 reports the point
+    * estimate; this reports whether it MEANS anything — the
+    * placement-value variance method, computed exactly over the
+    * bounded score-bucket histogram (placements are constant within
+    * a bucket, so bucket-weighted sums reproduce the per-row
+    * statistics with zero approximation beyond the bucketing
+    * contract). Label = custkey parity, so the calibrated answer is
+    * AUC ≈ ½, |z| < 1.96 — the A/A claim. Score buckets via
+    * floor(cents/10⁴·1.0) (float-floor: cents go negative, the
+    * div-vs-// trap). Both k-sized double accumulations run through
+    * fixed-order cumulative windows (q301). */
+  def q353AucSe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.customer(s, d)
+      .select(($"c_custkey" % 2).as("label"),
+        floor(($"c_acctbal".cast("decimal(18,2)") * 100).cast("long") / lit(10000.0))
+          .cast("long").as("s"))
+      .groupBy($"s")
+      .agg(sum($"label").as("np"), sum(lit(1L) - $"label").as("nn"))
+    val wb = Window.orderBy($"s").rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val plc = hist
+      .withColumn("nn_below", coalesce(sum($"nn").over(wb), lit(0L)))
+      .withColumn("np_below", coalesce(sum($"np").over(wb), lit(0L)))
+      .withColumn("npt", sum($"np").over(all))
+      .withColumn("nnt", sum($"nn").over(all))
+      .selectExpr("s", "np", "nn", "npt", "nnt",
+        "(CAST(nn_below AS DOUBLE) + nn / 2.0) / nnt AS v10",
+        "1.0 - (CAST(np_below AS DOUBLE) + np / 2.0) / npt AS v01")
+      .localCheckpoint()
+    val wcum = Window.orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val auc = plc
+      .withColumn("cum_a", sum($"np" * $"v10").over(wcum))
+      .withColumn("rn", row_number().over(Window.orderBy($"s".desc)))
+      .filter($"rn" === 1)
+      .selectExpr("cum_a / npt AS a")
+    plc.crossJoin(broadcast(auc))
+      .withColumn("cum_s10",
+        sum($"np" * ($"v10" - $"a") * ($"v10" - $"a")).over(wcum))
+      .withColumn("cum_s01",
+        sum($"nn" * ($"v01" - $"a") * ($"v01" - $"a")).over(wcum))
+      .withColumn("rn", row_number().over(Window.orderBy($"s".desc)))
+      .filter($"rn" === 1)
+      .selectExpr("npt", "nnt",
+        "CAST(floor(a * 10000.0) AS BIGINT) AS auc_bp",
+        "CAST(floor(sqrt(cum_s10 / (npt - 1.0) / npt + cum_s01 / (nnt - 1.0) / nnt) * 10000.0) AS BIGINT) AS se_bp",
+        "CAST(floor((a - 0.5) / sqrt(cum_s10 / (npt - 1.0) / npt + cum_s01 / (nnt - 1.0) / nnt) * 1000.0) AS BIGINT) AS z_milli")
+      .withColumn("reject", abs($"z_milli") > 1960L)
+  }
+
+  val q353Oracle: String =
+    """WITH scored AS (
+         SELECT CAST(c_custkey % 2 AS BIGINT) AS label,
+           CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) / 10000.0) AS BIGINT) AS s
+         FROM customer),
+       hist AS (
+         SELECT s, CAST(sum(label) AS BIGINT) AS np,
+           CAST(sum(1 - label) AS BIGINT) AS nn
+         FROM scored GROUP BY 1),
+       cum AS (
+         SELECT s, np, nn,
+           CAST(COALESCE(sum(nn) OVER wb, 0) AS BIGINT) AS nn_below,
+           CAST(COALESCE(sum(np) OVER wb, 0) AS BIGINT) AS np_below,
+           CAST(sum(np) OVER () AS BIGINT) AS npt,
+           CAST(sum(nn) OVER () AS BIGINT) AS nnt
+         FROM hist
+         WINDOW wb AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       plc AS (
+         SELECT s, np, nn, npt, nnt,
+           (CAST(nn_below AS DOUBLE) + nn / 2.0) / nnt AS v10,
+           1.0 - (CAST(np_below AS DOUBLE) + np / 2.0) / npt AS v01
+         FROM cum),
+       am AS (
+         SELECT s, np, nn, npt, nnt, v10, v01,
+           sum(np * v10) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+           row_number() OVER (ORDER BY s DESC) AS rn
+         FROM plc),
+       auc AS (SELECT cum_a / npt AS a FROM am WHERE rn = 1),
+       ss AS (
+         SELECT p.s, p.npt, p.nnt, a.a,
+           sum(p.np * (p.v10 - a.a) * (p.v10 - a.a)) OVER w AS cum_s10,
+           sum(p.nn * (p.v01 - a.a) * (p.v01 - a.a)) OVER w AS cum_s01,
+           row_number() OVER (ORDER BY p.s DESC) AS rn
+         FROM plc p CROSS JOIN auc a
+         WINDOW w AS (ORDER BY p.s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT npt, nnt,
+         CAST(floor(a * 10000.0) AS BIGINT) AS auc_bp,
+         CAST(floor(sqrt(cum_s10 / (npt - 1.0) / npt + cum_s01 / (nnt - 1.0) / nnt) * 10000.0) AS BIGINT) AS se_bp,
+         CAST(floor((a - 0.5) / sqrt(cum_s10 / (npt - 1.0) / npt + cum_s01 / (nnt - 1.0) / nnt) * 1000.0) AS BIGINT) AS z_milli,
+         abs(CAST(floor((a - 0.5) / sqrt(cum_s10 / (npt - 1.0) / npt + cum_s01 / (nnt - 1.0) / nnt) * 1000.0) AS BIGINT)) > 1960 AS reject
+       FROM ss WHERE rn = 1"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -4121,6 +4272,8 @@ object Stats {
     "q346_jackknife" -> q346Jackknife,
     "q348_dispersion" -> q348Dispersion,
     "q349_smd_balance" -> q349SmdBalance,
+    "q352_kendall_tau" -> q352KendallTau,
+    "q353_auc_se" -> q353AucSe,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -4185,6 +4338,8 @@ object Stats {
     "q346_jackknife" -> q346Oracle,
     "q348_dispersion" -> q348Oracle,
     "q349_smd_balance" -> q349Oracle,
+    "q352_kendall_tau" -> q352Oracle,
+    "q353_auc_se" -> q353Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

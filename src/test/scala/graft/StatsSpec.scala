@@ -1446,4 +1446,63 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._3).zip(got.map(_._3).tail).forall { case (a, b) => a < b })
     assert(got.map(_._4).zip(got.map(_._4).tail).forall { case (a, b) => a <= b })
   }
+
+  test("q352: Kendall tau-b matches an exhaustive pair replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = graft.operators.Stats.q352KendallTau(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val bal = graft.io.Tables.customer(spark, d)
+      .groupBy(col("c_nationkey"))
+      .agg(sum((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .as[(Long, Long)].collect().toMap
+    val ord = graft.io.Tables.orders(spark, d)
+      .join(graft.io.Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("y"))
+      .as[(Long, Long)].collect().toMap
+    val nat = bal.keys.toSeq.sorted.map(g => (bal(g), ord.getOrElse(g, 0L)))
+    val pairs = for (i <- nat.indices; j <- (i + 1) until nat.length)
+      yield (nat(i), nat(j))
+    val nc = pairs.count { case ((xa, ya), (xb, yb)) => (xa - xb) * (ya - yb) > 0 }
+    val nd = pairs.count { case ((xa, ya), (xb, yb)) => (xa - xb) * (ya - yb) < 0 }
+    val ntx = pairs.count { case ((xa, _), (xb, _)) => xa == xb }
+    val nty = pairs.count { case ((_, ya), (_, yb)) => ya == yb }
+    val n0 = pairs.length
+    assert(r._1 == n0 && r._2 == nc && r._3 == nd && r._4 == ntx && r._5 == nty)
+    assert(r._6 == math.floor((nc - nd) /
+      math.sqrt((n0 - ntx).toDouble * (n0 - nty)) * 10000.0).toLong)
+  }
+
+  test("q353: DeLong SE matches a placement-value replay; A/A no reject") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = graft.operators.Stats.q353AucSe(spark, d)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    val rows = graft.io.Tables.customer(spark, d)
+      .select((col("c_custkey") % 2).as("label"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          / lit(10000.0)).cast("long").as("s"))
+      .as[(Long, Long)].collect()
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    assert(r._1 == pos.length && r._2 == neg.length)
+    def v10(s: Long) =
+      (neg.count(_ < s) + neg.count(_ == s) / 2.0) / neg.length
+    def v01(s: Long) =
+      (pos.count(_ > s) + pos.count(_ == s) / 2.0) / pos.length
+    val a = pos.map(v10).sum / pos.length
+    val s10 = pos.map(s => math.pow(v10(s) - a, 2)).sum / (pos.length - 1.0)
+    val s01 = neg.map(s => math.pow(v01(s) - a, 2)).sum / (neg.length - 1.0)
+    val se = math.sqrt(s10 / pos.length + s01 / neg.length)
+    // bucket-weighted vs per-row arithmetic differ in reduce order, so
+    // compare at a coarse precision and pin the verdict/estimate bands
+    assert(math.abs(r._3 - math.floor(a * 10000.0).toLong) <= 1)
+    assert(math.abs(r._4 - math.floor(se * 10000.0).toLong) <= 1)
+    assert(r._6 == (math.abs(r._5) > 1960))
+    assert(!r._6) // parity labels: AUC compatible with 1/2
+  }
 }
