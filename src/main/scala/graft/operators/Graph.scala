@@ -797,7 +797,110 @@ object Graph {
          CAST(sum(q_micro) OVER () AS BIGINT) AS modularity_micro
        FROM terms ORDER BY c"""
 
+  /** Co-purchase recommender evaluation (q355): hold out even-key
+    * orders, recommend top-3 co-purchased parts from the odd-key
+    * fold, and score precision@3 on held-out co-occurrence against
+    * the popularity-top-3 baseline — the lift-over-popularity readout
+    * every recsys ships. On this synthetic (random) graph the model
+    * LOSES to popularity — the honest null that motivates the
+    * baseline comparison. All counting; per-source windows; the lift
+    * ratio is one double, floored once, with a −1 sentinel when the
+    * baseline has no hits (both engines identically). */
+  def q355RecEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p"),
+        ($"l_orderkey" % 2).as("fold"))
+      .distinct()
+      .localCheckpoint()
+    val trainPairs = items.filter($"fold" === 1).as("a")
+      .join(items.filter($"fold" === 1).as("b"),
+        col("a.ord") === col("b.ord") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("rec"))
+      .agg(count(lit(1)).as("cnt"))
+    val top3 = trainPairs.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"src").orderBy($"cnt".desc, $"rec")))
+      .filter($"rnk" <= 3).select($"src", $"rec")
+    val pop3 = items.filter($"fold" === 1).groupBy($"p".as("rec"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"rec")))
+      .filter($"rnk" <= 3).select($"rec")
+    val testPairs = items.filter($"fold" === 0).as("a")
+      .join(items.filter($"fold" === 0).as("b"),
+        col("a.ord") === col("b.ord") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("rec"))
+      .distinct()
+      .localCheckpoint()
+    val evalModel = top3.join(testPairs.withColumn("hit", lit(1L)),
+        Seq("src", "rec"), "left")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+    val evalBase = top3.select($"src").distinct()
+      .crossJoin(broadcast(pop3))
+      .join(testPairs.withColumn("hit", lit(1L)), Seq("src", "rec"), "left")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+    evalModel.select($"n_recs".as("model_recs"), $"hits".as("model_hits"))
+      .crossJoin(evalBase.select($"n_recs".as("base_recs"),
+        $"hits".as("base_hits")))
+      .selectExpr("model_recs", "model_hits",
+        "10000 * model_hits div model_recs AS model_p_bp",
+        "base_recs", "base_hits",
+        "10000 * base_hits div base_recs AS base_p_bp",
+        """CASE WHEN base_hits = 0 THEN -1
+           ELSE CAST(floor(CAST(model_hits AS DOUBLE) * base_recs / (CAST(base_hits AS DOUBLE) * model_recs) * 1000.0) AS BIGINT)
+           END AS lift_milli""")
+  }
+
+  val q355Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, l_partkey AS p,
+           CAST(l_orderkey % 2 AS BIGINT) AS fold
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+       train_pairs AS (
+         SELECT a.p AS src, b.p AS rec, CAST(count(*) AS BIGINT) AS cnt
+         FROM items a JOIN items b ON a.ord = b.ord AND a.p <> b.p
+         WHERE a.fold = 1 AND b.fold = 1 GROUP BY 1, 2),
+       recs AS (
+         SELECT src, rec, cnt,
+           row_number() OVER (PARTITION BY src ORDER BY cnt DESC, rec) AS rnk
+         FROM train_pairs),
+       top3 AS (SELECT src, rec FROM recs WHERE rnk <= 3),
+       pop AS (
+         SELECT p AS rec, row_number() OVER (ORDER BY count(*) DESC, p) AS rnk
+         FROM items WHERE fold = 1 GROUP BY p),
+       pop3 AS (SELECT rec FROM pop WHERE rnk <= 3),
+       test_pairs AS (
+         SELECT DISTINCT a.p AS src, b.p AS rec
+         FROM items a JOIN items b ON a.ord = b.ord AND a.p <> b.p
+         WHERE a.fold = 0),
+       eval_model AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(CASE WHEN tp.rec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         FROM top3 t LEFT JOIN test_pairs tp ON t.src = tp.src AND t.rec = tp.rec),
+       srcs AS (SELECT DISTINCT src FROM top3),
+       eval_base AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(CASE WHEN tp.rec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         FROM srcs s CROSS JOIN pop3 b
+         LEFT JOIN test_pairs tp ON s.src = tp.src AND b.rec = tp.rec)
+       SELECT m.n_recs AS model_recs, m.hits AS model_hits,
+         10000 * m.hits // m.n_recs AS model_p_bp,
+         b.n_recs AS base_recs, b.hits AS base_hits,
+         10000 * b.hits // b.n_recs AS base_p_bp,
+         CASE WHEN b.hits = 0 THEN -1
+           ELSE CAST(floor(CAST(m.hits AS DOUBLE) * b.n_recs / (CAST(b.hits AS DOUBLE) * m.n_recs) * 1000.0) AS BIGINT)
+         END AS lift_milli
+       FROM eval_model m CROSS JOIN eval_base b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_rec_eval" -> q355RecEval,
     "q341_modularity" -> q341Modularity,
     "q319_adamic_adar" -> q319AdamicAdar,
     "q320_label_prop" -> q320LabelProp,
@@ -812,6 +915,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q355_rec_eval" -> q355Oracle,
     "q341_modularity" -> q341Oracle,
     "q319_adamic_adar" -> q319Oracle,
     "q320_label_prop" -> q320Oracle,

@@ -1500,7 +1500,84 @@ object Quality {
          (2 * (1000 * n_yes // n) - 500 - 1000 * n_true // n) * 10 AS err_bp
        FROM agg ORDER BY seg"""
 
+  /** Brier-score decomposition (q354): Murphy's
+    * REL − RES + UNC split of a probability forecast — forecast =
+    * balance-decile midpoint (a deliberately uninformative model for
+    * parity labels), observed = per-bin outcome rate. The read-out
+    * REL ≈ 0.077, RES ≈ 0.001, UNC = 0.25 says "miscalibrated AND
+    * unresolving" — the two failure axes q176's ECE conflates.
+    * Fixed-width bins (q93-class bounded histogram); the two bin-
+    * weighted double sums run through fixed-order cumulative windows
+    * (q301); per-bin milli columns floored once each. */
+  def q354Brier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.customer(s, d).select(
+      ($"c_custkey" % 2).as("o"),
+      least(lit(9L), greatest(lit(0L),
+        floor((($"c_acctbal".cast("decimal(18,2)") * 100).cast("long")
+          + 100000L) / lit(121000.0)).cast("long"))).as("bin"))
+    val bins = scored.groupBy($"bin")
+      .agg(count(lit(1)).as("n_k"), sum($"o").as("o_k"))
+    val tot = bins.agg(sum($"n_k").as("n"), sum($"o_k").as("ot"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .selectExpr("bin", "n_k", "o_k", "n",
+        "(2.0 * bin + 1.0) / 20.0 AS p_k",
+        "CAST(o_k AS DOUBLE) / n_k AS obar_k",
+        "CAST(ot AS DOUBLE) / n AS obar")
+    val wcum = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    terms
+      .withColumn("p_k_milli", floor($"p_k" * 1000.0).cast("long"))
+      .withColumn("obar_k_milli", floor($"obar_k" * 1000.0).cast("long"))
+      .withColumn("cum_rel",
+        sum($"n_k" * ($"p_k" - $"obar_k") * ($"p_k" - $"obar_k")).over(wcum))
+      .withColumn("cum_res",
+        sum($"n_k" * ($"obar_k" - $"obar") * ($"obar_k" - $"obar")).over(wcum))
+      .withColumn("rn", row_number().over(Window.orderBy($"bin".desc)))
+      .withColumn("rel_micro", floor(
+        max(when($"rn" === 1, $"cum_rel" / $"n")).over(all) * 1000000.0).cast("long"))
+      .withColumn("res_micro", floor(
+        max(when($"rn" === 1, $"cum_res" / $"n")).over(all) * 1000000.0).cast("long"))
+      .withColumn("unc_micro", floor(
+        max(when($"rn" === 1, $"obar" * (lit(1.0) - $"obar"))).over(all) * 1000000.0).cast("long"))
+      .select($"bin", $"n_k", $"o_k", $"p_k_milli", $"obar_k_milli",
+        $"rel_micro", $"res_micro", $"unc_micro")
+      .orderBy($"bin")
+  }
+
+  val q354Oracle: String =
+    """WITH scored AS (
+         SELECT CAST(c_custkey % 2 AS BIGINT) AS o,
+           least(9, greatest(0, CAST(floor((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) / 121000.0) AS BIGINT))) AS bin
+         FROM customer),
+       bins AS (
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_k, CAST(sum(o) AS BIGINT) AS o_k
+         FROM scored GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n, CAST(sum(o_k) AS BIGINT) AS ot FROM bins),
+       terms AS (
+         SELECT b.bin, b.n_k, b.o_k, t.n, t.ot,
+           (2.0 * b.bin + 1.0) / 20.0 AS p_k,
+           CAST(b.o_k AS DOUBLE) / b.n_k AS obar_k,
+           CAST(t.ot AS DOUBLE) / t.n AS obar
+         FROM bins b CROSS JOIN tot t),
+       acc AS (
+         SELECT bin, n_k, o_k, n, obar,
+           CAST(floor(p_k * 1000.0) AS BIGINT) AS p_k_milli,
+           CAST(floor(obar_k * 1000.0) AS BIGINT) AS obar_k_milli,
+           sum(n_k * (p_k - obar_k) * (p_k - obar_k)) OVER w AS cum_rel,
+           sum(n_k * (obar_k - obar) * (obar_k - obar)) OVER w AS cum_res,
+           row_number() OVER (ORDER BY bin DESC) AS rn
+         FROM terms
+         WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT bin, n_k, o_k, p_k_milli, obar_k_milli,
+         CAST(floor(max(CASE WHEN rn = 1 THEN cum_rel / n END) OVER () * 1000000.0) AS BIGINT) AS rel_micro,
+         CAST(floor(max(CASE WHEN rn = 1 THEN cum_res / n END) OVER () * 1000000.0) AS BIGINT) AS res_micro,
+         CAST(floor(max(CASE WHEN rn = 1 THEN obar * (1.0 - obar) END) OVER () * 1000000.0) AS BIGINT) AS unc_micro
+       FROM acc ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_brier" -> q354Brier,
     "q332_randomized_response" -> q332RandomizedResponse,
     "q313_bradley_terry" -> q313BradleyTerry,
     "q314_mcnemar" -> q314Mcnemar,
@@ -1524,6 +1601,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q354_brier" -> q354Oracle,
     "q332_randomized_response" -> q332Oracle,
     "q313_bradley_terry" -> q313Oracle,
     "q314_mcnemar" -> q314Oracle,

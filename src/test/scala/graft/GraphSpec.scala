@@ -341,4 +341,17 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._3).sum == 2 * m)
     assert(got.map(_._2).sum <= m)
   }
+
+  test("q355: rec-eval accounting identities hold") {
+    val r = operators.Graph.q355RecEval(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (mRecs, mHits, mP, bRecs, bHits, bP, lift) = r
+    assert(mHits <= mRecs && bHits <= bRecs)
+    assert(mP == 10000 * mHits / mRecs && bP == 10000 * bHits / bRecs)
+    if (bHits == 0) assert(lift == -1)
+    else assert(lift == math.floor(
+      mHits.toDouble * bRecs / (bHits.toDouble * mRecs) * 1000.0).toLong)
+    // every source gets at most 3 recs; baseline exactly 3 per source
+    assert(bRecs % 3 == 0 && mRecs <= bRecs)
+  }
 }

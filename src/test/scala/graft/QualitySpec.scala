@@ -566,4 +566,25 @@ class QualitySpec extends SparkSpec {
       assert(row._4 == covered.count(identity) && row._5 == runs)
     }
   }
+
+  test("q354: Brier decomposition identities and a bin replay") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q354Brier(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty && got.map(_._1).forall(b => b >= 0 && b <= 9))
+    val (rel, res, unc) = (got.head._6, got.head._7, got.head._8)
+    assert(got.forall(r => r._6 == rel && r._7 == res && r._8 == unc))
+    // resolution can never exceed uncertainty; all components >= 0
+    assert(res <= unc && rel >= 0 && res >= 0)
+    // parity labels: uncertainty pinned at ~0.25
+    assert(unc >= 249000L && unc <= 250000L)
+    // per-bin midpoints and rates replay
+    got.foreach { case (bin, nK, oK, pMilli, obarMilli, _, _, _) =>
+      assert(pMilli == math.floor((2.0 * bin + 1.0) / 20.0 * 1000.0).toLong)
+      assert(obarMilli == math.floor(oK.toDouble / nK * 1000.0).toLong)
+    }
+    val n = got.map(_._2).sum
+    assert(n == graft.io.Tables.customer(spark, d).count())
+  }
 }
