@@ -1310,7 +1310,83 @@ object Curation {
        FROM pairs WHERE n_cand >= 2 AND margin >= 20000
        ORDER BY prompt"""
 
+  /** Preference-pair length-bias audit (q356): the reward-hacking
+    * check every RLHF/DPO set needs — over q316's (chosen, rejected)
+    * pairs, does the winner run systematically LONGER? Sign test on
+    * the paired length comparison (continuity-corrected χ², q314's
+    * machinery applied to the pair stream) plus the raw token delta.
+    * A length_biased=true verdict means the "quality" signal is
+    * partly verbosity and the scorer needs length control (q358's
+    * stratified win-rate is the companion fix). Pure int64; one
+    * derived relation over the pair construction. */
+  def q356LengthBias(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, d).select($"doc_id",
+      element_at(split($"text", " "), 1).as("prompt"),
+      size(split($"text", " ")).cast("long").as("n_tok"),
+      floor(lit(1000000.0) * size(expr(
+          "filter(split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')"))
+        / size(split($"text", " "))).cast("long").as("score"))
+    val ranked = scored
+      .withColumn("rb", row_number().over(Window.partitionBy($"prompt")
+        .orderBy($"score".desc, $"doc_id")))
+      .withColumn("rw", row_number().over(Window.partitionBy($"prompt")
+        .orderBy($"score".asc, $"doc_id".desc)))
+      .withColumn("n_cand",
+        count(lit(1)).over(Window.partitionBy($"prompt")).cast("long"))
+    val pairs = ranked.filter($"rb" === 1)
+      .select($"prompt", $"n_cand", $"n_tok".as("len_c"),
+        $"score".as("score_c"))
+      .join(ranked.filter($"rw" === 1)
+        .select($"prompt", $"n_tok".as("len_r"), $"score".as("score_r")),
+        Seq("prompt"))
+      .filter($"n_cand" >= 2 && $"score_c" - $"score_r" >= 20000L)
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"len_c" > $"len_r", 1L).otherwise(0L)).as("longer"),
+        sum(when($"len_c" < $"len_r", 1L).otherwise(0L)).as("shorter"),
+        sum($"len_c" - $"len_r").as("tok_delta"))
+      .selectExpr("n_pairs", "longer", "shorter", "tok_delta",
+        """CASE WHEN longer + shorter = 0 THEN 0
+           ELSE (1000 * greatest(abs(longer - shorter) - 1, 0) * greatest(abs(longer - shorter) - 1, 0)) div (longer + shorter)
+           END AS sign_chi2_milli""")
+      .withColumn("length_biased", $"sign_chi2_milli" > 3841L)
+  }
+
+  val q356Oracle: String =
+    """WITH scored AS (
+         SELECT doc_id, string_split(text, ' ')[1] AS prompt,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(floor(1000000.0 * len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a' OR x = 'of')) / len(string_split(text, ' '))) AS BIGINT) AS score
+         FROM documents),
+       ranked AS (
+         SELECT prompt, doc_id, score, n_tok,
+           row_number() OVER (PARTITION BY prompt ORDER BY score DESC, doc_id) AS rb,
+           row_number() OVER (PARTITION BY prompt ORDER BY score ASC, doc_id DESC) AS rw,
+           CAST(count(*) OVER (PARTITION BY prompt) AS BIGINT) AS n_cand
+         FROM scored),
+       pairs AS (
+         SELECT b.prompt, b.n_tok AS len_c, w.n_tok AS len_r
+         FROM ranked b JOIN ranked w ON b.prompt = w.prompt AND b.rb = 1 AND w.rw = 1
+         WHERE b.n_cand >= 2 AND b.score - w.score >= 20000),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END) AS BIGINT) AS longer,
+           CAST(sum(CASE WHEN len_c < len_r THEN 1 ELSE 0 END) AS BIGINT) AS shorter,
+           CAST(sum(len_c - len_r) AS BIGINT) AS tok_delta
+         FROM pairs)
+       SELECT n_pairs, longer, shorter, tok_delta,
+         CASE WHEN longer + shorter = 0 THEN 0
+           ELSE (1000 * greatest(abs(longer - shorter) - 1, 0) * greatest(abs(longer - shorter) - 1, 0)) // (longer + shorter)
+         END AS sign_chi2_milli,
+         CASE WHEN longer + shorter = 0 THEN FALSE
+           ELSE (1000 * greatest(abs(longer - shorter) - 1, 0) * greatest(abs(longer - shorter) - 1, 0)) // (longer + shorter) > 3841
+         END AS length_biased
+       FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_length_bias" -> q356LengthBias,
     "q316_dpo_pairs" -> q316DpoPairs,
     "q276_dsir_model_ivm" -> q276DsirModelIvm,
     "q275_truncation_audit" -> q275TruncationAudit,
@@ -1337,6 +1413,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q356_length_bias" -> q356Oracle,
     "q316_dpo_pairs" -> q316Oracle,
     "q276_dsir_model_ivm" -> q276Oracle,
     "q275_truncation_audit" -> q275Oracle,

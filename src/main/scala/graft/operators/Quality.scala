@@ -1576,8 +1576,84 @@ object Quality {
          CAST(floor(max(CASE WHEN rn = 1 THEN obar * (1.0 - obar) END) OVER () * 1000000.0) AS BIGINT) AS unc_micro
        FROM acc ORDER BY bin"""
 
+  /** Length-controlled win rate — Mantel–Haenszel (q358): is src0's
+    * arena win rate (q313's battles) an artifact of document LENGTH?
+    * Battles are stratified by length bucket and pooled with the
+    * matched-pair Mantel–Haenszel odds ratio Σa_k/Σb_k — the
+    * length-controlled leaderboard correction (the fix q356's audit
+    * calls for). Per-stratum win rates integer; the single pooled
+    * ratio accumulates through fixed-order windows and floors once. */
+  def q358MantelHaenszel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        floor(lit(1000000.0) * size(array_distinct(split($"text", " ")))
+          / size(split($"text", " "))).cast("long").as("rich"),
+        least(lit(3L), expr("size(split(text, ' ')) div 30").cast("long"))
+          .as("lbucket"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .localCheckpoint()
+    val battles = docs.select($"source".as("sa"), $"idx", $"rich".as("ra"),
+        $"lbucket".as("la"))
+      .join(docs.select($"source".as("sb"), $"idx", $"rich".as("rb"),
+        $"lbucket".as("lb")), Seq("idx"))
+      .filter($"sa" < $"sb" && $"ra" =!= $"rb")
+      .filter(($"sa" === "src0") =!= ($"sb" === "src0"))
+      .select(least($"la", $"lb").as("stratum"),
+        when(when($"sa" === "src0", $"ra").otherwise($"rb") >
+             when($"sa" === "src0", $"rb").otherwise($"ra"), 1L)
+          .otherwise(0L).as("focal_win"))
+    val strat = battles.groupBy($"stratum")
+      .agg(sum($"focal_win").as("a_k"),
+        sum(lit(1L) - $"focal_win").as("b_k"))
+    val wcum = Window.orderBy($"stratum")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    strat
+      .withColumn("winrate_bp", expr("10000 * a_k div (a_k + b_k)"))
+      .withColumn("cum_a", sum($"a_k".cast("double")).over(wcum))
+      .withColumn("cum_b", sum($"b_k".cast("double")).over(wcum))
+      .withColumn("rn", row_number().over(Window.orderBy($"stratum".desc)))
+      .withColumn("mh_or_milli", floor(
+        max(when($"rn" === 1, $"cum_a" / $"cum_b"))
+          .over(Window.partitionBy()) * 1000.0).cast("long"))
+      .select($"stratum", $"a_k", $"b_k", $"winrate_bp", $"mh_or_milli")
+      .orderBy($"stratum")
+  }
+
+  val q358Oracle: String =
+    """WITH docs AS (
+         SELECT source, doc_id,
+           CAST(floor(1000000.0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS BIGINT) AS rich,
+           CAST(least(3, len(string_split(text, ' ')) // 30) AS BIGINT) AS lbucket,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx
+         FROM documents),
+       battles AS (
+         SELECT least(a.lbucket, b.lbucket) AS stratum,
+           CASE WHEN (CASE WHEN a.source = 'src0' THEN a.rich ELSE b.rich END) >
+                     (CASE WHEN a.source = 'src0' THEN b.rich ELSE a.rich END) THEN 1 ELSE 0 END AS focal_win
+         FROM docs a JOIN docs b ON a.idx = b.idx AND a.source < b.source
+         WHERE a.rich <> b.rich AND (a.source = 'src0') <> (b.source = 'src0')),
+       strat AS (
+         SELECT stratum,
+           CAST(sum(focal_win) AS BIGINT) AS a_k,
+           CAST(sum(1 - focal_win) AS BIGINT) AS b_k
+         FROM battles GROUP BY 1),
+       mh AS (
+         SELECT stratum, a_k, b_k,
+           10000 * a_k // (a_k + b_k) AS winrate_bp,
+           sum(CAST(a_k AS DOUBLE)) OVER w AS cum_a,
+           sum(CAST(b_k AS DOUBLE)) OVER w AS cum_b,
+           row_number() OVER (ORDER BY stratum DESC) AS rn
+         FROM strat
+         WINDOW w AS (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT stratum, a_k, b_k, winrate_bp,
+         CAST(floor(max(CASE WHEN rn = 1 THEN cum_a / cum_b END) OVER () * 1000.0) AS BIGINT) AS mh_or_milli
+       FROM mh ORDER BY stratum"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q354_brier" -> q354Brier,
+    "q358_mantel_haenszel" -> q358MantelHaenszel,
     "q332_randomized_response" -> q332RandomizedResponse,
     "q313_bradley_terry" -> q313BradleyTerry,
     "q314_mcnemar" -> q314Mcnemar,
@@ -1602,6 +1678,7 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q354_brier" -> q354Oracle,
+    "q358_mantel_haenszel" -> q358Oracle,
     "q332_randomized_response" -> q332Oracle,
     "q313_bradley_terry" -> q313Oracle,
     "q314_mcnemar" -> q314Oracle,

@@ -336,4 +336,17 @@ class CurationSpec extends SparkSpec {
       assert(r._3 != r._5)
     }
   }
+
+  test("q356: length-bias audit reconciles with q316's pair set") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = Curation.q316DpoPairs(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val r = Curation.q356LengthBias(spark, d)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(r._1 == pairs.length)
+    assert(r._2 + r._3 <= r._1) // ties possible
+    val corr = math.max(math.abs(r._2 - r._3) - 1, 0L)
+    val exp = if (r._2 + r._3 == 0) 0L else 1000L * corr * corr / (r._2 + r._3)
+    assert(r._5 == exp && r._6 == (exp > 3841L))
+  }
 }

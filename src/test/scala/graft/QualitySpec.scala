@@ -587,4 +587,21 @@ class QualitySpec extends SparkSpec {
     val n = got.map(_._2).sum
     assert(n == graft.io.Tables.customer(spark, d).count())
   }
+
+  test("q358: MH pooled ratio is the stratum-sum ratio; rates consistent") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q358MantelHaenszel(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    val mh = got.head._5
+    assert(got.forall(_._5 == mh))
+    got.foreach { case (_, aK, bK, wr, _) =>
+      assert(wr == 10000 * aK / (aK + bK))
+    }
+    // replay the pooled ratio in stratum order (the fold the window uses)
+    var (ca, cb) = (0.0, 0.0)
+    got.foreach { r => ca += r._2; cb += r._3 }
+    assert(mh == math.floor(ca / cb * 1000.0).toLong)
+  }
 }
