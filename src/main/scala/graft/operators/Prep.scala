@@ -607,7 +607,100 @@ object Prep {
   }
 
 
+  /** Point-in-time feature leakage-delta audit (q360): assemble the
+    * same customer features twice — correctly (history strictly
+    * before the cutoff, q240's PIT discipline) and leakily (full
+    * history, which CONTAINS the label window) — and measure each
+    * version's correlation with the post-cutoff conversion label.
+    * The delta IS the leakage: here the leaky feature correlates ~3×
+    * higher, and the flag trips. This turns "did the feature store
+    * leak?" from a code review into a measured number. Sufficient
+    * stats exact (decimal second-order); two identical double trees
+    * floored once each. */
+  def q360PitLeakageDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-07-01").cast("date")
+    val ordersD = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderdate".cast("date").as("od"))
+    val featPit = ordersD.filter($"od" < cutoff)
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(count(lit(1)).as("pit_orders"))
+    val featLeaky = ordersD
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(count(lit(1)).as("lk_orders"))
+    val label = ordersD.filter($"od" >= cutoff)
+      .groupBy($"o_custkey".as("c_custkey")).agg(lit(1L).as("converted"))
+    val joined = Tables.customer(s, d).select($"c_custkey")
+      .join(featPit, Seq("c_custkey"), "left")
+      .join(featLeaky, Seq("c_custkey"), "left")
+      .join(label, Seq("c_custkey"), "left")
+      .select(coalesce($"pit_orders", lit(0L)).as("p"),
+        coalesce($"lk_orders", lit(0L)).as("l"),
+        coalesce($"converted", lit(0L)).as("y"))
+    joined.agg(
+        count(lit(1)).as("n"), sum($"y").as("ny"),
+        sum($"p").as("sp"), sum($"l").as("sl"),
+        sum($"p" * $"y").as("spy"), sum($"l" * $"y").as("sly"),
+        sum($"p".cast("decimal(12,0)") * $"p".cast("decimal(12,0)")).as("spp"),
+        sum($"l".cast("decimal(12,0)") * $"l".cast("decimal(12,0)")).as("sll"),
+        sum($"y".cast("decimal(12,0)") * $"y".cast("decimal(12,0)")).as("syy"))
+      .selectExpr("n", "ny",
+        """(CAST(n AS DOUBLE) * spy - CAST(sp AS DOUBLE) * ny)
+           / sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp) * (CAST(n AS DOUBLE) * syy - CAST(ny AS DOUBLE) * ny)) AS r_pit""",
+        """(CAST(n AS DOUBLE) * sly - CAST(sl AS DOUBLE) * ny)
+           / sqrt((CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl) * (CAST(n AS DOUBLE) * syy - CAST(ny AS DOUBLE) * ny)) AS r_leaky""")
+      .selectExpr("n", "ny",
+        "CAST(floor(r_pit * 10000.0) AS BIGINT) AS r_pit_bp",
+        "CAST(floor(r_leaky * 10000.0) AS BIGINT) AS r_leaky_bp",
+        "CAST(floor((r_leaky - r_pit) * 10000.0) AS BIGINT) AS leakage_delta_bp")
+      .withColumn("leakage_flag", $"leakage_delta_bp" > 500L)
+  }
+
+  val q360Oracle: String =
+    """WITH cutoff AS (SELECT DATE '1998-07-01' AS c),
+       feat_pit AS (
+         SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS pit_orders
+         FROM orders, cutoff WHERE CAST(o_orderdate AS DATE) < c
+         GROUP BY 1),
+       feat_leaky AS (
+         SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS lk_orders
+         FROM orders GROUP BY 1),
+       label AS (
+         SELECT o_custkey AS c_custkey, CAST(1 AS BIGINT) AS converted
+         FROM orders, cutoff
+         WHERE CAST(o_orderdate AS DATE) >= c
+         GROUP BY 1),
+       joined AS (
+         SELECT COALESCE(p.pit_orders, 0) AS p, COALESCE(l.lk_orders, 0) AS l,
+           COALESCE(lb.converted, 0) AS y
+         FROM customer cu
+         LEFT JOIN feat_pit p ON cu.c_custkey = p.c_custkey
+         LEFT JOIN feat_leaky l ON cu.c_custkey = l.c_custkey
+         LEFT JOIN label lb ON cu.c_custkey = lb.c_custkey),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS ny,
+           CAST(sum(p) AS BIGINT) AS sp, CAST(sum(l) AS BIGINT) AS sl,
+           CAST(sum(p * y) AS BIGINT) AS spy, CAST(sum(l * y) AS BIGINT) AS sly,
+           sum(CAST(p AS HUGEINT) * p) AS spp,
+           sum(CAST(l AS HUGEINT) * l) AS sll,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+         FROM joined),
+       corr AS (
+         SELECT n, ny,
+           (CAST(n AS DOUBLE) * spy - CAST(sp AS DOUBLE) * ny)
+           / sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp) * (CAST(n AS DOUBLE) * syy - CAST(ny AS DOUBLE) * ny)) AS r_pit,
+           (CAST(n AS DOUBLE) * sly - CAST(sl AS DOUBLE) * ny)
+           / sqrt((CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl) * (CAST(n AS DOUBLE) * syy - CAST(ny AS DOUBLE) * ny)) AS r_leaky
+         FROM stats)
+       SELECT n, ny,
+         CAST(floor(r_pit * 10000.0) AS BIGINT) AS r_pit_bp,
+         CAST(floor(r_leaky * 10000.0) AS BIGINT) AS r_leaky_bp,
+         CAST(floor((r_leaky - r_pit) * 10000.0) AS BIGINT) AS leakage_delta_bp,
+         CAST(floor((r_leaky - r_pit) * 10000.0) AS BIGINT) > 500 AS leakage_flag
+       FROM corr"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_pit_leakage_delta" -> q360PitLeakageDelta,
     "q169_quantile_norm" -> q169QuantileNorm,
     "q169b_quantile_norm_digest" -> q169bQuantileNormDigest,
     "q161_power_iter" -> q161PowerIter,
@@ -620,6 +713,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q360_pit_leakage_delta" -> q360Oracle,
     "q169_quantile_norm" -> q169Oracle,
     "q169b_quantile_norm_digest" -> q169bOracle,
     "q161_power_iter" -> q161Oracle,

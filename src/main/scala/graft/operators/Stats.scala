@@ -4162,6 +4162,39 @@ object Stats {
          abs(CAST(floor((a - 0.5) / sqrt(cum_s10 / (npt - 1.0) / npt + cum_s01 / (nnt - 1.0) / nnt) * 1000.0) AS BIGINT)) > 1960 AS reject
        FROM ss WHERE rn = 1"""
 
+  /** DKW sample-size planner for quantile estimation (q359): how many
+    * rows until the EMPIRICAL CDF is within ε of truth everywhere,
+    * w.p. 1−δ — n ≥ ln(2/δ)/(2ε²) by Dvoretzky–Kiefer–Wolfowitz.
+    * The planning companion to q149/q54's sketches: it answers
+    * "is sampling enough, or do I need the sketch?" against the
+    * table's measured row count. Deterministic planning table
+    * (q307/q342/q351 pattern); one count scan × a literal grid. */
+  def q359DkwPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = Seq(100L, 200L, 500L, 1000L).toDF("eps_bp")
+      .crossJoin(Seq(20L, 100L, 1000L).toDF("delta_recip"))
+    val n = Tables.orders(s, d).agg(count(lit(1)).as("n_have"))
+    grid.crossJoin(broadcast(n))
+      .selectExpr("eps_bp", "delta_recip",
+        "CAST(ceil(ln(2.0 * delta_recip) / (2.0 * (eps_bp / 10000.0) * (eps_bp / 10000.0))) AS BIGINT) AS n_needed",
+        "n_have")
+      .withColumn("sufficient", $"n_have" >= $"n_needed")
+      .orderBy($"eps_bp", $"delta_recip")
+  }
+
+  val q359Oracle: String =
+    """WITH grid AS (
+         SELECT e.eps_bp, d.delta_recip
+         FROM (SELECT CAST(unnest([100, 200, 500, 1000]) AS BIGINT) AS eps_bp) e
+         CROSS JOIN (SELECT CAST(unnest([20, 100, 1000]) AS BIGINT) AS delta_recip) d),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n_have FROM orders)
+       SELECT g.eps_bp, g.delta_recip,
+         CAST(ceil(ln(2.0 * g.delta_recip) / (2.0 * (g.eps_bp / 10000.0) * (g.eps_bp / 10000.0))) AS BIGINT) AS n_needed,
+         n.n_have,
+         n.n_have >= CAST(ceil(ln(2.0 * g.delta_recip) / (2.0 * (g.eps_bp / 10000.0) * (g.eps_bp / 10000.0))) AS BIGINT) AS sufficient
+       FROM grid g CROSS JOIN n
+       ORDER BY eps_bp, delta_recip"""
+
   /** Changepoint detection — binary-segmentation step (q318): the
     * top-5 candidate split days of the daily-revenue series by
     * between-segment sum-of-squares (CUSUM-of-means / CART split
@@ -4274,6 +4307,7 @@ object Stats {
     "q349_smd_balance" -> q349SmdBalance,
     "q352_kendall_tau" -> q352KendallTau,
     "q353_auc_se" -> q353AucSe,
+    "q359_dkw_planner" -> q359DkwPlanner,
     "q197_weighted_median" -> q197WeightedMedian,
     "q194_rank_sum" -> q194RankSum,
     "q177_acf" -> q177Acf,
@@ -4340,6 +4374,7 @@ object Stats {
     "q349_smd_balance" -> q349Oracle,
     "q352_kendall_tau" -> q352Oracle,
     "q353_auc_se" -> q353Oracle,
+    "q359_dkw_planner" -> q359Oracle,
     "q197_weighted_median" -> q197Oracle,
     "q194_rank_sum" -> q194Oracle,
     "q177_acf" -> q177Oracle,

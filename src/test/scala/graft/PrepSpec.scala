@@ -332,4 +332,38 @@ class PrepSpec extends SparkSpec {
     got.sliding(2).foreach { case Array(a, b) => assert(a._3 < b._2); case _ => }
     assert(got.map(_._4).sum == cust.length.toLong)
   }
+
+  test("q360: leakage delta — leaky feature dominates PIT on post-cutoff label") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val r = operators.Prep.q360PitLeakageDelta(spark, d)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(r._1 == graft.io.Tables.customer(spark, d).count())
+    // the leaky feature (which contains the label window) must
+    // correlate at least as strongly as the PIT-correct one
+    assert(r._4 >= r._3)
+    assert(r._5 == r._4 - r._3 ||
+      math.abs(r._5 - (r._4 - r._3)) <= 1) // independent floors
+    assert(r._6 == (r._5 > 500))
+    // exact replay of r_pit from raw data
+    val cutoff = java.time.LocalDate.parse("1998-07-01")
+    val ords = graft.io.Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date"))
+      .as[(Long, java.sql.Date)].collect()
+    val custs = graft.io.Tables.customer(spark, d)
+      .select(col("c_custkey")).as[Long].collect()
+    val pit = ords.filter(_._2.toLocalDate.isBefore(cutoff))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val lab = ords.filter(!_._2.toLocalDate.isBefore(cutoff)).map(_._1).toSet
+    val rows = custs.map(c =>
+      (pit.getOrElse(c, 0L), if (lab(c)) 1L else 0L))
+    val n = rows.length.toDouble
+    val sp = rows.map(_._1).sum.toDouble; val ny = rows.map(_._2).sum.toDouble
+    val spy = rows.map(t => t._1 * t._2).sum.toDouble
+    val spp = rows.map(t => t._1 * t._1).sum.toDouble
+    val syy = rows.map(t => t._2 * t._2).sum.toDouble
+    val rPit = (n * spy - sp * ny) /
+      math.sqrt((n * spp - sp * sp) * (n * syy - ny * ny))
+    assert(r._3 == math.floor(rPit * 10000.0).toLong)
+  }
 }

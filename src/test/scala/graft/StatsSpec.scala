@@ -1505,4 +1505,26 @@ class StatsSpec extends SparkSpec {
     assert(r._6 == (math.abs(r._5) > 1960))
     assert(!r._6) // parity labels: AUC compatible with 1/2
   }
+
+  test("q359: DKW planner matches the closed form; monotone both ways") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Stats.q359DkwPlanner(spark, d)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 12)
+    got.foreach { case (eps, dr, need, have, ok) =>
+      val exp = math.ceil(math.log(2.0 * dr)
+        / (2.0 * (eps / 10000.0) * (eps / 10000.0))).toLong
+      assert(need == exp && ok == (have >= need))
+    }
+    // tighter eps or delta => larger n
+    got.groupBy(_._2).values.foreach { g =>
+      val byEps = g.sortBy(_._1).map(_._3)
+      assert(byEps.zip(byEps.tail).forall { case (a, b) => a >= b })
+    }
+    got.groupBy(_._1).values.foreach { g =>
+      val byDelta = g.sortBy(_._2).map(_._3)
+      assert(byDelta.zip(byDelta.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
