@@ -671,6 +671,98 @@ object Behavior {
        SELECT wk, n_at_risk, d, ending, surv_micro
        FROM sv WHERE wk < 30 ORDER BY wk"""
 
+  /** Kaplan–Meier with Greenwood confidence bands (q361): q210's
+    * survival curve plus the part a decision needs — the pointwise
+    * 95% band from Greenwood's variance V(t) = S(t)²·Σ d/(n(n−d)).
+    * Both accumulations (the log-product for S and the Greenwood sum
+    * G) run as fixed-order cumulative folds over the bounded week
+    * spine, in one window pass; the degenerate n = d week is guarded
+    * identically on both sides (band contribution 0 — the curve has
+    * hit zero anyway). Bands are clamped to [0, 1] in micro units. */
+  def q361Greenwood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val horizon = 30L
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val maxD = Tables.orders(s, d).agg(max($"o_orderdate").as("max_d"))
+    val spells = Tables.orders(s, d)
+      .withColumn("next_d", lead($"o_orderdate", 1).over(byCust))
+      .crossJoin(broadcast(maxD))
+      .select(
+        when($"next_d".isNotNull,
+          floor(datediff($"next_d", $"o_orderdate") / 7.0).cast("long"))
+          .otherwise(floor(datediff($"max_d", $"o_orderdate") / 7.0).cast("long"))
+          .as("wk"),
+        $"next_d".isNotNull.cast("long").as("event"))
+      .select(least($"wk", lit(horizon)).as("wk"),
+        ($"event" === 1L && $"wk" <= horizon).cast("long").as("event"))
+    val byWk = spells.groupBy($"wk")
+      .agg(count(lit(1)).as("ending"), sum($"event").as("d"))
+    val tot = spells.agg(count(lit(1)).as("n_spells"))
+    val w = Window.orderBy($"wk")
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byWk.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        $"n_spells" - coalesce(sum($"ending")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sv",
+        exp(sum(log(lit(1.0) - $"d" * lit(1.0) / $"n_at_risk")).over(wcum)))
+      .withColumn("g",
+        sum(when($"n_at_risk" > $"d",
+            $"d" * lit(1.0) / ($"n_at_risk" * ($"n_at_risk" - $"d")))
+          .otherwise(lit(0.0))).over(wcum))
+      .filter($"wk" < horizon)
+      .selectExpr("wk", "n_at_risk", "d",
+        "CAST(floor(sv * 1000000.0) AS BIGINT) AS surv_micro",
+        "CAST(floor(sv * sqrt(g) * 1000000.0) AS BIGINT) AS se_micro",
+        "CAST(floor(greatest(0.0, sv - 1.96 * sv * sqrt(g)) * 1000000.0) AS BIGINT) AS lo_micro",
+        "CAST(floor(least(1.0, sv + 1.96 * sv * sqrt(g)) * 1000000.0) AS BIGINT) AS hi_micro")
+      .orderBy($"wk")
+  }
+
+  val q361Oracle: String =
+    """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+       sp AS (
+         SELECT o_custkey, o_orderdate, o_orderkey,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS next_d
+         FROM orders),
+       spell AS (
+         SELECT
+           CASE WHEN next_d IS NOT NULL
+             THEN CAST(floor(date_diff('day', o_orderdate, next_d) / 7.0) AS BIGINT)
+             ELSE CAST(floor(date_diff('day', o_orderdate, max_d) / 7.0) AS BIGINT)
+           END AS wk0,
+           CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev0
+         FROM sp CROSS JOIN mx),
+       spell2 AS (
+         SELECT least(wk0, 30) AS wk,
+           CAST(ev0 = 1 AND wk0 <= 30 AS BIGINT) AS event
+         FROM spell),
+       bywk AS (
+         SELECT wk, CAST(count(*) AS BIGINT) AS ending,
+           CAST(sum(event) AS BIGINT) AS d
+         FROM spell2 GROUP BY wk),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_spells FROM spell2),
+       r AS (
+         SELECT wk, ending, d,
+           n_spells - CAST(COALESCE(sum(ending) OVER (ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_at_risk
+         FROM bywk CROSS JOIN tot),
+       sv AS (
+         SELECT wk, n_at_risk, d,
+           exp(sum(ln(1.0 - d * 1.0 / n_at_risk)) OVER wc) AS sv,
+           sum(CASE WHEN n_at_risk > d
+                 THEN d * 1.0 / (n_at_risk * (n_at_risk - d)) ELSE 0.0 END) OVER wc AS g
+         FROM r
+         WINDOW wc AS (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT wk, n_at_risk, d,
+         CAST(floor(sv * 1000000.0) AS BIGINT) AS surv_micro,
+         CAST(floor(sv * sqrt(g) * 1000000.0) AS BIGINT) AS se_micro,
+         CAST(floor(greatest(0.0, sv - 1.96 * sv * sqrt(g)) * 1000000.0) AS BIGINT) AS lo_micro,
+         CAST(floor(least(1.0, sv + 1.96 * sv * sqrt(g)) * 1000000.0) AS BIGINT) AS hi_micro
+       FROM sv WHERE wk < 30 ORDER BY wk"""
+
   /** Burstiness index (q219): per user, B = (σ − μ)/(σ + μ) over
     * inter-event gaps — the Goh–Barabási statistic separating three
     * regimes: B → −1 periodic (heartbeat/cron), B ≈ 0 Poisson (human
@@ -1667,6 +1759,7 @@ object Behavior {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q343_session_surprisal" -> q343SessionSurprisal,
+    "q361_greenwood" -> q361Greenwood,
     "q264_cohort_ltv" -> q264CohortLtv,
     "q265_tier_migration" -> q265TierMigration,
     "q263_state_occupancy" -> q263StateOccupancy,
@@ -1695,6 +1788,7 @@ object Behavior {
 
   val oracles: Map[String, String] = Map(
     "q343_session_surprisal" -> q343Oracle,
+    "q361_greenwood" -> q361Oracle,
     "q264_cohort_ltv" -> q264Oracle,
     "q265_tier_migration" -> q265Oracle,
     "q263_state_occupancy" -> q263Oracle,

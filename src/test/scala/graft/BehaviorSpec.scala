@@ -1004,4 +1004,26 @@ class BehaviorSpec extends SparkSpec {
     val topAvg = sess.values.map { case (n, sp) => sp / n }.toSeq.sortBy(-_)
     assert(got.map(_._6).toSeq == topAvg.take(got.length))
   }
+
+  test("q361: Greenwood bands bracket the KM curve and widen sensibly") {
+    val km = operators.Behavior.q210KaplanMeier(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r._5).toMap
+    val got = operators.Behavior.q361Greenwood(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (wk, nRisk, dd, surv, se, lo, hi) =>
+      // agrees with q210's curve on the shared column
+      assert(surv == km(wk))
+      // band brackets the estimate, stays in [0, 1e6]
+      assert(lo <= surv && surv <= hi)
+      assert(lo >= 0 && hi <= 1000000L && se >= 0)
+      assert(dd <= nRisk)
+    }
+    // survival monotone non-increasing
+    val sv = got.map(_._4)
+    assert(sv.zip(sv.tail).forall { case (a, b) => a >= b })
+    // the band never narrows as risk sets shrink (relative width grows):
+    // spot-check that the LAST week's se exceeds the first week's
+    assert(got.last._5 >= got.head._5)
+  }
 }
