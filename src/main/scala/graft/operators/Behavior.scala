@@ -763,6 +763,49 @@ object Behavior {
          CAST(floor(least(1.0, sv + 1.96 * sv * sqrt(g)) * 1000000.0) AS BIGINT) AS hi_micro
        FROM sv WHERE wk < 30 ORDER BY wk"""
 
+  /** Cache-TTL hit-rate planner (q362): if per-user results were
+    * cached with TTL t, what fraction of events would hit? —
+    * hit-rate(t) = P(inter-event gap ≤ t), read off the per-user gap
+    * distribution (q219's lag machinery) against a TTL grid. The
+    * capacity-planning face of the burstiness work: pick the TTL
+    * where the curve's knee pays for the staleness. Gaps in integer
+    * seconds from micros (unix_micros ↔ epoch_us, the q23
+    * discipline); pure counting after that. */
+  def q362TtlPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+    val gaps = ev.withColumn("prev_us", lag($"us", 1).over(
+        Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
+      .filter($"prev_us".isNotNull)
+      .select(expr("(us - prev_us) div 1000000").as("gap_s"))
+    val tot = gaps.agg(count(lit(1)).as("n"))
+    val ttl = Seq(60L, 300L, 900L, 3600L, 14400L).toDF("ttl_s")
+    gaps.crossJoin(broadcast(ttl))
+      .groupBy($"ttl_s")
+      .agg(sum(when($"gap_s" <= $"ttl_s", 1L).otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("ttl_s", "n_hit", "n",
+        "10000 * n_hit div n AS hit_rate_bp")
+      .orderBy($"ttl_s")
+  }
+
+  val q362Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+       gaps AS (
+         SELECT (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000000 AS gap_s
+         FROM ev),
+       g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+       ttl AS (SELECT CAST(unnest([60, 300, 900, 3600, 14400]) AS BIGINT) AS ttl_s),
+       hits AS (
+         SELECT t.ttl_s, CAST(sum(CASE WHEN g.gap_s <= t.ttl_s THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM g CROSS JOIN ttl t GROUP BY 1)
+       SELECT h.ttl_s, h.n_hit, tot.n,
+         10000 * h.n_hit // tot.n AS hit_rate_bp
+       FROM hits h CROSS JOIN tot ORDER BY ttl_s"""
+
   /** Burstiness index (q219): per user, B = (σ − μ)/(σ + μ) over
     * inter-event gaps — the Goh–Barabási statistic separating three
     * regimes: B → −1 periodic (heartbeat/cron), B ≈ 0 Poisson (human
@@ -1760,6 +1803,7 @@ object Behavior {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q343_session_surprisal" -> q343SessionSurprisal,
     "q361_greenwood" -> q361Greenwood,
+    "q362_ttl_planner" -> q362TtlPlanner,
     "q264_cohort_ltv" -> q264CohortLtv,
     "q265_tier_migration" -> q265TierMigration,
     "q263_state_occupancy" -> q263StateOccupancy,
@@ -1789,6 +1833,7 @@ object Behavior {
   val oracles: Map[String, String] = Map(
     "q343_session_surprisal" -> q343Oracle,
     "q361_greenwood" -> q361Oracle,
+    "q362_ttl_planner" -> q362Oracle,
     "q264_cohort_ltv" -> q264Oracle,
     "q265_tier_migration" -> q265Oracle,
     "q263_state_occupancy" -> q263Oracle,

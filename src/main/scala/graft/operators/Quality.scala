@@ -1651,8 +1651,105 @@ object Quality {
          CAST(floor(max(CASE WHEN rn = 1 THEN cum_a / cum_b END) OVER () * 1000.0) AS BIGINT) AS mh_or_milli
        FROM mh ORDER BY stratum"""
 
+  /** Sort-key advisor (q363): which single-column sort order prunes
+    * the most files for a given predicate workload? For each
+    * candidate layout (orderdate / custkey / totalprice), rows are
+    * binned into 64 simulated files by the layout key's cumulative
+    * histogram (the q93 idiom — an equal-mass sort simulation with
+    * no actual sort), per-file zonemaps (min/max of EVERY workload
+    * column) are built exactly as q181 would, and each workload
+    * predicate counts the files its range overlaps. The advisor
+    * ranks layouts by average scan fraction — q118 (Z-order) and
+    * q181 (audit) get their missing DECISION step. All integer
+    * counting; one stacked-long scan per layout leg. */
+  def q363SortkeyAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val base = Tables.orders(s, d).select($"o_custkey",
+      datediff($"o_orderdate".cast("date"), epoch).cast("long").as("od_d"),
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("tp"))
+    val long = base.select(lit("orderdate").as("layout"), $"od_d".as("k"),
+        $"o_custkey", $"od_d", $"tp")
+      .unionByName(base.select(lit("custkey").as("layout"),
+        $"o_custkey".as("k"), $"o_custkey", $"od_d", $"tp"))
+      .unionByName(base.select(lit("totalprice").as("layout"),
+        $"tp".as("k"), $"o_custkey", $"od_d", $"tp"))
+      .localCheckpoint()
+    val hist = long.groupBy($"layout", $"k").agg(count(lit(1)).as("cnt"))
+    val binned = hist
+      .withColumn("cum", sum($"cnt").over(Window.partitionBy($"layout")
+        .orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot",
+        sum($"cnt").over(Window.partitionBy($"layout")))
+      .select($"layout", $"k",
+        least(lit(63L), expr("64 * (cum - cnt) div tot")).as("file_id"))
+    val files = long.join(binned, Seq("layout", "k"))
+      .groupBy($"layout", $"file_id")
+      .agg(min($"o_custkey").as("ck_lo"), max($"o_custkey").as("ck_hi"),
+        min($"od_d").as("od_lo"), max($"od_d").as("od_hi"),
+        min($"tp").as("tp_lo"), max($"tp").as("tp_hi"))
+    val dLo = datediff(lit("1998-01-01").cast("date"), epoch)
+    val dHi = datediff(lit("1998-07-01").cast("date"), epoch)
+    files.groupBy($"layout").agg(
+        sum(when($"od_hi" >= dLo && $"od_lo" < dHi, 1L).otherwise(0L))
+          .as("q_date_files"),
+        sum(when($"ck_hi" >= 100L && $"ck_lo" <= 200L, 1L).otherwise(0L))
+          .as("q_cust_files"),
+        sum(when($"tp_hi" >= 30000000L, 1L).otherwise(0L))
+          .as("q_price_files"),
+        count(lit(1)).as("n_files"))
+      .selectExpr("layout", "n_files", "q_date_files", "q_cust_files",
+        "q_price_files",
+        "10000 * (q_date_files + q_cust_files + q_price_files) div (3 * n_files) AS avg_scan_bp")
+      .withColumn("rank", row_number().over(Window
+        .orderBy($"avg_scan_bp", $"layout")).cast("long"))
+      .orderBy($"rank")
+  }
+
+  val q363Oracle: String =
+    """WITH base AS (
+         SELECT o_custkey,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS od_d,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tp
+         FROM orders),
+       long AS (
+         SELECT 'orderdate' AS layout, od_d AS k, o_custkey, od_d, tp FROM base
+         UNION ALL SELECT 'custkey', o_custkey, o_custkey, od_d, tp FROM base
+         UNION ALL SELECT 'totalprice', tp, o_custkey, od_d, tp FROM base),
+       hist AS (
+         SELECT layout, k, CAST(count(*) AS BIGINT) AS cnt FROM long GROUP BY 1, 2),
+       binned AS (
+         SELECT layout, k,
+           least(63, 64 * (cum - cnt) // tot) AS file_id
+         FROM (SELECT layout, k, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY layout ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY layout) AS BIGINT) AS tot
+               FROM hist)),
+       files AS (
+         SELECT l.layout, b.file_id,
+           min(l.o_custkey) AS ck_lo, max(l.o_custkey) AS ck_hi,
+           min(l.od_d) AS od_lo, max(l.od_d) AS od_hi,
+           min(l.tp) AS tp_lo, max(l.tp) AS tp_hi
+         FROM long l JOIN binned b ON l.layout = b.layout AND l.k = b.k
+         GROUP BY 1, 2),
+       w AS (
+         SELECT layout,
+           CAST(sum(CASE WHEN od_hi >= date_diff('day', DATE '1970-01-01', DATE '1998-01-01')
+                          AND od_lo < date_diff('day', DATE '1970-01-01', DATE '1998-07-01')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS q_date_files,
+           CAST(sum(CASE WHEN ck_hi >= 100 AND ck_lo <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS q_cust_files,
+           CAST(sum(CASE WHEN tp_hi >= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS q_price_files,
+           CAST(count(*) AS BIGINT) AS n_files
+         FROM files GROUP BY 1)
+       SELECT layout, n_files, q_date_files, q_cust_files, q_price_files,
+         10000 * (q_date_files + q_cust_files + q_price_files) // (3 * n_files) AS avg_scan_bp,
+         CAST(row_number() OVER (ORDER BY 10000 * (q_date_files + q_cust_files + q_price_files) // (3 * n_files), layout) AS BIGINT) AS rank
+       FROM w ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q354_brier" -> q354Brier,
+    "q363_sortkey_advisor" -> q363SortkeyAdvisor,
     "q358_mantel_haenszel" -> q358MantelHaenszel,
     "q332_randomized_response" -> q332RandomizedResponse,
     "q313_bradley_terry" -> q313BradleyTerry,
@@ -1679,6 +1776,7 @@ object Quality {
   val oracles: Map[String, String] = Map(
     "q354_brier" -> q354Oracle,
     "q358_mantel_haenszel" -> q358Oracle,
+    "q363_sortkey_advisor" -> q363Oracle,
     "q332_randomized_response" -> q332Oracle,
     "q313_bradley_terry" -> q313Oracle,
     "q314_mcnemar" -> q314Oracle,

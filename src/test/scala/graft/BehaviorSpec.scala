@@ -1026,4 +1026,25 @@ class BehaviorSpec extends SparkSpec {
     // spot-check that the LAST week's se exceeds the first week's
     assert(got.last._5 >= got.head._5)
   }
+
+  test("q362: TTL hit-rate curve matches a gap replay; monotone in TTL") {
+    val got = operators.Behavior.q362TtlPlanner(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(60L, 300L, 900L, 3600L, 14400L))
+    val hr = got.map(_._4)
+    assert(hr.zip(hr.tail).forall { case (a, b) => a <= b })
+    val ev = graft.io.Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val gaps = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).map { case (a, b) => (b._2 - a._2) / 1000000L }
+    }.toSeq
+    assert(got.head._3 == gaps.length)
+    got.foreach { case (ttl, nHit, n, bp) =>
+      assert(n == gaps.length)
+      assert(nHit == gaps.count(_ <= ttl))
+      assert(bp == 10000L * nHit / n)
+    }
+  }
 }

@@ -604,4 +604,27 @@ class QualitySpec extends SparkSpec {
     got.foreach { r => ca += r._2; cb += r._3 }
     assert(mh == math.floor(ca / cb * 1000.0).toLong)
   }
+
+  test("q363: advisor ranks the sorted-on-predicate layout best per query") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.Quality.q363SortkeyAdvisor(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq("custkey", "orderdate", "totalprice"))
+    assert(got.map(_._7).sorted.toSeq == Seq(1L, 2L, 3L))
+    val by = got.map(r => r._1 -> r).toMap
+    // sorting on the predicate column prunes that query best (or ties)
+    assert(by("orderdate")._3 <= by("custkey")._3 &&
+      by("orderdate")._3 <= by("totalprice")._3)
+    assert(by("custkey")._4 <= by("orderdate")._4 &&
+      by("custkey")._4 <= by("totalprice")._4)
+    assert(by("totalprice")._5 <= by("orderdate")._5 &&
+      by("totalprice")._5 <= by("custkey")._5)
+    // file counts and scan fractions are sane
+    got.foreach { r =>
+      assert(r._2 <= 64 && r._6 >= 0 && r._6 <= 10000)
+      assert(r._3 <= r._2 && r._4 <= r._2 && r._5 <= r._2)
+      assert(r._6 == 10000 * (r._3 + r._4 + r._5) / (3 * r._2))
+    }
+  }
 }
