@@ -806,6 +806,117 @@ object Behavior {
          10000 * h.n_hit // tot.n AS hit_rate_bp
        FROM hits h CROSS JOIN tot ORDER BY ttl_s"""
 
+  /** Top sequential event-triple patterns (q364): ordered 3-step
+    * sequences within (user, day) sessions with support and user
+    * reach — the sequence-mining companion to q182's unordered
+    * Apriori triples and q114's 1-step transitions (two stacked lead
+    * windows make the operator order-SENSITIVE, which is the whole
+    * point). Top-15 fully tie-broken; one partitioned window pass +
+    * a bounded |types|³ aggregate. */
+  def q364SeqPatterns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    val seq = Tables.events(s, d)
+      .select($"user_id", $"ts".cast("date").as("day"), $"ts",
+        $"event_type", $"event_id")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+    val tri = seq.groupBy($"event_type".as("e1"), $"e2", $"e3")
+      .agg(count(lit(1)).as("support"),
+        countDistinct($"user_id").as("n_users"))
+    val tot = tri.agg(sum($"support").as("n"))
+    tri.crossJoin(broadcast(tot))
+      .selectExpr("e1", "e2", "e3", "support", "n_users",
+        "10000 * support div n AS share_bp")
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"support".desc, $"e1", $"e2", $"e3")).cast("long"))
+      .filter($"rank" <= 15)
+      .orderBy($"rank")
+  }
+
+  val q364Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, CAST(ts AS TIMESTAMP) AS t, event_type, event_id
+         FROM events),
+       seq AS (
+         SELECT user_id, day, event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id, day ORDER BY t, event_id)),
+       tri AS (
+         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS support,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM seq WHERE e3 IS NOT NULL
+         GROUP BY 1, 2, 3),
+       tot AS (SELECT CAST(sum(support) AS BIGINT) AS n FROM tri),
+       r AS (
+         SELECT t.e1, t.e2, t.e3, t.support, t.n_users,
+           10000 * t.support // tot.n AS share_bp,
+           row_number() OVER (ORDER BY t.support DESC, t.e1, t.e2, t.e3) AS rnk
+         FROM tri t CROSS JOIN tot)
+       SELECT e1, e2, e3, support, n_users, share_bp,
+         CAST(rnk AS BIGINT) AS rank
+       FROM r WHERE rnk <= 15 ORDER BY rnk"""
+
+  /** Daily cross-correlation lead–lag sweep (q365): does order COUNT
+    * lead order REVENUE (or vice versa)? Pearson at calendar lags
+    * ±{1,3,7} via a DATE-SHIFT join of the bounded daily aggregate
+    * against itself — join-on-shifted-day, not lead-over-rows, so
+    * calendar gaps are handled identically in both engines (and the
+    * construction stays Spark-expressible: window lead offsets must
+    * be literals, join offsets need not). The q242 moment discipline;
+    * the lag-0 peak is the sanity anchor. */
+  def q365Ccf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) div 100000").as("y"))
+      .localCheckpoint()
+    val lags = Seq(-7L, -3L, -1L, 0L, 1L, 3L, 7L).toDF("lag_d")
+    val shift = daily.select($"day", $"x").crossJoin(broadcast(lags))
+      .join(daily.select($"day".as("bday"), $"y"),
+        $"bday" === date_add($"day", $"lag_d".cast("int")))
+    val stats = shift.groupBy($"lag_d").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    stats.selectExpr("lag_d", "n",
+        """CAST(floor(
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            * 10000.0) AS BIGINT) AS ccf_bp""")
+      .orderBy($"lag_d")
+  }
+
+  val q365Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100000 AS BIGINT) AS y
+         FROM orders GROUP BY 1),
+       lags AS (SELECT CAST(unnest([-7, -3, -1, 0, 1, 3, 7]) AS BIGINT) AS lag_d),
+       shift AS (
+         SELECT l.lag_d, a.x, b.y
+         FROM daily a CROSS JOIN lags l
+         JOIN daily b ON b.day = a.day + CAST(l.lag_d AS INTEGER)),
+       stats AS (
+         SELECT lag_d, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         FROM shift GROUP BY 1)
+       SELECT lag_d, n,
+         CAST(floor(
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           * 10000.0) AS BIGINT) AS ccf_bp
+       FROM stats ORDER BY lag_d"""
+
   /** Burstiness index (q219): per user, B = (σ − μ)/(σ + μ) over
     * inter-event gaps — the Goh–Barabási statistic separating three
     * regimes: B → −1 periodic (heartbeat/cron), B ≈ 0 Poisson (human
@@ -1804,6 +1915,8 @@ object Behavior {
     "q343_session_surprisal" -> q343SessionSurprisal,
     "q361_greenwood" -> q361Greenwood,
     "q362_ttl_planner" -> q362TtlPlanner,
+    "q364_seq_patterns" -> q364SeqPatterns,
+    "q365_ccf" -> q365Ccf,
     "q264_cohort_ltv" -> q264CohortLtv,
     "q265_tier_migration" -> q265TierMigration,
     "q263_state_occupancy" -> q263StateOccupancy,
@@ -1834,6 +1947,8 @@ object Behavior {
     "q343_session_surprisal" -> q343Oracle,
     "q361_greenwood" -> q361Oracle,
     "q362_ttl_planner" -> q362Oracle,
+    "q364_seq_patterns" -> q364Oracle,
+    "q365_ccf" -> q365Oracle,
     "q264_cohort_ltv" -> q264Oracle,
     "q265_tier_migration" -> q265Oracle,
     "q263_state_occupancy" -> q263Oracle,

@@ -1047,4 +1047,51 @@ class BehaviorSpec extends SparkSpec {
       assert(bp == 10000L * nHit / n)
     }
   }
+
+  test("q364: ordered triples match a session replay; order-sensitive") {
+    val got = operators.Behavior.q364SeqPatterns(spark, d)
+      .as[(String, String, String, Long, Long, Long, Long)].collect().sortBy(_._7)
+    assert(got.map(_._7).toSeq == (1L to got.length))
+    val ev = graft.io.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("date").cast("string").as("day"), $"ts",
+        $"event_type", $"event_id")
+      .as[(Long, String, java.sql.Timestamp, String, Long)].collect()
+    val tris = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((uid, _), es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._3.getNanos, e._5))
+      sorted.sliding(3).filter(_.length == 3).map(w =>
+        ((w(0)._4, w(1)._4, w(2)._4), uid))
+    }
+    val support = tris.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).distinct.size.toLong)).toMap
+    got.foreach { case (e1, e2, e3, sup, nUsers, _, _) =>
+      val (es, eu) = support((e1, e2, e3))
+      assert(sup == es && nUsers == eu)
+    }
+    // the ranking really is top-k of the full support map
+    val topSup = support.values.map(_._1).toSeq.sortBy(-_).take(got.length)
+    assert(got.map(_._4).toSeq == topSup)
+  }
+
+  test("q365: CCF peaks at lag 0 and matches a shifted-join replay") {
+    val got = operators.Behavior.q365Ccf(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(-7L, -3L, -1L, 0L, 1L, 3L, 7L))
+    val peak = got.maxBy(_._3)
+    assert(peak._1 == 0L, s"CCF peak not at lag 0: $got")
+    got.foreach { r => assert(math.abs(r._3) <= 10000L) }
+    // replay lag 0 from the daily aggregate
+    val daily = graft.io.Tables.orders(spark, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) div 100000").as("y"))
+      .as[(java.sql.Date, Long, Long)].collect()
+    val n = daily.length.toDouble
+    val sx = daily.map(_._2).sum.toDouble; val sy = daily.map(_._3).sum.toDouble
+    val sxy = daily.map(r => r._2 * r._3).sum.toDouble
+    val sxx = daily.map(r => r._2 * r._2).sum.toDouble
+    val syy = daily.map(r => r._3 * r._3).sum.toDouble
+    val r0 = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got.find(_._1 == 0L).get._3 == math.floor(r0 * 10000.0).toLong)
+  }
 }
