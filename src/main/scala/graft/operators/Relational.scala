@@ -1014,11 +1014,11 @@ object Relational {
     * broken by part key — deterministic in both engines.
     *
     * Shape: one partial-agg pass to per-part revenue; the running
-    * share is a cumulative window over the |parts| relation ordered
-    * by (revenue desc, key) — parts, not lineitems, get sorted (at
-    * 100 TB |parts| is dimension-sized; if even that were too big,
-    * q238's counting-pass selection finds the class boundaries
-    * without any sort). Class rollup is 3 rows. */
+    * share is a [[Windows.rangePrefixSum]] over the |parts| relation
+    * ordered by (revenue desc, key) — the part relation scales with
+    * the data, so the cumulative sum runs as the range-partitioned
+    * two-phase scan, never a one-task global window (r7 audit-rule
+    * catch). Class rollup is 3 rows. */
   def q266AbcClassification(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val perPart = Tables.lineitem(s, d)
@@ -1026,10 +1026,8 @@ object Relational {
       .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
         .as("rev"))
     val tot = perPart.agg(sum($"rev").as("total"))
-    perPart.crossJoin(broadcast(tot))
-      .withColumn("cum", sum($"rev").over(
-        Window.orderBy($"rev".desc, $"l_partkey")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    Windows.rangePrefixSum(perPart.crossJoin(broadcast(tot)),
+        Seq($"rev".desc, $"l_partkey"), $"rev", "cum")
       .withColumn("cls",
         when(($"cum" - $"rev") * 100 < $"total" * 80, "A")
           .when(($"cum" - $"rev") * 100 < $"total" * 95, "B")

@@ -33,38 +33,70 @@ trait SparkSpec extends AnyFunSuite {
     case _ => p +: p.children.flatMap(allPlanNodes)
   }
 
-  /** Unpartitioned-window scale rule (VERDICT r5 #1/#7): a WindowExec
-    * with an EMPTY partitionSpec is a single-partition global sort, so
-    * it may only sit above a relation that is provably BOUNDED —
-    * below it there must be (a) an aggregation (value histogram /
-    * spine / decile table), (b) a limit (top-k cut), or (c) no data
-    * source scan at all (pure literal/range relation). Anything else
-    * is a row-level global sort that dies at 100 TB. */
+  /** Unpartitioned-window scale rule (VERDICT r5 #1/#7, sharpened per
+    * VERDICT r6 #3): a WindowExec whose partitionSpec is EMPTY — or
+    * made only of constants/booleans, a ≤2-partition window and thus
+    * the same global sort in disguise (q265's pre-fix shape) — is a
+    * single-partition sort, so it may only sit above a relation that
+    * is provably BOUNDED. Bounded now means: EVERY path from the
+    * window's child down to a data-source scan passes through a
+    * bounding node — a global limit / top-k cut, or an aggregation
+    * whose grouping keys are bounded-domain (value histogram, spine,
+    * dim table). Grouping directly on a fact-table key attribute
+    * (custkey / orderkey / doc_id / user_id / ...) is NOT bounding:
+    * those key domains scale linearly with the data (q226's pre-fix
+    * shape), and the old any-agg-in-subtree test even let a broadcast
+    * 1-row agg on a join's other leg vouch for the unbounded main
+    * branch. Anything else is a row-level global sort that dies at
+    * 100 TB. */
   def badGlobalWindows(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.window.WindowExec
-    def bounded(p: SparkPlan): Boolean = {
-      val sub = allPlanNodes(p)
-      val hasAggOrLimit = sub.exists {
-        case _: aggregate.HashAggregateExec => true
-        case _: aggregate.ObjectHashAggregateExec => true
-        case _: aggregate.SortAggregateExec => true
-        case _: GlobalLimitExec => true
-        case _: TakeOrderedAndProjectExec => true
-        case _: CollectLimitExec => true
-        case _ => false
-      }
-      val hasScan = sub.exists {
-        case _: FileSourceScanExec => true
-        case _: RowDataSourceScanExec => true
-        case _: datasources.v2.BatchScanExec => true
-        case _ => false
-      }
-      hasAggOrLimit || !hasScan
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression}
+    import org.apache.spark.sql.types.BooleanType
+    // (b) constant / boolean-only partitioning is "effectively empty"
+    def effectivelyEmpty(ps: Seq[Expression]): Boolean =
+      ps.forall(e => e.foldable || e.dataType == BooleanType)
+    // (a) fact-table key attributes: unbounded domains. Matches bare
+    // attribute names only — a DERIVED grouping expression over a key
+    // (hash bucket, modulo, date part) has a generated alias like
+    // "(o_custkey % 64)" and passes, which is the intent.
+    val factKey = java.util.regex.Pattern.compile(
+      "^[a-z]{0,2}_?(custkey|orderkey|partkey|suppkey)$" +
+        "|^(doc_id|user_id|event_id|emb_id|id|query_id)$")
+    def strip(e: Expression): Expression = e match {
+      case a: Alias => strip(a.child)
+      case c: Cast => strip(c.child)
+      case other => other
+    }
+    def unboundedKey(e: Expression): Boolean = strip(e) match {
+      case a: Attribute => factKey.matcher(a.name.toLowerCase).matches()
+      case _ => false
+    }
+    def aggBounds(grouping: Seq[Expression], child: SparkPlan): Boolean =
+      grouping.forall(g => !unboundedKey(g)) || bounded(child)
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+           _: CollectLimitExec => true
+      case a: aggregate.HashAggregateExec =>
+        aggBounds(a.groupingExpressions, a.child)
+      case a: aggregate.ObjectHashAggregateExec =>
+        aggBounds(a.groupingExpressions, a.child)
+      case a: aggregate.SortAggregateExec =>
+        aggBounds(a.groupingExpressions, a.child)
+      case _: FileSourceScanExec | _: RowDataSourceScanExec |
+           _: datasources.v2.BatchScanExec => false
+      case q: adaptive.QueryStageExec => bounded(q.plan)
+      case a: adaptive.AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case r: exchange.ReusedExchangeExec => bounded(r.child)
+      case r: ReusedSubqueryExec => bounded(r.child)
+      case leaf if leaf.children.isEmpty => true // literal/range/local
+      case other => other.children.forall(bounded)
     }
     allPlanNodes(plan).collect {
-      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      case w: WindowExec
+          if effectivelyEmpty(w.partitionSpec) && !bounded(w.child) => w
     }
   }
 
