@@ -596,7 +596,13 @@ object Behavior {
     * identically in IEEE, the sum order is identical, and the final
     * micro floor is shared (q128's discipline). n_u > 0 for every
     * emitted row (risk sets only shrink; weeks past the horizon don't
-    * emit). Shape: one lead() window per customer partition over the
+    * emit), and the degenerate d = n week (everyone at risk events:
+    * ln 0) is guarded on BOTH sides with the ln(1e-6) sentinel
+    * −13.815511 — Spark's log(0) is NULL (silently dropped from the
+    * window sum) while DuckDB's ln(0) is −inf, so the unguarded term
+    * is a latent cross-engine divergence (ADVICE r6); the sentinel
+    * pins the curve to 0 from that week on, which is the right
+    * semantics. Shape: one lead() window per customer partition over the
     * ORDERS relation, one week-level agg, and a 30-row cumulative
     * window — the fact table is touched once. */
   def q210KaplanMeier(s: SparkSession, d: String): DataFrame = {
@@ -624,7 +630,9 @@ object Behavior {
         $"n_spells" - coalesce(sum($"ending")
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("surv_micro",
-        floor(exp(sum(log(lit(1.0) - $"d" * lit(1.0) / $"n_at_risk"))
+        floor(exp(sum(when($"n_at_risk" > $"d",
+            log(lit(1.0) - $"d" * lit(1.0) / $"n_at_risk"))
+            .otherwise(lit(-13.815511)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           * lit(1000000.0)).cast("long"))
       .filter($"wk" < horizon) // horizon bucket pools censoring, not a real week
@@ -664,7 +672,9 @@ object Behavior {
          FROM bywk CROSS JOIN tot),
        sv AS (
          SELECT wk, n_at_risk, d, ending,
-           CAST(floor(exp(sum(ln(1.0 - d * 1.0 / n_at_risk)) OVER (ORDER BY wk
+           CAST(floor(exp(sum(CASE WHEN n_at_risk > d
+               THEN ln(1.0 - d * 1.0 / n_at_risk)
+               ELSE -13.815511 END) OVER (ORDER BY wk
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000.0)
              AS BIGINT) AS surv_micro
          FROM r)
@@ -677,8 +687,12 @@ object Behavior {
     * Both accumulations (the log-product for S and the Greenwood sum
     * G) run as fixed-order cumulative folds over the bounded week
     * spine, in one window pass; the degenerate n = d week is guarded
-    * identically on both sides (band contribution 0 — the curve has
-    * hit zero anyway). Bands are clamped to [0, 1] in micro units. */
+    * identically on both sides in BOTH terms — the variance term
+    * contributes 0 and the survival log term contributes the ln(1e-6)
+    * sentinel −13.815511 (q210's guard: Spark log(0) is NULL and
+    * silently drops from the window sum, DuckDB ln(0) is −inf —
+    * ADVICE r6), pinning the curve to 0 from that week on. Bands are
+    * clamped to [0, 1] in micro units. */
   def q361Greenwood(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val horizon = 30L
@@ -705,7 +719,9 @@ object Behavior {
         $"n_spells" - coalesce(sum($"ending")
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("sv",
-        exp(sum(log(lit(1.0) - $"d" * lit(1.0) / $"n_at_risk")).over(wcum)))
+        exp(sum(when($"n_at_risk" > $"d",
+            log(lit(1.0) - $"d" * lit(1.0) / $"n_at_risk"))
+            .otherwise(lit(-13.815511))).over(wcum)))
       .withColumn("g",
         sum(when($"n_at_risk" > $"d",
             $"d" * lit(1.0) / ($"n_at_risk" * ($"n_at_risk" - $"d")))
@@ -751,7 +767,9 @@ object Behavior {
          FROM bywk CROSS JOIN tot),
        sv AS (
          SELECT wk, n_at_risk, d,
-           exp(sum(ln(1.0 - d * 1.0 / n_at_risk)) OVER wc) AS sv,
+           exp(sum(CASE WHEN n_at_risk > d
+             THEN ln(1.0 - d * 1.0 / n_at_risk)
+             ELSE -13.815511 END) OVER wc) AS sv,
            sum(CASE WHEN n_at_risk > d
                  THEN d * 1.0 / (n_at_risk * (n_at_risk - d)) ELSE 0.0 END) OVER wc AS g
          FROM r
@@ -1749,8 +1767,10 @@ object Behavior {
     * from two cumulative windows over the bounded WEEK spine; each
     * week's E and V terms are single IEEE expressions floored to micro
     * once (q128's discipline), then integer-summed; the final χ² is
-    * one double division floored to milli. No per-spell window beyond
-    * q210's per-customer lead(). */
+    * one double division floored to milli. A week whose whole risk set
+    * is one spell has an undefined hypergeometric variance (÷(n−1)=÷0:
+    * NULL in Spark, inf in DuckDB — ADVICE r6) — both sides guard it
+    * to 0. No per-spell window beyond q210's per-customer lead(). */
   def q296Logrank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val horizon = 30L
@@ -1784,10 +1804,10 @@ object Behavior {
       .filter($"wk" < horizon && ($"d0" + $"d1") > 0)
       .withColumn("e1_micro", expr("""CAST(floor(
           CAST(n1 AS DOUBLE) * (d0 + d1) / (n0 + n1) * 1000000.0) AS BIGINT)"""))
-      .withColumn("v_micro", expr("""CAST(floor(
-          CAST(n0 AS DOUBLE) * n1 * (d0 + d1) * (n0 + n1 - d0 - d1)
-          / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
-          * 1000000.0) AS BIGINT)"""))
+      .withColumn("v_micro", expr("""CAST(floor(CASE WHEN n0 + n1 > 1
+          THEN CAST(n0 AS DOUBLE) * n1 * (d0 + d1) * (n0 + n1 - d0 - d1)
+            / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
+          ELSE 0.0 END * 1000000.0) AS BIGINT)"""))
     terms.agg(
         max($"t0").as("n0_spells"), max($"t1").as("n1_spells"),
         sum($"d0").as("events0"), sum($"d1").as("events1"),
@@ -1837,9 +1857,10 @@ object Behavior {
        ev AS (
          SELECT *,
            CAST(floor(CAST(n1 AS DOUBLE) * (d0 + d1) / (n0 + n1) * 1000000.0) AS BIGINT) AS e1_micro,
-           CAST(floor(CAST(n0 AS DOUBLE) * n1 * (d0 + d1) * (n0 + n1 - d0 - d1)
-             / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
-             * 1000000.0) AS BIGINT) AS v_micro
+           CAST(floor(CASE WHEN n0 + n1 > 1
+             THEN CAST(n0 AS DOUBLE) * n1 * (d0 + d1) * (n0 + n1 - d0 - d1)
+               / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
+             ELSE 0.0 END * 1000000.0) AS BIGINT) AS v_micro
          FROM terms WHERE wk < 30 AND (d0 + d1) > 0),
        agg AS (
          SELECT CAST(max(t0) AS BIGINT) AS n0_spells, CAST(max(t1) AS BIGINT) AS n1_spells,

@@ -355,7 +355,12 @@ object Lexicon {
     * the per-language jsd is (s1 div A + s2 div B) div 2 — integer
     * sums, order-free, engine-identical. Terms absent from a side
     * contribute zero to that side (the 0·ln 0 limit), so each sum runs
-    * only over its side's support.
+    * only over its side's support. Each KL sum is clamped at 0 before
+    * its division (ADVICE r6): KL is nonnegative by construction, but
+    * floor-quantization can push a near-identical slice's sum a few
+    * micro-nats below zero, where Spark `div` (truncates) and DuckDB
+    * `//` (floors) would disagree — the clamp restores both the math
+    * and the repo's signed-value floor idiom.
     *
     * Scale: per-(lang, term) counts are one corpus-scan partial agg;
     * everything downstream (term marginals, the langs × vocab
@@ -392,7 +397,7 @@ object Lexicon {
         count(when($"a" > 0, lit(1))).as("n_terms"),
         sum($"w1").as("s1"), sum($"w2").as("s2"))
       .select($"lang", $"n_tokens", $"n_terms",
-        expr("((s1 div n_tokens) + (s2 div n_rest)) div 2")
+        expr("((greatest(s1, 0) div n_tokens) + (greatest(s2, 0) div n_rest)) div 2")
           .as("jsd_micro"))
       .orderBy($"lang")
   }
@@ -420,8 +425,8 @@ object Lexicon {
          FROM grid)
        SELECT lang, max(atot) AS n_tokens,
          CAST(count(CASE WHEN a > 0 THEN 1 END) AS BIGINT) AS n_terms,
-         ((CAST(sum(w1) AS BIGINT) // max(atot))
-          + (CAST(sum(w2) AS BIGINT) // max(btot))) // 2 AS jsd_micro
+         ((greatest(CAST(sum(w1) AS BIGINT), 0) // max(atot))
+          + (greatest(CAST(sum(w2) AS BIGINT), 0) // max(btot))) // 2 AS jsd_micro
        FROM terms GROUP BY lang ORDER BY lang"""
 
   /** Tokenizer fertility by language under the q280-learned BPE vocab:
@@ -717,14 +722,44 @@ object Lexicon {
     * is a ≤4-way union of (vocab-broadcast) joins over the DISTINCT-
     * WORD relation — bounded by true vocabulary size at any corpus
     * scale, and the argmin is fully tie-broken (cost, then segment
-    * string) so the winning PATH, not just its cost, is
-    * deterministic. The oracle is the same 12 rounds as generated
-    * SQL, with AS MATERIALIZED on the round states (the q182 lesson:
-    * a 4-way-recursive CTE inlines exponentially without it).
+    * string compared in UTF-8 BYTE order — the collation DuckDB's
+    * ROW_NUMBER ... ORDER BY seg uses; Java's UTF-16 code-unit order
+    * diverges from it for non-BMP code points, ADVICE r6). The oracle
+    * is the same 12 rounds as generated SQL, with AS MATERIALIZED on
+    * the round states (the q182 lesson: a 4-way-recursive CTE inlines
+    * exponentially without it).
     *
     * Output: per word — corpus count, length, piece count, total cost
     * in micro-nats, and the '|'-joined segmentation itself. */
-  def q317UnigramViterbi(s: SparkSession, d: String): DataFrame = {
+  def q317UnigramViterbi(s: SparkSession, d: String): DataFrame =
+    unigramViterbi(s, d, VocabCollectCap)
+
+  /** The piece-cost table is vocab-bounded BY ARGUMENT (all single
+    * chars + top-40 multigrams ≤ |charset| + 40 ≤ ~1.1M Unicode code
+    * points); `vocabCap` turns that argument into CODE (VERDICT r6
+    * #8): collecting an unexpectedly large "vocabulary" fails fast
+    * with a diagnosis instead of silently materializing it on the
+    * driver. */
+  private[graft] val VocabCollectCap = 2000000
+
+  /** UTF-8 byte-order string comparison (a < b) — DuckDB's default
+    * binary collation, used for the Viterbi tie-break so the
+    * equal-cost winner matches the oracle on any corpus. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private[graft] def unigramViterbi(s: SparkSession, d: String,
+      vocabCap: Int): DataFrame = {
     import s.implicits._
     val LMAX = 12
     val words = Tables.documents(s, d)
@@ -761,7 +796,14 @@ object Lexicon {
     // re-expands through projection collapse into a 4^LMAX
     // expression tree (OOM). The result is still hash-checked
     // against the DuckDB unrolled-CTE oracle.
-    val costMap = costs.collect()
+    val costRows = costs.collect()
+    require(costRows.length <= vocabCap,
+      s"q317 piece vocabulary has ${costRows.length} entries, above the " +
+        s"driver-collect cap $vocabCap — the single-char closure implies a " +
+        "charset this large is corrupt input (or the cap needs a reasoned " +
+        "raise); at that size the cost table must ship as a broadcast join, " +
+        "not a collected map")
+    val costMap = costRows
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val out = words.filter(length($"w") <= LMAX)
       .select($"w", $"cnt").as[(String, Long)]
@@ -774,10 +816,10 @@ object Lexicon {
             val piece = w.substring(i - k, i)
             costMap.get(piece).foreach { pc =>
               val cand = (best(i - k)._1 + pc, best(i - k)._2 + "|" + piece)
-              // argmin on (cost, seg) — the same tie-break the
-              // windowed formulation used
+              // argmin on (cost, seg) with seg compared in UTF-8 byte
+              // order — the oracle's ORDER BY collation
               if (cand._1 < winner._1 ||
-                  (cand._1 == winner._1 && cand._2 < winner._2))
+                  (cand._1 == winner._1 && utf8Lt(cand._2, winner._2)))
                 winner = cand
             }
           }

@@ -3106,8 +3106,12 @@ object Stats {
   /** Benjamini–Hochberg FDR control over a family of tests (q311):
     * the experimentation-platform guardrail for the multiple-
     * comparisons problem — 25 per-nation A/A Welch z-tests (orderkey
-    * parity), each two-sided p via the Lin (1989) normal-tail
-    * approximation p ≈ exp(−0.717|z| − 0.416z²), then the BH step-up:
+    * parity), each two-sided p via the Lin (1989) ONE-sided normal
+    * tail approximation doubled and clamped to 1:
+    * p ≈ min(1, 2·exp(−0.717|z| − 0.416z²)) — Lin's expression
+    * approximates P(Z > |z|), so the factor of 2 is what makes the
+    * label "two-sided" true (ADVICE r6: without it BH ran at an
+    * effective α≈0.10). Then the BH step-up:
     * reject all ranks ≤ k* = max{i : p_(i) ≤ i·α/m}. The step-up
     * comparison is INTEGER (p_micro·m ≤ i·50000), so rank logic is
     * exact; Bonferroni shown alongside. On A/A data the expected
@@ -3141,7 +3145,7 @@ object Stats {
               (((CAST(q0 AS DOUBLE) - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))) AS zd""")
     val p = z.selectExpr("nation", "n0", "n1",
       "CAST(floor(zd * 1000.0) AS BIGINT) AS z_milli",
-      "CAST(floor(exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0) AS BIGINT) AS p_micro")
+      "CAST(least(floor(2.0 * exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0), 1000000.0) AS BIGINT) AS p_micro")
     val r = p
       .withColumn("rnk",
         row_number().over(Window.orderBy($"p_micro", $"nation")).cast("long"))
@@ -3179,7 +3183,7 @@ object Stats {
        p AS (
          SELECT nation, n0, n1,
            CAST(floor(zd * 1000.0) AS BIGINT) AS z_milli,
-           CAST(floor(exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0) AS BIGINT) AS p_micro
+           CAST(least(floor(2.0 * exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0), 1000000.0) AS BIGINT) AS p_micro
          FROM z),
        r AS (
          SELECT nation, n0, n1, z_milli, p_micro,

@@ -1027,6 +1027,38 @@ class BehaviorSpec extends SparkSpec {
     assert(got.last._5 >= got.head._5)
   }
 
+  test("q210/q361: a d = n week pins the curve to 0 instead of NULL-dropping") {
+    // Crafted orders where week 1's whole risk set events: customers'
+    // censored spells end at week 0 (last order on max_d), the two
+    // 7-10 day gaps event at week 1 with nobody else left at risk —
+    // the ln(1 - d/n) = ln 0 term ADVICE r6 flagged. The sentinel
+    // guard must zero the curve from that week on, in both engines'
+    // semantics, rather than letting Spark's NULL log vanish from the
+    // window sum (curve stuck at 1) or DuckDB's -inf poison it.
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    Seq(
+      (1L, 1L, java.sql.Date.valueOf("1995-01-01")),
+      (1L, 2L, java.sql.Date.valueOf("1995-01-11")),
+      (2L, 3L, java.sql.Date.valueOf("1995-01-04")),
+      (2L, 4L, java.sql.Date.valueOf("1995-01-11")))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val km = operators.Behavior.q210KaplanMeier(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // wk0: 4 at risk, 0 events, curve stays 1.0; wk1: 2 at risk, 2
+    // events (d = n) → sentinel → floor to 0
+    assert(km.map(r => (r._1, r._2, r._3, r._5)).toSeq ==
+      Seq((0L, 4L, 0L, 1000000L), (1L, 2L, 2L, 0L)))
+    val gw = operators.Behavior.q361Greenwood(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // Greenwood shares the guard: surv 0 at the degenerate week, all
+    // band values finite and in range (the g term is 0-guarded too)
+    assert(gw.map(_._4).toSeq == Seq(1000000L, 0L))
+    gw.foreach { case (_, _, _, surv, se, lo, hi) =>
+      assert(se >= 0 && lo >= 0 && hi <= 1000000L && lo <= surv && surv <= hi)
+    }
+  }
+
   test("q362: TTL hit-rate curve matches a gap replay; monotone in TTL") {
     val got = operators.Behavior.q362TtlPlanner(spark, d)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)

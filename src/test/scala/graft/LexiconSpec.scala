@@ -199,6 +199,33 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("q317: tie-break comparator is UTF-8 byte order, not UTF-16") {
+    // U+10000 (surrogate pair D800 DC00; UTF-8 F0 90 80 80) vs U+E000
+    // (UTF-8 EE 80 80): Java String order puts the surrogate FIRST
+    // (0xD800 < 0xE000), UTF-8 byte order puts it LAST (F0 > EE) — the
+    // exact divergence ADVICE r6 flagged against DuckDB's collation
+    val supp = "\uD800\uDC00" // U+10000
+    val pua = "\uE000"
+    assert(supp < pua)                       // Java order: diverges...
+    assert(!Lexicon.utf8Lt(supp, pua))       // ...UTF-8 order: corrected
+    assert(Lexicon.utf8Lt(pua, supp))
+    // ASCII order and the prefix rule are unchanged
+    assert(Lexicon.utf8Lt("a|b", "a|c") && !Lexicon.utf8Lt("a|c", "a|b"))
+    assert(Lexicon.utf8Lt("ab", "abc") && !Lexicon.utf8Lt("abc", "ab"))
+    assert(!Lexicon.utf8Lt("ab", "ab"))
+  }
+
+  test("q317: an oversized piece vocabulary fails fast, not collect-and-hope") {
+    val d = docsDir(Seq((1L, "aa bb aa cc", "en", "s", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Lexicon.unigramViterbi(spark, d, vocabCap = 2).collect()
+    }
+    assert(e.getMessage.contains("above the"))
+    assert(e.getMessage.contains("broadcast"))
+    // same corpus under the real cap segments fine
+    assert(Lexicon.q317UnigramViterbi(spark, d).count() == 3)
+  }
+
   test("q317: Viterbi segmentation matches an independent DP replay") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
