@@ -391,17 +391,15 @@ object DocStreams {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
   }
 
-  /** Shared transform: per-doc incremental dedup against the pinned
-    * corpus index — q52's semantics in a STATELESS per-row shape. The
-    * 24-hash signature, the 8 band keys, and the matched-corpus-doc
-    * set are all computed per row from the doc's own shingle array
-    * (identical integer arithmetic to the batch minhashBands), so the
-    * probe runs in append mode with no watermark and no state store —
-    * the only shape that survives an unbounded crawl stream. The
-    * nested higher-order lambdas are interpreted (CodegenFallback) but
-    * touch only the row's own ≤|shingles| array; a production build
-    * would fuse them into a native Expression like ShingleHashes. */
-  def incrementalDedup(docs: DataFrame, idx: Map[String, Seq[Long]]): DataFrame = {
+  /** The per-row front half both probe shapes share: the "new batch"
+    * filter, the 24-hash signature, and the 8 band keys — all computed
+    * from the doc's own shingle array (identical integer arithmetic to
+    * the batch minhashBands), so everything stays STATELESS: append
+    * mode, no watermark, no state store. The nested higher-order
+    * lambdas are interpreted (CodegenFallback) but touch only the
+    * row's own ≤|shingles| array; a production build would fuse them
+    * into a native Expression like ShingleHashes. */
+  private def probeBandKeys(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -416,6 +414,43 @@ object DocStreams {
         """transform(sequence(0, 7),
              b -> concat(cast(b as string), '|',
                          md5(concat_ws(',', transform(slice(sig, b*3+1, 3), v -> cast(v as string))))))"""))
+      .select($"doc_id", $"band_keys")
+  }
+
+  /** Shared transform: per-doc incremental dedup against the pinned
+    * corpus index — q52's semantics in a stateless per-row shape,
+    * with the index entering as a SPARK BROADCAST (the production
+    * shape VERDICT r6 #7 asked to promote): shipped to each executor
+    * once, out of band, and looked up per row. The [[incrementalDedupInPlan]]
+    * twin instead embeds the map into the plan as a typedLit literal —
+    * fine for a spec's hundreds of keys, but a plan-embedded index is
+    * re-serialized with every task and interpreted inside the
+    * expression tree, which stops working long before a real corpus
+    * index stops fitting executor memory. The lookup UDF is a pure
+    * broadcast-map probe (no arithmetic the optimizer could have
+    * fused), the one place a UDF beats any Column formulation. */
+  def incrementalDedup(docs: DataFrame, idx: Map[String, Seq[Long]]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bIdx = s.sparkContext.broadcast(idx)
+    val probe = udf((keys: Seq[String]) =>
+      keys.flatMap(k => bIdx.value.getOrElse(k, Seq.empty[Long]))
+        .distinct.sorted)
+    probeBandKeys(docs)
+      .select($"doc_id", probe($"band_keys").as("matched"))
+      .select($"doc_id",
+        size($"matched").cast("long").as("n_matches"),
+        (size($"matched") > 0).as("is_dup"))
+  }
+
+  /** Test twin of [[incrementalDedup]]: the index as a plan-embedded
+    * typedLit map (the pre-r7 default). Kept because it exercises the
+    * pure-Column formulation the broadcast path must agree with —
+    * DocStreamsSpec asserts shape equivalence. */
+  def incrementalDedupInPlan(docs: DataFrame, idx: Map[String, Seq[Long]]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    probeBandKeys(docs)
       .select($"doc_id",
         array_distinct(flatten(transform($"band_keys",
           k => coalesce(element_at(typedLit(idx), k), typedLit(Seq.empty[Long])))))
@@ -426,7 +461,8 @@ object DocStreams {
   }
 
   /** Streaming entry: file-source doc stream probed against the static
-    * corpus band index on arrival. Stateless → append mode. */
+    * corpus band index (broadcast) on arrival. Stateless → append
+    * mode. */
   def incrementalDedupStream(s: SparkSession, docsDir: String,
       idx: Map[String, Seq[Long]]): DataFrame =
     incrementalDedup(

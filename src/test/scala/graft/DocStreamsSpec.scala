@@ -233,6 +233,28 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup: broadcast-index default == plan-embedded twin") {
+    // VERDICT r6 #7: the production path ships the corpus band index
+    // as a Spark broadcast; the typedLit map stays as the test twin.
+    // Both shapes must agree doc-for-doc, and the broadcast probe must
+    // NOT carry the index inside its plan.
+    val d = "/root/testdata/sf0.001"
+    val idx = DocStreams.corpusBandIndex(spark, d)
+    val docs = graft.io.Tables.documents(spark, d)
+    val viaBroadcast = DocStreams.incrementalDedup(docs, idx)
+      .collect().map(_.toSeq).toSet
+    val viaPlan = DocStreams.incrementalDedupInPlan(docs, idx)
+      .collect().map(_.toSeq).toSet
+    assert(viaBroadcast == viaPlan && viaBroadcast.nonEmpty)
+    // the plan-embedded twin serializes every band key into the plan;
+    // the broadcast default must not (spot-check one corpus band key)
+    val aKey = idx.keys.head
+    val planOf: org.apache.spark.sql.DataFrame => String =
+      df => df.queryExecution.analyzed.toString
+    assert(planOf(DocStreams.incrementalDedupInPlan(docs, idx)).contains(aKey))
+    assert(!planOf(DocStreams.incrementalDedup(docs, idx)).contains(aKey))
+  }
+
   test("streaming incremental dedup == batch q52 and is stateless") {
     val d = "/root/testdata/sf0.001"
     val idx = DocStreams.corpusBandIndex(spark, d)

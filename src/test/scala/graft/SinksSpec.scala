@@ -107,6 +107,40 @@ class SinksSpec extends SparkSpec {
     assert(got.toSet == want.toSet)
   }
 
+  test("GraftPostgresDialect: INSERT casts exactly the JSONB payload params") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val dlt = Sinks.postgresJsonbDialect
+    assert(dlt.canHandle("jdbc:postgresql://host:5432/db"))
+    assert(!dlt.canHandle("jdbc:derby:memory:x"))
+    def fields(ddl: String): Array[StructField] = ddl.split(", ")
+      .map(c => StructField(c.splitAt(c.indexOf(' '))._1, StringType))
+    val team = dlt.insertIntoTable("historic_match",
+      fields(Sinks.historicMatchColumnTypes))
+    // 5 JSONB payload params cast, the 7 VARCHARs bound plainly
+    assert(team.sliding("CAST(? AS JSONB)".length).count(
+      _ == "CAST(? AS JSONB)") == 5)
+    assert(team.count(_ == '?') == 12)
+    // quoted identifiers (the reserved-word `date` column), exact shape
+    assert(team.startsWith("""INSERT INTO historic_match ("date","""))
+    Seq("\"home_team_matches\"", "\"away_team_matches\"",
+      "\"head2head_matches\"", "\"home_team_matchespattern\"",
+      "\"away_team_matchespattern\"").foreach(c => assert(team.contains(c)))
+    val ref = dlt.insertIntoTable("ref_historic_match",
+      fields(Sinks.refHistoricMatchColumnTypes))
+    assert(ref.sliding("CAST(? AS JSONB)".length).count(
+      _ == "CAST(? AS JSONB)") == 2)
+    assert(ref.count(_ == '?') == 10)
+    // a non-payload StringType column stays a plain parameter
+    val other = dlt.insertIntoTable("t",
+      Array(StructField("note", StringType)))
+    assert(other == """INSERT INTO t ("note") VALUES (?)""")
+    // registration is idempotent and resolves for Postgres URLs
+    Sinks.registerPostgresJsonbDialect()
+    Sinks.registerPostgresJsonbDialect()
+    assert(org.apache.spark.sql.jdbc.GraftPostgresJsonbDialect
+      .resolve("jdbc:postgresql://h/db") eq dlt)
+  }
+
   test("writeWithRetry around a real JDBC failure: unreachable URL -> SQLException recorded, no success") {
     val df = Seq((1, "a")).toDF("id", "v")
     val (ok, errs) = Sinks.writeWithRetry(df, 2) { frame =>
