@@ -2503,6 +2503,81 @@ object Stats {
          ) AS BIGINT) AS n_per_arm
        FROM st ORDER BY segment"""
 
+  /** Continuous-metric MDE planner (q367): q290 sizes a PROPORTION
+    * test; this is its companion for the revenue-type metric every
+    * commerce experiment actually ships — per-customer 1996 spend.
+    * From one pass of sufficient statistics (n, Σc, Σc² — the square
+    * sums in DECIMAL/HUGEINT so the variance is exact-integer until
+    * the final formula), emit the two planning curves every platform
+    * power page shows: the minimum detectable effect at a grid of
+    * per-arm sample sizes (absolute cents and relative bp of the
+    * mean), and the per-arm n required for a grid of relative MDEs.
+    * α = 0.05 two-sided, power = 0.8: z-sum 1.959964 + 0.841621 =
+    * 2.801585 (same constants as q290), MDE(n) = z·√(2σ²/n),
+    * n(Δ) = ⌈2σ²z²/Δ²⌉.
+    *
+    * Parity: mean/var are materialized ONCE as doubles from exact
+    * integer sums (q231 staging); each grid cell is a single IEEE
+    * expression floored (or ceil'd) once — identical trees both
+    * engines. Shape: fact scan → per-customer agg → 1 sufficient-stat
+    * row → literal 4-element grids; output is 12 rows regardless of
+    * data size. */
+  def q367MdePlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.orders(s, d)
+      .filter(year($"o_orderdate") === 1996)
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .select($"c", ($"c".cast("decimal(12,0)") * $"c".cast("decimal(12,0)")).as("c2"))
+    val st = c.agg(count(lit(1)).as("n"), sum($"c").as("s1"), sum($"c2").as("s2"))
+    val m = st.selectExpr(
+      "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean",
+      """(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) AS var""")
+    val nGrid = "explode(array(1000, 10000, 100000, 1000000))"
+    val bpGrid = "explode(array(100, 200, 500, 1000))"
+    val atN = m.select($"mean", $"var", expr(nGrid).as("g"))
+    val mdeCents = atN.selectExpr("'mde_cents_at_n' AS kind", "CAST(g AS BIGINT) AS param",
+      "CAST(floor(2.801585 * sqrt(2.0 * var / CAST(g AS DOUBLE))) AS BIGINT) AS value")
+    val mdeBp = atN.selectExpr("'mde_bp_at_n' AS kind", "CAST(g AS BIGINT) AS param",
+      "CAST(floor(10000.0 * 2.801585 * sqrt(2.0 * var / CAST(g AS DOUBLE)) / mean) AS BIGINT) AS value")
+    val nFor = m.select($"mean", $"var", expr(bpGrid).as("g"))
+      .selectExpr("'n_for_mde_bp' AS kind", "CAST(g AS BIGINT) AS param",
+        """CAST(ceil(2.0 * var * 2.801585 * 2.801585
+           / (mean * CAST(g AS DOUBLE) / 10000.0) / (mean * CAST(g AS DOUBLE) / 10000.0)) AS BIGINT) AS value""")
+    mdeCents.unionByName(mdeBp).unionByName(nFor)
+      .orderBy($"kind", $"param")
+  }
+
+  val q367Oracle: String =
+    """WITH c AS (
+         SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+       st AS (
+         SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s1,
+           sum(CAST(c AS HUGEINT) * c) AS s2
+         FROM c),
+       m AS (
+         SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) AS var
+         FROM st),
+       a AS (
+         SELECT 'mde_cents_at_n' AS kind, CAST(g AS BIGINT) AS param,
+           CAST(floor(2.801585 * sqrt(2.0 * var / CAST(g AS DOUBLE))) AS BIGINT) AS value
+         FROM m, (SELECT unnest([1000, 10000, 100000, 1000000]) AS g)
+         UNION ALL
+         SELECT 'mde_bp_at_n', CAST(g AS BIGINT),
+           CAST(floor(10000.0 * 2.801585 * sqrt(2.0 * var / CAST(g AS DOUBLE)) / mean) AS BIGINT)
+         FROM m, (SELECT unnest([1000, 10000, 100000, 1000000]) AS g)
+         UNION ALL
+         SELECT 'n_for_mde_bp', CAST(g AS BIGINT),
+           CAST(ceil(2.0 * var * 2.801585 * 2.801585
+             / (mean * CAST(g AS DOUBLE) / 10000.0) / (mean * CAST(g AS DOUBLE) / 10000.0)) AS BIGINT)
+         FROM m, (SELECT unnest([100, 200, 500, 1000]) AS g))
+       SELECT kind, param, value FROM a ORDER BY kind, param"""
+
 
   /** Always-valid sequential A/B monitor — the mixture SPRT (mSPRT,
     * Johari et al. 2017/2022, the "peeking problem" fix): per day, the
@@ -4290,6 +4365,7 @@ object Stats {
     "q199_bitmap_overlap" -> q199BitmapOverlap,
     "q200_trimmed_mean" -> q200TrimmedMean,
     "q290_power_analysis" -> q290PowerAnalysis,
+    "q367_mde_planner" -> q367MdePlanner,
     "q291_msprt" -> q291Msprt,
     "q301_meta_analysis" -> q301MetaAnalysis,
     "q302_srm_sentinel" -> q302SrmSentinel,
@@ -4357,6 +4433,7 @@ object Stats {
     "q199_bitmap_overlap" -> q199Oracle,
     "q200_trimmed_mean" -> q200Oracle,
     "q290_power_analysis" -> q290Oracle,
+    "q367_mde_planner" -> q367Oracle,
     "q291_msprt" -> q291Oracle,
     "q301_meta_analysis" -> q301Oracle,
     "q302_srm_sentinel" -> q302Oracle,

@@ -541,7 +541,102 @@ object TextAnalysis {
          1000 * CAST(sum(covered) AS BIGINT) // CAST(count(*) AS BIGINT) AS corruption_permille
        FROM runs GROUP BY 1 ORDER BY doc_id"""
 
+  /** Within-doc repetition quality rules (q366) — the Gopher /
+    * MassiveText filter family (Rae et al. 2021 §A1.1): texts that
+    * loop on themselves (boilerplate, templated spam, decoding
+    * loops) are flagged by the fraction of n-gram POSITIONS whose
+    * n-gram occurs more than once in the same document, plus the
+    * share claimed by the single most common 2-gram. This is the
+    * WITHIN-document complement of q286's cross-document duplicate
+    * spans. Per (doc, n): dup_frac = Σ_{g: c(g)≥2} c(g) over the
+    * (n − g + 1) gram positions; top_frac = max c(g) over positions —
+    * both exact integer basis points. Report per language: doc
+    * counts, average scores, and docs over the flag thresholds
+    * (≥ 20% duplicated 2-gram positions / ≥ 8% in one 2-gram —
+    * Gopher's 0.20 dup-bigram line).
+    *
+    * Docs with < 3 tokens are out of contract (no trigram positions).
+    *
+    * Shape: two explode→(doc, gram) partial-agg passes (map-side
+    * combine does the heavy lifting: gram TYPES per doc, not
+    * positions, cross the shuffle), one per-doc join, one 5-row lang
+    * rollup. Everything else is per-row arithmetic at scan speed. */
+  def q366RepetitionRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select($"doc_id", $"lang", $"tk", size($"tk").cast("long").as("n"))
+    def gramCounts(g: Int): DataFrame = {
+      val mk = (1 until g).foldLeft("element_at(tk, i)") { (acc, j) =>
+        s"concat($acc, ' ', element_at(tk, i + $j))"
+      }
+      base.select($"doc_id",
+        explode(expr(s"transform(sequence(1, size(tk) - ${g - 1}), i -> $mk)"))
+          .as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    }
+    val d2 = gramCounts(2).groupBy($"doc_id")
+      .agg(sum(when($"c" >= 2, $"c").otherwise(0L)).as("dup2"),
+        max($"c").as("top2"))
+    val d3 = gramCounts(3).groupBy($"doc_id")
+      .agg(sum(when($"c" >= 2, $"c").otherwise(0L)).as("dup3"))
+    base.select($"doc_id", $"lang", $"n")
+      .join(d2, Seq("doc_id"), "left")
+      .join(d3, Seq("doc_id"), "left")
+      .select($"lang",
+        expr("10000 * coalesce(dup2, 0) div (n - 1)").as("dup2_bp"),
+        expr("10000 * coalesce(dup3, 0) div (n - 2)").as("dup3_bp"),
+        expr("10000 * coalesce(top2, 0) div (n - 1)").as("top2_bp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(dup2_bp) div count(1)").as("avg_dup2_bp"),
+        expr("sum(dup3_bp) div count(1)").as("avg_dup3_bp"),
+        expr("sum(top2_bp) div count(1)").as("avg_top2_bp"),
+        sum(when($"dup2_bp" >= 2000, 1L).otherwise(0L)).as("n_flag_dup2"),
+        sum(when($"top2_bp" >= 800, 1L).otherwise(0L)).as("n_flag_top2"))
+      .orderBy($"lang")
+  }
+
+  val q366Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       base AS (SELECT doc_id, lang, tk, len(tk) AS n FROM tk WHERE len(tk) >= 3),
+       g2 AS (
+         SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+             i -> tk[i] || ' ' || tk[i+1])) AS g
+           FROM base) GROUP BY 1, 2),
+       g3 AS (
+         SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM base) GROUP BY 1, 2),
+       d2 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2,
+               CAST(max(c) AS BIGINT) AS top2
+             FROM g2 GROUP BY 1),
+       d3 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3
+             FROM g3 GROUP BY 1),
+       per AS (
+         SELECT b.lang,
+           10000 * COALESCE(d2.dup2, 0) // (b.n - 1) AS dup2_bp,
+           10000 * COALESCE(d3.dup3, 0) // (b.n - 2) AS dup3_bp,
+           10000 * COALESCE(d2.top2, 0) // (b.n - 1) AS top2_bp
+         FROM base b LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id))
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dup2_bp) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_dup2_bp,
+         CAST(sum(dup3_bp) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_dup3_bp,
+         CAST(sum(top2_bp) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_top2_bp,
+         CAST(sum(CASE WHEN dup2_bp >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup2,
+         CAST(sum(CASE WHEN top2_bp >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2
+       FROM per GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_repetition_rules" -> q366RepetitionRules,
     "q325_span_corruption" -> q325SpanCorruption,
     "q277_code_switch" -> q277CodeSwitch,
     "q216_char_entropy" -> q216CharEntropy,
@@ -554,6 +649,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q366_repetition_rules" -> q366Oracle,
     "q325_span_corruption" -> q325Oracle,
     "q277_code_switch" -> q277Oracle,
     "q216_char_entropy" -> q216Oracle,

@@ -531,6 +531,26 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(got.map(_._6).sum - 1000L) <= 5) // integer-div dust
   }
 
+  test("q366: repetition rules — looping doc flags, clean doc doesn't, short docs excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "a b a b a b", "en", "s", 11L),    // pure loop: every position duplicated
+      (2L, "c d e f g h", "en", "s", 11L),    // all-distinct bigrams
+      (3L, "x y", "en", "s", 3L),             // < 3 tokens: out of contract
+      (4L, "p q r", "en", "s", 5L))           // boundary: exactly 3 tokens
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextAnalysis.q366RepetitionRules(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // doc1: dup2=5/5, top2=3/5, dup3=4/4; doc2: 0, 1/5, 0; doc4: 0, 1/2, 0
+    assert(r.toSeq == Seq(("en", 3L,
+      10000L / 3,                      // (10000 + 0 + 0) div 3
+      10000L / 3,
+      (6000L + 2000L + 5000L) / 3,
+      1L,                              // only the loop crosses 20% dup
+      3L)))                            // top-bigram floor 1/(n-1) crosses 8% here
+  }
+
   test("q325: span plan replays exactly on one document") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

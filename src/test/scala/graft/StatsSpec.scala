@@ -839,6 +839,44 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("eta2_bp") - math.floor(eta2 * 10000).toLong) <= 1)
   }
 
+  test("q367: MDE curves match a direct recomputation; the two curves invert each other") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sum, year}
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.operators.Stats.q367MdePlanner(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 12)
+    // direct sufficient-stat replay
+    val spend = graft.io.Tables.orders(spark, d)
+      .filter(year($"o_orderdate") === 1996)
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .as[(Long, Long)].collect().map(_._2)
+    val n = spend.length.toDouble
+    val mean = spend.map(_.toDouble).sum / n
+    val s2 = spend.map(c => BigInt(c) * BigInt(c)).sum
+    val vr = (s2.toDouble - spend.map(_.toDouble).sum * spend.map(_.toDouble).sum / n) / (n - 1.0)
+    val z = 2.801585
+    val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+    Seq(1000L, 10000L, 100000L, 1000000L).foreach { g =>
+      val mde = z * math.sqrt(2.0 * vr / g)
+      assert(m(("mde_cents_at_n", g)) == math.floor(mde).toLong)
+      assert(m(("mde_bp_at_n", g)) == math.floor(10000.0 * mde / mean).toLong)
+    }
+    Seq(100L, 200L, 500L, 1000L).foreach { bp =>
+      val delta = mean * bp / 10000.0
+      assert(m(("n_for_mde_bp", bp)) ==
+        math.ceil(2.0 * vr * z * z / delta / delta).toLong)
+    }
+    // inversion: sizing for the MDE that n=10000 delivers lands near 10000
+    val bpAt10k = m(("mde_bp_at_n", 10000L))
+    val nBack = 2.0 * vr * z * z / (mean * bpAt10k / 10000.0) / (mean * bpAt10k / 10000.0)
+    assert(math.abs(nBack - 10000.0) / 10000.0 < 0.02) // bp floor dust only
+    // MDE shrinks with n; required n shrinks with larger MDE
+    val mdes = Seq(1000L, 10000L, 100000L, 1000000L).map(g => m(("mde_cents_at_n", g)))
+    assert(mdes == mdes.sortBy(-_))
+  }
+
   test("q290: power-analysis formula matches a direct recomputation; monotone in baseline") {
     import spark.implicits._
     val rows = graft.operators.Stats.q290PowerAnalysis(spark, "/root/testdata/sf0.001")
