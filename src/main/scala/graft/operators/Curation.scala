@@ -1385,7 +1385,113 @@ object Curation {
          END AS length_biased
        FROM agg"""
 
+  /** Multi-epoch mixture waterfilling (q369): given a token budget of
+    * 2× the corpus (the data-constrained regime of Muennighoff et al.
+    * 2023), how many epochs of each source should the run see? Target
+    * sampling weights are sqrt-smoothed (w_s = √T_s — between
+    * proportional and uniform, the standard multilingual temperature
+    * idea q85 applies to quotas), but no source may exceed 3 epochs —
+    * so proportional allocation must WATERFILL: sources whose share
+    * would cross the epoch cap are pinned there and the residual
+    * budget re-spreads over the rest. Rather than iterating to the
+    * fixed point, the cut has a closed form: sort sources by the
+    * water level at which they cap (cap_s/w_s), and exactly one
+    * prefix length j satisfies "row j caps at level λ_j = R_j/W_j,
+    * row j+1 does not" — found by a window pass over the BOUNDED
+    * source relation plus exact cross-multiplied comparisons
+    * (decimal on the Spark side, HUGEINT in the oracle; no division
+    * enters a comparison).
+    *
+    * Parity: the sort key is ⌊cap·10⁶/w⌋ computed in DOUBLE on both
+    * sides (identical IEEE); residual allocations are one
+    * double-floor each. Shape: one corpus scan → |sources| rows;
+    * everything after is arithmetic on the bounded relation. */
+  def q369EpochWaterfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("ntok"))
+      .groupBy($"source").agg(sum($"ntok").as("tok"))
+    val b = t.agg((sum($"tok") * 2).as("budget"))
+    val ord = Window.orderBy($"ratio", $"source")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sRows = t
+      .select($"source", $"tok",
+        floor(sqrt($"tok".cast("double")) * 1000.0).cast("long").as("wm"),
+        ($"tok" * 3).as("cap"))
+      .withColumn("ratio", floor($"cap".cast("double") * 1000000.0 / $"wm"))
+      .withColumn("j", row_number().over(ord).cast("long"))
+      .withColumn("cum_cap", sum($"cap").over(cum))
+      .withColumn("cum_w", sum($"wm").over(cum))
+      .localCheckpoint()
+    val tot = sRows.agg(sum($"wm").as("w_all"))
+    val cuts0 = sRows.select($"j", $"cum_cap", $"cum_w")
+      .unionByName(s.range(1).select(lit(0L).as("j"),
+        lit(0L).as("cum_cap"), lit(0L).as("cum_w")))
+    val cuts = cuts0.crossJoin(broadcast(b)).crossJoin(broadcast(tot))
+      .select($"j", ($"budget" - $"cum_cap").as("r"),
+        ($"w_all" - $"cum_w").as("wrem"))
+    val sj = sRows.select($"j", $"cap".as("cap_j"), $"wm".as("wm_j"))
+    val sn = sRows.select(($"j" - 1).as("j"), $"cap".as("cap_n"), $"wm".as("wm_n"))
+    val valid = cuts.join(sj, Seq("j"), "left").join(sn, Seq("j"), "left")
+      .filter($"r" >= 0)
+      .filter($"j" === 0L || expr(
+        """CAST(cap_j AS DECIMAL(20,0)) * CAST(wrem AS DECIMAL(18,0))
+           <= CAST(r AS DECIMAL(20,0)) * CAST(wm_j AS DECIMAL(18,0))"""))
+      .filter($"cap_n".isNull || expr(
+        """CAST(cap_n AS DECIMAL(20,0)) * CAST(wrem AS DECIMAL(18,0))
+           > CAST(r AS DECIMAL(20,0)) * CAST(wm_n AS DECIMAL(18,0))"""))
+      .select($"j".as("vj"), $"r", $"wrem")
+    sRows.crossJoin(broadcast(valid))
+      .select($"source", $"tok", $"wm".as("w_milli"),
+        ($"j" <= $"vj").as("capped"),
+        when($"j" <= $"vj", $"cap")
+          .otherwise(floor($"r".cast("double") * $"wm" / $"wrem").cast("long"))
+          .as("alloc_tok"))
+      .withColumn("epochs_milli", expr("1000 * alloc_tok div tok"))
+      .orderBy($"source")
+  }
+
+  val q369Oracle: String =
+    """WITH t AS (
+         SELECT source,
+           CAST(sum(len(list_filter(string_split_regex(text,'\s+'), x -> x <> ''))) AS BIGINT) AS tok
+         FROM documents GROUP BY 1),
+       b AS (SELECT CAST(2 * sum(tok) AS BIGINT) AS budget FROM t),
+       w AS (
+         SELECT source, tok,
+           CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000.0) AS BIGINT) AS wm,
+           3 * tok AS cap
+         FROM t),
+       s AS (
+         SELECT *, floor(CAST(cap AS DOUBLE) * 1000000.0 / wm) AS ratio,
+           CAST(row_number() OVER (ORDER BY floor(CAST(cap AS DOUBLE) * 1000000.0 / wm), source) AS BIGINT) AS j,
+           CAST(sum(cap) OVER (ORDER BY floor(CAST(cap AS DOUBLE) * 1000000.0 / wm), source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cap,
+           CAST(sum(wm) OVER (ORDER BY floor(CAST(cap AS DOUBLE) * 1000000.0 / wm), source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+         FROM w),
+       tot AS (SELECT CAST(sum(wm) AS BIGINT) AS w_all, CAST(count(*) AS BIGINT) AS n FROM s),
+       cuts AS (
+         SELECT j.j, budget - COALESCE(s.cum_cap, 0) AS r,
+           w_all - COALESCE(s.cum_w, 0) AS wrem
+         FROM (SELECT unnest(range(0, (SELECT n FROM tot) + 1)) AS j) j
+         CROSS JOIN b CROSS JOIN tot LEFT JOIN s ON s.j = j.j),
+       valid AS (
+         SELECT c.j, c.r, c.wrem FROM cuts c
+         LEFT JOIN s sj ON sj.j = c.j
+         LEFT JOIN s sn ON sn.j = c.j + 1
+         WHERE c.r >= 0
+           AND (c.j = 0 OR CAST(sj.cap AS HUGEINT) * c.wrem <= CAST(c.r AS HUGEINT) * sj.wm)
+           AND (sn.j IS NULL OR CAST(sn.cap AS HUGEINT) * c.wrem > CAST(c.r AS HUGEINT) * sn.wm))
+       SELECT s.source, s.tok, s.wm AS w_milli, s.j <= v.j AS capped,
+         CASE WHEN s.j <= v.j THEN s.cap
+              ELSE CAST(floor(CAST(v.r AS DOUBLE) * s.wm / v.wrem) AS BIGINT) END AS alloc_tok,
+         1000 * (CASE WHEN s.j <= v.j THEN s.cap
+              ELSE CAST(floor(CAST(v.r AS DOUBLE) * s.wm / v.wrem) AS BIGINT) END) // s.tok AS epochs_milli
+       FROM s CROSS JOIN valid v ORDER BY s.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_epoch_waterfill" -> q369EpochWaterfill,
     "q356_length_bias" -> q356LengthBias,
     "q316_dpo_pairs" -> q316DpoPairs,
     "q276_dsir_model_ivm" -> q276DsirModelIvm,
@@ -1413,6 +1519,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q369_epoch_waterfill" -> q369Oracle,
     "q356_length_bias" -> q356Oracle,
     "q316_dpo_pairs" -> q316Oracle,
     "q276_dsir_model_ivm" -> q276Oracle,

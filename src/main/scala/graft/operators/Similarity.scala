@@ -1874,7 +1874,150 @@ object Similarity {
        FROM marked GROUP BY qid ORDER BY qid"""
 
 
+  /** Maximal-marginal-relevance re-rank (q368, Carbonell & Goldstein
+    * 1998): the diversification pass between retrieval and an LLM's
+    * context window — pure top-k by relevance hands the model four
+    * near-copies of the same passage; MMR greedily picks
+    * argmax_c [λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)], trading
+    * relevance against similarity to what is ALREADY SELECTED. Here:
+    * per query (vec_id < 20, the q46 convention), candidates are the
+    * top-20 by the integer cosine rank key, λ = 0.7 as integer weights
+    * (mmr = 7·rel − 3·maxsim, rel/sim in cosine²-bp), 4 greedy rounds
+    * fully tie-broken (mmr desc, cid) — winner PATHS are deterministic,
+    * the q317 argmin discipline.
+    *
+    * Shape: candidate generation is q46's broadcast-queries scan; the
+    * candidate-candidate sim relation is per-query 20×19 — bounded by
+    * the CANDIDATE count, corpus size never enters the greedy loop.
+    * The 4 rounds are unrolled joins over that bounded relation
+    * (checkpointed once); every window is qid-partitioned. The oracle
+    * is the identical 4 rounds as generated MATERIALIZED CTEs. */
+  def q368MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val queries = q.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))
+    val corpus = q.select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"))
+    val byQ = Window.partitionBy($"qid")
+    val cand = corpus.join(broadcast(queries), $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rel", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(byQ.orderBy($"rel".desc, $"cid")))
+      .filter($"rn" <= 20)
+      .select($"qid", $"cid", $"rel")
+      .localCheckpoint()
+    val cv = cand.join(
+      q.select($"vec_id".as("cid"), $"qa".as("v"), $"n2".as("vn")), "cid")
+    val pairs = cv.select($"qid", $"cid".as("cid1"), $"v".as("v1"), $"vn".as("na"))
+      .join(cv.select($"qid", $"cid".as("cid2"), $"v".as("v2"), $"vn".as("nb")),
+        Seq("qid"))
+      .filter($"cid1" =!= $"cid2")
+      .withColumn("pnum", dotQ($"v1", $"v2"))
+      .select($"qid", $"cid1", $"cid2",
+        when($"pnum" > 0, expr("(pnum * pnum * 10000) div (na * nb)"))
+          .otherwise(0L).as("sim"))
+      .localCheckpoint()
+    var sel = cand
+      .withColumn("rn", row_number().over(byQ.orderBy($"rel".desc, $"cid")))
+      .filter($"rn" === 1)
+      .select($"qid", lit(1L).as("pos"), $"cid", $"rel", ($"rel" * 7).as("mmr"))
+    var out = sel
+    var ms = cand.join(sel.select($"qid", $"cid".as("scid")), "qid")
+      .filter($"cid" =!= $"scid")
+      .join(pairs.withColumnRenamed("cid1", "cid").withColumnRenamed("cid2", "scid"),
+        Seq("qid", "cid", "scid"), "left")
+      .select($"qid", $"cid", $"rel", coalesce($"sim", lit(0L)).as("msim"))
+    for (k <- 2 to 4) {
+      val sk = ms.withColumn("mmr", $"rel" * 7 - $"msim" * 3)
+        .withColumn("rn", row_number().over(byQ.orderBy($"mmr".desc, $"cid")))
+        .filter($"rn" === 1)
+        .select($"qid", lit(k.toLong).as("pos"), $"cid", $"rel", $"mmr")
+      out = out.unionByName(sk)
+      if (k < 4) {
+        ms = ms.join(sk.select($"qid", $"cid".as("scid")), "qid")
+          .filter($"cid" =!= $"scid")
+          .join(pairs.withColumnRenamed("cid1", "cid").withColumnRenamed("cid2", "scid"),
+            Seq("qid", "cid", "scid"), "left")
+          .select($"qid", $"cid", $"rel",
+            greatest($"msim", coalesce($"sim", lit(0L))).as("msim"))
+      }
+    }
+    out.select($"qid", $"pos", $"cid", $"rel".as("rel_bp"), $"mmr".as("mmr_milli"))
+      .orderBy($"qid", $"pos")
+  }
+
+  /** q368's oracle: identical candidate set, pair sims, and 4 greedy
+    * rounds, generated as MATERIALIZED CTEs (the q317/q182 lesson). */
+  val q368Oracle: String = {
+    val head =
+      """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       sc AS MATERIALIZED (
+         SELECT a.vec_id AS qid, b.vec_id AS cid, a.n2 AS qn, b.n2 AS cn,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       cand AS MATERIALIZED (
+         SELECT qid, cid, rel FROM (
+           SELECT qid, cid, (num * num * 10000) // (qn * cn) AS rel,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+           FROM sc WHERE num > 0)
+         WHERE rn <= 20),
+       pairs AS MATERIALIZED (
+         SELECT c1.qid, c1.cid AS cid1, c2.cid AS cid2,
+           CASE WHEN list_sum(list_transform(list_zip(x.qa, y.qa), p -> p[1]*p[2])) > 0
+             THEN (CAST(list_sum(list_transform(list_zip(x.qa, y.qa), p -> p[1]*p[2])) AS BIGINT)
+               * list_sum(list_transform(list_zip(x.qa, y.qa), p -> p[1]*p[2])) * 10000)
+               // (x.n2 * y.n2)
+             ELSE 0 END AS sim
+         FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.cid <> c2.cid
+         JOIN n x ON x.vec_id = c1.cid JOIN n y ON y.vec_id = c2.cid),
+       s1 AS MATERIALIZED (
+         SELECT qid, cid, rel, 7 * rel AS mmr FROM (
+           SELECT qid, cid, rel,
+             row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+           FROM cand) WHERE rn = 1),
+       ms1 AS MATERIALIZED (
+         SELECT c.qid, c.cid, c.rel, COALESCE(p.sim, 0) AS msim
+         FROM cand c JOIN s1 ON c.qid = s1.qid AND c.cid <> s1.cid
+         LEFT JOIN pairs p ON p.qid = c.qid AND p.cid1 = c.cid AND p.cid2 = s1.cid)"""
+    val sb = new StringBuilder(head)
+    val sels = scala.collection.mutable.Buffer(
+      "SELECT qid, CAST(1 AS BIGINT) AS pos, cid, rel, mmr FROM s1")
+    var prev = "ms1"
+    for (k <- 2 to 4) {
+      sb.append(s""",
+       s$k AS MATERIALIZED (
+         SELECT qid, cid, rel, 7 * rel - 3 * msim AS mmr FROM (
+           SELECT qid, cid, rel, msim,
+             row_number() OVER (PARTITION BY qid ORDER BY 7 * rel - 3 * msim DESC, cid) AS rn
+           FROM $prev) WHERE rn = 1)""")
+      if (k < 4) {
+        sb.append(s""",
+       ms$k AS MATERIALIZED (
+         SELECT m.qid, m.cid, m.rel, greatest(m.msim, COALESCE(p.sim, 0)) AS msim
+         FROM $prev m JOIN s$k ON m.qid = s$k.qid AND m.cid <> s$k.cid
+         LEFT JOIN pairs p ON p.qid = m.qid AND p.cid1 = m.cid AND p.cid2 = s$k.cid)""")
+        prev = s"ms$k"
+      }
+      sels += s"SELECT qid, CAST($k AS BIGINT), cid, rel, mmr FROM s$k"
+    }
+    sb.append(",\n       fin AS (" + sels.mkString(" UNION ALL ") + ")")
+    sb.append("""
+       SELECT qid, pos, cid, CAST(rel AS BIGINT) AS rel_bp,
+         CAST(mmr AS BIGINT) AS mmr_milli
+       FROM fin ORDER BY qid, pos""")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_mmr_rerank" -> q368MmrRerank,
     "q273_ambiguity_margin" -> q273AmbiguityMargin,
     "q269_farthest_first" -> q269FarthestFirst,
     "q270_jl_audit" -> q270JlAudit,
@@ -1903,6 +2046,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q368_mmr_rerank" -> q368Oracle,
     "q273_ambiguity_margin" -> q273Oracle,
     "q269_farthest_first" -> q269Oracle,
     "q270_jl_audit" -> q270Oracle,

@@ -18,6 +18,39 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("q369: tiny source pins at the epoch cap; residual waterfills the rest") {
+    // tokens: tiny = 8, mid = 1000, big = 1200; budget = 2·2208 = 4416.
+    // Sqrt weights would hand tiny ~187 tokens = 23 epochs — the cap
+    // pins it at 3 epochs (24 tokens) and the residual 4392 re-spreads
+    // over mid/big by weight. Closed-form check (w_mid = 31622,
+    // w_big = 34641): mid ⌊4392·31622/66263⌋ = 2095, big 2296.
+    val words = (n: Int, p: String) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, words(8, "t"), "en", "tiny", 1L),
+      (2L, words(500, "m"), "en", "mid", 1L),
+      (3L, words(500, "n"), "en", "mid", 1L),
+      (4L, words(600, "b"), "en", "big", 1L),
+      (5L, words(600, "c"), "en", "big", 1L)))
+    val got = Curation.q369EpochWaterfill(spark, d)
+      .as[(String, Long, Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("tiny") == ("tiny", 8L, 2828L, true, 24L, 3000L))
+    assert(got("mid") == ("mid", 1000L, 31622L, false, 2095L, 2095L))
+    assert(got("big") == ("big", 1200L, 34641L, false, 2296L, 1913L))
+    // budget conservation up to floor dust; nobody exceeds the cap
+    val allocs = got.values.map(_._5).sum
+    assert(allocs <= 4416L && allocs >= 4416L - 3)
+    got.values.foreach(r => assert(r._6 <= 3000L))
+    // no-cap regime: everything fits, allocation is pure waterfill
+    val d2 = docsDir(Seq(
+      (1L, words(400, "x"), "en", "a", 1L),
+      (2L, words(500, "y"), "en", "b", 1L)))
+    val flat = Curation.q369EpochWaterfill(spark, d2)
+      .as[(String, Long, Long, Boolean, Long, Long)].collect()
+    assert(flat.forall(!_._4))
+    assert(math.abs(flat.map(_._5).sum - 1800L) <= 2)
+  }
+
   test("q34: shared full 8-token chunk detected; ragged 7-token tail ignored") {
     val shared = "a b c d e f g h" // exactly one full chunk
     val d = docsDir(Seq(

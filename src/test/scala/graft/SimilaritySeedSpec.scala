@@ -263,4 +263,40 @@ class SimilaritySeedSpec extends SparkSpec {
     val sh = got.map(_._5)
     assert(sh.zip(sh.tail).forall { case (x, y) => x >= y })
   }
+
+  test("q368: MMR breaks the near-dup tie toward the diverse candidate") {
+    // Query (1,0). 100 = (0.9,0.43) is the best candidate; 101 =
+    // (0.9,0.44) STRICTLY outranks 102 = (0.9,-0.44) on relevance
+    // (float-storage floors break the symmetry: +0.44f quantizes to
+    // 439, -0.44f to -440), so pure top-k orders them 100, 101, 102.
+    // But 101 is a near-duplicate of 100 (sim ~9990 bp) while 102
+    // sits across the axis (sim ~3860 bp), so MMR's penalty flips
+    // pos 2 to the LESS relevant 102. 103 = (0,1) has dot 0 with the
+    // query and is not a candidate at all.
+    val d = embDir(Seq(
+      (0L, Seq(1f, 0f), 0),
+      (100L, Seq(0.9f, 0.43f), 0), (101L, Seq(0.9f, 0.44f), 0),
+      (102L, Seq(0.9f, -0.44f), 0), (103L, Seq(0f, 1f), 0)))
+    val got = Similarity.q368MmrRerank(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got.map(r => (r._2, r._3)) == Seq((1L, 100L), (2L, 102L), (3L, 101L)))
+    // the flip demotes a STRICTLY more relevant near-duplicate
+    val rel = got.map(r => r._3 -> r._4).toMap
+    assert(rel(100L) > rel(101L) && rel(101L) > rel(102L))
+    // greedy invariant: the achievable MMR score never increases
+    val mmr = got.map(_._5)
+    assert(mmr.zip(mmr.tail).forall { case (x, y) => x >= y })
+    // and on the synthetic corpus: pos-1 is the relevance argmax and
+    // selections are distinct per query
+    val real = Similarity.q368MmrRerank(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    real.groupBy(_._1).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._2)
+      assert(byPos.map(_._3).distinct.length == byPos.length)
+      assert(byPos.head._4 == rows.map(_._4).max) // pos 1 = max rel
+      val ms = byPos.map(_._5)
+      assert(ms.zip(ms.tail).forall { case (x, y) => x >= y })
+    }
+  }
 }
