@@ -932,6 +932,98 @@ object Curation {
          abs(CAST(count(*) AS BIGINT) * 8 - n_total) * 10000 // n_total AS imbalance_bp
        FROM asg CROSS JOIN tot GROUP BY shard, n_total ORDER BY shard"""
 
+  /** Resharding movement audit (q372): q208's ring asserts in prose
+    * that "adding shards moves only the arcs the new vnodes claim,
+    * where modulo moves nearly everything" — this op MEASURES it for
+    * the 8 → 12 scale-up. Every doc key is placed four ways in ONE
+    * scan-local pass (mod 8, mod 12, ring of 8 shards, ring of 12 —
+    * the 12-ring reuses the 8-ring's vnode positions for shards 0-7,
+    * which is exactly why consistent hashing wins: old vnodes keep
+    * their arcs), each ring lookup a broadcast arc range join (q208's
+    * production shape; no shuffle of the doc relation anywhere).
+    * Output: 2 rows — strategy, docs, moved, moved share in bp.
+    * Expected physics: ring ≈ 4/12 of keys move (the new shards'
+    * capacity share), modulo ≈ 11/12 (keys keep their slot only when
+    * h mod 24 agrees). */
+  def q372ReshardingAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def ringParts(nShards: Int, tag: String) = {
+      val ring = (0 until nShards).flatMap(sh => (0 until 16).map(v => (sh, v)))
+        .toDF("shard", "v")
+        .select($"shard".cast("long").as(s"vshard$tag"),
+          hash60(concat_ws(":", lit("shard"), $"shard", $"v")).as(s"pos$tag"))
+      val wrap = ring.orderBy(col(s"pos$tag")).limit(1)
+        .select(col(s"vshard$tag").as(s"wrap$tag"))
+      val arcs = ring
+        .withColumn(s"lo$tag", lag(col(s"pos$tag"), 1)
+          .over(Window.orderBy(col(s"pos$tag"))))
+        .select(col(s"vshard$tag"), col(s"lo$tag"), col(s"pos$tag").as(s"hi$tag"))
+      (arcs, wrap)
+    }
+    val (arcs8, wrap8) = ringParts(8, "8")
+    val (arcs12, wrap12) = ringParts(12, "12")
+    val asg = Tables.documents(s, d)
+      .select($"doc_id", hash60($"doc_id".cast("string")).as("pos"))
+      .join(broadcast(arcs8),
+        ($"lo8".isNull || $"pos" > $"lo8") && $"pos" <= $"hi8", "left_outer")
+      .crossJoin(broadcast(wrap8))
+      .withColumn("ring_old", coalesce($"vshard8", $"wrap8"))
+      .select($"doc_id", $"pos", $"ring_old")
+      .join(broadcast(arcs12),
+        ($"lo12".isNull || $"pos" > $"lo12") && $"pos" <= $"hi12", "left_outer")
+      .crossJoin(broadcast(wrap12))
+      .withColumn("ring_new", coalesce($"vshard12", $"wrap12"))
+      .select(($"pos" % 8 =!= $"pos" % 12).cast("long").as("mod_moved"),
+        ($"ring_old" =!= $"ring_new").cast("long").as("ring_moved"))
+    val tot = asg.agg(count(lit(1)).as("n_docs"),
+      sum($"mod_moved").as("mod_m"), sum($"ring_moved").as("ring_m"))
+    tot.select(lit("mod").as("strategy"), $"n_docs", $"mod_m".as("n_moved"),
+        expr("10000 * mod_m div n_docs").as("moved_bp"))
+      .unionByName(tot.select(lit("ring").as("strategy"), $"n_docs",
+        $"ring_m".as("n_moved"),
+        expr("10000 * ring_m div n_docs").as("moved_bp")))
+      .orderBy($"strategy")
+  }
+
+  val q372Oracle: String =
+    """WITH ring8 AS (
+         SELECT CAST(sh AS BIGINT) AS vshard,
+           ('0x' || substr(md5('shard:' || CAST(sh AS VARCHAR) || ':' ||
+              CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pos
+         FROM generate_series(0, 7) s(sh)
+         CROSS JOIN generate_series(0, 15) t(v)),
+       ring12 AS (
+         SELECT CAST(sh AS BIGINT) AS vshard,
+           ('0x' || substr(md5('shard:' || CAST(sh AS VARCHAR) || ':' ||
+              CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pos
+         FROM generate_series(0, 11) s(sh)
+         CROSS JOIN generate_series(0, 15) t(v)),
+       arcs8 AS (SELECT vshard, lag(pos) OVER (ORDER BY pos) AS lo, pos AS hi FROM ring8),
+       arcs12 AS (SELECT vshard, lag(pos) OVER (ORDER BY pos) AS lo, pos AS hi FROM ring12),
+       wrap8 AS (SELECT vshard FROM ring8 ORDER BY pos LIMIT 1),
+       wrap12 AS (SELECT vshard FROM ring12 ORDER BY pos LIMIT 1),
+       keys AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pos
+         FROM documents),
+       asg AS (
+         SELECT k.pos,
+           coalesce(a8.vshard, (SELECT vshard FROM wrap8)) AS ring_old,
+           coalesce(a12.vshard, (SELECT vshard FROM wrap12)) AS ring_new
+         FROM keys k
+         LEFT JOIN arcs8 a8 ON (a8.lo IS NULL OR k.pos > a8.lo) AND k.pos <= a8.hi
+         LEFT JOIN arcs12 a12 ON (a12.lo IS NULL OR k.pos > a12.lo) AND k.pos <= a12.hi),
+       tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pos % 8 <> pos % 12 THEN 1 ELSE 0 END) AS BIGINT) AS mod_m,
+           CAST(sum(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END) AS BIGINT) AS ring_m
+         FROM asg)
+       SELECT 'mod' AS strategy, n_docs, mod_m AS n_moved,
+         10000 * mod_m // n_docs AS moved_bp FROM tot
+       UNION ALL
+       SELECT 'ring', n_docs, ring_m, 10000 * ring_m // n_docs FROM tot
+       ORDER BY strategy"""
+
   /** Net-new content contribution per source (q261): how much of each
     * source's shingle mass is FIRST SEEN there, when sources are
     * ingested in priority (name) order? Gross shingles credit every
@@ -1490,8 +1582,124 @@ object Curation {
               ELSE CAST(floor(CAST(v.r AS DOUBLE) * s.wm / v.wrem) AS BIGINT) END) // s.tok AS epochs_milli
        FROM s CROSS JOIN valid v ORDER BY s.source"""
 
+  /** Sequence-length bucketing planner (q370): pick 3 interior bucket
+    * boundaries over document token lengths (capped at 512) so that
+    * padding every doc to its bucket's top wastes the FEWEST tokens —
+    * the batching-efficiency knob every trainer tunes by hand, solved
+    * exactly. The objective decomposes over buckets —
+    * pad(a,b] = (N(b)−N(a))·b − (S(b)−S(a)) from the count/mass
+    * prefix sums — so the optimum is a K=4-stage DP over the BOUNDED
+    * length histogram (≤ 512 rows at any corpus size: the q317
+    * bounded-DP doctrine, but here even the DP stays declarative —
+    * each stage is a histogram × histogram join with a per-endpoint
+    * argmin window, fully tie-broken (cost, then smaller boundary) so
+    * the winning PATH is deterministic). Backtracking is 3 bounded
+    * joins; the final boundary is pinned to the max observed length.
+    *
+    * Output: 4 rows — bucket, (lo, hi] bounds, docs, pad tokens; the
+    * pad column sums to the DP optimum. Contract: ≥ 4 distinct capped
+    * lengths. Shape: one corpus scan → ≤ 512-row histogram;
+    * everything else is arithmetic on that bounded relation. */
+  def q370LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cumw = Window.orderBy($"l")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = Tables.documents(s, d)
+      .select(least(size(tokens($"text")), lit(512)).cast("long").as("l"))
+      .filter($"l" >= 1)
+      .groupBy($"l").agg(count(lit(1)).as("cnt"))
+      .withColumn("nn", sum($"cnt").over(cumw))
+      .withColumn("ss", sum($"cnt" * $"l").over(cumw))
+      .localCheckpoint()
+    val mx = pre.agg(max($"l").as("lmax"))
+    val rounds = scala.collection.mutable.Buffer[DataFrame](
+      pre.select($"l".as("b"), ($"nn" * $"l" - $"ss").as("cost"),
+        lit(0L).as("arg")))
+    for (_ <- 2 to 4) {
+      val next = pre.as("p").join(pre.as("q"), $"q.l" < $"p.l")
+        .join(rounds.last.as("r"), $"r.b" === $"q.l")
+        .select($"p.l".as("b"),
+          ($"r.cost" + ($"p.nn" - $"q.nn") * $"p.l" - ($"p.ss" - $"q.ss"))
+            .as("cost"),
+          $"q.l".as("arg"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"b").orderBy($"cost", $"arg")))
+        .filter($"rn" === 1).select($"b", $"cost", $"arg")
+        .localCheckpoint()
+      rounds += next
+    }
+    def named(df: DataFrame, n: Int) =
+      df.select($"b".as(s"b$n"), $"arg".as(s"a$n"))
+    val t4 = named(rounds(3), 4).join(broadcast(mx), $"b4" === $"lmax")
+      .select($"b4", $"a4")
+    val t3 = named(rounds(2), 3).join(broadcast(t4), $"b3" === $"a4")
+    val t2 = named(rounds(1), 2).join(broadcast(t3), $"b2" === $"a3")
+    val t1 = named(rounds(0), 1).join(broadcast(t2), $"b1" === $"a2")
+    val bounds = t1.select(explode(expr(
+      """array(
+           struct(CAST(1 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS lo, b1 AS hi),
+           struct(CAST(2 AS BIGINT) AS bucket, b1 AS lo, b2 AS hi),
+           struct(CAST(3 AS BIGINT) AS bucket, b2 AS lo, b3 AS hi),
+           struct(CAST(4 AS BIGINT) AS bucket, b3 AS lo, b4 AS hi))"""))
+      .as("s"))
+      .select($"s.bucket".as("bucket"), $"s.lo".as("lo_excl"), $"s.hi".as("hi"))
+    bounds.join(pre.select($"l", $"cnt"), $"l" > $"lo_excl" && $"l" <= $"hi")
+      .groupBy($"bucket", $"lo_excl", $"hi")
+      .agg(sum($"cnt").as("n_docs"),
+        sum($"cnt" * ($"hi" - $"l")).as("pad_tokens"))
+      .orderBy($"bucket")
+  }
+
+  /** q370's oracle: the identical DP, rounds generated as MATERIALIZED
+    * CTEs. */
+  val q370Oracle: String = {
+    val head =
+      """WITH lens AS (
+         SELECT least(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')), 512) AS l
+         FROM documents
+         WHERE len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) >= 1),
+       hist AS MATERIALIZED (
+         SELECT l, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY 1),
+       pre AS MATERIALIZED (
+         SELECT l, cnt,
+           CAST(sum(cnt) OVER (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nn,
+           CAST(sum(cnt * l) OVER (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ss
+         FROM hist),
+       mx AS (SELECT max(l) AS lmax FROM pre),
+       r1 AS MATERIALIZED (
+         SELECT l AS b, nn * l - ss AS cost, CAST(0 AS BIGINT) AS arg FROM pre)"""
+    val rounds = (2 to 4).map { k =>
+      s""",
+       r$k AS MATERIALIZED (
+         SELECT b, cost, arg FROM (
+           SELECT p.l AS b,
+             r.cost + (p.nn - q.nn) * p.l - (p.ss - q.ss) AS cost, q.l AS arg,
+             row_number() OVER (PARTITION BY p.l
+               ORDER BY r.cost + (p.nn - q.nn) * p.l - (p.ss - q.ss), q.l) AS rn
+           FROM pre p JOIN pre q ON q.l < p.l JOIN r${k - 1} r ON r.b = q.l)
+         WHERE rn = 1)"""
+    }.mkString
+    head + rounds +
+      """,
+       b4 AS (SELECT r4.b, r4.arg FROM r4 JOIN mx ON r4.b = mx.lmax),
+       b3 AS (SELECT r3.b, r3.arg FROM r3 JOIN b4 ON r3.b = b4.arg),
+       b2 AS (SELECT r2.b, r2.arg FROM r2 JOIN b3 ON r2.b = b3.arg),
+       b1 AS (SELECT r1.b, r1.arg FROM r1 JOIN b2 ON r1.b = b2.arg),
+       bounds AS (
+         SELECT CAST(1 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS lo_excl, CAST(b1.b AS BIGINT) AS hi FROM b1
+         UNION ALL SELECT 2, CAST(b1.b AS BIGINT), CAST(b2.b AS BIGINT) FROM b1, b2
+         UNION ALL SELECT 3, CAST(b2.b AS BIGINT), CAST(b3.b AS BIGINT) FROM b2, b3
+         UNION ALL SELECT 4, CAST(b3.b AS BIGINT), CAST(b4.b AS BIGINT) FROM b3, b4)
+       SELECT bucket, lo_excl, hi, CAST(sum(h.cnt) AS BIGINT) AS n_docs,
+         CAST(sum(h.cnt * (bounds.hi - h.l)) AS BIGINT) AS pad_tokens
+       FROM bounds JOIN hist h ON h.l > bounds.lo_excl AND h.l <= bounds.hi
+       GROUP BY 1, 2, 3 ORDER BY bucket"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q369_epoch_waterfill" -> q369EpochWaterfill,
+    "q370_length_buckets" -> q370LengthBuckets,
+    "q372_resharding_audit" -> q372ReshardingAudit,
     "q356_length_bias" -> q356LengthBias,
     "q316_dpo_pairs" -> q316DpoPairs,
     "q276_dsir_model_ivm" -> q276DsirModelIvm,
@@ -1520,6 +1728,8 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q369_epoch_waterfill" -> q369Oracle,
+    "q370_length_buckets" -> q370Oracle,
+    "q372_resharding_audit" -> q372Oracle,
     "q356_length_bias" -> q356Oracle,
     "q316_dpo_pairs" -> q316Oracle,
     "q276_dsir_model_ivm" -> q276Oracle,

@@ -1747,7 +1747,93 @@ object Quality {
          CAST(row_number() OVER (ORDER BY 10000 * (q_date_files + q_cust_files + q_price_files) // (3 * n_files), layout) AS BIGINT) AS rank
        FROM w ORDER BY rank"""
 
+  /** Learned-index error audit (q371, the RMI metric of Kraska et al.
+    * 2018): fit rank ≈ slope·key + intercept per shard (OLS on exact
+    * sufficient statistics) and report the MAX and mean absolute rank
+    * error — max_err IS the binary-search window a learned index
+    * would need on that shard, i.e. "how learnable is this key
+    * layout". Shards are the 5 order priorities; keys are price
+    * cents.
+    *
+    * Exact per-shard ranks WITHOUT a per-shard sort: one
+    * [[Windows.rangePrefixSum]] over the (shard, key, tie) total
+    * order gives global ranks; subtracting each shard's broadcast
+    * min-rank offset yields the shard-local row_number. The
+    * distributed-scan relation is consumed twice (moment sums, then
+    * the residual pass) — the scan+shuffle half is pinned by the
+    * prefix-sum engine's checkpoint, so only cheap arithmetic
+    * re-executes.
+    *
+    * Parity: Σkr/Σk² in DECIMAL (HUGEINT in the oracle) so the OLS
+    * inputs are exact; slope/intercept are each ONE double tree;
+    * per-row error floors once (q231 discipline). */
+  def q371LearnedIndexAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = Tables.orders(s, d).select(
+      $"o_orderpriority".as("shard"),
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("key"),
+      $"o_orderkey".as("tie"))
+    val g = Windows.rangePrefixSum(k, Seq($"shard", $"key", $"tie"), lit(1L), "rg")
+    val offs = g.groupBy($"shard").agg(min($"rg").as("r0"))
+    val r = g.join(broadcast(offs), "shard")
+      .select($"shard", $"key", ($"rg" - $"r0" + 1).as("r"))
+    val st = r.groupBy($"shard").agg(
+      count(lit(1)).as("n"), sum($"key").as("sk"), sum($"r").as("sr"),
+      sum($"key".cast("decimal(20,0)") * $"r".cast("decimal(18,0)")).as("skr"),
+      sum($"key".cast("decimal(20,0)") * $"key".cast("decimal(18,0)")).as("skk"))
+    val m = st.selectExpr("shard", "n",
+      """(CAST(n AS DOUBLE) * CAST(skr AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sr AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) AS slope""",
+      """CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(n AS DOUBLE) * CAST(skr AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sr AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+           * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) AS icept""")
+    r.join(broadcast(m), "shard")
+      .select($"shard", $"n",
+        floor($"slope" * 1000000000.0).cast("long").as("slope_nano"),
+        abs(floor($"slope" * $"key" + $"icept").cast("long") - $"r").as("err"))
+      .groupBy($"shard", $"n", $"slope_nano")
+      .agg(max($"err").as("max_err"),
+        expr("1000 * sum(err) div n").as("avg_err_milli"))
+      .orderBy($"shard")
+  }
+
+  val q371Oracle: String =
+    """WITH k AS (
+         SELECT o_orderpriority AS shard,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS key,
+           o_orderkey AS tie
+         FROM orders),
+       r AS (
+         SELECT shard, key,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY key, tie) AS BIGINT) AS r
+         FROM k),
+       st AS (
+         SELECT shard, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(key) AS BIGINT) AS sk, CAST(sum(r) AS BIGINT) AS sr,
+           sum(CAST(key AS HUGEINT) * r) AS skr,
+           sum(CAST(key AS HUGEINT) * key) AS skk
+         FROM r GROUP BY 1),
+       m AS (
+         SELECT shard, n,
+           (CAST(n AS DOUBLE) * CAST(skr AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sr AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) AS slope,
+           CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(n AS DOUBLE) * CAST(skr AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sr AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+               * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) AS icept
+         FROM st),
+       e AS (
+         SELECT r.shard AS shard, m.n, m.slope,
+           abs(CAST(floor(m.slope * r.key + m.icept) AS BIGINT) - r.r) AS err
+         FROM r JOIN m ON r.shard = m.shard)
+       SELECT shard, n, CAST(floor(slope * 1000000000.0) AS BIGINT) AS slope_nano,
+         CAST(max(err) AS BIGINT) AS max_err,
+         1000 * CAST(sum(err) AS BIGINT) // n AS avg_err_milli
+       FROM e GROUP BY 1, 2, 3 ORDER BY shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_learned_index_audit" -> q371LearnedIndexAudit,
     "q354_brier" -> q354Brier,
     "q363_sortkey_advisor" -> q363SortkeyAdvisor,
     "q358_mantel_haenszel" -> q358MantelHaenszel,
@@ -1774,6 +1860,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q371_learned_index_audit" -> q371Oracle,
     "q354_brier" -> q354Oracle,
     "q358_mantel_haenszel" -> q358Oracle,
     "q363_sortkey_advisor" -> q363Oracle,

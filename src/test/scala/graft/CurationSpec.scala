@@ -18,6 +18,52 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("q372: ring resharding moves ~1/3 of keys, modulo ~2/3, ring < mod") {
+    // theory at 8 -> 12: ring moves the new shards' capacity share
+    // (4/12 = 3333 bp in expectation), modulo keeps a key only when
+    // h mod 24 < 8 (i.e. moves 2/3 = 6667 bp). Wide bands absorb the
+    // binomial noise of a few hundred keys.
+    val got = Curation.q372ReshardingAudit(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (ring, md) = (got("ring"), got("mod"))
+    assert(ring._2 == md._2 && ring._2 > 0)
+    assert(ring._4 > 1800 && ring._4 < 5000, s"ring moved ${ring._4} bp")
+    assert(md._4 > 5000 && md._4 < 8200, s"mod moved ${md._4} bp")
+    assert(ring._4 < md._4) // the entire point of the ring
+    assert(ring._3 <= ring._2 && md._3 <= md._2)
+  }
+
+  test("q370: bucket DP finds the exact padding optimum on clustered lengths") {
+    // four tight length clusters (4 docs at L, 1 at L+1) — the optimal
+    // buckets close at each cluster's top; every doc at L pads by 1
+    val lens = Seq(10, 10, 10, 10, 11, 50, 50, 50, 50, 51,
+      100, 100, 100, 100, 101, 200, 200, 200, 200, 201)
+    val d = docsDir(lens.zipWithIndex.map { case (l, i) =>
+      (i.toLong, (1 to l).map(j => s"w$j").mkString(" "), "en", "s", 1L)
+    })
+    val got = Curation.q370LengthBuckets(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, 0L, 11L, 5L, 4L), (2L, 11L, 51L, 5L, 4L),
+      (3L, 51L, 101L, 5L, 4L), (4L, 101L, 201L, 5L, 4L)))
+    // brute-force optimality over all C(7,3) boundary triples
+    val ls = lens.map(_.toLong)
+    val distinct = ls.distinct.sorted
+    def pad(bounds: Seq[Long]): Long = {
+      val full = bounds :+ distinct.last
+      ls.map(l => full.find(_ >= l).get - l).sum
+    }
+    val best = distinct.init.combinations(3).map(c => pad(c.sorted)).min
+    assert(got.map(_._5).sum == best && best == 16L)
+    // real corpus: buckets partition the population, pads nonnegative,
+    // boundaries strictly increasing
+    val real = Curation.q370LengthBuckets(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(real.length == 4)
+    assert(real.zip(real.tail).forall { case (a, b) => a._3 == b._2 })
+    assert(real.forall(r => r._5 >= 0 && r._4 > 0))
+  }
+
   test("q369: tiny source pins at the epoch cap; residual waterfills the rest") {
     // tokens: tiny = 8, mid = 1000, big = 1200; budget = 2·2208 = 4416.
     // Sqrt weights would hand tiny ~187 tokens = 23 epochs — the cap

@@ -531,6 +531,33 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(got.map(_._6).sum - 1000L) <= 5) // integer-div dust
   }
 
+  test("q371: perfectly linear keys audit near zero; clustered keys do not") {
+    val dir = java.nio.file.Files.createTempDirectory("rmi").toString
+    // shard "LIN": key = 100·rank (a perfect CDF line); shard "CLU":
+    // two tight clusters the single line cannot follow
+    val lin = (1 to 10).map(i => ("LIN", i * 100.0, i.toLong))
+    val clu = (1 to 5).map(i => ("CLU", i * 1.0, 100L + i)) ++
+      (6 to 10).map(i => ("CLU", 10000.0 + i, 100L + i))
+    (lin ++ clu).toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Quality.q371LearnedIndexAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("LIN")._2 == 10L && got("CLU")._2 == 10L)
+    // the line fits LIN to within floor dust; CLU needs a real window
+    assert(got("LIN")._4 <= 1L)
+    assert(got("CLU")._4 >= 2L)
+    assert(got("CLU")._5 > got("LIN")._5)
+    // real corpus: window sizes positive, slope positive (ranks grow
+    // with price), avg <= max
+    val real = operators.Quality.q371LearnedIndexAudit(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(real.length == 5)
+    real.foreach { case (_, n, slope, mx, avg) =>
+      assert(slope > 0 && mx >= 0 && avg <= 1000 * mx && n > 0)
+    }
+  }
+
   test("q366: repetition rules — looping doc flags, clean doc doesn't, short docs excluded") {
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
     Seq(
