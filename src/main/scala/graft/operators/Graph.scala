@@ -899,7 +899,88 @@ object Graph {
          END AS lift_milli
        FROM eval_model m CROSS JOIN eval_base b"""
 
+  /** Network-exposure interference readout (q375, the Aronow–Samii
+    * exposure-mapping shape): in a marketplace experiment, SUTVA
+    * breaks when a customer's outcome moves with how many of their
+    * NEIGHBORS were treated. Build the co-purchase customer graph
+    * over niche parts (parts bought by 2-5 customers in 1995H1 — the
+    * degree cap that keeps the pair join bounded per part; popular
+    * parts carry no affinity signal anyway), map each customer's
+    * exposure = treated-neighbor share (treatment = custkey parity, a
+    * true A/A), bucket it into quartiles, and read the post-period
+    * (1995H2) spend per (own-treatment, exposure-bucket) cell. On
+    * parity assignment the product claim is a FLAT readout — the
+    * null calibration any interference dashboard needs before it can
+    * be trusted on a real experiment.
+    *
+    * Shape: one (cust, part) distinct projection; the niche filter
+    * bounds the per-part pair fanout at 5²; exposure and outcome are
+    * keyed partial aggs; output is ≤ 8 cells. */
+  def q375ExposureMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cp = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("date") &&
+        $"o_orderdate" < lit("1995-07-01").cast("date"))
+      .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
+      .distinct()
+      .localCheckpoint() // feeds the niche filter AND both join legs
+    val niche = cp.groupBy($"part").agg(count(lit(1)).as("nc"))
+      .filter($"nc" >= 2 && $"nc" <= 5).select($"part")
+    val e = cp.join(niche, "part")
+      .select($"part", $"cust".as("u"))
+      .join(cp.select($"part", $"cust".as("v")), "part")
+      .filter($"u" =!= $"v")
+      .select($"u", $"v").distinct()
+    val expo = e.groupBy($"u").agg(
+      count(lit(1)).as("n_nbr"),
+      sum($"v" % 2).as("n_treated"))
+      .select($"u", $"n_nbr",
+        least(expr("(10000 * n_treated div n_nbr) div 2500"), lit(3L)).as("bucket"))
+    val out2 = Tables.orders(s, d)
+      .filter($"o_orderdate" >= lit("1995-07-01").cast("date") &&
+        $"o_orderdate" < lit("1996-01-01").cast("date"))
+      .groupBy($"o_custkey".as("cust"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("spend"))
+    expo.join(out2, $"u" === $"cust", "left")
+      .groupBy(($"u" % 2).as("own_treated"), $"bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(coalesce(spend, CAST(0 AS BIGINT))) div count(1)").as("avg_spend_cents"),
+        expr("sum(n_nbr) div count(1)").as("avg_degree"))
+      .orderBy($"own_treated", $"bucket")
+  }
+
+  val q375Oracle: String =
+    """WITH cp AS (
+         SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'),
+       niche AS (
+         SELECT part FROM cp GROUP BY part
+         HAVING count(*) BETWEEN 2 AND 5),
+       e AS (
+         SELECT DISTINCT a.cust AS u, b.cust AS v
+         FROM cp a JOIN niche USING (part) JOIN cp b USING (part)
+         WHERE a.cust <> b.cust),
+       expo AS (
+         SELECT u, CAST(count(*) AS BIGINT) AS n_nbr,
+           least(CAST(10000 * sum(v % 2) // count(*) AS BIGINT) // 2500, 3) AS bucket
+         FROM e GROUP BY u),
+       out2 AS (
+         SELECT o_custkey AS cust,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend
+         FROM orders
+         WHERE o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1996-01-01'
+         GROUP BY 1)
+       SELECT expo.u % 2 AS own_treated, expo.bucket,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(COALESCE(out2.spend, 0)) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_spend_cents,
+         CAST(sum(expo.n_nbr) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_degree
+       FROM expo LEFT JOIN out2 ON expo.u = out2.cust
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q375_exposure_map" -> q375ExposureMap,
     "q355_rec_eval" -> q355RecEval,
     "q341_modularity" -> q341Modularity,
     "q319_adamic_adar" -> q319AdamicAdar,
@@ -915,6 +996,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q375_exposure_map" -> q375Oracle,
     "q355_rec_eval" -> q355Oracle,
     "q341_modularity" -> q341Oracle,
     "q319_adamic_adar" -> q319Oracle,

@@ -1832,7 +1832,111 @@ object Quality {
          1000 * CAST(sum(err) AS BIGINT) // n AS avg_err_milli
        FROM e GROUP BY 1, 2, 3 ORDER BY shard"""
 
+  /** Cardinality-estimation q-error audit (q373): how wrong would a
+    * System-R-style optimizer be on THIS data? Five classic estimates
+    * — range predicate by date interpolation, equality by 1/NDV,
+    * their conjunction by independence, PK-FK join by
+    * |O|·|L|/max(ndv), and filtered join by chaining — each compared
+    * against the exact actual, reported as the standard q-error
+    * max(est/act, act/est) in milli (Leis et al. 2015's metric). The
+    * audit is the planner's feedback loop: a q-error near 1 says the
+    * textbook assumptions hold on this corpus; a crafted correlated
+    * workload (see spec) sends it off the chart.
+    *
+    * Shape: three aggregation passes (orders profile, lineitem
+    * profile, the actual join counts) → 1-row broadcasts → 5 literal
+    * case rows. NDVs are exact count-distincts here so the oracle can
+    * twin them; a production optimizer would read the same numbers
+    * off HLL sketches (q54). */
+  def q373CardinalityAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val cut = lit("1996-01-01").cast("date")
+    val o = Tables.orders(s, d).agg(
+      count(lit(1)).as("n_o"),
+      countDistinct($"o_orderkey").as("ndv_ok"),
+      countDistinct($"o_orderpriority").as("ndv_pri"),
+      min(datediff($"o_orderdate", epoch)).cast("long").as("d_min"),
+      max(datediff($"o_orderdate", epoch)).cast("long").as("d_max"),
+      count(when($"o_orderdate" >= cut, lit(1))).as("act_date"),
+      count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("act_pri"),
+      count(when($"o_orderdate" >= cut &&
+        $"o_orderpriority" === "1-URGENT", lit(1))).as("act_conj"))
+    val l = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_l"), countDistinct($"l_orderkey").as("ndv_lk"))
+    val j = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+      .agg(count(lit(1)).as("act_join"),
+        count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("act_jf"))
+    val est = o.crossJoin(broadcast(l)).crossJoin(broadcast(j))
+      .withColumn("d_cut", datediff(cut, epoch).cast("long"))
+      .selectExpr(
+        "CAST(floor(CAST(n_o AS DOUBLE) * (d_max - d_cut + 1) / (d_max - d_min + 1)) AS BIGINT) AS e_date",
+        "CAST(floor(CAST(n_o AS DOUBLE) / ndv_pri) AS BIGINT) AS e_pri",
+        "CAST(floor(CAST(n_o AS DOUBLE) * (d_max - d_cut + 1) / (d_max - d_min + 1) / ndv_pri) AS BIGINT) AS e_conj",
+        "CAST(floor(CAST(n_o AS DOUBLE) * n_l / greatest(ndv_ok, ndv_lk)) AS BIGINT) AS e_join",
+        "CAST(floor(CAST(n_o AS DOUBLE) * n_l / greatest(ndv_ok, ndv_lk) / ndv_pri) AS BIGINT) AS e_jf",
+        "act_date", "act_pri", "act_conj", "act_join", "act_jf")
+    est.select(explode(expr(
+      """array(
+           struct('sel_range_date' AS kase, e_date AS est_rows, act_date AS actual_rows),
+           struct('sel_eq_priority' AS kase, e_pri AS est_rows, act_pri AS actual_rows),
+           struct('sel_conjunction' AS kase, e_conj AS est_rows, act_conj AS actual_rows),
+           struct('join_ol' AS kase, e_join AS est_rows, act_join AS actual_rows),
+           struct('join_filtered' AS kase, e_jf AS est_rows, act_jf AS actual_rows))"""))
+      .as("c"))
+      .select($"c.kase".as("kase"), $"c.est_rows".as("est_rows"),
+        $"c.actual_rows".as("actual_rows"))
+      .withColumn("qerr_milli", expr(
+        """CAST(floor(1000.0 * greatest(
+             CAST(greatest(est_rows, 1) AS DOUBLE) / greatest(actual_rows, 1),
+             CAST(greatest(actual_rows, 1) AS DOUBLE) / greatest(est_rows, 1))) AS BIGINT)"""))
+      .orderBy($"kase")
+  }
+
+  val q373Oracle: String =
+    """WITH o AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_o,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_ok,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_pri,
+           CAST(min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT) AS d_min,
+           CAST(max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT) AS d_max,
+           CAST(count(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 END) AS BIGINT) AS act_date,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS act_pri,
+           CAST(count(CASE WHEN o_orderdate >= DATE '1996-01-01' AND o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS act_conj
+         FROM orders),
+       l AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_l,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_lk
+         FROM lineitem),
+       j AS (
+         SELECT CAST(count(*) AS BIGINT) AS act_join,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS act_jf
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       c AS (SELECT CAST(date_diff('day', DATE '1970-01-01', DATE '1996-01-01') AS BIGINT) AS d_cut),
+       est AS (
+         SELECT
+           CAST(floor(CAST(n_o AS DOUBLE) * (d_max - d_cut + 1) / (d_max - d_min + 1)) AS BIGINT) AS e_date,
+           CAST(floor(CAST(n_o AS DOUBLE) / ndv_pri) AS BIGINT) AS e_pri,
+           CAST(floor(CAST(n_o AS DOUBLE) * (d_max - d_cut + 1) / (d_max - d_min + 1) / ndv_pri) AS BIGINT) AS e_conj,
+           CAST(floor(CAST(n_o AS DOUBLE) * n_l / greatest(ndv_ok, ndv_lk)) AS BIGINT) AS e_join,
+           CAST(floor(CAST(n_o AS DOUBLE) * n_l / greatest(ndv_ok, ndv_lk) / ndv_pri) AS BIGINT) AS e_jf,
+           act_date, act_pri, act_conj, act_join, act_jf
+         FROM o CROSS JOIN l CROSS JOIN j CROSS JOIN c),
+       pairs AS (
+         SELECT 'sel_range_date' AS kase, e_date AS est_rows, act_date AS actual_rows FROM est
+         UNION ALL SELECT 'sel_eq_priority', e_pri, act_pri FROM est
+         UNION ALL SELECT 'sel_conjunction', e_conj, act_conj FROM est
+         UNION ALL SELECT 'join_ol', e_join, act_join FROM est
+         UNION ALL SELECT 'join_filtered', e_jf, act_jf FROM est)
+       SELECT kase, est_rows, actual_rows,
+         CAST(floor(1000.0 * greatest(
+           CAST(greatest(est_rows, 1) AS DOUBLE) / greatest(actual_rows, 1),
+           CAST(greatest(actual_rows, 1) AS DOUBLE) / greatest(est_rows, 1))) AS BIGINT) AS qerr_milli
+       FROM pairs ORDER BY kase"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_cardinality_audit" -> q373CardinalityAudit,
     "q371_learned_index_audit" -> q371LearnedIndexAudit,
     "q354_brier" -> q354Brier,
     "q363_sortkey_advisor" -> q363SortkeyAdvisor,
@@ -1860,6 +1964,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q373_cardinality_audit" -> q373Oracle,
     "q371_learned_index_audit" -> q371Oracle,
     "q354_brier" -> q354Oracle,
     "q358_mantel_haenszel" -> q358Oracle,

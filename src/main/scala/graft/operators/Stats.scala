@@ -2579,6 +2579,61 @@ object Stats {
        SELECT kind, param, value FROM a ORDER BY kind, param"""
 
 
+  /** Unbiased pass@k estimator (q374, Chen et al. 2021's Codex
+    * formula): given per-problem sufficient counts (n samples drawn,
+    * c successes), pass@k = 1 − C(n−c,k)/C(n,k) — the probability at
+    * least one of k drawn samples succeeds, computed WITHOUT bias
+    * from the naive 1−(1−c/n)^k. The eval-harness aggregation every
+    * LLM codegen report runs; here problems = customers with ≥ 10
+    * orders, samples = their orders, success = urgent priority (any
+    * (problem, n, c) relation slots in). The binomial ratio is the
+    * telescoping product Π_{i<k} (n−c−i)/(n−i), folded LEFT in
+    * doubles — Spark's `aggregate` HOF from init 1.0 and DuckDB's
+    * `list_reduce` produce the identical IEEE product (1.0·t₀ = t₀
+    * exactly) — with the n−c < k degenerate case pinned to 1 before
+    * any arithmetic. Per-problem values floor to micro once, then
+    * only integer sums.
+    *
+    * Shape: one fact-scan partial agg → |problems| rows → ×3 k-grid →
+    * 3-row rollup. */
+  def q374PassAtK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.orders(s, d).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("c"))
+      .filter($"n" >= 10)
+    p.select($"n", $"c",
+        explode(expr("array(CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(10 AS BIGINT))")).as("k"))
+      .withColumn("pass_micro", expr(
+        """CASE WHEN n - c < k THEN CAST(1000000 AS BIGINT)
+           ELSE CAST(floor((1.0 - aggregate(sequence(CAST(0 AS BIGINT), k - 1),
+             CAST(1.0 AS DOUBLE),
+             (a, i) -> a * CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))) * 1000000.0) AS BIGINT) END"""))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_problems"),
+        expr("sum(pass_micro) div count(1)").as("mean_pass_micro"),
+        sum(when($"pass_micro" === 1000000L, 1L).otherwise(0L)).as("n_certain"))
+      .orderBy($"k")
+  }
+
+  val q374Oracle: String =
+    """WITH p AS (
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS c
+         FROM orders GROUP BY 1 HAVING count(*) >= 10),
+       pk AS (
+         SELECT o_custkey, n, c, CAST(k AS BIGINT) AS k,
+           CASE WHEN n - c < k THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(floor((1.0 - list_reduce(
+                  list_transform(range(0, CAST(k AS INTEGER)),
+                    i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+                  (a, b) -> a * b)) * 1000000.0) AS BIGINT) END AS pass_micro
+         FROM p, (SELECT unnest([1, 5, 10]) AS k))
+       SELECT k, CAST(count(*) AS BIGINT) AS n_problems,
+         CAST(sum(pass_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_pass_micro,
+         CAST(sum(CASE WHEN pass_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_certain
+       FROM pk GROUP BY 1 ORDER BY k"""
+
   /** Always-valid sequential A/B monitor — the mixture SPRT (mSPRT,
     * Johari et al. 2017/2022, the "peeking problem" fix): per day, the
     * cumulative two-sample mean difference in whole-dollar order value
@@ -4366,6 +4421,7 @@ object Stats {
     "q200_trimmed_mean" -> q200TrimmedMean,
     "q290_power_analysis" -> q290PowerAnalysis,
     "q367_mde_planner" -> q367MdePlanner,
+    "q374_pass_at_k" -> q374PassAtK,
     "q291_msprt" -> q291Msprt,
     "q301_meta_analysis" -> q301MetaAnalysis,
     "q302_srm_sentinel" -> q302SrmSentinel,
@@ -4434,6 +4490,7 @@ object Stats {
     "q200_trimmed_mean" -> q200Oracle,
     "q290_power_analysis" -> q290Oracle,
     "q367_mde_planner" -> q367Oracle,
+    "q374_pass_at_k" -> q374Oracle,
     "q291_msprt" -> q291Oracle,
     "q301_meta_analysis" -> q301Oracle,
     "q302_srm_sentinel" -> q302Oracle,

@@ -354,4 +354,34 @@ class GraphSpec extends SparkSpec {
     // every source gets at most 3 recs; baseline exactly 3 per source
     assert(bRecs % 3 == 0 && mRecs <= bRecs)
   }
+
+  test("q375: K4 niche-part clique maps exposures exactly; A/A readout is flat-shaped") {
+    val dir = java.nio.file.Files.createTempDirectory("expo").toString
+    // four customers share one niche part in 1995H1 (complete K4);
+    // treated = odd custkey. Neighbor treated-shares: custs 1,3 see
+    // 1/3 (bucket 1), custs 2,4 see 2/3 (bucket 2). H2 spend only for
+    // custs 1 (100.00) and 3 (50.00).
+    val h1 = java.sql.Date.valueOf("1995-02-01")
+    val h2 = java.sql.Date.valueOf("1995-08-01")
+    (Seq(
+      (101L, 1L, h1, 10.0), (102L, 2L, h1, 10.0),
+      (103L, 3L, h1, 10.0), (104L, 4L, h1, 10.0),
+      (201L, 1L, h2, 100.0), (203L, 3L, h2, 50.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((101L, 77L), (102L, 77L), (103L, 77L), (104L, 77L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Graph.q375ExposureMap(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (0L, 2L, 2L, 0L, 3L),        // custs 2,4: untreated, 2/3 exposed
+      (1L, 1L, 2L, 7500L, 3L)))    // custs 1,3: treated, 1/3 exposed
+    // real corpus (A/A parity treatment): cells bounded, buckets 0-3,
+    // arm populations within 2x of each other per bucket
+    val real = operators.Graph.q375ExposureMap(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(real.nonEmpty && real.length <= 8)
+    assert(real.forall(r => r._2 >= 0 && r._2 <= 3 && r._3 > 0 && r._5 >= 1))
+  }
 }

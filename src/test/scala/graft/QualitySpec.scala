@@ -531,6 +531,41 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(got.map(_._6).sum - 1000L) <= 5) // integer-div dust
   }
 
+  test("q373: correlated predicates blow up the independence estimate; PK-FK join is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("card").toString
+    // 100 orders: half pre-1996, half post; urgency perfectly
+    // correlated with recency (all 10 urgent orders are post-cut)
+    val orders = (1 to 100).map { k =>
+      val date = if (k <= 50) java.sql.Date.valueOf("1995-06-01")
+        else java.sql.Date.valueOf("1996-06-01")
+      val pri = if (k > 90) "1-URGENT" else "9-OTHER"
+      (k.toLong, date, pri)
+    }
+    orders.toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1 to 100).flatMap(k => Seq((k.toLong, 1L), (k.toLong, 2L)))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Quality.q373CardinalityAudit(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // date span 1995-06-01..1996-06-01 = 367 days, 153 post-cut:
+    // est_date = ⌊100·153/367⌋ = 41 vs 50 actual
+    assert(got("sel_range_date") == ("sel_range_date", 41L, 50L, 1219L))
+    // uniform-value: est 50 vs 10 actual -> q-error 5.0
+    assert(got("sel_eq_priority") == ("sel_eq_priority", 50L, 10L, 5000L))
+    // independence halves the date estimate; truth is "urgent ⊂ post"
+    assert(got("sel_conjunction") == ("sel_conjunction", 20L, 10L, 2000L))
+    // PK-FK with matching NDVs: the formula is exact
+    assert(got("join_ol") == ("join_ol", 200L, 200L, 1000L))
+    assert(got("join_filtered") == ("join_filtered", 100L, 20L, 5000L))
+    // near-uniform synthetic corpus: every assumption holds within ~30%
+    // (the tiny sf0.001 slice carries mild date-priority correlation)
+    val real = operators.Quality.q373CardinalityAudit(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(real.length == 5)
+    real.foreach { case (k, _, _, q) => assert(q >= 1000 && q < 1300, s"$k: $q") }
+  }
+
   test("q371: perfectly linear keys audit near zero; clustered keys do not") {
     val dir = java.nio.file.Files.createTempDirectory("rmi").toString
     // shard "LIN": key = 100·rank (a perfect CDF line); shard "CLU":

@@ -877,6 +877,35 @@ class StatsSpec extends SparkSpec {
     assert(mdes == mdes.sortBy(-_))
   }
 
+  test("q374: pass@k matches exact binomial ratios; degenerate rows pin to 0/1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("passk").toString
+    // A: 10 trials 0 successes -> pass 0 at every k. B: 10/10 -> 1.
+    // C: 12 trials 2 successes -> 1 - C(10,k)/C(12,k):
+    //   k=1: 1-10/12 = 166666 micro; k=5: 1-252/792 = 681818;
+    //   k=10: 1-1/66 = 984848.
+    val rows =
+      (1 to 10).map(i => (1L, i.toLong, "9-OTHER")) ++
+      (1 to 10).map(i => (2L, 100L + i, "1-URGENT")) ++
+      (1 to 12).map(i => (3L, 200L + i,
+        if (i <= 2) "1-URGENT" else "9-OTHER")) ++
+      (1 to 5).map(i => (4L, 300L + i, "1-URGENT")) // < 10 trials: excluded
+    rows.toDF("o_custkey", "o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Stats.q374PassAtK(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 3L, (0L + 1000000L + 166666L) / 3, 1L))
+    assert(got(5L) == (5L, 3L, (0L + 1000000L + 681818L) / 3, 1L))
+    assert(got(10L) == (10L, 3L, (0L + 1000000L + 984848L) / 3, 1L))
+    // real corpus: pass@k is monotone non-decreasing in k
+    val real = operators.Stats.q374PassAtK(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(real.map(_._1).toSeq == Seq(1L, 5L, 10L))
+    val means = real.map(_._3)
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+    assert(real.map(_._2).distinct.length == 1) // same problem set at every k
+  }
+
   test("q290: power-analysis formula matches a direct recomputation; monotone in baseline") {
     import spark.implicits._
     val rows = graft.operators.Stats.q290PowerAnalysis(spark, "/root/testdata/sf0.001")
