@@ -1438,7 +1438,93 @@ object Corpus {
          CAST(sum(s * cnt) // sum(cnt) AS BIGINT) AS mean_micro
        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Leave-one-source-out LM valuation (q377): what does each source
+    * DO to the corpus language model? value(s) = H(corpus ∖ s) −
+    * H(corpus) under the unigram MLE — positive means removing s
+    * makes the corpus HARDER to predict (s contributed redundant,
+    * compressible mass), negative means s was adding diversity. The
+    * data-valuation number that prices an acquisition or a cut, and
+    * the LM-side complement of q261's shingle-novelty audit.
+    *
+    * The trick that makes 20 leave-outs cost ONE vocab pass each: the
+    * leave-out entropy shares almost every term with the full sum —
+    * start from base(s) = Σ_types c_g·⌊ln((T−T_s)/c_g)⌋ (the full
+    * vocabulary under the reduced total) and CORRECT only the types
+    * source s actually touches (subtract their base term, add the
+    * residual-count term). Work = |vocab|·|sources| + |touched|, all
+    * vocab-sized — the corpus is scanned once (q283's grid shape).
+    *
+    * Parity: every ln is floored to micro-nats on an exact rational
+    * (q141), then only integer sums and divisions. */
+  def q377SourceValueLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sw = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val gw = sw.groupBy($"w").agg(sum($"c").as("cg"))
+    val tot = sw.agg(sum($"c").as("t"))
+    val stot = sw.groupBy($"source").agg(sum($"c").as("ts"))
+    val hfull = gw.crossJoin(broadcast(tot))
+      .agg(sum($"cg" * floor(log($"t".cast("double") / $"cg") * 1000000.0)
+        .cast("long")).as("num"), max($"t").as("tt"))
+      .selectExpr("num div tt AS h")
+    val touched = sw.join(gw, "w")
+      .select($"source", ($"cg" - $"c").as("cr"), $"cg")
+    val parts = touched.crossJoin(broadcast(tot)).join(broadcast(stot), "source")
+      .groupBy($"source").agg(
+        sum(when($"cr" > 0,
+          $"cr" * floor(log(($"t" - $"ts").cast("double") / $"cr") * 1000000.0)
+            .cast("long")).otherwise(0L)).as("num_touched"),
+        sum($"cg" * floor(log(($"t" - $"ts").cast("double") / $"cg") * 1000000.0)
+          .cast("long")).as("sub_touched"))
+    val allsum = gw.crossJoin(broadcast(tot)).crossJoin(broadcast(stot))
+      .groupBy($"source", $"t", $"ts")
+      .agg(sum($"cg" * floor(log(($"t" - $"ts").cast("double") / $"cg") * 1000000.0)
+        .cast("long")).as("base"))
+    allsum.join(parts, "source").crossJoin(broadcast(hfull))
+      .select($"source", $"ts".as("tokens"),
+        expr("(base - sub_touched + num_touched) div (t - ts)").as("h_without_micro"),
+        $"h".as("h_full_micro"),
+        (expr("(base - sub_touched + num_touched) div (t - ts)") - $"h").as("value_micro"))
+      .orderBy($"source")
+  }
+
+  val q377Oracle: String =
+    """WITH tk AS (
+         SELECT source, unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS w
+         FROM documents),
+       sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+       gw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM sw GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sw),
+       stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM sw GROUP BY 1),
+       hfull AS (
+         SELECT CAST(sum(cg * CAST(floor(ln(CAST(t AS DOUBLE) / cg) * 1000000.0) AS BIGINT)) AS BIGINT)
+           // CAST(max(t) AS BIGINT) AS h
+         FROM gw CROSS JOIN tot),
+       touched AS (
+         SELECT sw.source, gw.cg - sw.c AS cr, gw.cg
+         FROM sw JOIN gw USING (w)),
+       parts AS (
+         SELECT t2.source,
+           CAST(sum(CASE WHEN t2.cr > 0 THEN t2.cr * CAST(floor(ln(CAST(tot.t - st.ts AS DOUBLE) / t2.cr) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num_touched,
+           CAST(sum(t2.cg * CAST(floor(ln(CAST(tot.t - st.ts AS DOUBLE) / t2.cg) * 1000000.0) AS BIGINT)) AS BIGINT) AS sub_touched
+         FROM touched t2 CROSS JOIN tot JOIN stot st ON st.source = t2.source
+         GROUP BY 1),
+       allsum AS (
+         SELECT st.source, tot.t AS t, st.ts AS ts,
+           CAST(sum(gw.cg * CAST(floor(ln(CAST(tot.t - st.ts AS DOUBLE) / gw.cg) * 1000000.0) AS BIGINT)) AS BIGINT) AS base
+         FROM gw CROSS JOIN tot CROSS JOIN stot st
+         GROUP BY 1, 2, 3)
+       SELECT a.source, a.ts AS tokens,
+         (a.base - p.sub_touched + p.num_touched) // (a.t - a.ts) AS h_without_micro,
+         hfull.h AS h_full_micro,
+         (a.base - p.sub_touched + p.num_touched) // (a.t - a.ts) - hfull.h AS value_micro
+       FROM allsum a JOIN parts p ON a.source = p.source CROSS JOIN hfull
+       ORDER BY a.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_source_value_lm" -> q377SourceValueLm,
     "q272_perplexity_buckets" -> q272PerplexityBuckets,
     "q175_concentration" -> q175Concentration,
     "q174_path_rollup" -> q174PathRollup,
@@ -1466,6 +1552,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q377_source_value_lm" -> q377Oracle,
     "q272_perplexity_buckets" -> q272Oracle,
     "q175_concentration" -> q175Oracle,
     "q174_path_rollup" -> q174Oracle,

@@ -2016,7 +2016,132 @@ object Similarity {
     sb.toString
   }
 
+  /** α-nDCG diversity evaluation (q376, Clarke et al. 2008): the
+    * metric side of q368's MMR — a ranking's gain at rank r is
+    * discounted (1−α)^c for the c SAME-TOPIC docs already shown
+    * (topics = the embedding `label`; α = 1/2 makes every gain an
+    * exact power of two, so the whole metric is integer). Two
+    * rankings of each query's top-10 cosine candidates are scored on
+    * BOTH α-nDCG@10 and plain nDCG@10: the pure-relevance order (the
+    * q46 ranking) and a label round-robin (occurrence index within
+    * label, then best-label-first). The theorem the output exhibits:
+    * with unit per-doc gains, round-robin IS α-optimal (its α-nDCG
+    * pins 10000 bp) while the relevance order is plain-nDCG-optimal
+    * (its nDCG pins 10000 bp) — and each pays a measurable tax on the
+    * other metric. Rank weights are q180's ⌊10⁶/log₂(r+1)⌋ literals.
+    *
+    * Shape: candidate generation is the q46 broadcast-queries scan;
+    * all scoring joins touch 10·|queries| rows — query-bounded, the
+    * corpus never re-enters. */
+  def q376AlphaNdcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wts = (1 to 10).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val wtArr = s"array(${wts.mkString(", ")})"
+    val q = quantized(s, d)
+    val byQ = Window.partitionBy($"qid")
+    val cand = q.select($"vec_id".as("cid"), $"label".as("clabel"),
+        $"qa".as("cv"), $"n2".as("cn"))
+      .join(broadcast(q.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))),
+        $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rel", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(byQ.orderBy($"rel".desc, $"cid")))
+      .filter($"rn" <= 10)
+      .select($"qid", $"cid", $"clabel", $"rel", $"rn".cast("long").as("rn"))
+      .localCheckpoint()
+    val withc = cand
+      .withColumn("ca", row_number().over(Window.partitionBy($"qid", $"clabel")
+        .orderBy($"rn")).cast("long") - 1)
+      .withColumn("ril", row_number().over(Window.partitionBy($"qid", $"clabel")
+        .orderBy($"rel".desc, $"cid")).cast("long") - 1)
+    val lp = cand.groupBy($"qid", $"clabel").agg(min($"rn").as("prio"))
+    val rb = withc.join(lp, Seq("qid", "clabel"))
+      .withColumn("rnb", row_number().over(
+        byQ.orderBy($"ril", $"prio", $"clabel", $"cid")).cast("long"))
+      .select($"qid", $"cid", $"ril".as("cb"), $"rnb")
+    val dcg = withc.join(rb, Seq("qid", "cid"))
+      .groupBy($"qid").agg(
+        sum(expr(s"element_at($wtArr, CAST(rn AS INT)) * (1000000 div CAST(pow(2, ca) AS BIGINT))")).as("dcg_rel"),
+        sum(expr(s"element_at($wtArr, CAST(rnb AS INT)) * (1000000 div CAST(pow(2, cb) AS BIGINT))")).as("dcg_div"),
+        sum(expr(s"element_at($wtArr, CAST(rn AS INT)) * rel")).as("ndcg_rel_num"),
+        sum(expr(s"element_at($wtArr, CAST(rnb AS INT)) * rel")).as("ndcg_div_num"))
+    val ideal = withc
+      .withColumn("irn", row_number().over(
+        byQ.orderBy($"ril", $"clabel", $"cid")).cast("long"))
+      .groupBy($"qid").agg(
+        sum(expr(s"element_at($wtArr, CAST(irn AS INT)) * (1000000 div CAST(pow(2, ril) AS BIGINT))")).as("idcg"))
+    dcg.join(ideal, "qid")
+      .select($"qid",
+        expr("10000 * dcg_rel div idcg").as("andcg_rel_bp"),
+        expr("10000 * dcg_div div idcg").as("andcg_div_bp"),
+        expr("10000 * ndcg_rel_num div ndcg_rel_num").as("ndcg_rel_bp"),
+        expr("10000 * ndcg_div_num div ndcg_rel_num").as("ndcg_div_bp"))
+      .orderBy($"qid")
+  }
+
+  /** q376's oracle: identical candidate set, occurrence indexing,
+    * round-robin order, and integer gain ladders. */
+  val q376Oracle: String = {
+    val wts = (1 to 10).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    s"""WITH q AS (
+         SELECT vec_id, label, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa,
+           CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       sc AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS clabel,
+           a.n2 AS qn, b.n2 AS cn,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       cand AS MATERIALIZED (
+         SELECT qid, cid, clabel, rel, rn FROM (
+           SELECT qid, cid, clabel, (num * num * 10000) // (qn * cn) AS rel,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+           FROM sc WHERE num > 0)
+         WHERE rn <= 10),
+       withc AS MATERIALIZED (
+         SELECT qid, cid, clabel, rel, CAST(rn AS BIGINT) AS rn,
+           CAST(row_number() OVER (PARTITION BY qid, clabel ORDER BY rn) - 1 AS BIGINT) AS ca,
+           CAST(row_number() OVER (PARTITION BY qid, clabel ORDER BY rel DESC, cid) - 1 AS BIGINT) AS ril
+         FROM cand),
+       lp AS (SELECT qid, clabel, CAST(min(rn) AS BIGINT) AS prio FROM withc GROUP BY 1, 2),
+       rb AS (
+         SELECT w.qid, w.cid, w.ril AS cb,
+           CAST(row_number() OVER (PARTITION BY w.qid
+             ORDER BY w.ril, lp.prio, w.clabel, w.cid) AS BIGINT) AS rnb
+         FROM withc w JOIN lp ON w.qid = lp.qid AND w.clabel = lp.clabel),
+       wt AS (SELECT [${wts.mkString(", ")}] AS w),
+       dcg AS (
+         SELECT w.qid,
+           CAST(sum((SELECT wt.w FROM wt)[CAST(w.rn AS INTEGER)] * (1000000 // CAST(pow(2, w.ca) AS BIGINT))) AS BIGINT) AS dcg_rel,
+           CAST(sum((SELECT wt.w FROM wt)[CAST(rb.rnb AS INTEGER)] * (1000000 // CAST(pow(2, rb.cb) AS BIGINT))) AS BIGINT) AS dcg_div,
+           CAST(sum((SELECT wt.w FROM wt)[CAST(w.rn AS INTEGER)] * w.rel) AS BIGINT) AS ndcg_rel_num,
+           CAST(sum((SELECT wt.w FROM wt)[CAST(rb.rnb AS INTEGER)] * w.rel) AS BIGINT) AS ndcg_div_num
+         FROM withc w JOIN rb ON w.qid = rb.qid AND w.cid = rb.cid
+         GROUP BY 1),
+       ideal AS (
+         SELECT qid, CAST(sum(wgt * g) AS BIGINT) AS idcg FROM (
+           SELECT w.qid, 1000000 // CAST(pow(2, w.ril) AS BIGINT) AS g,
+             (SELECT wt.w FROM wt)[CAST(row_number() OVER (PARTITION BY w.qid
+               ORDER BY w.ril, w.clabel, w.cid) AS INTEGER)] AS wgt
+           FROM withc w)
+         GROUP BY qid)
+       SELECT d.qid, 10000 * d.dcg_rel // i.idcg AS andcg_rel_bp,
+         10000 * d.dcg_div // i.idcg AS andcg_div_bp,
+         10000 * d.ndcg_rel_num // d.ndcg_rel_num AS ndcg_rel_bp,
+         10000 * d.ndcg_div_num // d.ndcg_rel_num AS ndcg_div_bp
+       FROM dcg d JOIN ideal i ON d.qid = i.qid ORDER BY d.qid"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_alpha_ndcg" -> q376AlphaNdcg,
     "q368_mmr_rerank" -> q368MmrRerank,
     "q273_ambiguity_margin" -> q273AmbiguityMargin,
     "q269_farthest_first" -> q269FarthestFirst,
@@ -2047,6 +2172,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q368_mmr_rerank" -> q368Oracle,
+    "q376_alpha_ndcg" -> q376Oracle,
     "q273_ambiguity_margin" -> q273Oracle,
     "q269_farthest_first" -> q269Oracle,
     "q270_jl_audit" -> q270Oracle,

@@ -10,6 +10,43 @@ import graft.operators.{Corpus, Dedup}
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q377: skewed source values positive, diverse source negative, copy ~zero") {
+    val dir = java.nio.file.Files.createTempDirectory("lov").toString
+    // base: balanced over {a,b,c,d}; skew: all 'a' (removing it RAISES
+    // corpus entropy -> positive value); div: unique vocab {x,y,z,w}
+    // (removing it LOWERS entropy -> negative value)
+    Seq(
+      (1L, "a b c d a b c d a b c d", "en", "base", 1L),
+      (2L, "a a a a a a a a a a a a", "en", "skew", 1L),
+      (3L, "x y z w x y z w x y z w", "en", "div", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Corpus.q377SourceValueLm(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.values.forall(_._2 == 12L))
+    assert(got("skew")._5 > 0, s"skew value ${got("skew")._5}")
+    assert(got("div")._5 < 0, s"div value ${got("div")._5}")
+    // replay H_full: 12 a's... counts a:13? a appears 3(base)+12(skew)=15,
+    // b,c,d: 3 each; x,y,z,w: 3 each — verify against a direct Scala sum
+    val counts = Map("a" -> 15L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "x" -> 3L, "y" -> 3L, "z" -> 3L, "w" -> 3L)
+    val t = counts.values.sum
+    val hExp = counts.values.map(c =>
+      c * math.floor(math.log(t.toDouble / c) * 1000000.0).toLong).sum / t
+    assert(got("base")._4 == hExp)
+    // an exact COPY of an existing source barely moves the distribution
+    val dir2 = java.nio.file.Files.createTempDirectory("lov2").toString
+    Seq(
+      (1L, "a b c d a b c d", "en", "base", 1L),
+      (2L, "a b c d a b c d", "en", "copy", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val cp = graft.operators.Corpus.q377SourceValueLm(spark, dir2)
+      .as[(String, Long, Long, Long, Long)].collect()
+    cp.foreach(r => assert(math.abs(r._5) <= 2, s"${r._1}: ${r._5}"))
+  }
+
   test("minLabelComponents: chain graph converges across rounds") {
     // 1-2-3-...-8 is one component of diameter 7 (several propagation
     // rounds); {20,21} a second; {30,31,32} a triangle third.

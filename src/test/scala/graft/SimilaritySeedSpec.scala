@@ -264,6 +264,34 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(sh.zip(sh.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q376: each ranking is optimal on its own metric; degenerate labels collapse") {
+    // real corpus: round-robin pins alpha-nDCG at 10000 (with unit
+    // gains round-robin IS alpha-optimal), relevance order pins plain
+    // nDCG at 10000, and each pays a tax on the other metric
+    val real = Similarity.q376AlphaNdcg(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (_, aRel, aDiv, nRel, nDiv) =>
+      assert(aDiv == 10000L && nRel == 10000L)
+      assert(aRel <= 10000L && nDiv <= 10000L)
+    }
+    assert(real.exists(_._2 < 10000L)) // the tax is real somewhere
+    // all candidates same label -> the two rankings coincide exactly
+    val mono = embDir((0L, Seq(1f, 0f), 7) +: (1 to 11).map(i =>
+      (100L + i, Seq(1f, i / 100f), 7)))
+    val gm = Similarity.q376AlphaNdcg(spark, mono)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(gm.length == 1 && gm.head._2 == 10000L && gm.head._3 == 10000L
+      && gm.head._4 == 10000L && gm.head._5 == 10000L)
+    // all labels distinct -> no redundancy discount anywhere: the
+    // relevance order is also alpha-optimal
+    val dist = embDir((0L, Seq(1f, 0f), 0) +: (1 to 11).map(i =>
+      (100L + i, Seq(1f, i / 100f), i)))
+    val gd = Similarity.q376AlphaNdcg(spark, dist)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(gd.length == 1 && gd.head._2 == 10000L)
+  }
+
   test("q368: MMR breaks the near-dup tie toward the diverse candidate") {
     // Query (1,0). 100 = (0.9,0.43) is the best candidate; 101 =
     // (0.9,0.44) STRICTLY outranks 102 = (0.9,-0.44) on relevance
