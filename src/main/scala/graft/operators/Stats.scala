@@ -2634,6 +2634,77 @@ object Stats {
          CAST(sum(CASE WHEN pass_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_certain
        FROM pk GROUP BY 1 ORDER BY k"""
 
+  /** Best-of-n expected-reward curve (q378): if a selector draws k of
+    * a problem's n candidate samples (uniformly, without replacement)
+    * and keeps the best, what reward does it expect? The BoN scaling
+    * curve every reward-model / inference-compute report plots —
+    * computed EXACTLY from order statistics, no resampling:
+    * E[max of k] = Σ_{i≥k} r₍ᵢ₎ · C(i−1,k−1)/C(n,k), with the weight
+    * as the telescoping product (k/n)·Π_{j<k−1} (i−1−j)/(n−1−j)
+    * (q374's left-fold HOF — identical IEEE on both engines).
+    * Problems = customers with ≥ 16 orders, rewards = order cents,
+    * k ∈ {1, 4, 16}; k = 1 reads back the plain mean, k = n the max.
+    * Each term floors to milli-cents BEFORE summing so the
+    * per-problem reduction is integer and order-free.
+    *
+    * Shape: per-problem ranks are a customer-partitioned window (the
+    * natural partitioning — never global); the k-grid triples the
+    * ranked relation; two keyed rollups end it. */
+  def q378BestOfN(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.orders(s, d).select($"o_custkey", $"o_orderkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("r"))
+    val sized = p.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 16)
+    val ranked = p.join(sized, "o_custkey")
+      .withColumn("i", row_number().over(Window.partitionBy($"o_custkey")
+        .orderBy($"r", $"o_orderkey")).cast("long"))
+    val terms = ranked.select($"o_custkey", $"n", $"r", $"i",
+        explode(expr("array(CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(16 AS BIGINT))")).as("k"))
+      .filter($"i" >= $"k")
+      .withColumn("term_milli", expr(
+        """CAST(floor(1000.0 * r *
+             CASE WHEN k = 1 THEN 1.0 / n
+                  ELSE CAST(k AS DOUBLE) / n * aggregate(sequence(CAST(0 AS BIGINT), k - 2),
+                    CAST(1.0 AS DOUBLE),
+                    (a, j) -> a * CAST(i - 1 - j AS DOUBLE) / CAST(n - 1 - j AS DOUBLE))
+             END) AS BIGINT)"""))
+    terms.groupBy($"o_custkey", $"k").agg(sum($"term_milli").as("bon_milli"))
+      .groupBy($"k").agg(count(lit(1)).as("n_problems"),
+        expr("sum(bon_milli) div (1000 * count(1))").as("mean_bon_cents"))
+      .orderBy($"k")
+  }
+
+  val q378Oracle: String =
+    """WITH p AS (
+         SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+         FROM orders),
+       sized AS (
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM p
+         GROUP BY 1 HAVING count(*) >= 16),
+       ranked AS (
+         SELECT p.o_custkey, sized.n, p.r,
+           CAST(row_number() OVER (PARTITION BY p.o_custkey ORDER BY p.r, p.o_orderkey) AS BIGINT) AS i
+         FROM p JOIN sized ON p.o_custkey = sized.o_custkey),
+       terms AS (
+         SELECT o_custkey, CAST(k AS BIGINT) AS k,
+           CAST(floor(1000.0 * r *
+             CASE WHEN k = 1 THEN 1.0 / n
+                  ELSE CAST(k AS DOUBLE) / n * list_reduce(
+                    list_transform(range(0, CAST(k - 2 AS INTEGER) + 1),
+                      j -> CAST(i - 1 - j AS DOUBLE) / CAST(n - 1 - j AS DOUBLE)),
+                    (a, b) -> a * b)
+             END) AS BIGINT) AS term_milli
+         FROM ranked, (SELECT unnest([1, 4, 16]) AS k)
+         WHERE i >= k),
+       per AS (
+         SELECT o_custkey, k, CAST(sum(term_milli) AS BIGINT) AS bon_milli
+         FROM terms GROUP BY 1, 2)
+       SELECT k, CAST(count(*) AS BIGINT) AS n_problems,
+         CAST(sum(bon_milli) AS BIGINT) // (1000 * CAST(count(*) AS BIGINT)) AS mean_bon_cents
+       FROM per GROUP BY 1 ORDER BY k"""
+
   /** Always-valid sequential A/B monitor — the mixture SPRT (mSPRT,
     * Johari et al. 2017/2022, the "peeking problem" fix): per day, the
     * cumulative two-sample mean difference in whole-dollar order value
@@ -4422,6 +4493,7 @@ object Stats {
     "q290_power_analysis" -> q290PowerAnalysis,
     "q367_mde_planner" -> q367MdePlanner,
     "q374_pass_at_k" -> q374PassAtK,
+    "q378_best_of_n" -> q378BestOfN,
     "q291_msprt" -> q291Msprt,
     "q301_meta_analysis" -> q301MetaAnalysis,
     "q302_srm_sentinel" -> q302SrmSentinel,
@@ -4491,6 +4563,7 @@ object Stats {
     "q290_power_analysis" -> q290Oracle,
     "q367_mde_planner" -> q367Oracle,
     "q374_pass_at_k" -> q374Oracle,
+    "q378_best_of_n" -> q378Oracle,
     "q291_msprt" -> q291Oracle,
     "q301_meta_analysis" -> q301Oracle,
     "q302_srm_sentinel" -> q302Oracle,

@@ -906,6 +906,47 @@ class StatsSpec extends SparkSpec {
     assert(real.map(_._2).distinct.length == 1) // same problem set at every k
   }
 
+  test("q378: best-of-n matches exact combinatorial expectation; curve is monotone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bon").toString
+    // one problem with rewards 1..16 cents (prices 0.01..0.16)
+    (1 to 16).map(i => (1L, i.toLong, i / 100.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Stats.q378BestOfN(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // E[max_k] = sum_{i>=k} i * C(i-1,k-1)/C(16,k) in cents — replayed
+    // with the op's EXACT left-fold (so milli floors land identically)
+    // and cross-checked against the BigInt combinatorial ratio
+    def C(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product / (BigInt(1) to BigInt(k)).product
+    def expect(k: Int): Long = {
+      val milli = (k to 16).map { i =>
+        val w = if (k == 1) 1.0 / 16
+          else k.toDouble / 16 * (0 to k - 2).foldLeft(1.0)((a, j) =>
+            a * (i - 1 - j).toDouble / (16 - 1 - j))
+        // the combinatorial identity the fold implements
+        val exact = BigDecimal(C(i - 1, k - 1)) / BigDecimal(C(16, k))
+        assert((BigDecimal(w) - exact).abs < 1e-9)
+        math.floor(1000.0 * i * w).toLong
+      }.sum
+      milli / 1000
+    }
+    // k=1 is the plain mean: (1+..+16)/16 = 8.5 -> 8 after floor chain
+    assert(got(1L) == 8L && got(1L) == expect(1))
+    assert(got(4L) == expect(4) && got(16L) == expect(16))
+    // k=16 selects the max with certainty
+    assert(got(16L) == 16L)
+    // diminishing-returns curve on the real corpus
+    val real = operators.Stats.q378BestOfN(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(real.map(_._1).toSeq == Seq(1L, 4L, 16L))
+    val m = real.map(_._3)
+    assert(m(0) < m(1) && m(1) < m(2))
+    assert(m(1) - m(0) > m(2) - m(1)) // concave in k
+  }
+
   test("q290: power-analysis formula matches a direct recomputation; monotone in baseline") {
     import spark.implicits._
     val rows = graft.operators.Stats.q290PowerAnalysis(spark, "/root/testdata/sf0.001")
