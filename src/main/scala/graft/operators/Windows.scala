@@ -108,7 +108,15 @@ object Windows {
     * (a prefix sum over equal addends is permutation-invariant, q111's
     * same-timestamp deltas). */
   def rangePrefixSum(rows: DataFrame, order: Seq[Column], value: Column,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    rangeScan(rows, order, value, outCol)._1.drop("__pt", "__total")
+
+  /** [[rangePrefixSum]] plus the scan's own by-products: the annotated
+    * rows keep `__pt` (their partition's total) and `__total` (the
+    * grand total) so callers needing N — exact ntile, rank shares —
+    * get it without a second pass over the relation. */
+  private def rangeScan(rows: DataFrame, order: Seq[Column], value: Column,
+      outCol: String): (DataFrame, DataFrame) = {
     val s = rows.sparkSession
     import s.implicits._
     val np = s.sessionState.conf.numShufflePartitions
@@ -120,12 +128,16 @@ object Windows {
       .withColumn("__off", coalesce(sum($"__pt").over(
         Window.orderBy($"__pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select($"__pid", $"__off")
-    part.join(broadcast(offs), "__pid")
+      .withColumn("__total", sum($"__pt").over(
+        Window.orderBy($"__pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"__pid", $"__off", $"__pt", $"__total")
+    val annotated = part.join(broadcast(offs), "__pid")
       .withColumn(outCol, $"__off" + sum(value).over(
         Window.partitionBy($"__pid").orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__pid", "__off")
+    (annotated, offs)
   }
 
   /** Row-level EXACT ntile without a global sort (VERDICT r6 #1/#2):
@@ -147,17 +159,18 @@ object Windows {
       outCol: String): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
-    val ranked = rangePrefixSum(rows, order, lit(1L), "__rank")
-    val nTot = ranked.agg(max($"__rank").as("__n_all"))
+    // N rides along as the scan's own __total by-product — no second
+    // pass over the relation just to count it
+    val ranked = rangeScan(rows, order, lit(1L), "__rank")._1
     val tileSql =
       s"""CASE WHEN __r > 0 AND __rank <= __r * (__q + 1)
             THEN (__rank - 1) div (__q + 1) + 1
             ELSE __r + (__rank - __r * (__q + 1) - 1) div __q + 1 END"""
-    ranked.crossJoin(broadcast(nTot))
-      .withColumn("__q", expr(s"__n_all div $nTiles"))
-      .withColumn("__r", expr(s"__n_all % $nTiles"))
+    ranked
+      .withColumn("__q", expr(s"__total div $nTiles"))
+      .withColumn("__r", expr(s"__total % $nTiles"))
       .withColumn(outCol, expr(tileSql).cast("long"))
-      .drop("__rank", "__n_all", "__q", "__r")
+      .drop("__rank", "__pt", "__total", "__q", "__r")
   }
 
   /** W1 forward-fill: error events have their value masked to NULL and
