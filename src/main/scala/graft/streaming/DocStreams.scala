@@ -469,4 +469,47 @@ object DocStreams {
       s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
         .parquet(docsDir),
       idx)
+
+  // ---- per-doc repetition scoring (streaming twin of q366) ----
+
+  /** q366's Gopher repetition scores as a STATELESS per-row transform:
+    * the batch op counts gram types via explode + groupBy (the right
+    * shape for a corpus rollup), but a crawl-time filter needs the
+    * score per document ON ARRIVAL — so here the within-doc gram
+    * counting happens inside the row with higher-order functions
+    * (count each position's gram in the doc's own gram array). That
+    * is O(n²) in doc length and interpreted — the row-local price of
+    * no shuffle, no state store, append mode; docs are capped by the
+    * tokenizer contract, and a production build would fuse the count
+    * into a native Expression like ShingleHashes. Scores are
+    * integer-identical to the batch op (same counts, same integer
+    * division), which DocStreamsSpec asserts doc-for-doc. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", $"lang",
+        graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+      .withColumn("g2", expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+      .withColumn("g3", expr(
+        """transform(sequence(1, size(tk) - 2),
+             i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2)))"""))
+      .select($"doc_id", $"lang",
+        expr("""10000 * size(filter(g2, g -> size(filter(g2, h -> h = g)) >= 2))
+                div size(g2)""").as("dup2_bp"),
+        expr("""10000 * size(filter(g3, g -> size(filter(g3, h -> h = g)) >= 2))
+                div size(g3)""").as("dup3_bp"),
+        expr("""10000 * array_max(transform(g2, g -> size(filter(g2, h -> h = g))))
+                div size(g2)""").as("top2_bp"))
+      .withColumn("flagged", $"dup2_bp" >= 2000 || $"top2_bp" >= 800)
+  }
+
+  /** Streaming entry: score every arriving doc's repetition profile —
+    * the crawl-ingest quality gate. Stateless → append mode. */
+  def repetitionStream(s: SparkSession, docsDir: String): DataFrame =
+    repetitionScore(
+      s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(docsDir))
 }

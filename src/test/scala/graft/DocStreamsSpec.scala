@@ -233,6 +233,48 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming repetition score == batch q366 per-doc scores; stateless") {
+    val d = "/root/testdata/sf0.001"
+    // batch per-doc scores via the q366 formulation (explode + groupBy)
+    import org.apache.spark.sql.functions._
+    val base = graft.io.Tables.documents(spark, d)
+      .select(col("doc_id"), graft.functions.Fns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    def gramCounts(g: Int) = {
+      val mk = (1 until g).foldLeft("element_at(tk, i)") { (acc, j) =>
+        s"concat($acc, ' ', element_at(tk, i + $j))" }
+      base.select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size(tk) - ${g - 1}), i -> $mk)")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$g"),
+          max(col("c")).as(s"top$g"), sum(col("c")).as(s"n$g"))
+    }
+    val want = gramCounts(2).join(gramCounts(3), "doc_id")
+      .select(col("doc_id"),
+        expr("10000 * dup2 div n2").as("dup2_bp"),
+        expr("10000 * dup3 div n3").as("dup3_bp"),
+        expr("10000 * top2 div n2").as("top2_bp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // streaming: every doc scored on arrival, no state store
+    val staged = java.nio.file.Files.createTempDirectory("docs_rep")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = DocStreams.repetitionStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rep_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rep_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("dup2_bp"), r.getAs[Long]("dup3_bp"), r.getAs[Long]("top2_bp")))
+        .toMap
+      assert(got == want && got.nonEmpty)
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+  }
+
   test("incremental dedup: broadcast-index default == plan-embedded twin") {
     // VERDICT r6 #7: the production path ships the corpus band index
     // as a Spark broadcast; the typedLit map stays as the test twin.
