@@ -2140,7 +2140,114 @@ object Similarity {
        FROM dcg d JOIN ideal i ON d.qid = i.qid ORDER BY d.qid"""
   }
 
+  /** Budgeted RAG context packing (q379): the step between retrieval
+    * and the prompt — fit passages into a 256-token context budget.
+    * Two deterministic packing policies over each query's top-20
+    * cosine candidates, evaluated side by side: 'rel' packs in pure
+    * relevance order, 'rr' packs in q376's label round-robin order
+    * (diversity-first). Both use the truncate-at-overflow rule (keep
+    * the order's prefix whose cumulative token cost fits — the
+    * streaming-friendly packer; skip-and-continue is a knapsack this
+    * op deliberately isn't). Output per (query, policy): passages
+    * packed, tokens used, total relevance, distinct topics — the
+    * relevance-vs-coverage tradeoff under a fixed budget, measured.
+    * Token costs join from the documents table (vec_id indexes the
+    * same corpus as doc_id — the testdata generates them in
+    * parallel).
+    *
+    * Shape: q46's broadcast-queries candidate scan + one broadcast
+    * cost join; both packings are qid-partitioned cumulative windows
+    * over the ≤20-row candidate sets. */
+  def q379ContextPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val cost = Tables.documents(s, d)
+      .select($"doc_id".as("cid"),
+        size(graft.functions.Fns.tokens($"text")).cast("long").as("cost"))
+    val byQ = Window.partitionBy($"qid")
+    val cand = q.select($"vec_id".as("cid"), $"label".as("clabel"),
+        $"qa".as("cv"), $"n2".as("cn"))
+      .join(broadcast(q.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))),
+        $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rel", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(byQ.orderBy($"rel".desc, $"cid")))
+      .filter($"rn" <= 20)
+      .join(cost, "cid")
+      .select($"qid", $"cid", $"clabel", $"rel", $"rn".cast("long").as("rn"),
+        $"cost")
+      .localCheckpoint()
+    val withIdx = cand.withColumn("ril",
+      row_number().over(Window.partitionBy($"qid", $"clabel")
+        .orderBy($"rel".desc, $"cid")).cast("long") - 1)
+    val lp = cand.groupBy($"qid", $"clabel").agg(min($"rn").as("prio"))
+    val relPack = withIdx
+      .withColumn("cum", sum($"cost").over(byQ.orderBy($"rel".desc, $"cid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("policy", lit("rel"))
+    val rrPack = withIdx.join(lp, Seq("qid", "clabel"))
+      .withColumn("cum", sum($"cost").over(
+        byQ.orderBy($"ril", $"prio", $"clabel", $"cid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("policy", lit("rr"))
+      .select(relPack.columns.map(col): _*)
+    relPack.unionByName(rrPack)
+      .filter($"cum" <= 256)
+      .groupBy($"qid", $"policy")
+      .agg(count(lit(1)).as("n_selected"), max($"cum").as("tokens_used"),
+        sum($"rel").as("sum_rel_bp"),
+        countDistinct($"clabel").as("n_labels"))
+      .orderBy($"qid", $"policy")
+  }
+
+  val q379Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, label, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qa, CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       cost AS (
+         SELECT doc_id, CAST(len(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS BIGINT) AS cost
+         FROM documents),
+       sc AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS clabel, c.cost,
+           a.n2 AS qn, b.n2 AS cn,
+           CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT) AS num
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+         JOIN cost c ON c.doc_id = b.vec_id),
+       cand AS MATERIALIZED (
+         SELECT qid, cid, clabel, rel, rn, cost FROM (
+           SELECT qid, cid, clabel, cost, (num * num * 10000) // (qn * cn) AS rel,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY (num * num * 10000) // (qn * cn) DESC, cid) AS rn
+           FROM sc WHERE num > 0)
+         WHERE rn <= 20),
+       withidx AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY qid, clabel ORDER BY rel DESC, cid) - 1 AS BIGINT) AS ril
+         FROM cand),
+       lp AS (SELECT qid, clabel, CAST(min(rn) AS BIGINT) AS prio FROM withidx GROUP BY 1, 2),
+       ordered AS (
+         SELECT w.qid, w.cid, w.clabel, w.rel, w.cost, 'rel' AS policy,
+           CAST(sum(w.cost) OVER (PARTITION BY w.qid ORDER BY w.rel DESC, w.cid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM withidx w
+         UNION ALL
+         SELECT w.qid, w.cid, w.clabel, w.rel, w.cost, 'rr',
+           CAST(sum(w.cost) OVER (PARTITION BY w.qid ORDER BY w.ril, lp.prio, w.clabel, w.cid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM withidx w JOIN lp ON w.qid = lp.qid AND w.clabel = lp.clabel)
+       SELECT qid, policy, CAST(count(*) AS BIGINT) AS n_selected,
+         CAST(max(cum) AS BIGINT) AS tokens_used,
+         CAST(sum(rel) AS BIGINT) AS sum_rel_bp,
+         CAST(count(DISTINCT clabel) AS BIGINT) AS n_labels
+       FROM ordered WHERE cum <= 256
+       GROUP BY 1, 2 ORDER BY qid, policy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_context_pack" -> q379ContextPack,
     "q376_alpha_ndcg" -> q376AlphaNdcg,
     "q368_mmr_rerank" -> q368MmrRerank,
     "q273_ambiguity_margin" -> q273AmbiguityMargin,
@@ -2173,6 +2280,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q368_mmr_rerank" -> q368Oracle,
     "q376_alpha_ndcg" -> q376Oracle,
+    "q379_context_pack" -> q379Oracle,
     "q273_ambiguity_margin" -> q273Oracle,
     "q269_farthest_first" -> q269Oracle,
     "q270_jl_audit" -> q270Oracle,

@@ -264,6 +264,26 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(sh.zip(sh.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q379: packing respects the budget; rr never loses topic coverage") {
+    val got = Similarity.q379ContextPack(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length % 2 == 0)
+    got.foreach { case (_, _, nSel, toks, rel, nLab) =>
+      assert(toks <= 256 && nSel > 0 && rel > 0 && nLab <= nSel)
+    }
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (qid, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      // diversity-first packing never covers FEWER topics
+      assert(m("rr")._6 >= m("rel")._6, s"qid $qid")
+    }
+    // and somewhere the policies genuinely differ
+    assert(byQ.exists { case (_, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      m("rr")._6 > m("rel")._6 || m("rel")._5 != m("rr")._5
+    })
+  }
+
   test("q376: each ranking is optimal on its own metric; degenerate labels collapse") {
     // real corpus: round-robin pins alpha-nDCG at 10000 (with unit
     // gains round-robin IS alpha-optimal), relevance order pins plain
