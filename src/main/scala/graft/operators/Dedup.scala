@@ -543,6 +543,69 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Incremental connected-components maintenance core: given the OLD
+    * graph's labels and the DELTA edge list (every new edge touches at
+    * least one previously-unlabeled vertex or bridges old components),
+    * produce the full graph's min-labels WITHOUT re-running components
+    * over the old edges. Each delta endpoint contracts to its old
+    * component label (or itself if it had none); components of the
+    * CONTRACTED graph — which is delta-sized, not graph-sized — give
+    * the merge map; old labels route through it, delta-only vertices
+    * take theirs directly. Correctness is algebraic: contracted node
+    * ids are exactly the candidate minimum ids (old labels ARE their
+    * components' minima), so the merged minimum equals the full
+    * recompute's — cascades of any depth (old comp → new doc → old
+    * comp → …) close inside the inner fixpoint. */
+  def incrementalCc(oldLabels: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val s = oldLabels.sparkSession
+    import s.implicits._
+    val l1 = oldLabels.select($"doc_id".as("doc1"), $"cluster_id".as("lb1"))
+    val l2 = oldLabels.select($"doc_id".as("doc2"), $"cluster_id".as("lb2"))
+    val contracted = deltaPairs
+      .join(l1, Seq("doc1"), "left").join(l2, Seq("doc2"), "left")
+      .select(coalesce($"lb1", $"doc1").as("doc1"),
+        coalesce($"lb2", $"doc2").as("doc2"))
+      .filter($"doc1" =!= $"doc2")
+    val mergeMap = minLabelComponents(contracted)
+      .select($"doc_id".as("node"), $"cluster_id".as("merged"))
+    val outOld = oldLabels
+      .join(mergeMap, $"cluster_id" === $"node", "left")
+      .select($"doc_id", coalesce($"merged", $"cluster_id").as("cluster_id"))
+    val deltaDocs = deltaPairs.select($"doc1".as("doc_id"))
+      .unionAll(deltaPairs.select($"doc2".as("doc_id"))).distinct()
+      .join(oldLabels.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val outNew = deltaDocs.join(mergeMap, $"doc_id" === $"node", "left")
+      .select($"doc_id", coalesce($"merged", $"doc_id").as("cluster_id"))
+    outOld.unionByName(outNew)
+  }
+
+  /** Incremental dedup-graph maintenance (q380): q71's clustering kept
+    * CURRENT as a new crawl batch lands (doc_id % 10 = 0, the q52
+    * convention), via [[incrementalCc]] — old-graph labels plus a
+    * delta-sized contraction instead of components over the full edge
+    * list. The oracle is the FULL-GRAPH recomputation (q71's recursive
+    * CTE), so the hash match IS the maintenance proof — the
+    * q276/q298 IVM discipline applied to graph state, which is the
+    * piece that makes dedup viable under continuous ingest at 100 TB
+    * (the corpus components are maintained state; only the delta's
+    * residue is ever re-solved). Pair GENERATION here still scans the
+    * full corpus for the oracle's sake; in production the new batch
+    * probes the maintained band/simhash index (q52's shape) to emit
+    * exactly these delta edges. */
+  def q380IncrementalCc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = simhashPairs(s, d).select($"doc1", $"doc2").localCheckpoint()
+    val oldPairs = pairs.filter($"doc1" % 10 =!= 0 && $"doc2" % 10 =!= 0)
+    val deltaPairs = pairs.filter($"doc1" % 10 === 0 || $"doc2" % 10 === 0)
+    incrementalCc(minLabelComponents(oldPairs).localCheckpoint(), deltaPairs)
+      .orderBy($"doc_id")
+  }
+
+  /** q380's oracle: the full-graph component recomputation — identical
+    * to q71's, which is the point (maintenance must be invisible).
+    * (`def`: q71Oracle is declared later in the file.) */
+  def q380Oracle: String = q71Oracle
+
   val q71Oracle: String =
     s"""WITH RECURSIVE $simhashPairsWith,
        good AS (
@@ -2153,6 +2216,7 @@ object Dedup {
     "q43_simhash" -> q43Simhash,
     "q44_simhash_pairs" -> q44SimhashPairs,
     "q71_dedup_clusters" -> q71DedupClusters,
+    "q380_incremental_cc" -> q380IncrementalCc,
     "q95_neardup_ensemble" -> q95NeardupEnsemble,
     "q96_leakage_split" -> q96LeakageSplit,
     "q102_quality_canonical" -> q102QualityCanonical,
@@ -2183,6 +2247,7 @@ object Dedup {
     "q43_simhash" -> q43Oracle,
     "q44_simhash_pairs" -> q44Oracle,
     "q71_dedup_clusters" -> q71Oracle,
+    "q380_incremental_cc" -> q380Oracle,
     "q95_neardup_ensemble" -> q95Oracle,
     "q96_leakage_split" -> q96Oracle,
     "q102_quality_canonical" -> q102Oracle,

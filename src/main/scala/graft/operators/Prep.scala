@@ -699,7 +699,66 @@ object Prep {
          CAST(floor((r_leaky - r_pit) * 10000.0) AS BIGINT) > 500 AS leakage_flag
        FROM corr"""
 
+  /** Point-in-time training-set factory (q381): the churn table every
+    * retention model trains on, built with the windowing discipline
+    * q360 audits — features see ONLY [cutoff−365 d, cutoff), the label
+    * only [cutoff, cutoff+180 d), both half-open at the cutoff so an
+    * order on cutoff day is label evidence, never a feature.
+    * Population: customers active in the feature window (the
+    * population a scoring run would actually see at the cutoff).
+    * Features are q226's R/F/M (days since last order, order count,
+    * spend cents); label churned = 1 iff NO order lands in the label
+    * window. Emitted per customer — this op's output IS the training
+    * table, not a report.
+    *
+    * Shape: one orders scan covering both windows → per-customer
+    * conditional aggregates; the label is a count-=0 predicate on the
+    * same pass, no second scan, no join. At 100 TB this is one
+    * partial-agg shuffle on the population key. */
+  def q381PitTrainingSet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1997-01-01").cast("date")
+    val featLo = date_sub(cutoff, 365)
+    val labelHi = date_add(cutoff, 180)
+    Tables.orders(s, d)
+      .filter($"o_orderdate" >= featLo && $"o_orderdate" < labelHi)
+      .groupBy($"o_custkey")
+      .agg(
+        max(when($"o_orderdate" < cutoff, $"o_orderdate")).as("last_d"),
+        count(when($"o_orderdate" < cutoff, lit(1))).as("f"),
+        sum(when($"o_orderdate" < cutoff,
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("m_cents"),
+        count(when($"o_orderdate" >= cutoff, lit(1))).as("n_label_orders"))
+      .filter($"f" > 0)
+      .select($"o_custkey",
+        datediff(cutoff, $"last_d").cast("long").as("r_days"),
+        $"f", $"m_cents",
+        ($"n_label_orders" === 0).cast("long").as("churned"))
+      .orderBy($"o_custkey")
+  }
+
+  val q381Oracle: String =
+    """WITH w AS (
+         SELECT o_custkey,
+           max(CASE WHEN o_orderdate < DATE '1997-01-01' THEN o_orderdate END) AS last_d,
+           CAST(count(CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 END) AS BIGINT) AS f,
+           CAST(sum(CASE WHEN o_orderdate < DATE '1997-01-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS m_cents,
+           CAST(count(CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 1 END) AS BIGINT) AS n_label
+         FROM orders
+         WHERE o_orderdate >= DATE '1997-01-01' - INTERVAL 365 DAY
+           AND o_orderdate < DATE '1997-01-01' + INTERVAL 180 DAY
+         GROUP BY 1)
+       SELECT o_custkey,
+         CAST(date_diff('day', last_d, DATE '1997-01-01') AS BIGINT) AS r_days,
+         f, m_cents,
+         CAST(CASE WHEN n_label = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
+       FROM w WHERE f > 0 ORDER BY o_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_pit_training_set" -> q381PitTrainingSet,
     "q360_pit_leakage_delta" -> q360PitLeakageDelta,
     "q169_quantile_norm" -> q169QuantileNorm,
     "q169b_quantile_norm_digest" -> q169bQuantileNormDigest,
@@ -713,6 +772,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q381_pit_training_set" -> q381Oracle,
     "q360_pit_leakage_delta" -> q360Oracle,
     "q169_quantile_norm" -> q169Oracle,
     "q169b_quantile_norm_digest" -> q169bOracle,

@@ -47,6 +47,29 @@ class CorpusSpec extends SparkSpec {
     cp.foreach(r => assert(math.abs(r._5) <= 2, s"${r._1}: ${r._5}"))
   }
 
+  test("incrementalCc: cascaded merges through new docs equal the full recompute") {
+    // old graph: components {1,2} and {11,12}; old singleton 7 (no
+    // edges). Delta: new doc 20 BRIDGES both old components (2-20,
+    // 20-11 — a cascade the contraction must close), new-only pair
+    // (30,40), and old singleton 7 newly joins 30.
+    val oldPairs = Seq((1L, 2L), (11L, 12L)).toDF("doc1", "doc2")
+    val delta = Seq((2L, 20L), (20L, 11L), (30L, 40L), (7L, 30L))
+      .toDF("doc1", "doc2")
+    val oldLabels = Dedup.minLabelComponents(oldPairs)
+    val got = Dedup.incrementalCc(oldLabels, delta)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val full = Dedup.minLabelComponents(
+      oldPairs.unionAll(delta)).as[(Long, Long)].collect().sorted.toSeq
+    assert(got == full)
+    assert(got == Seq((1L, 1L), (2L, 1L), (7L, 7L), (11L, 1L), (12L, 1L),
+      (20L, 1L), (30L, 7L), (40L, 7L)))
+    // no delta -> labels unchanged (the cheap steady-state path)
+    val noop = Dedup.incrementalCc(oldLabels,
+      Seq.empty[(Long, Long)].toDF("doc1", "doc2"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(noop == oldLabels.as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("minLabelComponents: chain graph converges across rounds") {
     // 1-2-3-...-8 is one component of diameter 7 (several propagation
     // rounds); {20,21} a second; {30,31,32} a triangle third.

@@ -30,6 +30,32 @@ class PrepSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Boolean]("le_ok") && r.getAs[Boolean]("lt_ok")))
   }
 
+  test("q381: window boundaries are half-open at the cutoff; labels never leak into features") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pit").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // cutoff 1997-01-01, features [1996-01-02, 1997-01-01), label
+    // [1997-01-01, 1997-06-30)
+    Seq(
+      (1L, 10L, d("1996-06-01"), 100.0),  // cust 1: feature order...
+      (1L, 11L, d("1997-01-01"), 999.0),  //   ...cutoff-day order = LABEL, not feature
+      (2L, 20L, d("1996-12-31"), 50.0),   // cust 2: feature, then silence -> churned
+      (3L, 30L, d("1996-01-01"), 70.0),   // cust 3: one day BEFORE the window -> excluded
+      (4L, 40L, d("1997-02-01"), 80.0),   // cust 4: label-window only -> excluded (f=0)
+      (5L, 50L, d("1996-11-01"), 60.0),   // cust 5: feature + late label order
+      (5L, 51L, d("1997-06-29"), 10.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Prep.q381PitTrainingSet(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 214L, 1L, 10000L, 0L),  // cutoff-day order labels them retained
+      (2L, 1L, 1L, 5000L, 1L),     // churned; m excludes nothing post-cutoff
+      (5L, 61L, 1L, 6000L, 0L)))   // label order on the window's last day counts
+    // the 999.00 cutoff-day order must NOT appear in cust 1's features
+    assert(got.head._4 == 10000L)
+  }
+
   test("q91: stride-24 windows of 32 — boundary sizes and 8-token overlap") {
     val toks = (1 to 40).map(i => s"t$i")
     val d = docsDir(Seq((1L, toks.mkString(" "), "en", "s", 1L)))
