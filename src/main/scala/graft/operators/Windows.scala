@@ -304,6 +304,86 @@ object Windows {
               CAST(max(open) AS BIGINT) AS max_concurrent
        FROM curve GROUP BY 1 ORDER BY 1"""
 
+  /** SLO error-budget burn-rate alert simulation (q382) — the Google
+    * SRE multiwindow, multi-burn-rate pattern: with SLO = 75% good
+    * events, burn rate over a window = error_rate / 0.25 (milli units
+    * = 4000·errors div total). Two alert rules are evaluated at every
+    * data hour: FAST pages when the 1 h AND 6 h burns both breach
+    * (1.4 / 1.2 — short window for reaction speed, long window so a
+    * single spike can't page), SLOW tickets when 6 h AND 24 h breach
+    * (1.15 / 1.05). Output per rule: hours evaluated, breaches, max
+    * short-window burn, first breach hour — the "would this policy
+    * have paged, and when" readout an SRE tunes thresholds against.
+    *
+    * Shape: one fact scan → the bounded HOURLY spine; all rolling
+    * sums are RANGE windows on the integer hour index over that spine
+    * (range, not rows: empty hours must count as zero traffic, which
+    * matters at small scale factors). Integer burn units; ties and
+    * leading partial windows defined identically on both engines. */
+  def q382BurnRate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        ($"event_type" === "error").cast("long").as("err"))
+      .groupBy($"hr").agg(count(lit(1)).as("tot"), sum($"err").as("errs"))
+    val w = Window.orderBy($"hr")
+    val rates = hourly
+      .withColumn("e6", sum($"errs").over(w.rangeBetween(-5, 0)))
+      .withColumn("t6", sum($"tot").over(w.rangeBetween(-5, 0)))
+      .withColumn("e24", sum($"errs").over(w.rangeBetween(-23, 0)))
+      .withColumn("t24", sum($"tot").over(w.rangeBetween(-23, 0)))
+      .withColumn("b1", expr("4000 * errs div tot"))
+      .withColumn("b6", expr("4000 * e6 div t6"))
+      .withColumn("b24", expr("4000 * e24 div t24"))
+      .withColumn("fast", $"b1" >= 1400 && $"b6" >= 1200)
+      .withColumn("slow", $"b6" >= 1150 && $"b24" >= 1050)
+    def rule(name: String, breach: Column, shortBurn: Column) =
+      rates.agg(count(lit(1)).as("n_hours"),
+        sum(breach.cast("long")).as("n_breaches"),
+        max(when(breach, shortBurn)).as("mb"),
+        min(when(breach, $"hr")).as("fb"))
+        .select(lit(name).as("rule"), $"n_hours", $"n_breaches",
+          coalesce($"mb", lit(0L)).as("max_burn_milli"),
+          coalesce($"fb", lit(-1L)).as("first_breach_hr"))
+    rule("fast_page", $"fast", $"b1")
+      .unionByName(rule("slow_ticket", $"slow", $"b6"))
+      .orderBy($"rule")
+  }
+
+  val q382Oracle: String =
+    """WITH hourly AS (
+         SELECT epoch_us(ts) // 3600000000 AS hr,
+           CAST(count(*) AS BIGINT) AS tot,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errs
+         FROM events GROUP BY 1),
+       rates AS (
+         SELECT hr, tot, errs,
+           CAST(sum(errs) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6,
+           CAST(sum(tot) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS t6,
+           CAST(sum(errs) OVER (ORDER BY hr RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS e24,
+           CAST(sum(tot) OVER (ORDER BY hr RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS t24
+         FROM hourly),
+       b AS (
+         SELECT hr, 4000 * errs // tot AS b1, 4000 * e6 // t6 AS b6,
+           4000 * e24 // t24 AS b24
+         FROM rates),
+       f AS (
+         SELECT hr, b1, b6, b24,
+           b1 >= 1400 AND b6 >= 1200 AS fast,
+           b6 >= 1150 AND b24 >= 1050 AS slow
+         FROM b)
+       SELECT 'fast_page' AS rule, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(CASE WHEN fast THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches,
+         COALESCE(max(CASE WHEN fast THEN b1 END), 0) AS max_burn_milli,
+         COALESCE(min(CASE WHEN fast THEN hr END), -1) AS first_breach_hr
+       FROM f
+       UNION ALL
+       SELECT 'slow_ticket', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN slow THEN 1 ELSE 0 END) AS BIGINT),
+         COALESCE(max(CASE WHEN slow THEN b6 END), 0),
+         COALESCE(min(CASE WHEN slow THEN hr END), -1)
+       FROM f ORDER BY rule"""
+
   /** Sessionization via the gap>threshold running-sum idiom — the same
     * T4 pattern at training-pipeline scale. Gap compared in integer
     * microseconds (unix_micros vs DuckDB epoch_us: both floor ns→µs,
@@ -1663,6 +1743,7 @@ object Windows {
     "q22_running_segment" -> q22RunningSegment,
     "q23_sessionize" -> q23Sessionize,
     "q111_concurrency_sweep" -> q111ConcurrencySweep,
+    "q382_burn_rate" -> q382BurnRate,
     "q24_hourly_window" -> q24HourlyWindow,
     "q25_sliding_window" -> q25SlidingWindow,
     "q26_session_window" -> q26SessionWindow,
@@ -1697,6 +1778,7 @@ object Windows {
     "q22_running_segment" -> q22Oracle,
     "q23_sessionize" -> q23Oracle,
     "q111_concurrency_sweep" -> q111Oracle,
+    "q382_burn_rate" -> q382Oracle,
     "q24_hourly_window" -> q24Oracle,
     "q25_sliding_window" -> q25Oracle,
     "q26_session_window" -> q26Oracle,

@@ -1059,6 +1059,32 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q382: a single bad hour does not page; the sustained second hour does") {
+    val dir = java.nio.file.Files.createTempDirectory("burn").toString
+    // 24 hours × 10 events; baseline 2 errors/hour (burn 0.8), hours
+    // 22-23 spike to 5 errors (burn 2.0). The multiwindow rule holds
+    // fire at hour 22 (6 h burn still 1.0) and pages at hour 23
+    // (6 h burn exactly 1.2) — the single-spike immunity the long
+    // window exists for. The slow ticket never fires: the 24 h burn
+    // stays at 0.9 (< 1.05).
+    val rows = for {
+      h <- 0 until 24; i <- 0 until 10
+    } yield {
+      val err = if (h >= 22) i < 5 else i < 2
+      (h.toLong * 10 + i, 1L,
+        if (err) "error" else "click",
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), 1.0)
+    }
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.q382BurnRate(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val baseHr = java.sql.Timestamp.valueOf("2024-01-01 23:30:00")
+      .getTime / 3600000L
+    assert(got("fast_page") == ("fast_page", 24L, 1L, 2000L, baseHr))
+    assert(got("slow_ticket") == ("slow_ticket", 24L, 0L, 0L, -1L))
+  }
+
   test("q362: TTL hit-rate curve matches a gap replay; monotone in TTL") {
     val got = operators.Behavior.q362TtlPlanner(spark, d)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
