@@ -1935,7 +1935,143 @@ object Quality {
            CAST(greatest(actual_rows, 1) AS DOUBLE) / greatest(est_rows, 1))) AS BIGINT) AS qerr_milli
        FROM pairs ORDER BY kase"""
 
+  /** t-closeness audit (q384, Li et al. 2007) — the third member of
+    * the privacy trio q306 opens (k-anonymity says classes are big,
+    * l-diversity says they carry several sensitive values; t-closeness
+    * says each class's sensitive DISTRIBUTION must sit within t of the
+    * global one, or class membership itself leaks). Same
+    * quasi-identifier classes as q306 (segment × nation × balance
+    * decile), sensitive attribute = dominant order priority, which is
+    * ORDINAL (1-URGENT … 5-LOW, NONE last) — so the right distance is
+    * the ordered-attribute Earth Mover's Distance:
+    * EMD = (1/(m−1))·Σⱼ |CumP(j) − CumQ(j)|, computed exactly as
+    * cross-multiplied integer cumulative counts (no division inside
+    * the sum). Output: every class with its EMD in milli and the
+    * t = 0.2 breach flag.
+    *
+    * Shape: one rows pass (q306's), counts on the (class × 6-rank)
+    * grid, per-class windows over 6-row partitions, a broadcast
+    * global-distribution join. Class count is bounded by the QI
+    * domain (≤ 5·25·10), not the data. */
+  def q384TCloseness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val dom = Tables.orders(s, d)
+      .groupBy($"o_custkey", $"o_orderpriority").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"o_custkey")
+          .orderBy($"c".desc, $"o_orderpriority")))
+      .filter($"rn" === 1)
+      .select($"o_custkey".as("c_custkey"), $"o_orderpriority".as("sens"))
+    val vc = cust.groupBy($"cents".as("v")).agg(count(lit(1)).as("cnt"))
+    val tot = cust.agg(count(lit(1)).as("n_total"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    val decile = vc
+      .withColumn("cumb", coalesce(sum($"cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select($"v".as("cents"), expr("(10 * cumb) div n_total").as("dec"))
+    val srankSql =
+      """CASE sens WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+         WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+         WHEN '5-LOW' THEN 5 ELSE 6 END"""
+    val rows2 = cust.join(broadcast(decile), "cents")
+      .join(dom, Seq("c_custkey"), "left")
+      .withColumn("sens", coalesce($"sens", lit("NONE")))
+      .select($"seg", $"nat", $"dec", expr(srankSql).cast("long").as("srank"))
+    val cls = rows2.groupBy($"seg", $"nat", $"dec", $"srank")
+      .agg(count(lit(1)).as("c"))
+    val classes = rows2.groupBy($"seg", $"nat", $"dec")
+      .agg(count(lit(1)).as("nc"))
+    val grid = classes
+      .select($"seg", $"nat", $"dec", $"nc",
+        explode(expr("sequence(CAST(1 AS BIGINT), 6)")).as("srank"))
+      .join(cls, Seq("seg", "nat", "dec", "srank"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+      .withColumn("cumc", sum($"c").over(
+        Window.partitionBy($"seg", $"nat", $"dec").orderBy($"srank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val glob = rows2.groupBy($"srank").agg(count(lit(1)).as("g"))
+    val globGrid = s.range(1, 7).select($"id".as("srank"))
+      .join(glob, Seq("srank"), "left")
+      .withColumn("g", coalesce($"g", lit(0L)))
+      .withColumn("cumg", sum($"g").over(
+        Window.orderBy($"srank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(rows2.agg(count(lit(1)).as("ng"))))
+      .select($"srank", $"cumg", $"ng")
+    grid.join(broadcast(globGrid), "srank")
+      .filter($"srank" <= 5) // the m-th cum difference is identically 0
+      .groupBy($"seg", $"nat", $"dec", $"nc", $"ng")
+      .agg(sum(abs($"cumc" * $"ng" - $"cumg" * $"nc")).as("num"))
+      .select($"seg", $"nat", $"dec", $"nc".as("n_class"),
+        expr("(1000 * num) div (5 * nc * ng)").as("emd_milli"))
+      .withColumn("breach_t02", $"emd_milli" > 200)
+      .orderBy($"seg", $"nat", $"dec")
+  }
+
+  val q384Oracle: String =
+    """WITH cust AS (
+         SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM customer),
+       dom AS (
+         SELECT c_custkey, sens FROM (
+           SELECT o_custkey AS c_custkey, o_orderpriority AS sens,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_custkey, o_orderpriority)
+         WHERE rn = 1),
+       vc AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM cust GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cust),
+       dec AS (
+         SELECT v AS cents, (10 * cumb) // n_total AS dec FROM (
+           SELECT v, cnt, COALESCE(CAST(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+           FROM vc), t),
+       rws AS (
+         SELECT c.seg, c.nat, d.dec,
+           CAST(CASE COALESCE(m.sens, 'NONE') WHEN '1-URGENT' THEN 1
+             WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5
+             ELSE 6 END AS BIGINT) AS srank
+         FROM cust c JOIN dec d USING (cents)
+         LEFT JOIN dom m USING (c_custkey)),
+       cls AS (
+         SELECT seg, nat, dec, srank, CAST(count(*) AS BIGINT) AS c
+         FROM rws GROUP BY 1, 2, 3, 4),
+       classes AS (
+         SELECT seg, nat, dec, CAST(count(*) AS BIGINT) AS nc
+         FROM rws GROUP BY 1, 2, 3),
+       grid AS (
+         SELECT cl.seg, cl.nat, cl.dec, cl.nc, r.srank,
+           CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY cl.seg, cl.nat, cl.dec
+             ORDER BY r.srank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+         FROM classes cl CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS srank) r
+         LEFT JOIN cls c ON c.seg = cl.seg AND c.nat = cl.nat
+           AND c.dec = cl.dec AND c.srank = r.srank),
+       gcum AS (
+         SELECT r.srank,
+           CAST(sum(COALESCE(g.g, 0)) OVER (ORDER BY r.srank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg
+         FROM (SELECT unnest([1, 2, 3, 4, 5, 6]) AS srank) r
+         LEFT JOIN (SELECT srank, CAST(count(*) AS BIGINT) AS g
+                    FROM rws GROUP BY 1) g ON g.srank = r.srank),
+       ng AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM rws)
+       SELECT grid.seg, grid.nat, grid.dec, grid.nc AS n_class,
+         (1000 * CAST(sum(abs(grid.cumc * ng.ng - gcum.cumg * grid.nc)) AS BIGINT))
+           // (5 * grid.nc * ng.ng) AS emd_milli,
+         (1000 * CAST(sum(abs(grid.cumc * ng.ng - gcum.cumg * grid.nc)) AS BIGINT))
+           // (5 * grid.nc * ng.ng) > 200 AS breach_t02
+       FROM grid JOIN gcum ON grid.srank = gcum.srank CROSS JOIN ng
+       WHERE grid.srank <= 5
+       GROUP BY grid.seg, grid.nat, grid.dec, grid.nc, ng.ng
+       ORDER BY grid.seg, grid.nat, grid.dec"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_t_closeness" -> q384TCloseness,
     "q373_cardinality_audit" -> q373CardinalityAudit,
     "q371_learned_index_audit" -> q371LearnedIndexAudit,
     "q354_brier" -> q354Brier,
@@ -1965,6 +2101,7 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q373_cardinality_audit" -> q373Oracle,
+    "q384_t_closeness" -> q384Oracle,
     "q371_learned_index_audit" -> q371Oracle,
     "q354_brier" -> q354Oracle,
     "q358_mantel_haenszel" -> q358Oracle,

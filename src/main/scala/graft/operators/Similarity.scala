@@ -2246,7 +2246,97 @@ object Similarity {
        FROM ordered WHERE cum <= 256
        GROUP BY 1, 2 ORDER BY qid, policy"""
 
+  /** ANN hubness audit (q383, Radovanović et al. 2010): in
+    * high-dimensional spaces some points become HUBS — they appear in
+    * a wildly disproportionate share of other points' k-NN lists —
+    * and hubness silently degrades every k-NN consumer this engine
+    * ships (q271's label audit, q122's pseudo-labels, q83's semantic
+    * dedup). The metric is the skewness of the k-occurrence
+    * distribution N_k (how often each point shows up in others'
+    * top-10), with hub (N_k ≥ 2k) and antihub (N_k = 0) counts and
+    * the worst offender's id. Skewness comes from exact integer
+    * moments in ONE double tree, with var^1.5 written as var·√var
+    * (sqrt is correctly rounded on both engines; pow is not —
+    * cross-engine parity forbids pow here).
+    *
+    * Shape: the k-NN pass is the q271-class full pairwise audit (all
+    * points as queries — at production scale the audit runs on a
+    * query SAMPLE; the k-occurrence estimator is unbiased under
+    * uniform sampling); everything after is |points|-bounded. */
+  def q383HubnessAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val nn = q.select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"))
+      .join(broadcast(q.select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))),
+        $"qid" =!= $"cid")
+      .withColumn("num", dotQ($"qv", $"cv"))
+      .filter($"num" > 0)
+      .withColumn("rk", expr("(num * num * 10000) div (qn * cn)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rk".desc, $"cid")))
+      .filter($"rn" <= 10)
+      .select($"qid", $"cid")
+    val occ = nn.groupBy($"cid").agg(count(lit(1)).as("o")).localCheckpoint()
+    val tot = q.agg(count(lit(1)).as("np"))
+    val hub = occ.orderBy($"o".desc, $"cid").limit(1)
+      .select($"cid".as("top_hub_id"))
+    val mom = occ.agg(sum($"o").as("s1"), sum($"o" * $"o").as("s2"),
+      sum($"o" * $"o" * $"o").as("s3"), max($"o").as("mx"),
+      count(lit(1)).as("n_occ"),
+      sum(when($"o" >= 20, 1L).otherwise(0L)).as("n_hubs"))
+    tot.crossJoin(broadcast(mom)).crossJoin(broadcast(hub))
+      .selectExpr("np AS n_points", "n_occ AS n_occurring",
+        "np - n_occ AS n_antihubs", "mx AS max_occ", "top_hub_id", "n_hubs",
+        """CAST(floor(
+             (CAST(s3 AS DOUBLE) / np
+               - 3.0 * (CAST(s1 AS DOUBLE) / np) * (CAST(s2 AS DOUBLE) / np)
+               + 2.0 * (CAST(s1 AS DOUBLE) / np) * (CAST(s1 AS DOUBLE) / np) * (CAST(s1 AS DOUBLE) / np))
+             / ((CAST(s2 AS DOUBLE) / np - (CAST(s1 AS DOUBLE) / np) * (CAST(s1 AS DOUBLE) / np))
+                * sqrt(CAST(s2 AS DOUBLE) / np - (CAST(s1 AS DOUBLE) / np) * (CAST(s1 AS DOUBLE) / np)))
+             * 1000.0) AS BIGINT) AS skew_milli""")
+  }
+
+  val q383Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, qa, CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
+         FROM q),
+       nn AS (
+         SELECT qid, cid FROM (
+           SELECT a.vec_id AS qid, b.vec_id AS cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT)
+                 * list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) * 10000)
+                 // (a.n2 * b.n2) DESC, b.vec_id) AS rn
+           FROM n a JOIN n b ON a.vec_id <> b.vec_id
+           WHERE list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) > 0)
+         WHERE rn <= 10),
+       occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS o FROM nn GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM q),
+       hub AS (SELECT cid AS top_hub_id FROM occ ORDER BY o DESC, cid LIMIT 1),
+       mom AS (
+         SELECT CAST(sum(o) AS BIGINT) AS s1,
+           CAST(sum(CAST(o AS HUGEINT)*o) AS BIGINT) AS s2,
+           CAST(sum(CAST(o AS HUGEINT)*o*o) AS BIGINT) AS s3,
+           CAST(max(o) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(CASE WHEN o >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+         FROM occ)
+       SELECT tot.np AS n_points, mom.n_occ AS n_occurring,
+         tot.np - mom.n_occ AS n_antihubs, mom.mx AS max_occ,
+         hub.top_hub_id, mom.n_hubs,
+         CAST(floor(
+           (CAST(mom.s3 AS DOUBLE) / tot.np
+             - 3.0 * (CAST(mom.s1 AS DOUBLE) / tot.np) * (CAST(mom.s2 AS DOUBLE) / tot.np)
+             + 2.0 * (CAST(mom.s1 AS DOUBLE) / tot.np) * (CAST(mom.s1 AS DOUBLE) / tot.np) * (CAST(mom.s1 AS DOUBLE) / tot.np))
+           / ((CAST(mom.s2 AS DOUBLE) / tot.np - (CAST(mom.s1 AS DOUBLE) / tot.np) * (CAST(mom.s1 AS DOUBLE) / tot.np))
+              * sqrt(CAST(mom.s2 AS DOUBLE) / tot.np - (CAST(mom.s1 AS DOUBLE) / tot.np) * (CAST(mom.s1 AS DOUBLE) / tot.np)))
+           * 1000.0) AS BIGINT) AS skew_milli
+       FROM tot CROSS JOIN mom CROSS JOIN hub"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_hubness_audit" -> q383HubnessAudit,
     "q379_context_pack" -> q379ContextPack,
     "q376_alpha_ndcg" -> q376AlphaNdcg,
     "q368_mmr_rerank" -> q368MmrRerank,
@@ -2281,6 +2371,7 @@ object Similarity {
     "q368_mmr_rerank" -> q368Oracle,
     "q376_alpha_ndcg" -> q376Oracle,
     "q379_context_pack" -> q379Oracle,
+    "q383_hubness_audit" -> q383Oracle,
     "q273_ambiguity_margin" -> q273Oracle,
     "q269_farthest_first" -> q269Oracle,
     "q270_jl_audit" -> q270Oracle,

@@ -531,6 +531,38 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(got.map(_._6).sum - 1000L) <= 5) // integer-div dust
   }
 
+  test("q384: hand-computed EMD on a two-class skew; identical classes read zero") {
+    val dir = java.nio.file.Files.createTempDirectory("tclose").toString
+    // one nation, one balance decile; segment A = 5 customers all
+    // urgent-dominant, segment B = 5 customers spread over all five
+    // priorities. Both classes sit EMD = 0.200 from the pooled global
+    // (mirror images), right ON the t = 0.2 line -> no breach.
+    val cust = (1 to 5).map(i => (i.toLong, "A", 1L, 100.0)) ++
+      (6 to 10).map(i => (i.toLong, "B", 1L, 100.0))
+    cust.toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val orders = (1 to 5).map(i => (100L + i, i.toLong, "1-URGENT")) ++
+      (6 to 10).map(i => (100L + i, i.toLong, pris(i - 6)))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Quality.q384TCloseness(spark, dir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("A", 1L, 0L, 5L, 200L, false),
+      ("B", 1L, 0L, 5L, 200L, false)))
+    // homogeneous sensitive attribute -> every class matches the global
+    val dir2 = java.nio.file.Files.createTempDirectory("tclose0").toString
+    cust.toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir2/customer.parquet")
+    (1 to 10).map(i => (100L + i, i.toLong, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val zero = operators.Quality.q384TCloseness(spark, dir2)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(zero.length == 2 && zero.forall(r => r._5 == 0L && !r._6))
+  }
+
   test("q373: correlated predicates blow up the independence estimate; PK-FK join is exact") {
     val dir = java.nio.file.Files.createTempDirectory("card").toString
     // 100 orders: half pre-1996, half post; urgency perfectly

@@ -264,6 +264,36 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(sh.zip(sh.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q383: a planted centroid-facing point dominates every k-NN list") {
+    // three clusters along mutually NEGATIVE directions (cross-cluster
+    // cosine < 0 -> excluded by the num > 0 gate), plus one hub along
+    // (1,1,1) with positive cosine to all three: it lands in every
+    // other point's NN list (occ 12) while cluster points occur 3-4
+    // times. The k-occurrence skew goes positive - textbook hubness.
+    def cluster(base: Seq[Float], ids: Range) = ids.zipWithIndex.map {
+      case (id, i) => (id.toLong,
+        base.updated(base.indexWhere(_ > 0), base.max - i * 0.01f), 0)
+    }
+    val pts =
+      cluster(Seq(1f, -0.3f, -0.3f), 1 to 4) ++
+      cluster(Seq(-0.3f, 1f, -0.3f), 11 to 14) ++
+      cluster(Seq(-0.3f, -0.3f, 1f), 21 to 24) :+
+      (30L, Seq(1f, 1f, 1f), 0)
+    val d = embDir(pts)
+    val got = Similarity.q383HubnessAudit(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (nPts, nOcc, nAnti, maxOcc, topHub, nHubs, skew) = got
+    assert(nPts == 13L && nOcc == 13L && nAnti == 0L)
+    assert(topHub == 30L && maxOcc == 12L)
+    assert(skew > 0L)
+    // real corpus invariants: occurrence mass == listed slots, and the
+    // occurrence population partitions into occurring + antihubs
+    val real = Similarity.q383HubnessAudit(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(real._1 == real._2 + real._3)
+    assert(real._4 >= 10L) // someone is at least average-popular
+  }
+
   test("q379: packing respects the budget; rr never loses topic coverage") {
     val got = Similarity.q379ContextPack(spark, "/root/testdata/sf0.001")
       .as[(Long, String, Long, Long, Long, Long)].collect()
