@@ -979,7 +979,115 @@ object Graph {
        FROM expo LEFT JOIN out2 ON expo.u = out2.cust
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Power-law degree-distribution fit (q385, the Clauset–Shalizi–
+    * Newman recipe): is the co-purchase graph scale-free, and over
+    * what tail? For each candidate cutoff d_min: the continuous MLE
+    * α = 1 + n/Σ ln(d/d_min) (the estimator the log-log regressions
+    * q134/q135 deliberately avoid being compared to — LSQ on log-log
+    * is biased, MLE is the defensible fit), and the KS distance
+    * between the empirical tail CCDF and the fitted (d/d_min)^(1−α),
+    * choosing d_min by minimum KS. Degenerate tails (every degree
+    * equals d_min, so the ln-sum is 0 and α is undefined — the whole
+    * story at tiny scale factors) emit −1 sentinels instead of
+    * vanishing.
+    *
+    * Parity: per-degree ln terms floor to micro-nats then
+    * integer-sum (q141); α and each CCDF deviation are one double
+    * tree; the exp/ln pairing follows q210's cross-engine precedent.
+    * Shape: q116's edge construction → degree histogram (bounded) —
+    * every fit/KS stage runs on the histogram × 3-row grid. */
+  def q385PowerlawFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+      .select($"l_orderkey".as("ord"), $"l_partkey".as("p"))
+      .distinct()
+    val e = items.as("a").join(items.as("b"), "ord")
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .filter($"u" < $"v").distinct()
+    val hist = e.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("dd"))
+      .groupBy($"dd".as("d")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val grid = s.range(1).select(
+      explode(expr("array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT))")).as("dmin"))
+    val tail = grid.join(hist, $"d" >= $"dmin")
+      .withColumn("lnw", $"cnt" *
+        floor(log($"d".cast("double") / $"dmin") * 1000000.0).cast("long"))
+      .withColumn("cumb", coalesce(sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"dmin").orderBy($"d")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val fit = tail.groupBy($"dmin")
+      .agg(sum($"cnt").as("n_tail"), sum($"lnw").as("slnw"))
+    val alpha = fit
+      .withColumn("a", when($"slnw" > 0,
+        lit(1.0) + $"n_tail".cast("double") * 1000000.0 / $"slnw"))
+    val ks = tail.join(alpha.select($"dmin", $"n_tail".as("nt"), $"a"), "dmin")
+      .filter($"a".isNotNull)
+      .withColumn("dv", abs(($"nt" - $"cumb").cast("double") / $"nt"
+        - exp((lit(1.0) - $"a") * log($"d".cast("double") / $"dmin"))))
+      .groupBy($"dmin")
+      .agg(floor(max($"dv") * 1000.0).cast("long").as("ks_milli"))
+    grid.join(alpha, Seq("dmin"), "left").join(ks, Seq("dmin"), "left")
+      .select($"dmin", coalesce($"n_tail", lit(0L)).as("n_tail"),
+        coalesce(floor($"a" * 1000.0).cast("long"), lit(-1L)).as("alpha_milli"),
+        coalesce($"ks_milli", lit(-1L)).as("ks_milli"))
+      .withColumn("best_fit", $"ks_milli" >= 0 &&
+        $"ks_milli" === min(when($"ks_milli" >= 0, $"ks_milli"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy($"dmin")
+  }
+
+  val q385Oracle: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ord, l_partkey AS p FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1995-04-01'),
+       e AS (
+         SELECT DISTINCT a.p AS u, b.p AS v
+         FROM items a JOIN items b USING (ord) WHERE a.p < b.p),
+       hist AS (
+         SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+         GROUP BY 1),
+       grid AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS dmin),
+       tail AS (
+         SELECT g.dmin, h.d, h.cnt,
+           h.cnt * CAST(floor(ln(CAST(h.d AS DOUBLE) / g.dmin) * 1000000.0) AS BIGINT) AS lnw,
+           COALESCE(CAST(sum(h.cnt) OVER (PARTITION BY g.dmin ORDER BY h.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+         FROM grid g JOIN hist h ON h.d >= g.dmin),
+       fit AS (
+         SELECT dmin, CAST(sum(cnt) AS BIGINT) AS n_tail,
+           CAST(sum(lnw) AS BIGINT) AS slnw
+         FROM tail GROUP BY 1),
+       alpha AS (
+         SELECT dmin, n_tail,
+           CASE WHEN slnw > 0
+             THEN 1.0 + CAST(n_tail AS DOUBLE) * 1000000.0 / slnw END AS a
+         FROM fit),
+       dev AS (
+         SELECT t.dmin,
+           abs(CAST(al.n_tail - t.cumb AS DOUBLE) / al.n_tail
+             - exp((1.0 - al.a) * ln(CAST(t.d AS DOUBLE) / t.dmin))) AS dv
+         FROM tail t JOIN alpha al ON t.dmin = al.dmin
+         WHERE al.a IS NOT NULL),
+       ks AS (SELECT dmin, CAST(floor(max(dv) * 1000.0) AS BIGINT) AS ks_milli
+              FROM dev GROUP BY 1)
+       SELECT g.dmin, COALESCE(al.n_tail, 0) AS n_tail,
+         COALESCE(CAST(floor(al.a * 1000.0) AS BIGINT), -1) AS alpha_milli,
+         COALESCE(ks.ks_milli, -1) AS ks_milli,
+         COALESCE(ks.ks_milli, -1) >= 0 AND COALESCE(ks.ks_milli, -1) =
+           min(CASE WHEN ks.ks_milli >= 0 THEN ks.ks_milli END) OVER () AS best_fit
+       FROM grid g LEFT JOIN alpha al ON g.dmin = al.dmin
+       LEFT JOIN ks ON g.dmin = ks.dmin
+       ORDER BY g.dmin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_powerlaw_fit" -> q385PowerlawFit,
     "q375_exposure_map" -> q375ExposureMap,
     "q355_rec_eval" -> q355RecEval,
     "q341_modularity" -> q341Modularity,
@@ -997,6 +1105,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q375_exposure_map" -> q375Oracle,
+    "q385_powerlaw_fit" -> q385Oracle,
     "q355_rec_eval" -> q355Oracle,
     "q341_modularity" -> q341Oracle,
     "q319_adamic_adar" -> q319Oracle,

@@ -384,4 +384,33 @@ class GraphSpec extends SparkSpec {
     assert(real.nonEmpty && real.length <= 8)
     assert(real.forall(r => r._2 >= 0 && r._2 <= 3 && r._3 > 0 && r._5 >= 1))
   }
+
+  test("q385: star-graph MLE alphas pin exactly; all-degree-1 graph emits sentinels") {
+    val dir = java.nio.file.Files.createTempDirectory("plaw").toString
+    val ship = java.sql.Timestamp.valueOf("1995-02-01 00:00:00")
+    // 5 orders each co-shipping hub part 100 with a distinct leaf part:
+    // star K1,5 -> degrees {100: 5, leaves: 1 x5}
+    (1 to 5).flatMap(i => Seq((i.toLong, 100L, ship), (i.toLong, i.toLong, ship)))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Graph.q385PowerlawFit(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // dmin=1: alpha = 1 + 6e6/(1*floor(ln5*1e6)) = 4.72801 -> 4728
+    // dmin=2 (hub only): 1 + 1e6/floor(ln2.5*1e6) = 2.09135 -> 2091
+    // dmin=4 (hub only): 1 + 1e6/floor(ln1.25*1e6) = 5.48152 -> 5481
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 6L, 4728L), (2L, 1L, 2091L), (4L, 1L, 5481L)))
+    assert(got.forall(_._4 >= 0))
+    assert(got.count(_._5) == 1) // exactly one KS-minimizing cutoff
+    // two disjoint edges: every degree is 1, every tail ln-sum is 0
+    val dir2 = java.nio.file.Files.createTempDirectory("plaw1").toString
+    Seq((1L, 10L, ship), (1L, 11L, ship), (2L, 20L, ship), (2L, 21L, ship))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val degen = operators.Graph.q385PowerlawFit(spark, dir2)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(degen.map(r => (r._1, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, -1L, -1L, false), (2L, -1L, -1L, false), (4L, -1L, -1L, false)))
+    assert(degen.head._2 == 4L) // the degenerate tail still reports its size
+  }
 }
