@@ -2705,6 +2705,100 @@ object Stats {
          CAST(sum(bon_milli) AS BIGINT) // (1000 * CAST(count(*) AS BIGINT)) AS mean_bon_cents
        FROM per GROUP BY 1 ORDER BY k"""
 
+  /** Delta-method SE for a RATIO metric under clustered randomization
+    * (q386, the Deng et al. experimentation-platform formula): the
+    * metric is revenue-per-order, but the randomization unit is the
+    * CUSTOMER — so the naive per-order variance is a lie (orders from
+    * one customer are correlated), and the correct SE linearizes
+    * R = ΣY/ΣN around the customer-level moments:
+    * var(R) ≈ (S_YY − 2R·S_YN + R²·S_NN) / ((k−1)·k·n̄²). The output
+    * carries BOTH standard errors and their design-effect ratio —
+    * deff > 1 is the whole point, it is how much the iid assumption
+    * understates uncertainty. Arms are custkey parity (A/A), so the
+    * calibration claim is no rejection at α = 0.05.
+    *
+    * Parity: all second-order sums in DECIMAL/HUGEINT; R, both
+    * variances, z are each one double tree floored once. Shape: two
+    * partial-agg passes over one orders scan (customer grain, then
+    * order grain) → 2 arm rows → a single comparison row. */
+  def q386RatioDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(($"o_custkey" % 2).as("arm"),
+      $"o_custkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val cu = o.groupBy($"arm", $"o_custkey")
+      .agg(count(lit(1)).as("nn"), sum($"c").as("y"))
+    val st = cu.groupBy($"arm").agg(
+      count(lit(1)).as("k"), sum($"y").as("sy"), sum($"nn").as("sn"),
+      sum($"y".cast("decimal(20,0)") * $"y".cast("decimal(18,0)")).as("syy"),
+      sum($"y".cast("decimal(20,0)") * $"nn".cast("decimal(18,0)")).as("syn"),
+      sum($"nn".cast("decimal(20,0)") * $"nn".cast("decimal(18,0)")).as("snn"))
+    val ord = o.groupBy($"arm").agg(
+      sum($"c".cast("decimal(20,0)") * $"c".cast("decimal(18,0)")).as("scc"))
+    val m = st.join(ord, "arm").selectExpr("arm", "k", "sy", "sn",
+      "CAST(sy AS DOUBLE) / sn AS r",
+      """( (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / k)
+          - 2.0 * (CAST(sy AS DOUBLE) / sn) * (CAST(syn AS DOUBLE) - CAST(sy AS DOUBLE) * sn / k)
+          + (CAST(sy AS DOUBLE) / sn) * (CAST(sy AS DOUBLE) / sn) * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / k)
+        ) / (CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE)
+          / ((CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k)) AS var_r""",
+      """(CAST(scc AS DOUBLE) - CAST(sy AS DOUBLE) * sy / sn)
+         / (CAST(sn AS DOUBLE) - 1.0) / CAST(sn AS DOUBLE) AS var_naive""")
+    val a = m.filter($"arm" === 1).select($"k".as("k_treat"), $"r".as("ra"),
+      $"var_r".as("va"), $"var_naive".as("na"))
+    val b = m.filter($"arm" === 0).select($"k".as("k_ctrl"), $"r".as("rb"),
+      $"var_r".as("vb"), $"var_naive".as("nb"))
+    a.crossJoin(b).selectExpr("k_treat", "k_ctrl",
+      "CAST(floor(ra * 1000.0) AS BIGINT) AS r_treat_milli",
+      "CAST(floor(rb * 1000.0) AS BIGINT) AS r_ctrl_milli",
+      "CAST(floor((ra - rb) * 1000.0) AS BIGINT) AS diff_milli",
+      "CAST(floor(sqrt(va + vb) * 1000.0) AS BIGINT) AS se_delta_milli",
+      "CAST(floor(sqrt(na + nb) * 1000.0) AS BIGINT) AS se_naive_milli",
+      "CAST(floor((va + vb) / (na + nb) * 1000.0) AS BIGINT) AS deff_milli",
+      "CAST(floor((ra - rb) / sqrt(va + vb) * 1000.0) AS BIGINT) AS z_milli",
+      "abs((ra - rb) / sqrt(va + vb)) > 1.959964 AS reject")
+  }
+
+  val q386Oracle: String =
+    """WITH o AS (
+         SELECT o_custkey % 2 AS arm, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         FROM orders),
+       cu AS (
+         SELECT arm, o_custkey, CAST(count(*) AS BIGINT) AS nn,
+           CAST(sum(c) AS BIGINT) AS y
+         FROM o GROUP BY 1, 2),
+       st AS (
+         SELECT arm, CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(y) AS BIGINT) AS sy, CAST(sum(nn) AS BIGINT) AS sn,
+           sum(CAST(y AS HUGEINT) * y) AS syy,
+           sum(CAST(y AS HUGEINT) * nn) AS syn,
+           sum(CAST(nn AS HUGEINT) * nn) AS snn
+         FROM cu GROUP BY 1),
+       ordm AS (
+         SELECT arm, sum(CAST(c AS HUGEINT) * c) AS scc FROM o GROUP BY 1),
+       m AS (
+         SELECT st.arm, k, sy, sn,
+           CAST(sy AS DOUBLE) / sn AS r,
+           ( (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / k)
+             - 2.0 * (CAST(sy AS DOUBLE) / sn) * (CAST(syn AS DOUBLE) - CAST(sy AS DOUBLE) * sn / k)
+             + (CAST(sy AS DOUBLE) / sn) * (CAST(sy AS DOUBLE) / sn) * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / k)
+           ) / (CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE)
+             / ((CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k)) AS var_r,
+           (CAST(scc AS DOUBLE) - CAST(sy AS DOUBLE) * sy / sn)
+             / (CAST(sn AS DOUBLE) - 1.0) / CAST(sn AS DOUBLE) AS var_naive
+         FROM st JOIN ordm ON st.arm = ordm.arm)
+       SELECT a.k AS k_treat, b.k AS k_ctrl,
+         CAST(floor(a.r * 1000.0) AS BIGINT) AS r_treat_milli,
+         CAST(floor(b.r * 1000.0) AS BIGINT) AS r_ctrl_milli,
+         CAST(floor((a.r - b.r) * 1000.0) AS BIGINT) AS diff_milli,
+         CAST(floor(sqrt(a.var_r + b.var_r) * 1000.0) AS BIGINT) AS se_delta_milli,
+         CAST(floor(sqrt(a.var_naive + b.var_naive) * 1000.0) AS BIGINT) AS se_naive_milli,
+         CAST(floor((a.var_r + b.var_r) / (a.var_naive + b.var_naive) * 1000.0) AS BIGINT) AS deff_milli,
+         CAST(floor((a.r - b.r) / sqrt(a.var_r + b.var_r) * 1000.0) AS BIGINT) AS z_milli,
+         abs((a.r - b.r) / sqrt(a.var_r + b.var_r)) > 1.959964 AS reject
+       FROM m a JOIN m b ON a.arm = 1 AND b.arm = 0"""
+
   /** Always-valid sequential A/B monitor — the mixture SPRT (mSPRT,
     * Johari et al. 2017/2022, the "peeking problem" fix): per day, the
     * cumulative two-sample mean difference in whole-dollar order value
@@ -4494,6 +4588,7 @@ object Stats {
     "q367_mde_planner" -> q367MdePlanner,
     "q374_pass_at_k" -> q374PassAtK,
     "q378_best_of_n" -> q378BestOfN,
+    "q386_ratio_delta" -> q386RatioDelta,
     "q291_msprt" -> q291Msprt,
     "q301_meta_analysis" -> q301MetaAnalysis,
     "q302_srm_sentinel" -> q302SrmSentinel,
@@ -4564,6 +4659,7 @@ object Stats {
     "q367_mde_planner" -> q367Oracle,
     "q374_pass_at_k" -> q374Oracle,
     "q378_best_of_n" -> q378Oracle,
+    "q386_ratio_delta" -> q386Oracle,
     "q291_msprt" -> q291Oracle,
     "q301_meta_analysis" -> q301Oracle,
     "q302_srm_sentinel" -> q302Oracle,

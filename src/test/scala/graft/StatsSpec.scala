@@ -906,6 +906,38 @@ class StatsSpec extends SparkSpec {
     assert(real.map(_._2).distinct.length == 1) // same problem set at every k
   }
 
+  test("q386: clustering inflates the ratio SE; A/A never rejects") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ratio").toString
+    // each arm: two whale customers (5 orders x $1000) and two small
+    // ones (5 orders x $10). Order values cluster hard by customer, so
+    // the delta-method SE must exceed the naive iid-order SE.
+    val rows = for {
+      arm <- 0 to 1; ci <- 0 until 4; oi <- 0 until 5
+    } yield {
+      val key = 2L * (10 * arm + ci) + arm // even for arm 0, odd for arm 1
+      (key, key * 100 + oi, if (ci < 2) 1000.0 else 10.0)
+    }
+    rows.toDF("o_custkey", "o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val g = operators.Stats.q386RatioDelta(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    val (kt, kc, rt, rc, diff, seD, seN, deff, z, reject) = g
+    assert(kt == 4L && kc == 4L)
+    // identical arms: r = (2*5*100000 + 2*5*1000)/20 = 50500 cents
+    assert(rt == 50500000L && rc == 50500000L && diff == 0L && z == 0L)
+    assert(!reject)
+    // the clustering penalty is large and the naive SE hides it
+    assert(seD > seN && deff > 1500L, s"deff $deff")
+    // real corpus A/A: calibrated, and deff is sane (near 1 on
+    // independent synthetic orders)
+    val real = operators.Stats.q386RatioDelta(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    assert(!real._10 && real._8 > 500L && real._8 < 2000L)
+  }
+
   test("q378: best-of-n matches exact combinatorial expectation; curve is monotone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bon").toString
