@@ -2799,6 +2799,111 @@ object Stats {
          abs((a.r - b.r) / sqrt(a.var_r + b.var_r)) > 1.959964 AS reject
        FROM m a JOIN m b ON a.arm = 1 AND b.arm = 0"""
 
+  /** Multiple-testing decision table (q387): q311's 25 per-nation A/A
+    * Welch tests run through all four classic procedures SIDE BY SIDE
+    * — Bonferroni, Holm step-down, Hochberg step-up (the FWER family
+    * in increasing power) and Benjamini–Hochberg (FDR) — because the
+    * platform question is never "is BH right" but "how much do the
+    * procedures disagree on THIS family". The guaranteed nesting
+    * bonf ⊆ holm ⊆ hochberg ⊆ BH is the structural invariant the spec
+    * locks. Step logic is integer over the bounded family: Holm
+    * rejects rank i iff no rank ≤ i fails p·(m−r+1) ≤ α (a running
+    * max over nulls), Hochberg iff some rank ≥ i passes the same bound
+    * (a suffix min). On A/A data all four report zero — the
+    * calibration claim.
+    *
+    * Shape: one fact scan → 25 sufficient-stat rows; every window
+    * runs over the bounded family. */
+  def q387MultipleTesting(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), ($"o_orderkey" % 2 === 1).as("g1"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .select($"nation", $"g1", $"c",
+        ($"c".cast("decimal(12,0)") * $"c".cast("decimal(12,0)")).as("c2"))
+    val a = base.groupBy($"nation").agg(
+      sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+      sum(when($"g1", $"c")).as("s1"),
+      sum(when($"g1", $"c2")).as("q1"),
+      sum(when(!$"g1", 1L).otherwise(0L)).as("n0"),
+      sum(when(!$"g1", $"c")).as("s0"),
+      sum(when(!$"g1", $"c2")).as("q0"))
+    val p = a.selectExpr("nation",
+      """((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+         sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+              (((CAST(q0 AS DOUBLE) - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))) AS zd""")
+      .selectExpr("nation",
+        "CAST(least(floor(2.0 * exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0), 1000000.0) AS BIGINT) AS p_micro")
+    val wAsc = Window.orderBy($"rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy($"rnk".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("rnk", row_number().over(
+        Window.orderBy($"p_micro", $"nation")).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("first_fail_le",
+        max(when($"p_micro" * ($"m" - $"rnk" + 1) > 50000L, $"rnk")).over(wAsc))
+      .withColumn("hoch_any_ge",
+        min(when($"p_micro" * ($"m" - $"rnk" + 1) <= 50000L, $"rnk")).over(wDesc))
+      .withColumn("kstar",
+        max(when($"p_micro" * $"m" <= $"rnk" * 50000L, $"rnk").otherwise(0L))
+          .over(Window.partitionBy()))
+      .select($"nation", $"p_micro", $"rnk",
+        ($"p_micro" * $"m" <= 50000L).as("bonf_reject"),
+        $"first_fail_le".isNull.as("holm_reject"),
+        $"hoch_any_ge".isNotNull.as("hochberg_reject"),
+        ($"rnk" <= $"kstar").as("bh_reject"))
+      .orderBy($"rnk")
+  }
+
+  val q387Oracle: String =
+    """WITH base AS (
+         SELECT n.n_name AS nation, o_orderkey % 2 = 1 AS g1,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+         JOIN nation n ON cu.c_nationkey = n.n_nationkey),
+       a AS (
+         SELECT nation,
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN g1 THEN c END) AS BIGINT) AS s1,
+           sum(CASE WHEN g1 THEN CAST(c AS HUGEINT) * c END) AS q1,
+           CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN NOT g1 THEN c END) AS BIGINT) AS s0,
+           sum(CASE WHEN NOT g1 THEN CAST(c AS HUGEINT) * c END) AS q0
+         FROM base GROUP BY 1),
+       z AS (
+         SELECT nation,
+           ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+             sqrt((((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) +
+                  (((CAST(q0 AS DOUBLE) - (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))) AS zd
+         FROM a),
+       p AS (
+         SELECT nation,
+           CAST(least(floor(2.0 * exp(-0.717 * abs(zd) - 0.416 * zd * zd) * 1000000.0), 1000000.0) AS BIGINT) AS p_micro
+         FROM z),
+       r AS (
+         SELECT nation, p_micro,
+           CAST(row_number() OVER (ORDER BY p_micro, nation) AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS m
+         FROM p),
+       fl AS (
+         SELECT *,
+           CAST(max(CASE WHEN p_micro * (m - rnk + 1) > 50000 THEN rnk ELSE NULL END)
+             OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS first_fail_le,
+           CAST(min(CASE WHEN p_micro * (m - rnk + 1) <= 50000 THEN rnk END)
+             OVER (ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hoch_any_ge,
+           CAST(max(CASE WHEN p_micro * m <= rnk * 50000 THEN rnk ELSE 0 END) OVER () AS BIGINT) AS kstar
+         FROM r)
+       SELECT nation, p_micro, rnk,
+         p_micro * m <= 50000 AS bonf_reject,
+         first_fail_le IS NULL AS holm_reject,
+         hoch_any_ge IS NOT NULL AS hochberg_reject,
+         rnk <= kstar AS bh_reject
+       FROM fl ORDER BY rnk"""
+
   /** Always-valid sequential A/B monitor — the mixture SPRT (mSPRT,
     * Johari et al. 2017/2022, the "peeking problem" fix): per day, the
     * cumulative two-sample mean difference in whole-dollar order value
@@ -4589,6 +4694,7 @@ object Stats {
     "q374_pass_at_k" -> q374PassAtK,
     "q378_best_of_n" -> q378BestOfN,
     "q386_ratio_delta" -> q386RatioDelta,
+    "q387_multiple_testing" -> q387MultipleTesting,
     "q291_msprt" -> q291Msprt,
     "q301_meta_analysis" -> q301MetaAnalysis,
     "q302_srm_sentinel" -> q302SrmSentinel,
@@ -4660,6 +4766,7 @@ object Stats {
     "q374_pass_at_k" -> q374Oracle,
     "q378_best_of_n" -> q378Oracle,
     "q386_ratio_delta" -> q386Oracle,
+    "q387_multiple_testing" -> q387Oracle,
     "q291_msprt" -> q291Oracle,
     "q301_meta_analysis" -> q301Oracle,
     "q302_srm_sentinel" -> q302Oracle,

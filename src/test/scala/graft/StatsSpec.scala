@@ -906,6 +906,42 @@ class StatsSpec extends SparkSpec {
     assert(real.map(_._2).distinct.length == 1) // same problem set at every k
   }
 
+  test("q387: the four procedures nest; planted signal rejects everywhere, null nowhere") {
+    import spark.implicits._
+    // A/A corpus: all four procedures must report zero rejections
+    val real = operators.Stats.q387MultipleTesting(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(real.length == 25)
+    real.foreach { case (_, _, _, bonf, holm, hoch, bh) =>
+      assert(!bonf && !holm && !hoch && !bh)
+      // the power ordering is structural, not data-dependent
+      assert(!bonf || holm); assert(!holm || hoch); assert(!hoch || bh)
+    }
+    // planted effect: nation A's odd orders pay 10x; B and C are null
+    val dir = java.nio.file.Files.createTempDirectory("mt").toString
+    Seq((0L, "A"), (1L, "B"), (2L, "C"))
+      .toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    (1 to 60).map(i => (i.toLong, (i % 3).toLong))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (1 to 600).map { k =>
+      val cust = (k % 60) + 1L
+      val nat = cust % 3
+      val price = if (nat == 0 && k % 2 == 1) 1000.0 + k % 7
+        else 100.0 + k % 7
+      (k.toLong, cust, price)
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Stats.q387MultipleTesting(spark, dir)
+      .as[(String, Long, Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._4 && got("A")._5 && got("A")._6 && got("A")._7)
+    Seq("B", "C").foreach { n =>
+      assert(!got(n)._4 && !got(n)._5 && !got(n)._6 && !got(n)._7)
+    }
+  }
+
   test("q386: clustering inflates the ratio SE; A/A never rejects") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ratio").toString
