@@ -1523,7 +1523,94 @@ object Corpus {
        FROM allsum a JOIN parts p ON a.source = p.source CROSS JOIN hfull
        ORDER BY a.source"""
 
+  /** Speculative-decoding acceptance audit (q388): if a cheap draft
+    * model trained on ONE source proposes tokens that the corpus-wide
+    * target model verifies (Leviathan et al. 2023 rejection scheme),
+    * the per-token acceptance rate is E_{x~q}[min(1, p(x)/q(x))] =
+    * Σ_x min(p(x), q(x)) = 1 − TV(p, q). Scoring every source's
+    * unigram LM against the corpus LM ranks WHICH slice of the data
+    * would make the best draft model — and 1−TV doubles as the
+    * distribution-shift distance the mixture designer (q85/q369)
+    * wants next to per-source entropy (q115) and LOO value (q377).
+    *
+    * Exactness: the min() split is decided by cross-multiplied
+    * DECIMAL/HUGEINT comparisons (q369 discipline — no division in a
+    * comparison); Σ min then has the closed form A/T + B/T_s with A =
+    * Σ c_global over globally-smaller types and B = Σ c_source over
+    * the rest, floored ONCE to ppm on the exact rational. The k=4
+    * lookahead speedup (1−α⁵)/(1−α) is the only float step —
+    * explicit-parenthesis products of the ppm-quantized α, identical
+    * IEEE on both engines (q374's HOF-product rule).
+    *
+    * Shape at scale: one corpus scan → (source, type) partials; the
+    * vocab-sized join against the global histogram is the only wide
+    * exchange; output is |sources| rows. */
+  def q388SpecDecodeAccept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sw = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val gw = sw.groupBy($"w").agg(sum($"c").as("cg"))
+    val tot = sw.agg(sum($"c").as("t"))
+    val stot = sw.groupBy($"source").agg(sum($"c").as("ts"))
+    val globalSmaller = expr(
+      """CAST(cg AS DECIMAL(20,0)) * CAST(ts AS DECIMAL(18,0))
+         <= CAST(c AS DECIMAL(20,0)) * CAST(t AS DECIMAL(18,0))""")
+    val ab = sw.join(gw, "w").crossJoin(broadcast(tot))
+      .join(broadcast(stot), "source")
+      .groupBy($"source").agg(
+        sum(when(globalSmaller, $"cg").otherwise(0L)).as("a"),
+        sum(when(globalSmaller, 0L).otherwise($"c")).as("b"),
+        count(lit(1)).as("vocab"))
+    ab.crossJoin(broadcast(tot)).join(broadcast(stot), "source")
+      .select($"source", $"ts".as("tokens"), $"vocab",
+        expr("""CAST(((CAST(a AS DECIMAL(20,0)) * ts
+                       + CAST(b AS DECIMAL(20,0)) * t) * 1000000)
+                div (CAST(t AS DECIMAL(20,0)) * ts) AS BIGINT)""")
+          .as("accept_ppm"))
+      .withColumn("alpha", $"accept_ppm".cast("double") / 1000000.0)
+      .select($"source", $"tokens", $"vocab", $"accept_ppm",
+        when($"accept_ppm" >= 1000000L, 5000L)
+          .otherwise(floor(
+            (lit(1.0) - (($"alpha" * $"alpha") * ($"alpha" * $"alpha")) * $"alpha")
+              / (lit(1.0) - $"alpha") * lit(1000.0)).cast("long"))
+          .as("speedup_milli"))
+      .orderBy($"source")
+  }
+
+  val q388Oracle: String =
+    """WITH tk AS (
+         SELECT source, unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS w
+         FROM documents),
+       sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+       gw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM sw GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sw),
+       stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM sw GROUP BY 1),
+       ab AS (
+         SELECT sw.source,
+           CAST(sum(CASE WHEN CAST(gw.cg AS HUGEINT) * st.ts <= CAST(sw.c AS HUGEINT) * tot.t
+                    THEN gw.cg ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN CAST(gw.cg AS HUGEINT) * st.ts <= CAST(sw.c AS HUGEINT) * tot.t
+                    THEN 0 ELSE sw.c END) AS BIGINT) AS b,
+           CAST(count(*) AS BIGINT) AS vocab
+         FROM sw JOIN gw USING (w) CROSS JOIN tot
+           JOIN stot st ON st.source = sw.source
+         GROUP BY 1),
+       acc AS (
+         SELECT ab.source, st.ts AS tokens, ab.vocab,
+           CAST((CAST(ab.a AS HUGEINT) * st.ts + CAST(ab.b AS HUGEINT) * tot.t) * 1000000
+                // (CAST(tot.t AS HUGEINT) * st.ts) AS BIGINT) AS accept_ppm
+         FROM ab CROSS JOIN tot JOIN stot st ON st.source = ab.source),
+       al AS (SELECT *, CAST(accept_ppm AS DOUBLE) / 1000000.0 AS alpha FROM acc)
+       SELECT source, tokens, vocab, accept_ppm,
+         CASE WHEN accept_ppm >= 1000000 THEN CAST(5000 AS BIGINT)
+              ELSE CAST(floor((1.0 - ((alpha*alpha)*(alpha*alpha))*alpha)
+                              / (1.0 - alpha) * 1000.0) AS BIGINT) END AS speedup_milli
+       FROM al ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_spec_decode_accept" -> q388SpecDecodeAccept,
     "q377_source_value_lm" -> q377SourceValueLm,
     "q272_perplexity_buckets" -> q272PerplexityBuckets,
     "q175_concentration" -> q175Concentration,
@@ -1552,6 +1639,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q388_spec_decode_accept" -> q388Oracle,
     "q377_source_value_lm" -> q377Oracle,
     "q272_perplexity_buckets" -> q272Oracle,
     "q175_concentration" -> q175Oracle,

@@ -47,6 +47,48 @@ class CorpusSpec extends SparkSpec {
     cp.foreach(r => assert(math.abs(r._5) <= 2, s"${r._1}: ${r._5}"))
   }
 
+  test("q388: disjoint-vocab source accepts at its corpus share; identical-LM source at 1") {
+    val dir = java.nio.file.Files.createTempDirectory("spec").toString
+    // srcA: all 'a' (4 tokens); srcB: all 'b' (4 tokens). Corpus LM:
+    // p(a)=p(b)=1/2. Draft q_A(a)=1 -> sum min = min(1/2, 1) = 1/2.
+    // alpha=.5 -> speedup (1-.5^5)/(1-.5) = 1.9375 -> 1937 milli.
+    Seq(
+      (1L, "a a a a", "en", "srcA", 1L),
+      (2L, "b b b b", "en", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Corpus.q388SpecDecodeAccept(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("srcA") == ("srcA", 4L, 1L, 500000L, 1937L))
+    assert(got("srcB") == ("srcB", 4L, 1L, 500000L, 1937L))
+    // two copies of the same text: each source's LM IS the corpus LM
+    // -> full acceptance, capped speedup k+1 = 5
+    val dir2 = java.nio.file.Files.createTempDirectory("spec2").toString
+    Seq(
+      (1L, "a b a b", "en", "s1", 1L),
+      (2L, "a b a b", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val cp = graft.operators.Corpus.q388SpecDecodeAccept(spark, dir2)
+      .as[(String, Long, Long, Long, Long)].collect()
+    cp.foreach { r =>
+      assert(r._4 == 1000000L, s"${r._1}: ${r._4}")
+      assert(r._5 == 5000L, s"${r._1}: ${r._5}")
+    }
+    // skewed draft vs corpus: srcC 3:1 on {a,b}, srcD 1:3 -> corpus
+    // 1:1. For srcC: min(1/2,3/4)+min(1/2,1/4) = 3/4 -> 750000 ppm
+    val dir3 = java.nio.file.Files.createTempDirectory("spec3").toString
+    Seq(
+      (1L, "a a a b", "en", "srcC", 1L),
+      (2L, "a b b b", "en", "srcD", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+    val sk = graft.operators.Corpus.q388SpecDecodeAccept(spark, dir3)
+      .as[(String, Long, Long, Long, Long)].collect()
+    sk.foreach(r => assert(r._4 == 750000L, s"${r._1}: ${r._4}"))
+  }
+
   test("incrementalCc: cascaded merges through new docs equal the full recompute") {
     // old graph: components {1,2} and {11,12}; old singleton 7 (no
     // edges). Delta: new doc 20 BRIDGES both old components (2-20,
