@@ -1609,7 +1609,106 @@ object Corpus {
                               / (1.0 - alpha) * 1000.0) AS BIGINT) END AS speedup_milli
        FROM al ORDER BY source"""
 
+  /** Modified Kneser–Ney estimation table (q389): the statistics a
+    * KenLM-style n-gram LM build derives before any probability is
+    * emitted — per-language bigram count-of-counts n1..n4, the three
+    * Chen–Goodman (1999) discounts D1 = 1 − 2Y·n2/n1, D2 = 2 −
+    * 3Y·n3/n2, D3+ = 3 − 4Y·n4/n3 with Y = n1/(n1+2n2), and the
+    * continuation-count exhibit behind KN's lower-order distribution:
+    * the word with the most distinct left contexts (top_cont) vs the
+    * word with the highest raw continuation mass (top_raw) — the
+    * "Francisco" effect (high raw count, one context) made visible.
+    *
+    * Exactness: each discount is a single floor over an exact
+    * rational — algebra first (D1 reduces to 1 − 2n2/(n1+2n2)), then
+    * one div with cross-multiplied DECIMAL/HUGEINT numerators so the
+    * 100 TB count-of-counts cannot overflow; zero denominators are
+    * nullif'd identically on both sides. Argmaxes are min-of-struct
+    * aggregations ((−count, word) — largest count, then UTF-8-least
+    * word), never a vocab-sized sort.
+    *
+    * Shape at scale: one corpus scan → (lang, w1, w2) partials; two
+    * stacked vocab-sized groupBys; output is |langs| rows. */
+  def q389KneserNey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .select($"lang", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"lang", explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"))
+        .as("bg"))
+      .groupBy($"lang", $"bg.w1", $"bg.w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val fof = bg.groupBy($"lang").agg(
+      count(lit(1)).as("bigram_types"),
+      sum(when($"c12" === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when($"c12" === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when($"c12" === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when($"c12" === 4, 1L).otherwise(0L)).as("n4"))
+    val disc = fof.select($"lang", $"bigram_types",
+      $"n1", $"n2", $"n3", $"n4",
+      expr("1000000 - (2000000 * n2) div nullif(n1 + 2 * n2, 0)")
+        .as("d1_micro"),
+      expr("""2000000 - CAST(3 AS DECIMAL(20,0)) * n1 * n3 * 1000000
+              div (CAST(n1 + 2 * n2 AS DECIMAL(20,0)) * nullif(n2, 0))""")
+        .as("d2_micro"),
+      expr("""3000000 - CAST(4 AS DECIMAL(20,0)) * n1 * n4 * 1000000
+              div (CAST(n1 + 2 * n2 AS DECIMAL(20,0)) * nullif(n3, 0))""")
+        .as("d3_micro"))
+    val cont = bg.groupBy($"lang", $"w2")
+      .agg(count(lit(1)).as("nc"), sum($"c12").as("raw"))
+    val tops = cont.groupBy($"lang").agg(
+        min(struct((-$"nc").as("k"), $"w2".as("w"))).as("tc"),
+        min(struct((-$"raw").as("k"), $"w2".as("w"))).as("tr"))
+      .select($"lang", $"tc.w".as("top_cont_w"), (-$"tc.k").as("top_cont_types"),
+        $"tr.w".as("top_raw_w"), (-$"tr.k").as("top_raw_c"))
+    disc.join(tops, "lang").orderBy($"lang")
+  }
+
+  val q389Oracle: String =
+    """WITH t AS (
+         SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       bg0 AS (
+         SELECT lang, unnest(list_transform(generate_series(1, len(tk)-1),
+           i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+         FROM t WHERE len(tk) >= 2),
+       c12 AS (SELECT lang, u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+               FROM bg0 GROUP BY 1, 2, 3),
+       fof AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS bigram_types,
+           CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         FROM c12 GROUP BY 1),
+       disc AS (
+         SELECT lang, bigram_types, n1, n2, n3, n4,
+           1000000 - (2000000 * n2) // nullif(n1 + 2 * n2, 0) AS d1_micro,
+           2000000 - CAST(CAST(3 AS HUGEINT) * n1 * n3 * 1000000
+                     // (CAST(n1 + 2 * n2 AS HUGEINT) * nullif(n2, 0)) AS BIGINT) AS d2_micro,
+           3000000 - CAST(CAST(4 AS HUGEINT) * n1 * n4 * 1000000
+                     // (CAST(n1 + 2 * n2 AS HUGEINT) * nullif(n3, 0)) AS BIGINT) AS d3_micro
+         FROM fof),
+       cont AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS nc,
+                  CAST(sum(c12) AS BIGINT) AS raw
+                FROM c12 GROUP BY 1, 2),
+       tc AS (SELECT lang, w2 AS top_cont_w, nc AS top_cont_types,
+                row_number() OVER (PARTITION BY lang ORDER BY nc DESC, w2) AS rn
+              FROM cont),
+       tr AS (SELECT lang, w2 AS top_raw_w, raw AS top_raw_c,
+                row_number() OVER (PARTITION BY lang ORDER BY raw DESC, w2) AS rn
+              FROM cont)
+       SELECT d.lang, d.bigram_types, d.n1, d.n2, d.n3, d.n4,
+         d.d1_micro, d.d2_micro, d.d3_micro,
+         tc.top_cont_w, tc.top_cont_types, tr.top_raw_w, tr.top_raw_c
+       FROM disc d
+         JOIN tc ON tc.lang = d.lang AND tc.rn = 1
+         JOIN tr ON tr.lang = d.lang AND tr.rn = 1
+       ORDER BY d.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_kneser_ney" -> q389KneserNey,
     "q388_spec_decode_accept" -> q388SpecDecodeAccept,
     "q377_source_value_lm" -> q377SourceValueLm,
     "q272_perplexity_buckets" -> q272PerplexityBuckets,
@@ -1639,6 +1738,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q389_kneser_ney" -> q389Oracle,
     "q388_spec_decode_accept" -> q388Oracle,
     "q377_source_value_lm" -> q377Oracle,
     "q272_perplexity_buckets" -> q272Oracle,

@@ -89,6 +89,40 @@ class CorpusSpec extends SparkSpec {
     sk.foreach(r => assert(r._4 == 750000L, s"${r._1}: ${r._4}"))
   }
 
+  test("q389: crafted count-of-counts pin the discounts; Francisco effect splits the argmaxes") {
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    // "a b a b a c": bigrams ab,ba,ab,ba,ac -> c12 ab:2 ba:2 ac:1
+    // n1=1 n2=2 n3=n4=0; Y-denom 5; D1 = 1 - 4/5 = 0.2; D2 = 2 (n3=0
+    // numerator vanishes); D3 NULL (n3=0 denominator).
+    // "x the y the z the san^4 francisco^4": 'the' has 3 left contexts
+    // (x,y,z), 'francisco' has 1 (san) but raw mass 4 -> top_cont='the',
+    // top_raw='francisco' (tie with san broken by word order).
+    Seq(
+      (1L, "a b a b a c", "aa", "s", 1L),
+      (2L, "x the y the z the san francisco san francisco san francisco san francisco", "bb", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Corpus.q389KneserNey(spark, dir)
+    val aa = got.filter($"lang" === "aa")
+      .select($"bigram_types", $"n1", $"n2", $"n3", $"n4",
+        $"d1_micro", $"d2_micro", $"d3_micro", $"top_cont_w", $"top_raw_w")
+      .collect().head
+    assert(aa.getLong(0) == 3L && aa.getLong(1) == 1L && aa.getLong(2) == 2L)
+    assert(aa.getLong(5) == 200000L, s"d1 ${aa.getLong(5)}")
+    assert(aa.getLong(6) == 2000000L, s"d2 ${aa.getLong(6)}")
+    assert(aa.isNullAt(7), "d3 should be NULL when n3 = 0")
+    assert(aa.getString(8) == "a" && aa.getString(9) == "a")
+    val bb = got.filter($"lang" === "bb")
+      .select($"n1", $"n2", $"n3", $"n4", $"d1_micro", $"d3_micro",
+        $"top_cont_w", $"top_cont_types", $"top_raw_w", $"top_raw_c")
+      .collect().head
+    // n1=6 n2=0 n3=1 n4=1: D1 = 1; D3 = 3 - 4*6*1/(6*1) = -1
+    assert((bb.getLong(0), bb.getLong(1), bb.getLong(2), bb.getLong(3)) == ((6L, 0L, 1L, 1L)))
+    assert(bb.getLong(4) == 1000000L && bb.getLong(5) == -1000000L)
+    assert(bb.getString(6) == "the" && bb.getLong(7) == 3L)
+    assert(bb.getString(8) == "francisco" && bb.getLong(9) == 4L)
+  }
+
   test("incrementalCc: cascaded merges through new docs equal the full recompute") {
     // old graph: components {1,2} and {11,12}; old singleton 7 (no
     // edges). Delta: new doc 20 BRIDGES both old components (2-20,
