@@ -2073,12 +2073,21 @@ object Similarity {
         byQ.orderBy($"ril", $"clabel", $"cid")).cast("long"))
       .groupBy($"qid").agg(
         sum(expr(s"element_at($wtArr, CAST(irn AS INT)) * (1000000 div CAST(pow(2, ril) AS BIGINT))")).as("idcg"))
+    // ndcg_rel_num can floor to 0 when every candidate's integer
+    // cosine² rel quantizes to 0 (near-orthogonal corpus): Spark `div`
+    // by 0 yields NULL while DuckDB `//` 0 errors, so both bps are
+    // pinned to the −1 sentinel in that case (ADVICE r7). The rel
+    // normalizer is its own numerator, so the non-degenerate value is
+    // the literal 10000, not a self-division.
     dcg.join(ideal, "qid")
       .select($"qid",
         expr("10000 * dcg_rel div idcg").as("andcg_rel_bp"),
         expr("10000 * dcg_div div idcg").as("andcg_div_bp"),
-        expr("10000 * ndcg_rel_num div ndcg_rel_num").as("ndcg_rel_bp"),
-        expr("10000 * ndcg_div_num div ndcg_rel_num").as("ndcg_div_bp"))
+        when($"ndcg_rel_num" > 0, lit(10000L)).otherwise(lit(-1L))
+          .as("ndcg_rel_bp"),
+        when($"ndcg_rel_num" > 0,
+          expr("10000 * ndcg_div_num div ndcg_rel_num"))
+          .otherwise(lit(-1L)).as("ndcg_div_bp"))
       .orderBy($"qid")
   }
 
@@ -2135,8 +2144,9 @@ object Similarity {
          GROUP BY qid)
        SELECT d.qid, 10000 * d.dcg_rel // i.idcg AS andcg_rel_bp,
          10000 * d.dcg_div // i.idcg AS andcg_div_bp,
-         10000 * d.ndcg_rel_num // d.ndcg_rel_num AS ndcg_rel_bp,
-         10000 * d.ndcg_div_num // d.ndcg_rel_num AS ndcg_div_bp
+         CAST(CASE WHEN d.ndcg_rel_num > 0 THEN 10000 ELSE -1 END AS BIGINT) AS ndcg_rel_bp,
+         CAST(CASE WHEN d.ndcg_rel_num > 0
+           THEN 10000 * d.ndcg_div_num // d.ndcg_rel_num ELSE -1 END AS BIGINT) AS ndcg_div_bp
        FROM dcg d JOIN ideal i ON d.qid = i.qid ORDER BY d.qid"""
   }
 
@@ -2155,9 +2165,12 @@ object Similarity {
     * same corpus as doc_id — the testdata generates them in
     * parallel).
     *
-    * Shape: q46's broadcast-queries candidate scan + one broadcast
-    * cost join; both packings are qid-partitioned cumulative windows
-    * over the ≤20-row candidate sets. */
+    * Shape: q46's broadcast-queries candidate scan with the token-cost
+    * join applied to the candidate side BEFORE ranking (the oracle's
+    * `sc` relation — candidate-set parity does not rest on a
+    * vec_id↔doc_id completeness invariant of the testdata); both
+    * packings are qid-partitioned cumulative windows over the ≤20-row
+    * candidate sets. */
   def q379ContextPack(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = quantized(s, d)
@@ -2165,8 +2178,16 @@ object Similarity {
       .select($"doc_id".as("cid"),
         size(graft.functions.Fns.tokens($"text")).cast("long").as("cost"))
     val byQ = Window.partitionBy($"qid")
+    // cost joins into the CANDIDATE relation before ranking (mirroring
+    // the oracle's `sc`): a cid with no documents row must not occupy a
+    // rank slot — otherwise the two engines rank over different
+    // candidate sets whenever the vec_id↔doc_id correspondence has a
+    // hole, and the packed prefixes diverge (ADVICE r7). Joining on the
+    // candidate side (pre-pairing) also evaluates the join once per
+    // candidate, not once per (query, candidate) pair.
     val cand = q.select($"vec_id".as("cid"), $"label".as("clabel"),
         $"qa".as("cv"), $"n2".as("cn"))
+      .join(cost, "cid")
       .join(broadcast(q.filter($"vec_id" < 20)
         .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))),
         $"qid" =!= $"cid")
@@ -2175,7 +2196,6 @@ object Similarity {
       .withColumn("rel", expr("(num * num * 10000) div (qn * cn)"))
       .withColumn("rn", row_number().over(byQ.orderBy($"rel".desc, $"cid")))
       .filter($"rn" <= 20)
-      .join(cost, "cid")
       .select($"qid", $"cid", $"clabel", $"rel", $"rn".cast("long").as("rn"),
         $"cost")
       .localCheckpoint()
@@ -2246,29 +2266,55 @@ object Similarity {
        FROM ordered WHERE cum <= 256
        GROUP BY 1, 2 ORDER BY qid, policy"""
 
+  /** Hard ceiling on the hubness audit's query set: the query side is
+    * the BROADCAST side of the k-NN pass, so it must be bounded by
+    * construction (64-dim quantized vectors ≈ 550 B/row → ≤ ~36 MB).
+    * The q317 `vocabCap` pattern (Lexicon.scala). */
+  val MaxHubnessQueries = 65536
+
   /** ANN hubness audit (q383, Radovanović et al. 2010): in
     * high-dimensional spaces some points become HUBS — they appear in
     * a wildly disproportionate share of other points' k-NN lists —
     * and hubness silently degrades every k-NN consumer this engine
     * ships (q271's label audit, q122's pseudo-labels, q83's semantic
     * dedup). The metric is the skewness of the k-occurrence
-    * distribution N_k (how often each point shows up in others'
-    * top-10), with hub (N_k ≥ 2k) and antihub (N_k = 0) counts and
-    * the worst offender's id. Skewness comes from exact integer
-    * moments in ONE double tree, with var^1.5 written as var·√var
-    * (sqrt is correctly rounded on both engines; pow is not —
-    * cross-engine parity forbids pow here).
+    * distribution N_k (how often each point shows up in the sampled
+    * queries' top-10 lists, scaled by the sample modulus), with hub
+    * (estimated N_k ≥ 2k) and antihub (N_k = 0) counts and the worst
+    * offender's id. Skewness comes from exact integer moments in ONE
+    * double tree, with var^1.5 written as var·√var (sqrt is correctly
+    * rounded on both engines; pow is not — cross-engine parity
+    * forbids pow here).
     *
-    * Shape: the k-NN pass is the q271-class full pairwise audit (all
-    * points as queries — at production scale the audit runs on a
-    * query SAMPLE; the k-occurrence estimator is unbiased under
-    * uniform sampling); everything after is |points|-bounded. */
-  def q383HubnessAudit(s: SparkSession, d: String): DataFrame = {
+    * Shape (VERDICT r7 #1 — the sample is now CODE, not prose): the
+    * query side is a deterministic residue-class sample
+    * (vec_id % sampleMod = 0 — unbiased for the k-occurrence
+    * estimator, mirrorable in any SQL engine) under a HARD query cap
+    * enforced as `orderBy(qid).limit(queryCap)` in the plan itself, so
+    * the broadcast side is provably bounded (GlobalLimit — the same
+    * boundedness predicate `BroadcastShapeSpec` audits mechanically).
+    * The candidate side streams once through the broadcast nested
+    * loop — O(N·|S|) with |S| ≤ queryCap ≤ [[MaxHubnessQueries]], not
+    * O(N²). Everything after the k-NN pass is |points|-bounded.
+    * Hub threshold scales with the sample: N_k is estimated by
+    * o·sampleMod, so `hub ⟺ o·sampleMod ≥ 2k` — exact integers on
+    * both engines. Moments form o² and o³ in DECIMAL (o ≤ k·|S| <
+    * 10¹² fits (12,0); products stay exact in (38,0)) mirroring the
+    * oracle's HUGEINT — a plain Long sum of o³ would wrap silently
+    * past n_points ~1e6 (ADVICE r7). */
+  def hubnessAudit(s: SparkSession, d: String, sampleMod: Int,
+      queryCap: Int): DataFrame = {
     import s.implicits._
+    require(sampleMod >= 1, s"hubnessAudit: sampleMod must be >= 1, got $sampleMod")
+    require(queryCap >= 1 && queryCap <= MaxHubnessQueries,
+      s"hubnessAudit: queryCap must be in [1, $MaxHubnessQueries] " +
+        s"(the broadcast side is the query set), got $queryCap")
     val q = quantized(s, d)
+    val qs = q.filter(pmod($"vec_id", lit(sampleMod.toLong)) === 0)
+      .select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))
+      .orderBy($"qid").limit(queryCap)
     val nn = q.select($"vec_id".as("cid"), $"qa".as("cv"), $"n2".as("cn"))
-      .join(broadcast(q.select($"vec_id".as("qid"), $"qa".as("qv"), $"n2".as("qn"))),
-        $"qid" =!= $"cid")
+      .join(broadcast(qs), $"qid" =!= $"cid")
       .withColumn("num", dotQ($"qv", $"cv"))
       .filter($"num" > 0)
       .withColumn("rk", expr("(num * num * 10000) div (qn * cn)"))
@@ -2280,10 +2326,11 @@ object Similarity {
     val tot = q.agg(count(lit(1)).as("np"))
     val hub = occ.orderBy($"o".desc, $"cid").limit(1)
       .select($"cid".as("top_hub_id"))
-    val mom = occ.agg(sum($"o").as("s1"), sum($"o" * $"o").as("s2"),
-      sum($"o" * $"o" * $"o").as("s3"), max($"o").as("mx"),
+    val od = $"o".cast("decimal(12,0)")
+    val mom = occ.agg(sum($"o").as("s1"), sum(od * od).as("s2"),
+      sum(od * od * od).as("s3"), max($"o").as("mx"),
       count(lit(1)).as("n_occ"),
-      sum(when($"o" >= 20, 1L).otherwise(0L)).as("n_hubs"))
+      sum(when($"o" * sampleMod >= 20, 1L).otherwise(0L)).as("n_hubs"))
     tot.crossJoin(broadcast(mom)).crossJoin(broadcast(hub))
       .selectExpr("np AS n_points", "n_occ AS n_occurring",
         "np - n_occ AS n_antihubs", "mx AS max_occ", "top_hub_id", "n_hubs",
@@ -2296,6 +2343,13 @@ object Similarity {
              * 1000.0) AS BIGINT) AS skew_milli""")
   }
 
+  /** q383 registration: 1-in-4 residue-class query sample under the
+    * [[MaxHubnessQueries]] hard cap (non-binding at test SF, binding —
+    * and plan-enforced — at corpus scale). */
+  val Q383SampleMod = 4
+  def q383HubnessAudit(s: SparkSession, d: String): DataFrame =
+    hubnessAudit(s, d, Q383SampleMod, MaxHubnessQueries)
+
   val q383Oracle: String =
     """WITH q AS (
          SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
@@ -2303,6 +2357,9 @@ object Similarity {
        n AS (
          SELECT vec_id, qa, CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
          FROM q),
+       qs AS (
+         SELECT vec_id, qa, n2 FROM n WHERE vec_id % 4 = 0
+         ORDER BY vec_id LIMIT 65536),
        nn AS (
          SELECT qid, cid FROM (
            SELECT a.vec_id AS qid, b.vec_id AS cid,
@@ -2310,7 +2367,7 @@ object Similarity {
                (CAST(list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) AS BIGINT)
                  * list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) * 10000)
                  // (a.n2 * b.n2) DESC, b.vec_id) AS rn
-           FROM n a JOIN n b ON a.vec_id <> b.vec_id
+           FROM qs a JOIN n b ON a.vec_id <> b.vec_id
            WHERE list_sum(list_transform(list_zip(a.qa, b.qa), p -> p[1]*p[2])) > 0)
          WHERE rn <= 10),
        occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS o FROM nn GROUP BY 1),
@@ -2321,7 +2378,7 @@ object Similarity {
            CAST(sum(CAST(o AS HUGEINT)*o) AS BIGINT) AS s2,
            CAST(sum(CAST(o AS HUGEINT)*o*o) AS BIGINT) AS s3,
            CAST(max(o) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS n_occ,
-           CAST(sum(CASE WHEN o >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+           CAST(sum(CASE WHEN o * 4 >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
          FROM occ)
        SELECT tot.np AS n_points, mom.n_occ AS n_occurring,
          tot.np - mom.n_occ AS n_antihubs, mom.mx AS max_occ,

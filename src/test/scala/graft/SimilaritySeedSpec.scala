@@ -280,7 +280,8 @@ class SimilaritySeedSpec extends SparkSpec {
       cluster(Seq(-0.3f, -0.3f, 1f), 21 to 24) :+
       (30L, Seq(1f, 1f, 1f), 0)
     val d = embDir(pts)
-    val got = Similarity.q383HubnessAudit(spark, d)
+    // sampleMod=1 = the exhaustive audit (every point a query)
+    val got = Similarity.hubnessAudit(spark, d, 1, Similarity.MaxHubnessQueries)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
     val (nPts, nOcc, nAnti, maxOcc, topHub, nHubs, skew) = got
     assert(nPts == 13L && nOcc == 13L && nAnti == 0L)
@@ -291,7 +292,41 @@ class SimilaritySeedSpec extends SparkSpec {
     val real = Similarity.q383HubnessAudit(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
     assert(real._1 == real._2 + real._3)
-    assert(real._4 >= 10L) // someone is at least average-popular
+  }
+
+  test("q383: the query sample and cap are enforced IN THE PLAN, not prose") {
+    // residue-class sample: of the planted ids {1-4,11-14,21-24,30}
+    // only {4,12,24} are ≡ 0 (mod 4), so the sampled audit ranks
+    // exactly 3 query lists; the hub can occur at most 3 times
+    def cluster(base: Seq[Float], ids: Range) = ids.zipWithIndex.map {
+      case (id, i) => (id.toLong,
+        base.updated(base.indexWhere(_ > 0), base.max - i * 0.01f), 0)
+    }
+    val pts =
+      cluster(Seq(1f, -0.3f, -0.3f), 1 to 4) ++
+      cluster(Seq(-0.3f, 1f, -0.3f), 11 to 14) ++
+      cluster(Seq(-0.3f, -0.3f, 1f), 21 to 24) :+
+      (30L, Seq(1f, 1f, 1f), 0)
+    val d = embDir(pts)
+    val sampled = Similarity.hubnessAudit(spark, d, 4, Similarity.MaxHubnessQueries)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(sampled._1 == 13L)        // n_points is the FULL population
+    assert(sampled._4 == 3L)         // hub occ capped by the 3 sampled queries
+    assert(sampled._5 == 30L)        // and it is still the hub
+    // the hard cap rides the plan as a global limit on the broadcast
+    // (query) side — the boundedness BroadcastShapeSpec verifies
+    val capped = Similarity.hubnessAudit(spark, d, 1, 3)
+    val planStr = capped.queryExecution.sparkPlan.toString
+    assert(planStr.contains("TakeOrderedAndProject") || planStr.contains("GlobalLimit"))
+    val occMass = capped.as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(occMass._1 == 13L)
+    assert(occMass._4 <= 3L)         // ≤ cap query lists to appear in
+    // guards: the audit REFUSES an unbounded/invalid query side
+    intercept[IllegalArgumentException](
+      Similarity.hubnessAudit(spark, d, 0, 10))
+    intercept[IllegalArgumentException](
+      Similarity.hubnessAudit(spark, d, 4, Similarity.MaxHubnessQueries + 1))
   }
 
   test("q379: packing respects the budget; rr never loses topic coverage") {
