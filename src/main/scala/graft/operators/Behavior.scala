@@ -335,7 +335,8 @@ object Behavior {
   def q190Trending(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+      // part scales with SF — no forced broadcast (stats/AQE pick)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .select($"p_brand", $"l_shipdate")
     val mx = li.agg(max(to_date($"l_shipdate")).as("d_max"))

@@ -65,16 +65,18 @@ object Corpus {
   /** Retention cohort analysis — the classic growth-analytics matrix:
     * users bucketed by first-activity day (cohort), each later active
     * day counted as a (cohort, day-offset) cell of distinct users.
-    * Shape at scale: one (user → min day) aggregate, one broadcastable
-    * join back (the cohort map is |users| rows — tiny vs events), then
-    * a distinct-collapsing aggregate keyed by (cohort, offset); every
-    * stage partially aggregates map-side. */
+    * Shape at scale: one (user → min day) aggregate, an equi-join back
+    * on user_id (the cohort map is |users| rows — SMALLER than events
+    * but still data-sized, so it carries no broadcast hint: the join
+    * shuffles on user_id at scale, and AQE broadcasts it only while it
+    * fits), then a distinct-collapsing aggregate keyed by (cohort,
+    * offset); every stage partially aggregates map-side. */
   def q106RetentionCohorts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.events(s, d)
       .select($"user_id", to_date($"ts").as("day"))
     val cohort = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    e.join(broadcast(cohort), "user_id")
+    e.join(cohort, "user_id")
       .select($"user_id", $"cohort_day",
         datediff($"day", $"cohort_day").cast("long").as("day_offset"))
       .distinct()

@@ -1533,6 +1533,11 @@ object Curation {
         """CAST(cap_n AS DECIMAL(20,0)) * CAST(wrem AS DECIMAL(18,0))
            > CAST(r AS DECIMAL(20,0)) * CAST(wm_n AS DECIMAL(18,0))"""))
       .select($"j".as("vj"), $"r", $"wrem")
+      // the bracketing conditions admit exactly ONE water level, but
+      // sRows' checkpoint erased the provenance that proves the
+      // relation small — the limit restates the bound in the plan
+      // (no-op at runtime) for the broadcast audit
+      .limit(1)
     sRows.crossJoin(broadcast(valid))
       .select($"source", $"tok", $"wm".as("w_milli"),
         ($"j" <= $"vj").as("capped"),
@@ -1628,8 +1633,12 @@ object Curation {
         .localCheckpoint()
       rounds += next
     }
+    // each DP round is ≤ 512 rows (one per capped length) but the
+    // checkpoints erased that provenance — the limit restates the
+    // histogram bound in the plan (no-op at runtime) so the broadcast
+    // audit can prove the backtracking joins' build sides bounded
     def named(df: DataFrame, n: Int) =
-      df.select($"b".as(s"b$n"), $"arg".as(s"a$n"))
+      df.select($"b".as(s"b$n"), $"arg".as(s"a$n")).limit(512)
     val t4 = named(rounds(3), 4).join(broadcast(mx), $"b4" === $"lmax")
       .select($"b4", $"a4")
     val t3 = named(rounds(2), 3).join(broadcast(t4), $"b3" === $"a4")

@@ -163,12 +163,14 @@ object Dedup {
     * shape of q41: a small new batch (doc_id % 10 == 0 stands in for
     * "today's crawl") is probed against the existing corpus index, and
     * each new doc reports how many distinct corpus docs share an LSH
-    * band with it. The batch side is explicitly `broadcast()`: at
-    * 100 TB the corpus band index is a maintained table bucketed on
-    * (b, band_key) and never reshuffles — only the day's batch (orders
-    * of magnitude smaller) moves, as a broadcast hash join probe. Here
-    * both sides derive from one `minhashBands` pass so the corpus half
-    * of the plan is computed once and reused. */
+    * band with it. At 100 TB the corpus band index is a maintained
+    * table bucketed on (b, band_key) and never reshuffles — only the
+    * day's batch (orders of magnitude smaller, but still data-sized)
+    * moves through the equi-join, which therefore carries NO broadcast
+    * hint: AQE broadcasts the batch while it fits the threshold and
+    * shuffles batch-sized rows beyond it. Here both sides derive from
+    * one `minhashBands` pass so the corpus half of the plan is
+    * computed once and reused. */
   def q52IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bands = minhashBands(s, d)
@@ -177,7 +179,7 @@ object Dedup {
     val newB = bands.filter($"doc_id" % 10 === 0)
     val corpusB = bands.filter($"doc_id" % 10 =!= 0)
     val matches = corpusB.as("o")
-      .join(broadcast(newB.as("n")), $"o.b" === $"n.b" && $"o.band_key" === $"n.band_key")
+      .join(newB.as("n"), $"o.b" === $"n.b" && $"o.band_key" === $"n.band_key")
       .groupBy($"n.doc_id".as("doc_id"))
       .agg(countDistinct($"o.doc_id").as("n_matches"))
     newB.select($"doc_id").distinct()
@@ -857,17 +859,18 @@ object Dedup {
     * clustered minority.
     *
     * Shape at scale: cluster extraction is q71's bounded loop; the
-    * doc→cluster map is a LEFT join on doc_id (clustered docs are a
-    * small fraction, and the map is far smaller than the corpus —
-    * broadcastable in practice); the split itself is one hash per row,
-    * no RNG, stable under corpus growth. */
+    * doc→cluster map is a LEFT equi-join on doc_id (clustered docs
+    * are a small fraction, so the map is far smaller than the corpus —
+    * but it still scales with the data, so no broadcast hint: AQE
+    * broadcasts it while it fits); the split itself is one hash per
+    * row, no RNG, stable under corpus growth. */
   def q96LeakageSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val testBound = 42949672L // floor(2^32 · 0.01), shared with q38/oracle
     val valBound = 85899345L  // floor(2^32 · 0.02)
     val clusters = minLabelComponents(simhashPairs(s, d).select($"doc1", $"doc2"))
     val keyed = Tables.documents(s, d).select($"doc_id")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("skey", coalesce($"cluster_id", $"doc_id"))
     val h = ($"skey" % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
     keyed
@@ -917,7 +920,8 @@ object Dedup {
     * for free); structurally it is the per-group argmax idiom.
     *
     * Scale shape: the cluster map is tiny relative to the corpus (only
-    * clustered docs appear — broadcastable), the quality score is
+    * clustered docs appear, but the count still scales with the data,
+    * so the join carries no broadcast hint), the quality score is
     * scan-local integer arithmetic, and the argmax window partitions by
     * cluster_id whose groups are near-dup cluster sized (single
     * digits), so the window never sees a heavy partition. */
@@ -933,7 +937,7 @@ object Dedup {
         (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
           .as("quality_score"))
     val clusters = minLabelComponents(simhashPairs(s, d).select($"doc1", $"doc2"))
-    broadcast(clusters).join(quality, "doc_id")
+    clusters.join(quality, "doc_id")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
           .orderBy($"quality_score".desc, $"doc_id")))

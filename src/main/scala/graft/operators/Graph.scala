@@ -747,15 +747,17 @@ object Graph {
     val cassign = Tables.part(s, d)
       .select($"p_partkey".as("node"), $"p_brand".as("c"))
     val m = e.agg(count(lit(1)).as("m"))
+    // cassign is part-table-sized (scales with SF) — no forced
+    // broadcast on these equi-joins (stats/AQE pick the build side)
     val intra = e
-      .join(broadcast(cassign).withColumnRenamed("node", "u")
+      .join(cassign.withColumnRenamed("node", "u")
         .withColumnRenamed("c", "cu"), "u")
-      .join(broadcast(cassign).withColumnRenamed("node", "v")
+      .join(cassign.withColumnRenamed("node", "v")
         .withColumnRenamed("c", "cv"), "v")
       .filter($"cu" === $"cv")
       .groupBy($"cu".as("c")).agg(count(lit(1)).as("e_in"))
     val deg = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
-      .join(broadcast(cassign), "node")
+      .join(cassign, "node")
       .groupBy($"c").agg(count(lit(1)).as("dtot"))
     deg.join(intra, Seq("c"), "left").crossJoin(broadcast(m))
       .selectExpr("c", "COALESCE(e_in, 0) AS e_in", "dtot", "m")

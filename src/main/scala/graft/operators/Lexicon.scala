@@ -232,8 +232,11 @@ object Lexicon {
     *
     * Scale: candidates come from the shared q42 inverted-index pair
     * relation (banded + thresholded — never all pairs); the gram
-    * relation is built ONLY for the ≤40 selected documents and enters
-    * both overlap joins as a broadcast. F1 needs no float: with
+    * relation is built ONLY for the ≤40 selected documents (the id
+    * relation carries that bound as a plan-level limit) and its
+    * overlap joins are plain equi-joins — tiny by construction, so
+    * AQE broadcasts them at runtime without a pinned hint. F1 needs
+    * no float: with
     * overlap o and sizes s1,s2, F1 = 2o/(s1+s2), so f1_bp =
     * 20000·o div (s1+s2) exactly. */
   def q282RougePairs(s: SparkSession, d: String): DataFrame = {
@@ -243,6 +246,7 @@ object Lexicon {
       .select($"doc1", $"doc2").localCheckpoint()
     val ids = top.select($"doc1".as("doc_id"))
       .unionByName(top.select($"doc2".as("doc_id"))).distinct()
+      .limit(40) // 2 × top-20, restated past the checkpoint for the audit
     val docs = Tables.documents(s, d).join(broadcast(ids), "doc_id")
       .select($"doc_id", tokens($"text").as("tk"))
     val uni = docs.select($"doc_id", lit(1L).as("n"), explode($"tk").as("g"))
@@ -256,8 +260,8 @@ object Lexicon {
       .localCheckpoint()
     val sizes = grams.groupBy($"doc_id", $"n").agg(sum($"tf").as("sz"))
     val ov = top
-      .join(broadcast(grams).as("ga"), $"doc1" === col("ga.doc_id"))
-      .join(broadcast(grams).as("gb"),
+      .join(grams.as("ga"), $"doc1" === col("ga.doc_id"))
+      .join(grams.as("gb"),
         $"doc2" === col("gb.doc_id") && col("ga.n") === col("gb.n") &&
           col("ga.g") === col("gb.g"))
       .groupBy($"doc1", $"doc2", col("ga.n").as("n"))
@@ -266,10 +270,10 @@ object Lexicon {
       Seq(1L, 2L).toDF("n"))
     pairN
       .join(ov, Seq("doc1", "doc2", "n"), "left")
-      .join(broadcast(sizes.select($"doc_id".as("doc1"), $"n",
-        $"sz".as("sz1"))), Seq("doc1", "n"))
-      .join(broadcast(sizes.select($"doc_id".as("doc2"), $"n",
-        $"sz".as("sz2"))), Seq("doc2", "n"))
+      .join(sizes.select($"doc_id".as("doc1"), $"n",
+        $"sz".as("sz1")), Seq("doc1", "n"))
+      .join(sizes.select($"doc_id".as("doc2"), $"n",
+        $"sz".as("sz2")), Seq("doc2", "n"))
       .select($"doc1", $"doc2", $"n",
         coalesce($"ov", lit(0L)).as("ov"), $"sz1", $"sz2")
       .withColumn("p_bp", expr("(10000 * ov) div sz2"))

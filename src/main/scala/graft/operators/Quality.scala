@@ -861,6 +861,9 @@ object Quality {
         .as("bin"), $"y")
       .groupBy($"bin").agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
       .localCheckpoint()
+      // ≤ 20 bins by construction; the checkpoint erased that, so the
+      // limit restates the bound in the plan (no-op) for the window audit
+      .limit(20)
     // interval grid over the 20-row bin relation: prefix sums via a
     // bounded window, intervals from prefix differences
     val w = Window.orderBy($"bin")

@@ -566,9 +566,10 @@ object Relational {
     * profile (how many parts reach k of the 5 regions, with an example
     * part each); the n_regions = |divisor| row IS the division result.
     *
-    * At 100 TB: the supplier→region map is a broadcast; the pair dedup
-    * shuffles (part, region) — already maximally collapsed by map-side
-    * distinct — and the rest is dimension-sized. */
+    * At 100 TB: nation/region are broadcast (fixed cardinality); the
+    * supplier→region map joins on stats — broadcast while it fits,
+    * shuffled beyond. The pair dedup shuffles (part, region) — already
+    * maximally collapsed by map-side distinct. */
   def q168DivisionProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val supRegion = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
@@ -581,7 +582,8 @@ object Relational {
       .select($"s_suppkey", $"r_name")
     val perPart = Tables.lineitem(s, d)
       .select($"l_partkey", $"l_suppkey")
-      .join(broadcast(supRegion), $"l_suppkey" === $"s_suppkey")
+      // supplier scales with SF — no forced broadcast (stats/AQE pick)
+      .join(supRegion, $"l_suppkey" === $"s_suppkey")
       .select($"l_partkey".as("part"), $"r_name").distinct()
       .groupBy($"part").agg(count(lit(1)).as("n_regions")) // already distinct
     perPart.groupBy($"n_regions")
@@ -661,17 +663,19 @@ object Relational {
 
   /** Six-table snowflake star join (q158) — the TPC-H Q5/Q9 shape that
     * exercises Catalyst's join planning end to end: part prunes the
-    * fact as a BROADCAST LEFT-SEMI (predicate `p_size < 25` never
-    * leaves the dim scan), the supplier→nation→region chain collapses
-    * into ONE broadcast map (region filter applied before the
-    * broadcast, so the chain ships only matching suppliers), and the
-    * single data-sized shuffle left is the lineitem⋈orders fact-fact
-    * join — on a fact already thinned by both broadcast probes.
-    * Money stays decimal(18,2) end to end (re-association exact).
+    * fact as a LEFT-SEMI (predicate `p_size < 25` never leaves the dim
+    * scan), the supplier→nation→region chain collapses into ONE map
+    * (region filter applied before the join, so the chain ships only
+    * matching suppliers), and the data-sized shuffle is the
+    * lineitem⋈orders fact-fact join — on a fact already thinned by
+    * both dim probes. Money stays decimal(18,2) end to end
+    * (re-association exact).
     *
-    * At 100 TB the entire plan moves the fact table through exactly
-    * one exchange; every dimension is map-side. That — not operator
-    * count — is what makes a star query scale. */
+    * At 100 TB: nation/region are broadcast by hint (fixed
+    * cardinality); part/supplier SCALE with SF, so their joins carry
+    * no hint — stats broadcast them while they fit the threshold and
+    * AQE shuffles them beyond it. Either way the fact table moves
+    * through at most the exchanges its own joins need. */
   def q158StarRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dec = "decimal(18,2)"
@@ -690,8 +694,11 @@ object Relational {
       .select($"l_orderkey", $"l_partkey", $"l_suppkey",
         ($"l_extendedprice".cast(dec) *
           (lit(1).cast(dec) - $"l_discount".cast(dec))).as("rev"))
-      .join(broadcast(prt), $"l_partkey" === $"p_partkey", "left_semi")
-      .join(broadcast(supAsia), $"l_suppkey" === $"s_suppkey")
+      // part/supplier scale with SF (unlike nation/region), so no
+      // forced broadcast: stats pick the build side at test SF, AQE
+      // shuffles once the SF-scaled dims outgrow the threshold
+      .join(prt, $"l_partkey" === $"p_partkey", "left_semi")
+      .join(supAsia, $"l_suppkey" === $"s_suppkey")
       .join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name", $"o_year")
       .agg(sum($"rev").cast("double").as("revenue"),
@@ -887,7 +894,8 @@ object Relational {
   def q203PriceIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val py = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+      // part scales with SF — no forced broadcast (stats/AQE pick)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .filter(year($"l_shipdate").isin(1995, 1996))
       .groupBy($"p_brand".as("brand"), $"l_partkey".as("part"),
@@ -944,9 +952,10 @@ object Relational {
     * (ΔO = every 7th order "arrived today", ΔL = every 5th order's
     * lineitems), the delta-join identity
     * ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL (disjoint by construction) updates
-    * the view from three SMALL joins — at 100 TB each delta side is a
-    * day's data, so every maintenance join has a broadcastable side,
-    * vs re-joining two full tables nightly. The output reports the
+    * the view from three joins each bounded by a DELTA side — at
+    * 100 TB a delta is a day's data, so every maintenance join moves
+    * delta-sized (not history-sized) rows through its shuffle, vs
+    * re-joining two full tables nightly. The output reports the
     * maintained total alongside the three delta contributions; the
     * oracle recomputes V from scratch and derives identical columns —
     * hash equality IS the delta-join algebra proof.
@@ -965,17 +974,19 @@ object Relational {
     val lOld = l.filter($"l_orderkey" % 5 =!= 0)
     val lNew = l.filter($"l_orderkey" % 5 === 0)
     // the three maintenance joins are REAL separate joins, shaped as
-    // they'd run nightly: the day's ΔO broadcasts; only the O₀⋈ΔL leg
-    // shuffles (on ΔL's size, not history's). v_old stands in for the
-    // stored view (in production it is a table read, not a join).
+    // they'd run nightly. No forced broadcast of ΔO: a day's delta
+    // still scales with SF, so the equi-joins go through stats/AQE
+    // (broadcast while the delta fits, shuffle on delta size beyond).
+    // v_old stands in for the stored view (in production it is a
+    // table read, not a join).
     def leg(os: DataFrame, ls: DataFrame, kind: String) =
       os.join(ls, $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderpriority")
         .agg(sum($"cents").as("v")).withColumn("kind", lit(kind))
     leg(oOld, lOld, "v_old")
-      .unionByName(leg(broadcast(oNew), lOld, "d_new_orders"))
+      .unionByName(leg(oNew, lOld, "d_new_orders"))
       .unionByName(leg(oOld, lNew, "d_new_items"))
-      .unionByName(leg(broadcast(oNew), lNew, "d_both"))
+      .unionByName(leg(oNew, lNew, "d_both"))
       .groupBy($"o_orderpriority")
       .agg(
         coalesce(sum(when($"kind" === "v_old", $"v")), lit(0L)).as("v_old"),

@@ -201,12 +201,20 @@ object Similarity {
     * At 100 TB: assignment is a broadcast argmax per vector (one scan),
     * the probe is an equi-join on cell id — the inverted-file trade of
     * recall for a bucket-bounded candidate set. */
-  /** Deterministic IVF centroid subset (every 50th vector). */
+  /** Hard ceiling on the IVF centroid table: it is the BROADCAST side
+    * of every cell assignment, so it must be bounded by construction —
+    * an inverted-file index with an unbounded codebook is a
+    * contradiction in terms. Plan-enforced (GlobalLimit), like
+    * [[MaxHubnessQueries]]; non-binding at test SF. */
+  val MaxIvfCentroids = 65536
+
+  /** Deterministic IVF centroid subset (every 50th vector, capped). */
   private def ivfCentroids(q: DataFrame): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
     q.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("centroid_id"), $"qa".as("cv"), $"n2".as("cn"))
+      .orderBy($"centroid_id").limit(MaxIvfCentroids)
   }
 
   /** Nearest-centroid assignment (broadcast argmax per vector) —
@@ -888,12 +896,19 @@ object Similarity {
     * (q48/q86) unchanged — margin only needs the top-k list, not
     * global scores. `same_label` rides along as the mining-precision
     * audit column (labels stand in for gold alignment). */
+  /** Hard ceiling on one bitext-mining source batch (the broadcast
+    * side): production mining streams the source language in bounded
+    * batches against the full target side; this op audits one batch.
+    * Plan-enforced (GlobalLimit); non-binding at test SF. */
+  val MaxBitextBatch = 65536
+
   def q137BitextMargin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = quantized(s, d)
     val src = q.filter($"vec_id" % 2 === 0)
       .select($"vec_id".as("sid"), $"label".as("slabel"),
         $"qa".as("sv"), $"n2".as("sn"))
+      .orderBy($"sid").limit(MaxBitextBatch)
     val tgt = q.filter($"vec_id" % 2 === 1)
       .select($"vec_id".as("tid"), $"label".as("tlabel"),
         $"qa".as("tv"), $"n2".as("tn"))
@@ -1285,11 +1300,14 @@ object Similarity {
         $"vec_id" === $"a_id", "left")
       .select($"vec_id", coalesce($"deg", lit(0L)).as("deg"))
     val core = deg.filter($"deg" >= minPts).select($"vec_id".as("core_id"))
+    // core is DATA-sized (most points can be core), so no broadcast
+    // hint: these are equi-joins — the planner shuffles them at scale
+    // and AQE converts to broadcast when the runtime size allows
     val borderIds = pairs
-      .join(broadcast(core), $"b_id" === $"core_id", "left_semi")
+      .join(core, $"b_id" === $"core_id", "left_semi")
       .select($"a_id").distinct()
     val classed = deg
-      .join(broadcast(core), $"vec_id" === $"core_id", "left")
+      .join(core, $"vec_id" === $"core_id", "left")
       .join(borderIds.withColumn("is_b", lit(true)),
         $"vec_id" === $"a_id", "left")
       .select($"vec_id", $"deg",
@@ -1597,8 +1615,7 @@ object Similarity {
   def q273AmbiguityMargin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = quantized(s, d)
-    val cent = q.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("centroid_id"), $"qa".as("cv"), $"n2".as("cn"))
+    val cent = ivfCentroids(q) // shared capped codebook (MaxIvfCentroids)
     q.join(broadcast(cent))
       .withColumn("num", dotQ($"qa", $"cv"))
       .select($"vec_id", $"centroid_id",

@@ -1502,7 +1502,8 @@ object Stats {
   def q209LooEncoding(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+      // part scales with SF — no forced broadcast (stats/AQE pick)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .select($"p_brand".as("brand"), $"l_quantity".cast("long").as("y"))
     val g = rows.groupBy($"brand")
@@ -1557,8 +1558,9 @@ object Stats {
   def q211Gini(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cust = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      // customer scales with SF — no forced broadcast (stats/AQE pick)
+      .join(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment"), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment".as("seg"), $"o_custkey")
       .agg(sum(floor($"o_totalprice").cast("long")).as("x"))
     val rk = Window.partitionBy($"seg").orderBy($"x", $"o_custkey")
@@ -2466,7 +2468,8 @@ object Stats {
     import s.implicits._
     val dim = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
     val st = Tables.orders(s, d)
-      .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      // customer scales with SF — no forced broadcast (stats/AQE pick)
+      .join(dim, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment".as("segment"))
       .agg(count(lit(1)).as("n_orders"),
         count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("n_urgent"))
@@ -3061,6 +3064,9 @@ object Stats {
               + (CAST(q1 AS DOUBLE)/n1 - (CAST(s1 AS DOUBLE)/n1)*(CAST(s1 AS DOUBLE)/n1)) / n1""")
           .as("v"))
       .localCheckpoint()
+      // segment is a bounded enum domain (5 TPC-H values); the limit
+      // restates that past the checkpoint (no-op) for the window audit
+      .limit(64)
     val w = Window.orderBy($"segment")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = eff
@@ -3197,8 +3203,9 @@ object Stats {
   def q303ClusterDesign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      // customer scales with SF — no forced broadcast (stats/AQE pick)
+      .join(Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
       .select($"c_nationkey".as("cl"),
         floor($"o_totalprice".cast("decimal(18,2)")).cast("long").as("usd"))
     val per = base.groupBy($"cl")
@@ -4503,6 +4510,10 @@ object Stats {
         "(CAST(nn_below AS DOUBLE) + nn / 2.0) / nnt AS v10",
         "1.0 - (CAST(np_below AS DOUBLE) + np / 2.0) / npt AS v01")
       .localCheckpoint()
+      // s is a ~110-bin value histogram (acctbal range / 100-unit
+      // bins); the limit restates that bound past the checkpoint
+      // (no-op) for the window audit
+      .limit(256)
     val wcum = Window.orderBy($"s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val auc = plc

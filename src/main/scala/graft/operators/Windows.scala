@@ -70,9 +70,14 @@ object Windows {
       .localCheckpoint()
     val inside = h.filter($"tile_lo" === $"tile_hi")
       .select($"tile_lo".as("tile"), $"cnt".as("n_t"), $"sum_y".as("y_t"))
+    // ≤ nTiles−1 score values can straddle a tile boundary, so the
+    // broadcast side is bounded by the ntile algebra itself; the limit
+    // states that bound IN THE PLAN (no-op at runtime — the checkpoint
+    // above erased the histogram's provenance, so without it the
+    // broadcast audit could not prove boundedness)
     val straddle = rows
       .join(broadcast(h.filter($"tile_lo" =!= $"tile_hi")
-        .select(col(score), $"cumb", $"q", $"r")), score)
+        .select(col(score), $"cumb", $"q", $"r").limit(nTiles)), score)
       .withColumn("rank", $"cumb" + row_number().over(
         Window.partitionBy(col(score)).orderBy(col(tie))))
       .withColumn("tile", expr(tileSql("rank")))
