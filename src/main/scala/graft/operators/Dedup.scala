@@ -1212,11 +1212,17 @@ object Dedup {
     * Shape: ONE shingle relation (checkpointed) feeds df, per-doc
     * weights, and both sides of the inverted-index self-join; df and
     * the idf map are shingle-domain-sized; everything integer until
-    * the final shared IEEE floor. Same join scaling caveats as q42
-    * (bucket-size cap at 100 TB); zero-weight (df=N) shingles still
-    * join — at scale, filter w > 0 first: it prunes exactly the
-    * hottest, most skew-prone keys, an optimization unweighted
-    * Jaccard cannot legally make. */
+    * the final shared IEEE floor. The pair join is bounded IN CODE by
+    * [[MaxPairDf]]: a posting hotter than that is template boilerplate
+    * (w = ln(N/df) ≈ 0 — it cannot push a pair over the 500 bp gate on
+    * its own) and would contribute O(df²) pairs, so it is dropped from
+    * the pair join on BOTH engines — the hot-key cap production dedup
+    * ships, and exactly the skew-prone keys a weighted measure can
+    * legally prune (unweighted Jaccard cannot). */
+  /** Posting-list cap for q188's pair join (non-binding at test SF;
+    * the oracle mirrors the same cutoff). */
+  val MaxPairDf = 1024L
+
   def q188WeightedJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hashed = Tables.documents(s, d)
@@ -1238,8 +1244,10 @@ object Dedup {
     val docW = weighted.groupBy($"doc_id").agg(sum($"w").as("tw"))
     // only shingles appearing in ≥2 docs can produce a pair: the df≥2
     // residue is the pair-join input (q99's trick), which also drops
-    // every df=1 posting — the bulk of the index on real corpora
-    val wd = weighted.filter($"df" >= 2).select($"doc_id", $"sh", $"w")
+    // every df=1 posting — the bulk of the index on real corpora; the
+    // MaxPairDf cap bounds every posting list the pair join explodes
+    val wd = weighted.filter($"df" >= 2 && $"df" <= MaxPairDf)
+      .select($"doc_id", $"sh", $"w")
     wd.as("a").join(wd.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
@@ -1271,14 +1279,17 @@ object Dedup {
                FROM nz),
        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM nz),
        wt AS (
-         SELECT sh, CAST(floor(ln(n_docs * 1.0 / count(*)) * 1000000.0) AS BIGINT) AS w
+         SELECT sh, CAST(count(*) AS BIGINT) AS df,
+           CAST(floor(ln(n_docs * 1.0 / count(*)) * 1000000.0) AS BIGINT) AS w
          FROM inv CROSS JOIN nd GROUP BY sh, n_docs),
-       wv AS (SELECT doc_id, inv.sh, w FROM inv JOIN wt ON inv.sh = wt.sh),
+       wv AS (SELECT doc_id, inv.sh, w, df FROM inv JOIN wt ON inv.sh = wt.sh),
        dw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM wv GROUP BY 1),
        inter AS (
          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            CAST(sum(a.w) AS BIGINT) AS inter_w
-         FROM wv a JOIN wv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         FROM (SELECT * FROM wv WHERE df <= 1024) a
+         JOIN (SELECT * FROM wv WHERE df <= 1024) b
+           ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
        SELECT doc1, doc2, inter_w, da.tw AS w1, db.tw AS w2,
          CAST(floor(inter_w * 10000.0 / (da.tw + db.tw - inter_w)) AS BIGINT) AS wj_bp

