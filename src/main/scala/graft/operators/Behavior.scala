@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -1067,7 +1067,17 @@ object Behavior {
     * [[Windows.withExactNtile]] passes over the CUSTOMER relation —
     * each a distributed range-partitioned rank, never a global
     * row-level sort (the customer relation is keyed, not bounded:
-    * VERDICT r6 #1) — one segment-level rollup. */
+    * VERDICT r6 #1) — one segment-level rollup. The three passes order
+    * by different keys so they cannot share one range partition, but
+    * they CAN share one materialization (VERDICT r7 #4): `cust` is
+    * checkpointed once, the three scans each run UNFROZEN over that
+    * same frozen relation (their internal double consumption dedups
+    * through ReusedExchange — and is deterministic regardless, because
+    * the exchanges range-sample identical frozen input), and the three
+    * (custkey, tile) outputs join back by key. One barrier instead of
+    * three; the passes must not CHAIN unfrozen, because a range
+    * exchange whose input is a live join output samples
+    * non-deterministically across its two consumers. */
   def q226RfmSegments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val maxD = Tables.orders(s, d).agg(max($"o_orderdate".cast("date")).as("anchor"))
@@ -1079,9 +1089,14 @@ object Behavior {
       .crossJoin(broadcast(maxD))
       .select($"o_custkey", datediff($"anchor", $"last_d").cast("long").as("r_days"),
         $"f", $"m")
-    val t1 = Windows.withExactNtile(cust, Seq($"r_days", $"o_custkey"), 5, "rq_asc")
-    val t2 = Windows.withExactNtile(t1, Seq($"f", $"o_custkey"), 5, "f_q")
-    val t3 = Windows.withExactNtile(t2, Seq($"m", $"o_custkey"), 5, "m_q")
+      .localCheckpoint()
+    def tile(order: Seq[Column], out: String) =
+      Windows.withExactNtile(cust, order, 5, out, freeze = false)
+        .select($"o_custkey", col(out))
+    val t3 = cust
+      .join(tile(Seq($"r_days", $"o_custkey"), "rq_asc"), "o_custkey")
+      .join(tile(Seq($"f", $"o_custkey"), "f_q"), "o_custkey")
+      .join(tile(Seq($"m", $"o_custkey"), "m_q"), "o_custkey")
     val seg = t3
       .withColumn("r_q", lit(6) - $"rq_asc")
       .withColumn("segment", $"r_q" * 100 + $"f_q" * 10 + $"m_q")

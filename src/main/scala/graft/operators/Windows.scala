@@ -119,15 +119,21 @@ object Windows {
   /** [[rangePrefixSum]] plus the scan's own by-products: the annotated
     * rows keep `__pt` (their partition's total) and `__total` (the
     * grand total) so callers needing N — exact ntile, rank shares —
-    * get it without a second pass over the relation. */
+    * get it without a second pass over the relation.
+    *
+    * `freeze = false` skips the checkpoint: the caller has already
+    * frozen the input (or chains several scans over one frozen
+    * relation — q226's three RFM passes), so the two consumers of the
+    * range exchange dedup through ReusedExchange inside the one plan
+    * instead of through a per-pass materialization. */
   private def rangeScan(rows: DataFrame, order: Seq[Column], value: Column,
-      outCol: String): (DataFrame, DataFrame) = {
+      outCol: String, freeze: Boolean = true): (DataFrame, DataFrame) = {
     val s = rows.sparkSession
     import s.implicits._
     val np = s.sessionState.conf.numShufflePartitions
-    val part = rows.repartitionByRange(np, order: _*)
+    val part0 = rows.repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val part = if (freeze) part0.localCheckpoint() else part0
     val offs = part.groupBy($"__pid")
       .agg(sum(value).as("__pt"))
       .withColumn("__off", coalesce(sum($"__pt").over(
@@ -161,12 +167,12 @@ object Windows {
     * and the broadcast the engine relies on would not hold at scale.
     * Rank-from-a-distributed-scan is exact at any score cardinality. */
   def withExactNtile(rows: DataFrame, order: Seq[Column], nTiles: Int,
-      outCol: String): DataFrame = {
+      outCol: String, freeze: Boolean = true): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
     // N rides along as the scan's own __total by-product — no second
     // pass over the relation just to count it
-    val ranked = rangeScan(rows, order, lit(1L), "__rank")._1
+    val ranked = rangeScan(rows, order, lit(1L), "__rank", freeze)._1
     val tileSql =
       s"""CASE WHEN __r > 0 AND __rank <= __r * (__q + 1)
             THEN (__rank - 1) div (__q + 1) + 1
