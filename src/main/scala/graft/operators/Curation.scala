@@ -1705,7 +1705,51 @@ object Curation {
        GROUP BY 1, 2, 3 ORDER BY bucket"""
   }
 
+  /** Compute-optimal training plan (q53, Hoffmann et al. 2022
+    * "Chinchilla"): for a grid of compute budgets C = 10^18..10^24
+    * FLOPs, the compute-optimal parameter count under C ≈ 6·N·D with
+    * the D ≈ 20·N rule is N* = √(C/120), D* = 20·N* — and the table
+    * joins THIS corpus's token count to report how many epochs of the
+    * corpus each budget would demand (the data-constrained gap q369's
+    * waterfilling then allocates). All integer except one √ of an
+    * exact double quotient (√ is correctly rounded in IEEE — the
+    * engine's only sanctioned transcendental).
+    *
+    * Shape: a 7-row literal grid × one corpus-token aggregate; scans
+    * nothing twice, shuffles nothing. */
+  def q53ChinchillaPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tot = Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("nt"))
+      .agg(sum($"nt").as("corpus_tokens"))
+    val grid = Seq(18L -> 1.0e18, 19L -> 1.0e19, 20L -> 1.0e20,
+      21L -> 1.0e21, 22L -> 1.0e22, 23L -> 1.0e23, 24L -> 1.0e24)
+      .toDF("exp10_flops", "c")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_params", floor(sqrt($"c" / 120.0)).cast("long"))
+      .withColumn("d_tokens", $"n_params" * 20)
+      .withColumn("epochs_needed_milli",
+        expr("d_tokens * 1000 div corpus_tokens"))
+      .select($"exp10_flops", $"n_params", $"d_tokens", $"corpus_tokens",
+        $"epochs_needed_milli")
+      .orderBy($"exp10_flops")
+  }
+
+  val q53Oracle: String =
+    """WITH tot AS (
+         SELECT CAST(sum(len(list_filter(string_split_regex(text,'\s+'), t -> t <> ''))) AS BIGINT) AS corpus_tokens
+         FROM documents),
+       grid AS (SELECT unnest([1.0e18,1.0e19,1.0e20,1.0e21,1.0e22,1.0e23,1.0e24]) AS c,
+                       unnest([18,19,20,21,22,23,24]) AS e)
+       SELECT CAST(e AS BIGINT) AS exp10_flops,
+         CAST(floor(sqrt(c / 120.0)) AS BIGINT) AS n_params,
+         CAST(floor(sqrt(c / 120.0)) AS BIGINT) * 20 AS d_tokens,
+         corpus_tokens,
+         CAST(floor(sqrt(c / 120.0)) AS BIGINT) * 20 * 1000 // corpus_tokens AS epochs_needed_milli
+       FROM grid CROSS JOIN tot ORDER BY exp10_flops"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_chinchilla_plan" -> q53ChinchillaPlan,
     "q369_epoch_waterfill" -> q369EpochWaterfill,
     "q370_length_buckets" -> q370LengthBuckets,
     "q372_resharding_audit" -> q372ReshardingAudit,
@@ -1736,6 +1780,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_chinchilla_plan" -> q53Oracle,
     "q369_epoch_waterfill" -> q369Oracle,
     "q370_length_buckets" -> q370Oracle,
     "q372_resharding_audit" -> q372Oracle,

@@ -2207,7 +2207,97 @@ object Dedup {
          CAST(floor(CAST(m_bits AS DOUBLE) / n_keys * 100.0) AS BIGINT) AS bits_per_key_centi
        FROM plan ORDER BY fpr_recip"""
 
+  /** MinHash signature-size ablation (q39, Broder 1997 estimator
+    * variance made empirical): the 24-hash signature's Jaccard
+    * estimate n_eq/k is rerun at k ∈ {8, 16, 24} — each k uses the
+    * PREFIX of the one shared signature, so the sweep costs zero extra
+    * signature computation — and scored against the exact shingle
+    * Jaccard on the q289 top-50 pair relation. Theory: stderr ∝ 1/√k,
+    * so MAE should fall ≈ √3 from k=8 to k=24; the table pins what
+    * this corpus actually pays for shorter sketches — the sizing
+    * evidence behind q256's cost planner.
+    *
+    * Shape: the q289 skeleton (top-50 cut + equi-joins against the
+    * vocab-bounded signature table) with a 3-row k-grid explode;
+    * everything after the cut is 150 rows. */
+  def q39MinhashKAblation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top = jaccardPairs(s, d)
+      .orderBy($"jaccard_bp".desc, $"doc1", $"doc2").limit(50)
+      .select($"doc1", $"doc2", $"jaccard_bp")
+    val sigs = minhashSigs(s, d)
+    top
+      .join(sigs.select($"doc_id".as("doc1"), $"sig".as("sig1")), "doc1")
+      .join(sigs.select($"doc_id".as("doc2"), $"sig".as("sig2")), "doc2")
+      .select($"jaccard_bp", $"sig1", $"sig2",
+        explode(typedLit(Seq(8L, 16L, 24L))).as("k"))
+      .withColumn("n_eq",
+        size(filter(zip_with(
+          slice($"sig1", lit(1), $"k".cast("int")),
+          slice($"sig2", lit(1), $"k".cast("int")),
+          (x, y) => x === y), b => b)).cast("long"))
+      .withColumn("err_bp", expr("(n_eq * 10000) div k - jaccard_bp"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(err_bp)) div count(1)").as("mae_bp"),
+        max(abs($"err_bp")).as("max_err_bp"))
+      .orderBy($"k")
+  }
+
+  val q39Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT doc1, doc2,
+           CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_bp
+         FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       top AS (SELECT doc1, doc2, jaccard_bp FROM cand
+               ORDER BY jaccard_bp DESC, doc1, doc2 LIMIT 50),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shd, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         FROM sh WHERE len(shd) > 0),
+       sig AS (
+         SELECT doc_id,
+           list_transform(generate_series(0, 23),
+             i -> list_min(list_transform(hs, h -> ((2*i+1)*h + i) % 2147483647))) AS sig
+         FROM hs),
+       ks AS (SELECT CAST(unnest([8, 16, 24]) AS BIGINT) AS k),
+       base AS (
+         SELECT k.k, t.jaccard_bp,
+           CAST(len(list_filter(list_zip(s1.sig[1:CAST(k.k AS INTEGER)], s2.sig[1:CAST(k.k AS INTEGER)]),
+             p -> p[1] = p[2])) AS BIGINT) AS n_eq
+         FROM top t
+         JOIN sig s1 ON t.doc1 = s1.doc_id
+         JOIN sig s2 ON t.doc2 = s2.doc_id
+         CROSS JOIN ks k),
+       ext AS (SELECT k, (n_eq * 10000) // k - jaccard_bp AS err_bp FROM base)
+       SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(abs(err_bp)) AS BIGINT) // count(*) AS mae_bp,
+         CAST(max(abs(err_bp)) AS BIGINT) AS max_err_bp
+       FROM ext GROUP BY k ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_minhash_k_ablation" -> q39MinhashKAblation,
     "q351_bloom_planner" -> q351BloomPlanner,
     "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
@@ -2239,6 +2329,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_minhash_k_ablation" -> q39Oracle,
     "q351_bloom_planner" -> q351Oracle,
     "q274_dedup_tiers" -> q274Oracle,
     "q258_threshold_persistence" -> q258Oracle,

@@ -635,7 +635,65 @@ object TextAnalysis {
          CAST(sum(CASE WHEN top2_bp >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2
        FROM per GROUP BY lang ORDER BY lang"""
 
+  /** Positional repetition profile (q29): WHERE inside documents does
+    * duplication live? q366 scores repetition per doc; this localizes
+    * it — each 3-gram position is flagged duplicated when its gram
+    * TYPE recurs within the doc, positions map to within-doc quartiles
+    * by exact integer arithmetic, and the corpus-level quartile table
+    * shows whether boilerplate is front-loaded (headers, nav chrome —
+    * the common web case, and the evidence for head-truncation
+    * policies) or tail-loaded (footers, references).
+    *
+    * Shape: one scan → position-exploded grams; the dup flag is a
+    * (doc, gram)-partitioned window count (groups are per-doc gram
+    * multiplicities — never hot); rollup is a 4-row aggregate. */
+  def q29RepetitionPosition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+    val g = tk
+      .select($"doc_id", (size($"tk") - 2).cast("long").as("ng"),
+        explode(transform(sequence(lit(1), size($"tk") - 2),
+          i => struct(i.cast("long").as("i"),
+            concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
+              element_at($"tk", i + 2)).as("g")))).as("x"))
+      .select($"doc_id", $"ng", $"x.i".as("i"), $"x.g".as("g"))
+    g.withColumn("tf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id", $"g")))
+      .select(expr("((i - 1) * 4) div ng").as("quartile"),
+        when($"tf" >= 2, 1L).otherwise(0L).as("dup"))
+      .groupBy($"quartile")
+      .agg(count(lit(1)).as("n_pos"), sum($"dup").as("n_dup"))
+      .withColumn("dup_bp", expr("n_dup * 10000 div n_pos"))
+      .orderBy($"quartile")
+  }
+
+  val q29Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, len(tk) - 2 AS ng, i,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+         FROM tk, unnest(generate_series(1, len(tk)-2)) AS u(i)
+         WHERE len(tk) >= 3),
+       cnt AS (
+         SELECT doc_id, ng, i,
+           count(*) OVER (PARTITION BY doc_id, g) AS tf
+         FROM g),
+       qd AS (
+         SELECT ((i-1) * 4) // ng AS quartile,
+           CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS dup
+         FROM cnt)
+       SELECT CAST(quartile AS BIGINT) AS quartile,
+         CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(dup) AS BIGINT) AS n_dup,
+         CAST(sum(dup) AS BIGINT) * 10000 // count(*) AS dup_bp
+       FROM qd GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_repetition_position" -> q29RepetitionPosition,
     "q366_repetition_rules" -> q366RepetitionRules,
     "q325_span_corruption" -> q325SpanCorruption,
     "q277_code_switch" -> q277CodeSwitch,
@@ -649,6 +707,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_repetition_position" -> q29Oracle,
     "q366_repetition_rules" -> q366Oracle,
     "q325_span_corruption" -> q325Oracle,
     "q277_code_switch" -> q277Oracle,

@@ -428,4 +428,19 @@ class CurationSpec extends SparkSpec {
     val exp = if (r._2 + r._3 == 0) 0L else 1000L * corr * corr / (r._2 + r._3)
     assert(r._5 == exp && r._6 == (exp > 3841L))
   }
+
+  test("q53: chinchilla plan is the closed form against the corpus count") {
+    import spark.implicits._
+    val dir = docsDir(Seq((1L, "a b c d", "en", "s", 7L),
+      (2L, "e f g h i j", "en", "s", 11L))) // 10 corpus tokens
+    val r = Curation.q53ChinchillaPlan(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.size == 7 && r.map(_._1) == Seq(18L,19L,20L,21L,22L,23L,24L))
+    r.foreach { case (e, n, dt, ct, ep) =>
+      assert(n == math.floor(math.sqrt(math.pow(10.0, e.toDouble) / 120.0)).toLong)
+      assert(dt == 20L * n && ct == 10L && ep == dt * 1000 / 10)
+    }
+    // budgets are increasing -> so are the optimal sizes
+    assert(r.map(_._2) == r.map(_._2).sorted)
+  }
 }

@@ -96,4 +96,20 @@ class DedupTierSpec extends SparkSpec {
     assert(cov1 == 10000 * n1 / nhat && cov2 == 10000 * n2 / nhat)
     if (m == n1 || m == n2) assert(se == 0) // nested ⇒ zero Chapman variance
   }
+
+  test("q39: k-ablation pins the k=24 column to q289 and shrinks with k") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val abl = Dedup.q39MinhashKAblation(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(abl.map(_._1) == Seq(8L, 16L, 24L))
+    // same pair population at every k
+    assert(abl.map(_._2).distinct.size == 1)
+    abl.foreach { case (_, n, mae, mx) =>
+      assert(n > 0 && mae >= 0 && mx >= mae) }
+    // the k=24 row IS q289's estimator: its MAE must replay exactly
+    val q289mae = Dedup.q289MinhashErrorAudit(spark, d)
+      .select("mae_bp").as[Long].head()
+    assert(abl.last._3 == q289mae)
+  }
 }

@@ -741,4 +741,24 @@ class QualitySpec extends SparkSpec {
       assert(r._6 == 10000 * (r._3 + r._4 + r._5) / (3 * r._2))
     }
   }
+
+  test("q29: repetition position localizes front-loaded boilerplate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("reppos").toString
+    // doc1: 10 tokens -> 8 gram positions, quartiles of 2 positions
+    // each; "a b c" recurs at positions 1 and 2 ONLY (front-loaded:
+    // grams 1,2 duplicated <-> quartile 0 fully duplicated)
+    Seq(
+      (1L, "a b c a b c d e f g", "en", "s", 19L),
+      (2L, "h i j k l m n o p q", "en", "s", 19L)) // all distinct
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextAnalysis.q29RepetitionPosition(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1 grams: [a b c, b c a, c a b, a b c, b c d, c d e, d e f, e f g]
+    // duplicated type = "a b c" at i=1 and i=4 -> quartile 0 (i=1,2) has
+    // one dup at i=1; quartile 1 (i=3,4) has one dup at i=4
+    assert(r == Seq((0L, 4L, 1L, 2500L), (1L, 4L, 1L, 2500L),
+      (2L, 4L, 0L, 0L), (3L, 4L, 0L, 0L)))
+  }
 }
