@@ -2296,8 +2296,77 @@ object Dedup {
          CAST(max(abs(err_bp)) AS BIGINT) AS max_err_bp
        FROM ext GROUP BY k ORDER BY k"""
 
+  /** Near-dup TRANSITIVITY audit (q251): Jaccard similarity is not
+    * transitive — A~B and B~C do not imply A~C — yet connected-
+    * component dedup (q71) treats the pair graph as if it were,
+    * merging whole components through chains. This op measures how
+    * wrong that is on THIS corpus: of all wedges u–v–w in the q42
+    * pair graph, what fraction closes into a triangle (global
+    * clustering coefficient, in bp). High closure = components are
+    * near-cliques and component-dedup is safe; low closure = chaining
+    * is collapsing distinct documents through weak middlemen and the
+    * threshold (or a stricter verifier pass) needs revisiting.
+    *
+    * Shape: the pair relation is the shared banded inverted-index
+    * output (never all pairs), checkpointed once and reused by all
+    * three counts; wedges join pair-adjacency against itself on the
+    * shared endpoint — bounded by per-node degree in the SPARSE dup
+    * graph, not by corpus size. */
+  def q251DedupTransitivity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prs = jaccardPairs(s, d).select($"doc1", $"doc2").localCheckpoint()
+    val e = prs.select($"doc1".as("a"), $"doc2".as("b"))
+      .unionByName(prs.select($"doc2".as("a"), $"doc1".as("b")))
+    val wedge = e.as("e1").join(e.as("e2"),
+        col("e1.b") === col("e2.a") && col("e1.a") < col("e2.b"))
+      .select(col("e1.a").as("u"), col("e2.b").as("w"))
+    val np = prs.agg(count(lit(1)).as("n_pairs"))
+    val nw = wedge.agg(count(lit(1)).as("n_wedges"))
+    val nc = wedge.join(prs, $"u" === $"doc1" && $"w" === $"doc2", "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
+    np.crossJoin(broadcast(nw)).crossJoin(broadcast(nc))
+      .select($"n_pairs", $"n_wedges", $"n_closed",
+        when($"n_wedges" > 0, expr("n_closed * 10000 div n_wedges"))
+          .otherwise(lit(-1L)).as("closure_bp"))
+  }
+
+  val q251Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id, unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       prs AS (
+         SELECT doc1, doc2 FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       e AS (SELECT doc1 AS a, doc2 AS b FROM prs UNION ALL SELECT doc2, doc1 FROM prs),
+       wedge AS (
+         SELECT e1.a AS u, e2.b AS w
+         FROM e e1 JOIN e e2 ON e1.b = e2.a AND e1.a < e2.b),
+       closed AS (
+         SELECT count(*) AS n_closed FROM wedge
+         JOIN prs p ON wedge.u = p.doc1 AND wedge.w = p.doc2),
+       tot AS (SELECT count(*) AS n_wedges FROM wedge)
+       SELECT CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_pairs,
+         CAST(n_wedges AS BIGINT) AS n_wedges,
+         CAST(n_closed AS BIGINT) AS n_closed,
+         CAST(CASE WHEN n_wedges > 0 THEN n_closed * 10000 // n_wedges ELSE -1 END AS BIGINT) AS closure_bp
+       FROM tot CROSS JOIN closed"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_minhash_k_ablation" -> q39MinhashKAblation,
+    "q251_dedup_transitivity" -> q251DedupTransitivity,
     "q351_bloom_planner" -> q351BloomPlanner,
     "q274_dedup_tiers" -> q274DedupTiers,
     "q258_threshold_persistence" -> q258ThresholdPersistence,
@@ -2330,6 +2399,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q39_minhash_k_ablation" -> q39Oracle,
+    "q251_dedup_transitivity" -> q251Oracle,
     "q351_bloom_planner" -> q351Oracle,
     "q274_dedup_tiers" -> q274Oracle,
     "q258_threshold_persistence" -> q258Oracle,

@@ -2430,7 +2430,55 @@ object Similarity {
            * 1000.0) AS BIGINT) AS skew_milli
        FROM tot CROSS JOIN mom CROSS JOIN hub"""
 
+  /** Class-imbalance weight table (q184): per label, the two standard
+    * reweighting schemes — inverse frequency (tot/(n·k), ppm) and the
+    * class-balanced "effective number of samples" weight of Cui et al.
+    * 2019, (1−β)/(1−β^n) at β = 0.999 — the loss-weighting table a
+    * trainer joins against its label column. β^n is a LEFT-FOLD
+    * product over min(n, 128) factors (Spark `aggregate` HOF ≡ DuckDB
+    * `list_reduce` bit-exactly, the q374 rule; past 128 factors β^n
+    * < 0.88 and the weight is within 0.2‰ of its asymptote, so the
+    * cap loses nothing while keeping the fold bounded).
+    *
+    * Shape: one label histogram (bounded domain), a 1-row total, all
+    * arithmetic on the k-row relation. */
+  def q184ClassWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.embeddings(s, d)
+      .groupBy($"label".cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.agg(sum($"n").as("tot"), count(lit(1)).as("k"))
+    c.crossJoin(broadcast(t))
+      .withColumn("inv_freq_ppm", expr("(tot * 1000000) div (n * k)"))
+      .withColumn("beta_n", when(least($"n", lit(128L)) === 0, lit(0.0))
+        .otherwise(expr(
+          "aggregate(sequence(1, CAST(least(n, 128) AS INT)), " +
+            "CAST(1.0 AS DOUBLE), (a, x) -> a * 0.999)")))
+      .withColumn("eff_inv_milli",
+        floor((lit(1.0) - lit(0.001)) / (lit(1.0) - $"beta_n") * 1000.0)
+          .cast("long"))
+      .select($"label", $"n", $"inv_freq_ppm", $"eff_inv_milli")
+      .orderBy($"label")
+  }
+
+  val q184Oracle: String =
+    """WITH c AS (
+         SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+         FROM embeddings GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM c),
+       f AS (
+         SELECT label, n, tot, k,
+           (tot * 1000000) // (n * k) AS inv_freq_ppm,
+           CASE WHEN least(n, 128) = 0 THEN 0.0
+                ELSE list_reduce(list_transform(range(0, CAST(least(n, 128) AS INTEGER)), x -> 0.999::DOUBLE),
+                       (a, b) -> a * b) END AS beta_n
+         FROM c CROSS JOIN t)
+       SELECT label, n, inv_freq_ppm,
+         CAST(floor((1.0 - 0.001) / (1.0 - beta_n) * 1000.0) AS BIGINT) AS eff_inv_milli
+       FROM f ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_class_weights" -> q184ClassWeights,
     "q383_hubness_audit" -> q383HubnessAudit,
     "q379_context_pack" -> q379ContextPack,
     "q376_alpha_ndcg" -> q376AlphaNdcg,
@@ -2463,6 +2511,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_class_weights" -> q184Oracle,
     "q368_mmr_rerank" -> q368Oracle,
     "q376_alpha_ndcg" -> q376Oracle,
     "q379_context_pack" -> q379Oracle,

@@ -112,4 +112,21 @@ class DedupTierSpec extends SparkSpec {
       .select("mae_bp").as[Long].head()
     assert(abl.last._3 == q289mae)
   }
+
+  test("q251: an open wedge through a bridging doc is counted open") {
+    import spark.implicits._
+    // A~B and B~C share halves of B; A and C share nothing (open
+    // wedge). Plus a 3-clique of identical docs (closed wedges).
+    val d = docsDir(Seq(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 x1 x2 x3 x4",
+      3L -> "x1 x2 x3 x4 x5 x6",
+      11L -> "p q r s t",
+      12L -> "p q r s t",
+      13L -> "p q r s t"))
+    val r = Dedup.q251DedupTransitivity(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    // pairs: (1,2), (2,3), and the clique's 3; wedges: 1 open + 3 closed
+    assert(r == ((5L, 4L, 3L, 7500L)))
+  }
 }

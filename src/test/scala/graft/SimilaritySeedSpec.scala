@@ -412,4 +412,21 @@ class SimilaritySeedSpec extends SparkSpec {
       assert(ms.zip(ms.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("q184: class-balanced weights replay the closed forms") {
+    // labels with counts 1, 2, 5 (tot 8, k 3)
+    val pts = Seq((1L, Seq(1f, 0f, 0f), 0)) ++
+      (2 to 3).map(i => (i.toLong, Seq(1f, 0f, 0f), 1)) ++
+      (4 to 8).map(i => (i.toLong, Seq(1f, 0f, 0f), 2))
+    val d = embDir(pts)
+    val r = Similarity.q184ClassWeights(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 1L, 2666666L, 998999L),   // n=1: eff number ~ 1 -> weight ~ (1-b)*1000/(1-b)
+      (1L, 2L, 1333333L, 499749L),
+      (2L, 5L, 533333L, 200199L)))
+    // rarer classes weigh strictly more under both schemes
+    assert(r.map(_._3) == r.map(_._3).sortBy(-_))
+    assert(r.map(_._4) == r.map(_._4).sortBy(-_))
+  }
 }
