@@ -883,7 +883,57 @@ object Lexicon {
        ORDER BY f.word"""
   }
 
+  /** Vocabulary coverage by source (q324): build the top-16 corpus
+    * vocabulary (count-desc, token tie-break — the deterministic
+    * truncated-vocab a tokenizer would freeze) and report, per source,
+    * token coverage (bp) and type coverage under it — the OOV exposure
+    * table that decides whether a vocab trained on the mix actually
+    * serves every source (a source with low coverage trains on
+    * mostly-UNK text). K is small at test scale so OOV is visible; the
+    * structure is K-invariant.
+    *
+    * Shape: one token explode feeds both the vocab count and the
+    * coverage rollup; the vocab is a top-K cut (bounded broadcast). */
+  def q324VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"source", explode(graft.functions.Fns.tokens($"text")).as("t"))
+    val vocab = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(16)
+      .select($"t", lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"in_vocab", 1L).otherwise(0L)).as("n_cov"),
+        countDistinct($"t").as("n_types"),
+        countDistinct(when($"in_vocab", $"t")).as("n_types_cov"))
+      .withColumn("cov_bp", expr("n_cov * 10000 div n_tok"))
+      .select($"source", $"n_tok", $"n_cov", $"cov_bp", $"n_types",
+        $"n_types_cov")
+      .orderBy($"source")
+  }
+
+  val q324Oracle: String =
+    """WITH tok AS (
+         SELECT source, unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS t
+         FROM documents),
+       vc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+       vocab AS (SELECT t FROM vc ORDER BY c DESC, t LIMIT 16),
+       cov AS (
+         SELECT source, count(*) AS n_tok,
+           sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS n_cov,
+           count(DISTINCT t) AS n_types,
+           count(DISTINCT CASE WHEN t IN (SELECT t FROM vocab) THEN t END) AS n_types_cov
+         FROM tok GROUP BY source)
+       SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(n_cov AS BIGINT) AS n_cov,
+         CAST(n_cov AS BIGINT) * 10000 // n_tok AS cov_bp,
+         CAST(n_types AS BIGINT) AS n_types,
+         CAST(n_types_cov AS BIGINT) AS n_types_cov
+       FROM cov ORDER BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_vocab_coverage" -> q324VocabCoverage,
     "q317_unigram_viterbi" -> q317UnigramViterbi,
     "q280_bpe_merge_loop" -> q280BpeMergeLoop,
     "q281_neyman_allocation" -> q281NeymanAllocation,
@@ -896,6 +946,7 @@ object Lexicon {
   )
 
   def oracles: Map[String, String] = Map(
+    "q324_vocab_coverage" -> q324Oracle,
     "q317_unigram_viterbi" -> q317Oracle,
     "q280_bpe_merge_loop" -> q280Oracle,
     "q281_neyman_allocation" -> q281Oracle,

@@ -2073,7 +2073,91 @@ object Quality {
        GROUP BY grid.seg, grid.nat, grid.dec, grid.nc, ng.ng
        ORDER BY grid.seg, grid.nat, grid.dec"""
 
+  /** Quality-score → near-dup lift (q328): does the q31 heuristic
+    * quality score PREDICT near-duplication? Docs are quintiled by
+    * score (exact distributed ntile — the q226 engine, never a global
+    * sort) and each quintile reports its near-dup membership rate
+    * against the corpus base rate as a lift. A clean corpus shows
+    * lift > 1 in the bottom quintile (low-quality docs are where the
+    * boilerplate/template mass lives) — the calibration evidence for
+    * using the score as a pre-dedup prefilter.
+    *
+    * Shape: q31's scan-local score; dup membership from the shared
+    * banded pair relation; one exact-ntile pass + 5-row rollup. */
+  def q328QualityDupLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = graft.functions.Fns.tokens($"text")
+    val nTok = size(tk)
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*))) * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    val q = Tables.documents(s, d)
+      .filter(size(graft.functions.Fns.tokens($"text")) > 0)
+      .select($"doc_id",
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
+          .as("score"))
+    val dup = Dedup.jaccardPairs(s, d)
+      .select(explode(array($"doc1", $"doc2")).as("doc_id"))
+      .distinct().withColumn("is_dup", lit(1L))
+    val scored = Windows.withExactNtile(
+      q.join(dup, Seq("doc_id"), "left")
+        .select($"doc_id", $"score", coalesce($"is_dup", lit(0L)).as("is_dup")),
+      Seq($"score", $"doc_id"), 5, "quintile")
+    val base = scored.agg(
+      expr("CAST(sum(is_dup) * 10000 div count(1) AS BIGINT)").as("base_bp"))
+    scored.groupBy($"quintile")
+      .agg(count(lit(1)).as("n_docs"), sum($"is_dup").as("n_dup"))
+      .crossJoin(broadcast(base))
+      .withColumn("dup_bp", expr("n_dup * 10000 div n_docs"))
+      .withColumn("lift_milli",
+        when($"base_bp" > 0, expr("(n_dup * 10000 div n_docs) * 1000 div base_bp"))
+          .otherwise(lit(-1L)))
+      .select($"quintile", $"n_docs", $"n_dup", $"dup_bp", $"base_bp",
+        $"lift_milli")
+      .orderBy($"quintile")
+  }
+
+  val q328Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       q AS (
+         SELECT doc_id,
+           least(len(tk), 100) * 10
+             + (1000 - CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT))
+             + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS score
+         FROM tk WHERE len(tk) > 0),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id, unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       prs AS (
+         SELECT doc1, doc2 FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       dup AS (SELECT DISTINCT doc_id FROM (SELECT doc1 AS doc_id FROM prs UNION ALL SELECT doc2 FROM prs)),
+       scored AS (
+         SELECT q.doc_id, q.score, CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+           ntile(5) OVER (ORDER BY q.score, q.doc_id) AS quintile
+         FROM q LEFT JOIN dup ON q.doc_id = dup.doc_id),
+       base AS (SELECT CAST(sum(is_dup) AS BIGINT) * 10000 // count(*) AS base_bp FROM scored)
+       SELECT CAST(quintile AS BIGINT) AS quintile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dup,
+         CAST(sum(is_dup) AS BIGINT) * 10000 // count(*) AS dup_bp,
+         base_bp,
+         CAST(CASE WHEN base_bp > 0 THEN (CAST(sum(is_dup) AS BIGINT) * 10000 // count(*)) * 1000 // base_bp ELSE -1 END AS BIGINT) AS lift_milli
+       FROM scored CROSS JOIN base GROUP BY quintile, base_bp ORDER BY quintile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_quality_dup_lift" -> q328QualityDupLift,
     "q384_t_closeness" -> q384TCloseness,
     "q373_cardinality_audit" -> q373CardinalityAudit,
     "q371_learned_index_audit" -> q371LearnedIndexAudit,
@@ -2103,6 +2187,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q328_quality_dup_lift" -> q328Oracle,
     "q373_cardinality_audit" -> q373Oracle,
     "q384_t_closeness" -> q384Oracle,
     "q371_learned_index_audit" -> q371Oracle,

@@ -273,4 +273,20 @@ class LexiconSpec extends SparkSpec {
       assert(expCost <= w.map(c => cost(c.toString)).sum)
     }
   }
+
+  test("q324: OOV is charged to the source that carries the rare types") {
+    import spark.implicits._
+    // source b: one token 100x -> tops the vocab; source a: 20 types,
+    // one hit each -> only the 15 alphabetically-smallest join "zz" in
+    // the top-16 vocab (count desc, token asc tie-break)
+    val aTok = (1 to 20).map(i => f"w$i%02d")
+    val d = docsDir(Seq(
+      (1L, aTok.mkString(" "), "en", "a", 100L),
+      (2L, Seq.fill(100)("zz").mkString(" "), "en", "b", 300L)))
+    val r = graft.operators.Lexicon.q324VocabCoverage(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 20L, 15L, 7500L, 20L, 15L),
+      ("b", 100L, 100L, 10000L, 1L, 1L)))
+  }
 }

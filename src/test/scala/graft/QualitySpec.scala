@@ -761,4 +761,19 @@ class QualitySpec extends SparkSpec {
     assert(r == Seq((0L, 4L, 1L, 2500L), (1L, 4L, 1L, 2500L),
       (2L, 4L, 0L, 0L), (3L, 4L, 0L, 0L)))
   }
+
+  test("q328: quintile accounting and the lift identity hold") {
+    import spark.implicits._
+    val r = operators.Quality.q328QualityDupLift(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    val total = r.map(_._2).sum
+    val dups = r.map(_._3).sum
+    assert(r.map(_._5).distinct.size == 1)
+    assert(r.head._5 == dups * 10000 / total)          // base rate replays
+    r.foreach { case (_, n, nd, bp, base, lift) =>
+      assert(bp == nd * 10000 / n)
+      assert(lift == (if (base > 0) bp * 1000 / base else -1L))
+    }
+  }
 }
