@@ -1709,7 +1709,65 @@ object Corpus {
          JOIN tr ON tr.lang = d.lang AND tr.rn = 1
        ORDER BY d.lang"""
 
+  /** N-gram novelty curve (q329): what fraction of each corpus-order
+    * decile's 3-grams are NEW types never seen in earlier deciles —
+    * the empirical saturation readout behind Heaps'-law fits (q135)
+    * and the measured answer to "does more of this source still add
+    * anything?". A curve that collapses to ~0 says the source is
+    * exhausted; the synthetic corpus decays smoothly (9537 → 3858 bp
+    * at sf0.01).
+    *
+    * Shape: one gram explode; first-occurrence decile is a min-agg
+    * over the gram TYPE (types cross the shuffle, not positions —
+    * q366's rule); the output is a 10-row rollup with a bounded
+    * cumulative window. */
+  def q329NoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val tk = docs
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+    val tok = tk.select($"doc_id",
+      explode(transform(sequence(lit(1), size($"tk") - 2),
+        i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
+          element_at($"tk", i + 2)))).as("t"))
+    val dd = tok.crossJoin(broadcast(nd))
+      .select($"t", least(expr("(doc_id * 10) div n_docs"), lit(9L)).as("decile"))
+    val per = dd.groupBy($"decile").agg(count(lit(1)).as("n_grams"))
+    val novel = dd.groupBy($"t").agg(min($"decile").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("n_new_types"))
+    per.join(novel, Seq("decile"), "left")
+      .select($"decile", $"n_grams",
+        coalesce($"n_new_types", lit(0L)).as("n_new_types"))
+      .withColumn("cum_types", sum($"n_new_types").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("novelty_bp", expr("n_new_types * 10000 div n_grams"))
+      .orderBy($"decile")
+  }
+
+  val q329Oracle: String =
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       tk AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk FROM documents),
+       tok AS (
+         SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS t
+         FROM tk, unnest(generate_series(1, len(tk)-2)) AS u(i)
+         WHERE len(tk) >= 3),
+       dd AS (SELECT t, least((doc_id * 10) // n_docs, 9) AS decile FROM tok CROSS JOIN nd),
+       firsts AS (SELECT t, min(decile) AS decile FROM dd GROUP BY t),
+       per AS (SELECT decile, count(*) AS n_grams FROM dd GROUP BY decile),
+       novel AS (SELECT decile, count(*) AS n_new_types FROM firsts GROUP BY 1)
+       SELECT p.decile, CAST(p.n_grams AS BIGINT) AS n_grams,
+         CAST(coalesce(nv.n_new_types, 0) AS BIGINT) AS n_new_types,
+         CAST(sum(coalesce(nv.n_new_types, 0)) OVER (ORDER BY p.decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+         CAST(coalesce(nv.n_new_types, 0) * 10000 // p.n_grams AS BIGINT) AS novelty_bp
+       FROM per p LEFT JOIN novel nv ON p.decile = nv.decile
+       ORDER BY p.decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_novelty_curve" -> q329NoveltyCurve,
     "q389_kneser_ney" -> q389KneserNey,
     "q388_spec_decode_accept" -> q388SpecDecodeAccept,
     "q377_source_value_lm" -> q377SourceValueLm,
@@ -1740,6 +1798,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q329_novelty_curve" -> q329Oracle,
     "q389_kneser_ney" -> q389Oracle,
     "q388_spec_decode_accept" -> q388Oracle,
     "q377_source_value_lm" -> q377Oracle,

@@ -1748,8 +1748,49 @@ object Curation {
          CAST(floor(sqrt(c / 120.0)) AS BIGINT) * 20 * 1000 // corpus_tokens AS epochs_needed_milli
        FROM grid CROSS JOIN tot ORDER BY exp10_flops"""
 
+  /** Compaction / file-size planner (q327): per (source, target file
+    * size), how many output files a compaction of that source's
+    * documents would produce, the resulting average file size, and a
+    * small-file-debt flag (source total below half a file) — the
+    * classic small-files planning table for a partitioned-by-source
+    * lake layout, the write-side twin of q362's TTL and q363's
+    * sort-key planners. Bytes are estimated from n_chars (the text
+    * payload dominates).
+    *
+    * Shape: one source-keyed aggregate × a 3-row literal target grid;
+    * nothing else moves. */
+  def q327CompactionPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("est_bytes"))
+    val tg = Seq(16384L, 65536L, 262144L).toDF("target_bytes")
+    src.crossJoin(broadcast(tg))
+      .withColumn("n_files",
+        expr("(est_bytes + target_bytes - 1) div target_bytes"))
+      .withColumn("avg_file_bytes", expr("est_bytes div n_files"))
+      .withColumn("small_file_debt",
+        when($"est_bytes" < expr("target_bytes div 2"), 1L).otherwise(0L))
+      .select($"source", $"target_bytes", $"n_docs", $"est_bytes",
+        $"n_files", $"avg_file_bytes", $"small_file_debt")
+      .orderBy($"source", $"target_bytes")
+  }
+
+  val q327Oracle: String =
+    """WITH src AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS est_bytes
+         FROM documents GROUP BY source),
+       tg AS (SELECT CAST(unnest([16384, 65536, 262144]) AS BIGINT) AS target_bytes)
+       SELECT source, target_bytes, n_docs, est_bytes,
+         (est_bytes + target_bytes - 1) // target_bytes AS n_files,
+         est_bytes // ((est_bytes + target_bytes - 1) // target_bytes) AS avg_file_bytes,
+         CAST(CASE WHEN est_bytes < target_bytes // 2 THEN 1 ELSE 0 END AS BIGINT) AS small_file_debt
+       FROM src CROSS JOIN tg ORDER BY source, target_bytes"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_chinchilla_plan" -> q53ChinchillaPlan,
+    "q327_compaction_plan" -> q327CompactionPlan,
     "q369_epoch_waterfill" -> q369EpochWaterfill,
     "q370_length_buckets" -> q370LengthBuckets,
     "q372_resharding_audit" -> q372ReshardingAudit,
@@ -1781,6 +1822,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q53_chinchilla_plan" -> q53Oracle,
+    "q327_compaction_plan" -> q327Oracle,
     "q369_epoch_waterfill" -> q369Oracle,
     "q370_length_buckets" -> q370Oracle,
     "q372_resharding_audit" -> q372Oracle,

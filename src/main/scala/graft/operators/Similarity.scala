@@ -2477,8 +2477,90 @@ object Similarity {
          CAST(floor((1.0 - 0.001) / (1.0 - beta_n) * 1000.0) AS BIGINT) AS eff_inv_milli
        FROM f ORDER BY label"""
 
+  /** Acquisition-function agreement audit (q326): active learning
+    * offers many ways to spend a labeling budget — this op ranks every
+    * point under three acquisition orders computed from the SAME
+    * centroid geometry (margin = key1−key2, least-confidence = lowest
+    * best-centroid key, and a deterministic hash baseline) and reports
+    * pairwise top-50 overlap. High margin↔confidence overlap says the
+    * cheap function suffices; ≈budget/N overlap with the hash baseline
+    * is the sanity floor (an "informative" function that agrees with
+    * random is noise).
+    *
+    * Shape: one corpus scan × the capped centroid broadcast
+    * ([[MaxIvfCentroids]]); three TakeOrdered top-50 cuts off one
+    * checkpointed margin relation; overlaps are 50×50 joins. */
+  def q326AcquisitionOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val cent = ivfCentroids(q)
+    val piv = q.join(broadcast(cent))
+      .withColumn("num", dotQ($"qa", $"cv"))
+      .select($"vec_id", $"centroid_id",
+        expr("(num * abs(num) * 10000) div (n2 * cn)").as("key"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"key".desc, $"centroid_id")))
+      .filter($"arn" <= 2)
+      .groupBy($"vec_id")
+      .agg(max(when($"arn" === 1, $"key")).as("key1"),
+        max(when($"arn" === 2, $"key")).as("key2"))
+      .filter($"key2".isNotNull)
+    val acq = piv.select($"vec_id", ($"key1" - $"key2").as("margin"), $"key1",
+        expr("((vec_id % 2147483648) * 2654435761) % 4294967296").as("h"))
+      .localCheckpoint() // three top-50 cuts share one materialization
+    val tm = acq.orderBy($"margin", $"vec_id").limit(50).select($"vec_id")
+    val tc = acq.orderBy($"key1", $"vec_id").limit(50).select($"vec_id")
+    val tr = acq.orderBy($"h", $"vec_id").limit(50).select($"vec_id")
+    def ov(a: DataFrame, b: DataFrame, name: String) =
+      a.join(b, "vec_id").agg(count(lit(1)).as("ov"))
+        .select(lit(name).as("pair"), $"ov")
+    ov(tm, tc, "margin_conf")
+      .unionByName(ov(tm, tr, "margin_rand"))
+      .unionByName(ov(tc, tr, "conf_rand"))
+      .select($"pair", $"ov".as("overlap_50"),
+        expr("ov * 10000 div 50").as("overlap_bp"))
+      .orderBy($"pair")
+  }
+
+  val q326Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       n AS (SELECT vec_id, qa, CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2 FROM q),
+       cent AS (SELECT vec_id AS centroid_id, qa AS cv, n2 AS cn FROM n WHERE vec_id % 50 = 0),
+       ranked AS (
+         SELECT n.vec_id, c.centroid_id,
+           (list_sum(list_transform(list_zip(n.qa, c.cv), p -> p[1]*p[2]))
+             * abs(list_sum(list_transform(list_zip(n.qa, c.cv), p -> p[1]*p[2]))) * 10000)
+             // (n.n2 * c.cn) AS key,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             (list_sum(list_transform(list_zip(n.qa, c.cv), p -> p[1]*p[2]))
+               * abs(list_sum(list_transform(list_zip(n.qa, c.cv), p -> p[1]*p[2]))) * 10000)
+               // (n.n2 * c.cn) DESC, c.centroid_id) AS arn
+         FROM n CROSS JOIN cent c),
+       piv AS (
+         SELECT vec_id,
+           max(CASE WHEN arn = 1 THEN key END) AS key1,
+           max(CASE WHEN arn = 2 THEN key END) AS key2
+         FROM ranked WHERE arn <= 2 GROUP BY vec_id),
+       acq AS (
+         SELECT vec_id, key1 - key2 AS margin, key1,
+           ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h
+         FROM piv WHERE key2 IS NOT NULL),
+       tm AS (SELECT vec_id FROM acq ORDER BY margin, vec_id LIMIT 50),
+       tc AS (SELECT vec_id FROM acq ORDER BY key1, vec_id LIMIT 50),
+       tr AS (SELECT vec_id FROM acq ORDER BY h, vec_id LIMIT 50)
+       SELECT s.pair, CAST(s.ov AS BIGINT) AS overlap_50,
+         CAST(s.ov * 10000 // 50 AS BIGINT) AS overlap_bp
+       FROM (
+         SELECT 'margin_conf' AS pair, (SELECT count(*) FROM tm JOIN tc USING (vec_id)) AS ov
+         UNION ALL SELECT 'margin_rand', (SELECT count(*) FROM tm JOIN tr USING (vec_id))
+         UNION ALL SELECT 'conf_rand', (SELECT count(*) FROM tc JOIN tr USING (vec_id))) s
+       ORDER BY pair"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_class_weights" -> q184ClassWeights,
+    "q326_acquisition_overlap" -> q326AcquisitionOverlap,
     "q383_hubness_audit" -> q383HubnessAudit,
     "q379_context_pack" -> q379ContextPack,
     "q376_alpha_ndcg" -> q376AlphaNdcg,
@@ -2512,6 +2594,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q184_class_weights" -> q184Oracle,
+    "q326_acquisition_overlap" -> q326Oracle,
     "q368_mmr_rerank" -> q368Oracle,
     "q376_alpha_ndcg" -> q376Oracle,
     "q379_context_pack" -> q379Oracle,

@@ -299,4 +299,18 @@ class CorpusSpec extends SparkSpec {
       rows.foreach(r => assert(r._6 >= r._4 && r._6 <= r._5))
     }
   }
+
+  test("q329: novelty accounting — decile masses and cumulative types") {
+    import spark.implicits._
+    val r = graft.operators.Corpus.q329NoveltyCurve(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == (0L to 9L))
+    // cum is the running sum of new types and ends at the type total
+    val cums = r.map(_._3).scanLeft(0L)(_ + _).tail
+    assert(r.map(_._4) == cums)
+    r.foreach { case (_, ng, nn, _, bp) =>
+      assert(nn <= ng && bp == nn * 10000 / ng) }
+    // decile 0 is all-novel territory: its rate must be the maximum
+    assert(r.head._5 == r.map(_._5).max)
+  }
 }

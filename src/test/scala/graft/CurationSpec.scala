@@ -443,4 +443,23 @@ class CurationSpec extends SparkSpec {
     // budgets are increasing -> so are the optimal sizes
     assert(r.map(_._2) == r.map(_._2).sorted)
   }
+
+  test("q327: file counts follow the ceiling arithmetic exactly") {
+    import spark.implicits._
+    // one source of 100k bytes, one of 100 bytes (small-file debt)
+    val dir = docsDir(Seq(
+      (1L, "x", "big", "big", 100000L),
+      (2L, "y", "small", "small", 100L)))
+    val r = Curation.q327CompactionPlan(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.size == 6)
+    r.foreach { case (src, tgt, _, bytes, nf, avg, debt) =>
+      assert(nf == (bytes + tgt - 1) / tgt)
+      assert(avg == bytes / nf)
+      assert(debt == (if (bytes < tgt / 2) 1L else 0L))
+    }
+    // 100k at 16k -> 7 files; the small source is debt at every target
+    assert(r.find(r0 => r0._1 == "big" && r0._2 == 16384L).get._5 == 7L)
+    assert(r.filter(_._1 == "small").forall(_._7 == 1L))
+  }
 }

@@ -429,4 +429,12 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(r.map(_._3) == r.map(_._3).sortBy(-_))
     assert(r.map(_._4) == r.map(_._4).sortBy(-_))
   }
+
+  test("q326: overlap bounds and self-consistency on the real corpus") {
+    val r = Similarity.q326AcquisitionOverlap(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r.map(_._1).sorted == Seq("conf_rand", "margin_conf", "margin_rand"))
+    r.foreach { case (_, ov, bp) =>
+      assert(ov >= 0 && ov <= 50 && bp == ov * 10000 / 50) }
+  }
 }
