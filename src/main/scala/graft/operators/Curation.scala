@@ -1788,8 +1788,49 @@ object Curation {
          CAST(CASE WHEN est_bytes < target_bytes // 2 THEN 1 ELSE 0 END AS BIGINT) AS small_file_debt
        FROM src CROSS JOIN tg ORDER BY source, target_bytes"""
 
+  /** KV-cache serving-memory planner (q330): for a 7B-class decoder
+    * (32 layers × 4096 hidden, fp16 ⇒ 512 KiB of K+V per token), the
+    * per-context-length table of KV bytes per sequence, the max batch
+    * that fits a 64 GiB cache budget, and — joined from THIS corpus —
+    * how many documents fit each context without truncation (the
+    * serving twin of q275's training-side truncation audit). Pure
+    * integer arithmetic on a literal grid × a bounded length
+    * histogram.
+    */
+  def q330KvCachePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("l"))
+      .groupBy($"l").agg(count(lit(1)).as("cnt"))
+    val tot = lens.agg(sum($"cnt").as("n_docs"))
+    val grid = Seq(128L, 512L, 2048L).toDF("ctx")
+    grid.join(lens, $"l" <= $"ctx", "left")
+      .groupBy($"ctx")
+      .agg(coalesce(sum($"cnt"), lit(0L)).as("docs_fitting"))
+      .crossJoin(broadcast(tot))
+      .select($"ctx", $"docs_fitting",
+        expr("docs_fitting * 10000 div n_docs").as("fit_bp"),
+        ($"ctx" * 524288L).as("kv_bytes_per_seq"),
+        expr("68719476736 div (ctx * 524288)").as("max_batch_64g"))
+      .orderBy($"ctx")
+  }
+
+  val q330Oracle: String =
+    """WITH lens AS (
+         SELECT CAST(len(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS BIGINT) AS l
+         FROM documents),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lens),
+       grid AS (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT) AS ctx)
+       SELECT ctx,
+         (SELECT CAST(count(*) AS BIGINT) FROM lens WHERE l <= ctx) AS docs_fitting,
+         (SELECT CAST(count(*) AS BIGINT) FROM lens WHERE l <= ctx) * 10000 // n_docs AS fit_bp,
+         ctx * 524288 AS kv_bytes_per_seq,
+         68719476736 // (ctx * 524288) AS max_batch_64g
+       FROM grid CROSS JOIN tot ORDER BY ctx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_chinchilla_plan" -> q53ChinchillaPlan,
+    "q330_kv_cache_plan" -> q330KvCachePlan,
     "q327_compaction_plan" -> q327CompactionPlan,
     "q369_epoch_waterfill" -> q369EpochWaterfill,
     "q370_length_buckets" -> q370LengthBuckets,
@@ -1822,6 +1863,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q53_chinchilla_plan" -> q53Oracle,
+    "q330_kv_cache_plan" -> q330Oracle,
     "q327_compaction_plan" -> q327Oracle,
     "q369_epoch_waterfill" -> q369Oracle,
     "q370_length_buckets" -> q370Oracle,

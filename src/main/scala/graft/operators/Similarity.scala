@@ -2558,8 +2558,52 @@ object Similarity {
          UNION ALL SELECT 'conf_rand', (SELECT count(*) FROM tc JOIN tr USING (vec_id))) s
        ORDER BY pair"""
 
+  /** Embedding-dimension health audit (q333): per dimension, the
+    * zero-rate, distinct-value count, and range of the quantized
+    * values, with DEAD (constant) and LOW-VAR (≤ 4 distinct values)
+    * flags — the collapsed-dimension screen run before trusting an
+    * encoder's output space (dead dims waste index bytes and, worse,
+    * make cosine neighborhoods degenerate; q340's correlation audit
+    * catches redundant PAIRS, this catches dimensions dead on their
+    * own). One posexplode + a |dims|-bounded rollup. */
+  def q333DeadDims(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantized(s, d)
+      .select(posexplode($"qa").as(Seq("pos", "v")))
+      .select(($"pos" + 1).cast("long").as("dim"), $"v")
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"v" === 0, 1L).otherwise(0L)).as("n_zero"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("vmin"), max($"v").as("vmax"))
+      .withColumn("dead", when($"n_distinct" === 1, 1L).otherwise(0L))
+      .withColumn("low_var", when($"n_distinct" <= 4, 1L).otherwise(0L))
+      .select($"dim", $"n", $"n_zero", $"n_distinct", $"vmin", $"vmax",
+        $"dead", $"low_var")
+      .orderBy($"dim")
+  }
+
+  val q333Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       dims AS (
+         SELECT i AS dim, qa[i] AS v
+         FROM q, unnest(generate_series(1, len(qa))) AS u(i)),
+       st AS (
+         SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+         FROM dims GROUP BY dim)
+       SELECT dim, n, n_zero, n_distinct, vmin, vmax,
+         CAST(CASE WHEN n_distinct = 1 THEN 1 ELSE 0 END AS BIGINT) AS dead,
+         CAST(CASE WHEN n_distinct <= 4 THEN 1 ELSE 0 END AS BIGINT) AS low_var
+       FROM st ORDER BY dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_class_weights" -> q184ClassWeights,
+    "q333_dead_dims" -> q333DeadDims,
     "q326_acquisition_overlap" -> q326AcquisitionOverlap,
     "q383_hubness_audit" -> q383HubnessAudit,
     "q379_context_pack" -> q379ContextPack,
@@ -2594,6 +2638,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q184_class_weights" -> q184Oracle,
+    "q333_dead_dims" -> q333Oracle,
     "q326_acquisition_overlap" -> q326Oracle,
     "q368_mmr_rerank" -> q368Oracle,
     "q376_alpha_ndcg" -> q376Oracle,

@@ -4680,7 +4680,45 @@ object Stats {
        FROM top WHERE rank <= 5 ORDER BY rank"""
 
 
+  /** Pairwise-eval sample-size planner (q331): how many head-to-head
+    * comparisons are needed before a winrate's 95% CI half-width
+    * shrinks to w — n = ⌈z²·p(1−p)/w²⌉ with z² = 3.8416 — over a
+    * winrate grid plus the OBSERVED urgent-order rate as the
+    * data-grounded row (the binomial sizing twin of q367's continuous
+    * MDE planner). Operands stay < 2⁵³ so the one double division is
+    * exact-input correctly-rounded on both engines; everything else is
+    * integers on a 12-row grid. */
+  def q331WilsonSamplePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.orders(s, d)
+      .agg((count(when($"o_orderpriority" === "1-URGENT", lit(1))) * 10000L)
+        .as("num"), count(lit(1)).as("den"))
+      .select(expr("num div den").as("p_bp"), lit("observed").as("kind"))
+    val ps = Seq(5000L, 5500L, 6000L).toDF("p_bp")
+      .withColumn("kind", lit("grid"))
+      .unionByName(obs)
+    val ws = Seq(100L, 200L, 500L).toDF("w_bp")
+    ps.crossJoin(broadcast(ws))
+      .select($"kind", $"p_bp", $"w_bp",
+        ceil(lit(38416.0) * $"p_bp" * (lit(10000L) - $"p_bp")
+          / (lit(10000.0) * $"w_bp" * $"w_bp")).cast("long").as("n_required"))
+      .orderBy($"kind", $"p_bp", $"w_bp")
+  }
+
+  val q331Oracle: String =
+    """WITH obs AS (
+         SELECT CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) * 10000 // count(*) AS BIGINT) AS p_obs
+         FROM orders),
+       ps AS (
+         SELECT CAST(unnest([5000, 5500, 6000]) AS BIGINT) AS p_bp, 'grid' AS kind
+         UNION ALL SELECT p_obs, 'observed' FROM obs),
+       ws AS (SELECT CAST(unnest([100, 200, 500]) AS BIGINT) AS w_bp)
+       SELECT kind, p_bp, w_bp,
+         CAST(ceil((38416.0 * p_bp * (10000 - p_bp)) / (10000.0 * w_bp * w_bp)) AS BIGINT) AS n_required
+       FROM ps CROSS JOIN ws ORDER BY kind, p_bp, w_bp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_wilson_sample_plan" -> q331WilsonSamplePlan,
     "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
     "q253_elasticity" -> q253Elasticity,
@@ -4753,6 +4791,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q331_wilson_sample_plan" -> q331Oracle,
     "q262_anova" -> q262Oracle,
     "q255_funnel_ztest" -> q255Oracle,
     "q253_elasticity" -> q253Oracle,

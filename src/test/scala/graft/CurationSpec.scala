@@ -462,4 +462,18 @@ class CurationSpec extends SparkSpec {
     assert(r.find(r0 => r0._1 == "big" && r0._2 == 16384L).get._5 == 7L)
     assert(r.filter(_._1 == "small").forall(_._7 == 1L))
   }
+
+  test("q330: fit counts track the length histogram; memory arithmetic exact") {
+    import spark.implicits._
+    // 3 docs: 100, 600, 3000 tokens
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "), "en", "s", 1L)
+    val dir = docsDir(Seq(doc(1, 100), doc(2, 600), doc(3, 3000)))
+    val r = Curation.q330KvCachePlan(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(x => (x._1, x._2)) == Seq((128L, 1L), (512L, 1L), (2048L, 2L)))
+    r.foreach { case (ctx, fit, bp, kv, mb) =>
+      assert(bp == fit * 10000 / 3)
+      assert(kv == ctx * 524288L && mb == 68719476736L / kv)
+    }
+  }
 }

@@ -437,4 +437,16 @@ class SimilaritySeedSpec extends SparkSpec {
     r.foreach { case (_, ov, bp) =>
       assert(ov >= 0 && ov <= 50 && bp == ov * 10000 / 50) }
   }
+
+  test("q333: a planted constant dimension is flagged dead") {
+    // dim 2 constant 0.5 for everyone, dim 3 all zero, dim 1 varies
+    val pts = (1L to 6L).map(i => (i, Seq(0.1f * i, 0.5f, 0f), 0))
+    val d = embDir(pts)
+    val r = Similarity.q333DeadDims(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._7 == 0L && r(1L)._4 == 6L)            // live dim
+    assert(r(2L)._7 == 1L && r(2L)._8 == 1L)            // constant -> dead
+    assert(r(3L)._7 == 1L && r(3L)._3 == 6L)            // all-zero dead, n_zero = n
+  }
 }

@@ -1703,4 +1703,17 @@ class StatsSpec extends SparkSpec {
       assert(byDelta.zip(byDelta.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("q331: sample sizes replay the Wilson closed form and scale as 1/w^2") {
+    import spark.implicits._
+    val r = graft.operators.Stats.q331WilsonSamplePlan(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r.size == 12)
+    r.foreach { case (_, p, w, n) =>
+      assert(n == math.ceil(38416.0 * p * (10000 - p) / (10000.0 * w * w)).toLong)
+    }
+    // quadratic cost of precision: halving the width ~quadruples n
+    val g = r.filter(x => x._1 == "grid" && x._2 == 5000L).sortBy(_._3)
+    assert(g.map(_._4) == Seq(9604L, 2401L, 385L))
+  }
 }
