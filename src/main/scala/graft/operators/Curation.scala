@@ -1828,8 +1828,156 @@ object Curation {
          68719476736 // (ctx * 524288) AS max_batch_64g
        FROM grid CROSS JOIN tot ORDER BY ctx"""
 
+  /** Competence-based curriculum pacing (q337, Platanios et al. 2019):
+    * at each tenth of training, competence c(t) bounds the difficulty
+    * of admissible examples — difficulty here is token length, the
+    * classic text proxy — and the table reports, for linear vs √
+    * pacing, the length cut and the docs/tokens unlocked at each step.
+    * √ pacing front-loads data (c(0.1) ≈ 0.32), which is exactly what
+    * the table makes visible against linear.
+    *
+    * Shape: everything runs on the bounded length histogram — the cut
+    * is a min-over-threshold join, availability a cumulative lookup;
+    * no per-doc work after the histogram. */
+  def q337CurriculumPacing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("l"))
+      .filter($"l" > 0)
+      .groupBy($"l").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy($"l")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cd", sum($"cnt").over(wc))
+      .withColumn("ct", sum($"cnt" * $"l").over(wc))
+      .localCheckpoint()
+      // the histogram is value-domain bounded; restate past the
+      // checkpoint (no-op) for the plan audits
+      .limit(100000)
+    val tot = cum.agg(max($"cd").as("n"))
+    val steps = (1L to 10L).toDF("t")
+    val pol = steps.crossJoin(broadcast(tot))
+      .select($"t", lit("linear").as("policy"),
+        ($"t" * 100L).as("c_milli"), expr("(t * n) div 10").as("target"))
+      .unionByName(steps.crossJoin(broadcast(tot))
+        .select($"t", lit("sqrt").as("policy"),
+          floor(sqrt($"t" / 10.0) * 1000.0).cast("long").as("c_milli"),
+          floor(sqrt($"t" / 10.0) * $"n").cast("long").as("target")))
+    val cut = pol.join(cum, $"cd" >= $"target")
+      .groupBy($"policy", $"t", $"c_milli")
+      .agg(min($"l").as("l_cut"))
+    cut.join(cum.select($"l", $"cd", $"ct"), $"l" <= $"l_cut", "left")
+      .groupBy($"policy", $"t", $"c_milli", $"l_cut")
+      .agg(coalesce(max($"cd"), lit(0L)).as("docs_avail"),
+        coalesce(max($"ct"), lit(0L)).as("tokens_avail"))
+      .select($"policy", $"t".as("step"), $"c_milli", $"l_cut",
+        $"docs_avail", $"tokens_avail")
+      .orderBy($"policy", $"step")
+  }
+
+  val q337Oracle: String =
+    """WITH tk AS (
+         SELECT CAST(len(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS BIGINT) AS l
+         FROM documents),
+       hist AS (SELECT l, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE l > 0 GROUP BY l),
+       cum AS (
+         SELECT l, cnt,
+           CAST(sum(cnt) OVER (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd,
+           CAST(sum(cnt * l) OVER (ORDER BY l ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+         FROM hist),
+       tot AS (SELECT CAST(max(cd) AS BIGINT) AS n FROM cum),
+       steps AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS t),
+       pol AS (
+         SELECT t, 'linear' AS policy, t * 100 AS c_milli, (t * n) // 10 AS target
+         FROM steps CROSS JOIN tot
+         UNION ALL
+         SELECT t, 'sqrt', CAST(floor(sqrt(t / 10.0) * 1000.0) AS BIGINT),
+           CAST(floor(sqrt(t / 10.0) * n) AS BIGINT) FROM steps CROSS JOIN tot),
+       cut AS (
+         SELECT p.policy, p.t, p.c_milli, min(CASE WHEN c.cd >= p.target THEN c.l END) AS l_cut
+         FROM pol p CROSS JOIN cum c GROUP BY 1, 2, 3)
+       SELECT cut.policy, cut.t AS step, cut.c_milli, cut.l_cut,
+         CAST(coalesce(max(c2.cd), 0) AS BIGINT) AS docs_avail,
+         CAST(coalesce(max(c2.ct), 0) AS BIGINT) AS tokens_avail
+       FROM cut LEFT JOIN cum c2 ON c2.l <= cut.l_cut
+       GROUP BY 1, 2, 3, 4 ORDER BY policy, step"""
+
+  /** Two-phase quality-anneal schedule (q357): the "finish training on
+    * the good stuff" recipe — 80% of the one-epoch token budget flows
+    * pro-rata to every source, the final 20% only to the top half of
+    * sources by mean q31 quality — as an exact integer allocation
+    * table with each source's effective upweight. The mixture-schedule
+    * complement of q369's cap-constrained waterfilling (q369 answers
+    * "how much can each source give", this answers "when should it be
+    * fed").
+    *
+    * Shape: one per-source aggregate; ranking windows run over the
+    * bounded source relation; allocations are integer divisions. */
+  def q357AnnealSchedule(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = tokens($"text")
+    val nTok = size(tk)
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*))) * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    val q = Tables.documents(s, d)
+      .filter(size(tokens($"text")) > 0)
+      .select($"source", nTok.cast("long").as("l"),
+        (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm)
+          .as("score"))
+      .groupBy($"source")
+      .agg(sum($"l").as("tok"),
+        expr("CAST(sum(score) AS BIGINT) div count(1)").as("avg_q"))
+    val rk = q
+      .withColumn("r", row_number().over(
+        Window.orderBy($"avg_q".desc, $"source")))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tok_all", sum($"tok").over(Window.partitionBy()))
+      .withColumn("anneal",
+        when($"r" <= expr("k div 2"), 1L).otherwise(0L))
+    val at = rk.agg(
+      sum(when($"anneal" === 1, $"tok").otherwise(0L)).as("tok_ann"))
+    rk.crossJoin(broadcast(at))
+      .withColumn("phase1_tok", expr("(tok_all * 8 div 10) * tok div tok_all"))
+      .withColumn("phase2_tok",
+        when($"anneal" === 1, expr("(tok_all * 2 div 10) * tok div tok_ann"))
+          .otherwise(0L))
+      .select($"source", $"tok", $"avg_q", $"anneal", $"phase1_tok",
+        $"phase2_tok",
+        expr("(phase1_tok + phase2_tok) * 1000 div tok").as("upweight_milli"))
+      .orderBy($"source")
+  }
+
+  val q357Oracle: String =
+    """WITH tk AS (
+         SELECT source, doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       q AS (
+         SELECT source,
+           CAST(sum(len(tk)) AS BIGINT) AS tok,
+           CAST(sum(least(len(tk), 100) * 10
+             + (1000 - CAST(floor(len(list_filter(tk, t -> list_contains(['the','a','of','and','in','to'], t))) * 1000.0 / len(tk)) AS BIGINT))
+             + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT)) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS avg_q
+         FROM tk WHERE len(tk) > 0 GROUP BY source),
+       rk AS (
+         SELECT *, row_number() OVER (ORDER BY avg_q DESC, source) AS r,
+           CAST(count(*) OVER () AS BIGINT) AS k,
+           CAST(sum(tok) OVER () AS BIGINT) AS tok_all
+         FROM q),
+       ann AS (SELECT *, CASE WHEN r <= k // 2 THEN 1 ELSE 0 END AS anneal FROM rk),
+       at AS (SELECT CAST(sum(CASE WHEN anneal = 1 THEN tok ELSE 0 END) AS BIGINT) AS tok_ann FROM ann)
+       SELECT source, tok, avg_q, CAST(anneal AS BIGINT) AS anneal,
+         (tok_all * 8 // 10) * tok // tok_all AS phase1_tok,
+         CAST(CASE WHEN anneal = 1 THEN (tok_all * 2 // 10) * tok // tok_ann ELSE 0 END AS BIGINT) AS phase2_tok,
+         ((tok_all * 8 // 10) * tok // tok_all
+           + CASE WHEN anneal = 1 THEN (tok_all * 2 // 10) * tok // tok_ann ELSE 0 END) * 1000 // tok AS upweight_milli
+       FROM ann CROSS JOIN at ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_chinchilla_plan" -> q53ChinchillaPlan,
+    "q337_curriculum_pacing" -> q337CurriculumPacing,
+    "q357_anneal_schedule" -> q357AnnealSchedule,
     "q330_kv_cache_plan" -> q330KvCachePlan,
     "q327_compaction_plan" -> q327CompactionPlan,
     "q369_epoch_waterfill" -> q369EpochWaterfill,
@@ -1863,6 +2011,8 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q53_chinchilla_plan" -> q53Oracle,
+    "q337_curriculum_pacing" -> q337Oracle,
+    "q357_anneal_schedule" -> q357Oracle,
     "q330_kv_cache_plan" -> q330Oracle,
     "q327_compaction_plan" -> q327Oracle,
     "q369_epoch_waterfill" -> q369Oracle,

@@ -932,8 +932,88 @@ object Lexicon {
          CAST(n_types_cov AS BIGINT) AS n_types_cov
        FROM cov ORDER BY source"""
 
+  /** Negative-sampling distribution table (q334, Mikolov et al. 2013):
+    * the unigram^(3/4) proposal — x^0.75 computed as √(c·√c), two
+    * correctly-rounded sqrts and one exact-input multiply, never pow —
+    * as integer milli-weights, normalized against the INTEGER weight
+    * total (never a float sum), with the flattening visible next to
+    * the raw unigram share and the expected draw count per 100k
+    * negatives. Top-20 rows by frequency; the normalizer covers the
+    * whole vocabulary. */
+  def q334NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select(explode(graft.functions.Fns.tokens($"text")).as("t"))
+    val w = tok.groupBy($"t").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", floor(sqrt($"cnt" * sqrt($"cnt")) * 1000.0).cast("long"))
+    val tw = w.agg(sum($"w").as("wtot"), sum($"cnt").as("ctot"))
+    w.crossJoin(broadcast(tw))
+      .select($"t".as("token"), $"cnt", $"w".as("w_milli"),
+        expr("(w * 1000000) div wtot").as("share_ppm"),
+        expr("(cnt * 1000000) div ctot").as("unigram_ppm"),
+        expr("((w * 1000000) div wtot) div 10").as("draws_per_100k"))
+      .orderBy($"cnt".desc, $"token").limit(20)
+  }
+
+  val q334Oracle: String =
+    """WITH tok AS (
+         SELECT unnest(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS t
+         FROM documents),
+       c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+       w AS (SELECT t, cnt, CAST(floor(sqrt(cnt * sqrt(cnt)) * 1000.0) AS BIGINT) AS w FROM c),
+       tw AS (SELECT CAST(sum(w) AS BIGINT) AS wtot, CAST(sum(cnt) AS BIGINT) AS ctot FROM w)
+       SELECT t AS token, cnt, w AS w_milli,
+         (w * 1000000) // wtot AS share_ppm,
+         (cnt * 1000000) // ctot AS unigram_ppm,
+         ((w * 1000000) // wtot) // 10 AS draws_per_100k
+       FROM w CROSS JOIN tw
+       ORDER BY cnt DESC, t LIMIT 20"""
+
+  /** Corpus-adaptive stopword discovery (q350): per token, document
+    * frequency rate and idf in micro-nats (the q188 exact-rational ln
+    * idiom), flagging candidates whose df-rate clears 60% — the
+    * data-derived stopword list that replaces a hand-curated one
+    * before TF-IDF/BM25 indexing (q73/q98) on a new-domain corpus.
+    * Top-20 by term frequency; flags ride with the evidence, the
+    * caller picks the cut. */
+  def q350StopwordDiscovery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+    val nd = tk.agg(count(lit(1)).as("n_docs"))
+    val st = tk.select($"doc_id", explode($"tk").as("t"))
+      .groupBy($"t")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+    st.crossJoin(broadcast(nd))
+      .select($"t".as("token"), $"tf", $"df",
+        expr("(df * 10000) div n_docs").as("df_bp"),
+        floor(log($"n_docs" * lit(1.0) / $"df") * lit(1000000.0))
+          .cast("long").as("idf_micro"),
+        when(expr("(df * 10000) div n_docs") >= 6000, 1L).otherwise(0L)
+          .as("stopword"))
+      .orderBy($"tf".desc, $"token").limit(20)
+  }
+
+  val q350Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tk),
+       tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+       st AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM tok GROUP BY t)
+       SELECT t AS token, tf, df,
+         (df * 10000) // n_docs AS df_bp,
+         CAST(floor(ln(n_docs * 1.0 / df) * 1000000.0) AS BIGINT) AS idf_micro,
+         CAST(CASE WHEN (df * 10000) // n_docs >= 6000 THEN 1 ELSE 0 END AS BIGINT) AS stopword
+       FROM st CROSS JOIN nd
+       ORDER BY tf DESC, t LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_vocab_coverage" -> q324VocabCoverage,
+    "q334_negative_sampling" -> q334NegativeSampling,
+    "q350_stopword_discovery" -> q350StopwordDiscovery,
     "q317_unigram_viterbi" -> q317UnigramViterbi,
     "q280_bpe_merge_loop" -> q280BpeMergeLoop,
     "q281_neyman_allocation" -> q281NeymanAllocation,
@@ -947,6 +1027,8 @@ object Lexicon {
 
   def oracles: Map[String, String] = Map(
     "q324_vocab_coverage" -> q324Oracle,
+    "q334_negative_sampling" -> q334Oracle,
+    "q350_stopword_discovery" -> q350Oracle,
     "q317_unigram_viterbi" -> q317Oracle,
     "q280_bpe_merge_loop" -> q280Oracle,
     "q281_neyman_allocation" -> q281Oracle,

@@ -476,4 +476,38 @@ class CurationSpec extends SparkSpec {
       assert(kv == ctx * 524288L && mb == 68719476736L / kv)
     }
   }
+
+  test("q337: sqrt pacing unlocks more than linear early, equal at the end") {
+    import spark.implicits._
+    val r = Curation.q337CurriculumPacing(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val lin = r.filter(_._1 == "linear").sortBy(_._2)
+    val sq = r.filter(_._1 == "sqrt").sortBy(_._2)
+    assert(lin.size == 10 && sq.size == 10)
+    // availability is monotone in step for both policies
+    Seq(lin, sq).foreach { p =>
+      assert(p.map(_._5) == p.map(_._5).sorted)
+      assert(p.map(_._6) == p.map(_._6).sorted)
+    }
+    // sqrt competence dominates linear at every interior step
+    lin.zip(sq).take(9).foreach { case (l, q) => assert(q._5 >= l._5) }
+    // both end with the whole corpus
+    assert(lin.last._5 == sq.last._5 && lin.last._6 == sq.last._6)
+  }
+
+  test("q357: the anneal budget conserves and only top-half sources get phase 2") {
+    import spark.implicits._
+    val r = Curation.q357AnnealSchedule(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val k = r.size
+    assert(r.count(_._4 == 1L) == k / 2)
+    // annealed sources are exactly the top half by avg quality
+    val sorted = r.sortBy(x => (-x._3, x._1))
+    assert(sorted.take(k / 2).forall(_._4 == 1L))
+    r.foreach { case (_, tok, _, ann, p1, p2, up) =>
+      assert(p1 >= 0 && (ann == 1L || p2 == 0L))
+      assert(up == (p1 + p2) * 1000 / tok)
+      if (ann == 1L) assert(up > 1000L) else assert(up < 1000L)
+    }
+  }
 }

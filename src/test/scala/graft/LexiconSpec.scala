@@ -289,4 +289,31 @@ class LexiconSpec extends SparkSpec {
       ("a", 20L, 15L, 7500L, 20L, 15L),
       ("b", 100L, 100L, 10000L, 1L, 1L)))
   }
+
+  test("q334: the 3/4 power flattens — shares sit between uniform and unigram") {
+    import spark.implicits._
+    val r = graft.operators.Lexicon.q334NegativeSampling(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.nonEmpty && r.size <= 20)
+    r.foreach { case (_, cnt, w, share, uni, draws) =>
+      assert(w == math.floor(math.sqrt(cnt * math.sqrt(cnt.toDouble)) * 1000.0).toLong)
+      assert(draws == share / 10)
+      // for an above-average-frequency token the 3/4 power can only
+      // shrink its share relative to raw unigram
+      if (uni > 35000) assert(share <= uni)
+    }
+  }
+
+  test("q350: planted stopword tops the table with near-zero idf") {
+    import spark.implicits._
+    // "filler" appears in all 10 docs; content words in one each
+    val docs = (1 to 10).map(i => (i.toLong, s"filler w$i x$i", "en", "s", 20L))
+    val d = docsDir(docs)
+    val r = graft.operators.Lexicon.q350StopwordDiscovery(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val top = r.head
+    assert(top._1 == "filler" && top._3 == 10L && top._4 == 10000L)
+    assert(top._5 == 0L && top._6 == 1L) // ln(10/10) = 0, flagged
+    assert(r.tail.forall(x => x._6 == 0L && x._4 == 1000L))
+  }
 }
