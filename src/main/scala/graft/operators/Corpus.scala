@@ -1766,8 +1766,69 @@ object Corpus {
        FROM per p LEFT JOIN novel nv ON p.decile = nv.decile
        ORDER BY p.decile"""
 
+  /** Training-shard mixing audit (q391): assign every doc to one of 16
+    * shards by the deterministic hash, and compare each shard's SOURCE
+    * entropy (micro-nats, the exact-rational ln idiom) against the
+    * corpus source entropy. A shard whose mix_bp sits well under
+    * 10000 is source-skewed — exactly the within-shard correlation
+    * that turns "shuffled" training data into correlated gradient
+    * batches. The audit is the readout for choosing the shard count /
+    * hash before writing training shards.
+    *
+    * Shape: one (shard × source) cell aggregate (bounded domain:
+    * 16 × |sources|); entropies are integer sums over that bounded
+    * relation. */
+  def q391ShardMixingAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cell = Tables.documents(s, d)
+      .select(expr("((doc_id % 2147483648) * 2654435761) % 16").as("shard"),
+        $"source")
+      .groupBy($"shard", $"source").agg(count(lit(1)).as("c"))
+    val per = cell.groupBy($"shard").agg(sum($"c").as("n"))
+    val hshard = cell.join(per, "shard")
+      .select($"shard", $"n",
+        ($"c" * floor(log($"n" * lit(1.0) / $"c") * lit(1000000.0))
+          .cast("long")).as("term"))
+      .groupBy($"shard", $"n")
+      .agg(expr("CAST(sum(term) AS BIGINT) div n").as("h_micro"))
+    val corp = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("c"))
+    val ct = corp.agg(sum($"c").as("nt"))
+    val hcorp = corp.crossJoin(broadcast(ct))
+      .select(($"c" * floor(log($"nt" * lit(1.0) / $"c") * lit(1000000.0))
+        .cast("long")).as("term"), $"nt")
+      .groupBy($"nt")
+      .agg(expr("CAST(sum(term) AS BIGINT) div nt").as("h_corpus"))
+      .select($"h_corpus")
+    hshard.crossJoin(broadcast(hcorp))
+      .select($"shard", $"n".as("n_docs"), $"h_micro", $"h_corpus",
+        expr("h_micro * 10000 div h_corpus").as("mix_bp"))
+      .orderBy($"shard")
+  }
+
+  val q391Oracle: String =
+    """WITH sh AS (
+         SELECT ((doc_id % 2147483648) * 2654435761) % 16 AS shard, source FROM documents),
+       cell AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2),
+       per AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY shard),
+       hshard AS (
+         SELECT cell.shard,
+           CAST(sum(c * CAST(floor(ln(per.n * 1.0 / c) * 1000000.0) AS BIGINT)) // per.n AS BIGINT) AS h_micro
+         FROM cell JOIN per ON cell.shard = per.shard GROUP BY cell.shard, per.n),
+       corp AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source),
+       ct AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM corp),
+       hcorp AS (
+         SELECT CAST(sum(c * CAST(floor(ln(ct.nt * 1.0 / c) * 1000000.0) AS BIGINT)) // ct.nt AS BIGINT) AS h_corpus
+         FROM corp CROSS JOIN ct GROUP BY ct.nt)
+       SELECT CAST(hshard.shard AS BIGINT) AS shard, per.n AS n_docs,
+         hshard.h_micro, hcorp.h_corpus,
+         CAST(hshard.h_micro * 10000 // hcorp.h_corpus AS BIGINT) AS mix_bp
+       FROM hshard JOIN per ON hshard.shard = per.shard CROSS JOIN hcorp
+       ORDER BY shard"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q329_novelty_curve" -> q329NoveltyCurve,
+    "q391_shard_mixing_audit" -> q391ShardMixingAudit,
     "q389_kneser_ney" -> q389KneserNey,
     "q388_spec_decode_accept" -> q388SpecDecodeAccept,
     "q377_source_value_lm" -> q377SourceValueLm,
@@ -1799,6 +1860,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q329_novelty_curve" -> q329Oracle,
+    "q391_shard_mixing_audit" -> q391Oracle,
     "q389_kneser_ney" -> q389Oracle,
     "q388_spec_decode_accept" -> q388Oracle,
     "q377_source_value_lm" -> q377Oracle,

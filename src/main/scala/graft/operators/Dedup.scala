@@ -2364,8 +2364,148 @@ object Dedup {
          CAST(CASE WHEN n_wedges > 0 THEN n_closed * 10000 // n_wedges ELSE -1 END AS BIGINT) AS closure_bp
        FROM tot CROSS JOIN closed"""
 
+  /** Sampled-dedup bias audit (q390): dedup piloted on a corpus SAMPLE
+    * systematically under-detects — a pair survives a rate-q sample
+    * only when BOTH endpoints survive (≈ q²), so the sampled dup RATE
+    * reads low by ≈ q even though doc counts scale by q. Measured
+    * exactly here under the engine's deterministic hash sample (the
+    * q38/q96 splitter at q = 1/2): pair survival vs the q²
+    * expectation, and the sampled-vs-full dup-rate ratio — the
+    * correction factor to apply before extrapolating a pilot-sample
+    * dedup study to the full corpus. Sample membership is a pure
+    * function of doc_id, so it is a FILTER on the shared pair
+    * relation, never a join. */
+  def q390SampledDedupBias(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def samp(c: String) =
+      s"(($c % 2147483648) * 2654435761) % 4294967296 < 2147483648"
+    val prs = jaccardPairs(s, d).select($"doc1", $"doc2").localCheckpoint()
+    val sp = prs.filter(expr(samp("doc1")) && expr(samp("doc2")))
+      .localCheckpoint()
+    val nd = Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      count(when(expr(samp("doc_id")), lit(1))).as("n_samp"))
+    val fullP = prs.agg(count(lit(1)).as("pairs_full"))
+    val sampP = sp.agg(count(lit(1)).as("pairs_samp"))
+    val dupF = prs.select(explode(array($"doc1", $"doc2")).as("d"))
+      .agg(countDistinct($"d").as("dup_docs_full"))
+    val dupS = sp.select(explode(array($"doc1", $"doc2")).as("d"))
+      .agg(countDistinct($"d").as("dup_docs_samp"))
+    nd.crossJoin(broadcast(fullP)).crossJoin(broadcast(sampP))
+      .crossJoin(broadcast(dupF)).crossJoin(broadcast(dupS))
+      .select($"n_docs", $"n_samp", $"pairs_full", $"pairs_samp",
+        when($"pairs_full" > 0, expr("pairs_samp * 10000 div pairs_full"))
+          .otherwise(lit(-1L)).as("pair_survival_bp"),
+        expr("(n_samp * 10000 div n_docs) * (n_samp * 10000 div n_docs) div 10000")
+          .as("expected_survival_bp"),
+        $"dup_docs_full", $"dup_docs_samp",
+        when($"dup_docs_full" > 0,
+          expr("(dup_docs_samp * 10000 div n_samp) * 10000 div (dup_docs_full * 10000 div n_docs)"))
+          .otherwise(lit(-1L)).as("dup_rate_ratio_bp"))
+  }
+
+  val q390Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id, unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       prs AS (
+         SELECT doc1, doc2 FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       sp AS (
+         SELECT doc1, doc2 FROM prs
+         WHERE ((doc1 % 2147483648) * 2654435761) % 4294967296 < 2147483648
+           AND ((doc2 % 2147483648) * 2654435761) % 4294967296 < 2147483648),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 2147483648 THEN 1 END) AS BIGINT) AS n_samp
+              FROM documents),
+       fp AS (SELECT CAST(count(*) AS BIGINT) AS pairs_full FROM prs),
+       spc AS (SELECT CAST(count(*) AS BIGINT) AS pairs_samp FROM sp),
+       df AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS dup_docs_full FROM (SELECT doc1 AS d FROM prs UNION ALL SELECT doc2 FROM prs) u),
+       ds AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS dup_docs_samp FROM (SELECT doc1 AS d FROM sp UNION ALL SELECT doc2 FROM sp) u)
+       SELECT n_docs, n_samp, pairs_full, pairs_samp,
+         CAST(CASE WHEN pairs_full > 0 THEN pairs_samp * 10000 // pairs_full ELSE -1 END AS BIGINT) AS pair_survival_bp,
+         (n_samp * 10000 // n_docs) * (n_samp * 10000 // n_docs) // 10000 AS expected_survival_bp,
+         dup_docs_full, dup_docs_samp,
+         CAST(CASE WHEN dup_docs_full > 0
+           THEN (dup_docs_samp * 10000 // n_samp) * 10000 // (dup_docs_full * 10000 // n_docs) ELSE -1 END AS BIGINT) AS dup_rate_ratio_bp
+       FROM nd CROSS JOIN fp CROSS JOIN spc CROSS JOIN df CROSS JOIN ds"""
+
+  /** Dedup threshold savings curve (q393): for each Jaccard threshold,
+    * the surviving pair count, docs touched, and the removable-doc
+    * rate (min-id survivor policy: every doc2 of a surviving pair is
+    * removable) — the operating-point curve a dedup rollout reads
+    * BEFORE committing to a threshold, from ONE pass over the shared
+    * banded pair relation (the threshold sweep is a 4-row grid join,
+    * not 4 pair computations). */
+  def q393DedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prs = jaccardPairs(s, d)
+      .select($"doc1", $"doc2", $"jaccard_bp").localCheckpoint()
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val th = Seq(500L, 2000L, 5000L, 8000L).toDF("thr")
+    val joined = th.join(prs, $"jaccard_bp" >= $"thr", "left")
+    val pairsPer = joined.groupBy($"thr")
+      .agg(count($"doc1").as("n_pairs"))
+    val affPer = joined
+      .select($"thr", explode(array($"doc1", $"doc2")).as("dd"))
+      .groupBy($"thr")
+      .agg(countDistinct($"dd").as("docs_affected"))
+    val remPer = joined.groupBy($"thr")
+      .agg(countDistinct($"doc2").as("docs_removable"))
+    pairsPer.join(affPer, "thr").join(remPer, "thr")
+      .crossJoin(broadcast(nd))
+      .select($"thr", $"n_pairs", $"docs_affected", $"docs_removable",
+        expr("docs_removable * 10000 div n_docs").as("removable_bp"))
+      .orderBy($"thr")
+  }
+
+  val q393Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id, unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       prs AS (
+         SELECT doc1, doc2,
+           CAST(floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_bp
+         FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 500),
+       th AS (SELECT CAST(unnest([500, 2000, 5000, 8000]) AS BIGINT) AS thr),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       SELECT thr,
+         CAST((SELECT count(*) FROM prs WHERE jaccard_bp >= thr) AS BIGINT) AS n_pairs,
+         CAST((SELECT count(DISTINCT dd) FROM (SELECT doc1 AS dd FROM prs WHERE jaccard_bp >= thr
+           UNION ALL SELECT doc2 FROM prs WHERE jaccard_bp >= thr) u) AS BIGINT) AS docs_affected,
+         CAST((SELECT count(DISTINCT doc2) FROM prs WHERE jaccard_bp >= thr) AS BIGINT) AS docs_removable,
+         CAST((SELECT count(DISTINCT doc2) FROM prs WHERE jaccard_bp >= thr) * 10000 // n_docs AS BIGINT) AS removable_bp
+       FROM th CROSS JOIN nd ORDER BY thr"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_minhash_k_ablation" -> q39MinhashKAblation,
+    "q390_sampled_dedup_bias" -> q390SampledDedupBias,
+    "q393_dedup_threshold_curve" -> q393DedupThresholdCurve,
     "q251_dedup_transitivity" -> q251DedupTransitivity,
     "q351_bloom_planner" -> q351BloomPlanner,
     "q274_dedup_tiers" -> q274DedupTiers,
@@ -2399,6 +2539,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q39_minhash_k_ablation" -> q39Oracle,
+    "q390_sampled_dedup_bias" -> q390Oracle,
+    "q393_dedup_threshold_curve" -> q393Oracle,
     "q251_dedup_transitivity" -> q251Oracle,
     "q351_bloom_planner" -> q351Oracle,
     "q274_dedup_tiers" -> q274Oracle,

