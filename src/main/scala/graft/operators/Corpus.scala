@@ -1826,7 +1826,69 @@ object Corpus {
        FROM hshard JOIN per ON hshard.shard = per.shard CROSS JOIN hcorp
        ORDER BY shard"""
 
+  /** Incremental novelty maintenance (q392): the IVM form of q329 —
+    * when a delta of documents arrives (doc_id % 10 = 0, the q52
+    * convention for "today's batch"), how many of each delta doc's
+    * 3-gram TYPES are genuinely new against the maintained seen-gram
+    * index (base corpus ∪ earlier delta docs, earlier = smaller id)?
+    * The per-doc novelty gate an ingest pipeline applies before
+    * accepting a crawl batch — and the batch twin of
+    * [[graft.streaming.DocStreams.noveltyStateful]], which runs the
+    * same first-seen semantics as keyed streaming state seeded with
+    * the corpus index (DocStreamsSpec proves doc-for-doc equality).
+    *
+    * Shape: base membership is a left-anti join against the gram-type
+    * relation (types cross the shuffle, not positions); first-delta
+    * attribution is a min-agg per type; per-doc rollup. */
+  def q392NoveltyIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+    val grams = tk.select($"doc_id",
+      explode(transform(sequence(lit(1), size($"tk") - 2),
+        i => concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1),
+          element_at($"tk", i + 2)))).as("g"))
+    val base = grams.filter($"doc_id" % 10 =!= 0).select($"g").distinct()
+    val delta = grams.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"g").distinct()
+    val fresh = delta.join(base, Seq("g"), "left_anti")
+      .groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    delta.join(fresh, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_new_types"))
+      .withColumn("novelty_bp", expr("n_new_types * 10000 div n_types"))
+      .orderBy($"doc_id")
+  }
+
+  val q392Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       grams AS (
+         SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+         FROM tk, unnest(generate_series(1, len(tk)-2)) AS u(i)
+         WHERE len(tk) >= 3),
+       base AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0),
+       delta AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 = 0),
+       fresh AS (
+         SELECT d.g, min(d.doc_id) AS first_doc
+         FROM delta d LEFT JOIN base b ON d.g = b.g
+         WHERE b.g IS NULL GROUP BY d.g),
+       per AS (
+         SELECT d.doc_id, count(*) AS n_types,
+           sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_new_types
+         FROM delta d LEFT JOIN fresh f ON d.g = f.g
+         GROUP BY d.doc_id)
+       SELECT doc_id, CAST(n_types AS BIGINT) AS n_types,
+         CAST(n_new_types AS BIGINT) AS n_new_types,
+         CAST(n_new_types * 10000 // n_types AS BIGINT) AS novelty_bp
+       FROM per ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_novelty_ivm" -> q392NoveltyIvm,
     "q329_novelty_curve" -> q329NoveltyCurve,
     "q391_shard_mixing_audit" -> q391ShardMixingAudit,
     "q389_kneser_ney" -> q389KneserNey,
@@ -1859,6 +1921,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q392_novelty_ivm" -> q392Oracle,
     "q329_novelty_curve" -> q329Oracle,
     "q391_shard_mixing_audit" -> q391Oracle,
     "q389_kneser_ney" -> q389Oracle,

@@ -512,4 +512,56 @@ object DocStreams {
     repetitionScore(
       s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
         .parquet(docsDir))
+
+  // ---- incremental gram-novelty (streaming twin of q392) ----
+
+  /** Per-doc 3-gram type rows (doc_id, g), distinct within doc —
+    * the shared gram shape of q392 and the novelty stream. */
+  def gramTypes(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.flatMap { case (id, text) =>
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .toSeq.distinct.map(g => (id, g))
+    }
+  }
+
+  /** First-seen gram detection with the corpus index as INITIAL
+    * STATE — the streaming half of q392's incremental novelty: the
+    * seen-gram index is keyed streaming state (seeded from the batch
+    * base relation, exactly how a maintained index would be loaded),
+    * and each arriving gram type emits (g, first_doc) ONCE, the first
+    * time any doc carries it. Within a microbatch, the smallest
+    * doc_id wins (deterministic); across microbatches, state wins.
+    * DocStreamsSpec proves the emitted set — and the per-doc rollup —
+    * equals batch q392 doc for doc. */
+  def noveltyStateful(grams: Dataset[(Long, String)],
+      seed: Dataset[String]): Dataset[(String, Long)] = {
+    val s = grams.sparkSession
+    import s.implicits._
+    val initial = seed.map(g => (g, true)).groupByKey(_._1).mapValues(_._2)
+    grams.groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (g: String, it: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((g, it.map(_._1).min))
+          }
+      }
+  }
+
+  /** Streaming entry: delta-doc stream → gram types → stateful
+    * first-seen novelty against the seeded corpus index. */
+  def noveltyStream(s: SparkSession, docsDir: String,
+      seed: Dataset[String]): Dataset[(String, Long)] = {
+    import s.implicits._
+    val docs = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    noveltyStateful(gramTypes(docs), seed)
+  }
 }

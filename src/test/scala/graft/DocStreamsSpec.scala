@@ -393,4 +393,61 @@ class DocStreamsSpec extends SparkSpec {
       assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
     } finally q.stop()
   }
+
+  test("streaming novelty == batch q392: seeded state, per-doc rollup, cross-batch suppression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    // batch side: q392 per-doc counts and its internal fresh relation
+    val batch = Corpus.q392NoveltyIvm(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val docs = graft.io.Tables.documents(spark, d)
+    val baseSeed = graft.streaming.DocStreams.gramTypes(
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)])
+      .map(_._2).distinct()
+
+    // stage ONLY the delta docs as the stream input
+    val staged = java.nio.file.Files.createTempDirectory("novelty_stream")
+    docs.filter(col("doc_id") % 10 === 0)
+      .write.mode("overwrite").parquet(staged.resolve("delta.parquet").toString)
+    val q = graft.streaming.DocStreams.noveltyStream(
+        spark, staged.resolve("delta.parquet").toString, baseSeed)
+      .toDF("g", "first_doc")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("novelty_out")
+        .as[(String, Long)].collect()
+      // per-doc new-type rollup equals the oracle-checked batch op
+      val perDoc = streamed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      batch.foreach { case (doc, (_, nNew)) =>
+        assert(perDoc.getOrElse(doc, 0L) == nNew,
+          s"doc $doc: stream ${perDoc.getOrElse(doc, 0L)} vs batch $nNew")
+      }
+      assert(streamed.map(_._1).distinct.length == streamed.length) // emitted once
+    } finally q.stop()
+
+    // cross-batch suppression on a crafted 2-batch stream
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStreams.noveltyStateful(
+        graft.streaming.DocStreams.gramTypes(mem.toDS()),
+        spark.emptyDataset[String])
+      .toDF("g", "first_doc")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novelty_mem").start()
+    try {
+      mem.addData((1L, "a b c d"))       // grams: "a b c", "b c d"
+      out.processAllAvailable()
+      mem.addData((2L, "a b c x y z"))   // "a b c" seen; "b c x","c x y","x y z" new
+      out.processAllAvailable()
+      val got = spark.table("novelty_mem").as[(String, Long)].collect().toSet
+      assert(got == Set(("a b c", 1L), ("b c d", 1L),
+        ("b c x", 2L), ("c x y", 2L), ("x y z", 2L)))
+    } finally out.stop()
+  }
 }
