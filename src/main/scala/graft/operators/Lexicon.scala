@@ -1010,8 +1010,106 @@ object Lexicon {
        FROM st CROSS JOIN nd
        ORDER BY tf DESC, t LIMIT 20"""
 
+  /** Interpolated LM model selection (q396): held-out surprisal of the
+    * λ·bigram + (1−λ)·add-one-unigram mixture at λ ∈ {¼, ½, ¾} — the
+    * classic Jelinek–Mercer grid search, run as one table. Every
+    * probability is an EXACT int64 rational: with λ = l/4, p =
+    * (l·c(ab)·(N+V) + (4−l)·(c(b)+1)·c(a)) / (4·c(a)·(N+V)), falling
+    * back to the unigram term alone when the context is unseen; ln is
+    * taken once per event on the exact rational and floored to
+    * micro-nats (the q141 discipline — only integer sums after).
+    * Held-out = doc_id % 5 = 0; train = the rest. The λ row with the
+    * smallest total surprisal is the model selection.
+    *
+    * Shape: train counts are gram-type relations; scoring is three
+    * equi-joins from the held-out bigram events; the λ grid is a
+    * 3-row literal. */
+  def q396LmInterpolation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+    def bigrams(df: DataFrame) = df.filter(size($"tk") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+             i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"""))
+        .as("x"))
+      .select($"x.a".as("a"), $"x.b".as("b"))
+    val train = tk.filter($"doc_id" % 5 =!= 0)
+    val ho = tk.filter($"doc_id" % 5 === 0)
+    val tuni = train.select(explode($"tk").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cb"))
+    val tn = tuni.agg(sum($"cb").as("n"), count(lit(1)).as("v"))
+    val tbi = bigrams(train).groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val tctx = tbi.groupBy($"a").agg(sum($"cab").as("ca"))
+    val lam = Seq(1L, 2L, 3L).toDF("l4")
+    bigrams(ho)
+      .join(tctx, Seq("a"), "left")
+      .join(tbi, Seq("a", "b"), "left")
+      .join(tuni, $"b" === $"t", "left")
+      .crossJoin(broadcast(tn))
+      .crossJoin(broadcast(lam))
+      .select($"l4",
+        when(coalesce($"ca", lit(0L)) > 0,
+          $"l4" * coalesce($"cab", lit(0L)) * ($"n" + $"v")
+            + (lit(4L) - $"l4") * (coalesce($"cb", lit(0L)) + 1) * $"ca")
+          .otherwise((lit(4L) - $"l4") * (coalesce($"cb", lit(0L)) + 1))
+          .as("num"),
+        when(coalesce($"ca", lit(0L)) > 0, lit(4L) * $"ca" * ($"n" + $"v"))
+          .otherwise(lit(4L) * ($"n" + $"v")).as("den"))
+      .select($"l4",
+        floor(log($"den" * lit(1.0) / $"num") * lit(1000000.0))
+          .cast("long").as("sup"))
+      .groupBy($"l4")
+      .agg(count(lit(1)).as("n_events"), sum($"sup").as("total_micro"))
+      .select(($"l4" * 250).as("lambda_milli"), $"n_events", $"total_micro",
+        expr("total_micro div n_events").as("avg_micro"))
+      .orderBy($"lambda_milli")
+  }
+
+  val q396Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       train AS (SELECT doc_id, tk FROM tk WHERE doc_id % 5 <> 0),
+       ho AS (SELECT doc_id, tk FROM tk WHERE doc_id % 5 = 0),
+       tuni AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS cb
+         FROM (SELECT unnest(tk) AS t FROM train) GROUP BY t),
+       tn AS (SELECT CAST(sum(cb) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM tuni),
+       tbi AS (
+         SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM (
+           SELECT tk[i] AS a, tk[i+1] AS b
+           FROM train, unnest(generate_series(1, len(tk)-1)) AS u(i)
+           WHERE len(tk) >= 2) GROUP BY a, b),
+       tctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM tbi GROUP BY a),
+       ev AS (
+         SELECT tk[i] AS a, tk[i+1] AS b
+         FROM ho, unnest(generate_series(1, len(tk)-1)) AS u(i)
+         WHERE len(tk) >= 2),
+       lam AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS l4),
+       terms AS (
+         SELECT lam.l4,
+           CASE WHEN coalesce(tctx.ca, 0) > 0
+             THEN lam.l4 * coalesce(tbi.cab, 0) * (tn.n + tn.v)
+                  + (4 - lam.l4) * (coalesce(tuni.cb, 0) + 1) * tctx.ca
+             ELSE (4 - lam.l4) * (coalesce(tuni.cb, 0) + 1) END AS num,
+           CASE WHEN coalesce(tctx.ca, 0) > 0
+             THEN 4 * tctx.ca * (tn.n + tn.v)
+             ELSE 4 * (tn.n + tn.v) END AS den
+         FROM ev
+         LEFT JOIN tctx ON ev.a = tctx.a
+         LEFT JOIN tbi ON ev.a = tbi.a AND ev.b = tbi.b
+         LEFT JOIN tuni ON ev.b = tuni.t
+         CROSS JOIN tn CROSS JOIN lam)
+       SELECT l4 * 250 AS lambda_milli,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(ln(den * 1.0 / num) * 1000000.0) AS BIGINT)) AS BIGINT) AS total_micro,
+         CAST(sum(CAST(floor(ln(den * 1.0 / num) * 1000000.0) AS BIGINT)) // count(*) AS BIGINT) AS avg_micro
+       FROM terms GROUP BY l4 ORDER BY lambda_milli"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_vocab_coverage" -> q324VocabCoverage,
+    "q396_lm_interpolation" -> q396LmInterpolation,
     "q334_negative_sampling" -> q334NegativeSampling,
     "q350_stopword_discovery" -> q350StopwordDiscovery,
     "q317_unigram_viterbi" -> q317UnigramViterbi,
@@ -1027,6 +1125,7 @@ object Lexicon {
 
   def oracles: Map[String, String] = Map(
     "q324_vocab_coverage" -> q324Oracle,
+    "q396_lm_interpolation" -> q396Oracle,
     "q334_negative_sampling" -> q334Oracle,
     "q350_stopword_discovery" -> q350Oracle,
     "q317_unigram_viterbi" -> q317Oracle,

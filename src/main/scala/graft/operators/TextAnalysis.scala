@@ -692,8 +692,92 @@ object TextAnalysis {
          CAST(sum(dup) AS BIGINT) * 10000 // count(*) AS dup_bp
        FROM qd GROUP BY 1 ORDER BY 1"""
 
+  /** Positional token drift (q394): split every doc into thirds and
+    * measure each third's unigram distribution against the corpus
+    * distribution as an exact total-variation distance — cross-
+    * multiplied integer counts, no float sums — plus the single most
+    * deviating token per third. Non-zero drift between starts and
+    * ends is the structural signature of headers/boilerplate (q29
+    * localizes REPETITION; this localizes distributional shift, which
+    * catches non-repeated templates too) and is what makes "train on
+    * doc prefixes" a biased shortcut.
+    *
+    * Shape: one position explode → (third × token) cells (bounded by
+    * 3·|vocab|); everything downstream runs on that bounded relation. */
+  def q394PositionalDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select(graft.functions.Fns.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+    val pos = tk.select(explode(expr(
+        """transform(sequence(1, size(tk)),
+             i -> struct(least((3 * (i - 1)) div size(tk), 2) AS third,
+                         element_at(tk, i) AS t))""")).as("x"))
+      .select($"x.third".cast("long").as("third"), $"x.t".as("t"))
+    val cell = pos.groupBy($"third", $"t").agg(count(lit(1)).as("c"))
+    val pt = cell.groupBy($"third").agg(sum($"c").as("n"))
+    val corp = cell.groupBy($"t").agg(sum($"c").as("ca"))
+    val ct = corp.agg(sum($"ca").as("na"))
+    // the FULL (third × vocab) grid, not just occupied cells: a token
+    // ABSENT from a third deviates by its whole corpus mass — dropping
+    // zero cells silently undercounts TVD (caught by the planted-
+    // header spec before this op shipped)
+    val dev = pt.crossJoin(corp)
+      .join(cell, Seq("third", "t"), "left")
+      .crossJoin(broadcast(ct))
+      .select($"third", $"t",
+        abs(coalesce($"c", lit(0L)) * $"na" - $"ca" * $"n").as("xdev"),
+        $"n", $"na")
+    val tvd = dev.groupBy($"third")
+      .agg(max($"n").as("n_tokens"),
+        expr("CAST(sum(xdev) * 10000 div (2 * max(n) * max(na)) AS BIGINT)")
+          .as("tvd_bp"))
+    val top = dev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"third").orderBy($"xdev".desc, $"t")))
+      .filter($"rn" === 1)
+      .select($"third", $"t".as("top_token"),
+        expr("xdev * 10000 div (n * na)").as("top_dev_bp"))
+    tvd.join(top, "third")
+      .select($"third", $"n_tokens", $"tvd_bp", $"top_token", $"top_dev_bp")
+      .orderBy($"third")
+  }
+
+  val q394Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       pos AS (
+         SELECT least((3 * (i - 1)) // len(tk), 2) AS third, tk[i] AS t
+         FROM tk, unnest(generate_series(1, len(tk))) AS u(i)
+         WHERE len(tk) >= 3),
+       cell AS (SELECT third, t, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1, 2),
+       pt AS (SELECT third, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY third),
+       corp AS (SELECT t, CAST(count(*) AS BIGINT) AS ca FROM pos GROUP BY t),
+       ct AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM corp),
+       dev AS (
+         SELECT pt.third, corp.t,
+           abs(coalesce(cell.c, 0) * ct.na - corp.ca * pt.n) AS xdev, pt.n, ct.na
+         FROM pt CROSS JOIN corp
+         LEFT JOIN cell ON cell.third = pt.third AND cell.t = corp.t
+         CROSS JOIN ct),
+       tvd AS (
+         SELECT third, CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(sum(xdev) * 10000 // (2 * max(n) * max(na)) AS BIGINT) AS tvd_bp
+         FROM dev GROUP BY third),
+       top AS (
+         SELECT third, t AS top_token,
+           CAST(xdev * 10000 // (n * na) AS BIGINT) AS top_dev_bp,
+           row_number() OVER (PARTITION BY third ORDER BY xdev DESC, t) AS rn
+         FROM dev)
+       SELECT CAST(tvd.third AS BIGINT) AS third, tvd.n_tokens, tvd.tvd_bp,
+         top.top_token, top.top_dev_bp
+       FROM tvd JOIN top ON tvd.third = top.third AND top.rn = 1
+       ORDER BY third"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_repetition_position" -> q29RepetitionPosition,
+    "q394_positional_drift" -> q394PositionalDrift,
     "q366_repetition_rules" -> q366RepetitionRules,
     "q325_span_corruption" -> q325SpanCorruption,
     "q277_code_switch" -> q277CodeSwitch,
@@ -708,6 +792,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q29_repetition_position" -> q29Oracle,
+    "q394_positional_drift" -> q394Oracle,
     "q366_repetition_rules" -> q366Oracle,
     "q325_span_corruption" -> q325Oracle,
     "q277_code_switch" -> q277Oracle,

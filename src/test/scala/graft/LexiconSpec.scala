@@ -316,4 +316,19 @@ class LexiconSpec extends SparkSpec {
     assert(top._5 == 0L && top._6 == 1L) // ln(10/10) = 0, flagged
     assert(r.tail.forall(x => x._6 == 0L && x._4 == 1000L))
   }
+
+  test("q396: a bigram-predictable corpus prefers the largest lambda") {
+    import spark.implicits._
+    // train and held-out share one deterministic cycle -> the bigram
+    // model is near-perfect, so surprisal must fall as lambda rises
+    val cyc = "p q r s t"
+    val docs = (0L until 20L).map(i => (i, cyc, "en", "s", 11L))
+    val d = docsDir(docs)
+    val r = graft.operators.Lexicon.q396LmInterpolation(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(250L, 500L, 750L))
+    assert(r.map(_._2).distinct == Seq(4L * 4))  // 4 bigrams x 4 held-out docs
+    assert(r.map(_._3) == r.map(_._3).sorted.reverse) // more bigram = less surprisal
+    r.foreach { case (_, n, tot, avg) => assert(avg == tot / n) }
+  }
 }

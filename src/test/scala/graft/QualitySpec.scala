@@ -776,4 +776,23 @@ class QualitySpec extends SparkSpec {
       assert(lift == (if (base > 0) bp * 1000 / base else -1L))
     }
   }
+
+  test("q394: planted front-loaded token dominates the first third's drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("posdrift").toString
+    // every doc starts with HEADER then 8 varied tokens: the first
+    // third over-represents HEADER, the rest under-represent it
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"HEADER a$i b$i c$i d$i e$i f$i g$i h$i", "en", "s", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextAnalysis.q394PositionalDrift(spark, dir)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(0L, 1L, 2L))
+    // 9 tokens/doc: thirds of 3; HEADER sits in third 0 of every doc
+    assert(r.forall(_._4 == "HEADER"))
+    assert(r.head._3 > 0L && r.head._3 >= r(1)._3)
+    // token accounting: total positions = 9 per doc
+    assert(r.map(_._2).sum == 9L * 20)
+  }
 }
