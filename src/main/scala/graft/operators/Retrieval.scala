@@ -412,7 +412,101 @@ object Retrieval {
        SELECT CAST(rnk AS BIGINT) AS rank, doc_id, n_hit, ql_micro
        FROM r WHERE rnk <= 20 ORDER BY rnk"""
 
+  /** BM25 parameter-sensitivity sweep (q395): the q98 scorer rerun at
+    * three (k1, b) operating points — Robertson's default (1.2, 0.75),
+    * low-saturation/low-normalization (0.9, 0.4), high-k1 (2.0, 0.75) —
+    * with pairwise top-10 overlap between the rankings. High overlap
+    * says the corpus is insensitive to tuning (don't grid-search it);
+    * a low-overlap pair names exactly which knob reorders results.
+    * One token pass and one corpus-stats row feed all three configs
+    * via a 3-row literal grid (never three scans); per-term floors
+    * mirror q98's so each config IS q98 at those parameters. */
+  def q395Bm25ParamSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val per = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint()
+    val dfCols = QueryTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val glCols = Seq(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")) ++ dfCols
+    val gl = per.agg(glCols.head, glCols.tail: _*)
+    val cfgs = Seq(("c0_k12_b75", 1.2, 0.75), ("c1_k09_b40", 0.9, 0.4),
+      ("c2_k20_b75", 2.0, 0.75)).toDF("cfg", "k1", "b")
+    val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+    def termBp(i: Int) = {
+      val tf = col(s"tf$i"); val dfx = col(s"df$i")
+      val idf = log(($"n_docs" - dfx + lit(0.5)) / (dfx + lit(0.5)) + lit(1.0))
+      val w = (tf * ($"k1" + lit(1.0))) /
+        (tf + $"k1" * ((lit(1.0) - $"b") + $"b" * ($"dl".cast("double") / avgdl)))
+      floor(idf * w * lit(1000.0))
+    }
+    val top = per.crossJoin(broadcast(gl)).crossJoin(broadcast(cfgs))
+      .select($"cfg", $"doc_id",
+        QueryTerms.indices.map(termBp).reduce(_ + _).cast("long").as("score_bp"))
+      .filter($"score_bp" > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cfg").orderBy($"score_bp".desc, $"doc_id")))
+      .filter($"rn" <= 10)
+      .select($"cfg", $"doc_id")
+      .localCheckpoint()
+    top.as("a").join(top.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.cfg") < col("b.cfg"))
+      .groupBy(col("a.cfg").as("cfg_a"), col("b.cfg").as("cfg_b"))
+      .agg(count(lit(1)).as("overlap_10"))
+      .withColumn("overlap_bp", expr("overlap_10 * 10000 div 10"))
+      .orderBy($"cfg_a", $"cfg_b")
+  }
+
+  val q395Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       per AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+           CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+           CAST(sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+         FROM tok GROUP BY 1),
+       gl AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+           CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         FROM per),
+       cfg AS (SELECT unnest(['c0_k12_b75', 'c1_k09_b40', 'c2_k20_b75']) AS cfg,
+                      unnest([1.2, 0.9, 2.0]) AS k1, unnest([0.75, 0.4, 0.75]) AS b),
+       sc AS (
+         SELECT cfg.cfg, doc_id,
+           CAST(
+             floor(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                   * ((tf0 * (k1 + 1.0)) / (tf0 + k1 * ((1.0 - b) + b * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+                   * 1000.0)
+           + floor(ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                   * ((tf1 * (k1 + 1.0)) / (tf1 + k1 * ((1.0 - b) + b * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+                   * 1000.0)
+           + floor(ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                   * ((tf2 * (k1 + 1.0)) / (tf2 + k1 * ((1.0 - b) + b * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+                   * 1000.0) AS BIGINT) AS score_bp
+         FROM per CROSS JOIN gl CROSS JOIN cfg),
+       top AS (
+         SELECT cfg, doc_id, score_bp,
+           row_number() OVER (PARTITION BY cfg ORDER BY score_bp DESC, doc_id) AS rn
+         FROM sc WHERE score_bp > 0)
+       SELECT a.cfg AS cfg_a, b.cfg AS cfg_b,
+         CAST(count(*) AS BIGINT) AS overlap_10,
+         CAST(count(*) * 10000 // 10 AS BIGINT) AS overlap_bp
+       FROM (SELECT * FROM top WHERE rn <= 10) a
+       JOIN (SELECT * FROM top WHERE rn <= 10) b
+         ON a.doc_id = b.doc_id AND a.cfg < b.cfg
+       GROUP BY 1, 2 ORDER BY cfg_a, cfg_b"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q395_bm25_param_sweep" -> q395Bm25ParamSweep,
     "q344_query_likelihood" -> q344QueryLikelihood,
     "q98_bm25" -> q98Bm25,
     "q99_span_dedup" -> q99SpanDedup,
@@ -420,6 +514,7 @@ object Retrieval {
     "q119_rrf_fusion" -> q119RrfFusion)
 
   def oracles: Map[String, String] = Map(
+    "q395_bm25_param_sweep" -> q395Oracle,
     "q344_query_likelihood" -> q344Oracle,
     "q98_bm25" -> q98Oracle,
     "q99_span_dedup" -> q99Oracle,

@@ -341,4 +341,16 @@ class RetrievalSpec extends SparkSpec {
     // outrank longer docs — at minimum top-1 has all query terms
     assert(got.head._3 == query.length)
   }
+
+  test("q395: the default-vs-high-k1 pair preserves top-10; identities hold") {
+    import spark.implicits._
+    val r = graft.operators.Retrieval.q395Bm25ParamSweep(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r.size == 3)
+    assert(r.map(x => (x._1, x._2)).toSet == Set(
+      ("c0_k12_b75", "c1_k09_b40"), ("c0_k12_b75", "c2_k20_b75"),
+      ("c1_k09_b40", "c2_k20_b75")))
+    r.foreach { case (_, _, ov, bp) =>
+      assert(ov >= 0 && ov <= 10 && bp == ov * 1000) }
+  }
 }
