@@ -2502,8 +2502,53 @@ object Dedup {
          CAST((SELECT count(DISTINCT doc2) FROM prs WHERE jaccard_bp >= thr) * 10000 // n_docs AS BIGINT) AS removable_bp
        FROM th CROSS JOIN nd ORDER BY thr"""
 
+  /** Dup family size distribution (q399): the component-size histogram
+    * of the simhash near-dup graph — how much of the dup mass sits in
+    * big template families vs isolated pairs. The removable count per
+    * family is size−1 (min-id survivor), so the histogram directly
+    * prices the dedup: Σ (size−1)·n_families. Heavy tails here mean a
+    * handful of template families dominate and targeted boilerplate
+    * rules (q268) beat pairwise dedup on cost.
+    *
+    * Shape: q71's bounded component loop on the edge residue; the
+    * histogram is a two-level aggregate over the label relation. */
+  def q399DupFamilySizes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cl = minLabelComponents(simhashPairs(s, d).select($"doc1", $"doc2"))
+    cl.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz")
+      .agg(count(lit(1)).as("n_families"),
+        min($"cluster_id").as("example_family"))
+      .select($"sz".as("family_size"), $"n_families",
+        ($"sz" * $"n_families").as("n_docs"),
+        (($"sz" - 1) * $"n_families").as("n_removable"),
+        $"example_family")
+      .orderBy($"family_size")
+  }
+
+  val q399Oracle: String =
+    s"""WITH RECURSIVE $simhashPairsWith,
+       good AS (
+         SELECT doc1, doc2 FROM prs WHERE bit_count(xor(s1, s2)) <= 3),
+       edges AS (
+         SELECT doc1 AS a, doc2 AS b FROM good
+         UNION ALL SELECT doc2, doc1 FROM good),
+       reach(doc_id, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id),
+       cl AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY doc_id),
+       fam AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id)
+       SELECT sz AS family_size, CAST(count(*) AS BIGINT) AS n_families,
+         sz * CAST(count(*) AS BIGINT) AS n_docs,
+         (sz - 1) * CAST(count(*) AS BIGINT) AS n_removable,
+         CAST(min(cluster_id) AS BIGINT) AS example_family
+       FROM fam GROUP BY sz ORDER BY family_size"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_minhash_k_ablation" -> q39MinhashKAblation,
+    "q399_dup_family_sizes" -> q399DupFamilySizes,
     "q390_sampled_dedup_bias" -> q390SampledDedupBias,
     "q393_dedup_threshold_curve" -> q393DedupThresholdCurve,
     "q251_dedup_transitivity" -> q251DedupTransitivity,
@@ -2539,6 +2584,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q39_minhash_k_ablation" -> q39Oracle,
+    "q399_dup_family_sizes" -> q399Oracle,
     "q390_sampled_dedup_bias" -> q390Oracle,
     "q393_dedup_threshold_curve" -> q393Oracle,
     "q251_dedup_transitivity" -> q251Oracle,

@@ -2601,8 +2601,142 @@ object Similarity {
          CAST(CASE WHEN n_distinct <= 4 THEN 1 ELSE 0 END AS BIGINT) AS low_var
        FROM st ORDER BY dim"""
 
+  /** Late-interaction retrieval (q397, ColBERT's MaxSim shape): each
+    * 64-dim embedding is decomposed into four 16-dim sub-vectors
+    * (standing in for per-token vectors), and a query scores a doc as
+    * Σ_i max_j ⟨q_i, d_j⟩ — match each query part against its best
+    * doc part, then sum. This is the scoring family single-vector
+    * cosine (q46) structurally cannot express: partial matches
+    * accumulate instead of averaging away. Top-5 per query, exact
+    * integer dot products.
+    *
+    * Shape: a bounded query side (literal id-prefix, broadcast) × one
+    * sub-vector explode of the corpus; the per-(q,d,part) argmax and
+    * per-(q,d) sum are partial aggregations; top-5 is a per-qid
+    * window over ≤ |corpus| candidates. */
+  def q397LateInteraction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val sub = q.select($"vec_id", explode(expr(
+        """transform(sequence(0, 3),
+             i -> struct(i AS si, slice(qa, i * 16 + 1, 16) AS sv))""")).as("x"))
+      .select($"vec_id", $"x.si".as("si"), $"x.sv".as("sv"))
+    val qs = sub.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"si".as("qi"), $"sv".as("qv"))
+    val ds = sub.select($"vec_id".as("did"), $"sv".as("dv"))
+    ds.join(broadcast(qs), $"qid" =!= $"did")
+      .select($"qid", $"did", $"qi", dotQ($"qv", $"dv").as("dp"))
+      .groupBy($"qid", $"did", $"qi").agg(max($"dp").as("mx"))
+      .groupBy($"qid", $"did").agg(sum($"mx").as("maxsim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"maxsim".desc, $"did")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"did", $"maxsim", $"rn".cast("long").as("rn"))
+      .orderBy($"qid", $"rn")
+  }
+
+  val q397Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       sub AS (
+         SELECT vec_id, i AS si, qa[(i*16+1):(i*16+16)] AS sv
+         FROM q, unnest([0,1,2,3]) AS u(i)),
+       qs AS (SELECT vec_id AS qid, si AS qi, sv AS qv FROM sub WHERE vec_id < 10),
+       ds AS (SELECT vec_id AS did, sv AS dv FROM sub),
+       dots AS (
+         SELECT qid, did, qi,
+           max(CAST(list_sum(list_transform(list_zip(qv, dv), p -> p[1]*p[2])) AS BIGINT)) AS mx
+         FROM qs JOIN ds ON qid <> did
+         GROUP BY qid, did, qi),
+       score AS (
+         SELECT qid, did, CAST(sum(mx) AS BIGINT) AS maxsim
+         FROM dots GROUP BY qid, did),
+       top AS (
+         SELECT qid, did, maxsim,
+           row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, did) AS rn
+         FROM score)
+       SELECT qid, did, maxsim, CAST(rn AS BIGINT) AS rn
+       FROM top WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** In-distribution score calibration / OOD gate (q398): per label,
+    * every member's cosine rank key against its OWN label centroid
+    * (integer mean of quantized vectors), the 5th-percentile threshold
+    * a production gate would export, and how many members fall at or
+    * below it (≈ 5% by construction, more under ties — the point is
+    * the exported THRESHOLD, calibrated here, applied to new data).
+    * The per-label centroid view of q271's neighbor-vote audit: cheap
+    * enough to run on every refresh.
+    *
+    * Shape: centroids from one posexplode aggregate over the bounded
+    * (label × dim) grid; scoring is one equi-join; the percentile is
+    * a per-label window over label-sized groups. */
+  def q398OodCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d).withColumn("label", $"label".cast("long"))
+    val cent = q.select($"label", posexplode($"qa").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(expr("CAST(sum(v) AS BIGINT) div count(1)").as("cv"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
+      .select($"label", expr("transform(ps, p -> p.cv)").as("cv"))
+    val keyed = q.join(cent, "label")
+      .select($"vec_id", $"label", dotQ($"qa", $"cv").as("num"),
+        $"n2", norm2Q($"cv").as("cn2"))
+      .select($"vec_id", $"label",
+        expr("(num * abs(num) * 10000) div (n2 * cn2)").as("own_key"))
+    val wl = Window.partitionBy($"label")
+    val thr = keyed
+      .withColumn("rn", row_number().over(wl.orderBy($"own_key", $"vec_id")))
+      .withColumn("n", count(lit(1)).over(wl))
+      .filter($"rn" * 20 <= $"n")
+      .groupBy($"label").agg(max($"own_key").as("thr_key"))
+    keyed.join(thr, Seq("label"), "left")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_pts"), min($"own_key").as("min_key"),
+        max($"thr_key").as("thr_key"),
+        sum(when($"thr_key".isNotNull && $"own_key" <= $"thr_key", 1L)
+          .otherwise(0L)).as("n_ood"))
+      .withColumn("ood_bp", expr("n_ood * 10000 div n_pts"))
+      .select($"label", $"n_pts", $"min_key", $"thr_key", $"n_ood", $"ood_bp")
+      .orderBy($"label")
+  }
+
+  val q398Oracle: String =
+    """WITH q AS (
+         SELECT vec_id, CAST(label AS BIGINT) AS label,
+           [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
+         FROM embeddings),
+       dims AS (
+         SELECT label, i AS dim, CAST(sum(qa[i]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+         FROM q, unnest(generate_series(1, len(qa))) AS u(i)
+         GROUP BY label, i),
+       cent AS (SELECT label, list(sv // n ORDER BY dim) AS cv FROM dims GROUP BY label),
+       sc AS (
+         SELECT q.vec_id, q.label,
+           CAST(list_sum(list_transform(list_zip(q.qa, c.cv), p -> p[1]*p[2])) AS BIGINT) AS num,
+           CAST(list_sum(list_transform(q.qa, x -> x*x)) AS BIGINT) AS n2,
+           CAST(list_sum(list_transform(c.cv, x -> x*x)) AS BIGINT) AS cn2
+         FROM q JOIN cent c ON q.label = c.label),
+       keyed AS (
+         SELECT vec_id, label, (num * abs(num) * 10000) // (n2 * cn2) AS own_key FROM sc),
+       thr AS (
+         SELECT label, CAST(max(own_key) AS BIGINT) AS thr_key FROM (
+           SELECT label, own_key, row_number() OVER (PARTITION BY label ORDER BY own_key, vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS n
+           FROM keyed) WHERE rn * 20 <= n GROUP BY label)
+       SELECT k.label, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(min(k.own_key) AS BIGINT) AS min_key,
+         CAST(max(t.thr_key) AS BIGINT) AS thr_key,
+         CAST(sum(CASE WHEN t.thr_key IS NOT NULL AND k.own_key <= t.thr_key THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+         CAST(sum(CASE WHEN t.thr_key IS NOT NULL AND k.own_key <= t.thr_key THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS ood_bp
+       FROM keyed k LEFT JOIN thr t ON k.label = t.label
+       GROUP BY k.label ORDER BY k.label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_class_weights" -> q184ClassWeights,
+    "q397_late_interaction" -> q397LateInteraction,
+    "q398_ood_calibration" -> q398OodCalibration,
     "q333_dead_dims" -> q333DeadDims,
     "q326_acquisition_overlap" -> q326AcquisitionOverlap,
     "q383_hubness_audit" -> q383HubnessAudit,
@@ -2638,6 +2772,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q184_class_weights" -> q184Oracle,
+    "q397_late_interaction" -> q397Oracle,
+    "q398_ood_calibration" -> q398Oracle,
     "q333_dead_dims" -> q333Oracle,
     "q326_acquisition_overlap" -> q326Oracle,
     "q368_mmr_rerank" -> q368Oracle,

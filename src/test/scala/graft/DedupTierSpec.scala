@@ -160,4 +160,20 @@ class DedupTierSpec extends SparkSpec {
       assert(aff <= 2 * np)
     }
   }
+
+  test("q399: family accounting — docs and removables follow the histogram") {
+    import spark.implicits._
+    // two identical triples + one identical pair -> families {3:2? no:
+    // one size-3 family, one size-2 family}
+    val d = docsDir(Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "alpha beta gamma delta epsilon",
+      11L -> "zeta eta theta iota kappa",
+      12L -> "zeta eta theta iota kappa",
+      21L -> "completely different text here now"))
+    val r = Dedup.q399DupFamilySizes(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 1L, 2L, 1L, 11L), (3L, 1L, 3L, 2L, 1L)))
+  }
 }

@@ -449,4 +449,38 @@ class SimilaritySeedSpec extends SparkSpec {
     assert(r(2L)._7 == 1L && r(2L)._8 == 1L)            // constant -> dead
     assert(r(3L)._7 == 1L && r(3L)._3 == 6L)            // all-zero dead, n_zero = n
   }
+
+  test("q397: a half-matching doc beats a weaker full-matching one under MaxSim") {
+    // query 0: ones in sub-vector 0 and 1. doc 20 matches sub-vector 0
+    // exactly and is orthogonal elsewhere; doc 21 is a weak uniform
+    // match everywhere. MaxSim rewards the strong partial match.
+    def v(parts: Seq[Seq[Float]]): Seq[Float] = parts.flatten
+    val one16 = Seq.fill(16)(1f); val zero16 = Seq.fill(16)(0f)
+    val weak16 = Seq.fill(16)(0.1f)
+    val pts = Seq(
+      (0L, v(Seq(one16, one16, zero16, zero16)), 0),
+      (20L, v(Seq(one16, zero16, zero16, zero16)), 0),
+      (21L, v(Seq(weak16, weak16, weak16, weak16)), 0))
+    val d = embDir(pts)
+    val r = Similarity.q397LateInteraction(spark, d)
+      .as[(Long, Long, Long, Long)].collect().filter(_._1 == 0L)
+    // doc 20: max over parts for q-part0 = 16e6; doc 21: part0 best = 16*1000*100
+    assert(r.head._2 == 20L)
+    assert(r.map(_._2).contains(21L))
+    val m = r.map(x => x._2 -> x._3).toMap
+    assert(m(20L) > m(21L))
+  }
+
+  test("q398: exported thresholds bound ~5% of each label, ties included") {
+    val r = Similarity.q398OodCalibration(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.nonEmpty)
+    r.foreach { case (_, n, mn, thr, nOod, bp) =>
+      assert(bp == nOod * 10000 / n)
+      if (n >= 20) {
+        assert(nOod >= n / 20)          // at least the bottom 5%
+        assert(mn <= thr)
+      }
+    }
+  }
 }
