@@ -1887,8 +1887,75 @@ object Corpus {
          CAST(n_new_types * 10000 // n_types AS BIGINT) AS novelty_bp
        FROM per ORDER BY doc_id"""
 
+  /** BPE merge ROI (q400): for q130's top-3 candidate pairs, the
+    * REALIZABLE corpus savings of actually applying the merge —
+    * non-overlapping occurrence counts via the q280 left-to-right
+    * replace identity, (len − len(replace(term, pair, ''))) div 2,
+    * weighted by term frequency — against the positional pair count
+    * q130 ranks by. The two differ exactly by self-overlap ("aaaa"
+    * holds three positional "aa"s but only two realizable merges), so
+    * overlap_inflation_bp quantifies how much the cheap ranking count
+    * over-promises — the difference between RANKING merges and
+    * PRICING them.
+    *
+    * Shape: everything runs on the vocabulary relation (pair explode
+    * and replace fan over distinct terms, not occurrences); the
+    * candidate set is a 3-row top-k cut broadcast over the vocab. */
+  def q400MergeRoi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select(explode(graft.functions.Fns.tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // vocab feeds pair ranking, the ROI scan, totals
+    val top = tf.filter(length($"term") >= 2)
+      .select($"tf",
+        explode(sequence(lit(1), length($"term") - 1)).as("i"), $"term")
+      .select($"tf", expr("substring(term, i, 2)").as("pair"))
+      .groupBy($"pair").agg(sum($"tf").as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(3)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cnt".desc, $"pair")).cast("long"))
+    val tot = tf.agg(sum($"tf" * length($"term")).as("total_chars"))
+    tf.crossJoin(broadcast(top))
+      .select($"pair", $"rank", $"cnt".as("positional_cnt"),
+        ($"tf" *
+          expr("(length(term) - length(replace(term, pair, ''))) div 2"))
+          .as("x"))
+      .groupBy($"pair", $"rank", $"positional_cnt")
+      .agg(sum($"x").as("realizable"))
+      .crossJoin(broadcast(tot))
+      .select($"pair", $"rank", $"positional_cnt", $"realizable",
+        expr("realizable * 10000 div total_chars").as("saved_bp"),
+        expr("(positional_cnt - realizable) * 10000 div positional_cnt")
+          .as("overlap_inflation_bp"))
+      .orderBy($"rank")
+  }
+
+  val q400Oracle: String =
+    """WITH occ AS (
+         SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1),
+       prs AS (
+         SELECT substring(term, i, 2) AS pair, CAST(sum(tf) AS BIGINT) AS cnt
+         FROM tf, unnest(generate_series(1, length(term) - 1)) AS u(i)
+         WHERE length(term) >= 2 GROUP BY 1),
+       top AS (
+         SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+         FROM prs ORDER BY cnt DESC, pair LIMIT 3),
+       tot AS (SELECT CAST(sum(tf * length(term)) AS BIGINT) AS total_chars FROM tf),
+       roi AS (
+         SELECT top.pair, top.rank, top.cnt AS positional_cnt,
+           CAST(sum(tf * ((length(term) - length(replace(term, top.pair, ''))) // 2)) AS BIGINT) AS realizable
+         FROM top CROSS JOIN tf GROUP BY 1, 2, 3)
+       SELECT pair, CAST(rank AS BIGINT) AS rank, positional_cnt, realizable,
+         CAST(realizable * 10000 // total_chars AS BIGINT) AS saved_bp,
+         CAST((positional_cnt - realizable) * 10000 // positional_cnt AS BIGINT) AS overlap_inflation_bp
+       FROM roi CROSS JOIN tot ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q392_novelty_ivm" -> q392NoveltyIvm,
+    "q400_merge_roi" -> q400MergeRoi,
     "q329_novelty_curve" -> q329NoveltyCurve,
     "q391_shard_mixing_audit" -> q391ShardMixingAudit,
     "q389_kneser_ney" -> q389KneserNey,
@@ -1922,6 +1989,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q392_novelty_ivm" -> q392Oracle,
+    "q400_merge_roi" -> q400Oracle,
     "q329_novelty_curve" -> q329Oracle,
     "q391_shard_mixing_audit" -> q391Oracle,
     "q389_kneser_ney" -> q389Oracle,

@@ -333,4 +333,22 @@ class CorpusSpec extends SparkSpec {
       assert(bp == h * 10000 / hc)
     }
   }
+
+  test("q400: self-overlapping pairs inflate the positional count, not the ROI") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mergeRoi").toString
+    // "aaaa" x10: positional "aa" = 3 per word, realizable = 2 per word
+    (1L to 10L).map(i => (i, "aaaa bc", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Corpus.q400MergeRoi(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val aa = r.find(_._1 == "aa").get
+    assert(aa._2 == 1L)                 // tops the positional ranking
+    assert(aa._3 == 30L && aa._4 == 20L) // 3 vs 2 per word x 10
+    assert(aa._6 == (30L - 20L) * 10000 / 30L) // inflation 3333 bp
+    // non-overlapping pair: counts agree, zero inflation
+    val bc = r.find(_._1 == "bc").get
+    assert(bc._3 == bc._4 && bc._6 == 0L)
+  }
 }
