@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -757,7 +757,139 @@ object Prep {
          CAST(CASE WHEN n_label = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
        FROM w WHERE f > 0 ORDER BY o_custkey"""
 
+  /** Columnar-encoding advisor (q401): per column of `lineitem`, the
+    * exact byte-size model of the three classic parquet encodings —
+    * PLAIN (Σ value bytes), DICTIONARY (distinct-value bytes + bit-
+    * packed indexes at ceil(log2 ndv) bits/row) and RLE (one
+    * (value, 4-byte run length) pair per run in the table's write
+    * order (l_orderkey, l_linenumber)) — and the advisor's pick.
+    * Strings cost `length(v)` bytes, numerics a fixed 8. This is the
+    * planner a 100 TB lakehouse writer consults before rewriting a
+    * table: sorted keys → RLE, low-cardinality flags → DICT,
+    * near-unique measures → PLAIN (all three appear on lineitem).
+    *
+    * Scale design: run detection needs a GLOBAL order but never a
+    * global sort — one `repartitionByRange` on the write order, ONE
+    * per-range-partition window evaluating every column's lag in a
+    * single WindowExec, and a bounded (≤ numShufflePartitions rows)
+    * per-partition last-row table broadcast back to fix the runs that
+    * span a partition boundary (the [[Windows.rangePrefixSum]] offset-
+    * table discipline applied to lag instead of sum). The checkpoint
+    * pins the range assignment both consumers must agree on. The per-
+    * column distinct aggregates shuffle value DOMAINS, not rows, and
+    * land as 1-row broadcast attachments. */
+  def q401EncodingAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols: Seq[(String, Boolean)] = Seq(
+      ("l_orderkey", false), ("l_extendedprice", false),
+      ("l_returnflag", true), ("l_linestatus", true),
+      ("l_quantity", false), ("l_discount", false), ("l_suppkey", false))
+    def bytesOf(c: String, isStr: Boolean): Column =
+      if (isStr) length(col(c)).cast("long") else lit(8L)
+
+    val np = s.sessionState.conf.numShufflePartitions
+    val ord = Seq($"l_orderkey", $"l_linenumber")
+    val part = Tables.lineitem(s, d)
+      .select((Seq("l_orderkey", "l_linenumber") ++
+        cols.map(_._1).filterNot(_ == "l_orderkey")).map(col): _*)
+      .repartitionByRange(np, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+
+    // previous partition's LAST row, keyed to the partition it precedes
+    val lasts = part.groupBy($"__pid")
+      .agg(max_by(struct(cols.map(c => col(c._1)): _*), struct(ord: _*))
+        .as("__lastv"))
+      .select(($"__pid" + 1).as("__pid"), $"__lastv")
+
+    val w = Window.partitionBy($"__pid").orderBy(ord: _*)
+    val withPrev = part.join(broadcast(lasts), Seq("__pid"), "left")
+      .withColumn("__rn", row_number().over(w))
+    val flagged = cols.foldLeft(withPrev) { case (df, (c, _)) =>
+      val prev = when($"__rn" === 1, $"__lastv".getField(c))
+        .otherwise(lag(col(c), 1).over(w))
+      df.withColumn(s"__b_$c", prev.isNull || prev =!= col(c))
+    }
+
+    val runAggs = cols.flatMap { case (c, isStr) =>
+      val b = bytesOf(c, isStr)
+      Seq(
+        sum(when(col(s"__b_$c"), 1L).otherwise(0L)).as(s"__runs_$c"),
+        sum(b).as(s"__plain_$c"),
+        sum(when(col(s"__b_$c"), b + 4).otherwise(0L)).as(s"__rle_$c"))
+    }
+    val flat = flagged.agg(count(lit(1)).as("__n"), runAggs: _*)
+
+    // ndv + distinct-value bytes for ALL columns in ONE distinct pass:
+    // stack to (col_name, value-as-string) — string cast is injective
+    // for longs/doubles, so distinctness is preserved — then one
+    // shuffle over the union of the 7 value DOMAINS, not 7 jobs
+    val strCols = cols.filter(_._2).map(_._1)
+    val stackArgs = cols
+      .map { case (c, _) => s"'$c', cast($c as string)" }.mkString(", ")
+    val ndvStats = Tables.lineitem(s, d)
+      .select(expr(s"stack(${cols.size}, $stackArgs)").as(Seq("col_name", "__v")))
+      .distinct()
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("ndv"),
+        sum(when($"col_name".isin(strCols: _*), length($"__v").cast("long"))
+          .otherwise(8L)).as("__dbytes"))
+
+    // unpivot the single stats row with ONE stack — a union of per-
+    // column selects would re-evaluate the aggregation per column
+    val runStack = cols
+      .map { case (c, _) => s"'$c', __runs_$c, __plain_$c, __rle_$c" }
+      .mkString(", ")
+    val rows = flat.select($"__n".as("n_rows"),
+        expr(s"stack(${cols.size}, $runStack)")
+          .as(Seq("col_name", "runs", "plain_bytes", "rle_bytes")))
+      .join(broadcast(ndvStats), "col_name")
+
+    val bits = when($"ndv" <= 1, lit(1)).otherwise(length(bin($"ndv" - 1)))
+    rows
+      // (n·bits + 7) >> 3 == ceil-div by 8, exact in int64
+      .withColumn("dict_bytes",
+        $"__dbytes" + shiftright($"n_rows" * bits.cast("long") + 7L, 3))
+      .select($"col_name", $"n_rows", $"ndv", $"runs", $"plain_bytes",
+        $"dict_bytes", $"rle_bytes")
+      .withColumn("enc_pick",
+        when($"dict_bytes" <= $"rle_bytes" && $"dict_bytes" <= $"plain_bytes", "dict")
+          .when($"rle_bytes" <= $"plain_bytes", "rle").otherwise("plain"))
+      .orderBy($"col_name")
+  }
+
+  val q401Oracle: String = {
+    val cols = Seq(
+      ("l_orderkey", false), ("l_extendedprice", false),
+      ("l_returnflag", true), ("l_linestatus", true),
+      ("l_quantity", false), ("l_discount", false), ("l_suppkey", false))
+    val frags = cols.map { case (c, isStr) =>
+      val b = if (isStr) s"length($c)" else "8"
+      val bv = if (isStr) "length(v)" else "8"
+      s"""SELECT '$c' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $c FROM lineitem)) AS ndv,
+           CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+           CAST(sum(bts) AS BIGINT) AS plain_bytes,
+           (SELECT CAST(sum($bv) AS BIGINT) FROM (SELECT DISTINCT $c AS v FROM lineitem))
+             + (CAST(count(*) AS BIGINT) * (CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT $c FROM lineitem)) <= 1 THEN 1
+                  ELSE length(bin((SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $c FROM lineitem)) - 1)) END) + 7) // 8 AS dict_bytes,
+           CAST(sum(CASE WHEN is_b THEN bts + 4 ELSE 0 END) AS BIGINT) AS rle_bytes
+         FROM (
+           SELECT $b AS bts,
+                  (lag($c) OVER w IS NULL OR lag($c) OVER w <> $c) AS is_b
+           FROM lineitem
+           WINDOW w AS (ORDER BY l_orderkey, l_linenumber))"""
+    }
+    s"""SELECT col_name, n_rows, ndv, runs, plain_bytes, dict_bytes, rle_bytes,
+         CASE WHEN dict_bytes <= rle_bytes AND dict_bytes <= plain_bytes THEN 'dict'
+              WHEN rle_bytes <= plain_bytes THEN 'rle' ELSE 'plain' END AS enc_pick
+       FROM (${frags.mkString("\nUNION ALL\n")})
+       ORDER BY col_name"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_encoding_advisor" -> q401EncodingAdvisor,
     "q381_pit_training_set" -> q381PitTrainingSet,
     "q360_pit_leakage_delta" -> q360PitLeakageDelta,
     "q169_quantile_norm" -> q169QuantileNorm,
@@ -772,6 +904,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q401_encoding_advisor" -> q401Oracle,
     "q381_pit_training_set" -> q381Oracle,
     "q360_pit_leakage_delta" -> q360Oracle,
     "q169_quantile_norm" -> q169Oracle,

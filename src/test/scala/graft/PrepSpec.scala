@@ -30,6 +30,30 @@ class PrepSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Boolean]("le_ok") && r.getAs[Boolean]("lt_ok")))
   }
 
+  test("q401: runs survive range-partition boundaries; advisor picks all three encodings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("enc").toString
+    // 12 single-line orders; l_returnflag is A×6 then B×6 — a run that
+    // SPANS range partitions, so a partition-first row counted as a new
+    // run (the bug the lasts-table correction exists for) would read >2
+    (1 to 12).map { i =>
+      (i.toLong, 1, 100.0, if (i <= 6) "A" else "B",
+        if (i % 2 == 0) "X" else "Y", 5.0, i.toDouble, 7L)
+    }.toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag",
+        "l_linestatus", "l_quantity", "l_discount", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Prep.q401EncodingAdvisor(spark, dir)
+      .select("col_name", "runs", "enc_pick")
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("l_returnflag") == ((2L, "dict")))     // boundary-spanning run
+    assert(got("l_linestatus") == ((12L, "dict")))    // alternating: every row a run
+    assert(got("l_quantity") == ((1L, "dict")))       // constant: one run
+    assert(got("l_orderkey") == ((12L, "plain")))     // unique ints: plain beats dict
+    assert(got("l_discount") == ((12L, "plain")))
+    assert(got("l_extendedprice") == ((1L, "dict")))
+    assert(got("l_suppkey") == ((1L, "dict")))
+  }
+
   test("q381: window boundaries are half-open at the cutoff; labels never leak into features") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pit").toString
