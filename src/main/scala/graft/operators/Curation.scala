@@ -1974,7 +1974,62 @@ object Curation {
            + CASE WHEN anneal = 1 THEN (tok_all * 2 // 10) * tok // tok_ann ELSE 0 END) * 1000 // tok AS upweight_milli
        FROM ann CROSS JOIN at ORDER BY source"""
 
+  /** Shapley data valuation for the coverage game (q402): each source's
+    * exact Shapley value when a coalition's worth is the number of
+    * distinct word-3-gram types its members jointly cover. For coverage
+    * games the 2^n coalition sum collapses to the closed form
+    * φ(s) = Σ_{g : s ∋ g} 1/|S_g| (every source holding gram g splits
+    * g's credit equally), so the exact game-theoretic attribution is
+    * ONE distinct pass + one gram-keyed join — no coalition enumeration.
+    * Credits are floored micro-units (1e6 div m), so sums are integer-
+    * exact on both engines; `share_bp` is each source's slice of the
+    * total credit. The complement of q377's leave-one-out LM valuation:
+    * LOO measures marginal value against the FULL coalition, Shapley
+    * averages it over all orders — a source whose grams are all shared
+    * twice scores 0 under LOO-style uniqueness but φ/2 per gram here.
+    *
+    * Scale: shuffles are on the (source, gram) distinct relation and
+    * the gram-type domain — corpus-vocabulary-sized, not token-count-
+    * sized; output is |sources| rows; the grand total attaches as a
+    * broadcast 1-row aggregate. */
+  def q402ShapleyCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, d)
+      .select($"source", explode(shingles3(tokens($"text"))).as("g"))
+      .distinct()
+    val m = st.groupBy($"g").agg(count(lit(1)).as("m"))
+    val phi = st.join(m, "g")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("types_present"),
+        sum(when($"m" === 1, 1L).otherwise(0L)).as("types_unique"),
+        sum(expr("1000000 div m")).as("phi_micro"))
+    phi.crossJoin(broadcast(phi.agg(sum($"phi_micro").as("__t"))))
+      .select($"source", $"types_present", $"types_unique", $"phi_micro",
+        expr("phi_micro * 10000 div __t").as("share_bp"))
+      .orderBy($"source")
+  }
+
+  val q402Oracle: String =
+    """WITH tk AS (SELECT source, list_filter(string_split_regex(text,'\s+'), t->t<>'') AS tk FROM documents),
+       st AS (
+         SELECT DISTINCT source, unnest(CASE WHEN len(tk) >= 3
+           THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+           ELSE [] END) AS g
+         FROM tk),
+       m AS (SELECT g, CAST(count(*) AS BIGINT) AS m FROM st GROUP BY 1),
+       phi AS (
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS types_present,
+                CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS types_unique,
+                CAST(sum(1000000 // m) AS BIGINT) AS phi_micro
+         FROM st JOIN m USING (g) GROUP BY 1),
+       tot AS (SELECT CAST(sum(phi_micro) AS BIGINT) AS t FROM phi)
+       SELECT source, types_present, types_unique, phi_micro,
+              phi_micro * 10000 // t AS share_bp
+       FROM phi, tot ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_shapley_coverage" -> q402ShapleyCoverage,
     "q53_chinchilla_plan" -> q53ChinchillaPlan,
     "q337_curriculum_pacing" -> q337CurriculumPacing,
     "q357_anneal_schedule" -> q357AnnealSchedule,
@@ -2010,6 +2065,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q402_shapley_coverage" -> q402Oracle,
     "q53_chinchilla_plan" -> q53Oracle,
     "q337_curriculum_pacing" -> q337Oracle,
     "q357_anneal_schedule" -> q357Oracle,

@@ -18,6 +18,29 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("q402: closed-form coverage credit equals definitional Shapley on 3 sources") {
+    // trigram sets: A = {t1, s}, B = {s, t3}, C = {s}  (s shared by all)
+    val d = docsDir(Seq(
+      (1L, "t1a t1b t1c", "en", "A", 1L),
+      (2L, "s s1 s2", "en", "A", 1L),
+      (3L, "s s1 s2", "en", "B", 1L),
+      (4L, "t3a t3b t3c", "en", "B", 1L),
+      (5L, "s s1 s2", "en", "C", 1L)))
+    // definitional Shapley over all 3! orders with v(S) = |∪ grams|:
+    // v(A)=v(B)=2, v(C)=1, v(AB)=3, v(AC)=2, v(BC)=2, v(ABC)=3
+    // 6·φ_A = 2·v(A) + (v(AB)−v(B)) + (v(AC)−v(C)) + 2·(v(ABC)−v(BC)) = 8
+    // 6·φ_C = 2·v(C) + (v(AC)−v(A)) + (v(BC)−v(B)) + 2·(v(ABC)−v(AB)) = 2
+    // → φ_A = φ_B = 4/3, φ_C = 1/3; closed form: 1 + 1/3, 1 + 1/3, 1/3
+    val got = Curation.q402ShapleyCoverage(spark, d)
+      .select("source", "types_present", "types_unique", "phi_micro")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A") == ((2L, 1L, 1333333L)))  // 1e6 + 1e6 div 3
+    assert(got("B") == ((2L, 1L, 1333333L)))
+    assert(got("C") == ((1L, 0L, 333333L)))
+    // efficiency axiom: credits sum to v(grand coalition) up to floor loss
+    assert(got.values.map(_._3).sum == 2999999L)
+  }
+
   test("q372: ring resharding moves ~1/3 of keys, modulo ~2/3, ring < mod") {
     // theory at 8 -> 12: ring moves the new shards' capacity share
     // (4/12 = 3333 bp in expectation), modulo keeps a key only when
