@@ -1994,15 +1994,26 @@ object Curation {
     * broadcast 1-row aggregate. */
   def q402ShapleyCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // grams travel as the shared 60-bit hash (q78's ShingleHashes
+    // idiom): every shuffle key is a long, not a ~30-byte string.
+    // The repartition is the materialization barrier keeping
+    // CollapseProject from inlining tokens() into the shingle lambda
+    // (the round-1 HOF pitfall — re-tokenizes once per trigram)
     val st = Tables.documents(s, d)
-      .select($"source", explode(shingles3(tokens($"text"))).as("g"))
+      .select($"doc_id", $"source", tokens($"text").as("tk"))
+      .repartition($"doc_id")
+      .select($"source", explode(shingles3($"tk")).as("g0"))
+      .select($"source", hash60($"g0").as("g"))
       .distinct()
     val m = st.groupBy($"g").agg(count(lit(1)).as("m"))
+    // |sources|-row bounded result, frozen so the grand-total branch
+    // doesn't re-evaluate the gram pipeline a second time
     val phi = st.join(m, "g")
       .groupBy($"source")
       .agg(count(lit(1)).as("types_present"),
         sum(when($"m" === 1, 1L).otherwise(0L)).as("types_unique"),
         sum(expr("1000000 div m")).as("phi_micro"))
+      .localCheckpoint()
     phi.crossJoin(broadcast(phi.agg(sum($"phi_micro").as("__t"))))
       .select($"source", $"types_present", $"types_unique", $"phi_micro",
         expr("phi_micro * 10000 div __t").as("share_bp"))
@@ -2011,11 +2022,12 @@ object Curation {
 
   val q402Oracle: String =
     """WITH tk AS (SELECT source, list_filter(string_split_regex(text,'\s+'), t->t<>'') AS tk FROM documents),
-       st AS (
-         SELECT DISTINCT source, unnest(CASE WHEN len(tk) >= 3
+       sg AS (
+         SELECT source, unnest(CASE WHEN len(tk) >= 3
            THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
-           ELSE [] END) AS g
+           ELSE [] END) AS g0
          FROM tk),
+       st AS (SELECT DISTINCT source, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM sg),
        m AS (SELECT g, CAST(count(*) AS BIGINT) AS m FROM st GROUP BY 1),
        phi AS (
          SELECT source,

@@ -4717,7 +4717,107 @@ object Stats {
          CAST(ceil((38416.0 * p_bp * (10000 - p_bp)) / (10000.0 * w_bp * w_bp)) AS BIGINT) AS n_required
        FROM ps CROSS JOIN ws ORDER BY kind, p_bp, w_bp"""
 
+  /** V-optimal histogram ROI curve (q403): for k = 1..8 buckets, the
+    * minimum total within-bucket SSE achievable when partitioning the
+    * order-price distribution (quantized to a 256-bin equi-width
+    * pre-histogram, SSE measured on the bin-index domain) into k
+    * contiguous buckets — the classic v-optimal construction
+    * (Jagadish et al., VLDB'98) solved by exact DP, reported as a
+    * bucket-budget ROI curve (cost + marginal gain per extra bucket)
+    * the optimizer's histogram-memory knob reads directly.
+    *
+    * Determinism: every segment cost is the floored-integer
+    * Σc·x² − (Σc·x)² div Σc over exact int64 prefix sums, so the DP
+    * compares identical integers on both engines (int64 holds while
+    * N·255 < 3·10⁹; past that the three prefix moments move to
+    * decimal(38,0), q94's rule). Scale: one partial-agg pass bins the
+    * fact table; everything after — prefix windows, the 256×256
+    * segment table, 8 DP joins — runs on BOUNDED relations (the
+    * bounded-DP-stays-declarative rule, PLANS.md); the segment table
+    * is checkpointed once and reused by all 8 DP levels. */
+  def q403VoptimalHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    val cents = Tables.orders(s, d).select(
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val mm = cents.agg(min($"v").as("mn"), max($"v").as("mx"))
+    val bins = cents.crossJoin(broadcast(mm))
+      .select(least(lit(255L), expr("(v - mn) * 256 div (mx - mn + 1)")).as("i"))
+      .groupBy($"i").agg(count(lit(1)).as("c"))
+    val filled = s.range(0, 256).toDF("i").join(bins, Seq("i"), "left")
+      .select($"i", coalesce($"c", lit(0L)).as("c"))
+    val w = Window.orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = filled.select($"i",
+      sum($"c").over(w).as("pn"),
+      sum($"c" * $"i").over(w).as("px"),
+      sum($"c" * $"i" * $"i").over(w).as("pq"))
+    val seg = pref.select($"i".as("hi"), $"pn".as("hpn"), $"px".as("hpx"), $"pq".as("hpq"))
+      .join(broadcast(pref.select($"i".as("lo"))), $"lo" <= $"hi")
+      .join(broadcast(pref.select(($"i" + 1).as("lo"),
+        $"pn".as("lpn"), $"px".as("lpx"), $"pq".as("lpq"))), Seq("lo"), "left")
+      .select($"lo", $"hi",
+        when($"hpn" - coalesce($"lpn", lit(0L)) === 0, 0L).otherwise(
+          ($"hpq" - coalesce($"lpq", lit(0L))) -
+            expr("""(hpx - coalesce(lpx, 0)) * (hpx - coalesce(lpx, 0))
+                    div (hpn - coalesce(lpn, 0))""")).as("s"))
+      .localCheckpoint()
+    var prev = seg.filter($"lo" === 0).select($"hi".as("i"), $"s".as("cost"))
+    var curve = prev.filter($"i" === 255).select(lit(1L).as("k"), $"cost")
+    for (k <- 2 to K) {
+      prev = prev.select($"i".as("pi"), $"cost".as("pcost"))
+        .join(broadcast(seg), $"lo" === $"pi" + 1)
+        .groupBy($"hi").agg(min($"pcost" + $"s").as("cost"))
+        .select($"hi".as("i"), $"cost")
+      curve = curve.unionByName(
+        prev.filter($"i" === 255).select(lit(k.toLong).as("k"), $"cost"))
+    }
+    curve.select($"k", $"cost".as("total_sse"),
+        coalesce(lag($"cost", 1).over(Window.orderBy($"k")) - $"cost", lit(0L))
+          .as("marginal_gain"))
+      .orderBy($"k")
+  }
+
+  val q403Oracle: String = {
+    val K = 8
+    val dp = (2 to K).map(k =>
+      s"""c$k AS (SELECT seg.hi AS i, min(p.cost + seg.s) AS cost
+          FROM c${k - 1} p JOIN seg ON seg.lo = p.i + 1 GROUP BY 1)""")
+      .mkString(",\n")
+    val finals = (1 to K)
+      .map(k => s"SELECT $k AS k, cost FROM c$k WHERE i = 255")
+      .mkString("\nUNION ALL\n")
+    s"""WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+       mm AS (SELECT min(v) AS mn, max(v) AS mx FROM cents),
+       bins AS (
+         SELECT LEAST(255, (v - mn) * 256 // (mx - mn + 1)) AS i, CAST(count(*) AS BIGINT) AS c
+         FROM cents, mm GROUP BY 1),
+       grid AS (SELECT unnest(generate_series(0, 255)) AS i),
+       filled AS (SELECT g.i, coalesce(b.c, 0) AS c FROM grid g LEFT JOIN bins b USING (i)),
+       pref AS (
+         SELECT i,
+           CAST(sum(c) OVER w AS BIGINT) AS pn,
+           CAST(sum(c * i) OVER w AS BIGINT) AS px,
+           CAST(sum(c * i * i) OVER w AS BIGINT) AS pq
+         FROM filled WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       seg AS (
+         SELECT lo.i AS lo, hi.i AS hi,
+           CASE WHEN hi.pn - coalesce(pl.pn, 0) = 0 THEN 0
+                ELSE (hi.pq - coalesce(pl.pq, 0))
+                     - (hi.px - coalesce(pl.px, 0)) * (hi.px - coalesce(pl.px, 0))
+                       // (hi.pn - coalesce(pl.pn, 0)) END AS s
+         FROM pref hi JOIN pref lo ON lo.i <= hi.i
+         LEFT JOIN pref pl ON pl.i = lo.i - 1),
+       c1 AS (SELECT hi AS i, s AS cost FROM seg WHERE lo = 0),
+       $dp,
+       curve AS ($finals)
+       SELECT CAST(k AS BIGINT) AS k, CAST(cost AS BIGINT) AS total_sse,
+         CAST(coalesce(lag(cost) OVER (ORDER BY k) - cost, 0) AS BIGINT) AS marginal_gain
+       FROM curve ORDER BY k"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q403_voptimal_hist" -> q403VoptimalHist,
     "q331_wilson_sample_plan" -> q331WilsonSamplePlan,
     "q262_anova" -> q262Anova,
     "q255_funnel_ztest" -> q255FunnelZtest,
@@ -4791,6 +4891,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q403_voptimal_hist" -> q403Oracle,
     "q331_wilson_sample_plan" -> q331Oracle,
     "q262_anova" -> q262Oracle,
     "q255_funnel_ztest" -> q255Oracle,

@@ -877,6 +877,24 @@ class StatsSpec extends SparkSpec {
     assert(mdes == mdes.sortBy(-_))
   }
 
+  test("q403: two price clusters — one bucket pays the full SSE, two pay zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vopt").toString
+    // 6 orders at $10.00 (bin 0), 6 at $100.00 (bin 255):
+    // cost_1 = 6·255² − (6·255)² div 12 = 390150 − 195075 = 195075,
+    // cost_k = 0 for every k ≥ 2 (each cluster its own bucket)
+    ((1 to 6).map(i => (i.toLong, 10.00)) ++
+      (7 to 12).map(i => (i.toLong, 100.00)))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Stats.q403VoptimalHist(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 8L))
+    assert(got.head == ((1L, 195075L, 0L)))
+    assert(got(1) == ((2L, 0L, 195075L)))          // all gain arrives at k=2
+    assert(got.drop(2).forall(r => r._2 == 0L && r._3 == 0L))
+  }
+
   test("q374: pass@k matches exact binomial ratios; degenerate rows pin to 0/1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("passk").toString
