@@ -1109,7 +1109,11 @@ object Quality {
     * The balance decile uses the q93 value-histogram idiom (bounded
     * cumulative window over distinct cents — never a row-level
     * ntile). */
-  def q306KAnonymity(s: SparkSession, d: String): DataFrame = {
+  /** The quasi-identifier rows both privacy ops audit: per customer
+    * (segment, nation, balance decile) plus the sensitive attribute
+    * (dominant order priority). Shared by [[q306KAnonymity]] (audit at
+    * full QI detail) and [[q404AnonLadder]] (generalization planner). */
+  private def anonQiRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, d)
       .select($"c_custkey", $"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
@@ -1130,9 +1134,14 @@ object Quality {
       .withColumn("cumb", coalesce(sum($"cnt").over(w), lit(0L)))
       .crossJoin(broadcast(tot))
       .select($"v".as("cents"), expr("(10 * cumb) div n_total").as("dec"))
-    val rows = cust.join(broadcast(decile), "cents")
+    cust.join(broadcast(decile), "cents")
       .join(dom, Seq("c_custkey"), "left")
       .select($"seg", $"nat", $"dec", coalesce($"sens", lit("NONE")).as("sens"))
+  }
+
+  def q306KAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = anonQiRows(s, d)
     val classes = rows.groupBy($"seg", $"nat", $"dec")
       .agg(count(lit(1)).as("k"), countDistinct($"sens").as("l"))
     classes.agg(
@@ -1185,6 +1194,90 @@ object Quality {
          (10000 * CAST(count(CASE WHEN l < 2 THEN 1 END) AS BIGINT))
            // CAST(count(*) AS BIGINT) AS classes_l_lt2_bp
        FROM cls"""
+
+  /** Generalization-ladder anonymization planner (q404, the planning
+    * half of [[q306KAnonymity]]'s audit — Incognito's lattice walk,
+    * LeFevre 2005, on a suppression ladder): for each generalization
+    * level of the quasi-identifier — L0 (seg, nat, decile), L1 drop
+    * the decile, L2 drop nation, L3 full suppression — the class
+    * count (the utility that survives), minimum class size k, minimum
+    * sensitive-value diversity l, and the row mass in classes below
+    * k = 5; `picked` marks the LEAST generalized level meeting the
+    * release gate k ≥ 5 ∧ l ≥ 2.
+    *
+    * Scale: all four levels come from ONE pass over the QI rows via
+    * GROUPING SETS (partial-agg per set, no per-level rescans), then a
+    * bounded 4-row rollup; the pick attaches as a broadcast 1-row
+    * aggregate over those 4 rows. */
+  def q404AnonLadder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = anonQiRows(s, d)
+    val classes = rows
+      .groupingSets(
+        Seq(Seq($"seg", $"nat", $"dec"), Seq($"seg", $"nat"), Seq($"seg"), Seq()),
+        $"seg", $"nat", $"dec")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("k"),
+        countDistinct($"sens").as("l"))
+    val lv = classes
+      .withColumn("level",
+        when($"gid" === 0, 0L).when($"gid" === 1, 1L)
+          .when($"gid" === 3, 2L).otherwise(3L))
+      .withColumn("qi",
+        when($"gid" === 0, "seg,nat,decile").when($"gid" === 1, "seg,nat")
+          .when($"gid" === 3, "seg").otherwise("suppressed"))
+      .groupBy($"level", $"qi")
+      .agg(count(lit(1)).as("n_classes"),
+        min($"k").as("k_min"), min($"l").as("l_min"),
+        expr("CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000 div sum(k) AS BIGINT)")
+          .as("rows_k_lt5_bp"))
+    lv.crossJoin(broadcast(
+        lv.filter($"k_min" >= 5 && $"l_min" >= 2).agg(min($"level").as("p"))))
+      .select($"level", $"qi", $"n_classes", $"k_min", $"l_min", $"rows_k_lt5_bp",
+        ($"level" === $"p").cast("long").as("picked"))
+      .orderBy($"level")
+  }
+
+  val q404Oracle: String =
+    """WITH cust AS (
+         SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM customer),
+       dom AS (
+         SELECT c_custkey, sens FROM (
+           SELECT o_custkey AS c_custkey, o_orderpriority AS sens,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_custkey, o_orderpriority)
+         WHERE rn = 1),
+       vc AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM cust GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cust),
+       dec AS (
+         SELECT v AS cents, (10 * cumb) // n_total AS dec FROM (
+           SELECT v, cnt, COALESCE(CAST(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+           FROM vc), t),
+       rws AS (
+         SELECT c.seg, c.nat, d.dec, COALESCE(m.sens, 'NONE') AS sens
+         FROM cust c JOIN dec d USING (cents)
+         LEFT JOIN dom m USING (c_custkey)),
+       classes AS (
+         SELECT GROUPING(seg, nat, dec) AS gid,
+                CAST(count(*) AS BIGINT) AS k,
+                CAST(count(DISTINCT sens) AS BIGINT) AS l
+         FROM rws GROUP BY GROUPING SETS ((seg, nat, dec), (seg, nat), (seg), ())),
+       lv AS (
+         SELECT CAST(CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2 ELSE 3 END AS BIGINT) AS level,
+                CASE gid WHEN 0 THEN 'seg,nat,decile' WHEN 1 THEN 'seg,nat'
+                         WHEN 3 THEN 'seg' ELSE 'suppressed' END AS qi,
+                CAST(count(*) AS BIGINT) AS n_classes,
+                min(k) AS k_min, min(l) AS l_min,
+                CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000 // sum(k) AS BIGINT) AS rows_k_lt5_bp
+         FROM classes GROUP BY 1, 2),
+       pick AS (SELECT min(level) AS p FROM lv WHERE k_min >= 5 AND l_min >= 2)
+       SELECT level, qi, n_classes, k_min, l_min, rows_k_lt5_bp,
+              CAST(CASE WHEN level = p THEN 1 ELSE 0 END AS BIGINT) AS picked
+       FROM lv, pick ORDER BY level"""
 
   /** Differential-privacy noise calibration planner (q307): before
     * publishing per-segment counts under ε-DP, what does each ε cost
@@ -2178,6 +2271,7 @@ object Quality {
     "q294_conformal_audit" -> q294ConformalAudit,
     "q300_cv_calibration" -> q300CvCalibration,
     "q306_k_anonymity" -> q306KAnonymity,
+    "q404_anon_ladder" -> q404AnonLadder,
     "q307_dp_planner" -> q307DpPlanner,
     "q145_chi2_independence" -> q145Chi2Independence,
     "q139_rater_agreement" -> q139RaterAgreement,
@@ -2208,6 +2302,7 @@ object Quality {
     "q294_conformal_audit" -> q294Oracle,
     "q300_cv_calibration" -> q300Oracle,
     "q306_k_anonymity" -> q306Oracle,
+    "q404_anon_ladder" -> q404Oracle,
     "q307_dp_planner" -> q307Oracle,
     "q145_chi2_independence" -> q145Oracle,
     "q139_rater_agreement" -> q139Oracle,

@@ -374,6 +374,27 @@ class QualitySpec extends SparkSpec {
     assert(got.head._2 == expected.map(_._2).sum)
   }
 
+  test("q404: ladder generalizes until the k>=5, l>=2 gate first holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ladder").toString
+    // one segment, 3 nations x 2 customers, all balances distinct:
+    // L0 classes are singletons (k=1), L1 pairs (k=2), L2 one class of
+    // 6 with 2 sensitive values -> the first level passing the gate
+    (1 to 6).map(i => (i.toLong, "A", (i % 3).toLong, 100.0 + i))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (1 to 6).map(i => (i.toLong, 100L + i, s"P${i % 2}"))
+      .toDF("o_custkey", "o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Quality.q404AnonLadder(spark, dir)
+      .select("level", "k_min", "l_min", "n_classes", "picked")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 6L, 6L))   // k_min climbs the ladder
+    assert(got.map(_._4).toSeq == Seq(6L, 3L, 1L, 1L))   // utility (classes) falls
+    assert(got.map(_._5).toSeq == Seq(0L, 0L, 1L, 0L))   // L2 is the least general pass
+    assert(got(2)._3 == 2L)                              // and it is l-diverse
+  }
+
   test("q306/q307: anonymity audit replay; DP planning identities") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
