@@ -1265,8 +1265,56 @@ object Relational {
          CAST(h_base <> h_new AS BIGINT) AS differs
        FROM lvl ORDER BY level, node"""
 
+  /** Top-k incremental view maintenance (q405, the continuous top-k
+    * result of Mouratidis et al., SIGMOD'06, in IVM form): maintain a
+    * top-10 spend leaderboard under an insert-only delta WITHOUT
+    * re-ranking the full population. Soundness of the candidate set:
+    * under inserts, totals only grow, so the k-th total θ only grows;
+    * an untouched customer outside the old top-k kept its old total
+    * < old θ ≤ new θ and can never enter — the new top-k is exactly
+    * top-k(old top-k ∪ touched customers). The maintained state is the
+    * per-customer totals index (q103's maintained aggregate) plus the
+    * 10-row leaderboard; per batch the engine touches the delta's
+    * customers (an index key-join, AQE-sized — no broadcast hint, the
+    * delta is data-sized at 100 TB) and ranks a (10 + |delta keys|)-row
+    * candidate relation. The oracle re-ranks the full population from
+    * scratch — the hash match IS the IVM-equals-recompute proof
+    * (q380's discipline). */
+  def q405TopkIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 10
+    val cutoff = lit("1998-05-01").cast("timestamp")
+    val cents = ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+    // maintained state: totals index at the cutoff + its top-10
+    val index = Tables.orders(s, d).filter($"o_orderdate" < cutoff)
+      .groupBy($"o_custkey").agg(sum(cents).as("t"))
+    val oldTop = index.orderBy($"t".desc, $"o_custkey").limit(K)
+    // delta: per-customer increments (delta-sized)
+    val delta = Tables.orders(s, d).filter($"o_orderdate" >= cutoff)
+      .groupBy($"o_custkey").agg(sum(cents).as("dt"))
+    // touched customers read their old total from the index by key
+    val touched = delta.join(index, Seq("o_custkey"), "left")
+      .select($"o_custkey", (coalesce($"t", lit(0L)) + $"dt").as("t"))
+    val candidates = touched.unionByName(
+      oldTop.join(delta.select($"o_custkey"), Seq("o_custkey"), "left_anti"))
+    candidates.orderBy($"t".desc, $"o_custkey").limit(K)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"t".desc, $"o_custkey")))
+      .select($"rank".cast("long").as("rank"), $"o_custkey", $"t".as("total_cents"))
+      .orderBy($"rank")
+  }
+
+  val q405Oracle: String =
+    """SELECT CAST(row_number() OVER (ORDER BY t DESC, o_custkey) AS BIGINT) AS rank,
+         o_custkey, t AS total_cents
+       FROM (
+         SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS t
+         FROM orders GROUP BY 1)
+       ORDER BY t DESC, o_custkey LIMIT 10"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q405_topk_ivm" -> q405TopkIvm,
     "q266_abc_classification" -> q266AbcClassification,
     "q257_join_ivm" -> q257JoinIvm,
     "q203_price_index" -> q203PriceIndex,
@@ -1298,6 +1346,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q405_topk_ivm" -> q405Oracle,
     "q266_abc_classification" -> q266Oracle,
     "q257_join_ivm" -> q257Oracle,
     "q203_price_index" -> q203Oracle,

@@ -190,6 +190,27 @@ class SmokeSpec extends SparkSpec {
     assert(got.values.map(_._3).sum >= 10000 - 3 && got.values.map(_._3).sum <= 10000)
   }
 
+  test("q405: delta promotes an outsider; untouched sub-threshold customer never enters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("topkivm").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // base: cust i spent (13-i)*100 dollars -> old top-10 = ids 1..10,
+    // theta = 300 (id 10); ids 11 (200) and 12 (100) are outside.
+    // delta: id 12 gains $10000 -> must enter at rank 1 via the
+    // candidate path; id 11 is untouched and must stay out even though
+    // id 10 drops off the board.
+    val base = (1 to 12).map(i => (i.toLong, ((13 - i) * 100).toDouble, ts("1998-01-01")))
+    val delta = Seq((12L, 10000.00, ts("1998-06-01")))
+    (base ++ delta).toDF("o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.q405TopkIvm(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == (12L +: (1L to 9L)))         // id 10 out, id 11 never in
+    assert(got.head == ((1L, 12L, 1010000L)))            // 100 + 10000 dollars in cents
+    assert(got.map(_._1) == (1L to 10L))
+  }
+
   test("q298: retraction maintenance == full recompute; untouched buckets keep snapshot extremes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
