@@ -2040,7 +2040,70 @@ object Curation {
               phi_micro * 10000 // t AS share_bp
        FROM phi, tot ORDER BY source"""
 
+  /** Continuous-batching throughput planner (q406, the Orca/vLLM
+    * scheduling argument as a measured plan): for serving batch sizes
+    * B ∈ {8, 16, 32}, compare STATIC batching — the batch runs
+    * max(len) decode steps, short requests pad — against idealized
+    * token-level CONTINUOUS batching — ceil(Σ len / B) steps, a new
+    * request occupies a slot the step after one finishes. Reports per
+    * B the step counts, the padding-token waste, and the speedup in
+    * bp; the input length distribution is the documents table's token
+    * counts in doc_id arrival order. Deterministic: batch membership
+    * is closed-form off the exact arrival rank ((rank−1) div B), all
+    * counters integers.
+    *
+    * Scale: the arrival rank is a [[Windows.rangePrefixSum]] of ones
+    * (no global sort); the 3-row B grid rides a broadcast cross join;
+    * shuffles touch (B, batch) keys — request-count-sized, shrinking
+    * 8–32× at the batch rollup. */
+  def q406BatchingPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val req = Windows.rangePrefixSum(
+      Tables.documents(s, d)
+        .select($"doc_id", size(tokens($"text")).cast("long").as("gen")),
+      Seq($"doc_id"), lit(1L), "rn")
+    val grid = Seq(8L, 16L, 32L).toDF("b")
+    req.crossJoin(broadcast(grid))
+      .groupBy($"b", expr("(rn - 1) div b").as("batch"))
+      .agg(max($"gen").as("mx"), sum($"gen").as("tok"), count(lit(1)).as("cnt"))
+      .groupBy($"b")
+      .agg(sum($"cnt").as("n_requests"), count(lit(1)).as("n_batches"),
+        sum($"mx").as("steps_static"), sum($"tok").as("total_tokens"),
+        sum($"mx" * $"cnt" - $"tok").as("padding_tokens"))
+      .select($"b", $"n_requests", $"n_batches", $"steps_static",
+        expr("(total_tokens + b - 1) div b").as("steps_cont"),
+        $"padding_tokens",
+        expr("steps_static * 10000 div ((total_tokens + b - 1) div b)")
+          .as("speedup_bp"))
+      .orderBy($"b")
+  }
+
+  val q406Oracle: String =
+    """WITH req AS (
+         SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS BIGINT) AS gen
+         FROM documents),
+       grid AS (SELECT unnest([8, 16, 32]) AS b),
+       batches AS (
+         SELECT b, (rn - 1) // b AS batch,
+                max(gen) AS mx, CAST(sum(gen) AS BIGINT) AS tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM req, grid GROUP BY 1, 2),
+       agg AS (
+         SELECT CAST(b AS BIGINT) AS b,
+                CAST(sum(cnt) AS BIGINT) AS n_requests,
+                CAST(count(*) AS BIGINT) AS n_batches,
+                CAST(sum(mx) AS BIGINT) AS steps_static,
+                CAST(sum(tok) AS BIGINT) AS total_tokens,
+                CAST(sum(mx * cnt - tok) AS BIGINT) AS padding_tokens
+         FROM batches GROUP BY 1)
+       SELECT b, n_requests, n_batches, steps_static,
+              (total_tokens + b - 1) // b AS steps_cont,
+              padding_tokens,
+              steps_static * 10000 // ((total_tokens + b - 1) // b) AS speedup_bp
+       FROM agg ORDER BY b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_batching_planner" -> q406BatchingPlanner,
     "q402_shapley_coverage" -> q402ShapleyCoverage,
     "q53_chinchilla_plan" -> q53ChinchillaPlan,
     "q337_curriculum_pacing" -> q337CurriculumPacing,
@@ -2077,6 +2140,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q406_batching_planner" -> q406Oracle,
     "q402_shapley_coverage" -> q402Oracle,
     "q53_chinchilla_plan" -> q53Oracle,
     "q337_curriculum_pacing" -> q337Oracle,

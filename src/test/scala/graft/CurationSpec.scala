@@ -18,6 +18,22 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("q406: static pays the max per batch, continuous pays ceil(tokens/B)") {
+    // 4 requests of lengths 1,9,1,9 -> one batch under every B:
+    // static = 9 steps, padding = 4·9 − 20 = 16; continuous =
+    // ceil(20/8)=3, ceil(20/16)=2, ceil(20/32)=1 steps
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, words(1), "en", "s", 1L), (2L, words(9), "en", "s", 1L),
+      (3L, words(1), "en", "s", 1L), (4L, words(9), "en", "s", 1L)))
+    val got = Curation.q406BatchingPlanner(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(8L, 16L, 32L))
+    assert(got(0) == ((8L, 4L, 1L, 9L, 3L, 16L, 30000L)))
+    assert(got(1) == ((16L, 4L, 1L, 9L, 2L, 16L, 45000L)))
+    assert(got(2) == ((32L, 4L, 1L, 9L, 1L, 16L, 90000L)))
+  }
+
   test("q402: closed-form coverage credit equals definitional Shapley on 3 sources") {
     // trigram sets: A = {t1, s}, B = {s, t3}, C = {s}  (s shared by all)
     val d = docsDir(Seq(
