@@ -1960,7 +1960,211 @@ object Behavior {
        SELECT CAST(rnk AS BIGINT) AS rank, user_id, day, n_trans, surprise_micro, avg_micro
        FROM r WHERE rnk <= 20 ORDER BY rnk"""
 
+  /** SAX motif discovery (q408, symbolic aggregate approximation over
+    * the hourly event-rate series): per event type, bucket hourly event
+    * counts into quartile symbols 1–4 (exact ntile, ties broken by
+    * hour), slide a 3-hour window over CONSECUTIVE hours (gaps break
+    * words — a missing hour must not stitch two separate regimes into
+    * one motif), and count each 3-symbol word. The motif histogram is
+    * the standard cheap surrogate for "does this series have recurring
+    * shapes" before anything expensive like matrix profile.
+    *
+    * Scale: the series relation is the (type, hour) AGGREGATE — time-
+    * range-sized, not event-count-sized — so the ntile and lead windows
+    * partition by event_type over bounded series; motif counts shuffle
+    * on (type, word) with ≤64 words per type. */
+  def q408SaxMotifs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy($"event_type", expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val sym = hourly.withColumn("sym",
+      ntile(4).over(Window.partitionBy($"event_type").orderBy($"c", $"h")))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val counts = sym
+      .select($"event_type", $"h", $"sym",
+        lead($"h", 1).over(w).as("h1"), lead($"sym", 1).over(w).as("s1"),
+        lead($"h", 2).over(w).as("h2"), lead($"sym", 2).over(w).as("s2"))
+      .filter($"h1" === $"h" + 1 && $"h2" === $"h" + 2)
+      .select($"event_type",
+        concat($"sym".cast("string"), $"s1".cast("string"),
+          $"s2".cast("string")).as("motif"))
+      .groupBy($"event_type", $"motif").agg(count(lit(1)).as("n_occ"))
+    val tot = counts.groupBy($"event_type").agg(sum($"n_occ").as("tot"))
+    counts.join(tot, "event_type")
+      .select($"event_type", $"motif", $"n_occ",
+        expr("n_occ * 10000 div tot").as("share_bp"))
+      .orderBy($"event_type", $"motif")
+  }
+
+  val q408Oracle: String =
+    """WITH hourly AS (
+         SELECT event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       sym AS (
+         SELECT event_type, h,
+                ntile(4) OVER (PARTITION BY event_type ORDER BY c, h) AS sym
+         FROM hourly),
+       seq AS (
+         SELECT event_type, h, sym,
+                lead(h, 1) OVER (PARTITION BY event_type ORDER BY h) AS h1,
+                lead(sym, 1) OVER (PARTITION BY event_type ORDER BY h) AS s1,
+                lead(h, 2) OVER (PARTITION BY event_type ORDER BY h) AS h2,
+                lead(sym, 2) OVER (PARTITION BY event_type ORDER BY h) AS s2
+         FROM sym),
+       words AS (
+         SELECT event_type, sym::VARCHAR || s1::VARCHAR || s2::VARCHAR AS motif
+         FROM seq WHERE h1 = h + 1 AND h2 = h + 2),
+       c AS (SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n_occ
+             FROM words GROUP BY 1, 2),
+       t AS (SELECT event_type, CAST(sum(n_occ) AS BIGINT) AS tot FROM c GROUP BY 1)
+       SELECT event_type, motif, n_occ, n_occ * 10000 // tot AS share_bp
+       FROM c JOIN t USING (event_type) ORDER BY event_type, motif"""
+
+  /** Preference-tournament cycle audit (q412): build the majority
+    * tournament over event types — per user, type X beats type Y when
+    * the user's exact decimal spend on X exceeds Y; per pair, the
+    * majority across users decides the edge (ties, at either level, go
+    * to the lexicographically smaller type so the tournament is always
+    * complete) — then count cyclic triads via Moon's closed form
+    * C(n,3) − Σ_v C(outdeg_v, 2): a triad is transitive iff exactly one
+    * vertex beats both others. Cyclic triads are the "preferences are
+    * not a ranking" signal that invalidates a Bradley–Terry/ELO fit
+    * (q313's model assumes none).
+    *
+    * Scale: the per-user pair relation is |users|·C(|types|,2) — the
+    * type vocabulary is bounded, so the self-join fan-out is a
+    * constant factor on the user aggregate, with map-side combine on
+    * (x, y). The closed form needs only out-degrees: no triangle
+    * enumeration, no triple join. The type-pair grid is domain²-sized
+    * and broadcast. */
+  def q412PrefCycles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val uv = Tables.events(s, d)
+      .groupBy($"user_id", $"event_type")
+      .agg(sum($"value".cast("decimal(18,2)")).as("v"))
+    val pairs = uv.as("a").join(uv.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("x"), col("b.event_type").as("y"),
+        when(col("a.v") > col("b.v"), 1L).otherwise(0L).as("xw"),
+        when(col("b.v") > col("a.v"), 1L).otherwise(0L).as("yw"))
+      .groupBy($"x", $"y")
+      .agg(sum($"xw").as("xw"), sum($"yw").as("yw"))
+    val types = uv.select($"event_type").distinct()
+    val grid = types.as("ta").join(types.as("tb"),
+        col("ta.event_type") < col("tb.event_type"))
+      .select(col("ta.event_type").as("x"), col("tb.event_type").as("y"))
+    // complete tournament: undecided/tied pairs default to x (lex-min)
+    val edges = grid.join(pairs, Seq("x", "y"), "left")
+      .select(when(coalesce($"yw", lit(0L)) > coalesce($"xw", lit(0L)), $"y")
+        .otherwise($"x").as("winner"))
+    val outdeg = types.join(
+        edges.groupBy($"winner").agg(count(lit(1)).as("wins")),
+        types("event_type") === col("winner"), "left")
+      .select($"event_type", coalesce($"wins", lit(0L)).as("wins"))
+    val summ = outdeg
+      .agg(count(lit(1)).as("n_types"),
+        sum(expr("wins * (wins - 1) div 2")).as("trans_triads"))
+      .select($"n_types", $"trans_triads",
+        expr("n_types * (n_types - 1) * (n_types - 2) div 6").as("n_triads"))
+      .select($"n_types", $"n_triads", $"trans_triads",
+        ($"n_triads" - $"trans_triads").as("cyclic_triads"),
+        expr("case when n_triads > 0 then trans_triads * 10000 div n_triads else 10000 end")
+          .as("transitivity_bp"))
+    outdeg.crossJoin(broadcast(summ))
+      .select($"event_type", $"wins", $"n_types", $"n_triads",
+        $"cyclic_triads", $"transitivity_bp")
+      .orderBy($"event_type")
+  }
+
+  val q412Oracle: String =
+    """WITH uv AS (
+         SELECT user_id, event_type, sum(CAST(value AS DECIMAL(18,2))) AS v
+         FROM events GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.event_type AS x, b.event_type AS y,
+                CAST(sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT) AS xw,
+                CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT) AS yw
+         FROM uv a JOIN uv b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2),
+       types AS (SELECT DISTINCT event_type FROM uv),
+       grid AS (
+         SELECT ta.event_type AS x, tb.event_type AS y
+         FROM types ta JOIN types tb ON ta.event_type < tb.event_type),
+       edges AS (
+         SELECT CASE WHEN coalesce(yw, 0) > coalesce(xw, 0) THEN y ELSE x END AS winner
+         FROM grid LEFT JOIN pairs USING (x, y)),
+       outdeg AS (
+         SELECT t.event_type, CAST(coalesce(w.wins, 0) AS BIGINT) AS wins
+         FROM types t LEFT JOIN
+           (SELECT winner, CAST(count(*) AS BIGINT) AS wins FROM edges GROUP BY 1) w
+           ON t.event_type = w.winner),
+       summ AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(wins * (wins - 1) // 2) AS BIGINT) AS trans_triads
+         FROM outdeg),
+       s2 AS (
+         SELECT n_types, trans_triads,
+                n_types * (n_types - 1) * (n_types - 2) // 6 AS n_triads
+         FROM summ)
+       SELECT event_type, wins, n_types, n_triads,
+              n_triads - trans_triads AS cyclic_triads,
+              CASE WHEN n_triads > 0 THEN trans_triads * 10000 // n_triads ELSE 10000 END AS transitivity_bp
+       FROM outdeg CROSS JOIN s2 ORDER BY event_type"""
+
+  /** Checkpoint-interval planner (q419, the Young–Daly optimum fed by
+    * MEASURED failure data): MTBF = observed event span / error-event
+    * count; for checkpoint costs C ∈ {10, 60, 300} s, the optimal
+    * interval τ = ⌊√(2·C·MTBF)⌋ and its overhead model C/τ + τ/(2·MTBF)
+    * in bp — the knob every long-running pipeline sets by folklore,
+    * here set from the error stream it actually produces. The one
+    * non-integer step, √ of an exact int64 < 2⁵³, is IEEE
+    * correctly-rounded and therefore bit-identical on both engines
+    * (the q331 exact-input discipline); everything else is integer.
+    *
+    * Scale: ONE 1-row aggregate over the event stream (span + error
+    * count ride the same pass); the C grid is a 3-row literal. */
+  def q419CkptPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mtbf = Tables.events(s, d)
+      .agg(((max(unix_micros($"ts")) - min(unix_micros($"ts")))
+          .cast("long")).as("span_us"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"))
+      .select($"span_us", $"n_err",
+        expr("span_us div 1000000 div greatest(n_err, 1)").as("mtbf_s"))
+    val grid = Seq(10L, 60L, 300L).toDF("c_s")
+    mtbf.crossJoin(broadcast(grid))
+      .select($"c_s", $"n_err", $"mtbf_s",
+        floor(sqrt(lit(2.0) * $"c_s" * $"mtbf_s")).cast("long").as("tau_s"))
+      .select($"c_s", $"n_err", $"mtbf_s", $"tau_s",
+        (expr("c_s * 10000 div tau_s") +
+          expr("tau_s * 10000 div (2 * mtbf_s)")).as("overhead_bp"))
+      .orderBy($"c_s")
+  }
+
+  val q419Oracle: String =
+    """WITH m AS (
+         SELECT epoch_us(max(CAST(ts AS TIMESTAMP))) - epoch_us(min(CAST(ts AS TIMESTAMP))) AS span_us,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+         FROM events),
+       b AS (SELECT span_us, n_err,
+                    span_us // 1000000 // greatest(n_err, 1) AS mtbf_s FROM m),
+       grid AS (SELECT CAST(unnest([10, 60, 300]) AS BIGINT) AS c_s),
+       t AS (SELECT c_s, n_err, mtbf_s,
+                    CAST(floor(sqrt(2.0 * c_s * mtbf_s)) AS BIGINT) AS tau_s
+             FROM b, grid)
+       SELECT c_s, n_err, mtbf_s, tau_s,
+              c_s * 10000 // tau_s + tau_s * 10000 // (2 * mtbf_s) AS overhead_bp
+       FROM t ORDER BY c_s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q419_ckpt_planner" -> q419CkptPlanner,
+    "q408_sax_motifs" -> q408SaxMotifs,
+    "q412_pref_cycles" -> q412PrefCycles,
     "q343_session_surprisal" -> q343SessionSurprisal,
     "q361_greenwood" -> q361Greenwood,
     "q362_ttl_planner" -> q362TtlPlanner,
@@ -1993,6 +2197,9 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q419_ckpt_planner" -> q419Oracle,
+    "q408_sax_motifs" -> q408Oracle,
+    "q412_pref_cycles" -> q412Oracle,
     "q343_session_surprisal" -> q343Oracle,
     "q361_greenwood" -> q361Oracle,
     "q362_ttl_planner" -> q362Oracle,

@@ -2102,7 +2102,230 @@ object Curation {
               steps_static * 10000 // ((total_tokens + b - 1) // b) AS speedup_bp
        FROM agg ORDER BY b"""
 
+  /** Prefix-cache sharing planner (q407, the vLLM/SGLang radix-cache
+    * argument as a measured plan): model an inference server that caches
+    * prompt-prefix KV state in a radix tree, evaluated at fixed prefix
+    * depths D ∈ {4, 8, 16} tokens. Each request's cacheable prefix is
+    * its first min(len, D) tokens; requests sharing a prefix string
+    * share one cache entry. Reports per D the total prefix tokens
+    * across requests, the distinct tokens actually stored, the saved
+    * (= cache-hit) tokens and hit rate in bp, and how many prefix
+    * groups are shared vs singleton. Deterministic: prefixes travel as
+    * the shared 60-bit hash, all counters integers.
+    *
+    * Scale: one scan of documents; the shuffle key is (D, prefix-hash)
+    * — request-count-sized ×|grid|, combining map-side since equal
+    * prefixes collapse — then a |grid|-row rollup. No sort, no
+    * broadcast of anything data-sized (the depth grid is 3 rows). */
+  def q407PrefixCachePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val req = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .select($"tk", size($"tk").cast("long").as("len"))
+    val grid = Seq(4L, 8L, 16L).toDF("d")
+    req.crossJoin(broadcast(grid))
+      .select($"d", least($"d", $"len").as("plen"),
+        hash60(concat_ws(" ",
+          slice($"tk", lit(1), least($"d", $"len").cast("int")))).as("pk"))
+      .groupBy($"d", $"pk")
+      .agg(count(lit(1)).as("cnt"), max($"plen").as("plen"))
+      .groupBy($"d")
+      .agg(sum($"cnt").as("n_requests"),
+        sum($"cnt" * $"plen").as("prefix_tokens_total"),
+        sum($"plen").as("prefix_tokens_stored"),
+        sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("shared_prefixes"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("singleton_prefixes"))
+      .select($"d", $"n_requests", $"prefix_tokens_total",
+        $"prefix_tokens_stored",
+        ($"prefix_tokens_total" - $"prefix_tokens_stored").as("tokens_saved"),
+        expr("(prefix_tokens_total - prefix_tokens_stored) * 10000 div prefix_tokens_total")
+          .as("hit_bp"),
+        $"shared_prefixes", $"singleton_prefixes")
+      .orderBy($"d")
+  }
+
+  val q407Oracle: String =
+    """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS tk FROM documents),
+       r AS (SELECT tk, CAST(len(tk) AS BIGINT) AS len FROM t),
+       grid AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS d),
+       pre AS (
+         SELECT d, least(d, len) AS plen,
+                ('0x' || substr(md5(array_to_string(list_slice(tk, 1, CAST(least(d, len) AS INT)), ' ')), 1, 15))::BIGINT AS pk
+         FROM r, grid),
+       g AS (SELECT d, pk, CAST(count(*) AS BIGINT) AS cnt, max(plen) AS plen
+             FROM pre GROUP BY 1, 2),
+       agg AS (
+         SELECT d, CAST(sum(cnt) AS BIGINT) AS n_requests,
+                CAST(sum(cnt * plen) AS BIGINT) AS prefix_tokens_total,
+                CAST(sum(plen) AS BIGINT) AS prefix_tokens_stored,
+                CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_prefixes,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_prefixes
+         FROM g GROUP BY 1)
+       SELECT d, n_requests, prefix_tokens_total, prefix_tokens_stored,
+              prefix_tokens_total - prefix_tokens_stored AS tokens_saved,
+              (prefix_tokens_total - prefix_tokens_stored) * 10000 // prefix_tokens_total AS hit_bp,
+              shared_prefixes, singleton_prefixes
+       FROM agg ORDER BY d"""
+
+  /** One DoReMi-style mixture-reweighting step (q411, the
+    * multiplicative-weights update of Xie et al. 2023 linearized to
+    * stay in exact integers): per source, the mean q31 quality score in
+    * micro units; sources whose mean falls short of the corpus mean get
+    * their mixture weight bumped proportionally to the deficit
+    * (w_raw = 10⁶ + excess/1000, the mirror-descent step with η encoded
+    * as the integer divisor — linearized exp(η·excess), exact and
+    * monotone, where the float exp would hash-diverge across engines).
+    * Weights renormalize to EXACTLY 10⁶ ppm by largest-remainder
+    * apportionment (the q205 idiom — floor quotas, then +1 to the
+    * largest remainders, ties to the lexicographically smaller source).
+    *
+    * Scale: one scan → one |sources|-row aggregate; the corpus mean
+    * attaches as a broadcast 1-row aggregate; the apportionment
+    * windows run over the bounded source relation. Σ w_ppm = 10⁶ by
+    * construction — a mixture sampler can consume it directly. */
+  def q411MixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val tk = tokens($"text")
+    val nTok = size(tk).cast("long")
+    val stopPm = floor(size(filter(tk, t => t.isin(stop.map(lit): _*)))
+      * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct(tk)) * lit(1000) / nTok).cast("long")
+    val qs = Tables.documents(s, d).select($"source",
+      (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm).as("q"))
+    val per = qs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"q").as("qsum"))
+      .select($"source", $"n_docs",
+        expr("qsum * 1000000 div n_docs").as("qavg_micro"))
+    val glob = qs.agg(expr("sum(q) * 1000000 div count(1)").as("tavg_micro"))
+    val raw = per.crossJoin(broadcast(glob))
+      .select($"source", $"n_docs", $"qavg_micro",
+        greatest(lit(0L), $"tavg_micro" - $"qavg_micro").as("excess_micro"))
+      .withColumn("w_raw", expr("1000000 + excess_micro div 1000"))
+    val tot = raw.crossJoin(broadcast(raw.agg(sum($"w_raw").as("w_tot"))))
+      .select($"source", $"n_docs", $"qavg_micro", $"excess_micro", $"w_raw",
+        expr("w_raw * 1000000 div w_tot").as("w_floor"),
+        expr("(w_raw * 1000000) % w_tot").as("rem"))
+    val ranked = tot
+      .withColumn("rk", row_number().over(Window.orderBy($"rem".desc, $"source")))
+      .crossJoin(broadcast(tot.agg(
+        (lit(1000000L) - sum($"w_floor")).as("deficit"))))
+    ranked.select($"source", $"n_docs", $"qavg_micro", $"excess_micro",
+        $"w_raw", ($"w_floor" + when($"rk" <= $"deficit", 1L).otherwise(0L))
+          .as("w_ppm"))
+      .orderBy($"source")
+  }
+
+  val q411Oracle: String =
+    """WITH t AS (SELECT source, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS tk FROM documents),
+       qs AS (
+         SELECT source,
+                least(len(tk), 100) * 10
+                + (1000 - CAST(floor(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 1000.0 / len(tk)) AS BIGINT))
+                + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS q
+         FROM t),
+       per AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(q) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS qavg_micro
+         FROM qs GROUP BY 1),
+       gmean AS (SELECT CAST(sum(q) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS tavg_micro FROM qs),
+       raw AS (
+         SELECT source, n_docs, qavg_micro,
+                greatest(0, tavg_micro - qavg_micro) AS excess_micro,
+                1000000 + greatest(0, tavg_micro - qavg_micro) // 1000 AS w_raw
+         FROM per, gmean),
+       wt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM raw),
+       quo AS (
+         SELECT source, n_docs, qavg_micro, excess_micro, w_raw,
+                w_raw * 1000000 // w_tot AS w_floor,
+                (w_raw * 1000000) % w_tot AS rem
+         FROM raw, wt),
+       def AS (SELECT 1000000 - CAST(sum(w_floor) AS BIGINT) AS deficit FROM quo),
+       rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM quo)
+       SELECT source, n_docs, qavg_micro, excess_micro, w_raw,
+              w_floor + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS w_ppm
+       FROM rk, def ORDER BY source"""
+
+  /** Resize-movement audit (q414): when a shard cluster grows 4 → 5
+    * nodes, what fraction of keys MOVE under (a) naive `key mod N`
+    * assignment vs (b) rendezvous / highest-random-weight hashing
+    * (Thaler–Ravishankar; q140's assignment scheme)? HRW's contract is
+    * that a resize relocates only ~1/N_new of keys (the ones whose new
+    * node wins the hash race) while mod-N reshuffles almost everything
+    * — this op MEASURES both on the orders key population, against the
+    * 1/5 ideal. The scheme comparison that justifies q140 as the
+    * sharding default, now as data instead of a scaladoc claim.
+    *
+    * Scale: per-key owner columns are pure hash expressions (5 md5s,
+    * codegen'd, map-side); the only aggregate is one 1-row conditional
+    * sum → a 2-row literal explode. No shuffle of key-sized data at
+    * all. */
+  def q414RebalanceDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def h(n: Int) = hash60(concat($"o_orderkey".cast("string"), lit(s"#$n")))
+    val owner4 =
+      when(h(0) >= h(1) && h(0) >= h(2) && h(0) >= h(3), 0L)
+        .when(h(1) >= h(2) && h(1) >= h(3), 1L)
+        .when(h(2) >= h(3), 2L).otherwise(3L)
+    val owner5 =
+      when(h(0) >= h(1) && h(0) >= h(2) && h(0) >= h(3) && h(0) >= h(4), 0L)
+        .when(h(1) >= h(2) && h(1) >= h(3) && h(1) >= h(4), 1L)
+        .when(h(2) >= h(3) && h(2) >= h(4), 2L)
+        .when(h(3) >= h(4), 3L).otherwise(4L)
+    val agg = Tables.orders(s, d)
+      .select(($"o_orderkey" % 4 =!= $"o_orderkey" % 5).cast("long").as("mod_moved"),
+        (owner4 =!= owner5).cast("long").as("hrw_moved"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"mod_moved").as("mod_moved"),
+        sum($"hrw_moved").as("hrw_moved"))
+    agg.select($"n_keys", explode(array(
+        struct(lit("mod_n").as("scheme"), $"mod_moved".as("moved")),
+        struct(lit("rendezvous").as("scheme"), $"hrw_moved".as("moved")))).as("x"))
+      .select($"x.scheme".as("scheme"), $"n_keys", $"x.moved".as("moved"),
+        expr("x.moved * 10000 div n_keys").as("moved_bp"),
+        lit(2000L).as("ideal_bp"))
+      .orderBy($"scheme")
+  }
+
+  val q414Oracle: String = {
+    def h(n: Int) =
+      s"('0x' || substr(md5(o_orderkey::VARCHAR || '#$n'), 1, 15))::BIGINT"
+    s"""WITH o AS (
+         SELECT o_orderkey,
+                ${h(0)} AS h0, ${h(1)} AS h1, ${h(2)} AS h2,
+                ${h(3)} AS h3, ${h(4)} AS h4
+         FROM orders),
+       owners AS (
+         SELECT CASE WHEN o_orderkey % 4 <> o_orderkey % 5 THEN 1 ELSE 0 END AS mod_moved,
+           CASE
+             WHEN h0 >= h1 AND h0 >= h2 AND h0 >= h3 THEN 0
+             WHEN h1 >= h2 AND h1 >= h3 THEN 1
+             WHEN h2 >= h3 THEN 2 ELSE 3 END AS owner4,
+           CASE
+             WHEN h0 >= h1 AND h0 >= h2 AND h0 >= h3 AND h0 >= h4 THEN 0
+             WHEN h1 >= h2 AND h1 >= h3 AND h1 >= h4 THEN 1
+             WHEN h2 >= h3 AND h2 >= h4 THEN 2
+             WHEN h3 >= h4 THEN 3 ELSE 4 END AS owner5
+         FROM o),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(mod_moved) AS BIGINT) AS mod_moved,
+                CAST(sum(CASE WHEN owner4 <> owner5 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved
+         FROM owners)
+       SELECT 'mod_n' AS scheme, n_keys, mod_moved AS moved,
+              mod_moved * 10000 // n_keys AS moved_bp, CAST(2000 AS BIGINT) AS ideal_bp
+       FROM agg
+       UNION ALL
+       SELECT 'rendezvous', n_keys, hrw_moved,
+              hrw_moved * 10000 // n_keys, 2000
+       FROM agg
+       ORDER BY scheme"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q414_rebalance_delta" -> q414RebalanceDelta,
+    "q411_mixture_rebalance" -> q411MixtureRebalance,
+    "q407_prefix_cache" -> q407PrefixCachePlan,
     "q406_batching_planner" -> q406BatchingPlanner,
     "q402_shapley_coverage" -> q402ShapleyCoverage,
     "q53_chinchilla_plan" -> q53ChinchillaPlan,
@@ -2140,6 +2363,9 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q414_rebalance_delta" -> q414Oracle,
+    "q411_mixture_rebalance" -> q411Oracle,
+    "q407_prefix_cache" -> q407Oracle,
     "q406_batching_planner" -> q406Oracle,
     "q402_shapley_coverage" -> q402Oracle,
     "q53_chinchilla_plan" -> q53Oracle,

@@ -888,7 +888,247 @@ object Prep {
        ORDER BY col_name"""
   }
 
+  /** Materialized-view selection under a storage budget (q416, the
+    * classic view-advisor greedy of Harinarayan/Agrawal/Ullman '96 on
+    * a measured lattice slice): five candidate rollup views over
+    * lineitem, each sized EXACTLY (distinct group count, all five from
+    * ONE multi-distinct aggregate pass), weighted by a fixed workload
+    * (queries/day the view would serve). Benefit = rows the workload
+    * stops scanning = (fact_rows − view_rows)·weight; the greedy picks
+    * by benefit density (benefit per stored row) under a budget of 30%
+    * of fact rows, via a prefix sum over the 5-row candidate relation.
+    * Deterministic: exact counts, integer density, lex tie-break.
+    *
+    * Scale: ONE pass over the fact table (Spark's expand-based
+    * multi-distinct — 5× row fan-out into one shuffle, each leg
+    * partially aggregated map-side); everything downstream is a 5-row
+    * relation, so the knapsack window is bounded by the candidate
+    * list, not the data. */
+  def q416ViewAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("fact_rows"),
+      countDistinct(concat_ws("|", $"l_returnflag", $"l_linestatus"))
+        .as("v_flag_status"),
+      countDistinct($"l_partkey").as("v_part"),
+      countDistinct($"l_suppkey").as("v_supp"),
+      countDistinct($"l_orderkey").as("v_order"),
+      countDistinct($"l_shipdate").as("v_shipdate"))
+    val cand = m.select($"fact_rows", explode(array(
+        struct(lit("flag_status").as("view"), $"v_flag_status".as("view_rows"), lit(30L).as("weight")),
+        struct(lit("shipdate").as("view"), $"v_shipdate".as("view_rows"), lit(20L).as("weight")),
+        struct(lit("part").as("view"), $"v_part".as("view_rows"), lit(15L).as("weight")),
+        struct(lit("supp").as("view"), $"v_supp".as("view_rows"), lit(10L).as("weight")),
+        struct(lit("order").as("view"), $"v_order".as("view_rows"), lit(5L).as("weight")))).as("x"))
+      .select($"fact_rows", $"x.view".as("view"), $"x.view_rows", $"x.weight",
+        (($"fact_rows" - $"x.view_rows") * $"x.weight").as("benefit"))
+      .withColumn("density_milli",
+        expr("benefit * 1000 div greatest(view_rows, 1)"))
+    val ranked = cand.withColumn("rows_cum",
+      sum($"view_rows").over(Window.orderBy($"density_milli".desc, $"view")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.select($"view", $"view_rows", $"weight", $"benefit",
+        $"density_milli", $"rows_cum",
+        ($"rows_cum" <= expr("fact_rows * 3 div 10")).cast("long").as("selected"))
+      .orderBy($"density_milli".desc, $"view")
+  }
+
+  val q416Oracle: String =
+    """WITH m AS (
+         SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+                CAST(count(DISTINCT l_returnflag || '|' || l_linestatus) AS BIGINT) AS v_flag_status,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS v_part,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS v_supp,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS v_order,
+                CAST(count(DISTINCT l_shipdate) AS BIGINT) AS v_shipdate
+         FROM lineitem),
+       cand AS (
+         SELECT fact_rows, 'flag_status' AS "view", v_flag_status AS view_rows, CAST(30 AS BIGINT) AS weight FROM m
+         UNION ALL SELECT fact_rows, 'shipdate', v_shipdate, 20 FROM m
+         UNION ALL SELECT fact_rows, 'part', v_part, 15 FROM m
+         UNION ALL SELECT fact_rows, 'supp', v_supp, 10 FROM m
+         UNION ALL SELECT fact_rows, 'order', v_order, 5 FROM m),
+       c2 AS (
+         SELECT "view", view_rows, weight, fact_rows,
+                (fact_rows - view_rows) * weight AS benefit,
+                (fact_rows - view_rows) * weight * 1000 // greatest(view_rows, 1) AS density_milli
+         FROM cand),
+       ranked AS (
+         SELECT *, CAST(sum(view_rows) OVER (ORDER BY density_milli DESC, "view"
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rows_cum
+         FROM c2)
+       SELECT "view", view_rows, weight, benefit, density_milli, rows_cum,
+              CASE WHEN rows_cum <= fact_rows * 3 // 10 THEN 1 ELSE 0 END AS selected
+       FROM ranked ORDER BY density_milli DESC, "view""""
+
+  /** Join-cardinality estimation audit (q417, the Leis et al. "How Good
+    * Are Query Optimizers, Really?" experiment in-engine): for three
+    * filtered lineitem⋈orders joins, compare the textbook independence
+    * estimate |σ_A|·|σ_B| / max(ndv_A(k), ndv_B(k)) against the TRUE
+    * cardinality, reporting the q-error. The three predicate pairs are
+    * graded by correlation — quantity×price (independent), shipdate×
+    * status (correlated through order date), returnflag×status
+    * (strongly correlated) — so the audit shows exactly where the
+    * uniformity assumption collapses and a sampling-based estimator
+    * would be needed.
+    *
+    * Scale: the filtered counts AND filtered join-key NDVs for all
+    * three predicates come from ONE aggregate pass per side
+    * (conditional count-distincts); the true cardinalities share ONE
+    * orderkey-shuffled join pass with conditional sums — adding a
+    * predicate pair adds columns, never passes. */
+  def q417JoinCardAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey",
+      ($"l_quantity" < 10).as("la"),
+      ($"l_shipdate" < to_date(lit("1994-01-01"))).as("lb"),
+      ($"l_returnflag" === "R").as("lc"))
+    val or = Tables.orders(s, d).select($"o_orderkey",
+      ($"o_totalprice" > 100000.0).as("oa"),
+      ($"o_orderstatus" === "F").as("ob"),
+      ($"o_orderstatus" === "F").as("oc"))
+    def sideAgg(df: DataFrame, key: String, flags: Seq[String]) =
+      df.agg(
+        sum(when(col(flags(0)), 1L).otherwise(0L)).as(s"cnt_a"),
+        countDistinct(when(col(flags(0)), col(key))).as(s"ndv_a"),
+        sum(when(col(flags(1)), 1L).otherwise(0L)).as(s"cnt_b"),
+        countDistinct(when(col(flags(1)), col(key))).as(s"ndv_b"),
+        sum(when(col(flags(2)), 1L).otherwise(0L)).as(s"cnt_c"),
+        countDistinct(when(col(flags(2)), col(key))).as(s"ndv_c"))
+    val lm = sideAgg(li, "l_orderkey", Seq("la", "lb", "lc"))
+      .select($"cnt_a".as("l_cnt_a"), $"ndv_a".as("l_ndv_a"),
+        $"cnt_b".as("l_cnt_b"), $"ndv_b".as("l_ndv_b"),
+        $"cnt_c".as("l_cnt_c"), $"ndv_c".as("l_ndv_c"))
+    val om = sideAgg(or, "o_orderkey", Seq("oa", "ob", "oc"))
+      .select($"cnt_a".as("o_cnt_a"), $"ndv_a".as("o_ndv_a"),
+        $"cnt_b".as("o_cnt_b"), $"ndv_b".as("o_ndv_b"),
+        $"cnt_c".as("o_cnt_c"), $"ndv_c".as("o_ndv_c"))
+    val actual = li.join(or, $"l_orderkey" === $"o_orderkey")
+      .agg(sum(when($"la" && $"oa", 1L).otherwise(0L)).as("act_a"),
+        sum(when($"lb" && $"ob", 1L).otherwise(0L)).as("act_b"),
+        sum(when($"lc" && $"oc", 1L).otherwise(0L)).as("act_c"))
+    val wide = lm.crossJoin(broadcast(om)).crossJoin(broadcast(actual))
+    wide.select(explode(array(
+        struct(lit("a_qty_price").as("pair"),
+          $"l_cnt_a".as("cnt_l"), $"o_cnt_a".as("cnt_o"),
+          $"l_ndv_a".as("ndv_l"), $"o_ndv_a".as("ndv_o"),
+          expr("l_cnt_a * o_cnt_a div greatest(greatest(l_ndv_a, o_ndv_a), 1)").as("est"),
+          $"act_a".as("actual")),
+        struct(lit("b_ship_status").as("pair"),
+          $"l_cnt_b".as("cnt_l"), $"o_cnt_b".as("cnt_o"),
+          $"l_ndv_b".as("ndv_l"), $"o_ndv_b".as("ndv_o"),
+          expr("l_cnt_b * o_cnt_b div greatest(greatest(l_ndv_b, o_ndv_b), 1)").as("est"),
+          $"act_b".as("actual")),
+        struct(lit("c_flag_status").as("pair"),
+          $"l_cnt_c".as("cnt_l"), $"o_cnt_c".as("cnt_o"),
+          $"l_ndv_c".as("ndv_l"), $"o_ndv_c".as("ndv_o"),
+          expr("l_cnt_c * o_cnt_c div greatest(greatest(l_ndv_c, o_ndv_c), 1)").as("est"),
+          $"act_c".as("actual")))).as("x"))
+      .select($"x.pair".as("pair"), $"x.cnt_l", $"x.cnt_o", $"x.ndv_l",
+        $"x.ndv_o", $"x.est", $"x.actual",
+        expr("greatest(x.est, x.actual) * 1000 div greatest(least(x.est, x.actual), 1)")
+          .as("qerr_milli"))
+      .orderBy($"pair")
+  }
+
+  val q417Oracle: String =
+    """WITH lm AS (
+         SELECT CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS l_cnt_a,
+                CAST(count(DISTINCT CASE WHEN l_quantity < 10 THEN l_orderkey END) AS BIGINT) AS l_ndv_a,
+                CAST(sum(CASE WHEN l_shipdate < DATE '1994-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS l_cnt_b,
+                CAST(count(DISTINCT CASE WHEN l_shipdate < DATE '1994-01-01' THEN l_orderkey END) AS BIGINT) AS l_ndv_b,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS l_cnt_c,
+                CAST(count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END) AS BIGINT) AS l_ndv_c
+         FROM lineitem),
+       om AS (
+         SELECT CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt_a,
+                CAST(count(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_orderkey END) AS BIGINT) AS o_ndv_a,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt_b,
+                CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS o_ndv_b,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt_c,
+                CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS o_ndv_c
+         FROM orders),
+       act AS (
+         SELECT CAST(sum(CASE WHEN l.l_quantity < 10 AND o.o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS act_a,
+                CAST(sum(CASE WHEN l.l_shipdate < DATE '1994-01-01' AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS act_b,
+                CAST(sum(CASE WHEN l.l_returnflag = 'R' AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS act_c
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       rows_ AS (
+         SELECT 'a_qty_price' AS pair, l_cnt_a AS cnt_l, o_cnt_a AS cnt_o,
+                l_ndv_a AS ndv_l, o_ndv_a AS ndv_o,
+                l_cnt_a * o_cnt_a // greatest(greatest(l_ndv_a, o_ndv_a), 1) AS est,
+                act_a AS actual
+         FROM lm, om, act
+         UNION ALL
+         SELECT 'b_ship_status', l_cnt_b, o_cnt_b, l_ndv_b, o_ndv_b,
+                l_cnt_b * o_cnt_b // greatest(greatest(l_ndv_b, o_ndv_b), 1), act_b
+         FROM lm, om, act
+         UNION ALL
+         SELECT 'c_flag_status', l_cnt_c, o_cnt_c, l_ndv_c, o_ndv_c,
+                l_cnt_c * o_cnt_c // greatest(greatest(l_ndv_c, o_ndv_c), 1), act_c
+         FROM lm, om, act)
+       SELECT pair, cnt_l, cnt_o, ndv_l, ndv_o, est, actual,
+              greatest(est, actual) * 1000 // greatest(least(est, actual), 1) AS qerr_milli
+       FROM rows_ ORDER BY pair"""
+
+  /** LSM compaction-policy planner (q415, the Dayan–Idreos
+    * leveled-vs-tiered trade measured on this corpus): with flush size
+    * 4096 bytes and size ratio F ∈ {4, 8, 16}, the tree needs the
+    * smallest L with flush·F^L ≥ corpus bytes; then the standard
+    * asymptotics — leveled write-amp ≈ L·(F+1)/2 (each byte rewritten
+    * ~(F+1)/2 times per level), tiered write-amp = L (one rewrite per
+    * level), point-read amp L vs L·F sorted runs, space overhead ~1/F
+    * vs ~100% — fall out as exact integers (write-amp carried ×2 to
+    * stay integral). The table a storage engine reads to pick a policy
+    * per workload: leveled for read-heavy, tiered for ingest-heavy.
+    *
+    * Scale: corpus bytes is ONE aggregate scalar; the (F, L, F^L)
+    * lattice is a 36-row literal grid on both engines, so everything
+    * after the scan is constant-sized. */
+  def q415LsmPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val total = Tables.documents(s, d).agg(sum($"n_chars").as("total_bytes"))
+    val grid = (for { f <- Seq(4L, 8L, 16L); l <- 1L to 12L }
+      yield (f, l, 4096L * math.pow(f.toDouble, l.toDouble).toLong))
+      .toDF("f", "l", "cap")
+    grid.crossJoin(broadcast(total))
+      .filter($"cap" >= $"total_bytes")
+      .groupBy($"f")
+      .agg(min($"l").as("levels"), max($"total_bytes").as("total_bytes"))
+      .select($"f", $"total_bytes", $"levels",
+        ($"levels" * ($"f" + 1)).as("wa_leveled_x2"),
+        $"levels".as("wa_tiered"),
+        $"levels".as("ra_leveled_runs"),
+        ($"levels" * $"f").as("ra_tiered_runs"),
+        expr("10000 div f").as("space_over_leveled_bp"),
+        lit(10000L).as("space_over_tiered_bp"))
+      .orderBy($"f")
+  }
+
+  val q415Oracle: String = {
+    val rows = (for { f <- Seq(4L, 8L, 16L); l <- 1L to 12L }
+      yield s"($f, $l, ${4096L * math.pow(f.toDouble, l.toDouble).toLong})")
+      .mkString(", ")
+    s"""WITH total AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_bytes FROM documents),
+       grid AS (SELECT CAST(f AS BIGINT) AS f, CAST(l AS BIGINT) AS l, CAST(cap AS BIGINT) AS cap
+                FROM (VALUES $rows) AS v(f, l, cap)),
+       fit AS (
+         SELECT f, min(l) AS levels, max(total_bytes) AS total_bytes
+         FROM grid, total WHERE cap >= total_bytes GROUP BY 1)
+       SELECT f, total_bytes, levels,
+              levels * (f + 1) AS wa_leveled_x2,
+              levels AS wa_tiered,
+              levels AS ra_leveled_runs,
+              levels * f AS ra_tiered_runs,
+              10000 // f AS space_over_leveled_bp,
+              CAST(10000 AS BIGINT) AS space_over_tiered_bp
+       FROM fit ORDER BY f"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_lsm_planner" -> q415LsmPlanner,
+    "q416_view_advisor" -> q416ViewAdvisor,
+    "q417_join_card_audit" -> q417JoinCardAudit,
     "q401_encoding_advisor" -> q401EncodingAdvisor,
     "q381_pit_training_set" -> q381PitTrainingSet,
     "q360_pit_leakage_delta" -> q360PitLeakageDelta,
@@ -904,6 +1144,9 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q415_lsm_planner" -> q415Oracle,
+    "q416_view_advisor" -> q416Oracle,
+    "q417_join_card_audit" -> q417Oracle,
     "q401_encoding_advisor" -> q401Oracle,
     "q381_pit_training_set" -> q381Oracle,
     "q360_pit_leakage_delta" -> q360Oracle,

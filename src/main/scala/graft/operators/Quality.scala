@@ -2249,7 +2249,161 @@ object Quality {
          CAST(CASE WHEN base_bp > 0 THEN (CAST(sum(is_dup) AS BIGINT) * 10000 // count(*)) * 1000 // base_bp ELSE -1 END AS BIGINT) AS lift_milli
        FROM scored CROSS JOIN base GROUP BY quintile, base_bp ORDER BY quintile"""
 
+  /** Heuristic filter-cascade attribution (q409, the Gopher/FineWeb
+    * quality-rule stack as a measured plan): four standard pre-training
+    * text filters applied in a fixed order — F1 too-short (<20 tokens),
+    * F2 top-token dominance (>12% of tokens are one type), F3 English
+    * stopword density (<2%, the "not running prose" rule), F4 low
+    * distinct-token ratio (<40%, repetition) — and, per filter, three
+    * attribution counts a curation team actually argues about:
+    * `n_fail` (docs failing the rule in isolation), `cascade_removed`
+    * (docs this stage removes GIVEN the earlier stages already ran —
+    * order-dependent marginal), and `sole_removed` (docs ONLY this rule
+    * removes — its irreplaceable contribution). survivors/n_docs ride
+    * every row. Deterministic: permille thresholds on integer ratios.
+    *
+    * Scale: one scan, one 1-row aggregate — every rule and every
+    * attribution is a conditional sum over per-row flags, so adding a
+    * filter adds zero passes (the q112 discipline); the 4-row output
+    * explodes from the aggregate, not from data. The repartition after
+    * tokenize is the q402 materialization barrier (stops CollapseProject
+    * from inlining tokens() into the nested dominance lambda — O(n²)
+    * re-tokenization otherwise). */
+  def q409FilterCascade(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .repartition($"doc_id")
+    val nTok = size($"tk").cast("long")
+    val stopPm = floor(size(filter($"tk",
+      t => t.isin(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)))
+      * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct($"tk")) * lit(1000) / nTok).cast("long")
+    val top1Pm = floor(array_max(transform(array_distinct($"tk"),
+      t => size(filter($"tk", x => x === t)))) * lit(1000) / nTok).cast("long")
+    val flags = base.select(
+      (nTok < 20).cast("long").as("f1"),
+      (top1Pm > 120).cast("long").as("f2"),
+      (stopPm < 20).cast("long").as("f3"),
+      (uniqPm < 400).cast("long").as("f4"))
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"f1").as("n1"), sum($"f2").as("n2"),
+      sum($"f3").as("n3"), sum($"f4").as("n4"),
+      sum((lit(1) - $"f1") * $"f2").as("c2"),
+      sum((lit(1) - $"f1") * (lit(1) - $"f2") * $"f3").as("c3"),
+      sum((lit(1) - $"f1") * (lit(1) - $"f2") * (lit(1) - $"f3") * $"f4").as("c4"),
+      sum($"f1" * (lit(1) - $"f2") * (lit(1) - $"f3") * (lit(1) - $"f4")).as("s1"),
+      sum((lit(1) - $"f1") * $"f2" * (lit(1) - $"f3") * (lit(1) - $"f4")).as("s2"),
+      sum((lit(1) - $"f1") * (lit(1) - $"f2") * $"f3" * (lit(1) - $"f4")).as("s3"),
+      sum((lit(1) - $"f1") * (lit(1) - $"f2") * (lit(1) - $"f3") * $"f4").as("s4"),
+      sum((lit(1) - $"f1") * (lit(1) - $"f2") * (lit(1) - $"f3") * (lit(1) - $"f4"))
+        .as("survivors"))
+    agg.select($"n_docs", $"survivors", explode(array(
+        struct(lit("f1_short").as("rule"), $"n1".as("n_fail"),
+          $"n1".as("cascade_removed"), $"s1".as("sole_removed")),
+        struct(lit("f2_dominance").as("rule"), $"n2".as("n_fail"),
+          $"c2".as("cascade_removed"), $"s2".as("sole_removed")),
+        struct(lit("f3_stopword").as("rule"), $"n3".as("n_fail"),
+          $"c3".as("cascade_removed"), $"s3".as("sole_removed")),
+        struct(lit("f4_repetition").as("rule"), $"n4".as("n_fail"),
+          $"c4".as("cascade_removed"), $"s4".as("sole_removed")))).as("x"))
+      .select($"x.rule".as("rule"), $"x.n_fail", $"x.cascade_removed",
+        $"x.sole_removed", $"n_docs", $"survivors")
+      .orderBy($"rule")
+  }
+
+  val q409Oracle: String =
+    """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS tk FROM documents),
+       m AS (SELECT CAST(len(tk) AS BIGINT) AS n,
+               CAST(floor(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 1000.0 / len(tk)) AS BIGINT) AS stop_pm,
+               CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS uniq_pm,
+               CAST(floor(list_max(list_transform(list_distinct(tk), u -> len(list_filter(tk, x -> x = u)))) * 1000.0 / len(tk)) AS BIGINT) AS top1_pm
+             FROM t),
+       g AS (SELECT CASE WHEN n < 20 THEN 1 ELSE 0 END AS f1,
+               CASE WHEN top1_pm > 120 THEN 1 ELSE 0 END AS f2,
+               CASE WHEN stop_pm < 20 THEN 1 ELSE 0 END AS f3,
+               CASE WHEN uniq_pm < 400 THEN 1 ELSE 0 END AS f4
+             FROM m),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2,
+               CAST(sum(f3) AS BIGINT) AS n3, CAST(sum(f4) AS BIGINT) AS n4,
+               CAST(sum((1-f1)*f2) AS BIGINT) AS c2,
+               CAST(sum((1-f1)*(1-f2)*f3) AS BIGINT) AS c3,
+               CAST(sum((1-f1)*(1-f2)*(1-f3)*f4) AS BIGINT) AS c4,
+               CAST(sum(f1*(1-f2)*(1-f3)*(1-f4)) AS BIGINT) AS s1,
+               CAST(sum((1-f1)*f2*(1-f3)*(1-f4)) AS BIGINT) AS s2,
+               CAST(sum((1-f1)*(1-f2)*f3*(1-f4)) AS BIGINT) AS s3,
+               CAST(sum((1-f1)*(1-f2)*(1-f3)*f4) AS BIGINT) AS s4,
+               CAST(sum((1-f1)*(1-f2)*(1-f3)*(1-f4)) AS BIGINT) AS survivors
+             FROM g)
+       SELECT 'f1_short' AS rule, n1 AS n_fail, n1 AS cascade_removed, s1 AS sole_removed, n_docs, survivors FROM a
+       UNION ALL
+       SELECT 'f2_dominance', n2, c2, s2, n_docs, survivors FROM a
+       UNION ALL
+       SELECT 'f3_stopword', n3, c3, s3, n_docs, survivors FROM a
+       UNION ALL
+       SELECT 'f4_repetition', n4, c4, s4, n_docs, survivors FROM a
+       ORDER BY rule"""
+
+  /** Bucket-count advisor (q418): for bucketed-table layouts B ∈
+    * {8, 16, 32}, measure the hash-bucket skew of the orders
+    * customer key — max bucket over ideal (n/B) in bp, buckets used —
+    * and pick the SMALLEST B whose skew stays under 1.2× (smaller B =
+    * fewer files and cheaper small-SF shuffles; the cap keeps the
+    * slowest bucket from dominating a bucket-wise join). Complements
+    * q117 (is this KEY skewed?) with the layout question (how many
+    * buckets absorb it?). Deterministic: the shared 60-bit hash, exact
+    * counts, integer bp.
+    *
+    * Scale: one scan fans out ×|grid| against a broadcast 3-row grid
+    * into a (B, bucket) groupBy — ≤ Σ B = 56 post-aggregate rows, with
+    * map-side combine doing the heavy lifting; the pick rule is a
+    * window over the 3-row advisor relation. */
+  def q418BucketAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = Seq(8L, 16L, 32L).toDF("b")
+    val sizes = Tables.orders(s, d).select($"o_custkey")
+      .crossJoin(broadcast(grid))
+      .groupBy($"b",
+        pmod(graft.functions.Fns.hash60($"o_custkey".cast("string")), $"b")
+          .as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val per = sizes.groupBy($"b")
+      .agg(sum($"c").as("n_rows"), max($"c").as("max_bucket"),
+        count(lit(1)).as("buckets_used"))
+      .select($"b", $"n_rows", $"max_bucket", $"buckets_used",
+        expr("max_bucket * b * 10000 div n_rows").as("skew_bp"))
+    per.withColumn("rk", row_number().over(
+        Window.orderBy(($"skew_bp" <= 12000).cast("int").desc, $"b")))
+      .select($"b", $"n_rows", $"max_bucket", $"buckets_used", $"skew_bp",
+        ($"rk" === 1).cast("long").as("selected"))
+      .orderBy($"b")
+  }
+
+  val q418Oracle: String =
+    """WITH grid AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS b),
+       sizes AS (
+         SELECT b,
+                ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % b AS bucket,
+                CAST(count(*) AS BIGINT) AS c
+         FROM orders, grid GROUP BY 1, 2),
+       per AS (
+         SELECT b, CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_bucket,
+                CAST(count(*) AS BIGINT) AS buckets_used,
+                max(c) * b * 10000 // CAST(sum(c) AS BIGINT) AS skew_bp
+         FROM sizes GROUP BY 1),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           ORDER BY CASE WHEN skew_bp <= 12000 THEN 1 ELSE 0 END DESC, b) AS rk
+         FROM per)
+       SELECT b, n_rows, max_bucket, buckets_used, skew_bp,
+              CASE WHEN rk = 1 THEN 1 ELSE 0 END AS selected
+       FROM ranked ORDER BY b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q418_bucket_advisor" -> q418BucketAdvisor,
+    "q409_filter_cascade" -> q409FilterCascade,
     "q328_quality_dup_lift" -> q328QualityDupLift,
     "q384_t_closeness" -> q384TCloseness,
     "q373_cardinality_audit" -> q373CardinalityAudit,
@@ -2281,6 +2435,8 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q418_bucket_advisor" -> q418Oracle,
+    "q409_filter_cascade" -> q409Oracle,
     "q328_quality_dup_lift" -> q328Oracle,
     "q373_cardinality_audit" -> q373Oracle,
     "q384_t_closeness" -> q384Oracle,

@@ -505,7 +505,93 @@ object Retrieval {
          ON a.doc_id = b.doc_id AND a.cfg < b.cfg
        GROUP BY 1, 2 ORDER BY cfg_a, cfg_b"""
 
+  /** Rank-biased overlap (q421, Webber et al. 2010): top-weighted
+    * agreement between two rankings of the same corpus — here the
+    * quality ranking (q31's integer score) vs the raw-length ranking,
+    * i.e. "does picking by quality differ from picking by length?".
+    * RBO@10 with persistence p = 0.9: Σ_d (1−p)·p^(d−1)·overlap(d)/d.
+    * The weights (1−p)p^(d−1) = 9^(d−1)/10^d are exact integers at
+    * scale 10^10, carried as a LITERAL grid on both engines — no float
+    * powers anywhere; per-depth terms floor-divide by d, so the
+    * reported `rbo_e10` is exact and reproducible bit-for-bit.
+    * Emits the per-depth agreement curve (overlap, A_d in bp, term)
+    * plus the total, the form reviewers actually read.
+    *
+    * Scale: both top-10s are TakeOrderedAndProject (per-partition
+    * heaps, no global sort); everything after is a ≤10-row relation —
+    * the rank join, the depth grid, and the windowed rank are all
+    * bounded by the cutoff, not the data. */
+  def q421RankBiasedOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", tokens($"text").as("tk"))
+      .repartition($"doc_id")
+    val nTok = size($"tk").cast("long")
+    val stopPm = floor(size(filter($"tk", t => t.isin(stop.map(lit): _*)))
+      * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct($"tk")) * lit(1000) / nTok).cast("long")
+    val scored = base.select($"doc_id", $"n_chars",
+      (least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm).as("q"))
+    val topA = scored.orderBy($"q".desc, $"doc_id").limit(10)
+      .withColumn("ra", row_number().over(Window.orderBy($"q".desc, $"doc_id")))
+    val topB = scored.orderBy($"n_chars".desc, $"doc_id").limit(10)
+      .withColumn("rb", row_number().over(Window.orderBy($"n_chars".desc, $"doc_id")))
+    val matched = topA.join(topB, "doc_id")
+      .select(greatest($"ra", $"rb").as("dmax"))
+    // exact integer weights: w_d = 9^(d-1) * 10^(10-d) = (1-p)p^(d-1) * 1e10
+    val wts = Seq(
+      1L -> 1000000000L, 2L -> 900000000L, 3L -> 810000000L,
+      4L -> 729000000L, 5L -> 656100000L, 6L -> 590490000L,
+      7L -> 531441000L, 8L -> 478296900L, 9L -> 430467210L,
+      10L -> 387420489L).toDF("d", "w")
+    val perDepth = wts.join(matched, $"dmax" <= $"d", "left")
+      .groupBy($"d", $"w")
+      .agg(sum(when($"dmax".isNotNull, 1L).otherwise(0L)).as("overlap"))
+      .select($"d", $"w", $"overlap",
+        expr("overlap * 10000 div d").as("a_d_bp"),
+        expr("w * overlap div d").as("term_e10"))
+    perDepth
+      .crossJoin(broadcast(perDepth.agg(sum($"term_e10").as("rbo_e10"))))
+      .select($"d", $"w", $"overlap", $"a_d_bp", $"term_e10", $"rbo_e10")
+      .orderBy($"d")
+  }
+
+  val q421Oracle: String =
+    """WITH t AS (SELECT doc_id, n_chars,
+               list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS tk
+             FROM documents),
+       scored AS (
+         SELECT doc_id, n_chars,
+                least(len(tk), 100) * 10
+                + (1000 - CAST(floor(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 1000.0 / len(tk)) AS BIGINT))
+                + CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS q
+         FROM t),
+       ta AS (SELECT doc_id, ra FROM
+                (SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id) AS ra FROM scored)
+              WHERE ra <= 10),
+       tb AS (SELECT doc_id, rb FROM
+                (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb FROM scored)
+              WHERE rb <= 10),
+       matched AS (SELECT greatest(ra, rb) AS dmax FROM ta JOIN tb USING (doc_id)),
+       wts AS (SELECT * FROM (VALUES
+         (1, 1000000000), (2, 900000000), (3, 810000000), (4, 729000000),
+         (5, 656100000), (6, 590490000), (7, 531441000), (8, 478296900),
+         (9, 430467210), (10, 387420489)) AS v(d, w)),
+       per AS (
+         SELECT CAST(d AS BIGINT) AS d, CAST(w AS BIGINT) AS w,
+                CAST(sum(CASE WHEN dmax IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+         FROM wts LEFT JOIN matched ON dmax <= d GROUP BY 1, 2),
+       per2 AS (
+         SELECT d, w, overlap, overlap * 10000 // d AS a_d_bp,
+                w * overlap // d AS term_e10
+         FROM per),
+       tot AS (SELECT CAST(sum(term_e10) AS BIGINT) AS rbo_e10 FROM per2)
+       SELECT d, w, overlap, a_d_bp, term_e10, rbo_e10
+       FROM per2 CROSS JOIN tot ORDER BY d"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q421_rbo" -> q421RankBiasedOverlap,
     "q395_bm25_param_sweep" -> q395Bm25ParamSweep,
     "q344_query_likelihood" -> q344QueryLikelihood,
     "q98_bm25" -> q98Bm25,
@@ -514,6 +600,7 @@ object Retrieval {
     "q119_rrf_fusion" -> q119RrfFusion)
 
   def oracles: Map[String, String] = Map(
+    "q421_rbo" -> q421Oracle,
     "q395_bm25_param_sweep" -> q395Oracle,
     "q344_query_likelihood" -> q344Oracle,
     "q98_bm25" -> q98Oracle,

@@ -4762,6 +4762,10 @@ object Stats {
             expr("""(hpx - coalesce(lpx, 0)) * (hpx - coalesce(lpx, 0))
                     div (hpn - coalesce(lpn, 0))""")).as("s"))
       .localCheckpoint()
+      // restated bound (PLANS.md): the segment table is ≤ 256·257/2
+      // rows by construction, but the checkpoint erases that
+      // provenance for the audit-locks — the no-op limit pins it
+      .limit(256 * 257 / 2)
     var prev = seg.filter($"lo" === 0).select($"hi".as("i"), $"s".as("cost"))
     var curve = prev.filter($"i" === 255).select(lit(1L).as("k"), $"cost")
     for (k <- 2 to K) {
@@ -4816,7 +4820,149 @@ object Stats {
        FROM curve ORDER BY k"""
   }
 
+  /** AMS / tug-of-war F2 sketch audit (q410, Alon–Matias–Szegedy '96):
+    * estimate the second frequency moment of `l_partkey` — the self-join
+    * size, the quantity a join-size estimator actually needs — from 64
+    * ±1-sign counters Z_r = Σ_v f_v·s_r(v), and audit the estimate
+    * against the exact F2 = Σ f_v². Reports the plain mean-of-Z²
+    * estimator and the median-of-means over 4 groups of 16 (the paper's
+    * error-control construction, here the deterministic lower median),
+    * each with its signed error in bp. Deterministic: the sign is a bit
+    * of the shared 60-bit hash of (key, replica); every intermediate is
+    * an exact BIGINT.
+    *
+    * Scale: frequencies come from one fact-table groupBy (domain-sized,
+    * map-side combining); the ×64 replica fan-out rides a broadcast
+    * 64-row grid and immediately re-aggregates to 64 rows — partial
+    * aggregation collapses it to 64 rows per partition before the
+    * shuffle, so the wire cost is 64·partitions, not 64·|domain|. In
+    * production the same counters are one mergeable UDAF pass (the
+    * Misra–Gries/QDigest house pattern); the relational form is chosen
+    * because it is oracle-twinnable line by line. */
+  def q410AmsF2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.lineitem(s, d)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val z = c.crossJoin(broadcast((0L until 64L).toDF("r")))
+      .select($"r",
+        ((lit(1L) - lit(2L) * (hash60(concat($"l_partkey".cast("string"),
+          lit(":"), $"r".cast("string"))) % 2)) * $"c").as("zc"))
+      .groupBy($"r").agg(sum($"zc").as("z"))
+    val z2 = z.select($"r", ($"z" * $"z").as("z2"), expr("r div 16").as("g"))
+      .localCheckpoint()
+    val estMean = z2.agg(expr("sum(z2) div 64").as("est_mean"))
+    val estMom = z2.groupBy($"g").agg(expr("sum(z2) div 16").as("m"))
+      .withColumn("rn", row_number().over(Window.orderBy($"m", $"g")))
+      .filter($"rn" === 2).select($"m".as("est_mom"))
+    c.agg(sum($"c" * $"c").as("exact_f2"))
+      .crossJoin(broadcast(estMean))
+      .crossJoin(broadcast(estMom))
+      .select($"exact_f2", $"est_mean", $"est_mom",
+        expr("abs(est_mean - exact_f2) * 10000 div exact_f2").as("err_mean_bp"),
+        expr("abs(est_mom - exact_f2) * 10000 div exact_f2").as("err_mom_bp"))
+  }
+
+  val q410Oracle: String =
+    """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+       grid AS (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS r),
+       z AS (SELECT r,
+               CAST(sum((1 - 2 * (('0x' || substr(md5(l_partkey::VARCHAR || ':' || r::VARCHAR), 1, 15))::BIGINT % 2)) * c) AS BIGINT) AS z
+             FROM c, grid GROUP BY 1),
+       zz AS (SELECT r, z * z AS z2, r // 16 AS g FROM z),
+       mean AS (SELECT CAST(sum(z2) AS BIGINT) // 64 AS est_mean FROM zz),
+       means AS (SELECT g, CAST(sum(z2) AS BIGINT) // 16 AS m FROM zz GROUP BY 1),
+       med AS (SELECT m AS est_mom FROM
+                 (SELECT m, g, row_number() OVER (ORDER BY m, g) AS rn FROM means)
+               WHERE rn = 2),
+       ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM c)
+       SELECT exact_f2, est_mean, est_mom,
+              abs(est_mean - exact_f2) * 10000 // exact_f2 AS err_mean_bp,
+              abs(est_mom - exact_f2) * 10000 // exact_f2 AS err_mom_bp
+       FROM ex, mean, med"""
+
+  /** Histogram-fidelity audit (q420, the optimizer-statistics question
+    * behind q403): with a 16-bucket budget, how far off are the range-
+    * selectivity ESTIMATES an equi-width vs an equi-depth histogram of
+    * the order-price distribution produces? For thresholds at 30/50/90%
+    * of the value span, both histograms estimate sel(v ≤ X) by full
+    * buckets + uniform interpolation inside the straddling bucket
+    * (System R's rule), and the audit reports each estimate against the
+    * exact count, in bp of the table. Equi-depth's bounded per-bucket
+    * mass caps its error at ~1/32 of the table per threshold while
+    * equi-width's error scales with how much mass piles into one
+    * bucket — the audit shows that gap as data.
+    *
+    * Scale: equi-width buckets are one groupBy over the quantized
+    * column; equi-depth buckets come from the distributed exact-ntile
+    * engine ([[Windows.withExactNtile]] — range repartition + offset
+    * table, no global window); both collapse to ≤16-row (lo, hi, cnt)
+    * relations, and estimates are conditional sums of those against a
+    * broadcast 3-row threshold grid. Truth for all three thresholds
+    * rides ONE aggregate pass. */
+  def q420HistogramFidelity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.orders(s, d).select(
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val mm = cents.agg(min($"v").as("mn"), max($"v").as("mx"),
+      count(lit(1)).as("n"))
+    val th = mm.crossJoin(broadcast(Seq(3L, 5L, 9L).toDF("j")))
+      .select($"j", expr("mn + (mx - mn) * j div 10").as("x"), $"n")
+    val truth = cents.crossJoin(broadcast(th.select($"j", $"x")))
+      .groupBy($"j").agg(sum(when($"v" <= $"x", 1L).otherwise(0L)).as("actual"))
+    val ew = cents.crossJoin(broadcast(mm))
+      .groupBy(least(lit(15L), expr("(v - mn) * 16 div (mx - mn + 1)")).as("bk"))
+      .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("cnt"))
+      .select(lit("equi_width").as("scheme"), $"lo", $"hi", $"cnt")
+    val ed = Windows.withExactNtile(cents, Seq($"v"), 16, "tile")
+      .groupBy($"tile")
+      .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("cnt"))
+      .select(lit("equi_depth").as("scheme"), $"lo", $"hi", $"cnt")
+    ew.unionByName(ed)
+      .crossJoin(broadcast(th))
+      .groupBy($"scheme", $"j", $"x", $"n")
+      .agg(sum(when($"hi" <= $"x", $"cnt")
+        .when($"lo" <= $"x",
+          expr("cnt * (x - lo + 1) div (hi - lo + 1)"))
+        .otherwise(0L)).as("est"))
+      .join(truth, "j")
+      .select($"scheme", $"j", $"x", $"est", $"actual",
+        expr("abs(est - actual) * 10000 div n").as("err_bp"))
+      .orderBy($"scheme", $"j")
+  }
+
+  val q420Oracle: String =
+    """WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+       mm AS (SELECT min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS n FROM cents),
+       th AS (SELECT CAST(j AS BIGINT) AS j,
+                     CAST(mn + (mx - mn) * j // 10 AS BIGINT) AS x, n
+              FROM mm, (SELECT unnest([3, 5, 9]) AS j)),
+       truth AS (
+         SELECT j, CAST(sum(CASE WHEN v <= x THEN 1 ELSE 0 END) AS BIGINT) AS actual
+         FROM cents, th GROUP BY 1),
+       ew AS (
+         SELECT 'equi_width' AS scheme, min(v) AS lo, max(v) AS hi,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM cents, mm GROUP BY least(15, (v - mn) * 16 // (mx - mn + 1))),
+       ed AS (
+         SELECT 'equi_depth' AS scheme, min(v) AS lo, max(v) AS hi,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT v, ntile(16) OVER (ORDER BY v) AS tile FROM cents)
+         GROUP BY tile),
+       hist AS (SELECT * FROM ew UNION ALL SELECT * FROM ed),
+       est AS (
+         SELECT scheme, j, x, n,
+                CAST(sum(CASE WHEN hi <= x THEN cnt
+                              WHEN lo <= x THEN cnt * (x - lo + 1) // (hi - lo + 1)
+                              ELSE 0 END) AS BIGINT) AS est
+         FROM hist, th GROUP BY 1, 2, 3, 4)
+       SELECT scheme, j, x, est, actual,
+              abs(est - actual) * 10000 // n AS err_bp
+       FROM est JOIN truth USING (j)
+       ORDER BY scheme, j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q420_histogram_fidelity" -> q420HistogramFidelity,
+    "q410_ams_f2" -> q410AmsF2,
     "q403_voptimal_hist" -> q403VoptimalHist,
     "q331_wilson_sample_plan" -> q331WilsonSamplePlan,
     "q262_anova" -> q262Anova,
@@ -4916,6 +5062,8 @@ object Stats {
     "q367_mde_planner" -> q367Oracle,
     "q374_pass_at_k" -> q374Oracle,
     "q378_best_of_n" -> q378Oracle,
+    "q410_ams_f2" -> q410Oracle,
+    "q420_histogram_fidelity" -> q420Oracle,
     "q386_ratio_delta" -> q386Oracle,
     "q387_multiple_testing" -> q387Oracle,
     "q291_msprt" -> q291Oracle,

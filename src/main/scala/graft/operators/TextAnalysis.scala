@@ -775,7 +775,85 @@ object TextAnalysis {
        FROM tvd JOIN top ON tvd.third = top.third AND top.rn = 1
        ORDER BY third"""
 
+  /** Wasserstein-1 length drift per source (q413): earth-mover distance
+    * between each source's token-length distribution and the corpus
+    * reference — the drift metric that, unlike PSI (q128) / JSD (q283)
+    * / TVD (q394), charges a shift by HOW FAR the mass moved, so
+    * "everything one token longer" scores small while "half the docs
+    * became 10× longer" scores large. On the discrete unit-spaced
+    * length support, W1 = Σ_cutpoints |CDF_s − CDF_ref|, evaluated on
+    * the FULL (source × observed-length) grid with zero cells (the
+    * q394 lesson: a length a source never produces still deviates by
+    * the reference's cumulative mass there). Exact integers: CDFs are
+    * compared cross-multiplied (|cum_s·n_ref − cum_ref·n_s| in micro
+    * units over n_s·n_ref), never as float ratios.
+    *
+    * Scale: per-source histograms come from one groupBy on
+    * (source, len) — length is a bounded-vocabulary axis — the grid is
+    * |sources|·|lengths|, and the CDF windows partition by source over
+    * that bounded grid; nothing row-level ever enters a window. */
+  def q413WassersteinDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("len"))
+    val hist = lens.groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+    val grid = hist.select($"source").distinct()
+      .crossJoin(hist.select($"len").distinct())
+    val filled = grid.join(hist, Seq("source", "len"), "left")
+      .select($"source", $"len", coalesce($"c", lit(0L)).as("c"))
+    val wsrc = Window.partitionBy($"source").orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = filled.select($"source", $"len",
+      sum($"c").over(wsrc).as("cum_s"))
+    val perSrc = hist.groupBy($"source").agg(sum($"c").as("n_s"))
+    val ref = hist.groupBy($"len").agg(sum($"c").as("rc"))
+    val wref = Window.orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refCum = ref.select($"len", sum($"rc").over(wref).as("cum_r"))
+    val nRef = hist.agg(sum($"c").as("n_ref"))
+    cums.join(perSrc, "source").join(refCum, "len")
+      .crossJoin(broadcast(nRef))
+      .groupBy($"source", $"n_s")
+      .agg(sum(expr("abs(cum_s * n_ref - cum_r * n_s) * 1000000 div (n_s * n_ref)"))
+        .as("w1_micro"))
+      .select($"source", $"n_s".as("n_docs"), $"w1_micro")
+      .orderBy($"source")
+  }
+
+  val q413Oracle: String =
+    """WITH lens AS (
+         SELECT source,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) AS len
+         FROM documents),
+       hist AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY 1, 2),
+       grid AS (SELECT s.source, l.len FROM
+                  (SELECT DISTINCT source FROM hist) s,
+                  (SELECT DISTINCT len FROM hist) l),
+       filled AS (
+         SELECT g.source, g.len, coalesce(h.c, 0) AS c
+         FROM grid g LEFT JOIN hist h ON g.source = h.source AND g.len = h.len),
+       cums AS (
+         SELECT source, len,
+                CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+         FROM filled),
+       persrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM hist GROUP BY 1),
+       ref AS (SELECT len, CAST(sum(c) AS BIGINT) AS rc FROM hist GROUP BY 1),
+       refcum AS (
+         SELECT len, CAST(sum(rc) OVER (ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_r
+         FROM ref),
+       nref AS (SELECT CAST(sum(c) AS BIGINT) AS n_ref FROM hist)
+       SELECT c.source, p.n_s AS n_docs,
+              CAST(sum(abs(c.cum_s * n_ref - r.cum_r * p.n_s) * 1000000 // (p.n_s * n_ref)) AS BIGINT) AS w1_micro
+       FROM cums c
+       JOIN persrc p USING (source)
+       JOIN refcum r USING (len)
+       CROSS JOIN nref
+       GROUP BY 1, 2 ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q413_wasserstein_drift" -> q413WassersteinDrift,
     "q29_repetition_position" -> q29RepetitionPosition,
     "q394_positional_drift" -> q394PositionalDrift,
     "q366_repetition_rules" -> q366RepetitionRules,
@@ -791,6 +869,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q413_wasserstein_drift" -> q413Oracle,
     "q29_repetition_position" -> q29Oracle,
     "q394_positional_drift" -> q394Oracle,
     "q366_repetition_rules" -> q366Oracle,

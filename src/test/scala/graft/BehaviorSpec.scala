@@ -1152,4 +1152,45 @@ class BehaviorSpec extends SparkSpec {
       math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert(got.find(_._1 == 0L).get._3 == math.floor(r0 * 10000.0).toLong)
   }
+
+
+  test("q408: quartile symbols and gap-guarded 3-hour motifs match hand derivation") {
+    import spark.implicits._
+    val base = 1704153600L // 2024-01-02 00:00 UTC, seconds
+    def ns(h: Int) = (base + h * 3600L) * 1000000000L
+    // hourly counts for type x: h0:1 h1:2 h2:3 h3:4 (gap) h5:1
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 3, 3 -> 4, 5 -> 1).flatMap {
+      case (h, c) => (1 to c).map(i => (h * 10L + i, ns(h), 1L, "x", 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sax").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // ntile(4) over (c,h): (1,h0)(1,h5)(2,h1)(3,h2)(4,h3) -> syms
+    // h0:1 h5:1 h1:2 h2:3 h3:4; consecutive words: h0..h2="123",
+    // h1..h3="234"; h3..h5 blocked by the missing h4
+    val got = operators.Behavior.q408SaxMotifs(spark, dir)
+      .as[(String, String, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("x", "123", 1L, 5000L), ("x", "234", 1L, 5000L)))
+  }
+
+  test("q412: a planted rock-paper-scissors majority is one cyclic triad") {
+    import spark.implicits._
+    val t0 = 1704153600L * 1000000000L
+    // majority: a beats b (u1,u2), b beats c (u1,u3), c beats a (u2,u3)
+    val spend = Seq(
+      (1L, "a", 3.0), (1L, "b", 2.0), (1L, "c", 1.0),
+      (2L, "a", 3.0), (2L, "b", 2.0), (2L, "c", 4.0),
+      (3L, "a", 1.0), (3L, "b", 4.0), (3L, "c", 3.0))
+    val rows = spend.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, t0 + i * 1000000000L, u, t, v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cycle").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Behavior.q412PrefCycles(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // every vertex out-degree 1 -> 0 transitive triads of C(3,3)=1
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq(("a", 1L), ("b", 1L), ("c", 1L)))
+    assert(got.forall(r => r._3 == 3L && r._4 == 1L && r._5 == 1L && r._6 == 0L))
+  }
 }

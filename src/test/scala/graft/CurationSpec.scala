@@ -549,4 +549,48 @@ class CurationSpec extends SparkSpec {
       if (ann == 1L) assert(up > 1000L) else assert(up < 1000L)
     }
   }
+
+
+  test("q407: planted shared prefixes produce the hand-computed radix savings") {
+    // p1/p2 share an 8-token prefix, p3 shares only the first 4, p4 is
+    // disjoint and shorter than every depth
+    val d = docsDir(Seq(
+      (1L, "a b c d e f g h i j", "en", "s", 1L),
+      (2L, "a b c d e f g h X Y", "en", "s", 1L),
+      (3L, "a b c d Z", "en", "s", 1L),
+      (4L, "q r", "en", "s", 1L)))
+    val got = Curation.q407PrefixCachePlan(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    //         d  n  total stored saved  bp  shared singleton
+    assert(got(0) == ((4L, 4L, 14L, 6L, 8L, 5714L, 1L, 1L)))
+    assert(got(1) == ((8L, 4L, 23L, 15L, 8L, 3478L, 1L, 2L)))
+    assert(got(2) == ((16L, 4L, 27L, 27L, 0L, 0L, 0L, 4L)))
+  }
+
+  test("q411: uniform corpus -> equal weights; ppm sums to exactly 1e6") {
+    val doc = "the t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val d = docsDir(Seq(
+      (1L, doc, "en", "a", 1L), (2L, doc, "en", "b", 1L),
+      (3L, doc, "en", "c", 1L)))
+    val got = Curation.q411MixtureRebalance(spark, d)
+      .select($"source", $"excess_micro", $"w_ppm")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.forall(_._2 == 0L), s"uniform corpus must have zero excess: ${got.toSeq}")
+    // deficit ppm goes to the lexicographically smallest source
+    assert(got.map(_._3).toSeq == Seq(333334L, 333333L, 333333L))
+    assert(got.map(_._3).sum == 1000000L)
+  }
+
+  test("q414: movement fractions are sane and HRW moves less than mod-N") {
+    val dir = java.nio.file.Files.createTempDirectory("hrw").toString
+    (1 to 400).map(i => i.toLong).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Curation.q414RebalanceDelta(spark, dir)
+      .select($"scheme", $"moved_bp").as[(String, Long)].collect().toMap
+    // mod-N resize moves exactly the keys with k%4 != k%5 = 4/5 of them
+    assert(got("mod_n") == 8000L, s"mod_n moved_bp: ${got("mod_n")}")
+    // HRW contract: ~1/5 move; allow generous hash noise on 400 keys
+    assert(got("rendezvous") > 1000L && got("rendezvous") < 3200L,
+      s"rendezvous moved_bp out of band: ${got("rendezvous")}")
+  }
 }

@@ -416,4 +416,46 @@ class PrepSpec extends SparkSpec {
       math.sqrt((n * spp - sp * sp) * (n * syy - ny * ny))
     assert(r._3 == math.floor(rPit * 10000.0).toLong)
   }
+
+
+  test("q416: greedy picks by benefit density under the 30% budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("views").toString
+    (1 to 10).map { i =>
+      (1L, (i - 1) / 2 + 1L, i.toLong, if (i <= 5) "A" else "B", "X",
+        java.sql.Date.valueOf(f"2020-01-$i%02d"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Prep.q416ViewAdvisor(spark, dir)
+      .select($"view", $"view_rows", $"benefit", $"rows_cum", $"selected")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // fact 10, budget 3: flag_status (2 rows, benefit 240) then order
+    // (1 row, benefit 45) fit; part (5 rows) blows the budget
+    assert(got.map(_._1).toSeq == Seq("flag_status", "order", "part", "shipdate", "supp"))
+    assert(got.map(_._5).toSeq == Seq(1L, 1L, 0L, 0L, 0L))
+    assert(got(0)._4 == 2L && got(1)._4 == 3L)
+  }
+
+  test("q417: hand-computed counts, NDVs, estimates, and true cardinalities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jcard").toString
+    Seq(
+      (1L, 5.0, java.sql.Date.valueOf("1993-06-01"), "R"),
+      (1L, 20.0, java.sql.Date.valueOf("1995-01-01"), "N"),
+      (2L, 5.0, java.sql.Date.valueOf("1993-06-01"), "N"))
+      .toDF("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 200000.0, "F"), (2L, 50000.0, "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Prep.q417JoinCardAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // pair a: cnt_l=2 (qty<10), ndv_l=2, cnt_o=1 (price>100k), ndv_o=1
+    //         est = 2*1/max(2,1) = 1; actual = 1 -> qerr 1000
+    assert(got("a_qty_price") == (("a_qty_price", 2L, 1L, 2L, 1L, 1L, 1L, 1000L)))
+    assert(got("b_ship_status") == (("b_ship_status", 2L, 1L, 2L, 1L, 1L, 1L, 1000L)))
+    assert(got("c_flag_status") == (("c_flag_status", 1L, 1L, 1L, 1L, 1L, 1L, 1000L)))
+  }
 }

@@ -816,4 +816,37 @@ class QualitySpec extends SparkSpec {
     // token accounting: total positions = 9 per doc
     assert(r.map(_._2).sum == 9L * 20)
   }
+
+
+  test("q409: each planted doc trips exactly one filter; attribution telescopes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cascade").toString
+    val d18 = (1 to 18).map(i => s"w$i").mkString(" ")
+    val d24 = (1 to 24).map(i => s"u$i").mkString(" ")
+    Seq(
+      // only F1: 10 tokens, 1 stopword, all distinct (top1 = 100pm)
+      (1L, "the t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s", 1L),
+      // only F2: 25 tokens, x dominates at 200pm, stop 80pm, uniq 800pm
+      (2L, "x x x x x the the " + d18, "en", "s", 1L),
+      // only F3: 25 distinct tokens, zero stopwords
+      (3L, (1 to 25).map(i => s"v$i").mkString(" "), "en", "s", 1L),
+      // only F4: 10 distinct tokens x3 each -> uniq 333pm, top1 100pm
+      (4L, (1 to 10).flatMap(i => Seq(s"r$i", s"r$i", s"r$i")).mkString(" ")
+        .replace("r1 r1 r1", "the the the"), "en", "s", 1L),
+      // survivor: 25 tokens, 1 stopword, all distinct
+      (5L, "the " + d24, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Quality.q409FilterCascade(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((rule, i) <- Seq("f1_short", "f2_dominance", "f3_stopword", "f4_repetition").zipWithIndex) {
+      val (_, nFail, cascade, sole, nDocs, survivors) = got(rule)
+      assert(nFail == 1L && cascade == 1L && sole == 1L,
+        s"$rule expected (1,1,1), got ($nFail,$cascade,$sole)")
+      assert(nDocs == 5L && survivors == 1L)
+    }
+    // telescoping: survivors + sum(cascade_removed) == n_docs
+    assert(got.values.map(_._3).sum + 1L == 5L)
+  }
 }

@@ -353,4 +353,24 @@ class RetrievalSpec extends SparkSpec {
     r.foreach { case (_, _, ov, bp) =>
       assert(ov >= 0 && ov <= 10 && bp == ov * 1000) }
   }
+
+
+  test("q421: identical rankings give overlap d at every depth and RBO = sum of weights") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rbo").toString
+    // all-distinct tokens, no stopwords: quality = 10*n + 2000, so the
+    // quality ranking IS the length ranking; n_chars mirrors token count
+    (1 to 12).map { i =>
+      val n = 20 + i
+      (i.toLong, (1 to n).map(j => s"t${i}_$j").mkString(" "), "en", "s", n.toLong * 10)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Retrieval.q421RankBiasedOverlap(spark, dir)
+      .select($"d", $"overlap", $"a_d_bp", $"rbo_e10")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == (1L to 10L).toSeq, s"overlaps: ${got.map(_._2).toSeq}")
+    assert(got.forall(_._3 == 10000L))
+    // RBO(identical)@10 = sum w_d = 1e10 * (1 - 0.9^10)
+    assert(got.head._4 == 6513215599L)
+  }
 }

@@ -1734,4 +1734,17 @@ class StatsSpec extends SparkSpec {
     val g = r.filter(x => x._1 == "grid" && x._2 == 5000L).sortBy(_._3)
     assert(g.map(_._4) == Seq(9604L, 2401L, 385L))
   }
+
+
+  test("q410: single-key population -> every sketch counter is +-N, zero error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ams").toString
+    Seq.fill(7)(42L).toDF("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Stats.q410AmsF2(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // f = {42 -> 7}: F2 = 49 exactly; Z_r = +-7 for every replica, so
+    // both estimators are exactly 49 regardless of the sign hashes
+    assert(got == ((49L, 49L, 49L, 0L, 0L)), s"got $got")
+  }
 }
