@@ -2161,7 +2161,106 @@ object Behavior {
               c_s * 10000 // tau_s + tau_s * 10000 // (2 * mtbf_s) AS overhead_bp
        FROM t ORDER BY c_s"""
 
+  /** Off-policy evaluation via inverse propensity scoring (q423,
+    * Horvitz–Thompson / IPS and its self-normalized SNIPS variant): the
+    * logged "policy" is the empirical event-type distribution; evaluate
+    * two counterfactual target policies — UNIFORM over the type
+    * vocabulary, and GREEDY on the type with the highest mean logged
+    * reward — without re-running anything, by reweighting each logged
+    * reward with w = π(a)/μ(a). Reports IPS (unbiased, high variance)
+    * and SNIPS (Σrw/Σw, biased, lower variance) in reward cents, plus
+    * the effective sample size (Σw)²/Σw² that tells you whether the
+    * estimate deserves trust. All propensities are integer micro
+    * ratios; the weighted sums ride decimal(38,0) (second-order-moment
+    * discipline: w² reaches 10¹² per row).
+    *
+    * Scale: propensities come from one |types|-row aggregate (broadcast
+    * back); the reweighted pass is one scan with two conditional sums
+    * per policy — adding a policy adds columns, not passes. */
+  def q423IpsOffpolicy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("r_cents"))
+    val mu = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"r_cents").as("rsum"))
+    val tot = mu.agg(sum($"cnt").as("n"), count(lit(1)).as("k"))
+    val greedy = mu
+      .select($"event_type", expr("rsum div cnt").as("ravg"))
+      .orderBy($"ravg".desc, $"event_type").limit(1)
+      .select($"event_type".as("greedy_type"))
+    val w = ev.join(broadcast(mu.select($"event_type", $"cnt")), "event_type")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(greedy))
+      .select($"r_cents",
+        // w_micro = pi(a) / mu(a) in micro; mu(a) = cnt/n
+        expr("(1000000 div k) * n div cnt").as("w_uni"),
+        when($"event_type" === $"greedy_type",
+          expr("1000000 * n div cnt")).otherwise(0L).as("w_greedy"))
+    val agg = w.agg(
+      count(lit(1)).as("n"),
+      sum($"w_uni".cast("decimal(38,0)")).as("sw_uni"),
+      sum($"w_uni".cast("decimal(38,0)") * $"w_uni").as("sw2_uni"),
+      sum($"r_cents".cast("decimal(38,0)") * $"w_uni").as("srw_uni"),
+      sum($"w_greedy".cast("decimal(38,0)")).as("sw_g"),
+      sum($"w_greedy".cast("decimal(38,0)") * $"w_greedy").as("sw2_g"),
+      sum($"r_cents".cast("decimal(38,0)") * $"w_greedy").as("srw_g"))
+    agg.select(explode(array(
+        struct(lit("uniform").as("policy"),
+          expr("cast(srw_uni div (n * 1000000) as long)").as("ips_cents"),
+          expr("cast(srw_uni * 1000 div sw_uni as long)").as("snips_milli_cents"),
+          expr("cast(sw_uni * sw_uni div greatest(sw2_uni, 1) as long)").as("n_eff")),
+        struct(lit("greedy").as("policy"),
+          expr("cast(srw_g div (n * 1000000) as long)").as("ips_cents"),
+          expr("cast(srw_g * 1000 div sw_g as long)").as("snips_milli_cents"),
+          expr("cast(sw_g * sw_g div greatest(sw2_g, 1) as long)").as("n_eff")))).as("x"))
+      .select($"x.policy".as("policy"), $"x.ips_cents",
+        $"x.snips_milli_cents", $"x.n_eff")
+      .orderBy($"policy")
+  }
+
+  val q423Oracle: String =
+    """WITH ev AS (
+         SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r_cents
+         FROM events),
+       mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(r_cents) AS BIGINT) AS rsum
+              FROM ev GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM mu),
+       greedy AS (
+         SELECT event_type AS greedy_type FROM
+           (SELECT event_type, rsum // cnt AS ravg,
+                   row_number() OVER (ORDER BY rsum // cnt DESC, event_type) AS rn
+            FROM mu)
+         WHERE rn = 1),
+       w AS (
+         SELECT r_cents,
+                (1000000 // k) * n // cnt AS w_uni,
+                CASE WHEN ev.event_type = greedy_type
+                     THEN 1000000 * n // cnt ELSE 0 END AS w_greedy
+         FROM ev JOIN mu USING (event_type), tot, greedy),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(w_uni AS HUGEINT)) AS sw_uni,
+                sum(CAST(w_uni AS HUGEINT) * w_uni) AS sw2_uni,
+                sum(CAST(r_cents AS HUGEINT) * w_uni) AS srw_uni,
+                sum(CAST(w_greedy AS HUGEINT)) AS sw_g,
+                sum(CAST(w_greedy AS HUGEINT) * w_greedy) AS sw2_g,
+                sum(CAST(r_cents AS HUGEINT) * w_greedy) AS srw_g
+         FROM w)
+       SELECT 'greedy' AS policy,
+              CAST(srw_g // (n * 1000000) AS BIGINT) AS ips_cents,
+              CAST(srw_g * 1000 // sw_g AS BIGINT) AS snips_milli_cents,
+              CAST(sw_g * sw_g // greatest(sw2_g, 1) AS BIGINT) AS n_eff
+       FROM agg
+       UNION ALL
+       SELECT 'uniform',
+              CAST(srw_uni // (n * 1000000) AS BIGINT),
+              CAST(srw_uni * 1000 // sw_uni AS BIGINT),
+              CAST(sw_uni * sw_uni // greatest(sw2_uni, 1) AS BIGINT)
+       FROM agg
+       ORDER BY policy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q423_ips_offpolicy" -> q423IpsOffpolicy,
     "q419_ckpt_planner" -> q419CkptPlanner,
     "q408_sax_motifs" -> q408SaxMotifs,
     "q412_pref_cycles" -> q412PrefCycles,
@@ -2197,6 +2296,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q423_ips_offpolicy" -> q423Oracle,
     "q419_ckpt_planner" -> q419Oracle,
     "q408_sax_motifs" -> q408Oracle,
     "q412_pref_cycles" -> q412Oracle,

@@ -2322,7 +2322,61 @@ object Curation {
        ORDER BY scheme"""
   }
 
+  /** Paged-KV fragmentation audit (q422, the vLLM memory argument as a
+    * measured plan, the spatial twin of q406's temporal padding): for
+    * KV block sizes B ∈ {16, 32, 64} tokens, a paged allocator wastes
+    * only the last block's remainder per request (ceil(len/B)·B − len)
+    * while a contiguous allocator must reserve max(len) per request and
+    * wastes the full headroom. Reports per B the blocks allocated, both
+    * waste totals, and both fragmentation rates in bp of allocated
+    * memory — the table that justifies paging and picks the block size.
+    *
+    * Scale: request lengths are one scan; max(len) and totals ride one
+    * 1-row aggregate; the block-size grid is a broadcast 3-row literal
+    * folded BEFORE the aggregate, so the shuffle carries 3 partial rows
+    * per partition. */
+  def q422KvFragmentation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val req = Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("len"))
+    val grid = Seq(16L, 32L, 64L).toDF("b")
+    req.crossJoin(broadcast(grid))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("n_requests"),
+        sum($"len").as("total_tokens"),
+        max($"len").as("max_len"),
+        sum(expr("(len + b - 1) div b")).as("blocks_total"),
+        sum(expr("((len + b - 1) div b) * b - len")).as("waste_paged"))
+      .select($"b", $"n_requests", $"total_tokens", $"max_len",
+        $"blocks_total", $"waste_paged",
+        ($"n_requests" * $"max_len" - $"total_tokens").as("waste_contig"),
+        expr("waste_paged * 10000 div (total_tokens + waste_paged)")
+          .as("frag_paged_bp"),
+        expr("(n_requests * max_len - total_tokens) * 10000 div (n_requests * max_len)")
+          .as("frag_contig_bp"))
+      .orderBy($"b")
+  }
+
+  val q422Oracle: String =
+    """WITH req AS (
+         SELECT CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) AS len
+         FROM documents),
+       grid AS (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS b),
+       agg AS (
+         SELECT b, CAST(count(*) AS BIGINT) AS n_requests,
+                CAST(sum(len) AS BIGINT) AS total_tokens,
+                max(len) AS max_len,
+                CAST(sum((len + b - 1) // b) AS BIGINT) AS blocks_total,
+                CAST(sum(((len + b - 1) // b) * b - len) AS BIGINT) AS waste_paged
+         FROM req, grid GROUP BY 1)
+       SELECT b, n_requests, total_tokens, max_len, blocks_total, waste_paged,
+              n_requests * max_len - total_tokens AS waste_contig,
+              waste_paged * 10000 // (total_tokens + waste_paged) AS frag_paged_bp,
+              (n_requests * max_len - total_tokens) * 10000 // (n_requests * max_len) AS frag_contig_bp
+       FROM agg ORDER BY b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q422_kv_fragmentation" -> q422KvFragmentation,
     "q414_rebalance_delta" -> q414RebalanceDelta,
     "q411_mixture_rebalance" -> q411MixtureRebalance,
     "q407_prefix_cache" -> q407PrefixCachePlan,
@@ -2363,6 +2417,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q422_kv_fragmentation" -> q422Oracle,
     "q414_rebalance_delta" -> q414Oracle,
     "q411_mixture_rebalance" -> q411Oracle,
     "q407_prefix_cache" -> q407Oracle,

@@ -1125,7 +1125,76 @@ object Prep {
        FROM fit ORDER BY f"""
   }
 
+  /** Short-circuit predicate-ordering advisor (q425, q417's sibling:
+    * there the join estimate, here the filter EVALUATION order): for
+    * the three lineitem predicates (quantity, shipdate, returnflag), a
+    * short-circuiting conjunction evaluates predicate 2 only on rows
+    * that passed predicate 1, so the evaluation cost in
+    * predicate-evaluations is n + n·sel(first) + n·sel(first∧second) —
+    * dependent on the TRUE joint selectivities, not the marginals. One
+    * aggregate pass measures all marginal and pairwise counts; the six
+    * orders become a literal explode, each with its exact cost, rank,
+    * and regret vs the best order in bp. The correlated pair (shipdate,
+    * flag 'R' — returns happen on old orders) is exactly where a
+    * marginals-only optimizer picks the wrong order.
+    *
+    * Scale: ONE scan, one 1-row aggregate (7 conditional sums); the
+    * order lattice is 6 literal rows and its ranking window is bounded
+    * by the lattice, not the data. */
+  def q425PredicateOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p1 = $"l_quantity" < 10
+    val p2 = $"l_shipdate" < to_date(lit("1994-01-01"))
+    val p3 = $"l_returnflag" === "R"
+    val m = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(p1, 1L).otherwise(0L)).as("s1"),
+      sum(when(p2, 1L).otherwise(0L)).as("s2"),
+      sum(when(p3, 1L).otherwise(0L)).as("s3"),
+      sum(when(p1 && p2, 1L).otherwise(0L)).as("s12"),
+      sum(when(p1 && p3, 1L).otherwise(0L)).as("s13"),
+      sum(when(p2 && p3, 1L).otherwise(0L)).as("s23"))
+    val orders = m.select(explode(array(
+        struct(lit("qty,ship,flag").as("ord"), ($"n" + $"s1" + $"s12").as("cost")),
+        struct(lit("qty,flag,ship").as("ord"), ($"n" + $"s1" + $"s13").as("cost")),
+        struct(lit("ship,qty,flag").as("ord"), ($"n" + $"s2" + $"s12").as("cost")),
+        struct(lit("ship,flag,qty").as("ord"), ($"n" + $"s2" + $"s23").as("cost")),
+        struct(lit("flag,qty,ship").as("ord"), ($"n" + $"s3" + $"s13").as("cost")),
+        struct(lit("flag,ship,qty").as("ord"), ($"n" + $"s3" + $"s23").as("cost")))).as("x"))
+      .select($"x.ord".as("ord"), $"x.cost".as("cost"))
+    orders
+      .withColumn("rank", row_number().over(Window.orderBy($"cost", $"ord")))
+      .crossJoin(broadcast(orders.agg(min($"cost").as("best"))))
+      .select($"ord", $"cost", $"rank",
+        expr("(cost - best) * 10000 div best").as("regret_bp"))
+      .orderBy($"rank")
+  }
+
+  val q425Oracle: String =
+    """WITH m AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN l_shipdate < DATE '1994-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                CAST(sum(CASE WHEN l_quantity < 10 AND l_shipdate < DATE '1994-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS s12,
+                CAST(sum(CASE WHEN l_quantity < 10 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s13,
+                CAST(sum(CASE WHEN l_shipdate < DATE '1994-01-01' AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS s23
+         FROM lineitem),
+       orders_ AS (
+         SELECT 'qty,ship,flag' AS ord, n + s1 + s12 AS cost FROM m
+         UNION ALL SELECT 'qty,flag,ship', n + s1 + s13 FROM m
+         UNION ALL SELECT 'ship,qty,flag', n + s2 + s12 FROM m
+         UNION ALL SELECT 'ship,flag,qty', n + s2 + s23 FROM m
+         UNION ALL SELECT 'flag,qty,ship', n + s3 + s13 FROM m
+         UNION ALL SELECT 'flag,ship,qty', n + s3 + s23 FROM m),
+       best AS (SELECT min(cost) AS best FROM orders_)
+       SELECT ord, cost,
+              CAST(row_number() OVER (ORDER BY cost, ord) AS BIGINT) AS rank,
+              (cost - best) * 10000 // best AS regret_bp
+       FROM orders_, best ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q425_predicate_order" -> q425PredicateOrder,
     "q415_lsm_planner" -> q415LsmPlanner,
     "q416_view_advisor" -> q416ViewAdvisor,
     "q417_join_card_audit" -> q417JoinCardAudit,
@@ -1144,6 +1213,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q425_predicate_order" -> q425Oracle,
     "q415_lsm_planner" -> q415Oracle,
     "q416_view_advisor" -> q416Oracle,
     "q417_join_card_audit" -> q417Oracle,

@@ -852,7 +852,108 @@ object TextAnalysis {
        CROSS JOIN nref
        GROUP BY 1, 2 ORDER BY source"""
 
+  /** Burrows' delta stylometry (q424, Burrows 2002): fingerprint each
+    * source by its function-word profile — the per-million-token rates
+    * of the six marker stopwords — z-score each rate against the
+    * across-source distribution of that word, and measure every source
+    * pair's delta = mean |z_a − z_b|. Low delta = same "authorial
+    * hand": the standard cheap detector for one crawl masquerading as
+    * two sources (and the contamination question "is this new source
+    * really new?"). Exact integers throughout: rates in micro,
+    * population variance by the cross-multiplied k·Σr² − (Σr)² form
+    * (no floored-mean bias), z in milli via cross-multiplication, and
+    * the one √ is IEEE correctly-rounded on an exact int64 (the q331/
+    * q419 discipline).
+    *
+    * Scale: ONE scan (per-doc marker counts are Column exprs, no token
+    * explode) → one |sources|-row aggregate; the word unpivot, the
+    * per-word stats, and the pairwise delta join all run on
+    * |sources|·6 ≤ bounded relations. */
+  def q424BurrowsDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Seq("the", "a", "of", "and", "in", "to")
+    val tk = tokens($"text")
+    val perDoc = Tables.documents(s, d).select(
+      Seq($"source", size(tk).cast("long").as("nt")) ++
+        words.zipWithIndex.map { case (w, i) =>
+          size(filter(tk, t => t === w)).cast("long").as(s"c$i")
+        }: _*)
+    val per = perDoc.groupBy($"source").agg(
+      sum($"nt").as("nt"),
+      words.indices.map(i => sum(col(s"c$i")).as(s"c$i")): _*)
+    val rates = per.select($"source", explode(array(
+        words.zipWithIndex.map { case (w, i) =>
+          struct(lit(w).as("w"), expr(s"c$i * 1000000 div nt").as("rate"))
+        }: _*)).as("x"))
+      .select($"source", $"x.w".as("w"), $"x.rate".as("rate"))
+    val stats = rates.groupBy($"w").agg(
+        count(lit(1)).as("k"), sum($"rate").as("m"),
+        sum($"rate" * $"rate").as("m2"))
+      .select($"w", $"k", $"m",
+        floor(sqrt(expr("(k * m2 - m * m) div (k * k)"))).cast("long").as("sd"))
+    val z = rates.join(broadcast(stats), "w")
+      .select($"source", $"w",
+        when($"sd" === 0, 0L)
+          .otherwise(expr("(rate * k - m) * 1000 div (k * sd)")).as("z_milli"))
+    z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(abs(col("a.z_milli") - col("b.z_milli"))).as("sabs"))
+      .withColumn("delta_milli", expr("sabs div 6")).drop("sabs")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src_a").orderBy($"delta_milli", $"src_b")))
+      .select($"src_a", $"src_b", $"delta_milli",
+        ($"rn" === 1).cast("long").as("nearest"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q424Oracle: String =
+    """WITH t AS (SELECT source, list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS tk FROM documents),
+       perdoc AS (
+         SELECT source, CAST(len(tk) AS BIGINT) AS nt,
+                CAST(len(list_filter(tk, x -> x = 'the')) AS BIGINT) AS c0,
+                CAST(len(list_filter(tk, x -> x = 'a')) AS BIGINT) AS c1,
+                CAST(len(list_filter(tk, x -> x = 'of')) AS BIGINT) AS c2,
+                CAST(len(list_filter(tk, x -> x = 'and')) AS BIGINT) AS c3,
+                CAST(len(list_filter(tk, x -> x = 'in')) AS BIGINT) AS c4,
+                CAST(len(list_filter(tk, x -> x = 'to')) AS BIGINT) AS c5
+         FROM t),
+       per AS (
+         SELECT source, CAST(sum(nt) AS BIGINT) AS nt,
+                CAST(sum(c0) AS BIGINT) AS c0, CAST(sum(c1) AS BIGINT) AS c1,
+                CAST(sum(c2) AS BIGINT) AS c2, CAST(sum(c3) AS BIGINT) AS c3,
+                CAST(sum(c4) AS BIGINT) AS c4, CAST(sum(c5) AS BIGINT) AS c5
+         FROM perdoc GROUP BY 1),
+       rates AS (
+         SELECT source, 'the' AS w, c0 * 1000000 // nt AS rate FROM per
+         UNION ALL SELECT source, 'a', c1 * 1000000 // nt FROM per
+         UNION ALL SELECT source, 'of', c2 * 1000000 // nt FROM per
+         UNION ALL SELECT source, 'and', c3 * 1000000 // nt FROM per
+         UNION ALL SELECT source, 'in', c4 * 1000000 // nt FROM per
+         UNION ALL SELECT source, 'to', c5 * 1000000 // nt FROM per),
+       stats AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS k, CAST(sum(rate) AS BIGINT) AS m,
+                CAST(floor(sqrt((CAST(count(*) AS BIGINT) * CAST(sum(rate * rate) AS BIGINT)
+                  - CAST(sum(rate) AS BIGINT) * CAST(sum(rate) AS BIGINT))
+                  // (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT)))) AS BIGINT) AS sd
+         FROM rates GROUP BY 1),
+       z AS (
+         SELECT source, rates.w,
+                CASE WHEN sd = 0 THEN 0
+                     ELSE (rate * k - m) * 1000 // (k * sd) END AS z_milli
+         FROM rates JOIN stats ON rates.w = stats.w),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(sum(abs(a.z_milli - b.z_milli)) AS BIGINT) // 6 AS delta_milli
+         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, delta_milli,
+              CASE WHEN row_number() OVER (PARTITION BY src_a ORDER BY delta_milli, src_b) = 1
+                   THEN 1 ELSE 0 END AS nearest
+       FROM pairs ORDER BY src_a, src_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q424_burrows_delta" -> q424BurrowsDelta,
     "q413_wasserstein_drift" -> q413WassersteinDrift,
     "q29_repetition_position" -> q29RepetitionPosition,
     "q394_positional_drift" -> q394PositionalDrift,
@@ -869,6 +970,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q424_burrows_delta" -> q424Oracle,
     "q413_wasserstein_drift" -> q413Oracle,
     "q29_repetition_position" -> q29Oracle,
     "q394_positional_drift" -> q394Oracle,

@@ -1193,4 +1193,25 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)).toSeq == Seq(("a", 1L), ("b", 1L), ("c", 1L)))
     assert(got.forall(r => r._3 == 3L && r._4 == 1L && r._5 == 1L && r._6 == 0L))
   }
+
+
+  test("q423: balanced log makes uniform IPS the plain mean; greedy doubles onto the top arm") {
+    import spark.implicits._
+    val t0 = 1704153600L * 1000000000L
+    val rows = Seq(
+      (1L, "p", 2.0), (2L, "p", 2.0), (3L, "q", 1.0), (4L, "q", 1.0))
+      .zipWithIndex.map { case ((id, t, v), i) =>
+        (id, t0 + i * 1000000000L, id, t, v, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("ips").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Behavior.q423IpsOffpolicy(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // uniform: every w = 1e6 -> IPS = mean = 150 cents, n_eff = n = 4
+    assert(got("uniform") == (("uniform", 150L, 150000L, 4L)))
+    // greedy on p (avg 200c): w = 2e6 on half the rows -> IPS = 200,
+    // SNIPS = 200, n_eff = (4e6)^2 / (2 * 4e12) = 2
+    assert(got("greedy") == (("greedy", 200L, 200000L, 2L)))
+  }
 }

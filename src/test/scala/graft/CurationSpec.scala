@@ -593,4 +593,19 @@ class CurationSpec extends SparkSpec {
     assert(got("rendezvous") > 1000L && got("rendezvous") < 3200L,
       s"rendezvous moved_bp out of band: ${got("rendezvous")}")
   }
+
+
+  test("q422: paged waste is the last-block remainder; contiguous pays the headroom") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, words(17), "en", "s", 1L), (2L, words(33), "en", "s", 1L)))
+    val got = Curation.q422KvFragmentation(spark, d)
+      .select($"b", $"blocks_total", $"waste_paged", $"waste_contig",
+        $"frag_paged_bp", $"frag_contig_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // lens 17+33=50, max 33 -> contig reserve 66, waste 16, bp 2424
+    assert(got(0) == ((16L, 5L, 30L, 16L, 3750L, 2424L)))
+    assert(got(1) == ((32L, 3L, 46L, 16L, 4791L, 2424L)))
+    assert(got(2) == ((64L, 2L, 78L, 16L, 6093L, 2424L)))
+  }
 }

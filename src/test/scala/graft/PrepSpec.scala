@@ -458,4 +458,28 @@ class PrepSpec extends SparkSpec {
     assert(got("b_ship_status") == (("b_ship_status", 2L, 1L, 2L, 1L, 1L, 1L, 1000L)))
     assert(got("c_flag_status") == (("c_flag_status", 1L, 1L, 1L, 1L, 1L, 1L, 1000L)))
   }
+
+
+  test("q425: short-circuit costs rank by true joint selectivity, not marginals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pred").toString
+    def row(p1: Boolean, p2: Boolean, p3: Boolean) =
+      (if (p1) 5.0 else 20.0,
+        java.sql.Date.valueOf(if (p2) "1993-01-01" else "1995-01-01"),
+        if (p3) "R" else "N")
+    val rows = Seq.fill(1)(row(true, true, true)) ++
+      Seq.fill(1)(row(true, true, false)) ++
+      Seq.fill(2)(row(false, true, true)) ++
+      Seq.fill(3)(row(true, false, false)) ++
+      Seq.fill(3)(row(false, false, false))
+    rows.toDF("l_quantity", "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // n=10 s1=5 s2=4 s3=3 s12=2 s13=1 s23=3
+    val got = Prep.q425PredicateOrder(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.head == (("flag,qty,ship", 14L, 1L, 0L)))
+    assert(got.map(r => r._1 -> r._2).toMap == Map(
+      "qty,ship,flag" -> 17L, "qty,flag,ship" -> 16L, "ship,qty,flag" -> 16L,
+      "ship,flag,qty" -> 17L, "flag,qty,ship" -> 14L, "flag,ship,qty" -> 16L))
+  }
 }

@@ -849,4 +849,39 @@ class QualitySpec extends SparkSpec {
     // telescoping: survivors + sum(cascade_removed) == n_docs
     assert(got.values.map(_._3).sum + 1L == 5L)
   }
+
+
+  test("q424-adjacent sanity is covered in TextAnalysis; q418 skew maths on a planted key set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("buckets").toString
+    (1 to 320).map(_.toLong).toDF("o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Quality.q418BucketAdvisor(spark, dir)
+      .select($"b", $"n_rows", $"skew_bp", $"selected")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).forall(_ == 320L))
+    // exactly one B selected, and it must be one with skew <= 1.2x if any
+    assert(got.map(_._4).sum == 1L)
+    val ok = got.filter(_._3 <= 12000L)
+    if (ok.nonEmpty) assert(got.find(_._4 == 1L).get._1 == ok.minBy(_._1)._1)
+  }
+
+
+  test("q424: identical sources have delta 0 and pick each other as nearest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delta").toString
+    val sameText = "the cat sat on a mat and the dog ran to the hill in fog of war"
+    val diffText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, sameText, "en", "A", 1L), (2L, sameText, "en", "B", 1L),
+      (3L, diffText, "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.q424BurrowsDelta(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("A", "B")) == ((0L, 1L)), s"identical sources: ${got(("A", "B"))}")
+    assert(got(("A", "C"))._1 == got(("B", "C"))._1)
+    assert(got(("A", "C"))._1 > 0L)
+  }
 }
