@@ -2375,7 +2375,59 @@ object Curation {
               (n_requests * max_len - total_tokens) * 10000 // (n_requests * max_len) AS frag_contig_bp
        FROM agg ORDER BY b"""
 
+  /** Cache-sizing curve (q427): the hit rate a perfect-LFU cache of
+    * C entries achieves on the orders customer-key stream — the top-C
+    * keys' frequency mass over total accesses — for C ∈ {100, 1000,
+    * 10000}, against the uniform-admission baseline C/|keys| (what a
+    * random cache gets on the same stream). The lift between the two
+    * is the skewness dividend: how much a frequency-aware admission
+    * policy is worth on THIS workload, the number that sizes a
+    * broadcast-side cache or a hot-shard replica tier.
+    *
+    * Scale: one groupBy builds the key-frequency relation; each grid
+    * point is a TakeOrderedAndProject top-C (per-partition heaps, no
+    * global sort) collapsing to one row; totals ride one broadcast
+    * 1-row aggregate. */
+  def q427CacheSizing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum($"c").as("n_access"), count(lit(1)).as("n_keys"))
+    def topC(k: Int) = counts.orderBy($"c".desc, $"o_custkey").limit(k)
+      .agg(coalesce(sum($"c"), lit(0L)).as("hits"))
+      .select(lit(k.toLong).as("cache_keys"), $"hits")
+    topC(100).unionByName(topC(1000)).unionByName(topC(10000))
+      .crossJoin(broadcast(tot))
+      .select($"cache_keys", $"n_keys", $"n_access", $"hits",
+        expr("hits * 10000 div n_access").as("hit_bp"),
+        least(lit(10000L), expr("cache_keys * 10000 div n_keys")).as("base_bp"))
+      .withColumn("lift_milli",
+        expr("case when base_bp > 0 then hit_bp * 1000 div base_bp else -1 end"))
+      .orderBy($"cache_keys")
+  }
+
+  val q427Oracle: String =
+    """WITH counts AS (
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_access,
+                      CAST(count(*) AS BIGINT) AS n_keys FROM counts),
+       ranked AS (
+         SELECT c, row_number() OVER (ORDER BY c DESC, o_custkey) AS rn FROM counts),
+       grid AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS cache_keys),
+       hits AS (
+         SELECT cache_keys,
+                CAST(coalesce(sum(CASE WHEN rn <= cache_keys THEN c END), 0) AS BIGINT) AS hits
+         FROM grid LEFT JOIN ranked ON rn <= cache_keys GROUP BY 1)
+       SELECT cache_keys, n_keys, n_access, hits,
+              hits * 10000 // n_access AS hit_bp,
+              least(10000, cache_keys * 10000 // n_keys) AS base_bp,
+              CASE WHEN least(10000, cache_keys * 10000 // n_keys) > 0
+                   THEN (hits * 10000 // n_access) * 1000 // least(10000, cache_keys * 10000 // n_keys)
+                   ELSE -1 END AS lift_milli
+       FROM hits, tot ORDER BY cache_keys"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q427_cache_sizing" -> q427CacheSizing,
     "q422_kv_fragmentation" -> q422KvFragmentation,
     "q414_rebalance_delta" -> q414RebalanceDelta,
     "q411_mixture_rebalance" -> q411MixtureRebalance,
@@ -2417,6 +2469,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q427_cache_sizing" -> q427Oracle,
     "q422_kv_fragmentation" -> q422Oracle,
     "q414_rebalance_delta" -> q414Oracle,
     "q411_mixture_rebalance" -> q411Oracle,

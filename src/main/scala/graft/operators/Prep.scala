@@ -1193,7 +1193,76 @@ object Prep {
               (cost - best) * 10000 // best AS regret_bp
        FROM orders_, best ORDER BY rank"""
 
+  /** Runtime-filter ROI audit (q426): when a selective dimension
+    * predicate (one order-month) sits on the build side of
+    * lineitem⋈orders, a runtime filter (semi-join pushdown / Bloom on
+    * l_orderkey) can skip probe rows BEFORE the shuffle. One pass
+    * measures the true reduction — probe rows, build keys, surviving
+    * probe rows — and models what a Bloom filter at 8 vs 16 bits/key
+    * would actually ship: survivors plus false-positive leakage at the
+    * standard fpp for k-optimal Blooms (21400 ppm at 8 b/k, 460 ppm at
+    * 16 b/k — literal constants on both engines, no float pow). The
+    * exact-filter row is the upper bound a perfect semi-join reaches.
+    *
+    * Scale: the truth is ONE left-semi-shaped join measured as a
+    * conditional sum on the existing orderkey join; the Bloom model is
+    * arithmetic on the 1-row aggregate — the audit costs one pass and
+    * answers "is spark.sql.optimizer.runtimeFilter worth enabling for
+    * this shape". */
+  def q426RuntimeFilterRoi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sel = $"o_orderdate" >= to_date(lit("1994-03-01")) &&
+      $"o_orderdate" < to_date(lit("1994-04-01"))
+    val build = Tables.orders(s, d)
+      .agg(count(lit(1)).as("orders_rows"),
+        sum(when(sel, 1L).otherwise(0L)).as("build_keys"))
+    val joined = Tables.lineitem(s, d).select($"l_orderkey")
+      .join(Tables.orders(s, d).select($"o_orderkey", sel.as("hit")),
+        $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("probe_rows"),
+        sum(when($"hit", 1L).otherwise(0L)).as("survivors"))
+    val m = joined.crossJoin(broadcast(build))
+    m.select(explode(array(
+        struct(lit("exact_semijoin").as("filter"), lit(0L).as("fpp_ppm")),
+        struct(lit("bloom_8bpk").as("filter"), lit(21400L).as("fpp_ppm")),
+        struct(lit("bloom_16bpk").as("filter"), lit(460L).as("fpp_ppm")))).as("x"),
+        $"probe_rows", $"survivors", $"build_keys")
+      .select($"x.filter".as("filter"), $"probe_rows", $"build_keys",
+        $"survivors", $"x.fpp_ppm".as("fpp_ppm"),
+        ($"survivors" +
+          expr("(probe_rows - survivors) * x.fpp_ppm div 1000000")).as("rows_shipped"),
+        expr("""(probe_rows - (survivors +
+                 (probe_rows - survivors) * x.fpp_ppm div 1000000)) * 10000
+                div probe_rows""").as("reduction_bp"))
+      .orderBy($"filter")
+  }
+
+  val q426Oracle: String =
+    """WITH build AS (
+         SELECT CAST(count(*) AS BIGINT) AS orders_rows,
+                CAST(sum(CASE WHEN o_orderdate >= DATE '1994-03-01'
+                               AND o_orderdate < DATE '1994-04-01'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS build_keys
+         FROM orders),
+       joined AS (
+         SELECT CAST(count(*) AS BIGINT) AS probe_rows,
+                CAST(sum(CASE WHEN o.o_orderdate >= DATE '1994-03-01'
+                               AND o.o_orderdate < DATE '1994-04-01'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       grid AS (
+         SELECT 'exact_semijoin' AS filter, CAST(0 AS BIGINT) AS fpp_ppm
+         UNION ALL SELECT 'bloom_8bpk', 21400
+         UNION ALL SELECT 'bloom_16bpk', 460),
+       m AS (SELECT * FROM joined, build, grid)
+       SELECT filter, probe_rows, build_keys, survivors, fpp_ppm,
+              survivors + (probe_rows - survivors) * fpp_ppm // 1000000 AS rows_shipped,
+              (probe_rows - (survivors + (probe_rows - survivors) * fpp_ppm // 1000000)) * 10000
+                // probe_rows AS reduction_bp
+       FROM m ORDER BY filter"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q426_runtime_filter_roi" -> q426RuntimeFilterRoi,
     "q425_predicate_order" -> q425PredicateOrder,
     "q415_lsm_planner" -> q415LsmPlanner,
     "q416_view_advisor" -> q416ViewAdvisor,
@@ -1213,6 +1282,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q426_runtime_filter_roi" -> q426Oracle,
     "q425_predicate_order" -> q425Oracle,
     "q415_lsm_planner" -> q415Oracle,
     "q416_view_advisor" -> q416Oracle,

@@ -608,4 +608,18 @@ class CurationSpec extends SparkSpec {
     assert(got(1) == ((32L, 3L, 46L, 16L, 4791L, 2424L)))
     assert(got(2) == ((64L, 2L, 78L, 16L, 6093L, 2424L)))
   }
+
+
+  test("q427: LFU hit mass = top-C frequency mass; baseline is C/K") {
+    val dir = java.nio.file.Files.createTempDirectory("lfu").toString
+    (Seq.fill(300)(0L) ++ (1L to 200L)).toDF("o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Curation.q427CacheSizing(spark, dir)
+      .select($"cache_keys", $"hits", $"hit_bp", $"base_bp", $"lift_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // 201 keys, 500 accesses; top-100 = hot key (300) + 99 singletons
+    assert(got(0) == ((100L, 399L, 7980L, 4975L, 1604L)))
+    assert(got(1) == ((1000L, 500L, 10000L, 10000L, 1000L)))
+    assert(got(2) == ((10000L, 500L, 10000L, 10000L, 1000L)))
+  }
 }

@@ -482,4 +482,24 @@ class PrepSpec extends SparkSpec {
       "qty,ship,flag" -> 17L, "qty,flag,ship" -> 16L, "ship,qty,flag" -> 16L,
       "ship,flag,qty" -> 17L, "flag,qty,ship" -> 14L, "flag,ship,qty" -> 16L))
   }
+
+
+  test("q426: semi-join truth and bloom leakage from hand-counted rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rtf").toString
+    Seq((1L, "1994-03-15"), (2L, "1994-03-20"), (3L, "1995-01-01"), (4L, "1993-01-01"))
+      .map { case (k, d) => (k, java.sql.Date.valueOf(d)) }
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(1L, 1L, 2L, 3L, 3L, 4L).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Prep.q426RuntimeFilterRoi(spark, dir)
+      .select($"filter", $"probe_rows", $"build_keys", $"survivors",
+        $"rows_shipped", $"reduction_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("exact_semijoin") == (("exact_semijoin", 6L, 2L, 3L, 3L, 5000L)))
+    // at 6 probe rows the modeled fp leakage floors to zero extra rows
+    assert(got("bloom_8bpk")._5 == 3L && got("bloom_16bpk")._5 == 3L)
+  }
 }
