@@ -2426,7 +2426,67 @@ object Curation {
                    ELSE -1 END AS lift_milli
        FROM hits, tot ORDER BY cache_keys"""
 
+  /** Attention-FLOPs waste planner (q428, the quadratic completion of
+    * q422's linear KV story): self-attention costs len² per sequence,
+    * so batching strategy moves REAL money — compare, on this corpus's
+    * length distribution, the computed-vs-useful attention area of
+    * (a) pad-to-max 512, (b) length-bucketed padding to {32, 64, 128,
+    * 512}, (c) dense packing with block-diagonal masking over full
+    * 512² blocks. Useful area is Σ len² in every scheme; utilization
+    * in bp is the scheduler's objective. Bucketing recovers most of
+    * the padding waste without a packing kernel; packing pays only
+    * the final partial block.
+    *
+    * Scale: one scan computes per-doc len and len² partials; every
+    * strategy is a conditional aggregate of the SAME pass (the q112
+    * rule); sums of squares stay < 2⁶³ while Σ len² < 9·10¹⁸ — at
+    * larger corpora the moment columns move to decimal(38,0), q386's
+    * discipline. */
+  def q428AttentionWaste(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 512L
+    val req = Tables.documents(s, d)
+      .select(size(tokens($"text")).cast("long").as("len"))
+      .select($"len", ($"len" * $"len").as("len2"),
+        when($"len" <= 32, 32L).when($"len" <= 64, 64L)
+          .when($"len" <= 128, 128L).otherwise(B).as("bucket"))
+    val agg = req.agg(count(lit(1)).as("n"), sum($"len").as("toks"),
+      sum($"len2").as("useful"), sum($"bucket" * $"bucket").as("bucketed"))
+    agg.select(explode(array(
+        struct(lit("pad_to_512").as("strategy"), ($"n" * B * B).as("computed")),
+        struct(lit("length_bucketed").as("strategy"), $"bucketed".as("computed")),
+        struct(lit("packed_block_diag").as("strategy"),
+          (expr(s"(toks + ${B - 1}) div $B") * B * B).as("computed")))).as("x"),
+        $"n", $"useful")
+      .select($"x.strategy".as("strategy"), $"n".as("n_seqs"), $"useful",
+        $"x.computed".as("computed"),
+        expr("useful * 10000 div x.computed").as("util_bp"))
+      .orderBy($"strategy")
+  }
+
+  val q428Oracle: String =
+    """WITH req AS (
+         SELECT CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) AS len
+         FROM documents),
+       r2 AS (SELECT len, len * len AS len2,
+                     CASE WHEN len <= 32 THEN 32 WHEN len <= 64 THEN 64
+                          WHEN len <= 128 THEN 128 ELSE 512 END AS bucket
+              FROM req),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS toks,
+                CAST(sum(len2) AS BIGINT) AS useful,
+                CAST(sum(bucket * bucket) AS BIGINT) AS bucketed
+         FROM r2),
+       strat AS (
+         SELECT 'pad_to_512' AS strategy, n AS n_seqs, useful, n * 512 * 512 AS computed FROM agg
+         UNION ALL SELECT 'length_bucketed', n, useful, bucketed FROM agg
+         UNION ALL SELECT 'packed_block_diag', n, useful, ((toks + 511) // 512) * 512 * 512 FROM agg)
+       SELECT strategy, n_seqs, useful, computed,
+              useful * 10000 // computed AS util_bp
+       FROM strat ORDER BY strategy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q428_attention_waste" -> q428AttentionWaste,
     "q427_cache_sizing" -> q427CacheSizing,
     "q422_kv_fragmentation" -> q422KvFragmentation,
     "q414_rebalance_delta" -> q414RebalanceDelta,
@@ -2469,6 +2529,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q428_attention_waste" -> q428Oracle,
     "q427_cache_sizing" -> q427Oracle,
     "q422_kv_fragmentation" -> q422Oracle,
     "q414_rebalance_delta" -> q414Oracle,

@@ -2401,7 +2401,164 @@ object Quality {
               CASE WHEN rk = 1 THEN 1 ELSE 0 END AS selected
        FROM ranked ORDER BY b"""
 
+  /** Training-order shuffle audit (q429): is the corpus, read in
+    * doc_id order, actually shuffled — or do same-source documents
+    * clump (crawl order leaking into SGD batches)? Measures per source
+    * the adjacent same-source pair count against its expectation under
+    * a uniform random permutation, c·(c−1)/n pairs (sampling without
+    * replacement), plus the corpus-level clumping ratio in milli.
+    * Ratio ≫ 1000 means batches see correlated data and the loader
+    * needs a shuffle pass before training.
+    *
+    * Scale: adjacency is a doc_id = doc_id+1 EQUI-join — a co-
+    * partitioned shuffle join, never a global-order window — so the
+    * audit runs at fact scale; expectations come from the |sources|-row
+    * count relation and one broadcast total. */
+  def q429ShuffleAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val adj = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("a.source") === col("b.source"))
+      .groupBy(col("a.source").as("source"))
+      .agg(count(lit(1)).as("adj_pairs"))
+    val per = docs.groupBy($"source").agg(count(lit(1)).as("c"))
+    val tot = per.agg(sum($"c").as("n"))
+    val rows = per.join(adj, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"c", coalesce($"adj_pairs", lit(0L)).as("adj_pairs"),
+        // expected adjacent same-source pairs under a random permutation
+        expr("c * (c - 1) * 1000 div n").as("expected_milli"))
+    val summ = rows.agg(sum($"adj_pairs").as("t_adj"),
+        sum($"expected_milli").as("t_exp_milli"))
+      .select($"t_adj", $"t_exp_milli",
+        expr("case when t_exp_milli > 0 then t_adj * 1000000 div t_exp_milli else -1 end")
+          .as("clump_ratio_milli"))
+    rows.crossJoin(broadcast(summ))
+      .select($"source", $"c", $"adj_pairs", $"expected_milli",
+        $"t_adj", $"clump_ratio_milli")
+      .orderBy($"source")
+  }
+
+  val q429Oracle: String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+       adj AS (
+         SELECT a.source, CAST(count(*) AS BIGINT) AS adj_pairs
+         FROM docs a JOIN docs b
+           ON b.doc_id = a.doc_id + 1 AND a.source = b.source
+         GROUP BY 1),
+       per AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+       rows_ AS (
+         SELECT p.source, p.c, CAST(coalesce(a.adj_pairs, 0) AS BIGINT) AS adj_pairs,
+                p.c * (p.c - 1) * 1000 // n AS expected_milli
+         FROM per p LEFT JOIN adj a ON p.source = a.source, tot),
+       summ AS (
+         SELECT CAST(sum(adj_pairs) AS BIGINT) AS t_adj,
+                CAST(sum(expected_milli) AS BIGINT) AS t_exp_milli
+         FROM rows_)
+       SELECT source, c, adj_pairs, expected_milli, t_adj,
+              CASE WHEN t_exp_milli > 0 THEN t_adj * 1000000 // t_exp_milli ELSE -1 END AS clump_ratio_milli
+       FROM rows_, summ ORDER BY source"""
+
+  /** Filter-subset Pareto frontier (q430, q409's completion: not "what
+    * does each rule remove" but "WHICH rule subset should ship"): all
+    * 16 subsets of the four q409 quality rules, each scored on the
+    * two axes a curation lead trades off — surviving docs and mean
+    * surviving quality — with the Pareto-dominance flag computed over
+    * the 16-point frontier. The dominated subsets are dead options;
+    * the frontier is the menu.
+    *
+    * Scale: ONE scan reduces the corpus to a ≤16-row contingency
+    * relation keyed by the flag tuple; subset evaluation is a 16×16
+    * bitmask join and dominance a 16×16 self-join — both constant-
+    * sized regardless of corpus scale. */
+  def q430FilterPareto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
+      .repartition($"doc_id")
+    val nTok = size($"tk").cast("long")
+    val stopPm = floor(size(filter($"tk",
+      t => t.isin(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)))
+      * lit(1000) / nTok).cast("long")
+    val uniqPm = floor(size(array_distinct($"tk")) * lit(1000) / nTok).cast("long")
+    val top1Pm = floor(array_max(transform(array_distinct($"tk"),
+      t => size(filter($"tk", x => x === t)))) * lit(1000) / nTok).cast("long")
+    val q = least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm
+    val cont = base.select(
+        ((nTok < 20).cast("long") * 8 + (top1Pm > 120).cast("long") * 4 +
+          (stopPm < 20).cast("long") * 2 + (uniqPm < 400).cast("long")).as("cb"),
+        q.as("q"))
+      .groupBy($"cb").agg(count(lit(1)).as("n"), sum($"q").as("qsum"))
+    val names = Seq("none", "f4", "f3", "f3+f4", "f2", "f2+f4", "f2+f3",
+      "f2+f3+f4", "f1", "f1+f4", "f1+f3", "f1+f3+f4", "f1+f2", "f1+f2+f4",
+      "f1+f2+f3", "all")
+    val subsets = names.zipWithIndex.map { case (nm, m) => (m.toLong, nm) }
+      .toDF("mask", "rules")
+    val scored = subsets.join(cont, expr("(cb & mask) = 0"), "left")
+      .groupBy($"mask", $"rules")
+      .agg(coalesce(sum($"n"), lit(0L)).as("survivors"),
+        coalesce(sum($"qsum"), lit(0L)).as("qsum"))
+      .select($"mask", $"rules", $"survivors",
+        expr("case when survivors > 0 then qsum * 1000 div survivors else 0 end")
+          .as("qavg_milli"))
+    val dom = scored.as("a").join(scored.as("b"),
+        col("b.survivors") >= col("a.survivors") &&
+          col("b.qavg_milli") >= col("a.qavg_milli") &&
+          (col("b.survivors") > col("a.survivors") ||
+            col("b.qavg_milli") > col("a.qavg_milli")))
+      .groupBy(col("a.mask").as("mask")).agg(count(lit(1)).as("dominators"))
+    scored.join(dom, Seq("mask"), "left")
+      .select($"mask", $"rules", $"survivors", $"qavg_milli",
+        ($"dominators".isNull).cast("long").as("pareto"))
+      .orderBy($"mask")
+  }
+
+  val q430Oracle: String =
+    """WITH t AS (SELECT list_filter(string_split_regex(text,'\s+'), x -> x <> '') AS tk FROM documents),
+       m AS (SELECT CAST(len(tk) AS BIGINT) AS n,
+               CAST(floor(len(list_filter(tk, x -> list_contains(['the','a','of','and','in','to'], x))) * 1000.0 / len(tk)) AS BIGINT) AS stop_pm,
+               CAST(floor(len(list_distinct(tk)) * 1000.0 / len(tk)) AS BIGINT) AS uniq_pm,
+               CAST(floor(list_max(list_transform(list_distinct(tk), u -> len(list_filter(tk, x -> x = u)))) * 1000.0 / len(tk)) AS BIGINT) AS top1_pm
+             FROM t),
+       g AS (SELECT
+               (CASE WHEN n < 20 THEN 8 ELSE 0 END
+                + CASE WHEN top1_pm > 120 THEN 4 ELSE 0 END
+                + CASE WHEN stop_pm < 20 THEN 2 ELSE 0 END
+                + CASE WHEN uniq_pm < 400 THEN 1 ELSE 0 END) AS cb,
+               least(n, 100) * 10 + (1000 - stop_pm) + uniq_pm AS q
+             FROM m),
+       cont AS (SELECT cb, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS qsum
+                FROM g GROUP BY 1),
+       subsets AS (
+         SELECT CAST(mask AS BIGINT) AS mask, rules FROM (VALUES
+           (0, 'none'), (1, 'f4'), (2, 'f3'), (3, 'f3+f4'), (4, 'f2'),
+           (5, 'f2+f4'), (6, 'f2+f3'), (7, 'f2+f3+f4'), (8, 'f1'),
+           (9, 'f1+f4'), (10, 'f1+f3'), (11, 'f1+f3+f4'), (12, 'f1+f2'),
+           (13, 'f1+f2+f4'), (14, 'f1+f2+f3'), (15, 'all')) AS v(mask, rules)),
+       scored AS (
+         SELECT mask, rules,
+                CAST(coalesce(sum(n), 0) AS BIGINT) AS survivors,
+                CASE WHEN coalesce(sum(n), 0) > 0
+                     THEN CAST(sum(qsum) AS BIGINT) * 1000 // CAST(sum(n) AS BIGINT)
+                     ELSE 0 END AS qavg_milli
+         FROM subsets LEFT JOIN cont ON (cb & mask) = 0
+         GROUP BY 1, 2),
+       dom AS (
+         SELECT a.mask, CAST(count(*) AS BIGINT) AS dominators
+         FROM scored a JOIN scored b
+           ON b.survivors >= a.survivors AND b.qavg_milli >= a.qavg_milli
+          AND (b.survivors > a.survivors OR b.qavg_milli > a.qavg_milli)
+         GROUP BY 1)
+       SELECT s.mask, s.rules, s.survivors, s.qavg_milli,
+              CASE WHEN d.mask IS NULL THEN 1 ELSE 0 END AS pareto
+       FROM scored s LEFT JOIN dom d ON s.mask = d.mask
+       ORDER BY s.mask"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q429_shuffle_audit" -> q429ShuffleAudit,
+    "q430_filter_pareto" -> q430FilterPareto,
     "q418_bucket_advisor" -> q418BucketAdvisor,
     "q409_filter_cascade" -> q409FilterCascade,
     "q328_quality_dup_lift" -> q328QualityDupLift,
@@ -2435,6 +2592,8 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q429_shuffle_audit" -> q429Oracle,
+    "q430_filter_pareto" -> q430Oracle,
     "q418_bucket_advisor" -> q418Oracle,
     "q409_filter_cascade" -> q409Oracle,
     "q328_quality_dup_lift" -> q328Oracle,

@@ -622,4 +622,18 @@ class CurationSpec extends SparkSpec {
     assert(got(1) == ((1000L, 500L, 10000L, 10000L, 1000L)))
     assert(got(2) == ((10000L, 500L, 10000L, 10000L, 1000L)))
   }
+
+
+  test("q428: attention areas from two hand-squared lengths") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, words(17), "en", "s", 1L), (2L, words(33), "en", "s", 1L)))
+    val got = Curation.q428AttentionWaste(spark, d)
+      .select($"strategy", $"useful", $"computed", $"util_bp")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // useful = 17^2 + 33^2 = 1378
+    assert(got("pad_to_512") == (("pad_to_512", 1378L, 524288L, 26L)))
+    assert(got("length_bucketed") == (("length_bucketed", 1378L, 5120L, 2691L)))
+    assert(got("packed_block_diag") == (("packed_block_diag", 1378L, 262144L, 52L)))
+  }
 }

@@ -884,4 +884,45 @@ class QualitySpec extends SparkSpec {
     assert(got(("A", "C"))._1 == got(("B", "C"))._1)
     assert(got(("A", "C"))._1 > 0L)
   }
+
+
+  test("q429: planted clumps beat the random-permutation expectation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shuffle").toString
+    // order A A B A A B: A has 2 adjacent same-source pairs, B none
+    Seq(("A", 0L), ("A", 1L), ("B", 2L), ("A", 3L), ("A", 4L), ("B", 5L))
+      .map { case (s, i) => (i, s"text $i", "en", s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Quality.q429ShuffleAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // expected_milli: A = 4*3*1000/6 = 2000, B = 2*1*1000/6 = 333
+    assert(got("A") == (("A", 4L, 2L, 2000L, 2L, 857L)))
+    assert(got("B") == (("B", 2L, 0L, 333L, 2L, 857L)))
+  }
+
+  test("q430: survivors = 5 - |subset| on the one-doc-per-rule corpus; 'none' is on the frontier") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    val d18 = (1 to 18).map(i => s"w$i").mkString(" ")
+    val d24 = (1 to 24).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, "the t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s", 1L),
+      (2L, "x x x x x the the " + d18, "en", "s", 1L),
+      (3L, (1 to 25).map(i => s"v$i").mkString(" "), "en", "s", 1L),
+      (4L, (1 to 10).flatMap(i => Seq(s"r$i", s"r$i", s"r$i")).mkString(" ")
+        .replace("r1 r1 r1", "the the the"), "en", "s", 1L),
+      (5L, "the " + d24, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Quality.q430FilterPareto(spark, dir)
+      .select($"mask", $"survivors", $"pareto")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq ==
+      (0 to 15).map(m => 5L - java.lang.Long.bitCount(m.toLong)))
+    assert(got(0)._3 == 1L, "the empty subset maximizes survivors -> frontier")
+    // every mask with a dominator is flagged 0; frontier is non-empty
+    assert(got.map(_._3).sum >= 1L)
+  }
 }
