@@ -2556,7 +2556,126 @@ object Quality {
        FROM scored s LEFT JOIN dom d ON s.mask = d.mask
        ORDER BY s.mask"""
 
+  /** Inclusion-dependency discovery (q431, the SINDY/BINDER profiling
+    * question "which column pairs are foreign keys?"): for six
+    * candidate child⊆parent column pairs across the TPC-H-ish tables,
+    * measure the child's distinct domain, the values missing from the
+    * parent, and the inclusion coverage in bp — full inclusion is an
+    * FK candidate, partial inclusion (customers without orders, parts
+    * never ordered) is the profiling signal that the REVERSE direction
+    * is not a key. This is the schema-discovery pass a lakehouse runs
+    * on undocumented data before anyone writes a join.
+    *
+    * Scale: each candidate costs two domain-sized distincts and one
+    * LEFT ANTI join on those domains — never on fact rows; the six
+    * candidates are independent branches of one union, so they
+    * pipeline. */
+  def q431FkDiscovery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def cand(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val cd = child.select(col(ck).as("k")).distinct()
+      val pd = parent.select(col(pk).as("k")).distinct()
+      cd.agg(count(lit(1)).as("child_ndv"))
+        .crossJoin(cd.join(pd, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("missing")))
+        .select(lit(name).as("candidate"), $"child_ndv", $"missing",
+          expr("(child_ndv - missing) * 10000 div child_ndv").as("inclusion_bp"),
+          ($"missing" === 0).cast("long").as("is_fk"))
+    }
+    val li = Tables.lineitem(s, d); val or = Tables.orders(s, d)
+    val cu = Tables.customer(s, d); val pa = Tables.part(s, d)
+    val su = Tables.supplier(s, d)
+    Seq(
+      cand("lineitem.l_orderkey<orders.o_orderkey", li, "l_orderkey", or, "o_orderkey"),
+      cand("orders.o_custkey<customer.c_custkey", or, "o_custkey", cu, "c_custkey"),
+      cand("lineitem.l_partkey<part.p_partkey", li, "l_partkey", pa, "p_partkey"),
+      cand("lineitem.l_suppkey<supplier.s_suppkey", li, "l_suppkey", su, "s_suppkey"),
+      cand("customer.c_custkey<orders.o_custkey", cu, "c_custkey", or, "o_custkey"),
+      cand("part.p_partkey<lineitem.l_partkey", pa, "p_partkey", li, "l_partkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"candidate")
+  }
+
+  val q431Oracle: String = {
+    def c(name: String, ct: String, ck: String, pt: String, pk: String) =
+      s"""SELECT '$name' AS candidate,
+            (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $ct) AS child_ndv,
+            (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT $ck FROM $ct EXCEPT SELECT DISTINCT $pk FROM $pt)) AS missing"""
+    val branches = Seq(
+      c("lineitem.l_orderkey<orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      c("orders.o_custkey<customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      c("lineitem.l_partkey<part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      c("lineitem.l_suppkey<supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      c("customer.c_custkey<orders.o_custkey", "customer", "c_custkey", "orders", "o_custkey"),
+      c("part.p_partkey<lineitem.l_partkey", "part", "p_partkey", "lineitem", "l_partkey"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH cands AS ($branches)
+       SELECT candidate, child_ndv, missing,
+              (child_ndv - missing) * 10000 // child_ndv AS inclusion_bp,
+              CASE WHEN missing = 0 THEN 1 ELSE 0 END AS is_fk
+       FROM cands ORDER BY candidate"""
+  }
+
+  /** Functional-dependency audit (q432, the TANE/profiling question
+    * "does X determine Y?"): six candidate FDs across the tables, each
+    * measured as the number of left-hand-side groups whose right-hand
+    * side is not single-valued, plus the g3-style compliance rate in
+    * bp. Key columns trivially hold; the interesting rows are the
+    * refuted ones (a part has FOUR suppliers; a customer orders under
+    * every priority) — each refutation is a join-key or partition-key
+    * assumption someone would otherwise bake into a pipeline.
+    *
+    * Scale: one groupBy per candidate on the LHS domain with a
+    * count-distinct of the RHS (partial-agg friendly), reduced to a
+    * 1-row violation count; six independent union branches. */
+  def q432FdAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def fd(name: String, t: DataFrame, lhs: String, rhs: String): DataFrame =
+      t.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv_rhs"))
+        .agg(count(lit(1)).as("lhs_groups"),
+          sum(when($"ndv_rhs" > 1, 1L).otherwise(0L)).as("violating"))
+        .select(lit(name).as("fd"), $"lhs_groups", $"violating",
+          expr("(lhs_groups - violating) * 10000 div lhs_groups").as("fd_bp"),
+          ($"violating" === 0).cast("long").as("holds"))
+    val li = Tables.lineitem(s, d); val or = Tables.orders(s, d)
+    val cu = Tables.customer(s, d); val na = Tables.nation(s, d)
+    Seq(
+      fd("nation.n_nationkey->n_regionkey", na, "n_nationkey", "n_regionkey"),
+      fd("orders.o_orderkey->o_orderstatus", or, "o_orderkey", "o_orderstatus"),
+      fd("customer.c_nationkey->c_mktsegment", cu, "c_nationkey", "c_mktsegment"),
+      fd("orders.o_custkey->o_orderpriority", or, "o_custkey", "o_orderpriority"),
+      fd("lineitem.l_partkey->l_suppkey", li, "l_partkey", "l_suppkey"),
+      fd("lineitem.l_orderkey->l_returnflag", li, "l_orderkey", "l_returnflag"))
+      .reduce(_ unionByName _)
+      .orderBy($"fd")
+  }
+
+  val q432Oracle: String = {
+    def fd(name: String, t: String, lhs: String, rhs: String) =
+      s"""SELECT '$name' AS fd,
+            CAST(count(*) AS BIGINT) AS lhs_groups,
+            CAST(sum(CASE WHEN ndv_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating
+          FROM (SELECT $lhs, count(DISTINCT $rhs) AS ndv_rhs FROM $t GROUP BY 1)"""
+    val branches = Seq(
+      fd("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+      fd("orders.o_orderkey->o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+      fd("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+      fd("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+      fd("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+      fd("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH cands AS ($branches)
+       SELECT fd, lhs_groups, violating,
+              (lhs_groups - violating) * 10000 // lhs_groups AS fd_bp,
+              CASE WHEN violating = 0 THEN 1 ELSE 0 END AS holds
+       FROM cands ORDER BY fd"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q431_fk_discovery" -> q431FkDiscovery,
+    "q432_fd_audit" -> q432FdAudit,
     "q429_shuffle_audit" -> q429ShuffleAudit,
     "q430_filter_pareto" -> q430FilterPareto,
     "q418_bucket_advisor" -> q418BucketAdvisor,
@@ -2592,6 +2711,8 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q431_fk_discovery" -> q431Oracle,
+    "q432_fd_audit" -> q432Oracle,
     "q429_shuffle_audit" -> q429Oracle,
     "q430_filter_pareto" -> q430Oracle,
     "q418_bucket_advisor" -> q418Oracle,

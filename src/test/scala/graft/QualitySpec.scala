@@ -925,4 +925,45 @@ class QualitySpec extends SparkSpec {
     // every mask with a dominator is flagged 0; frontier is non-empty
     assert(got.map(_._3).sum >= 1L)
   }
+
+
+  test("q431/q432: planted schema yields the hand-derived inclusions and FDs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("profiling").toString
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L, "A"), (2L, 1L, "B"), (3L, 2L, "A"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "F", "P1"), (2L, 1L, "O", "P2"), (3L, 2L, "F", "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, "R"), (1L, 2L, 2L, "N"), (2L, 1L, 2L, "N"), (3L, 9L, 1L, "N"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(1L, 2L, 3L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+
+    val fk = operators.Quality.q431FkDiscovery(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(fk("lineitem.l_partkey<part.p_partkey")
+      == (("lineitem.l_partkey<part.p_partkey", 3L, 1L, 6666L, 0L)))
+    assert(fk("customer.c_custkey<orders.o_custkey")
+      == (("customer.c_custkey<orders.o_custkey", 3L, 1L, 6666L, 0L)))
+    assert(fk("lineitem.l_orderkey<orders.o_orderkey")._5 == 1L)
+    assert(fk("part.p_partkey<lineitem.l_partkey")._5 == 1L)
+
+    val fd = operators.Quality.q432FdAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(fd("customer.c_nationkey->c_mktsegment")
+      == (("customer.c_nationkey->c_mktsegment", 2L, 1L, 5000L, 0L)))
+    assert(fd("lineitem.l_partkey->l_suppkey")
+      == (("lineitem.l_partkey->l_suppkey", 3L, 1L, 6666L, 0L)))
+    assert(fd("lineitem.l_orderkey->l_returnflag")._3 == 1L)
+    assert(fd("nation.n_nationkey->n_regionkey")._5 == 1L)
+    assert(fd("orders.o_orderkey->o_orderstatus")._5 == 1L)
+    assert(fd("orders.o_custkey->o_orderpriority")._4 == 5000L)
+  }
 }
