@@ -2259,7 +2259,194 @@ object Behavior {
        FROM agg
        ORDER BY policy"""
 
+  /** Storage-tiering planner with point-in-time evaluation (q433): the
+    * S3-IA/Glacier question "which objects go cold?" answered and then
+    * SCORED. History = the first half of the event stream (accesses
+    * keyed by (user, item) — item parsed from the props payload — so
+    * the object population is sparse the way an object store's is);
+    * the policy tiers each object — hot if touched in the last 7
+    * history days, else warm if ≥2 lifetime accesses, else cold — and the FUTURE half replays against it with a literal
+    * cost model (storage micro-$ 100/40/10 per object, retrieval
+    * penalty 0/20/200 per access). Baselines all-hot and all-cold
+    * bracket the planned policy; the PIT split (q360's discipline)
+    * keeps the evaluation honest — the policy never sees the traffic
+    * that prices it.
+    *
+    * Scale: one groupBy builds per-object history stats; the future
+    * half joins back on the object key (domain-sized); tiers and costs
+    * are conditional sums — the whole audit is two passes and a
+    * 5-row answer. */
+  def q433TieringPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    val hotCut = to_timestamp(lit("2024-01-09 00:00:00"))
+    val ev = Tables.events(s, d).select(
+      concat($"user_id".cast("string"), lit(":"),
+        regexp_extract($"props", "\"k\": (\\d+)", 1)).as("obj"), $"ts")
+    val hist = ev.filter($"ts" < split)
+      .groupBy($"obj")
+      .agg(count(lit(1)).as("n_access"), max($"ts").as("last_ts"))
+      .select($"obj",
+        when($"last_ts" >= hotCut, "hot")
+          .when($"n_access" >= 2, "warm").otherwise("cold").as("tier"))
+    val fut = ev.filter($"ts" >= split)
+      .groupBy($"obj").agg(count(lit(1)).as("f"))
+    val per = hist.join(fut, Seq("obj"), "left")
+      .select($"tier", coalesce($"f", lit(0L)).as("f"))
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_objects"), sum($"f").as("future_accesses"))
+      .select(lit("planned").as("policy"), $"tier", $"n_objects",
+        $"future_accesses",
+        (when($"tier" === "hot", 100L).when($"tier" === "warm", 40L)
+          .otherwise(10L) * $"n_objects").as("storage_cost"),
+        (when($"tier" === "hot", 0L).when($"tier" === "warm", 20L)
+          .otherwise(200L) * $"future_accesses").as("retrieval_cost"))
+    val tot = per.agg(sum($"n_objects").as("k"), sum($"future_accesses").as("fa"))
+    val baselines = tot.select(explode(array(
+        struct(lit("all_hot").as("policy"), lit("hot").as("tier"),
+          $"k".as("n_objects"), $"fa".as("future_accesses"),
+          ($"k" * 100L).as("storage_cost"), lit(0L).as("retrieval_cost")),
+        struct(lit("all_cold").as("policy"), lit("cold").as("tier"),
+          $"k".as("n_objects"), $"fa".as("future_accesses"),
+          ($"k" * 10L).as("storage_cost"), ($"fa" * 200L).as("retrieval_cost")))).as("x"))
+      .select($"x.policy".as("policy"), $"x.tier".as("tier"),
+        $"x.n_objects".as("n_objects"), $"x.future_accesses".as("future_accesses"),
+        $"x.storage_cost".as("storage_cost"), $"x.retrieval_cost".as("retrieval_cost"))
+    per.unionByName(baselines)
+      .withColumn("total_cost", $"storage_cost" + $"retrieval_cost")
+      .orderBy($"policy", $"tier")
+  }
+
+  val q433Oracle: String =
+    """WITH ev AS (
+         SELECT user_id::VARCHAR || ':' || regexp_extract(props, '"k": (\d+)', 1) AS obj,
+                CAST(ts AS TIMESTAMP) AS ts
+         FROM events),
+       hist AS (
+         SELECT obj,
+                CASE WHEN max(ts) >= TIMESTAMP '2024-01-09 00:00:00' THEN 'hot'
+                     WHEN count(*) >= 2 THEN 'warm' ELSE 'cold' END AS tier
+         FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+       fut AS (
+         SELECT obj, CAST(count(*) AS BIGINT) AS f
+         FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+       per AS (
+         SELECT 'planned' AS policy, tier,
+                CAST(count(*) AS BIGINT) AS n_objects,
+                CAST(sum(coalesce(f, 0)) AS BIGINT) AS future_accesses
+         FROM hist LEFT JOIN fut USING (obj) GROUP BY 1, 2),
+       per2 AS (
+         SELECT policy, tier, n_objects, future_accesses,
+                CASE tier WHEN 'hot' THEN 100 WHEN 'warm' THEN 40 ELSE 10 END * n_objects AS storage_cost,
+                CASE tier WHEN 'hot' THEN 0 WHEN 'warm' THEN 20 ELSE 200 END * future_accesses AS retrieval_cost
+         FROM per),
+       tot AS (SELECT CAST(sum(n_objects) AS BIGINT) AS k,
+                      CAST(sum(future_accesses) AS BIGINT) AS fa FROM per2),
+       base AS (
+         SELECT 'all_hot' AS policy, 'hot' AS tier, k AS n_objects, fa AS future_accesses,
+                k * 100 AS storage_cost, CAST(0 AS BIGINT) AS retrieval_cost FROM tot
+         UNION ALL
+         SELECT 'all_cold', 'cold', k, fa, k * 10, fa * 200 FROM tot),
+       all_ AS (SELECT * FROM per2 UNION ALL SELECT * FROM base)
+       SELECT policy, tier, n_objects, future_accesses, storage_cost,
+              retrieval_cost, storage_cost + retrieval_cost AS total_cost
+       FROM all_ ORDER BY policy, tier"""
+
+  /** Burn-alert policy evaluation (q434, q382's completion: not "what
+    * is the burn rate" but "would the PAGE have fired on the right
+    * hours?"): ground truth = the top error-rate decile of hours
+    * (exact ntile over the bounded hourly relation); candidate
+    * policies = the SRE-standard fast window (1 h rate > 2× corpus
+    * base), slow window (3 h average > 1.5× base), and their OR. Each
+    * policy gets the full confusion matrix plus precision/recall in
+    * bp — the table that decides which alert goes in the pager and
+    * which goes in the dashboard.
+    *
+    * Scale: everything after the one hourly aggregate runs on the
+    * time-range-sized hour relation; the 3 h window is a bounded range
+    * frame, the decile an ntile over the same bounded relation. */
+  def q434BurnAlertEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        ($"event_type" === "error").cast("long").as("err"))
+      .groupBy($"hr").agg(count(lit(1)).as("tot"), sum($"err").as("errs"))
+    val base = hourly.agg(
+      expr("sum(errs) * 1000000 div sum(tot)").as("base_ppm"))
+    val w3 = Window.orderBy($"hr").rangeBetween(-2, 0)
+    val scored = hourly
+      .withColumn("e3", sum($"errs").over(w3))
+      .withColumn("t3", sum($"tot").over(w3))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(expr("errs * 1000000 div tot"), $"hr")))
+      .crossJoin(broadcast(base))
+      .select($"hr",
+        ($"decile" === 10).cast("long").as("incident"),
+        (expr("errs * 1000000 div tot") > $"base_ppm" * 2).cast("long").as("fast"),
+        (expr("e3 * 1000000 div t3") * 2 > $"base_ppm" * 3).cast("long").as("slow"))
+      .withColumn("either", greatest($"fast", $"slow"))
+    val m = scored.agg(
+      sum($"incident" * $"fast").as("tp_f"),
+      sum((lit(1) - $"incident") * $"fast").as("fp_f"),
+      sum($"incident" * (lit(1) - $"fast")).as("fn_f"),
+      sum($"incident" * $"slow").as("tp_s"),
+      sum((lit(1) - $"incident") * $"slow").as("fp_s"),
+      sum($"incident" * (lit(1) - $"slow")).as("fn_s"),
+      sum($"incident" * $"either").as("tp_e"),
+      sum((lit(1) - $"incident") * $"either").as("fp_e"),
+      sum($"incident" * (lit(1) - $"either")).as("fn_e"))
+    m.select(explode(array(
+        struct(lit("fast_1h_2x").as("policy"), $"tp_f".as("tp"), $"fp_f".as("fp"), $"fn_f".as("fn")),
+        struct(lit("slow_3h_1_5x").as("policy"), $"tp_s".as("tp"), $"fp_s".as("fp"), $"fn_s".as("fn")),
+        struct(lit("either").as("policy"), $"tp_e".as("tp"), $"fp_e".as("fp"), $"fn_e".as("fn")))).as("x"))
+      .select($"x.policy".as("policy"), $"x.tp".as("tp"), $"x.fp".as("fp"),
+        $"x.fn".as("fn"),
+        expr("case when x.tp + x.fp > 0 then x.tp * 10000 div (x.tp + x.fp) else 0 end")
+          .as("precision_bp"),
+        expr("case when x.tp + x.fn > 0 then x.tp * 10000 div (x.tp + x.fn) else 0 end")
+          .as("recall_bp"))
+      .orderBy($"policy")
+  }
+
+  val q434Oracle: String =
+    """WITH hourly AS (
+         SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+                CAST(count(*) AS BIGINT) AS tot,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+         FROM events GROUP BY 1),
+       base AS (SELECT CAST(sum(errs) AS BIGINT) * 1000000 // CAST(sum(tot) AS BIGINT) AS base_ppm FROM hourly),
+       scored AS (
+         SELECT hr,
+                CASE WHEN ntile(10) OVER (ORDER BY errs * 1000000 // tot, hr) = 10 THEN 1 ELSE 0 END AS incident,
+                CASE WHEN errs * 1000000 // tot > base_ppm * 2 THEN 1 ELSE 0 END AS fast,
+                CASE WHEN (sum(errs) OVER w3) * 1000000 // (sum(tot) OVER w3) * 2 > base_ppm * 3
+                     THEN 1 ELSE 0 END AS slow
+         FROM hourly, base
+         WINDOW w3 AS (ORDER BY hr RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)),
+       s2 AS (SELECT *, greatest(fast, slow) AS either FROM scored),
+       m AS (
+         SELECT CAST(sum(incident * fast) AS BIGINT) AS tp_f,
+                CAST(sum((1 - incident) * fast) AS BIGINT) AS fp_f,
+                CAST(sum(incident * (1 - fast)) AS BIGINT) AS fn_f,
+                CAST(sum(incident * slow) AS BIGINT) AS tp_s,
+                CAST(sum((1 - incident) * slow) AS BIGINT) AS fp_s,
+                CAST(sum(incident * (1 - slow)) AS BIGINT) AS fn_s,
+                CAST(sum(incident * either) AS BIGINT) AS tp_e,
+                CAST(sum((1 - incident) * either) AS BIGINT) AS fp_e,
+                CAST(sum(incident * (1 - either)) AS BIGINT) AS fn_e
+         FROM s2),
+       rows_ AS (
+         SELECT 'fast_1h_2x' AS policy, tp_f AS tp, fp_f AS fp, fn_f AS fn FROM m
+         UNION ALL SELECT 'slow_3h_1_5x', tp_s, fp_s, fn_s FROM m
+         UNION ALL SELECT 'either', tp_e, fp_e, fn_e FROM m)
+       SELECT policy, tp, fp, fn,
+              CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) ELSE 0 END AS precision_bp,
+              CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) ELSE 0 END AS recall_bp
+       FROM rows_ ORDER BY policy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q433_tiering_planner" -> q433TieringPlanner,
+    "q434_burn_alert_eval" -> q434BurnAlertEval,
     "q423_ips_offpolicy" -> q423IpsOffpolicy,
     "q419_ckpt_planner" -> q419CkptPlanner,
     "q408_sax_motifs" -> q408SaxMotifs,
@@ -2296,6 +2483,8 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q433_tiering_planner" -> q433Oracle,
+    "q434_burn_alert_eval" -> q434Oracle,
     "q423_ips_offpolicy" -> q423Oracle,
     "q419_ckpt_planner" -> q419Oracle,
     "q408_sax_motifs" -> q408Oracle,

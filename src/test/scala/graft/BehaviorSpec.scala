@@ -1214,4 +1214,46 @@ class BehaviorSpec extends SparkSpec {
     // SNIPS = 200, n_eff = (4e6)^2 / (2 * 4e12) = 2
     assert(got("greedy") == (("greedy", 200L, 200000L, 2L)))
   }
+
+
+  test("q433: one object per tier, costs from the literal price model") {
+    import spark.implicits._
+    def ns(day: Int) = (1704067200L + (day - 1) * 86400L) * 1000000000L // 2024-01-<day>
+    val rows = Seq(
+      // obj 1:1 -> hot (touched Jan 14), 2 future accesses
+      (1L, ns(14), 1L, "view", 1.0, "{\"k\": 1}"),
+      (2L, ns(20), 1L, "view", 1.0, "{\"k\": 1}"),
+      (3L, ns(21), 1L, "view", 1.0, "{\"k\": 1}"),
+      // obj 2:2 -> warm (2 early-history accesses), 1 future
+      (4L, ns(2), 2L, "view", 1.0, "{\"k\": 2}"),
+      (5L, ns(3), 2L, "view", 1.0, "{\"k\": 2}"),
+      (6L, ns(22), 2L, "view", 1.0, "{\"k\": 2}"),
+      // obj 3:3 -> cold (1 early access), 3 future
+      (7L, ns(2), 3L, "view", 1.0, "{\"k\": 3}"),
+      (8L, ns(20), 3L, "view", 1.0, "{\"k\": 3}"),
+      (9L, ns(21), 3L, "view", 1.0, "{\"k\": 3}"),
+      (10L, ns(22), 3L, "view", 1.0, "{\"k\": 3}"))
+    val dir = java.nio.file.Files.createTempDirectory("tier").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Behavior.q433TieringPlanner(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("planned", "hot")) == (("planned", "hot", 1L, 2L, 100L, 0L, 100L)))
+    assert(got(("planned", "warm")) == (("planned", "warm", 1L, 1L, 40L, 20L, 60L)))
+    assert(got(("planned", "cold")) == (("planned", "cold", 1L, 3L, 10L, 600L, 610L)))
+    assert(got(("all_hot", "hot")) == (("all_hot", "hot", 3L, 6L, 300L, 0L, 300L)))
+    assert(got(("all_cold", "cold")) == (("all_cold", "cold", 3L, 6L, 30L, 1200L, 1230L)))
+  }
+
+  test("q434: the OR policy never loses recall; incident count is policy-invariant") {
+    val got = operators.Behavior.q434BurnAlertEval(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val inc = got.values.map(r => r._2 + r._4).toSet
+    assert(inc.size == 1, s"tp+fn must be the incident count for every policy: $got")
+    assert(got("either")._6 >= got("fast_1h_2x")._6)
+    assert(got("either")._6 >= got("slow_3h_1_5x")._6)
+    assert(got("either")._2 >= got("fast_1h_2x")._2)
+  }
 }
