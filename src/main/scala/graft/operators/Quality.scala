@@ -2503,6 +2503,9 @@ object Quality {
       .select($"mask", $"rules", $"survivors",
         expr("case when survivors > 0 then qsum * 1000 div survivors else 0 end")
           .as("qavg_milli"))
+      // freeze once: the dominance self-join and the final join would
+      // otherwise re-run the corpus scan 3x; restated bound (PLANS.md)
+      .localCheckpoint().limit(16)
     val dom = scored.as("a").join(scored.as("b"),
         col("b.survivors") >= col("a.survivors") &&
           col("b.qavg_milli") >= col("a.qavg_milli") &&
