@@ -2271,16 +2271,18 @@ object Quality {
     * re-tokenization otherwise). */
   def q409FilterCascade(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // one-pass native expression for (n_tokens, n_distinct, top_c) —
+    // the composable top-token-dominance form is a NESTED interpreted
+    // HOF, O(n_tokens * n_distinct) per doc (measured 3.4x on q430)
     val base = Tables.documents(s, d)
-      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
-      .repartition($"doc_id")
-    val nTok = size($"tk").cast("long")
-    val stopPm = floor(size(filter($"tk",
+      .select($"doc_id", $"text",
+        graft.functions.TextExprs.repetition_stats($"text").as("rs"))
+    val nTok = $"rs.n_tokens"
+    val stopPm = floor(size(filter(graft.functions.Fns.tokens($"text"),
       t => t.isin(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)))
       * lit(1000) / nTok).cast("long")
-    val uniqPm = floor(size(array_distinct($"tk")) * lit(1000) / nTok).cast("long")
-    val top1Pm = floor(array_max(transform(array_distinct($"tk"),
-      t => size(filter($"tk", x => x === t)))) * lit(1000) / nTok).cast("long")
+    val uniqPm = floor($"rs.n_distinct" * lit(1000) / nTok).cast("long")
+    val top1Pm = floor($"rs.top_c" * lit(1000) / nTok).cast("long")
     val flags = base.select(
       (nTok < 20).cast("long").as("f1"),
       (top1Pm > 120).cast("long").as("f2"),
@@ -2476,15 +2478,14 @@ object Quality {
   def q430FilterPareto(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, d)
-      .select($"doc_id", graft.functions.Fns.tokens($"text").as("tk"))
-      .repartition($"doc_id")
-    val nTok = size($"tk").cast("long")
-    val stopPm = floor(size(filter($"tk",
+      .select($"doc_id", $"text",
+        graft.functions.TextExprs.repetition_stats($"text").as("rs"))
+    val nTok = $"rs.n_tokens"
+    val stopPm = floor(size(filter(graft.functions.Fns.tokens($"text"),
       t => t.isin(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)))
       * lit(1000) / nTok).cast("long")
-    val uniqPm = floor(size(array_distinct($"tk")) * lit(1000) / nTok).cast("long")
-    val top1Pm = floor(array_max(transform(array_distinct($"tk"),
-      t => size(filter($"tk", x => x === t)))) * lit(1000) / nTok).cast("long")
+    val uniqPm = floor($"rs.n_distinct" * lit(1000) / nTok).cast("long")
+    val top1Pm = floor($"rs.top_c" * lit(1000) / nTok).cast("long")
     val q = least(nTok, lit(100)) * 10 + (lit(1000) - stopPm) + uniqPm
     val cont = base.select(
         ((nTok < 20).cast("long") * 8 + (top1Pm > 120).cast("long") * 4 +
