@@ -2546,7 +2546,105 @@ object Dedup {
          CAST(min(cluster_id) AS BIGINT) AS example_family
        FROM fam GROUP BY sz ORDER BY family_size"""
 
+
+  /** Shard-local dedup loss (q436): if near-dup detection runs
+    * independently inside each shard, every dup pair whose two docs
+    * land on DIFFERENT shards is invisible — this measures that loss
+    * on the real near-dup pair set (q42's 3-gram Jaccard pairs at
+    * ≥0.5), under two placement schemes and two shard counts: id-hash
+    * placement (splits an expected (S−1)/S of pairs — dedup loses
+    * almost everything as S grows) vs content placement by the doc's
+    * MIN SHINGLE HASH (the MinHash co-location trick: near-dups share
+    * their minimum shingle with probability ≈ their Jaccard, so most
+    * dup pairs land together at ANY shard count). The measured gap is
+    * the design argument for content-keyed routing in a sharded
+    * dedup pipeline.
+    *
+    * Scale: the pair relation comes from the shared banded/inverted
+    * pair engine (one pass); shard keys join on doc keys
+    * (pair-relation-sized); the (scheme × S) grid is a literal
+    * explode over a broadcast 2-row grid — no pass is added per
+    * configuration. */
+  def q436ShardLocalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, d).filter($"jaccard_bp" >= 5000)
+      .select($"doc1", $"doc2")
+    val keys = Tables.documents(s, d).select($"doc_id",
+        hash60($"doc_id".cast("string")).as("idh"),
+        array_min(graft.functions.TextExprs.shingle_hashes($"text", 3, 15))
+          .as("mh"))
+    val enriched = pairs
+      .join(keys.select($"doc_id".as("doc1"), $"idh".as("id1"), $"mh".as("mh1")), "doc1")
+      .join(keys.select($"doc_id".as("doc2"), $"idh".as("id2"), $"mh".as("mh2")), "doc2")
+    enriched.crossJoin(broadcast(Seq(4L, 16L).toDF("s_shards")))
+      .select($"s_shards", explode(array(
+        struct(lit("id_hash").as("scheme"),
+          (($"id1" % $"s_shards") === ($"id2" % $"s_shards")).cast("long").as("co")),
+        struct(lit("content_minhash").as("scheme"),
+          (($"mh1" % $"s_shards") === ($"mh2" % $"s_shards")).cast("long").as("co")))).as("x"))
+      .groupBy($"x.scheme".as("scheme"), $"s_shards")
+      .agg(count(lit(1)).as("n_pairs"), sum($"x.co").as("colocated"))
+      .select($"scheme", $"s_shards", $"n_pairs", $"colocated",
+        expr("(n_pairs - colocated) * 10000 div n_pairs").as("split_bp"),
+        when($"scheme" === "id_hash",
+          expr("(s_shards - 1) * 10000 div s_shards")).otherwise(-1L)
+          .as("expected_split_bp"))
+      .orderBy($"scheme", $"s_shards")
+  }
+
+  val q436Oracle: String =
+    """WITH tk AS (
+         SELECT doc_id, list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END) AS shd
+         FROM tk),
+       nz AS (SELECT doc_id, shd, len(shd) AS n_sh FROM sh WHERE len(shd) > 0),
+       inv AS (SELECT doc_id,
+                 unnest(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+               FROM nz),
+       inter AS (
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+         FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc1, doc2 FROM inter
+         JOIN nz sa ON doc1 = sa.doc_id
+         JOIN nz sb ON doc2 = sb.doc_id
+         WHERE floor(inter * 10000.0 / (sa.n_sh + sb.n_sh - inter)) >= 5000),
+       keys_ AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS idh,
+                list_min(list_transform(shd, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS mh
+         FROM nz),
+       enriched AS (
+         SELECT p.doc1, p.doc2, a.idh AS id1, a.mh AS mh1, b.idh AS id2, b.mh AS mh2
+         FROM pairs p JOIN keys_ a ON p.doc1 = a.doc_id JOIN keys_ b ON p.doc2 = b.doc_id),
+       grid AS (SELECT CAST(unnest([4, 16]) AS BIGINT) AS s_shards),
+       fan AS (
+         SELECT 'id_hash' AS scheme, s_shards,
+                CASE WHEN id1 % s_shards = id2 % s_shards THEN 1 ELSE 0 END AS co
+         FROM enriched, grid
+         UNION ALL
+         SELECT 'content_minhash', s_shards,
+                CASE WHEN mh1 % s_shards = mh2 % s_shards THEN 1 ELSE 0 END
+         FROM enriched, grid),
+       agg AS (
+         SELECT scheme, s_shards, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(co) AS BIGINT) AS colocated
+         FROM fan GROUP BY 1, 2)
+       SELECT scheme, s_shards, n_pairs, colocated,
+              (n_pairs - colocated) * 10000 // n_pairs AS split_bp,
+              CASE WHEN scheme = 'id_hash' THEN (s_shards - 1) * 10000 // s_shards
+                   ELSE -1 END AS expected_split_bp
+       FROM agg ORDER BY scheme, s_shards"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q436_shard_local_dedup" -> q436ShardLocalDedup,
     "q39_minhash_k_ablation" -> q39MinhashKAblation,
     "q399_dup_family_sizes" -> q399DupFamilySizes,
     "q390_sampled_dedup_bias" -> q390SampledDedupBias,
@@ -2583,6 +2681,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q436_shard_local_dedup" -> q436Oracle,
     "q39_minhash_k_ablation" -> q39Oracle,
     "q399_dup_family_sizes" -> q399Oracle,
     "q390_sampled_dedup_bias" -> q390Oracle,

@@ -176,4 +176,25 @@ class DedupTierSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((2L, 1L, 2L, 1L, 11L), (3L, 1L, 3L, 2L, 1L)))
   }
+
+
+  test("q436: identical docs share their min shingle, so content placement never splits them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shardloc").toString
+    val dup = (1 to 30).map(i => s"s$i").mkString(" ")
+    Seq(
+      (1L, dup, "en", "a", 1L), (2L, dup, "en", "b", 1L),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "c", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.q436ShardLocalDedup(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    for (sShards <- Seq(4L, 16L)) {
+      val c = got(("content_minhash", sShards))
+      assert(c._3 == 1L && c._4 == 1L && c._5 == 0L,
+        s"identical pair must co-locate under content placement: $c")
+      assert(got(("id_hash", sShards))._3 == 1L)
+    }
+  }
 }
