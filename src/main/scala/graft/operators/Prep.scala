@@ -1263,7 +1263,105 @@ object Prep {
                 // probe_rows AS reduction_bp
        FROM m ORDER BY filter"""
 
+  /** Range-boundary sampling audit (q437, the RangePartitioner
+    * question: "are split points computed from a sample good
+    * enough?"): compute 8-way range split boundaries of the
+    * order-price distribution twice — from the FULL data (exact
+    * distributed ntile) and from a deterministic 10% id-sample — then
+    * assign every row under each boundary set and compare the
+    * resulting shard balance against hash sharding. Reports per
+    * scheme the max-shard skew in bp, plus the mean absolute boundary
+    * drift (cents) the sample introduced. The answer a shuffle
+    * implementation banks on: sampled boundaries land within a few
+    * percent of exact at a fraction of the cost, and both range
+    * schemes match hash's balance while preserving order.
+    *
+    * Scale: boundaries come from the distributed exact-ntile engine
+    * (range repartition + offset table) reduced to a 7-value array;
+    * assignment is a per-row HOF against that broadcast array — one
+    * scan per scheme pair, no row-level windows anywhere. */
+  def q437RangeSampleAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.orders(s, d).select($"o_orderkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("v"))
+    def boundaries(rows: DataFrame): DataFrame =
+      Windows.withExactNtile(rows, Seq($"v", $"o_orderkey"), 8, "tile")
+        .filter($"tile" < 8)
+        .groupBy($"tile").agg(max($"v").as("b"))
+        .agg(array_sort(collect_list($"b")).as("bs"))
+    val bFull = boundaries(cents)
+    val bSamp = boundaries(cents.filter(pmod($"o_orderkey", lit(10L)) === 0))
+    val assigned = cents
+      .crossJoin(broadcast(bFull.select($"bs".as("bs_full"))))
+      .crossJoin(broadcast(bSamp.select($"bs".as("bs_samp"))))
+      .select(
+        size(filter($"bs_full", b => $"v" > b)).cast("long").as("sh_full"),
+        size(filter($"bs_samp", b => $"v" > b)).cast("long").as("sh_samp"),
+        (hash60($"o_orderkey".cast("string")) % 8).as("sh_hash"))
+    def skew(c: String) = assigned.groupBy(col(c).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum($"n").as("n_rows"), max($"n").as("max_shard"))
+      .select(expr("max_shard * 8 * 10000 div n_rows").as("skew_bp"),
+        $"n_rows", $"max_shard")
+    val drift = bFull.select($"bs".as("bsf"))
+      .crossJoin(broadcast(bSamp.select($"bs".as("bss"))))
+      .select(expr(
+        """aggregate(zip_with(bsf, bss, (a, b) -> abs(a - b)),
+           0L, (acc, x) -> acc + x) div 7""").as("drift_cents"))
+    skew("sh_full").select(lit("range_full").as("scheme"), $"n_rows",
+        $"max_shard", $"skew_bp", lit(0L).as("boundary_drift_cents"))
+      .unionByName(skew("sh_samp").crossJoin(broadcast(drift))
+        .select(lit("range_sampled").as("scheme"), $"n_rows", $"max_shard",
+          $"skew_bp", $"drift_cents".as("boundary_drift_cents")))
+      .unionByName(skew("sh_hash").select(lit("hash").as("scheme"), $"n_rows",
+        $"max_shard", $"skew_bp", lit(-1L).as("boundary_drift_cents")))
+      .orderBy($"scheme")
+  }
+
+  val q437Oracle: String =
+    """WITH cents AS (
+         SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         FROM orders),
+       bf AS (
+         SELECT list_sort(list(b)) AS bs FROM (
+           SELECT max(v) AS b FROM (
+             SELECT v, ntile(8) OVER (ORDER BY v, o_orderkey) AS tile FROM cents)
+           WHERE tile < 8 GROUP BY tile)),
+       bs AS (
+         SELECT list_sort(list(b)) AS bs FROM (
+           SELECT max(v) AS b FROM (
+             SELECT v, ntile(8) OVER (ORDER BY v, o_orderkey) AS tile FROM cents
+             WHERE o_orderkey % 10 = 0)
+           WHERE tile < 8 GROUP BY tile)),
+       assigned AS (
+         SELECT CAST(len(list_filter(bf.bs, b -> v > b)) AS BIGINT) AS sh_full,
+                CAST(len(list_filter(bs.bs, b -> v > b)) AS BIGINT) AS sh_samp,
+                ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 8 AS sh_hash
+         FROM cents, bf, bs),
+       drift AS (
+         SELECT CAST(list_sum(list_transform(generate_series(1, 7),
+                  i -> abs(bf.bs[i] - bs.bs[i]))) AS BIGINT) // 7 AS drift_cents
+         FROM bf, bs),
+       s_full AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_shard FROM
+                    (SELECT sh_full, CAST(count(*) AS BIGINT) AS cnt FROM assigned GROUP BY 1)),
+       s_samp AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_shard FROM
+                    (SELECT sh_samp, CAST(count(*) AS BIGINT) AS cnt FROM assigned GROUP BY 1)),
+       s_hash AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_shard FROM
+                    (SELECT sh_hash, CAST(count(*) AS BIGINT) AS cnt FROM assigned GROUP BY 1))
+       SELECT 'hash' AS scheme, n_rows, max_shard,
+              max_shard * 8 * 10000 // n_rows AS skew_bp,
+              CAST(-1 AS BIGINT) AS boundary_drift_cents
+       FROM s_hash
+       UNION ALL
+       SELECT 'range_full', n_rows, max_shard, max_shard * 8 * 10000 // n_rows, 0
+       FROM s_full
+       UNION ALL
+       SELECT 'range_sampled', n_rows, max_shard, max_shard * 8 * 10000 // n_rows, drift_cents
+       FROM s_samp, drift
+       ORDER BY scheme"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q437_range_sample_audit" -> q437RangeSampleAudit,
     "q426_runtime_filter_roi" -> q426RuntimeFilterRoi,
     "q425_predicate_order" -> q425PredicateOrder,
     "q415_lsm_planner" -> q415LsmPlanner,
@@ -1284,6 +1382,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q437_range_sample_audit" -> q437Oracle,
     "q426_runtime_filter_roi" -> q426Oracle,
     "q425_predicate_order" -> q425Oracle,
     "q415_lsm_planner" -> q415Oracle,

@@ -502,4 +502,19 @@ class PrepSpec extends SparkSpec {
     // at 6 probe rows the modeled fp leakage floors to zero extra rows
     assert(got("bloom_8bpk")._5 == 3L && got("bloom_16bpk")._5 == 3L)
   }
+
+
+  test("q437: on uniform data the 10% sample reproduces the exact boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rangesample").toString
+    (1 to 800).map(k => (k.toLong, k.toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Prep.q437RangeSampleAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // v = 100*key is uniform; both boundary sets are {10000, ..., 70000}
+    assert(got("range_full") == (("range_full", 800L, 100L, 10000L, 0L)))
+    assert(got("range_sampled") == (("range_sampled", 800L, 100L, 10000L, 0L)))
+    assert(got("hash")._2 == 800L)
+  }
 }
