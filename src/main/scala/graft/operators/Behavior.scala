@@ -2444,7 +2444,64 @@ object Behavior {
               CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) ELSE 0 END AS recall_bp
        FROM rows_ ORDER BY policy"""
 
+  /** Streaming state-size planner (q438): how many keys must a
+    * stateful operator hold live under watermark delays of 1, 6 and
+    * 24 hours? For each delay D and each hour t, the live state is the
+    * distinct users active in (t−D, t]; the planner reports the PEAK
+    * and mean state across the stream, and the peak memory at a
+    * 64-byte-per-key budget — the number that sizes the RocksDB store
+    * (and decides whether a 24 h watermark is affordable) before the
+    * job ever runs.
+    *
+    * Scale: the raw stream reduces to the DISTINCT (hour, user)
+    * relation first (one fact-sized shuffle with map-side combine);
+    * the delay fan-out joins that bounded relation to the hour grid
+    * with at most D/1h copies per row — time-range-sized work, and
+    * the per-(D, t) distinct count is exact because a user appears
+    * once per hour after the first distinct. */
+  def q438StatePlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hu = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), $"user_id")
+      .distinct()
+    val grid = Seq(1L, 6L, 24L).toDF("delay_h")
+    val hours = hu.select($"h".as("t")).distinct()
+    // user u is live at hour t under delay D iff it was active in
+    // (t-D, t]; count distinct via the hour-window join
+    val live = hu.crossJoin(broadcast(grid))
+      .join(hours, $"t" >= $"h" && $"t" < $"h" + $"delay_h")
+      .groupBy($"delay_h", $"t")
+      .agg(countDistinct($"user_id").as("state_keys"))
+    live.groupBy($"delay_h")
+      .agg(max($"state_keys").as("peak_keys"),
+        expr("sum(state_keys) div count(1)").as("mean_keys"),
+        count(lit(1)).as("n_hours"))
+      .select($"delay_h", $"n_hours", $"mean_keys", $"peak_keys",
+        ($"peak_keys" * 64).as("peak_bytes"))
+      .orderBy($"delay_h")
+  }
+
+  val q438Oracle: String =
+    """WITH hu AS (
+         SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, user_id
+         FROM events),
+       grid AS (SELECT CAST(unnest([1, 6, 24]) AS BIGINT) AS delay_h),
+       hours AS (SELECT DISTINCT h AS t FROM hu),
+       live AS (
+         SELECT delay_h, t, CAST(count(DISTINCT user_id) AS BIGINT) AS state_keys
+         FROM hu, grid
+         JOIN hours ON t >= h AND t < h + delay_h
+         GROUP BY 1, 2),
+       agg AS (
+         SELECT delay_h, CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(state_keys) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_keys,
+                max(state_keys) AS peak_keys
+         FROM live GROUP BY 1)
+       SELECT delay_h, n_hours, mean_keys, peak_keys, peak_keys * 64 AS peak_bytes
+       FROM agg ORDER BY delay_h"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q438_state_planner" -> q438StatePlanner,
     "q433_tiering_planner" -> q433TieringPlanner,
     "q434_burn_alert_eval" -> q434BurnAlertEval,
     "q423_ips_offpolicy" -> q423IpsOffpolicy,
@@ -2483,6 +2540,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q438_state_planner" -> q438Oracle,
     "q433_tiering_planner" -> q433Oracle,
     "q434_burn_alert_eval" -> q434Oracle,
     "q423_ips_offpolicy" -> q423Oracle,

@@ -1256,4 +1256,23 @@ class BehaviorSpec extends SparkSpec {
     assert(got("either")._6 >= got("slow_3h_1_5x")._6)
     assert(got("either")._2 >= got("fast_1h_2x")._2)
   }
+
+
+  test("q438: live-state counts under each watermark delay, by hand") {
+    import spark.implicits._
+    def ns(h: Int) = (1704067200L + h * 3600L) * 1000000000L
+    val rows = Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(0), 2L, "view", 1.0, "{}"),
+      (3L, ns(5), 3L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("stateplan").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Behavior.q438StatePlanner(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // D=1: state at t0 = {1,2}, t5 = {3}; D>=6: t5 also sees t0 users
+    assert(got(0) == ((1L, 2L, 1L, 2L, 128L)))
+    assert(got(1) == ((6L, 2L, 2L, 3L, 192L)))
+    assert(got(2) == ((24L, 2L, 2L, 3L, 192L)))
+  }
 }
