@@ -130,7 +130,16 @@ object Bench {
     val shortQs = results.sortBy { case (_, v) => -v }.take(40)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$shortQs,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    val shortLine =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$shortQs,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    // the headline metric ALSO goes to a file: the driver's BENCH_r{N}
+    // artifact parses stdout, where sbt prefixes every line with
+    // "[info] " — r8's artifact published "parsed": null because of it
+    // (VERDICT r8 #5); a file needs no un-prefixing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_total.json"),
+      (shortLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(shortLine)
     spark.stop()
   }
 }

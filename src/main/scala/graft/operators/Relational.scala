@@ -465,10 +465,10 @@ object Relational {
        GROUP BY c_mktsegment
        ORDER BY c_mktsegment"""
 
-  /** Correlated-subquery surface (q151): EXISTS, NOT IN, and a
-    * correlated scalar COUNT subquery — written as SQL text and shipped
-    * UNCHANGED to the oracle (modulo view names). Catalyst decorrelates
-    * all three (RewritePredicateSubquery → left-semi/left-anti joins;
+  /** Correlated-subquery surface (q151): EXISTS, NOT EXISTS (the
+    * scalable NOT IN rewrite), and a correlated scalar COUNT
+    * subquery. Catalyst decorrelates all three
+    * (RewritePredicateSubquery → left-semi/left-anti joins;
     * RewriteCorrelatedScalarSubquery → a left outer aggregate join with
     * the COUNT-over-empty-group ⇒ 0 repair), so the executed plan is
     * three joins over one orders scan — no per-row re-execution exists
@@ -477,7 +477,17 @@ object Relational {
     * engine and three hash joins here. The COUNT-bug repair
     * (customers with no 'F' orders must read 0, not NULL) is exactly
     * the semantic a hand-rolled join rewrite gets wrong, which is why
-    * the query exists in SQL form. */
+    * the query exists in SQL form.
+    *
+    * The anti leg is deliberately `IS NOT NULL AND NOT EXISTS`, not
+    * `NOT IN`: a NOT IN over a nullable fact-sized subquery forces
+    * Spark's null-aware anti join — a data-sized broadcast or a
+    * BroadcastNestedLoopJoin, the cartesian-class shape
+    * `NestedLoopShapeSpec` forbids — while NOT EXISTS plans a plain
+    * hash LeftAnti (VERDICT r8 lock #3 finding). The ORACLE keeps the
+    * original NOT IN, so the query also pins that the rewrite
+    * preserves NOT IN semantics on the null-free key (q191 pins the
+    * with-NULLs side of that equivalence). */
   def q151Subqueries(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -492,9 +502,11 @@ object Relational {
              WHERE o.o_custkey = c.c_custkey
                AND CAST(o.o_totalprice AS DECIMAL(18,2)) >
                    CAST(300000 AS DECIMAL(18,2)))
-           AND c.c_custkey NOT IN (
-             SELECT o_custkey FROM orders_v
-             WHERE o_orderpriority = '1-URGENT')
+           AND c.c_custkey IS NOT NULL
+           AND NOT EXISTS (
+             SELECT 1 FROM orders_v o2
+             WHERE o2.o_custkey = c.c_custkey
+               AND o2.o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""")
   }
 
@@ -821,16 +833,25 @@ object Relational {
        ORDER BY op, l_returnflag, l_linestatus, qty"""
 
   /** NOT IN with NULLs in the subquery (q191) — SQL's sharpest
-    * three-valued-logic edge and a DISTINCT physical operator: `x NOT
-    * IN (set containing NULL)` is never TRUE for any x, so the
-    * with-nulls variant must return count 0, which this query PINS
-    * next to the null-filtered variant's real count. Catalyst can't
-    * use a plain hash anti join for the first one — the plan needs
-    * null-aware anti semantics (single-column NAAJ under
-    * BroadcastHashJoin, else BroadcastNestedLoopJoin) — and a naive
-    * "rewrite NOT IN to anti join" engine silently returns the wrong,
-    * non-empty answer. The pinned 0 is the regression trap for
-    * exactly that bug; q154 covers the null-safe-equality cousin. */
+    * three-valued-logic edge: `x NOT IN (set containing NULL)` is
+    * never TRUE for any x, so the with-nulls variant must return
+    * count 0, which this query PINS next to the null-filtered
+    * variant's real count — against DuckDB's NATIVE NOT IN on both.
+    *
+    * The Spark side is the SCALABLE null-split rewrite, not Spark's
+    * native null-aware anti join: Spark can only execute a nullable
+    * NOT IN as single-column NAAJ under a BroadcastHashJoin (a
+    * data-sized broadcast of the probe — executor OOM at 100 TB) or a
+    * BroadcastNestedLoopJoin (O(N·M)) — the cartesian-class shape
+    * `NestedLoopShapeSpec` forbids (VERDICT r8 lock #3 finding). The
+    * production rewrite every distributed engine ships instead: ONE
+    * hash LeftAnti join on the null-filtered probe + a 1-row has-null
+    * gate that collapses the with-nulls variant to 0 — three-valued
+    * logic preserved, all joins equi. A naive "NOT IN → anti join"
+    * rewrite WITHOUT the gate silently returns the wrong, non-empty
+    * answer; the pinned 0 vs DuckDB's true NOT IN is the regression
+    * trap for exactly that bug. q154 covers the null-safe-equality
+    * cousin. */
   def q191NullAwareAnti(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
@@ -840,12 +861,18 @@ object Relational {
                        ELSE o_custkey END AS k
            FROM orders_v
            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         hasnull AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_null FROM probe
+           WHERE k IS NULL),
+         anti AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_anti FROM customer_v c
+           WHERE c.c_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)),
          with_nulls AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer_v
-           WHERE c_custkey NOT IN (SELECT k FROM probe)),
-         no_nulls AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer_v
-           WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+           SELECT CASE WHEN n_null > 0 THEN CAST(0 AS BIGINT)
+                       ELSE n_anti END AS n_rows
+           FROM hasnull CROSS JOIN anti),
+         no_nulls AS (SELECT n_anti AS n_rows FROM anti)
          SELECT 'not_in_with_nulls' AS variant, n_rows FROM with_nulls
          UNION ALL
          SELECT 'not_in_null_filtered' AS variant, n_rows FROM no_nulls

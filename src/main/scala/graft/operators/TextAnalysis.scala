@@ -780,13 +780,20 @@ object TextAnalysis {
     * reference — the drift metric that, unlike PSI (q128) / JSD (q283)
     * / TVD (q394), charges a shift by HOW FAR the mass moved, so
     * "everything one token longer" scores small while "half the docs
-    * became 10× longer" scores large. On the discrete unit-spaced
-    * length support, W1 = Σ_cutpoints |CDF_s − CDF_ref|, evaluated on
-    * the FULL (source × observed-length) grid with zero cells (the
-    * q394 lesson: a length a source never produces still deviates by
-    * the reference's cumulative mass there). Exact integers: CDFs are
-    * compared cross-multiplied (|cum_s·n_ref − cum_ref·n_s| in micro
-    * units over n_s·n_ref), never as float ratios.
+    * became 10× longer" scores large. On the integer length support,
+    * W1 = Σ_cutpoints |CDF_s − CDF_ref| · gap, where gap = distance to
+    * the NEXT observed cutpoint (ADVICE r8: without the gap weight the
+    * sum charges RANK distance — all-mass-at-10 vs all-mass-at-100
+    * would score ~1 token instead of 90 across a sparse gap — because
+    * both CDFs are constant between observed lengths, each |ΔCDF| term
+    * carries its whole plateau's width). Evaluated on the FULL
+    * (source × observed-length) grid with zero cells (the q394
+    * lesson: a length a source never produces still deviates by the
+    * reference's cumulative mass there); the last cutpoint's gap is
+    * immaterial (both CDFs are 1 there, the term is 0). Exact
+    * integers: CDFs are compared cross-multiplied
+    * (|cum_s·n_ref − cum_ref·n_s|·gap in micro units over n_s·n_ref),
+    * never as float ratios.
     *
     * Scale: per-source histograms come from one groupBy on
     * (source, len) — length is a bounded-vocabulary axis — the grid is
@@ -809,12 +816,14 @@ object TextAnalysis {
     val ref = hist.groupBy($"len").agg(sum($"c").as("rc"))
     val wref = Window.orderBy($"len")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val refCum = ref.select($"len", sum($"rc").over(wref).as("cum_r"))
+    val refCum = ref.select($"len", sum($"rc").over(wref).as("cum_r"),
+      (coalesce(lead($"len", 1).over(Window.orderBy($"len")), $"len" + 1)
+        - $"len").as("gap"))
     val nRef = hist.agg(sum($"c").as("n_ref"))
     cums.join(perSrc, "source").join(refCum, "len")
       .crossJoin(broadcast(nRef))
       .groupBy($"source", $"n_s")
-      .agg(sum(expr("abs(cum_s * n_ref - cum_r * n_s) * 1000000 div (n_s * n_ref)"))
+      .agg(sum(expr("abs(cum_s * n_ref - cum_r * n_s) * gap * 1000000 div (n_s * n_ref)"))
         .as("w1_micro"))
       .select($"source", $"n_s".as("n_docs"), $"w1_micro")
       .orderBy($"source")
@@ -841,11 +850,12 @@ object TextAnalysis {
        ref AS (SELECT len, CAST(sum(c) AS BIGINT) AS rc FROM hist GROUP BY 1),
        refcum AS (
          SELECT len, CAST(sum(rc) OVER (ORDER BY len
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_r,
+           CAST(coalesce(lead(len) OVER (ORDER BY len), len + 1) - len AS BIGINT) AS gap
          FROM ref),
        nref AS (SELECT CAST(sum(c) AS BIGINT) AS n_ref FROM hist)
        SELECT c.source, p.n_s AS n_docs,
-              CAST(sum(abs(c.cum_s * n_ref - r.cum_r * p.n_s) * 1000000 // (p.n_s * n_ref)) AS BIGINT) AS w1_micro
+              CAST(sum(abs(c.cum_s * n_ref - r.cum_r * p.n_s) * r.gap * 1000000 // (p.n_s * n_ref)) AS BIGINT) AS w1_micro
        FROM cums c
        JOIN persrc p USING (source)
        JOIN refcum r USING (len)

@@ -1275,4 +1275,21 @@ class BehaviorSpec extends SparkSpec {
     assert(got(1) == ((6L, 2L, 2L, 3L, 192L)))
     assert(got(2) == ((24L, 2L, 2L, 3L, 192L)))
   }
+
+  test("q438: the delay fan-out is hash joins, never a nested-loop range join") {
+    // VERDICT r8 #2: the pre-fix `t >= h && t < h + delay_h` theta join
+    // planned a BroadcastNestedLoopJoin of the fact-sized (hour, user)
+    // relation against the hour grid; the cover-explode shape must keep
+    // the whole plan in hash joins + hash aggregates
+    val df = operators.Behavior.q438StatePlanner(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so the AQE final plan is in place
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    val loops = nodes.filter {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }
+    assert(loops.isEmpty,
+      s"q438 plans ${loops.size} nested-loop join(s):\n${loops.map(_.nodeName).mkString("\n")}")
+  }
 }

@@ -219,6 +219,41 @@ trait SparkSpec extends AnyFunSuite {
     }.flatten
   }
 
+  /** Cartesian-class-join scale rule (VERDICT r8 #1, closing the hole
+    * [[badBroadcasts]] structurally cannot see): a logical Join with NO
+    * equi-join key — a theta/range join or a bare cross join — can only
+    * execute as CartesianProduct or a nested loop, O(|L|·|R|) predicate
+    * evaluations. That is fine when at least ONE side is provably
+    * BOUNDED (the q383 shape: a capped query set streaming against the
+    * corpus is O(N·cap)), and a cluster-killer when BOTH sides are
+    * data-sized (q45's pre-fix all-pairs shape) — invisible to the
+    * broadcast audit because planner-CHOSEN nested loops carry no hint.
+    * Walks the optimized logical plan (post pushdown/pruning, where
+    * join conditions are in final conjunct form). */
+  def badNestedLoops(qe: org.apache.spark.sql.execution.QueryExecution)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // an equi conjunct splits cleanly across the two join sides (each
+    // side of the = referencing exactly one child's output)
+    def splits(a: Expression, b: Expression, j: Join): Boolean = {
+      def oneSide(e: Expression, s: org.apache.spark.sql.catalyst.expressions.AttributeSet) =
+        e.references.nonEmpty && e.references.subsetOf(s)
+      (oneSide(a, j.left.outputSet) && oneSide(b, j.right.outputSet)) ||
+        (oneSide(b, j.left.outputSet) && oneSide(a, j.right.outputSet))
+    }
+    def hasEquiKey(j: Join): Boolean =
+      j.condition.toSeq.flatMap(conjuncts).exists {
+        case EqualTo(a, b) => splits(a, b, j)
+        case EqualNullSafe(a, b) => splits(a, b, j)
+        case _ => false
+      }
+    qe.optimizedPlan.collect {
+      case j: Join if !hasEquiKey(j) &&
+          !boundedLogical(j.left) && !boundedLogical(j.right) => j
+    }
+  }
+
   /** Assert form of [[badGlobalWindows]] for single-query specs. Call
     * after an action so the AQE final plan is in place. */
   def assertNoRowLevelGlobalWindow(
