@@ -35,7 +35,9 @@ object SparkEntry {
       operators.Retrieval.queries ++
       operators.Quality.queries ++
       operators.Behavior.queries ++
-      operators.Lexicon.queries
+      operators.Lexicon.queries ++
+      operators.Capacity.queries ++
+      operators.Privacy.queries
 
   /** Operator module → its query names, for the bench's per-module
     * JVM warm-up (one untimed query per module primes that module's
@@ -61,6 +63,8 @@ object SparkEntry {
     "Quality" -> operators.Quality.queries.keys.toSeq,
     "Behavior" -> operators.Behavior.queries.keys.toSeq,
     "Lexicon" -> operators.Lexicon.queries.keys.toSeq,
+    "Capacity" -> operators.Capacity.queries.keys.toSeq,
+    "Privacy" -> operators.Privacy.queries.keys.toSeq,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +88,7 @@ object SparkEntry {
       operators.Retrieval.oracles ++
       operators.Quality.oracles ++
       operators.Behavior.oracles ++
-      operators.Lexicon.oracles
+      operators.Lexicon.oracles ++
+      operators.Capacity.oracles ++
+      operators.Privacy.oracles
 }

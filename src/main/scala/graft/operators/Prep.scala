@@ -1389,7 +1389,345 @@ object Prep {
        FROM s_samp, drift
        ORDER BY scheme"""
 
+  /** AQE skew-split simulator (q443): for each candidate shuffle key
+    * of lineitem (orderkey / suppkey / partkey), hash the rows into 32
+    * partitions exactly as an exchange would, then replay Spark's AQE
+    * skew-join mitigation — a partition larger than 5× the median
+    * splits into ⌈size/median⌉ tasks — and report the before/after
+    * task table: skew ratio, split count, and the max-task speedup.
+    * This is the planner that says WHICH key needs salting before the
+    * job runs (orderkey's multi-line orders vs suppkey's uniform
+    * spread behave very differently under the same data).
+    *
+    * Determinism: partition assignment uses the engine's shared 60-bit
+    * md5 primitive (`Fns.hash60`) so both engines bucket identically;
+    * medians are exact lower-median rank lookups over the ≤32-row
+    * per-key partition table. Scale: ONE fact pass fans each row into
+    * the 3 key buckets (stack) and reduces straight to (key, pid)
+    * counts — everything after is arithmetic on ≤96 rows. */
+  def q443SkewSplitSim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq("orderkey" -> "l_orderkey", "suppkey" -> "l_suppkey",
+      "partkey" -> "l_partkey")
+    def bucket(c: String): String =
+      s"CAST(conv(substr(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT) % 32"
+    val stackArgs = keys
+      .map { case (n, c) => s"'$n', ${bucket(c)}" }.mkString(", ")
+    val parts = Tables.lineitem(s, d)
+      .select(expr(s"stack(${keys.size}, $stackArgs)").as(Seq("key_name", "pid")))
+      .groupBy($"key_name", $"pid").agg(count(lit(1)).as("rows"))
+    val wk = Window.partitionBy($"key_name")
+    val ranked = parts
+      .withColumn("rn", row_number().over(
+        wk.orderBy($"rows", $"pid")))
+      .withColumn("np", count(lit(1)).over(wk))
+    val stats = ranked.groupBy($"key_name")
+      .agg(max($"np").as("n_parts"), sum($"rows").as("total_rows"),
+        max($"rows").as("max_rows"),
+        greatest(max(when($"rn" === expr("(np + 1) div 2"), $"rows")), lit(1L))
+          .as("med_rows"))
+    parts.join(broadcast(stats), "key_name")
+      .withColumn("splits",
+        when($"rows" > $"med_rows" * 5, expr("(rows + med_rows - 1) div med_rows"))
+          .otherwise(lit(1L)))
+      .withColumn("chunk", expr("(rows + splits - 1) div splits"))
+      .groupBy($"key_name", $"n_parts", $"total_rows", $"max_rows", $"med_rows")
+      .agg(sum(when($"splits" > 1, 1L).otherwise(0L)).as("n_skewed"),
+        sum($"splits").as("tasks_after"), max($"chunk").as("max_after"))
+      .select($"key_name", $"n_parts", $"total_rows", $"max_rows", $"med_rows",
+        expr("max_rows * 1000 div med_rows").as("skew_milli"),
+        $"n_skewed", $"tasks_after", $"max_after",
+        expr("max_rows * 1000 div max_after").as("speedup_milli"))
+      .orderBy($"key_name")
+  }
+
+  val q443Oracle: String = {
+    def bucket(c: String): String =
+      s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT % 32"
+    s"""WITH parts AS (
+         SELECT key_name, pid, CAST(count(*) AS BIGINT) AS rows_
+         FROM (
+           SELECT 'orderkey' AS key_name, ${bucket("l_orderkey")} AS pid FROM lineitem
+           UNION ALL
+           SELECT 'suppkey', ${bucket("l_suppkey")} FROM lineitem
+           UNION ALL
+           SELECT 'partkey', ${bucket("l_partkey")} FROM lineitem)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT key_name, pid, rows_,
+                row_number() OVER (PARTITION BY key_name ORDER BY rows_, pid) AS rn,
+                CAST(count(*) OVER (PARTITION BY key_name) AS BIGINT) AS np
+         FROM parts),
+       stats AS (
+         SELECT key_name, max(np) AS n_parts, CAST(sum(rows_) AS BIGINT) AS total_rows,
+                max(rows_) AS max_rows,
+                greatest(max(CASE WHEN rn = (np + 1) // 2 THEN rows_ END), 1) AS med_rows
+         FROM ranked GROUP BY 1),
+       split AS (
+         SELECT p.key_name, s.n_parts, s.total_rows, s.max_rows, s.med_rows,
+                CASE WHEN p.rows_ > s.med_rows * 5
+                     THEN (p.rows_ + s.med_rows - 1) // s.med_rows ELSE 1 END AS splits,
+                p.rows_ AS rows_
+         FROM parts p JOIN stats s ON p.key_name = s.key_name)
+       SELECT key_name, n_parts, total_rows, max_rows, med_rows,
+              max_rows * 1000 // med_rows AS skew_milli,
+              CAST(sum(CASE WHEN splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_skewed,
+              CAST(sum(splits) AS BIGINT) AS tasks_after,
+              CAST(max((rows_ + splits - 1) // splits) AS BIGINT) AS max_after,
+              max_rows * 1000 // CAST(max((rows_ + splits - 1) // splits) AS BIGINT) AS speedup_milli
+       FROM split
+       GROUP BY 1, 2, 3, 4, 5 ORDER BY key_name"""
+  }
+
+  /** Predicate-independence / q-error audit (q450, the measurement at
+    * the heart of "How Good Are Query Optimizers?" [Leis et al., VLDB
+    * 2015]): for every pair of four canonical lineitem predicates,
+    * compare the optimizer's independence estimate sel(A)·sel(B)
+    * against the TRUE conjunctive selectivity, as the q-error
+    * max(est,act)/min(est,act) — the factor by which a cost model
+    * misjudges every join fed by that conjunction. Correlated pairs
+    * (flag × date — returns concentrate in shipped history) blow up;
+    * independent pairs sit at 1.0.
+    *
+    * Determinism/scale: ONE scan computes all four flag counts and
+    * all six pair counts as conditional sums; the q-error compares
+    * cA·cB against cAB·n cross-multiplied in decimal(38,0) (counts
+    * are data-sized; int64 products wrap at corpus scale — q423
+    * rule). Output is the 6-row pair table. */
+  def q450SelectivityAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flags = Seq(
+      "qty25" -> "l_quantity >= 25",
+      "disc5" -> "l_discount >= 0.05",
+      "flagR" -> "l_returnflag = 'R'",
+      "ship95" -> "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'")
+    val fl = Tables.lineitem(s, d).select(
+      flags.map { case (n, p) => expr(p).cast("long").as(n) }: _*)
+    val pairs = flags.map(_._1).combinations(2).map(c => (c(0), c(1))).toSeq
+    val aggs = flags.map { case (n, _) => sum(col(n)).as(s"__c_$n") } ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"__c_${a}_$b") }
+    val flat = fl.groupBy().agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'${a}x$b', __c_$a, __c_$b, __c_${a}_$b"
+    }.mkString(", ")
+    flat.select($"n", expr(s"stack(${pairs.size}, $stackArgs)")
+        .as(Seq("pair", "c1", "c2", "c_both")))
+      .withColumn("est_rows_milli",
+        expr("CAST(CAST(c1 AS DECIMAL(38,0)) * c2 * 1000 div n AS BIGINT)"))
+      .withColumn("__e", expr("CAST(c1 AS DECIMAL(38,0)) * c2"))
+      .withColumn("__a", expr("CAST(c_both AS DECIMAL(38,0)) * n"))
+      .select($"pair", $"n", $"c1", $"c2", $"c_both", $"est_rows_milli",
+        expr("CAST(greatest(__e, __a) * 1000 div greatest(least(__e, __a), 1) AS BIGINT)")
+          .as("q_error_milli"),
+        when($"__a" > $"__e", "under").when($"__a" < $"__e", "over")
+          .otherwise("exact").as("bias"))
+      .orderBy($"pair")
+  }
+
+  val q450Oracle: String =
+    """WITH fl AS (
+         SELECT CAST(l_quantity >= 25 AS BIGINT) AS qty25,
+                CAST(l_discount >= 0.05 AS BIGINT) AS disc5,
+                CAST(l_returnflag = 'R' AS BIGINT) AS flagR,
+                CAST(l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AS BIGINT) AS ship95
+         FROM lineitem),
+       flat AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(qty25) AS BIGINT) AS c_qty25,
+                CAST(sum(disc5) AS BIGINT) AS c_disc5,
+                CAST(sum(flagR) AS BIGINT) AS c_flagR,
+                CAST(sum(ship95) AS BIGINT) AS c_ship95,
+                CAST(sum(qty25 * disc5) AS BIGINT) AS c_qty25_disc5,
+                CAST(sum(qty25 * flagR) AS BIGINT) AS c_qty25_flagR,
+                CAST(sum(qty25 * ship95) AS BIGINT) AS c_qty25_ship95,
+                CAST(sum(disc5 * flagR) AS BIGINT) AS c_disc5_flagR,
+                CAST(sum(disc5 * ship95) AS BIGINT) AS c_disc5_ship95,
+                CAST(sum(flagR * ship95) AS BIGINT) AS c_flagR_ship95
+         FROM fl),
+       g AS (
+         SELECT 'qty25xdisc5' AS pair, n, c_qty25 AS c1, c_disc5 AS c2, c_qty25_disc5 AS c_both FROM flat
+         UNION ALL SELECT 'qty25xflagR', n, c_qty25, c_flagR, c_qty25_flagR FROM flat
+         UNION ALL SELECT 'qty25xship95', n, c_qty25, c_ship95, c_qty25_ship95 FROM flat
+         UNION ALL SELECT 'disc5xflagR', n, c_disc5, c_flagR, c_disc5_flagR FROM flat
+         UNION ALL SELECT 'disc5xship95', n, c_disc5, c_ship95, c_disc5_ship95 FROM flat
+         UNION ALL SELECT 'flagRxship95', n, c_flagR, c_ship95, c_flagR_ship95 FROM flat)
+       SELECT pair, n, c1, c2, c_both,
+              CAST(CAST(c1 AS HUGEINT) * c2 * 1000 // n AS BIGINT) AS est_rows_milli,
+              CAST(greatest(CAST(c1 AS HUGEINT) * c2, CAST(c_both AS HUGEINT) * n) * 1000
+                // greatest(least(CAST(c1 AS HUGEINT) * c2, CAST(c_both AS HUGEINT) * n), 1)
+                AS BIGINT) AS q_error_milli,
+              CASE WHEN CAST(c_both AS HUGEINT) * n > CAST(c1 AS HUGEINT) * c2 THEN 'under'
+                   WHEN CAST(c_both AS HUGEINT) * n < CAST(c1 AS HUGEINT) * c2 THEN 'over'
+                   ELSE 'exact' END AS bias
+       FROM g ORDER BY pair"""
+
+  /** Consistent-hashing rebalance planner (q449): doc_ids routed on an
+    * md5 ring of 4 nodes × 16 vnodes vs the same ring grown to 5
+    * nodes — the planner for "what fraction of a 100 TB keyspace
+    * moves when we scale the shard fleet?". Reports the measured
+    * moved share against the theoretical 1/5, plus the load spread
+    * (max/min node share in bp) before and after — the two numbers
+    * (movement ∧ balance) that justify vnode counts.
+    *
+    * Determinism: ring points are md5 of LITERAL 'n{node}#{vnode}'
+    * labels, 60-bit-packed with the node id in the low 3 bits so the
+    * successor lookup is a plain integer min over a constant-folded
+    * 64/80-element array; key positions use the same shared hash
+    * primitive. Scale: one scan, per-row bounded-array HOFs, one
+    * 1-row aggregate — nothing shuffles but the final count. */
+  def q449ConsistentHashing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def point(label: String): String =
+      s"CAST(conv(substr(md5('$label'), 1, 15), 16, 10) AS BIGINT)"
+    def ring(n: Int): String = (0 until n).flatMap(node =>
+      (0 until 16).map(v => s"${point(s"n$node#$v")} * 8 + $node"))
+      .mkString("array(", ", ", ")")
+    def succ(ringE: String): String =
+      s"""pmod(coalesce(
+            array_min(filter($ringE, x -> x >= __pos)),
+            array_min($ringE)), 8)"""
+    val keyed = Tables.documents(s, d)
+      .select($"doc_id",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) * 8 + 7")
+          .as("__pos"))
+      .select($"doc_id",
+        expr(succ(ring(4))).as("n4"), expr(succ(ring(5))).as("n5"))
+    val loadAggs =
+      (0 until 4).map(i => sum(when($"n4" === i, 1L).otherwise(0L)).as(s"__l4_$i")) ++
+        (0 until 5).map(i => sum(when($"n5" === i, 1L).otherwise(0L)).as(s"__l5_$i"))
+    val flat = keyed.groupBy().agg(
+      count(lit(1)).as("n_keys"),
+      (sum(when($"n4" =!= $"n5", 1L).otherwise(0L)).as("moved") +: loadAggs): _*)
+    flat.select($"n_keys", $"moved",
+        expr("moved * 10000 div n_keys").as("moved_bp"),
+        lit(2000L).as("expected_move_bp"),
+        expr("greatest(__l4_0, __l4_1, __l4_2, __l4_3) * 10000 div n_keys")
+          .as("max4_bp"),
+        expr("least(__l4_0, __l4_1, __l4_2, __l4_3) * 10000 div n_keys")
+          .as("min4_bp"),
+        expr("greatest(__l5_0, __l5_1, __l5_2, __l5_3, __l5_4) * 10000 div n_keys")
+          .as("max5_bp"),
+        expr("least(__l5_0, __l5_1, __l5_2, __l5_3, __l5_4) * 10000 div n_keys")
+          .as("min5_bp"))
+  }
+
+  val q449Oracle: String = {
+    def point(label: String): String =
+      s"('0x' || substr(md5('$label'), 1, 15))::BIGINT"
+    def ring(n: Int): String = (0 until n).flatMap(node =>
+      (0 until 16).map(v => s"${point(s"n$node#$v")} * 8 + $node"))
+      .mkString("[", ", ", "]")
+    def succ(ringE: String): String =
+      s"""coalesce(
+            list_min(list_filter($ringE, x -> x >= pos)),
+            list_min($ringE)) % 8"""
+    s"""WITH keyed AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT * 8 + 7 AS pos
+         FROM documents),
+       routed AS (
+         SELECT doc_id, ${succ(ring(4))} AS n4, ${succ(ring(5))} AS n5 FROM keyed),
+       flat AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(CASE WHEN n4 <> n5 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+                CAST(sum(CASE WHEN n4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l4_0,
+                CAST(sum(CASE WHEN n4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l4_1,
+                CAST(sum(CASE WHEN n4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS l4_2,
+                CAST(sum(CASE WHEN n4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS l4_3,
+                CAST(sum(CASE WHEN n5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l5_0,
+                CAST(sum(CASE WHEN n5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l5_1,
+                CAST(sum(CASE WHEN n5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS l5_2,
+                CAST(sum(CASE WHEN n5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS l5_3,
+                CAST(sum(CASE WHEN n5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS l5_4
+         FROM routed)
+       SELECT n_keys, moved, moved * 10000 // n_keys AS moved_bp,
+              CAST(2000 AS BIGINT) AS expected_move_bp,
+              greatest(l4_0, l4_1, l4_2, l4_3) * 10000 // n_keys AS max4_bp,
+              least(l4_0, l4_1, l4_2, l4_3) * 10000 // n_keys AS min4_bp,
+              greatest(l5_0, l5_1, l5_2, l5_3, l5_4) * 10000 // n_keys AS max5_bp,
+              least(l5_0, l5_1, l5_2, l5_3, l5_4) * 10000 // n_keys AS min5_bp
+       FROM flat"""
+  }
+
+  /** Bucketing advisor (q442): should lineitem/orders/part/customer be
+    * rewritten into bucketed layout, and on WHICH key? Each candidate
+    * is scored with the measured row counts under the engine's
+    * literal cost model (per-row widths; a fixed weekly join workload;
+    * rewrite ≈ 3× table bytes for the sort+write; maintenance ≈ 1%
+    * daily ingest re-bucketed): weekly shuffle bytes saved, one-time
+    * rewrite cost, weekly maintenance, net weekly gain and payback
+    * weeks — the q415/q416 literal-lattice pattern pointed at layout.
+    * Only the row counts come from data; everything else is the
+    * declared model, so the advisor's arithmetic is exact integers.
+    *
+    * Scale: four count(*) scans reduced to one broadcast-joined 1-row
+    * relation; the candidate table is 3 literal rows. */
+  def q442BucketingAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nl = Tables.lineitem(s, d).groupBy().agg(count(lit(1)).as("n_l"))
+    val no = Tables.orders(s, d).groupBy().agg(count(lit(1)).as("n_o"))
+    val nc = Tables.customer(s, d).groupBy().agg(count(lit(1)).as("n_c"))
+    val np = Tables.part(s, d).groupBy().agg(count(lit(1)).as("n_p"))
+    val stats = nl.crossJoin(broadcast(no)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(np))
+    // (key, big table bytes, small table bytes, joins/week) under the
+    // literal widths l=120 o=100 c=150 p=130 bytes/row
+    val cand = stats.select(explode(array(
+        struct(lit("orderkey").as("key"),
+          ($"n_l" * 120 + $"n_o" * 100).as("pair_bytes"), lit(12L).as("joins_wk")),
+        struct(lit("partkey").as("key"),
+          ($"n_l" * 120 + $"n_p" * 130).as("pair_bytes"), lit(4L).as("joins_wk")),
+        struct(lit("custkey").as("key"),
+          ($"n_o" * 100 + $"n_c" * 150).as("pair_bytes"), lit(8L).as("joins_wk"))))
+        .as("x"))
+      .select($"x.key".as("key"), $"x.pair_bytes", $"x.joins_wk")
+      .withColumn("weekly_saved", $"pair_bytes" * $"joins_wk")
+      .withColumn("rewrite", $"pair_bytes" * 3)
+      .withColumn("weekly_maint", expr("pair_bytes * 3 * 7 div 100"))
+      .withColumn("net_weekly", $"weekly_saved" - $"weekly_maint")
+      .withColumn("payback_weeks",
+        when($"net_weekly" > 0, expr("(rewrite + net_weekly - 1) div net_weekly"))
+          .otherwise(lit(-1L)))
+    val best = cand.groupBy().agg(max($"net_weekly").as("__best"))
+    cand.crossJoin(broadcast(best))
+      .withColumn("picked", $"net_weekly" === $"__best")
+      .select($"key", $"pair_bytes", $"joins_wk", $"weekly_saved",
+        $"rewrite", $"weekly_maint", $"net_weekly", $"payback_weeks", $"picked")
+      .orderBy($"key")
+  }
+
+  val q442Oracle: String =
+    """WITH stats AS (
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+                (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_c,
+                (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_p),
+       cand AS (
+         SELECT 'orderkey' AS key, n_l * 120 + n_o * 100 AS pair_bytes,
+                CAST(12 AS BIGINT) AS joins_wk FROM stats
+         UNION ALL
+         SELECT 'partkey', n_l * 120 + n_p * 130, 4 FROM stats
+         UNION ALL
+         SELECT 'custkey', n_o * 100 + n_c * 150, 8 FROM stats),
+       scored AS (
+         SELECT key, pair_bytes, joins_wk,
+                pair_bytes * joins_wk AS weekly_saved,
+                pair_bytes * 3 AS rewrite,
+                pair_bytes * 3 * 7 // 100 AS weekly_maint,
+                pair_bytes * joins_wk - pair_bytes * 3 * 7 // 100 AS net_weekly
+         FROM cand)
+       SELECT key, pair_bytes, joins_wk, weekly_saved, rewrite, weekly_maint,
+              net_weekly,
+              CASE WHEN net_weekly > 0 THEN (rewrite + net_weekly - 1) // net_weekly
+                   ELSE -1 END AS payback_weeks,
+              net_weekly = (SELECT max(net_weekly) FROM scored) AS picked
+       FROM scored ORDER BY key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q442_bucketing_advisor" -> q442BucketingAdvisor,
+    "q443_skew_split_sim" -> q443SkewSplitSim,
+    "q449_consistent_hashing" -> q449ConsistentHashing,
+    "q450_selectivity_audit" -> q450SelectivityAudit,
     "q437_range_sample_audit" -> q437RangeSampleAudit,
     "q426_runtime_filter_roi" -> q426RuntimeFilterRoi,
     "q425_predicate_order" -> q425PredicateOrder,
@@ -1411,6 +1749,10 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q442_bucketing_advisor" -> q442Oracle,
+    "q443_skew_split_sim" -> q443Oracle,
+    "q449_consistent_hashing" -> q449Oracle,
+    "q450_selectivity_audit" -> q450Oracle,
     "q437_range_sample_audit" -> q437Oracle,
     "q426_runtime_filter_roi" -> q426Oracle,
     "q425_predicate_order" -> q425Oracle,

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 engine advisors (q442, q443, q449,
+  * q450): planted shapes plus an independent Scala replay of the
+  * consistent-hashing ring. */
+class AdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala twin of Fns.hash60: md5-hex → first 15 nibbles → long. */
+  private def h60(s0: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("q449: the ring replay agrees, and keys only ever move TO the new node") {
+    val dir = java.nio.file.Files.createTempDirectory("ring").toString
+    val ids = (1L to 500L)
+    ids.map(i => (i, s"doc $i")).toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def ring(n: Int): Seq[Long] = for {
+      node <- 0 until n; v <- 0 until 16
+    } yield h60(s"n$node#$v") * 8 + node
+    def succ(r: Seq[Long], pos: Long): Long = {
+      val ge = r.filter(_ >= pos)
+      (if (ge.nonEmpty) ge.min else r.min) % 8
+    }
+    val r4 = ring(4); val r5 = ring(5)
+    val routed = ids.map { i =>
+      val pos = h60(i.toString) * 8 + 7
+      (succ(r4, pos), succ(r5, pos))
+    }
+    // the defining consistent-hashing property: a key that moves when
+    // n4 grows to n5 moves ONLY to the new node
+    assert(routed.filter { case (a, b) => a != b }.forall(_._2 == 4L))
+    val expMoved = routed.count { case (a, b) => a != b }.toLong
+    val got = operators.Prep.q449ConsistentHashing(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._1 == 500L)
+    assert(got._2 == expMoved, s"moved: got ${got._2}, replay $expMoved")
+    val max4 = (0 until 4).map(n => routed.count(_._1 == n)).max.toLong
+    assert(got._5 == max4 * 10000L / 500L)
+  }
+
+  test("q450: a perfectly correlated pair blows up, an engineered-independent pair reads exact") {
+    val dir = java.nio.file.Files.createTempDirectory("qerr").toString
+    val ship95 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val ship94 = java.sql.Timestamp.valueOf("1994-01-01 00:00:00")
+    (1 to 8).map { i =>
+      (i.toLong, i.toLong, i.toLong, i,
+        if (i <= 2) 30.0 else 10.0, // qty25 ⟺ disc5 (perfect correlation)
+        if (i <= 2) 0.06 else 0.0,
+        if (i <= 4) "R" else "N", // flagR half
+        if (i % 2 == 1) ship95 else ship94) // ship95 half, cb=2 ⇒ independent
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_discount", "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Prep.q450SelectivityAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // qty25×disc5: est = 2·2/8 = 0.5 rows, actual 2 → q-error 4×, under
+    val corr = got("qty25xdisc5")
+    assert(corr._5 == 2L && corr._6 == 500L && corr._7 == 4000L
+      && corr._8 == "under")
+    // flagR×ship95: est = 4·4/8 = 2 rows = actual → 1.0, exact
+    val ind = got("flagRxship95")
+    assert(ind._5 == 2L && ind._7 == 1000L && ind._8 == "exact")
+  }
+
+  test("q443: a planted hot key splits; a single-partition key does not") {
+    val dir = java.nio.file.Files.createTempDirectory("skew").toString
+    // orderkey: ONE value (everything lands in one partition — no
+    // median to compare against, no split); suppkey: 100 rows of key
+    // 777 + 10 singleton keys (a real skewed spread)
+    val rows = (1 to 110).map { i =>
+      val supp = if (i <= 100) 777L else 1000L + i
+      (42L, i.toLong, supp, i)
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Prep.q443SkewSplitSim(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val ok = got("orderkey")
+    assert(ok._2 == 1L && ok._3 == 110L && ok._4 == 110L && ok._5 == 110L)
+    assert(ok._6 == 1000L && ok._7 == 0L && ok._8 == 1L && ok._9 == 110L)
+    val sk = got("suppkey")
+    assert(sk._3 == 110L)
+    assert(sk._7 >= 1L, s"hot suppkey partition must split: $sk")
+    assert(sk._8 > sk._2 && sk._9 < sk._4)
+    assert(sk._10 > 1000L) // splitting the hot partition speeds up the max task
+  }
+
+  test("q442: the advisor's arithmetic replays from the raw counts") {
+    val d = "/root/testdata/sf0.001"
+    val nl = graft.io.Tables.lineitem(spark, d).count()
+    val no = graft.io.Tables.orders(spark, d).count()
+    val nc = graft.io.Tables.customer(spark, d).count()
+    val np = graft.io.Tables.part(spark, d).count()
+    val exp = Seq(
+      ("custkey", no * 100 + nc * 150, 8L),
+      ("orderkey", nl * 120 + no * 100, 12L),
+      ("partkey", nl * 120 + np * 130, 4L)).map { case (k, pb, f) =>
+      val maint = pb * 3 * 7 / 100
+      (k, pb, f, pb * f, pb * 3, maint, pb * f - maint)
+    }
+    val bestNet = exp.map(_._7).max
+    val got = operators.Prep.q442BucketingAdvisor(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toList
+    exp.zip(got).foreach { case ((k, pb, f, saved, rw, maint, net), g) =>
+      assert(g._1 == k && g._2 == pb && g._3 == f && g._4 == saved
+        && g._5 == rw && g._6 == maint && g._7 == net)
+      assert(g._9 == (net == bestNet))
+      if (net > 0) assert(g._8 == (rw + net - 1) / net)
+    }
+    // at TPC-H shape the orderkey pair (biggest tables × highest
+    // frequency) must win
+    assert(got.find(_._9).map(_._1).contains("orderkey"))
+  }
+}
