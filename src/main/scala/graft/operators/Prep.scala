@@ -1723,7 +1723,397 @@ object Prep {
               net_weekly = (SELECT max(net_weekly) FROM scored) AS picked
        FROM scored ORDER BY key"""
 
+  /** System-R left-deep join-order advisor (q453, Selinger et al.
+    * 1979): for the 4-table chain customer —custkey— orders
+    * —orderkey— lineitem —partkey— part, enumerate every left-deep
+    * order with no cross join (8 on a 4-chain) and cost each as the
+    * sum of its two INTERMEDIATE result-size estimates under the
+    * textbook model |A⋈B| = |A|·|B| / max(ndv_A(k), ndv_B(k)) with
+    * attribute NDVs preserved through joins. The advisor's pick is
+    * the plan a Selinger optimizer would emit from the same
+    * statistics — next to q417, which measures how wrong those
+    * estimates are, and q450, which measures why.
+    *
+    * Determinism/scale: ONE stats pass (4 counts + 3 key NDVs, each a
+    * 1-row broadcast attachment); estimates are exact decimal
+    * products floored at each extension step IN PLAN ORDER (flooring
+    * is order-dependent, so both engines evaluate the identical
+    * nesting); the 8-row plan lattice is literal. */
+  def q453JoinOrderAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.customer(s, d).groupBy().agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(Tables.orders(s, d).groupBy()
+        .agg(count(lit(1)).as("n_o"), countDistinct($"o_custkey").as("dv_ock"))))
+      .crossJoin(broadcast(Tables.lineitem(s, d).groupBy()
+        .agg(count(lit(1)).as("n_l"), countDistinct($"l_orderkey").as("dv_lok"),
+          countDistinct($"l_partkey").as("dv_lpk"))))
+      .crossJoin(broadcast(Tables.part(s, d).groupBy()
+        .agg(count(lit(1)).as("n_p"))))
+    val n = Map("C" -> "n_c", "O" -> "n_o", "L" -> "n_l", "P" -> "n_p")
+    val den = Map(
+      Set("C", "O") -> "greatest(n_c, dv_ock)",
+      Set("O", "L") -> "greatest(n_o, dv_lok)",
+      Set("L", "P") -> "greatest(n_p, dv_lpk)")
+    val chain = Seq("C", "O", "L", "P")
+    def contiguous(ts: Seq[String]): Boolean = {
+      val idx = ts.map(chain.indexOf).sorted
+      idx.last - idx.head == idx.size - 1
+    }
+    val orders = chain.permutations.filter(p =>
+      (2 to 4).forall(k => contiguous(p.take(k)))).toSeq
+    val arms = orders.map { ord =>
+      // grow the span left-deep; each new table attaches through its
+      // chain edge into the current span
+      var expr0 = s"CAST(${n(ord.head)} AS DECIMAL(38,0))"
+      val mids = (1 until 4).map { k =>
+        val t = ord(k)
+        val span = ord.take(k).toSet
+        val edge = chain.zip(chain.tail)
+          .find(e => (e._1 == t && span(e._2)) || (e._2 == t && span(e._1)))
+          .map(e => Set(e._1, e._2)).get
+        expr0 = s"(($expr0) * ${n(t)} div ${den(edge)})"
+        expr0
+      }
+      val name = ord.mkString(">")
+      s"named_struct('plan', '$name', " +
+        s"'est_mid1', CAST(${mids(0)} AS BIGINT), " +
+        s"'est_mid2', CAST(${mids(1)} AS BIGINT), " +
+        s"'est_final', CAST(${mids(2)} AS BIGINT), " +
+        s"'cost', CAST(${mids(0)} + ${mids(1)} AS BIGINT))"
+    }
+    st.select(explode(expr(s"array(${arms.mkString(", ")})")).as("r"))
+      .select($"r.plan".as("plan"), $"r.est_mid1", $"r.est_mid2",
+        $"r.est_final", $"r.cost")
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cost", $"plan")).cast("long"))
+      .withColumn("picked", $"rank" === 1L)
+      .orderBy($"plan")
+  }
+
+  val q453Oracle: String = {
+    val n = Map("C" -> "n_c", "O" -> "n_o", "L" -> "n_l", "P" -> "n_p")
+    val den = Map(
+      Set("C", "O") -> "greatest(n_c, dv_ock)",
+      Set("O", "L") -> "greatest(n_o, dv_lok)",
+      Set("L", "P") -> "greatest(n_p, dv_lpk)")
+    val chain = Seq("C", "O", "L", "P")
+    def contiguous(ts: Seq[String]): Boolean = {
+      val idx = ts.map(chain.indexOf).sorted
+      idx.last - idx.head == idx.size - 1
+    }
+    val orders = chain.permutations.filter(p =>
+      (2 to 4).forall(k => contiguous(p.take(k)))).toSeq
+    val arms = orders.map { ord =>
+      var expr0 = s"CAST(${n(ord.head)} AS HUGEINT)"
+      val mids = (1 until 4).map { k =>
+        val t = ord(k)
+        val span = ord.take(k).toSet
+        val edge = chain.zip(chain.tail)
+          .find(e => (e._1 == t && span(e._2)) || (e._2 == t && span(e._1)))
+          .map(e => Set(e._1, e._2)).get
+        expr0 = s"(($expr0) * ${n(t)} // ${den(edge)})"
+        expr0
+      }
+      val name = ord.mkString(">")
+      s"""SELECT '$name' AS plan, CAST(${mids(0)} AS BIGINT) AS est_mid1,
+            CAST(${mids(1)} AS BIGINT) AS est_mid2,
+            CAST(${mids(2)} AS BIGINT) AS est_final,
+            CAST(${mids(0)} + ${mids(1)} AS BIGINT) AS cost
+          FROM st"""
+    }
+    s"""WITH st AS (
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_c,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+                (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS dv_ock,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+                (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dv_lok,
+                (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS dv_lpk,
+                (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_p),
+       plans AS (${arms.mkString("\nUNION ALL\n")})
+       SELECT plan, est_mid1, est_mid2, est_final, cost,
+              CAST(row_number() OVER (ORDER BY cost, plan) AS BIGINT) AS rank,
+              row_number() OVER (ORDER BY cost, plan) = 1 AS picked
+       FROM plans ORDER BY plan"""
+  }
+
+  /** Histogram-estimator shootout (q454, Ioannidis' classic question):
+    * build a 16-bucket EQUI-WIDTH and a 16-bucket EQUI-DEPTH histogram
+    * of l_extendedprice (centi) and score both on the same CDF
+    * workload — 8 evenly spaced cutpoints x, estimate |v ≤ x| with
+    * standard partial-bucket interpolation, and report the q-error
+    * against the exact count. Equi-depth's bounded per-bucket rank
+    * error beats equi-width wherever the value distribution is
+    * skewed; this measures BY HOW MUCH on real data — the evidence
+    * behind every engine's choice of equi-depth statistics.
+    *
+    * Scale: equi-depth boundaries come from [[Windows.withExactNtile]]
+    * (range-partitioned rank, never a global sort); both histograms
+    * reduce to 16-element arrays on a 1-row relation; the truth pass
+    * is one scan of conditional sums; estimates are per-cutpoint
+    * integer HOFs over the broadcast arrays (the q420 interpolation
+    * discipline: floor-divide per term on both engines). */
+  def q454HistogramShootout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d).select(
+      floor($"l_extendedprice" * 100).cast("long").as("v"),
+      $"l_orderkey", $"l_linenumber")
+    val stats = rows.groupBy().agg(min($"v").as("lo"), max($"v").as("hi"),
+      count(lit(1)).as("n"))
+    // equi-depth: exact-ntile tiles → per-tile max = the 16 boundaries
+    val ed = Windows.withExactNtile(rows,
+        Seq($"v", $"l_orderkey", $"l_linenumber"), 16, "tile")
+      .groupBy($"tile").agg(max($"v").as("b"))
+      .groupBy().agg(expr("transform(array_sort(collect_list(struct(tile, b))), x -> x.b)")
+        .as("bnds"))
+    // equi-width: bucket counts (missing buckets filled with 0)
+    val ewRaw = rows.crossJoin(broadcast(stats))
+      .groupBy(expr("least(15L, (v - lo) * 16 div (hi - lo + 1))").as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val ew = ewRaw.groupBy()
+      .agg(expr("map_from_arrays(collect_list(bk), collect_list(c))").as("m"))
+      .select(expr("transform(sequence(0, 15), i -> coalesce(m[i], 0L))").as("cnts"))
+    // truth: one conditional-sum pass over the 8 derived cutpoints
+    def cut(j: Int) = s"lo + (hi - lo) * $j div 9"
+    val truthAggs = (1 to 8).map(j =>
+      sum(when($"v" <= expr(cut(j)), 1L).otherwise(0L)).as(s"__t$j"))
+    val truth = rows.crossJoin(broadcast(stats))
+      .groupBy($"lo", $"hi", $"n").agg(truthAggs.head, truthAggs.tail: _*)
+      .withColumn("truths", expr(
+        s"array(${(1 to 8).map(j => s"__t$j").mkString(", ")})"))
+      .select($"lo", $"hi", $"n", $"truths")
+    val one = truth.crossJoin(broadcast(ed)).crossJoin(broadcast(ew))
+    // per cutpoint: equi-width interpolates inside the straddling
+    // width-bucket; equi-depth interpolates inside the straddling tile
+    // (tile sizes are exactly q+1 for the first r tiles, q after)
+    val est = one.select($"lo", $"hi", $"n", $"truths", $"bnds", $"cnts",
+        explode(expr("sequence(1, 8)")).as("j"))
+      .withColumn("x", expr("lo + (hi - lo) * j div 9"))
+      .withColumn("truth", expr("element_at(truths, CAST(j AS INT))"))
+      .withColumn("bk", expr("least(15L, (x - lo) * 16 div (hi - lo + 1))"))
+      .withColumn("blo", expr("lo + (bk * (hi - lo + 1) + 15) div 16"))
+      .withColumn("bhi", expr("lo + ((bk + 1) * (hi - lo + 1) + 15) div 16 - 1"))
+      .withColumn("est_ew", expr(
+        """aggregate(slice(cnts, 1, CAST(bk AS INT)), 0L, (acc, c) -> acc + c)
+           + element_at(cnts, CAST(bk + 1 AS INT)) * (x - blo + 1)
+             div (bhi - blo + 1)"""))
+      .withColumn("f", expr("size(filter(bnds, b -> b <= x))").cast("long"))
+      .withColumn("est_ed", expr(
+        """CASE WHEN f >= 16 THEN n ELSE
+             f * (n div 16) + least(f, n % 16)
+             + ((n div 16) + CASE WHEN f + 1 <= n % 16 THEN 1 ELSE 0 END)
+               * (x - CASE WHEN f = 0 THEN lo - 1 ELSE element_at(bnds, CAST(f AS INT)) END)
+               div (element_at(bnds, CAST(f + 1 AS INT))
+                    - CASE WHEN f = 0 THEN lo - 1 ELSE element_at(bnds, CAST(f AS INT)) END)
+           END"""))
+    est.select($"j".cast("long").as("cut_idx"), $"x", $"truth",
+        $"est_ew", $"est_ed",
+        expr("greatest(greatest(truth, est_ew), 1) * 1000 div greatest(least(truth, est_ew), 1)")
+          .as("qerr_ew_milli"),
+        expr("greatest(greatest(truth, est_ed), 1) * 1000 div greatest(least(truth, est_ed), 1)")
+          .as("qerr_ed_milli"))
+      .orderBy($"cut_idx")
+  }
+
+  val q454Oracle: String =
+    """WITH rows_ AS (
+         SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                l_orderkey, l_linenumber
+         FROM lineitem),
+       stats AS (SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+                        CAST(count(*) AS BIGINT) AS n FROM rows_),
+       ed AS (
+         SELECT list_sort(list(b)) AS bnds FROM (
+           SELECT CAST(max(v) AS BIGINT) AS b FROM (
+             SELECT v, ntile(16) OVER (ORDER BY v, l_orderkey, l_linenumber) AS tile
+             FROM rows_)
+           GROUP BY tile)),
+       ewr AS (
+         SELECT least(15, (v - lo) * 16 // (hi - lo + 1)) AS bk,
+                CAST(count(*) AS BIGINT) AS c
+         FROM rows_, stats GROUP BY 1),
+       ew AS (
+         SELECT list(coalesce(c, 0) ORDER BY i) AS cnts
+         FROM (SELECT unnest(generate_series(0, 15)) AS i) g
+         LEFT JOIN ewr ON ewr.bk = g.i),
+       truth AS (
+         SELECT g.j, lo, hi, n, lo + (hi - lo) * g.j // 9 AS x,
+                (SELECT CAST(count(*) AS BIGINT) FROM rows_
+                 WHERE v <= lo + (hi - lo) * g.j // 9) AS truth
+         FROM (SELECT unnest(generate_series(1, 8)) AS j) g, stats),
+       est AS (
+         SELECT j, x, truth, lo, hi, n, bnds, cnts,
+                least(15, (x - lo) * 16 // (hi - lo + 1)) AS bk,
+                lo + (least(15, (x - lo) * 16 // (hi - lo + 1)) * (hi - lo + 1) + 15) // 16 AS blo,
+                lo + ((least(15, (x - lo) * 16 // (hi - lo + 1)) + 1) * (hi - lo + 1) + 15) // 16 - 1 AS bhi,
+                CAST(len(list_filter(bnds, b -> b <= x)) AS BIGINT) AS f
+         FROM truth, ed, ew),
+       scored AS (
+         SELECT CAST(j AS BIGINT) AS cut_idx, x, truth,
+                list_sum(cnts[1:CAST(bk AS INTEGER)])
+                  + cnts[CAST(bk + 1 AS INTEGER)] * (x - blo + 1) // (bhi - blo + 1) AS est_ew,
+                CASE WHEN f >= 16 THEN n ELSE
+                  f * (n // 16) + least(f, n % 16)
+                  + ((n // 16) + CASE WHEN f + 1 <= n % 16 THEN 1 ELSE 0 END)
+                    * (x - CASE WHEN f = 0 THEN lo - 1 ELSE bnds[CAST(f AS INTEGER)] END)
+                    // (bnds[CAST(f + 1 AS INTEGER)]
+                        - CASE WHEN f = 0 THEN lo - 1 ELSE bnds[CAST(f AS INTEGER)] END)
+                END AS est_ed
+         FROM est)
+       SELECT cut_idx, x, truth,
+              CAST(est_ew AS BIGINT) AS est_ew, CAST(est_ed AS BIGINT) AS est_ed,
+              CAST(greatest(greatest(truth, est_ew), 1) * 1000
+                // greatest(least(truth, est_ew), 1) AS BIGINT) AS qerr_ew_milli,
+              CAST(greatest(greatest(truth, est_ed), 1) * 1000
+                // greatest(least(truth, est_ed), 1) AS BIGINT) AS qerr_ed_milli
+       FROM scored ORDER BY cut_idx"""
+
+  /** Row-vs-block sampling audit (q455): estimate per-returnflag counts
+    * and revenue from (a) a 1/16 Bernoulli ROW sample (hash of the
+    * full line key) and (b) a 1/16 CLUSTER sample (hash of orderkey —
+    * whole orders in or out, the shape block/file sampling takes at
+    * 100 TB where reading 1/16 of ROWS still touches every file but
+    * 1/16 of ORDERS can skip files). Cluster sampling is cheaper and
+    * unbiased but carries the intra-cluster correlation penalty; this
+    * measures that penalty as achieved error bp on real data.
+    *
+    * Determinism: both samples are md5-residue classes (`Fns.hash60`),
+    * exactly reproducible cross-engine; estimates scale by 16 in
+    * integer arithmetic; errors are cross-multiplied bp. One scan,
+    * conditional sums, 3-row output. */
+  def q455SamplingAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select($"l_returnflag".as("flag"),
+      floor($"l_extendedprice" * 100).cast("long").as("v"),
+      (graft.functions.Fns.hash60(
+        concat($"l_orderkey".cast("string"), lit("#"),
+          $"l_linenumber".cast("string"))) % 16 === 0).as("in_row"),
+      (graft.functions.Fns.hash60($"l_orderkey".cast("string")) % 16 === 0)
+        .as("in_clu"))
+    base.groupBy($"flag")
+      .agg(count(lit(1)).as("n_exact"), sum($"v").as("sum_exact"),
+        sum(when($"in_row", 1L).otherwise(0L)).as("__nr"),
+        sum(when($"in_row", $"v").otherwise(0L)).as("__sr"),
+        sum(when($"in_clu", 1L).otherwise(0L)).as("__nc"),
+        sum(when($"in_clu", $"v").otherwise(0L)).as("__sc"))
+      .select($"flag", $"n_exact", $"sum_exact",
+        ($"__nr" * 16).as("n_est_row"), ($"__nc" * 16).as("n_est_cluster"),
+        expr("abs(__nr * 16 - n_exact) * 10000 div n_exact").as("n_err_row_bp"),
+        expr("abs(__nc * 16 - n_exact) * 10000 div n_exact").as("n_err_cluster_bp"),
+        expr("abs(__sr * 16 - sum_exact) * 10000 div sum_exact").as("sum_err_row_bp"),
+        expr("abs(__sc * 16 - sum_exact) * 10000 div sum_exact").as("sum_err_cluster_bp"))
+      .orderBy($"flag")
+  }
+
+  val q455Oracle: String =
+    """WITH base AS (
+         SELECT l_returnflag AS flag,
+                CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 16 = 0 AS in_row,
+                ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                  % 16 = 0 AS in_clu
+         FROM lineitem),
+       agg AS (
+         SELECT flag, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(sum(v) AS BIGINT) AS sum_exact,
+                CAST(sum(CASE WHEN in_row THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                CAST(sum(CASE WHEN in_row THEN v ELSE 0 END) AS BIGINT) AS sr,
+                CAST(sum(CASE WHEN in_clu THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                CAST(sum(CASE WHEN in_clu THEN v ELSE 0 END) AS BIGINT) AS sc
+         FROM base GROUP BY 1)
+       SELECT flag, n_exact, sum_exact,
+              nr * 16 AS n_est_row, nc * 16 AS n_est_cluster,
+              abs(nr * 16 - n_exact) * 10000 // n_exact AS n_err_row_bp,
+              abs(nc * 16 - n_exact) * 10000 // n_exact AS n_err_cluster_bp,
+              abs(sr * 16 - sum_exact) * 10000 // sum_exact AS sum_err_row_bp,
+              abs(sc * 16 - sum_exact) * 10000 // sum_exact AS sum_err_cluster_bp
+       FROM agg ORDER BY flag"""
+
+  /** Incremental-view-maintenance advisor (q456, the operational twin
+    * of q416's view SELECTION): for three candidate rollup views over
+    * orders — by month, by customer, by (month, priority) — measure
+    * the view size, the average daily delta, and the average distinct
+    * view GROUPS touched per day, then compare the daily IVM cost
+    * (delta rows + touched groups) against a daily full refresh
+    * (fact scan + view rewrite). Wide-group views (by month) are
+    * near-free to maintain; key-grained views (by customer) touch
+    * almost every group daily and approach refresh cost — the
+    * gain table quantifies it.
+    *
+    * Scale: ONE fact pass stacks the 3 grouping keys to a
+    * (view, day, group) cell relation; every readout is an aggregate
+    * of that already-reduced relation. */
+  def q456IvmAdvisor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ym = "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS STRING)"
+    val stackArgs = Seq(
+      s"'by_month', $ym",
+      "'by_cust', CAST(o_custkey AS STRING)",
+      s"'by_month_prio', concat($ym, '|', o_orderpriority)").mkString(", ")
+    val cells = Tables.orders(s, d)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        expr(s"stack(3, $stackArgs)").as(Seq("view", "grp")))
+      .groupBy($"view", $"day", $"grp").agg(count(lit(1)).as("c"))
+    cells.groupBy($"view")
+      .agg(sum($"c").as("n_fact"),
+        countDistinct($"day").as("n_days"),
+        countDistinct($"grp").as("view_rows"),
+        count(lit(1)).as("__cells"))
+      .select($"view", $"n_fact", $"view_rows", $"n_days",
+        expr("n_fact div n_days").as("delta_rows_day"),
+        expr("__cells div n_days").as("touched_groups_day"),
+        expr("n_fact div n_days + __cells div n_days").as("ivm_cost_day"),
+        ($"n_fact" + $"view_rows").as("refresh_cost_day"))
+      .withColumn("gain_milli",
+        expr("refresh_cost_day * 1000 div greatest(ivm_cost_day, 1)"))
+      .withColumn("advise",
+        when($"gain_milli" > 1000, "ivm").otherwise("refresh"))
+      .orderBy($"view")
+  }
+
+  val q456Oracle: String =
+    """WITH cells AS (
+         SELECT view, day, grp, CAST(count(*) AS BIGINT) AS c
+         FROM (
+           SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+                  'by_month' AS view,
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS VARCHAR) AS grp
+           FROM orders
+           UNION ALL
+           SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000,
+                  'by_cust', CAST(o_custkey AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000,
+                  'by_month_prio',
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS VARCHAR)
+                    || '|' || o_orderpriority
+           FROM orders)
+         GROUP BY 1, 2, 3),
+       agg AS (
+         SELECT view, CAST(sum(c) AS BIGINT) AS n_fact,
+                CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT grp) AS BIGINT) AS view_rows,
+                CAST(count(*) AS BIGINT) AS cells_
+         FROM cells GROUP BY 1)
+       SELECT view, n_fact, view_rows, n_days,
+              n_fact // n_days AS delta_rows_day,
+              cells_ // n_days AS touched_groups_day,
+              n_fact // n_days + cells_ // n_days AS ivm_cost_day,
+              n_fact + view_rows AS refresh_cost_day,
+              (n_fact + view_rows) * 1000
+                // greatest(n_fact // n_days + cells_ // n_days, 1) AS gain_milli,
+              CASE WHEN (n_fact + view_rows) * 1000
+                     // greatest(n_fact // n_days + cells_ // n_days, 1) > 1000
+                   THEN 'ivm' ELSE 'refresh' END AS advise
+       FROM agg ORDER BY view"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q453_join_order_advisor" -> q453JoinOrderAdvisor,
+    "q454_histogram_shootout" -> q454HistogramShootout,
+    "q455_sampling_audit" -> q455SamplingAudit,
+    "q456_ivm_advisor" -> q456IvmAdvisor,
     "q442_bucketing_advisor" -> q442BucketingAdvisor,
     "q443_skew_split_sim" -> q443SkewSplitSim,
     "q449_consistent_hashing" -> q449ConsistentHashing,
@@ -1749,6 +2139,10 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q453_join_order_advisor" -> q453Oracle,
+    "q454_histogram_shootout" -> q454Oracle,
+    "q455_sampling_audit" -> q455Oracle,
+    "q456_ivm_advisor" -> q456Oracle,
     "q442_bucketing_advisor" -> q442Oracle,
     "q443_skew_split_sim" -> q443Oracle,
     "q449_consistent_hashing" -> q449Oracle,

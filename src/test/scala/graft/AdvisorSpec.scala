@@ -93,6 +93,93 @@ class AdvisorSpec extends SparkSpec {
     assert(sk._10 > 1000L) // splitting the hot partition speeds up the max task
   }
 
+  test("q453: Selinger costs on planted counts — the selective end leads") {
+    val dir = java.nio.file.Files.createTempDirectory("joinorder").toString
+    (1L to 10L).map(i => Tuple1(i)).toSeq.toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (1L to 20L).map(i => (i, i % 5 + 1)).toSeq.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 60L).map(i => (i % 20 + 1, i % 3 + 1)).toSeq
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 4L).map(i => Tuple1(i)).toSeq.toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // n_c=10 n_o=20 (dv_ock=5) n_l=60 (dv_lok=20, dv_lpk=3) n_p=4:
+    //   C>O>L>P: i1 = 10·20/10 = 20, i2 = 20·60/20 = 60 → cost 80
+    //   L>O>C>P: i1 = 60·20/20 = 60, i2 = 60·10/10 = 60 → cost 120
+    val got = operators.Prep.q453JoinOrderAdvisor(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 8) // every left-deep no-cross order of a 4-chain
+    assert(got("C>O>L>P")._5 == 80L && got("L>O>C>P")._5 == 120L)
+    assert(got("O>C>L>P")._5 == 80L)
+    // tie at 80 breaks on plan string → C>O>L>P picked
+    assert(got("C>O>L>P")._7 && got.values.count(_._7) == 1)
+    assert(got("C>O>L>P")._4 == 60L) // final estimate 60·4/max(4,3)
+  }
+
+  test("q454: equi-depth survives the skew that breaks equi-width") {
+    val dir = java.nio.file.Files.createTempDirectory("histo").toString
+    // a uniform 1..160 backbone plus an 840-row point mass at 40.00 —
+    // INSIDE width-bucket 3 and ABOVE cut x₂, so equi-width's uniform
+    // within-bucket interpolation charges the cut ~half the cluster
+    // while the truth below the cut is only the backbone
+    val rows = (1 to 160).map(i => (i.toDouble, i.toLong, i)) ++
+      (1 to 840).map(i => (40.0, 1000L + i, i))
+    rows.toDF("l_extendedprice", "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Prep.q454HistogramShootout(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.size == 8)
+    val c2 = got(1) // (cut_idx, x, truth, est_ew, est_ed, qew, qed)
+    assert(c2._2 == 3633L && c2._3 == 36L, s"cut 2 geometry: $c2")
+    assert(c2._6 > 5000L, s"equi-width must misjudge the straddled cluster: $c2")
+    assert(c2._7 < 2000L, s"equi-depth stays within one tile: $c2")
+    assert(got.map(_._7).sum < got.map(_._6).sum)
+  }
+
+  test("q455: sample estimates replay exactly from the md5 residues") {
+    val dir = java.nio.file.Files.createTempDirectory("sample").toString
+    val rows = (1 to 300).map { i =>
+      (i.toLong / 4 + 1, i, if (i % 2 == 0) "R" else "N", (i % 7 + 1) * 100.0)
+    }
+    rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val exp = rows.groupBy(_._3).map { case (flag, rs) =>
+      val nEx = rs.size.toLong
+      val sEx = rs.map(r => (r._4 * 100).toLong).sum
+      val inRow = rs.filter(r => h60(s"${r._1}#${r._2}") % 16 == 0)
+      val inClu = rs.filter(r => h60(r._1.toString) % 16 == 0)
+      flag -> (nEx, sEx, inRow.size * 16L, inClu.size * 16L)
+    }
+    val got = operators.Prep.q455SamplingAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    exp.foreach { case (flag, (nEx, sEx, estR, estC)) =>
+      val g = got(flag)
+      assert(g._2 == nEx && g._3 == sEx && g._4 == estR && g._5 == estC)
+      assert(g._6 == math.abs(estR - nEx) * 10000 / nEx)
+    }
+  }
+
+  test("q456: a one-month rollup is near-free to maintain; by-customer touches everything") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val d1 = java.sql.Timestamp.valueOf("1995-03-02 00:00:00")
+    (1L to 10L).map(i => (i, i, if (i <= 5) d0 else d1, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Prep.q456IvmAdvisor(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // by_month: 1 group, touched 1/day, delta 5/day → ivm 6 vs refresh 11
+    assert(got("by_month") ==
+      (("by_month", 10L, 1L, 2L, 5L, 1L, 6L, 11L, 1833L, "ivm")))
+    // by_cust: 10 groups, touched 5/day → ivm 10 vs refresh 20
+    assert(got("by_cust") ==
+      (("by_cust", 10L, 10L, 2L, 5L, 5L, 10L, 20L, 2000L, "ivm")))
+  }
+
   test("q442: the advisor's arithmetic replays from the raw counts") {
     val d = "/root/testdata/sf0.001"
     val nl = graft.io.Tables.lineitem(spark, d).count()
