@@ -31,6 +31,8 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table carries TIMESTAMP(NANOS)
       .config("spark.sql.session.timeZone", "UTC")
+      // benched exactly as verified: the plan-time scale guard is on
+      .config(graft.plans.ScaleGuard.EnabledKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table carries TIMESTAMP(NANOS)
+      // every driver correctness run executes the whole suite under the
+      // plan-time scale guard — a cartesian-class regression fails the
+      // query, not just the CI lock
+      .config(graft.plans.ScaleGuard.EnabledKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

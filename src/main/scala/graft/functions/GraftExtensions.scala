@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // scale discipline at plan time (gated on spark.graft.scaleGuard
+    // .enabled): refuse cartesian-class joins with two data-sized sides
+    e.injectQueryStagePrepRule(s => graft.plans.ScaleGuardRule(s))
   }
 }
 

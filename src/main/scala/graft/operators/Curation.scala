@@ -1617,11 +1617,15 @@ object Curation {
       .withColumn("ss", sum($"cnt" * $"l").over(cumw))
       .localCheckpoint()
     val mx = pre.agg(max($"l").as("lmax"))
+    // the checkpoint erased the ≤512-row histogram bound; restate it
+    // (runtime no-op) so the DP rounds' theta self-join carries its
+    // boundedness IN PLAN — the ScaleGuard/audit-lock discipline
+    val preB = pre.limit(512)
     val rounds = scala.collection.mutable.Buffer[DataFrame](
       pre.select($"l".as("b"), ($"nn" * $"l" - $"ss").as("cost"),
         lit(0L).as("arg")))
     for (_ <- 2 to 4) {
-      val next = pre.as("p").join(pre.as("q"), $"q.l" < $"p.l")
+      val next = preB.as("p").join(preB.as("q"), $"q.l" < $"p.l")
         .join(rounds.last.as("r"), $"r.b" === $"q.l")
         .select($"p.l".as("b"),
           ($"r.cost" + ($"p.nn" - $"q.nn") * $"p.l" - ($"p.ss" - $"q.ss"))
@@ -2485,7 +2489,92 @@ object Curation {
               useful * 10000 // computed AS util_bp
        FROM strat ORDER BY strategy"""
 
+  /** Greedy max-cover source selection (q457, the submodular-greedy
+    * complement of q402's Shapley attribution and q377's LOO): pick
+    * K = 4 sources one at a time, each round the source adding the
+    * most NOT-YET-COVERED distinct word-3-gram types — the classic
+    * (1−1/e)-approximate solution to "which 4 crawls buy the most
+    * vocabulary coverage?", with per-round marginals that expose the
+    * diminishing returns the budget decision actually turns on.
+    *
+    * Shape: the same (source, gram-hash) distinct relation as q402,
+    * frozen once; each greedy round is one anti-join + one
+    * |sources|-row aggregate, and the driver touches ONE row per
+    * round (the argmax — the q150/q237 iterative-driver-loop
+    * doctrine: per-iteration driver traffic is O(1), never data).
+    * Ties break (count desc, source asc) on both engines. */
+  def q457GreedyMaxCover(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, d)
+      .select($"doc_id", $"source", tokens($"text").as("tk"))
+      .repartition($"doc_id")
+      .select($"source", explode(shingles3($"tk")).as("g0"))
+      .select($"source", hash60($"g0").as("g"))
+      .distinct()
+      .localCheckpoint()
+    val universe = st.select($"g").distinct().count()
+    var covered = st.select($"g").filter(lit(false))
+    val recs = scala.collection.mutable.Buffer[(Long, String, Long, Long)]()
+    var saturated = false
+    for (r <- 1 to 4 if !saturated) {
+      // saturation (no source adds anything) ends the greedy early —
+      // mirrored by the oracle's empty per-round argmax CTE
+      val picks = st.join(covered, Seq("g"), "left_anti")
+        .groupBy($"source").agg(count(lit(1)).as("mn"))
+        .orderBy($"mn".desc, $"source").limit(1)
+        .as[(String, Long)].collect()
+      if (picks.isEmpty) saturated = true
+      else {
+        val pick = picks.head
+        covered = covered
+          .union(st.filter($"source" === pick._1).select($"g"))
+          .distinct().localCheckpoint()
+        recs += ((r.toLong, pick._1, pick._2, covered.count()))
+      }
+    }
+    recs.toSeq.toDF("round", "source", "marginal_types", "cum_types")
+      .withColumn("universe", lit(universe))
+      .withColumn("cum_bp", expr("cum_types * 10000 div universe"))
+      .orderBy($"round")
+  }
+
+  val q457Oracle: String = {
+    def round(r: Int): String = {
+      val prevCov =
+        if (r == 1) "" else s" WHERE g NOT IN (SELECT g FROM c${r - 1})"
+      val covPrev = if (r == 1) "" else s"SELECT g FROM c${r - 1} UNION "
+      s"""p$r AS (
+           SELECT source AS s$r, CAST(count(*) AS BIGINT) AS m$r
+           FROM st$prevCov GROUP BY source
+           ORDER BY count(*) DESC, source LIMIT 1),
+         c$r AS (
+           ${covPrev}SELECT DISTINCT st.g FROM st, p$r WHERE st.source = s$r)"""
+    }
+    s"""WITH tk AS (SELECT source, list_filter(string_split_regex(text,'\\s+'), t->t<>'') AS tk FROM documents),
+       sg AS (
+         SELECT source, unnest(CASE WHEN len(tk) >= 3
+           THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+           ELSE [] END) AS g0
+         FROM tk),
+       st AS (SELECT DISTINCT source, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM sg),
+       u AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS universe FROM st),
+       ${(1 to 4).map(round).mkString(",\n")}
+       SELECT r.round, r.source, r.marginal_types, r.cum_types, u.universe,
+              r.cum_types * 10000 // u.universe AS cum_bp
+       FROM (
+         SELECT CAST(1 AS BIGINT) AS round, s1 AS source, m1 AS marginal_types,
+                (SELECT CAST(count(*) AS BIGINT) FROM c1) AS cum_types FROM p1
+         UNION ALL
+         SELECT 2, s2, m2, (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM p2
+         UNION ALL
+         SELECT 3, s3, m3, (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM p3
+         UNION ALL
+         SELECT 4, s4, m4, (SELECT CAST(count(*) AS BIGINT) FROM c4) FROM p4) r, u
+       ORDER BY r.round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q457_greedy_max_cover" -> q457GreedyMaxCover,
     "q428_attention_waste" -> q428AttentionWaste,
     "q427_cache_sizing" -> q427CacheSizing,
     "q422_kv_fragmentation" -> q422KvFragmentation,
@@ -2529,6 +2618,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q457_greedy_max_cover" -> q457Oracle,
     "q428_attention_waste" -> q428Oracle,
     "q427_cache_sizing" -> q427Oracle,
     "q422_kv_fragmentation" -> q422Oracle,

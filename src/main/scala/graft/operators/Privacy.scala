@@ -254,13 +254,101 @@ object Privacy {
               CAST(sum(v * c) AS BIGINT) * 1000 // n AS mean_milli
        FROM lev GROUP BY fanout, n ORDER BY fanout"""
 
+  /** Differential-privacy sensitivity planner (q459): before releasing
+    * user-level-DP aggregates over the events stream, measure what the
+    * Laplace noise actually costs. For the two release metrics —
+    * event COUNT and value SUM (centi) — user-level sensitivity Δ is
+    * the largest single-user contribution; the planner reports Δ at
+    * max and at the exact p99 contribution (the standard "cap each
+    * user's contribution, clip the tail" trick), the resulting
+    * Laplace scale λ = Δ/ε per ε ∈ {1, 2, 8}, and the bias the cap
+    * buys it: how many users get clipped and what share of total mass
+    * their excess was. Uncapped Δ is hostage to one hyperactive user;
+    * the (λ_max vs λ_p99, clipped_mass) pair is the noise-vs-bias
+    * decision in numbers.
+    *
+    * Scale: one keyed aggregate to per-user contributions; both
+    * metrics' contribution DOMAINS are activity-bounded, so the p99
+    * rank lookups run on bounded histograms (q440 discipline);
+    * λ is exact integer micro (Δ·10⁶ div ε). */
+  def q459DpSensitivity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor($"value" * 100).cast("long")).as("sv"))
+      .select(expr("stack(2, 'count', cnt, 'sum_centi', sv)")
+        .as(Seq("metric", "contrib")))
+    val hist = per.groupBy($"metric", $"contrib").agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy($"metric").orderBy($"contrib")
+    val lev = hist
+      .withColumn("cum", sum($"c").over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nu", sum($"c").over(Window.partitionBy($"metric")))
+      .withColumn("mass", sum($"contrib" * $"c").over(Window.partitionBy($"metric")))
+    val caps = lev.groupBy($"metric", $"nu", $"mass")
+      .agg(max($"contrib").as("d_max"),
+        min(when($"cum" * 10000L >= $"nu" * 9900L, $"contrib")).as("d_p99"))
+    val clip = hist.join(caps, "metric")
+      .groupBy($"metric", $"nu", $"mass", $"d_max", $"d_p99")
+      .agg(sum(when($"contrib" > $"d_p99", $"c").otherwise(0L)).as("clipped_users"),
+        sum(when($"contrib" > $"d_p99", ($"contrib" - $"d_p99") * $"c")
+          .otherwise(0L)).as("__excess"))
+    clip.select($"metric", $"nu".as("n_users"), $"d_max", $"d_p99",
+        $"clipped_users",
+        expr("__excess * 10000 div mass").as("clipped_mass_bp"),
+        explode(typedLit(Seq(1L, 2L, 8L))).as("eps"))
+      .withColumn("lap_scale_max_micro", expr("d_max * 1000000 div eps"))
+      .withColumn("lap_scale_p99_micro", expr("d_p99 * 1000000 div eps"))
+      .orderBy($"metric", $"eps")
+  }
+
+  val q459Oracle: String =
+    """WITH per AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sv
+         FROM events GROUP BY 1),
+       st AS (
+         SELECT 'count' AS metric, cnt AS contrib FROM per
+         UNION ALL SELECT 'sum_centi', sv FROM per),
+       hist AS (SELECT metric, contrib, CAST(count(*) AS BIGINT) AS c
+                FROM st GROUP BY 1, 2),
+       lev AS (
+         SELECT metric, contrib, c,
+                CAST(sum(c) OVER (PARTITION BY metric ORDER BY contrib
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY metric) AS BIGINT) AS nu,
+                CAST(sum(contrib * c) OVER (PARTITION BY metric) AS BIGINT) AS mass
+         FROM hist),
+       caps AS (
+         SELECT metric, nu, mass, CAST(max(contrib) AS BIGINT) AS d_max,
+                min(CASE WHEN cum * 10000 >= nu * 9900 THEN contrib END) AS d_p99
+         FROM lev GROUP BY 1, 2, 3),
+       clip AS (
+         SELECT h.metric, nu, mass, d_max, d_p99,
+                CAST(sum(CASE WHEN contrib > d_p99 THEN c ELSE 0 END) AS BIGINT)
+                  AS clipped_users,
+                CAST(sum(CASE WHEN contrib > d_p99 THEN (contrib - d_p99) * c
+                              ELSE 0 END) AS BIGINT) AS excess
+         FROM hist h JOIN caps USING (metric)
+         GROUP BY 1, 2, 3, 4, 5)
+       SELECT metric, nu AS n_users, d_max, d_p99, clipped_users,
+              excess * 10000 // mass AS clipped_mass_bp,
+              CAST(g.eps AS BIGINT) AS eps,
+              d_max * 1000000 // g.eps AS lap_scale_max_micro,
+              d_p99 * 1000000 // g.eps AS lap_scale_p99_micro
+       FROM clip, (SELECT unnest([1, 2, 8]) AS eps) g
+       ORDER BY metric, eps"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q459_dp_sensitivity" -> q459DpSensitivity,
     "q447_k_anonymity" -> q447KAnonymity,
     "q448_generalization_ladder" -> q448GeneralizationLadder,
     "q452_deletion_cost" -> q452DeletionCost,
   )
 
   val oracles: Map[String, String] = Map(
+    "q459_dp_sensitivity" -> q459Oracle,
     "q447_k_anonymity" -> q447Oracle,
     "q448_generalization_ladder" -> q448Oracle,
     "q452_deletion_cost" -> q452Oracle,

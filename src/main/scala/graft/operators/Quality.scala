@@ -2677,7 +2677,76 @@ object Quality {
        FROM cands ORDER BY fd"""
   }
 
+  /** Monthly schema/content-drift monitor (q460, the data-contract
+    * check in front of every warehouse ingest): per ingest month and
+    * audited column of `orders` — status, priority, and the
+    * dollar-floored total — report row volume, null share, distinct
+    * count, and FIRST-SEEN distinct values (values no earlier month
+    * ever produced). A categorical column suddenly minting new values
+    * is the canonical upstream-schema-change smell, caught here as a
+    * nonzero `new_values` after month one, before it poisons
+    * downstream dictionaries.
+    *
+    * Scale: ONE fact pass stacks the audited columns into a
+    * (month, col, value) cell relation; first-seen months come from a
+    * min() over the (col, value) domain — value-domain-sized shuffles,
+    * not row-sized — and the readout is an aggregate of the cells. */
+  def q460SchemaDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stackArgs = Seq(
+      "'o_orderstatus', o_orderstatus",
+      "'o_orderpriority', o_orderpriority",
+      "'o_total_dollars', CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)")
+      .mkString(", ")
+    val cells = Tables.orders(s, d)
+      .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+          .as("ym"),
+        expr(s"stack(3, $stackArgs)").as(Seq("col_name", "v")))
+      .groupBy($"ym", $"col_name", $"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the profile AND the first-seen pass
+    val firstSeen = cells.groupBy($"col_name", $"v")
+      .agg(min($"ym").as("first_ym"))
+      .groupBy($"col_name", $"first_ym".as("ym"))
+      .agg(count(lit(1)).as("new_values"))
+    cells.groupBy($"ym", $"col_name")
+      .agg(sum($"c").as("n_rows"),
+        sum(when($"v".isNull, $"c").otherwise(0L)).as("__nulls"),
+        countDistinct($"v").as("ndv"))
+      .join(firstSeen, Seq("ym", "col_name"), "left")
+      .select($"ym", $"col_name", $"n_rows",
+        expr("__nulls * 10000 div n_rows").as("null_bp"), $"ndv",
+        coalesce($"new_values", lit(0L)).as("new_values"))
+      .orderBy($"ym", $"col_name")
+  }
+
+  val q460Oracle: String =
+    """WITH cells AS (
+         SELECT ym, col_name, v, CAST(count(*) AS BIGINT) AS c
+         FROM (
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                  'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+           UNION ALL
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT),
+                  'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL
+           SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT),
+                  'o_total_dollars',
+                  CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) FROM orders)
+         GROUP BY 1, 2, 3),
+       fs AS (
+         SELECT col_name, first_ym AS ym, CAST(count(*) AS BIGINT) AS new_values
+         FROM (SELECT col_name, v, min(ym) AS first_ym FROM cells GROUP BY 1, 2)
+         GROUP BY 1, 2)
+       SELECT c.ym, c.col_name, CAST(sum(c.c) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN c.v IS NULL THEN c.c ELSE 0 END) AS BIGINT)
+                * 10000 // CAST(sum(c.c) AS BIGINT) AS null_bp,
+              CAST(count(DISTINCT c.v) AS BIGINT) AS ndv,
+              coalesce(any_value(fs.new_values), 0) AS new_values
+       FROM cells c LEFT JOIN fs ON c.ym = fs.ym AND c.col_name = fs.col_name
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q460_schema_drift" -> q460SchemaDrift,
     "q431_fk_discovery" -> q431FkDiscovery,
     "q432_fd_audit" -> q432FdAudit,
     "q429_shuffle_audit" -> q429ShuffleAudit,
@@ -2715,6 +2784,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q460_schema_drift" -> q460Oracle,
     "q431_fk_discovery" -> q431Oracle,
     "q432_fd_audit" -> q432Oracle,
     "q429_shuffle_audit" -> q429Oracle,

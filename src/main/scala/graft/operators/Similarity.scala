@@ -2765,7 +2765,100 @@ object Similarity {
        FROM keyed k LEFT JOIN thr t ON k.label = t.label
        GROUP BY k.label ORDER BY k.label"""
 
+  /** Int8 quantization-calibration planner (q458): before serving a
+    * 100 TB embedding store quantized to 8 bits, pick the calibration —
+    * MIN-MAX (no clipping, range hostage to outliers) vs PERCENTILE
+    * (clip to the exact [p1, p99] value range, spend the 255 steps on
+    * the mass). Both schemes are scored on the milli-quantized value
+    * distribution: mean squared error, worst absolute error, and the
+    * clipped share — the three numbers the precision/recall budget
+    * turns on.
+    *
+    * Scale: one explode pass reduces to the BOUNDED milli-value
+    * histogram (≤ 2001 cells at any corpus size); exact p1/p99 are
+    * rank lookups on it (q440 discipline); both schemes score against
+    * the same histogram via one 2-row broadcast join, error mass in
+    * decimal (c·err² wraps int64 at corpus scale — q423 rule). The
+    * quantizer itself is exact integer arithmetic: q = (v−lo)·255 div
+    * range, dq = lo + q·range div 255, both floors mirrored. */
+  def q458QuantCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.embeddings(s, d)
+      .select(explode(quantize1000($"embedding")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+    val cumw = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = hist
+      .withColumn("cum", sum($"c").over(cumw))
+      .withColumn("n", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy($"n")
+      .agg(min($"v").as("lo"), max($"v").as("hi"),
+        min(when($"cum" * 10000L >= $"n" * 100L, $"v")).as("p1"),
+        min(when($"cum" * 10000L >= $"n" * 9900L, $"v")).as("p99"))
+    val schemes = stats.select($"n", explode(array(
+        struct(lit("minmax").as("scheme"), $"lo".as("slo"), $"hi".as("shi")),
+        struct(lit("pct_1_99").as("scheme"), $"p1".as("slo"), $"p99".as("shi"))))
+        .as("x"))
+      .select($"n", $"x.scheme".as("scheme"), $"x.slo", $"x.shi")
+    hist.crossJoin(broadcast(schemes))
+      .withColumn("rng", greatest($"shi" - $"slo", lit(1L)))
+      .withColumn("vc", least(greatest($"v", $"slo"), $"shi"))
+      .withColumn("dq", $"slo" + expr("((vc - slo) * 255 div rng) * rng div 255"))
+      .withColumn("err", abs($"v" - $"dq"))
+      .groupBy($"scheme", $"n", $"slo", $"shi")
+      .agg(sum($"err".cast("decimal(38,0)") * $"err" * $"c").as("__sse"),
+        max($"err").as("max_abs_err"),
+        sum(when($"v" < $"slo" || $"v" > $"shi", $"c").otherwise(0L))
+          .as("clipped"))
+      .select($"scheme", $"n".as("n_values"), $"slo".as("lo_milli"),
+        $"shi".as("hi_milli"),
+        expr("CAST(__sse * 1000 div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("mse_milli"),
+        $"max_abs_err", expr("clipped * 10000 div n").as("clipped_bp"))
+      .orderBy($"scheme")
+  }
+
+  val q458Oracle: String =
+    """WITH vals AS (
+         SELECT unnest([CAST(floor(x::DOUBLE * 1000) AS BIGINT) FOR x IN embedding]) AS v
+         FROM embeddings),
+       hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+       lev AS (
+         SELECT v, c,
+                CAST(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                CAST(sum(c) OVER () AS BIGINT) AS n
+         FROM hist),
+       stats AS (
+         SELECT n, CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+                min(CASE WHEN cum * 10000 >= n * 100 THEN v END) AS p1,
+                min(CASE WHEN cum * 10000 >= n * 9900 THEN v END) AS p99
+         FROM lev GROUP BY n),
+       schemes AS (
+         SELECT n, 'minmax' AS scheme, lo AS slo, hi AS shi FROM stats
+         UNION ALL
+         SELECT n, 'pct_1_99', p1, p99 FROM stats),
+       scored AS (
+         SELECT scheme, n, slo, shi,
+                greatest(shi - slo, 1) AS rng,
+                least(greatest(v, slo), shi) AS vc, v, c
+         FROM hist, schemes),
+       err AS (
+         SELECT scheme, n, slo, shi,
+                abs(v - (slo + ((vc - slo) * 255 // rng) * rng // 255)) AS err,
+                v, c
+         FROM scored)
+       SELECT scheme, n AS n_values, slo AS lo_milli, shi AS hi_milli,
+              CAST(sum(CAST(err AS HUGEINT) * err * c) * 1000
+                // CAST(n AS HUGEINT) AS BIGINT) AS mse_milli,
+              CAST(max(err) AS BIGINT) AS max_abs_err,
+              CAST(sum(CASE WHEN v < slo OR v > shi THEN c ELSE 0 END) AS BIGINT)
+                * 10000 // n AS clipped_bp
+       FROM err GROUP BY scheme, n, slo, shi ORDER BY scheme"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q458_quant_calibration" -> q458QuantCalibration,
     "q184_class_weights" -> q184ClassWeights,
     "q397_late_interaction" -> q397LateInteraction,
     "q398_ood_calibration" -> q398OodCalibration,
@@ -2803,6 +2896,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q458_quant_calibration" -> q458Oracle,
     "q184_class_weights" -> q184Oracle,
     "q397_late_interaction" -> q397Oracle,
     "q398_ood_calibration" -> q398Oracle,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The plan-time scale guard (graft.plans.ScaleGuardRule, injected via
+  * GraftExtensions as a query-stage-prep rule): with
+  * `spark.graft.scaleGuard.enabled=true` — as the Verify and Bench
+  * sessions set it — a cartesian-class physical join with BOTH sides
+  * data-sized refuses to execute, while the engine's bounded shapes
+  * (q45's capped all-pairs, q383's capped-broadcast hubness scan) run
+  * normally. This is the production enforcement of the rule the
+  * `NestedLoopShapeSpec` audit-lock proves over the whole suite. */
+class ScaleGuardSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  private def withGuard[T](body: => T): T = {
+    spark.conf.set(graft.plans.ScaleGuard.EnabledKey, "true")
+    try body
+    finally spark.conf.set(graft.plans.ScaleGuard.EnabledKey, "false")
+  }
+
+  test("an unbounded theta self-join refuses to execute under the guard") {
+    val e = io.Tables.embeddings(spark, d)
+    val bad = e.select($"vec_id".as("id1"))
+      .join(e.select($"vec_id".as("id2")), $"id1" < $"id2")
+    withGuard {
+      val ex = intercept[Throwable] { bad.count() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("GRAFT_SCALE_GUARD")),
+        s"expected the scale guard to fire, got: $ex")
+    }
+    // and without the guard the same plan is allowed (test-scale runs)
+    assert(bad.count() > 0)
+  }
+
+  test("the engine's bounded cartesian-class shapes still run under the guard") {
+    withGuard {
+      // q45: both sides under the plan-enforced MaxExactPairSide limit
+      assert(operators.Similarity.q45EmbeddingNearDup(spark, d).count() > 0)
+      // q383: bounded (sampled + capped) broadcast side nested loop
+      assert(operators.Similarity.q383HubnessAudit(spark, d).count() > 0)
+    }
+  }
+}

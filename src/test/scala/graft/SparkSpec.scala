@@ -34,125 +34,17 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   /** Unpartitioned-window scale rule (VERDICT r5 #1/#7, sharpened per
-    * VERDICT r6 #3): a WindowExec whose partitionSpec is EMPTY — or
-    * made only of constants/booleans, a ≤2-partition window and thus
-    * the same global sort in disguise (q265's pre-fix shape) — is a
-    * single-partition sort, so it may only sit above a relation that
-    * is provably BOUNDED. Bounded now means: EVERY path from the
-    * window's child down to a data-source scan passes through a
-    * bounding node — a global limit / top-k cut, or an aggregation
-    * whose grouping keys are bounded-domain (value histogram, spine,
-    * dim table). Grouping directly on a fact-table key attribute
-    * (custkey / orderkey / doc_id / user_id / ...) is NOT bounding:
-    * those key domains scale linearly with the data (q226's pre-fix
-    * shape), and the old any-agg-in-subtree test even let a broadcast
-    * 1-row agg on a join's other leg vouch for the unbounded main
-    * branch. Anything else is a row-level global sort that dies at
-    * 100 TB. */
-  // (a) fact-table key attributes: unbounded domains. Matches bare
-  // attribute names only — a DERIVED grouping expression over a key
-  // (hash bucket, modulo, date part) has a generated alias like
-  // "(o_custkey % 64)" and passes, which is the intent.
-  private val factKey = java.util.regex.Pattern.compile(
-    "^[a-z]{0,2}_?(custkey|orderkey|partkey|suppkey)$" +
-      "|^(doc_id|user_id|event_id|emb_id|id|query_id|vec_id)$")
+    * VERDICT r6 #3) and its boundedness core. The predicates themselves
+    * live in PRODUCTION code — [[graft.plans.ScaleGuard]], which also
+    * enforces the cartesian-class rule at plan time in every
+    * Verify/Bench session — these are thin delegates so the three
+    * audit-lock suites and the engine can never drift apart. */
+  def boundedRelation(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    graft.plans.ScaleGuard.boundedRelation(p)
 
-  /** Fixed-cardinality dimension tables: bounded BY SCHEMA (their row
-    * counts do not scale with SF — region 5, nation 25), so a scan of
-    * them is a bounded relation even though it is a file scan. */
-  private val dimTables = Set("region.parquet", "nation.parquet")
-
-  /** Core boundedness predicate shared by the window audit
-    * ([[badGlobalWindows]]) and the broadcast audit ([[badBroadcasts]]):
-    * a relation is BOUNDED when every path from it down to a
-    * data-source scan passes through a bounding node — a global
-    * limit / top-k cut, an aggregation whose grouping keys are
-    * bounded-domain, a literal id-prefix filter (`vec_id < 20`: an
-    * explicit bounded query-id sample, parquet-pruned at scale), or a
-    * fixed-cardinality dim-table scan. Grouping directly on a
-    * fact-table key attribute is NOT bounding (those domains scale
-    * linearly with the data), and — ADVICE r7 — neither is a
-    * checkpoint / cache scan (`RDDScanExec` / `InMemoryTableScanExec`):
-    * materialization erases provenance, so a checkpointed fact-sized
-    * relation must not silently pass. */
-  private def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : org.apache.spark.sql.catalyst.expressions.Expression = e match {
-    case a: org.apache.spark.sql.catalyst.expressions.Alias => strip(a.child)
-    case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
-    case other => other
-  }
-
-  private def unboundedKey(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    strip(e) match {
-      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
-        factKey.matcher(a.name.toLowerCase).matches()
-      case _ => false
-    }
-
-  private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      conjuncts(l) ++ conjuncts(r)
-    case other => Seq(other)
-  }
-
-  /** A conjunct pinning an id-like attribute to/below a SMALL integer
-    * literal selects a bounded id-domain (an explicit prefix sample):
-    * `vec_id < 20`, `vec_id <= k`, `vec_id = k` — the predicate is
-    * also exactly what parquet min/max pruning pushes down at scale. */
-  private def idUpperBound(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    def smallLit(l: Literal): Boolean = l.value match {
-      case n: java.lang.Number => math.abs(n.longValue) <= 100000L
-      case _ => false
-    }
-    e match {
-      case LessThan(a, l: Literal) => unboundedKey(a) && smallLit(l)
-      case LessThanOrEqual(a, l: Literal) => unboundedKey(a) && smallLit(l)
-      case EqualTo(a, l: Literal) => unboundedKey(a) && smallLit(l)
-      case EqualTo(l: Literal, a) => unboundedKey(a) && smallLit(l)
-      case GreaterThan(l: Literal, a) => unboundedKey(a) && smallLit(l)
-      case GreaterThanOrEqual(l: Literal, a) => unboundedKey(a) && smallLit(l)
-      case _ => false
-    }
-  }
-
-  def boundedRelation(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-    import org.apache.spark.sql.execution._
-    import org.apache.spark.sql.catalyst.expressions.Expression
-    def aggBounds(grouping: Seq[Expression], child: SparkPlan): Boolean =
-      grouping.forall(g => !unboundedKey(g)) || bounded(child)
-    def dimScan(f: FileSourceScanExec): Boolean =
-      f.relation.location.rootPaths.forall(p =>
-        dimTables.exists(t => p.toString.endsWith(t)))
-    def bounded(p: SparkPlan): Boolean = p match {
-      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
-           _: CollectLimitExec => true
-      case a: aggregate.HashAggregateExec =>
-        aggBounds(a.groupingExpressions, a.child)
-      case a: aggregate.ObjectHashAggregateExec =>
-        aggBounds(a.groupingExpressions, a.child)
-      case a: aggregate.SortAggregateExec =>
-        aggBounds(a.groupingExpressions, a.child)
-      case f: FilterExec if conjuncts(f.condition).exists(idUpperBound) => true
-      case f: FileSourceScanExec => dimScan(f)
-      case _: RowDataSourceScanExec | _: datasources.v2.BatchScanExec => false
-      // checkpoint/cache scans: provenance erased ⇒ NOT bounded
-      case _: RDDScanExec | _: ExternalRDDScanExec[_] |
-           _: columnar.InMemoryTableScanExec => false
-      case q: adaptive.QueryStageExec => bounded(q.plan)
-      case a: adaptive.AdaptiveSparkPlanExec => bounded(a.executedPlan)
-      case r: exchange.ReusedExchangeExec => bounded(r.child)
-      case r: ReusedSubqueryExec => bounded(r.child)
-      // remaining leaves are literal-backed: LocalTableScan / Range /
-      // OneRowRelation (every data/RDD/cache scan is matched above)
-      case leaf if leaf.children.isEmpty => true
-      case other => other.children.forall(bounded)
-    }
-    bounded(p)
-  }
+  def boundedLogical(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    graft.plans.ScaleGuard.boundedLogical(p)
 
   def badGlobalWindows(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
@@ -166,36 +58,6 @@ trait SparkSpec extends AnyFunSuite {
       case w: WindowExec
           if effectivelyEmpty(w.partitionSpec) && !boundedRelation(w.child) => w
     }
-  }
-
-  /** Logical twin of [[boundedRelation]], for plans where the physical
-    * tree is not yet decorated with exchanges (pre-AQE). Same rule:
-    * bounded ⟺ every path to a source relation passes a limit, a
-    * bounded-domain aggregate, a literal id-prefix filter, or a
-    * fixed-cardinality dim scan; LogicalRDD (checkpoint) and cached
-    * InMemoryRelation erase provenance ⇒ NOT bounded. */
-  def boundedLogical(
-      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.execution.LogicalRDD
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: GlobalLimit | _: LocalLimit => true
-      case a: Aggregate =>
-        a.groupingExpressions.forall(g => !unboundedKey(g)) || bounded(a.child)
-      case f: Filter if conjuncts(f.condition).exists(idUpperBound) => true
-      case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
-          dimTables.exists(t => rp.toString.endsWith(t)))
-        case _ => false
-      }
-      case _: LogicalRDD | _: InMemoryRelation => false
-      case _: LocalRelation | _: OneRowRelation | _: Range => true
-      case leaf if leaf.children.isEmpty => false // unknown source: assume data-sized
-      case other => other.children.forall(bounded)
-    }
-    bounded(p)
   }
 
   /** Data-sized-broadcast scale rule (VERDICT r7 #2, the window rule's
@@ -231,28 +93,8 @@ trait SparkSpec extends AnyFunSuite {
     * Walks the optimized logical plan (post pushdown/pruning, where
     * join conditions are in final conjunct form). */
   def badNestedLoops(qe: org.apache.spark.sql.execution.QueryExecution)
-      : Seq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
-    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
-    import org.apache.spark.sql.catalyst.plans.logical.Join
-    // an equi conjunct splits cleanly across the two join sides (each
-    // side of the = referencing exactly one child's output)
-    def splits(a: Expression, b: Expression, j: Join): Boolean = {
-      def oneSide(e: Expression, s: org.apache.spark.sql.catalyst.expressions.AttributeSet) =
-        e.references.nonEmpty && e.references.subsetOf(s)
-      (oneSide(a, j.left.outputSet) && oneSide(b, j.right.outputSet)) ||
-        (oneSide(b, j.left.outputSet) && oneSide(a, j.right.outputSet))
-    }
-    def hasEquiKey(j: Join): Boolean =
-      j.condition.toSeq.flatMap(conjuncts).exists {
-        case EqualTo(a, b) => splits(a, b, j)
-        case EqualNullSafe(a, b) => splits(a, b, j)
-        case _ => false
-      }
-    qe.optimizedPlan.collect {
-      case j: Join if !hasEquiKey(j) &&
-          !boundedLogical(j.left) && !boundedLogical(j.right) => j
-    }
-  }
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.Join] =
+    graft.plans.ScaleGuard.cartesianViolations(qe.optimizedPlan)
 
   /** Assert form of [[badGlobalWindows]] for single-query specs. Call
     * after an action so the AQE final plan is in place. */
