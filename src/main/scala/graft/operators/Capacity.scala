@@ -569,7 +569,65 @@ object Capacity {
        FROM (SELECT unnest([0, 60, 300, 3600]) AS delay_s) g, flat
        ORDER BY delay_s"""
 
+  /** Retention-policy storage forecaster (q462): under TTL policies of
+    * 7 / 30 / 90 days, how many event rows stay alive at the END of
+    * the measured stream (rows inside the trailing TTL window), what
+    * share of today's footprint that is, and the steady-state
+    * projection avg-daily-volume × TTL — the three numbers a
+    * data-retention review asks for before approving (or shrinking) a
+    * TTL. Savings are reported against keep-forever.
+    *
+    * Scale: one scan → bounded day histogram; every policy is a
+    * conditional sum over it plus closed-form arithmetic. */
+  def q462RetentionForecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ttls = Seq(7L, 30L, 90L)
+    val mx = hist.groupBy().agg(max($"day").as("dmax"),
+      sum($"c").as("n_total"), count(lit(1)).as("n_days"))
+    val aliveAggs = ttls.map(t =>
+      sum(when($"day" > $"dmax" - t, $"c").otherwise(0L)).as(s"__a$t"))
+    val flat = hist.crossJoin(broadcast(mx))
+      .groupBy($"dmax", $"n_total", $"n_days")
+      .agg(aliveAggs.head, aliveAggs.tail: _*)
+    val stackArgs = ttls.map(t => s"${t}L, __a$t").mkString(", ")
+    flat.select($"n_total", $"n_days",
+        expr(s"stack(${ttls.size}, $stackArgs)").as(Seq("ttl_days", "rows_alive")))
+      .select($"ttl_days", $"n_total", $"n_days", $"rows_alive",
+        expr("rows_alive * 10000 div n_total").as("alive_bp"),
+        expr("least(n_total div n_days * ttl_days, n_total)").as("steady_rows"),
+        expr("(n_total - rows_alive) * 10000 div n_total").as("savings_bp"))
+      .orderBy($"ttl_days")
+  }
+
+  val q462Oracle: String =
+    """WITH hist AS (
+         SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1),
+       mx AS (SELECT CAST(max(day) AS BIGINT) AS dmax,
+                     CAST(sum(c) AS BIGINT) AS n_total,
+                     CAST(count(*) AS BIGINT) AS n_days FROM hist),
+       flat AS (
+         SELECT n_total, n_days,
+                CAST(sum(CASE WHEN day > dmax - 7 THEN c ELSE 0 END) AS BIGINT) AS a7,
+                CAST(sum(CASE WHEN day > dmax - 30 THEN c ELSE 0 END) AS BIGINT) AS a30,
+                CAST(sum(CASE WHEN day > dmax - 90 THEN c ELSE 0 END) AS BIGINT) AS a90
+         FROM hist, mx GROUP BY 1, 2)
+       SELECT CAST(g.ttl AS BIGINT) AS ttl_days, n_total, n_days,
+              CASE g.ttl WHEN 7 THEN a7 WHEN 30 THEN a30 ELSE a90 END AS rows_alive,
+              CASE g.ttl WHEN 7 THEN a7 WHEN 30 THEN a30 ELSE a90 END
+                * 10000 // n_total AS alive_bp,
+              least(n_total // n_days * g.ttl, n_total) AS steady_rows,
+              (n_total - CASE g.ttl WHEN 7 THEN a7 WHEN 30 THEN a30 ELSE a90 END)
+                * 10000 // n_total AS savings_bp
+       FROM (SELECT unnest([7, 30, 90]) AS ttl) g, flat
+       ORDER BY ttl_days"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q462_retention_forecast" -> q462RetentionForecast,
     "q439_lru_curve" -> q439LruCurve,
     "q440_straggler_planner" -> q440StragglerPlanner,
     "q441_erlang_staffing" -> q441ErlangStaffing,
@@ -580,6 +638,7 @@ object Capacity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q462_retention_forecast" -> q462Oracle,
     "q439_lru_curve" -> q439Oracle,
     "q440_straggler_planner" -> q440Oracle,
     "q441_erlang_staffing" -> q441Oracle,

@@ -2109,7 +2109,108 @@ object Prep {
                    THEN 'ivm' ELSE 'refresh' END AS advise
        FROM agg ORDER BY view"""
 
+  /** Rack-aware replica-placement audit (q461, the durability face of
+    * q449's rebalance planner): doc_ids take 3 replicas on a 12-node /
+    * 4-rack consistent-hash ring (replicas = first 3 DISTINCT nodes
+    * clockwise — the Dynamo/Cassandra preference list, NO rack
+    * awareness), and the audit measures what naive placement actually
+    * buys: the share of keys with replicas on 3 distinct racks, on
+    * ≥ 2, the WORST single-rack failure (keys with a 2-of-3 quorum
+    * inside one rack → unavailable), and the hottest primary's load.
+    * These four numbers are the case for rack-aware skip-placement —
+    * or the evidence it isn't needed.
+    *
+    * Determinism/scale: ring points are md5 of literal labels on a
+    * 56-bit ring packed as point·16+node (node in the low nibble), so
+    * the three successor lookups are integer list-min HOFs over a
+    * 192-element constant-folded array under circular distance
+    * pmod(point − pos, 2⁵⁶) — one scan, per-row bounded work, one
+    * 1-row aggregate. */
+  def q461ReplicaPlacement(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def point(label: String): String =
+      s"CAST(conv(substr(md5('$label'), 1, 14), 16, 10) AS BIGINT)"
+    val ring = (for (node <- 0 until 12; v <- 0 until 16)
+      yield s"${point(s"n$node#$v")} * 16 + $node")
+      .mkString("array(", ", ", ")")
+    val lim = 1L << 56
+    def nearest(excl: Seq[String]): String = {
+      val f =
+        if (excl.isEmpty) ring
+        else s"filter($ring, x -> ${excl.map(n => s"x % 16 != $n").mkString(" AND ")})"
+      s"array_min(transform($f, x -> pmod((x div 16) - __pos, ${lim}L) * 16 + x % 16)) % 16"
+    }
+    val keyed = Tables.documents(s, d)
+      .select(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT)")
+        .as("__pos"))
+      .withColumn("n1", expr(nearest(Nil)))
+      .withColumn("n2", expr(nearest(Seq("n1"))))
+      .withColumn("n3", expr(nearest(Seq("n1", "n2"))))
+      .select($"n1", $"n2", $"n3",
+        ($"n1" % 4).as("r1"), ($"n2" % 4).as("r2"), ($"n3" % 4).as("r3"))
+    val rackAggs = (0 until 4).map(f => sum(when(
+      (when($"r1" === f, 1).otherwise(0) + when($"r2" === f, 1).otherwise(0)
+        + when($"r3" === f, 1).otherwise(0)) >= 2, 1L).otherwise(0L))
+      .as(s"__u$f"))
+    val loadAggs = (0 until 12).map(nd =>
+      sum(when($"n1" === nd, 1L).otherwise(0L)).as(s"__l$nd"))
+    val flat = keyed.groupBy().agg(
+      count(lit(1)).as("n_keys"),
+      (Seq(
+        sum(when($"r1" =!= $"r2" && $"r1" =!= $"r3" && $"r2" =!= $"r3", 1L)
+          .otherwise(0L)).as("__d3"),
+        sum(when($"r1" =!= $"r2" || $"r1" =!= $"r3", 1L).otherwise(0L))
+          .as("__d2")) ++ rackAggs ++ loadAggs): _*)
+    flat.select($"n_keys",
+      expr("__d3 * 10000 div n_keys").as("rack_diverse3_bp"),
+      expr("__d2 * 10000 div n_keys").as("rack_diverse2_bp"),
+      expr(s"greatest(${(0 until 4).map(f => s"__u$f").mkString(", ")}) * 10000 div n_keys")
+        .as("worst_rack_unavail_bp"),
+      expr(s"greatest(${(0 until 12).map(n => s"__l$n").mkString(", ")}) * 10000 div n_keys")
+        .as("max_primary_load_bp"))
+  }
+
+  val q461Oracle: String = {
+    def point(label: String): String =
+      s"('0x' || substr(md5('$label'), 1, 14))::BIGINT"
+    val ring = (for (node <- 0 until 12; v <- 0 until 16)
+      yield s"${point(s"n$node#$v")} * 16 + $node")
+      .mkString("[", ", ", "]")
+    val lim = 1L << 56
+    def nearest(excl: Seq[String]): String = {
+      val f =
+        if (excl.isEmpty) ring
+        else s"list_filter($ring, x -> ${excl.map(n => s"x % 16 != $n").mkString(" AND ")})"
+      s"list_min(list_transform($f, x -> ((((x // 16) - pos) % $lim + $lim) % $lim) * 16 + x % 16)) % 16"
+    }
+    s"""WITH keyed AS (
+         SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS pos
+         FROM documents),
+       s1 AS (SELECT pos, ${nearest(Nil)} AS n1 FROM keyed),
+       s2 AS (SELECT pos, n1, ${nearest(Seq("n1"))} AS n2 FROM s1),
+       s3 AS (SELECT pos, n1, n2, ${nearest(Seq("n1", "n2"))} AS n3 FROM s2),
+       rk AS (SELECT n1, n2, n3, n1 % 4 AS r1, n2 % 4 AS r2, n3 % 4 AS r3 FROM s3),
+       flat AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN r1 <> r2 AND r1 <> r3 AND r2 <> r3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+           CAST(sum(CASE WHEN r1 <> r2 OR r1 <> r3 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           ${(0 until 4).map(f =>
+             s"CAST(sum(CASE WHEN (CASE WHEN r1 = $f THEN 1 ELSE 0 END) + (CASE WHEN r2 = $f THEN 1 ELSE 0 END) + (CASE WHEN r3 = $f THEN 1 ELSE 0 END) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS u$f")
+             .mkString(",\n           ")},
+           ${(0 until 12).map(n =>
+             s"CAST(sum(CASE WHEN n1 = $n THEN 1 ELSE 0 END) AS BIGINT) AS l$n")
+             .mkString(",\n           ")}
+         FROM rk)
+       SELECT n_keys,
+              d3 * 10000 // n_keys AS rack_diverse3_bp,
+              d2 * 10000 // n_keys AS rack_diverse2_bp,
+              greatest(${(0 until 4).map(f => s"u$f").mkString(", ")}) * 10000 // n_keys AS worst_rack_unavail_bp,
+              greatest(${(0 until 12).map(n => s"l$n").mkString(", ")}) * 10000 // n_keys AS max_primary_load_bp
+       FROM flat"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q461_replica_placement" -> q461ReplicaPlacement,
     "q453_join_order_advisor" -> q453JoinOrderAdvisor,
     "q454_histogram_shootout" -> q454HistogramShootout,
     "q455_sampling_audit" -> q455SamplingAudit,
@@ -2139,6 +2240,7 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q461_replica_placement" -> q461Oracle,
     "q453_join_order_advisor" -> q453Oracle,
     "q454_histogram_shootout" -> q454Oracle,
     "q455_sampling_audit" -> q455Oracle,

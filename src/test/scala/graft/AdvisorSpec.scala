@@ -180,6 +180,36 @@ class AdvisorSpec extends SparkSpec {
       (("by_cust", 10L, 10L, 2L, 5L, 5L, 10L, 20L, 2000L, "ivm")))
   }
 
+  test("q461: the 3-replica placement replays in Scala, racks and failures included") {
+    val dir = java.nio.file.Files.createTempDirectory("replica").toString
+    val ids = (1L to 400L)
+    ids.map(i => (i, s"doc $i")).toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h56(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s0.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    val lim = 1L << 56
+    val ring = for (n <- 0 until 12; v <- 0 until 16) yield (h56(s"n$n#$v"), n)
+    def replicas(pos: Long): Seq[Int] = {
+      val ord = ring.map { case (p, n) => (((p - pos) % lim + lim) % lim, n) }
+        .sortBy(x => (x._1, x._2))
+      ord.map(_._2).distinct.take(3)
+    }
+    val placed = ids.map(i => replicas(h56(i.toString)))
+    val racks = placed.map(_.map(_ % 4))
+    val d3 = racks.count(r => r.distinct.size == 3)
+    val worst = (0 until 4).map(f => racks.count(_.count(_ == f) >= 2)).max
+    val got = operators.Prep.q461ReplicaPlacement(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._1 == 400L)
+    assert(got._2 == d3 * 10000L / 400L, s"rack_diverse3: $got vs replay $d3")
+    assert(got._4 == worst * 10000L / 400L, s"worst rack: $got vs replay $worst")
+    val maxLoad = (0 until 12).map(n => placed.count(_.head == n)).max
+    assert(got._5 == maxLoad * 10000L / 400L)
+  }
+
   test("q442: the advisor's arithmetic replays from the raw counts") {
     val d = "/root/testdata/sf0.001"
     val nl = graft.io.Tables.lineitem(spark, d).count()

@@ -118,6 +118,20 @@ class CapacitySpec extends SparkSpec {
     assert(after == 344L && saving == 656L)
   }
 
+  test("q462: trailing-window survivors and steady state by hand") {
+    // days 0..8 one event each, day 9 has 11 → n=20, avg 2/day
+    val dir = writeEvents(
+      (0 to 8).map(d0 => (d0.toLong + 1, ns(d0 * 24), 1L, "view", 1.0, "{}")) ++
+        (1 to 11).map(i => (100L + i, ns(9 * 24, i), 1L, "view", 1.0, "{}")))
+    val got = operators.Capacity.q462RetentionForecast(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // ttl 7: days 3..9 alive = 6 + 11 = 17; steady = (20 div 10)·7 = 14
+    assert(got(7L) == ((7L, 20L, 10L, 17L, 8500L, 14L, 1500L)))
+    // ttl 30/90: everything alive, steady caps at the total
+    assert(got(30L)._4 == 20L && got(30L)._6 == 20L && got(30L)._7 == 0L)
+  }
+
   test("q451: a 65-minute-late arrival is dropped up to delta=3600") {
     val dir = writeEvents(Seq(
       (1L, ns(10, 0), 1L, "view", 1.0, "{}"),
