@@ -2515,6 +2515,7 @@ object Curation {
     val universe = st.select($"g").distinct().count()
     var covered = st.select($"g").filter(lit(false))
     val recs = scala.collection.mutable.Buffer[(Long, String, Long, Long)]()
+    var cum = 0L
     var saturated = false
     for (r <- 1 to 4 if !saturated) {
       // saturation (no source adds anything) ends the greedy early —
@@ -2526,10 +2527,15 @@ object Curation {
       if (picks.isEmpty) saturated = true
       else {
         val pick = picks.head
+        // coverage additions are DISJOINT by construction (the anti
+        // join already excluded covered grams), so cum coverage is the
+        // running sum of marginals — no distinct, no count job — and
+        // duplicate grams on the anti join's right side are harmless
         covered = covered
           .union(st.filter($"source" === pick._1).select($"g"))
-          .distinct().localCheckpoint()
-        recs += ((r.toLong, pick._1, pick._2, covered.count()))
+          .localCheckpoint()
+        cum += pick._2
+        recs += ((r.toLong, pick._1, pick._2, cum))
       }
     }
     recs.toSeq.toDF("round", "source", "marginal_types", "cum_types")

@@ -2209,7 +2209,198 @@ object Prep {
        FROM flat"""
   }
 
+  /** Merge-on-read vs copy-on-write planner (q463): the lakehouse
+    * table-format decision, priced from MEASURED churn. The customer
+    * dimension (n_c rows in 32 hash files) absorbs the orders stream's
+    * daily upserts; the measured inputs are the average daily distinct
+    * updated keys and the average daily distinct FILES those keys
+    * touch (md5-bucketed, the q443 discipline). Policies: COW rewrites
+    * every touched file daily (reads stay amp-1.0); MOR logs deltas
+    * and compacts every T ∈ {7, 30} days (writes shrink to
+    * keys + amortized base rewrite; reads pay 1 + live-delta/base,
+    * averaged over the cycle). Write amplification is reported against
+    * the logical churn — the factor the storage bill actually scales
+    * by.
+    *
+    * Scale: one pass reduces orders to the (day, key) distinct
+    * relation → two small aggregates; customer contributes one count;
+    * the 3-row policy grid is closed-form integers. */
+  def q463MorCowPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chg = Tables.orders(s, d)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("day"), $"o_custkey")
+      .distinct()
+    val daily = chg.groupBy($"day")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(expr(
+          "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 32"))
+          .as("f"))
+    val meas = daily.groupBy()
+      .agg(count(lit(1)).as("n_days"), sum($"k").as("tot_k"), sum($"f").as("tot_f"))
+      .select($"n_days",
+        expr("tot_k div n_days").as("avg_keys"),
+        expr("tot_f div n_days").as("avg_files"))
+    val nc = Tables.customer(s, d).groupBy().agg(count(lit(1)).as("n_c"))
+    val one = meas.crossJoin(broadcast(nc))
+      .withColumn("file_rows", expr("(n_c + 31) div 32"))
+    one.select($"n_days", $"avg_keys", $"avg_files", $"n_c",
+        explode(expr(
+          """array(
+               named_struct('policy', 'cow', 'write_rows_day', avg_files * file_rows,
+                 'read_amp_milli', 1000L),
+               named_struct('policy', 'mor_compact_7',
+                 'write_rows_day', avg_keys + n_c div 7,
+                 'read_amp_milli', 1000L + avg_keys * 6 * 1000 div (2 * n_c)),
+               named_struct('policy', 'mor_compact_30',
+                 'write_rows_day', avg_keys + n_c div 30,
+                 'read_amp_milli', 1000L + avg_keys * 29 * 1000 div (2 * n_c)))"""))
+          .as("p"))
+      .select($"p.policy".as("policy"), $"n_days", $"avg_keys", $"avg_files",
+        $"p.write_rows_day", $"p.read_amp_milli",
+        expr("p.write_rows_day * 1000 div greatest(avg_keys, 1)")
+          .as("write_amp_milli"))
+      .orderBy($"policy")
+  }
+
+  val q463Oracle: String =
+    """WITH chg AS (
+         SELECT DISTINCT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+                o_custkey
+         FROM orders),
+       daily AS (
+         SELECT day, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 32) AS BIGINT) AS f
+         FROM chg GROUP BY 1),
+       meas AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(k) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_keys,
+                CAST(sum(f) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_files
+         FROM daily),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM customer),
+       one AS (SELECT *, (n_c + 31) // 32 AS file_rows FROM meas, nc),
+       pol AS (
+         SELECT 'cow' AS policy, n_days, avg_keys, avg_files, n_c,
+                avg_files * file_rows AS write_rows_day,
+                CAST(1000 AS BIGINT) AS read_amp_milli
+         FROM one
+         UNION ALL
+         SELECT 'mor_compact_7', n_days, avg_keys, avg_files, n_c,
+                avg_keys + n_c // 7, 1000 + avg_keys * 6 * 1000 // (2 * n_c)
+         FROM one
+         UNION ALL
+         SELECT 'mor_compact_30', n_days, avg_keys, avg_files, n_c,
+                avg_keys + n_c // 30, 1000 + avg_keys * 29 * 1000 // (2 * n_c)
+         FROM one)
+       SELECT policy, n_days, avg_keys, avg_files, write_rows_day,
+              read_amp_milli,
+              write_rows_day * 1000 // greatest(avg_keys, 1) AS write_amp_milli
+       FROM pol ORDER BY policy"""
+
+  /** Partition-layout pruning audit (q464): month- vs day-partitioned
+    * orders under a literal range-scan workload (spans of 1/7/30/90
+    * days ending at the newest data). Partitions and rows touched are
+    * MEASURED per layout (worst-case straddle for months: a span of s
+    * days can cross ⌈s/30⌉+1 month boundaries), files assume a 10k-row
+    * target file size per partition — so the table shows the classic
+    * trade in numbers: day partitioning prunes 30× sharper on short
+    * scans but mints ~30× the files (the small-file problem q327
+    * compacts away).
+    *
+    * Scale: one pass to the bounded (month, day) histogram; the 8-cell
+    * (layout × span) readout is conditional sums over it. */
+  def q464PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.orders(s, d)
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("day"),
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+          .as("ym"))
+      .agg(count(lit(1)).as("c"))
+    val mx = days.groupBy().agg(max($"day").as("dmax"), sum($"c").as("n"),
+      count(lit(1)).as("n_days"), countDistinct($"ym").as("n_months"))
+    val spans = Seq(1L, 7L, 30L, 90L)
+    val aggs = spans.flatMap(sp => Seq(
+      sum(when($"day" > $"dmax" - sp, $"c").otherwise(0L)).as(s"__dr$sp"),
+      sum(when($"day" > $"dmax" - sp, 1L).otherwise(0L)).as(s"__dp$sp"),
+      // month layout scans whole months: every month containing a
+      // selected day is read in full
+      max(when($"day" > $"dmax" - sp, $"ym")).as(s"__hi$sp"),
+      min(when($"day" > $"dmax" - sp, $"ym")).as(s"__lo$sp")))
+    val flat = days.crossJoin(broadcast(mx))
+      .groupBy($"dmax", $"n", $"n_days", $"n_months")
+      .agg(aggs.head, aggs.tail: _*)
+    // second conditional pass folds month-layout rows: a month is
+    // scanned iff it intersects the span
+    val mrows = spans.map(sp =>
+      sum(when($"ym" >= $"__lo$sp" && $"ym" <= $"__hi$sp", $"c").otherwise(0L))
+        .as(s"__mr$sp"))
+    val mparts = spans.map(sp =>
+      (countDistinct(when($"ym" >= $"__lo$sp" && $"ym" <= $"__hi$sp", $"ym")))
+        .as(s"__mp$sp"))
+    val keep = Seq($"dmax", $"n", $"n_days", $"n_months") ++
+      spans.flatMap(sp => Seq(col(s"__dr$sp"), col(s"__dp$sp")))
+    val flat2 = days.crossJoin(broadcast(flat))
+      .groupBy(keep: _*)
+      .agg((mrows ++ mparts).head, (mrows ++ mparts).tail: _*)
+    val stackArgs = spans.map(sp =>
+      s"${sp}L, __dr$sp, __dp$sp, __mr$sp, __mp$sp").mkString(", ")
+    flat2.select($"n", $"n_days", $"n_months",
+        expr(s"stack(${spans.size}, $stackArgs)")
+          .as(Seq("span_days", "day_rows", "day_parts", "month_rows", "month_parts")))
+      .select(
+        explode(expr(
+          """array(
+               named_struct('layout', 'by_day', 'span_days', span_days,
+                 'parts_touched', day_parts, 'rows_scanned', day_rows,
+                 'files_touched', day_parts,
+                 'scan_bp', day_rows * 10000 div n),
+               named_struct('layout', 'by_month', 'span_days', span_days,
+                 'parts_touched', month_parts, 'rows_scanned', month_rows,
+                 'files_touched', month_parts * ((n div n_months + 9999) div 10000),
+                 'scan_bp', month_rows * 10000 div n))"""))
+          .as("r"))
+      .select($"r.layout".as("layout"), $"r.span_days", $"r.parts_touched",
+        $"r.rows_scanned", $"r.scan_bp", $"r.files_touched")
+      .orderBy($"layout", $"span_days")
+  }
+
+  val q464Oracle: String =
+    """WITH days AS (
+         SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+                CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                CAST(count(*) AS BIGINT) AS c
+         FROM orders GROUP BY 1, 2),
+       mx AS (SELECT CAST(max(day) AS BIGINT) AS dmax, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(count(DISTINCT ym) AS BIGINT) AS n_months FROM days),
+       g AS (SELECT unnest([1, 7, 30, 90]) AS sp),
+       sel AS (
+         SELECT g.sp, n, n_days, n_months,
+                CAST(sum(CASE WHEN day > dmax - g.sp THEN c ELSE 0 END) AS BIGINT) AS day_rows,
+                CAST(sum(CASE WHEN day > dmax - g.sp THEN 1 ELSE 0 END) AS BIGINT) AS day_parts,
+                max(CASE WHEN day > dmax - g.sp THEN ym END) AS hi,
+                min(CASE WHEN day > dmax - g.sp THEN ym END) AS lo
+         FROM days, mx, g GROUP BY 1, 2, 3, 4),
+       msel AS (
+         SELECT s.sp, s.n, s.n_days, s.n_months, s.day_rows, s.day_parts,
+                CAST(sum(CASE WHEN d.ym >= s.lo AND d.ym <= s.hi THEN d.c ELSE 0 END) AS BIGINT) AS month_rows,
+                CAST(count(DISTINCT CASE WHEN d.ym >= s.lo AND d.ym <= s.hi THEN d.ym END) AS BIGINT) AS month_parts
+         FROM sel s, days d GROUP BY 1, 2, 3, 4, 5, 6)
+       SELECT 'by_day' AS layout, CAST(sp AS BIGINT) AS span_days,
+              day_parts AS parts_touched, day_rows AS rows_scanned,
+              day_rows * 10000 // n AS scan_bp, day_parts AS files_touched
+       FROM msel
+       UNION ALL
+       SELECT 'by_month', CAST(sp AS BIGINT), month_parts, month_rows,
+              month_rows * 10000 // n,
+              month_parts * ((n // n_months + 9999) // 10000)
+       FROM msel
+       ORDER BY layout, span_days"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q463_mor_cow_planner" -> q463MorCowPlanner,
+    "q464_partition_pruning" -> q464PartitionPruning,
     "q461_replica_placement" -> q461ReplicaPlacement,
     "q453_join_order_advisor" -> q453JoinOrderAdvisor,
     "q454_histogram_shootout" -> q454HistogramShootout,
@@ -2240,6 +2431,8 @@ object Prep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q463_mor_cow_planner" -> q463Oracle,
+    "q464_partition_pruning" -> q464Oracle,
     "q461_replica_placement" -> q461Oracle,
     "q453_join_order_advisor" -> q453Oracle,
     "q454_histogram_shootout" -> q454Oracle,

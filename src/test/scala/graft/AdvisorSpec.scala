@@ -210,6 +210,52 @@ class AdvisorSpec extends SparkSpec {
     assert(got._5 == maxLoad * 10000L / 400L)
   }
 
+  test("q463: MOR/COW policy table replays from planted churn") {
+    val dir = java.nio.file.Files.createTempDirectory("morcow").toString
+    (1L to 64L).map(i => (i, s"c$i")).toSeq.toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val d1 = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val d2 = java.sql.Timestamp.valueOf("1995-03-02 00:00:00")
+    Seq((1L, 1L, d1), (2L, 2L, d1), (3L, 3L, d1), (4L, 1L, d2))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // avg_keys = (3 + 1) div 2 = 2; avg_files replayed from the md5 buckets
+    val f1 = Seq(1L, 2L, 3L).map(k => h60(k.toString) % 32).distinct.size
+    val f2 = Seq(1L).map(k => h60(k.toString) % 32).distinct.size
+    val avgFiles = (f1 + f2) / 2L
+    val got = operators.Prep.q463MorCowPlanner(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("cow") ==
+      (("cow", 2L, 2L, avgFiles, avgFiles * 2L, 1000L, avgFiles * 1000L)))
+    // mor_7: writes 2 + 64/7 = 11/day; read amp 1 + 2·6/(2·64) = 1.093
+    assert(got("mor_compact_7")._5 == 11L && got("mor_compact_7")._6 == 1093L)
+    assert(got("mor_compact_7")._7 == 5500L)
+  }
+
+  test("q464: day partitions prune 2000x sharper than months on a 1-day scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    val rows = (1 to 5).map(i => (i.toLong, 1L, t("1995-01-15"))) ++
+      (1 to 3).map(i => (10L + i, 1L, t("1995-02-20"))) ++
+      (1 to 2).map(i => (20L + i, 1L, t("1995-02-25"))) ++
+      (1 to 10).map(i => (30L + i, 1L, t("1995-03-01")))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Prep.q464PartitionPruning(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // span 1: both layouts read only the newest day's 10 rows
+    assert(got(("by_day", 1L)) == (("by_day", 1L, 1L, 10L, 5000L, 1L)))
+    assert(got(("by_month", 1L))._4 == 10L && got(("by_month", 1L))._3 == 1L)
+    // span 7: day layout adds just 02-25; month layout drags all of Feb
+    assert(got(("by_day", 7L))._4 == 12L && got(("by_day", 7L))._3 == 2L)
+    assert(got(("by_month", 7L))._4 == 15L && got(("by_month", 7L))._3 == 2L)
+    // span 90: everything, 4 day-partitions vs 3 months
+    assert(got(("by_day", 90L))._3 == 4L && got(("by_month", 90L))._3 == 3L)
+    assert(got(("by_month", 90L))._5 == 10000L)
+  }
+
   test("q442: the advisor's arithmetic replays from the raw counts") {
     val d = "/root/testdata/sf0.001"
     val nl = graft.io.Tables.lineitem(spark, d).count()
