@@ -2300,8 +2300,9 @@ object Prep {
   /** Partition-layout pruning audit (q464): month- vs day-partitioned
     * orders under a literal range-scan workload (spans of 1/7/30/90
     * days ending at the newest data). Partitions and rows touched are
-    * MEASURED per layout (worst-case straddle for months: a span of s
-    * days can cross ⌈s/30⌉+1 month boundaries), files assume a 10k-row
+    * MEASURED per layout (month layout reads every month the selected
+    * day range intersects, in full — partition pruning cannot split a
+    * partition), files assume a 10k-row
     * target file size per partition — so the table shows the classic
     * trade in numbers: day partitioning prunes 30× sharper on short
     * scans but mints ~30× the files (the small-file problem q327
