@@ -33,9 +33,26 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // benched exactly as verified: the plan-time scale guard is on
       .config(graft.plans.ScaleGuard.EnabledKey, "true")
+      // 465 queries × several codegen stages each blows far past the
+      // default 100-entry generated-class cache — every eviction recompiles
+      // on the next hit and the recompile cost lands on innocent
+      // queries (the one-sided suite-growth drift VERDICT r9 #4
+      // flagged); static conf, sized to hold the whole suite
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the "No Partition Defined" WARN fires once per bounded-relation
+    // global window PER TASK — thousands of tail lines that broke the
+    // driver's stdout parse in r8/r9 (VERDICT r9 #3). Every such window
+    // is PlanShapeSpec-proven bounded, so the category carries no
+    // signal here; silence it instead of re-partitioning proven-safe
+    // plans on a literal
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    // executed-plan scale audit, same as Verify (VERDICT r9 ask #3)
+    val audit = graft.plans.PlanAudit.install(spark)
     // warm the JVM/codegen/scan paths once so per-query numbers reflect
     // steady-state plan cost, not first-query JIT + classloading (~5-7 s
     // otherwise landing on whichever query iterates first)
@@ -141,7 +158,17 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_total.json"),
       (shortLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(shortLine)
+    graft.plans.PlanAudit.flush(spark)
+    val violations = audit.violations
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(
+        s"[bench] ${violations.size} executed-plan scale violation(s):\n" +
+          violations.mkString("\n"))
+      sys.exit(3)
+    }
+    // LAST line of stdout, after spark.stop()'s shutdown chatter, so
+    // the driver's tail-window grep lands on it
+    println(shortLine)
   }
 }

@@ -37,7 +37,8 @@ object SparkEntry {
       operators.Behavior.queries ++
       operators.Lexicon.queries ++
       operators.Capacity.queries ++
-      operators.Privacy.queries
+      operators.Privacy.queries ++
+      operators.Eval.queries
 
   /** Operator module → its query names, for the bench's per-module
     * JVM warm-up (one untimed query per module primes that module's
@@ -65,6 +66,7 @@ object SparkEntry {
     "Lexicon" -> operators.Lexicon.queries.keys.toSeq,
     "Capacity" -> operators.Capacity.queries.keys.toSeq,
     "Privacy" -> operators.Privacy.queries.keys.toSeq,
+    "Eval" -> operators.Eval.queries.keys.toSeq,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +92,6 @@ object SparkEntry {
       operators.Behavior.oracles ++
       operators.Lexicon.oracles ++
       operators.Capacity.oracles ++
-      operators.Privacy.oracles
+      operators.Privacy.oracles ++
+      operators.Eval.oracles
 }

@@ -20,6 +20,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-relation global windows fire a per-task WARN that floods
+    // the log (PlanShapeSpec proves them safe); see Bench for rationale
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    // executed-plan scale audit (VERDICT r9 ask #3): the plan-time
+    // guard above refuses cartesian-class joins, but data-sized
+    // broadcast HINTS execute fine at test scale — the listener runs
+    // the ScaleGuard shape checks on EVERY executed plan, including
+    // loop-internal localCheckpoint/count actions the returned-plan
+    // locks never see, and the post-sweep assertion below fails the
+    // whole run on any hit
+    val audit = graft.plans.PlanAudit.install(spark)
     new java.io.File(outDir).mkdirs()
     // optional trailing names restrict the dump (dev loop); the driver
     // passes none and always dumps everything
@@ -48,6 +61,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.plans.PlanAudit.flush(spark)
+    val violations = audit.violations
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(
+        s"[verify] ${violations.size} executed-plan scale violation(s):\n" +
+          violations.mkString("\n"))
+      sys.exit(3)
+    }
   }
 }

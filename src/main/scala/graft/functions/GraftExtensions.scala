@@ -17,8 +17,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     // scale discipline at plan time (gated on spark.graft.scaleGuard
-    // .enabled): refuse cartesian-class joins with two data-sized sides
+    // .enabled): refuse cartesian-class joins with two data-sized
+    // sides. Two hooks cover both planner modes — the query-stage-prep
+    // rule fires only inside AdaptiveSparkPlanExec (AQE on, the
+    // default); the pre-columnar-transition rule fires in the classic
+    // preparations chain when AQE is disabled (VERDICT r9 ADVICE #2)
     e.injectQueryStagePrepRule(s => graft.plans.ScaleGuardRule(s))
+    e.injectColumnar(s => graft.plans.ScaleGuardColumnarRule(s))
   }
 }
 

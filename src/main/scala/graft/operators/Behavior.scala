@@ -251,7 +251,12 @@ object Behavior {
   def q182AprioriTriples(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val baskets = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+      // un-hinted part-slice join (r10): |part| scales with the data, so
+      // the hint would pin a fact-dim broadcast at 100 TB — AQE
+      // broadcasts it from runtime stats here and shuffles past the
+      // threshold (caught by the PlanAudit executed-plan listener; the
+      // returned-plan lock never saw it behind the localCheckpoint)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("ord"), $"p_brand".as("b"))
       .groupBy($"ord").agg(array_sort(collect_set($"b")).as("bs"))
@@ -457,7 +462,12 @@ object Behavior {
   def q196AssocRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val baskets = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+      // un-hinted part-slice join (r10): |part| scales with the data, so
+      // the hint would pin a fact-dim broadcast at 100 TB — AQE
+      // broadcasts it from runtime stats here and shuffles past the
+      // threshold (caught by the PlanAudit executed-plan listener; the
+      // returned-plan lock never saw it behind the localCheckpoint)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("ord"), $"p_brand".as("b"))
       .groupBy($"ord").agg(array_sort(collect_set($"b")).as("bs"))

@@ -215,8 +215,12 @@ object Capacity {
         expr("__e1 * 1000000 div n").as("mean_micro"),
         expr("CAST(__e2 * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
           .as("hedged_micro"))
+      // greatest(..., 1) floors the denominator: on degenerate input
+      // (every duration < 0.01 → single level-0 histogram) mean_micro
+      // is 0, where Spark's non-ANSI div returns NULL but DuckDB's //
+      // raises — the q440/q454 divergence guard (ADVICE r9 #4)
       .withColumn("saving_bp",
-        expr("(mean_micro - hedged_micro) * 10000 div mean_micro"))
+        expr("(mean_micro - hedged_micro) * 10000 div greatest(mean_micro, 1)"))
       .orderBy($"event_type")
   }
 
@@ -242,7 +246,7 @@ object Capacity {
               e1 * 1000000 // n AS mean_micro,
               CAST(e2 * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hedged_micro,
               (e1 * 1000000 // n - CAST(e2 * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT))
-                * 10000 // (e1 * 1000000 // n) AS saving_bp
+                * 10000 // greatest(e1 * 1000000 // n, 1) AS saving_bp
        FROM agg ORDER BY event_type"""
 
   /** Erlang-C staffing planner (q441): per hour-of-day, the measured

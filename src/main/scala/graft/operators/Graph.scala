@@ -163,20 +163,22 @@ object Graph {
     * graph?) alongside components (q71) and PageRank (q82).
     *
     * Spark-side: level-synchronous frontier expansion — per round, join
-    * the (tiny, broadcast) frontier against the edge list, anti-probe
-    * the visited set, localCheckpoint both. Each round is one bounded
-    * join over `edges`, so total work is O(rounds · m) REGARDLESS of
-    * path multiplicity. The oracle's only pure-SQL formulation — a
-    * recursive CTE whose working set is every distinct (node, dist)
-    * pair it has ever derived — re-derives rows once per incoming path
-    * length and cannot early-prune non-minimal distances (same asymmetry
-    * the engine exploits in q71: iterative dataflow is the right tool,
-    * SQL recursion isn't). Edges are checkpointed once and re-partitioned
+    * the frontier against the edge list, anti-probe the visited set,
+    * localCheckpoint both. Each round is one bounded join over `edges`,
+    * so total work is O(rounds · m) REGARDLESS of path multiplicity.
+    * The oracle's only pure-SQL formulation — a recursive CTE whose
+    * working set is every distinct (node, dist) pair it has ever
+    * derived — re-derives rows once per incoming path length and cannot
+    * early-prune non-minimal distances (same asymmetry the engine
+    * exploits in q71: iterative dataflow is the right tool, SQL
+    * recursion isn't). Edges are checkpointed once and re-partitioned
     * on the probe key so every round's join reuses the same layout; the
-    * frontier/visited sides stay broadcast-sized in any graph whose
-    * frontier fits a driver-adjacent table — and if one doesn't, the
-    * hints degrade to shuffle joins and the loop is data-bound, which
-    * is then correct. */
+    * frontier/visited sides are broadcast ONLY under a measured-count
+    * gate (`ScaleGuard.broadcastIfSmall` — the worst-hop frontier is
+    * graph-sized in an expander, and an explicit hint does NOT fall
+    * back on size: past the 8 GB cap the broadcast build fails, it
+    * does not degrade). Past the gate the joins run as shuffle joins
+    * and the loop is data-bound, which is then correct. */
   def q150BfsHops(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ps = Tables.lineitem(s, d)
@@ -208,20 +210,32 @@ object Graph {
     // every round — pure per-round floor, ~20% of q150 at sf0.1).
     var frontiers = List(
       seeds.select($"node", lit(0L).as("dist")).localCheckpoint())
+    // per-round frontier counts: the loop needs an emptiness probe
+    // anyway, and the FULL count (over the just-checkpointed rows —
+    // one cheap job on materialized partitions) doubles as the
+    // broadcast gate's proof. Frontiers are disjoint by construction
+    // (anti-joined against all earlier rounds), so the visited-set
+    // count is the running sum.
+    var frontierCnt = frontiers.head.count()
+    var visitedCnt = frontierCnt
     var frontier = frontiers.head
     var hop = 0
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
+    while (hop < maxHops && frontierCnt > 0) {
       hop += 1
       val visitedNodes = frontiers.map(_.select($"node".as("vn")))
         .reduce(_ union _)
       val next = edges
-        .join(broadcast(frontier), edges("src") === frontier("node"))
+        .join(graft.plans.ScaleGuard.broadcastIfSmall(frontier, frontierCnt),
+          edges("src") === frontier("node"))
         .select($"dst".as("node")).distinct()
-        .join(broadcast(visitedNodes), $"node" === $"vn", "left_anti")
+        .join(graft.plans.ScaleGuard.broadcastIfSmall(visitedNodes, visitedCnt),
+          $"node" === $"vn", "left_anti")
         .select($"node", lit(hop.toLong).as("dist"))
         .localCheckpoint()
       frontiers ::= next
       frontier = next
+      frontierCnt = next.count()
+      visitedCnt += frontierCnt
     }
     frontiers.reduce(_ union _)
   }
@@ -370,8 +384,13 @@ object Graph {
     *
     * Shape: one distinct shuffle builds the edge list; authorities are
     * a partial-agg groupBy; the hub pass joins the |suppliers|-sized
-    * authority relation back BROADCAST (the fact-sized edge list never
-    * reshuffles); both top-10s are TakeOrdered heaps, no global sort. */
+    * authority relation back UN-HINTED — AQE broadcasts it from
+    * runtime stats at any scale where it fits (keeping the fact-sized
+    * edge list un-reshuffled) and degrades to a shuffle join past the
+    * threshold, where an explicit hint would instead fail the 8 GB
+    * broadcast build (|suppliers| scales linearly with the data —
+    * VERDICT r9 #1); both top-10s are TakeOrdered heaps, no global
+    * sort. */
   def q239HitsStep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val edges = Tables.lineitem(s, d)
@@ -380,7 +399,7 @@ object Graph {
     val topAuth = auth
       .select(lit("authority").as("role"), $"sp".as("node"), $"score")
       .orderBy($"score".desc, $"node").limit(10)
-    val hubs = edges.join(broadcast(auth), "sp")
+    val hubs = edges.join(auth, "sp")
       .groupBy($"p").agg(sum($"score").as("score"))
     val topHubs = hubs
       .select(lit("hub").as("role"), $"p".as("node"), $"score")
@@ -420,11 +439,15 @@ object Graph {
     * delta between rounds 3 and 1 is the stopping signal.
     *
     * Shape per round: the rank relation is |one side| (bounded by
-    * suppliers/parts, both ≪ edges); it broadcasts into the edge
-    * list, one partial-agg groupBy lands the next vector. The edge
-    * list is scanned once per round and NEVER re-shuffled (broadcast
-    * hash join on the rank side); the loop is the q71/q150/q238
-    * iterative-dataflow idiom. Top-10 + a 1-row delta summary out. */
+    * suppliers/parts, both ≪ edges — but both scale LINEARLY with the
+    * data, so it is never hinted); it joins into the edge list
+    * un-hinted and AQE broadcasts it from runtime stats wherever it
+    * fits, keeping the edge list un-reshuffled, and degrades to a
+    * shuffle join past the threshold — where an explicit hint would
+    * instead fail the 8 GB broadcast build (VERDICT r9 #1). One
+    * partial-agg groupBy lands the next vector per round; the loop is
+    * the q71/q150/q238 iterative-dataflow idiom. Top-10 + a 1-row
+    * delta summary out. */
   def q237PagerankLoop(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val edges = Tables.lineitem(s, d)
@@ -432,18 +455,18 @@ object Graph {
       .distinct().localCheckpoint()
     val pdeg = edges.groupBy($"p").agg(count(lit(1)).as("pdeg"))
     val sdeg = edges.groupBy($"sp").agg(count(lit(1)).as("sdeg"))
-    val ep = edges.join(broadcast(pdeg), "p")
-    val es = edges.join(broadcast(sdeg), "sp")
+    val ep = edges.join(pdeg, "p")
+    val es = edges.join(sdeg, "sp")
     // round 1: uniform part rank 1e6 → suppliers
     val r1 = ep.groupBy($"sp")
       .agg((lit(150000L) + sum(expr("850000 div pdeg"))).as("r"))
     // round 2: suppliers push back to parts
-    val r2 = es.join(broadcast(r1), "sp")
+    val r2 = es.join(r1, "sp")
       .groupBy($"p")
       .agg((lit(150000L) + sum(expr("(850000 * r div 1000000) div sdeg")))
         .as("r"))
     // round 3: parts push to suppliers again
-    val r3 = ep.join(broadcast(r2), "p")
+    val r3 = ep.join(r2, "p")
       .groupBy($"sp")
       .agg((lit(150000L) + sum(expr("(850000 * r div 1000000) div pdeg")))
         .as("r"))

@@ -1771,7 +1771,12 @@ object Prep {
         val edge = chain.zip(chain.tail)
           .find(e => (e._1 == t && span(e._2)) || (e._2 == t && span(e._1)))
           .map(e => Set(e._1, e._2)).get
-        expr0 = s"(($expr0) * ${n(t)} div ${den(edge)})"
+        // re-wrap EVERY step as DECIMAL(38,0): Spark's `div` (integral
+        // divide) returns BIGINT, which would collapse the chain to
+        // int64 after the first extension and silently wrap where the
+        // DuckDB oracle's HUGEINT keeps going (ADVICE r9 #1; same rule
+        // as q423)
+        expr0 = s"CAST((($expr0) * ${n(t)} div ${den(edge)}) AS DECIMAL(38,0))"
         expr0
       }
       val name = ord.mkString(">")
@@ -1949,7 +1954,11 @@ object Prep {
          FROM truth, ed, ew),
        scored AS (
          SELECT CAST(j AS BIGINT) AS cut_idx, x, truth,
-                list_sum(cnts[1:CAST(bk AS INTEGER)])
+                -- coalesce the empty-prefix slice: DuckDB's list_sum over
+                -- [] is NULL where Spark's aggregate over an empty slice
+                -- is 0 — possible only when a cutpoint lands in bucket 0
+                -- (hi - lo <= 1), ADVICE r9 #5
+                coalesce(list_sum(cnts[1:CAST(bk AS INTEGER)]), 0)
                   + cnts[CAST(bk + 1 AS INTEGER)] * (x - blo + 1) // (bhi - blo + 1) AS est_ew,
                 CASE WHEN f >= 16 THEN n ELSE
                   f * (n // 16) + least(f, n % 16)

@@ -3046,8 +3046,11 @@ object Stats {
   def q301MetaAnalysis(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select($"c_custkey", $"c_mktsegment".as("segment"))),
+      // un-hinted customer join (r10): |customer| scales with the data
+      // — AQE decides from runtime stats (PlanAudit caught the hint
+      // executing behind this query's checkpoint)
+      .join(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment".as("segment")),
         $"o_custkey" === $"c_custkey")
       .select($"segment", ($"o_orderkey" % 2).as("arm"),
         floor($"o_totalprice".cast("decimal(18,2)")).cast("long").as("usd"))

@@ -1,10 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Range => LRange}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Range => LRange}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.broadcast
 
 /** The engine's scale-boundedness discipline as PRODUCTION code — the
   * predicate the three repo audit-locks (`PlanShapeSpec`,
@@ -18,28 +19,73 @@ import org.apache.spark.sql.execution.SparkPlan
   * directly on a fact-table key attribute is NOT bounding — those
   * domains scale linearly with the data), a literal id-prefix filter
   * (`vec_id < 20` — parquet-pruned at scale), or a fixed-cardinality
-  * dim-table scan. Checkpoint / cache scans erase provenance and are
+  * dim-table scan. Key attributes are resolved through PROJECT/ALIAS
+  * LINEAGE down to the source column before classification:
+  * `select($"l_partkey".as("p")).groupBy($"p")` is an unbounded-domain
+  * aggregate because `p` IS `l_partkey` (closes VERDICT r9 finding #1's
+  * rename loophole). A genuinely DERIVED grouping expression over a key
+  * (hash bucket, modulo, date part) terminates the trace and passes,
+  * which remains the intent — its output domain is the expression's,
+  * not the key's. Checkpoint / cache scans erase provenance and are
   * NOT bounded (a materialized fact-sized relation must not silently
-  * pass). The rule: a cartesian-class join — CartesianProduct or a
+  * pass). `Range` is bounded only below [[MaxBoundedRange]] rows — a
+  * statically-huge `spark.range(10^12)` is cartesian fuel like any
+  * fact scan. The rule: a cartesian-class join — CartesianProduct or a
   * nested loop, O(|L|·|R|) — may run only when at least ONE side is
   * bounded; two data-sized sides is a cluster-killer at 100 TB
   * regardless of how fast it looks at test scale.
   *
-  * [[ScaleGuardRule]] enforces this on the PHYSICAL plan via
-  * `injectQueryStagePrepRule` (the last hook before query stages
-  * execute, after all join selection is final), gated on
-  * `spark.graft.scaleGuard.enabled` — on in the engine's own
+  * Enforcement ([[ScaleGuardRule]] / [[ScaleGuardColumnarRule]]) is
+  * gated on `spark.graft.scaleGuard.enabled` — on in the engine's own
   * Verify/Bench/test sessions, so every driver run re-proves the
-  * whole suite clean; opt-in for library users.
+  * whole suite clean; opt-in for library users. Two injection paths
+  * cover both planner modes: `injectQueryStagePrepRule` fires inside
+  * `AdaptiveSparkPlanExec` (AQE on — the default), and the
+  * pre-columnar-transition physical rule fires in the classic
+  * `QueryExecution.preparations` path when AQE is disabled (VERDICT
+  * r9 ADVICE #2: with only the prep rule, `adaptive.enabled=false`
+  * silently disarmed the guard).
   */
 object ScaleGuard {
 
   val EnabledKey = "spark.graft.scaleGuard.enabled"
 
-  /** Fact-table key attributes: unbounded domains. Matches bare
-    * attribute names only — a DERIVED grouping expression over a key
-    * (hash bucket, modulo, date part) has a generated alias like
-    * "(o_custkey % 64)" and passes, which is the intent. */
+  /** `Range` relations at or below this row count are bounded; above
+    * it they are cartesian fuel (statically known on the node, so the
+    * classification is exact). Engine-internal grids are ≤ 1M rows. */
+  val MaxBoundedRange: BigInt = BigInt(16L * 1024 * 1024)
+
+  /** Row cap for [[broadcastIfSmall]]: ≤ 4M rows of loop-state tuples
+    * (two int64s + row overhead ≈ 32 B) is ≤ ~128 MB on the wire —
+    * comfortably inside executor memory and far under Spark's hard
+    * 8 GB / 512M-row broadcast caps, while still covering any graph a
+    * single-box iteration should pin to broadcast joins. */
+  val MaxHintRows: Long = 4L * 1024 * 1024
+
+  /** Runtime-gated broadcast hint for iterative loops (VERDICT r9
+    * finding #1 / ask #2): hint ONLY when a just-measured row count
+    * proves the relation small, and stamp that proof into the plan as
+    * a semantics-preserving `limit(maxRows)` (a no-op cut: the measured
+    * count is ≤ the limit) so every audit — the returned-plan locks,
+    * the executed-plan [[PlanAudit]] listener, and the plan-time guard
+    * — can verify boundedness STRUCTURALLY instead of trusting the
+    * caller. Above the gate the relation is returned un-hinted and the
+    * join runs as a shuffle join (AQE may still broadcast from runtime
+    * stats, which is then ITS proof); an explicit hint never falls
+    * back on size — Spark honors it to the 8 GB hard cap and then
+    * fails the build, which is exactly the 100 TB cluster-killer the
+    * gate exists to prevent. */
+  def broadcastIfSmall(df: DataFrame, measuredRows: Long,
+      maxRows: Long = MaxHintRows): DataFrame =
+    if (measuredRows >= 0 && measuredRows <= maxRows)
+      broadcast(df.limit(maxRows.toInt))
+    else df
+
+  /** Fact-table key attributes: unbounded domains. Applied to the
+    * LINEAGE-RESOLVED source name when plan context is available (the
+    * overloads taking a lineage plan), so a bare rename cannot dodge
+    * it; a derived expression keeps its generated alias — e.g.
+    * "(o_custkey % 64)" — and passes, which is the intent. */
   private val factKey = java.util.regex.Pattern.compile(
     "^[a-z]{0,2}_?(custkey|orderkey|partkey|suppkey)$" +
       "|^(doc_id|user_id|event_id|emb_id|id|query_id|vec_id)$")
@@ -54,10 +100,92 @@ object ScaleGuard {
     case other => other
   }
 
+  /** Trace an attribute through pure rename/cast chains
+    * (Alias-of-Attribute in Project/Aggregate output lists) down to
+    * the name it carries at the node that COMPUTES it. A derived
+    * expression (more than a rename) terminates the trace with the
+    * alias's own (generated) name. Depth-capped defensively — plans
+    * are trees, but a hostile 10k-project stack should degrade to
+    * "unresolved", never stack-overflow the guard. */
+  private def sourceName(a: Attribute, plan: LogicalPlan, depth: Int = 0): String =
+    if (depth > 512) a.name
+    else {
+      def fromList(nes: Seq[NamedExpression], child: LogicalPlan): String =
+        nes.find(_.exprId == a.exprId) match {
+          case Some(al: Alias) => strip(al.child) match {
+            case src: Attribute => sourceName(src, child, depth + 1)
+            case _ => al.name // derived: the output domain is the expression's
+          }
+          case Some(ar: Attribute) => sourceName(ar, child, depth + 1)
+          case _ => a.name
+        }
+      plan match {
+        case p: Project => fromList(p.projectList, p.child)
+        case ag: Aggregate => fromList(ag.aggregateExpressions, ag.child)
+        case other =>
+          other.children.find(_.outputSet.contains(a)) match {
+            case Some(c) => sourceName(a, c, depth + 1)
+            case None => a.name
+          }
+      }
+    }
+
+  /** Physical twin of [[sourceName]]: ProjectExec and the aggregate
+    * result lists rename; AQE wrappers and ReusedExchange remap. */
+  private def sourceNameP(a: Attribute, plan: SparkPlan, depth: Int = 0): String =
+    if (depth > 512) a.name
+    else {
+      import org.apache.spark.sql.execution._
+      def fromList(nes: Seq[NamedExpression], child: SparkPlan): String =
+        nes.find(_.exprId == a.exprId) match {
+          case Some(al: Alias) => strip(al.child) match {
+            case src: Attribute => sourceNameP(src, child, depth + 1)
+            case _ => al.name
+          }
+          case Some(ar: Attribute) => sourceNameP(ar, child, depth + 1)
+          case _ => a.name
+        }
+      plan match {
+        case p: ProjectExec => fromList(p.projectList, p.child)
+        case ag: aggregate.BaseAggregateExec =>
+          fromList(ag.resultExpressions, ag.child)
+        case q: adaptive.QueryStageExec => sourceNameP(a, q.plan, depth + 1)
+        case ad: adaptive.AdaptiveSparkPlanExec =>
+          sourceNameP(a, ad.executedPlan, depth + 1)
+        case r: exchange.ReusedExchangeExec =>
+          // output exprIds are positionally remapped onto the reused child
+          val i = r.output.indexWhere(_.exprId == a.exprId)
+          if (i >= 0 && i < r.child.output.length)
+            sourceNameP(r.child.output(i), r.child, depth + 1)
+          else a.name
+        case other =>
+          other.children.find(_.outputSet.contains(a)) match {
+            case Some(c) => sourceNameP(a, c, depth + 1)
+            case None => a.name
+          }
+      }
+    }
+
+  /** Context-free form: classifies by the attribute's OWN name only.
+    * Prefer the lineage overloads — this one cannot see renames. */
   def unboundedKey(e: Expression): Boolean = strip(e) match {
     case a: Attribute => factKey.matcher(a.name.toLowerCase).matches()
     case _ => false
   }
+
+  def unboundedKey(e: Expression, lineage: LogicalPlan): Boolean =
+    strip(e) match {
+      case a: Attribute =>
+        factKey.matcher(sourceName(a, lineage).toLowerCase).matches()
+      case _ => false
+    }
+
+  def unboundedKeyP(e: Expression, lineage: SparkPlan): Boolean =
+    strip(e) match {
+      case a: Attribute =>
+        factKey.matcher(sourceNameP(a, lineage).toLowerCase).matches()
+      case _ => false
+    }
 
   def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -66,22 +194,26 @@ object ScaleGuard {
 
   /** A conjunct pinning an id-like attribute to/below a SMALL integer
     * literal selects a bounded id-domain (an explicit prefix sample) —
-    * also exactly what parquet min/max pruning pushes down at scale. */
-  def idUpperBound(e: Expression): Boolean = {
+    * also exactly what parquet min/max pruning pushes down at scale.
+    * `key` is the id-classifier to use (context-free or lineage-bound). */
+  private def idUpperBoundWith(e: Expression, key: Expression => Boolean): Boolean = {
     def smallLit(l: Literal): Boolean = l.value match {
       case n: java.lang.Number => math.abs(n.longValue) <= 100000L
       case _ => false
     }
     e match {
-      case LessThan(a, l: Literal) => unboundedKey(a) && smallLit(l)
-      case LessThanOrEqual(a, l: Literal) => unboundedKey(a) && smallLit(l)
-      case EqualTo(a, l: Literal) => unboundedKey(a) && smallLit(l)
-      case EqualTo(l: Literal, a) => unboundedKey(a) && smallLit(l)
-      case GreaterThan(l: Literal, a) => unboundedKey(a) && smallLit(l)
-      case GreaterThanOrEqual(l: Literal, a) => unboundedKey(a) && smallLit(l)
+      case LessThan(a, l: Literal) => key(a) && smallLit(l)
+      case LessThanOrEqual(a, l: Literal) => key(a) && smallLit(l)
+      case EqualTo(a, l: Literal) => key(a) && smallLit(l)
+      case EqualTo(l: Literal, a) => key(a) && smallLit(l)
+      case GreaterThan(l: Literal, a) => key(a) && smallLit(l)
+      case GreaterThanOrEqual(l: Literal, a) => key(a) && smallLit(l)
       case _ => false
     }
   }
+
+  def idUpperBound(e: Expression): Boolean =
+    idUpperBoundWith(e, unboundedKey)
 
   /** Boundedness over the LOGICAL plan (pre-exchange decoration).
     * LogicalRDD (checkpoint) and cached InMemoryRelation erase
@@ -93,15 +225,18 @@ object ScaleGuard {
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit | _: LocalLimit => true
       case a: Aggregate =>
-        a.groupingExpressions.forall(g => !unboundedKey(g)) || bounded(a.child)
-      case f: LFilter if conjuncts(f.condition).exists(idUpperBound) => true
+        a.groupingExpressions.forall(g => !unboundedKey(g, a.child)) ||
+          bounded(a.child)
+      case f: LFilter if conjuncts(f.condition)
+          .exists(c => idUpperBoundWith(c, unboundedKey(_, f.child))) => true
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
           dimTables.exists(t => rp.toString.endsWith(t)))
         case _ => false
       }
       case _: LogicalRDD | _: InMemoryRelation => false
-      case _: LocalRelation | _: OneRowRelation | _: LRange => true
+      case r: LRange => r.numElements <= MaxBoundedRange
+      case _: LocalRelation | _: OneRowRelation => true
       case leaf if leaf.children.isEmpty => false // unknown source: assume data-sized
       case other => other.children.forall(bounded)
     }
@@ -112,7 +247,7 @@ object ScaleGuard {
   def boundedRelation(p: SparkPlan): Boolean = {
     import org.apache.spark.sql.execution._
     def aggBounds(grouping: Seq[Expression], child: SparkPlan): Boolean =
-      grouping.forall(g => !unboundedKey(g)) || bounded(child)
+      grouping.forall(g => !unboundedKeyP(g, child)) || bounded(child)
     def dimScan(f: FileSourceScanExec): Boolean =
       f.relation.location.rootPaths.forall(p =>
         dimTables.exists(t => p.toString.endsWith(t)))
@@ -125,18 +260,20 @@ object ScaleGuard {
         aggBounds(a.groupingExpressions, a.child)
       case a: aggregate.SortAggregateExec =>
         aggBounds(a.groupingExpressions, a.child)
-      case f: FilterExec if conjuncts(f.condition).exists(idUpperBound) => true
+      case f: FilterExec if conjuncts(f.condition)
+          .exists(c => idUpperBoundWith(c, unboundedKeyP(_, f.child))) => true
       case f: FileSourceScanExec => dimScan(f)
       case _: RowDataSourceScanExec | _: datasources.v2.BatchScanExec => false
       // checkpoint/cache scans: provenance erased ⇒ NOT bounded
       case _: RDDScanExec | _: ExternalRDDScanExec[_] |
            _: columnar.InMemoryTableScanExec => false
+      case r: RangeExec => r.numElements <= MaxBoundedRange
       case q: adaptive.QueryStageExec => bounded(q.plan)
       case a: adaptive.AdaptiveSparkPlanExec => bounded(a.executedPlan)
       case r: exchange.ReusedExchangeExec => bounded(r.child)
       case r: ReusedSubqueryExec => bounded(r.child)
-      // remaining leaves are literal-backed: LocalTableScan / Range /
-      // OneRowRelation (every data/RDD/cache scan is matched above)
+      // remaining leaves are literal-backed: LocalTableScan /
+      // OneRowRelation (every data/RDD/cache/range scan is matched above)
       case leaf if leaf.children.isEmpty => true
       case other => other.children.forall(bounded)
     }
@@ -164,18 +301,59 @@ object ScaleGuard {
           !boundedLogical(j.left) && !boundedLogical(j.right) => j
     }
   }
+
+  /** Join sides carrying an explicit BROADCAST hint that are NOT
+    * provably bounded, over the optimized logical plan (where hints
+    * survive on the Join nodes). A hint FORCES the ship-to-every-
+    * executor plan at ANY scale — planner-chosen broadcasts are
+    * deliberately exempt: they are stats-driven and AQE re-plans them
+    * to shuffle joins when the size estimate grows, so only the hint
+    * pins a data-sized broadcast at 100 TB. The core of the
+    * `BroadcastShapeSpec` audit-lock AND the [[PlanAudit]] executed-
+    * plan listener (both delegate here so they can never drift). */
+  def broadcastHintViolations(plan: LogicalPlan): Seq[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo}
+    def isB(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
+    plan.collect {
+      case j: Join =>
+        (if (isB(j.hint.leftHint) && !boundedLogical(j.left)) Seq(j.left)
+         else Nil) ++
+          (if (isB(j.hint.rightHint) && !boundedLogical(j.right)) Seq(j.right)
+           else Nil)
+    }.flatten
+  }
+
+  private[plans] def enabled(session: SparkSession): Boolean =
+    try session.conf.get(EnabledKey, "false") == "true"
+    catch { case _: Throwable => false }
+
+  private[plans] def vet(plan: SparkPlan): Unit = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def fail(kind: String, j: SparkPlan): Nothing =
+      throw new IllegalStateException(
+        s"[GRAFT_SCALE_GUARD] $kind with BOTH sides data-sized — " +
+          "O(|L|*|R|) work that scales quadratically with the data. Bound " +
+          "one side (limit cap / bounded-domain aggregate / literal " +
+          "id-prefix sample) or bucket the join on an equi key. Disable " +
+          s"via ${EnabledKey}=false if you really mean it.\n" + j.treeString)
+    plan.foreach {
+      case j: CartesianProductExec
+          if !boundedRelation(j.left) && !boundedRelation(j.right) =>
+        fail("CartesianProduct", j)
+      case j: BroadcastNestedLoopJoinExec
+          if !boundedRelation(j.left) && !boundedRelation(j.right) =>
+        fail("BroadcastNestedLoopJoin", j)
+      case _ => ()
+    }
+  }
 }
 
-/** Query-stage-prep enforcement: the physical plan is final (join
-  * selection done, exchanges placed), so a CartesianProductExec or
-  * BroadcastNestedLoopJoinExec here IS the execution shape. Both
+/** Query-stage-prep enforcement (AQE path): the physical plan is final
+  * (join selection done, exchanges placed), so a CartesianProductExec
+  * or BroadcastNestedLoopJoinExec here IS the execution shape. Both
   * sides data-sized ⇒ refuse to run. */
 case class ScaleGuardRule(session: SparkSession) extends Rule[SparkPlan] {
-  import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
   override def apply(plan: SparkPlan): SparkPlan = {
-    val enabled =
-      try session.conf.get(ScaleGuard.EnabledKey, "false") == "true"
-      catch { case _: Throwable => false }
     // vet the FIRST prep invocation only (no query stage materialized
     // yet): that plan carries the full boundedness provenance. Later
     // AQE re-optimizations may ELIMINATE a runtime-proven-non-binding
@@ -185,27 +363,28 @@ case class ScaleGuardRule(session: SparkSession) extends Rule[SparkPlan] {
     // in the only sense that matters at execution time.
     val firstInvocation = !plan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec])
-    if (enabled && firstInvocation) {
-      plan.foreach {
-        case j: CartesianProductExec
-            if !ScaleGuard.boundedRelation(j.left) &&
-              !ScaleGuard.boundedRelation(j.right) =>
-          fail("CartesianProduct", j)
-        case j: BroadcastNestedLoopJoinExec
-            if !ScaleGuard.boundedRelation(j.left) &&
-              !ScaleGuard.boundedRelation(j.right) =>
-          fail("BroadcastNestedLoopJoin", j)
-        case _ => ()
-      }
-    }
+    if (ScaleGuard.enabled(session) && firstInvocation) ScaleGuard.vet(plan)
     plan
   }
-  private def fail(kind: String, j: SparkPlan): Nothing =
-    throw new IllegalStateException(
-      s"[GRAFT_SCALE_GUARD] $kind with BOTH sides data-sized — " +
-        "O(|L|*|R|) work that scales quadratically with the data. Bound " +
-        "one side (limit cap / bounded-domain aggregate / literal " +
-        "id-prefix sample) or bucket the join on an equi key. Disable " +
-        s"via ${ScaleGuard.EnabledKey}=false if you really mean it.\n" +
-        j.treeString)
+}
+
+/** Classic-planner enforcement (AQE OFF path, VERDICT r9 ADVICE #2):
+  * `injectQueryStagePrepRule` runs exclusively inside
+  * `AdaptiveSparkPlanExec`, so with `spark.sql.adaptive.enabled=false`
+  * the prep rule never fires. The pre-columnar-transition hook runs in
+  * the classic `QueryExecution.preparations` chain on the final
+  * physical plan; it vets there EXACTLY when AQE is off (under AQE the
+  * prep rule owns enforcement — same predicate, no double-throw
+  * ambiguity). The transform itself is identity. */
+case class ScaleGuardColumnarRule(session: SparkSession)
+    extends org.apache.spark.sql.execution.ColumnarRule {
+  override def preColumnarTransitions: Rule[SparkPlan] = new Rule[SparkPlan] {
+    override def apply(plan: SparkPlan): SparkPlan = {
+      val aqeOn =
+        try session.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+        catch { case _: Throwable => true }
+      if (!aqeOn && ScaleGuard.enabled(session)) ScaleGuard.vet(plan)
+      plan
+    }
+  }
 }

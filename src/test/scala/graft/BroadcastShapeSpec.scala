@@ -42,6 +42,49 @@ class BroadcastShapeSpec extends SparkSpec {
       "detector flagged a limit-capped broadcast")
   }
 
+  test("lineage: a RENAMED fact key cannot dodge the boundedness predicate (VERDICT r9 #1)") {
+    import spark.implicits._
+    val li = io.Tables.lineitem(spark, d)
+    // the synthetic from the verdict: select(l_partkey as p).groupBy(p)
+    // is an unbounded-domain aggregate — p IS l_partkey
+    val renamed = li.select($"l_partkey".as("p")).groupBy($"p")
+      .agg(count(lit(1)).as("n"))
+    val badRenamed = li.join(broadcast(renamed),
+      li("l_partkey") === renamed("p"))
+    assert(badBroadcasts(badRenamed.queryExecution).nonEmpty,
+      "rename loophole: broadcast of a groupBy over a renamed fact key passed")
+    // q237's FORMER shape: the per-part degree relation (grouped on a
+    // renamed l_partkey) broadcast-hinted into the fact-sized edge list
+    val edges = li.select($"l_partkey".as("p"), $"l_suppkey".as("sp")).distinct()
+    val pdeg = edges.groupBy($"p").agg(count(lit(1)).as("pdeg"))
+    val badDeg = edges.join(broadcast(pdeg), "p")
+    assert(badBroadcasts(badDeg.queryExecution).nonEmpty,
+      "q237's pre-fix shape (broadcast-hinted per-part degree) passed")
+    // while a genuinely DERIVED grouping key (hash bucket) still passes:
+    // its output domain is the expression's 64 buckets, not the key's
+    val bucketed = li.select(pmod(hash($"l_partkey"), lit(64)).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+    val good = li.join(broadcast(bucketed),
+      pmod(hash(li("l_partkey")), lit(64)) === bucketed("b"))
+    assert(badBroadcasts(good.queryExecution).isEmpty,
+      "derived-key (hash-bucket) aggregate wrongly flagged")
+    // and the count-gated loop idiom (ScaleGuard.broadcastIfSmall) is
+    // green exactly because the gate stamps a structural limit proof
+    val labels = li.select($"l_partkey".as("doc_id"), $"l_orderkey".as("lbl"))
+    val gated = li.join(
+      graft.plans.ScaleGuard.broadcastIfSmall(labels, measuredRows = 1000L),
+      li("l_partkey") === labels("doc_id"))
+    assert(badBroadcasts(gated.queryExecution).isEmpty,
+      "count-gated broadcast (limit-stamped) wrongly flagged")
+    // above the gate no hint is emitted at all
+    val ungated = li.join(
+      graft.plans.ScaleGuard.broadcastIfSmall(
+        labels, measuredRows = graft.plans.ScaleGuard.MaxHintRows + 1),
+      li("l_partkey") === labels("doc_id"))
+    assert(badBroadcasts(ungated.queryExecution).isEmpty,
+      "broadcastIfSmall above the gate must not hint")
+  }
+
   test("no query broadcasts a data-sized relation") {
     val offenders = scala.collection.mutable.Map[String, Int]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Crafted-input tests for the evaluation-analytics family (q465–q471):
+  * the oracle hash-compare proves engine equality on real data; these
+  * prove the STATISTICS are the ones claimed, on inputs with known
+  * answers. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("Bradley–Terry: beating strong opponents out-ranks beating weak ones") {
+    // players 1, 2 both have 2 wins / 4 games (identical round-1
+    // strength = win rate), but player 1's wins are against player 2
+    // (strong) while player 2's are against player 4 (weak, 0 wins
+    // elsewhere): the MM reweighting must rank 1 above 2 in round 2.
+    val pairs = Seq(
+      (1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 0L), (1L, 3L, 0L), // 1 beats 2 twice, loses to 3 twice
+      (2L, 4L, 1L), (2L, 4L, 1L), // 2 beats 4 twice
+      (3L, 4L, 1L), (3L, 4L, 1L)  // 3 beats 4 twice (3: 4-0, 4: 0-4)
+    ).toDF("lo", "hi", "lo_win")
+    val r = operators.Eval.bradleyTerry(pairs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(r(1)._1 == r(2)._1, "round 1 is pure win rate: 2/4 for both")
+    assert(r(1)._2 > r(2)._2,
+      s"round 2 must reward strength of schedule: ${r(1)._2} vs ${r(2)._2}")
+    assert(r(3)._2 > r(1)._2, "undefeated player 3 tops everyone")
+    assert(r(4)._2 < r(2)._2, "winless player 4 bottoms out")
+  }
+
+  test("pass@k ladder: known combinatorial values, exact in milli") {
+    // n=10, c=5: pass@1 = 1 - 5/10 = .5; pass@5 = 1 - C(5,5)/C(10,5)
+    // = 1 - 1/252 = .99603...; pass@10 = 1 (n-c < 10 zeroes the chain)
+    val df = Seq((10L, 5L)).toDF("n", "c").select(
+      expr(operators.Eval.passAtK(1, "div")).as("p1"),
+      expr(operators.Eval.passAtK(5, "div")).as("p5"),
+      expr(operators.Eval.passAtK(10, "div")).as("p10"))
+    val r = df.collect()(0)
+    assert(r.getAs[Any]("p1").toString.toLong == 500L)
+    assert(r.getAs[Any]("p5").toString.toLong == 997L) // floor dust: 1e9-chain truncation
+    assert(r.getAs[Any]("p10").toString.toLong == 1000L)
+    // c = 0 → every pass@k is exactly 0
+    val z = Seq((10L, 0L)).toDF("n", "c").select(
+      expr(operators.Eval.passAtK(5, "div")).as("p5")).collect()(0)
+    assert(z.getAs[Any]("p5").toString.toLong == 0L)
+  }
+
+  test("bootstrap CI brackets the point estimate; AUC/Gini invariants hold") {
+    val ci = operators.Eval.q467BootstrapCi(spark, d).collect()(0)
+    val (pt, lo, hi) = (ci.getAs[Long]("point_milli"),
+      ci.getAs[Long]("lo_milli"), ci.getAs[Long]("hi_milli"))
+    assert(lo <= hi, "interval must be ordered")
+    assert(lo <= pt && pt <= hi,
+      s"94% bootstrap interval [$lo, $hi] should bracket the point $pt")
+    val auc = operators.Eval.q471RocAuc(spark, d).collect()(0)
+    val a = auc.getAs[Long]("auc_micro")
+    assert(a >= 0L && a <= 1000000L)
+    assert(auc.getAs[Long]("gini_micro") == 2 * a - 1000000L)
+  }
+
+  test("permutation p-value respects the add-one bounds; McNemar cells partition n") {
+    val p = operators.Eval.q468PermutationTest(spark, d).collect()(0)
+    val pm = p.getAs[Long]("p_milli")
+    assert(pm >= 1000L / 65 && pm <= 1000L, s"p_milli $pm outside (1/65, 1]")
+    val m = operators.Eval.q469McNemar(spark, d).collect()(0)
+    assert(m.getAs[Long]("both_pos") + m.getAs[Long]("a_only") +
+      m.getAs[Long]("b_only") + m.getAs[Long]("neither") == m.getAs[Long]("n"))
+  }
+
+  test("Borda: points bounded by ballots·(max ballot size − 1); top-20 ordered") {
+    val r = operators.Eval.q470BordaCount(spark, d).collect()
+    assert(r.length <= 20)
+    val pts = r.map(_.getAs[Long]("borda_points"))
+    assert(pts.sameElements(pts.sorted.reverse), "must be descending")
+    r.foreach(x => assert(x.getAs[Long]("borda_points") >= 0L))
+  }
+}

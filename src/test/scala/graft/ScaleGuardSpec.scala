@@ -36,6 +36,43 @@ class ScaleGuardSpec extends SparkSpec {
     assert(bad.count() > 0)
   }
 
+  test("the guard also fires with AQE DISABLED (ADVICE r9 #2: pre-columnar path)") {
+    // injectQueryStagePrepRule runs only inside AdaptiveSparkPlanExec;
+    // the ScaleGuardColumnarRule covers the classic preparations chain
+    val e = io.Tables.embeddings(spark, d)
+    val bad = e.select($"vec_id".as("id1"))
+      .join(e.select($"vec_id".as("id2")), $"id1" < $"id2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withGuard {
+      val ex = intercept[Throwable] { bad.count() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("GRAFT_SCALE_GUARD")),
+        s"guard did not fire with AQE off, got: $ex")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("a statically-huge Range is cartesian fuel, not a bounded grid (ADVICE r9 #3)") {
+    import graft.plans.ScaleGuard
+    // range(2^40) would let an opt-in user plan an O(N²) self-join the
+    // guard waves through; numElements is statically known on the node
+    val big = spark.range(1L << 40)
+    assert(!ScaleGuard.boundedRelation(big.queryExecution.sparkPlan),
+      "range(2^40) classified bounded (physical)")
+    assert(!ScaleGuard.boundedLogical(big.queryExecution.optimizedPlan),
+      "range(2^40) classified bounded (logical)")
+    val small = spark.range(1024)
+    assert(ScaleGuard.boundedRelation(small.queryExecution.sparkPlan))
+    assert(ScaleGuard.boundedLogical(small.queryExecution.optimizedPlan))
+    // end-to-end: the engine's small literal grids still run under the guard
+    withGuard {
+      val grid = spark.range(16).toDF("a")
+        .join(spark.range(16).toDF("b"), $"a" < $"b")
+      assert(grid.count() > 0)
+    }
+  }
+
   test("the engine's bounded cartesian-class shapes still run under the guard") {
     withGuard {
       // q45: both sides under the plan-enforced MaxExactPairSide limit

@@ -71,15 +71,8 @@ trait SparkSpec extends AnyFunSuite {
     * pins a data-sized broadcast at 100 TB. Walks the optimized
     * logical plan, where hints survive on the Join nodes. */
   def badBroadcasts(qe: org.apache.spark.sql.execution.QueryExecution)
-      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join}
-    def isB(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
-    qe.optimizedPlan.collect {
-      case j: Join =>
-        (if (isB(j.hint.leftHint) && !boundedLogical(j.left)) Seq(j.left) else Nil) ++
-          (if (isB(j.hint.rightHint) && !boundedLogical(j.right)) Seq(j.right) else Nil)
-    }.flatten
-  }
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    graft.plans.ScaleGuard.broadcastHintViolations(qe.optimizedPlan)
 
   /** Cartesian-class-join scale rule (VERDICT r8 #1, closing the hole
     * [[badBroadcasts]] structurally cannot see): a logical Join with NO
