@@ -62,7 +62,7 @@ class EvalSpec extends SparkSpec {
   test("permutation p-value respects the add-one bounds; McNemar cells partition n") {
     val p = operators.Eval.q468PermutationTest(spark, d).collect()(0)
     val pm = p.getAs[Long]("p_milli")
-    assert(pm >= 1000L / 65 && pm <= 1000L, s"p_milli $pm outside (1/65, 1]")
+    assert(pm >= 1000L / 61 && pm <= 1000L, s"p_milli $pm outside (1/61, 1]")
     val m = operators.Eval.q469McNemar(spark, d).collect()(0)
     assert(m.getAs[Long]("both_pos") + m.getAs[Long]("a_only") +
       m.getAs[Long]("b_only") + m.getAs[Long]("neither") == m.getAs[Long]("n"))
