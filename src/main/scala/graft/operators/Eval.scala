@@ -546,6 +546,140 @@ object Eval {
                 AS gini_micro
        FROM agg"""
 
+
+  // ---------------------------------------------------------------
+  // q472 — experiment sizing: minimum detectable effect
+  // ---------------------------------------------------------------
+
+  /** MDE / power planner (q472): for each event class, the minimum
+    * detectable effect of a two-arm test at the OBSERVED variance and
+    * arm size — MDE = (z_{α/2} + z_{power})·√(2σ²/n) at 80%/90% power,
+    * α = 5% — the "is this A/B even worth running" readout every
+    * experimentation platform serves next to q301's meta-analysis.
+    * Arms split by event-id parity (the q301 arm discipline); σ² is
+    * the pooled sample variance of centi-quantized values.
+    *
+    * Determinism: moments are exact int64 (Σv, Σv² on centi units);
+    * the variance and MDE are a single IEEE expression tree evaluated
+    * on identical integer operands in both engines (the q139/q128
+    * shared-IEEE discipline), floored once to micro. Scale: one scan
+    * → per-type moments → 2·|event types| bounded rows. */
+  def q472MdePlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.events(s, d)
+      .select($"event_type", floor($"value" * 100).cast("long").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s1"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2d"))
+      .select($"event_type", $"n", $"s1",
+        expr("CAST(s2d AS DOUBLE)").as("s2"))
+    m.select($"event_type", $"n",
+        explode(expr("array(struct(80L AS power_pct, 2.801585 AS zsum)," +
+          " struct(90L AS power_pct, 3.241516 AS zsum))")).as("g"))
+      .join(m.drop("n"), "event_type")
+      .select($"event_type", $"g.power_pct".as("power_pct"),
+        expr("n div 2").as("n_per_arm"),
+        expr("""CAST(floor(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1)) * 10000.0) AS BIGINT)""").as("sigma_centi_e4"),
+        expr("""CAST(floor(g.zsum * sqrt(2.0 * ((s2 - CAST(s1 AS DOUBLE)
+                * s1 / n) / (n - 1)) / (n div 2)) * 10000.0) AS BIGINT)""")
+          .as("mde_centi_e4"))
+      .orderBy($"event_type", $"power_pct")
+  }
+
+  val q472Oracle: String =
+    """WITH m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS BIGINT) AS s1,
+                CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2
+         FROM (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS v
+               FROM events) t
+         GROUP BY 1),
+       g AS (SELECT 80 AS power_pct, 2.801585 AS zsum
+             UNION ALL SELECT 90, 3.241516)
+       SELECT event_type, CAST(power_pct AS BIGINT) AS power_pct,
+              n // 2 AS n_per_arm,
+              CAST(floor(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1)) * 10000.0) AS BIGINT) AS sigma_centi_e4,
+              CAST(floor(zsum * sqrt(2.0 * ((s2 - CAST(s1 AS DOUBLE)
+                * s1 / n) / (n - 1)) / (n // 2)) * 10000.0) AS BIGINT)
+                AS mde_centi_e4
+       FROM m, g ORDER BY event_type, power_pct"""
+
+  // ---------------------------------------------------------------
+  // q473 — Wilson lower-bound leaderboard
+  // ---------------------------------------------------------------
+
+  /** Wilson-bound leaderboard (q473): the q465 pairwise win table
+    * ranked by the 95% WILSON LOWER BOUND of each supplier's win rate
+    * instead of the raw rate — the standard small-sample-honest
+    * leaderboard (a 3-0 newcomer must not outrank a 900-100 veteran).
+    *
+    * Determinism: games/wins are exact int64 from the basket-blocked
+    * pair pass; the bound is one IEEE tree on identical integer
+    * operands (q139 discipline), floored once to micro. Scale: same
+    * basket-blocked pair generation as q465 (≤21 pairs/order), one
+    * per-supplier aggregate, TakeOrdered top-20. */
+  def q473WilsonLeaderboard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("ord"), $"l_suppkey".as("sk"))
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast("decimal(18,2)")).as("rev"))
+    val pairs = rev.groupBy($"ord")
+      .agg(collect_list(struct($"sk", $"rev")).as("bs"))
+      .filter(size($"bs") >= 2)
+      .select(explode(expr(
+        """flatten(transform(bs, x ->
+             transform(filter(bs, y -> y.sk > x.sk), y -> struct(
+               x.sk AS lo, y.sk AS hi,
+               CASE WHEN x.rev >= y.rev THEN 1L ELSE 0L END AS lo_win))))"""))
+        .as("pr"))
+    val sup = pairs
+      .select(expr("stack(2, pr.lo, pr.lo_win, pr.hi, 1L - pr.lo_win)")
+        .as(Seq("sk", "w")))
+      .groupBy($"sk").agg(count(lit(1)).as("games"), sum($"w").as("wins"))
+    sup
+      .withColumn("winrate_milli", expr("wins * 1000 div games"))
+      .withColumn("wilson_lo_micro", expr(
+        """CAST(floor(((CAST(wins AS DOUBLE) / games + 1.92080 / games
+           - 1.959964 * sqrt((CAST(wins AS DOUBLE) / games)
+             * (1.0 - CAST(wins AS DOUBLE) / games) / games
+             + 0.96040 / (CAST(games AS DOUBLE) * games)))
+           / (1.0 + 3.841618 / games)) * 1000000.0) AS BIGINT)"""))
+      .select($"sk".as("suppkey"), $"games", $"wins",
+        $"winrate_milli", $"wilson_lo_micro")
+      .orderBy($"wilson_lo_micro".desc, $"suppkey").limit(20)
+  }
+
+  val q473Oracle: String =
+    """WITH rev AS (
+         SELECT l_orderkey AS ord, l_suppkey AS sk,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+         FROM lineitem GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.sk AS lo, b.sk AS hi,
+                CASE WHEN a.rev >= b.rev THEN 1 ELSE 0 END AS lo_win
+         FROM rev a JOIN rev b ON a.ord = b.ord AND a.sk < b.sk),
+       sup AS (
+         SELECT sk, CAST(count(*) AS BIGINT) AS games,
+                CAST(sum(w) AS BIGINT) AS wins
+         FROM (SELECT lo AS sk, lo_win AS w FROM pairs
+               UNION ALL SELECT hi, 1 - lo_win FROM pairs)
+         GROUP BY 1)
+       SELECT sk AS suppkey, games, wins,
+              wins * 1000 // games AS winrate_milli,
+              CAST(floor(((CAST(wins AS DOUBLE) / games + 1.92080 / games
+                - 1.959964 * sqrt((CAST(wins AS DOUBLE) / games)
+                  * (1.0 - CAST(wins AS DOUBLE) / games) / games
+                  + 0.96040 / (CAST(games AS DOUBLE) * games)))
+                / (1.0 + 3.841618 / games)) * 1000000.0) AS BIGINT)
+                AS wilson_lo_micro
+       FROM sup
+       ORDER BY wilson_lo_micro DESC, suppkey LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q465_bradley_terry" -> q465BradleyTerry,
     "q466_pass_at_k" -> q466PassAtK,
@@ -554,6 +688,8 @@ object Eval {
     "q469_mcnemar" -> q469McNemar,
     "q470_borda_count" -> q470BordaCount,
     "q471_roc_auc" -> q471RocAuc,
+    "q472_mde_planner" -> q472MdePlanner,
+    "q473_wilson_leaderboard" -> q473WilsonLeaderboard,
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +700,7 @@ object Eval {
     "q469_mcnemar" -> q469Oracle,
     "q470_borda_count" -> q470Oracle,
     "q471_roc_auc" -> q471Oracle,
+    "q472_mde_planner" -> q472Oracle,
+    "q473_wilson_leaderboard" -> q473Oracle,
   )
 }

@@ -68,6 +68,24 @@ class EvalSpec extends SparkSpec {
       m.getAs[Long]("b_only") + m.getAs[Long]("neither") == m.getAs[Long]("n"))
   }
 
+  test("MDE grows with power; Wilson bound is below the raw rate and in range") {
+    val mde = operators.Eval.q472MdePlanner(spark, d).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    mde.foreach { case (et, rows) =>
+      val byP = rows.map(r => r.getAs[Long]("power_pct") ->
+        r.getAs[Long]("mde_centi_e4")).toMap
+      assert(byP(90L) > byP(80L), s"$et: 90% power needs a larger MDE")
+      rows.foreach(r => assert(r.getAs[Long]("sigma_centi_e4") >= 0L))
+    }
+    operators.Eval.q473WilsonLeaderboard(spark, d).collect().foreach { r =>
+      val (wr, wl) = (r.getAs[Long]("winrate_milli"),
+        r.getAs[Long]("wilson_lo_micro"))
+      assert(wl >= 0L && wl <= 1000000L)
+      assert(wl <= wr * 1000,
+        s"Wilson lower bound $wl must not exceed the raw rate ${wr * 1000}")
+    }
+  }
+
   test("Borda: points bounded by ballots·(max ballot size − 1); top-20 ordered") {
     val r = operators.Eval.q470BordaCount(spark, d).collect()
     assert(r.length <= 20)
