@@ -20,6 +20,32 @@ class PlanShapeSpec extends SparkSpec {
     * boundedness argument. */
   private val whitelist: Map[String, String] = Map()
 
+  test("physical lineage: a global window over a renamed-fact-key aggregate is flagged (r10)") {
+    // the window audit walks the PHYSICAL plan, so it depends on
+    // ScaleGuard's physical-side lineage (unboundedKeyP through
+    // ProjectExec/aggregate resultExpressions): an aggregate grouped on
+    // a bare RENAME of l_partkey is fact-key-domain — a global window
+    // over it is a single-partition sort of a data-sized relation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = io.Tables.lineitem(spark, d)
+    val perKey = li.select($"l_partkey".as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("n"))
+    val bad = perKey.withColumn("rk",
+      row_number().over(Window.orderBy($"n".desc, $"p")))
+    assert(badGlobalWindows(bad.queryExecution.sparkPlan).nonEmpty,
+      "rename loophole (physical): global window over a per-partkey " +
+        "aggregate passed the audit")
+    // while the same window over a DERIVED bucket aggregate stays green
+    val perBucket = li.select(pmod(hash($"l_partkey"), lit(64)).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+    val good = perBucket.withColumn("rk",
+      row_number().over(Window.orderBy($"n".desc, $"b")))
+    assert(badGlobalWindows(good.queryExecution.sparkPlan).isEmpty,
+      "derived-bucket aggregate wrongly flagged")
+  }
+
   test("no query windows an unpartitioned row-level relation") {
     val offenders = scala.collection.mutable.Map[String, Int]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
