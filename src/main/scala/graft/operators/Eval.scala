@@ -58,13 +58,22 @@ object Eval {
   def bradleyTerry(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    // materialize the pair-count relation ONCE: it feeds the strength
+    // aggregate AND both sides of the round-2 term join — without the
+    // checkpoint the whole basket-collect + HOF-expansion front end
+    // (the expensive distributed half, ~1.7 s of q465's 3.6 s at
+    // sf0.1) re-runs per consumer (the q71/q157 discipline)
     val pc = pairs.groupBy($"lo", $"hi")
       .agg(count(lit(1)).as("n"), sum($"lo_win").as("w_lo"))
+      .localCheckpoint()
     val sup = pc.select($"lo".as("sk"), $"n", $"w_lo".as("w"))
       .unionByName(pc.select($"hi".as("sk"), $"n", ($"n" - $"w_lo").as("w")))
       .groupBy($"sk").agg(sum($"n").as("games"), sum($"w").as("wins"))
+    // p1 is |players|-sized and consumed three times (both term-join
+    // sides + the final select): one more cheap materialization
     val p1 = sup.withColumn("p1_micro",
       expr("CAST(CAST(wins AS DECIMAL(38,0)) * 2000000 div games AS BIGINT)"))
+      .localCheckpoint()
     val terms = pc
       .join(p1.select($"sk".as("lo"), $"p1_micro".as("pa")), "lo")
       .join(p1.select($"sk".as("hi"), $"p1_micro".as("pb")), "hi")
