@@ -689,6 +689,156 @@ object Eval {
        FROM sup
        ORDER BY wilson_lo_micro DESC, suppkey LIMIT 20"""
 
+
+  // ---------------------------------------------------------------
+  // q474 — GRPO advantage distribution
+  // ---------------------------------------------------------------
+
+  /** Group-relative advantage histogram (q474): the GRPO/RLOO
+    * post-training read — within each "prompt group" (user), rewards
+    * are normalized to advantages (v − mean)/σ, and the engine
+    * reports the pooled advantage distribution in half-σ buckets
+    * (clamped to ±4σ) plus the group count. A healthy reward model
+    * gives a roughly symmetric unit-ish histogram; mass piled at the
+    * clamps is the reward-hacking / saturation smell this readout
+    * exists to catch.
+    *
+    * Determinism: per-group moments are exact int64 on centi-quantized
+    * rewards (group sizes are human-bounded, so Σv² stays < 2⁵³ and
+    * the doubles below are exact); the bucket index is ONE shared-IEEE
+    * expression tree — floor(2·(v·n − s1)/(n·σ)) with σ from the
+    * n·s2 − s1² form — mirrored verbatim in the oracle (q139/q128
+    * discipline). Degenerate groups (n < 2 or zero variance) are
+    * excluded on both sides. Scale: one scan → per-group moments →
+    * equi-join back (AQE decides the build) → ≤17-row histogram. */
+  def q474GrpoAdvantage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select($"user_id".as("g"), floor($"value" * 100).cast("long").as("v"))
+    val m = rows.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s1"),
+        sum($"v" * $"v").as("s2"))
+      .filter($"n" >= 2 && $"s2" * $"n" > $"s1" * $"s1")
+    rows.join(m, "g")
+      .withColumn("bkt", expr(
+        """greatest(-8L, least(8L, CAST(floor(
+             2.0 * (CAST(v AS DOUBLE) * n - s1)
+             / (n * sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                         / (n - 1.0) / n))) AS BIGINT)))"""))
+      .groupBy($"bkt").agg(count(lit(1)).as("cnt"),
+        countDistinct($"g").as("n_groups"))
+      .orderBy($"bkt")
+  }
+
+  val q474Oracle: String =
+    """WITH rows_ AS (
+         SELECT user_id AS g, CAST(floor(value * 100) AS BIGINT) AS v
+         FROM events),
+       m AS (
+         SELECT g, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS BIGINT) AS s1,
+                CAST(sum(v * v) AS BIGINT) AS s2
+         FROM rows_ GROUP BY 1
+         HAVING count(*) >= 2 AND
+                CAST(sum(v * v) AS BIGINT) * CAST(count(*) AS BIGINT)
+                  > CAST(sum(v) AS BIGINT) * CAST(sum(v) AS BIGINT)),
+       b AS (
+         SELECT greatest(-8, least(8, CAST(floor(
+                  2.0 * (CAST(v AS DOUBLE) * n - s1)
+                  / (n * sqrt((CAST(s2 AS DOUBLE) * n
+                               - CAST(s1 AS DOUBLE) * s1)
+                              / (n - 1.0) / n))) AS BIGINT))) AS bkt, g
+         FROM rows_ JOIN m USING (g))
+       SELECT bkt, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+       FROM b GROUP BY bkt ORDER BY bkt"""
+
+  // ---------------------------------------------------------------
+  // q475 — best-of-n expected payoff
+  // ---------------------------------------------------------------
+
+  /** Best-of-n payoff planner (q475): if you sample n attempts and
+    * keep the best score, what do you expect? E[max of n] =
+    * Σ_v v·(F(v)ⁿ − F(v−)ⁿ) computed EXACTLY over the bounded score
+    * histogram (quantity ∈ 1..50) — the closed-form that prices
+    * best-of-n inference against its n× cost, next to q466's pass@k
+    * (same question for binary rewards). n ∈ {1, 4, 16}.
+    *
+    * Determinism: F = cum/total is one exact-operand IEEE division
+    * (both < 2⁵³); the powers are LADDERED SQUARINGS materialized as
+    * named columns (f2=f·f, f4=f2·f2, f8=f4·f4, f16=f8·f8) because
+    * IEEE multiplication is correctly rounded while pow() is
+    * library-dependent — the one cross-engine-unsafe primitive this
+    * module refuses. Scale: one scan → 50-cell histogram → bounded
+    * cumulative window → 3-row readout. */
+  def q475BestOfN(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.lineitem(s, d)
+      .groupBy($"l_quantity".cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = hist
+      .withColumn("tot", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("f1", expr("CAST(cum AS DOUBLE) / tot"))
+      .withColumn("g1", expr("CAST(cum - c AS DOUBLE) / tot"))
+      .withColumn("f2", $"f1" * $"f1").withColumn("g2", $"g1" * $"g1")
+      .withColumn("f4", $"f2" * $"f2").withColumn("g4", $"g2" * $"g2")
+      .withColumn("f8", $"f4" * $"f4").withColumn("g8", $"g4" * $"g4")
+      .withColumn("f16", $"f8" * $"f8").withColumn("g16", $"g8" * $"g8")
+    // each term is floored to nano BEFORE the sum: a raw double SUM is
+    // reduce-order dependent, an int64 sum is exact in any order (the
+    // module's no-double-reductions rule); ≤50 terms × ≤50 q × 1e9
+    // stays far under int64
+    f.agg(
+        sum(expr("CAST(floor(q * (f1 - g1) * 1000000000.0) AS BIGINT)")).as("e1"),
+        sum(expr("CAST(floor(q * (f4 - g4) * 1000000000.0) AS BIGINT)")).as("e4"),
+        sum(expr("CAST(floor(q * (f16 - g16) * 1000000000.0) AS BIGINT)")).as("e16"))
+      .select(explode(expr(
+        """array(struct(1L AS n_samples, e1 div 1000000 AS e_max_milli),
+                 struct(4L AS n_samples, e4 div 1000000 AS e_max_milli),
+                 struct(16L AS n_samples, e16 div 1000000 AS e_max_milli))"""))
+        .as("r"))
+      .select($"r.n_samples".as("n_samples"), $"r.e_max_milli".as("e_max_milli"))
+      .orderBy($"n_samples")
+  }
+
+  val q475Oracle: String =
+    """WITH hist AS (
+         SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(count(*) AS BIGINT) AS c
+         FROM lineitem GROUP BY 1),
+       f AS (
+         SELECT q, c,
+                CAST(sum(c) OVER () AS BIGINT) AS tot,
+                CAST(sum(c) OVER (ORDER BY q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+         FROM hist),
+       p AS (
+         SELECT q,
+                CAST(cum AS DOUBLE) / tot AS f1,
+                CAST(cum - c AS DOUBLE) / tot AS g1
+         FROM f),
+       p2 AS (SELECT q, f1, g1, f1*f1 AS f2, g1*g1 AS g2 FROM p),
+       p4 AS (SELECT q, f1, g1, f2, g2, f2*f2 AS f4, g2*g2 AS g4 FROM p2),
+       p8 AS (SELECT q, f1, g1, f4, g4, f4*f4 AS f8, g4*g4 AS g8 FROM p4),
+       p16 AS (SELECT q, f1, g1, f4, g4, f8*f8 AS f16, g8*g8 AS g16 FROM p8),
+       e AS (
+         SELECT CAST(sum(CAST(floor(q * (f1 - g1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS e1,
+                CAST(sum(CAST(floor(q * (f4 - g4) * 1000000000.0) AS BIGINT)) AS BIGINT) AS e4,
+                CAST(sum(CAST(floor(q * (f16 - g16) * 1000000000.0) AS BIGINT)) AS BIGINT) AS e16
+         FROM p16)
+       SELECT n_samples, e_max_milli FROM (
+         SELECT 1 AS n_samples, e1 // 1000000 AS e_max_milli FROM e
+         UNION ALL
+         SELECT 4, e4 // 1000000 FROM e
+         UNION ALL
+         SELECT 16, e16 // 1000000 FROM e)
+       ORDER BY n_samples"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q465_bradley_terry" -> q465BradleyTerry,
     "q466_pass_at_k" -> q466PassAtK,
@@ -699,6 +849,8 @@ object Eval {
     "q471_roc_auc" -> q471RocAuc,
     "q472_mde_planner" -> q472MdePlanner,
     "q473_wilson_leaderboard" -> q473WilsonLeaderboard,
+    "q474_grpo_advantage" -> q474GrpoAdvantage,
+    "q475_best_of_n" -> q475BestOfN,
   )
 
   val oracles: Map[String, String] = Map(
@@ -711,5 +863,7 @@ object Eval {
     "q471_roc_auc" -> q471Oracle,
     "q472_mde_planner" -> q472Oracle,
     "q473_wilson_leaderboard" -> q473Oracle,
+    "q474_grpo_advantage" -> q474Oracle,
+    "q475_best_of_n" -> q475Oracle,
   )
 }

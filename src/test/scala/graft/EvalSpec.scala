@@ -86,6 +86,21 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("advantage buckets clamp to ±4σ; best-of-n payoff is monotone in n") {
+    val adv = operators.Eval.q474GrpoAdvantage(spark, d).collect()
+    adv.foreach { r =>
+      assert(math.abs(r.getAs[Long]("bkt")) <= 8L)
+      assert(r.getAs[Long]("cnt") >= r.getAs[Long]("n_groups"))
+    }
+    val bon = operators.Eval.q475BestOfN(spark, d).collect()
+      .map(r => r.getAs[Long]("n_samples") -> r.getAs[Long]("e_max_milli"))
+      .toMap
+    assert(bon(1L) <= bon(4L) && bon(4L) <= bon(16L),
+      s"E[max of n] must be monotone in n: $bon")
+    assert(bon(16L) <= 50000L, "expected max cannot exceed the top score")
+    assert(bon(1L) >= 1000L, "E[max of 1] is the plain mean, at least 1")
+  }
+
   test("Borda: points bounded by ballots·(max ballot size − 1); top-20 ordered") {
     val r = operators.Eval.q470BordaCount(spark, d).collect()
     assert(r.length <= 20)
