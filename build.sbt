@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's logger prefixes every forked-run stdout line with "[info] ",
+// which defeats the driver's JSON parse of Bench's metric line (the
+// BENCH_r{8,9,10} artifacts all published "parsed": null because of
+// it). StdoutOutput passes the forked process's stdout/stderr through
+// raw. Unscoped: run, runMain and test all inherit it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,7 +86,13 @@ object Bench {
     // taxing the same queries in both passes), and a query's pass-1 JIT
     // charge meets a clean pass-2 sample at a different suite position —
     // deterministic seeds keep driver runs reproducible
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q465,q477 limits the
+    // suite to queries whose name starts with a listed prefix; unset
+    // (the driver's case) benches everything
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyPrefixes.isEmpty || onlyPrefixes.exists(n.startsWith))
     val order1 = new scala.util.Random(101).shuffle(names)
     val order2 = new scala.util.Random(202).shuffle(names)
     val pass1 = order1.map(n => n -> once(SparkEntry.queries(n))).toMap
@@ -124,6 +130,21 @@ object Bench {
         else math.round(ok.max / ok.min * 1000))
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query fixed floor (VERDICT r10 ask #4): the scheduler +
+    // plan-preparation cost of an effectively-empty query through the
+    // SAME noop-write path the suite uses. 377 of r10's 476 queries are
+    // sub-second yet sum to ~193 s — nearly all of it this floor — so
+    // per-query cross-engine ratios must subtract it before a "slow"
+    // verdict sends anyone auditing a healthy plan. Measured WARM
+    // (after both passes): min is the floor a warm query cannot go
+    // below; the median adds steady-state scheduler jitter.
+    val floorSamples = (1 to 9).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val floorMin = floorSamples.min
+    val floorMedian = floorSamples.sorted.apply(floorSamples.size / 2)
     // Full-precision, full-name detail goes to a FILE: the driver records
     // only the last ~2000 chars of stdout, and the 87-query full-name JSON
     // line (~3.9 KB) overflows that window — rounds 1-4 all published
@@ -134,10 +155,7 @@ object Bench {
     val spreadQs = spread.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"spread_permille":$spreadQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"""{"metric":"total","value":$total,"unit":"sec","floor_sec_min":$floorMin,"floor_sec_median":$floorMedian,"queries":$fullQs,"spread_permille":$spreadQs,"sf":"$sfDir"}"""
     // stdout gets ONE compact line that fits the driver's tail window:
     // qNN short keys (the "qNN_" prefix is unique per query) at
     // centisecond precision, and only the 40 SLOWEST queries — at 142
@@ -150,23 +168,33 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$shortQs,"detail":"bench_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"floor_sec":${r2(floorMin)},"queries":$shortQs,"detail":"bench_detail.json","sf":"$sfDir"}"""
+    // scale-violation / audit-error check comes BEFORE the artifact
+    // writes (r10 ADVICE #5): an exit-3 run must not leave refreshed
+    // bench_detail/bench_total JSON on disk looking like a valid run to
+    // anything that reads the files instead of the exit code
+    graft.plans.PlanAudit.flush(spark)
+    val violations = audit.violations
+    val auditErrors = audit.errors
+    if (violations.nonEmpty || auditErrors.nonEmpty) {
+      spark.stop()
+      System.err.println(
+        s"[bench] ${violations.size} executed-plan scale violation(s), " +
+          s"${auditErrors.size} audit-internal error(s):\n" +
+          (violations ++ auditErrors).mkString("\n"))
+      sys.exit(3)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the headline metric ALSO goes to a file: the driver's BENCH_r{N}
-    // artifact parses stdout, where sbt prefixes every line with
-    // "[info] " — r8's artifact published "parsed": null because of it
-    // (VERDICT r8 #5); a file needs no un-prefixing
+    // artifact parses stdout, where sbt used to prefix every line with
+    // "[info] " (fixed via outputStrategy := StdoutOutput, but a file
+    // needs no un-prefixing either way)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_total.json"),
       (shortLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    graft.plans.PlanAudit.flush(spark)
-    val violations = audit.violations
     spark.stop()
-    if (violations.nonEmpty) {
-      System.err.println(
-        s"[bench] ${violations.size} executed-plan scale violation(s):\n" +
-          violations.mkString("\n"))
-      sys.exit(3)
-    }
     // LAST line of stdout, after spark.stop()'s shutdown chatter, so
     // the driver's tail-window grep lands on it
     println(shortLine)

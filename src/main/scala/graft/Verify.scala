@@ -63,11 +63,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.plans.PlanAudit.flush(spark)
     val violations = audit.violations
+    // audit-of-the-audit (VERDICT r10 ask #2): a failure INSIDE a shape
+    // check means some executed plans were never audited — "0
+    // violations" would be vacuous, so it fails the run the same way
+    val auditErrors = audit.errors
     spark.stop()
-    if (violations.nonEmpty) {
+    if (violations.nonEmpty || auditErrors.nonEmpty) {
       System.err.println(
-        s"[verify] ${violations.size} executed-plan scale violation(s):\n" +
-          violations.mkString("\n"))
+        s"[verify] ${violations.size} executed-plan scale violation(s), " +
+          s"${auditErrors.size} audit-internal error(s):\n" +
+          (violations ++ auditErrors).mkString("\n"))
       sys.exit(3)
     }
   }

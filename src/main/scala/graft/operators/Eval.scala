@@ -77,7 +77,11 @@ object Eval {
     val terms = pc
       .join(p1.select($"sk".as("lo"), $"p1_micro".as("pa")), "lo")
       .join(p1.select($"sk".as("hi"), $"p1_micro".as("pb")), "hi")
-      .withColumn("t", expr("n * 1000000000000L div greatest(pa + pb, 1L)"))
+      // DECIMAL(38,0)-wrapped like the sibling wins·1e12 products: a
+      // bare BIGINT n·1e12 wraps int64 silently at ~9.2e6 games/pair
+      // while the HUGEINT oracle raises (ADVICE r10)
+      .withColumn("t", expr(
+        "CAST(n AS DECIMAL(38,0)) * 1000000000000 div greatest(pa + pb, 1L)"))
     val den = terms.select($"lo".as("sk"), $"t")
       .unionByName(terms.select($"hi".as("sk"), $"t"))
       .groupBy($"sk").agg(sum($"t").as("denom"))
@@ -133,8 +137,8 @@ object Eval {
          FROM sup),
        terms AS (
          SELECT pc.lo, pc.hi,
-                pc.n * 1000000000000 // greatest(a.p1_micro + b.p1_micro, 1)
-                  AS t
+                CAST(CAST(pc.n AS HUGEINT) * 1000000000000
+                  // greatest(a.p1_micro + b.p1_micro, 1) AS BIGINT) AS t
          FROM pc JOIN p1 a ON pc.lo = a.sk JOIN p1 b ON pc.hi = b.sk),
        den AS (
          SELECT sk, CAST(sum(t) AS BIGINT) AS denom

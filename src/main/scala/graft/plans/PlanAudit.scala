@@ -2,6 +2,8 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -26,20 +28,33 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * assertion — Verify/Bench install one per session and fail loudly at
   * the end; the executed-plan specs drain it per query. The bus is
   * async: call [[PlanAudit.flush]] (listener-bus drain) before reading
-  * [[violations]]. */
-class PlanAudit extends QueryExecutionListener {
+  * [[violations]].
+  *
+  * Audit-of-the-audit (VERDICT r10 ask #2): the audit must never fail
+  * or slow the query it observes, but a failure INSIDE a shape check —
+  * say a Spark-upgrade pattern mismatch throwing in the lineage trace
+  * — previously vanished into a blanket catch, silently disarming the
+  * safety net while Verify kept reporting "0 violations". Check
+  * failures now land in a separate [[errors]] queue (NonFatal only —
+  * an OOM/VM error must still propagate) and Verify/Bench assert it
+  * empty in the same post-sweep that asserts zero violations, so an
+  * audit-internal failure fails the run exactly like a violation
+  * would. The checks are injectable so `PlanAuditSpec` can red-test
+  * the error path with a throwing predicate. */
+class PlanAudit(
+    checks: Seq[(String, QueryExecution => Seq[String])] =
+      PlanAudit.defaultChecks) extends QueryExecutionListener {
   private val found = new ConcurrentLinkedQueue[String]()
+  private val checkErrors = new ConcurrentLinkedQueue[String]()
 
   private def check(funcName: String, qe: QueryExecution): Unit =
-    // the audit must never fail or slow the query it observes; any
-    // analysis error here is a bug in the audit, not the plan
-    try {
-      ScaleGuard.broadcastHintViolations(qe.optimizedPlan).foreach(h =>
-        found.add(s"[$funcName] data-sized BROADCAST hint on:\n${h.treeString}"))
-      ScaleGuard.cartesianViolations(qe.optimizedPlan).foreach(j =>
-        found.add(s"[$funcName] cartesian-class join, both sides " +
-          s"data-sized:\n${j.treeString}"))
-    } catch { case _: Throwable => () }
+    checks.foreach { case (kind, f) =>
+      try f(qe).foreach(msg => found.add(s"[$funcName] $msg"))
+      catch { case NonFatal(e) =>
+        checkErrors.add(s"[audit-error][$kind][$funcName] " +
+          s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
 
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit = check(funcName, qe)
@@ -52,15 +67,44 @@ class PlanAudit extends QueryExecutionListener {
     found.asScala.toSeq
   }
 
+  /** Failures of the audit's own checks — a non-empty list means some
+    * executed plans were NOT audited; treat it as seriously as a
+    * violation (the post-sweep assertions in Verify/Bench do). */
+  def errors: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    checkErrors.asScala.toSeq
+  }
+
   /** Read-and-clear, for per-query spec loops. */
   def drain(): Seq[String] = {
     val v = violations
     found.clear()
     v
   }
+
+  /** Read-and-clear the audit-internal error queue. */
+  def drainErrors(): Seq[String] = {
+    val e = errors
+    checkErrors.clear()
+    e
+  }
 }
 
 object PlanAudit {
+  /** The production shape checks, delegating to ScaleGuard so the
+    * listener can never drift from the plan-time guard and the
+    * returned-plan locks. */
+  val defaultChecks: Seq[(String, QueryExecution => Seq[String])] = Seq(
+    "broadcast-hint" -> { qe =>
+      ScaleGuard.broadcastHintViolations(qe.optimizedPlan).map(h =>
+        s"data-sized BROADCAST hint on:\n${h.treeString}")
+    },
+    "cartesian" -> { qe =>
+      ScaleGuard.cartesianViolations(qe.optimizedPlan).map(j =>
+        s"cartesian-class join, both sides data-sized:\n${j.treeString}")
+    },
+  )
+
   def install(spark: SparkSession): PlanAudit = {
     val l = new PlanAudit
     spark.listenerManager.register(l)

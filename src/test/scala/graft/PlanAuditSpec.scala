@@ -56,6 +56,39 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(audit)
   }
 
+  test("red: a failure INSIDE a shape check is surfaced, not swallowed (VERDICT r10 ask #2)") {
+    // a bug in the boundedness predicate must not silently disarm the
+    // safety net while the sweep reports "0 violations" — the injected
+    // throwing check stands in for e.g. a Spark-upgrade pattern
+    // mismatch throwing in the lineage trace
+    val audit = new graft.plans.PlanAudit(Seq(
+      "boom" -> (_ => throw new RuntimeException("kaboom-injected"))))
+    spark.listenerManager.register(audit)
+    try {
+      spark.range(10).selectExpr("sum(id)").collect()
+      graft.plans.PlanAudit.flush(spark)
+      assert(audit.violations.isEmpty, "throwing check must not fake a violation")
+      val errs = audit.drainErrors()
+      assert(errs.nonEmpty, "audit-internal failure was swallowed silently")
+      assert(errs.forall(_.startsWith("[audit-error][boom]")), errs.mkString("\n"))
+      assert(errs.exists(_.contains("kaboom-injected")), errs.mkString("\n"))
+      // and read-and-clear semantics hold for the error queue too
+      assert(audit.drainErrors().isEmpty)
+    } finally spark.listenerManager.unregister(audit)
+  }
+
+  test("the production checks audit a normal query with zero internal errors") {
+    val audit = graft.plans.PlanAudit.install(spark)
+    try {
+      SparkEntry.queries("q01_pricing_summary")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      graft.plans.PlanAudit.flush(spark)
+      assert(audit.drain().isEmpty)
+      assert(audit.drainErrors().isEmpty,
+        "default shape checks threw on a healthy plan")
+    } finally spark.listenerManager.unregister(audit)
+  }
+
   test("the formerly-weak iterative queries execute with ZERO internal violations") {
     // the nine VERDICT r9 finding-#1 queries: CC-label loop consumers,
     // BFS, PageRank/HITS — every internal round's plan is audited

@@ -73,6 +73,75 @@ class ScaleGuardSpec extends SparkSpec {
     }
   }
 
+  test("with AQE ON, a no-exchange cartesian still hits the guard (ADVICE r10 #4)") {
+    // InsertAdaptiveSparkPlan declines to wrap a plan with no exchange
+    // and no subquery, so the query-stage-prep rule never fires on it;
+    // a bare CartesianProductExec of two scans is exactly that shape.
+    // autoBroadcastJoinThreshold=-1 forces CartesianProduct over BNLJ
+    // (a broadcast build WOULD add an exchange and get AQE-wrapped),
+    // and the noop write adds no aggregation exchange either.
+    val e = io.Tables.embeddings(spark, d)
+    val bad = e.select($"vec_id".as("id1"))
+      .join(e.select($"vec_id".as("id2")), $"id1" < $"id2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withGuard {
+      val ex = intercept[Throwable] {
+        bad.write.format("noop").mode("overwrite").save()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("GRAFT_SCALE_GUARD")),
+        s"guard did not fire on the AQE-exempt no-exchange plan, got: $ex")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("a registered bounded dim classifies bounded; unregistered does not (VERDICT r10 ask #3)") {
+    import graft.plans.ScaleGuard
+    // a library user's own fixed-cardinality dimension — not one of the
+    // {region,nation} defaults — registered via the session conf
+    val dir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    val path = s"$dir/channels.parquet"
+    spark.range(7).selectExpr("id AS channel_id", "concat('ch_', id) AS name")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    def plans() = {
+      val df = spark.read.parquet(path)
+      (df.queryExecution.optimizedPlan, df.queryExecution.sparkPlan)
+    }
+    val (l0, p0) = plans()
+    assert(!ScaleGuard.boundedLogical(l0), "unregistered scan classified bounded")
+    assert(!ScaleGuard.boundedRelation(p0))
+    spark.conf.set(ScaleGuard.DimPathsKey, "channels.parquet, other_dim.parquet")
+    try {
+      val (l1, p1) = plans()
+      assert(ScaleGuard.boundedLogical(l1),
+        "registered dim scan not classified bounded (logical)")
+      assert(ScaleGuard.boundedRelation(p1),
+        "registered dim scan not classified bounded (physical)")
+      // the hardcoded defaults still classify with the registry set
+      val nation = spark.read.parquet(s"$d/nation.parquet")
+      assert(ScaleGuard.boundedLogical(nation.queryExecution.optimizedPlan))
+    } finally spark.conf.unset(ScaleGuard.DimPathsKey)
+    val (l2, p2) = plans()
+    assert(!ScaleGuard.boundedLogical(l2), "registry did not reset with the conf")
+    assert(!ScaleGuard.boundedRelation(p2))
+  }
+
+  test("broadcastIfSmall refuses a proof limit that cannot fit in Int (ADVICE r10 #1)") {
+    import graft.plans.ScaleGuard
+    val df = spark.range(10).toDF("id")
+    // a wrapped toInt would silently DROP rows while the gate passes
+    val ex = intercept[IllegalArgumentException] {
+      ScaleGuard.broadcastIfSmall(df, measuredRows = 5L,
+        maxRows = Int.MaxValue.toLong + 1)
+    }
+    assert(ex.getMessage.contains("does not fit in Int"))
+    // the in-range path still stamps the no-op limit and preserves rows
+    val ok = ScaleGuard.broadcastIfSmall(df, measuredRows = 10L, maxRows = 1024L)
+    assert(ok.count() == 10)
+  }
+
   test("the engine's bounded cartesian-class shapes still run under the guard") {
     withGuard {
       // q45: both sides under the plan-enforced MaxExactPairSide limit

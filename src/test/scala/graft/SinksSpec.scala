@@ -149,6 +149,46 @@ class SinksSpec extends SparkSpec {
     org.apache.spark.sql.jdbc.GraftPostgresJsonbDialect.unregister(dlt)
   }
 
+  test("JSONB wire SQL pinned as golden strings (VERDICT r10 ask #5)") {
+    // live Postgres is environmental (none in this sandbox), so the
+    // EXACT SQL that would hit the wire is pinned character-for-
+    // character — a dialect regression cannot hide behind Derby's
+    // laxer types. Two statements per table: the DDL writeJdbc issues
+    // (CREATE TABLE + renderDdl identity mapping = the Postgres form)
+    // and the INSERT the dialect generates for the append.
+    import org.apache.spark.sql.types.{StringType, StructField}
+    def fields(ddl: String): Array[StructField] = ddl.split(", ")
+      .map(c => StructField(c.splitAt(c.indexOf(' '))._1, StringType))
+    val teamDdl = Sinks.renderDdl(Sinks.historicMatchColumnTypes, identity)
+    assert(teamDdl ==
+      """"date" VARCHAR, "hometeam" VARCHAR, "awayteam" VARCHAR, """ +
+      """"match_urls" VARCHAR, "home_urls" VARCHAR, "away_urls" VARCHAR, """ +
+      """"league" VARCHAR, "home_team_matches" JSONB, """ +
+      """"away_team_matches" JSONB, "head2head_matches" JSONB, """ +
+      """"home_team_matchespattern" JSONB, "away_team_matchespattern" JSONB""")
+    val refDdl = Sinks.renderDdl(Sinks.refHistoricMatchColumnTypes, identity)
+    assert(refDdl ==
+      """"date" VARCHAR, "time" VARCHAR, "hometeam" VARCHAR, """ +
+      """"awayteam" VARCHAR, "result" VARCHAR, "matchlink" VARCHAR, """ +
+      """"league" VARCHAR, "refereelink" VARCHAR, """ +
+      """"referee_matchistlink" JSONB, "referee_matchhistdetails" JSONB""")
+    val dlt = Sinks.postgresJsonbDialect
+    assert(dlt.insertIntoTable("historic_match",
+      fields(Sinks.historicMatchColumnTypes)) ==
+      """INSERT INTO historic_match ("date","hometeam","awayteam",""" +
+      """"match_urls","home_urls","away_urls","league",""" +
+      """"home_team_matches","away_team_matches","head2head_matches",""" +
+      """"home_team_matchespattern","away_team_matchespattern") """ +
+      "VALUES (?,?,?,?,?,?,?,CAST(? AS JSONB),CAST(? AS JSONB)," +
+      "CAST(? AS JSONB),CAST(? AS JSONB),CAST(? AS JSONB))")
+    assert(dlt.insertIntoTable("ref_historic_match",
+      fields(Sinks.refHistoricMatchColumnTypes)) ==
+      """INSERT INTO ref_historic_match ("date","time","hometeam",""" +
+      """"awayteam","result","matchlink","league","refereelink",""" +
+      """"referee_matchistlink","referee_matchhistdetails") """ +
+      "VALUES (?,?,?,?,?,?,?,?,CAST(? AS JSONB),CAST(? AS JSONB))")
+  }
+
   test("writeJdbc unregisters its per-call dialect even when the write fails") {
     import org.apache.spark.sql.jdbc.GraftPostgresJsonbDialect
     val df = Seq(("x", "{}")).toDF("id", "payload")
