@@ -843,6 +843,278 @@ object Eval {
          SELECT 16, e16 // 1000000 FROM e)
        ORDER BY n_samples"""
 
+  // ---------------------------------------------------------------
+  // q476 — position-bias audit for pairwise judgments
+  // ---------------------------------------------------------------
+
+  /** Judge-level position-bias core of [[q476PositionBias]], exposed
+    * for crafted-judgment tests. Input: one row per pairwise judgment
+    * — (judge, lo, hi, lo_first, lo_win) with lo < hi, `lo_first` = 1
+    * when lo was presented in position 1, `lo_win` = 1 when lo won.
+    * Output per judge: the position-1 win rate (an unbiased judge sits
+    * near the tie-break-adjusted base rate; mass above it is position
+    * bias) and the swap-consistency rate over pairs the judge saw in
+    * BOTH orientations (majority verdict per orientation; a consistent
+    * judge gives the same verdict regardless of presentation order —
+    * the standard LLM-judge QA check). */
+  def positionBias(jm: DataFrame): DataFrame = {
+    val s = jm.sparkSession
+    import s.implicits._
+    val pc = jm.groupBy($"judge", $"lo", $"hi")
+      .agg(sum($"lo_first").as("n1"),
+        sum($"lo_win" * $"lo_first").as("w1"),
+        (count(lit(1)) - sum($"lo_first")).as("n2"),
+        sum($"lo_win" * (lit(1L) - $"lo_first")).as("w2"))
+    pc.groupBy($"judge")
+      .agg(sum($"n1" + $"n2").as("n_judgments"),
+        sum($"w1" + $"n2" - $"w2").as("pos1_wins"),
+        sum(when($"n1" > 0 && $"n2" > 0, 1L).otherwise(0L))
+          .as("n_swap_pairs"),
+        sum(when($"n1" > 0 && $"n2" > 0 &&
+          (($"w1" * 2 >= $"n1") === ($"w2" * 2 >= $"n2")), 1L)
+          .otherwise(0L)).as("consist"))
+      .select($"judge", $"n_judgments",
+        expr("pos1_wins * 1000 div n_judgments").as("pos1_win_milli"),
+        $"n_swap_pairs",
+        expr("consist * 1000 div greatest(n_swap_pairs, 1L)")
+          .as("swap_consistent_milli"))
+      .orderBy($"judge")
+  }
+
+  /** Position-bias audit (q476, VERDICT r10 ask #6a): the q465 pair
+    * machinery re-read as PRESENTED pairs — within each order's
+    * basket, the supplier whose first lineitem appears earlier
+    * (min l_linenumber) holds position 1; the winner is the higher
+    * revenue with ties to position 1 (tie-to-first is itself the bias
+    * being audited). Judges are the five order priorities. Per judge:
+    * position-1 win rate, and swap-consistency over (lo, hi) pairs the
+    * judge saw in both presentation orders.
+    *
+    * Scale: pair generation is basket-blocked (≤21 pairs/order); the
+    * judge key arrives by one un-hinted fact-fact equi-join (orders);
+    * the per-(judge, pair) aggregate is an equi-shuffle whose key
+    * domain is bounded by observed baskets, and the output is 5 rows.
+    * All arithmetic exact-integer (milli, `div` floors mirrored). */
+  def q476PositionBias(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("ord"), $"l_suppkey".as("sk"))
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast("decimal(18,2)")).as("rev"),
+        min($"l_linenumber").cast("long").as("ln"))
+    val jm = rev.groupBy($"ord")
+      .agg(collect_list(struct($"sk", $"rev", $"ln")).as("bs"))
+      .filter(size($"bs") >= 2)
+      .join(Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority".as("judge")),
+        $"ord" === $"o_orderkey")
+      .select($"judge", explode(expr(
+        """flatten(transform(bs, x ->
+             transform(filter(bs, y -> y.sk > x.sk), y -> struct(
+               x.sk AS lo, y.sk AS hi,
+               CASE WHEN x.ln < y.ln THEN 1L ELSE 0L END AS lo_first,
+               CASE WHEN (x.ln < y.ln AND x.rev >= y.rev)
+                      OR (y.ln < x.ln AND x.rev > y.rev)
+                 THEN 1L ELSE 0L END AS lo_win))))""")).as("pr"))
+      .select($"judge", $"pr.lo", $"pr.hi", $"pr.lo_first", $"pr.lo_win")
+    positionBias(jm)
+  }
+
+  val q476Oracle: String =
+    """WITH rev AS (
+         SELECT l_orderkey AS ord, l_suppkey AS sk,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+                CAST(min(l_linenumber) AS BIGINT) AS ln
+         FROM lineitem GROUP BY 1, 2),
+       jm AS (
+         SELECT o_orderpriority AS judge,
+                a.sk AS lo, b.sk AS hi,
+                CASE WHEN a.ln < b.ln THEN 1 ELSE 0 END AS lo_first,
+                CASE WHEN (a.ln < b.ln AND a.rev >= b.rev)
+                       OR (b.ln < a.ln AND a.rev > b.rev)
+                  THEN 1 ELSE 0 END AS lo_win
+         FROM rev a JOIN rev b ON a.ord = b.ord AND a.sk < b.sk
+         JOIN orders ON o_orderkey = a.ord),
+       pc AS (
+         SELECT judge, lo, hi,
+                CAST(sum(lo_first) AS BIGINT) AS n1,
+                CAST(sum(lo_win * lo_first) AS BIGINT) AS w1,
+                CAST(count(*) - sum(lo_first) AS BIGINT) AS n2,
+                CAST(sum(lo_win * (1 - lo_first)) AS BIGINT) AS w2
+         FROM jm GROUP BY 1, 2, 3)
+       SELECT judge,
+              CAST(sum(n1 + n2) AS BIGINT) AS n_judgments,
+              CAST(sum(w1 + n2 - w2) AS BIGINT) * 1000
+                // CAST(sum(n1 + n2) AS BIGINT) AS pos1_win_milli,
+              CAST(sum(CASE WHEN n1 > 0 AND n2 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_swap_pairs,
+              CAST(sum(CASE WHEN n1 > 0 AND n2 > 0
+                        AND ((2*w1 >= n1) = (2*w2 >= n2))
+                        THEN 1 ELSE 0 END) AS BIGINT) * 1000
+                // greatest(CAST(sum(CASE WHEN n1 > 0 AND n2 > 0
+                             THEN 1 ELSE 0 END) AS BIGINT), 1)
+                AS swap_consistent_milli
+       FROM pc GROUP BY judge ORDER BY judge"""
+
+  // ---------------------------------------------------------------
+  // q477 — online Elo (sequential rating periods)
+  // ---------------------------------------------------------------
+
+  /** Elo expected-score table in milli for a rating diff `d` (milli
+    * points): a bounded CASE ladder standing in for the logistic
+    * 1/(1+10^(-d/400)) — pow() is library-dependent across engines
+    * (the module's one refused primitive), while the FIDE-style lookup
+    * table is exact-integer and EXACTLY antisymmetric: e(d) + e(-d) =
+    * 1000 for every d, so ratings stay zero-sum. Identical SQL text in
+    * both engines (only the diff operand differs). */
+  private[graft] def eloExpected(d: String): String =
+    s"""CASE WHEN ($d) <= -400000 THEN 91 WHEN ($d) <= -200000 THEN 240
+             WHEN ($d) <= -100000 THEN 360 WHEN ($d) < 0 THEN 440
+             WHEN ($d) = 0 THEN 500 WHEN ($d) < 100000 THEN 560
+             WHEN ($d) < 200000 THEN 640 WHEN ($d) < 400000 THEN 760
+             ELSE 909 END"""
+
+  /** The sequential Elo fold over a sorted rating-period array, for a
+    * fixed `n`-player roster keyed 0..n-1: `ms` is an array of
+    * struct(t, gs: array(struct(a, b, awin))); the fold carries the
+    * n-element milli-rating vector, applying each period's games as a
+    * BATCH against the period-START ratings (the classical
+    * rating-period form — and what makes the per-period update
+    * order-free: deltas are integer sums). K = 32 points. Exposed for
+    * crafted-tournament tests. Spark's transform/aggregate lambda
+    * index is 0-based (the DuckDB twin's is 1-based). */
+  private[graft] def eloFoldExpr(msCol: String, n: Int): String = {
+    // element_at takes an INT ordinal; player keys may arrive as BIGINT
+    val ra = "element_at(acc, CAST(g.a AS INT) + 1)"
+    val rb = "element_at(acc, CAST(g.b AS INT) + 1)"
+    val eA = eloExpected(s"$ra - $rb")
+    val eB = eloExpected(s"$rb - $ra")
+    s"""aggregate($msCol, array_repeat(1500000L, $n), (acc, mo) ->
+          transform(acc, (r, i) -> r + aggregate(
+            filter(mo.gs, g -> g.a = i OR g.b = i), 0L,
+            (sacc, g) -> sacc + CASE WHEN g.a = i
+              THEN 32 * (g.awin * 1000 - ($eA))
+              ELSE 32 * ((1 - g.awin) * 1000 - ($eB)) END)))"""
+  }
+
+  /** Online Elo (q477, VERDICT r10 ask #6b): the SEQUENTIAL twin of
+    * q465's batch Bradley–Terry — nations are a fixed 25-player roster
+    * (keys 0..24, schema-bounded); each ship-month is a rating period
+    * in which every nation pair plays one game (winner = higher
+    * monthly supplier revenue, missing months count 0, ties to the
+    * lower key); ratings update period by period in month order, so a
+    * nation's rating reflects WHEN it won, not just how often — the
+    * online/streaming read q465's order-free MM fit cannot give.
+    *
+    * Scale: one fact scan → (month, nation) aggregate (bounded: 25 ×
+    * calendar months); the game grid is bounded-cross-bounded; the
+    * fold runs on ONE row over ~25k game structs — the 100 TB cost
+    * lives entirely in the first aggregate. Exact-integer throughout;
+    * the expected-score table replaces pow() (see [[eloExpected]]).
+    * Same-code check: zero-sum conservation Σr = 25·1500000 is a
+    * structural invariant of the antisymmetric table. */
+  def q477OnlineElo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mrev = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy((year($"l_shipdate") * 12 + month($"l_shipdate")).as("m"),
+        $"s_nationkey".as("nk"))
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast("decimal(18,2)")).as("rev"))
+    val mn = mrev.select($"m").distinct()
+      .withColumn("t", row_number().over(Window.orderBy($"m")).cast("long"))
+    val nk = Tables.nation(s, d).select($"n_nationkey")
+    val grid = mn.crossJoin(nk.select($"n_nationkey".as("a")))
+      .crossJoin(nk.select($"n_nationkey".as("b")))
+      .filter($"a" < $"b")
+    // games is consumed twice (the fold and the win totals): one cheap
+    // materialization of the bounded ~|months|·300-row relation
+    val games = grid
+      .join(mrev.select($"m".as("ma"), $"nk".as("nka"), $"rev".as("ra")),
+        $"m" === $"ma" && $"a" === $"nka", "left")
+      .join(mrev.select($"m".as("mb"), $"nk".as("nkb"), $"rev".as("rb")),
+        $"m" === $"mb" && $"b" === $"nkb", "left")
+      .select($"t", $"a", $"b",
+        when(coalesce($"ra", lit(0)) >= coalesce($"rb", lit(0)), 1L)
+          .otherwise(0L).as("awin"))
+      .localCheckpoint()
+    val folded = games.groupBy($"t")
+      .agg(sort_array(collect_list(struct($"a", $"b", $"awin"))).as("gs"))
+      .agg(sort_array(collect_list(struct($"t", $"gs"))).as("ms"))
+      .select(expr(eloFoldExpr("ms", 25)).as("rs"))
+    val wins = games
+      .select(expr("stack(2, a, awin, b, 1L - awin)").as(Seq("nk", "w")))
+      .groupBy($"nk").agg(sum($"w").as("wins"))
+    folded
+      .select(posexplode($"rs").as(Seq("idx", "elo_milli")))
+      .select($"idx".cast("long").as("nationkey"), $"elo_milli")
+      .join(Tables.nation(s, d)
+        .select($"n_nationkey", $"n_name".as("name")),
+        $"nationkey" === $"n_nationkey")
+      .join(wins, $"nationkey" === wins("nk"))
+      .select($"nationkey", $"name", $"wins", $"elo_milli")
+      .orderBy($"elo_milli".desc, $"nationkey")
+  }
+
+  val q477Oracle: String = {
+    val eA = eloExpected("e.rs[g.a + 1] - e.rs[g.b + 1]")
+    val eB = eloExpected("e.rs[g.b + 1] - e.rs[g.a + 1]")
+    s"""WITH RECURSIVE mrev AS (
+         SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS m,
+                s_nationkey AS nk,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         GROUP BY 1, 2),
+       mn AS (
+         SELECT m, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+         FROM (SELECT DISTINCT m FROM mrev)),
+       grid AS (
+         SELECT mn.t, mn.m, a.n_nationkey AS a, b.n_nationkey AS b
+         FROM mn, nation a, nation b WHERE a.n_nationkey < b.n_nationkey),
+       games AS (
+         SELECT g.t, g.a, g.b,
+                CASE WHEN coalesce(ra.rev, 0) >= coalesce(rb.rev, 0)
+                  THEN 1 ELSE 0 END AS awin
+         FROM grid g
+         LEFT JOIN mrev ra ON ra.m = g.m AND ra.nk = g.a
+         LEFT JOIN mrev rb ON rb.m = g.m AND rb.nk = g.b),
+       mgames AS (
+         SELECT t, list(struct_pack(a := a, b := b, awin := awin)
+                  ORDER BY a, b) AS gs
+         FROM games GROUP BY t),
+       elo AS (
+         SELECT CAST(0 AS BIGINT) AS t,
+                (SELECT list_transform(generate_series(1, 25),
+                   x -> CAST(1500000 AS BIGINT))) AS rs
+         UNION ALL
+         SELECT e.t + 1,
+                list_transform(e.rs, (r, i) -> r + coalesce(list_sum(
+                  list_transform(
+                    list_filter(mg.gs, g -> g.a = i - 1 OR g.b = i - 1),
+                    g -> CASE WHEN g.a = i - 1
+                      THEN 32 * (g.awin * 1000 - ($eA))
+                      ELSE 32 * ((1 - g.awin) * 1000 - ($eB)) END)), 0))
+         FROM elo e JOIN mgames mg ON mg.t = e.t + 1),
+       final AS (SELECT rs FROM elo ORDER BY t DESC LIMIT 1),
+       rated AS (
+         SELECT unnest(list_transform(rs, (r, i) -> struct_pack(
+                  nationkey := CAST(i - 1 AS BIGINT), elo_milli := r)),
+                recursive := true)
+         FROM final),
+       wins AS (
+         SELECT nk, CAST(sum(w) AS BIGINT) AS wins FROM (
+           SELECT a AS nk, awin AS w FROM games
+           UNION ALL SELECT b, 1 - awin FROM games)
+         GROUP BY 1)
+       SELECT nationkey, n_name AS name, wins, elo_milli
+       FROM rated JOIN nation ON n_nationkey = nationkey
+       JOIN wins ON nk = nationkey
+       ORDER BY elo_milli DESC, nationkey"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q465_bradley_terry" -> q465BradleyTerry,
     "q466_pass_at_k" -> q466PassAtK,
@@ -855,6 +1127,8 @@ object Eval {
     "q473_wilson_leaderboard" -> q473WilsonLeaderboard,
     "q474_grpo_advantage" -> q474GrpoAdvantage,
     "q475_best_of_n" -> q475BestOfN,
+    "q476_position_bias" -> q476PositionBias,
+    "q477_online_elo" -> q477OnlineElo,
   )
 
   val oracles: Map[String, String] = Map(
@@ -869,5 +1143,7 @@ object Eval {
     "q473_wilson_leaderboard" -> q473Oracle,
     "q474_grpo_advantage" -> q474Oracle,
     "q475_best_of_n" -> q475Oracle,
+    "q476_position_bias" -> q476Oracle,
+    "q477_online_elo" -> q477Oracle,
   )
 }

@@ -108,4 +108,63 @@ class EvalSpec extends SparkSpec {
     assert(pts.sameElements(pts.sorted.reverse), "must be descending")
     r.foreach(x => assert(x.getAs[Long]("borda_points") >= 0L))
   }
+
+  test("position bias: a position-follower reads 1000/0, a position-blind judge 500/1000") {
+    // "biased" always picks whatever sits in position 1: position-1
+    // win rate 1000‰ and every swap-tested pair FLIPS verdicts →
+    // consistency 0. "solid" always prefers the same item regardless
+    // of presentation: pos-1 rate at the coin-flip 500‰ and every
+    // swap-tested pair agrees → consistency 1000.
+    val jm = Seq(
+      ("biased", 1L, 2L, 1L, 1L), ("biased", 1L, 2L, 0L, 0L),
+      ("biased", 1L, 3L, 1L, 1L), ("biased", 1L, 3L, 0L, 0L),
+      ("solid", 1L, 2L, 1L, 1L), ("solid", 1L, 2L, 0L, 1L),
+      ("solid", 2L, 3L, 1L, 0L), ("solid", 2L, 3L, 0L, 0L),
+    ).toDF("judge", "lo", "hi", "lo_first", "lo_win")
+    val r = operators.Eval.positionBias(jm).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toMap
+    assert(r("biased") == ((4L, 1000L, 2L, 0L)), s"biased: ${r("biased")}")
+    assert(r("solid") == ((4L, 500L, 2L, 1000L)), s"solid: ${r("solid")}")
+    // and on real data the audit rates stay in [0, 1000]
+    operators.Eval.q476PositionBias(spark, d).collect().foreach { x =>
+      assert(x.getAs[Long]("pos1_win_milli") >= 0L &&
+        x.getAs[Long]("pos1_win_milli") <= 1000L)
+      assert(x.getAs[Long]("swap_consistent_milli") >= 0L &&
+        x.getAs[Long]("swap_consistent_milli") <= 1000L)
+    }
+  }
+
+  test("Elo: expected-score table is exactly antisymmetric; fold matches hand-computed updates; ratings are zero-sum") {
+    import operators.Eval.{eloExpected, eloFoldExpr}
+    // e(d) + e(-d) = 1000 across every bucket boundary and interior
+    val diffs = Seq(-500000L, -400000L, -399999L, -200000L, -150000L,
+      -100000L, -50000L, 0L, 50000L, 100000L, 150000L, 200000L,
+      399999L, 400000L, 500000L)
+    diffs.toDF("dd")
+      .selectExpr("dd", s"${eloExpected("dd")} AS e", s"${eloExpected("-dd")} AS en")
+      .collect().foreach { r =>
+        assert(r.getInt(1) + r.getInt(2) == 1000,
+          s"antisymmetry broken at d=${r.getLong(0)}")
+      }
+    // two players, two rating periods, A beats B twice (K = 32):
+    // period 1 from even ratings: e = 500 → A +16000, B −16000;
+    // period 2 at d = 32000: e = 560 → A +14080, B −14080
+    val rs = Seq(1).toDF("x").selectExpr(
+      """array(named_struct('t', 1L, 'gs',
+           array(named_struct('a', 0L, 'b', 1L, 'awin', 1L))),
+         named_struct('t', 2L, 'gs',
+           array(named_struct('a', 0L, 'b', 1L, 'awin', 1L)))) AS ms""")
+      .selectExpr(eloFoldExpr("ms", 2) + " AS rs")
+      .collect()(0).getSeq[Long](0)
+    assert(rs == Seq(1530080L, 1469920L), s"fold gave $rs")
+    // real data: the antisymmetric table makes ratings exactly
+    // zero-sum, and every nation appears once
+    val elo = operators.Eval.q477OnlineElo(spark, d).collect()
+    assert(elo.length == 25)
+    assert(elo.map(_.getAs[Long]("elo_milli")).sum == 25L * 1500000L,
+      "Elo updates must conserve the rating pool")
+    val sorted = elo.map(_.getAs[Long]("elo_milli"))
+    assert(sorted.sameElements(sorted.sorted.reverse), "descending order")
+  }
 }
