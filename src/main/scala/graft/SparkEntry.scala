@@ -38,7 +38,8 @@ object SparkEntry {
       operators.Lexicon.queries ++
       operators.Capacity.queries ++
       operators.Privacy.queries ++
-      operators.Eval.queries
+      operators.Eval.queries ++
+      operators.Annotation.queries
 
   /** Operator module → its query names, for the bench's per-module
     * JVM warm-up (one untimed query per module primes that module's
@@ -67,6 +68,7 @@ object SparkEntry {
     "Capacity" -> operators.Capacity.queries.keys.toSeq,
     "Privacy" -> operators.Privacy.queries.keys.toSeq,
     "Eval" -> operators.Eval.queries.keys.toSeq,
+    "Annotation" -> operators.Annotation.queries.keys.toSeq,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +95,6 @@ object SparkEntry {
       operators.Lexicon.oracles ++
       operators.Capacity.oracles ++
       operators.Privacy.oracles ++
-      operators.Eval.oracles
+      operators.Eval.oracles ++
+      operators.Annotation.oracles
 }

@@ -1,0 +1,603 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Annotation / label-quality analytics (round 11, north-star family):
+  * the statistics an LLM-training shop runs over its LABELING pipeline
+  * before trusting any human- or model-judged dataset — multi-rater
+  * chance-corrected agreement (Fleiss' κ for fixed panels,
+  * Krippendorff's α for ragged ones), Dawid–Skene-style rater-quality
+  * estimation with weighted re-voting, rank agreement between scoring
+  * functions (Kendall τ-b), classical-test-theory item analysis for
+  * eval benchmarks (difficulty + point-biserial discrimination), and
+  * split-conformal coverage audits for model-predicted labels. These
+  * sit next to `Eval` (which consumes the labels these operators vet).
+  *
+  * Scale design, module-wide: every statistic reduces the fact scan to
+  * a bounded or key-aggregated relation BEFORE any window or self-join
+  * touches it — per-(item, rater) judgments collapse by one groupBy;
+  * agreement coefficients are closed-form rationals over a handful of
+  * int64 sufficient statistics (never an item-pair join); Kendall τ
+  * self-joins a ≤400-cell quantized histogram, never the fact table;
+  * windows are PARTITIONED over bounded per-key histograms. Arithmetic
+  * is exact-int64 sufficient stats with `div` floors where signs are
+  * provably non-negative, and the q139 shared-IEEE rule (one identical
+  * double expression tree in both engines, operands < 2⁵³ so the
+  * int64→double hop is exact) where a coefficient can be negative or
+  * needs a sqrt. Products that could pass int64 at corpus scale are
+  * DECIMAL(38,0)-wrapped (HUGEINT twins). Determinism: the conformal
+  * split uses `Fns.hash60`, never engine-local `hash()`/`random()`. */
+object Annotation {
+
+  /** Shared judgment relation for q478–q480: each (order, rater) cell
+    * is one categorical judgment, where the 7-rater pool is
+    * `l_suppkey % 7` and the label is the lexicographically-smallest
+    * returnflag the rater saw on that order (a deterministic collapse
+    * of multi-row raters). One fact scan, one groupBy. */
+  private def judgments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("item"), ($"l_suppkey" % 7).as("rater"))
+      .agg(min($"l_returnflag").as("label"))
+  }
+
+  private val judgmentsSql: String =
+    """SELECT l_orderkey AS item, l_suppkey % 7 AS rater,
+              min(l_returnflag) AS label
+       FROM lineitem GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // q478 — Fleiss' kappa (fixed-panel multi-rater agreement)
+  // ---------------------------------------------------------------
+
+  /** Fleiss' κ over a (item, rater, label) judgment relation
+    * restricted to items judged by exactly `panel` raters. Exposed for
+    * crafted-matrix tests. Closed form over three int64 sufficient
+    * statistics: with n = panel, S = Σ_items Σ_labels n_il²,
+    * A = S − n·N, B = Σ_labels T_l² (T_l the label column totals),
+    *   P̄  = A / (n(n−1)N),   P̄e = B / (n²N²),
+    * and cross-multiplying κ = (P̄−P̄e)/(1−P̄e) by the common
+    * denominator n²(n−1)N² gives the exact integer rational
+    *   κ = (nN·A − (n−1)B) / (n²(n−1)N² − (n−1)B).
+    * Both operands stay below 2⁵³ at test SFs (documented swap:
+    * DECIMAL(38,0) cross-products at billion-item scale), evaluated as
+    * ONE shared-IEEE floor·10⁴ since κ < 0 is legitimate. */
+  def fleissKappa(jud0: DataFrame, panel: Int): DataFrame = {
+    val s = jud0.sparkSession
+    import s.implicits._
+    val n = panel.toLong
+    // jud feeds both the panel filter and the cell counts: checkpoint
+    // once so the judgment groupBy's fact scan doesn't run twice
+    val jud = jud0.localCheckpoint()
+    val cells = jud
+      .join(jud.groupBy($"item").agg(count(lit(1)).as("nr"))
+        .filter($"nr" === n).select($"item"), Seq("item"), "left_semi")
+      .groupBy($"item", $"label").agg(count(lit(1)).as("nil"))
+      .localCheckpoint()
+    val perItem = cells.groupBy($"item").agg(sum($"nil" * $"nil").as("s2"))
+      .agg(count(lit(1)).as("n_items"), sum($"s2").as("s"))
+    val perLabel = cells.groupBy($"label").agg(sum($"nil").as("tl"))
+      .agg(sum($"tl" * $"tl").as("b"))
+    perItem.crossJoin(perLabel)
+      .select($"n_items", (($"s") - lit(n) * $"n_items").as("a"), $"b")
+      .select($"n_items",
+        expr(s"a * 1000 div (${n * (n - 1)} * n_items)").as("pbar_milli"),
+        expr(s"b * 1000 div (${n * n} * n_items * n_items)").as("pe_milli"),
+        expr(s"""CAST(floor(
+            (CAST($n * n_items * a AS DOUBLE) - ${n - 1} * CAST(b AS DOUBLE))
+            / (${n * n * (n - 1)} * CAST(n_items AS DOUBLE) * n_items
+               - ${n - 1} * CAST(b AS DOUBLE))
+            * 10000.0) AS BIGINT)""").as("kappa_bp"))
+  }
+
+  /** Fleiss' κ audit (q478): do the 7 synthetic raters agree on order
+    * labels beyond chance? Items = orders judged by EXACTLY 3 raters
+    * (Fleiss assumes a fixed panel size; the ragged rest goes to
+    * q479's Krippendorff α). Output: panel size check plus P̄ (raw
+    * agreement), P̄e (chance agreement from label marginals), and the
+    * chance-corrected κ in basis points.
+    *
+    * Scale: two groupBys collapse the fact scan to per-(item, rater)
+    * then per-(item, label) cells; the coefficient is a closed-form
+    * rational of three int64 sums — no item-pair join ever exists.
+    * κ_bp uses the q139 shared-IEEE rule (can be negative; `div`
+    * truncation would disagree with DuckDB's floor below zero). */
+  def q478FleissKappa(s: SparkSession, d: String): DataFrame =
+    fleissKappa(judgments(s, d), 3)
+
+  val q478Oracle: String =
+    s"""WITH jud AS ($judgmentsSql),
+       pan AS (SELECT item FROM jud GROUP BY item HAVING count(*) = 3),
+       cells AS (
+         SELECT j.item, j.label, CAST(count(*) AS BIGINT) AS nil
+         FROM jud j SEMI JOIN pan ON j.item = pan.item
+         GROUP BY 1, 2),
+       pi AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(s2) AS BIGINT) AS s
+         FROM (SELECT item, sum(nil * nil) AS s2 FROM cells GROUP BY 1)),
+       pl AS (
+         SELECT CAST(sum(tl * tl) AS BIGINT) AS b
+         FROM (SELECT label, sum(nil) AS tl FROM cells GROUP BY 1)),
+       k AS (SELECT n_items, s - 3 * n_items AS a, b FROM pi CROSS JOIN pl)
+       SELECT n_items,
+         a * 1000 // (6 * n_items) AS pbar_milli,
+         b * 1000 // (9 * n_items * n_items) AS pe_milli,
+         CAST(floor(
+           (CAST(3 * n_items * a AS DOUBLE) - 2 * CAST(b AS DOUBLE))
+           / (18 * CAST(n_items AS DOUBLE) * n_items - 2 * CAST(b AS DOUBLE))
+           * 10000.0) AS BIGINT) AS kappa_bp
+       FROM k"""
+
+  // ---------------------------------------------------------------
+  // q479 — Krippendorff's alpha (nominal, ragged panels)
+  // ---------------------------------------------------------------
+
+  /** Krippendorff's α (nominal metric) over a (item, rater, label)
+    * relation, items with 2..7 raters — the agreement coefficient that
+    * tolerates RAGGED panels and missing judgments, which is what real
+    * labeling queues produce. Exposed for crafted-matrix tests.
+    *
+    * Exact rational form: with n_u the item's judgment count, per-item
+    * observed disagreement Σ_l n_ul(n_u − n_ul)/(n_u − 1) is cleared of
+    * its varying denominator by the lcm trick — 60/(n_u−1) is an exact
+    * integer for n_u ∈ [2,7] — giving
+    *   Do60n = Σ_u (60/(n_u−1))·Σ_l n_ul(n_u−n_ul)   (= 60·n·D_o)
+    *   E     = Σ_l n_l(n − n_l)                       (n·(n−1)·D_e)
+    *   α     = (60E − Do60n·(n−1)) / (60E).
+    * All int64 (operands < 2⁵³ at test SFs; DECIMAL swap documented
+    * for corpus scale), one shared-IEEE floor·10⁴ since α < 0 is
+    * legitimate (systematic disagreement). */
+  def krippendorffAlpha(jud: DataFrame): DataFrame = {
+    val s = jud.sparkSession
+    import s.implicits._
+    val cells = jud
+      .groupBy($"item", $"label").agg(count(lit(1)).as("nil"))
+      .withColumn("nu", sum($"nil").over(Window.partitionBy($"item")))
+      .filter($"nu" >= 2)
+      .localCheckpoint()
+    val obs = cells
+      .groupBy($"item", $"nu")
+      .agg(sum($"nil" * ($"nu" - $"nil")).as("dis"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("(60 div (nu - 1)) * dis")).as("do60n"),
+        sum($"nu").as("n"))
+    val exp = cells.groupBy($"label").agg(sum($"nil").as("nl"))
+    obs.crossJoin(broadcast(exp.agg(sum($"nl" * $"nl").as("sl2"))))
+      .select($"n_items", $"n".as("n_judgments"), $"do60n",
+        ($"n" * $"n" - $"sl2").as("e"))
+      .select($"n_items", $"n_judgments",
+        expr("CAST(CAST(do60n AS DECIMAL(38,0)) * 1000000 div (60 * n_judgments) AS BIGINT)")
+          .as("do_ppm"),
+        expr("CAST(CAST(e AS DECIMAL(38,0)) * 1000000 div (CAST(n_judgments AS DECIMAL(38,0)) * (n_judgments - 1)) AS BIGINT)")
+          .as("de_ppm"),
+        expr("""CAST(floor(
+            (60 * CAST(e AS DOUBLE) - CAST(do60n AS DOUBLE) * (n_judgments - 1))
+            / (60 * CAST(e AS DOUBLE))
+            * 10000.0) AS BIGINT)""").as("alpha_bp"))
+  }
+
+  /** Krippendorff's α audit (q479): the same judgment relation as
+    * q478 but over EVERY item with ≥2 raters (2..7, ragged) — the
+    * coefficient labeling teams quote when panels are incomplete.
+    * Output: item/judgment counts, observed and expected disagreement
+    * in ppm, α in basis points.
+    *
+    * Scale: identical reduction discipline to q478 — the only window
+    * is item-partitioned over the per-(item, label) cell relation
+    * (≤3 rows per item), and the α closed form consumes four int64
+    * totals. The 60/(n_u−1) lcm clearing keeps per-item terms exact
+    * integers; nothing in the plan depends on rater-pair joins. */
+  def q479KrippendorffAlpha(s: SparkSession, d: String): DataFrame =
+    krippendorffAlpha(judgments(s, d))
+
+  val q479Oracle: String =
+    s"""WITH jud AS ($judgmentsSql),
+       cells AS (
+         SELECT item, label, CAST(count(*) AS BIGINT) AS nil,
+                CAST(sum(count(*)) OVER (PARTITION BY item) AS BIGINT) AS nu
+         FROM jud GROUP BY 1, 2),
+       kept AS (SELECT * FROM cells WHERE nu >= 2),
+       obs AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum((60 // (nu - 1)) * dis) AS BIGINT) AS do60n,
+                CAST(sum(nu) AS BIGINT) AS n
+         FROM (SELECT item, nu, sum(nil * (nu - nil)) AS dis
+               FROM kept GROUP BY 1, 2)),
+       exp1 AS (
+         SELECT CAST(sum(nl * nl) AS BIGINT) AS sl2
+         FROM (SELECT label, sum(nil) AS nl FROM kept GROUP BY 1))
+       SELECT n_items, n AS n_judgments,
+         CAST(CAST(do60n AS HUGEINT) * 1000000 // (60 * n) AS BIGINT) AS do_ppm,
+         CAST((n * n - sl2)::HUGEINT * 1000000
+           // (n::HUGEINT * (n - 1)) AS BIGINT) AS de_ppm,
+         CAST(floor(
+           (60 * CAST(n * n - sl2 AS DOUBLE) - CAST(do60n AS DOUBLE) * (n - 1))
+           / (60 * CAST(n * n - sl2 AS DOUBLE))
+           * 10000.0) AS BIGINT) AS alpha_bp
+       FROM obs CROSS JOIN exp1"""
+
+  // ---------------------------------------------------------------
+  // q480 — Dawid–Skene hard-EM rater quality + weighted re-vote
+  // ---------------------------------------------------------------
+
+  /** One hard-EM Dawid–Skene round over a (item, rater, label)
+    * relation, exposed for crafted tests. Step 0: majority vote per
+    * item (ties to the lexicographically-smaller label). M-step: each
+    * rater's accuracy against the vote, in milli. E-step (hard):
+    * re-vote each item with raters weighted by their milli accuracy
+    * (argmax of summed weights, same tie-break). Output per rater:
+    * judgment count, accuracy vs the plain vote, accuracy vs the
+    * weighted re-vote — the separation between "agrees with the crowd"
+    * and "agrees with the QUALITY-WEIGHTED crowd" is the rater signal
+    * Dawid–Skene adds over raw agreement.
+    *
+    * Scale: votes are per-item windows over the (item, label) cell
+    * relation (bounded ≤3 rows/item, item-partitioned — never a global
+    * sort); the weight relation is ≤|rater-pool| rows and joins back
+    * un-hinted (AQE broadcasts from runtime stats); every join in the
+    * chain is an equi-join on item or rater. All integer. */
+  def dawidSkene(jud: DataFrame): DataFrame = {
+    val s = jud.sparkSession
+    import s.implicits._
+    val j = jud.localCheckpoint()
+    def vote(df: DataFrame, wcol: String): DataFrame = {
+      val w = Window.partitionBy($"item").orderBy(col(wcol).desc, $"label")
+      df.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1).select($"item", $"label".as("vlabel"))
+    }
+    val mv = vote(
+      j.groupBy($"item", $"label").agg(count(lit(1)).as("c")), "c")
+      .localCheckpoint()
+    val wts = j.join(mv, "item")
+      .groupBy($"rater")
+      .agg(count(lit(1)).as("n_judgments"),
+        sum(($"label" === $"vlabel").cast("long")).as("ok0"))
+      .withColumn("w", expr("ok0 * 1000 div n_judgments"))
+      .localCheckpoint()
+    val ev = vote(
+      j.join(wts.select($"rater", $"w"), "rater")
+        .groupBy($"item", $"label").agg(sum($"w").as("sw")), "sw")
+    j.join(ev, "item")
+      .groupBy($"rater").agg(sum(($"label" === $"vlabel").cast("long")).as("ok1"))
+      .join(wts, "rater")
+      .select($"rater", $"n_judgments",
+        expr("ok0 * 1000 div n_judgments").as("acc_mv_milli"),
+        expr("ok1 * 1000 div n_judgments").as("acc_em_milli"))
+      .orderBy($"rater")
+  }
+
+  /** Dawid–Skene rater-quality audit (q480): the 7-rater judgment pool
+    * pushed through one hard-EM round — per rater, accuracy against
+    * the majority vote and against the accuracy-weighted re-vote.
+    * ≤7-row output.
+    *
+    * Scale: see [[dawidSkene]] — the fact scan collapses to judgments
+    * once; votes are item-partitioned windows over ≤3-row groups; the
+    * rater-pool weight relation is bounded by construction (modulo
+    * key) and all its joins are un-hinted equi-joins. */
+  def q480DawidSkene(s: SparkSession, d: String): DataFrame =
+    dawidSkene(judgments(s, d))
+
+  val q480Oracle: String =
+    s"""WITH jud AS ($judgmentsSql),
+       mv AS (
+         SELECT item, label AS vlabel FROM (
+           SELECT item, label, row_number() OVER (
+             PARTITION BY item ORDER BY count(*) DESC, label) AS rk
+           FROM jud GROUP BY item, label)
+         WHERE rk = 1),
+       wts AS (
+         SELECT j.rater, CAST(count(*) AS BIGINT) AS n_judgments,
+                CAST(sum(CASE WHEN j.label = mv.vlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ok0
+         FROM jud j JOIN mv ON j.item = mv.item
+         GROUP BY 1),
+       ev AS (
+         SELECT item, label AS vlabel FROM (
+           SELECT s.item, s.label, row_number() OVER (
+             PARTITION BY s.item ORDER BY s.sw DESC, s.label) AS rk
+           FROM (
+             SELECT j.item, j.label,
+                    sum(w.ok0 * 1000 // w.n_judgments) AS sw
+             FROM jud j JOIN wts w ON j.rater = w.rater
+             GROUP BY 1, 2) s)
+         WHERE rk = 1),
+       acc1 AS (
+         SELECT j.rater,
+                CAST(sum(CASE WHEN j.label = ev.vlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ok1
+         FROM jud j JOIN ev ON j.item = ev.item
+         GROUP BY 1)
+       SELECT w.rater, w.n_judgments,
+              w.ok0 * 1000 // w.n_judgments AS acc_mv_milli,
+              a.ok1 * 1000 // w.n_judgments AS acc_em_milli
+       FROM wts w JOIN acc1 a ON w.rater = a.rater
+       ORDER BY w.rater"""
+
+  // ---------------------------------------------------------------
+  // q481 — Kendall tau-b between two supplier scoring functions
+  // ---------------------------------------------------------------
+
+  /** Kendall τ-b rank agreement (q481): do two supplier scoring
+    * functions — total line revenue vs distinct orders served — induce
+    * the same ranking? τ counts concordant minus discordant pairs;
+    * the b-variant corrects both margins for ties, which the 20×20
+    * quantization deliberately introduces (τ on quantized scores IS
+    * τ-b with tie groups = buckets).
+    *
+    * Scale: the fact scan collapses to per-supplier (x, y) once; both
+    * axes quantize to 20 fixed-width buckets against the global max
+    * (a 1-row broadcast, the q139 `tot` idiom), giving a ≤400-cell
+    * joint histogram; the pair count is a theta self-join of that
+    * BOUNDED histogram (≤160k cell pairs of pure integer arithmetic —
+    * never a supplier-pair join, which at 100 TB would be 10¹²
+    * pairs). Ties come off the marginals. One shared-IEEE sqrt at the
+    * end (τ ∈ [−1,1] signed — q308's discipline). */
+  def q481KendallTau(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey".as("sk"))
+      .agg((sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast("decimal(18,2)")) * 100).cast("long").as("x"),
+        countDistinct($"l_orderkey").as("y"))
+    val mx = per.agg(max($"x").as("xm"), max($"y").as("ym"))
+    val h = per.crossJoin(broadcast(mx))
+      .select(least(expr("x * 20 div greatest(xm, 1)"), lit(19L)).as("xb"),
+        least(expr("y * 20 div greatest(ym, 1)"), lit(19L)).as("yb"))
+      .groupBy($"xb", $"yb").agg(count(lit(1)).as("c"))
+      // ≤400 cells by construction (20×20 grid); the checkpoint (four
+      // consumers) erases provenance, so restate the bound as a no-op
+      // limit the scale audits can verify structurally (q370 idiom)
+      .localCheckpoint().limit(400)
+    val pairs = h.as("a").join(h.as("b"),
+        col("a.xb") < col("b.xb") ||
+          (col("a.xb") === col("b.xb") && col("a.yb") < col("b.yb")))
+      .agg(
+        sum(when(col("a.xb") < col("b.xb") && col("a.yb") < col("b.yb"),
+          col("a.c") * col("b.c")).otherwise(0L)).as("conc"),
+        sum(when(col("a.xb") < col("b.xb") && col("a.yb") > col("b.yb"),
+          col("a.c") * col("b.c")).otherwise(0L)).as("disc"))
+    val margins = h.agg(sum($"c").as("n"))
+    val tx = h.groupBy($"xb").agg(sum($"c").as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("tx"))
+    val ty = h.groupBy($"yb").agg(sum($"c").as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("ty"))
+    pairs.crossJoin(broadcast(margins)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select($"n".as("n_suppliers"), $"conc", $"disc", $"tx", $"ty",
+        expr("""CAST(floor(
+            (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tx)
+                   * (CAST(n AS DOUBLE) * (n - 1) / 2 - ty))
+            * 10000.0) AS BIGINT)""").as("tau_b_bp"))
+  }
+
+  val q481Oracle: String =
+    """WITH per AS (
+         SELECT l_suppkey AS sk,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS y
+         FROM lineitem GROUP BY 1),
+       mx AS (SELECT max(x) AS xm, max(y) AS ym FROM per),
+       h AS (
+         SELECT least(x * 20 // greatest(xm, 1), 19) AS xb,
+                least(y * 20 // greatest(ym, 1), 19) AS yb,
+                CAST(count(*) AS BIGINT) AS c
+         FROM per CROSS JOIN mx GROUP BY 1, 2),
+       pairs AS (
+         SELECT
+           CAST(sum(CASE WHEN a.xb < b.xb AND a.yb < b.yb
+             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+           CAST(sum(CASE WHEN a.xb < b.xb AND a.yb > b.yb
+             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+         FROM h a JOIN h b
+           ON a.xb < b.xb OR (a.xb = b.xb AND a.yb < b.yb)),
+       m AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+       tx AS (
+         SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tx
+         FROM (SELECT sum(c) AS t FROM h GROUP BY xb)),
+       ty AS (
+         SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ty
+         FROM (SELECT sum(c) AS t FROM h GROUP BY yb))
+       SELECT n AS n_suppliers, conc, disc, tx, ty,
+         CAST(floor(
+           (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tx)
+                  * (CAST(n AS DOUBLE) * (n - 1) / 2 - ty))
+           * 10000.0) AS BIGINT) AS tau_b_bp
+       FROM pairs CROSS JOIN m CROSS JOIN tx CROSS JOIN ty"""
+
+  // ---------------------------------------------------------------
+  // q482 — classical-test-theory item analysis (eval benchmarks)
+  // ---------------------------------------------------------------
+
+  /** Benchmark item analysis (q482): the classical-test-theory pass an
+    * eval team runs over a question bank — per ITEM (part brand, the
+    * schema-bounded 25-item "benchmark"), difficulty = pass rate of
+    * the persons (suppliers) who attempted it, and discrimination =
+    * point-biserial correlation between the item response and the
+    * person's REST score (pass count excluding this item). Items that
+    * everyone passes/fails discriminate nothing and emit NULL — the
+    * sentinel, not a fake 0.
+    *
+    * Response model: person s "passes" item i when their mean shipped
+    * quantity on that brand ≥ 26 (sum ≥ 26·count — exact integer, no
+    * division). Scale: one fact-dim join (un-hinted; AQE broadcasts
+    * the part dim from stats) collapses to the ≤|persons|·25 response
+    * matrix; person scores are one groupBy; the per-item moments are
+    * int64 sufficient statistics with one shared-IEEE sqrt (q308).
+    * Nothing after the response matrix touches fact rows. */
+  def q482ItemAnalysis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resp = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey".as("sk"), $"p_brand".as("item"))
+      .agg((sum($"l_quantity".cast("long")) >=
+        lit(26L) * count(lit(1))).cast("long").as("x"))
+      .localCheckpoint()
+    val person = resp.groupBy($"sk")
+      .agg(sum($"x").as("score"), count(lit(1)).as("attempts"))
+    resp.join(person, "sk")
+      .select($"item", $"x", ($"score" - $"x").as("r"))
+      .groupBy($"item")
+      .agg(count(lit(1)).as("n_persons"), sum($"x").as("sx"),
+        sum($"r").as("sr"), sum($"x" * $"r").as("sxr"),
+        sum($"r" * $"r").as("srr"))
+      .select($"item", $"n_persons",
+        expr("sx * 1000 div n_persons").as("difficulty_milli"),
+        expr("""CASE WHEN n_persons * sx - sx * sx <= 0
+                  OR n_persons * srr - sr * sr <= 0 THEN NULL
+            ELSE CAST(floor(
+              (CAST(n_persons AS DOUBLE) * sxr - CAST(sx AS DOUBLE) * sr)
+              / sqrt((CAST(n_persons AS DOUBLE) * sx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n_persons AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr))
+              * 10000.0) AS BIGINT) END""").as("disc_bp"))
+      .orderBy($"item")
+  }
+
+  val q482Oracle: String =
+    """WITH resp AS (
+         SELECT l_suppkey AS sk, p_brand AS item,
+                CAST(sum(CAST(l_quantity AS BIGINT))
+                  >= 26 * count(*) AS BIGINT) AS x
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+       person AS (
+         SELECT sk, CAST(sum(x) AS BIGINT) AS score,
+                CAST(count(*) AS BIGINT) AS attempts
+         FROM resp GROUP BY 1),
+       m AS (
+         SELECT item, CAST(count(*) AS BIGINT) AS n_persons,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(score - x) AS BIGINT) AS sr,
+                CAST(sum(x * (score - x)) AS BIGINT) AS sxr,
+                CAST(sum((score - x) * (score - x)) AS BIGINT) AS srr
+         FROM resp JOIN person USING (sk)
+         GROUP BY 1)
+       SELECT item, n_persons,
+         sx * 1000 // n_persons AS difficulty_milli,
+         CASE WHEN n_persons * sx - sx * sx <= 0
+                OR n_persons * srr - sr * sr <= 0 THEN NULL
+           ELSE CAST(floor(
+             (CAST(n_persons AS DOUBLE) * sxr - CAST(sx AS DOUBLE) * sr)
+             / sqrt((CAST(n_persons AS DOUBLE) * sx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n_persons AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr))
+             * 10000.0) AS BIGINT) END AS disc_bp
+       FROM m ORDER BY item"""
+
+  // ---------------------------------------------------------------
+  // q483 — split-conformal prediction coverage audit
+  // ---------------------------------------------------------------
+
+  /** Split-conformal coverage audit (q483): the distribution-free
+    * calibration check for any model-predicted label — split orders
+    * into calibration/test halves by a deterministic hash, fit the
+    * trivial per-segment mean predictor on the calibration half, take
+    * q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest absolute residual
+    * (the finite-sample split-conformal quantile, α = 0.1), and
+    * measure test-half coverage of pred ± q̂ — which conformal theory
+    * guarantees ≥ 90% in expectation REGARDLESS of the model. Scores
+    * quantize to $1000 buckets on both sides of the inequality, so the
+    * order statistic and the coverage test are self-consistent exact
+    * integers.
+    *
+    * Scale: the per-segment mean and score histograms are one groupBy
+    * each; the quantile is a cumulative-count crossing over the
+    * BOUNDED per-segment bucket histogram (q309's idiom — never a
+    * sort of fact rows); the 5-row q̂/μ relations join back un-hinted.
+    * Split determinism: `Fns.hash60` parity, never `random()`. */
+  def q483ConformalCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment".as("segment")),
+        $"o_custkey" === $"c_custkey")
+      .select($"segment",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (graft.functions.Fns.hash60($"o_orderkey".cast("string")) % 2)
+          .as("half"))
+      .localCheckpoint()
+    val mu = base.filter($"half" === 0).groupBy($"segment")
+      .agg(count(lit(1)).as("n_cal"),
+        expr("sum(cents) div count(1)").as("mu"))
+    val scored = base.join(mu, "segment")
+      .withColumn("sb", expr("abs(cents - mu) div 100000"))
+    val calH = scored.filter($"half" === 0)
+      .groupBy($"segment", $"n_cal", $"sb").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"segment").orderBy($"sb")
+    val qhat = calH
+      .withColumn("cum", sum($"c").over(w))
+      .filter($"cum" >= expr("(9 * (n_cal + 1) + 9) div 10"))
+      .groupBy($"segment").agg(min($"sb").as("qb"))
+    scored.filter($"half" === 1)
+      .join(qhat, "segment")
+      .groupBy($"segment")
+      .agg(max($"n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max($"qb").as("qhat_bucket"),
+        sum(($"sb" <= $"qb").cast("long")).as("cov"))
+      .select($"segment", $"n_cal", $"n_test", $"qhat_bucket",
+        expr("cov * 1000 div n_test").as("coverage_milli"))
+      .orderBy($"segment")
+  }
+
+  val q483Oracle: String =
+    """WITH base AS (
+         SELECT c_mktsegment AS segment,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  ::bigint % 2 AS half
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       mu AS (
+         SELECT segment, CAST(count(*) AS BIGINT) AS n_cal,
+                CAST(sum(cents) // count(*) AS BIGINT) AS mu
+         FROM base WHERE half = 0 GROUP BY 1),
+       scored AS (
+         SELECT b.segment, b.half, mu.n_cal,
+                abs(b.cents - mu.mu) // 100000 AS sb
+         FROM base b JOIN mu ON b.segment = mu.segment),
+       calh AS (
+         SELECT segment, n_cal, sb, CAST(count(*) AS BIGINT) AS c
+         FROM scored WHERE half = 0 GROUP BY 1, 2, 3),
+       qhat AS (
+         SELECT segment, min(sb) AS qb FROM (
+           SELECT segment, n_cal, sb, c,
+                  CAST(sum(c) OVER (PARTITION BY segment ORDER BY sb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM calh)
+         WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+         GROUP BY 1)
+       SELECT s.segment, max(s.n_cal) AS n_cal,
+              CAST(count(*) AS BIGINT) AS n_test,
+              max(q.qb) AS qhat_bucket,
+              CAST(sum(CASE WHEN s.sb <= q.qb THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000 // count(*) AS coverage_milli
+       FROM scored s JOIN qhat q ON s.segment = q.segment
+       WHERE s.half = 1
+       GROUP BY s.segment ORDER BY s.segment"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q478_fleiss_kappa" -> q478FleissKappa,
+    "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
+    "q480_dawid_skene" -> q480DawidSkene,
+    "q481_kendall_tau" -> q481KendallTau,
+    "q482_item_analysis" -> q482ItemAnalysis,
+    "q483_conformal_coverage" -> q483ConformalCoverage,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q478_fleiss_kappa" -> q478Oracle,
+    "q479_krippendorff_alpha" -> q479Oracle,
+    "q480_dawid_skene" -> q480Oracle,
+    "q481_kendall_tau" -> q481Oracle,
+    "q482_item_analysis" -> q482Oracle,
+    "q483_conformal_coverage" -> q483Oracle,
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+/** Crafted-input tests for the annotation/label-quality family
+  * (q478–q483): the oracle hash-compare proves engine equality on real
+  * data; these prove the COEFFICIENTS are the ones claimed, on
+  * hand-computed matrices. */
+class AnnotationSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("Fleiss' kappa: hand-computed 4-item panel, off-panel items excluded") {
+    // i1: A,A,B  i2: A,B,B  i3: A,A,A  i4: B,B,B → S=28, A=16, B=72,
+    // N=4: kappa = (3·4·16 − 2·72)/(18·16 − 2·72) = 48/144 = 1/3.
+    // i5 has only 2 raters and must not enter the panel.
+    val jud = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"),
+      (2L, 0L, "A"), (2L, 1L, "B"), (2L, 2L, "B"),
+      (3L, 0L, "A"), (3L, 1L, "A"), (3L, 2L, "A"),
+      (4L, 0L, "B"), (4L, 1L, "B"), (4L, 2L, "B"),
+      (5L, 0L, "A"), (5L, 1L, "A")
+    ).toDF("item", "rater", "label")
+    val r = operators.Annotation.fleissKappa(jud, 3).collect()(0)
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("pbar_milli") == 666L) // 16/24 floored
+    assert(r.getAs[Long]("pe_milli") == 500L)   // 72/144
+    assert(r.getAs[Long]("kappa_bp") == 3333L)  // floor(1/3 · 1e4)
+  }
+
+  test("Fleiss' kappa: perfect within-item agreement gives kappa = 1") {
+    val jud = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "A"),
+      (2L, 0L, "B"), (2L, 1L, "B"), (2L, 2L, "B")
+    ).toDF("item", "rater", "label")
+    val r = operators.Annotation.fleissKappa(jud, 3).collect()(0)
+    assert(r.getAs[Long]("kappa_bp") == 10000L)
+  }
+
+  test("Krippendorff's alpha: hand-computed ragged panels") {
+    // i1: A,B (dis 2, lcm factor 60) + i2: A,A (dis 0) → Do60n = 120;
+    // n = 4, labels A:3 B:1 → E = 16 − 10 = 6;
+    // alpha = (60·6 − 120·3)/(60·6) = 0 exactly. A lone-rater item is
+    // excluded from every total.
+    val jud = Seq(
+      (1L, 0L, "A"), (1L, 1L, "B"),
+      (2L, 0L, "A"), (2L, 1L, "A"),
+      (9L, 0L, "Z")
+    ).toDF("item", "rater", "label")
+    val r = operators.Annotation.krippendorffAlpha(jud).collect()(0)
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("n_judgments") == 4L)
+    assert(r.getAs[Long]("alpha_bp") == 0L)
+    // perfect agreement on ragged panels → alpha = 1
+    val perf = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"),
+      (2L, 0L, "B"), (2L, 1L, "B"), (2L, 2L, "B")
+    ).toDF("item", "rater", "label")
+    val p = operators.Annotation.krippendorffAlpha(perf).collect()(0)
+    assert(p.getAs[Long]("do_ppm") == 0L)
+    assert(p.getAs[Long]("alpha_bp") == 10000L)
+  }
+
+  test("Dawid–Skene hard-EM: accuracy weighting flips a tied item") {
+    // Raters 0,1 track truth X on items 1–3; rater 2 contradicts.
+    // Item 4 (raters 0,2) ties → majority vote takes min label P.
+    // Item 5 (raters 1,2) ties → vote takes A (rater 2's label), so
+    // acc_mv: r0 = 4/4, r1 = 3/4 = 750, r2 = 1/5 = 200. The weighted
+    // re-vote gives item 5 to rater 1 (weight 750 > 200): r1 rises to
+    // 1000, r2 falls to 0 — the Dawid–Skene signal.
+    val jud = Seq(
+      (1L, 0L, "X"), (1L, 1L, "X"), (1L, 2L, "Y"),
+      (2L, 0L, "X"), (2L, 1L, "X"), (2L, 2L, "Y"),
+      (3L, 0L, "X"), (3L, 1L, "X"), (3L, 2L, "Y"),
+      (4L, 0L, "P"), (4L, 2L, "Q"),
+      (5L, 1L, "B"), (5L, 2L, "A")
+    ).toDF("item", "rater", "label")
+    val r = operators.Annotation.dawidSkene(jud)
+      .collect().map(x => x.getAs[Long]("rater") ->
+        (x.getAs[Long]("acc_mv_milli"), x.getAs[Long]("acc_em_milli"))).toMap
+    assert(r(0L) == (1000L, 1000L))
+    assert(r(1L) == (750L, 1000L), "re-vote must flip item 5 to rater 1")
+    assert(r(2L) == (200L, 0L))
+  }
+
+  test("Kendall tau-b: revenue and order count rank suppliers concordantly") {
+    val r = operators.Annotation.q481KendallTau(spark, d).collect()(0)
+    val n = r.getAs[Long]("n_suppliers")
+    val (c, disc) = (r.getAs[Long]("conc"), r.getAs[Long]("disc"))
+    assert(c + disc <= n * (n - 1) / 2, "pair classes cannot exceed all pairs")
+    val tau = r.getAs[Long]("tau_b_bp")
+    assert(tau >= -10000L && tau <= 10000L)
+    assert(tau > 0, s"revenue and volume must rank concordantly, got $tau")
+  }
+
+  test("item analysis: difficulty bounded, discrimination in range or sentinel") {
+    val rows = operators.Annotation.q482ItemAnalysis(spark, d).collect()
+    assert(rows.length <= 25 && rows.nonEmpty)
+    rows.foreach { r =>
+      val diff = r.getAs[Long]("difficulty_milli")
+      assert(diff >= 0L && diff <= 1000L)
+      if (!r.isNullAt(r.fieldIndex("disc_bp"))) {
+        val disc = r.getAs[Long]("disc_bp")
+        assert(disc >= -10000L && disc <= 10000L)
+      }
+    }
+  }
+
+  test("split-conformal coverage lands near the 90% guarantee") {
+    val rows = operators.Annotation.q483ConformalCoverage(spark, d).collect()
+    assert(rows.length == 5, "one row per market segment")
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("coverage_milli")
+      // conformal guarantees E[coverage] ≥ 0.9; finite per-segment
+      // samples at sf0.001 put a loose band around it
+      assert(cov >= 800L && cov <= 1000L, s"coverage $cov outside [800, 1000]")
+      assert(r.getAs[Long]("qhat_bucket") >= 0L)
+      assert(r.getAs[Long]("n_cal") > 0L && r.getAs[Long]("n_test") > 0L)
+    }
+  }
+}
