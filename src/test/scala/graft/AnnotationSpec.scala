@@ -104,6 +104,74 @@ class AnnotationSpec extends SparkSpec {
     }
   }
 
+  test("panel majority expression: hand-computed 3-judge panel") {
+    import org.apache.spark.sql.functions.expr
+    // ps = [900, 800, 700] milli: P(majority of 3 correct) =
+    // .9·.8·.7 + .9·.8·.3 + .9·.2·.7 + .1·.8·.7 = .902 → 902000 micro
+    val df = Seq(Tuple1(Seq(900L, 800L, 700L))).toDF("ps")
+    val r = df.select(
+      expr(operators.Annotation.majorityExpr(1)).as("k1"),
+      expr(operators.Annotation.majorityExpr(3)).as("k3")).collect()(0)
+    assert(r.getAs[Long]("k1") == 900000L, "panel of 1 = the top judge")
+    assert(r.getAs[Long]("k3") == 902000L)
+    // a panel of identical coin-flip judges never beats the coin
+    val coin = Seq(Tuple1(Seq(500L, 500L, 500L))).toDF("ps")
+    val c = coin.select(expr(operators.Annotation.majorityExpr(3)).as("k3"))
+      .collect()(0)
+    assert(c.getAs[Long]("k3") == 500000L)
+  }
+
+  test("judge-pair kappa: hand-computed contingency and constant-judge sentinel") {
+    // rater 0: A,A,B,B; rater 1: A,B,B,B → n=4, agree=3,
+    // pe_num = 2·1 + 2·3 = 8, kappa = (12−8)/(16−8) = 0.5 → 5000 bp.
+    // rater 2 says A always and rater 3 mirrors it on both shared
+    // items → pe = n² → NULL sentinel, not a fake 10000.
+    val jud = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"),
+      (2L, 0L, "A"), (2L, 1L, "B"),
+      (3L, 0L, "B"), (3L, 1L, "B"),
+      (4L, 0L, "B"), (4L, 1L, "B"),
+      (5L, 2L, "A"), (5L, 3L, "A"),
+      (6L, 2L, "A"), (6L, 3L, "A")
+    ).toDF("item", "rater", "label")
+    val rows = operators.Annotation.judgePairKappa(jud).collect()
+      .map(r => (r.getAs[Long]("ra"), r.getAs[Long]("rb")) -> r).toMap
+    val r01 = rows((0L, 1L))
+    assert(r01.getAs[Long]("n") == 4L)
+    assert(r01.getAs[Long]("agree_milli") == 750L)
+    assert(r01.getAs[Long]("kappa_bp") == 5000L)
+    val r23 = rows((2L, 3L))
+    assert(r23.isNullAt(r23.fieldIndex("kappa_bp")),
+      "two constant judges have undefined kappa")
+  }
+
+  test("KR-20, test-retest, and pair-matrix invariants on real data") {
+    val kr = operators.Annotation.q484Kr20(spark, d).collect()(0)
+    assert(kr.getAs[Long]("n_persons") > 0L)
+    assert(kr.getAs[Long]("sum_item_var_n2") >= 0L)
+    if (!kr.isNullAt(kr.fieldIndex("kr20_bp")))
+      assert(kr.getAs[Long]("kr20_bp") <= 10000L)
+    val tr = operators.Annotation.q486TestRetest(spark, d).collect()
+    assert(tr.length == 7)
+    tr.foreach { r =>
+      assert(r.getAs[Long]("n_retest") <= r.getAs[Long]("n_cells"))
+      val c = r.getAs[Long]("self_consistent_milli")
+      assert(c >= 0L && c <= 1000L)
+    }
+    val pk = operators.Annotation.q487JudgePairKappa(spark, d).collect()
+    assert(pk.length == 21, "7 choose 2 rater pairs")
+    pk.foreach { r =>
+      val a = r.getAs[Long]("agree_milli")
+      assert(a >= 0L && a <= 1000L)
+      if (!r.isNullAt(r.fieldIndex("kappa_bp")))
+        assert(r.getAs[Long]("kappa_bp") <= 10000L)
+    }
+    val pp = operators.Annotation.q485PanelPlanner(spark, d).collect()
+    assert(pp.map(_.getAs[Long]("panel_k")).toSeq == Seq(1L, 3L, 5L, 7L))
+    pp.foreach(r => assert(r.getAs[Long]("p_majority_micro") >= 0L &&
+      r.getAs[Long]("p_majority_micro") <= 1000000L))
+  }
+
   test("split-conformal coverage lands near the 90% guarantee") {
     val rows = operators.Annotation.q483ConformalCoverage(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")
