@@ -69,9 +69,10 @@ object Annotation {
     val s = jud0.sparkSession
     import s.implicits._
     val n = panel.toLong
-    // jud feeds both the panel filter and the cell counts: checkpoint
-    // once so the judgment groupBy's fact scan doesn't run twice
-    val jud = jud0.localCheckpoint()
+    // jud is a pure Aggregate consumed twice inside ONE action:
+    // ReuseExchange dedupes it (one fact scan, one shuffle read twice)
+    // — measured faster than a checkpoint, which adds a serial job
+    val jud = jud0
     val cells = jud
       .join(jud.groupBy($"item").agg(count(lit(1)).as("nr"))
         .filter($"nr" === n).select($"item"), Seq("item"), "left_semi")
@@ -158,6 +159,9 @@ object Annotation {
       .groupBy($"item", $"label").agg(count(lit(1)).as("nil"))
       .withColumn("nu", sum($"nil").over(Window.partitionBy($"item")))
       .filter($"nu" >= 2)
+      // two consumers BEHIND A WINDOW: exchange reuse stops at the
+      // window node, so without the checkpoint the whole cell+window
+      // chain re-runs per consumer (measured +25% — see PLANS.md r11)
       .localCheckpoint()
     val obs = cells
       .groupBy($"item", $"nu")
@@ -243,6 +247,9 @@ object Annotation {
   def dawidSkene(jud: DataFrame): DataFrame = {
     val s = jud.sparkSession
     import s.implicits._
+    // j feeds four window/join stages that exchange reuse cannot
+    // dedupe (each consumer sits behind a different window): measured
+    // 2.7 s checkpointed vs 4.0 s relying on reuse at sf0.1
     val j = jud.localCheckpoint()
     def vote(df: DataFrame, wcol: String): DataFrame = {
       val w = Window.partitionBy($"item").orderBy(col(wcol).desc, $"label")
@@ -349,9 +356,10 @@ object Annotation {
       .select(least(expr("x * 20 div greatest(xm, 1)"), lit(19L)).as("xb"),
         least(expr("y * 20 div greatest(ym, 1)"), lit(19L)).as("yb"))
       .groupBy($"xb", $"yb").agg(count(lit(1)).as("c"))
-      // ≤400 cells by construction (20×20 grid); the checkpoint (four
-      // consumers) erases provenance, so restate the bound as a no-op
-      // limit the scale audits can verify structurally (q370 idiom)
+      // ≤400 cells by construction (20×20 grid); four consumers and
+      // the limit defeats exchange reuse (measured +40% un-checkpointed)
+      // — the checkpoint erases provenance, so restate the bound as a
+      // no-op limit the scale audits can verify structurally (q370)
       .localCheckpoint().limit(400)
     val pairs = h.as("a").join(h.as("b"),
         col("a.xb") < col("b.xb") ||
@@ -610,9 +618,9 @@ object Annotation {
       .groupBy($"l_suppkey".as("sk"), $"p_brand".as("item"))
       .agg((sum($"l_quantity".cast("long")) >=
         lit(26L) * count(lit(1))).cast("long").as("x"))
-      // the response matrix feeds the completeness filter AND both
-      // moment sets: checkpoint so the fact join runs once
-      .localCheckpoint()
+    // resp is a pure Aggregate: its three consumers (the completeness
+    // semi-join's both sides + the moment sets) share one exchange via
+    // ReuseExchange — no checkpoint needed inside a single action
     val complete = resp
       .join(resp.groupBy($"sk").agg(count(lit(1)).as("k"))
         .filter($"k" === 25).select($"sk"), Seq("sk"), "left_semi")
@@ -703,6 +711,8 @@ object Annotation {
 
   def q485PanelPlanner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the majority-vote window blocks exchange reuse between the two
+    // jud consumers: checkpoint (measured 1.6 s vs 2.0 s at sf0.1)
     val jud = judgments(s, d).localCheckpoint()
     val w = Window.partitionBy($"item").orderBy($"c".desc, $"label")
     val mv = jud.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
