@@ -256,15 +256,16 @@ object Annotation {
       df.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1).select($"item", $"label".as("vlabel"))
     }
+    // mv has a single consumer and wts fans out behind an Aggregate
+    // (its exchange is reused; only the ≤7-group final agg re-runs):
+    // checkpointing either just adds a serial job — j alone pays off
     val mv = vote(
       j.groupBy($"item", $"label").agg(count(lit(1)).as("c")), "c")
-      .localCheckpoint()
     val wts = j.join(mv, "item")
       .groupBy($"rater")
       .agg(count(lit(1)).as("n_judgments"),
         sum(($"label" === $"vlabel").cast("long")).as("ok0"))
       .withColumn("w", expr("ok0 * 1000 div n_judgments"))
-      .localCheckpoint()
     val ev = vote(
       j.join(wts.select($"rater", $"w"), "rater")
         .groupBy($"item", $"label").agg(sum($"w").as("sw")), "sw")
