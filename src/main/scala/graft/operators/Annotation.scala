@@ -916,6 +916,269 @@ object Annotation {
        FROM base b LEFT JOIN pe ON b.ra = pe.ra AND b.rb = pe.rb
        ORDER BY b.ra, b.rb"""
 
+  // ---------------------------------------------------------------
+  // q488 — qualification-test designer (exact binomial tails)
+  // ---------------------------------------------------------------
+
+  /** Exact binomial upper tail P(X ≥ t | n, p) in micro, for a milli
+    * probability SQL expression `p` — Σ_{k≥t} C(n,k)·p^k·(1000−p)^(n−k)
+    * in milli^n DECIMAL(38,0) units (n ≤ 10 ⇒ ≤ 252·10³⁰ < 10³⁸;
+    * HUGEINT twin), rescaled by the BIGINT literal 10^(3n−6). The
+    * C(n,k) coefficients are computed HERE (exact Long arithmetic) and
+    * inlined as literals into BOTH engines' SQL — the identical-text
+    * discipline. `t` is a SQL expression so one string serves the whole
+    * threshold grid. */
+  private[graft] def binomTailExpr(n: Int, t: String, p: String): String = {
+    val choose = Array.iterate(Array(1L), n + 1)(r =>
+      (0L +: r.toSeq :+ 0L).sliding(2).map(_.sum).toArray).last
+    val terms = (0 to n).map { k =>
+      val prod = (Seq.fill(k)(s"CAST(($p) AS DECIMAL(38,0))") ++
+        Seq.fill(n - k)(s"CAST((1000 - ($p)) AS DECIMAL(38,0))"))
+        .mkString(" * ")
+      s"CASE WHEN $k >= ($t) THEN ${choose(k)} * $prod ELSE CAST(0 AS DECIMAL(38,0)) END"
+    }
+    s"CAST((${terms.mkString(" + ")}) div ${"1" + "0" * (3 * n - 6)} AS BIGINT)"
+  }
+
+  /** Qualification-test designer (q488): before trusting a new
+    * annotator, labeling teams gate them on a gold quiz — this op
+    * derives the gold set AND sizes the quiz. Gold-for-rater is
+    * leave-one-out consensus: an item counts for rater r only when the
+    * OTHER ≥2 raters are unanimous (r's own vote can't vouch for
+    * itself); the rater's gold accuracy follows, and the panel median
+    * is the "honest rater" operating point. For quiz sizes n ∈ {5, 10}
+    * the designer picks the smallest pass threshold t* whose
+    * coin-flipping spammer (p = 0.5) passes ≤ 5%, and reports both
+    * operating characteristics at t*: spammer pass rate and the
+    * median-honest-rater pass rate — the quiz is usable only if the
+    * two separate. All tails are EXACT binomial sums (see
+    * [[binomTailExpr]]).
+    *
+    * Scale: gold classification is one judgment-relation pass (per-item
+    * top-label stats via an item-partitioned window over ≤3-row cell
+    * groups, then one equi-join back); everything after the 7-row
+    * accuracy aggregate is literal-grid arithmetic on ≤2 rows. */
+  def q488QualificationDesigner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val jud = judgments(s, d).localCheckpoint()
+    val cells = jud.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"item").orderBy($"c".desc, $"label")
+    val top = cells
+      .withColumn("nu", sum($"c").over(Window.partitionBy($"item")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"item", $"label".as("top_label"), $"c".as("c1"), $"nu")
+      .filter($"nu" >= 3)
+    val gold = jud.join(top, "item")
+      .withColumn("gstat", expr(
+        """CASE WHEN label = top_label AND c1 = nu THEN 1
+                WHEN label <> top_label AND c1 = nu - 1 THEN 0
+                ELSE -1 END"""))
+      .filter($"gstat" >= 0)
+      .groupBy($"rater")
+      .agg(count(lit(1)).as("n_gold"), sum($"gstat").as("ok"))
+      .select($"rater", expr("ok * 1000 div n_gold").as("p"))
+    // the panel's median gold accuracy = the 4th of the 7 sorted values
+    val pmed = gold.agg(sort_array(collect_list($"p")).as("a"))
+      .select(element_at($"a", 4).as("p_med"))
+    val grid = Seq(5, 10).map { n =>
+      val spam = binomTailExpr(n, "t", "500")
+      val hon = binomTailExpr(n, "t", "p_med")
+      pmed.select(lit(n.toLong).as("quiz_n"),
+          explode(expr(s"sequence(0L, ${n}L)")).as("t"), $"p_med")
+        .select($"quiz_n", $"t", $"p_med",
+          expr(spam).as("spammer_pass_micro"), expr(hon).as("honest_pass_micro"))
+    }.reduce(_ unionByName _)
+    val wt = Window.partitionBy($"quiz_n").orderBy($"t")
+    grid.filter($"spammer_pass_micro" <= 50000L)
+      .withColumn("rk", row_number().over(wt)).filter($"rk" === 1)
+      .select($"quiz_n", $"t".as("t_star"), $"p_med",
+        $"spammer_pass_micro", $"honest_pass_micro")
+      .orderBy($"quiz_n")
+  }
+
+  val q488Oracle: String = {
+    def tail(n: Int, t: String, p: String): String = {
+      val choose = Array.iterate(Array(1L), n + 1)(r =>
+        (0L +: r.toSeq :+ 0L).sliding(2).map(_.sum).toArray).last
+      val terms = (0 to n).map { k =>
+        val prod = (Seq.fill(k)(s"CAST(($p) AS HUGEINT)") ++
+          Seq.fill(n - k)(s"CAST((1000 - ($p)) AS HUGEINT)"))
+          .mkString(" * ")
+        s"CASE WHEN $k >= ($t) THEN ${choose(k)} * $prod ELSE CAST(0 AS HUGEINT) END"
+      }
+      s"CAST((${terms.mkString(" + ")}) // ${"1" + "0" * (3 * n - 6)} AS BIGINT)"
+    }
+    val rows = Seq(5, 10).map { n =>
+      s"""SELECT $n AS quiz_n, t, p_med,
+            ${tail(n, "t", "500")} AS spammer_pass_micro,
+            ${tail(n, "t", "p_med")} AS honest_pass_micro
+          FROM pmed CROSS JOIN (SELECT unnest(range(0, ${n + 1})) AS t)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH jud AS ($judgmentsSql),
+       cells AS (
+         SELECT item, label, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(count(*)) OVER (PARTITION BY item) AS BIGINT) AS nu
+         FROM jud GROUP BY 1, 2),
+       top AS (
+         SELECT item, label AS top_label, c AS c1, nu FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY item ORDER BY c DESC, label) AS rk
+           FROM cells)
+         WHERE rk = 1 AND nu >= 3),
+       gold AS (
+         SELECT j.rater,
+                CAST(sum(CASE WHEN j.label = t.top_label THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000
+                  // CAST(count(*) AS BIGINT) AS p
+         FROM jud j JOIN top t ON j.item = t.item
+         WHERE (j.label = t.top_label AND t.c1 = t.nu)
+            OR (j.label <> t.top_label AND t.c1 = t.nu - 1)
+         GROUP BY 1),
+       pmed AS (
+         SELECT (list(p ORDER BY p))[4] AS p_med FROM gold),
+       grid AS ($rows),
+       ranked AS (
+         SELECT quiz_n, t, p_med, spammer_pass_micro, honest_pass_micro,
+                row_number() OVER (PARTITION BY quiz_n ORDER BY t) AS rk
+         FROM grid WHERE spammer_pass_micro <= 50000)
+       SELECT quiz_n, t AS t_star, p_med,
+              spammer_pass_micro, honest_pass_micro
+       FROM ranked WHERE rk = 1 ORDER BY quiz_n"""
+  }
+
+  // ---------------------------------------------------------------
+  // q489 — cost-optimal panel router (exact subset-majority search)
+  // ---------------------------------------------------------------
+
+  /** Exact majority-vote accuracy of the rater SUBSET encoded by
+    * bitmask column `s_mask` over the 7-element milli-accuracy array
+    * `ps` (rater order), in micro: Σ over vote masks m ⊆ s with
+    * |m| > |s|/2 of Π_{i∈s} (i∈m ? pᵢ : 1000−pᵢ). Products carry only
+    * the |s| member bits (milli^|s| ≤ 10²¹ DECIMAL(38,0)); the rescale
+    * divisor 10^(3|s|−6) is looked up from a 7-branch CASE. Even
+    * panels need a STRICT majority — ties fail (the conservative
+    * read). */
+  private[graft] def subsetMajorityExpr: String = {
+    // micro = sum·10⁶/1000^k = sum·1000/10^(3k−3): multiply the exact
+    // DECIMAL sum by 1000 first (≤10²⁴), then one div by a BIGINT
+    // literal that exists for every k (10^18 max at k=7)
+    val divisor = (1 to 7).map(k =>
+      s"WHEN bit_count(s_mask) = $k THEN ${"1" + "0" * (3 * k - 3)}L")
+      .mkString(" ")
+    s"""CAST(aggregate(sequence(0, 127), CAST(0 AS DECIMAL(38,0)),
+          (acc, m) -> acc + CASE
+            WHEN (m & ~s_mask) = 0
+             AND 2 * bit_count(m & s_mask) > bit_count(s_mask) THEN
+              aggregate(sequence(0, 6), CAST(1 AS DECIMAL(38,0)),
+                (pr, i) -> pr * CASE
+                  WHEN ((s_mask >> i) % 2) = 0 THEN 1
+                  WHEN ((m >> i) % 2) = 1 THEN element_at(ps, i + 1)
+                  ELSE 1000 - element_at(ps, i + 1) END)
+            ELSE CAST(0 AS DECIMAL(38,0)) END)
+        * 1000 div (CASE $divisor END) AS BIGINT)"""
+  }
+
+  /** Cost-optimal panel router (q489): which judges should an item be
+    * routed to? Given the 7 raters' measured accuracies (q480's
+    * M-step) and a per-judgment cost of rater_key + 1 (seniors cost
+    * more), search ALL 127 non-empty panels exactly — each panel's
+    * majority-vote accuracy via the full vote-mask expansion (see
+    * [[subsetMajorityExpr]]) — and for each target accuracy in
+    * {70%, 80%, 90%} return the CHEAPEST panel that meets it
+    * (ties: fewer judges, then smaller mask). Unreachable targets emit
+    * no row rather than a fake panel.
+    *
+    * Scale: everything below the 7-row accuracy aggregate is a
+    * 127-row literal explode × a 128-mask HOF per row (≤3⁷ products
+    * total) — driver-free, bounded by construction; the argmin per
+    * target is a window over ≤381 rows. */
+  def q489PanelRouter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val jud = judgments(s, d).localCheckpoint()
+    val w = Window.partitionBy($"item").orderBy($"c".desc, $"label")
+    val mv = jud.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).select($"item", $"label".as("vlabel"))
+    val acc = jud.join(mv, "item")
+      .groupBy($"rater")
+      .agg(sum(($"label" === $"vlabel").cast("long")).as("ok"),
+        count(lit(1)).as("nj"))
+      .select($"rater", expr("ok * 1000 div nj").as("p"))
+    val ps = acc
+      .agg(sort_array(collect_list(struct($"rater", $"p"))).as("o"))
+      .select(expr("transform(o, x -> x.p)").as("ps"))
+    val panels = ps
+      .select(explode(expr("sequence(1, 127)")).as("s_mask"), $"ps")
+      .select($"s_mask",
+        expr("bit_count(s_mask)").cast("long").as("n_judges"),
+        expr("""aggregate(sequence(0, 6), 0L,
+            (acc, i) -> acc + CASE WHEN ((s_mask >> i) % 2) = 1
+              THEN i + 1 ELSE 0 END)""").as("cost"),
+        expr(subsetMajorityExpr).as("acc_micro"))
+    val targets = Seq(700000L, 800000L, 900000L)
+      .map(t => panels.withColumn("target_micro", lit(t))
+        .filter($"acc_micro" >= t))
+      .reduce(_ unionByName _)
+    val wt = Window.partitionBy($"target_micro")
+      .orderBy($"cost", $"n_judges", $"s_mask")
+    targets.withColumn("rk", row_number().over(wt)).filter($"rk" === 1)
+      .select($"target_micro", $"s_mask".cast("long").as("panel_mask"),
+        $"n_judges", $"cost", $"acc_micro")
+      .orderBy($"target_micro")
+  }
+
+  val q489Oracle: String = {
+    val divisor = (1 to 7).map(k =>
+      s"WHEN bit_count(CAST(s_mask AS BIGINT)) = $k THEN ${"1" + "0" * (3 * k - 3)}")
+      .mkString(" ")
+    s"""WITH jud AS ($judgmentsSql),
+       mv AS (
+         SELECT item, label AS vlabel FROM (
+           SELECT item, label, row_number() OVER (
+             PARTITION BY item ORDER BY count(*) DESC, label) AS rk
+           FROM jud GROUP BY item, label)
+         WHERE rk = 1),
+       acc AS (
+         SELECT j.rater,
+                CAST(sum(CASE WHEN j.label = mv.vlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000 // count(*) AS p
+         FROM jud j JOIN mv ON j.item = mv.item
+         GROUP BY 1),
+       pv AS (SELECT list(p ORDER BY rater) AS ps FROM acc),
+       panels AS (
+         SELECT s_mask,
+                CAST(bit_count(CAST(s_mask AS BIGINT)) AS BIGINT) AS n_judges,
+                CAST(list_sum(list_transform(range(0, 7), i ->
+                  CASE WHEN ((s_mask >> i) % 2) = 1 THEN i + 1 ELSE 0 END))
+                  AS BIGINT) AS cost,
+                CAST(list_sum(list_transform(range(0, 128), m ->
+                  CASE WHEN (m & ~s_mask) = 0
+                        AND 2 * bit_count(CAST(m & s_mask AS BIGINT))
+                            > bit_count(CAST(s_mask AS BIGINT)) THEN
+                    list_reduce(list_prepend(CAST(1 AS HUGEINT),
+                      list_transform(range(0, 7), i ->
+                        CAST(CASE WHEN ((s_mask >> i) % 2) = 0 THEN 1
+                             WHEN ((m >> i) % 2) = 1 THEN ps[i + 1]
+                             ELSE 1000 - ps[i + 1] END AS HUGEINT))),
+                      (a, b) -> a * b)
+                  ELSE CAST(0 AS HUGEINT) END))
+                  * 1000 // (CASE $divisor END) AS BIGINT) AS acc_micro
+         FROM pv CROSS JOIN (SELECT unnest(range(1, 128)) AS s_mask)),
+       tg AS (
+         SELECT t.target_micro, p.*
+         FROM panels p CROSS JOIN (SELECT unnest([CAST(700000 AS BIGINT),
+           800000, 900000]) AS target_micro) t
+         WHERE p.acc_micro >= t.target_micro),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY target_micro
+           ORDER BY cost, n_judges, s_mask) AS rk
+         FROM tg)
+       SELECT target_micro, CAST(s_mask AS BIGINT) AS panel_mask,
+              n_judges, cost, acc_micro
+       FROM ranked WHERE rk = 1 ORDER BY target_micro"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q478_fleiss_kappa" -> q478FleissKappa,
     "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
@@ -927,6 +1190,8 @@ object Annotation {
     "q485_panel_planner" -> q485PanelPlanner,
     "q486_test_retest" -> q486TestRetest,
     "q487_judge_pair_kappa" -> q487JudgePairKappa,
+    "q488_qualification_designer" -> q488QualificationDesigner,
+    "q489_panel_router" -> q489PanelRouter,
   )
 
   val oracles: Map[String, String] = Map(
@@ -940,5 +1205,7 @@ object Annotation {
     "q485_panel_planner" -> q485Oracle,
     "q486_test_retest" -> q486Oracle,
     "q487_judge_pair_kappa" -> q487Oracle,
+    "q488_qualification_designer" -> q488Oracle,
+    "q489_panel_router" -> q489Oracle,
   )
 }

@@ -172,6 +172,53 @@ class AnnotationSpec extends SparkSpec {
       r.getAs[Long]("p_majority_micro") <= 1000000L))
   }
 
+  test("binomial tail: exact coin-flip and degenerate values") {
+    import org.apache.spark.sql.functions.expr
+    val one = Seq(Tuple1(1L)).toDF("x")
+    def tail(n: Int, t: Int, p: Int): Long =
+      one.select(expr(operators.Annotation
+        .binomTailExpr(n, t.toString, p.toString)).as("v"))
+        .collect()(0).getAs[Long]("v")
+    assert(tail(5, 5, 500) == 31250L, "P(X=5|5,1/2) = 1/32")
+    assert(tail(5, 0, 500) == 1000000L, "t=0 always passes")
+    assert(tail(5, 4, 500) == 187500L, "P(X>=4|5,1/2) = 6/32")
+    assert(tail(10, 9, 500) == 10742L, "11/1024 floored to micro")
+    assert(tail(3, 3, 1000) == 1000000L, "perfect rater always passes")
+    assert(tail(3, 1, 0) == 0L, "hopeless rater never passes t>=1")
+  }
+
+  test("subset majority: singleton and 2-of-2 panels, hand-computed") {
+    import org.apache.spark.sql.functions.expr
+    val df = Seq((1L, Seq(900L, 800L, 700L, 0L, 0L, 0L, 0L)))
+      .toDF("s_mask", "ps")
+    val m1 = df.select(expr(operators.Annotation.subsetMajorityExpr).as("v"))
+      .collect()(0).getAs[Long]("v")
+    assert(m1 == 900000L, "singleton panel = that rater")
+    val m3 = Seq((3L, Seq(900L, 800L, 700L, 0L, 0L, 0L, 0L)))
+      .toDF("s_mask", "ps")
+      .select(expr(operators.Annotation.subsetMajorityExpr).as("v"))
+      .collect()(0).getAs[Long]("v")
+    assert(m3 == 720000L, "2-judge panel needs BOTH (strict majority): .9·.8")
+  }
+
+  test("qualification designer and panel router invariants") {
+    val q = operators.Annotation.q488QualificationDesigner(spark, d).collect()
+    assert(q.map(_.getAs[Long]("quiz_n")).toSeq == Seq(5L, 10L))
+    q.foreach { r =>
+      assert(r.getAs[Long]("spammer_pass_micro") <= 50000L,
+        "t_star must bound the spammer at 5%")
+      val t = r.getAs[Long]("t_star")
+      assert(t >= 0L && t <= r.getAs[Long]("quiz_n"))
+    }
+    val p = operators.Annotation.q489PanelRouter(spark, d).collect()
+    p.foreach { r =>
+      assert(r.getAs[Long]("acc_micro") >= r.getAs[Long]("target_micro"),
+        "router must meet its target")
+      assert(r.getAs[Long]("acc_micro") <= 1000000L)
+      assert(r.getAs[Long]("n_judges") >= 1L && r.getAs[Long]("n_judges") <= 7L)
+    }
+  }
+
   test("split-conformal coverage lands near the 90% guarantee") {
     val rows = operators.Annotation.q483ConformalCoverage(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")
