@@ -1179,6 +1179,237 @@ object Annotation {
        FROM ranked WHERE rk = 1 ORDER BY target_micro"""
   }
 
+  // ---------------------------------------------------------------
+  // q490 — Rasch 1PL fit (PROX / normal approximation)
+  // ---------------------------------------------------------------
+
+  /** The complete-case binary response matrix shared by q484/q490/q491:
+    * person = supplier, item = the 25 part brands, pass = mean shipped
+    * quantity ≥ 26, restricted to persons who attempted all 25 items.
+    * One fact-dim join + groupBy; the completeness semi-join shares the
+    * aggregate exchange (see q484). */
+  private def responses(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resp = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey".as("sk"), $"p_brand".as("item"))
+      .agg((sum($"l_quantity".cast("long")) >=
+        lit(26L) * count(lit(1))).cast("long").as("x"))
+    resp.join(resp.groupBy($"sk").agg(count(lit(1)).as("k"))
+      .filter($"k" === 25).select($"sk"), Seq("sk"), "left_semi")
+  }
+
+  private val responsesSql: String =
+    """WITH resp0 AS (
+         SELECT l_suppkey AS sk, p_brand AS item,
+                CAST(sum(CAST(l_quantity AS BIGINT))
+                  >= 26 * count(*) AS BIGINT) AS x
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+       resp AS (
+         SELECT r.* FROM resp0 r SEMI JOIN (
+           SELECT sk FROM resp0 GROUP BY sk HAVING count(*) = 25) f
+           ON r.sk = f.sk)"""
+
+  /** Rasch 1PL fit via PROX (q490): the IRT counterpart of q482's
+    * classical item analysis — item difficulties on a LOGIT scale,
+    * where q482's raw pass rates conflate item hardness with panel
+    * ability. PROX (the normal-approximation closed form): raw item
+    * logits dᵢ = ln((n−sᵢ)/sᵢ) floored to micro-nats per item (the
+    * q141 ln discipline — ln of an integer ratio, identical libm
+    * operands both engines), centered on their integer mean; person
+    * logits bₚ = ln(rₚ/(25−rₚ)) likewise; the spread-expansion factor
+    * Y = √((1 + V_b/2.89)/(1 − V_b·V_d/8.35)) uses both micro-logit
+    * variances from exact int64 moments and is applied as ONE
+    * shared-IEEE tree per row. Degenerate items (everyone passes or
+    * fails — infinite logit) emit no row rather than a clamp; the
+    * person-variance side likewise drops perfect/zero scorers.
+    *
+    * Scale: everything after the response matrix (one fact-dim join +
+    * groupBy, ≤|persons|·25 rows) is 25-row / |persons|-keyed
+    * aggregate arithmetic; moments are exact int64 (micro² sums stay
+    * < 2⁵³ at any panel the 25-item design admits). */
+  def q490RaschProx(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resp = responses(s, d).localCheckpoint()
+    val np = resp.select($"sk").distinct().count() // action on checkpoint
+    val items = resp.groupBy($"item").agg(sum($"x").as("si"))
+      .filter($"si" > 0 && $"si" < np)
+      .withColumn("d0",
+        expr(s"CAST(floor(ln(($np - si) * 1.0 / si) * 1000000.0) AS BIGINT)"))
+    val dstats = items.agg(count(lit(1)).as("ni"), sum($"d0").as("sd"),
+      sum($"d0" * $"d0").as("sdd"))
+    val persons = resp.groupBy($"sk").agg(sum($"x").as("r"))
+      .filter($"r" > 0 && $"r" < 25)
+      .withColumn("b0",
+        expr("CAST(floor(ln(r * 1.0 / (25 - r)) * 1000000.0) AS BIGINT)"))
+    val bstats = persons.agg(count(lit(1)).as("nb"), sum($"b0").as("sb"),
+      sum($"b0" * $"b0").as("sbb"))
+    // the mean logit can be NEGATIVE: `div` truncates toward zero while
+    // DuckDB `//` floors — use the shared floor(·) tree on both sides
+    items.crossJoin(broadcast(dstats)).crossJoin(broadcast(bstats))
+      .select($"item", $"si",
+        ($"d0" - expr("CAST(floor(sd * 1.0 / ni) AS BIGINT)"))
+          .as("d_centered"),
+        expr("""CAST(floor(
+            (d0 - CAST(floor(sd * 1.0 / ni) AS BIGINT)) * sqrt(
+              (1.0 + (CAST(nb AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+                     / (CAST(nb AS DOUBLE) * nb) / 1e12 / 2.89)
+              / (1.0 - (CAST(nb AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+                       / (CAST(nb AS DOUBLE) * nb) / 1e12
+                     * ((CAST(ni AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)
+                        / (CAST(ni AS DOUBLE) * ni) / 1e12) / 8.35))
+            ) AS BIGINT)""").as("difficulty_micro"))
+      .orderBy($"item")
+  }
+
+  val q490Oracle: String =
+    s"""$responsesSql,
+       np AS (SELECT CAST(count(DISTINCT sk) AS BIGINT) AS np FROM resp),
+       items AS (
+         SELECT item, CAST(sum(x) AS BIGINT) AS si,
+                CAST(floor(ln((np - sum(x)) * 1.0 / sum(x)) * 1000000.0)
+                  AS BIGINT) AS d0
+         FROM resp CROSS JOIN np
+         GROUP BY item, np
+         HAVING sum(x) > 0 AND sum(x) < np),
+       dstats AS (
+         SELECT CAST(count(*) AS BIGINT) AS ni, CAST(sum(d0) AS BIGINT) AS sd,
+                CAST(sum(d0 * d0) AS BIGINT) AS sdd
+         FROM items),
+       persons AS (
+         SELECT sk, CAST(sum(x) AS BIGINT) AS r,
+                CAST(floor(ln(sum(x) * 1.0 / (25 - sum(x))) * 1000000.0)
+                  AS BIGINT) AS b0
+         FROM resp GROUP BY sk
+         HAVING sum(x) > 0 AND sum(x) < 25),
+       bstats AS (
+         SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(b0) AS BIGINT) AS sb,
+                CAST(sum(b0 * b0) AS BIGINT) AS sbb
+         FROM persons)
+       SELECT item, si,
+         d0 - CAST(floor(sd * 1.0 / ni) AS BIGINT) AS d_centered,
+         CAST(floor(
+           (d0 - CAST(floor(sd * 1.0 / ni) AS BIGINT)) * sqrt(
+             (1.0 + (CAST(nb AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+                    / (CAST(nb AS DOUBLE) * nb) / 1e12 / 2.89)
+             / (1.0 - (CAST(nb AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+                      / (CAST(nb AS DOUBLE) * nb) / 1e12
+                    * ((CAST(ni AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)
+                       / (CAST(ni AS DOUBLE) * ni) / 1e12) / 8.35))
+           ) AS BIGINT) AS difficulty_micro
+       FROM items CROSS JOIN dstats CROSS JOIN bstats
+       ORDER BY item"""
+
+  // ---------------------------------------------------------------
+  // q491 — Rasch item-fit audit (outfit mean-squares)
+  // ---------------------------------------------------------------
+
+  /** Bucketed logistic table: P(x=1 | b − d = `diff` micro-logits) in
+    * milli — a bounded CASE ladder standing in for 1/(1+e^(−diff)),
+    * the q477 eloExpected discipline (exp() is libm-dependent; the
+    * table is exact-integer and EXACTLY antisymmetric: p(z) + p(−z) =
+    * 1000, so residuals are sign-symmetric). Cut points at ±{0.5, 1,
+    * 1.5, 2, 3} logits with the true logistic's milli values. */
+  private[graft] def logisticMilli(diff: String): String =
+    s"""CASE WHEN ($diff) <= -3000000 THEN 47
+             WHEN ($diff) <= -2000000 THEN 119
+             WHEN ($diff) <= -1500000 THEN 182
+             WHEN ($diff) <= -1000000 THEN 269
+             WHEN ($diff) <=  -500000 THEN 378
+             WHEN ($diff) <   0       THEN 439
+             WHEN ($diff) =   0       THEN 500
+             WHEN ($diff) <    500000 THEN 561
+             WHEN ($diff) <   1000000 THEN 622
+             WHEN ($diff) <   1500000 THEN 731
+             WHEN ($diff) <   2000000 THEN 818
+             WHEN ($diff) <   3000000 THEN 881
+             ELSE 953 END"""
+
+  /** Rasch item-fit audit (q491): which items MISFIT the 1PL model —
+    * the question bank QA that follows any IRT calibration. Re-derives
+    * q490's person abilities and item difficulties (raw centered
+    * logits — the fit statistic is expansion-invariant in bucketed
+    * form), scores every (person, item) response's expected pass
+    * probability through the antisymmetric logistic table, and
+    * aggregates the OUTFIT mean-square per item: mean of
+    * z² = (x − p)²/(p(1−p)) — in milli, EXACT integers end to end
+    * (z²_milli = (x·1000 − p)²·1000 div (p·(1000−p))). Items with
+    * outfit > 1.5 flag `noisy` (unmodeled variance), < 0.5 `overfit`
+    * (redundant), else `fit` — the standard 0.5/1.5 rule.
+    *
+    * Scale: one response-matrix pass joined against the 25-row item
+    * relation and the person-logit relation (un-hinted equi-joins; AQE
+    * broadcasts the 25-row side from stats); the output is ≤25 rows.
+    * The wrong ("antisymmetric but uncentered") formulation would bias
+    * every z² the same way — centering d0 on its integer-mean keeps
+    * the table inputs aligned with q490's scale. */
+  def q491RaschOutfit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resp = responses(s, d).localCheckpoint()
+    val np = resp.select($"sk").distinct().count()
+    val items = resp.groupBy($"item").agg(sum($"x").as("si"))
+      .filter($"si" > 0 && $"si" < np)
+      .withColumn("d0",
+        expr(s"CAST(floor(ln(($np - si) * 1.0 / si) * 1000000.0) AS BIGINT)"))
+    // mean logit can be negative: shared floor tree (div would truncate)
+    val dmean = items.agg(
+      expr("CAST(floor(sum(d0) * 1.0 / count(1)) AS BIGINT)").as("dm"))
+    val di = items.crossJoin(broadcast(dmean))
+      .select($"item", ($"d0" - $"dm").as("dc"))
+    val persons = resp.groupBy($"sk").agg(sum($"x").as("r"))
+      .filter($"r" > 0 && $"r" < 25)
+      .withColumn("b0",
+        expr("CAST(floor(ln(r * 1.0 / (25 - r)) * 1000000.0) AS BIGINT)"))
+      .select($"sk", $"b0")
+    resp.join(persons, "sk").join(di, "item")
+      .withColumn("p", expr(logisticMilli("b0 - dc")))
+      .withColumn("z2",
+        expr("(x * 1000 - p) * (x * 1000 - p) * 1000 div (p * (1000 - p))"))
+      .groupBy($"item")
+      .agg(count(lit(1)).as("n_persons"),
+        expr("sum(z2) div count(1)").as("outfit_milli"))
+      .select($"item", $"n_persons", $"outfit_milli",
+        expr("""CASE WHEN outfit_milli > 1500 THEN 'noisy'
+                     WHEN outfit_milli < 500 THEN 'overfit'
+                     ELSE 'fit' END""").as("verdict"))
+      .orderBy($"item")
+  }
+
+  val q491Oracle: String = {
+    val p = logisticMilli("b0 - dc")
+    s"""$responsesSql,
+       np AS (SELECT CAST(count(DISTINCT sk) AS BIGINT) AS np FROM resp),
+       items AS (
+         SELECT item, CAST(sum(x) AS BIGINT) AS si,
+                CAST(floor(ln((np - sum(x)) * 1.0 / sum(x)) * 1000000.0)
+                  AS BIGINT) AS d0
+         FROM resp CROSS JOIN np
+         GROUP BY item, np
+         HAVING sum(x) > 0 AND sum(x) < np),
+       dmean AS (SELECT CAST(floor(sum(d0) * 1.0 / count(*)) AS BIGINT) AS dm
+                 FROM items),
+       di AS (SELECT item, d0 - dm AS dc FROM items CROSS JOIN dmean),
+       persons AS (
+         SELECT sk,
+                CAST(floor(ln(sum(x) * 1.0 / (25 - sum(x))) * 1000000.0)
+                  AS BIGINT) AS b0
+         FROM resp GROUP BY sk
+         HAVING sum(x) > 0 AND sum(x) < 25),
+       scored AS (
+         SELECT di.item,
+                ((r.x * 1000 - $p) * (r.x * 1000 - $p) * 1000)
+                  // (($p) * (1000 - ($p))) AS z2
+         FROM resp r JOIN persons USING (sk) JOIN di USING (item))
+       SELECT item, CAST(count(*) AS BIGINT) AS n_persons,
+              CAST(sum(z2) AS BIGINT) // count(*) AS outfit_milli,
+              CASE WHEN CAST(sum(z2) AS BIGINT) // count(*) > 1500 THEN 'noisy'
+                   WHEN CAST(sum(z2) AS BIGINT) // count(*) < 500 THEN 'overfit'
+                   ELSE 'fit' END AS verdict
+       FROM scored GROUP BY item ORDER BY item"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q478_fleiss_kappa" -> q478FleissKappa,
     "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
@@ -1192,6 +1423,8 @@ object Annotation {
     "q487_judge_pair_kappa" -> q487JudgePairKappa,
     "q488_qualification_designer" -> q488QualificationDesigner,
     "q489_panel_router" -> q489PanelRouter,
+    "q490_rasch_prox" -> q490RaschProx,
+    "q491_rasch_outfit" -> q491RaschOutfit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1207,5 +1440,7 @@ object Annotation {
     "q487_judge_pair_kappa" -> q487Oracle,
     "q488_qualification_designer" -> q488Oracle,
     "q489_panel_router" -> q489Oracle,
+    "q490_rasch_prox" -> q490Oracle,
+    "q491_rasch_outfit" -> q491Oracle,
   )
 }

@@ -219,6 +219,47 @@ class AnnotationSpec extends SparkSpec {
     }
   }
 
+  test("logistic table is exactly antisymmetric and monotone") {
+    import org.apache.spark.sql.functions.expr
+    val grid = Seq(-3500000L, -2500000L, -1700000L, -1200000L, -700000L,
+      -200000L, 0L, 200000L, 700000L, 1200000L, 1700000L, 2500000L, 3500000L)
+    val df = grid.map(Tuple1(_)).toDF("z")
+    val ps = df.select($"z",
+        expr(operators.Annotation.logisticMilli("z")).cast("long").as("p"),
+        expr(operators.Annotation.logisticMilli("-z")).cast("long").as("pneg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ps.foreach { case (z, p, pn) =>
+      assert(p + pn == 1000L, s"p($z) + p(-$z) must be 1000, got $p + $pn") }
+    val sorted = ps.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      "table must be monotone in the logit difference")
+  }
+
+  test("Rasch PROX: difficulty is anti-monotone in pass count; outfit sane") {
+    val rows = operators.Annotation.q490RaschProx(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val bySi = rows.map(r =>
+      (r.getAs[Long]("si"), r.getAs[Long]("difficulty_micro"))).sortBy(_._1)
+    bySi.zip(bySi.tail).foreach { case ((s1, d1), (s2, d2)) =>
+      if (s1 < s2) assert(d1 >= d2,
+        s"more passes must not be HARDER: si $s1->$s2 but d $d1->$d2") }
+    // expansion preserves sign and only widens centered logits
+    rows.foreach { r =>
+      val (c, e) = (r.getAs[Long]("d_centered"), r.getAs[Long]("difficulty_micro"))
+      assert(c == 0 && math.abs(e) <= 1 || c.sign == e.sign || e == 0 ||
+        math.abs(e - c) <= math.abs(c) / 2 + 1)
+      assert(math.abs(e) >= math.abs(c) - 1, "PROX expansion factor >= 1")
+    }
+    val fit = operators.Annotation.q491RaschOutfit(spark, d).collect()
+    assert(fit.nonEmpty && fit.length <= 25)
+    fit.foreach { r =>
+      val o = r.getAs[Long]("outfit_milli")
+      assert(o >= 0L, "mean squares are non-negative")
+      val v = r.getAs[String]("verdict")
+      assert(v == (if (o > 1500) "noisy" else if (o < 500) "overfit" else "fit"))
+    }
+  }
+
   test("split-conformal coverage lands near the 90% guarantee") {
     val rows = operators.Annotation.q483ConformalCoverage(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")
