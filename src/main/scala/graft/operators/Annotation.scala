@@ -1410,6 +1410,75 @@ object Annotation {
        FROM scored GROUP BY item ORDER BY item"""
   }
 
+  // ---------------------------------------------------------------
+  // q492 — vote-margin re-labeling router
+  // ---------------------------------------------------------------
+
+  /** Re-labeling router (q492): which items should go back into the
+    * labeling queue? The standard triage keys on the VOTE MARGIN — top
+    * label count minus runner-up count within the item's panel: a
+    * margin of 0–1 means the consensus hangs on one judgment. Output
+    * is the (panel size × margin) grid with item counts and each
+    * cell's routing verdict — `relabel` when the margin can flip on
+    * one more judgment (margin ≤ 1), `audit` when it's thin relative
+    * to the panel (margin ≤ panel/2), else `accept` — plus the share
+    * of the corpus each cell holds in milli, which is the queue-sizing
+    * number a labeling team actually budgets with.
+    *
+    * Scale: one judgment-relation pass to per-(item, label) cells; the
+    * margin derives from an item-partitioned window over ≤3-row
+    * groups; the output grid is bounded by (7 panels × 8 margins).
+    * Exact integer throughout. */
+  def q492RelabelRouter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val jud = judgments(s, d)
+    val w = Window.partitionBy($"item").orderBy($"c".desc, $"label")
+    val margins = jud.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("c2",
+        coalesce(lead($"c", 1).over(w), lit(0L)))
+      // panel size sums over ALL the item's cells — before the top-row
+      // filter, or it degenerates to the winning count
+      .withColumn("n_raters", sum($"c").over(Window.partitionBy($"item")))
+      .filter($"rk" === 1)
+      .select($"item", $"n_raters", ($"c" - $"c2").as("margin"))
+    val total = margins.agg(count(lit(1)).as("t"))
+    margins.groupBy($"n_raters", $"margin")
+      .agg(count(lit(1)).as("n_items"))
+      .crossJoin(broadcast(total))
+      .select($"n_raters", $"margin", $"n_items",
+        expr("n_items * 1000 div t").as("share_milli"),
+        expr("""CASE WHEN margin <= 1 THEN 'relabel'
+                     WHEN 2 * margin <= n_raters THEN 'audit'
+                     ELSE 'accept' END""").as("verdict"))
+      .orderBy($"n_raters", $"margin")
+  }
+
+  val q492Oracle: String =
+    s"""WITH jud AS ($judgmentsSql),
+       cells AS (
+         SELECT item, label, CAST(count(*) AS BIGINT) AS c
+         FROM jud GROUP BY 1, 2),
+       ranked AS (
+         SELECT item, c,
+                row_number() OVER (PARTITION BY item
+                  ORDER BY c DESC, label) AS rk,
+                coalesce(lead(c) OVER (PARTITION BY item
+                  ORDER BY c DESC, label), 0) AS c2,
+                CAST(sum(c) OVER (PARTITION BY item) AS BIGINT) AS n_raters
+         FROM cells),
+       margins AS (
+         SELECT item, n_raters, c - c2 AS margin
+         FROM ranked WHERE rk = 1),
+       total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM margins)
+       SELECT n_raters, margin, CAST(count(*) AS BIGINT) AS n_items,
+              CAST(count(*) AS BIGINT) * 1000 // t AS share_milli,
+              CASE WHEN margin <= 1 THEN 'relabel'
+                   WHEN 2 * margin <= n_raters THEN 'audit'
+                   ELSE 'accept' END AS verdict
+       FROM margins CROSS JOIN total
+       GROUP BY n_raters, margin, t ORDER BY n_raters, margin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q478_fleiss_kappa" -> q478FleissKappa,
     "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
@@ -1425,6 +1494,7 @@ object Annotation {
     "q489_panel_router" -> q489PanelRouter,
     "q490_rasch_prox" -> q490RaschProx,
     "q491_rasch_outfit" -> q491RaschOutfit,
+    "q492_relabel_router" -> q492RelabelRouter,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1442,5 +1512,6 @@ object Annotation {
     "q489_panel_router" -> q489Oracle,
     "q490_rasch_prox" -> q490Oracle,
     "q491_rasch_outfit" -> q491Oracle,
+    "q492_relabel_router" -> q492Oracle,
   )
 }

@@ -260,6 +260,25 @@ class AnnotationSpec extends SparkSpec {
     }
   }
 
+  test("relabel router: margins bounded by panel, shares partition the corpus") {
+    val rows = operators.Annotation.q492RelabelRouter(spark, d).collect()
+    assert(rows.nonEmpty)
+    var items = 0L
+    rows.foreach { r =>
+      val (n, m) = (r.getAs[Long]("n_raters"), r.getAs[Long]("margin"))
+      assert(n >= 1L && n <= 7L, "panel bounded by the rater pool")
+      assert(m >= 0L && m <= n, s"margin $m cannot exceed panel $n")
+      val v = r.getAs[String]("verdict")
+      assert(v == (if (m <= 1) "relabel"
+        else if (2 * m <= n) "audit" else "accept"))
+      items += r.getAs[Long]("n_items")
+    }
+    // every voted item lands in exactly one cell
+    val voted = operators.Annotation.q480DawidSkene(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n_judgments")).head().getLong(0)
+    assert(items > 0L && items <= voted, "cells partition the item set")
+  }
+
   test("split-conformal coverage lands near the 90% guarantee") {
     val rows = operators.Annotation.q483ConformalCoverage(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")
