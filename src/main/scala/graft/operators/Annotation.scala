@@ -520,7 +520,13 @@ object Annotation {
     * each; the quantile is a cumulative-count crossing over the
     * BOUNDED per-segment bucket histogram (q309's idiom — never a
     * sort of fact rows); the 5-row q̂/μ relations join back un-hinted.
-    * Split determinism: `Fns.hash60` parity, never `random()`. */
+    * Split determinism: `Fns.hash60` parity, never `random()`. The
+    * base relation is checkpointed because its three consumers (μ, the
+    * calibration histogram, the test coverage pass) sit behind joins
+    * exchange reuse can't cross; the materialization is a narrow
+    * 3-column projection of orders — swap localCheckpoint for
+    * persist(DISK_ONLY) if executor memory is the constraint at
+    * cluster scale. */
   def q483ConformalCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.orders(s, d)
@@ -1229,7 +1235,11 @@ object Annotation {
     * Scale: everything after the response matrix (one fact-dim join +
     * groupBy, ≤|persons|·25 rows) is 25-row / |persons|-keyed
     * aggregate arithmetic; moments are exact int64 (micro² sums stay
-    * < 2⁵³ at any panel the 25-item design admits). */
+    * < 2⁵³ at any panel the 25-item design admits). The panel count
+    * `np` is a measured driver-side count on the checkpointed matrix
+    * (one cheap distinct — the broadcastIfSmall proof pattern), inlined
+    * as a literal so the per-item logit is a scalar expression rather
+    * than a join against a 1-row relation. */
   def q490RaschProx(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val resp = responses(s, d).localCheckpoint()
