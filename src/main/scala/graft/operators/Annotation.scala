@@ -1489,6 +1489,102 @@ object Annotation {
        FROM margins CROSS JOIN total
        GROUP BY n_raters, margin, t ORDER BY n_raters, margin"""
 
+  // ---------------------------------------------------------------
+  // q493 — agreement drift monitor (monthly Fleiss' kappa trend)
+  // ---------------------------------------------------------------
+
+  /** Agreement-drift monitor (q493): q478's single κ says whether the
+    * panel agrees; labeling teams watch whether agreement is
+    * DEGRADING — the leading indicator of guideline rot or rater
+    * churn. Items bucket by their order month; each month's fixed
+    * 3-rater panel gets its own exact Fleiss' κ (the q478 rational,
+    * keyed by month: κ = (3NA − 2B)/(18N² − 2B) with per-month
+    * A = S − 3N and B = Σ T_l²), and each month carries its
+    * month-over-month delta — the alerting number. Months with < 10
+    * panel items emit NULL κ (too small to read) rather than noise.
+    *
+    * Scale: the month key rides the judgment groupBy (one fact pass +
+    * one orders equi-join, un-hinted); every aggregate after the
+    * per-(month, item, label) cells is keyed by the bounded month
+    * domain; the MoM window is month-ordered over the bounded month
+    * relation. Exact int64 sufficient statistics per month; κ via the
+    * shared-IEEE floor (negative-capable). */
+  def q493AgreementDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val jud = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("item"), ($"l_suppkey" % 7).as("rater"))
+      .agg(min($"l_returnflag").as("label"))
+      .join(Tables.orders(s, d).select($"o_orderkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m")),
+        $"item" === $"o_orderkey")
+      .select($"m", $"item", $"rater", $"label")
+      // month key + cells feed the panel filter and the cell counts:
+      // the fan-out sits behind a join, so checkpoint (q479 rule)
+      .localCheckpoint()
+    val cells = jud
+      .join(jud.groupBy($"item").agg(count(lit(1)).as("nr"))
+        .filter($"nr" === 3).select($"item"), Seq("item"), "left_semi")
+      .groupBy($"m", $"item", $"label").agg(count(lit(1)).as("nil"))
+    val perItem = cells.groupBy($"m", $"item")
+      .agg(sum($"nil" * $"nil").as("s2"))
+      .groupBy($"m").agg(count(lit(1)).as("n_items"), sum($"s2").as("s"))
+    val perLabel = cells.groupBy($"m", $"label").agg(sum($"nil").as("tl"))
+      .groupBy($"m").agg(sum($"tl" * $"tl").as("b"))
+    val monthly = perItem.join(perLabel, "m")
+      .select($"m", $"n_items",
+        (($"s") - lit(3L) * $"n_items").as("a"), $"b")
+      .select($"m", $"n_items",
+        // second NULL arm: a month where ONE label carries every vote
+        // has P̄e = 1 and a 0/0 κ — NaN casts differently across
+        // engines, so the degenerate month is a sentinel, not a cast
+        expr("""CASE WHEN n_items < 10
+                  OR 9 * n_items * n_items = b THEN NULL ELSE CAST(floor(
+            (CAST(3 * n_items * a AS DOUBLE) - 2 * CAST(b AS DOUBLE))
+            / (18 * CAST(n_items AS DOUBLE) * n_items
+               - 2 * CAST(b AS DOUBLE))
+            * 10000.0) AS BIGINT) END""").as("kappa_bp"))
+    monthly
+      .withColumn("mom_delta_bp",
+        $"kappa_bp" - lag($"kappa_bp", 1).over(Window.orderBy($"m")))
+      .orderBy($"m")
+  }
+
+  val q493Oracle: String =
+    """WITH jud AS (
+         SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+                j.item, j.rater, j.label
+         FROM (SELECT l_orderkey AS item, l_suppkey % 7 AS rater,
+                      min(l_returnflag) AS label
+               FROM lineitem GROUP BY 1, 2) j
+         JOIN orders ON o_orderkey = j.item),
+       pan AS (SELECT item FROM jud GROUP BY item HAVING count(*) = 3),
+       cells AS (
+         SELECT j.m, j.item, j.label, CAST(count(*) AS BIGINT) AS nil
+         FROM jud j SEMI JOIN pan ON j.item = pan.item
+         GROUP BY 1, 2, 3),
+       pi AS (
+         SELECT m, CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(s2) AS BIGINT) AS s
+         FROM (SELECT m, item, sum(nil * nil) AS s2 FROM cells GROUP BY 1, 2)
+         GROUP BY m),
+       pl AS (
+         SELECT m, CAST(sum(tl * tl) AS BIGINT) AS b
+         FROM (SELECT m, label, sum(nil) AS tl FROM cells GROUP BY 1, 2)
+         GROUP BY m),
+       monthly AS (
+         SELECT pi.m, pi.n_items,
+                CASE WHEN pi.n_items < 10
+                  OR 9 * pi.n_items * pi.n_items = pl.b THEN NULL ELSE CAST(floor(
+                  (CAST(3 * pi.n_items * (pi.s - 3 * pi.n_items) AS DOUBLE)
+                     - 2 * CAST(pl.b AS DOUBLE))
+                  / (18 * CAST(pi.n_items AS DOUBLE) * pi.n_items
+                     - 2 * CAST(pl.b AS DOUBLE))
+                  * 10000.0) AS BIGINT) END AS kappa_bp
+         FROM pi JOIN pl ON pi.m = pl.m)
+       SELECT m, n_items, kappa_bp,
+              kappa_bp - lag(kappa_bp) OVER (ORDER BY m) AS mom_delta_bp
+       FROM monthly ORDER BY m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q478_fleiss_kappa" -> q478FleissKappa,
     "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
@@ -1505,6 +1601,7 @@ object Annotation {
     "q490_rasch_prox" -> q490RaschProx,
     "q491_rasch_outfit" -> q491RaschOutfit,
     "q492_relabel_router" -> q492RelabelRouter,
+    "q493_agreement_drift" -> q493AgreementDrift,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1523,5 +1620,6 @@ object Annotation {
     "q490_rasch_prox" -> q490Oracle,
     "q491_rasch_outfit" -> q491Oracle,
     "q492_relabel_router" -> q492Oracle,
+    "q493_agreement_drift" -> q493Oracle,
   )
 }

@@ -279,6 +279,29 @@ class AnnotationSpec extends SparkSpec {
     assert(items > 0L && items <= voted, "cells partition the item set")
   }
 
+  test("agreement drift: MoM deltas reconcile with the kappa series") {
+    val rows = operators.Annotation.q493AgreementDrift(spark, d).collect()
+    assert(rows.nonEmpty)
+    val ms = rows.map(_.getAs[Number]("m").longValue)
+    assert(ms.sameElements(ms.sorted), "months must be ordered")
+    var prev: Option[Long] = None
+    rows.foreach { r =>
+      val k = if (r.isNullAt(r.fieldIndex("kappa_bp"))) None
+        else Some(r.getAs[Long]("kappa_bp"))
+      k.foreach(v => assert(v <= 10000L && v >= -10000L))
+      val delta = if (r.isNullAt(r.fieldIndex("mom_delta_bp"))) None
+        else Some(r.getAs[Long]("mom_delta_bp"))
+      (k, prev, delta) match {
+        case (Some(kv), Some(pv), Some(dv)) =>
+          assert(dv == kv - pv, s"delta $dv != $kv - $pv")
+        case (_, _, Some(_)) =>
+          fail("delta must be NULL when either endpoint is NULL")
+        case _ => ()
+      }
+      prev = k
+    }
+  }
+
   test("split-conformal coverage lands near the 90% guarantee") {
     val rows = operators.Annotation.q483ConformalCoverage(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")
