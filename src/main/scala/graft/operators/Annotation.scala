@@ -1517,10 +1517,11 @@ object Annotation {
       .join(Tables.orders(s, d).select($"o_orderkey",
         (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m")),
         $"item" === $"o_orderkey")
+      // jud fans out to the panel filter and the cell counts, but its
+      // exchanges (judgment aggregate + orders join) canonicalize
+      // identically on both branches and reuse dedupes them — measured
+      // faster than a checkpoint here (2.04 vs 2.26 s at sf0.1)
       .select($"m", $"item", $"rater", $"label")
-      // month key + cells feed the panel filter and the cell counts:
-      // the fan-out sits behind a join, so checkpoint (q479 rule)
-      .localCheckpoint()
     val cells = jud
       .join(jud.groupBy($"item").agg(count(lit(1)).as("nr"))
         .filter($"nr" === 3).select($"item"), Seq("item"), "left_semi")
