@@ -17,11 +17,40 @@ object QTime {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf; override to probe codegen-compile cost (cache=1
+      // forces a recompile of every fragment on every run, isolating
+      // the cost an in-suite LRU eviction would charge the query)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // SPARK_GRAFT_AUDIT=1 replicates Bench's audit surface (plan-time
+      // ScaleGuard rule + executed-plan PlanAudit listener) so QTime
+      // numbers are comparable to in-suite Bench numbers
+      .config(graft.plans.ScaleGuard.EnabledKey,
+        sys.env.get("SPARK_GRAFT_AUDIT").contains("1").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_AUDIT").contains("1"))
+      graft.plans.PlanAudit.install(spark)
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_PRERUN=1 reproduces in-suite conditions: one untimed
+    // pass over the ENTIRE suite first, so the timed queries below see
+    // the same JVM (code cache, codegen LRU, heap) state they'd see in
+    // Bench's second pass — isolation numbers lie when the suite-level
+    // JVM state is the regression (r11 q286/q109 were 1× isolated, 4×
+    // in-suite)
+    if (sys.env.get("SPARK_GRAFT_PRERUN").contains("1")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.toLowerCase.contains("code"))
+        .foreach(p => println(f"POOL ${p.getName}%-28s used=${p.getUsage.getUsed / 1e6}%.1fMB max=${p.getUsage.getMax / 1e6}%.1fMB"))
+    }
     names.foreach { n =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -87,11 +87,16 @@ object Annotation {
       .select($"n_items",
         expr(s"a * 1000 div (${n * (n - 1)} * n_items)").as("pbar_milli"),
         expr(s"b * 1000 div (${n * n} * n_items * n_items)").as("pe_milli"),
-        expr(s"""CAST(floor(
+        // degenerate-marginal sentinel (ADVICE r11): a corpus unanimous
+        // on ONE label has B = n²N² so P̄e = 1 and κ is 0/0 — floor(NaN)
+        // casts diverge across engines (Spark non-ANSI null vs DuckDB
+        // error); emit NULL, same contract as q493's monthly sentinel
+        expr(s"""CASE WHEN ${n * n} * n_items * n_items = b THEN NULL
+          ELSE CAST(floor(
             (CAST($n * n_items * a AS DOUBLE) - ${n - 1} * CAST(b AS DOUBLE))
             / (${n * n * (n - 1)} * CAST(n_items AS DOUBLE) * n_items
                - ${n - 1} * CAST(b AS DOUBLE))
-            * 10000.0) AS BIGINT)""").as("kappa_bp"))
+            * 10000.0) AS BIGINT) END""").as("kappa_bp"))
   }
 
   /** Fleiss' κ audit (q478): do the 7 synthetic raters agree on order
@@ -127,10 +132,11 @@ object Annotation {
        SELECT n_items,
          a * 1000 // (6 * n_items) AS pbar_milli,
          b * 1000 // (9 * n_items * n_items) AS pe_milli,
-         CAST(floor(
+         CASE WHEN 9 * n_items * n_items = b THEN NULL
+         ELSE CAST(floor(
            (CAST(3 * n_items * a AS DOUBLE) - 2 * CAST(b AS DOUBLE))
            / (18 * CAST(n_items AS DOUBLE) * n_items - 2 * CAST(b AS DOUBLE))
-           * 10000.0) AS BIGINT) AS kappa_bp
+           * 10000.0) AS BIGINT) END AS kappa_bp
        FROM k"""
 
   // ---------------------------------------------------------------
@@ -178,10 +184,14 @@ object Annotation {
           .as("do_ppm"),
         expr("CAST(CAST(e AS DECIMAL(38,0)) * 1000000 div (CAST(n_judgments AS DECIMAL(38,0)) * (n_judgments - 1)) AS BIGINT)")
           .as("de_ppm"),
-        expr("""CAST(floor(
+        // unanimous-corpus sentinel (ADVICE r11): all kept judgments on
+        // one label gives E = n² − sl2 = 0, so α is 0/0 NaN and the
+        // floor-cast diverges across engines — NULL, per module rule
+        expr("""CASE WHEN e = 0 THEN NULL
+          ELSE CAST(floor(
             (60 * CAST(e AS DOUBLE) - CAST(do60n AS DOUBLE) * (n_judgments - 1))
             / (60 * CAST(e AS DOUBLE))
-            * 10000.0) AS BIGINT)""").as("alpha_bp"))
+            * 10000.0) AS BIGINT) END""").as("alpha_bp"))
   }
 
   /** Krippendorff's α audit (q479): the same judgment relation as
@@ -218,10 +228,11 @@ object Annotation {
          CAST(CAST(do60n AS HUGEINT) * 1000000 // (60 * n) AS BIGINT) AS do_ppm,
          CAST((n * n - sl2)::HUGEINT * 1000000
            // (n::HUGEINT * (n - 1)) AS BIGINT) AS de_ppm,
-         CAST(floor(
+         CASE WHEN n * n - sl2 = 0 THEN NULL
+         ELSE CAST(floor(
            (60 * CAST(n * n - sl2 AS DOUBLE) - CAST(do60n AS DOUBLE) * (n - 1))
            / (60 * CAST(n * n - sl2 AS DOUBLE))
-           * 10000.0) AS BIGINT) AS alpha_bp
+           * 10000.0) AS BIGINT) END AS alpha_bp
        FROM obs CROSS JOIN exp1"""
 
   // ---------------------------------------------------------------
@@ -984,9 +995,12 @@ object Annotation {
       .groupBy($"rater")
       .agg(count(lit(1)).as("n_gold"), sum($"gstat").as("ok"))
       .select($"rater", expr("ok * 1000 div n_gold").as("p"))
-    // the panel's median gold accuracy = the 4th of the 7 sorted values
+    // the panel's median gold accuracy — lower median by construction
+    // ((k+1) div 2 of k sorted values), NOT a hard-coded element 4:
+    // fewer-than-7 gold raters must still pick a true median, and under
+    // ANSI mode an out-of-bounds element_at throws (ADVICE r11)
     val pmed = gold.agg(sort_array(collect_list($"p")).as("a"))
-      .select(element_at($"a", 4).as("p_med"))
+      .select(expr("element_at(a, CAST((size(a) + 1) div 2 AS INT))").as("p_med"))
     val grid = Seq(5, 10).map { n =>
       val spam = binomTailExpr(n, "t", "500")
       val hon = binomTailExpr(n, "t", "p_med")
@@ -1041,8 +1055,8 @@ object Annotation {
          WHERE (j.label = t.top_label AND t.c1 = t.nu)
             OR (j.label <> t.top_label AND t.c1 = t.nu - 1)
          GROUP BY 1),
-       pmed AS (
-         SELECT (list(p ORDER BY p))[4] AS p_med FROM gold),
+       ga AS (SELECT list(p ORDER BY p) AS a FROM gold),
+       pmed AS (SELECT a[(len(a) + 1) // 2] AS p_med FROM ga),
        grid AS ($rows),
        ranked AS (
          SELECT quiz_n, t, p_med, spammer_pass_micro, honest_pass_micro,
@@ -1586,6 +1600,273 @@ object Annotation {
               kappa_bp - lag(kappa_bp) OVER (ORDER BY m) AS mom_delta_bp
        FROM monthly ORDER BY m"""
 
+  // ---------------------------------------------------------------
+  // q494/q495 — Dawid–Skene soft-EM: per-rater confusion matrices
+  // ---------------------------------------------------------------
+
+  /** Soft-EM Dawid–Skene over a (item, rater, label) relation — the
+    * full-model upgrade of q480's hard-EM (VERDICT r11 ask #4): instead
+    * of one scalar accuracy per rater, estimate each rater's CONFUSION
+    * MATRIX θ_r[g][l] = P(rater says l | true class g) and carry SOFT
+    * posteriors between iterations, so a systematically-biased rater
+    * (high raw accuracy, asymmetric errors) is discounted exactly on
+    * the labels they confuse rather than uniformly. Fixed 2 EM rounds:
+    *
+    *   init: majority vote (ties → lexicographically-smaller label).
+    *   M1:   hard confusion counts vs the vote; Laplace-smoothed
+    *         θ¹_milli = ((cnt+1)·1000) div (tot_g + L); class prior
+    *         π¹_milli = ((votes_g+1)·1000) div (N + L).
+    *   E1:   posterior score(i,g) = π¹_g · Π_{r∈raters(i)} θ¹_r[g][l_ir]
+    *         — an EXACT integer product of ≤8 milli factors (panel ≤7
+    *         by construction), ≤1000⁸ = 10²⁴ < 10³⁸, DECIMAL(38,0) in
+    *         Spark / HUGEINT in DuckDB; normalized per item to
+    *         post¹_micro = score·10⁶ div Σ_g score (exact, both sides).
+    *   M2:   SOFT confusion in micro-items: sconf_r[g][l] = Σ_i post¹;
+    *         θ²_milli = ((sconf+10⁶)·1000) div (stot_g + L·10⁶); soft
+    *         prior π² analogously from the per-class posterior mass.
+    *   E2:   final posterior + argmax label (ties → smaller label).
+    *
+    * All divisions are non-negative `div`//`//` (truncation agrees);
+    * the product fold is commutative-exact so collect_list order is
+    * irrelevant; nothing float touches the pipeline. L and N are
+    * measured driver-side on the checkpointed relation (the q490
+    * literal pattern) and inlined so smoothing denominators are scalar
+    * expressions, not joins against 1-row relations.
+    *
+    * Scale: the fact scan collapses to judgments once (checkpointed);
+    * the per-candidate expansion is jud × labels where `labels` is a
+    * bounded-domain distinct (L = 3 here; never a fact key) — the only
+    * relation that grows is |judgments|·L, partitioned by item for the
+    * posterior windows (≤L rows per item). Confusion/θ relations are
+    * ≤|raters|·L² rows and join back as un-hinted equi-joins (AQE
+    * broadcasts from runtime stats). Soft counts stay int64 below
+    * ~9·10¹² judgments (10⁶-scaled); DECIMAL swap documented past it. */
+  private def dsSoftTheta2(jud0: DataFrame): DsSoft = {
+    val s = jud0.sparkSession
+    import s.implicits._
+    // j fans out to the vote window, both confusion passes and both
+    // E-step expansions — consumers behind different windows/joins that
+    // exchange reuse cannot dedupe (the q480 measurement)
+    val j = jud0.localCheckpoint()
+    val lcnt = j.select($"label").distinct().count()
+    val nItems = j.select($"item").distinct().count()
+    val labels = j.select($"label".as("g")).distinct()
+    val w = Window.partitionBy($"item").orderBy($"c".desc, $"label")
+    // mv sits behind a window and feeds conf0 + the prior (+ q495's
+    // final flip compare): fan-out behind a window is not reused
+    val mv = j.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"item", $"label".as("vlabel"))
+      .localCheckpoint()
+    val conf0 = j.join(mv, "item")
+      .groupBy($"rater", $"vlabel".as("g"), $"label".as("l"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot0 = conf0.groupBy($"rater", $"g").agg(sum($"cnt").as("tot"))
+    val th1 = j.crossJoin(labels)
+      .join(conf0.withColumnRenamed("l", "label"), Seq("rater", "g", "label"), "left")
+      .join(tot0, Seq("rater", "g"), "left")
+      .withColumn("th",
+        expr(s"((coalesce(cnt, 0) + 1) * 1000) div (coalesce(tot, 0) + $lcnt)"))
+    val pri1 = labels.join(
+        mv.groupBy($"vlabel".as("g")).agg(count(lit(1)).as("vc")), Seq("g"), "left")
+      .withColumn("pri", expr(s"((coalesce(vc, 0) + 1) * 1000) div (${nItems + lcnt})"))
+      .select($"g", $"pri")
+    // posterior normalization needs the per-item score sum: one
+    // item-partitioned window over the ≤L-row groups
+    val post1 = th1.groupBy($"item", $"g").agg(collect_list($"th").as("ths"))
+      .join(pri1, "g")
+      .withColumn("sc", expr(
+        """CAST(CAST(pri AS DECIMAL(38,0)) * aggregate(ths,
+           CAST(1 AS DECIMAL(38,0)),
+           (acc, x) -> CAST(acc * x AS DECIMAL(38,0))) AS DECIMAL(38,0))"""))
+      .withColumn("p", expr("CAST(sc * 1000000 div (sum(sc) OVER (PARTITION BY item)) AS BIGINT)"))
+      .select($"item", $"g", $"p")
+      // post1 fans out behind its normalization window (soft counts,
+      // class-mass prior, and via both to θ²): checkpoint per the rule
+      .localCheckpoint()
+    val sconf = j.join(post1, "item")
+      .groupBy($"rater", $"g", $"label".as("l")).agg(sum($"p").as("sc"))
+    val stot = sconf.groupBy($"rater", $"g").agg(sum($"sc").as("st"))
+    val grid = j.select($"rater").distinct()
+      .crossJoin(labels)
+      .crossJoin(j.select($"label".as("l")).distinct())
+    val theta2 = grid
+      .join(sconf, Seq("rater", "g", "l"), "left")
+      .join(stot, Seq("rater", "g"), "left")
+      .withColumn("theta2_milli", expr(
+        s"((coalesce(sc, 0) + 1000000) * 1000) div (coalesce(st, 0) + ${lcnt * 1000000L})"))
+      .select($"rater", $"g", $"l", $"theta2_milli")
+    DsSoft(j, mv, theta2, post1, lcnt)
+  }
+
+  /** Intermediates of [[dsSoftTheta2]] shared by q494/q495: the
+    * checkpointed judgment relation, the majority vote, the round-2
+    * confusion matrices, the round-1 posteriors and the label count. */
+  private case class DsSoft(j: DataFrame, mv: DataFrame, theta2: DataFrame,
+      post1: DataFrame, lcnt: Long)
+
+  /** q494: the soft-EM confusion matrices themselves — per (rater,
+    * true-class, said-label) the round-2 Laplace-smoothed θ² in milli.
+    * |raters|·L² rows (63 here); the artifact a labeling op reads to
+    * see WHICH labels a rater confuses, not just how often they are
+    * wrong. Scale: see [[dsSoftTheta2]]. */
+  /** Round-2 confusion matrices for a crafted or real judgment
+    * relation, in q494's output shape. */
+  def dawidSkeneSoftConfusion(jud: DataFrame): DataFrame = {
+    val s = jud.sparkSession
+    import s.implicits._
+    dsSoftTheta2(jud).theta2
+      .select($"rater", $"g".as("true_label"), $"l".as("said_label"),
+        $"theta2_milli")
+      .orderBy($"rater", $"true_label", $"said_label")
+  }
+
+  def q494DawidSkeneSoftConfusion(s: SparkSession, d: String): DataFrame =
+    dawidSkeneSoftConfusion(judgments(s, d))
+
+  /** q495: what the confusion-aware model CHANGES — final posterior
+    * labels after E2 vs the plain majority vote, grouped into a
+    * (mv_label, ds_label) transition matrix with the posterior mass
+    * that moved. Off-diagonal rows are items where modeling WHO erred
+    * (and on which labels) overturns the crowd. Scale: the E2
+    * expansion repeats E1's bounded shape; everything after it is
+    * ≤L²-row arithmetic. */
+  /** Item-level soft-EM labels: (item, mv_label, ds_label, post_micro)
+    * — the majority vote next to the confusion-aware posterior argmax.
+    * Exposed for crafted-matrix tests (the biased-rater flip case);
+    * q495 aggregates it into the transition matrix. */
+  def dawidSkeneSoftLabels(jud: DataFrame): DataFrame = {
+    val s = jud.sparkSession
+    import s.implicits._
+    val ds = dsSoftTheta2(jud)
+    val (j, mv, theta2, post1, lcnt) =
+      (ds.j, ds.mv, ds.theta2, ds.post1, ds.lcnt)
+    val tp = post1.agg(sum($"p").as("tp"))
+    val pri2 = post1.groupBy($"g").agg(sum($"p").as("sp"))
+      .crossJoin(broadcast(tp))
+      .withColumn("pri", expr(
+        s"((sp + 1000000) * 1000) div (tp + ${lcnt * 1000000L})"))
+      .select($"g", $"pri")
+    val e2 = j.join(theta2.withColumnRenamed("l", "label")
+        .withColumnRenamed("theta2_milli", "th"), Seq("rater", "label"))
+    val wr = Window.partitionBy($"item").orderBy($"sc".desc, $"g")
+    val fin = e2.groupBy($"item", $"g").agg(collect_list($"th").as("ths"))
+      .join(pri2, "g")
+      .withColumn("sc", expr(
+        """CAST(CAST(pri AS DECIMAL(38,0)) * aggregate(ths,
+           CAST(1 AS DECIMAL(38,0)),
+           (acc, x) -> CAST(acc * x AS DECIMAL(38,0))) AS DECIMAL(38,0))"""))
+      .withColumn("p", expr("CAST(sc * 1000000 div (sum(sc) OVER (PARTITION BY item)) AS BIGINT)"))
+      .withColumn("rk", row_number().over(wr)).filter($"rk" === 1)
+      .select($"item", $"g".as("ds_label"), $"p".as("post_micro"))
+    fin.join(mv, "item")
+      .select($"item", $"vlabel".as("mv_label"), $"ds_label", $"post_micro")
+  }
+
+  def q495DawidSkeneSoftFlips(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dawidSkeneSoftLabels(judgments(s, d))
+      .groupBy($"mv_label", $"ds_label")
+      .agg(count(lit(1)).as("n_items"), sum($"post_micro").as("sum_post_micro"))
+      .orderBy($"mv_label", $"ds_label")
+  }
+
+  /** Shared CTE prefix for the q494/q495 oracles — the same 2-round
+    * quantized soft-EM in DuckDB (HUGEINT products via list_reduce). */
+  private val dsSoftSql: String =
+    s"""WITH jud AS ($judgmentsSql),
+       lab AS (SELECT DISTINCT label AS g FROM jud),
+       nl AS (SELECT CAST(count(*) AS BIGINT) AS lcnt FROM lab),
+       cells AS (SELECT item, label, CAST(count(*) AS BIGINT) AS c
+                 FROM jud GROUP BY 1, 2),
+       mv AS (
+         SELECT item, label AS vlabel FROM (
+           SELECT item, label, row_number() OVER (
+             PARTITION BY item ORDER BY c DESC, label) AS rk FROM cells)
+         WHERE rk = 1),
+       nit AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM mv),
+       conf0 AS (
+         SELECT j.rater, m.vlabel AS g, j.label AS l,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM jud j JOIN mv m ON j.item = m.item GROUP BY 1, 2, 3),
+       tot0 AS (SELECT rater, g, CAST(sum(cnt) AS BIGINT) AS tot
+                FROM conf0 GROUP BY 1, 2),
+       e1 AS (
+         SELECT j.item, j.rater, j.label, lg.g,
+                ((coalesce(c.cnt, 0) + 1) * 1000)
+                  // (coalesce(t.tot, 0) + (SELECT lcnt FROM nl)) AS th
+         FROM jud j CROSS JOIN lab lg
+         LEFT JOIN conf0 c ON c.rater = j.rater AND c.g = lg.g AND c.l = j.label
+         LEFT JOIN tot0 t ON t.rater = j.rater AND t.g = lg.g),
+       pri1 AS (
+         SELECT lg.g, ((coalesce(v.c, 0) + 1) * 1000)
+                  // ((SELECT n_items FROM nit) + (SELECT lcnt FROM nl)) AS pri
+         FROM lab lg LEFT JOIN (
+           SELECT vlabel, CAST(count(*) AS BIGINT) AS c FROM mv GROUP BY 1) v
+         ON v.vlabel = lg.g),
+       score1 AS (
+         SELECT e.item, e.g,
+                CAST(p.pri AS HUGEINT)
+                  * list_reduce(list_prepend(1::HUGEINT, list(e.th::HUGEINT)),
+                                (a, b) -> a * b) AS sc
+         FROM e1 e JOIN pri1 p ON p.g = e.g GROUP BY e.item, e.g, p.pri),
+       post1 AS (
+         SELECT item, g,
+                CAST(sc * 1000000
+                  // (sum(sc) OVER (PARTITION BY item)) AS BIGINT) AS p
+         FROM score1),
+       sconf AS (
+         SELECT j.rater, p.g, j.label AS l, CAST(sum(p.p) AS BIGINT) AS sc
+         FROM jud j JOIN post1 p ON p.item = j.item GROUP BY 1, 2, 3),
+       stot AS (SELECT rater, g, CAST(sum(sc) AS BIGINT) AS st
+                FROM sconf GROUP BY 1, 2),
+       theta2 AS (
+         SELECT gr.rater, gr.g, gr.l,
+                ((coalesce(s.sc, 0) + 1000000) * 1000)
+                  // (coalesce(t.st, 0)
+                     + (SELECT lcnt FROM nl) * 1000000) AS theta2_milli
+         FROM (SELECT r.rater, lg.g, ll.l
+               FROM (SELECT DISTINCT rater FROM jud) r
+               CROSS JOIN lab lg
+               CROSS JOIN (SELECT DISTINCT label AS l FROM jud) ll) gr
+         LEFT JOIN sconf s ON s.rater = gr.rater AND s.g = gr.g AND s.l = gr.l
+         LEFT JOIN stot t ON t.rater = gr.rater AND t.g = gr.g)"""
+
+  val q494Oracle: String = dsSoftSql + """
+       SELECT rater, g AS true_label, l AS said_label, theta2_milli
+       FROM theta2 ORDER BY 1, 2, 3"""
+
+  val q495Oracle: String = dsSoftSql + """,
+       pri2 AS (
+         SELECT lg.g, ((coalesce(sp.s, 0) + 1000000) * 1000)
+                  // ((SELECT CAST(sum(p) AS BIGINT) FROM post1)
+                     + (SELECT lcnt FROM nl) * 1000000) AS pri
+         FROM lab lg LEFT JOIN (
+           SELECT g, CAST(sum(p) AS BIGINT) AS s FROM post1 GROUP BY 1) sp
+         ON sp.g = lg.g),
+       e2 AS (
+         SELECT j.item, j.rater, j.label, t2.g, t2.theta2_milli AS th
+         FROM jud j JOIN theta2 t2 ON t2.rater = j.rater AND t2.l = j.label),
+       score2 AS (
+         SELECT e.item, e.g,
+                CAST(p.pri AS HUGEINT)
+                  * list_reduce(list_prepend(1::HUGEINT, list(e.th::HUGEINT)),
+                                (a, b) -> a * b) AS sc
+         FROM e2 e JOIN pri2 p ON p.g = e.g GROUP BY e.item, e.g, p.pri),
+       post2 AS (
+         SELECT item, g,
+                CAST(sc * 1000000
+                  // (sum(sc) OVER (PARTITION BY item)) AS BIGINT) AS p,
+                row_number() OVER (PARTITION BY item ORDER BY sc DESC, g) AS rk
+         FROM score2),
+       final AS (SELECT item, g AS ds_label, p AS post_micro
+                 FROM post2 WHERE rk = 1)
+       SELECT m.vlabel AS mv_label, f.ds_label,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(f.post_micro) AS BIGINT) AS sum_post_micro
+       FROM final f JOIN mv m ON m.item = f.item
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q478_fleiss_kappa" -> q478FleissKappa,
     "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
@@ -1603,6 +1884,8 @@ object Annotation {
     "q491_rasch_outfit" -> q491RaschOutfit,
     "q492_relabel_router" -> q492RelabelRouter,
     "q493_agreement_drift" -> q493AgreementDrift,
+    "q494_ds_soft_confusion" -> q494DawidSkeneSoftConfusion,
+    "q495_ds_soft_flips" -> q495DawidSkeneSoftFlips,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1622,5 +1905,7 @@ object Annotation {
     "q491_rasch_outfit" -> q491Oracle,
     "q492_relabel_router" -> q492Oracle,
     "q493_agreement_drift" -> q493Oracle,
+    "q494_ds_soft_confusion" -> q494Oracle,
+    "q495_ds_soft_flips" -> q495Oracle,
   )
 }

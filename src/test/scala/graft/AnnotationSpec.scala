@@ -35,6 +35,22 @@ class AnnotationSpec extends SparkSpec {
     assert(r.getAs[Long]("kappa_bp") == 10000L)
   }
 
+  test("degenerate one-label corpus: kappa and alpha emit the NULL sentinel") {
+    // every judgment is "A": chance agreement P̄e = 1 (resp. E = 0), so
+    // both coefficients are 0/0 — the contract (ADVICE r11) is a NULL
+    // sentinel, never an engine-divergent floor(NaN) cast
+    val jud = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "A"),
+      (2L, 0L, "A"), (2L, 1L, "A"), (2L, 2L, "A")
+    ).toDF("item", "rater", "label")
+    val k = operators.Annotation.fleissKappa(jud, 3).collect()(0)
+    assert(k.getAs[Long]("pe_milli") == 1000L)
+    assert(k.isNullAt(k.fieldIndex("kappa_bp")))
+    val a = operators.Annotation.krippendorffAlpha(jud).collect()(0)
+    assert(a.getAs[Long]("do_ppm") == 0L)
+    assert(a.isNullAt(a.fieldIndex("alpha_bp")))
+  }
+
   test("Krippendorff's alpha: hand-computed ragged panels") {
     // i1: A,B (dis 2, lcm factor 60) + i2: A,A (dis 0) → Do60n = 120;
     // n = 4, labels A:3 B:1 → E = 16 − 10 = 6;
@@ -57,6 +73,48 @@ class AnnotationSpec extends SparkSpec {
     val p = operators.Annotation.krippendorffAlpha(perf).collect()(0)
     assert(p.getAs[Long]("do_ppm") == 0L)
     assert(p.getAs[Long]("alpha_bp") == 10000L)
+  }
+
+  test("Dawid–Skene soft-EM: asymmetric confusion overturns scalar accuracy") {
+    // The case q486's scaladoc names as hard-EM's gap (VERDICT r11 ask
+    // #4): rater 2 is a high-scalar-accuracy A-spammer (says A whatever
+    // the truth), rater 0 is mediocre overall but INFORMATIVE (errs
+    // symmetrically, so a B vote means something). On item 100 (r0
+    // says B, r2 says A) the scalar-weighted hard re-vote must pick A
+    // (r2's weight 789 > r0's 733), while the confusion-aware soft
+    // posterior must pick B: r2's column θ[A][A] ≈ θ[B][A] carries a
+    // likelihood ratio near 1, r0's B column does not.
+    val rows = Seq.newBuilder[(Long, Long, String)]
+    for (i <- 1 to 10) {
+      rows += ((i.toLong, 1L, "A")); rows += ((i.toLong, 2L, "A"))
+      rows += ((i.toLong, 0L, if (i <= 7) "A" else "B"))
+    }
+    for (i <- 20 to 23) { rows += ((i.toLong, 1L, "A")); rows += ((i.toLong, 2L, "A")) }
+    for (i <- 11 to 14) {
+      rows += ((i.toLong, 0L, "B")); rows += ((i.toLong, 1L, "B")); rows += ((i.toLong, 2L, "A"))
+    }
+    for (i <- 30 to 37) rows += ((i.toLong, 1L, "B"))
+    rows += ((100L, 0L, "B")); rows += ((100L, 2L, "A"))
+    val jud = rows.result().toDF("item", "rater", "label")
+
+    // hard-EM premise: r2's scalar accuracy strictly beats r0's, so a
+    // scalar-weighted vote on item 100 (r0 vs r2 head-to-head) picks A
+    val hard = operators.Annotation.dawidSkene(jud)
+      .collect().map(r => r.getAs[Long]("rater") -> r.getAs[Long]("acc_mv_milli")).toMap
+    assert(hard(2L) > hard(0L))
+
+    // soft-EM: the confusion matrices expose r2's asymmetry …
+    val th = operators.Annotation.dawidSkeneSoftConfusion(jud)
+      .collect().map(r => (r.getAs[Long]("rater"), r.getAs[String]("true_label"),
+        r.getAs[String]("said_label")) -> r.getAs[Long]("theta2_milli")).toMap
+    assert(th((2L, "B", "A")) > 800L) // spammer: says A even when truth is B
+    assert(th((0L, "B", "B")) > 800L) // informative: truth-B → says B
+    // … and the posterior flips item 100 to B against the crowd
+    val lab = operators.Annotation.dawidSkeneSoftLabels(jud)
+      .filter($"item" === 100L).collect()(0)
+    assert(lab.getAs[String]("mv_label") == "A")   // plain vote (tie-break)
+    assert(lab.getAs[String]("ds_label") == "B")   // confusion-aware flip
+    assert(lab.getAs[Long]("post_micro") > 600000L)
   }
 
   test("Dawid–Skene hard-EM: accuracy weighting flips a tied item") {
