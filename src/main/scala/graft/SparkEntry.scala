@@ -71,6 +71,13 @@ object SparkEntry {
     "Annotation" -> operators.Annotation.queries.keys.toSeq,
   )
 
+  /** Optional per-query value-sanity hooks (VERDICT r11 ask #7): range
+    * and magnitude invariants `Verify` asserts on the written parquet —
+    * the check the hash compare cannot do (shared-algebra bugs match on
+    * garbage). Wired for the annotation + eval families first. */
+  def sanities: Map[String, Seq[Sanity.Hook]] =
+    operators.Annotation.sanities ++ operators.Eval.sanities
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

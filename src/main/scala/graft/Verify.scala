@@ -39,9 +39,20 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    // value-sanity violations (VERDICT r11 ask #7): collected across the
+    // sweep, fail the run at the end like scale violations do
+    val sanityViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // hooks run on the WRITTEN parquet — asserting exactly what the
+        // oracle compare will read, not a recomputation of the plan
+        SparkEntry.sanities.get(name).foreach { hooks =>
+          sanityViolations ++=
+            Sanity.run(name, spark.read.parquet(s"$outDir/$name"), hooks)
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -74,6 +85,12 @@ object Verify {
           s"${auditErrors.size} audit-internal error(s):\n" +
           (violations ++ auditErrors).mkString("\n"))
       sys.exit(3)
+    }
+    if (sanityViolations.nonEmpty) {
+      System.err.println(
+        s"[verify] ${sanityViolations.size} value-sanity violation(s):\n" +
+          sanityViolations.mkString("\n"))
+      sys.exit(4)
     }
   }
 }

@@ -1614,96 +1614,148 @@ object Annotation {
     *
     *   init: majority vote (ties → lexicographically-smaller label).
     *   M1:   hard confusion counts vs the vote; Laplace-smoothed
-    *         θ¹_milli = ((cnt+1)·1000) div (tot_g + L); class prior
-    *         π¹_milli = ((votes_g+1)·1000) div (N + L).
+    *         θ¹_centi = ((cnt+1)·100) div (tot_g + L); class prior
+    *         π¹_centi = ((votes_g+1)·100) div (N + L).
     *   E1:   posterior score(i,g) = π¹_g · Π_{r∈raters(i)} θ¹_r[g][l_ir]
-    *         — an EXACT integer product of ≤8 milli factors (panel ≤7
-    *         by construction), ≤1000⁸ = 10²⁴ < 10³⁸, DECIMAL(38,0) in
-    *         Spark / HUGEINT in DuckDB; normalized per item to
-    *         post¹_micro = score·10⁶ div Σ_g score (exact, both sides).
+    *         — an EXACT integer product of ≤9 CENTI factors (panel ≤7
+    *         by construction), ≤100⁹ = 10¹⁸ < 2⁶³, pure int64 on both
+    *         engines; normalized per item to post¹_micro = score·10⁶
+    *         div Σ_g score (the one DECIMAL(38,0)/HUGEINT hop — the
+    *         ·10⁶ intermediate passes int64).
     *   M2:   SOFT confusion in micro-items: sconf_r[g][l] = Σ_i post¹;
-    *         θ²_milli = ((sconf+10⁶)·1000) div (stot_g + L·10⁶); soft
-    *         prior π² analogously from the per-class posterior mass.
-    *   E2:   final posterior + argmax label (ties → smaller label).
+    *         θ²_milli = ((sconf+10⁶)·1000) div (stot_g + L·10⁶) (the
+    *         REPORTED matrices keep milli resolution); soft prior π²
+    *         analogously from the per-class posterior mass.
+    *   E2:   final posterior from θ²_centi = θ²_milli div 10 (exactly
+    *         ((sconf+10⁶)·100) div (stot+L·10⁶) by the nested-floor
+    *         identity floor(floor(n/p)/q) = floor(n/(pq))) + argmax
+    *         label (ties → smaller label).
     *
+    * E-step factors are CENTI so the per-item fold is pure BIGINT
+    * inside whole-stage codegen — the first cut folded milli factors in
+    * DECIMAL(38,0) and spent most of its runtime in interpreted decimal
+    * multiplies. Quantization is a design constant of the statistic,
+    * applied identically in both engines; the reported θ² stays milli.
     * All divisions are non-negative `div`//`//` (truncation agrees);
-    * the product fold is commutative-exact so collect_list order is
-    * irrelevant; nothing float touches the pipeline. L and N are
-    * measured driver-side on the checkpointed relation (the q490
-    * literal pattern) and inlined so smoothing denominators are scalar
-    * expressions, not joins against 1-row relations.
+    * the folds are commutative-exact so collect order is irrelevant;
+    * nothing float touches the pipeline. L and N never touch the fact
+    * side, so they ride along as 1-row broadcast relations instead of
+    * driver-side count actions.
     *
-    * Scale: the fact scan collapses to judgments once (checkpointed);
-    * the per-candidate expansion is jud × labels where `labels` is a
-    * bounded-domain distinct (L = 3 here; never a fact key) — the only
-    * relation that grows is |judgments|·L, partitioned by item for the
-    * posterior windows (≤L rows per item). Confusion/θ relations are
-    * ≤|raters|·L² rows and join back as un-hinted equi-joins (AQE
-    * broadcasts from runtime stats). Soft counts stay int64 below
-    * ~9·10¹² judgments (10⁶-scaled); DECIMAL swap documented past it. */
-  private def dsSoftTheta2(jud0: DataFrame): DsSoft = {
+    * Scale: the fact scan collapses to judgments once (checkpointed).
+    * E-steps are VECTORIZED per item: θ joins the judgments as a
+    * per-(rater, label) L-vector (one equi-join, no ×L row expansion),
+    * one groupBy(item) collects the panel's vectors, and the posterior
+    * is an elementwise zip_with fold — no window over the fact, no
+    * per-(item, class) relation ever materializes. Confusion/θ
+    * relations are ≤|raters|·L² rows and join back as un-hinted
+    * equi-joins (AQE broadcasts from runtime stats). Soft counts stay
+    * int64 below ~9·10¹² judgments (10⁶-scaled); panels beyond 8
+    * raters would need the DECIMAL fold back (100¹⁰ > 2⁶³, and 9
+    * θ-factors plus the prior is the int64 ceiling) — both swaps
+    * documented here deliberately. */
+  private def dsSoftTheta2(jud0: DataFrame, checkpointPost1: Boolean,
+      checkpointMv: Boolean): DsSoft = {
     val s = jud0.sparkSession
     import s.implicits._
-    // j fans out to the vote window, both confusion passes and both
-    // E-step expansions — consumers behind different windows/joins that
-    // exchange reuse cannot dedupe (the q480 measurement)
+    // j fans out to the vote, both confusion passes and both E-step
+    // folds — consumers behind different-key shuffles that exchange
+    // reuse cannot dedupe (measured: no-checkpoint is ~20% slower)
     val j = jud0.localCheckpoint()
-    val lcnt = j.select($"label").distinct().count()
-    val nItems = j.select($"item").distinct().count()
     val labels = j.select($"label".as("g")).distinct()
-    val w = Window.partitionBy($"item").orderBy($"c".desc, $"label")
-    // mv sits behind a window and feeds conf0 + the prior (+ q495's
-    // final flip compare): fan-out behind a window is not reused
-    val mv = j.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-      .select($"item", $"label".as("vlabel"))
-      .localCheckpoint()
+    // L and N never touch the fact side — L divides only grid-/L-row
+    // relations and N only the L-row prior — so they ride along as
+    // 1-row broadcast crossJoins instead of a driver-side count action
+    // (one serial job LESS than the q490 literal pattern would cost)
+    val lc = labels.agg(count(lit(1)).as("lc"))
+    // majority vote WITHOUT a window: lexicographic struct-min is
+    // exactly (count desc, label asc) — a pure aggregate the optimizer
+    // can reuse, where row_number forces a per-item sort
+    // mv checkpointing is a measured per-caller trade (PLANS.md r12):
+    // q494's two same-action consumers reuse BETTER from the checkpoint
+    // (3.5 s vs 4.9 s — the sconf/theta2 chain reshapes the exchange),
+    // while q495's extra final-join consumer runs FASTER without it
+    // (4.5 s vs 5.0 s)
+    val mv0 = j.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
+      .groupBy($"item")
+      .agg(min(struct((-$"c").as("nc"), $"label".as("l"))).as("m"))
+      .select($"item", $"m.l".as("vlabel"))
+    val mv = if (checkpointMv) mv0.localCheckpoint() else mv0
     val conf0 = j.join(mv, "item")
       .groupBy($"rater", $"vlabel".as("g"), $"label".as("l"))
       .agg(count(lit(1)).as("cnt"))
     val tot0 = conf0.groupBy($"rater", $"g").agg(sum($"cnt").as("tot"))
-    val th1 = j.crossJoin(labels)
-      .join(conf0.withColumnRenamed("l", "label"), Seq("rater", "g", "label"), "left")
-      .join(tot0, Seq("rater", "g"), "left")
-      .withColumn("th",
-        expr(s"((coalesce(cnt, 0) + 1) * 1000) div (coalesce(tot, 0) + $lcnt)"))
-    val pri1 = labels.join(
-        mv.groupBy($"vlabel".as("g")).agg(count(lit(1)).as("vc")), Seq("g"), "left")
-      .withColumn("pri", expr(s"((coalesce(vc, 0) + 1) * 1000) div (${nItems + lcnt})"))
-      .select($"g", $"pri")
-    // posterior normalization needs the per-item score sum: one
-    // item-partitioned window over the ≤L-row groups
-    val post1 = th1.groupBy($"item", $"g").agg(collect_list($"th").as("ths"))
-      .join(pri1, "g")
-      .withColumn("sc", expr(
-        """CAST(CAST(pri AS DECIMAL(38,0)) * aggregate(ths,
-           CAST(1 AS DECIMAL(38,0)),
-           (acc, x) -> CAST(acc * x AS DECIMAL(38,0))) AS DECIMAL(38,0))"""))
-      .withColumn("p", expr("CAST(sc * 1000000 div (sum(sc) OVER (PARTITION BY item)) AS BIGINT)"))
-      .select($"item", $"g", $"p")
-      // post1 fans out behind its normalization window (soft counts,
-      // class-mass prior, and via both to θ²): checkpoint per the rule
-      .localCheckpoint()
-    val sconf = j.join(post1, "item")
-      .groupBy($"rater", $"g", $"label".as("l")).agg(sum($"p").as("sc"))
-    val stot = sconf.groupBy($"rater", $"g").agg(sum($"sc").as("st"))
+    // densify the smoothed θ¹ on the |raters|·L² GRID (63 rows), then
+    // VECTORIZE it per (rater, said-label): the fact side sees one
+    // equi-join that attaches an L-vector — never an ×L row expansion
     val grid = j.select($"rater").distinct()
       .crossJoin(labels)
       .crossJoin(j.select($"label".as("l")).distinct())
+    val theta1v = grid
+      .join(conf0, Seq("rater", "g", "l"), "left")
+      .join(tot0, Seq("rater", "g"), "left")
+      .crossJoin(broadcast(lc))
+      .withColumn("th",
+        expr("((coalesce(cnt, 0) + 1) * 100) div (coalesce(tot, 0) + lc)"))
+      .groupBy($"rater", $"l".as("label"))
+      .agg(sort_array(collect_list(struct($"g", $"th"))).as("gt"))
+      .select($"rater", $"label", expr("transform(gt, x -> x.th)").as("thv"))
+    // class-prior vector over the SAME sorted-label axis, 1 row;
+    // N = Σ vote counts via an unpartitioned window over the ≤L-row
+    // vote-count relation (bounded by construction)
+    val priv = labels.join(
+        mv.groupBy($"vlabel".as("g")).agg(count(lit(1)).as("vc")), Seq("g"), "left")
+      .withColumn("nit", sum(coalesce($"vc", lit(0L))).over(Window.partitionBy()))
+      .crossJoin(broadcast(lc))
+      .withColumn("pri", expr("((coalesce(vc, 0) + 1) * 100) div (nit + lc)"))
+      .agg(sort_array(collect_list(struct($"g", $"pri"))).as("gp"))
+      .select(expr("transform(gp, x -> x.g)").as("ga"),
+        expr("transform(gp, x -> x.pri)").as("pv"))
+    // E1, vectorized: one groupBy(item), an elementwise int64 fold, and
+    // the single DECIMAL hop for the ·10⁶ normalization
+    val post1raw = j.join(theta1v, Seq("rater", "label"))
+      .groupBy($"item").agg(collect_list($"thv").as("ths"))
+      .crossJoin(broadcast(priv.select($"pv")))
+      .withColumn("sa", expr(
+        """zip_with(pv, aggregate(ths, transform(pv, x -> CAST(1 AS BIGINT)),
+           (acc, v) -> zip_with(acc, v, (a, b) -> a * b)), (p, q) -> p * q)"""))
+      .withColumn("ssum", expr("aggregate(sa, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select($"item", expr(
+        "transform(sa, x -> CAST(CAST(x AS DECIMAL(38,0)) * 1000000 div ssum AS BIGINT))")
+        .as("pa"))
+    // q495 re-consumes post1 behind its fold (soft counts + the prior
+    // mass) → checkpoint; q494's single consumer chain must not pay
+    // the extra serial job
+    val post1 = if (checkpointPost1) post1raw.localCheckpoint() else post1raw
+    // soft confusion: positions of pa are classes on the sorted-label
+    // axis; posexplode is L narrow int64 rows per judgment, aggregated
+    // immediately — no arrays survive the shuffle
+    val sconf = j.join(post1, "item")
+      .select($"rater", $"label", posexplode($"pa"))
+      .toDF("rater", "label", "pos", "p")
+      .groupBy($"rater", $"label", $"pos").agg(sum($"p").as("sc"))
+      .crossJoin(broadcast(priv.select($"ga")))
+      .select($"rater", expr("element_at(ga, CAST(pos + 1 AS INT))").as("g"),
+        $"label".as("l"), $"sc")
+    val stot = sconf.groupBy($"rater", $"g").agg(sum($"sc").as("st"))
     val theta2 = grid
       .join(sconf, Seq("rater", "g", "l"), "left")
       .join(stot, Seq("rater", "g"), "left")
+      .crossJoin(broadcast(lc))
       .withColumn("theta2_milli", expr(
-        s"((coalesce(sc, 0) + 1000000) * 1000) div (coalesce(st, 0) + ${lcnt * 1000000L})"))
+        "((coalesce(sc, 0) + 1000000) * 1000) div (coalesce(st, 0) + lc * 1000000)"))
       .select($"rater", $"g", $"l", $"theta2_milli")
-    DsSoft(j, mv, theta2, post1, lcnt)
+    DsSoft(j, mv, theta2, post1, lc,
+      priv.select($"ga"))
   }
 
   /** Intermediates of [[dsSoftTheta2]] shared by q494/q495: the
     * checkpointed judgment relation, the majority vote, the round-2
-    * confusion matrices, the round-1 posteriors and the label count. */
+    * confusion matrices, the round-1 posterior vectors (item → pa on
+    * the sorted-label axis), the 1-row label count and the 1-row
+    * sorted-label array. */
   private case class DsSoft(j: DataFrame, mv: DataFrame, theta2: DataFrame,
-      post1: DataFrame, lcnt: Long)
+      post1: DataFrame, lc: DataFrame, ga: DataFrame)
 
   /** q494: the soft-EM confusion matrices themselves — per (rater,
     * true-class, said-label) the round-2 Laplace-smoothed θ² in milli.
@@ -1715,7 +1767,7 @@ object Annotation {
   def dawidSkeneSoftConfusion(jud: DataFrame): DataFrame = {
     val s = jud.sparkSession
     import s.implicits._
-    dsSoftTheta2(jud).theta2
+    dsSoftTheta2(jud, checkpointPost1 = false, checkpointMv = true).theta2
       .select($"rater", $"g".as("true_label"), $"l".as("said_label"),
         $"theta2_milli")
       .orderBy($"rater", $"true_label", $"said_label")
@@ -1724,13 +1776,6 @@ object Annotation {
   def q494DawidSkeneSoftConfusion(s: SparkSession, d: String): DataFrame =
     dawidSkeneSoftConfusion(judgments(s, d))
 
-  /** q495: what the confusion-aware model CHANGES — final posterior
-    * labels after E2 vs the plain majority vote, grouped into a
-    * (mv_label, ds_label) transition matrix with the posterior mass
-    * that moved. Off-diagonal rows are items where modeling WHO erred
-    * (and on which labels) overturns the crowd. Scale: the E2
-    * expansion repeats E1's bounded shape; everything after it is
-    * ≤L²-row arithmetic. */
   /** Item-level soft-EM labels: (item, mv_label, ds_label, post_micro)
     * — the majority vote next to the confusion-aware posterior argmax.
     * Exposed for crafted-matrix tests (the biased-rater flip case);
@@ -1738,31 +1783,54 @@ object Annotation {
   def dawidSkeneSoftLabels(jud: DataFrame): DataFrame = {
     val s = jud.sparkSession
     import s.implicits._
-    val ds = dsSoftTheta2(jud)
-    val (j, mv, theta2, post1, lcnt) =
-      (ds.j, ds.mv, ds.theta2, ds.post1, ds.lcnt)
-    val tp = post1.agg(sum($"p").as("tp"))
-    val pri2 = post1.groupBy($"g").agg(sum($"p").as("sp"))
-      .crossJoin(broadcast(tp))
-      .withColumn("pri", expr(
-        s"((sp + 1000000) * 1000) div (tp + ${lcnt * 1000000L})"))
-      .select($"g", $"pri")
-    val e2 = j.join(theta2.withColumnRenamed("l", "label")
-        .withColumnRenamed("theta2_milli", "th"), Seq("rater", "label"))
-    val wr = Window.partitionBy($"item").orderBy($"sc".desc, $"g")
-    val fin = e2.groupBy($"item", $"g").agg(collect_list($"th").as("ths"))
-      .join(pri2, "g")
-      .withColumn("sc", expr(
-        """CAST(CAST(pri AS DECIMAL(38,0)) * aggregate(ths,
-           CAST(1 AS DECIMAL(38,0)),
-           (acc, x) -> CAST(acc * x AS DECIMAL(38,0))) AS DECIMAL(38,0))"""))
-      .withColumn("p", expr("CAST(sc * 1000000 div (sum(sc) OVER (PARTITION BY item)) AS BIGINT)"))
-      .withColumn("rk", row_number().over(wr)).filter($"rk" === 1)
-      .select($"item", $"g".as("ds_label"), $"p".as("post_micro"))
+    val ds = dsSoftTheta2(jud, checkpointPost1 = true, checkpointMv = false)
+    val (j, mv, theta2, post1, lc, ga) =
+      (ds.j, ds.mv, ds.theta2, ds.post1, ds.lc, ds.ga)
+    // soft prior vector over the sorted-label axis: per-position mass
+    // sums from the posterior vectors, total via an unpartitioned
+    // window over the ≤L-row aggregate
+    val priv2 = post1
+      .select(posexplode($"pa")).toDF("pos", "p")
+      .groupBy($"pos").agg(sum($"p").as("sp"))
+      .withColumn("tp", sum($"sp").over(Window.partitionBy()))
+      .crossJoin(broadcast(lc))
+      .withColumn("pri", expr("((sp + 1000000) * 100) div (tp + lc * 1000000)"))
+      .agg(sort_array(collect_list(struct($"pos", $"pri"))).as("pp"))
+      .select(expr("transform(pp, x -> x.pri)").as("pv"))
+    // E2's fold factors are θ²_centi = θ²_milli div 10 — exactly the
+    // ((sconf+10⁶)·100) div (stot+L·10⁶) centi smoothing by the
+    // nested-floor identity — vectorized like θ¹
+    val theta2v = theta2
+      .withColumn("th", expr("theta2_milli div 10"))
+      .groupBy($"rater", $"l".as("label"))
+      .agg(sort_array(collect_list(struct($"g", $"th"))).as("gt"))
+      .select($"rater", $"label", expr("transform(gt, x -> x.th)").as("thv"))
+    // final posterior + argmax: array_position finds the FIRST max,
+    // which on the sorted-label axis is exactly the (score desc,
+    // label asc) tie-break
+    val fin = j.join(theta2v, Seq("rater", "label"))
+      .groupBy($"item").agg(collect_list($"thv").as("ths"))
+      .crossJoin(broadcast(priv2))
+      .crossJoin(broadcast(ga))
+      .withColumn("sa", expr(
+        """zip_with(pv, aggregate(ths, transform(pv, x -> CAST(1 AS BIGINT)),
+           (acc, v) -> zip_with(acc, v, (a, b) -> a * b)), (p, q) -> p * q)"""))
+      .withColumn("ssum", expr("aggregate(sa, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("pos", expr("CAST(array_position(sa, array_max(sa)) AS INT)"))
+      .select($"item", expr("element_at(ga, pos)").as("ds_label"),
+        expr("CAST(CAST(element_at(sa, pos) AS DECIMAL(38,0)) * 1000000 div ssum AS BIGINT)")
+          .as("post_micro"))
     fin.join(mv, "item")
       .select($"item", $"vlabel".as("mv_label"), $"ds_label", $"post_micro")
   }
 
+  /** q495: what the confusion-aware model CHANGES — final posterior
+    * labels after E2 vs the plain majority vote, grouped into a
+    * (mv_label, ds_label) transition matrix with the posterior mass
+    * that moved. Off-diagonal rows are items where modeling WHO erred
+    * (and on which labels) overturns the crowd. Scale: the E2
+    * expansion repeats E1's bounded shape; everything after it is
+    * ≤L²-row arithmetic. */
   def q495DawidSkeneSoftFlips(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     dawidSkeneSoftLabels(judgments(s, d))
@@ -1772,7 +1840,9 @@ object Annotation {
   }
 
   /** Shared CTE prefix for the q494/q495 oracles — the same 2-round
-    * quantized soft-EM in DuckDB (HUGEINT products via list_reduce). */
+    * centi-quantized soft-EM in DuckDB: BIGINT products via
+    * list_reduce (≤100⁹ < 2⁶³), HUGEINT only for the ·10⁶ posterior
+    * normalization, θ² reported in milli exactly like the Spark side. */
   private val dsSoftSql: String =
     s"""WITH jud AS ($judgmentsSql),
        lab AS (SELECT DISTINCT label AS g FROM jud),
@@ -1791,28 +1861,34 @@ object Annotation {
          FROM jud j JOIN mv m ON j.item = m.item GROUP BY 1, 2, 3),
        tot0 AS (SELECT rater, g, CAST(sum(cnt) AS BIGINT) AS tot
                 FROM conf0 GROUP BY 1, 2),
-       e1 AS (
-         SELECT j.item, j.rater, j.label, lg.g,
-                ((coalesce(c.cnt, 0) + 1) * 1000)
+       grid AS (SELECT r.rater, lg.g, ll.l
+                FROM (SELECT DISTINCT rater FROM jud) r
+                CROSS JOIN lab lg
+                CROSS JOIN (SELECT DISTINCT label AS l FROM jud) ll),
+       theta1 AS (
+         SELECT gr.rater, gr.g, gr.l,
+                ((coalesce(c.cnt, 0) + 1) * 100)
                   // (coalesce(t.tot, 0) + (SELECT lcnt FROM nl)) AS th
-         FROM jud j CROSS JOIN lab lg
-         LEFT JOIN conf0 c ON c.rater = j.rater AND c.g = lg.g AND c.l = j.label
-         LEFT JOIN tot0 t ON t.rater = j.rater AND t.g = lg.g),
+         FROM grid gr
+         LEFT JOIN conf0 c ON c.rater = gr.rater AND c.g = gr.g AND c.l = gr.l
+         LEFT JOIN tot0 t ON t.rater = gr.rater AND t.g = gr.g),
        pri1 AS (
-         SELECT lg.g, ((coalesce(v.c, 0) + 1) * 1000)
+         SELECT lg.g, ((coalesce(v.c, 0) + 1) * 100)
                   // ((SELECT n_items FROM nit) + (SELECT lcnt FROM nl)) AS pri
          FROM lab lg LEFT JOIN (
            SELECT vlabel, CAST(count(*) AS BIGINT) AS c FROM mv GROUP BY 1) v
          ON v.vlabel = lg.g),
        score1 AS (
          SELECT e.item, e.g,
-                CAST(p.pri AS HUGEINT)
-                  * list_reduce(list_prepend(1::HUGEINT, list(e.th::HUGEINT)),
-                                (a, b) -> a * b) AS sc
-         FROM e1 e JOIN pri1 p ON p.g = e.g GROUP BY e.item, e.g, p.pri),
+                p.pri * list_reduce(list_prepend(1::BIGINT, list(e.th)),
+                                    (a, b) -> a * b) AS sc
+         FROM (SELECT j.item, t1.g, t1.th
+               FROM jud j JOIN theta1 t1
+               ON t1.rater = j.rater AND t1.l = j.label) e
+         JOIN pri1 p ON p.g = e.g GROUP BY e.item, e.g, p.pri),
        post1 AS (
          SELECT item, g,
-                CAST(sc * 1000000
+                CAST(CAST(sc AS HUGEINT) * 1000000
                   // (sum(sc) OVER (PARTITION BY item)) AS BIGINT) AS p
          FROM score1),
        sconf AS (
@@ -1825,10 +1901,7 @@ object Annotation {
                 ((coalesce(s.sc, 0) + 1000000) * 1000)
                   // (coalesce(t.st, 0)
                      + (SELECT lcnt FROM nl) * 1000000) AS theta2_milli
-         FROM (SELECT r.rater, lg.g, ll.l
-               FROM (SELECT DISTINCT rater FROM jud) r
-               CROSS JOIN lab lg
-               CROSS JOIN (SELECT DISTINCT label AS l FROM jud) ll) gr
+         FROM grid gr
          LEFT JOIN sconf s ON s.rater = gr.rater AND s.g = gr.g AND s.l = gr.l
          LEFT JOIN stot t ON t.rater = gr.rater AND t.g = gr.g)"""
 
@@ -1838,24 +1911,23 @@ object Annotation {
 
   val q495Oracle: String = dsSoftSql + """,
        pri2 AS (
-         SELECT lg.g, ((coalesce(sp.s, 0) + 1000000) * 1000)
+         SELECT lg.g, ((coalesce(sp.s, 0) + 1000000) * 100)
                   // ((SELECT CAST(sum(p) AS BIGINT) FROM post1)
                      + (SELECT lcnt FROM nl) * 1000000) AS pri
          FROM lab lg LEFT JOIN (
            SELECT g, CAST(sum(p) AS BIGINT) AS s FROM post1 GROUP BY 1) sp
          ON sp.g = lg.g),
-       e2 AS (
-         SELECT j.item, j.rater, j.label, t2.g, t2.theta2_milli AS th
-         FROM jud j JOIN theta2 t2 ON t2.rater = j.rater AND t2.l = j.label),
        score2 AS (
          SELECT e.item, e.g,
-                CAST(p.pri AS HUGEINT)
-                  * list_reduce(list_prepend(1::HUGEINT, list(e.th::HUGEINT)),
-                                (a, b) -> a * b) AS sc
-         FROM e2 e JOIN pri2 p ON p.g = e.g GROUP BY e.item, e.g, p.pri),
+                p.pri * list_reduce(list_prepend(1::BIGINT, list(e.th)),
+                                    (a, b) -> a * b) AS sc
+         FROM (SELECT j.item, t2.g, t2.theta2_milli // 10 AS th
+               FROM jud j JOIN theta2 t2
+               ON t2.rater = j.rater AND t2.l = j.label) e
+         JOIN pri2 p ON p.g = e.g GROUP BY e.item, e.g, p.pri),
        post2 AS (
          SELECT item, g,
-                CAST(sc * 1000000
+                CAST(CAST(sc AS HUGEINT) * 1000000
                   // (sum(sc) OVER (PARTITION BY item)) AS BIGINT) AS p,
                 row_number() OVER (PARTITION BY item ORDER BY sc DESC, g) AS rk
          FROM score2),
@@ -1887,6 +1959,40 @@ object Annotation {
     "q494_ds_soft_confusion" -> q494DawidSkeneSoftConfusion,
     "q495_ds_soft_flips" -> q495DawidSkeneSoftFlips,
   )
+
+  /** Value-sanity hooks (VERDICT r11 ask #7): magnitude/range
+    * invariants the oracle hash-compare is blind to (a shared-algebra
+    * bug passes the hash — q489's 1000× slip did). Run by `Verify` on
+    * the written parquet. Only mathematically-certain invariants:
+    * coefficients live in their defined ranges at ANY scale factor. */
+  val sanities: Map[String, Seq[graft.Sanity.Hook]] = {
+    import graft.Sanity._
+    Map(
+      "q478_fleiss_kappa" -> Seq(nonEmpty, range("pbar_milli", 0, 1000),
+        range("pe_milli", 0, 1000), range("kappa_bp", -10000, 10000)),
+      "q479_krippendorff_alpha" -> Seq(nonEmpty,
+        range("do_ppm", 0, 1000000), range("de_ppm", 0, 1000000),
+        range("alpha_bp", -30000, 10000)),
+      "q480_dawid_skene" -> Seq(nonEmpty,
+        range("acc_mv_milli", 0, 1000), range("acc_em_milli", 0, 1000)),
+      "q482_item_analysis" -> Seq(nonEmpty,
+        range("difficulty_milli", 0, 1000), range("disc_bp", -20000, 10000)),
+      "q483_conformal_coverage" -> Seq(nonEmpty,
+        range("coverage_milli", 0, 1000)),
+      "q493_agreement_drift" -> Seq(nonEmpty,
+        range("kappa_bp", -10000, 10000)),
+      // θ rows are conditional probabilities: each in [0,1000] milli and
+      // each (rater, true-class) row of the matrix sums to 1000 minus
+      // ≤ L−1 of div truncation
+      "q494_ds_soft_confusion" -> Seq(nonEmpty,
+        range("theta2_milli", 0, 1000),
+        groupSum(Seq("rater", "true_label"), "theta2_milli", 997, 1000)),
+      // the winning posterior is ≥ 1/L (L=3) and ≤ 1, in micro
+      "q495_ds_soft_flips" -> Seq(nonEmpty,
+        range("n_items", 1, 1000000000000L),
+        range("sum_post_micro div n_items", 300000, 1000000)),
+    )
+  }
 
   val oracles: Map[String, String] = Map(
     "q478_fleiss_kappa" -> q478Oracle,

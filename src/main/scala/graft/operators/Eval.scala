@@ -1131,6 +1131,36 @@ object Eval {
     "q477_online_elo" -> q477OnlineElo,
   )
 
+  /** Value-sanity hooks (VERDICT r11 ask #7) — see
+    * [[Annotation.sanities]]. q489's 1000× acc_micro slip is exactly
+    * the class these catch; only provable invariants are asserted. */
+  val sanities: Map[String, Seq[graft.Sanity.Hook]] = {
+    import graft.Sanity._
+    Map(
+      // strengths are positive; a supplier cannot win more than it plays
+      "q465_bradley_terry" -> Seq(nonEmpty, range("wins", 0, Long.MaxValue / 2),
+        range("games - wins", 0, Long.MaxValue / 2),
+        range("p1_micro", 1, 1000000000000L),
+        range("p2_micro", 1, 1000000000000L)),
+      // pass@k is a probability and monotone in k
+      "q466_pass_at_k" -> Seq(nonEmpty, range("pass1_milli", 0, 1000),
+        range("pass10_milli", 0, 1000),
+        range("pass5_milli - pass1_milli", 0, 1000),
+        range("pass10_milli - pass5_milli", 0, 1000)),
+      "q471_roc_auc" -> Seq(nonEmpty, range("auc_micro", 0, 1000000),
+        range("gini_micro", -1000000, 1000000)),
+      // a Wilson lower bound never exceeds the point estimate
+      "q473_wilson_leaderboard" -> Seq(nonEmpty,
+        range("winrate_milli", 0, 1000), range("wilson_lo_micro", 0, 1000000),
+        range("winrate_milli * 1000 - wilson_lo_micro", 0, 1000000)),
+      "q476_position_bias" -> Seq(nonEmpty,
+        range("pos1_win_milli", 0, 1000),
+        range("swap_consistent_milli", 0, 1000)),
+      "q489_panel_router" -> Seq(nonEmpty, range("acc_micro", 0, 1000000),
+        range("n_judges", 1, 7), range("cost", 0, Long.MaxValue / 2)),
+    )
+  }
+
   val oracles: Map[String, String] = Map(
     "q465_bradley_terry" -> q465Oracle,
     "q466_pass_at_k" -> q466Oracle,

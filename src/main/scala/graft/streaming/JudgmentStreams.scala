@@ -10,9 +10,19 @@ import org.apache.spark.sql.types._
   * `operators/Annotation.judgments`). */
 case class JudgmentRow(item: Long, rater: Long, label: String)
 
+/** One raw judgment event with its event time — the TTL variant's
+  * input ([[JudgmentStreams.voteStatefulTtl]]). */
+case class TimedJudgmentRow(item: Long, rater: Long, label: String,
+    ts: java.sql.Timestamp)
+
 /** Per-item vote state: each rater's collapsed label (the batch
   * relation's min-label rule) plus a monotone arrival counter. */
 case class VoteState(labels: Map[Long, String], seq: Long)
+
+/** TTL-variant state: the vote fold plus the item's max event time,
+  * which re-arms the event-time timeout each microbatch. */
+case class TimedVoteState(labels: Map[Long, String], seq: Long,
+    maxTsMs: Long)
 
 /** One consensus update: the item's current majority vote after this
   * microbatch, with the tie-break (count desc, label asc) matching the
@@ -32,9 +42,11 @@ case class VoteUpdate(item: Long, vlabel: String, n_raters: Long, seq: Long)
   *
   * Scale: state per item is a ≤|rater-pool|-entry map — bounded by
   * the pool, not the stream; items shard across the cluster by group
-  * key. Production knob: state TTL for items whose labeling window
-  * closed. The batch==stream equality is `JudgmentStreamsSpec`'s
-  * whole-corpus check. */
+  * key. [[JudgmentStreams.voteStatefulTtl]] adds the event-time state
+  * TTL (items whose labeling window closed drop their state), so total
+  * state is bounded by the LIVE item set rather than growing with the
+  * item universe forever. The batch==stream equality is
+  * `JudgmentStreamsSpec`'s whole-corpus check. */
 object JudgmentStreams {
 
   val judgmentSchema: StructType = StructType(Seq(
@@ -75,6 +87,67 @@ object JudgmentStreams {
       }
   }
 
+  /** TTL variant of [[voteStateful]] (VERDICT r11 ask #5 — the knob the
+    * NoTimeout scaladoc only promised): items whose labeling window has
+    * CLOSED — no judgment for `ttl` of event time past the item's last
+    * arrival — drop their state instead of holding a rater map forever,
+    * so total state is bounded by the LIVE item set, not the item
+    * universe. Event-time semantics:
+    *
+    *  - the stream carries a watermark on `ts` (set by the caller via
+    *    [[voteStreamTtl]]'s `watermarkDelay`, e.g. "0 seconds" when the
+    *    source is ordered);
+    *  - each microbatch re-arms the item's timeout to
+    *    max-event-time-seen + ttl (clamped above the current watermark —
+    *    Spark rejects a timeout at or below it);
+    *  - when the watermark passes the timeout, the group fires with
+    *    `hasTimedOut`, removes its state and EMITS NOTHING (the item's
+    *    last regular update already was its final answer);
+    *  - a straggler judgment arriving after expiry re-creates FRESH
+    *    state — by then the consensus was shipped, and a fresh
+    *    single-rater vote is the honest restatement of what is known.
+    *
+    * The batch==stream contract becomes: restricted to items whose
+    * history fits inside a live window, the final per-item update still
+    * equals the batch vote (JudgmentStreamsSpec's TTL case). */
+  def voteStatefulTtl(jud: Dataset[TimedJudgmentRow],
+      ttl: java.time.Duration): Dataset[VoteUpdate] = {
+    val s = jud.sparkSession
+    import s.implicits._
+    val ttlMs = ttl.toMillis
+    jud.groupByKey(_.item)
+      .flatMapGroupsWithState[TimedVoteState, VoteUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (item, it: Iterator[TimedJudgmentRow], state: GroupState[TimedVoteState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(TimedVoteState(Map.empty, 0L, 0L))
+            var labels = st.labels
+            var seq = st.seq
+            var maxTs = st.maxTsMs
+            it.toArray.sortBy(r => (r.rater, r.label)).foreach { r =>
+              seq += 1
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val collapsed = labels.get(r.rater) match {
+                case Some(old) if old <= r.label => old
+                case _ => r.label
+              }
+              labels = labels.updated(r.rater, collapsed)
+            }
+            state.update(TimedVoteState(labels, seq, maxTs))
+            // Spark requires the timeout strictly above the watermark;
+            // an item whose whole history is already behind it gets the
+            // minimum legal horizon and expires on the next sweep
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            Iterator.single(
+              VoteUpdate(item, majority(labels), labels.size, seq))
+          }
+      }
+  }
+
   /** Streaming entry: file-source judgment stream → stateful vote. */
   def voteStream(s: SparkSession, judDir: String): Dataset[VoteUpdate] = {
     import s.implicits._
@@ -83,5 +156,24 @@ object JudgmentStreams {
       .parquet(judDir)
       .select(col("item"), col("rater"), col("label")).as[JudgmentRow]
     voteStateful(jud)
+  }
+
+  val timedJudgmentSchema: StructType = StructType(Seq(
+    StructField("item", LongType), StructField("rater", LongType),
+    StructField("label", StringType), StructField("ts", TimestampType)))
+
+  /** TTL streaming entry: timestamped file-source judgment stream with
+    * a `watermarkDelay` watermark on `ts`, state dropped `ttl` of
+    * event time after each item's last judgment. */
+  def voteStreamTtl(s: SparkSession, judDir: String,
+      ttl: java.time.Duration, watermarkDelay: String): Dataset[VoteUpdate] = {
+    import s.implicits._
+    val jud = s.readStream.schema(timedJudgmentSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(judDir)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("item"), col("rater"), col("label"), col("ts"))
+      .as[TimedJudgmentRow]
+    voteStatefulTtl(jud, ttl)
   }
 }

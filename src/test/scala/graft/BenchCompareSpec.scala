@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench drift comparator is pure logic — test it red/green without
+  * a SparkSession. */
+class BenchCompareSpec extends AnyFunSuite {
+
+  test("flags a reproducible multi-x regression, ignores noise and wobble") {
+    val prev = Map("q286_x" -> 0.96, "q109_x" -> 0.39, "q182_x" -> 2.6,
+      "q_small" -> 0.05, "q_new" -> 1.0)
+    val cur = Map(
+      "q286_x" -> 4.80, // 5× with agreeing samples → flagged
+      "q109_x" -> 2.31, // 6× with agreeing samples → flagged
+      "q182_x" -> 4.50, // big jump but spread says box noise → NOT flagged
+      "q_small" -> 0.11, // 2.2× but only 60 ms absolute → NOT flagged
+      "q_gone_fast" -> 9.9) // no previous sample → NOT flagged
+    val spread = Map("q286_x" -> 1001L, "q109_x" -> 1030L,
+      "q182_x" -> 7398L, "q_small" -> 1000L, "q_gone_fast" -> 1000L)
+    val r = BenchCompare.regressions(prev, cur, spread)
+    assert(r.keySet == Set("q286_x", "q109_x"))
+    assert(r("q286_x").prevSec == 0.96 && r("q286_x").curSec == 4.80 &&
+      r("q286_x").spreadPermille == 1001L)
+  }
+
+  test("a query with no current spread sample is treated as untrusted") {
+    val r = BenchCompare.regressions(
+      Map("q1_x" -> 1.0), Map("q1_x" -> 3.0), Map.empty)
+    assert(r.isEmpty)
+  }
+
+  test("zero/negative previous time never divides into a flag") {
+    val r = BenchCompare.regressions(
+      Map("q1_x" -> -1.0, "q2_x" -> 0.0),
+      Map("q1_x" -> 3.0, "q2_x" -> 3.0),
+      Map("q1_x" -> 1000L, "q2_x" -> 1000L))
+    assert(r.isEmpty)
+  }
+
+  test("toJson renders name-sorted objects; parseDetail round-trips") {
+    val r = Map(
+      "qb" -> BenchCompare.Regression(1.0, 2.5, 1100L),
+      "qa" -> BenchCompare.Regression(0.5, 1.9, 1001L))
+    val s = BenchCompare.toJson(r)
+    assert(s.indexOf("\"qa\"") < s.indexOf("\"qb\""))
+    val tmp = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.write(tmp,
+      ("""{"metric":"total","queries":{"q1_x":1.5,"q2_x":0.2},""" +
+        """"spread_permille":{"q1_x":1010,"q2_x":1200},"sf":"x"}""")
+        .getBytes("UTF-8"))
+    val (q, sp) = BenchCompare.parseDetail(tmp)
+    assert(q == Map("q1_x" -> 1.5, "q2_x" -> 0.2))
+    assert(sp == Map("q1_x" -> 1010L, "q2_x" -> 1200L))
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("absent or corrupt previous artifact yields empty maps, not a crash") {
+    val (q, sp) = BenchCompare.parseDetail(
+      java.nio.file.Paths.get("/nonexistent/bench_detail.json"))
+    assert(q.isEmpty && sp.isEmpty)
+    val tmp = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.write(tmp, "not json at all".getBytes("UTF-8"))
+    val (q2, sp2) = BenchCompare.parseDetail(tmp)
+    assert(q2.isEmpty && sp2.isEmpty)
+    java.nio.file.Files.delete(tmp)
+  }
+}

@@ -77,6 +77,51 @@ class JudgmentStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time TTL drops closed items' state; live items still match batch") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // TTL 30 s of event time, zero watermark delay. Batches:
+    //   b0: item 1 (rater 0 → R) and item 2 (rater 0 → A) at 10 s
+    //   b1: item 2 again (rater 1 → R) at 100 s   → watermark 100 s
+    //   b2: item 3 at 200 s → the sweep fires item 1's timeout
+    //       (10+30 < 100): state removed, NOTHING emitted.
+    //       item 2 is re-armed to 130 s and stays alive this sweep.
+    //   b3: item 1 again (rater 1 → A) at 210 s → FRESH state: the
+    //       expired rater-0 vote must be gone (n_raters 1, seq 1)
+    val staged = Files.createTempDirectory("jud_ttl")
+    stageFile(Seq((1L, 0L, "R", t(10)), (2L, 0L, "A", t(10)))
+      .toDF("item", "rater", "label", "ts"), staged, "b0.parquet")
+    stageFile(Seq((2L, 1L, "R", t(100)))
+      .toDF("item", "rater", "label", "ts"), staged, "b1.parquet")
+    stageFile(Seq((3L, 0L, "N", t(200)))
+      .toDF("item", "rater", "label", "ts"), staged, "b2.parquet")
+    stageFile(Seq((1L, 1L, "A", t(210)))
+      .toDF("item", "rater", "label", "ts"), staged, "b3.parquet")
+    val q = JudgmentStreams.voteStreamTtl(spark, staged.toString,
+        java.time.Duration.ofSeconds(30), "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("vote_ttl")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("vote_ttl").collect()
+        .map(r => (r.getAs[Long]("item"), r.getAs[String]("vlabel"),
+          r.getAs[Long]("n_raters"), r.getAs[Long]("seq")))
+      // expiry emits nothing: item 1 has exactly its b0 and b3 updates,
+      // item 2 exactly b0 and b1 (no third row from its own timeout)
+      val i1 = rows.filter(_._1 == 1L).sortBy(_._4)
+      val i2 = rows.filter(_._1 == 2L).sortBy(_._4)
+      assert(i1.length == 2 && i2.length == 2,
+        s"timeout sweeps must not emit: ${rows.toSeq}")
+      // fresh state after expiry: rater 0's R is gone, not stitched
+      assert(i1.head == ((1L, "R", 1L, 1L)))
+      assert(i1.last == ((1L, "A", 1L, 1L)),
+        s"expired item must restart from scratch: ${i1.last}")
+      // the live-window item matches the batch twin over its history:
+      // {0→A, 1→R} ties 1-1 → label-asc tie-break → A, 2 raters
+      assert(i2.last == ((2L, "A", 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("incremental min-label collapse and batch tie-break on a crafted stream") {
     // two microbatches: rater 0 says 'R' first (vote R), then rater 0
     // says 'A' (collapse to A) and rater 1 says 'R' — counts tie 1-1,
