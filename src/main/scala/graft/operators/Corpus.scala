@@ -1374,7 +1374,9 @@ object Corpus {
         .as("bg"))
       .select($"doc_id", $"lang",
         xxhash64($"bg.w1").as("h1"), xxhash64($"bg.w2").as("h2"))
-      .localCheckpoint()
+    // r12 A/B: the old checkpoint here measured 1.56 s vs 1.40 s
+    // WITHOUT — c1/c2 derive from c12's aggregate, which ReuseExchange
+    // dedupes; materializing the exploded bigrams only added a job
     val c12 = occ.groupBy($"lang", $"h1", $"h2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy($"lang", $"h1").agg(sum($"c12").as("c1"))
     val c2 = c12.groupBy($"lang", $"h2").agg(sum($"c12").as("c2"))

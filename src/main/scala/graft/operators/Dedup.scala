@@ -1024,7 +1024,7 @@ object Dedup {
       .select($"doc_id",
         graft.functions.TextExprs.shingle_hashes($"text", 3, 15).as("shs"))
       .filter(size($"shs") > 0)
-      .localCheckpoint()
+      .localCheckpoint() // r12 A/B: 1.59 s vs 1.90 s without — keep
     val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
     val dfreq = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
     // rare-first total order (df asc, hash asc — unique per doc), then
@@ -1243,7 +1243,9 @@ object Dedup {
       .filter(size($"shs") > 0)
       .repartition($"doc_id")
     val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
-      .localCheckpoint() // feeds df, doc weights, and both join sides
+      // feeds df, doc weights, and both join sides — r12 A/B: the old
+      // checkpoint here was exactly neutral (1.81 vs 1.77 s); the
+      // `weighted` checkpoint below is the one that carries the reuse
     val nDocs = hashed.agg(count(lit(1)).as("n_docs"))
     val w = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -1334,7 +1336,10 @@ object Dedup {
       .filter(size($"shs") > 0)
       .repartition($"doc_id")
     val inv = hashed.select($"doc_id", explode($"shs").as("sh"))
-      .localCheckpoint() // sizes, df, and both join sides
+      // sizes, df, and both join sides — r12 A/B: the old checkpoint
+      // here measured 2.06 s vs 1.68 s WITHOUT; every consumer is an
+      // aggregate/join that shuffles anyway, so re-running the explode
+      // beats serializing ~|shingles| rows through the block manager
     val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val dup = inv.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" >= 2)
     val wd = inv.join(dup.select($"sh"), "sh")

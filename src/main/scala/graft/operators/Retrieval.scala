@@ -287,7 +287,10 @@ object Retrieval {
         .as("e"))
       .select($"doc_id", $"e.pos".as("pos"),
         graft.functions.Fns.hash60($"e.sp").as("h"))
-      .localCheckpoint() // feeds dup-set build, residue probe, and per-doc totals
+      // feeds dup-set build, residue probe, and per-doc totals —
+      // r12 A/B: 1.34 s vs 2.40 s without (the 8-gram slice/join
+      // expression is the cost; ReuseExchange cannot dedupe it) — keep
+      .localCheckpoint()
     // "appears in ≥2 docs" as min(doc) ≠ max(doc): one partial-agg
     // exchange, vs countDistinct's two-phase ((h,doc) then h) expansion
     // — measured 3.2 → 2.3 s at sf0.1, and at scale it halves the
