@@ -58,11 +58,29 @@ object Bench {
     // otherwise landing on whichever query iterates first)
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // per-query executed job/stage counts (VERDICT r11 ask #3): the
+    // sub-second suite mass is per-plan stage waves, so the artifact
+    // carries the counts that say WHICH queries are many-stage. Counts
+    // are taken on pass-2 runs (steady state; pass 1 includes AQE
+    // re-plans and first-run checkpoint materializations). Listener
+    // events land asynchronously — counts can bleed ±1, triage-grade
+    val counter = JobCounter.install(spark)
+    val jobCounts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        countAs: Option[String] = None): Double = {
+      val (j0, s0) = counter.snapshot
       val t0 = System.nanoTime()
       // a failed query reports -1, not its partial elapsed time — a
       // regression must not look like a speedup
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        countAs.foreach { n =>
+          val (j1, s1) = counter.snapshot
+          jobCounts(n) = (j1 - j0, s1 - s0)
+        }
+        dt
+      }
       catch { case _: Throwable => -1.0 }
     }
     // per-module warm-up: one untimed query per operator module, at the
@@ -96,7 +114,8 @@ object Bench {
     val order1 = new scala.util.Random(101).shuffle(names)
     val order2 = new scala.util.Random(202).shuffle(names)
     val pass1 = order1.map(n => n -> once(SparkEntry.queries(n))).toMap
-    val pass2 = order2.map(n => n -> once(SparkEntry.queries(n))).toMap
+    val pass2 = order2.map(n =>
+      n -> once(SparkEntry.queries(n), countAs = Some(n))).toMap
     val measured = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       // min of the successful passes; -1 only if BOTH failed
@@ -164,8 +183,11 @@ object Bench {
     if (regs.nonEmpty) System.err.println(
       s"[bench] ${regs.size} round-over-round regression(s): " +
         BenchCompare.toJson(regs))
+    val jobsQs = jobCounts.toSeq.sortBy(_._1)
+      .map { case (k, (j, st)) => "\"" + k + "\":[" + j + "," + st + "]" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","floor_sec_min":$floorMin,"floor_sec_median":$floorMedian,"queries":$fullQs,"spread_permille":$spreadQs,"regressions":${BenchCompare.toJson(regs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","floor_sec_min":$floorMin,"floor_sec_median":$floorMedian,"queries":$fullQs,"spread_permille":$spreadQs,"regressions":${BenchCompare.toJson(regs)},"jobs_stages":$jobsQs,"sf":"$sfDir"}"""
     // stdout gets ONE compact line that fits the driver's tail window:
     // qNN short keys (the "qNN_" prefix is unique per query) at
     // centisecond precision, and only the 40 SLOWEST queries — at 142

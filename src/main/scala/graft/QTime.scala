@@ -29,6 +29,14 @@ object QTime {
         sys.env.get("SPARK_GRAFT_AUDIT").contains("1").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra RUNTIME SQL confs for A/B
+    // probing (static confs still need the builder above)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.get("SPARK_GRAFT_AUDIT").contains("1"))
       graft.plans.PlanAudit.install(spark)
@@ -51,14 +59,25 @@ object QTime {
         .filter(_.getName.toLowerCase.contains("code"))
         .foreach(p => println(f"POOL ${p.getName}%-28s used=${p.getUsage.getUsed / 1e6}%.1fMB max=${p.getUsage.getMax / 1e6}%.1fMB"))
     }
+    // jobs/stages per steady-state run (last run's delta): the counts
+    // that tell a many-stage query from a slow-scan one. Listener
+    // events land asynchronously, so counts can bleed ±1 across
+    // snapshots — triage precision, not accounting
+    val counter = JobCounter.install(spark)
     names.foreach { n =>
+      var lastJobs = 0L; var lastStages = 0L
       val ts = (1 to runs).map { _ =>
+        val (j0, s0) = counter.snapshot
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50) // let the listener bus catch up
+        val (j1, s1) = counter.snapshot
+        lastJobs = j1 - j0; lastStages = s1 - s0
+        dt
       }
-      println(f"QTIME $n%-28s min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"QTIME $n%-28s min=${ts.min}%.3f jobs=$lastJobs stages=$lastStages all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -1662,20 +1662,19 @@ object Annotation {
     // folds — consumers behind different-key shuffles that exchange
     // reuse cannot dedupe (measured: no-checkpoint is ~20% slower)
     val j = jud0.localCheckpoint()
-    val labels = j.select($"label".as("g")).distinct()
-    // L and N never touch the fact side — L divides only grid-/L-row
-    // relations and N only the L-row prior — so they ride along as
-    // 1-row broadcast crossJoins instead of a driver-side count action
-    // (one serial job LESS than the q490 literal pattern would cost)
-    val lc = labels.agg(count(lit(1)).as("lc"))
+    // the 1-row label AXIS (sorted labels + L): every θ/π vector lives
+    // on it, and carrying it as a broadcast 1-row relation replaces
+    // three distincts, two crossJoin grids and a driver-side count
+    // with ONE tiny aggregate (stage-wave economy — see jobs_stages)
+    val gaDf = j.select($"label").distinct()
+      .agg(sort_array(collect_list($"label")).as("ga"))
+      .select($"ga", size($"ga").cast("long").as("lc"))
     // majority vote WITHOUT a window: lexicographic struct-min is
     // exactly (count desc, label asc) — a pure aggregate the optimizer
-    // can reuse, where row_number forces a per-item sort
+    // can reuse, where row_number forces a per-item sort.
     // mv checkpointing is a measured per-caller trade (PLANS.md r12):
-    // q494's two same-action consumers reuse BETTER from the checkpoint
-    // (3.5 s vs 4.9 s — the sconf/theta2 chain reshapes the exchange),
-    // while q495's extra final-join consumer runs FASTER without it
-    // (4.5 s vs 5.0 s)
+    // q494's same-action consumers reuse BETTER from the checkpoint,
+    // q495's extra final-join consumer runs faster without it
     val mv0 = j.groupBy($"item", $"label").agg(count(lit(1)).as("c"))
       .groupBy($"item")
       .agg(min(struct((-$"c").as("nc"), $"label".as("l"))).as("m"))
@@ -1684,38 +1683,33 @@ object Annotation {
     val conf0 = j.join(mv, "item")
       .groupBy($"rater", $"vlabel".as("g"), $"label".as("l"))
       .agg(count(lit(1)).as("cnt"))
-    val tot0 = conf0.groupBy($"rater", $"g").agg(sum($"cnt").as("tot"))
-    // densify the smoothed θ¹ on the |raters|·L² GRID (63 rows), then
-    // VECTORIZE it per (rater, said-label): the fact side sees one
-    // equi-join that attaches an L-vector — never an ×L row expansion
-    val grid = j.select($"rater").distinct()
-      .crossJoin(labels)
-      .crossJoin(j.select($"label".as("l")).distinct())
-    val theta1v = grid
-      .join(conf0, Seq("rater", "g", "l"), "left")
-      .join(tot0, Seq("rater", "g"), "left")
-      .crossJoin(broadcast(lc))
-      .withColumn("th",
-        expr("((coalesce(cnt, 0) + 1) * 100) div (coalesce(tot, 0) + lc)"))
-      .groupBy($"rater", $"l".as("label"))
-      .agg(sort_array(collect_list(struct($"g", $"th"))).as("gt"))
-      .select($"rater", $"label", expr("transform(gt, x -> x.th)").as("thv"))
-    // class-prior vector over the SAME sorted-label axis, 1 row;
-    // N = Σ vote counts via an unpartitioned window over the ≤L-row
-    // vote-count relation (bounded by construction)
-    val priv = labels.join(
-        mv.groupBy($"vlabel".as("g")).agg(count(lit(1)).as("vc")), Seq("g"), "left")
-      .withColumn("nit", sum(coalesce($"vc", lit(0L))).over(Window.partitionBy()))
-      .crossJoin(broadcast(lc))
-      .withColumn("pri", expr("((coalesce(vc, 0) + 1) * 100) div (nit + lc)"))
-      .agg(sort_array(collect_list(struct($"g", $"pri"))).as("gp"))
-      .select(expr("transform(gp, x -> x.g)").as("ga"),
-        expr("transform(gp, x -> x.pri)").as("pv"))
+    // fused θ¹ vectors: ONE groupBy(rater) collects the ≤L² sparse
+    // cells, HOFs densify + smooth + vectorize per said-label — no
+    // grid crossJoins, no left-join pair, no second groupBy
+    val theta1v = conf0.groupBy($"rater")
+      .agg(collect_list(struct($"g", $"l", $"cnt")).as("cs"))
+      .crossJoin(broadcast(gaDf))
+      .select($"rater", explode(expr(
+        """transform(ga, lbl -> struct(lbl AS label,
+             transform(ga, gg ->
+               ((coalesce(try_element_at(filter(cs, c -> c.g = gg AND c.l = lbl), 1).cnt, 0) + 1) * 100)
+               div (aggregate(filter(cs, c -> c.g = gg), CAST(0 AS BIGINT), (a, x) -> a + x.cnt) + lc)) AS thv))"""))
+        .as("e"))
+      .select($"rater", $"e.label".as("label"), $"e.thv".as("thv"))
+    // class-prior vector on the same axis, 1 row, same HOF idiom
+    val priv = mv.groupBy($"vlabel").agg(count(lit(1)).as("vc"))
+      .agg(collect_list(struct($"vlabel", $"vc")).as("vs"))
+      .crossJoin(broadcast(gaDf))
+      .select(expr(
+        """transform(ga, gg ->
+             ((coalesce(try_element_at(filter(vs, v -> v.vlabel = gg), 1).vc, 0) + 1) * 100)
+             div (aggregate(vs, CAST(0 AS BIGINT), (a, x) -> a + x.vc) + lc))""")
+        .as("pv"))
     // E1, vectorized: one groupBy(item), an elementwise int64 fold, and
     // the single DECIMAL hop for the ·10⁶ normalization
     val post1raw = j.join(theta1v, Seq("rater", "label"))
       .groupBy($"item").agg(collect_list($"thv").as("ths"))
-      .crossJoin(broadcast(priv.select($"pv")))
+      .crossJoin(broadcast(priv))
       .withColumn("sa", expr(
         """zip_with(pv, aggregate(ths, transform(pv, x -> CAST(1 AS BIGINT)),
            (acc, v) -> zip_with(acc, v, (a, b) -> a * b)), (p, q) -> p * q)"""))
@@ -1727,35 +1721,43 @@ object Annotation {
     // mass) → checkpoint; q494's single consumer chain must not pay
     // the extra serial job
     val post1 = if (checkpointPost1) post1raw.localCheckpoint() else post1raw
-    // soft confusion: positions of pa are classes on the sorted-label
-    // axis; posexplode is L narrow int64 rows per judgment, aggregated
-    // immediately — no arrays survive the shuffle
-    val sconf = j.join(post1, "item")
+    // soft confusion, collected straight to per-rater sparse cells on
+    // the POSITION axis (pos ≡ index into ga): posexplode is L narrow
+    // int64 rows per judgment, aggregated immediately
+    val sconfR = j.join(post1, "item")
       .select($"rater", $"label", posexplode($"pa"))
       .toDF("rater", "label", "pos", "p")
       .groupBy($"rater", $"label", $"pos").agg(sum($"p").as("sc"))
-      .crossJoin(broadcast(priv.select($"ga")))
-      .select($"rater", expr("element_at(ga, CAST(pos + 1 AS INT))").as("g"),
-        $"label".as("l"), $"sc")
-    val stot = sconf.groupBy($"rater", $"g").agg(sum($"sc").as("st"))
-    val theta2 = grid
-      .join(sconf, Seq("rater", "g", "l"), "left")
-      .join(stot, Seq("rater", "g"), "left")
-      .crossJoin(broadcast(lc))
-      .withColumn("theta2_milli", expr(
-        "((coalesce(sc, 0) + 1000000) * 1000) div (coalesce(st, 0) + lc * 1000000)"))
-      .select($"rater", $"g", $"l", $"theta2_milli")
-    DsSoft(j, mv, theta2, post1, lc,
-      priv.select($"ga"))
+      .groupBy($"rater")
+      .agg(collect_list(struct($"label", $"pos", $"sc")).as("cs"))
+      .crossJoin(broadcast(gaDf))
+    DsSoft(j, mv, sconfR, post1, gaDf)
   }
 
   /** Intermediates of [[dsSoftTheta2]] shared by q494/q495: the
-    * checkpointed judgment relation, the majority vote, the round-2
-    * confusion matrices, the round-1 posterior vectors (item → pa on
-    * the sorted-label axis), the 1-row label count and the 1-row
-    * sorted-label array. */
-  private case class DsSoft(j: DataFrame, mv: DataFrame, theta2: DataFrame,
-      post1: DataFrame, lc: DataFrame, ga: DataFrame)
+    * checkpointed judgment relation, the majority vote, the per-rater
+    * SOFT confusion cells (sparse, position-axis, with the label axis
+    * attached), the round-1 posterior vectors (item → pa) and the
+    * 1-row label axis (ga + lc). q494 densifies the cells into the
+    * milli θ² matrix; q495 densifies them into centi E2 fold vectors —
+    * same smoothing, two resolutions, one relation. */
+  private case class DsSoft(j: DataFrame, mv: DataFrame, sconfR: DataFrame,
+      post1: DataFrame, gaDf: DataFrame)
+
+  /** θ² from the per-rater soft cells, densified by HOF on the label
+    * axis: `scale` 1000 → the reported milli matrix, 100 → the E2 fold
+    * factors (identical smoothing by the nested-floor identity). */
+  private def theta2From(sconfR: DataFrame, scale: Int): DataFrame = {
+    val s = sconfR.sparkSession
+    import s.implicits._
+    sconfR.select($"rater", explode(expr(
+      s"""flatten(transform(sequence(1, CAST(lc AS INT)), gi ->
+            transform(ga, lbl -> struct(element_at(ga, gi) AS g, lbl AS l,
+              ((coalesce(try_element_at(filter(cs, c -> c.pos = gi - 1 AND c.label = lbl), 1).sc, 0) + 1000000) * $scale)
+              div (aggregate(filter(cs, c -> c.pos = gi - 1), CAST(0 AS BIGINT), (a, x) -> a + x.sc) + lc * 1000000) AS th))))"""))
+      .as("e"))
+      .select($"rater", $"e.g".as("g"), $"e.l".as("l"), $"e.th".as("th"))
+  }
 
   /** q494: the soft-EM confusion matrices themselves — per (rater,
     * true-class, said-label) the round-2 Laplace-smoothed θ² in milli.
@@ -1767,9 +1769,10 @@ object Annotation {
   def dawidSkeneSoftConfusion(jud: DataFrame): DataFrame = {
     val s = jud.sparkSession
     import s.implicits._
-    dsSoftTheta2(jud, checkpointPost1 = false, checkpointMv = true).theta2
+    val ds = dsSoftTheta2(jud, checkpointPost1 = false, checkpointMv = true)
+    theta2From(ds.sconfR, 1000)
       .select($"rater", $"g".as("true_label"), $"l".as("said_label"),
-        $"theta2_milli")
+        $"th".as("theta2_milli"))
       .orderBy($"rater", $"true_label", $"said_label")
   }
 
@@ -1784,24 +1787,22 @@ object Annotation {
     val s = jud.sparkSession
     import s.implicits._
     val ds = dsSoftTheta2(jud, checkpointPost1 = true, checkpointMv = false)
-    val (j, mv, theta2, post1, lc, ga) =
-      (ds.j, ds.mv, ds.theta2, ds.post1, ds.lc, ds.ga)
-    // soft prior vector over the sorted-label axis: per-position mass
-    // sums from the posterior vectors, total via an unpartitioned
-    // window over the ≤L-row aggregate
+    val (j, mv, sconfR, post1, gaDf) =
+      (ds.j, ds.mv, ds.sconfR, ds.post1, ds.gaDf)
+    // soft prior vector on the position axis, 1 row, HOF-densified
     val priv2 = post1
       .select(posexplode($"pa")).toDF("pos", "p")
       .groupBy($"pos").agg(sum($"p").as("sp"))
-      .withColumn("tp", sum($"sp").over(Window.partitionBy()))
-      .crossJoin(broadcast(lc))
-      .withColumn("pri", expr("((sp + 1000000) * 100) div (tp + lc * 1000000)"))
-      .agg(sort_array(collect_list(struct($"pos", $"pri"))).as("pp"))
-      .select(expr("transform(pp, x -> x.pri)").as("pv"))
-    // E2's fold factors are θ²_centi = θ²_milli div 10 — exactly the
-    // ((sconf+10⁶)·100) div (stot+L·10⁶) centi smoothing by the
-    // nested-floor identity — vectorized like θ¹
-    val theta2v = theta2
-      .withColumn("th", expr("theta2_milli div 10"))
+      .agg(collect_list(struct($"pos", $"sp")).as("ms"))
+      .crossJoin(broadcast(gaDf))
+      .select(expr(
+        """transform(sequence(1, CAST(lc AS INT)), gi ->
+             ((coalesce(try_element_at(filter(ms, m -> m.pos = gi - 1), 1).sp, 0) + 1000000) * 100)
+             div (aggregate(ms, CAST(0 AS BIGINT), (a, x) -> a + x.sp) + lc * 1000000))""")
+        .as("pv"))
+    // E2's fold factors are the centi θ² (θ²_milli div 10 — identical
+    // smoothing by the nested-floor identity), vectorized like θ¹
+    val theta2v = theta2From(sconfR, 100)
       .groupBy($"rater", $"l".as("label"))
       .agg(sort_array(collect_list(struct($"g", $"th"))).as("gt"))
       .select($"rater", $"label", expr("transform(gt, x -> x.th)").as("thv"))
@@ -1811,7 +1812,7 @@ object Annotation {
     val fin = j.join(theta2v, Seq("rater", "label"))
       .groupBy($"item").agg(collect_list($"thv").as("ths"))
       .crossJoin(broadcast(priv2))
-      .crossJoin(broadcast(ga))
+      .crossJoin(broadcast(gaDf.select($"ga")))
       .withColumn("sa", expr(
         """zip_with(pv, aggregate(ths, transform(pv, x -> CAST(1 AS BIGINT)),
            (acc, v) -> zip_with(acc, v, (a, b) -> a * b)), (p, q) -> p * q)"""))
