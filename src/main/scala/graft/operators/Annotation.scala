@@ -1940,6 +1940,65 @@ object Annotation {
        FROM final f JOIN mv m ON m.item = f.item
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------------------------------
+  // q496 — soft-EM rater report (posterior agreement + θ² diagonal)
+  // ---------------------------------------------------------------
+
+  /** Per-rater report from the soft model (q496) — the leaderboard a
+    * labeling operation actually reads after fitting q494/q495:
+    *
+    *  - `agree_micro`: mean posterior mass the model assigns to the
+    *    rater's OWN labels (Σ post¹(g = label) div n) — soft-expected
+    *    accuracy, crediting partial posterior mass where the hard
+    *    accuracy of q480 scores 0/1 against a single vote;
+    *  - `diag_milli`: mean θ² diagonal — the rater's self-consistency
+    *    under the fitted confusion model (a spammer's collapsed column
+    *    drags the off-class diagonal down even when raw agreement with
+    *    an imbalanced crowd looks fine).
+    *
+    * Scale: one (item)-keyed equi-join of the checkpointed judgments
+    * against the posterior vectors (element_at at the label's axis
+    * position — no ×L expansion), one groupBy(rater); the diagonal is
+    * ≤|raters|·L rows of arithmetic. All integer. */
+  def dawidSkeneRaterReport(jud: DataFrame): DataFrame = {
+    val s = jud.sparkSession
+    import s.implicits._
+    val ds = dsSoftTheta2(jud, checkpointPost1 = true, checkpointMv = true)
+    val agree = ds.j.join(ds.post1, "item")
+      .crossJoin(broadcast(ds.gaDf.select($"ga")))
+      .select($"rater",
+        expr("element_at(pa, CAST(array_position(ga, label) AS INT))").as("p_own"))
+      .groupBy($"rater")
+      .agg(count(lit(1)).as("n_judgments"), sum($"p_own").as("sum_agree"))
+    val diag = theta2From(ds.sconfR, 1000)
+      .filter($"g" === $"l")
+      .groupBy($"rater").agg(sum($"th").as("sd"), count(lit(1)).as("nl"))
+      .select($"rater", expr("sd div nl").as("diag_milli"))
+    agree.join(diag, "rater")
+      .select($"rater", $"n_judgments",
+        expr("sum_agree div n_judgments").as("agree_micro"), $"diag_milli")
+      .orderBy($"rater")
+  }
+
+  def q496DsRaterReport(s: SparkSession, d: String): DataFrame =
+    dawidSkeneRaterReport(judgments(s, d))
+
+  val q496Oracle: String = dsSoftSql + """,
+       agree AS (
+         SELECT j.rater, CAST(count(*) AS BIGINT) AS n_judgments,
+                CAST(sum(p.p) AS BIGINT) AS sum_agree
+         FROM jud j JOIN post1 p ON p.item = j.item AND p.g = j.label
+         GROUP BY 1),
+       diag AS (
+         SELECT rater, CAST(sum(theta2_milli) AS BIGINT)
+                // (SELECT lcnt FROM nl) AS diag_milli
+         FROM theta2 WHERE g = l GROUP BY 1)
+       SELECT a.rater, a.n_judgments,
+              a.sum_agree // a.n_judgments AS agree_micro,
+              d.diag_milli
+       FROM agree a JOIN diag d ON d.rater = a.rater
+       ORDER BY a.rater"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q478_fleiss_kappa" -> q478FleissKappa,
     "q479_krippendorff_alpha" -> q479KrippendorffAlpha,
@@ -1959,6 +2018,7 @@ object Annotation {
     "q493_agreement_drift" -> q493AgreementDrift,
     "q494_ds_soft_confusion" -> q494DawidSkeneSoftConfusion,
     "q495_ds_soft_flips" -> q495DawidSkeneSoftFlips,
+    "q496_ds_rater_report" -> q496DsRaterReport,
   )
 
   /** Value-sanity hooks (VERDICT r11 ask #7): magnitude/range
@@ -1992,6 +2052,9 @@ object Annotation {
       "q495_ds_soft_flips" -> Seq(nonEmpty,
         range("n_items", 1, 1000000000000L),
         range("sum_post_micro div n_items", 300000, 1000000)),
+      "q496_ds_rater_report" -> Seq(nonEmpty,
+        range("n_judgments", 1, 1000000000000L),
+        range("agree_micro", 0, 1000000), range("diag_milli", 0, 1000)),
     )
   }
 
@@ -2014,5 +2077,6 @@ object Annotation {
     "q493_agreement_drift" -> q493Oracle,
     "q494_ds_soft_confusion" -> q494Oracle,
     "q495_ds_soft_flips" -> q495Oracle,
+    "q496_ds_rater_report" -> q496Oracle,
   )
 }

@@ -115,6 +115,18 @@ class AnnotationSpec extends SparkSpec {
     assert(lab.getAs[String]("mv_label") == "A")   // plain vote (tie-break)
     assert(lab.getAs[String]("ds_label") == "B")   // confusion-aware flip
     assert(lab.getAs[Long]("post_micro") > 600000L)
+
+    // q496's report exposes the spammer where raw agreement can't:
+    // r2's θ² diagonal collapses on the B row (he never says B), so
+    // his mean diagonal sits well below informative r0's
+    val rep = operators.Annotation.dawidSkeneRaterReport(jud)
+      .collect().map(r => r.getAs[Long]("rater") ->
+        (r.getAs[Long]("agree_micro"), r.getAs[Long]("diag_milli"))).toMap
+    assert(rep(0L)._2 > rep(2L)._2 + 150L,
+      s"informative rater must out-diag the spammer: $rep")
+    rep.values.foreach { case (am, dm) =>
+      assert(am >= 0L && am <= 1000000L && dm >= 0L && dm <= 1000L)
+    }
   }
 
   test("Dawid–Skene hard-EM: accuracy weighting flips a tied item") {
