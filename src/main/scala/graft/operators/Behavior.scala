@@ -2468,36 +2468,67 @@ object Behavior {
     *
     * Scale: the raw stream reduces to the DISTINCT (hour, user)
     * relation first (one fact-sized shuffle with map-side combine);
-    * the delay fan-out is the q160 cover-explode idiom — each
-    * (h, user, D) row explodes to its ≤ D/1h cover hours
-    * `sequence(h, h+D−1)` (≤ 24 copies at this grid), restricted to
-    * OBSERVED hours by an equi semi-join — so the plan is hash joins
-    * and hash aggregates end to end, never a nested-loop range join
-    * of the fact-sized (hour, user) relation against the hour grid
-    * (VERDICT r8 #2: the pre-fix `t >= h && t < h + delay_h` theta
-    * join planned a BroadcastNestedLoopJoin, O(|hu|·|hours|) predicate
-    * evaluations for an output the explode produces directly). The
-    * per-(D, t) distinct count stays exact: a user active at several
-    * hours covering the same t just contributes duplicate
-    * (D, t, user) rows, which countDistinct collapses. */
+    * everything after is equi-shuffles and calendar-sized relations —
+    * never a nested-loop range join of the fact-sized (hour, user)
+    * relation against the hour grid (VERDICT r8 #2: an early
+    * `t >= h && t < h + delay_h` theta join planned a
+    * BroadcastNestedLoopJoin, O(|hu|·|hours|) predicate
+    * evaluations). The
+    * per-(D, t) distinct count stays exact: a user's overlapping cover
+    * intervals are merged by construction (pairwise delta
+    * cancellation), so no t is double-counted.
+    *
+    * r13 shape change: the first version exploded every (h, user, D)
+    * row to its ≤ D/1h cover hours and countDistinct'ed the result —
+    * a 31× fact blow-up whose 3M-row distinct shuffle was ~1.3 s of
+    * the query's 1.8 s at sf0.1 (and is fact-sized × 31 at 100 TB).
+    * This version never materializes the cover: per (user, D) the
+    * live-hour set is a UNION OF INTERVALS [h, h+D−1], which a lag
+    * window turns into ±1 delta points with pairwise cancellation
+    * (+1 at h — or at prev+D when the previous interval overlaps, the
+    * cancel trick — and −1 at h+D). Deltas are hour-granular, so the
+    * per-D delta relation collapses to ≤ (hour span + D) rows; the
+    * running state is one tiny cumulative-sum window over the delta
+    * points unioned with the observed-hour grid, and state_keys at an
+    * observed hour is the cumsum there. Shuffled bytes: the fact-sized
+    * lag window (×3 delays, no cover blow-up) plus two
+    * calendar-sized relations — the 31× explode is gone. */
   def q438StatePlanner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hu = Tables.events(s, d)
       .select(expr("unix_micros(ts) div 3600000000").as("h"), $"user_id")
       .distinct()
-    val hours = hu.select($"h".as("t")).distinct()
-    // user u is live at hour t under delay D iff it was active in
-    // (t-D, t] ⟺ t ∈ [h, h+D-1] for some active hour h: explode the
-    // literal delay grid (a generator, not a join), then the bounded
-    // cover, keep observed hours (equi semi-join), dedup users
-    val live = hu
-      .select($"h", $"user_id",
-        explode(typedLit(Seq(1L, 6L, 24L))).as("delay_h"))
-      .select($"delay_h", $"user_id",
-        explode(expr("sequence(h, h + delay_h - 1)")).as("t"))
-      .join(hours, Seq("t"), "left_semi")
-      .groupBy($"delay_h", $"t")
-      .agg(countDistinct($"user_id").as("state_keys"))
+    val delays = typedLit(Seq(1L, 6L, 24L))
+    // per-(delay, user) interval union via pairwise delta cancellation:
+    // sorted active hours h_i cover [h_i, h_i+D-1]; a disjoint interval
+    // opens +1 at h_i, an overlapping one re-opens at prev+D (cancelling
+    // the -1 the previous interval emitted there); every interval closes
+    // -1 at h_i+D
+    val w = Window.partitionBy($"delay_h", $"user_id").orderBy($"h")
+    val iv = hu
+      .select($"h", $"user_id", explode(delays).as("delay_h"))
+      .select($"delay_h", $"h", lag($"h", 1).over(w).as("ph"))
+    val deltas = iv.select($"delay_h",
+        when($"ph".isNull || $"h" - $"ph" >= $"delay_h", $"h")
+          .otherwise($"ph" + $"delay_h").as("pt"),
+        lit(1L).as("delta"))
+      .unionByName(iv.select($"delay_h",
+        ($"h" + $"delay_h").as("pt"), lit(-1L).as("delta")))
+      .groupBy($"delay_h", $"pt").agg(sum($"delta").as("delta"))
+    // observed-hour grid rides the same cumsum (delta 0); the RANGE
+    // frame includes same-pt delta rows in an observed row's cumsum
+    val obsD = hu.select($"h".as("pt")).distinct()
+      .select($"pt", explode(delays).as("delay_h"))
+    val pts = deltas.select($"delay_h", $"pt", $"delta", lit(0).as("is_obs"))
+      .unionByName(obsD.select($"delay_h", $"pt", lit(0L).as("delta"),
+        lit(1).as("is_obs")))
+    // 3 partitions of ≤ (hour span + D + observed hours) rows each —
+    // calendar-sized at any SF, never fact-sized
+    val cw = Window.partitionBy($"delay_h").orderBy($"pt")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = pts
+      .select($"delay_h", $"is_obs", sum($"delta").over(cw).as("state_keys"))
+      .filter($"is_obs" === 1)
     live.groupBy($"delay_h")
       .agg(max($"state_keys").as("peak_keys"),
         expr("sum(state_keys) div count(1)").as("mean_keys"),
