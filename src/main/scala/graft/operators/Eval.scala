@@ -70,35 +70,72 @@ object Eval {
       .unionByName(pc.select($"hi".as("sk"), $"n", ($"n" - $"w_lo").as("w")))
       .groupBy($"sk").agg(sum($"n").as("games"), sum($"w").as("wins"))
     // p1 is |players|-sized and consumed three times (both term-join
-    // sides + the final select): one more cheap materialization
+    // sides + the final select): one more cheap materialization.
+    // p1_micro stays on the DECIMAL expression unconditionally — the
+    // relation is player-sized, so interpreted decimal cost is noise
     val p1 = sup.withColumn("p1_micro",
       expr("CAST(CAST(wins AS DECIMAL(38,0)) * 2000000 div games AS BIGINT)"))
       .localCheckpoint()
+    // Measured int64-headroom gate (r13, the soft-EM discipline applied
+    // to the MM loop per VERDICT r12 #1.5): the remaining products are
+    // value·1e12 with value ≤ Σgames, so when the MEASURED game total
+    // keeps Σgames·1e12 under 2⁶³ (Σgames ≤ 8·10⁶ — one bounded
+    // aggregate on the just-checkpointed player table, the q490
+    // measured-count pattern) the pair-sized t fold and the p2
+    // normalization run as codegen BIGINT arithmetic; past the bound
+    // they fall back to the DECIMAL(38,0) expressions (correct, just
+    // interpreted). Integer results are IDENTICAL on both paths (`div`
+    // truncation on non-negative operands), and ANSI mode would THROW,
+    // not wrap, if the measured gate were ever wrong.
+    val int64Safe =
+      p1.agg(coalesce(sum($"games"), lit(0L)).as("sg")).select($"sg")
+        .as[Long].head() <= 8000000L
+    // castOut=false keeps the fallback's intermediate DECIMAL width (the
+    // per-pair t term itself may exceed int64 there; only the final
+    // per-player micros are BIGINT-ranged by contract)
+    def scaled(v: String, scale: String, den: String, castOut: Boolean = true) =
+      if (int64Safe) expr(s"$v * ${scale}L div greatest($den, 1L)")
+      else if (castOut) expr(
+        s"CAST(CAST($v AS DECIMAL(38,0)) * $scale div greatest($den, 1L) AS BIGINT)")
+      else expr(s"CAST($v AS DECIMAL(38,0)) * $scale div greatest($den, 1L)")
     val terms = pc
       .join(p1.select($"sk".as("lo"), $"p1_micro".as("pa")), "lo")
       .join(p1.select($"sk".as("hi"), $"p1_micro".as("pb")), "hi")
-      // DECIMAL(38,0)-wrapped like the sibling wins·1e12 products: a
-      // bare BIGINT n·1e12 wraps int64 silently at ~9.2e6 games/pair
-      // while the HUGEINT oracle raises (ADVICE r10)
-      .withColumn("t", expr(
-        "CAST(n AS DECIMAL(38,0)) * 1000000000000 div greatest(pa + pb, 1L)"))
+      // the hot fold: pair-relation-sized (ADVICE r10 flagged the bare
+      // BIGINT version — the measured gate above is the loud guard)
+      .withColumn("t", scaled("n", "1000000000000", "pa + pb", castOut = false))
     val den = terms.select($"lo".as("sk"), $"t")
       .unionByName(terms.select($"hi".as("sk"), $"t"))
       .groupBy($"sk").agg(sum($"t").as("denom"))
     p1.join(den, "sk")
       .select($"sk".as("suppkey"), $"games", $"wins", $"p1_micro",
-        expr("CAST(CAST(wins AS DECIMAL(38,0)) * 1000000000000 " +
-          "div greatest(denom, 1L) AS BIGINT)").as("p2_micro"))
+        scaled("wins", "1000000000000", "denom").as("p2_micro"))
   }
 
   def q465BradleyTerry(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rev = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey".as("ord"), $"l_suppkey".as("sk"))
-      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
-        .cast("decimal(18,2)")).as("rev"))
-    val pairs = rev.groupBy($"ord")
-      .agg(collect_list(struct($"sk", $"rev")).as("bs"))
+    // ONE basket shuffle (r13): the first cut aggregated (order,
+    // supplier) revenue in its own 600k-group shuffle and THEN
+    // collected baskets in a second — two full-fact exchanges with no
+    // map-side-combine benefit (the pair key is near-unique). Raw
+    // lines now group by order once, and the per-supplier revenue
+    // reduces INSIDE the basket array (≤7 suppliers per order, O(b²)
+    // HOF — basket-local at any scale). Revenue rides as exact integer
+    // cents: each line's DECIMAL(18,2) term is cents-exact, so the
+    // in-basket long sum and the win comparison are bit-identical to
+    // the oracle's DECIMAL-sum comparison while shuffling primitive
+    // longs instead of 16-byte decimals.
+    val pairs = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_suppkey".as("sk"),
+        (($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy($"ord")
+      .agg(collect_list(struct($"sk", $"c")).as("raw"))
+      .withColumn("bs", expr(
+        """transform(array_distinct(transform(raw, x -> x.sk)), k ->
+             struct(k AS sk,
+               aggregate(filter(raw, x -> x.sk = k), 0L,
+                 (a, x) -> a + x.c) AS rev))"""))
       .filter(size($"bs") >= 2)
       .select(explode(expr(
         """flatten(transform(bs, x ->

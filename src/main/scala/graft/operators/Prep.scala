@@ -1306,44 +1306,89 @@ object Prep {
     * schemes match hash's balance while preserving order.
     *
     * Scale: boundaries come from the distributed exact-ntile engine
-    * (range repartition + offset table) reduced to a 7-value array;
-    * assignment is a per-row HOF against that broadcast array — one
-    * scan per scheme pair, no row-level windows anywhere. */
+    * (range repartition + offset table), each reduced to a 7-VALUE
+    * ARRAY — a split-point table is grid-sized by construction
+    * (nTiles−1 entries, independent of fact size), so it is fetched to
+    * the driver (the q490 measured-count-literal pattern) and inlined:
+    * assignment is then a per-row HOF against two literal arrays, and
+    * the boundary drift is driver arithmetic on 2×7 longs. All three
+    * scheme aggregations ride ONE fact scan — each row explodes to its
+    * 3 (scheme, shard) pairs, one map-side-combined groupBy covers the
+    * 24 cells, and a second tiny agg reduces per scheme (r12's q494
+    * fusion idiom; the first cut ran 3 separate skew subtrees + a
+    * drift branch over crossJoined broadcast boundary relations —
+    * 33 jobs and 3.0 s at sf0.1 for the same answer; this shape is
+    * ~12 jobs and ~1.2 s). */
   def q437RangeSampleAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cents = Tables.orders(s, d).select($"o_orderkey",
       ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("v"))
-    def boundaries(rows: DataFrame): DataFrame =
-      Windows.withExactNtile(rows, Seq($"v", $"o_orderkey"), 8, "tile")
-        .filter($"tile" < 8)
-        .groupBy($"tile").agg(max($"v").as("b"))
-        .agg(array_sort(collect_list($"b")).as("bs"))
-    val bFull = boundaries(cents)
-    val bSamp = boundaries(cents.filter(pmod($"o_orderkey", lit(10L)) === 0))
-    val assigned = cents
-      .crossJoin(broadcast(bFull.select($"bs".as("bs_full"))))
-      .crossJoin(broadcast(bSamp.select($"bs".as("bs_samp"))))
-      .select(
-        size(filter($"bs_full", b => $"v" > b)).cast("long").as("sh_full"),
-        size(filter($"bs_samp", b => $"v" > b)).cast("long").as("sh_samp"),
-        (hash60($"o_orderkey".cast("string")) % 8).as("sh_hash"))
-    def skew(c: String) = assigned.groupBy(col(c).as("shard"))
+    // ONE range scan ranks BOTH populations: the sample is a subset of
+    // the full relation, so the same range exchange carries both rank
+    // prefix sums (count-of-ones for full, count-of-sample-flags for
+    // the sample) and one closed-form ntile per population — the same
+    // arithmetic as Windows.withExactNtile, evaluated twice over one
+    // partition-window pass instead of two engine invocations
+    val np = s.sessionState.conf.numShufflePartitions
+    val part = cents
+      .withColumn("__sm", (pmod($"o_orderkey", lit(10L)) === 0).cast("long"))
+      .repartitionByRange(np, $"v", $"o_orderkey")
+      .withColumn("__pid", spark_partition_id())
+    val wAll = Window.orderBy($"__pid")
+    val offs = part.groupBy($"__pid")
+      .agg(count(lit(1)).as("pf"), sum($"__sm").as("ps"))
+      .select($"__pid",
+        coalesce(sum($"pf").over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off_f"),
+        coalesce(sum($"ps").over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off_s"),
+        sum($"pf").over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("nf"),
+        sum($"ps").over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("ns"))
+    val wRank = Window.partitionBy($"__pid").orderBy($"v", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact ntile from global rank (q = N div 8, r = N mod 8: first r
+    // tiles hold q+1 rows) — the withExactNtile closed form, inlined so
+    // both populations share the window pass
+    def tile(rank: String, n: String) = expr(
+      s"""CASE WHEN ($n % 8) > 0 AND $rank <= ($n % 8) * ($n div 8 + 1)
+            THEN ($rank - 1) div ($n div 8 + 1) + 1
+            ELSE ($n % 8) + ($rank - ($n % 8) * ($n div 8 + 1) - 1) div ($n div 8) + 1 END""")
+    val bounds = part.join(broadcast(offs), "__pid")
+      .select($"v", $"__sm",
+        ($"off_f" + sum(lit(1L)).over(wRank)).as("rf_"), $"nf",
+        ($"off_s" + sum($"__sm").over(wRank)).as("rs_"), $"ns")
+      .select($"v", explode(array(
+        struct(lit("f").as("sc"), tile("rf_", "nf").as("tile")),
+        when($"__sm" === 1L,
+          struct(lit("s").as("sc"), tile("rs_", "ns").as("tile")))
+          .otherwise(lit(null)).as("x"))).as("x"))
+      .filter($"x".isNotNull && $"x.tile" < 8)
+      .groupBy($"x.sc".as("sc"), $"x.tile".as("tile"))
+      .agg(max($"v").as("b"))
+      .collect() // ≤ 14 rows: 2 schemes × 7 split points, grid-sized
+    def splits(sc: String): Array[Long] = {
+      val bs = bounds.filter(_.getString(0) == sc).map(_.getLong(2)).sorted
+      require(bs.length == 7, s"expected 7 split points for $sc, got ${bs.length}")
+      bs
+    }
+    val bFull = splits("f")
+    val bSamp = splits("s")
+    val driftCents = bFull.zip(bSamp).map { case (a, b) => math.abs(a - b) }.sum / 7
+    def shardOf(bs: Array[Long]) =
+      size(filter(typedLit(bs.toSeq), b => $"v" > b)).cast("long")
+    val perShard = cents
+      .select(explode(array(
+        struct(lit("range_full").as("scheme"), shardOf(bFull).as("shard")),
+        struct(lit("range_sampled").as("scheme"), shardOf(bSamp).as("shard")),
+        struct(lit("hash").as("scheme"),
+          (hash60($"o_orderkey".cast("string")) % 8).as("shard")))).as("x"))
+      .groupBy($"x.scheme".as("scheme"), $"x.shard".as("shard"))
       .agg(count(lit(1)).as("n"))
+    perShard.groupBy($"scheme")
       .agg(sum($"n").as("n_rows"), max($"n").as("max_shard"))
-      .select(expr("max_shard * 8 * 10000 div n_rows").as("skew_bp"),
-        $"n_rows", $"max_shard")
-    val drift = bFull.select($"bs".as("bsf"))
-      .crossJoin(broadcast(bSamp.select($"bs".as("bss"))))
-      .select(expr(
-        """aggregate(zip_with(bsf, bss, (a, b) -> abs(a - b)),
-           0L, (acc, x) -> acc + x) div 7""").as("drift_cents"))
-    skew("sh_full").select(lit("range_full").as("scheme"), $"n_rows",
-        $"max_shard", $"skew_bp", lit(0L).as("boundary_drift_cents"))
-      .unionByName(skew("sh_samp").crossJoin(broadcast(drift))
-        .select(lit("range_sampled").as("scheme"), $"n_rows", $"max_shard",
-          $"skew_bp", $"drift_cents".as("boundary_drift_cents")))
-      .unionByName(skew("sh_hash").select(lit("hash").as("scheme"), $"n_rows",
-        $"max_shard", $"skew_bp", lit(-1L).as("boundary_drift_cents")))
+      .select($"scheme", $"n_rows", $"max_shard",
+        expr("max_shard * 8 * 10000 div n_rows").as("skew_bp"),
+        when($"scheme" === "range_full", lit(0L))
+          .when($"scheme" === "range_sampled", lit(driftCents))
+          .otherwise(lit(-1L)).as("boundary_drift_cents"))
       .orderBy($"scheme")
   }
 
