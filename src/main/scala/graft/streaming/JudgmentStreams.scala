@@ -59,10 +59,25 @@ object JudgmentStreams {
     labels.values.groupBy(identity).view.mapValues(_.size).toSeq
       .minBy { case (l, c) => (-c, l) }._1
 
-  /** Stateful consensus maintenance: each item group folds arrivals
-    * into its per-rater min-label map and emits the updated vote once
-    * per microbatch it appears in. */
-  def voteStateful(jud: Dataset[JudgmentRow]): Dataset[VoteUpdate] = {
+  /** Default stateful consensus (r13, VERDICT r12 ask #6): the
+    * EVENT-TIME-TTL fold — see [[voteStatefulTtl]], which this
+    * delegates to. State is bounded by the live item set; unbounded
+    * state is the explicit opt-out ([[voteStatefulUnbounded]]). The
+    * timed-row signature is deliberate: choosing the default path
+    * means carrying event time. */
+  def voteStateful(jud: Dataset[TimedJudgmentRow],
+      ttl: java.time.Duration): Dataset[VoteUpdate] =
+    voteStatefulTtl(jud, ttl)
+
+  /** EXPLICIT OPT-OUT of state expiry: each item's rater map is held
+    * FOREVER (GroupStateTimeout.NoTimeout), so total state grows with
+    * the item universe, not the live window. Legitimate only when the
+    * item universe is provably bounded (a fixed labeling campaign, a
+    * batch-parity check like `JudgmentStreamsSpec`'s whole-corpus
+    * case); a 100 TB-scale live pipeline must use the TTL default —
+    * this name carries the "Unbounded" warning so the choice is
+    * visible at every call site. */
+  def voteStatefulUnbounded(jud: Dataset[JudgmentRow]): Dataset[VoteUpdate] = {
     val s = jud.sparkSession
     import s.implicits._
     jud.groupByKey(_.item)
@@ -87,8 +102,9 @@ object JudgmentStreams {
       }
   }
 
-  /** TTL variant of [[voteStateful]] (VERDICT r11 ask #5 — the knob the
-    * NoTimeout scaladoc only promised): items whose labeling window has
+  /** The event-time-TTL consensus fold — the DEFAULT since r13
+    * ([[voteStateful]] delegates here; VERDICT r11 ask #5 added the
+    * knob, r12 ask #6 made it the default): items whose labeling window has
     * CLOSED — no judgment for `ttl` of event time past the item's last
     * arrival — drop their state instead of holding a rater map forever,
     * so total state is bounded by the LIVE item set, not the item
@@ -148,14 +164,24 @@ object JudgmentStreams {
       }
   }
 
-  /** Streaming entry: file-source judgment stream → stateful vote. */
-  def voteStream(s: SparkSession, judDir: String): Dataset[VoteUpdate] = {
+  /** Default streaming entry: timestamped file source → TTL vote
+    * (delegates to [[voteStreamTtl]]). The unbounded-state entry is
+    * the explicit opt-out, [[voteStreamUnbounded]]. */
+  def voteStream(s: SparkSession, judDir: String,
+      ttl: java.time.Duration, watermarkDelay: String): Dataset[VoteUpdate] =
+    voteStreamTtl(s, judDir, ttl, watermarkDelay)
+
+  /** EXPLICIT OPT-OUT entry (see [[voteStatefulUnbounded]]): an
+    * un-timestamped judgment stream whose per-item state never
+    * expires — bounded-universe campaigns and batch-parity checks
+    * only. */
+  def voteStreamUnbounded(s: SparkSession, judDir: String): Dataset[VoteUpdate] = {
     import s.implicits._
     val jud = s.readStream.schema(judgmentSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(judDir)
       .select(col("item"), col("rater"), col("label")).as[JudgmentRow]
-    voteStateful(jud)
+    voteStatefulUnbounded(jud)
   }
 
   val timedJudgmentSchema: StructType = StructType(Seq(

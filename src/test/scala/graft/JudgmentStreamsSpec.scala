@@ -56,7 +56,7 @@ class JudgmentStreamsSpec extends SparkSpec {
         staged, s"jud_$i.parquet")
     }
 
-    val q = JudgmentStreams.voteStream(spark, staged.toString)
+    val q = JudgmentStreams.voteStreamUnbounded(spark, staged.toString)
       .writeStream.outputMode("append")
       .format("memory").queryName("vote_out")
       .start()
@@ -131,7 +131,7 @@ class JudgmentStreamsSpec extends SparkSpec {
       staged, "t0.parquet")
     stageFile(Seq((1L, 0L, "A"), (1L, 1L, "R"))
       .toDF("item", "rater", "label"), staged, "t1.parquet")
-    val q = JudgmentStreams.voteStream(spark, staged.toString)
+    val q = JudgmentStreams.voteStreamUnbounded(spark, staged.toString)
       .writeStream.outputMode("append").format("memory").queryName("vote_tiny")
       .start()
     try {
