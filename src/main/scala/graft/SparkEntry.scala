@@ -76,7 +76,8 @@ object SparkEntry {
     * the check the hash compare cannot do (shared-algebra bugs match on
     * garbage). Wired for the annotation + eval families first. */
   def sanities: Map[String, Seq[Sanity.Hook]] =
-    operators.Annotation.sanities ++ operators.Eval.sanities
+    SanityHooks.hooks ++ operators.Annotation.sanities ++
+      operators.Eval.sanities
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
