@@ -1157,28 +1157,40 @@ object Stats {
     * percentile_approx ignores weights unless rows are exploded
     * weight-many times, which multiplies the shuffle by mean(w).
     *
-    * Shape: groupBy (flag, cents) first — the window then runs over
-    * the DISTINCT-VALUE relation (bounded by the price domain), not
-    * the fact table, and the only corpus-sized stage is that
-    * partial-aggregating groupBy. Money is exact: decimal(18,2)·100 →
-    * int64 cents on both engines; the crossing test (2·cum ≥ tot) is
-    * integer. */
+    * Shape (r13): ONE distributed prefix-sum over the raw fact. The
+    * r12 shape pre-aggregated (flag, cents) and ran the cumulative
+    * window `partitionBy(flag)` — but cents are near-unique, so the
+    * "distinct-value relation" was fact-sized, the pre-agg shuffle
+    * bought nothing (no combine on a near-unique key), and the 3
+    * flag partitions each sorted ~170k rows single-threaded (2.1 s at
+    * sf0.1, flagged by the r13 twin_ratio screen). Now the raw rows
+    * flow straight into the range-prefix-sum engine on the GLOBAL
+    * (flag, cents) order; the per-flag cumulative is the global prefix
+    * minus the flag's start offset (a 3-row broadcast from the totals
+    * aggregate the query already needed).
+    *
+    * Tie-safety: within one cents group the scan order (and thus a
+    * row's partial cum) is nondeterministic, but the crossing FILTER +
+    * min(cents) only depend on each group's LAST prefix — a group
+    * crosses iff its full prefix does, so the reported median is
+    * deterministic. freeze=false: the range exchange's two consumers
+    * sit in one action (ReuseExchange dedups; PLANS.md r11 rule).
+    * Money is exact: decimal(18,2)·100 → int64 cents on both engines;
+    * the crossing test (2·cum ≥ tot) is integer. */
   def q197WeightedMedian(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val v = Tables.lineitem(s, d)
+    val rows = Tables.lineitem(s, d)
       .select($"l_returnflag".as("flag"),
         ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
         $"l_quantity".cast("long").as("w"))
-      .groupBy($"flag", $"cents").agg(sum($"w").as("cw"))
-    val cumW = Window.partitionBy($"flag").orderBy($"cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // totals via partial-agg + broadcast join, NOT a second (orderless)
-    // window: the two frames can't share one WindowExec, so the window
-    // form re-scanned every partition twice (2.1 → ~1.6 s at sf0.1)
-    val totals = v.groupBy($"flag").agg(sum($"cw").as("tot"))
-    v.withColumn("cum", sum($"cw").over(cumW))
-      .join(broadcast(totals), "flag")
-      .filter($"cum" * 2 >= $"tot")
+    val offs = rows.groupBy($"flag").agg(sum($"w").as("tot"))
+      .select($"flag", $"tot",
+        coalesce(sum($"tot").over(Window.orderBy($"flag").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    Windows.rangePrefixSum(rows, Seq($"flag", $"cents"), $"w", "gcum",
+        freeze = false)
+      .join(broadcast(offs), "flag")
+      .filter(($"gcum" - $"off") * 2 >= $"tot")
       .groupBy($"flag")
       .agg(min($"cents").as("wmedian_cents"), max($"tot").as("total_weight"))
       .orderBy($"flag")

@@ -113,8 +113,8 @@ object Windows {
     * (a prefix sum over equal addends is permutation-invariant, q111's
     * same-timestamp deltas). */
   def rangePrefixSum(rows: DataFrame, order: Seq[Column], value: Column,
-      outCol: String): DataFrame =
-    rangeScan(rows, order, value, outCol)._1.drop("__pt", "__total")
+      outCol: String, freeze: Boolean = true): DataFrame =
+    rangeScan(rows, order, value, outCol, freeze)._1.drop("__pt", "__total")
 
   /** [[rangePrefixSum]] plus the scan's own by-products: the annotated
     * rows keep `__pt` (their partition's total) and `__total` (the
