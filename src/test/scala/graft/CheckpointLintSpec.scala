@@ -29,7 +29,10 @@ class CheckpointLintSpec extends AnyFunSuite {
     * window/limit, cross-action loop state, partition-id pin,
     * measured keep). */
   private val frozen: Map[String, Int] = Map(
-    "operators/Annotation.scala" -> 16,
+    // r13: three per-query judgment checkpoints collapsed into the one
+    // session-scoped judgmentsShared cache site (cross-action reuse —
+    // the strongest keep class)
+    "operators/Annotation.scala" -> 14,
     "operators/Behavior.scala" -> 5,
     "operators/Capacity.scala" -> 2,
     "operators/Corpus.scala" -> 13,
