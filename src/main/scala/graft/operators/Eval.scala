@@ -934,13 +934,26 @@ object Eval {
     * All arithmetic exact-integer (milli, `div` floors mirrored). */
   def q476PositionBias(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rev = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey".as("ord"), $"l_suppkey".as("sk"))
-      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
-        .cast("decimal(18,2)")).as("rev"),
-        min($"l_linenumber").cast("long").as("ln"))
-    val jm = rev.groupBy($"ord")
-      .agg(collect_list(struct($"sk", $"rev", $"ln")).as("bs"))
+    // one basket shuffle, q465's r13 idiom: raw lines group by order
+    // once and the per-supplier (revenue, first-position) pair reduces
+    // INSIDE the basket array (≤7 suppliers, O(b²) HOF); revenue rides
+    // as exact integer cents — comparisons are bit-identical to the
+    // oracle's DECIMAL-sum comparisons
+    val jm = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_suppkey".as("sk"),
+        (($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,2)") * 100).cast("long").as("c"),
+        $"l_linenumber".cast("long").as("lnum"))
+      .groupBy($"ord")
+      .agg(collect_list(struct($"sk", $"c", $"lnum")).as("raw"))
+      .withColumn("bs", expr(
+        """transform(array_distinct(transform(raw, x -> x.sk)), k ->
+             struct(k AS sk,
+               aggregate(filter(raw, x -> x.sk = k), 0L,
+                 (a, x) -> a + x.c) AS rev,
+               aggregate(filter(raw, x -> x.sk = k),
+                 CAST(9223372036854775807 AS BIGINT),
+                 (a, x) -> least(a, x.lnum)) AS ln))"""))
       .filter(size($"bs") >= 2)
       .join(Tables.orders(s, d)
         .select($"o_orderkey", $"o_orderpriority".as("judge")),
