@@ -64,4 +64,35 @@ class BenchCompareSpec extends AnyFunSuite {
     assert(q2.isEmpty && sp2.isEmpty)
     java.nio.file.Files.delete(tmp)
   }
+
+  test("twinFlags applies both gates and annotates the wave exemption") {
+    val cur = Map(
+      "q_slow_ratio" -> 3.0,  // >2s and >2x twin → flagged
+      "q_slow_parity" -> 3.0, // >2s but ~1x twin → not flagged
+      "q_fast_ratio" -> 0.5,  // 10x twin but <2s → not flagged
+      "q_wave" -> 4.0,        // flagged, but ≥25 jobs → wave-exempt
+      "q_failed" -> -1.0,     // failed runs never flag
+      "q_no_twin" -> 5.0)     // no twin measurement → not flagged
+    val twin = Map(
+      "q_slow_ratio" -> 0.5, "q_slow_parity" -> 2.8,
+      "q_fast_ratio" -> 0.05, "q_wave" -> 0.4, "q_failed" -> 0.1)
+    val jobs = Map("q_slow_ratio" -> 8L, "q_wave" -> 30L)
+    val f = BenchCompare.twinFlags(cur, twin, jobs)
+    assert(f.keySet == Set("q_slow_ratio", "q_wave"), f.keySet)
+    assert(!f("q_slow_ratio").waveExempt && f("q_slow_ratio").ratioPermille == 6000)
+    assert(f("q_wave").waveExempt && f("q_wave").jobs == 30L)
+    // json renders name-sorted with the exemption visible
+    val js = BenchCompare.twinFlagsJson(f)
+    assert(js.indexOf("q_slow_ratio") < js.indexOf("q_wave"))
+    assert(js.contains("\"wave_exempt\":true"))
+  }
+
+  test("parseFlatQueryMap reads the child-JVM output and fails closed") {
+    assert(BenchCompare.parseFlatQueryMap("""{"q1_x":1.5,"q2_x":-1.0}""") ==
+      Map("q1_x" -> 1.5, "q2_x" -> -1.0))
+    // a missing/corrupt child must read as jvm_runs=1, never as zeros
+    assert(BenchCompare.parseFlatQueryMap("not json").isEmpty)
+    assert(BenchCompare.parseFlatQueryMap("[1,2]").isEmpty)
+    assert(BenchCompare.parseFlatQueryMap("""{"q1_x":"oops"}""").isEmpty)
+  }
 }
