@@ -162,7 +162,14 @@ object Bench {
     // jvm_runs=1 with a loud stderr note. Wall-clock cost: one extra
     // warmup + single pass (~40% of a one-JVM run) — the price of
     // erasing the JIT lottery from the committed artifact.
-    val wantJvms = sys.env.getOrElse("SPARK_GRAFT_JVMS", "2").toInt
+    // malformed value fails OPEN to the default like every other
+    // child-JVM error path (ADVICE r13), never crashes the whole bench
+    val wantJvms = sys.env.get("SPARK_GRAFT_JVMS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.orElse {
+        System.err.println(
+          s"[bench] unparseable SPARK_GRAFT_JVMS='$v' — using default 2")
+        None
+      }).getOrElse(2)
     val childQ: Map[String, Double] = if (wantJvms < 2) Map.empty else {
       try {
         val outF = java.nio.file.Files.createTempFile("bench_child", ".json")
@@ -271,14 +278,24 @@ object Bench {
     // hiding them. Absent twin artifact → empty map, loudly.
     val twinQ: Map[String, Double] = {
       val dir = java.nio.file.Paths.get(".").toAbsolutePath
-      val cands = java.nio.file.Files.list(dir).iterator()
+      // latest = max NUMERIC round (ADVICE r13: lexicographic compare
+      // breaks at r100+ or unpadded names); stream closed via try/finally
+      def roundOf(fn: String): Long =
+        scala.util.Try(fn.stripPrefix("BENCH_DUCKDB_r")
+          .stripSuffix(".json").takeWhile(_.isDigit).toLong).getOrElse(-1L)
+      val stream = java.nio.file.Files.list(dir)
       var latest: Option[java.nio.file.Path] = None
-      while (cands.hasNext) {
-        val p = cands.next()
-        val fn = p.getFileName.toString
-        if (fn.startsWith("BENCH_DUCKDB_r") && fn.endsWith(".json") &&
-            latest.forall(_.getFileName.toString < fn)) latest = Some(p)
-      }
+      try {
+        val cands = stream.iterator()
+        while (cands.hasNext) {
+          val p = cands.next()
+          val fn = p.getFileName.toString
+          if (fn.startsWith("BENCH_DUCKDB_r") && fn.endsWith(".json") &&
+              roundOf(fn) >= 0 &&
+              latest.forall(q => roundOf(q.getFileName.toString) < roundOf(fn)))
+            latest = Some(p)
+        }
+      } finally stream.close()
       latest match {
         case None =>
           System.err.println(

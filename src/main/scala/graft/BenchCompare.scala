@@ -90,10 +90,30 @@ object BenchCompare {
     * wave-exempt — its cost is per-plan stage waves (fixed, vanishing
     * at scale), recorded rather than hidden. */
   final case class TwinFlag(sec: Double, twinSec: Double, ratioPermille: Long,
-      jobs: Long, waveExempt: Boolean)
+      jobs: Long, waveExempt: Boolean, audited: Option[String])
   val TwinAbsGateSec = 2.0
   val TwinRelGate = 2.0
   val WaveExemptJobs = 25L
+
+  /** Audited-inherent exemptions (VERDICT r13 ask #3): queries whose
+    * twin ratio was hand-audited across rounds and measured to be the
+    * floor of a sound plan — flagged-but-annotated, so the screen
+    * converges to actionable-only without a BENCH_NOTES cross-read.
+    * Allowlist is lint-frozen by `BenchCompareSpec` (like the
+    * checkpoint estate): adding an entry requires a same-commit audit
+    * citation here AND in the spec. */
+  val AuditedInherent: Map[String, String] = Map(
+    "q157_copurchase" -> ("BENCH_NOTES §Round-5-close/§Round-12 — basket " +
+      "HOF pair floor; global coalesce knob measured 3.2x WORSE r12, do not re-try"),
+    "q182_apriori_triples" -> ("BENCH_NOTES §Round-7/§Round-10 — 16-job " +
+      "candidate-join chain audited r10; un-hinted, AQE decides"),
+    "q237_pagerank_loop" -> ("BENCH_NOTES §Round-10 — iterative loop " +
+      "class, per-round actions inherent; count-gated frontier broadcasts"),
+    "q401_encoding_advisor" -> ("BENCH_NOTES §Round-8-close/§Round-9 — " +
+      "two inherent passes + NDV split r9; isolated re-times 1.9s (wave cost)"),
+    "q480_dawid_skene" -> ("BENCH_NOTES §Round-11/§Round-13 — four " +
+      "sequential EM rounds inherent; shared judgment checkpoint r13, QTime 1.44s"),
+  )
 
   def twinFlags(cur: Map[String, Double], twin: Map[String, Double],
       jobs: Map[String, Long]): Map[String, TwinFlag] =
@@ -103,7 +123,7 @@ object BenchCompare {
           val j = jobs.getOrElse(n, -1L)
           Some(n -> TwinFlag(c, t,
             if (t > 0) math.round(c / t * 1000) else -1L,
-            j, j >= WaveExemptJobs))
+            j, j >= WaveExemptJobs, AuditedInherent.get(n)))
         case _ => None
       }
     }
@@ -112,7 +132,8 @@ object BenchCompare {
     f.toSeq.sortBy(_._1).map { case (n, g) =>
       "\"" + n + "\":{\"sec\":" + g.sec + ",\"twin_sec\":" + g.twinSec +
         ",\"ratio_permille\":" + g.ratioPermille + ",\"jobs\":" + g.jobs +
-        ",\"wave_exempt\":" + g.waveExempt + "}"
+        ",\"wave_exempt\":" + g.waveExempt + ",\"audited\":" +
+        g.audited.map(a => "\"" + a.replace("\"", "'") + "\"").getOrElse("false") + "}"
     }.mkString("{", ",", "}")
 
   /** JSON rendering of the regression map for the artifact line:

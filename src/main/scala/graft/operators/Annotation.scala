@@ -1903,7 +1903,12 @@ object Annotation {
     import s.implicits._
     labelsFrom(dsSoftFor(s, d))
       .groupBy($"mv_label", $"ds_label")
-      .agg(count(lit(1)).as("n_items"), sum($"post_micro").as("sum_post_micro"))
+      // n_post counts items that CARRY a posterior (the ssum=0 NULL
+      // sentinel yields post_micro NULL — ADVICE r13: without the
+      // separate count, the sanity floor divides posterior mass by
+      // sentinel items that contributed none of it)
+      .agg(count(lit(1)).as("n_items"), count($"post_micro").as("n_post"),
+        sum($"post_micro").as("sum_post_micro"))
       .orderBy($"mv_label", $"ds_label")
   }
 
@@ -2005,6 +2010,7 @@ object Annotation {
                  FROM post2 WHERE rk = 1)
        SELECT m.vlabel AS mv_label, f.ds_label,
               CAST(count(*) AS BIGINT) AS n_items,
+              CAST(count(f.post_micro) AS BIGINT) AS n_post,
               CAST(sum(f.post_micro) AS BIGINT) AS sum_post_micro
        FROM final f JOIN mv m ON m.item = f.item
        GROUP BY 1, 2 ORDER BY 1, 2"""
@@ -2103,9 +2109,11 @@ object Annotation {
     * their defined ranges), but two are DISTRIBUTIONAL and documented
     * as such — Krippendorff's α is unbounded below in theory (extreme
     * label imbalance; the −3 floor here covers any corpus this engine
-    * targets and every tested SF), and q495's per-item posterior-mean
-    * floor is 10⁶/L for the winning class, hardcoded for the graft
-    * L = 3 label universe (a different universe must re-derive it). */
+    * targets and every tested SF). q495's posterior-mean floor is
+    * 10⁶/L for the winning class over items that CARRY a posterior
+    * (n_post — the ssum=0 sentinel items are excluded, making the
+    * bound exact rather than distributional; ADVICE r13), hardcoded
+    * for the graft L = 3 label universe. */
   val sanities: Map[String, Seq[graft.Sanity.Hook]] = {
     import graft.Sanity._
     Map(
@@ -2131,11 +2139,17 @@ object Annotation {
         range("theta2_milli", 0, 1000),
         groupSum(Seq("rater", "true_label"), "theta2_milli", 997, 1000)),
       // the winning posterior is ≥ 1/L and ≤ 1, in micro; the 300000
-      // floor hardcodes the graft L = 3 label universe (distributional
-      // assumption — see scaladoc; re-derive as 10⁶ div L elsewhere)
+      // floor hardcodes the graft L = 3 label universe (re-derive as
+      // 10⁶ div L elsewhere). The mean divides by n_post — items the
+      // ssum=0 sentinel NULLs out carry no posterior mass, so dividing
+      // by n_items would undershoot the floor on CORRECT output
+      // (ADVICE r13); with n_post the bound is exact, not
+      // distributional. n_post = 0 ⇒ sum is NULL ⇒ range skips
       "q495_ds_soft_flips" -> Seq(nonEmpty,
         range("n_items", 1, 1000000000000L),
-        range("sum_post_micro div n_items", 300000, 1000000)),
+        range("n_items - n_post", 0, 1000000000000L),
+        range("CASE WHEN n_post = 0 THEN NULL ELSE sum_post_micro div n_post END",
+          300000, 1000000)),
       "q496_ds_rater_report" -> Seq(nonEmpty,
         range("n_judgments", 1, 1000000000000L),
         range("agree_micro", 0, 1000000), range("diag_milli", 0, 1000)),

@@ -92,7 +92,13 @@ object Eval {
         .as[Long].head() <= 8000000L
     // castOut=false keeps the fallback's intermediate DECIMAL width (the
     // per-pair t term itself may exceed int64 there; only the final
-    // per-player micros are BIGINT-ranged by contract)
+    // per-player micros are BIGINT-ranged by contract).
+    // Eager-action contract (ADVICE r13): the gate's head() runs at
+    // DataFrame-CONSTRUCTION time, so building this plan executes the
+    // basket/pair front end once even if the caller never acts on the
+    // result. Acceptable because p1 is localCheckpoint'd — the gate
+    // aggregate reads the materialized RDD, and every later consumer
+    // reuses it rather than re-running lineage
     def scaled(v: String, scale: String, den: String, castOut: Boolean = true) =
       if (int64Safe) expr(s"$v * ${scale}L div greatest($den, 1L)")
       else if (castOut) expr(

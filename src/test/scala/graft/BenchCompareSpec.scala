@@ -85,6 +85,29 @@ class BenchCompareSpec extends AnyFunSuite {
     val js = BenchCompare.twinFlagsJson(f)
     assert(js.indexOf("q_slow_ratio") < js.indexOf("q_wave"))
     assert(js.contains("\"wave_exempt\":true"))
+    // unaudited flags render audited:false (screen converges on these)
+    assert(js.contains("\"audited\":false"))
+  }
+
+  test("audited-inherent allowlist is frozen (VERDICT r13 ask #3)") {
+    // Adding a query here requires a SAME-COMMIT audit entry in
+    // BENCH_NOTES.md naming the measured floor — the allowlist is an
+    // exemption register, not a mute button. Every value must cite the
+    // BENCH_NOTES section carrying the audit.
+    val frozen = Set("q157_copurchase", "q182_apriori_triples",
+      "q237_pagerank_loop", "q401_encoding_advisor", "q480_dawid_skene")
+    assert(BenchCompare.AuditedInherent.keySet == frozen,
+      s"allowlist drifted: ${BenchCompare.AuditedInherent.keySet} vs $frozen")
+    BenchCompare.AuditedInherent.foreach { case (n, cite) =>
+      assert(cite.contains("BENCH_NOTES"), s"$n exemption lacks a citation")
+      assert(SparkEntry.queries.contains(n), s"$n is not a suite query")
+    }
+    // an allowlisted query that flags carries its citation in the JSON
+    val f = BenchCompare.twinFlags(
+      Map("q157_copurchase" -> 3.0), Map("q157_copurchase" -> 0.3),
+      Map("q157_copurchase" -> 7L))
+    assert(f("q157_copurchase").audited.exists(_.contains("BENCH_NOTES")))
+    assert(BenchCompare.twinFlagsJson(f).contains("\"audited\":\"BENCH_NOTES"))
   }
 
   test("parseFlatQueryMap reads the child-JVM output and fails closed") {
