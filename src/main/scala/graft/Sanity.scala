@@ -45,6 +45,20 @@ object Sanity {
   val nonEmpty: Hook =
     Hook("nonEmpty", df => if (df.isEmpty) Some("result is empty") else None)
 
+  /** One-sided floor: every non-null value of `col` must be ≥ `lo`.
+    * For definitional floors whose statistic is UNBOUNDED ABOVE
+    * (q-errors ≥ 1, skew ratios ≥ 1, regrets ≥ 0, growth ≥ −100%) —
+    * a two-sided [[range]] there would need a made-up cap, which is
+    * exactly the data-dependent-bound trap ADVICE r12 warned about. */
+  def atLeast(col: String, lo: Long): Hook =
+    Hook(s"atLeast($col >= $lo)", df => {
+      val r = df.agg(min(expr(col)).cast("double").as("mn")).collect()(0)
+      if (r.isNullAt(0)) None
+      else if (r.getDouble(0) < lo)
+        Some(s"$col below $lo: observed min ${r.getDouble(0)}")
+      else None
+    })
+
   /** sum(`valueCol`) grouped by `keys` must lie in [lo, hi] for every
     * group — e.g. a partition of probability mass: milli θ rows per
     * (rater, true_label) must sum to ~1000. */

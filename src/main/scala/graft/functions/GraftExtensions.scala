@@ -41,6 +41,9 @@ object GraftExtensions {
       info(classOf[ShingleHashes], "shingle_hashes"),
       (es: Seq[Expression]) =>
         ShingleHashes(es(0), intLit(es(1)), intLit(es(2)))),
+    (FunctionIdentifier("md5_prefix"),
+      info(classOf[HashPrefix], "md5_prefix"),
+      (es: Seq[Expression]) => HashPrefix(es(0), intLit(es(1)))),
   )
 
   /** Register on an existing session (temp functions). */

@@ -66,9 +66,13 @@ object Eval {
     val pc = pairs.groupBy($"lo", $"hi")
       .agg(count(lit(1)).as("n"), sum($"lo_win").as("w_lo"))
       .localCheckpoint()
-    val sup = pc.select($"lo".as("sk"), $"n", $"w_lo".as("w"))
-      .unionByName(pc.select($"hi".as("sk"), $"n", ($"n" - $"w_lo").as("w")))
-      .groupBy($"sk").agg(sum($"n").as("games"), sum($"w").as("wins"))
+    // explode-both-sides, ONE pass over pc (r14): the unionByName
+    // form scanned the checkpoint twice through two partial aggregates
+    val sup = pc.select(explode(array(
+        struct($"lo".as("sk"), $"n", $"w_lo".as("w")),
+        struct($"hi".as("sk"), $"n", ($"n" - $"w_lo").as("w")))).as("e"))
+      .groupBy($"e.sk".as("sk"))
+      .agg(sum($"e.n").as("games"), sum($"e.w").as("wins"))
     // p1 is |players|-sized and consumed three times (both term-join
     // sides + the final select): one more cheap materialization.
     // p1_micro stays on the DECIMAL expression unconditionally — the
@@ -110,9 +114,13 @@ object Eval {
       // the hot fold: pair-relation-sized (ADVICE r10 flagged the bare
       // BIGINT version — the measured gate above is the loud guard)
       .withColumn("t", scaled("n", "1000000000000", "pa + pb", castOut = false))
-    val den = terms.select($"lo".as("sk"), $"t")
-      .unionByName(terms.select($"hi".as("sk"), $"t"))
-      .groupBy($"sk").agg(sum($"t").as("denom"))
+    // the r13 unionByName here ran the terms subtree TWICE — its two
+    // broadcast joins and the t fold sit behind no exchange, so
+    // ReuseExchange cannot dedupe them (the VERDICT r13 #4 ask);
+    // exploding both sides computes terms once and halves the tail
+    val den = terms.select(explode(array(
+        struct($"lo".as("sk"), $"t"), struct($"hi".as("sk"), $"t"))).as("e"))
+      .groupBy($"e.sk".as("sk")).agg(sum($"e.t").as("denom"))
     p1.join(den, "sk")
       .select($"sk".as("suppkey"), $"games", $"wins", $"p1_micro",
         scaled("wins", "1000000000000", "denom").as("p2_micro"))

@@ -76,7 +76,7 @@ object Multimodal {
     * Column arithmetic over the binary column. */
   def q50MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    val h1 = graft.functions.TextExprs.md5_prefix($"media", 15)
     Tables.documents(s, d)
       .select($"doc_id", $"text".cast("binary").as("media"))
       .withColumn("byte_len", length($"media").cast("long"))
@@ -144,7 +144,7 @@ object Multimodal {
     * no payload byte survives into the widened relation. */
   def q51FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    val h1 = graft.functions.TextExprs.md5_prefix($"media", 15)
     val meta = Tables.documents(s, d)
       .select($"doc_id", $"text".cast("binary").as("media"))
       .withColumn("width", h1 % 640 + 16)
@@ -162,8 +162,8 @@ object Multimodal {
       .withColumn("patch_cols", expr("(out_w + 15) div 16"))
       .withColumn("n_patches", $"patch_rows" * $"patch_cols")
       .withColumn("feat",
-        conv(substring(md5(concat($"doc_id", lit(":"), $"frame_no")), 1, 15),
-          16, 10).cast("long") % 1000)
+        graft.functions.TextExprs.md5_prefix(
+          concat($"doc_id", lit(":"), $"frame_no"), 15) % 1000)
       .select($"doc_id", $"frame_no", $"frame_ts_ms",
         $"patch_rows", $"patch_cols", $"n_patches", $"feat")
       .orderBy($"doc_id", $"frame_no")
@@ -207,7 +207,7 @@ object Multimodal {
     * feeds q36-style packing directly). */
   def q97MmBudget(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    val h1 = graft.functions.TextExprs.md5_prefix($"media", 15)
     Tables.documents(s, d)
       .select($"doc_id", $"text", $"text".cast("binary").as("media"))
       .withColumn("text_tokens",
@@ -267,7 +267,7 @@ object Multimodal {
     * scan-local integer arithmetic. */
   def q104MmPacking(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h1 = conv(substring(md5($"media"), 1, 15), 16, 10).cast("long")
+    val h1 = graft.functions.TextExprs.md5_prefix($"media", 15)
     val budgeted = Tables.documents(s, d)
       .select($"doc_id", $"source", $"text", $"text".cast("binary").as("media"))
       .withColumn("text_tokens",

@@ -1374,16 +1374,25 @@ object Prep {
     val driftCents = bFull.zip(bSamp).map { case (a, b) => math.abs(a - b) }.sum / 7
     def shardOf(bs: Array[Long]) =
       size(filter(typedLit(bs.toSeq), b => $"v" > b)).cast("long")
-    val perShard = cents
-      .select(explode(array(
-        struct(lit("range_full").as("scheme"), shardOf(bFull).as("shard")),
-        struct(lit("range_sampled").as("scheme"), shardOf(bSamp).as("shard")),
-        struct(lit("hash").as("scheme"),
-          (hash60($"o_orderkey".cast("string")) % 8).as("shard")))).as("x"))
-      .groupBy($"x.scheme".as("scheme"), $"x.shard".as("shard"))
-      .agg(count(lit(1)).as("n"))
-    perShard.groupBy($"scheme")
-      .agg(sum($"n").as("n_rows"), max($"n").as("max_shard"))
+    // assignment pass as 24 conditional sums in ONE partial-agg map —
+    // no 3× explode, no (scheme, shard) exchange (r14 A/B: 0.69 →
+    // 0.31 s); the 24-cell matrix unstacks to the 3 scheme rows as
+    // literal-array arithmetic on a single row
+    val wide = cents.select(shardOf(bFull).as("sf"), shardOf(bSamp).as("ss"),
+      (hash60($"o_orderkey".cast("string")) % 8).as("sh"))
+    val cellAggs = (0 until 8).flatMap(i => Seq(
+      sum(when($"sf" === i, 1L).otherwise(0L)).as(s"f$i"),
+      sum(when($"ss" === i, 1L).otherwise(0L)).as(s"s$i"),
+      sum(when($"sh" === i, 1L).otherwise(0L)).as(s"h$i")))
+    def cells(p: String) = s"array(${(0 until 8).map(i => s"$p$i").mkString(",")})"
+    wide.agg(cellAggs.head, cellAggs.tail: _*)
+      .select(expr(
+        s"""stack(3, 'range_full', ${cells("f")},
+                     'range_sampled', ${cells("s")},
+                     'hash', ${cells("h")})""").as(Seq("scheme", "cs")))
+      .select($"scheme",
+        expr("aggregate(cs, 0L, (a, x) -> a + x)").as("n_rows"),
+        expr("array_max(cs)").as("max_shard"))
       .select($"scheme", $"n_rows", $"max_shard",
         expr("max_shard * 8 * 10000 div n_rows").as("skew_bp"),
         when($"scheme" === "range_full", lit(0L))
@@ -1454,8 +1463,11 @@ object Prep {
     import s.implicits._
     val keys = Seq("orderkey" -> "l_orderkey", "suppkey" -> "l_suppkey",
       "partkey" -> "l_partkey")
+    // native codegen'd md5-prefix (r14): the conv/substr/md5 string
+    // tree paid 4 string round-trips per hash and dominated this query
+    // (1.64 s of 2.09 — BENCH_NOTES r14); bits identical
     def bucket(c: String): String =
-      s"CAST(conv(substr(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT) % 32"
+      s"md5_prefix(CAST($c AS STRING), 15) % 32"
     val stackArgs = keys
       .map { case (n, c) => s"'$n', ${bucket(c)}" }.mkString(", ")
     val parts = Tables.lineitem(s, d)
@@ -1633,7 +1645,7 @@ object Prep {
             array_min($ringE)), 8)"""
     val keyed = Tables.documents(s, d)
       .select($"doc_id",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) * 8 + 7")
+        expr("md5_prefix(CAST(doc_id AS STRING), 15) * 8 + 7")
           .as("__pos"))
       .select($"doc_id",
         expr(succ(ring(4))).as("n4"), expr(succ(ring(5))).as("n5"))
@@ -2195,7 +2207,7 @@ object Prep {
       s"array_min(transform($f, x -> pmod((x div 16) - __pos, ${lim}L) * 16 + x % 16)) % 16"
     }
     val keyed = Tables.documents(s, d)
-      .select(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT)")
+      .select(expr("md5_prefix(CAST(doc_id AS STRING), 14)")
         .as("__pos"))
       .withColumn("n1", expr(nearest(Nil)))
       .withColumn("n2", expr(nearest(Seq("n1"))))
@@ -2288,7 +2300,7 @@ object Prep {
     val daily = chg.groupBy($"day")
       .agg(count(lit(1)).as("k"),
         countDistinct(expr(
-          "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 32"))
+          "md5_prefix(CAST(o_custkey AS STRING), 15) % 32"))
           .as("f"))
     val meas = daily.groupBy()
       .agg(count(lit(1)).as("n_days"), sum($"k").as("tot_k"), sum($"f").as("tot_f"))

@@ -244,8 +244,8 @@ object DocStreams {
         expr(
           """aggregate(
                transform(sequence(1, size(tk) - 1),
-                 i -> cast(conv(substr(md5(concat(element_at(tk, i), ' ',
-                        element_at(tk, i + 1))), 1, 15), 16, 10) as bigint) % 4096),
+                 i -> md5_prefix(concat(element_at(tk, i), ' ',
+                        element_at(tk, i + 1)), 15) % 4096),
                cast(0 as bigint),
                (acc, b) -> acc + element_at(w_arr, cast(b as int) + 1))""")
           .as("score_micro"))

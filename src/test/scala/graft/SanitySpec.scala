@@ -46,4 +46,37 @@ class SanitySpec extends SparkSpec {
     val unknown = SparkEntry.sanities.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"hooks for unknown queries: $unknown")
   }
+
+  test("atLeast floors go red below the floor and skip all-null") {
+    val df = Seq((999L, 1L)).toDF("qerr_milli", "x")
+    assert(Sanity.run("qx", df,
+      Seq(Sanity.atLeast("qerr_milli", 1000))).nonEmpty)
+    assert(Sanity.run("qx", Seq((1000L, 1L)).toDF("qerr_milli", "x"),
+      Seq(Sanity.atLeast("qerr_milli", 1000))).isEmpty)
+    // NULL-sentinel expression rows are skipped, not violations
+    assert(Sanity.run("qx", Seq((-1L, 1L)).toDF("ks_milli", "x"),
+      Seq(Sanity.range("CASE WHEN ks_milli >= 0 THEN ks_milli END", 0, 1000)))
+      .isEmpty)
+  }
+
+  test("hooks + classification partition the full query surface (r14 ask #5)") {
+    // Every query either carries a value-sanity hook or a one-line
+    // classification saying WHY it cannot (unbounded statistic /
+    // structural output). A new query landing in neither fails here —
+    // the registry stays total by construction.
+    val hooked = SparkEntry.sanities.keySet
+    val classified = SanityHooks.classified.keySet
+    val all = SparkEntry.queries.keySet
+    val uncovered = all -- hooked -- classified
+    assert(uncovered.isEmpty,
+      s"queries with neither hook nor classification: $uncovered")
+    val overlap = hooked intersect classified
+    assert(overlap.isEmpty,
+      s"classified as unhookable but carrying hooks: $overlap")
+    val stale = classified -- all
+    assert(stale.isEmpty, s"classification for unknown queries: $stale")
+    SanityHooks.classified.foreach { case (n, why) =>
+      assert(why.nonEmpty, s"$n has an empty classification")
+    }
+  }
 }
