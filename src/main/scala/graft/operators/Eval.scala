@@ -128,28 +128,26 @@ object Eval {
 
   def q465BradleyTerry(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ONE basket shuffle (r13): the first cut aggregated (order,
-    // supplier) revenue in its own 600k-group shuffle and THEN
+    // ONE exchange (r13 shape, r14 engine): the first cut aggregated
+    // (order, supplier) revenue in its own 600k-group shuffle and THEN
     // collected baskets in a second — two full-fact exchanges with no
-    // map-side-combine benefit (the pair key is near-unique). Raw
-    // lines now group by order once, and the per-supplier revenue
-    // reduces INSIDE the basket array (≤7 suppliers per order, O(b²)
-    // HOF — basket-local at any scale). Revenue rides as exact integer
-    // cents: each line's DECIMAL(18,2) term is cents-exact, so the
-    // in-basket long sum and the win comparison are bit-identical to
-    // the oracle's DECIMAL-sum comparison while shuffling primitive
-    // longs instead of 16-byte decimals.
+    // map-side-combine benefit (the pair key is near-unique). Revenue
+    // rides as exact integer cents: each line's DECIMAL(18,2) term is
+    // cents-exact, so the long sum and the win comparison are
+    // bit-identical to the oracle's DECIMAL-sum comparison while
+    // shuffling primitive longs instead of 16-byte decimals.
+    // r14: per-supplier revenue reduced by a codegen hash aggregate
+    // behind ONE repartition(ord) exchange (subset partitioning serves
+    // both groupBys), not the O(b²) in-array filter-aggregate — the
+    // q476 A/B measured the HOF form at 3.3× the hash-agg front end
     val pairs = Tables.lineitem(s, d)
       .select($"l_orderkey".as("ord"), $"l_suppkey".as("sk"),
         (($"l_extendedprice" * (lit(1) - $"l_discount"))
           .cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .repartition($"ord")
+      .groupBy($"ord", $"sk").agg(sum($"c").as("rev"))
       .groupBy($"ord")
-      .agg(collect_list(struct($"sk", $"c")).as("raw"))
-      .withColumn("bs", expr(
-        """transform(array_distinct(transform(raw, x -> x.sk)), k ->
-             struct(k AS sk,
-               aggregate(filter(raw, x -> x.sk = k), 0L,
-                 (a, x) -> a + x.c) AS rev))"""))
+      .agg(collect_list(struct($"sk", $"rev")).as("bs"))
       .filter(size($"bs") >= 2)
       .select(explode(expr(
         """flatten(transform(bs, x ->
@@ -970,26 +968,24 @@ object Eval {
     * All arithmetic exact-integer (milli, `div` floors mirrored). */
   def q476PositionBias(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // one basket shuffle, q465's r13 idiom: raw lines group by order
-    // once and the per-supplier (revenue, first-position) pair reduces
-    // INSIDE the basket array (≤7 suppliers, O(b²) HOF); revenue rides
-    // as exact integer cents — comparisons are bit-identical to the
-    // oracle's DECIMAL-sum comparisons
+    // revenue rides as exact integer cents — comparisons are
+    // bit-identical to the oracle's DECIMAL-sum comparisons.
+    // r14: the per-supplier (rev, first-position) reduce moved OUT of
+    // the array — the triple-pass O(b²) HOF (array_distinct + two
+    // filter-aggregates per key) measured 2.66 s on the front end
+    // alone vs 0.81 s for repartition(ord) + a codegen hash aggregate
+    // (the q470 discipline: HashPartitioning(ord) satisfies both the
+    // (ord, sk) reduce and the ballot collect — one exchange, no HOF)
     val jm = Tables.lineitem(s, d)
       .select($"l_orderkey".as("ord"), $"l_suppkey".as("sk"),
         (($"l_extendedprice" * (lit(1) - $"l_discount"))
           .cast("decimal(18,2)") * 100).cast("long").as("c"),
         $"l_linenumber".cast("long").as("lnum"))
+      .repartition($"ord")
+      .groupBy($"ord", $"sk")
+      .agg(sum($"c").as("rev"), min($"lnum").as("ln"))
       .groupBy($"ord")
-      .agg(collect_list(struct($"sk", $"c", $"lnum")).as("raw"))
-      .withColumn("bs", expr(
-        """transform(array_distinct(transform(raw, x -> x.sk)), k ->
-             struct(k AS sk,
-               aggregate(filter(raw, x -> x.sk = k), 0L,
-                 (a, x) -> a + x.c) AS rev,
-               aggregate(filter(raw, x -> x.sk = k),
-                 CAST(9223372036854775807 AS BIGINT),
-                 (a, x) -> least(a, x.lnum)) AS ln))"""))
+      .agg(collect_list(struct($"sk", $"rev", $"ln")).as("bs"))
       .filter(size($"bs") >= 2)
       .join(Tables.orders(s, d)
         .select($"o_orderkey", $"o_orderpriority".as("judge")),
