@@ -707,11 +707,19 @@ object Eval {
     * per-supplier aggregate, TakeOrdered top-20. */
   def q473WilsonLeaderboard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rev = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey".as("ord"), $"l_suppkey".as("sk"))
-      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
-        .cast("decimal(18,2)")).as("rev"))
-    val pairs = rev.groupBy($"ord")
+    // r14 (the q465/q476 discipline, after the r14 pair-1 screen
+    // flagged this query at 12.4× its twin): ONE repartition(ord)
+    // exchange serves both the (ord, sk) cents hash-aggregate and the
+    // basket collect (was: two full-fact exchanges shipping 16-byte
+    // decimals); revenue rides as exact integer cents, so the win
+    // comparison is bit-identical to the oracle's DECIMAL compare
+    val pairs = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ord"), $"l_suppkey".as("sk"),
+        (($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .repartition($"ord")
+      .groupBy($"ord", $"sk").agg(sum($"c").as("rev"))
+      .groupBy($"ord")
       .agg(collect_list(struct($"sk", $"rev")).as("bs"))
       .filter(size($"bs") >= 2)
       .select(explode(expr(

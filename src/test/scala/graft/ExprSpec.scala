@@ -160,6 +160,34 @@ class ExprSpec extends SparkSpec {
     assert(got == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
 
+  test("HashPrefix == the conv/substr/md5 string tree (string + binary + nulls)") {
+    // the r14 native expression must be bit-identical to the 4-step
+    // string formulation it replaced, at every nibble width used
+    val rows = Seq("hello", "", "a b c", "Ünïcode £", "1234567")
+      .toDF("x")
+    for (nib <- Seq(7, 14, 15)) {
+      val pairs = rows.select(
+        TextExprs.md5_prefix($"x", nib).as("native"),
+        conv(substring(md5($"x"), 1, nib), 16, 10).cast("long").as("tree"))
+        .collect()
+      pairs.foreach(r => assert(r.getLong(0) == r.getLong(1), s"nib=$nib $r"))
+    }
+    // binary input hashes the raw bytes, like md5(binary)
+    val bin = Seq(Array[Byte](1, 2, 3, -5)).toDF("b")
+      .select(TextExprs.md5_prefix($"b", 15).as("native"),
+        conv(substring(md5($"b"), 1, 15), 16, 10).cast("long").as("tree"))
+      .head()
+    assert(bin.getLong(0) == bin.getLong(1))
+    // NULL in, NULL out
+    val n = Seq[Option[String]](None).toDF("x")
+      .select(TextExprs.md5_prefix($"x", 15)).head()
+    assert(n.isNullAt(0))
+    // SQL surface
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT md5_prefix('hello', 15) AS h").head().getLong(0)
+      == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
   test("SQL registration: dot_q and shingle_hashes callable from spark.sql") {
     graft.functions.GraftExtensions.register(spark)
     val d = spark.sql(
