@@ -1542,28 +1542,42 @@ object Annotation {
     * per-(month, item, label) cells is keyed by the bounded month
     * domain; the MoM window is month-ordered over the bounded month
     * relation. Exact int64 sufficient statistics per month; κ via the
-    * shared-IEEE floor (negative-capable). */
+    * shared-IEEE floor (negative-capable).
+    *
+    * r14 rewrite (was QTime 2.21 s / 15 jobs, static plan 16 scans):
+    * the old (item, rater) groupBy partitioning satisfied NOTHING
+    * downstream — the panel semi-join re-exchanged the fact and both
+    * monthly branches re-ran the whole jud⋈orders subtree. Now one
+    * repartition(item) up front serves every aggregate by subset
+    * partitioning (item ⊆ each group key; the broadcast orders join
+    * preserves it), and the panel filter is a HAVING on the per-item
+    * aggregate instead of a self-join (nr = Σ_label nil counts the
+    * same jud rows). The two monthly branches fan out on the per-item
+    * relation and re-run only the post-exchange aggregates — the
+    * repartition exchange itself is reused, and a checkpoint at the
+    * fan-out A/B'd a wash (0.94 s/11 jobs vs 1.02 s/10 jobs,
+    * PLANS.md r14), so the estate stays frozen. */
   def q493AgreementDrift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val jud = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey".as("item"), ($"l_suppkey" % 7).as("rater"))
-      .agg(min($"l_returnflag").as("label"))
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("item"), ($"l_suppkey" % 7).as("rater"),
+        $"l_returnflag".as("rf"))
+      .repartition($"item")
+      .groupBy($"item", $"rater").agg(min($"rf").as("label"))
       .join(Tables.orders(s, d).select($"o_orderkey",
         (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m")),
         $"item" === $"o_orderkey")
-      // jud fans out to the panel filter and the cell counts, but its
-      // exchanges (judgment aggregate + orders join) canonicalize
-      // identically on both branches and reuse dedupes them — measured
-      // faster than a checkpoint here (2.04 vs 2.26 s at sf0.1)
-      .select($"m", $"item", $"rater", $"label")
-    val cells = jud
-      .join(jud.groupBy($"item").agg(count(lit(1)).as("nr"))
-        .filter($"nr" === 3).select($"item"), Seq("item"), "left_semi")
       .groupBy($"m", $"item", $"label").agg(count(lit(1)).as("nil"))
-    val perItem = cells.groupBy($"m", $"item")
-      .agg(sum($"nil" * $"nil").as("s2"))
+      .groupBy($"m", $"item").agg(sum($"nil").as("nr"),
+        sum($"nil" * $"nil").as("s2"),
+        collect_list(struct($"label", $"nil")).as("cl"))
+      .filter($"nr" === 3)
+      
+    val perItem = items
       .groupBy($"m").agg(count(lit(1)).as("n_items"), sum($"s2").as("s"))
-    val perLabel = cells.groupBy($"m", $"label").agg(sum($"nil").as("tl"))
+    val perLabel = items
+      .select($"m", explode($"cl").as("e"))
+      .groupBy($"m", $"e.label").agg(sum($"e.nil").as("tl"))
       .groupBy($"m").agg(sum($"tl" * $"tl").as("b"))
     val monthly = perItem.join(perLabel, "m")
       .select($"m", $"n_items",

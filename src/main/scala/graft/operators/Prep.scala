@@ -1910,40 +1910,58 @@ object Prep {
     *
     * Scale: equi-depth boundaries come from [[Windows.withExactNtile]]
     * (range-partitioned rank, never a global sort); both histograms
-    * reduce to 16-element arrays on a 1-row relation; the truth pass
-    * is one scan of conditional sums; estimates are per-cutpoint
-    * integer HOFs over the broadcast arrays (the q420 interpolation
-    * discipline: floor-divide per term on both engines). */
+    * reduce to 16-element arrays on a 1-row relation; estimates are
+    * per-cutpoint integer HOFs over the broadcast arrays (the q420
+    * interpolation discipline: floor-divide per term on both engines).
+    * r14 fusion (was 3 full fact scans beside the ntile machinery,
+    * QTime 2.38 s / 22 jobs): the ntile tiles now also yield the
+    * global stats (lo = min of tile mins, hi = max of tile maxes,
+    * n = Σ tile counts — every row is in exactly one tile), deleting
+    * the stats scan; the equi-width bucket counts and the 8 cutpoint
+    * truths fold in ONE conditional-sum pass over a single scan
+    * (truth_j = Σ_buckets |v ≤ x_j| — per-bucket partials sum to the
+    * global count), deleting the separate truth scan. */
   def q454HistogramShootout(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = Tables.lineitem(s, d).select(
       floor($"l_extendedprice" * 100).cast("long").as("v"),
       $"l_orderkey", $"l_linenumber")
-    val stats = rows.groupBy().agg(min($"v").as("lo"), max($"v").as("hi"),
-      count(lit(1)).as("n"))
-    // equi-depth: exact-ntile tiles → per-tile max = the 16 boundaries
-    val ed = Windows.withExactNtile(rows,
-        Seq($"v", $"l_orderkey", $"l_linenumber"), 16, "tile")
-      .groupBy($"tile").agg(max($"v").as("b"))
-      .groupBy().agg(expr("transform(array_sort(collect_list(struct(tile, b))), x -> x.b)")
-        .as("bnds"))
-    // equi-width: bucket counts (missing buckets filled with 0)
-    val ewRaw = rows.crossJoin(broadcast(stats))
-      .groupBy(expr("least(15L, (v - lo) * 16 div (hi - lo + 1))").as("bk"))
-      .agg(count(lit(1)).as("c"))
-    val ew = ewRaw.groupBy()
-      .agg(expr("map_from_arrays(collect_list(bk), collect_list(c))").as("m"))
-      .select(expr("transform(sequence(0, 15), i -> coalesce(m[i], 0L))").as("cnts"))
-    // truth: one conditional-sum pass over the 8 derived cutpoints
+    // equi-depth tiles → boundaries AND the global stats in one pass.
+    // The ntile runs on v ALONE: per-tile max/min/count are closed-form
+    // positional values (v at positions p_{t-1}+1..p_t), identical
+    // under ANY total order extending v-order — the (orderkey,
+    // linenumber) tie-break only shuffles WHICH duplicate lands where,
+    // never the value at a position. Dropping it narrows the range
+    // exchange + local sort from 24-byte to 8-byte keys.
+    val tiles = Windows.withExactNtile(rows.select($"v"),
+        Seq($"v"), 16, "tile")
+      .groupBy($"tile").agg(max($"v").as("b"), min($"v").as("mn"),
+        count(lit(1)).as("c"))
+      .groupBy().agg(
+        expr("transform(array_sort(collect_list(struct(tile, b))), x -> x.b)")
+          .as("bnds"),
+        min($"mn").as("lo"), max($"b").as("hi"), sum($"c").as("n"))
+    // the two 1-row consumers share the tiles subtree through its
+    // singleton exchange (pure-aggregate fan-out — ReuseExchange rule)
+    val stats = tiles.select($"lo", $"hi", $"n")
+    val ed = tiles.select($"bnds")
+    // equi-width counts + cutpoint truths: ONE scan, per-bucket
+    // conditional sums, reduced over the ≤16-row bucket relation
     def cut(j: Int) = s"lo + (hi - lo) * $j div 9"
     val truthAggs = (1 to 8).map(j =>
       sum(when($"v" <= expr(cut(j)), 1L).otherwise(0L)).as(s"__t$j"))
-    val truth = rows.crossJoin(broadcast(stats))
-      .groupBy($"lo", $"hi", $"n").agg(truthAggs.head, truthAggs.tail: _*)
+    val bkt = rows.crossJoin(broadcast(stats))
+      .groupBy($"lo", $"hi", $"n",
+        expr("least(15L, (v - lo) * 16 div (hi - lo + 1))").as("bk"))
+      .agg(count(lit(1)).as("c"), truthAggs: _*)
+    val one = bkt.groupBy($"lo", $"hi", $"n")
+      .agg(expr("map_from_arrays(collect_list(bk), collect_list(c))").as("m"),
+        (1 to 8).map(j => sum(col(s"__t$j")).as(s"__t$j")): _*)
+      .withColumn("cnts", expr("transform(sequence(0, 15), i -> coalesce(m[i], 0L))"))
       .withColumn("truths", expr(
         s"array(${(1 to 8).map(j => s"__t$j").mkString(", ")})"))
-      .select($"lo", $"hi", $"n", $"truths")
-    val one = truth.crossJoin(broadcast(ed)).crossJoin(broadcast(ew))
+      .select($"lo", $"hi", $"n", $"truths", $"cnts")
+      .crossJoin(broadcast(ed))
     // per cutpoint: equi-width interpolates inside the straddling
     // width-bucket; equi-depth interpolates inside the straddling tile
     // (tile sizes are exactly q+1 for the first r tiles, q after)

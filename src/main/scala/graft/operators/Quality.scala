@@ -2634,15 +2634,22 @@ object Quality {
     * every priority) — each refutation is a join-key or partition-key
     * assumption someone would otherwise bake into a pipeline.
     *
-    * Scale: one groupBy per candidate on the LHS domain with a
-    * count-distinct of the RHS (partial-agg friendly), reduced to a
-    * 1-row violation count; six independent union branches. */
+    * Scale: one groupBy per candidate on the LHS domain, reduced to a
+    * 1-row violation count; six independent union branches. r14: "RHS
+    * is not single-valued" is decided by min(rhs) < max(rhs) instead
+    * of count-distinct — identical on non-null RHS (and an all-null
+    * group is single-valued under both forms: ndv=0 and min=max=NULL
+    * both land in the not-violating arm), but min/max fold in ONE
+    * partial aggregate where count(DISTINCT) pays a two-level
+    * distinct expansion per branch (measured: 23 -> 11 jobs,
+    * QTime 1.46 -> sub-second; the oracle keeps its count(DISTINCT)
+    * form, proving equivalence on every SF). */
   def q432FdAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def fd(name: String, t: DataFrame, lhs: String, rhs: String): DataFrame =
-      t.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv_rhs"))
+      t.groupBy(col(lhs)).agg(min(col(rhs)).as("mn"), max(col(rhs)).as("mx"))
         .agg(count(lit(1)).as("lhs_groups"),
-          sum(when($"ndv_rhs" > 1, 1L).otherwise(0L)).as("violating"))
+          sum(when($"mn" < $"mx", 1L).otherwise(0L)).as("violating"))
         .select(lit(name).as("fd"), $"lhs_groups", $"violating",
           expr("(lhs_groups - violating) * 10000 div lhs_groups").as("fd_bp"),
           ($"violating" === 0).cast("long").as("holds"))
