@@ -1323,54 +1323,16 @@ object Prep {
     import s.implicits._
     val cents = Tables.orders(s, d).select($"o_orderkey",
       ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("v"))
-    // ONE range scan ranks BOTH populations: the sample is a subset of
-    // the full relation, so the same range exchange carries both rank
-    // prefix sums (count-of-ones for full, count-of-sample-flags for
-    // the sample) and one closed-form ntile per population — the same
-    // arithmetic as Windows.withExactNtile, evaluated twice over one
-    // partition-window pass instead of two engine invocations
-    val np = s.sessionState.conf.numShufflePartitions
-    val part = cents
-      .withColumn("__sm", (pmod($"o_orderkey", lit(10L)) === 0).cast("long"))
-      .repartitionByRange(np, $"v", $"o_orderkey")
-      .withColumn("__pid", spark_partition_id())
-    val wAll = Window.orderBy($"__pid")
-    val offs = part.groupBy($"__pid")
-      .agg(count(lit(1)).as("pf"), sum($"__sm").as("ps"))
-      .select($"__pid",
-        coalesce(sum($"pf").over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off_f"),
-        coalesce(sum($"ps").over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off_s"),
-        sum($"pf").over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("nf"),
-        sum($"ps").over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("ns"))
-    val wRank = Window.partitionBy($"__pid").orderBy($"v", $"o_orderkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exact ntile from global rank (q = N div 8, r = N mod 8: first r
-    // tiles hold q+1 rows) — the withExactNtile closed form, inlined so
-    // both populations share the window pass
-    def tile(rank: String, n: String) = expr(
-      s"""CASE WHEN ($n % 8) > 0 AND $rank <= ($n % 8) * ($n div 8 + 1)
-            THEN ($rank - 1) div ($n div 8 + 1) + 1
-            ELSE ($n % 8) + ($rank - ($n % 8) * ($n div 8 + 1) - 1) div ($n div 8) + 1 END""")
-    val bounds = part.join(broadcast(offs), "__pid")
-      .select($"v", $"__sm",
-        ($"off_f" + sum(lit(1L)).over(wRank)).as("rf_"), $"nf",
-        ($"off_s" + sum($"__sm").over(wRank)).as("rs_"), $"ns")
-      .select($"v", explode(array(
-        struct(lit("f").as("sc"), tile("rf_", "nf").as("tile")),
-        when($"__sm" === 1L,
-          struct(lit("s").as("sc"), tile("rs_", "ns").as("tile")))
-          .otherwise(lit(null)).as("x"))).as("x"))
-      .filter($"x".isNotNull && $"x.tile" < 8)
-      .groupBy($"x.sc".as("sc"), $"x.tile".as("tile"))
-      .agg(max($"v").as("b"))
-      .collect() // ≤ 14 rows: 2 schemes × 7 split points, grid-sized
-    def splits(sc: String): Array[Long] = {
-      val bs = bounds.filter(_.getString(0) == sc).map(_.getLong(2)).sorted
-      require(bs.length == 7, s"expected 7 split points for $sc, got ${bs.length}")
-      bs
-    }
-    val bFull = splits("f")
-    val bSamp = splits("s")
+    // Both populations' 7 split points from the selection engine (r14):
+    // a tile max is the value at a POSITION — identical under any
+    // tie-break — so the old range exchange + dual prefix-sum windows
+    // (the 0.59 s + 0.55 s floor named in BENCH_NOTES r14) are replaced
+    // by log_B(range) scan+histogram passes; ONE scan per level serves
+    // full AND sample via conditional cells
+    val tb = Windows.tileBoundaries(cents, $"v",
+      Seq(("f", lit(1L)), ("s", (pmod($"o_orderkey", lit(10L)) === 0).cast("long"))), 8)
+    val bFull = tb.bounds("f").take(7)
+    val bSamp = tb.bounds("s").take(7)
     val driftCents = bFull.zip(bSamp).map { case (a, b) => math.abs(a - b) }.sum / 7
     def shardOf(bs: Array[Long]) =
       size(filter(typedLit(bs.toSeq), b => $"v" > b)).cast("long")
@@ -1924,44 +1886,35 @@ object Prep {
   def q454HistogramShootout(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = Tables.lineitem(s, d).select(
-      floor($"l_extendedprice" * 100).cast("long").as("v"),
-      $"l_orderkey", $"l_linenumber")
-    // equi-depth tiles → boundaries AND the global stats in one pass.
-    // The ntile runs on v ALONE: per-tile max/min/count are closed-form
-    // positional values (v at positions p_{t-1}+1..p_t), identical
-    // under ANY total order extending v-order — the (orderkey,
-    // linenumber) tie-break only shuffles WHICH duplicate lands where,
-    // never the value at a position. Dropping it narrows the range
-    // exchange + local sort from 24-byte to 8-byte keys.
-    val tiles = Windows.withExactNtile(rows.select($"v"),
-        Seq($"v"), 16, "tile")
-      .groupBy($"tile").agg(max($"v").as("b"), min($"v").as("mn"),
-        count(lit(1)).as("c"))
-      .groupBy().agg(
-        expr("transform(array_sort(collect_list(struct(tile, b))), x -> x.b)")
-          .as("bnds"),
-        min($"mn").as("lo"), max($"b").as("hi"), sum($"c").as("n"))
-    // the two 1-row consumers share the tiles subtree through its
-    // singleton exchange (pure-aggregate fan-out — ReuseExchange rule)
-    val stats = tiles.select($"lo", $"hi", $"n")
-    val ed = tiles.select($"bnds")
+      floor($"l_extendedprice" * 100).cast("long").as("v"))
+    // equi-depth boundaries + global stats from the selection engine
+    // (r14): per-tile max/min/count are positional values (v at
+    // positions p_{t-1}+1..p_t), identical under ANY total order
+    // extending v-order — the (orderkey, linenumber) tie-break only
+    // shuffles WHICH duplicate lands where, never the value at a
+    // position — so the rank engine's range exchange + offset windows
+    // are replaced by log_B(range) scan+histogram passes, and the
+    // boundaries/stats inline as literals (split-point tables are
+    // grid-sized by construction, the q437 pattern)
+    val tb = Windows.tileBoundaries(rows, $"v", Seq(("all", lit(1L))), 16)
+    val (lo, hi, n) = (tb.lo, tb.hi, tb.counts("all"))
+    val bndsLit = tb.bounds("all").toSeq
     // equi-width counts + cutpoint truths: ONE scan, per-bucket
     // conditional sums, reduced over the ≤16-row bucket relation
-    def cut(j: Int) = s"lo + (hi - lo) * $j div 9"
+    def cut(j: Int) = lo + (hi - lo) * j / 9 // driver arithmetic, exact
     val truthAggs = (1 to 8).map(j =>
-      sum(when($"v" <= expr(cut(j)), 1L).otherwise(0L)).as(s"__t$j"))
-    val bkt = rows.crossJoin(broadcast(stats))
-      .groupBy($"lo", $"hi", $"n",
-        expr("least(15L, (v - lo) * 16 div (hi - lo + 1))").as("bk"))
+      sum(when($"v" <= lit(cut(j)), 1L).otherwise(0L)).as(s"__t$j"))
+    val bkt = rows
+      .groupBy(expr(s"least(15L, (v - ${lo}L) * 16 div ${hi - lo + 1}L)").as("bk"))
       .agg(count(lit(1)).as("c"), truthAggs: _*)
-    val one = bkt.groupBy($"lo", $"hi", $"n")
+    val one = bkt.groupBy()
       .agg(expr("map_from_arrays(collect_list(bk), collect_list(c))").as("m"),
         (1 to 8).map(j => sum(col(s"__t$j")).as(s"__t$j")): _*)
       .withColumn("cnts", expr("transform(sequence(0, 15), i -> coalesce(m[i], 0L))"))
       .withColumn("truths", expr(
         s"array(${(1 to 8).map(j => s"__t$j").mkString(", ")})"))
-      .select($"lo", $"hi", $"n", $"truths", $"cnts")
-      .crossJoin(broadcast(ed))
+      .select(lit(lo).as("lo"), lit(hi).as("hi"), lit(n).as("n"),
+        $"truths", $"cnts", typedLit(bndsLit).as("bnds"))
     // per cutpoint: equi-width interpolates inside the straddling
     // width-bucket; equi-depth interpolates inside the straddling tile
     // (tile sizes are exactly q+1 for the first r tiles, q after)

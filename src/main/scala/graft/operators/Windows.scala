@@ -116,6 +116,117 @@ object Windows {
       outCol: String, freeze: Boolean = true): DataFrame =
     rangeScan(rows, order, value, outCol, freeze)._1.drop("__pt", "__total")
 
+  /** Result of [[tileBoundaries]]: global (unfiltered) `lo`/`hi` of
+    * the value column, per-population row counts, and per-population
+    * boundary arrays b(1..nTiles) — b(t) is the value at global
+    * position p_t = t·q + min(t, r) (q = n div nTiles, r = n mod
+    * nTiles) within that population, i.e. exactly the per-tile max of
+    * positional `ntile(nTiles)` under ANY tie-break. */
+  final case class TileBounds(lo: Long, hi: Long, counts: Map[String, Long],
+      bounds: Map[String, Array[Long]])
+
+  /** EXACT nTiles split-point VALUES — without ranking the relation
+    * (r14, the boundary-only sibling of [[withExactNtile]]).
+    *
+    * A tile's max is a pure ORDER STATISTIC: the value at position
+    * p_t in any total order extending value-order — tie-break columns
+    * decide which duplicate lands where, never the value at a
+    * position. Boundary-only consumers (split-point tables, equi-depth
+    * histograms, medians) therefore don't need the rank engine's range
+    * exchange + offset windows at all. This computes the positions by
+    * recursive integer binning: one stats pass (min/max/count per
+    * population), then per level ONE conditional-sum histogram over a
+    * single scan — each live (population, interval) splits into
+    * ≤ `bins` integer sub-ranges of width ⌈w/bins⌉, every unresolved
+    * target narrows to the bin containing its residual rank, and a
+    * width-1 bin IS the answer (values are integers, so termination is
+    * structural: ≤ ⌈log_bins(range)⌉ + 1 levels — 3 scans for
+    * centi-price domains at bins = 1024).
+    *
+    * Scale: no exchange ever carries more than pops × nTiles × bins
+    * aggregate cells; the driver sees only those grid-sized histograms
+    * (the q490/q437 measured-count-literal pattern — bounded by
+    * CONSTANTS, independent of fact size). Each level is a full scan
+    * with a cheap per-row conditional, so cost is O(levels) scans —
+    * at 100 TB that beats one range exchange + sort of the fact by
+    * the shuffle it never does.
+    *
+    * `pops`: (name, 0/1 flag column) — one scan serves every
+    * population (q437 ranks full + sample in one pass). Values must be
+    * non-null; populations must be non-empty. */
+  def tileBoundaries(rows: DataFrame, v: Column,
+      pops: Seq[(String, Column)], nTiles: Int,
+      bins: Int = 1024): TileBounds = {
+    val s = rows.sparkSession
+    import s.implicits._
+    require(pops.nonEmpty && nTiles >= 1 && bins >= 2)
+    val base = rows.select((v.cast("long").as("__v") +:
+      pops.zipWithIndex.map { case ((_, f), i) =>
+        f.cast("long").as(s"__f$i") }): _*)
+    val statAggs = Seq(min($"__v").as("lo"), max($"__v").as("hi")) ++
+      pops.indices.map(i => sum(col(s"__f$i")).as(s"n$i"))
+    val st = base.agg(statAggs.head, statAggs.tail: _*).head()
+    require(!st.isNullAt(0), "tileBoundaries: empty input or all-null values")
+    val lo0 = st.getLong(0); val hi0 = st.getLong(1)
+    // int64 headroom for the width arithmetic below (domain discipline:
+    // every caller's values are cents/counts, far inside this band)
+    require(lo0 > Long.MinValue / 4 && hi0 < Long.MaxValue / 4,
+      s"tileBoundaries: value range [$lo0, $hi0] too wide for exact binning")
+    val ns = pops.indices.map { i =>
+      val n = if (st.isNullAt(2 + i)) 0L else st.getLong(2 + i)
+      require(n > 0L, s"tileBoundaries: population '${pops(i)._1}' is empty")
+      n
+    }
+    // one mutable record per (population, tile): interval + residual
+    // rank within it; resolved when the interval collapses to a point
+    final case class Tgt(pop: Int, t: Int, var lo: Long, var hi: Long,
+      var rank: Long, var done: Boolean)
+    val targets = pops.indices.flatMap { i =>
+      val n = ns(i); val q = n / nTiles; val r = n % nTiles
+      (1 to nTiles).map { t =>
+        Tgt(i, t, lo0, hi0, t * q + math.min(t, r), done = lo0 == hi0)
+      }
+    }
+    var level = 0
+    while (targets.exists(!_.done)) {
+      level += 1
+      require(level <= 64, "tileBoundaries: failed to converge") // structural, never hit
+      val live = targets.filter(!_.done)
+      val ivs = live.map(t => (t.pop, t.lo, t.hi)).distinct.zipWithIndex
+      val cands = ivs.map { case ((p, l, h), id) =>
+        val bw = ((h - l + 1) + bins - 1) / bins
+        expr(s"""CASE WHEN __f$p = 1 AND __v >= $l AND __v <= $h THEN
+                   named_struct('iv', $id, 'bk', (__v - $l) div ${bw}L)
+                 END""")
+      }
+      val hist = base.select(explode(array(cands: _*)).as("c"))
+        .filter($"c".isNotNull)
+        .groupBy($"c.iv".as("iv"), $"c.bk".as("bk"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect() // grid-sized: ≤ live-intervals × bins cells
+      val byIv = hist.groupBy(_.getInt(0)).map { case (iv, rs) =>
+        iv -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      }
+      ivs.foreach { case ((p, l, h), id) =>
+        val bw = ((h - l + 1) + bins - 1) / bins
+        val cells = byIv(id)
+        live.filter(t => t.pop == p && t.lo == l && t.hi == h).foreach { t =>
+          var cum = 0L; var k = 0
+          while (cum + cells(k)._2 < t.rank) { cum += cells(k)._2; k += 1 }
+          val bk = cells(k)._1
+          t.lo = l + bk * bw
+          t.hi = math.min(h, l + (bk + 1) * bw - 1)
+          t.rank -= cum
+          if (t.lo == t.hi) t.done = true
+        }
+      }
+    }
+    val bounds = pops.indices.map { i =>
+      pops(i)._1 -> targets.filter(_.pop == i).sortBy(_.t).map(_.lo).toArray
+    }.toMap
+    TileBounds(lo0, hi0, pops.indices.map(i => pops(i)._1 -> ns(i)).toMap, bounds)
+  }
+
   /** [[rangePrefixSum]] plus the scan's own by-products: the annotated
     * rows keep `__pt` (their partition's total) and `__total` (the
     * grand total) so callers needing N — exact ntile, rank shares —
