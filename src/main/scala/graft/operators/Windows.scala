@@ -116,12 +116,13 @@ object Windows {
       outCol: String, freeze: Boolean = true): DataFrame =
     rangeScan(rows, order, value, outCol, freeze)._1.drop("__pt", "__total")
 
-  /** Result of [[tileBoundaries]]: global (unfiltered) `lo`/`hi` of
-    * the value column, per-population row counts, and per-population
-    * boundary arrays b(1..nTiles) — b(t) is the value at global
-    * position p_t = t·q + min(t, r) (q = n div nTiles, r = n mod
-    * nTiles) within that population, i.e. exactly the per-tile max of
-    * positional `ntile(nTiles)` under ANY tie-break. */
+  /** Result of [[tileBoundaries]] / [[valuesAtRanks]]: global
+    * (unfiltered) `lo`/`hi` of the value column, per-population totals
+    * (row counts, or weight sums when a weight column is given), and
+    * per-population value arrays — for tileBoundaries, b(t) is the
+    * value at global position p_t = t·q + min(t, r) (q = n div nTiles,
+    * r = n mod nTiles) within that population, i.e. exactly the
+    * per-tile max of positional `ntile(nTiles)` under ANY tie-break. */
   final case class TileBounds(lo: Long, hi: Long, counts: Map[String, Long],
       bounds: Map[String, Array[Long]])
 
@@ -156,61 +157,165 @@ object Windows {
     * non-null; populations must be non-empty. */
   def tileBoundaries(rows: DataFrame, v: Column,
       pops: Seq[(String, Column)], nTiles: Int,
-      bins: Int = 1024): TileBounds = {
+      bins: Int = 0): TileBounds = {
+    require(nTiles >= 1)
+    valuesAtRanks(rows, v, pops, n => {
+      val q = n / nTiles; val r = n % nTiles
+      (1 to nTiles).map(t => t * q + math.min(t, r))
+    }, bins = bins)
+  }
+
+  /** Generalized core of [[tileBoundaries]] (r15): per population,
+    * the VALUES at caller-chosen weighted ranks — smallest v whose
+    * cumulative weight (over that population, in v order) reaches the
+    * rank. `ranksOf` maps a population's total weight to its target
+    * ranks (each in [1, total]); `weight` defaults to 1 (plain order
+    * statistics — tileBoundaries' ntile split points); a real weight
+    * column (q197's quantity-weighted median) must be non-negative.
+    *
+    * `bins = 0` (default) sizes bins adaptively per level: small
+    * enough that one level's histogram stays under a fixed cell
+    * budget (collect stays grid-sized), large enough that two levels
+    * resolve any int64-headroom domain the require below admits —
+    * sf0.1 measured the fixed-1024 three-level ladder as pure
+    * sequential-job overhead (VERDICT r14 #1/#3: q454 2.09 s), and one
+    * fewer full scan is also one fewer pass at 100 TB. */
+  def valuesAtRanks(rows: DataFrame, v: Column,
+      pops: Seq[(String, Column)], ranksOf: Long => Seq[Long],
+      weight: Column = lit(1L), bins: Int = 0): TileBounds = {
     val s = rows.sparkSession
     import s.implicits._
-    require(pops.nonEmpty && nTiles >= 1 && bins >= 2)
+    require(pops.nonEmpty && bins >= 0 && (bins == 0 || bins >= 2))
     val base = rows.select((v.cast("long").as("__v") +:
+      weight.cast("long").as("__w") +:
       pops.zipWithIndex.map { case ((_, f), i) =>
         f.cast("long").as(s"__f$i") }): _*)
-    val statAggs = Seq(min($"__v").as("lo"), max($"__v").as("hi")) ++
-      pops.indices.map(i => sum(col(s"__f$i")).as(s"n$i"))
+    // null guard (ADVICE r14): a null value would inflate the weight
+    // totals below while silently vanishing from the level histograms,
+    // corrupting the narrowing walk — fail loudly instead. Per-pop
+    // conditional min/max start each target at its own tight interval.
+    val statAggs = Seq(min($"__v").as("lo"), max($"__v").as("hi"),
+      sum(when($"__v".isNull || $"__w".isNull, 1L).otherwise(0L)).as("nulls")) ++
+      pops.indices.flatMap(i => Seq(
+        sum(col(s"__f$i") * $"__w").as(s"n$i"),
+        min(when(col(s"__f$i") === 1L, $"__v")).as(s"lo$i"),
+        max(when(col(s"__f$i") === 1L, $"__v")).as(s"hi$i")))
     val st = base.agg(statAggs.head, statAggs.tail: _*).head()
-    require(!st.isNullAt(0), "tileBoundaries: empty input or all-null values")
-    val lo0 = st.getLong(0); val hi0 = st.getLong(1)
-    // int64 headroom for the width arithmetic below (domain discipline:
-    // every caller's values are cents/counts, far inside this band)
-    require(lo0 > Long.MinValue / 4 && hi0 < Long.MaxValue / 4,
-      s"tileBoundaries: value range [$lo0, $hi0] too wide for exact binning")
-    val ns = pops.indices.map { i =>
-      val n = if (st.isNullAt(2 + i)) 0L else st.getLong(2 + i)
-      require(n > 0L, s"tileBoundaries: population '${pops(i)._1}' is empty")
-      n
+    require(!st.isNullAt(0), "valuesAtRanks: empty input")
+    require(st.getLong(2) == 0L,
+      s"valuesAtRanks: ${st.getLong(2)} null value/weight row(s) — must be non-null")
+    val popStats = pops.indices.map { i =>
+      require(!st.isNullAt(3 + 3 * i) && st.getLong(3 + 3 * i) > 0L,
+        s"valuesAtRanks: population '${pops(i)._1}' is empty")
+      (pops(i)._1, st.getLong(4 + 3 * i), st.getLong(5 + 3 * i),
+        st.getLong(3 + 3 * i))
     }
-    // one mutable record per (population, tile): interval + residual
+    narrowToRanks(base, st.getLong(0), st.getLong(1), popStats, ranksOf, bins)
+  }
+
+  /** [[valuesAtRanks]] for DISJOINT populations named by a grouping
+    * key (r15): the stats pass is one groupBy(key) — map-side combined
+    * to |key-domain| rows per task — so the key domain is DISCOVERED,
+    * never assumed, with no separate distinct pass. `key` must be a
+    * bounded-domain column (an enum/dimension attribute); the collect
+    * is |domain|-sized by that contract. Population names in the
+    * result are the keys' string forms. */
+  def valuesAtRanksByKey(rows: DataFrame, v: Column, key: Column,
+      ranksOf: Long => Seq[Long], weight: Column = lit(1L),
+      bins: Int = 0): TileBounds = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val keyed = rows.select(key.cast("string").as("__k"),
+      v.cast("long").as("__v"), weight.cast("long").as("__w"))
+    val st = keyed.groupBy($"__k")
+      .agg(min($"__v").as("lo"), max($"__v").as("hi"),
+        sum($"__w").as("n"),
+        sum(when($"__v".isNull || $"__w".isNull, 1L).otherwise(0L)).as("nulls"))
+      .collect() // |key-domain|-sized by the caller contract
+    require(st.nonEmpty, "valuesAtRanksByKey: empty input")
+    require(!st.exists(_.isNullAt(0)), "valuesAtRanksByKey: null key")
+    val nullRows = st.map(_.getLong(4)).sum
+    require(nullRows == 0L,
+      s"valuesAtRanksByKey: $nullRows null value/weight row(s) — must be non-null")
+    val popStats = st.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    popStats.foreach { case (k, _, _, n) =>
+      require(n > 0L, s"valuesAtRanksByKey: population '$k' has zero weight") }
+    val base = keyed.select(($"__v" +: $"__w" +:
+      popStats.zipWithIndex.map { case ((k, _, _, _), i) =>
+        ($"__k" === k).cast("long").as(s"__f$i") }): _*)
+    narrowToRanks(base, popStats.map(_._2).min, popStats.map(_._3).max,
+      popStats, ranksOf, bins)
+  }
+
+  /** Shared narrowing loop: `base` carries __v/__w/__f0..; each
+    * population starts at its own (lo, hi) interval with total weight
+    * n. Bin counts are sized per level so one histogram's cells stay
+    * under a fixed budget while finishing in as few levels as the
+    * budget allows (usually two: √range-balanced first level, then
+    * width-sized bins resolve every residual interval exactly). */
+  private def narrowToRanks(base: DataFrame, gLo: Long, gHi: Long,
+      popStats: Seq[(String, Long, Long, Long)],
+      ranksOf: Long => Seq[Long], bins: Int): TileBounds = {
+    val s = base.sparkSession
+    import s.implicits._
+    // int64 headroom for the width arithmetic below AND for caller-side
+    // cutpoint multipliers up to 16 (ADVICE r14 tightened /4 → /32;
+    // domain discipline: every caller's values are cents/counts)
+    require(gLo > Long.MinValue / 32 && gHi < Long.MaxValue / 32,
+      s"valuesAtRanks: value range [$gLo, $gHi] too wide for exact binning")
+    // one mutable record per (population, rank): interval + residual
     // rank within it; resolved when the interval collapses to a point
     final case class Tgt(pop: Int, t: Int, var lo: Long, var hi: Long,
       var rank: Long, var done: Boolean)
-    val targets = pops.indices.flatMap { i =>
-      val n = ns(i); val q = n / nTiles; val r = n % nTiles
-      (1 to nTiles).map { t =>
-        Tgt(i, t, lo0, hi0, t * q + math.min(t, r), done = lo0 == hi0)
+    val targets = popStats.indices.flatMap { i =>
+      val (name, lo, hi, n) = popStats(i)
+      ranksOf(n).zipWithIndex.map { case (r, t) =>
+        require(r >= 1L && r <= n,
+          s"valuesAtRanks: rank $r outside [1, $n] for '$name'")
+        Tgt(i, t, lo, hi, r, done = lo == hi)
       }
     }
+    // per-level bin budget: cells ≤ live-intervals × binsL per collect;
+    // when every residual interval fits the budget at width-sized bins,
+    // finish exactly this level; otherwise balance this level's cells
+    // against the next's (√(width·targets/ivs), the two-level optimum)
+    val CellBudget = 131072L
     var level = 0
     while (targets.exists(!_.done)) {
       level += 1
-      require(level <= 64, "tileBoundaries: failed to converge") // structural, never hit
+      require(level <= 64, "valuesAtRanks: failed to converge") // structural, never hit
       val live = targets.filter(!_.done)
       val ivs = live.map(t => (t.pop, t.lo, t.hi)).distinct.zipWithIndex
+      val maxWidth = ivs.map { case ((_, l, h), _) => h - l + 1 }.max
+      val binsL =
+        if (bins > 0) bins.toLong
+        else if (ivs.size * maxWidth <= CellBudget) maxWidth
+        else math.min(maxWidth, math.max(1024L, math.min(16384L,
+          math.ceil(math.sqrt(maxWidth.toDouble * live.size / ivs.size)).toLong)))
       val cands = ivs.map { case ((p, l, h), id) =>
-        val bw = ((h - l + 1) + bins - 1) / bins
+        val bw = ((h - l + 1) + binsL - 1) / binsL
         expr(s"""CASE WHEN __f$p = 1 AND __v >= $l AND __v <= $h THEN
                    named_struct('iv', $id, 'bk', (__v - $l) div ${bw}L)
                  END""")
       }
-      val hist = base.select(explode(array(cands: _*)).as("c"))
+      val hist = base.select($"__w", explode(array(cands: _*)).as("c"))
         .filter($"c".isNotNull)
         .groupBy($"c.iv".as("iv"), $"c.bk".as("bk"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect() // grid-sized: ≤ live-intervals × bins cells
+        .agg(sum($"__w").as("cnt"))
+        .collect() // grid-sized: ≤ live-intervals × binsL cells
       val byIv = hist.groupBy(_.getInt(0)).map { case (iv, rs) =>
         iv -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
       }
+      // narrow each target against a SNAPSHOT of its (lo, hi) so a
+      // target never matches a later iv it was just narrowed into
+      // (ADVICE r14: the double-narrowing was correct but fragile)
+      val snap = live.map(t => (t, (t.pop, t.lo, t.hi)))
       ivs.foreach { case ((p, l, h), id) =>
-        val bw = ((h - l + 1) + bins - 1) / bins
+        val bw = ((h - l + 1) + binsL - 1) / binsL
         val cells = byIv(id)
-        live.filter(t => t.pop == p && t.lo == l && t.hi == h).foreach { t =>
+        snap.collect { case (t, k) if k == (p, l, h) => t }.foreach { t =>
           var cum = 0L; var k = 0
           while (cum + cells(k)._2 < t.rank) { cum += cells(k)._2; k += 1 }
           val bk = cells(k)._1
@@ -221,10 +326,11 @@ object Windows {
         }
       }
     }
-    val bounds = pops.indices.map { i =>
-      pops(i)._1 -> targets.filter(_.pop == i).sortBy(_.t).map(_.lo).toArray
+    val bounds = popStats.indices.map { i =>
+      popStats(i)._1 -> targets.filter(_.pop == i).sortBy(_.t).map(_.lo).toArray
     }.toMap
-    TileBounds(lo0, hi0, pops.indices.map(i => pops(i)._1 -> ns(i)).toMap, bounds)
+    TileBounds(gLo, gHi,
+      popStats.map(p => p._1 -> p._4).toMap, bounds)
   }
 
   /** [[rangePrefixSum]] plus the scan's own by-products: the annotated
