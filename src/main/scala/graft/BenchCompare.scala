@@ -113,6 +113,10 @@ object BenchCompare {
       "two inherent passes + NDV split r9; isolated re-times 1.9s (wave cost)"),
     "q480_dawid_skene" -> ("BENCH_NOTES §Round-11/§Round-13 — four " +
       "sequential EM rounds inherent; shared judgment checkpoint r13, QTime 1.44s"),
+    "q465_bradley_terry" -> ("BENCH_NOTES §Round-15 — floor decomposition: " +
+      "single-row-group serial scan 0.5s + pc materialization 1.4s + p1/gate " +
+      "0.4s + MM tail 0.3s; p1-checkpoint removal A/B'd 70% WORSE (no reuse " +
+      "across projected broadcast sides); c8==c32 on the identical plan"),
   )
 
   def twinFlags(cur: Map[String, Double], twin: Map[String, Double],

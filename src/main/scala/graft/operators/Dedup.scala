@@ -1778,26 +1778,43 @@ object Dedup {
     * threshold is safe to relax for recall.
     *
     * Shape: the pair relation (the expensive distributed part) is
-    * computed ONCE and checkpointed; each threshold filters the tiny
-    * edge residue and runs the q71 two-tier component loop on it.
-    * Edges are nested by construction (E₉₀ ⊆ E₇₀ ⊆ E₅₀), so cluster
-    * counts and coverage move monotonically — the spec pins that. */
+    * computed ONCE and checkpointed; the three thresholds then run as
+    * ONE q71 two-tier component loop over the DISJOINT-UNION graph
+    * with nodes (doc, tier) — encoded doc·4 + tier, decoded by pmod —
+    * because components of a disjoint union are exactly the per-tier
+    * components. The r14 shape ran the loop three times sequentially
+    * (64 jobs at sf0.1, each paying contraction + convergence rounds
+    * on a nested edge subset); the fused loop pays the round count of
+    * the WIDEST tier once. Edges are nested by construction
+    * (E₉₀ ⊆ E₇₀ ⊆ E₅₀), so cluster counts and coverage move
+    * monotonically — the spec pins that. */
   def q258ThresholdPersistence(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = jaccardPairs(s, d)
       .select($"doc1", $"doc2", $"jaccard_bp")
       .filter($"jaccard_bp" >= 5000L)
       .localCheckpoint()
-    Seq(5000L, 7000L, 9000L).map { thr =>
-      minLabelComponents(
-          pairs.filter($"jaccard_bp" >= thr).select($"doc1", $"doc2"))
-        .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
-        .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
-          coalesce(sum($"sz"), lit(0L)).as("n_docs"),
-          coalesce(max($"sz"), lit(0L)).as("largest"))
-        .select(lit(thr).as("threshold_bp"), $"n_clusters", $"n_docs",
-          $"largest")
-    }.reduce(_ unionByName _).orderBy($"threshold_bp")
+    val thresholds = Seq(5000L, 7000L, 9000L)
+    val tiered = thresholds.zipWithIndex.map { case (thr, t) =>
+      pairs.filter($"jaccard_bp" >= thr)
+        .select(($"doc1" * 4 + t).as("doc1"), ($"doc2" * 4 + t).as("doc2"))
+    }.reduce(_ unionByName _)
+    val stats = minLabelComponents(tiered)
+      .select(pmod($"doc_id", lit(4L)).as("t"), $"cluster_id")
+      .groupBy($"t", $"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"t").agg(count(lit(1)).as("cl"),
+        sum($"sz").as("nd"), max($"sz").as("lg"))
+    // a tier with no surviving edges has no nodes in the union graph:
+    // the threshold axis re-materializes its all-zero row (the r14
+    // empty-aggregate coalesce, kept exactly)
+    thresholds.zipWithIndex.map { case (thr, t) => (thr, t.toLong) }
+      .toDF("threshold_bp", "t")
+      .join(stats, Seq("t"), "left")
+      .select($"threshold_bp",
+        coalesce($"cl", lit(0L)).as("n_clusters"),
+        coalesce($"nd", lit(0L)).as("n_docs"),
+        coalesce($"lg", lit(0L)).as("largest"))
+      .orderBy($"threshold_bp")
   }
 
   val q258Oracle: String =

@@ -1566,7 +1566,14 @@ object Similarity {
     val pop = quantized(s, d)
       .filter(pmod($"vec_id", lit(sampleMod.toLong)) === 0)
       .orderBy($"vec_id").limit(auditCap)
-    val a = pop.select($"vec_id".as("qid"), $"label".cast("long").as("qlabel"),
+    // spread the streamed side of the N² nested-loop join (r15): the
+    // global limit leaves pop in ONE partition (and the testdata is one
+    // row group anyway), so every dotQ of the quadratic join ran on a
+    // single core — 2.9 s at sf0.1 with 31 cores idle. A round-robin
+    // repartition of the CAPPED (≤MaxAuditPoints) relation is a
+    // bounded-size exchange that parallelizes the join by core count.
+    val a = pop.repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id".as("qid"), $"label".cast("long").as("qlabel"),
       $"qa".as("qv"), $"n2".as("qn"))
     val b = pop.select($"vec_id".as("cid"), $"label".cast("long").as("clabel"),
       $"qa".as("cv"), $"n2".as("cn"))
@@ -1577,7 +1584,7 @@ object Similarity {
     // result, and mirror it by projection. The checkpoint is what
     // makes the mirror free — without it the union's second branch
     // re-runs the whole join.
-    val half = a.join(b, $"qid" < $"cid")
+    val half = a.join(broadcast(b), $"qid" < $"cid")
       .select($"qid", $"qlabel", $"clabel", $"cid",
         dotQ($"qv", $"cv").as("num"), $"qn", $"cn")
       .filter($"num" > 0)

@@ -94,8 +94,12 @@ class BenchCompareSpec extends AnyFunSuite {
     // BENCH_NOTES.md naming the measured floor — the allowlist is an
     // exemption register, not a mute button. Every value must cite the
     // BENCH_NOTES section carrying the audit.
+    // r15: q465 added with the BENCH_NOTES §Round-15 floor decomposition
+    // (serial one-row-group scan + pc materialization + MM tail; the
+    // p1-checkpoint removal A/B measured 70% worse)
     val frozen = Set("q157_copurchase", "q182_apriori_triples",
-      "q237_pagerank_loop", "q401_encoding_advisor", "q480_dawid_skene")
+      "q237_pagerank_loop", "q401_encoding_advisor", "q480_dawid_skene",
+      "q465_bradley_terry")
     assert(BenchCompare.AuditedInherent.keySet == frozen,
       s"allowlist drifted: ${BenchCompare.AuditedInherent.keySet} vs $frozen")
     BenchCompare.AuditedInherent.foreach { case (n, cite) =>
