@@ -1809,7 +1809,9 @@ object Dedup {
     // empty-aggregate coalesce, kept exactly)
     thresholds.zipWithIndex.map { case (thr, t) => (thr, t.toLong) }
       .toDF("threshold_bp", "t")
-      .join(stats, Seq("t"), "left")
+      // stats is a ≤4-row bounded-domain aggregate (t = pmod 4): hint it
+      // so the 3-row axis left-join never draws a sort-merge
+      .join(broadcast(stats), Seq("t"), "left")
       .select($"threshold_bp",
         coalesce($"cl", lit(0L)).as("n_clusters"),
         coalesce($"nd", lit(0L)).as("n_docs"),
